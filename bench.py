@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": "..."}
+
+Each query is executed to completion via a count-ish action that forces
+the full plan without collecting rows to the driver. One warm-up of the
+flagship query absorbs JVM/codegen warm-up so numbers reflect steady
+state (the regime that matters at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from testlog_etl_spark.session import get_spark
+    from testlog_etl_spark.suite import bench_cases
+
+    spark = get_spark("spark-jx-bench")
+
+    cases = bench_cases()
+
+    # warm-up: run the flagship once (JVM JIT, codegen, parquet footer cache)
+    first = next(iter(cases.values()))
+    first.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, case in cases.items():
+        t0 = time.perf_counter()
+        # noop sink executes the complete plan (incl. ordering) without
+        # driver-side collection
+        case.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

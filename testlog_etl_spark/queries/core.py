@@ -1,0 +1,276 @@
+"""Core relational queries: the flagship pricing summary plus the join
+surface (SURVEY SS2.3 -- a deliberate superset of the reference, which has
+no general join; its enrichment lookups J1/J2 are the broadcast joins
+here).
+
+Scale notes per query are in each docstring: what shuffles, what
+broadcasts, and why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from testlog_etl_spark.suite import register
+from testlog_etl_spark.tables import load_table
+
+# Rounding scale for float aggregates: far above double ulp noise at these
+# magnitudes, far below data resolution (prices have 2 decimals).
+R = 4
+
+
+@register(
+    "q1_pricing_summary",
+    doc="TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates. "
+    "Flagship: one wide scan, partial aggregation map-side, tiny shuffle "
+    "(4 groups); at 100 TB the plan is scan-bound and embarrassingly "
+    "parallel. Reference analog: JX groupby+aggregates on the ES backend "
+    "(SURVEY SS2.4, vendor/jx_elasticsearch/es52/agg_op.py).",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), {R}) AS sum_qty,
+  ROUND(SUM(l_extendedprice), {R}) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), {R}) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {R}) AS sum_charge,
+  ROUND(AVG(l_quantity), {R}) AS avg_qty,
+  ROUND(AVG(l_extendedprice), {R}) AS avg_price,
+  ROUND(AVG(l_discount), {R}) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), R).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), R).alias("sum_base_price"),
+            F.round(F.sum(disc_price), R).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), R).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), R).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), R).alias("avg_price"),
+            F.round(F.avg("l_discount"), R).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    doc="TPC-H Q3 shape: selective filters on both fact sides, then "
+    "orders><lineitem join on orderkey, customer broadcast. At scale: "
+    "customer dim broadcasts; orders-lineitem is the one real shuffle, "
+    "both sides pre-filtered so AQE sizes it; top-10 is "
+    "TakeOrderedAndProject (no global sort materialization).",
+    oracle=f"""
+SELECT
+  l_orderkey,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), {R}) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    doc="TPC-H Q5 shape: star join lineitem><orders + four broadcast dims "
+    "(supplier, customer, nation, region). The reference's enrichment "
+    "joins (J1/J2: hg-revision and buildbot mapping lookups) are exactly "
+    "this pattern: fact stream x small cached dimension -> broadcast hash "
+    "join, zero extra shuffle at any scale.",
+    oracle=f"""
+SELECT
+  n_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), {R}) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    doc="TPC-H Q6 shape: pure scan+filter+global agg. Verifies predicate "
+    "pushdown to the parquet scan (PushedFilters in .explain); at 100 TB "
+    "with date-partitioned layout this is partition-pruned to 1 year.",
+    oracle=f"""
+SELECT ROUND(SUM(l_extendedprice * l_discount), {R}) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    bench=True,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), R).alias("revenue"))
+    )
+
+
+@register(
+    "join_semi_exists",
+    doc="EXISTS via left-semi join: orders that have at least one high-"
+    "quantity lineitem. Semi-join never widens rows, so shuffle payload "
+    "is keys only -- the scale-correct EXISTS plan.",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49
+)
+ORDER BY o_orderkey
+""",
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_anti_not_exists",
+    doc="NOT EXISTS via left-anti join: customers with no orders.",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+""",
+)
+def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "topk_orders",
+    doc="ORDER BY + LIMIT (JX sort+limit, SURVEY SS2.7 O3). Catalyst plans "
+    "TakeOrderedAndProject: per-partition heap of k, then k-way driver "
+    "merge -- no global sort at any scale.",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "union_distinct_sources",
+    doc="Union of heterogeneous sources + distinct (SURVEY SS2.7 O4/O5: "
+    "ConcatSources / groupby-all-cols). unionByName tolerates schema "
+    "drift between blocks, dropDuplicates is a hash-agg shuffle on the "
+    "deduped key only.",
+    oracle="""
+SELECT nationkey, name FROM (
+  SELECT n_nationkey AS nationkey, n_name AS name FROM nation
+  UNION
+  SELECT c_nationkey AS nationkey, 'customer-nation' AS name FROM customer
+)
+ORDER BY nationkey, name
+""",
+)
+def union_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("name")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer-nation").alias("name")
+    )
+    return nation.unionByName(cust).dropDuplicates().orderBy("nationkey", "name")

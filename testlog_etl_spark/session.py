@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` in one JVM; every config
+here is chosen to also make sense on a 1000-executor cluster reading
+100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, join re-selection);
+- shuffle partitions sized to cores locally -- on a real cluster this is
+  the knob you raise to ~2-3x total cores, and AQE coalesces down;
+- Arrow enabled so the Pandas-UDF slow path is batch-vectorized;
+- session timezone pinned UTC so timestamp semantics match the DuckDB
+  oracle and are stable across machines;
+- parquet pushdown/pruning left at defaults (on) -- plans are written so
+  filters and projections reach the scan (verified via .explain in
+  tests/bench).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def cpu_count() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "spark-jx", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster, deployment config overrides it and AQE re-coalesces at
+    runtime so the setting is a ceiling, not a schedule.
+    """
+    cores = cpu_count()
+    n_shuffle = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # deterministic broadcast behavior: default 10MB threshold is fine
+        # for the dims here (region/nation/supplier); explicit broadcast()
+        # hints are still used at join sites so intent survives tuning.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,67 @@
+"""Differential gate mirroring the driver's t2 check: every registered
+query with an oracle must match DuckDB on row-count, column names, and
+order-insensitive values -- EXACTLY (the suite is written so floats are
+rounded identically on both sides; exact compare here means the driver's
+value-hash matches too, whatever its tolerance).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from tests.conftest import SF_ORACLE, register_duck_views
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine compare."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # -0.0 vs 0.0
+        return v + 0.0
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def _cases():
+    from testlog_etl_spark import suite
+
+    suite.queries()  # force load
+    return [c for c in suite.REGISTRY.values() if c.oracle is not None]
+
+
+@pytest.mark.parametrize("case", _cases(), ids=lambda c: c.name)
+def test_matches_oracle(case, spark, duck):
+    register_duck_views(duck, SF_ORACLE)
+
+    sdf = case.fn(spark, SF_ORACLE)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.execute(case.oracle)
+    d_cols = [d[0] for d in rel.description]
+    d_rows = rel.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{case.name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{case.name}: row count {len(s_rows)} != {len(d_rows)}"
+
+    s_set = _rowset(s_cols, s_rows)
+    d_set = _rowset(d_cols, d_rows)
+    if s_set != d_set:
+        diffs = [(a, b) for a, b in zip(s_set, d_set) if a != b][:5]
+        pytest.fail(f"{case.name}: value mismatch; first diffs (spark, duck): {diffs}")
