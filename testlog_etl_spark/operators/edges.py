@@ -1,0 +1,228 @@
+"""JX `edges` -- the dense datacube GROUP BY (SURVEY SS2.5, D1-D9).
+
+Reference semantics (vendor/jx_base/domains.py, jx_python/cubes/aggs.py,
+jx_elasticsearch/es52/agg_op.py): an `edges` query returns one cell per
+part of each edge's DOMAIN -- including empty cells (count=0, other
+aggregates null) -- plus an optional null part for rows whose edge value
+is missing (`allowNulls`, default true).
+
+Spark realization (scale-first):
+ 1. each row gets a bucket key per edge (a Column expression -- stays in
+    whole-stage codegen);
+ 2. ONE hash-aggregate over the bucket keys (the only shuffle; partial
+    aggregation map-side);
+ 3. the dense frame is the cross-join of the per-edge domain DataFrames --
+    each bounded by partition count / limit, so the product is small by
+    construction -- LEFT-joined to the aggregated groups. Catalyst
+    broadcasts the aggregated side or the domain side, whichever is
+    smaller; either way densification adds no second shuffle over the
+    fact table.
+
+Range-edge fan-out (D6): a row whose {"range": {min,max}} value spans
+several buckets contributes to each -- `explode(sequence(...))` before the
+aggregate, i.e. Spark-native interval fan-out; the fan-out factor is
+span/interval, bounded by the domain, so worst-case blowup is explicit in
+the query, not hidden in a join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from testlog_etl_spark.expressions import JXCompiler, is_missing
+
+_CAL_INTERVALS = {"month": 1, "year": 12}
+
+
+def _parse_interval(interval: Any) -> tuple[str, float]:
+    """-> ('seconds', n) | ('months', n) for time domains; numbers pass through."""
+    if isinstance(interval, (int, float)):
+        return ("seconds", float(interval))
+    s = str(interval).strip().lower()
+    import re
+
+    m = re.match(r"^(\d*\.?\d*)\s*(second|minute|hour|day|week|month|year)s?$", s)
+    if not m:
+        raise ValueError(f"cannot parse domain interval {interval!r}")
+    n = float(m.group(1) or "1")
+    unit = m.group(2)
+    if unit in _CAL_INTERVALS:
+        return ("months", n * _CAL_INTERVALS[unit])
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}[unit]
+    return ("seconds", n * mult)
+
+
+@dataclass
+class Edge:
+    """A normalized edge: bucket-key expression + dense domain DataFrame."""
+
+    name: str
+    key: Column  # per-row bucket key (null => missing part)
+    domain: DataFrame | None  # one column named `name`; None => discover from data
+    fan_out: Column | None = None  # array of bucket keys (range-edge); overrides key
+    limit: int | None = None  # default-domain part cap
+    allow_nulls: bool = True
+
+
+def normalize_edge(spark: SparkSession, spec: Any, compiler: JXCompiler) -> Edge:
+    if isinstance(spec, str):
+        spec = {"value": spec}
+    name = spec.get("name") or (spec["value"] if isinstance(spec.get("value"), str) else "edge")
+    name = name.replace(".", "_")
+    allow_nulls = bool(spec.get("allowNulls", True))
+    domain = spec.get("domain") or {}
+    dom_type = domain.get("type", "default")
+
+    value = spec.get("value")
+    if isinstance(value, dict) and "range" in value and set(value) == {"range"}:
+        # D6 range-edge: the row spans every overlapped bucket
+        rng = value["range"]
+        lo = compiler.compile(rng["min"]).cast("double")
+        hi = compiler.compile(rng["max"]).cast("double")
+        dmin, dmax, i = float(domain["min"]), float(domain["max"]), float(domain["interval"])
+        n_parts = int(-(-(dmax - dmin) // i))  # ceil
+        # integer bucket indices relative to domain min (sequence() needs
+        # integral steps), then scaled back; overlap-filter handles edges
+        k0 = F.greatest(F.floor((lo - dmin) / i).cast("long"), F.lit(0))
+        k1 = F.least(F.floor((hi - dmin) / i).cast("long"), F.lit(n_parts - 1))
+        buckets = F.when(
+            lo.isNotNull() & hi.isNotNull() & (k1 >= k0),
+            F.filter(
+                F.transform(F.sequence(k0, k1), lambda k: F.lit(dmin) + k * F.lit(i)),
+                lambda b: (b < hi) & ((b + F.lit(i)) > lo),
+            ),
+        )
+        dom_df = _numeric_domain_df(spark, name, dmin, dmax, i)
+        return Edge(name=name, key=F.lit(None), domain=dom_df, fan_out=buckets, allow_nulls=allow_nulls)
+
+    val_col = compiler.compile(value)
+
+    if dom_type in ("set", "simple_set"):
+        parts = domain["partitions"]
+        vals = [p["value"] if isinstance(p, dict) else p for p in parts]
+        dom_df = spark.createDataFrame([(v,) for v in vals], schema=[name])
+        # rows whose value is not in the domain fall into the null part
+        key = F.when(val_col.isin(vals), val_col)
+        return Edge(name=name, key=key, domain=dom_df, allow_nulls=allow_nulls)
+
+    if dom_type == "time":
+        unit, n = _parse_interval(domain["interval"])
+        dmin = F.lit(str(domain["min"])).cast("timestamp")
+        dmax = F.lit(str(domain["max"])).cast("timestamp")
+        ts = val_col.cast("timestamp")
+        if unit == "months":
+            months = int(n)
+            # calendar bucketing: month-offset from domain min, floored
+            off = (F.months_between(ts, dmin) / months).cast("int") * months
+            key = F.to_timestamp(F.add_months(dmin, off))
+            dom_df = (
+                spark.range(1)
+                .select(
+                    F.explode(
+                        F.sequence(dmin, F.timestamp_add("SECOND", F.lit(-1), dmax), F.expr(f"interval {months} month"))
+                    ).alias(name)
+                )
+            )
+        else:
+            secs = n
+            base = F.unix_timestamp(dmin)
+            key = F.timestamp_seconds(
+                (F.floor((F.unix_timestamp(ts) - base) / secs) * secs + base)
+            )
+            dom_df = (
+                spark.range(1)
+                .select(
+                    F.explode(
+                        F.sequence(
+                            dmin,
+                            F.timestamp_add("SECOND", F.lit(-1), dmax),
+                            F.expr(f"interval {int(secs)} second"),
+                        )
+                    ).alias(name)
+                )
+            )
+        in_range = (ts >= dmin) & (ts < dmax)
+        return Edge(name=name, key=F.when(in_range, key), domain=dom_df, allow_nulls=allow_nulls)
+
+    if dom_type in ("range", "duration"):
+        dmin, dmax, i = float(domain["min"]), float(domain["max"]), float(domain["interval"])
+        v = val_col.cast("double")
+        key = F.when((v >= dmin) & (v < dmax), F.lit(dmin) + F.floor((v - dmin) / i) * i)
+        return Edge(name=name, key=key, domain=_numeric_domain_df(spark, name, dmin, dmax, i), allow_nulls=allow_nulls)
+
+    # default domain: parts discovered from data, capped by limit (D1/D9)
+    return Edge(
+        name=name,
+        key=val_col,
+        domain=None,
+        limit=int(spec.get("limit") or domain.get("limit") or 0) or None,
+        allow_nulls=allow_nulls,
+    )
+
+
+def _numeric_domain_df(spark: SparkSession, name: str, dmin: float, dmax: float, i: float) -> DataFrame:
+    n_parts = int(-(-(dmax - dmin) // i))  # ceil
+    return spark.range(n_parts).select((F.lit(dmin) + F.col("id") * F.lit(i)).alias(name))
+
+
+def cube_aggregate(
+    spark: SparkSession,
+    df: DataFrame,
+    edges: list[Edge],
+    agg_exprs: list[Column],
+    count_like: list[str],
+) -> DataFrame:
+    """Dense aggregate over edges; `count_like` aggregate output names are
+    default-filled with 0 in empty cells (D8), everything else stays null."""
+    work = df
+    key_cols = []
+    for e in edges:
+        if e.fan_out is not None:
+            # D6: one row per overlapped bucket. explode_outer keeps rows
+            # with a missing/empty span for the null part.
+            work = work.withColumn(e.name, F.explode_outer(e.fan_out))
+        else:
+            work = work.withColumn(e.name, e.key)
+        key_cols.append(e.name)
+
+    grouped = work.groupBy(*key_cols).agg(*agg_exprs)
+
+    # build the dense frame: cross-join of per-edge domains
+    dense: DataFrame | None = None
+    for e in edges:
+        dom = e.domain
+        if dom is None:
+            # default domain discovered from the aggregated result (cheap:
+            # already reduced), ordered, optionally capped
+            dom = grouped.select(F.col(e.name)).where(F.col(e.name).isNotNull()).distinct()
+            if e.limit:
+                dom = dom.orderBy(e.name).limit(e.limit)
+        if e.allow_nulls:
+            dom = dom.unionByName(
+                spark.range(1).select(F.lit(None).cast(dom.schema[e.name].dataType).alias(e.name))
+            )
+        # domains are tiny by construction but inherit defaultParallelism
+        # partitions; without this a 2-edge crossJoin schedules |p1|*|p2|
+        # (~1000) near-empty tasks
+        dense = dom.coalesce(1) if dense is None else dense.crossJoin(dom.coalesce(1))
+
+    # eqNullSafe join on every edge key so the null part matches
+    cond = None
+    g = grouped
+    for e in edges:
+        g = g.withColumnRenamed(e.name, f"__g_{e.name}")
+    for e in edges:
+        c = F.col(e.name).eqNullSafe(F.col(f"__g_{e.name}"))
+        cond = c if cond is None else (cond & c)
+    # both sides are post-aggregation small; broadcasting the grouped side
+    # keeps densification shuffle-free regardless of AQE estimates
+    joined = dense.join(F.broadcast(g), cond, "left").drop(*[f"__g_{e.name}" for e in edges])
+
+    fills = {name: 0 for name in count_like}
+    if fills:
+        joined = joined.fillna(fills)
+    return joined.orderBy(*[F.col(e.name).asc_nulls_last() for e in edges])

@@ -1,0 +1,236 @@
+"""Oracle-paired aggregate queries (SURVEY SS2.4 A1-A14) through the JX
+query runner. Engine-difference traps handled explicitly:
+
+- exact `median`/`percentile` (Spark) == quantile_cont (DuckDB): both
+  linear-interpolate, so rounded values match;
+- `cardinality` is exact here (count_distinct); the reference's ES
+  backend is HLL-approximate -- exposed as `cardinality_approx`, which has
+  no cross-engine oracle by nature;
+- skew/kurtosis: Spark's built-ins are population moments, DuckDB's are
+  sample-corrected -- NOT comparable. The stats query computes both sides
+  from the same raw-moment formula so the oracle tests arithmetic, not
+  two engines' bias conventions. The JX `stats` aggregate itself (Spark
+  built-ins) is covered by engine unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from testlog_etl_spark.query import run_jx
+from testlog_etl_spark.suite import register
+from testlog_etl_spark.tables import load_tables
+
+R = 4
+
+
+@register(
+    "agg_basic_groupby",
+    doc="count(*)/count(col)/sum/avg/min/max via the JX runner (A1-A4).",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  count(*) AS n_rows,
+  count(l_quantity) AS n_qty,
+  ROUND(SUM(l_quantity), {R}) AS sum_qty,
+  ROUND(AVG(l_extendedprice), {R}) AS avg_price,
+  min(l_shipdate) AS first_ship,
+  max(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    bench=True,
+)
+def agg_basic_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("lineitem",))
+    out = run_jx(
+        spark,
+        {
+            "from": "lineitem",
+            "groupby": "l_returnflag",
+            "select": [
+                {"name": "n_rows", "value": ".", "aggregate": "count"},
+                {"name": "n_qty", "value": "l_quantity", "aggregate": "count"},
+                {"name": "sum_qty", "value": "l_quantity", "aggregate": "sum"},
+                {"name": "avg_price", "value": "l_extendedprice", "aggregate": "average"},
+                {"name": "first_ship", "value": "l_shipdate", "aggregate": "min"},
+                {"name": "last_ship", "value": "l_shipdate", "aggregate": "max"},
+            ],
+            "sort": "l_returnflag",
+        },
+        tables,
+    )
+    return out.withColumn("sum_qty", F.round("sum_qty", R)).withColumn("avg_price", F.round("avg_price", R))
+
+
+@register(
+    "agg_cardinality_median",
+    doc="exact distinct count (A5), exact median (A6), exact percentile "
+    "(A7) -- Spark percentile() and DuckDB quantile_cont interpolate "
+    "identically.",
+    oracle=f"""
+SELECT
+  l_linestatus,
+  count(DISTINCT l_partkey) AS n_parts,
+  ROUND(median(l_quantity), {R}) AS med_qty,
+  ROUND(quantile_cont(l_extendedprice, 0.9), {R}) AS p90_price
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def agg_cardinality_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("lineitem",))
+    out = run_jx(
+        spark,
+        {
+            "from": "lineitem",
+            "groupby": "l_linestatus",
+            "select": [
+                {"name": "n_parts", "value": "l_partkey", "aggregate": "cardinality"},
+                {"name": "med_qty", "value": "l_quantity", "aggregate": "median"},
+                {"name": "p90_price", "value": "l_extendedprice", "aggregate": "percentile", "percentile": 0.9},
+            ],
+            "sort": "l_linestatus",
+        },
+        tables,
+    )
+    return out.withColumn("med_qty", F.round("med_qty", R)).withColumn("p90_price", F.round("p90_price", R))
+
+
+@register(
+    "agg_stats_moments",
+    doc="the reference's `stats` blob (A8) as raw-moment arithmetic, "
+    "spelled identically on both engines (see module docstring).",
+    oracle="""
+WITH m AS (
+  SELECT c_mktsegment,
+         count(c_acctbal) AS n,
+         SUM(c_acctbal) AS s1,
+         SUM(c_acctbal * c_acctbal) AS s2
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT
+  c_mktsegment,
+  n AS cnt,
+  ROUND(s1 / n, 4) AS mean,
+  ROUND(s2 / n - (s1 / n) * (s1 / n), 2) AS variance
+FROM m
+ORDER BY c_mktsegment
+""",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    b = F.col("c_acctbal")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(b).alias("n"),
+            F.sum(b).alias("s1"),
+            F.sum(b * b).alias("s2"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n").alias("cnt"),
+            F.round(F.col("s1") / F.col("n"), 4).alias("mean"),
+            F.round(F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")), 2).alias("variance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_union_list",
+    doc="set-union aggregate (A9) stringified deterministically (sorted + "
+    "joined) so unordered collections hash identically cross-engine.",
+    oracle="""
+SELECT
+  l_returnflag,
+  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+  count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_union_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("lineitem",))
+    out = run_jx(
+        spark,
+        {
+            "from": "lineitem",
+            "groupby": "l_returnflag",
+            "select": [
+                {"name": "statuses", "value": "l_linestatus", "aggregate": "union"},
+                {"name": "n", "value": ".", "aggregate": "count"},
+            ],
+            "sort": "l_returnflag",
+        },
+        tables,
+    )
+    return out.withColumn("statuses", F.array_join("statuses", ","))
+
+
+@register(
+    "agg_bool_and_or",
+    doc="boolean all/any aggregates (A13).",
+    oracle="""
+SELECT
+  event_type,
+  bool_and(value > 10) AS all_gt10,
+  bool_or(value > 190) AS any_gt190,
+  count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    return run_jx(
+        spark,
+        {
+            "from": "events",
+            "groupby": "event_type",
+            "select": [
+                {"name": "all_gt10", "value": {"gt": ["value", 10]}, "aggregate": "and"},
+                {"name": "any_gt190", "value": {"gt": ["value", 190]}, "aggregate": "or"},
+                {"name": "n", "value": ".", "aggregate": "count"},
+            ],
+            "sort": "event_type",
+        },
+        tables,
+    )
+
+
+@register(
+    "agg_value_one",
+    doc="`value`/`one` aggregate (A11): the single value per group "
+    "(orders have exactly one status per key in this slice).",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders,
+       min(o_orderstatus) AS any_status
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+LIMIT 200
+""",
+)
+def agg_value_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("orders",))
+    return run_jx(
+        spark,
+        {
+            "from": "orders",
+            "groupby": "o_custkey",
+            "select": [
+                {"name": "n_orders", "value": ".", "aggregate": "count"},
+                {"name": "any_status", "value": "o_orderstatus", "aggregate": "min"},
+            ],
+            "sort": "o_custkey",
+            "limit": 200,
+        },
+        tables,
+    )

@@ -1,0 +1,256 @@
+"""Oracle-paired dense-cube `edges` queries (SURVEY SS2.5 D1-D9).
+
+The oracles rebuild the dense frame in SQL (domain CTE LEFT JOIN groups,
+UNION ALL null part) -- i.e. they re-state the cube CONTRACT, while the
+engine builds it with one hash-agg shuffle + broadcast densify
+(operators/edges.py docstring has the scale argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from testlog_etl_spark.query import run_jx
+from testlog_etl_spark.suite import register
+from testlog_etl_spark.tables import load_tables
+
+R = 4
+
+
+@register(
+    "edges_set_dense",
+    doc="D2 explicit set domain + D7 null part + D8 zero-fill: event_type "
+    "cube where 'error' rows fall in the null part and absent parts show "
+    "count 0.",
+    oracle=f"""
+WITH dom(event_type) AS (VALUES ('click'), ('view'), ('purchase'), ('signup')),
+g AS (
+  SELECT event_type, count(*) AS n, ROUND(SUM(value), {R}) AS sum_value
+  FROM events GROUP BY event_type
+)
+SELECT d.event_type, coalesce(g.n, 0) AS n, g.sum_value
+FROM dom d LEFT JOIN g USING (event_type)
+UNION ALL
+SELECT NULL AS event_type,
+       (SELECT count(*) FROM events WHERE event_type NOT IN ('click','view','purchase','signup')) AS n,
+       (SELECT ROUND(SUM(value), {R}) FROM events
+         WHERE event_type NOT IN ('click','view','purchase','signup')) AS sum_value
+ORDER BY event_type NULLS LAST
+""",
+    bench=True,
+)
+def edges_set_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    out = run_jx(
+        spark,
+        {
+            "from": "events",
+            "edges": [
+                {
+                    "name": "event_type",
+                    "value": "event_type",
+                    "domain": {"type": "set", "partitions": ["click", "view", "purchase", "signup"]},
+                }
+            ],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "sum_value", "value": "value", "aggregate": "sum"},
+            ],
+        },
+        tables,
+    )
+    return out.withColumn("sum_value", F.round("sum_value", R))
+
+
+@register(
+    "edges_time_dense",
+    doc="D3 TimeDomain: dense daily buckets over [2024-01-01, 2024-01-08); "
+    "out-of-range rows collect in the null part; empty days exist with "
+    "count 0.",
+    oracle=f"""
+WITH dom AS (
+  SELECT unnest(range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08', INTERVAL 1 DAY)) AS day
+),
+g AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n, ROUND(AVG(value), {R}) AS avg_value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+  GROUP BY 1
+)
+SELECT d.day, coalesce(g.n, 0) AS n, g.avg_value
+FROM dom d LEFT JOIN g USING (day)
+UNION ALL
+SELECT NULL AS day, count(*) AS n, ROUND(AVG(value), {R}) AS avg_value
+FROM events WHERE ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2024-01-08'
+ORDER BY day NULLS LAST
+""",
+)
+def edges_time_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    out = run_jx(
+        spark,
+        {
+            "from": "events",
+            "edges": [
+                {
+                    "name": "day",
+                    "value": "ts",
+                    "domain": {"type": "time", "min": "2024-01-01", "max": "2024-01-08", "interval": "day"},
+                }
+            ],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "avg_value", "value": "value", "aggregate": "average"},
+            ],
+        },
+        tables,
+    )
+    return out.withColumn("avg_value", F.round("avg_value", R))
+
+
+@register(
+    "edges_month_calendar",
+    doc="D3 with calendar-month interval (E24/D3 hard spot: add_months, "
+    "not fixed seconds): order volume per month of 1995H1.",
+    oracle=f"""
+WITH dom AS (
+  SELECT unnest(range(TIMESTAMP '1995-01-01', TIMESTAMP '1995-07-01', INTERVAL 1 MONTH)) AS month
+),
+g AS (
+  SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+         ROUND(SUM(o_totalprice), {R}) AS total
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+  GROUP BY 1
+)
+SELECT d.month, coalesce(g.n, 0) AS n, g.total
+FROM dom d LEFT JOIN g USING (month)
+UNION ALL
+SELECT NULL AS month, count(*) AS n, ROUND(SUM(o_totalprice), {R}) AS total
+FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01' OR o_orderdate >= TIMESTAMP '1995-07-01'
+ORDER BY month NULLS LAST
+""",
+)
+def edges_month_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("orders",))
+    out = run_jx(
+        spark,
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "month",
+                    "value": "o_orderdate",
+                    "domain": {"type": "time", "min": "1995-01-01", "max": "1995-07-01", "interval": "month"},
+                }
+            ],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "total", "value": "o_totalprice", "aggregate": "sum"},
+            ],
+        },
+        tables,
+    )
+    return out.withColumn("total", F.round("total", R))
+
+
+@register(
+    "edges_range_fanout",
+    doc="D6 range-edge fan-out: each event spans [value, value+30) and "
+    "lands in every overlapped bucket of 20 across [0, 200). The oracle's "
+    "domain-x-overlap LEFT JOIN is the semantic spec; the engine does "
+    "explode(sequence(...)) -> ONE aggregate, no O(rows x domain) join.",
+    oracle="""
+WITH dom AS (SELECT unnest(range(0, 200, 20)) AS bucket)
+SELECT CAST(d.bucket AS DOUBLE) AS bucket, count(e.event_id) AS n
+FROM dom d
+LEFT JOIN events e
+  ON d.bucket < e.value + 30 AND d.bucket + 20 > e.value
+GROUP BY d.bucket
+ORDER BY bucket
+""",
+)
+def edges_range_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    return run_jx(
+        spark,
+        {
+            "from": "events",
+            "edges": [
+                {
+                    "name": "bucket",
+                    "value": {"range": {"min": "value", "max": {"add": ["value", {"literal": 30}]}}},
+                    "domain": {"type": "range", "min": 0, "max": 200, "interval": 20},
+                    "allowNulls": False,
+                }
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        },
+        tables,
+    )
+
+
+@register(
+    "edges_default_limit",
+    doc="D1/D9 default domain discovered from data with a part limit; "
+    "excluded parts are dropped, the null part stays (empty here).",
+    oracle="""
+WITH dom AS (SELECT DISTINCT lang FROM documents ORDER BY lang LIMIT 5),
+g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+SELECT d.lang, coalesce(g.n, 0) AS n FROM dom d LEFT JOIN g USING (lang)
+UNION ALL
+SELECT NULL AS lang, 0 AS n
+ORDER BY lang NULLS LAST
+""",
+)
+def edges_default_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("documents",))
+    return run_jx(
+        spark,
+        {
+            "from": "documents",
+            "edges": [{"name": "lang", "value": "lang", "limit": 5}],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        },
+        tables,
+    )
+
+
+@register(
+    "edges_two_dims",
+    doc="two-edge dense cube: |domain1| x |domain2| cells incl. zero cells "
+    "-- the reference's signature datacube shape.",
+    oracle=f"""
+WITH dom1(l_returnflag) AS (VALUES ('A'), ('N'), ('R')),
+dom2(l_linestatus) AS (VALUES ('F'), ('O')),
+g AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS n, ROUND(SUM(l_quantity), {R}) AS sum_qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT d1.l_returnflag, d2.l_linestatus, coalesce(g.n, 0) AS n, g.sum_qty
+FROM dom1 d1 CROSS JOIN dom2 d2
+LEFT JOIN g ON g.l_returnflag = d1.l_returnflag AND g.l_linestatus = d2.l_linestatus
+ORDER BY d1.l_returnflag, d2.l_linestatus
+""",
+)
+def edges_two_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("lineitem",))
+    out = run_jx(
+        spark,
+        {
+            "from": "lineitem",
+            "edges": [
+                {"name": "l_returnflag", "value": "l_returnflag",
+                 "domain": {"type": "set", "partitions": ["A", "N", "R"]}, "allowNulls": False},
+                {"name": "l_linestatus", "value": "l_linestatus",
+                 "domain": {"type": "set", "partitions": ["F", "O"]}, "allowNulls": False},
+            ],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "sum_qty", "value": "l_quantity", "aggregate": "sum"},
+            ],
+        },
+        tables,
+    )
+    return out.withColumn("sum_qty", F.round("sum_qty", R))

@@ -55,6 +55,10 @@ def get_spark(app_name: str = "spark-jx", shuffle_partitions: int | None = None)
         # for the dims here (region/nation/supplier); explicit broadcast()
         # hints are still used at join sites so intent survives tuning.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects outright; read it as nanos-since-epoch long and convert
+        # in tables.load_table (cast survives pushdown on other columns).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

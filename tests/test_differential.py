@@ -35,7 +35,9 @@ def _norm(v):
 
 def _rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # key=repr: mixed None/float cells aren't orderable directly; both
+    # sides get the same total order, which is all the set-compare needs
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
 
 
 def _cases():

@@ -1,0 +1,241 @@
+"""Engine-level tests for the JX query runner (semantics; the driver-style
+oracle parity lives in test_differential.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from testlog_etl_spark.query import format_cube, format_list, format_table, run_jx
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        ("alice", "eng", 10.0, "2024-01-01 10:00:00"),
+        ("bob", "eng", 20.0, "2024-01-02 10:00:00"),
+        ("carol", "ops", None, "2024-01-02 12:00:00"),
+        ("dave", "", 40.0, "2024-01-03 10:00:00"),
+        ("erin", None, 50.0, "2024-01-05 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "name string, dept string, score double, ts string")
+    return {"people": df.withColumn("ts", df.ts.cast("timestamp"))}
+
+
+def test_setop_where_select_sort_limit(spark, people):
+    out = run_jx(
+        spark,
+        {
+            "from": "people",
+            "where": {"exists": "score"},
+            "select": ["name", {"name": "double_score", "value": {"mult": ["score", 2]}}],
+            "sort": [{"value": "score", "sort": -1}],
+            "limit": 2,
+        },
+        people,
+    )
+    assert [tuple(r) for r in out.collect()] == [("erin", 100.0), ("dave", 80.0)]
+
+
+def test_groupby_aggregates(spark, people):
+    out = run_jx(
+        spark,
+        {
+            "from": "people",
+            "groupby": "dept",
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "total", "value": "score", "aggregate": "sum"},
+                {"name": "names", "value": "name", "aggregate": "union"},
+            ],
+            "sort": "dept",
+        },
+        people,
+    )
+    rows = [tuple(r) for r in out.collect()]
+    # JX: missing groups by missing; '' dept and NULL dept are distinct keys
+    # here (groupby uses raw values) -- reference nuance documented
+    assert rows[0][0] is None or rows[0][0] == ""  # nulls sort first
+    eng = [r for r in rows if r[0] == "eng"][0]
+    assert eng[1] == 2 and eng[2] == 30.0 and eng[3] == ["alice", "bob"]
+
+
+def test_whole_table_agg_and_stats(spark, people):
+    out = run_jx(
+        spark,
+        {
+            "from": "people",
+            "select": [
+                {"name": "st", "value": "score", "aggregate": "stats"},
+                {"name": "card", "value": "dept", "aggregate": "cardinality"},
+            ],
+        },
+        people,
+    )
+    row = out.collect()[0]
+    assert row["st"]["count"] == 4 and row["st"]["min"] == 10.0 and row["st"]["max"] == 50.0
+    # '' is missing -> distinct depts are {eng, ops}
+    assert row["card"] == 2
+
+
+def test_edges_set_domain_dense(spark, people):
+    out = run_jx(
+        spark,
+        {
+            "from": "people",
+            "edges": [
+                {
+                    "name": "d",
+                    "value": "dept",
+                    "domain": {"type": "set", "partitions": ["eng", "ops", "hr"]},
+                }
+            ],
+            "select": {"name": "n", "value": ".", "aggregate": "count"},
+        },
+        people,
+    )
+    got = {r["d"]: r["n"] for r in out.collect()}
+    # hr exists densely with 0; null part collects '', None, non-domain
+    assert got == {"eng": 2, "ops": 1, "hr": 0, None: 2}
+
+
+def test_edges_time_domain(spark, people):
+    out = run_jx(
+        spark,
+        {
+            "from": "people",
+            "edges": [
+                {
+                    "name": "day",
+                    "value": "ts",
+                    "domain": {
+                        "type": "time",
+                        "min": "2024-01-01",
+                        "max": "2024-01-05",
+                        "interval": "day",
+                    },
+                }
+            ],
+            "select": {"name": "n", "value": ".", "aggregate": "count"},
+        },
+        people,
+    )
+    rows = out.collect()
+    by_day = {str(r["day"])[:10] if r["day"] else None: r["n"] for r in rows}
+    # 4 dense days; Jan 5 row is outside [min,max) -> null part
+    assert by_day == {
+        "2024-01-01": 1,
+        "2024-01-02": 2,
+        "2024-01-03": 1,
+        "2024-01-04": 0,
+        None: 1,
+    }
+
+
+def test_range_edge_fanout(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 25.0), (2, 10.0, 20.0), (3, 95.0, 130.0)],
+        "id long, lo double, hi double",
+    )
+    out = run_jx(
+        spark,
+        {
+            "from": "t",
+            "edges": [
+                {
+                    "name": "bucket",
+                    "value": {"range": {"min": "lo", "max": "hi"}},
+                    "domain": {"type": "range", "min": 0, "max": 100, "interval": 10},
+                    "allowNulls": False,
+                }
+            ],
+            "select": {"name": "n", "value": ".", "aggregate": "count"},
+        },
+        {"t": df},
+    )
+    got = {r["bucket"]: r["n"] for r in out.collect()}
+    assert len(got) == 10
+    # row1 spans [0,30), row2 [10,20), row3 [90,100) clipped
+    assert got[0.0] == 1 and got[10.0] == 2 and got[20.0] == 1 and got[90.0] == 1 and got[30.0] == 0
+
+
+def test_window_running_sum_and_rownum(spark, people):
+    out = run_jx(
+        spark,
+        {
+            "from": "people",
+            "select": ["name", "dept", "score"],
+            "window": [
+                {
+                    "name": "running",
+                    "value": "score",
+                    "aggregate": "sum",
+                    "edges": ["dept"],
+                    "sort": "name",
+                },
+                {"name": "rn", "aggregate": "rownum", "edges": ["dept"], "sort": "name"},
+            ],
+            "sort": ["dept", "name"],
+        },
+        people,
+    )
+    eng = [(r["name"], r["running"], r["rn"]) for r in out.collect() if r["dept"] == "eng"]
+    assert eng == [("alice", 10.0, 1), ("bob", 30.0, 2)]
+
+
+def test_window_frame_median_and_lag(spark, people):
+    out = run_jx(
+        spark,
+        {
+            "from": "people",
+            "select": ["name", "score"],
+            "window": [
+                {
+                    "name": "med3",
+                    "value": "score",
+                    "aggregate": "median",
+                    "sort": "name",
+                    "range": {"min": -2, "max": 0},
+                },
+                {"name": "prev", "value": "score", "aggregate": "lag", "sort": "name"},
+            ],
+            "sort": "name",
+        },
+        people,
+    )
+    rows = {r["name"]: (r["med3"], r["prev"]) for r in out.collect()}
+    assert rows["carol"] == (15.0, 20.0)  # median(10,20,null)=15; lag=bob's 20
+    assert rows["erin"][0] == 45.0  # median(null,40,50)
+
+
+def test_deep_from_explodes(spark):
+    df = spark.createDataFrame(
+        [("t1", [{"name": "s1", "ok": True}, {"name": "s2", "ok": False}]), ("t2", None)],
+        "test string, subtests array<struct<name string, ok boolean>>",
+    )
+    out = run_jx(
+        spark,
+        {
+            "from": "results.subtests",
+            "select": ["test", {"name": "sub", "value": "subtests.name"}, "subtests.ok"],
+            "sort": ["test", "sub"],
+        },
+        {"results": df},
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [("t1", "s1", True), ("t1", "s2", False), ("t2", None, None)]
+
+
+def test_formats(spark, people):
+    q = {
+        "from": "people",
+        "edges": [{"name": "d", "value": "dept", "domain": {"type": "set", "partitions": ["eng", "ops"]}}],
+        "select": {"name": "n", "value": ".", "aggregate": "count"},
+    }
+    df = run_jx(spark, q, people)
+    cube = format_cube(df, ["d"])
+    assert cube["edges"][0]["domain"]["partitions"] == ["eng", "ops", None]
+    assert cube["data"]["n"] == [2, 1, 2]
+    tbl = format_table(df)
+    assert tbl["header"] == ["d", "n"]
+    lst = format_list(df)
+    assert {r["d"]: r["n"] for r in lst} == {"eng": 2, "ops": 1, None: 2}
