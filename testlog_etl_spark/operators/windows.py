@@ -81,7 +81,9 @@ def apply_window(df: DataFrame, clause: dict, compiler: JXCompiler) -> DataFrame
             raise ValueError(f"window aggregate {agg!r} requires `sort`")
         return df.withColumn(name, _RANKING[agg]().over(w))
 
-    value = compiler.compile(clause.get("value", "."))
+    raw = clause.get("value", ".")
+    # count over the whole row: "." / "*" means every row contributes
+    value = F.lit(1) if raw in (".", "*") else compiler.compile(raw)
     if clause.get("where") is not None:
         # W9: rows failing `where` contribute nothing to the aggregate
         value = F.when(compiler.predicate(clause["where"]), value)

@@ -1,0 +1,241 @@
+"""Oracle-paired `window` clause queries (SURVEY SS2.6 W1-W10) through the
+JX runner.
+
+Determinism notes (the driver hashes values order-insensitively, but
+window VALUES depend on intra-partition order):
+
+- every ordered window sorts by (ts, event_id) -- event_id is unique, so
+  running/moving/positional values are reproducible on both engines;
+- ranking-with-ties windows sort by the tied value alone: `rank` /
+  `dense_rank` are functions of the VALUE, not the arrival order, so ties
+  are safe there (row_number is only used under a unique sort);
+- frame median/percentile is exact linear interpolation on both sides
+  (Spark: sorted collect_list + interpolate, operators/windows.py W5;
+  DuckDB: median/quantile_cont over the frame).
+
+Scale: each distinct (partitionBy, orderBy) pair costs one shuffle; the
+engine emits clauses in query order and Catalyst reuses the exchange when
+consecutive clauses share partitioning (verified in test_plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from testlog_etl_spark.query import run_jx
+from testlog_etl_spark.suite import register
+from testlog_etl_spark.tables import load_tables
+
+R = 4
+
+
+@register(
+    "win_running_sum",
+    doc="W1 partition+sort running frame, plus W9 window `where`: rows "
+    "failing the predicate stay in the stream but add nothing.",
+    oracle=f"""
+SELECT event_id,
+  ROUND(SUM(value) OVER w, {R}) AS running,
+  ROUND(SUM(CASE WHEN value > 100 THEN value END) OVER w, {R}) AS running_big
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    bench=True,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    out = run_jx(
+        spark,
+        {
+            "from": "events",
+            "window": [
+                {
+                    "name": "running",
+                    "value": "value",
+                    "aggregate": "sum",
+                    "edges": ["event_type"],
+                    "sort": ["ts", "event_id"],
+                },
+                {
+                    "name": "running_big",
+                    "value": "value",
+                    "aggregate": "sum",
+                    "edges": ["event_type"],
+                    "sort": ["ts", "event_id"],
+                    "where": {"gt": ["value", {"literal": 100}]},
+                },
+            ],
+            "sort": "event_id",
+        },
+        tables,
+    )
+    return out.select("event_id", F.round("running", R).alias("running"), F.round("running_big", R).alias("running_big"))
+
+
+@register(
+    "win_moving_frame",
+    doc="W2 rows-based frame {min:-6,max:0}: moving avg/min over the "
+    "trailing 7 rows per event_type.",
+    oracle=f"""
+SELECT event_id,
+  ROUND(AVG(value) OVER w, {R}) AS mov_avg,
+  ROUND(MIN(value) OVER w, {R}) AS mov_min
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+)
+def win_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    base = {"edges": ["event_type"], "sort": ["ts", "event_id"], "range": {"min": -6, "max": 0}}
+    out = run_jx(
+        spark,
+        {
+            "from": "events",
+            "window": [
+                {"name": "mov_avg", "value": "value", "aggregate": "average", **base},
+                {"name": "mov_min", "value": "value", "aggregate": "min", **base},
+            ],
+            "sort": "event_id",
+        },
+        tables,
+    )
+    return out.select("event_id", F.round("mov_avg", R).alias("mov_avg"), F.round("mov_min", R).alias("mov_min"))
+
+
+@register(
+    "win_ranking",
+    doc="W7 rownum under a unique sort; W10 rank/dense_rank under a "
+    "tie-heavy sort (rank is a function of the value, so ties are "
+    "deterministic).",
+    oracle="""
+SELECT event_id,
+  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rownum,
+  RANK() OVER (PARTITION BY event_type ORDER BY user_id) AS rnk,
+  DENSE_RANK() OVER (PARTITION BY event_type ORDER BY user_id) AS drnk
+FROM events
+ORDER BY event_id
+""",
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    out = run_jx(
+        spark,
+        {
+            "from": "events",
+            "window": [
+                {"name": "rownum", "aggregate": "rownum", "edges": ["event_type"], "sort": ["ts", "event_id"]},
+                {"name": "rnk", "aggregate": "rank", "edges": ["event_type"], "sort": ["user_id"]},
+                {"name": "drnk", "aggregate": "dense_rank", "edges": ["event_type"], "sort": ["user_id"]},
+            ],
+            "sort": "event_id",
+        },
+        tables,
+    )
+    return out.select("event_id", "rownum", "rnk", "drnk")
+
+
+@register(
+    "win_lag_lead",
+    doc="W8 / E28 rows[i] neighbor access: per-user previous/next value "
+    "and the step delta.",
+    oracle=f"""
+SELECT event_id,
+  ROUND(LAG(value, 1) OVER w, {R}) AS prev_value,
+  ROUND(LEAD(value, 1) OVER w, {R}) AS next_value,
+  ROUND(value - LAG(value, 1) OVER w, {R}) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    out = run_jx(
+        spark,
+        {
+            "from": "events",
+            "window": [
+                {"name": "prev_value", "value": "value", "aggregate": "lag", "edges": ["user_id"], "sort": ["ts", "event_id"]},
+                {"name": "next_value", "value": "value", "aggregate": "lead", "edges": ["user_id"], "sort": ["ts", "event_id"]},
+            ],
+            "sort": "event_id",
+        },
+        tables,
+    )
+    return out.select(
+        "event_id",
+        F.round("prev_value", R).alias("prev_value"),
+        F.round("next_value", R).alias("next_value"),
+        F.round(F.col("value") - F.col("prev_value"), R).alias("delta"),
+    )
+
+
+@register(
+    "win_frame_median",
+    doc="W5 hard spot: exact median + p90 over a sliding 10-row frame. "
+    "Engine does sorted collect_list + linear interpolation (JVM array "
+    "intrinsics); DuckDB median/quantile_cont interpolate identically.",
+    oracle=f"""
+SELECT event_id,
+  ROUND(median(value) OVER w, {R}) AS med10,
+  ROUND(quantile_cont(value, 0.9) OVER w, {R}) AS p90_10
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+)
+def win_frame_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    base = {"edges": ["event_type"], "sort": ["ts", "event_id"], "range": {"min": -9, "max": 0}}
+    out = run_jx(
+        spark,
+        {
+            "from": "events",
+            "window": [
+                {"name": "med10", "value": "value", "aggregate": "median", **base},
+                {"name": "p90_10", "value": "value", "aggregate": "percentile", "percentile": 0.9, **base},
+            ],
+            "sort": "event_id",
+        },
+        tables,
+    )
+    return out.select("event_id", F.round("med10", R).alias("med10"), F.round("p90_10", R).alias("p90_10"))
+
+
+@register(
+    "win_partition_share",
+    doc="W3 whole-partition aggregate (no sort, no range): each row's "
+    "share of its event_type's total.",
+    oracle=f"""
+SELECT event_id,
+  ROUND(value / SUM(value) OVER (PARTITION BY event_type), 6) AS share,
+  COUNT(*) OVER (PARTITION BY event_type) AS part_n
+FROM events
+ORDER BY event_id
+""",
+)
+def win_partition_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    out = run_jx(
+        spark,
+        {
+            "from": "events",
+            "window": [
+                {"name": "part_total", "value": "value", "aggregate": "sum", "edges": ["event_type"]},
+                {"name": "part_n", "value": ".", "aggregate": "count", "edges": ["event_type"]},
+            ],
+            "sort": "event_id",
+        },
+        tables,
+    )
+    return out.select(
+        "event_id",
+        F.round(F.col("value") / F.col("part_total"), 6).alias("share"),
+        "part_n",
+    )
