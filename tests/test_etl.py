@@ -1,0 +1,90 @@
+"""Golden-file tests for the ETL transforms (SURVEY SS2.8, SS5): run each
+transform on its deterministic fixture and assert exact expected values,
+mirroring the reference's tests/resources golden-doc strategy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from testlog_etl_spark.etl import fixtures
+from testlog_etl_spark.etl.lineage import deterministic_id
+from testlog_etl_spark.etl.mozlog import suite_summaries
+from testlog_etl_spark.etl.mozlog import test_results as mozlog_results  # alias: bare name would be pytest-collected
+from testlog_etl_spark.etl.perfherder import extract_perf
+from testlog_etl_spark.etl.sink import write_idempotent
+from testlog_etl_spark.etl.text_log import parse_steps
+
+
+def test_mozlog_test_results(spark):
+    res = mozlog_results(fixtures.mozlog_lines(spark, n_suites=2, n_tests=10))
+    rows = {(r["suite_key"], r["test"]): r for r in res.collect()}
+    assert len(rows) == 20  # 2 suites x 10 tests
+
+    # test 3: all subtests pass, end OK
+    r = rows[("suite0", "dom/test_003.html")]
+    assert r["subtest_count"] == 3 and r["subtest_fail"] == 0
+    assert r["status"] == "OK" and r["ok"] is True
+    assert r["duration"] == 8.0
+
+    # test 0: i%7==0 -> one unexpected FAIL subtest (end OK at i=0)
+    r = rows[("suite1", "dom/test_000.html")]
+    assert r["subtest_fail"] == 1 and r["ok"] is False
+
+    # test 5: i%5==0, i>0 -> unexpected ERROR end status
+    r = rows[("suite0", "dom/test_005.html")]
+    assert r["status"] == "ERROR" and r["expected"] == "OK" and r["ok"] is False
+
+
+def test_mozlog_suite_summaries(spark):
+    res = suite_summaries(mozlog_results(fixtures.mozlog_lines(spark, n_suites=1, n_tests=10)))
+    [s] = res.collect()
+    # unexpected: subtest-fail tests {0,7} plus bad-end tests {5} -> 3
+    assert s["test_count"] == 10
+    assert s["unexpected_count"] == 3
+    assert s["subtest_count"] == 30
+    assert s["total_test_seconds"] == 80.0
+
+
+def test_text_log_steps(spark):
+    res = parse_steps(fixtures.text_log_lines(spark, n_logs=2, n_steps=4))
+    rows = {(r["log_key"], r["step"]): r for r in res.collect()}
+    assert len(rows) == 8
+    ok = rows[("log0", "step_0 build")]
+    assert ok["result_code"] == 0 and ok["ok"] is True and ok["elapsed"] == 30
+    assert ok["start_time"] is not None and ok["end_time"] is not None
+    bad = rows[("log1", "step_3 test")]
+    assert bad["result_code"] == 1 and bad["ok"] is False
+
+
+def test_perfherder_extract(spark):
+    res = extract_perf(fixtures.perfherder_lines(spark, n_logs=2))
+    rows = {(r["log_key"], r["subtest"]): r for r in res.collect()}
+    assert len(rows) == 6  # 2 logs x 3 subtests
+    r = rows[("perf1", "sub_2")]
+    assert r["framework"] == "talos" and r["suite"] == "suite_1"
+    assert r["replicate_count"] == 4
+    # replicates = 31 + (-1, 0, 1, 2) -> mean 31.5, min 30, max 33
+    assert r["replicate_mean"] == 31.5
+    assert (r["replicate_min"], r["replicate_max"]) == (30.0, 33.0)
+
+
+def test_idempotent_sink_rerun(spark, tmp_path):
+    """T9: re-running the same batch yields the same rows (exactly-once
+    effect), and duplicate ids within a batch collapse."""
+    path = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (2, "a", 20.0), (3, "b", 30.0)],
+        ["k", "part", "v"],
+    )
+    write_idempotent(df, path, id_cols=["k", "part"], partition_by=["part"])
+    write_idempotent(df, path, id_cols=["k", "part"], partition_by=["part"])  # re-run
+    out = spark.read.parquet(path)
+    assert out.count() == 3
+    assert out.select(F.count_distinct("_id")).first()[0] == 3
+
+
+def test_deterministic_id_stability(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["a", "b"])
+    one = df.select(deterministic_id("a", "b").alias("i")).collect()
+    two = df.repartition(8).select(deterministic_id("a", "b").alias("i")).collect()
+    assert sorted(r["i"] for r in one) == sorted(r["i"] for r in two)
