@@ -1,0 +1,106 @@
+"""Streaming jobs over the driver's tables (SURVEY SS2.9).
+
+Each job reads a parquet table as a file-source stream (the sandbox
+stand-in for the reference's SQS+S3 block stream -- S2/S3), applies the
+same DataFrame transform the batch path uses, and commits through either
+a memory sink (bounded, query-shaped results) or `foreachBatch` +
+idempotent write (the exactly-once-effect pipeline sink, T9).
+
+Determinism: `run_to_completion` processes every available file then
+stops, so results equal the batch query over the same input -- which is
+exactly how each job's DuckDB oracle is phrased.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from testlog_etl_spark.tables import load_table, table_path
+
+# scratch area inside the repo (sandbox: nothing outside /root/repo)
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream with the batch schema (streams cannot infer).
+    The nanos->micros ts fix from tables.load_table is re-applied."""
+    batch = load_table(spark, sf_dir, name)
+    raw_schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    # trailing * turns the single-file path into a glob: the file source
+    # requires a directory/glob (basePath must be a directory), and the
+    # glob's parent becomes the basePath
+    df = spark.readStream.schema(raw_schema).parquet(table_path(sf_dir, name) + "*")
+    if name == "events" and dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    assert df.schema == batch.schema
+    return df
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
+    """Drain all available input into a memory sink, stop, return the
+    result table (bounded by construction: aggregated output)."""
+    spark = stream_df.sparkSession
+    # no checkpoint: a persisted one would mark the input files done and
+    # yield an empty table on re-run; memory-sink results are query-shaped
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-type counts -- the reference's rollup-by-key shape."""
+    ev = stream_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def hourly_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window with a watermark (late-data bound).
+    With the full file drained, complete-mode output equals the batch
+    date_trunc aggregate."""
+    ev = stream_table(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n")
+    )
+
+
+def foreach_batch_idempotent(spark: SparkSession, sf_dir: str, out_path: str, query_name: str) -> None:
+    """The reference's pipeline sink: each micro-batch is transformed and
+    written via deterministic-id overwrite, so redelivery/re-run leaves
+    the sink unchanged (SS2.9 exactly-once effect)."""
+    from testlog_etl_spark.etl.sink import write_idempotent
+
+    import shutil
+
+    ev = stream_table(spark, sf_dir, "events")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.withColumn("day", F.to_date("ts"))
+        write_idempotent(docs, out_path, id_cols=["event_id"], partition_by=["day"])
+
+    # fresh checkpoint so a re-run REPROCESSES the input and exercises the
+    # idempotent-overwrite path (in production the checkpoint stays and is
+    # the SQS-commit analog; here re-run determinism is the contract)
+    ckpt = os.path.join(SCRATCH, "ckpt", query_name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = ev.writeStream.foreachBatch(sink).option("checkpointLocation", ckpt).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
