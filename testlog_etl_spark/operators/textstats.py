@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+token counting, quality scoring, language ID, fingerprinting.
+
+All pure Column expressions (JVM codegen, no UDFs): at 100 TB these run
+inside the scan's WholeStageCodegen with zero shuffles; any aggregation
+on top is the caller's choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# word-ish tokens OR single punctuation -- the BPE-ish pre-tokenizer split
+# (GPT-2-style contractions omitted; this is the regex family, not a BPE)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "pour", "dans", "avec"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu"],
+    "es": ["el", "la", "y", "de", "un", "una", "es", "para", "en", "con"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (empty-string-free)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    no_punct = F.regexp_replace(col, r"[^\w\s]", "")
+    return (F.length(col) - F.length(no_punct)) / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_features(col: Column) -> Column:
+    """The quality-scoring feature struct (length / punctuation /
+    stopword signals a filter stage thresholds on)."""
+    return F.struct(
+        F.length(col).alias("n_chars"),
+        token_count(col).alias("n_tokens"),
+        mean_token_len(col).alias("mean_token_len"),
+        stopword_ratio(col).alias("stopword_ratio"),
+        punct_ratio(col).alias("punct_ratio"),
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Scalar [0,1] quality score: penalize too-short docs, missing
+    stopwords (gibberish), extreme punctuation, weird token lengths."""
+    q = quality_features(col)
+    len_ok = F.least(q["n_tokens"] / F.lit(20.0), F.lit(1.0))
+    stop_ok = F.least(q["stopword_ratio"] / F.lit(0.05), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(q["punct_ratio"] * F.lit(4.0), F.lit(1.0))
+    shape_ok = F.when((q["mean_token_len"] >= 2) & (q["mean_token_len"] <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round((len_ok + stop_ok + punct_ok + shape_ok) / F.lit(4.0), 6)
+
+
+def lang_scores(col: Column) -> Column:
+    """Per-language stopword-hit ratios as a struct (the n-gram
+    heuristic's evidence vector)."""
+    toks = tokens(F.lower(col))
+    n = F.greatest(F.size(toks), F.lit(1))
+    # NOTE: the membership lambda must be built by a factory -- a default
+    # arg (lambda t, words=words: ...) would make it a TWO-parameter
+    # lambda, which F.filter binds as (element, index), silently turning
+    # `words` into the bigint index variable
+    def member_of(words):
+        return lambda t: t.isin(words)
+
+    return F.struct(
+        *[
+            (F.size(F.filter(toks, member_of(words))) / n).alias(lang)
+            for lang, words in STOPWORDS.items()
+        ]
+    )
+
+
+def lang_id(col: Column, min_score: float = 0.03) -> Column:
+    """argmax language, 'und' when no language clears the floor.
+    Deterministic tie-break: dict order of STOPWORDS."""
+    s = lang_scores(col)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[s[lang] for lang in langs])
+    out = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties
+        out = F.when(s[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best >= min_score, out).otherwise(F.lit("und"))
+
+
+def normalized_text(col: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, strip."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint(col: Column) -> Column:
+    """64-bit document fingerprint over normalized text (exact-dup key)."""
+    return F.xxhash64(normalized_text(col))
+
+
+def rolling_fingerprints(col: Column, k: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style selection: hash every k-char gram of the
+    normalized text, keep the `keep` smallest hashes (a stable sketch --
+    near-identical docs share most selected grams)."""
+    norm = normalized_text(col)
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+    )
+    return F.slice(F.array_sort(grams), 1, keep)

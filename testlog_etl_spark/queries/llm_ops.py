@@ -1,0 +1,323 @@
+"""Oracle-paired LLM-training-data operators (the north star set):
+dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash / embedding
+cosine), similarity search (brute-force + IVF), text analysis
+(quality, lang-ID, token counts), multimodal plumbing.
+
+Oracle strategy: the DuckDB twin states the SEMANTIC CONTRACT (exact
+pairwise O(n^2) SQL), while the Spark side uses the scalable algorithm
+(LSH banding, IVF probes). Where the algorithm is intrinsically
+approximate-with-engine-specific-hashes (SimHash bits, IVF recall),
+there is no SQL twin; tests/test_llm_ops.py pins behavior instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from testlog_etl_spark.operators import multimodal, neardup, similarity, textstats
+from testlog_etl_spark.suite import register
+from testlog_etl_spark.tables import load_tables
+
+R = 4
+
+# DuckDB-side distinct 3-word shingles (list comprehension over tokens)
+_DUCK_SHINGLES = "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
+
+
+@register(
+    "dedup_exact",
+    doc="exact dedup tier: normalized-text fingerprint; unique counts "
+    "per source (xxhash64 fingerprint == distinct normalized text, "
+    "collision-free at this size).",
+    oracle="""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_unique
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(textstats.fingerprint(F.col("text"))).alias("n_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    doc="MinHash+LSH near-dup: 128 hashes, 64 bands x 2 rows, exact "
+    "Jaccard verify at 0.5 -- the oracle is the O(n^2) exact pair scan "
+    "the LSH replaces (miss prob at j>=0.8: ~4e-29).",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.sh,b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh))), {R}) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh,b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh))) >= 0.5
+ORDER BY id_a, id_b
+""",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = neardup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard")).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    doc="exact n-gram Jaccard tier (the verify stage as its own "
+    "operator): brute-force pair scan, same contract as the oracle.",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.sh,b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh))), {R}) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh,b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh))) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = docs.select("doc_id", neardup.word_shingles(F.col("text")).alias("sh"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = neardup.jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,
+    doc="SimHash near-dup tier: 64-bit signatures, pigeonhole-blocked "
+    "Hamming<=3 pairs. Engine-specific bit patterns -> no SQL twin; "
+    "invariants pinned in tests/test_llm_ops.py.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return neardup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_embedding_cosine",
+    doc="embedding-cosine near-dup tier: exact pair scan at tau=0.45 "
+    "(double math on both engines).",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), {R}) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+ORDER BY id_a, id_b
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", similarity.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.45)
+        .select("id_a", "id_b", F.round("cos", R).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "sim_topk_cosine",
+    doc="similarity-search baseline: exact brute-force cosine top-5 for "
+    "20 query vectors (broadcast queries over one corpus scan).",
+    oracle=f"""
+SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), {R}) AS cos,
+       rank
+FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.vec_id
+         ) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+) r
+JOIN embeddings q ON q.vec_id = r.qid
+JOIN embeddings c ON c.vec_id = r.cid
+WHERE rank <= 5
+ORDER BY q_id, rank
+""",
+    bench=True,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = similarity.topk_cosine(queries, corpus, k=5)
+    return out.select("q_id", "c_id", F.round("cosine", R).alias("cos"), "rank").orderBy("q_id", "rank")
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=None,
+    doc="IVF approximate top-k: k-means(8 cells, 3 iters) coarse "
+    "quantizer, nprobe=3. Recall vs brute force pinned in tests.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents = similarity.kmeans_fit(emb, "embedding", k=8, n_iter=3, id_col="vec_id")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = similarity.ivf_topk(queries, corpus, cents, k=5, nprobe=3)
+    return out.select("q_id", "c_id", F.round("cosine", R).alias("cos"), "rank").orderBy("q_id", "rank")
+
+
+@register(
+    "text_quality",
+    doc="quality scoring: per-source doc counts and mean quality score "
+    "(identical arithmetic spelled on both engines).",
+    oracle="""
+WITH q AS (
+  SELECT source,
+    len(string_split(trim(text), ' ')) AS n_tokens,
+    list_sum(list_transform(string_split(trim(text), ' '), t -> length(t)))::DOUBLE
+      / greatest(len(string_split(trim(text), ' ')), 1) AS mean_tok,
+    len(list_filter(string_split(lower(text), ' '),
+        t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))::DOUBLE
+      / greatest(len(string_split(lower(text), ' ')), 1) AS stop_ratio,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+      / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+)
+SELECT source, count(*) AS n,
+  ROUND(AVG(ROUND((
+    least(n_tokens / 20.0, 1.0)
+    + least(stop_ratio / 0.05, 1.0)
+    + (1.0 - least(punct_ratio * 4.0, 1.0))
+    + CASE WHEN mean_tok BETWEEN 2 AND 12 THEN 1.0 ELSE 0.3 END
+  ) / 4.0, 6)), 6) AS avg_quality
+FROM q
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.withColumn("q", textstats.quality_score(F.col("text")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("q"), 6).alias("avg_quality"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_langid",
+    doc="language-ID heuristic (stopword-ratio argmax over 4 languages): "
+    "predicted x stored-lang confusion counts.",
+    oracle="""
+WITH s AS (
+  SELECT lang,
+    len(list_filter(string_split(lower(text),' '),
+        t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))::DOUBLE
+      / greatest(len(string_split(lower(text),' ')), 1) AS r_en,
+    len(list_filter(string_split(lower(text),' '),
+        t -> list_contains(['le','la','et','de','un','une','est','pour','dans','avec'], t)))::DOUBLE
+      / greatest(len(string_split(lower(text),' ')), 1) AS r_fr,
+    len(list_filter(string_split(lower(text),' '),
+        t -> list_contains(['der','die','das','und','ist','ein','eine','mit','von','zu'], t)))::DOUBLE
+      / greatest(len(string_split(lower(text),' ')), 1) AS r_de,
+    len(list_filter(string_split(lower(text),' '),
+        t -> list_contains(['el','la','y','de','un','una','es','para','en','con'], t)))::DOUBLE
+      / greatest(len(string_split(lower(text),' ')), 1) AS r_es
+  FROM documents
+),
+p AS (
+  SELECT lang,
+    CASE WHEN greatest(r_en, r_fr, r_de, r_es) < 0.03 THEN 'und'
+         WHEN r_en = greatest(r_en, r_fr, r_de, r_es) THEN 'en'
+         WHEN r_fr = greatest(r_en, r_fr, r_de, r_es) THEN 'fr'
+         WHEN r_de = greatest(r_en, r_fr, r_de, r_es) THEN 'de'
+         ELSE 'es' END AS predicted
+  FROM s
+)
+SELECT lang, predicted, count(*) AS n
+FROM p GROUP BY lang, predicted
+ORDER BY lang, predicted
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.withColumn("predicted", textstats.lang_id(F.col("text")))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "text_token_counts",
+    doc="token counting: whitespace and BPE-ish regex counts per source.",
+    oracle=f"""
+SELECT source,
+  SUM(len(list_filter(string_split(trim(text), ' '), t -> t <> ''))) AS ws_tokens,
+  SUM(len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}'))) AS bpe_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(textstats.token_count(F.col("text"))).alias("ws_tokens"),
+            F.sum(textstats.bpe_ish_token_count(F.col("text"))).alias("bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,
+    doc="multimodal plumbing: binary payload column -> mapInPandas "
+    "featurizer (Arrow batches); byte values pinned in tests.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("byte_entropy"), R).alias("avg_entropy"),
+        )
+        .orderBy("kind")
+    )

@@ -23,6 +23,11 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMALL
+
+
+@pytest.fixture(scope="session")
 def duck():
     import duckdb
 

@@ -1,0 +1,112 @@
+"""Behavior pins for the LLM ops that have no SQL oracle (SimHash bit
+signatures, IVF recall, multimodal byte features) plus algebraic
+invariants of the oracled ones."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from testlog_etl_spark.operators import multimodal, neardup, similarity, textstats
+
+
+def test_simhash_invariants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark merge join hash table scan filter group"),
+            (2, "spark merge join hash table scan filter group"),  # identical
+            (3, "spark merge join hash table scan filter window"),  # one-token change
+            (4, "completely different words entirely unrelated content here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", neardup.simhash64(textstats.tokens(F.col("text"))).alias("sig")).collect()
+    }
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    d_near = bin(sigs[1] ^ sigs[3]).count("1")
+    d_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert d_near < d_far  # similarity order preserved
+    # blocked pair search finds the identical pair at hamming 0
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in neardup.simhash_pairs(df, "doc_id", "text", 3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    # signature agreement rate ~ true Jaccard (128 hashes -> se ~ 0.044)
+    a = "w%d" % 0
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40))), (2, " ".join(f"w{i}" for i in range(20, 60)))],
+        ["doc_id", "text"],
+    )
+    sh = neardup.word_shingles(F.col("text"), k=3)
+    sig = neardup.minhash_signature(sh)
+    rows = df.select("doc_id", sh.alias("sh"), sig.alias("sig")).collect()
+    s1, s2 = rows[0], rows[1]
+    true_j = len(set(s1["sh"]) & set(s2["sh"])) / len(set(s1["sh"]) | set(s2["sh"]))
+    est = sum(x == y for x, y in zip(s1["sig"], s2["sig"])) / len(s1["sig"])
+    assert abs(est - true_j) < 0.15
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    brute = similarity.topk_cosine(queries, corpus, k=5)
+    cents = similarity.kmeans_fit(emb, "embedding", k=8, n_iter=3, id_col="vec_id")
+    approx = similarity.ivf_topk(queries, corpus, cents, k=5, nprobe=3)
+    b = {(r["q_id"], r["c_id"]) for r in brute.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
+def test_multimodal_features_exact(spark):
+    docs = spark.createDataFrame([(1, "aaaa", "en", "s", 4)], ["doc_id", "text", "lang", "source", "n_chars"])
+    media = multimodal.documents_as_media(docs)
+    [r] = multimodal.extract_features(media).collect()
+    assert r["n_bytes"] == 4
+    # all bytes identical -> single occupied histogram bin, zero entropy
+    assert r["byte_entropy"] == 0.0
+    assert sum(r["histogram"]) == 1.0
+    assert r["kind"] == "image"
+
+
+def test_multimodal_frame_sampling(spark):
+    rows = [(1, "video", "video/mp4", b"xx", None, None, 3500)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.sample_frames(media, every_ms=1000).collect()
+    assert [r["frame_ms"] for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_decode_stub_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"not-an-image")
+
+
+def test_quality_score_orders_garbage_below_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs on with a story of many words in a row for length"),
+            (2, "$$$ ### !!! ??? *** @@@"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["q"] for r in df.select("doc_id", textstats.quality_score(F.col("text")).alias("q")).collect()}
+    assert rows[1] > 0.9 and rows[2] < 0.5
+
+
+def test_rolling_fingerprints_overlap_for_near_dups(spark):
+    t1 = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    t2 = t1 + " extra"
+    df = spark.createDataFrame([(1, t1), (2, t2), (3, "zzz completely unrelated qqq text vvv")], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select("doc_id", textstats.rolling_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    assert len(rows[1] & rows[2]) >= 3  # near-identical share most selected grams
+    assert len(rows[1] & rows[3]) == 0
