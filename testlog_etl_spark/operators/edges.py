@@ -104,7 +104,10 @@ def normalize_edge(spark: SparkSession, spec: Any, compiler: JXCompiler) -> Edge
     if dom_type in ("set", "simple_set"):
         parts = domain["partitions"]
         vals = [p["value"] if isinstance(p, dict) else p for p in parts]
-        dom_df = spark.createDataFrame([(v,) for v in vals], schema=[name])
+        # JVM-side literal frame: createDataFrame would ship a 32-partition
+        # Python RDD whose later coalesce(1) replays every Python worker
+        # SEQUENTIALLY (~5s of overhead for a 4-row domain, measured)
+        dom_df = spark.range(1).select(F.explode(F.array(*[F.lit(v) for v in vals])).alias(name))
         # rows whose value is not in the domain fall into the null part
         key = F.when(val_col.isin(vals), val_col)
         return Edge(name=name, key=key, domain=dom_df, allow_nulls=allow_nulls)

@@ -78,6 +78,9 @@ def _byte_features(payload: bytes) -> tuple[int, float, list[float]]:
 
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas featurizer: Arrow batches in, feature rows out."""
+    from testlog_etl_spark.util import spread
+
+    media = spread(media)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd

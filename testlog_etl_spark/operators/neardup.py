@@ -51,24 +51,58 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter.cast("double") / F.greatest(union, F.lit(1))
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> Column:
-    """H-element MinHash signature; each component is the min of a
-    seeded 64-bit hash over the shingle set. Pure array math per row."""
-    # factory, not a default-arg lambda: a second parameter would be
-    # bound by F.transform as the element INDEX, replacing the seed
-    def seeded(i):
-        return lambda s: F.xxhash64(s, F.lit(i))
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime: a*h+b stays under 2^62 (no ANSI overflow)
+_MINHASH_COEFS: list[tuple[int, int]] | None = None
 
-    return F.array(*[F.array_min(F.transform(shingle_col, seeded(i))) for i in range(n_hashes)])
+
+def _minhash_coefs(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i*x + b_i) mod p, a in [1,p), b in [0,p)."""
+    global _MINHASH_COEFS
+    if _MINHASH_COEFS is None or len(_MINHASH_COEFS) < n_hashes:
+        import random
+
+        rng = random.Random(0x5EED)
+        _MINHASH_COEFS = [
+            (rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P)) for _ in range(n_hashes)
+        ]
+    return _MINHASH_COEFS[:n_hashes]
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> Column:
+    """H-element MinHash signature. Each shingle STRING is hashed once
+    (xxhash64 -- O(len) per string, folded mod p); the H independent hash
+    functions are O(1) affine maps (a_i*x+b_i) mod p over the resulting
+    longs (1/2^31 collision noise, far below banding resolution).
+
+    Shaped as ONE nested transform over literal coefficient arrays
+    instead of H unrolled array_min expressions: the unrolled form
+    generates ~H x larger Java and costs ~8 s of Janino compile before
+    the first row (measured)."""
+    coefs = _minhash_coefs(n_hashes)
+    a_arr = F.array(*[F.lit(a) for a, _ in coefs])
+    b_arr = F.array(*[F.lit(b) for _, b in coefs])
+    # loop order: shingles OUTER (each string hashed exactly once), hash
+    # functions INNER, then an element-wise min reduction -- putting the
+    # hash-function loop outside would re-hash every string H times
+    hashed = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
+    per_shingle = F.transform(
+        hashed,  # chained transform: each string hashed exactly once
+        lambda h: F.transform(
+            F.sequence(F.lit(1), F.lit(n_hashes)),
+            lambda i: F.pmod(h * F.element_at(a_arr, i) + F.element_at(b_arr, i), F.lit(_MINHASH_P)),
+        ),
+    )
+    init = F.array_repeat(F.lit(_MINHASH_P + 1).cast("bigint"), n_hashes)
+    return F.aggregate(per_shingle, init, lambda acc, x: F.zip_with(acc, x, lambda u, v: F.least(u, v)))
 
 
 def band_keys(sig_col: Column, band_r: int = BAND_R, n_hashes: int = N_HASHES) -> Column:
-    """One 64-bit key per band = hash of the band's signature rows."""
-    return F.array(
-        *[
-            F.xxhash64(*[sig_col[band_r * b + r] for r in range(band_r)], F.lit(b))
-            for b in range(n_hashes // band_r)
-        ]
+    """One 64-bit key per band = hash of the band's signature rows
+    (loop form, not unrolled -- see minhash_signature's compile note)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes // band_r - 1)),
+        lambda b: F.xxhash64(*[F.element_at(sig_col, b * band_r + r + 1) for r in range(band_r)], b),
     )
 
 
@@ -82,28 +116,46 @@ def minhash_lsh_pairs(
     band_r: int = BAND_R,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for all pairs with exact shingle Jaccard >=
-    threshold, found via LSH candidates + exact verify."""
-    base = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k_shingle).alias("_sh"))
-    sigs = base.withColumn("_bands", band_keys(minhash_signature(F.col("_sh"), n_hashes), band_r, n_hashes))
-    bands = sigs.select("_id", "_sh", F.posexplode("_bands").alias("_band_idx", "_band_key"))
+    threshold, found via LSH candidates + exact verify.
 
-    left = bands.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_band_idx", "_band_key"
+    Plan shape: signatures+bands are computed ONCE and persisted -- the
+    band expression must reference a materialized signature column, or
+    projection collapse would inline the 128-element signature array
+    into each of the 64 band keys (a 128x expression blow-up, measured
+    ~100x slower). The banding self-join carries only (id, band) pairs;
+    shingle sets rejoin only for surviving candidates."""
+    from testlog_etl_spark.util import spread
+
+    # spread BEFORE shingling: the expensive per-row work must happen
+    # after the repartition, or it runs serially on the input's (single)
+    # partition and the shuffle just moves the results
+    base = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))).select(
+        "_id", word_shingles(F.col("_t"), k_shingle).alias("_sh")
     )
-    right = bands.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_band_idx", "_band_key"
+    sigs = (
+        base.withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
+        .withColumn("_bands", band_keys(F.col("_sig"), band_r, n_hashes))
+        .select("_id", "_sh", "_bands")
+        .persist()
     )
+    bands = sigs.select("_id", F.posexplode("_bands").alias("_band_idx", "_band_key"))
+
     cand = (
-        left.join(right, ["_band_idx", "_band_key"])
+        bands.select(F.col("_id").alias("id_a"), "_band_idx", "_band_key")
+        .join(bands.select(F.col("_id").alias("id_b"), "_band_idx", "_band_key"), ["_band_idx", "_band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    sh = sigs.select("_id", "_sh")
+    verified = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return verified
 
 
 # ---------------------------------------------------------------------------
@@ -137,9 +189,13 @@ def simhash_pairs(
     """(id_a, id_b, hamming) for pairs within `max_hamming` bits.
     Pigeonhole blocking: any such pair agrees exactly on >= 1 of the
     (max_hamming+1) signature chunks -> equi-join per chunk."""
+    from testlog_etl_spark.util import spread
+
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
-    sig = df.select(F.col(id_col).alias("_id"), simhash64(tokens(F.col(text_col))).alias("_sig"))
+    sig = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))).select(
+        "_id", simhash64(tokens(F.col("_t"))).alias("_sig")
+    )
     chunks = sig.select(
         "_id",
         "_sig",

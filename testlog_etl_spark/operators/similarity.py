@@ -50,12 +50,16 @@ def topk_cosine(
     """Exact top-k neighbors per query: broadcast the (small) query set
     over the corpus scan, rank per query. Ties broken by corpus id so
     results are deterministic."""
+    from testlog_etl_spark.util import spread
+
     cast = lambda c: F.col(c).cast("array<double>")  # noqa: E731 -- float32 in, double math
-    pairs = corpus.select(F.col(c_id), cast(c_vec).alias("_cv")).crossJoin(
-        F.broadcast(queries.select(F.col(q_id), cast(q_vec).alias("_qv")))
-    )
+    # norms precomputed per side: computing cosine as dot/(|q||c|) inside
+    # the pair loop would redo both norms |Q| x |C| times
+    c_side = spread(corpus.select(F.col(c_id), cast(c_vec).alias("_cv"))).withColumn("_cn", l2_norm(F.col("_cv")))
+    q_side = queries.select(F.col(q_id), cast(q_vec).alias("_qv")).withColumn("_qn", l2_norm(F.col("_qv")))
+    pairs = c_side.crossJoin(F.broadcast(q_side))
     scored = pairs.select(
-        q_id, c_id, cosine(F.col("_qv"), F.col("_cv")).alias("cosine")
+        q_id, c_id, (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine")
     ).filter(F.col(q_id) != F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -122,8 +126,10 @@ def ivf_topk(
     """Approximate top-k: corpus rows are bucketed by nearest centroid
     (in production: written out partitioned by cell -> partition-pruned
     probes); each query probes its nprobe nearest cells only."""
+    from testlog_etl_spark.util import spread
+
     cast = lambda c: F.col(c).cast("array<double>")  # noqa: E731
-    cellled = corpus.select(F.col(c_id), cast(c_vec).alias("_cv")).withColumn(
+    cellled = spread(corpus.select(F.col(c_id), cast(c_vec).alias("_cv"))).withColumn(
         "_cell", _argmin_cell(F.col("_cv"), centroids)
     )
 

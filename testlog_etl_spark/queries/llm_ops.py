@@ -91,8 +91,10 @@ ORDER BY id_a, id_b
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.util import spread
+
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    d = docs.select("doc_id", neardup.word_shingles(F.col("text")).alias("sh"))
+    d = spread(docs.select("doc_id", neardup.word_shingles(F.col("text")).alias("sh")))
     a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     j = neardup.jaccard(F.col("sh_a"), F.col("sh_b"))
