@@ -1,0 +1,141 @@
+"""Source/sink and join-pattern queries (SURVEY SS2.1, SS2.3).
+
+- S1/S7: JSONL block source/sink round-trip (the reference's S3 JSONL
+  inter-stage bus) -- write a filtered block, read it back, aggregate;
+- J2/T4: normalization against a small literal mapping dimension via
+  broadcast join (the buildbot platform/suite mapping tables);
+- J3: the deep query -- nested array-of-struct documents queried at the
+  inner path with parent fields riding along (explode IS the reference's
+  parent/child lateral).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from testlog_etl_spark.query import run_jx
+from testlog_etl_spark.suite import register
+from testlog_etl_spark.tables import load_tables
+
+R = 4
+
+
+@register(
+    "source_jsonl_roundtrip",
+    doc="S1/S7: gzip JSONL block sink then source (the inter-stage bus); "
+    "aggregate over the round-tripped block equals the direct aggregate.",
+    oracle=f"""
+SELECT event_type, count(*) AS n, ROUND(SUM(value), {R}) AS sum_value
+FROM events
+WHERE value > 50
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from testlog_etl_spark.streaming.jobs import SCRATCH
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    block_path = os.path.join(SCRATCH, "jsonl", "events_block")
+    shutil.rmtree(block_path, ignore_errors=True)
+    # timestamps serialize as ISO strings; this block only needs the
+    # filtered analytical columns (the reference's blocks are projected
+    # transform outputs, not raw table dumps)
+    (
+        ev.filter(F.col("value") > 50)
+        .select("event_id", "event_type", "value")
+        .write.option("compression", "gzip")
+        .json(block_path)
+    )
+    back = spark.read.json(block_path)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), R).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "etl_normalize_mapping",
+    doc="T4/J2: normalize raw type codes against a small literal mapping "
+    "dimension (broadcast join; the buildbot platform-table analog). "
+    "Unmapped codes keep a default, like the reference's passthrough.",
+    oracle=f"""
+SELECT CASE event_type
+         WHEN 'click' THEN 'interaction'
+         WHEN 'view' THEN 'impression'
+         WHEN 'purchase' THEN 'conversion'
+         ELSE 'other' END AS category,
+       count(*) AS n,
+       ROUND(SUM(value), {R}) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY category
+""",
+)
+def etl_normalize_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    mapping = [("click", "interaction"), ("view", "impression"), ("purchase", "conversion")]
+    # literal dimension built JVM-side, explicitly broadcast (J1/J2 shape:
+    # at 100 TB the dim is a few-thousand-row table, the fact never moves)
+    dim = spark.range(1).select(
+        F.explode(
+            F.array(*[F.struct(F.lit(k).alias("event_type"), F.lit(v).alias("category")) for k, v in mapping])
+        ).alias("m")
+    ).select("m.*")
+    return (
+        ev.join(F.broadcast(dim), "event_type", "left")
+        .withColumn("category", F.coalesce(F.col("category"), F.lit("other")))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), R).alias("sum_value"))
+        .orderBy("category")
+    )
+
+
+@register(
+    "jx_deep_query",
+    doc="J3 deep query: orders nested with their lineitem array, queried "
+    "FROM the inner path with parent (order) fields in select/groupby -- "
+    "the jx_sqlite child-table / es52 nested-path semantics as explode.",
+    oracle=f"""
+SELECT o.o_orderpriority AS priority,
+       count(*) AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {R}) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY 1
+ORDER BY priority
+""",
+)
+def jx_deep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    # build the nested shape the reference stores (denormalized parent +
+    # array-of-child-structs), then deep-query it
+    lines = t["lineitem"].groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_extendedprice", "l_discount", "l_quantity")).alias("lines")
+    )
+    nested = t["orders"].join(lines, t["orders"].o_orderkey == lines.l_orderkey, "inner").drop("l_orderkey")
+    out = run_jx(
+        spark,
+        {
+            "from": "orders_nested.lines",
+            "where": {"eq": ["o_orderstatus", {"literal": "O"}]},
+            "groupby": [{"name": "priority", "value": "o_orderpriority"}],
+            "select": [
+                {"name": "n_lines", "value": ".", "aggregate": "count"},
+                {
+                    "name": "revenue",
+                    "value": {"mult": ["lines.l_extendedprice", {"sub": [{"literal": 1}, "lines.l_discount"]}]},
+                    "aggregate": "sum",
+                },
+            ],
+            "sort": "priority",
+        },
+        {"orders_nested": nested},
+    )
+    return out.withColumn("revenue", F.round("revenue", R))

@@ -83,7 +83,16 @@ def _load_all() -> None:
     # imported for their @register side effects
     from testlog_etl_spark.queries import core  # noqa: F401
 
-    for mod in ("jx_ops", "aggs", "edges_queries", "windows_queries", "etl_queries", "llm_ops", "streaming_queries"):
+    for mod in (
+        "jx_ops",
+        "aggs",
+        "edges_queries",
+        "windows_queries",
+        "etl_queries",
+        "llm_ops",
+        "streaming_queries",
+        "sources_queries",
+    ):
         try:
             __import__(f"testlog_etl_spark.queries.{mod}")
         except ImportError:
