@@ -50,6 +50,66 @@ def stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("hour", "event_type")
 
 
+_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 86400 THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+), g AS (
+  SELECT user_id, sess, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+  FROM s GROUP BY user_id, sess
+)
+"""
+
+
+@register(
+    "sessionize_batch",
+    doc="gap-based sessionization (1-day gap) as two window passes over "
+    "one shuffle; the streaming twin is the stateful operator below.",
+    oracle=_SESSIONIZE_SQL
+    + """
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM g ORDER BY user_id, session_start
+""",
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sessionize import sessionize
+    from testlog_etl_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    out = sessionize(ev, gap_sec=86400.0)
+    return out.withColumn("sum_value", F.round("sum_value", 4)).orderBy("user_id", "session_start")
+
+
+@register(
+    "sessionize_stream_stateful",
+    doc="custom stateful streaming operator (applyInPandasWithState): "
+    "per-user state machine emits sessions CLOSED by a later gap; the "
+    "oracle is batch sessionization minus each user's trailing session.",
+    oracle=_SESSIONIZE_SQL
+    + """
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM (SELECT *, max(sess) OVER (PARTITION BY user_id) AS max_sess FROM g)
+WHERE sess < max_sess
+ORDER BY user_id, session_start
+""",
+)
+def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sessionize import sessionize_stateful
+
+    ev = jobs.stream_table(spark, sf_dir, "events")
+    out = jobs.run_to_completion(
+        sessionize_stateful(ev, gap_sec=86400.0), "sessionize_stream_stateful", output_mode="append"
+    )
+    return out.withColumn("sum_value", F.round("sum_value", 4)).orderBy("user_id", "session_start")
+
+
 @register(
     "stream_foreachbatch_sink",
     doc="T9/SS2.9 exactly-once effect: foreachBatch + deterministic-id "

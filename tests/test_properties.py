@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis) for the two SURVEY hard spots:
+
+- JX null/missing semantics (SS2.2): the compiled Column expressions are
+  compared row-by-row against a tiny Python model of the JX rules
+  (missing = null or "", comparisons with missing are false, eq treats
+  two missings as equal, add/max skip missing operands);
+- dense cube invariants (SS2.5 D2/D7/D8): every domain part appears
+  exactly once, counts zero-fill, non-count aggregates stay null in
+  empty cells, the null part absorbs out-of-domain rows, and the cube's
+  total count equals the row count.
+
+One DataFrame per hypothesis example keeps Spark round-trips bounded:
+examples are small and few; each example evaluates all rows at once.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from testlog_etl_spark.expressions import JXCompiler
+
+# a value universe that exercises the missing rules: None, empty string,
+# strings, and small numbers
+sval = st.one_of(st.none(), st.just(""), st.sampled_from(["a", "b", "xy"]))
+nval = st.one_of(st.none(), st.sampled_from([0.0, 1.0, -2.5, 10.0]))
+rows_strategy = st.lists(st.tuples(sval, sval, nval, nval), min_size=1, max_size=25)
+
+SCHEMA = StructType(
+    [
+        StructField("s1", StringType()),
+        StructField("s2", StringType()),
+        StructField("n1", DoubleType()),
+        StructField("n2", DoubleType()),
+    ]
+)
+
+
+def _is_missing(v) -> bool:
+    return v is None or v == ""
+
+
+def _model(row) -> dict:
+    """Python model of the JX rules for the expressions under test."""
+    s1, s2, n1, n2 = row
+    eq = (_is_missing(s1) and _is_missing(s2)) or (
+        not _is_missing(s1) and not _is_missing(s2) and s1 == s2
+    )
+    gt = (not _is_missing(n1) and not _is_missing(n2)) and n1 > n2
+    add = None if (_is_missing(n1) and _is_missing(n2)) else (n1 or 0.0) + (n2 or 0.0)
+    mx = None if (_is_missing(n1) and _is_missing(n2)) else max(v for v in (n1, n2) if v is not None)
+    land = (not _is_missing(n1) and n1 > 0) and (not _is_missing(s1) and s1 != "")
+    return {
+        "eq": eq,
+        "gt": gt,
+        "add": add,
+        "max": mx,
+        "and": land,
+        "missing_s1": _is_missing(s1),
+    }
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows_strategy)
+def test_null_semantics_match_model(rows):
+    spark = _spark()
+    df = spark.createDataFrame(rows, SCHEMA)
+    comp = JXCompiler(dtypes=dict(df.dtypes))
+    out = df.select(
+        comp.predicate({"eq": ["s1", "s2"]}).alias("eq"),
+        comp.predicate({"gt": ["n1", "n2"]}).alias("gt"),
+        comp.compile({"add": ["n1", "n2"]}).alias("add"),
+        comp.compile({"max": ["n1", "n2"]}).alias("max"),
+        comp.predicate({"and": [{"gt": ["n1", {"literal": 0}]}, {"exists": "s1"}]}).alias("and"),
+        comp.predicate({"missing": "s1"}).alias("missing_s1"),
+    ).collect()
+    for row, got in zip(rows, out):
+        want = _model(row)
+        for k, expect in want.items():
+            actual = got[k]
+            if isinstance(expect, float) and actual is not None:
+                assert math.isclose(actual, expect, rel_tol=1e-9), (k, row, actual, expect)
+            else:
+                assert actual == expect, (k, row, actual, expect)
+
+
+_SPARK = None
+
+
+def _spark():
+    global _SPARK
+    if _SPARK is None:
+        from testlog_etl_spark.session import get_spark
+
+        _SPARK = get_spark("props")
+    return _SPARK
+
+
+dom_strategy = st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=1, max_size=4, unique=True)
+key_strategy = st.lists(
+    st.one_of(st.none(), st.sampled_from(["p", "q", "r", "s", "OUT1", "OUT2"])), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(dom_strategy, key_strategy)
+def test_cube_invariants(domain, keys):
+    spark = _spark()
+    from testlog_etl_spark.operators.edges import cube_aggregate, normalize_edge
+
+    rows = [(k, float(i)) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, StructType([StructField("k", StringType()), StructField("v", DoubleType())]))
+    comp = JXCompiler(dtypes=dict(df.dtypes))
+    edge = normalize_edge(
+        spark, {"name": "k", "value": "k", "domain": {"type": "set", "partitions": domain}}, comp
+    )
+    out = cube_aggregate(
+        spark,
+        df,
+        [edge],
+        [F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")],
+        ["n"],
+    ).collect()
+
+    got = {r["k"]: (r["n"], r["sv"]) for r in out}
+    # D2: every domain part present exactly once; D7: exactly one null part
+    assert len(out) == len(domain) + 1
+    assert set(got) == set(domain) | {None}
+    in_dom = [k for k in keys if k in domain]
+    # D8: zero-fill count, null (not 0) for other aggregates in empty cells
+    for part in domain:
+        expect_n = sum(1 for k in in_dom if k == part)
+        assert got[part][0] == expect_n
+        if expect_n == 0:
+            assert got[part][1] is None
+    # null part absorbs missing AND out-of-domain keys
+    assert got[None][0] == len(keys) - len(in_dom)
+    # total conservation
+    assert sum(n for n, _ in got.values()) == len(keys)
