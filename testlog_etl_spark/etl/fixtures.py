@@ -79,6 +79,22 @@ def text_log_lines(spark: SparkSession, n_logs: int = 4, n_steps: int = 6) -> Da
     return spark.createDataFrame(rows, ["log_key", "value"])
 
 
+def lcov_lines(spark: SparkSession, n_logs: int = 2, n_files: int = 3, n_lines: int = 10) -> DataFrame:
+    """lcov-ish coverage artifacts: SF:/DA:/end_of_record records with a
+    deterministic hit pattern (line covered iff (line + file) % 3 != 0)."""
+    rows = []
+    for g in range(n_logs):
+        key = f"cov{g}"
+        ln = 0
+        for f_i in range(n_files):
+            rows.append((key, ln, f"SF:src/module_{f_i}.py")); ln += 1
+            for line in range(1, n_lines + 1):
+                hits = 0 if (line + f_i) % 3 == 0 else line + g
+                rows.append((key, ln, f"DA:{line},{hits}")); ln += 1
+            rows.append((key, ln, "end_of_record")); ln += 1
+    return spark.createDataFrame(rows, ["log_key", "line_no", "value"])
+
+
 def perfherder_lines(spark: SparkSession, n_logs: int = 3) -> DataFrame:
     """logs with one PERFHERDER_DATA json blob each, plus noise lines."""
     rows = []

@@ -92,6 +92,7 @@ def _load_all() -> None:
         "llm_ops",
         "streaming_queries",
         "sources_queries",
+        "setops_queries",
     ):
         try:
             __import__(f"testlog_etl_spark.queries.{mod}")

@@ -68,6 +68,22 @@ def test_perfherder_extract(spark):
     assert (r["replicate_min"], r["replicate_max"]) == (30.0, 33.0)
 
 
+def test_lcov_coverage_parse(spark):
+    from testlog_etl_spark.etl.coverage import parse_lcov
+
+    res = parse_lcov(fixtures.lcov_lines(spark, n_logs=1, n_files=2, n_lines=9))
+    rows = {r["source_file"]: r for r in res.collect()}
+    assert len(rows) == 2
+    r = rows["src/module_0.py"]
+    # file 0: line covered iff line % 3 != 0 -> uncovered {3,6,9}
+    assert r["uncovered_lines"] == [3, 6, 9]
+    assert r["total_lines"] == 9 and r["covered_count"] == 6
+    assert r["coverage_ratio"] == round(6 / 9, 6)
+    r1 = rows["src/module_1.py"]
+    # file 1: uncovered iff (line+1) % 3 == 0 -> {2,5,8}
+    assert r1["uncovered_lines"] == [2, 5, 8]
+
+
 def test_idempotent_sink_rerun(spark, tmp_path):
     """T9: re-running the same batch yields the same rows (exactly-once
     effect), and duplicate ids within a batch collapse."""
