@@ -161,6 +161,40 @@ def etl_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_enrich_cached",
+    doc="J1/J4/S4: enrichment with a broadcast cache dimension + batched "
+    "mapInPandas fetch for misses (deterministic fake fetcher; the HTTP "
+    "call itself is the only stub). Even user_ids are 'cached', odd ones "
+    "resolve through the fetch path.",
+    oracle="""
+SELECT user_id, count(*) AS n,
+       CASE WHEN user_id % 2 = 0 THEN 'cached_' || user_id
+            ELSE 'fetched_' || user_id END AS meta
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def etl_enrich_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.etl.enrichment import enrich_with_cache, fake_fetch
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cache = (
+        ev.select(F.col("user_id").alias("key"))
+        .distinct()
+        .filter(F.col("key") % 2 == 0)
+        .withColumn("meta", F.concat(F.lit("cached_"), F.col("key")))
+    )
+    enriched = enrich_with_cache(ev, cache, "user_id", fetch=fake_fetch)
+    return (
+        enriched.groupBy("user_id", "meta")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n", "meta")
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # fixture-driven transforms (no SQL twin; golden-file tests pin values)
 # ---------------------------------------------------------------------------

@@ -77,6 +77,7 @@ WITH o AS (
 SELECT user_id, session_start, session_end, n_events, sum_value
 FROM g ORDER BY user_id, session_start
 """,
+    bench=True,
 )
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.operators.sessionize import sessionize
