@@ -11,7 +11,7 @@ from testlog_etl_spark.etl.lineage import deterministic_id
 from testlog_etl_spark.etl.mozlog import suite_summaries
 from testlog_etl_spark.etl.mozlog import test_results as mozlog_results  # alias: bare name would be pytest-collected
 from testlog_etl_spark.etl.perfherder import extract_perf
-from testlog_etl_spark.etl.sink import write_idempotent
+from testlog_etl_spark.etl.sink import split_sink, write_idempotent
 from testlog_etl_spark.etl.text_log import parse_steps
 
 
@@ -97,6 +97,16 @@ def test_idempotent_sink_rerun(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 3
     assert out.select(F.count_distinct("_id")).first()[0] == 3
+
+
+def test_split_sink_fans_out(spark, tmp_path):
+    """S8: one transform's output reaches every sink, identically."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    paths = [str(tmp_path / "dest_a"), str(tmp_path / "dest_b")]
+    split_sink(df, [lambda d, p=p: d.write.parquet(p) for p in paths])
+    a, b = (sorted(map(tuple, spark.read.parquet(p).collect())) for p in paths)
+    assert a == b == [(1, "a"), (2, "b")]
+    assert not df.is_cached  # split_sink unpersists its working cache
 
 
 def test_deterministic_id_stability(spark):
