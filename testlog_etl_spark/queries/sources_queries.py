@@ -139,3 +139,38 @@ def jx_deep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"orders_nested": nested},
     )
     return out.withColumn("revenue", F.round("revenue", R))
+
+
+@register(
+    "layout_bucketed_join",
+    doc="100TB layout: orders and lineitem co-bucketed on orderkey join "
+    "with ZERO runtime exchange (plan-asserted in tests/test_plans.py); "
+    "at scale this turns the recurring fact-fact join from a full "
+    "shuffle into a per-bucket local merge.",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.layout import bucketed_join, write_bucketed
+    from testlog_etl_spark.streaming.jobs import SCRATCH
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    base = os.path.join(SCRATCH, "bucketed", os.path.basename(sf_dir.rstrip("/")))
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        "bq_orders", os.path.join(base, "orders"), ["o_orderkey"], 8, ["o_orderkey"],
+    )
+    write_bucketed(
+        t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        "bq_lineitem", os.path.join(base, "lineitem"), ["o_orderkey"], 8, ["o_orderkey"],
+    )
+    return (
+        bucketed_join(spark, "bq_lineitem", "bq_orders", ["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .orderBy("o_orderpriority")
+    )

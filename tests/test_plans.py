@@ -82,3 +82,46 @@ def test_lsh_carries_no_shingles_through_banding(spark):
     # the band self-join must be an equi-join (hash or sort-merge), never
     # a product; shingle arrays rejoin only after candidate pruning
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables must join with zero runtime shuffle -- the
+    layout that makes recurring fact-fact joins viable at 100 TB."""
+    from testlog_etl_spark.layout import bucketed_join, write_bucketed
+    from testlog_etl_spark.tables import load_tables
+
+    t = load_tables(spark, SF_SMALL, ("orders", "lineitem"))
+    write_bucketed(t["orders"], "b_orders", str(tmp_path / "bo"), ["o_orderkey"], 4, ["o_orderkey"])
+    write_bucketed(t["lineitem"], "b_lineitem", str(tmp_path / "bl"), ["l_orderkey"], 4, ["l_orderkey"])
+    spark.table("b_lineitem").withColumnRenamed("l_orderkey", "o_orderkey").createOrReplaceTempView(
+        "b_lineitem_k"
+    )
+    df = bucketed_join(spark, "b_lineitem_k", "b_orders", ["o_orderkey"])
+    plan = plan_of(df, mode="simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    for name in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_date_partition_static_and_dynamic_pruning(spark, tmp_path):
+    """Date-partitioned layout: a literal date filter prunes at plan
+    time; a join against a filtered dim prunes at runtime (DPP)."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.layout import write_date_partitioned
+    from testlog_etl_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+    path = str(tmp_path / "events_by_day")
+    write_date_partitioned(ev, path, "event_date", F.col("ts"))
+    part = spark.read.parquet(path)
+
+    static = part.filter(F.col("event_date") == "2024-01-03")
+    splan = plan_of(static)
+    assert "PartitionFilters" in splan and "event_date" in splan.split("PartitionFilters")[1].splitlines()[0]
+
+    dim = part.select("event_date").distinct().filter(F.col("event_date") >= "2024-01-05")
+    joined = part.join(F.broadcast(dim), "event_date")
+    dplan = plan_of(joined)
+    assert "dynamicpruning" in dplan.lower(), dplan
