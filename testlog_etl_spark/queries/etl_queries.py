@@ -196,46 +196,159 @@ def etl_enrich_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# fixture-driven transforms (no SQL twin; golden-file tests pin values)
+# fixture-driven transforms. The mozlog/buildbot/PERFHERDER inputs don't
+# exist in the driver tables, so both engines read the SAME committed
+# tests/data/*.jsonl files (Spark via the S1 JSONL source, DuckDB via
+# read_json) — full value-hash differential checks; golden-file tests in
+# tests/test_etl.py additionally pin absolute values.
 # ---------------------------------------------------------------------------
+
+_MOZ = fixtures.fixture_path("mozlog.jsonl")
+_MOZ_LINES = f"""
+  SELECT * FROM read_json('{_MOZ}', format='newline_delimited',
+    columns={{suite_key:'VARCHAR', action:'VARCHAR', "time":'DOUBLE',
+             test:'VARCHAR', subtest:'VARCHAR', status:'VARCHAR', expected:'VARCHAR'}})
+"""
+# the same one-hash-agg state machine as etl.mozlog.test_results
+_MOZ_RESULTS = f"""
+  SELECT suite_key, test,
+    min(CASE WHEN action='test_start' THEN "time" END) AS start_time,
+    max(CASE WHEN action='test_end' THEN "time" END) AS end_time,
+    max(CASE WHEN action='test_end' THEN status END) AS status,
+    max(CASE WHEN action='test_end' THEN COALESCE(expected, status) END) AS expected,
+    CAST(SUM(CASE WHEN action='test_status' THEN 1 ELSE 0 END) AS BIGINT) AS subtest_count,
+    CAST(SUM(CASE WHEN action='test_status' AND NOT (status <> COALESCE(expected, status)) THEN 1 ELSE 0 END) AS BIGINT) AS subtest_pass,
+    CAST(SUM(CASE WHEN action='test_status' AND (status <> COALESCE(expected, status)) THEN 1 ELSE 0 END) AS BIGINT) AS subtest_fail,
+    bool_or(CASE WHEN action='test_end' THEN (status <> COALESCE(expected, status)) END) AS end_unexpected
+  FROM lines
+  WHERE action IN ('test_start', 'test_status', 'test_end')
+  GROUP BY suite_key, test
+"""
+_MOZ_DOCS = """
+  SELECT suite_key, test, start_time, end_time, status, expected,
+    subtest_count, subtest_pass, subtest_fail,
+    end_time - start_time AS duration,
+    ((NOT COALESCE(end_unexpected, false)) AND subtest_fail = 0) AS ok
+  FROM res
+"""
 
 
 @register(
     "etl_mozlog_results",
-    oracle=None,
-    doc="T2 flagship: mozlog lines -> per-test result docs (fixture "
-    "input; values pinned by tests/test_etl.py golden asserts).",
+    doc="T2 flagship: mozlog lines -> per-test result docs (file-backed "
+    "fixture; values also pinned by tests/test_etl.py golden asserts).",
+    oracle=f"""
+WITH lines AS ({_MOZ_LINES}), res AS ({_MOZ_RESULTS})
+{_MOZ_DOCS}
+ORDER BY suite_key, test
+""",
 )
 def etl_mozlog_results(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = fixtures.mozlog_lines(spark)
+    lines = fixtures.mozlog_file(spark)
     return test_results(lines).orderBy("suite_key", "test")
 
 
 @register(
     "etl_mozlog_suites",
-    oracle=None,
     doc="T2 suite-level rollup over the per-test docs.",
+    oracle=f"""
+WITH lines AS ({_MOZ_LINES}), res AS ({_MOZ_RESULTS}), docs AS ({_MOZ_DOCS})
+SELECT suite_key,
+  count(*) AS test_count,
+  CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+  CAST(SUM(subtest_count) AS BIGINT) AS subtest_count,
+  min(start_time) AS suite_start,
+  max(end_time) AS suite_end,
+  SUM(duration) AS total_test_seconds
+FROM docs
+GROUP BY suite_key
+ORDER BY suite_key
+""",
 )
 def etl_mozlog_suites(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = fixtures.mozlog_lines(spark)
+    lines = fixtures.mozlog_file(spark)
     return suite_summaries(test_results(lines)).orderBy("suite_key")
+
+
+_TEXT = fixtures.fixture_path("text_log.jsonl")
+_TEXT_MARK = r"^=+ (Started|Finished) (.*?) \(results: (\d+), elapsed: (\d+) secs\) \(at ([0-9: .-]+)\) =+$"
 
 
 @register(
     "etl_text_log_steps",
-    oracle=None,
-    doc="T3: buildbot-style text log -> step docs with durations.",
+    doc="T3: buildbot-style text log -> step docs with durations "
+    "(regexp_extract cascade on both engines).",
+    oracle=f"""
+WITH lines AS (
+  SELECT * FROM read_json('{_TEXT}', format='newline_delimited',
+    columns={{log_key:'VARCHAR', "value":'VARCHAR'}})
+), marked AS (
+  SELECT log_key,
+    regexp_extract("value", '{_TEXT_MARK}', 1) AS _kind,
+    regexp_extract("value", '{_TEXT_MARK}', 2) AS step,
+    CAST(regexp_extract("value", '{_TEXT_MARK}', 3) AS INTEGER) AS result_code,
+    CAST(regexp_extract("value", '{_TEXT_MARK}', 4) AS BIGINT) AS elapsed,
+    CAST(regexp_extract("value", '{_TEXT_MARK}', 5) AS TIMESTAMP) AS at
+  FROM lines
+  WHERE regexp_matches("value", '{_TEXT_MARK}')
+)
+SELECT log_key, step,
+  min(CASE WHEN _kind = 'Started' THEN at END) AS start_time,
+  max(CASE WHEN _kind = 'Finished' THEN at END) AS end_time,
+  max(CASE WHEN _kind = 'Finished' THEN result_code END) AS result_code,
+  max(CASE WHEN _kind = 'Finished' THEN elapsed END) AS elapsed,
+  (max(CASE WHEN _kind = 'Finished' THEN result_code END) = 0) AS ok
+FROM marked
+GROUP BY log_key, step
+ORDER BY log_key, step
+""",
 )
 def etl_text_log_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = fixtures.text_log_lines(spark)
+    lines = fixtures.text_log_file(spark)
     return parse_steps(lines).orderBy("log_key", "step")
+
+
+_PERF = fixtures.fixture_path("perfherder.jsonl")
+_PERF_STRUCT = (
+    '{{"framework": {{"name": "VARCHAR"}},'
+    ' "suites": [{{"name": "VARCHAR", "value": "DOUBLE",'
+    ' "subtests": [{{"name": "VARCHAR", "value": "DOUBLE", "replicates": ["DOUBLE"]}}]}}]}}'
+).format()
 
 
 @register(
     "etl_perfherder",
-    oracle=None,
-    doc="T5: PERFHERDER_DATA blobs -> per-subtest replicate stats.",
+    doc="T5: PERFHERDER_DATA blobs -> per-subtest replicate stats "
+    "(from_json+explode on Spark, json_transform+unnest on DuckDB).",
+    oracle=f"""
+WITH lines AS (
+  SELECT * FROM read_json('{_PERF}', format='newline_delimited',
+    columns={{log_key:'VARCHAR', "value":'VARCHAR'}})
+), blobs AS (
+  SELECT log_key,
+    json_transform(split_part("value", 'PERFHERDER_DATA: ', 2),
+                   '{_PERF_STRUCT}') AS perf
+  FROM lines
+  WHERE contains("value", 'PERFHERDER_DATA: ')
+), suites AS (
+  SELECT log_key, perf.framework.name AS framework, unnest(perf.suites) AS suite
+  FROM blobs
+), subs AS (
+  SELECT log_key, framework, suite.name AS suite_name,
+         suite."value" AS suite_value, unnest(suite.subtests) AS st
+  FROM suites
+)
+SELECT log_key, framework, suite_name AS suite, suite_value,
+  st.name AS subtest,
+  st."value" AS subtest_value,
+  CAST(len(st.replicates) AS INTEGER) AS replicate_count,
+  list_aggregate(st.replicates, 'sum') / len(st.replicates) AS replicate_mean,
+  list_aggregate(st.replicates, 'min') AS replicate_min,
+  list_aggregate(st.replicates, 'max') AS replicate_max
+FROM subs
+ORDER BY log_key, suite, subtest
+""",
 )
 def etl_perfherder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = fixtures.perfherder_lines(spark)
+    lines = fixtures.perfherder_file(spark)
     return extract_perf(lines).orderBy("log_key", "suite", "subtest")

@@ -94,15 +94,57 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+from testlog_etl_spark.etl import fixtures
+
+_LCOV = fixtures.fixture_path("lcov.jsonl")
+
+
 @register(
     "etl_coverage_lcov",
-    oracle=None,
     doc="T6: lcov-ish coverage artifact -> per-file covered/uncovered "
-    "line docs (fixture input; values pinned in tests/test_etl.py).",
+    "line docs. Both engines read tests/data/lcov.jsonl; line lists are "
+    "sorted+joined to strings for the cross-engine hash; absolute values "
+    "also pinned in tests/test_etl.py.",
+    oracle=f"""
+WITH lines AS (
+  SELECT * FROM read_json('{_LCOV}', format='newline_delimited',
+    columns={{log_key:'VARCHAR', line_no:'BIGINT', "value":'VARCHAR'}})
+), tagged AS (
+  SELECT log_key,
+    last_value(CASE WHEN starts_with("value", 'SF:') THEN substr("value", 4) END IGNORE NULLS)
+      OVER (PARTITION BY log_key ORDER BY line_no
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS source_file,
+    "value"
+  FROM lines
+), da AS (
+  SELECT log_key, source_file,
+    CAST(split_part(substr("value", 4), ',', 1) AS INTEGER) AS line,
+    CAST(split_part(substr("value", 4), ',', 2) AS BIGINT) AS hits
+  FROM tagged
+  WHERE starts_with("value", 'DA:')
+)
+SELECT log_key, source_file,
+  COALESCE(string_agg(CAST(line AS VARCHAR), ',' ORDER BY line) FILTER (WHERE hits > 0), '') AS covered_lines,
+  COALESCE(string_agg(CAST(line AS VARCHAR), ',' ORDER BY line) FILTER (WHERE hits = 0), '') AS uncovered_lines,
+  count(*) AS total_lines,
+  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS covered_count,
+  ROUND(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) / count(*), 6) AS coverage_ratio
+FROM da
+GROUP BY log_key, source_file
+ORDER BY log_key, source_file
+""",
 )
 def etl_coverage_lcov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from testlog_etl_spark.etl import fixtures
     from testlog_etl_spark.etl.coverage import parse_lcov
 
-    lines = fixtures.lcov_lines(spark)
-    return parse_lcov(lines).orderBy("log_key", "source_file")
+    lines = fixtures.lcov_file(spark)
+    docs = parse_lcov(lines)
+    return docs.select(
+        "log_key",
+        "source_file",
+        F.array_join(F.col("covered_lines").cast("array<string>"), ",").alias("covered_lines"),
+        F.array_join(F.col("uncovered_lines").cast("array<string>"), ",").alias("uncovered_lines"),
+        "total_lines",
+        "covered_count",
+        "coverage_ratio",
+    ).orderBy("log_key", "source_file")

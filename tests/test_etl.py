@@ -114,3 +114,16 @@ def test_deterministic_id_stability(spark):
     one = df.select(deterministic_id("a", "b").alias("i")).collect()
     two = df.repartition(8).select(deterministic_id("a", "b").alias("i")).collect()
     assert sorted(r["i"] for r in one) == sorted(r["i"] for r in two)
+
+
+def test_fixture_files_match_builders():
+    """The committed tests/data/*.jsonl (read by both the Spark queries and
+    their DuckDB oracles) must be exactly what the row builders produce --
+    guards against editing a builder without regenerating the files."""
+    import json
+
+    for fname, (builder, cols) in fixtures._FILES.items():
+        with open(fixtures.fixture_path(fname)) as f:
+            on_disk = [json.loads(line) for line in f]
+        built = [dict(zip(cols, row)) for row in builder()]
+        assert on_disk == built, f"{fname} is stale; rerun python -m testlog_etl_spark.etl.fixtures"
