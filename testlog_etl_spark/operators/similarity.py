@@ -112,6 +112,86 @@ def kmeans_fit(
     return centroids
 
 
+def rademacher_planes(seed: int, n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic +-1 hyperplanes (sign-LSH works for any symmetric
+    coefficient distribution; Rademacher keeps them exactly reproducible
+    across machines — crc32-seeded, no RNG state)."""
+    import zlib
+
+    return [
+        [1.0 if zlib.crc32(f"{seed}:{p}:{d}".encode()) & 1 else -1.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_tables: int = 8,
+    n_bits: int = 6,
+    seed: int = 42,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane (sign) LSH: each vector gets
+    one n_bits signature per table; queries meet corpus rows only inside
+    matching (table, signature) buckets — an equi-join, not a crossJoin.
+
+    Scale shape: the corpus is scanned once, signatures are computed in one
+    codegen'd `transform` over literal planes (no shuffle, no Python), and
+    the only join is (table, sig)-keyed with the (small) query side
+    broadcast. At 1000 executors the corpus side would be written out
+    bucketed by (table, sig) so repeated query batches partition-prune.
+    Recall dial: more tables -> higher recall; more bits -> fewer, purer
+    candidates."""
+    planes = rademacher_planes(seed, n_tables * n_bits, dim)
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    pow2 = F.array(*[F.lit(float(1 << b)) for b in range(n_bits)])
+
+    def signatures(vec: Column) -> Column:
+        """array of n_tables bigint signatures for one vector."""
+        bits = F.transform(planes_lit, lambda p: (dot(vec, p) >= 0).cast("double"))
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(F.slice(bits, t * n_bits + 1, n_bits), pow2, lambda b, w: b * w),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).cast("bigint")
+                for t in range(n_tables)
+            ]
+        )
+
+    cast = lambda c: F.col(c).cast("array<double>")  # noqa: E731
+    table_idx = F.array(*[F.lit(t) for t in range(n_tables)])
+
+    def bucketed(df: DataFrame, id_col: str, vec_col: str, keep_vec: str) -> DataFrame:
+        sigs = df.select(F.col(id_col), cast(vec_col).alias(keep_vec)).withColumn(
+            "_sigs", signatures(F.col(keep_vec))
+        )
+        z = F.explode(F.arrays_zip(table_idx.alias("t"), F.col("_sigs").alias("sig")))
+        return sigs.select(id_col, keep_vec, z.alias("_b")).select(
+            id_col, keep_vec, F.col("_b.t").alias("_table"), F.col("_b.sig").alias("_sig")
+        )
+
+    c_b = bucketed(corpus, c_id, c_vec, "_cv")
+    q_b = bucketed(queries, q_id, q_vec, "_qv")
+    # a pair colliding in multiple tables must be scored once
+    cands = (
+        c_b.join(F.broadcast(q_b), on=["_table", "_sig"])
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, "_qv", "_cv")
+        .dropDuplicates([q_id, c_id])
+    )
+    scored = cands.select(q_id, c_id, cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -234,3 +234,37 @@ def agg_value_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         tables,
     )
+
+
+@register(
+    "agg_first_last",
+    doc="A12 first/last as group aggregates, deterministic via min_by/"
+    "max_by on event time ((user_id, ts) is unique in the driver data at "
+    "every SF; the tie-safe window form is etl_dedup_latest). Spark "
+    "min_by/max_by <-> DuckDB arg_min/arg_max. Plain `first` without an "
+    "order is only meaningful inside the window operator (W6).",
+    oracle="""
+SELECT user_id,
+  arg_min(event_id, ts) AS first_event,
+  arg_max(event_id, ts) AS last_event,
+  arg_min(event_type, ts) AS first_type,
+  arg_max("value", ts) AS last_value,
+  count(*) AS n
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_id", "ts").alias("first_event"),
+            F.max_by("event_id", "ts").alias("last_event"),
+            F.min_by("event_type", "ts").alias("first_type"),
+            F.max_by("value", "ts").alias("last_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )

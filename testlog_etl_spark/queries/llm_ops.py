@@ -197,6 +197,23 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_lsh_topk",
+    oracle=None,
+    doc="LSH-bucketed approximate top-k: random-hyperplane signatures, "
+    "8 tables x 4 bits, candidates meet only inside matching buckets "
+    "(equi-join, no crossJoin). Recall vs brute force pinned in tests.",
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = similarity.lsh_topk(queries, corpus, k=5, dim=64, n_tables=8, n_bits=4)
+    return out.select("q_id", "c_id", F.round("cosine", R).alias("cos"), "rank").orderBy("q_id", "rank")
+
+
+@register(
     "text_quality",
     doc="quality scoring: per-source doc counts and mean quality score "
     "(identical arithmetic spelled on both engines).",

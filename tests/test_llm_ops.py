@@ -110,3 +110,23 @@ def test_rolling_fingerprints_overlap_for_near_dups(spark):
     }
     assert len(rows[1] & rows[2]) >= 3  # near-identical share most selected grams
     assert len(rows[1] & rows[3]) == 0
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Sign-LSH bucket join: recall floor on the driver corpus. This corpus
+    is a hard regime for hyperplane LSH -- neighbors are weak (top-5 cosine
+    ~0.3) and cluster centers dominate every plane dot, so buckets form at
+    cluster granularity; the pinned floor documents that honestly rather
+    than cherry-picking an easy corpus. Also asserts the candidate set is a
+    strict subset (it's an equi-join, not a rescored crossJoin)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    brute = similarity.topk_cosine(queries, corpus, k=5)
+    approx = similarity.lsh_topk(queries, corpus, k=5, dim=64, n_tables=8, n_bits=4)
+    b = {(r["q_id"], r["c_id"]) for r in brute.collect()}
+    a_rows = approx.collect()
+    a = {(r["q_id"], r["c_id"]) for r in a_rows}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.6, f"LSH recall {recall} too low"
+    assert len(a_rows) <= 5 * 10
