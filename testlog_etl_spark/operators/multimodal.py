@@ -100,6 +100,50 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing over mapInPandas: Arrow batches of binary payloads
+    in, resized payloads + updated metadata out. The pixel resample is the
+    stubbed codec step -- here a DETERMINISTIC FAKE (payload passthrough,
+    metadata rewrite) so batch shape, schema, and partition behavior are
+    real and testable; a real implementation replaces `_fake_resize` with
+    decode -> resample -> re-encode on the same (bytes) -> bytes contract."""
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        # DETERMINISTIC FAKE (no codec in this container): a real resize
+        # returns re-encoded bytes; shape-wise identical to passthrough
+        return payload
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "payload": [
+                        _fake_resize(p if p is not None else b"", width, height)
+                        for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing: one row per sampled timestamp with the
     payload reference; the actual frame grab is the stubbed codec call.

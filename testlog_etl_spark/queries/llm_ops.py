@@ -340,3 +340,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    doc="frame-sampling plumbing with a full oracle: documents adapted as "
+    "fake videos (duration_ms = n_chars*10), sampled every 250 ms via "
+    "explode(sequence) -- the fan-out-before-decode shape; per-media "
+    "frame counts vs DuckDB range/unnest.",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id, greatest(n_chars * 10 - 1, 0) AS last_ms FROM documents
+), f AS (
+  SELECT media_id, unnest(range(0, last_ms + 1, 250)) AS frame_ms FROM m
+)
+SELECT media_id, count(*) AS n_frames, max(frame_ms) AS last_frame_ms
+FROM f
+GROUP BY media_id
+ORDER BY media_id
+LIMIT 500
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/fake").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+    )
+    frames = multimodal.sample_frames(media, every_ms=250)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.max("frame_ms").alias("last_frame_ms"))
+        .orderBy("media_id")
+        .limit(500)
+    )

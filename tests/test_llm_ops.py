@@ -130,3 +130,12 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     recall = len(a & b) / len(b)
     assert recall >= 0.6, f"LSH recall {recall} too low"
     assert len(a_rows) <= 5 * 10
+
+
+def test_resize_plumbing_shape(spark):
+    docs = spark.createDataFrame([(1, "abcd", "en", "s", 4)], ["doc_id", "text", "lang", "source", "n_chars"])
+    media = multimodal.documents_as_media(docs)
+    [r] = multimodal.resize_images(media, 32, 16).collect()
+    assert (r["width"], r["height"]) == (32, 16)
+    assert bytes(r["payload"]) == b"abcd"
+    assert r["mime"] == "application/octet-stream"
