@@ -125,3 +125,15 @@ def test_date_partition_static_and_dynamic_pruning(spark, tmp_path):
     joined = part.join(F.broadcast(dim), "event_date")
     dplan = plan_of(joined)
     assert "dynamicpruning" in dplan.lower(), dplan
+
+
+def test_ann_lsh_is_equi_join_not_cartesian(spark):
+    """sim_lsh_topk's whole value over brute force is that candidates meet
+    via a (table, signature) equi-join; a CartesianProduct/BNLJ in the plan
+    means the bucketing silently degenerated."""
+    df = _q("sim_lsh_topk")(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bucket join keys are the table index + signature
+    assert "_sig" in plan and "_table" in plan
