@@ -127,3 +127,26 @@ def test_fixture_files_match_builders():
             on_disk = [json.loads(line) for line in f]
         built = [dict(zip(cols, row)) for row in builder()]
         assert on_disk == built, f"{fname} is stale; rerun python -m testlog_etl_spark.etl.fixtures"
+
+
+def test_jsonl_tolerant_quarantine(spark, tmp_path):
+    """S1/S5 hardening: malformed lines land in the dead-letter side, good
+    lines parse on, the job never dies (the reference's skip-and-log)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from testlog_etl_spark.etl.jsonl_source import read_jsonl_tolerant
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "msg": "ok"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "msg": "also ok"}\n'
+        '{"id": "NOT_A_NUMBER", "msg": "type clash"}\n'
+    )
+    schema = StructType([StructField("id", LongType()), StructField("msg", StringType())])
+    good, bad = read_jsonl_tolerant(spark, str(p), schema)
+    assert {(r["id"], r["msg"]) for r in good.collect()} == {(1, "ok"), (2, "also ok")}
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert "this is not json at all" in bad_lines
+    assert len(bad_lines) == 2
+    assert good.columns == ["id", "msg"]
