@@ -134,3 +134,50 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "sessionize_native_window",
+    doc="the same sessions via Spark's native session_window (engine-"
+    "managed merging windows in one groupBy; streaming-ready alternative "
+    "to the lag-cumsum form). Boundary note: session_window is half-open, "
+    "so a NEW session starts at gap >= gapDuration -- the oracle's break "
+    "test is >= where the cumsum twin uses >; window close = last event "
+    "+ gap.",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 86400 THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 1 DAY AS window_close,
+  count(*) AS n_events,
+  ROUND(SUM(value), 4) AS sum_value
+FROM s
+GROUP BY user_id, sess
+ORDER BY user_id, session_start
+""",
+)
+def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "86400 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("window_close"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
