@@ -80,8 +80,10 @@ def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> Column:
     generates ~H x larger Java and costs ~8 s of Janino compile before
     the first row (measured)."""
     coefs = _minhash_coefs(n_hashes)
-    a_arr = F.array(*[F.lit(a) for a, _ in coefs])
-    b_arr = F.array(*[F.lit(b) for _, b in coefs])
+    # nested-literal form (one Literal node per array, not 128 CreateArray
+    # children) -- keeps Catalyst tree walks cheap; see similarity.lsh_topk
+    a_arr = F.lit([a for a, _ in coefs])
+    b_arr = F.lit([b for _, b in coefs])
     # loop order: shingles OUTER (each string hashed exactly once), hash
     # functions INNER, then an element-wise min reduction -- putting the
     # hash-function loop outside would re-hash every string H times

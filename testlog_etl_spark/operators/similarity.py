@@ -75,7 +75,7 @@ def _argmin_cell(vec: Column, centroids: list[tuple[int, list[float]]]) -> Colum
     small, so this is a codegen'd expression chain, not a join)."""
     best_d, best_i = None, None
     for i, c in centroids:
-        d = sq_dist(vec, F.array(*[F.lit(float(x)) for x in c]))
+        d = sq_dist(vec, F.lit([float(x) for x in c]))
         if best_d is None:
             best_d, best_i = d, F.lit(i)
         else:
@@ -149,8 +149,11 @@ def lsh_topk(
     Recall dial: more tables -> higher recall; more bits -> fewer, purer
     candidates."""
     planes = rademacher_planes(seed, n_tables * n_bits, dim)
-    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
-    pow2 = F.array(*[F.lit(float(1 << b)) for b in range(n_bits)])
+    # single nested Literal nodes, NOT CreateArray trees: F.array(*2048 lits)
+    # makes every Catalyst pass walk thousands of nodes -- measured ~3x
+    # whole-query driver overhead vs one nested literal
+    planes_lit = F.lit(planes)
+    pow2 = F.lit([float(1 << b) for b in range(n_bits)])
 
     def signatures(vec: Column) -> Column:
         """array of n_tables bigint signatures for one vector."""
@@ -166,28 +169,41 @@ def lsh_topk(
             ]
         )
 
+    from testlog_etl_spark.util import spread
+
     cast = lambda c: F.col(c).cast("array<double>")  # noqa: E731
-    table_idx = F.array(*[F.lit(t) for t in range(n_tables)])
+    table_idx = F.lit(list(range(n_tables)))
 
-    def bucketed(df: DataFrame, id_col: str, vec_col: str, keep_vec: str) -> DataFrame:
-        sigs = df.select(F.col(id_col), cast(vec_col).alias(keep_vec)).withColumn(
-            "_sigs", signatures(F.col(keep_vec))
-        )
+    # vectors + norms are materialized ONCE per side; the band self-join and
+    # the multi-table dedup below move only (id, table, sig) triples — wide
+    # embedding arrays must never ride through those shuffles
+    c_side = spread(corpus.select(F.col(c_id), cast(c_vec).alias("_cv"))).withColumn(
+        "_cn", l2_norm(F.col("_cv"))
+    ).persist()
+    q_side = queries.select(F.col(q_id), cast(q_vec).alias("_qv")).withColumn(
+        "_qn", l2_norm(F.col("_qv"))
+    ).persist()
+
+    def bucketed(df: DataFrame, id_col: str, vec_expr: Column) -> DataFrame:
+        sigs = df.select(F.col(id_col), signatures(vec_expr).alias("_sigs"))
         z = F.explode(F.arrays_zip(table_idx.alias("t"), F.col("_sigs").alias("sig")))
-        return sigs.select(id_col, keep_vec, z.alias("_b")).select(
-            id_col, keep_vec, F.col("_b.t").alias("_table"), F.col("_b.sig").alias("_sig")
+        return sigs.select(id_col, z.alias("_b")).select(
+            id_col, F.col("_b.t").alias("_table"), F.col("_b.sig").alias("_sig")
         )
 
-    c_b = bucketed(corpus, c_id, c_vec, "_cv")
-    q_b = bucketed(queries, q_id, q_vec, "_qv")
     # a pair colliding in multiple tables must be scored once
     cands = (
-        c_b.join(F.broadcast(q_b), on=["_table", "_sig"])
+        bucketed(c_side, c_id, F.col("_cv"))
+        .join(F.broadcast(bucketed(q_side, q_id, F.col("_qv"))), on=["_table", "_sig"])
         .filter(F.col(q_id) != F.col(c_id))
-        .select(q_id, c_id, "_qv", "_cv")
+        .select(q_id, c_id)
         .dropDuplicates([q_id, c_id])
     )
-    scored = cands.select(q_id, c_id, cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+    scored = (
+        cands.join(c_side, c_id)
+        .join(F.broadcast(q_side), q_id)
+        .select(q_id, c_id, (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"))
+    )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -218,7 +234,7 @@ def ivf_topk(
     dists = F.array(
         *[
             F.struct(
-                sq_dist(cast(q_vec), F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                sq_dist(cast(q_vec), F.lit([float(x) for x in c])).alias("d"),
                 F.lit(i).alias("cell"),
             )
             for i, c in centroids

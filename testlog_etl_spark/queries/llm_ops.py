@@ -199,6 +199,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_lsh_topk",
     oracle=None,
+    bench=True,
     doc="LSH-bucketed approximate top-k: random-hyperplane signatures, "
     "8 tables x 4 bits, candidates meet only inside matching buckets "
     "(equi-join, no crossJoin). Recall vs brute force pinned in tests.",

@@ -144,6 +144,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so a NEW session starts at gap >= gapDuration -- the oracle's break "
     "test is >= where the cumsum twin uses >; window close = last event "
     "+ gap.",
+    bench=True,
     oracle="""
 WITH o AS (
   SELECT user_id, ts, value,
