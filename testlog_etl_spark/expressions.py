@@ -268,6 +268,10 @@ class JXCompiler:
         makes `{"eq": {"lang": "es"}}` cost a row-group skip instead of a
         full scan at 100 TB.
         """
+        if self._is_array(ae) and not self._is_array(be):
+            return self._array_eq_scalar(self.compile(ae), self.compile(be))
+        if self._is_array(be) and not self._is_array(ae):
+            return self._array_eq_scalar(self.compile(be), self.compile(ae))
         ta, tb = self._dtype_cat(ae), self._dtype_cat(be)
         a, b = self.compile(ae), self.compile(be)
         if ta == tb and ta in ("numeric", "timestamp", "boolean"):
@@ -327,15 +331,42 @@ class JXCompiler:
             values = values["literal"]
         if not isinstance(values, list):
             values = [values]
+        if self._is_array(value):
+            # FlatList/multivalue: any element in the list (ES terms query)
+            return F.coalesce(F.arrays_overlap(c, F.lit(values)), F.lit(False))
         return F.coalesce(c.isin(*values), F.lit(False))
 
     # -- E7 missing/exists -----------------------------------------------------
 
     def _op_missing(self, args, expr):
+        if self._is_array(args):
+            return self._array_missing(self.compile(args))
         return is_missing(self.compile(args))
 
     def _op_exists(self, args, expr):
+        if self._is_array(args):
+            return ~self._array_missing(self.compile(args))
         return ~is_missing(self.compile(args))
+
+    # -- FlatList / multivalued fields (SURVEY SS1.1 hard spot) ----------------
+    # Decision: arrays stay arrays at rest (no ingest flattening); the JX
+    # scalar<->list interchangeability surfaces at the OPERATORS: a
+    # multivalued field is `missing` when null-or-empty, equals a scalar
+    # when ANY element matches, and `in` is any-overlap -- the reference's
+    # observable behavior (ES multivalue term semantics; mo_dots FlatList
+    # treats a scalar and a 1-list as the same value).
+
+    def _is_array(self, expr: Any) -> bool:
+        return isinstance(expr, str) and self.dtypes.get(expr, "").lower().startswith("array")
+
+    @staticmethod
+    def _array_missing(c: Column) -> Column:
+        return c.isNull() | (F.size(c) == 0)
+
+    def _array_eq_scalar(self, arr: Column, scalar: Column) -> Column:
+        both_missing = self._array_missing(arr) & is_missing(scalar)
+        any_match = F.exists(arr, lambda e: e.eqNullSafe(scalar))
+        return both_missing | F.coalesce(any_match, F.lit(False))
 
     # -- E8 prefix/suffix (missing pattern -> True) -----------------------------
 

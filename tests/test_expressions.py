@@ -144,3 +144,34 @@ def test_date_literals(spark):
 def test_unknown_op_raises(spark):
     with pytest.raises(ValueError, match="unknown JX op"):
         jx_expression({"frobnicate": ["a"]})
+
+
+def test_flatlist_multivalue_semantics(spark):
+    """SURVEY SS1.1 hard spot: scalar<->list interchangeability. Arrays
+    stay arrays at rest; the operators treat a multivalued field as equal
+    to a scalar when ANY element matches (ES term semantics), `in` as
+    any-overlap, and missing as null-or-empty-array."""
+    df = spark.createDataFrame(ROWS, schema=SCHEMA)
+    c = JXCompiler(now=NOW, dtypes=dict(df.dtypes))
+    cases = [
+        ("eq_any_element", {"eq": ["arr", {"literal": 2}]}, [True, True, False]),
+        ("eq_no_match", {"eq": ["arr", {"literal": 9}]}, [False, False, False]),
+        ("in_overlap", {"in": ["arr", {"literal": [3, 9]}]}, [False, True, False]),
+        ("missing_arr", {"missing": "arr"}, [False, False, True]),
+        ("exists_arr", {"exists": "arr"}, [True, True, False]),
+    ]
+    sel = [jx_expression(e, c).alias(f"c{k}") for k, (_, e, _) in enumerate(cases)]
+    out = df.orderBy("i").select(*sel).collect()
+    for k, (name, _, expected) in enumerate(cases):
+        got = [row[f"c{k}"] for row in out]
+        assert got == expected, f"{name}: got {got!r}, want {expected!r}"
+
+    # empty array is missing; missing array == missing scalar is TRUE
+    df2 = spark.createDataFrame([([], None)], "arr array<long>, n double")
+    c2 = JXCompiler(now=NOW, dtypes=dict(df2.dtypes))
+    [row] = df2.select(
+        jx_expression({"missing": "arr"}, c2).alias("m"),
+        jx_expression({"eq": ["arr", "n"]}, c2).alias("eq_mm"),
+    ).collect()
+    assert row["m"] is True
+    assert row["eq_mm"] is True
