@@ -352,3 +352,41 @@ ORDER BY log_key, suite, subtest
 def etl_perfherder(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = fixtures.perfherder_file(spark)
     return extract_perf(lines).orderBy("log_key", "suite", "subtest")
+
+
+@register(
+    "etl_typed_variant",
+    doc="SS1.2 typed-JSON analog on the dynamic props column: parse to "
+    "VARIANT once, extract $.k as per-type variants gated on "
+    "schema_of_variant (the ~n~/~s~/~b~/~e~ encoding as a struct); "
+    "oracle uses DuckDB json_type the same way.",
+    oracle="""
+SELECT event_type,
+  count(*) AS n,
+  CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exists,
+  CAST(SUM(CASE WHEN json_type(props, '$.k') IN ('UBIGINT','BIGINT','DOUBLE','HUGEINT') THEN 1 ELSE 0 END) AS BIGINT) AS n_number,
+  CAST(SUM(CASE WHEN json_type(props, '$.k') = 'VARCHAR' THEN 1 ELSE 0 END) AS BIGINT) AS n_string,
+  SUM(CASE WHEN json_type(props, '$.k') IN ('UBIGINT','BIGINT','DOUBLE','HUGEINT')
+           THEN CAST(json_extract_string(props, '$.k') AS DOUBLE) END) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def etl_typed_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.typedjson import parse_variant, typed_field
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = typed_field(parse_variant(F.col("props")), "$.k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k.e").cast("long")).alias("n_exists"),
+            F.count("k.n").alias("n_number"),
+            F.count("k.s").alias("n_string"),
+            F.sum("k.n").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from testlog_etl_spark.expressions import JXCompiler, jx_expression
 
@@ -175,3 +176,24 @@ def test_flatlist_multivalue_semantics(spark):
     ).collect()
     assert row["m"] is True
     assert row["eq_mm"] is True
+
+
+def test_typed_variant_field(spark):
+    """SS1.2 typed-encoder analog: per-type variants are gated on the
+    value's ACTUAL type (try_variant_get alone would coerce 5 -> "5")."""
+    from testlog_etl_spark.operators.typedjson import parse_variant, typed_field
+
+    df = spark.createDataFrame(
+        [('{"x": 5}',), ('{"x": "five"}',), ('{"x": true}',), ('{"x": 5.5}',), ("{}",), ("not json",)],
+        ["j"],
+    )
+    out = df.select(typed_field(parse_variant(F.col("j")), "$.x").alias("x")).collect()
+    got = [(r["x"]["b"], r["x"]["n"], r["x"]["s"], r["x"]["e"]) for r in out]
+    assert got == [
+        (None, 5.0, None, True),
+        (None, None, "five", True),
+        (True, None, None, True),
+        (None, 5.5, None, True),
+        (None, None, None, False),
+        (None, None, None, False),
+    ]
