@@ -274,3 +274,89 @@ def union_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nationkey"), F.lit("customer-nation").alias("name")
     )
     return nation.unionByName(cust).dropDuplicates().orderBy("nationkey", "name")
+
+
+@register(
+    "q10_returned_items",
+    doc="TPC-H Q10 shape: selective fact filters (quarter + returnflag) "
+    "feeding a 3-way join, grouped per customer -- CBO/AQE pick broadcast "
+    "for customer/nation; the top-20 is ordered by the ROUNDED revenue on "
+    "both engines so the cut line is deterministic.",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), {R}) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1993-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1994-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    doc="TPC-H Q18 shape: join against an aggregated subquery (orders "
+    "whose lineitems sum past a volume threshold) -- the filtered agg "
+    "side is tiny, so AQE converts the join to broadcast at runtime; "
+    "quantities are integral so the HAVING threshold is exact on both "
+    "engines.",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), {R}) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       ROUND(o_totalprice, {R}) AS total_price, sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_orderkey
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey", F.round("_q", R).alias("sum_qty"))
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", R).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -257,3 +257,55 @@ def jx_date_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables,
         now=datetime(2024, 2, 1),
     )
+
+
+@register(
+    "jx_full_pipeline",
+    doc="every clause of one JX query through run_jx: where -> groupby -> "
+    "two window clauses (whole-partition grand total, rownum under a "
+    "desc sort) -> sort -> limit. Totals are far apart, so ordering by "
+    "the unrounded sum is stable across engines; output rounds for the "
+    "hash.",
+    oracle="""
+WITH g AS (
+  SELECT event_type, count(*) AS n, SUM(value) AS total
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), w AS (
+  SELECT event_type, n, total,
+         SUM(total) OVER () AS grand,
+         ROW_NUMBER() OVER (ORDER BY total DESC, event_type) AS rn
+  FROM g
+)
+SELECT event_type, n, ROUND(total, 4) AS total, ROUND(grand, 4) AS grand, rn
+FROM w ORDER BY rn LIMIT 5
+""",
+)
+def jx_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    out = run_jx(
+        spark,
+        {
+            "from": "events",
+            "where": {"exists": "value"},
+            "groupby": "event_type",
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "total", "value": "value", "aggregate": "sum"},
+            ],
+            "window": [
+                {"name": "grand", "value": "total", "aggregate": "sum"},
+                {
+                    "name": "rn",
+                    "value": "total",
+                    "aggregate": "rownum",
+                    "sort": [{"value": "total", "sort": -1}, {"value": "event_type"}],
+                },
+            ],
+            "sort": "rn",
+            "limit": 5,
+        },
+        tables,
+    )
+    return out.select(
+        "event_type", "n", F.round("total", 4).alias("total"), F.round("grand", 4).alias("grand"), "rn"
+    )
