@@ -137,3 +137,25 @@ def test_ann_lsh_is_equi_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the bucket join keys are the table index + signature
     assert "_sig" in plan and "_table" in plan
+
+
+def test_q18_agg_subquery_join_broadcasts_and_prunes(spark):
+    """The join against the filtered aggregated subquery must be hash-
+    broadcast (not sort-merge) at test scale, and the lineitem scan must
+    read only (l_orderkey, l_quantity)."""
+    df = _q("q18_large_orders")(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    read = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    li = [s for s in read if "l_orderkey" in s]
+    assert li and all("l_extendedprice" not in s for s in li)
+
+
+def test_q10_filters_push_to_both_scans(spark):
+    """Quarter predicate reaches the orders scan and returnflag reaches
+    the lineitem scan -- the selectivity that makes Q10 cheap at scale."""
+    df = _q("q10_returned_items")(spark, SF_SMALL)
+    plan = plan_of(df)
+    pushed = [seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("l_returnflag" in p for p in pushed)
