@@ -41,6 +41,14 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark
+        # rejects by default (PARQUET_TYPE_ILLEGAL). The caller's session may
+        # not have been built by session.get_spark (the driver harness uses
+        # its own), so set the legacy conf defensively here, at the last
+        # moment before the read. It is runtime-settable (verified: conf.set
+        # then re-read succeeds) and makes the column arrive as long nanos.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with

@@ -20,3 +20,22 @@ def test_registry_consistency():
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 1
+
+
+def test_events_read_without_session_level_nanos_conf(spark, sf_dir):
+    """The driver harness builds its OWN SparkSession, without
+    spark.sql.legacy.parquet.nanosAsLong. load_table must still read
+    events.parquet (TIMESTAMP NANOS) by setting the conf defensively at
+    read time. Simulate by unsetting the conf on the shared session first
+    (runtime conf, so unset/set is safe and scoped to this test)."""
+    from pyspark.sql.types import TimestampType
+
+    from testlog_etl_spark.tables import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load_table(spark, sf_dir, "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType)
+        assert df.limit(5).count() > 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
