@@ -69,10 +69,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_shipping_priority",
     doc="TPC-H Q3 shape: selective filters on both fact sides, then "
-    "orders><lineitem join on orderkey, customer broadcast. At scale: "
-    "customer dim broadcasts; orders-lineitem is the one real shuffle, "
-    "both sides pre-filtered so AQE sizes it; top-10 is "
-    "TakeOrderedAndProject (no global sort materialization).",
+    "orders><lineitem join on orderkey. customer scales with SF so its "
+    "join is AQE-selected (broadcast at runtime while it fits, shuffle "
+    "beyond); orders-lineitem is the one real shuffle, both sides "
+    "pre-filtered so AQE sizes it; top-10 is TakeOrderedAndProject "
+    "(no global sort materialization).",
     oracle=f"""
 SELECT
   l_orderkey,
@@ -98,7 +99,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales linearly with SF -- no forced broadcast; AQE
+        # converts to broadcast at runtime while the side still fits
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -109,11 +112,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_local_supplier_volume",
-    doc="TPC-H Q5 shape: star join lineitem><orders + four broadcast dims "
-    "(supplier, customer, nation, region). The reference's enrichment "
-    "joins (J1/J2: hg-revision and buildbot mapping lookups) are exactly "
-    "this pattern: fact stream x small cached dimension -> broadcast hash "
-    "join, zero extra shuffle at any scale.",
+    doc="TPC-H Q5 shape: star join lineitem><orders + four dims. Only the "
+    "fixed-cardinality dims (nation=25, region=5) carry broadcast hints; "
+    "customer/supplier scale with SF and are AQE-selected. The reference's "
+    "enrichment joins (J1/J2: hg-revision and buildbot mapping lookups) "
+    "are the fixed-dim pattern: fact stream x small cached dimension -> "
+    "broadcast hash join, zero extra shuffle at any scale.",
     oracle=f"""
 SELECT
   n_name,
@@ -144,9 +148,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer and supplier scale linearly with SF: forcing a broadcast
+        # OOMs executors at the 100x target. Only the fixed-cardinality dims
+        # (nation=25, region=5) keep explicit hints; AQE broadcasts the
+        # others at runtime for as long as they actually fit.
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -307,7 +315,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer grows with SF: AQE-selected join, hint only the fixed dim
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R).alias("revenue"))
@@ -349,7 +358,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # no forced hint: customer scales with SF, and the doc above already
+        # relies on AQE runtime conversion for the tiny aggregated side
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -359,4 +370,83 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
         .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_semi_anti",
+    doc="Combined J5 semi/anti verification in one driver slot: EXISTS "
+    "(orders with a high-quantity lineitem) UNION ALL NOT EXISTS "
+    "(customers with no orders), tagged by mode. Both legs shuffle keys "
+    "only -- the scale-correct EXISTS/NOT-EXISTS plans; the union is "
+    "plan-level concat, no extra exchange.",
+    oracle="""
+SELECT mode, k, label FROM (
+  SELECT 'semi' AS mode, o_orderkey AS k, CAST(o_totalprice AS VARCHAR) AS label
+  FROM orders
+  WHERE EXISTS (
+    SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49
+  )
+  UNION ALL
+  SELECT 'anti' AS mode, c_custkey AS k, c_name AS label
+  FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+)
+ORDER BY mode, k
+""",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    cust = load_table(spark, sf_dir, "customer")
+    semi = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select(
+            F.lit("semi").alias("mode"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("string").alias("label"),
+        )
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(
+            F.lit("anti").alias("mode"),
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("label"),
+        )
+    )
+    return semi.unionByName(anti).orderBy("mode", "k")
+
+
+@register(
+    "topk_union_distinct",
+    doc="Combined O2-O5 verification in one driver slot: union of "
+    "heterogeneous sources, distinct, then top-k. dropDuplicates is one "
+    "hash-agg shuffle on the key; the limit after sort still plans "
+    "TakeOrderedAndProject over the deduped set (per-partition heaps, "
+    "k-way driver merge -- no global sort at any scale).",
+    oracle="""
+SELECT nationkey, name FROM (
+  SELECT DISTINCT nationkey, name FROM (
+    SELECT n_nationkey AS nationkey, n_name AS name FROM nation
+    UNION ALL
+    SELECT c_nationkey AS nationkey, 'customer-nation' AS name FROM customer
+  )
+)
+ORDER BY nationkey DESC, name
+LIMIT 30
+""",
+)
+def topk_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("name")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer-nation").alias("name")
+    )
+    return (
+        nation.unionByName(cust)
+        .dropDuplicates()
+        .orderBy(F.col("nationkey").desc(), "name")
+        .limit(30)
     )

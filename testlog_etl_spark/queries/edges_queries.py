@@ -254,3 +254,89 @@ def edges_two_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables,
     )
     return out.withColumn("sum_qty", F.round("sum_qty", R))
+
+
+@register(
+    "edges_duration_histogram",
+    doc="D4 DurationDomain: events.value read as a duration in seconds, "
+    "dense 60s buckets over [0, 300); longer durations collect in the "
+    "null part (allowNulls). Same one-shuffle hash-agg + bounded densify "
+    "as every other domain -- the domain frame is 5 rows at any SF.",
+    oracle=f"""
+WITH dom AS (SELECT CAST(unnest(range(0, 300, 60)) AS DOUBLE) AS dur),
+g AS (
+  SELECT FLOOR(value / 60) * 60 AS dur, count(*) AS n,
+         ROUND(SUM(value), {R}) AS sum_secs
+  FROM events WHERE value >= 0 AND value < 300 GROUP BY 1
+)
+SELECT d.dur, coalesce(g.n, 0) AS n, g.sum_secs
+FROM dom d LEFT JOIN g USING (dur)
+UNION ALL
+SELECT NULL AS dur, count(*) AS n, ROUND(SUM(value), {R}) AS sum_secs
+FROM events WHERE value IS NULL OR value < 0 OR value >= 300
+ORDER BY dur NULLS LAST
+""",
+)
+def edges_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    out = run_jx(
+        spark,
+        {
+            "from": "events",
+            "edges": [
+                {
+                    "name": "dur",
+                    "value": "value",
+                    "domain": {"type": "duration", "min": 0, "max": 300, "interval": 60},
+                }
+            ],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "sum_secs", "value": "value", "aggregate": "sum"},
+            ],
+        },
+        tables,
+    )
+    return out.withColumn("sum_secs", F.round("sum_secs", R))
+
+
+@register(
+    "edges_range_direct",
+    doc="D5 RangeDomain on a plain scalar (no D6 fan-out): l_quantity in "
+    "dense buckets of 5 over [0, 55). Every part exists even if empty; "
+    "the bucket key is a codegen'd floor expression, so the fact scan "
+    "stays whole-stage and the only shuffle is the 11-group hash-agg.",
+    oracle=f"""
+WITH dom AS (SELECT CAST(unnest(range(0, 55, 5)) AS DOUBLE) AS qty_bucket),
+g AS (
+  SELECT FLOOR(l_quantity / 5) * 5 AS qty_bucket, count(*) AS n,
+         ROUND(SUM(l_extendedprice), {R}) AS sum_price
+  FROM lineitem WHERE l_quantity >= 0 AND l_quantity < 55 GROUP BY 1
+)
+SELECT d.qty_bucket, coalesce(g.n, 0) AS n, g.sum_price
+FROM dom d LEFT JOIN g USING (qty_bucket)
+ORDER BY qty_bucket
+""",
+)
+def edges_range_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("lineitem",))
+    out = run_jx(
+        spark,
+        {
+            "from": "lineitem",
+            "edges": [
+                {
+                    "name": "qty_bucket",
+                    "value": "l_quantity",
+                    "domain": {"type": "range", "min": 0, "max": 55, "interval": 5},
+                    "allowNulls": False,
+                }
+            ],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "sum_price", "value": "l_extendedprice", "aggregate": "sum"},
+            ],
+        },
+        tables,
+    )
+    return out.withColumn("sum_price", F.round("sum_price", R))

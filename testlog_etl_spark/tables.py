@@ -30,8 +30,11 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# small dimension tables: always broadcast-join candidates
-DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Fixed-cardinality dimension tables (region=5, nation=25 at every SF):
+# the only safe *forced*-broadcast candidates. customer/supplier/part grow
+# linearly with SF, so their joins are left to AQE, which broadcasts at
+# runtime only while the (filtered) side actually fits in memory.
+DIM_TABLES = frozenset({"region", "nation"})
 
 
 def table_path(sf_dir: str, name: str) -> str:

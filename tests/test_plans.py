@@ -159,3 +159,31 @@ def test_q10_filters_push_to_both_scans(spark):
     pushed = [seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]]
     assert any("o_orderdate" in p for p in pushed)
     assert any("l_returnflag" in p for p in pushed)
+
+
+def test_scaling_tables_not_hint_forced(spark):
+    """customer/supplier/part grow linearly with SF: a *forced* broadcast
+    hint on them OOMs executors at the 100x target. Only fixed-cardinality
+    dims (nation=25, region=5) may carry hints; everything else is left to
+    AQE runtime selection. Counting hint nodes in the optimized logical
+    plan attributes exactly which joins are forced."""
+    expected_hints = {
+        "q5_local_supplier_volume": 2,  # nation + region only
+        "q10_returned_items": 1,  # nation only
+        "q18_large_orders": 0,  # AQE picks up the tiny aggregated side
+        "q3_shipping_priority": 0,
+    }
+    for name, n in expected_hints.items():
+        df = _q(name)(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        got = plan.count("strategy=broadcast")
+        assert got == n, f"{name}: expected {n} forced broadcast hints, plan has {got}"
+
+
+def test_q5_customer_join_still_broadcasts_via_aqe(spark):
+    """Dropping the hint must not cost a shuffle at small SF: after
+    execution, AQE's final plan still broadcasts the customer side."""
+    df = _q("q5_local_supplier_volume")(spark, SF_SMALL)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
