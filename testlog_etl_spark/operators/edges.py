@@ -12,11 +12,13 @@ Spark realization (scale-first):
  2. ONE hash-aggregate over the bucket keys (the only shuffle; partial
     aggregation map-side);
  3. the dense frame is the cross-join of the per-edge domain DataFrames --
-    each bounded by partition count / limit, so the product is small by
-    construction -- LEFT-joined to the aggregated groups. Catalyst
-    broadcasts the aggregated side or the domain side, whichever is
-    smaller; either way densification adds no second shuffle over the
-    fact table.
+    EVERY edge is bounded (explicit domains by their part count, default
+    domains by limit/DEFAULT_EDGE_LIMIT), so the product has a static cap
+    -- LEFT-joined to the aggregated groups. Within MAX_BROADCAST_CELLS
+    the join broadcasts (default-domain aggregates are first semi-join
+    reduced to the bounded dense frame, so the build side can never grow
+    with the data); beyond it, no hints -- AQE picks from runtime sizes.
+    Either way densification adds no second shuffle over the fact table.
 
 Range-edge fan-out (D6): a row whose {"range": {min,max}} value spans
 several buckets contributes to each -- `explode(sequence(...))` before the
@@ -56,6 +58,19 @@ def _parse_interval(interval: Any) -> tuple[str, float]:
     return ("seconds", n * mult)
 
 
+# Default part cap for D1 default domains (the reference's ES terms-size
+# behavior: a terms aggregation never returns unbounded buckets). High
+# enough that small/medium-cardinality cubes are complete, but it makes
+# every edge BOUNDED, which is what keeps the densify join broadcastable
+# by construction at any data scale.
+DEFAULT_EDGE_LIMIT = 10_000
+
+# If the dense frame (product of per-edge part caps, +1 per nullable edge)
+# could exceed this many cells, skip all broadcast hints in densification
+# and let AQE pick join strategies from runtime sizes.
+MAX_BROADCAST_CELLS = 4_000_000
+
+
 @dataclass
 class Edge:
     """A normalized edge: bucket-key expression + dense domain DataFrame."""
@@ -66,6 +81,7 @@ class Edge:
     fan_out: Column | None = None  # array of bucket keys (range-edge); overrides key
     limit: int | None = None  # default-domain part cap
     allow_nulls: bool = True
+    bound: int = DEFAULT_EDGE_LIMIT  # static worst-case part count
 
 
 def normalize_edge(spark: SparkSession, spec: Any, compiler: JXCompiler) -> Edge:
@@ -97,7 +113,10 @@ def normalize_edge(spark: SparkSession, spec: Any, compiler: JXCompiler) -> Edge
             ),
         )
         dom_df = _numeric_domain_df(spark, name, dmin, dmax, i)
-        return Edge(name=name, key=F.lit(None), domain=dom_df, fan_out=buckets, allow_nulls=allow_nulls)
+        return Edge(
+            name=name, key=F.lit(None), domain=dom_df, fan_out=buckets,
+            allow_nulls=allow_nulls, bound=n_parts,
+        )
 
     val_col = compiler.compile(value)
 
@@ -110,7 +129,7 @@ def normalize_edge(spark: SparkSession, spec: Any, compiler: JXCompiler) -> Edge
         dom_df = spark.range(1).select(F.explode(F.array(*[F.lit(v) for v in vals])).alias(name))
         # rows whose value is not in the domain fall into the null part
         key = F.when(val_col.isin(vals), val_col)
-        return Edge(name=name, key=key, domain=dom_df, allow_nulls=allow_nulls)
+        return Edge(name=name, key=key, domain=dom_df, allow_nulls=allow_nulls, bound=len(vals))
 
     if dom_type == "time":
         unit, n = _parse_interval(domain["interval"])
@@ -149,22 +168,49 @@ def normalize_edge(spark: SparkSession, spec: Any, compiler: JXCompiler) -> Edge
                 )
             )
         in_range = (ts >= dmin) & (ts < dmax)
-        return Edge(name=name, key=F.when(in_range, key), domain=dom_df, allow_nulls=allow_nulls)
+        return Edge(
+            name=name, key=F.when(in_range, key), domain=dom_df,
+            allow_nulls=allow_nulls, bound=_time_bound(domain, unit, n),
+        )
 
     if dom_type in ("range", "duration"):
         dmin, dmax, i = float(domain["min"]), float(domain["max"]), float(domain["interval"])
         v = val_col.cast("double")
         key = F.when((v >= dmin) & (v < dmax), F.lit(dmin) + F.floor((v - dmin) / i) * i)
-        return Edge(name=name, key=key, domain=_numeric_domain_df(spark, name, dmin, dmax, i), allow_nulls=allow_nulls)
+        n_parts = int(-(-(dmax - dmin) // i))
+        return Edge(
+            name=name, key=key, domain=_numeric_domain_df(spark, name, dmin, dmax, i),
+            allow_nulls=allow_nulls, bound=n_parts,
+        )
 
-    # default domain: parts discovered from data, capped by limit (D1/D9)
+    # default domain: parts discovered from data, capped by limit (D1/D9).
+    # An explicit limit wins; otherwise DEFAULT_EDGE_LIMIT applies (the
+    # reference's terms aggregations are size-capped the same way), so a
+    # default edge is still BOUNDED and the densify join stays broadcastable.
+    limit = int(spec.get("limit") or domain.get("limit") or 0) or DEFAULT_EDGE_LIMIT
     return Edge(
         name=name,
         key=val_col,
         domain=None,
-        limit=int(spec.get("limit") or domain.get("limit") or 0) or None,
+        limit=limit,
         allow_nulls=allow_nulls,
+        bound=limit,
     )
+
+
+def _time_bound(domain: dict, unit: str, n: float) -> int:
+    """Static part count of a time domain (min/max are ISO strings)."""
+    from datetime import datetime
+
+    try:
+        lo = datetime.fromisoformat(str(domain["min"]))
+        hi = datetime.fromisoformat(str(domain["max"]))
+    except ValueError:
+        return DEFAULT_EDGE_LIMIT
+    if unit == "months":
+        months = (hi.year - lo.year) * 12 + (hi.month - lo.month)
+        return max(1, int(-(-months // n)))
+    return max(1, int(-(-(hi - lo).total_seconds() // n)))
 
 
 def _numeric_domain_df(spark: SparkSession, name: str, dmin: float, dmax: float, i: float) -> DataFrame:
@@ -200,10 +246,10 @@ def cube_aggregate(
         dom = e.domain
         if dom is None:
             # default domain discovered from the aggregated result (cheap:
-            # already reduced), ordered, optionally capped
+            # already reduced), ordered, always capped (normalize_edge fills
+            # DEFAULT_EDGE_LIMIT) so the frame is bounded at any data scale
             dom = grouped.select(F.col(e.name)).where(F.col(e.name).isNotNull()).distinct()
-            if e.limit:
-                dom = dom.orderBy(e.name).limit(e.limit)
+            dom = dom.orderBy(e.name).limit(e.limit or DEFAULT_EDGE_LIMIT)
         if e.allow_nulls:
             dom = dom.unionByName(
                 spark.range(1).select(F.lit(None).cast(dom.schema[e.name].dataType).alias(e.name))
@@ -221,9 +267,31 @@ def cube_aggregate(
     for e in edges:
         c = F.col(e.name).eqNullSafe(F.col(f"__g_{e.name}"))
         cond = c if cond is None else (cond & c)
-    # both sides are post-aggregation small; broadcasting the grouped side
-    # keeps densification shuffle-free regardless of AQE estimates
-    joined = dense.join(F.broadcast(g), cond, "left").drop(*[f"__g_{e.name}" for e in edges])
+
+    # Densify-join sizing, decided STATICALLY from the edge bounds:
+    # - `dense` is capped at prod(bound_i + allowNulls_i) cells;
+    # - `g` (the aggregated side) is bounded by the domain product for
+    #   explicit domains, but for a default domain its cardinality is
+    #   data-dependent -- a high-cardinality edge at 100x data would make
+    #   broadcast(g) an executor/driver OOM. In that case cut g to the
+    #   bounded dense frame with a semi-join FIRST (build side = dense,
+    #   which is bounded), after which |g| <= |dense| and broadcasting is
+    #   safe again. Dropped rows are exactly the parts beyond the edge
+    #   limit -- same semantics the plain left join had.
+    # - If the static cell bound itself is huge (multi-edge default cubes),
+    #   skip every hint and let AQE choose from runtime sizes.
+    cells = 1
+    for e in edges:
+        cells *= e.bound + (1 if e.allow_nulls else 0)
+    if cells > MAX_BROADCAST_CELLS:
+        if any(e.domain is None for e in edges):
+            g = g.join(dense, cond, "left_semi")
+        joined = dense.join(g, cond, "left")
+    else:
+        if any(e.domain is None for e in edges):
+            g = g.join(F.broadcast(dense), cond, "left_semi")
+        joined = dense.join(F.broadcast(g), cond, "left")
+    joined = joined.drop(*[f"__g_{e.name}" for e in edges])
 
     fills = {name: 0 for name in count_like}
     if fills:

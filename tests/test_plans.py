@@ -187,3 +187,36 @@ def test_q5_customer_join_still_broadcasts_via_aqe(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final
+
+
+def test_default_domain_densify_reduces_grouped_side(spark):
+    """A default (data-discovered) domain has data-dependent cardinality;
+    before broadcasting, the aggregated side must be semi-join-reduced to
+    the bounded dense frame so the build side cannot grow with the data."""
+    df = _q("edges_default_limit")(spark, SF_SMALL)
+    plan = plan_of(df, mode="simple")
+    assert "LeftSemi" in plan, plan
+
+
+def test_huge_dense_cube_has_no_forced_broadcast(spark):
+    """Two default edges with 3000-part caps bound the dense frame at
+    ~9M cells -- past MAX_BROADCAST_CELLS the densify join must carry no
+    broadcast hint (AQE decides from runtime sizes instead)."""
+    from testlog_etl_spark.query import run_jx
+    from testlog_etl_spark.tables import load_tables
+
+    tables = load_tables(spark, SF_SMALL, ("lineitem",))
+    df = run_jx(
+        spark,
+        {
+            "from": "lineitem",
+            "edges": [
+                {"name": "ok", "value": "l_orderkey", "limit": 3000},
+                {"name": "sk", "value": "l_suppkey", "limit": 3000},
+            ],
+            "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        },
+        tables,
+    )
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, logical
