@@ -17,8 +17,10 @@ each clause adds ONE column:
 Scale: a window clause is exactly one shuffle on its partition keys (or
 zero if the upstream is already hash-partitioned on them -- Catalyst
 reuses exchanges across clauses with identical partitioning). Exact
-median/percentile-over-frame uses Spark's native window aggregate; these
-keep the frame sort inside the shuffle, no Python boundary.
+median/percentile-over-frame is a sorted collect_list + linear
+interpolation (Spark refuses median() with a window frame); the arrays
+are bounded by the frame size and stay JVM-side array intrinsics, no
+Python boundary.
 """
 
 from __future__ import annotations
@@ -89,6 +91,13 @@ def apply_window(df: DataFrame, clause: dict, compiler: JXCompiler) -> DataFrame
         value = F.when(compiler.predicate(clause["where"]), value)
 
     if agg in ("lag", "lead"):
+        # mirror the ranking-path guard: without `sort` Spark raises a deep
+        # AnalysisException; a `range` frame on lag/lead would be silently
+        # meaningless (offset functions ignore frames)
+        if not sort_cols:
+            raise ValueError(f"window aggregate {agg!r} requires `sort`")
+        if rng is not None:
+            raise ValueError(f"window aggregate {agg!r} does not accept `range`")
         n = int(clause.get("offset", 1))
         fn = F.lag if agg == "lag" else F.lead
         return df.withColumn(name, fn(value, n).over(w))

@@ -14,6 +14,11 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     scale inputs arrive in many splits and this becomes a no-op-ish
     round-robin; the shuffle it costs is proportional to the (small)
     projected columns, not the full table.
+
+    Plan-free by design: probing df.rdd.getNumPartitions() would force an
+    RDD conversion / plan analysis on the driver per call. An unconditional
+    repartition keeps planning lazy; at real scale AQE coalesces the
+    resulting shuffle partitions to the data's actual size anyway.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    return df.repartition(target)
