@@ -239,3 +239,40 @@ def test_formats(spark, people):
     assert tbl["header"] == ["d", "n"]
     lst = format_list(df)
     assert {r["d"]: r["n"] for r in lst} == {"eng": 2, "ops": 1, None: 2}
+
+
+def test_format_cube_2d_nested_reshape(spark):
+    """The reference's signature output (SURVEY SS1.3 format=cube): for N
+    edges, data[name] is an N-d nested list indexed data[i][j] by the i-th
+    part of edge 0 and j-th part of edge 1, empty cells zero-filled for
+    count-like aggregates, null parts LAST on every axis."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(dept="eng", lvl="sr", ok=True),
+            Row(dept="eng", lvl="jr", ok=True),
+            Row(dept="ops", lvl="sr", ok=True),
+            Row(dept="eng", lvl="sr", ok=True),
+            Row(dept=None, lvl="jr", ok=True),
+        ]
+    )
+    q = {
+        "from": "t",
+        "edges": [
+            {"name": "dept", "value": "dept", "domain": {"type": "set", "partitions": ["eng", "ops"]}},
+            {"name": "lvl", "value": "lvl", "domain": {"type": "set", "partitions": ["jr", "sr"]}},
+        ],
+        "select": {"name": "n", "value": ".", "aggregate": "count"},
+    }
+    out = run_jx(spark, q, {"t": df})
+    cube = format_cube(out, ["dept", "lvl"])
+    assert [e["name"] for e in cube["edges"]] == ["dept", "lvl"]
+    assert cube["edges"][0]["domain"]["partitions"] == ["eng", "ops", None]
+    assert cube["edges"][1]["domain"]["partitions"] == ["jr", "sr", None]
+    # data["n"][dept_idx][lvl_idx]; dense incl. zero cells, nulls last
+    assert cube["data"]["n"] == [
+        [1, 2, 0],  # eng: jr=1, sr=2, null-lvl=0
+        [0, 1, 0],  # ops
+        [1, 0, 0],  # null dept: the lvl='jr' row with missing dept
+    ]
