@@ -149,25 +149,27 @@ def lsh_topk(
     Recall dial: more tables -> higher recall; more bits -> fewer, purer
     candidates."""
     planes = rademacher_planes(seed, n_tables * n_bits, dim)
-    # single nested Literal nodes, NOT CreateArray trees: F.array(*2048 lits)
+    # single nested Literal node, NOT a CreateArray tree: F.array(*2048 lits)
     # makes every Catalyst pass walk thousands of nodes -- measured ~3x
     # whole-query driver overhead vs one nested literal
     planes_lit = F.lit(planes)
-    pow2 = F.lit([float(1 << b) for b in range(n_bits)])
 
-    def signatures(vec: Column) -> Column:
-        """array of n_tables bigint signatures for one vector."""
-        bits = F.transform(planes_lit, lambda p: (dot(vec, p) >= 0).cast("double"))
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(F.slice(bits, t * n_bits + 1, n_bits), pow2, lambda b, w: b * w),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).cast("bigint")
-                for t in range(n_tables)
-            ]
-        )
+    # The signature expression is ONE SQL string parsed JVM-side.
+    # Python-side construction of the same tree (nested F.transform /
+    # F.aggregate lambdas per table x bit) costs thousands of py4j round
+    # trips -- measured ~3s of driver time per query at 8x4; the SQL text
+    # parses in milliseconds and compiles to the identical codegen'd plan.
+    # `_v` is the vector column, `_planes` the literal plane matrix.
+    sig_sql = f"""
+    transform(sequence(0, {n_tables - 1}), t ->
+      cast(aggregate(sequence(0, {n_bits - 1}), cast(0.0 as double), (acc, b) ->
+        acc + cast(aggregate(zip_with(_v, element_at(_planes, t * {n_bits} + b + 1),
+                                      (x, y) -> x * y),
+                             cast(0.0 as double), (a2, x2) -> a2 + x2) >= 0.0 as double)
+              * cast(shiftleft(1, b) as double)
+      ) as bigint)
+    )
+    """
 
     from testlog_etl_spark.util import spread
 
@@ -185,7 +187,11 @@ def lsh_topk(
     ).persist()
 
     def bucketed(df: DataFrame, id_col: str, vec_expr: Column) -> DataFrame:
-        sigs = df.select(F.col(id_col), signatures(vec_expr).alias("_sigs"))
+        sigs = (
+            df.select(F.col(id_col), vec_expr.alias("_v"))
+            .withColumn("_planes", planes_lit)
+            .withColumn("_sigs", F.expr(sig_sql))
+        )
         z = F.explode(F.arrays_zip(table_idx.alias("t"), F.col("_sigs").alias("sig")))
         return sigs.select(id_col, z.alias("_b")).select(
             id_col, F.col("_b.t").alias("_table"), F.col("_b.sig").alias("_sig")
