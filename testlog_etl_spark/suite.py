@@ -173,6 +173,7 @@ def _load_all() -> None:
         "streaming_queries",
         "sources_queries",
         "setops_queries",
+        "asof_queries",
     ):
         # No blanket except: a transitive ImportError inside a module would
         # silently drop its whole query family from the driver's view.
