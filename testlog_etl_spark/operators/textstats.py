@@ -131,3 +131,63 @@ def rolling_fingerprints(col: Column, k: int = 8, keep: int = 4) -> Column:
         lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
     )
     return F.slice(F.array_sort(grams), 1, keep)
+
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """ALL n-gram occurrences in order (not deduped -- repetition signals
+    need multiplicity; `neardup.word_shingles` is the distinct variant)."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(F.sequence(F.lit(1), cnt - n + 1), lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of n-gram occurrences
+    that repeat an earlier one (1 - distinct/total; 0 for <n tokens)."""
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total > 0, F.lit(1.0) - distinct / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of n-gram occurrences taken by the single most frequent
+    n-gram (boilerplate/loop detector). O(distinct x total) per row --
+    all JVM array intrinsics, bounded by document length."""
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    counts = F.transform(
+        F.array_distinct(grams), lambda d: F.size(F.filter(grams, lambda g: g == d))
+    )
+    return F.when(
+        total > 0, F.array_max(counts).cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+# PII patterns -- restricted to syntax Java regex and RE2 (DuckDB) parse
+# identically, so oracles can re-state them verbatim
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE = r"\+[0-9]{7,15}"
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of match counts per PII class (detection tier: cheap codegen
+    regex scan; route docs with hits to the masking/review tier)."""
+    return F.struct(
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), 0)).alias("n_ipv4"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), 0)).alias("n_phone"),
+    )
+
+
+def pii_mask(col: Column) -> Column:
+    """Masking tier: replace each PII class with a typed placeholder.
+    Order matters: emails first (an email contains dot-runs an IPv4-ish
+    pattern could nibble)."""
+    masked = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    masked = F.regexp_replace(masked, PII_IPV4, "<IP>")
+    return F.regexp_replace(masked, PII_PHONE, "<PHONE>")

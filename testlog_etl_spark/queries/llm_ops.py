@@ -378,3 +378,115 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("media_id")
         .limit(500)
     )
+
+
+@register(
+    "text_repetition",
+    doc="Gopher-style repetition signals per source: mean duplicate-2gram "
+    "fraction and mean top-2gram share. Pure codegen array intrinsics per "
+    "row + one rollup shuffle -- same scale shape as the other text ops.",
+    oracle=f"""
+WITH t AS (
+  SELECT source, string_split(trim(text), ' ') AS toks FROM documents
+), g AS (
+  SELECT source, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+  FROM t
+), f AS (
+  SELECT source,
+    CASE WHEN len(grams) > 0
+         THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams) ELSE 0.0 END AS dup2,
+    CASE WHEN len(grams) > 0
+         THEN list_max(list_transform(list_distinct(grams),
+                                      d -> len(list_filter(grams, x -> x = d))))::DOUBLE
+              / len(grams)
+         ELSE 0.0 END AS top2
+  FROM g
+)
+SELECT source, count(*) AS n_docs,
+       ROUND(AVG(dup2), {R}) AS avg_dup2gram,
+       ROUND(AVG(top2), {R}) AS avg_top2gram
+FROM f GROUP BY source ORDER BY source
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    feats = docs.select(
+        "source",
+        textstats.dup_ngram_fraction(F.col("text"), 2).alias("dup2"),
+        textstats.top_ngram_fraction(F.col("text"), 2).alias("top2"),
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup2"), R).alias("avg_dup2gram"),
+            F.round(F.avg("top2"), R).alias("avg_top2gram"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_pii_scrub",
+    doc="PII detect + mask: deterministic synthetic PII (the corpus has "
+    "none) is injected IDENTICALLY on both engines, then counted per "
+    "class and masked; the masked-length sum pins the rewrite exactly. "
+    "Regexes restricted to the Java-regex/RE2 common dialect.",
+    oracle="""
+WITH synth AS (
+  SELECT source,
+    text || ' contact user' || doc_id || '@example.com from 10.'
+         || (doc_id % 200) || '.0.' || (doc_id % 250)
+         || ' call +1555' || lpad((doc_id % 10000)::VARCHAR, 7, '0')
+         || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org' ELSE '' END AS t
+  FROM documents
+), f AS (
+  SELECT source,
+    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+    len(regexp_extract_all(t, '(?:[0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ipv4,
+    len(regexp_extract_all(t, '\\+[0-9]{7,15}')) AS n_phone,
+    length(regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '(?:[0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+      '\\+[0-9]{7,15}', '<PHONE>', 'g')) AS masked_len
+  FROM synth
+)
+SELECT source, count(*) AS n_docs,
+       SUM(n_email) AS emails, SUM(n_ipv4) AS ipv4s, SUM(n_phone) AS phones,
+       SUM(masked_len) AS masked_chars
+FROM f GROUP BY source ORDER BY source
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    did = F.col("doc_id")
+    synth = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com from 10."), (did % 200).cast("string"),
+            F.lit(".0."), (did % 250).cast("string"),
+            F.lit(" call +1555"), F.lpad((did % 10000).cast("string"), 7, "0"),
+            F.when(did % 3 == 0, F.lit(" cc admin@test.org")).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    pii = textstats.pii_counts(F.col("t"))
+    f = synth.select(
+        "source",
+        pii["n_email"].alias("n_email"),
+        pii["n_ipv4"].alias("n_ipv4"),
+        pii["n_phone"].alias("n_phone"),
+        F.length(textstats.pii_mask(F.col("t"))).alias("masked_len"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("emails"),
+            F.sum("n_ipv4").alias("ipv4s"),
+            F.sum("n_phone").alias("phones"),
+            F.sum("masked_len").alias("masked_chars"),
+        )
+        .orderBy("source")
+    )
