@@ -42,3 +42,40 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = asof_join(clicks, purchases, on=["user_id"], left_time="ts", right_time="ts")
     return out.select("event_id", "user_id", "ts", "ts_asof", "pval_asof").orderBy("event_id")
+
+
+@register(
+    "range_join_windows",
+    doc="Bucketed point-in-interval join: click values matched into "
+    "[value, value+25) windows opened by purchase events, aggregated per "
+    "click. The oracle states the naive inequality join; the engine runs "
+    "the bucketed equi-join (operators/rangejoin.py) -- no BNLJ at any "
+    "scale (plan-tested).",
+    oracle="""
+SELECT c.event_id, count(*) AS n_windows, ROUND(SUM(p.value), 2) AS sum_window_lo
+FROM (SELECT event_id, value FROM events WHERE event_type = 'click') c
+JOIN (SELECT value FROM events WHERE event_type = 'purchase') p
+  ON p.value <= c.value AND c.value < p.value + 25
+GROUP BY c.event_id
+ORDER BY c.event_id
+""",
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.rangejoin import point_in_interval_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "value")
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("value").alias("lo"), (F.col("value") + 25).alias("hi"))
+    )
+    pairs = point_in_interval_join(clicks, windows, "value", "lo", "hi", bucket_width=25.0)
+    # SUM rounded at the data's own 2-decimal resolution, not AVG at 4:
+    # values carry exactly 2 decimals, so their mean regularly lands
+    # EXACTLY on a 4-decimal rounding boundary (sum/n = x.xxxx5) where
+    # ulp-level summation-order noise flips the rounded digit per engine
+    return (
+        pairs.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_windows"), F.round(F.sum("lo"), 2).alias("sum_window_lo"))
+        .orderBy("event_id")
+    )

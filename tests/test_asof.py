@@ -88,3 +88,21 @@ def test_asof_is_single_shuffle(spark):
     plan = buf.getvalue()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_range_join_is_equi_join_not_bnlj(spark):
+    """The whole point of the bucketed form: candidates meet via an
+    equi-join on the bucket key, never a nested-loop product."""
+    import contextlib
+    import io
+
+    from testlog_etl_spark import suite
+
+    suite.queries()
+    df = suite.REGISTRY["range_join_windows"].fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "__bucket" in plan
