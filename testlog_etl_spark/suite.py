@@ -115,18 +115,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sessionize_stream_stateful",
     "stream_foreachbatch_sink",
     "sessionize_batch",
-    # -- 40-50: plan-changed joins + flagship anchors
+    # -- 40-50: plan-changed joins, flagship anchors, new operators.
+    # (q6 / dedup_exact / agg_basic_groupby rotated out: r01-green and
+    # untouched since -- see COVERAGE.md "Driver-cap honesty"; the three
+    # new round-2 operators take their slots so they get driver rows.)
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q18_large_orders",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
     "dedup_minhash_lsh",
-    "dedup_exact",
-    "agg_basic_groupby",
     "join_semi_anti",
     "topk_union_distinct",
+    "asof_last_purchase",
+    "range_join_windows",
+    "text_repetition",
 )
 
 
