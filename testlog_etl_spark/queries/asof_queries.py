@@ -69,7 +69,10 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .select(F.col("value").alias("lo"), (F.col("value") + 25).alias("hi"))
     )
-    pairs = point_in_interval_join(clicks, windows, "value", "lo", "hi", bucket_width=25.0)
+    # salt=32: events.value is heavy-tailed over ~[0, 560), so /25 buckets
+    # collapse to ~22 keys with ~40% of rows in bucket 0 -- salting splits
+    # the hot bucket's pair generation across all cores (module docstring)
+    pairs = point_in_interval_join(clicks, windows, "value", "lo", "hi", bucket_width=25.0, salt=32)
     # SUM rounded at the data's own 2-decimal resolution, not AVG at 4:
     # values carry exactly 2 decimals, so their mean regularly lands
     # EXACTLY on a 4-decimal rounding boundary (sum/n = x.xxxx5) where

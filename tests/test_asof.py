@@ -106,3 +106,24 @@ def test_range_join_is_equi_join_not_bnlj(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
     assert "__bucket" in plan
+
+
+def test_range_join_salt_invariant(spark):
+    """salt only changes physical parallelism, never the result set."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.rangejoin import point_in_interval_join
+
+    points = spark.range(200).select(F.col("id").alias("pid"), (F.col("id") % 37 * 1.5).alias("v"))
+    ivals = spark.range(50).select(
+        (F.col("id") * 1.1).alias("lo"), (F.col("id") * 1.1 + 9).alias("hi")
+    )
+    rows = lambda salt: sorted(
+        map(
+            tuple,
+            point_in_interval_join(points, ivals, "v", "lo", "hi", 8.0, salt=salt).collect(),
+        )
+    )
+    unsalted = rows(1)
+    assert len(unsalted) > 0
+    assert rows(16) == unsalted
