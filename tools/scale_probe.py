@@ -11,8 +11,10 @@ The synthetic tier replicates rows with key offsets so join/group key
 cardinality scales WITH the data (pure row duplication would instead
 deepen groups and hide superlinear key effects).
 
-Usage: python tools/scale_probe.py [--skip-synth]
+Usage: python tools/scale_probe.py [--skip-synth] [--reuse-synth] [QUERY ...]
 Writes the synthetic tier under .scale_probe/ (gitignored, safe to rm).
+--reuse-synth keeps an already-built tier; positional QUERY names
+restrict the run to those queries (default: the QUERIES list below).
 """
 
 from __future__ import annotations
@@ -90,16 +92,20 @@ def main() -> None:
 
     tiers = [("sf0.001", "/root/testdata/sf0.001", 0.001), ("sf0.01", "/root/testdata/sf0.01", 0.01), ("sf0.1", BASE, 0.1)]
     if "--skip-synth" not in sys.argv:
-        t0 = time.time()
-        build_synth(spark)
-        print(f"# synth tier built in {time.time()-t0:.1f}s", file=sys.stderr)
+        if "--reuse-synth" in sys.argv and os.path.isdir(SYNTH_DIR):
+            print("# reusing existing synth tier", file=sys.stderr)
+        else:
+            t0 = time.time()
+            build_synth(spark)
+            print(f"# synth tier built in {time.time()-t0:.1f}s", file=sys.stderr)
         tiers.append(("sf0.8eq", SYNTH_DIR, 0.8))
 
     # warm the JVM so tier 1 isn't charged for startup
     qs["q1_pricing_summary"](spark, tiers[0][1]).count()
 
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")] or QUERIES
     results: dict[str, dict[str, float]] = {}
-    for qname in QUERIES:
+    for qname in wanted:
         results[qname] = {}
         for tier_name, path, _ in tiers:
             t0 = time.time()
