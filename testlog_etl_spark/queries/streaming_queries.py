@@ -137,6 +137,30 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_redelivery",
+    doc="at-least-once redelivery (stream unioned with itself = every "
+    "event delivered twice) restored to exactly-once IN-STREAM via "
+    "dropDuplicatesWithinWatermark(event_id); the aggregate over the "
+    "deduped sink equals the batch aggregate over the single-delivery "
+    "table -- a doubled count is an immediate hash mismatch.",
+    oracle="""
+SELECT event_type, count(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = jobs.dedup_redelivered(spark, sf_dir)
+    out = jobs.run_to_completion(deduped, "stream_dedup_redelivery", output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "sessionize_native_window",
     doc="the same sessions via Spark's native session_window (engine-"
     "managed merging windows in one groupBy; streaming-ready alternative "

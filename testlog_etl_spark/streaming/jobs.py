@@ -80,6 +80,25 @@ def hourly_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_redelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once redelivery, deduped IN-STREAM: the block stream
+    unioned with itself models a queue redelivering every message twice;
+    ``dropDuplicatesWithinWatermark`` on the message id restores
+    exactly-once semantics before any downstream transform, holding one
+    state row per id only within the watermark horizon (bounded state --
+    the alternative to deduping at the sink via deterministic-id
+    overwrite; both are provided, like the reference's queue-ack plus
+    sink-dedup belt-and-braces).
+
+    Scale: state is keyed by event_id and expires with the watermark, so
+    memory is bounded by (arrival rate x watermark), not stream length.
+    """
+    first = stream_table(spark, sf_dir, "events")
+    redelivery = stream_table(spark, sf_dir, "events")
+    both = first.unionByName(redelivery)
+    return both.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+
+
 def foreach_batch_idempotent(spark: SparkSession, sf_dir: str, out_path: str, query_name: str) -> None:
     """The reference's pipeline sink: each micro-batch is transformed and
     written via deterministic-id overwrite, so redelivery/re-run leaves
