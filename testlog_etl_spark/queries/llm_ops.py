@@ -490,3 +490,40 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "decontam_ngram_overlap",
+    doc="train/eval decontamination: corpus docs (doc_id % 20 != 0) "
+    "sharing >= 3 distinct 5-gram word sequences with any benchmark doc "
+    "(doc_id % 20 == 0). Equi-join on hashed n-grams, benchmark side "
+    "broadcast -- the corpus never shuffles, pair volume is true-overlap "
+    "bounded, never |corpus| x |eval| (operators/decontam.py).",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(t) - 4),
+                i -> array_to_string(t[i+1:i+5], ' ')))) AS ng
+  FROM tok WHERE len(t) >= 5
+)
+SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+FROM g c JOIN g b ON c.ng = b.ng
+WHERE c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+GROUP BY c.doc_id, b.doc_id
+HAVING count(*) >= 3
+ORDER BY c.doc_id, bench_id
+""",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.decontam import ngram_contamination
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corpus = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = ngram_contamination(corpus, bench, n=5, min_shared=3)
+    return out.select("doc_id", "bench_id", "n_shared").orderBy("doc_id", "bench_id")

@@ -139,3 +139,27 @@ def test_resize_plumbing_shape(spark):
     assert (r["width"], r["height"]) == (32, 16)
     assert bytes(r["payload"]) == b"abcd"
     assert r["mime"] == "application/octet-stream"
+
+
+def test_word_ngrams_distinct_and_short_doc_drop(spark):
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.decontam import ngram_contamination, word_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),  # 3-grams: abc bca cab abc ... repeats -> distinct
+            (2, "too short"),  # < 3 tokens -> no rows
+            (3, "a b c x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    g = word_ngrams(docs, "doc_id", "text", 3)
+    by_doc = {r["doc_id"]: r["n"] for r in g.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    # doc 1: 6 windows but only 3 distinct 3-grams (abc, bca, cab)
+    assert by_doc == {1: 3, 3: 4}
+
+    bench = spark.createDataFrame([(10, "a b c x y z w")], "bench_id long, text string")
+    out = ngram_contamination(docs, bench, n=3, min_shared=2).collect()
+    # doc 3 shares (a b c, b c x, c x y, x y z) = 4; doc 1 shares only (a b c)
+    assert [(r["doc_id"], r["bench_id"], r["n_shared"]) for r in out] == [(3, 10, 4)]

@@ -220,3 +220,14 @@ def test_huge_dense_cube_has_no_forced_broadcast(spark):
     )
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in logical, logical
+
+
+def test_decontam_broadcasts_bench_and_joins_on_hash(spark):
+    """Decontamination must meet via a hashed-n-gram equi-join with the
+    (small) benchmark side broadcast -- never a pairwise document
+    comparison, and document text must not ride the aggregation shuffle."""
+    df = _q("decontam_ngram_overlap")(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "xxhash64" in plan
