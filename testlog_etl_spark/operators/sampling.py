@@ -1,0 +1,56 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training pipelines need splits and samples that are (a) stable across
+runs and engines (no RNG state, no partition-order dependence), (b)
+sticky per key (a document keeps its split forever, even as the corpus
+around it grows), and (c) cheap at 100 TB (a pure projection -- no
+shuffle, no sort, no join). ``sample()``/``rand()`` give none of these.
+
+The bucket function is the first 15 hex digits (60 bits) of
+md5(key || ':' || seed) taken mod ``buckets``. md5 is available and
+bit-identical in every engine (the DuckDB oracle computes the same
+bucket), and 60 bits keeps the hex->int conversion inside BIGINT range.
+Salting with ``seed`` decorrelates independent samples over the same
+keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int = 10_000, seed: str = "0") -> Column:
+    """Uniform stable bucket in [0, buckets) from md5(key || ':' || seed)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(":" + seed)))
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"), F.lit(buckets))
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, buckets: int = 10_000, seed: str = "0") -> DataFrame:
+    """Deterministic ~fraction sample, sticky per id."""
+    return df.filter(hash_bucket(F.col(id_col), buckets, seed) < int(round(fraction * buckets)))
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    buckets: int = 10_000,
+    seed: str = "0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Adds ``out_col`` assigning each row to a named split with the
+    given weights (must sum to ~1). Pure projection: no shuffle."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(F.col(id_col), buckets, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < int(round(acc * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))

@@ -527,3 +527,35 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ngram_contamination(corpus, bench, n=5, min_shared=3)
     return out.select("doc_id", "bench_id", "n_shared").orderBy("doc_id", "bench_id")
+
+
+@register(
+    "split_hash_deterministic",
+    doc="deterministic 80/10/10 train/val/test split, sticky per doc_id: "
+    "bucket = first 60 bits of md5(doc_id || ':' || seed) mod 10000 -- a "
+    "pure projection (no shuffle/sort/RNG), bit-identical in any engine, "
+    "so the oracle recomputes the SAME assignment (operators/sampling.py).",
+    oracle="""
+WITH b AS (
+  SELECT source, n_chars,
+         try_cast(('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15)) AS BIGINT) % 10000 AS bkt
+  FROM documents
+), s AS (
+  SELECT source, n_chars,
+         CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, source, count(*) AS n_docs, SUM(n_chars) AS chars
+FROM s GROUP BY split, source ORDER BY split, source
+""",
+)
+def split_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sampling import split_assign
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="42")
+    return (
+        out.groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+        .orderBy("split", "source")
+    )

@@ -163,3 +163,38 @@ def test_word_ngrams_distinct_and_short_doc_drop(spark):
     out = ngram_contamination(docs, bench, n=3, min_shared=2).collect()
     # doc 3 shares (a b c, b c x, c x y, x y z) = 4; doc 1 shares only (a b c)
     assert [(r["doc_id"], r["bench_id"], r["n_shared"]) for r in out] == [(3, 10, 4)]
+
+
+def test_hash_split_sticky_and_shuffle_free(spark):
+    import contextlib
+    import io
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.sampling import hash_sample, split_assign
+
+    ids = spark.range(2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r["doc_id"]: r["split"] for r in split_assign(ids, "doc_id", w).collect()}
+    # sticky: the same id gets the same split inside ANY subset of the data
+    sub = ids.filter(F.col("doc_id") % 7 == 0)
+    for r in split_assign(sub, "doc_id", w).collect():
+        assert full[r["doc_id"]] == r["split"]
+    # weights roughly respected
+    n_train = sum(1 for s in full.values() if s == "train")
+    assert 0.75 < n_train / 2000 < 0.85
+    # different seed decorrelates
+    other = {r["doc_id"]: r["split"] for r in split_assign(ids, "doc_id", w, seed="x").collect()}
+    assert any(full[k] != other[k] for k in full)
+    # pure projection: no exchange in the plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        split_assign(ids, "doc_id", w).explain()
+    assert "Exchange" not in buf.getvalue()
+    # sampling: deterministic and ~fraction
+    a = hash_sample(ids, "doc_id", 0.25).count()
+    assert a == hash_sample(ids, "doc_id", 0.25).count()
+    assert 0.2 < a / 2000 < 0.3
+    with pytest.raises(ValueError):
+        split_assign(ids, "doc_id", {"a": 0.5, "b": 0.2})
