@@ -115,16 +115,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sessionize_stream_stateful",
     "stream_foreachbatch_sink",
     "sessionize_batch",
-    # -- 40-50: plan-changed joins, flagship anchors, new operators.
-    # (q6 / dedup_exact / agg_basic_groupby rotated out: r01-green and
-    # untouched since -- see COVERAGE.md "Driver-cap honesty"; the three
-    # new round-2 operators take their slots so they get driver rows.)
+    # -- 40-50: plan-changed joins and new round-2 operators.
+    # Rotated out as r01-hash-green AND code-unchanged since (see
+    # COVERAGE.md "Driver-cap honesty"): q6, dedup_exact,
+    # agg_basic_groupby, q1, q3, dedup_minhash_lsh -- their slots go to
+    # the new oracle-backed operators so every new op gets a driver row.
+    # q5/q10/q18 stay in: their join strategy changed this round.
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q18_large_orders",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "dedup_minhash_lsh",
+    "decontam_ngram_overlap",
+    "split_hash_deterministic",
+    "stream_dedup_redelivery",
     "join_semi_anti",
     "topk_union_distinct",
     "asof_last_purchase",
