@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from testlog_etl_spark.operators.textstats import tokens
+from testlog_etl_spark.util import const_array
 
 N_HASHES = 128
 BAND_R = 2  # rows per band -> N_HASHES // BAND_R bands
@@ -80,10 +81,11 @@ def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> Column:
     generates ~H x larger Java and costs ~8 s of Janino compile before
     the first row (measured)."""
     coefs = _minhash_coefs(n_hashes)
-    # nested-literal form (one Literal node per array, not 128 CreateArray
-    # children) -- keeps Catalyst tree walks cheap; see similarity.lsh_topk
-    a_arr = F.lit([a for a, _ in coefs])
-    b_arr = F.lit([b for _, b in coefs])
+    # SQL-text constant (util.const_array): one py4j call, JVM-parsed,
+    # constant-folded to a single Literal node -- F.lit on a Python list
+    # walks it element-wise on the driver (see util.const_array docstring)
+    a_arr = const_array([a for a, _ in coefs])
+    b_arr = const_array([b for _, b in coefs])
     # loop order: shingles OUTER (each string hashed exactly once), hash
     # functions INNER, then an element-wise min reduction -- putting the
     # hash-function loop outside would re-hash every string H times

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from testlog_etl_spark.util import const_array
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -75,7 +77,7 @@ def _argmin_cell(vec: Column, centroids: list[tuple[int, list[float]]]) -> Colum
     small, so this is a codegen'd expression chain, not a join)."""
     best_d, best_i = None, None
     for i, c in centroids:
-        d = sq_dist(vec, F.lit([float(x) for x in c]))
+        d = sq_dist(vec, const_array([float(x) for x in c]))
         if best_d is None:
             best_d, best_i = d, F.lit(i)
         else:
@@ -152,7 +154,7 @@ def lsh_topk(
     # single nested Literal node, NOT a CreateArray tree: F.array(*2048 lits)
     # makes every Catalyst pass walk thousands of nodes -- measured ~3x
     # whole-query driver overhead vs one nested literal
-    planes_lit = F.lit(planes)
+    planes_lit = const_array(planes)
 
     # The signature expression is ONE SQL string parsed JVM-side.
     # Python-side construction of the same tree (nested F.transform /
@@ -240,7 +242,7 @@ def ivf_topk(
     dists = F.array(
         *[
             F.struct(
-                sq_dist(cast(q_vec), F.lit([float(x) for x in c])).alias("d"),
+                sq_dist(cast(q_vec), const_array([float(x) for x in c])).alias("d"),
                 F.lit(i).alias("cell"),
             )
             for i, c in centroids

@@ -198,3 +198,23 @@ def test_hash_split_sticky_and_shuffle_free(spark):
     assert 0.2 < a / 2000 < 0.3
     with pytest.raises(ValueError):
         split_assign(ids, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_const_array_matches_lit(spark):
+    """SQL-text constants must be value- and type-identical to F.lit."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.util import const_array
+
+    nested = [[1.5, -2.0, 3e-7], [0.1, 2.0, -0.0]]
+    flat_ints = [3, -7, 1 << 60]
+    df = spark.range(1).select(
+        const_array(nested).alias("a"), F.lit(nested).alias("b"),
+        const_array(flat_ints).alias("c"), F.lit(flat_ints).alias("d"),
+        const_array(["x", "it's"]).alias("e"), F.lit(["x", "it's"]).alias("f"),
+    )
+    assert df.schema["a"].dataType == df.schema["b"].dataType
+    assert df.schema["c"].dataType == df.schema["d"].dataType
+    assert df.schema["e"].dataType == df.schema["f"].dataType
+    r = df.first()
+    assert r["a"] == r["b"] and r["c"] == r["d"] and r["e"] == r["f"]
