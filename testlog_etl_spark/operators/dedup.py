@@ -37,3 +37,38 @@ def content_hash(col: Column) -> Column:
     collapse whitespace, xxhash64 (cheap, partition-order independent)."""
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.xxhash64(norm)
+
+
+def chunk_instances(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode each document into its non-overlapping k-token chunks
+    (full chunks only): one row per (id, pos) with `chunk_hash` =
+    xxhash64 of the chunk text. The shuffle-side unit for sub-document
+    dedup -- only the 8-byte hash rides the exchange, never the text
+    (hash equality == text equality up to xxhash64 collisions,
+    ~n^2/2^65: negligible and deterministic)."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    chunks = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k, F.lit(k)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("chunk_hash"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,chunk_hash:bigint>>"))
+    ex = df.select(id_col, *carry, F.explode(chunks).alias("c"))
+    return ex.select(id_col, *carry, F.col("c.pos").alias("pos"), F.col("c.chunk_hash").alias("chunk_hash"))
+
+
+def dedup_chunks(instances: DataFrame, id_col: str) -> DataFrame:
+    """Cross-document repeated-chunk removal (the RefinedWeb/CCNet
+    line-dedup analog for unstructured text): among all instances of an
+    identical chunk, keep ONLY the earliest by (id, pos); adds a `kept`
+    boolean. One shuffle on chunk_hash; deterministic, so re-runs and
+    oracles agree on exactly which instance survives."""
+    w = Window.partitionBy("chunk_hash").orderBy(F.col(id_col), F.col("pos"))
+    return instances.withColumn("kept", F.row_number().over(w) == 1)

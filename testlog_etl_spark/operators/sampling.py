@@ -31,6 +31,36 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float, buckets: int = 10_0
     return df.filter(hash_bucket(F.col(id_col), buckets, seed) < int(round(fraction * buckets)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    buckets: int = 10_000,
+    seed: str = "0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its id's hash
+    bucket falls under its stratum's fraction (strata not named get
+    ``default``). The standard corpus-mixing move -- downsample web,
+    keep books/wiki -- as a pure projection+filter: no shuffle, no RNG,
+    sticky per id, and upsizing one stratum's fraction later KEEPS every
+    previously sampled row (buckets nest), so mixes are re-tunable
+    without re-materializing the corpus."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
+    b = hash_bucket(F.col(id_col), buckets, seed)
+    thr: Column | None = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        cut = F.lit(int(round(frac * buckets)))
+        thr = F.when(cond, cut) if thr is None else thr.when(cond, cut)
+    default_cut = F.lit(int(round(default * buckets)))
+    thr = default_cut if thr is None else thr.otherwise(default_cut)
+    return df.filter(b < thr)
+
+
 def split_assign(
     df: DataFrame,
     id_col: str,

@@ -559,3 +559,164 @@ def split_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
         .orderBy("split", "source")
     )
+
+
+@register(
+    "docs_filter_pipeline",
+    doc="composite C4/Gopher-style quality gate: first-failing-rule "
+    "verdict (too_short -> low_stopword -> repetitive -> bad_shape -> "
+    "keep) as one chained CASE inside the scan's codegen; drop-reason "
+    "histogram with kept-token mass per verdict (operators/filtering.py).",
+    oracle="""
+WITH s AS (
+  SELECT
+    len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS n_tok,
+    len(list_filter(string_split(lower(text),' '),
+        t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))::DOUBLE
+      / greatest(len(string_split(lower(text),' ')), 1) AS sw,
+    list_sum(list_transform(list_filter(string_split(trim(text), ' '), t -> t <> ''),
+                            t -> length(t)))::DOUBLE
+      / greatest(len(list_filter(string_split(trim(text), ' '), t -> t <> '')), 1) AS mtl,
+    CASE WHEN len(string_split(trim(text), ' ')) >= 2
+         THEN 1.0 - len(list_distinct(list_transform(range(1, len(string_split(trim(text),' '))),
+                i -> string_split(trim(text),' ')[i] || ' ' || string_split(trim(text),' ')[i+1])))::DOUBLE
+              / (len(string_split(trim(text),' ')) - 1)
+         ELSE 0.0 END AS dup2
+  FROM documents
+), v AS (
+  SELECT n_tok,
+    CASE WHEN n_tok < 25 THEN 'too_short'
+         WHEN sw < 0.02 THEN 'low_stopword'
+         WHEN dup2 > 0.05 THEN 'repetitive'
+         WHEN NOT (mtl BETWEEN 2.0 AND 9.0) THEN 'bad_shape'
+         ELSE 'keep' END AS verdict
+  FROM s
+)
+SELECT verdict, count(*) AS n_docs, SUM(n_tok) AS tokens
+FROM v GROUP BY verdict ORDER BY verdict
+""",
+)
+def docs_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.filtering import filter_verdict
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select(
+            filter_verdict(F.col("text")).alias("verdict"),
+            textstats.token_count(F.col("text")).alias("n_tok"),
+        )
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tokens"))
+        .orderBy("verdict")
+    )
+
+
+@register(
+    "sample_stratified",
+    doc="per-stratum deterministic corpus mixing (downsample some "
+    "sources, keep others): md5-bucket threshold per source, default "
+    "rate for unnamed strata -- pure projection+filter, no shuffle/RNG, "
+    "sticky per doc_id, nested buckets so rates are re-tunable "
+    "(operators/sampling.py::stratified_sample).",
+    oracle="""
+WITH b AS (
+  SELECT source, n_chars,
+         try_cast(('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15)) AS BIGINT) % 10000 AS bkt
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, SUM(n_chars) AS chars
+FROM b
+WHERE bkt < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                        WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000
+                        ELSE 400 END
+GROUP BY source ORDER BY source
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sampling import stratified_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    kept = stratified_sample(
+        docs,
+        strata_col="source",
+        id_col="doc_id",
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        default=0.04,
+        seed="7",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_chunk_crossdoc",
+    doc="sub-document dedup (RefinedWeb/CCNet line-dedup analog): "
+    "non-overlapping 3-token chunks, an identical chunk keeps only its "
+    "earliest (doc_id, pos) instance corpus-wide. Shuffle carries the "
+    "8-byte chunk hash, never text (operators/dedup.py::dedup_chunks); "
+    "oracle windows over chunk TEXT -- agreement also certifies the "
+    "hash-equality assumption.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, source, i AS pos, array_to_string(toks[i+1:i+3], ' ') AS chunk
+  FROM t, unnest(range(0, greatest(len(toks) - 2, 0), 3)) AS u(i)
+  WHERE len(toks) >= 3
+), r AS (
+  SELECT source, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM c
+)
+SELECT source, count(*) AS n_chunks,
+       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+FROM r GROUP BY source ORDER BY source
+""",
+)
+def dedup_chunk_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.dedup import chunk_instances, dedup_chunks
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    inst = chunk_instances(docs, "doc_id", "text", k=3, carry=("source",))
+    marked = dedup_chunks(inst, "doc_id")
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_vocab_topk",
+    doc="corpus vocabulary: top-50 terms by occurrence count with "
+    "document frequency (tokenizer/vocab-building primitive). "
+    "explode -> one partial-agg shuffle on term; total order "
+    "(n DESC, term) makes the top-k deterministic across engines.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+FROM t GROUP BY term
+ORDER BY n DESC, term
+LIMIT 50
+""",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    terms = docs.select("doc_id", F.explode(textstats.tokens(F.col("text"))).alias("term"))
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n"), "term")
+        .limit(50)
+    )

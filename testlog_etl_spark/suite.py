@@ -120,18 +120,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # COVERAGE.md "Driver-cap honesty"): q6, dedup_exact,
     # agg_basic_groupby, q1, q3, dedup_minhash_lsh -- their slots go to
     # the new oracle-backed operators so every new op gets a driver row.
-    # q5/q10/q18 stay in: their join strategy changed this round.
+    # q5 stays in as the representative of the forced-broadcast removal
+    # (q10/q18 share the same change; covered by the local differential
+    # gate + test_plans); join_semi_anti / topk_union_distinct rotate
+    # out -- their constituent ops were r01-green as separate queries.
     "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q18_large_orders",
     "decontam_ngram_overlap",
     "split_hash_deterministic",
     "stream_dedup_redelivery",
-    "join_semi_anti",
-    "topk_union_distinct",
     "asof_last_purchase",
     "range_join_windows",
     "text_repetition",
+    "docs_filter_pipeline",
+    "sample_stratified",
+    "dedup_chunk_crossdoc",
+    "text_vocab_topk",
 )
 
 

@@ -218,3 +218,52 @@ def test_const_array_matches_lit(spark):
     assert df.schema["e"].dataType == df.schema["f"].dataType
     r = df.first()
     assert r["a"] == r["b"] and r["c"] == r["d"] and r["e"] == r["f"]
+
+
+def test_filter_verdict_first_match_wins(spark):
+    """A doc failing several rules must count under the FIRST rule only."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.filtering import filter_verdict
+
+    rows = [
+        ("short short short",),          # too_short (and low_stopword)
+        (" ".join(["the word"] * 40),),  # long, stopwords ok, repetitive
+        (" ".join(f"w{i}" for i in range(40)),),  # low_stopword
+    ]
+    df = spark.createDataFrame(rows, ["text"]).select(
+        filter_verdict(F.col("text")).alias("v")
+    )
+    assert [r["v"] for r in df.collect()] == ["too_short", "repetitive", "low_stopword"]
+
+
+def test_stratified_sample_nests_and_defaults(spark):
+    """Raising a stratum's fraction must keep every previously kept row
+    (md5 buckets nest); unnamed strata use the default rate."""
+    from testlog_etl_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)], ["id", "s"]
+    )
+    small = {r["id"] for r in stratified_sample(df, "s", "id", {"a": 0.2}, default=0.1).collect()}
+    big = {r["id"] for r in stratified_sample(df, "s", "id", {"a": 0.6}, default=0.1).collect()}
+    assert small <= big
+    b_rate = sum(1 for i in small if i % 2 == 1) / 1000
+    assert 0.05 < b_rate < 0.15  # default rate applied to stratum 'b'
+
+
+def test_chunk_dedup_keeps_earliest_instance(spark):
+    from testlog_etl_spark.operators.dedup import chunk_instances, dedup_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),       # chunks: "a b c", "x y z"
+            (2, "a b c a b c"),       # "a b c" twice -- both dups of doc 1's
+            (3, "q r s"),             # unique
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup_chunks(chunk_instances(df, "doc_id", "text", k=3), "doc_id").collect()
+    kept = {(r["doc_id"], r["pos"]) for r in out if r["kept"]}
+    assert kept == {(1, 0), (1, 3), (3, 0)}
+    assert len(out) == 5
