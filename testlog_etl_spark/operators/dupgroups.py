@@ -1,0 +1,108 @@
+"""Duplicate-group resolution: turn verified near-duplicate PAIRS into
+duplicate COMPONENTS and pick one canonical document per component.
+
+This is the stage real dedup pipelines need after MinHash/LSH: pair
+output alone can't answer "which docs do I keep?" because duplicates
+chain (A~B, B~C but A!~C must still collapse to ONE kept doc). The
+answer is connected components over the pair graph, with the component's
+minimum doc id as the deterministic group id / canonical survivor.
+
+Scale design (the reason this is iterative DataFrame code, not a
+`collect()` + union-find on the driver):
+
+- min-label propagation with POINTER JUMPING: each iteration every node
+  takes the min of (its label, its neighbors' labels), then labels are
+  contracted through the label table itself (``comp <- label[comp]``).
+  Neighbor-min alone needs O(diameter) rounds (a 1M-doc duplicate chain
+  would need 1M rounds); pointer jumping halves path lengths every
+  round, giving O(log n) convergence -- the Hash-to-Min bound (Rastogi
+  et al., "Finding Connected Components in Map-Reduce in Logarithmic
+  Rounds", ICDE 2013).
+- each round is two key-shuffles (edge join + groupBy min, then the
+  label self-join); the shuffled rows are (long, long) pairs only --
+  never text or signatures.
+- ``localCheckpoint(eager=True)`` after every round truncates the plan:
+  without it the lineage doubles per iteration and Catalyst analysis
+  time explodes around round ~8. On a real cluster with unreliable
+  executors you'd use ``spark.sparkContext.setCheckpointDir`` + reliable
+  ``checkpoint()`` instead; local mode has no such dir, so the operator
+  uses the executor-storage variant.
+- convergence is detected with a ``changed == 0`` probe (a LIMIT 1
+  count on the rows whose label shrank): one cheap action per round,
+  bounded by ``max_iter`` as a runaway guard.
+
+Duplicate graphs in practice are many tiny cliques plus rare hub
+components (boilerplate), so expected rounds ~2-3; the log-n bound is
+the worst case, not the common one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(id, comp) for every node appearing in ``edges``; ``comp`` is the
+    smallest node id in the node's connected component.
+
+    Nodes with no edges don't appear -- callers left-join and coalesce
+    with the node's own id (see :func:`dup_groups`).
+    """
+    half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # 1. neighbor min: smallest label among each node's neighbors
+        nbr = (
+            sym.join(labels.select(F.col("id").alias("b"), F.col("comp").alias("nb_comp")), "b")
+            .groupBy("a")
+            .agg(F.min("nb_comp").alias("nb_min"))
+            .select(F.col("a").alias("id"), "nb_min")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.col("comp").alias("old"),
+            F.least("comp", F.coalesce("nb_min", "comp")).alias("comp"),
+        )
+        # 2. pointer jump: contract comp through the label table (comp is
+        # always some node's id, so the self-join hits). This is what
+        # turns O(diameter) into O(log n) rounds.
+        jump = stepped.select(F.col("id").alias("comp"), F.col("comp").alias("jmp"))
+        new = (
+            stepped.join(jump, "comp", "left")
+            .select("id", "old", F.least("comp", F.coalesce("jmp", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("comp") < F.col("old")).limit(1).count()
+        labels = new.select("id", "comp")
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_groups(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach ``group_id`` (min doc id of the duplicate component; own id
+    for docs with no duplicates) and ``is_canonical`` (the one doc per
+    group a dedup pass keeps) to every row of ``docs``.
+
+    The join back to ``docs`` is on the doc id -- the component table is
+    at most |docs| rows of two longs, so at 100 TB it's still tiny
+    relative to the corpus and AQE will broadcast it; no hint needed.
+    """
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed("id", id_col)
+    return (
+        docs.join(comp, id_col, "left")
+        .withColumn("group_id", F.coalesce("comp", F.col(id_col)))
+        .drop("comp")
+        .withColumn("is_canonical", (F.col("group_id") == F.col(id_col)).cast("boolean"))
+    )

@@ -720,3 +720,53 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "term")
         .limit(50)
     )
+
+
+@register(
+    "dedup_group_resolve",
+    doc="duplicate-GROUP resolution: connected components over the "
+    "LSH-verified pair graph (duplicates chain: A~B~C collapses to one "
+    "group even when A!~C), min-id canonical per group. Spark side is "
+    "O(log n)-round label propagation with pointer jumping "
+    "(operators/dupgroups.py); oracle recomputes components via a "
+    "recursive CTE over the exact O(n^2) pair scan. Output: corpus "
+    "group-size histogram (singletons = size 1).",
+    oracle=f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh))) >= 0.5
+),
+sym AS (SELECT src AS a, dst AS b FROM pairs UNION ALL SELECT dst AS a, src AS b FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+),
+comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+lab AS (
+  SELECT documents.doc_id, coalesce(comp.comp, documents.doc_id) AS group_id
+  FROM documents LEFT JOIN comp ON comp.id = documents.doc_id
+),
+grp AS (SELECT group_id, count(*) AS group_size FROM lab GROUP BY group_id)
+SELECT group_size, count(*) AS n_groups
+FROM grp GROUP BY group_size ORDER BY group_size
+""",
+)
+def dedup_group_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import dupgroups
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = neardup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    g = dupgroups.dup_groups(docs, pairs, "doc_id")
+    return (
+        g.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .orderBy("group_size")
+    )

@@ -267,3 +267,28 @@ def test_chunk_dedup_keeps_earliest_instance(spark):
     kept = {(r["doc_id"], r["pos"]) for r in out if r["kept"]}
     assert kept == {(1, 0), (1, 3), (3, 0)}
     assert len(out) == 5
+
+
+def test_connected_components_chains_and_paths(spark):
+    """A~B~C collapses to one group without an A-C edge; a 16-node path
+    converges (pointer jumping) well under the iteration cap."""
+    from testlog_etl_spark.operators.dupgroups import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    edges += [(100 + i, 101 + i) for i in range(15)]  # path 100..115
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    comp = {r["id"]: r["comp"] for r in connected_components(df, max_iter=8).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == 20
+    assert {comp[100 + i] for i in range(16)} == {100}
+
+
+def test_dup_groups_canonical_and_singletons(spark):
+    from testlog_etl_spark.operators.dupgroups import dup_groups
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
+    out = {r["doc_id"]: (r["group_id"], r["is_canonical"]) for r in dup_groups(docs, pairs).collect()}
+    assert out[0] == (0, True) and out[3] == (0, False) and out[5] == (0, False)
+    assert out[1] == (1, True) and out[2] == (2, True) and out[4] == (4, True)
