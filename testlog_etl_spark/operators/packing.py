@@ -1,0 +1,85 @@
+"""Sequence packing: lay the corpus out as one token stream (docs
+concatenated in id order) and cut it into fixed-length training
+sequences -- the GPT-style "concat and chunk" batch-prep step. The
+operator computes each document's [start, end) offset in the stream and
+which sequences it lands in, so a pipeline can route docs to sequence
+shards and count boundary-crossing docs (the ones a packer either
+splits or pads around).
+
+Scale design -- the whole point is avoiding the naive formulation:
+
+- A global ``Window.orderBy(id)`` prefix sum moves the ENTIRE corpus
+  into one task (Spark plans an empty-frame window as a single
+  partition). At 100 TB that's not slow, it's impossible.
+- Instead: hierarchical scan. Range-partition by id (so partition p
+  holds an id-contiguous slice), compute the per-partition token total
+  (one tiny aggregate: #partitions rows), exclusive-prefix-sum those ON
+  THE DRIVER (bounded by partition count, not data size -- the same
+  bounded-collect pattern as k-means centroids), broadcast the offsets
+  back, and do the intra-partition running sum with an ordinary
+  partitioned window. Total cost: one range shuffle + one map-side
+  window; the only driver traffic is one long per partition.
+- The range-partitioned frame is persisted so the totals job and the
+  main job see the SAME partition boundaries (range partitioning
+  samples; two independent computations could split differently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_stream_offsets(
+    df: DataFrame, id_col: str, tok_col: str, num_parts: int = 32
+) -> DataFrame:
+    """Add ``start`` = exclusive prefix sum of ``tok_col`` in ``id_col``
+    order (the doc's first-token offset in the concatenated stream).
+
+    Caller must eventually unpersist or let the persisted intermediate
+    age out; it is needed only while this plan is alive.
+    """
+    ranged = (
+        df.repartitionByRange(num_parts, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum(tok_col).alias("_t")).collect()
+    acc = 0
+    offsets = []
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_t"] or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, ["_pid", "_off"]) if offsets else None
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    local = ranged.withColumn("_local", F.sum(tok_col).over(w) - F.col(tok_col))
+    if off_df is None:
+        return local.withColumn("start", F.col("_local")).drop("_pid", "_local")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn("start", (F.col("_local") + F.col("_off")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def pack_chunks(
+    df: DataFrame, id_col: str, tok_col: str, seq_len: int, num_parts: int = 32
+) -> DataFrame:
+    """Assign each doc its sequence span in the chunked stream:
+    ``start_seq``/``end_seq`` = first/last sequence index the doc's
+    tokens touch, ``crosses`` = doc straddles a sequence boundary.
+    Zero-token docs get start_seq == end_seq and never cross."""
+    out = with_stream_offsets(df, id_col, tok_col, num_parts)
+    end = F.col("start") + F.col(tok_col)
+    L = F.lit(int(seq_len))
+    return (
+        out.withColumn("start_seq", F.floor(F.col("start") / L))
+        .withColumn(
+            "end_seq",
+            F.when(F.col(tok_col) > 0, F.floor((end - 1) / L)).otherwise(
+                F.floor(F.col("start") / L)
+            ),
+        )
+        .withColumn("crosses", (F.col("end_seq") > F.col("start_seq")).cast("boolean"))
+    )

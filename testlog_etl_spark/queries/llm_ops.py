@@ -770,3 +770,43 @@ def dedup_group_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_groups"))
         .orderBy("group_size")
     )
+
+
+@register(
+    "pack_sequences",
+    doc="GPT-style concat-and-chunk packing accounting: docs laid out "
+    "as one token stream in doc_id order, cut into 512-token sequences; "
+    "per-source docs / token mass / boundary-crossing docs. Spark side "
+    "is a hierarchical prefix scan (range partition + per-partition "
+    "window + broadcast partition offsets -- no single-partition global "
+    "window; operators/packing.py); oracle is the plain global window "
+    "sum DuckDB can afford at this scale.",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS n_tok,
+         SUM(len(list_filter(string_split(trim(text), ' '), t -> t <> '')))
+             OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, SUM(n_tok) AS n_tokens,
+       SUM(CASE WHEN n_tok > 0 AND (cum - n_tok) // 512 <> (cum - 1) // 512
+                THEN 1 ELSE 0 END) AS n_crossing
+FROM s GROUP BY source ORDER BY source
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import packing
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select("doc_id", "source", textstats.token_count(F.col("text")).alias("n_tok"))
+    packed = packing.pack_chunks(toks, "doc_id", "n_tok", seq_len=512)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.col("crosses").cast("long")).alias("n_crossing"),
+        )
+        .orderBy("source")
+    )

@@ -292,3 +292,25 @@ def test_dup_groups_canonical_and_singletons(spark):
     out = {r["doc_id"]: (r["group_id"], r["is_canonical"]) for r in dup_groups(docs, pairs).collect()}
     assert out[0] == (0, True) and out[3] == (0, False) and out[5] == (0, False)
     assert out[1] == (1, True) and out[2] == (2, True) and out[4] == (4, True)
+
+
+def test_stream_offsets_match_sequential_scan(spark):
+    """Hierarchical prefix sum == the sequential definition, regardless
+    of how ids spread across range partitions."""
+    from testlog_etl_spark.operators.packing import pack_chunks, with_stream_offsets
+
+    rows = [(i, (i * 7) % 13) for i in range(200)]  # includes zeros
+    df = spark.createDataFrame(rows, ["id", "tok"])
+    got = {r["id"]: r["start"] for r in with_stream_offsets(df, "id", "tok", num_parts=7).collect()}
+    acc = 0
+    for i, tok in rows:
+        assert got[i] == acc, (i, got[i], acc)
+        acc += tok
+
+    packed = {r["id"]: r for r in pack_chunks(df, "id", "tok", seq_len=16, num_parts=7).collect()}
+    acc = 0
+    for i, tok in rows:
+        lo, hi = acc // 16, max(acc, acc + tok - 1) // 16
+        assert packed[i]["start_seq"] == lo and packed[i]["end_seq"] == hi
+        assert packed[i]["crosses"] == (hi > lo)
+        acc += tok
