@@ -810,3 +810,44 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_tfidf_topk",
+    doc="TF-IDF scoring: top-40 (term, doc) pairs by tf * ln((N+1)/(df+1)) "
+    "with smoothed idf. Two partial-agg shuffles (doc-term tf, then term "
+    "df); N rides a broadcast 1-row aggregate, never a driver action. "
+    "Ordering is by the ROUNDED score then (term, doc) so cross-engine "
+    "ulp noise in ln cannot reorder ties.",
+    oracle=f"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT tf.term, tf.doc_id,
+       ROUND(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), {R}) AS score
+FROM tf JOIN df USING (term), n
+ORDER BY score DESC, tf.term, tf.doc_id
+LIMIT 40
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    terms = docs.select("doc_id", F.explode(textstats.tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    score = F.round(
+        F.col("tf") * F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), R
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select("term", "doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), "term", "doc_id")
+        .limit(40)
+    )
