@@ -309,3 +309,54 @@ def jx_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", F.round("total", 4).alias("total"), F.round("grand", 4).alias("grand"), "rn"
     )
+
+
+@register(
+    "jx_scalar_ops",
+    doc="JX scalar-op sweep through run_jx: E8 prefix/suffix, E15 "
+    "max/min, E16 abs, E22 split, E26 tuple, E27 get, E29 script SQL "
+    "escape hatch, E30 union (sorted for cross-engine order), E31 "
+    "scalar count of non-missing (find-miss contributes 0). All pure "
+    "codegen; the where (prefix) pushes to the scan.",
+    oracle="""
+SELECT doc_id,
+  (source LIKE '%1') AS src_is1,
+  greatest(length(text), n_chars * 2)::DOUBLE AS hi,
+  least(n_chars, 500)::DOUBLE AS lo,
+  abs(n_chars - 300)::DOUBLE AS mag,
+  string_split(text, ' ')[1] AS w0,
+  concat_ws(',', lang, source) AS pair,
+  array_to_string(list_sort(list_distinct(list_concat([lang], [source]))), ',') AS nset,
+  (CASE WHEN nullif(lang, '') IS NULL THEN 0 ELSE 1 END
+   + CASE WHEN instr(text, 'zzzz') > 0 THEN 1 ELSE 0 END) AS nn,
+  length(text) % 7 AS scripted
+FROM documents
+WHERE lang LIKE 'f%'
+ORDER BY doc_id
+""",
+)
+def jx_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("documents",))
+    out = run_jx(
+        spark,
+        {
+            "from": "documents",
+            "where": {"prefix": {"lang": "f"}},
+            "select": [
+                "doc_id",
+                {"name": "src_is1", "value": {"suffix": {"source": "1"}}},
+                {"name": "hi", "value": {"max": [{"length": "text"}, {"mult": ["n_chars", {"literal": 2}]}]}},
+                {"name": "lo", "value": {"min": ["n_chars", {"literal": 500}]}},
+                {"name": "mag", "value": {"abs": {"sub": ["n_chars", {"literal": 300}]}}},
+                {"name": "w0", "value": {"get": [{"split": ["text", {"literal": " "}]}, {"literal": 0}]}},
+                {"name": "pair", "value": {"concat": ["lang", "source"], "separator": ","}},
+                {"name": "nset", "value": {"union": [{"tuple": ["lang"]}, {"tuple": ["source"]}]}},
+                {"name": "nn", "value": {"count": ["lang", {"find": ["text", {"literal": "zzzz"}]}]}},
+                {"name": "scripted", "value": {"script": "length(text) % 7"}},
+            ],
+            "sort": "doc_id",
+        },
+        tables,
+    )
+    # cross-engine canonical form for the set-valued column
+    return out.withColumn("nset", F.array_join(F.array_sort("nset"), ","))
