@@ -1,0 +1,88 @@
+"""Time-series downsampling with gap fill: bucket an event stream into
+fixed intervals per series, aggregate, then fill empty buckets by
+carrying the last observation forward (LOCF) -- the hypertable
+"time_bucket + locf" rollup shape.
+
+Scale design:
+
+- the bucket aggregate is one keyed shuffle (series, bucket) with
+  map-side partial aggregation;
+- the dense grid is `explode(sequence(min, max, step))` per series --
+  generated, never shuffled; grid size = span/step per series, data-
+  independent;
+- global span bounds ride a broadcast 1-row aggregate (no driver
+  action, no collect);
+- LOCF is `last(value, ignoreNulls)` over (series ORDER BY bucket
+  ROWS UNBOUNDED PRECEDING): one window per series partition -- state
+  is a single value per series, and the partitioning reuses the
+  aggregate's exchange when the series key matches (exchange reuse is
+  plan-tested for the windows family).
+
+Series with NO observation before the first bucket stay null (LOCF has
+nothing to carry) -- same semantics as DuckDB's `last_value IGNORE
+NULLS`, which is how the oracle phrases it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def downsample_locf(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: Column,
+    interval_sec: int,
+    agg: str = "avg",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """One row per (series, bucket) over the DENSE per-series grid
+    spanning the table's global [min, max] event time; ``filled`` =
+    bucket aggregate, LOCF-carried across empty buckets.
+
+    Returns columns: series_col, ``bucket`` (timestamp), ``n`` (events
+    in bucket, 0 for gaps), ``filled`` (double, null before the first
+    observation).
+    """
+    step = F.lit(int(interval_sec))
+    bucket = F.timestamp_seconds((F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step)
+    per_bucket = (
+        df.select(F.col(series_col).alias("_s"), bucket.alias("bucket"), value_col.alias("_v"))
+        .groupBy("_s", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), getattr(F, agg)("_v").alias("_agg"))
+    )
+    if round_to is not None:
+        per_bucket = per_bucket.withColumn("_agg", F.round("_agg", round_to))
+
+    span = df.agg(
+        F.min(F.unix_timestamp(F.col(ts_col))).alias("_lo"),
+        F.max(F.unix_timestamp(F.col(ts_col))).alias("_hi"),
+    )
+    grid = (
+        per_bucket.select("_s")
+        .distinct()
+        .join(F.broadcast(span))
+        .select(
+            "_s",
+            F.explode(
+                F.sequence(
+                    (F.col("_lo") / step).cast("long") * step,
+                    (F.col("_hi") / step).cast("long") * step,
+                    step,
+                )
+            ).alias("_b"),
+        )
+        .select("_s", F.timestamp_seconds(F.col("_b")).alias("bucket"))
+    )
+    w = Window.partitionBy("_s").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(per_bucket, ["_s", "bucket"], "left")
+        .select(
+            F.col("_s").alias(series_col),
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("_agg", ignorenulls=True).over(w).alias("filled"),
+        )
+    )

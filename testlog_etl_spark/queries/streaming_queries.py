@@ -206,3 +206,34 @@ def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "stream_stream_join",
+    doc="watermarked stream-stream inner join (clicks x same-user "
+    "purchases within 30 min): both sides watermarked, two-sided "
+    "event-time bound so join state expires; append-mode pairs drained "
+    "to the memory sink equal the batch range join. Pairs are then "
+    "aggregated per user for a bounded compare.",
+    oracle="""
+SELECT c.user_id AS user_id, count(*) AS n_pairs, ROUND(SUM(p.value), 4) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+ORDER BY c.user_id
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jobs.run_to_completion(
+        jobs.click_purchase_join(spark, sf_dir), "stream_stream_join", output_mode="append"
+    )
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("p_value"), 4).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )

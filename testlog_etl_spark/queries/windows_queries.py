@@ -239,3 +239,45 @@ def win_partition_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") / F.col("part_total"), 6).alias("share"),
         "part_n",
     )
+
+
+@register(
+    "ts_downsample_locf",
+    doc="hypertable-style rollup: 15-min time_bucket sum per event_type "
+    "over the DENSE per-series grid (explode(sequence), generated not "
+    "shuffled), empty buckets gap-filled by last-observation-carried-"
+    "forward (last ignoreNulls window, one value of state per series). "
+    "Sum rounded at data resolution (2dp) BEFORE the fill so both "
+    "engines carry identical values (operators/timeseries.py).",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         to_timestamp((floor(epoch(ts))::BIGINT // 900) * 900)::TIMESTAMP AS bucket,
+         count(*) AS n, ROUND(SUM(value), 2) AS agg
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT (floor(epoch(min(ts)))::BIGINT // 900) * 900 AS lo,
+         (floor(epoch(max(ts)))::BIGINT // 900) * 900 AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, to_timestamp(g.s::BIGINT)::TIMESTAMP AS bucket
+  FROM (SELECT DISTINCT event_type FROM events) t, span, unnest(range(span.lo, span.hi + 900, 900)) AS g(s)
+)
+SELECT grid.event_type AS event_type, grid.bucket AS bucket, coalesce(b.n, 0) AS n,
+       last_value(b.agg IGNORE NULLS) OVER (
+         PARTITION BY grid.event_type ORDER BY grid.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM grid LEFT JOIN b ON b.event_type = grid.event_type AND b.bucket = grid.bucket
+ORDER BY grid.event_type, grid.bucket
+""",
+)
+def ts_downsample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.timeseries import downsample_locf
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    out = downsample_locf(
+        ev, "event_type", "ts", F.col("value"), interval_sec=900, agg="sum", round_to=2
+    )
+    return out.orderBy("event_type", "bucket")

@@ -123,3 +123,45 @@ def foreach_batch_idempotent(spark: SparkSession, sf_dir: str, out_path: str, qu
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream INNER join: each click joined to the
+    same user's purchases in the following 30 minutes.
+
+    Both sides carry a 1-hour watermark and the join condition bounds
+    event time on BOTH ends, so Spark can expire join state: a buffered
+    click is dropped once the purchase-side watermark passes click ts +
+    30 min (state ~ arrival rate x horizon, not stream length). Append
+    mode emits each matched pair exactly once; with the file drained the
+    pair set equals the batch range join, which is how the oracle is
+    phrased. The RAW pairs go to the sink -- production would hang a
+    windowed aggregate off the join (Spark supports chained stateful
+    operators), but the memory-sink pair set is what the correctness
+    gate compares."""
+    ev = stream_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    ev2 = stream_table(spark, sf_dir, "events")
+    purchases = (
+        ev2.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    )
