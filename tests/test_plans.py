@@ -231,3 +231,62 @@ def test_decontam_broadcasts_bench_and_joins_on_hash(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan, plan
     assert "xxhash64" in plan
+
+
+def test_filter_pipeline_is_pure_codegen_no_shuffle(spark):
+    """The quality-gate verdict must compute inside the scan's codegen:
+    no Exchange before the (single) aggregation, no python UDF."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.filtering import filter_verdict
+    from testlog_etl_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    df = docs.select(filter_verdict(F.col("text")).alias("v"))
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_packing_has_no_single_partition_exchange(spark):
+    """The hierarchical prefix scan must never plan SinglePartition --
+    that's the naive global-window shape it exists to avoid."""
+    from testlog_etl_spark.operators.packing import pack_chunks
+    from testlog_etl_spark.tables import load_table
+    from pyspark.sql import functions as F
+    from testlog_etl_spark.operators import textstats
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tok")
+    )
+    df = pack_chunks(docs, "doc_id", "n_tok", seq_len=512, num_parts=8)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_tfidf_broadcasts_only_the_count(spark):
+    """N (1-row aggregate) must broadcast; the tf x df join is a keyed
+    join on term, not a cartesian."""
+    from testlog_etl_spark import suite
+
+    suite.queries()
+    df = suite.REGISTRY["text_tfidf_topk"].fn(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_locf_grid_is_generated_not_shuffled(spark):
+    """The dense grid must come from explode(sequence) over a broadcast
+    1-row span -- no driver collect, no extra wide shuffle for the grid."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.timeseries import downsample_locf
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    df = downsample_locf(ev, "event_type", "ts", F.col("value"), 900, agg="sum", round_to=2)
+    plan = plan_of(df)
+    assert "Generate explode" in plan or "explode" in plan
+    assert "BroadcastExchange" in plan

@@ -141,3 +141,50 @@ def test_cube_invariants(domain, keys):
     assert got[None][0] == len(keys) - len(in_dom)
     # total conservation
     assert sum(n for n, _ in got.values()) == len(keys)
+
+
+# ---------------------------------------------------------------------------
+# connected components vs a union-find model
+# ---------------------------------------------------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges_strategy)
+def test_connected_components_match_union_find(edges):
+    from testlog_etl_spark.operators.dupgroups import connected_components
+
+    spark = _spark()
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    want = _union_find_components(edges)
+    # union-find parents are path-compressed to the min by construction:
+    # normalize both to min-of-component before comparing
+    comp_min = {}
+    for node, root in want.items():
+        comp_min.setdefault(root, node)
+        comp_min[root] = min(comp_min[root], node)
+    want_min = {node: comp_min[root] for node, root in want.items()}
+    assert got == want_min
