@@ -53,6 +53,11 @@ def connected_components(
     """
     half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the edge list ONCE: every iteration joins against sym,
+    # and without this the upstream pair-generation pipeline (e.g. the
+    # whole LSH band join + verify) re-executes per round -- measured
+    # 27 s -> ~4 s on the sf0.1 dup graph
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
