@@ -81,9 +81,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "edges_set_dense",
     "edges_time_dense",
     "edges_range_fanout",
+    # windows family: 4 representatives (moving-frame + ranking rotate
+    # to the local differential gate -- same family, plan unchanged)
     "win_running_sum",
-    "win_moving_frame",
-    "win_ranking",
     "win_lag_lead",
     "win_frame_median",
     "win_partition_share",
@@ -114,7 +114,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_hourly_window",
     "sessionize_stream_stateful",
     "stream_foreachbatch_sink",
-    "sessionize_batch",
+    # sessionize_batch rotates out (its oracle/semantics are the
+    # stateful twin's); slot goes to the stream-stream join
+    "stream_stream_join",
     # -- 40-50: plan-changed joins and new round-2 operators.
     # Rotated out as r01-hash-green AND code-unchanged since (see
     # COVERAGE.md "Driver-cap honesty"): q6, dedup_exact,
@@ -135,6 +137,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sample_stratified",
     "dedup_chunk_crossdoc",
     "text_vocab_topk",
+    # -- new round-2 families: JX scalar-op sweep (E8/E15/E16/E22/E26-E31),
+    # duplicate-group connected components
+    "jx_scalar_ops",
+    "dedup_group_resolve",
 )
 
 
