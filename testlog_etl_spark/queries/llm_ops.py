@@ -854,3 +854,71 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "term", "doc_id")
         .limit(40)
     )
+
+
+@register(
+    "corpus_build_e2e",
+    doc="end-to-end corpus build, the flagship composite: quality gate "
+    "(first-failing-rule verdict) -> exact dedup (earliest doc per "
+    "normalized-text fingerprint) -> deterministic 50% hash downsample "
+    "-> per-source kept-doc / token accounting. One scan feeds the "
+    "whole chain; the only shuffles are the dedup window and the final "
+    "rollup -- the filter and sample stages are pure projections.",
+    oracle="""
+WITH sig AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS n_tok,
+         len(list_filter(string_split(lower(text),' '),
+             t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))::DOUBLE
+           / greatest(len(string_split(lower(text),' ')), 1) AS sw,
+         list_sum(list_transform(list_filter(string_split(trim(text), ' '), t -> t <> ''),
+                                 t -> length(t)))::DOUBLE
+           / greatest(len(list_filter(string_split(trim(text), ' '), t -> t <> '')), 1) AS mtl,
+         CASE WHEN len(string_split(trim(text), ' ')) >= 2
+              THEN 1.0 - len(list_distinct(list_transform(range(1, len(string_split(trim(text),' '))),
+                     i -> string_split(trim(text),' ')[i] || ' ' || string_split(trim(text),' ')[i+1])))::DOUBLE
+                   / (len(string_split(trim(text),' ')) - 1)
+              ELSE 0.0 END AS dup2,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+kept AS (
+  SELECT * FROM sig
+  WHERE n_tok >= 25 AND sw >= 0.02 AND dup2 <= 0.05 AND mtl BETWEEN 2.0 AND 9.0
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM kept
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM dedup
+  WHERE try_cast(('0x' || substr(md5(doc_id::VARCHAR || ':13'), 1, 15)) AS BIGINT) % 10000 < 5000
+)
+SELECT source, count(*) AS n_docs, SUM(n_tok) AS n_tokens
+FROM sampled GROUP BY source ORDER BY source
+""",
+)
+def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from testlog_etl_spark.operators.filtering import filter_verdict
+    from testlog_etl_spark.operators.sampling import hash_bucket
+    from testlog_etl_spark.util import spread
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    kept = docs.select(
+        "doc_id",
+        "source",
+        textstats.token_count(F.col("text")).alias("n_tok"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+        filter_verdict(F.col("text")).alias("verdict"),
+    ).filter(F.col("verdict") == "keep")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dedup = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sampled = dedup.filter(hash_bucket(F.col("doc_id"), 10_000, "13") < 5_000)
+    return (
+        sampled.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("source")
+    )
