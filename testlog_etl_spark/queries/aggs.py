@@ -268,3 +268,21 @@ def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "agg_sketch_rollup",
+    oracle=None,  # HLL register layouts are engine-specific (DataSketches
+    # vs DuckDB's own); the merge-exactness invariant and the 5% accuracy
+    # bound are pinned in tests/test_llm_ops.py::test_sketch_rollup_*
+    doc="mergeable-sketch rollup (the ingest-reduce / query-merge "
+    "pattern): per-(type, day) HLL sketch rows merged to per-type "
+    "approx distinct users + exact row counts, raw table scanned once "
+    "(operators/sketches.py).",
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sketches import merge_sketches, sketch_by
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = sketch_by(ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id")
+    return merge_sketches(daily, ["event_type"]).orderBy("event_type")

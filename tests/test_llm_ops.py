@@ -314,3 +314,35 @@ def test_stream_offsets_match_sequential_scan(spark):
         assert packed[i]["start_seq"] == lo and packed[i]["end_seq"] == hi
         assert packed[i]["crosses"] == (hi > lo)
         acc += tok
+
+
+def test_sketch_rollup_merge_is_exact_and_close_to_truth(spark):
+    """Merging daily HLL sketches must equal sketching the raw union
+    (lattice-join exactness), and land within ~5% of exact distinct."""
+    from testlog_etl_spark.operators.sketches import merge_sketches, sketch_by
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    from pyspark.sql import functions as F
+
+    daily = sketch_by(ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id")
+    merged = merge_sketches(daily, ["event_type"]).orderBy("event_type")
+
+    direct = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+            .cast("long")
+            .alias("approx_distinct")
+        )
+        .orderBy("event_type")
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    got = {r["event_type"]: r["approx_distinct"] for r in merged.collect()}
+    want = {r["event_type"]: r["approx_distinct"] for r in direct.collect()}
+    assert got == want  # merge exactness, not approximation
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
