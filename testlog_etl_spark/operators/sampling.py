@@ -61,6 +61,29 @@ def stratified_sample(
     return df.filter(b < thr)
 
 
+def exact_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "0",
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, drawn uniformly
+    without replacement by ranking on the 60-bit key hash (ties -- only
+    possible on hash collision -- broken by id, so the draw is total and
+    engine-portable). Unlike the fraction samplers this costs ONE
+    shuffle (the per-group ranking window); use it when a hard per-group
+    budget matters more than shuffle-freeness (per-domain caps, eval-set
+    carving). Partitioned by group, so skew follows group sizes -- at
+    100 TB put the big groups' rank on a salted two-phase top-k if one
+    group dominates (same recipe as operators/skew.py)."""
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))), 1, 15), 16, 10).cast("bigint")
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
 def split_assign(
     df: DataFrame,
     id_col: str,

@@ -922,3 +922,41 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
         .orderBy("source")
     )
+
+
+@register(
+    "sample_exact_k_per_group",
+    doc="hard per-group budget: exactly min(k,|group|)=40 docs per "
+    "source drawn uniformly without replacement by ranking on the "
+    "60-bit md5 key hash (deterministic, engine-portable; one ranking "
+    "shuffle -- operators/sampling.py::exact_k_per_group).",
+    oracle="""
+WITH h AS (
+  SELECT source, doc_id, n_chars,
+         try_cast(('0x' || substr(md5(doc_id::VARCHAR || ':21'), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+  FROM h
+)
+SELECT source, count(*) AS n_docs, SUM(n_chars) AS chars, SUM(doc_id) AS id_sum
+FROM r WHERE rk <= 40
+GROUP BY source ORDER BY source
+""",
+)
+def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sampling import exact_k_per_group
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    kept = exact_k_per_group(docs, "source", "doc_id", k=40, seed="21")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
