@@ -858,12 +858,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_build_e2e",
-    doc="end-to-end corpus build, the flagship composite: quality gate "
-    "(first-failing-rule verdict) -> exact dedup (earliest doc per "
-    "normalized-text fingerprint) -> deterministic 50% hash downsample "
-    "-> per-source kept-doc / token accounting. One scan feeds the "
-    "whole chain; the only shuffles are the dedup window and the final "
-    "rollup -- the filter and sample stages are pure projections.",
+    doc="end-to-end corpus build, the flagship composite: exact dedup "
+    "(earliest doc per normalized-text fingerprint, RefinedWeb order) "
+    "-> quality gate on the canonical docs -> deterministic 50% hash "
+    "downsample -> per-source kept-doc / token accounting. One scan, "
+    "signals computed once pre-shuffle; only shuffles are the dedup "
+    "window (small columns only) and the final rollup.",
     oracle="""
 WITH sig AS (
   SELECT doc_id, source,
@@ -882,14 +882,11 @@ WITH sig AS (
          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
   FROM documents
 ),
-kept AS (
-  SELECT * FROM sig
-  WHERE n_tok >= 25 AND sw >= 0.02 AND dup2 <= 0.05 AND mtl BETWEEN 2.0 AND 9.0
-),
 dedup AS (
   SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM kept
+    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM sig
   ) WHERE rn = 1
+    AND n_tok >= 25 AND sw >= 0.02 AND dup2 <= 0.05 AND mtl BETWEEN 2.0 AND 9.0
 ),
 sampled AS (
   SELECT * FROM dedup
@@ -907,15 +904,23 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.util import spread
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    kept = docs.select(
+    # ALL text-derived signals are computed in this ONE pre-window
+    # projection: the Window over fp is a pushdown barrier, so the
+    # verdict filter below cannot slide under spread()'s repartition and
+    # serialize the CPU-heavy signals onto the scan's single input split
+    # (measured 12.5 s -> ~2 s at sf0.1); text is dropped here, so the
+    # dedup shuffle carries only small columns.
+    sig = docs.select(
         "doc_id",
         "source",
         textstats.token_count(F.col("text")).alias("n_tok"),
         textstats.fingerprint(F.col("text")).alias("fp"),
         filter_verdict(F.col("text")).alias("verdict"),
-    ).filter(F.col("verdict") == "keep")
+    )
     w = Window.partitionBy("fp").orderBy("doc_id")
-    dedup = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    dedup = sig.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & (F.col("verdict") == "keep")
+    )
     sampled = dedup.filter(hash_bucket(F.col("doc_id"), 10_000, "13") < 5_000)
     return (
         sampled.groupBy("source")
