@@ -965,3 +965,51 @@ def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_incremental",
+    doc="incremental dedup: a NEW batch (odd doc_ids) anti-joined "
+    "against the EXISTING corpus's fingerprint index (even doc_ids) -- "
+    "the production shape where the existing corpus is never re-scanned "
+    "(its 8-byte signatures are; at 100 TB the index is a fraction of "
+    "corpus bytes and the anti-join shuffles hashes only). Oracle "
+    "anti-joins on normalized text, certifying the fingerprint "
+    "equivalence.",
+    oracle="""
+WITH ex AS (
+  SELECT DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents WHERE doc_id % 2 = 0
+),
+new AS (
+  SELECT source, n_chars,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT source, count(*) AS n_new,
+       SUM(CASE WHEN ex.norm IS NULL THEN 1 ELSE 0 END) AS n_kept
+FROM new LEFT JOIN ex ON new.norm = ex.norm
+GROUP BY source ORDER BY source
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.dedup import content_hash
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    existing_idx = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(content_hash(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "source", content_hash(F.col("text")).alias("fp")
+    )
+    kept = new.join(existing_idx, "fp", "left_anti").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    totals = new.groupBy("source").agg(F.count(F.lit(1)).alias("n_new"))
+    return (
+        totals.join(kept, "source", "left")
+        .select("source", "n_new", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        .orderBy("source")
+    )

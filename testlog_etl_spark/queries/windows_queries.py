@@ -281,3 +281,45 @@ def ts_downsample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", "ts", F.col("value"), interval_sec=900, agg="sum", round_to=2
     )
     return out.orderBy("event_type", "bucket")
+
+
+@register(
+    "funnel_view_click_purchase",
+    doc="ordered-event funnel: users completing view -> click (after "
+    "the view) -> purchase (after the click), whole funnel within 7 "
+    "days of the first view. ONE user exchange reused by all three "
+    "conditional-min stage windows -- no per-stage self-joins "
+    "(operators/funnel.py). Epoch comparisons floor to seconds on both "
+    "engines.",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                      AND floor(epoch(ts)) <= floor(epoch(t1)) + 604800 THEN ts END)
+                OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                      AND floor(epoch(ts)) <= floor(epoch(t1)) + 604800 THEN ts END)
+                OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s3)
+SELECT count(t1) AS n_step1, count(t2) AS n_step2, count(t3) AS n_step3
+FROM u
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.funnel import funnel_counts, funnel_stage_times
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    stages = funnel_stage_times(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"], horizon_sec=604800
+    )
+    return funnel_counts(stages, 3)
