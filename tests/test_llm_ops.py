@@ -346,3 +346,27 @@ def test_sketch_rollup_merge_is_exact_and_close_to_truth(spark):
     assert got == want  # merge exactness, not approximation
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_funnel_requires_order_and_horizon(spark):
+    """Steps must occur strictly in order; horizon counts from step 1."""
+    from datetime import datetime
+
+    from testlog_etl_spark.operators.funnel import funnel_counts, funnel_stage_times
+
+    T = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        # u1: proper order view->click->purchase
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        # u2: click BEFORE view -> stops after view
+        (2, T(2), "view"), (2, T(1), "click"),
+        # u3: purchase outside the 7-day horizon from first view
+        (3, T(1), "view"), (3, T(2), "click"), (3, T(20), "purchase"),
+        # u4: never viewed
+        (4, T(1), "click"), (4, T(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    stages = funnel_stage_times(df, "user_id", "ts", "event_type",
+                                ["view", "click", "purchase"], horizon_sec=7 * 86400)
+    out = funnel_counts(stages, 3).first()
+    assert (out["n_step1"], out["n_step2"], out["n_step3"]) == (3, 2, 1)
