@@ -1013,3 +1013,55 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_new", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
         .orderBy("source")
     )
+
+
+@register(
+    "text_unigram_ppl",
+    doc="CCNet-style LM quality signal: unigram model trained on the "
+    "corpus itself (token probs = count/total with add-one smoothing), "
+    "each doc scored by mean negative log-likelihood, docs histogrammed "
+    "by floor(nll) per source. Two shuffles (vocab build, score "
+    "rollup); the vocab rides a hash join on term -- never a driver "
+    "collect. Histogram buckets are integer floors, so cross-engine ln "
+    "ulp noise cannot move a doc across a bucket edge unless it sits "
+    "within ulps of an integer nll -- not the case for this corpus.",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+tot AS (SELECT count(*) AS n, count(DISTINCT term) AS v FROM terms),
+scored AS (
+  SELECT t.doc_id, t.source,
+         AVG(-ln((vocab.c + 1.0) / (tot.n + tot.v))) AS nll
+  FROM terms t JOIN vocab USING (term), tot
+  GROUP BY t.doc_id, t.source
+)
+SELECT source, floor(nll)::BIGINT AS nll_bucket, count(*) AS n_docs
+FROM scored GROUP BY source, nll_bucket
+ORDER BY source, nll_bucket
+""",
+)
+def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    terms = docs.select(
+        "doc_id", "source", F.explode(textstats.tokens(F.col("text"))).alias("term")
+    )
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = terms.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("term").alias("v")
+    )
+    scored = (
+        terms.join(vocab, "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(-F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))).alias("nll"))
+    )
+    return (
+        scored.select("source", F.floor("nll").cast("long").alias("nll_bucket"))
+        .groupBy("source", "nll_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "nll_bucket")
+    )
