@@ -370,3 +370,27 @@ def test_funnel_requires_order_and_horizon(spark):
                                 ["view", "click", "purchase"], horizon_sec=7 * 86400)
     out = funnel_counts(stages, 3).first()
     assert (out["n_step1"], out["n_step2"], out["n_step3"]) == (3, 2, 1)
+
+
+def test_locf_leading_gap_stays_null_and_fills_after(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.timeseries import downsample_locf
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 40), 2.0),   # a starts in bucket 2
+        ("b", datetime(2024, 1, 1, 0, 5), 1.0),    # b spans the range
+        ("b", datetime(2024, 1, 1, 0, 59), 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "v"])
+    out = {(r["s"], r["bucket"].minute): (r["n"], r["filled"])
+           for r in downsample_locf(df, "s", "ts", F.col("v"), 1200, agg="sum").collect()}
+    # buckets: :00, :20, :40 for both series
+    assert out[("a", 0)] == (0, None)      # leading gap: nothing to carry
+    assert out[("a", 20)] == (0, None)
+    assert out[("a", 40)] == (1, 2.0)
+    assert out[("b", 0)] == (1, 1.0)
+    assert out[("b", 20)] == (0, 1.0)      # carried forward
+    assert out[("b", 40)] == (1, 3.0)
