@@ -1065,3 +1065,50 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "nll_bucket")
     )
+
+
+@register(
+    "embed_quantize_int8",
+    doc="int8 embedding quantization for ANN storage: per-vector "
+    "symmetric scale (127/max|x|), round-half-up to match both engines "
+    "(floor(x+0.5)); 4x storage cut before bucketed ANN. Verified by "
+    "per-label rollup of quantized-component sums and saturation "
+    "counts -- all integer math after the quantize, so the compare is "
+    "exact.",
+    oracle="""
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CASE WHEN mx = 0 THEN 0
+                     ELSE floor(x::DOUBLE * 127.0 / mx + 0.5)::BIGINT END) AS qv
+  FROM (SELECT label, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        FROM embeddings)
+)
+SELECT label,
+       SUM(list_sum(qv))::BIGINT AS q_sum,
+       SUM(len(list_filter(qv, v -> abs(v) = 127)))::BIGINT AS n_saturated,
+       count(*) AS n_vecs
+FROM q GROUP BY label ORDER BY label
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(dbl, lambda x: F.abs(x)))
+    qv = F.transform(
+        dbl,
+        lambda x: F.when(mx == 0, F.lit(0).cast("bigint")).otherwise(
+            F.floor(x * F.lit(127.0) / mx + F.lit(0.5)).cast("bigint")
+        ),
+    )
+    q = emb.select("label", qv.alias("qv"))
+    return (
+        q.groupBy("label")
+        .agg(
+            F.sum(F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, b: a + b)).alias("q_sum"),
+            F.sum(F.size(F.filter("qv", lambda v: F.abs(v) == 127))).cast("bigint").alias("n_saturated"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label")
+    )
