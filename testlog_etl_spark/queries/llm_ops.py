@@ -1112,3 +1112,49 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "text_source_kl",
+    doc="corpus drift monitor: KL(source term distribution || corpus "
+    "term distribution) per source, smoothed, over the shared vocab. "
+    "Two partial-agg shuffles + one hash join on term; the per-source "
+    "sum is rounded at 4dp identically on both engines.",
+    oracle="""
+WITH terms AS (
+  SELECT source,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS term
+  FROM documents
+),
+src AS (SELECT source, term, count(*) AS c FROM terms GROUP BY source, term),
+srctot AS (SELECT source, SUM(c) AS n FROM src GROUP BY source),
+corpus AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+corptot AS (SELECT SUM(c) AS n, count(*) AS v FROM corpus)
+SELECT src.source AS source,
+       ROUND(SUM((src.c::DOUBLE / srctot.n) *
+                 ln((src.c::DOUBLE / srctot.n) /
+                    ((corpus.c + 1.0) / (corptot.n + corptot.v)))), 4) AS kl
+FROM src
+JOIN srctot USING (source)
+JOIN corpus USING (term), corptot
+GROUP BY src.source
+ORDER BY source
+""",
+)
+def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    terms = docs.select("source", F.explode(textstats.tokens(F.col("text"))).alias("term"))
+    src = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    srctot = src.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cc"))
+    corptot = corpus.agg(F.sum("cc").alias("cn"), F.count(F.lit(1)).alias("v"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = (F.col("cc") + F.lit(1.0)) / (F.col("cn") + F.col("v"))
+    return (
+        src.join(srctot, "source")
+        .join(corpus, "term")
+        .join(F.broadcast(corptot))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl"))
+        .orderBy("source")
+    )
