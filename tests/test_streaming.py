@@ -1,0 +1,67 @@
+"""Streaming semantics that the batch-equality differential queries
+can't show: watermark actually DROPS late data (bounded state is the
+whole point of §2.9 at scale -- without the drop, event-time state
+grows with stream length)."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    sink_name = "wm_late_drop"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, ["event_id", "ts"])
+        path = str(tmp_path / f"build_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        part = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+        dest = os.path.join(src, name)
+        os.rename(os.path.join(path, part), dest)
+        os.utime(dest, (mtime, mtime))  # file source orders by mod time
+
+    T = datetime
+    # Watermark timing: the watermark produced by batch N's data only
+    # takes effect in batch N+1, and state eviction happens at END of
+    # batch -- so a late row arriving while its window is still live
+    # MERGES (watermark is a lower-bound guarantee, not an exact cut).
+    # Three batches force the real drop path:
+    #   batch 0: 10:00-window data + a 12:00 advancer (watermark -> 11:50)
+    #   batch 1: another advancer; 10:00 window is evicted+emitted (n=2)
+    #   batch 2: late 10:03 row -- its window is gone and the row is
+    #            below the watermark: dropped, never re-emitted
+    write_file("f1.parquet", [(1, T(2024, 1, 1, 10, 0)), (2, T(2024, 1, 1, 10, 5)),
+                              (3, T(2024, 1, 1, 12, 0))], time.time() - 100)
+    write_file("f2.parquet", [(4, T(2024, 1, 1, 12, 5))], time.time() - 60)
+    write_file("f3.parquet", [(5, T(2024, 1, 1, 10, 3))], time.time() - 20)
+
+    schema = "event_id BIGINT, ts TIMESTAMP"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    q = stream.writeStream.outputMode("append").format("memory").queryName(sink_name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(r["start"], r["n"]) for r in spark.table(sink_name).collect()]
+    # exactly ONE emission of the 10:00 window, without the late event
+    assert rows == [(T(2024, 1, 1, 10, 0), 2)]
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped >= 1
