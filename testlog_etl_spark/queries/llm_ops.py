@@ -1158,3 +1158,43 @@ def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl"))
         .orderBy("source")
     )
+
+
+@register(
+    "text_bpe_pair_mining",
+    doc="first BPE merge step: corpus-wide adjacent-token-pair "
+    "frequencies, top-30 merge candidates with document frequency. "
+    "Pairs are built per-row with array intrinsics (zip of toks with "
+    "its tail) -- no shuffle until the partial-agg rollup; total order "
+    "(n DESC, pair) keeps the top-k deterministic.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS pair
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+)
+SELECT pair, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+FROM p GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 30
+""",
+)
+def text_bpe_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = textstats.tokens(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    exploded = docs.select("doc_id", F.explode(pairs).alias("pair"))
+    return (
+        exploded.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )
