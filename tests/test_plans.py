@@ -290,3 +290,29 @@ def test_locf_grid_is_generated_not_shuffled(spark):
     plan = plan_of(df)
     assert "Generate explode" in plan or "explode" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_funnel_reuses_one_user_exchange(spark):
+    """All three conditional-min stage windows must share the user
+    partitioning -- one exchange, not one per stage."""
+    from testlog_etl_spark.operators.funnel import funnel_stage_times
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    df = funnel_stage_times(ev, "user_id", "ts", "event_type",
+                            ["view", "click", "purchase"], horizon_sec=604800)
+    import re
+
+    plan = plan_of(df)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+
+
+def test_unigram_ppl_broadcasts_totals_no_cartesian(spark):
+    from testlog_etl_spark import suite
+
+    suite.queries()
+    df = suite.REGISTRY["text_unigram_ppl"].fn(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
