@@ -316,3 +316,31 @@ def test_unigram_ppl_broadcasts_totals_no_cartesian(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dedup_on_fingerprint_bucketed_layout_has_no_exchange(spark, tmp_path):
+    """The recurring-dedup layout: documents written bucketed by content
+    fingerprint pay the shuffle ONCE at write; every later dedup or
+    incremental-dedup pass (groupBy/anti-join on fp) runs with ZERO
+    runtime exchange -- at 100 TB that is the difference between a full
+    corpus shuffle per run and a local pass per bucket."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.layout import write_bucketed
+    from testlog_etl_spark.operators.dedup import content_hash
+    from testlog_etl_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").withColumn(
+        "fp", content_hash(F.col("text"))
+    )
+    write_bucketed(docs, "docs_by_fp", str(tmp_path / "docs_by_fp"), ["fp"], 8, ["fp"])
+    try:
+        laid = spark.table("docs_by_fp")
+        dedup = laid.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+        plan = plan_of(dedup)
+        assert "Exchange" not in plan, plan
+        # and the count survives: same distinct fingerprints as the raw path
+        raw = docs.select("fp").distinct().count()
+        assert dedup.count() == raw
+    finally:
+        spark.sql("DROP TABLE IF EXISTS docs_by_fp")
