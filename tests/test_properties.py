@@ -188,3 +188,27 @@ def test_connected_components_match_union_find(edges):
         comp_min[root] = min(comp_min[root], node)
     want_min = {node: comp_min[root] for node, root in want.items()}
     assert got == want_min
+
+
+# ---------------------------------------------------------------------------
+# sequence packing vs a sequential-scan model
+# ---------------------------------------------------------------------------
+
+tok_rows = st.lists(st.integers(0, 40), min_size=1, max_size=60)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tok_rows, st.integers(2, 5))
+def test_packing_matches_sequential_model(toks, parts):
+    from testlog_etl_spark.operators.packing import pack_chunks
+
+    spark = _spark()
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["id", "tok"])
+    got = {r["id"]: r for r in pack_chunks(df, "id", "tok", seq_len=16, num_parts=parts).collect()}
+    acc = 0
+    for i, tok in rows:
+        lo, hi = acc // 16, max(acc, acc + tok - 1) // 16
+        r = got[i]
+        assert (r["start"], r["start_seq"], r["end_seq"], r["crosses"]) == (acc, lo, hi, hi > lo)
+        acc += tok
