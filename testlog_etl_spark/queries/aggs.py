@@ -278,7 +278,8 @@ def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="mergeable-sketch rollup (the ingest-reduce / query-merge "
     "pattern): per-(type, day) HLL sketch rows merged to per-type "
     "approx distinct users + exact row counts, raw table scanned once "
-    "(operators/sketches.py).",
+    "(operators/sketches.py). Rows-only: HLL register layouts are "
+    "engine-specific; merge exactness + accuracy pinned in tests.",
 )
 def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.operators.sketches import merge_sketches, sketch_by

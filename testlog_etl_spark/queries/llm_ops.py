@@ -183,7 +183,8 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_topk",
     oracle=None,
     doc="IVF approximate top-k: k-means(8 cells, 3 iters) coarse "
-    "quantizer, nprobe=3. Recall vs brute force pinned in tests.",
+    "quantizer, nprobe=3. Rows-only by design (engine-specific "
+    "centroids); recall vs brute force pinned in golden tests.",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -202,7 +203,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     doc="LSH-bucketed approximate top-k: random-hyperplane signatures, "
     "8 tables x 4 bits, candidates meet only inside matching buckets "
-    "(equi-join, no crossJoin). Recall vs brute force pinned in tests.",
+    "(equi-join, no crossJoin). Rows-only by design (engine-specific "
+    "hyperplanes); recall vs brute force pinned in golden tests.",
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -326,7 +328,8 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     oracle=None,
     doc="multimodal plumbing: binary payload column -> mapInPandas "
-    "featurizer (Arrow batches); byte values pinned in tests.",
+    "featurizer (Arrow batches); rows-only by design -- byte values "
+    "pinned in golden tests.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]

@@ -39,3 +39,34 @@ def test_events_read_without_session_level_nanos_conf(spark, sf_dir):
         assert df.limit(5).count() > 0
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_registry_window_invariants():
+    """Guard the driver contract: the curated window is exactly the
+    first 50 registrations, every name resolves, and every oracle-less
+    query is a deliberate rows-only case."""
+    from testlog_etl_spark import suite
+
+    q = suite.queries()
+    names = list(q)
+    assert len(suite.DRIVER_WINDOW) == 50
+    assert names[:50] == list(suite.DRIVER_WINDOW)
+    rows_only = {n for n, c in suite.REGISTRY.items() if c.oracle is None}
+    # every rows-only case must say why in its doc (golden/engine-specific)
+    for n in rows_only:
+        doc = suite.REGISTRY[n].doc.lower()
+        assert any(w in doc for w in ("golden", "engine-specific", "no sql twin", "rows-only")), n
+
+
+def test_chunk_dedup_idempotent(spark):
+    """Re-deduping the kept chunks keeps everything (stable winners)."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.dedup import chunk_instances, dedup_chunks
+    from testlog_etl_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    inst = chunk_instances(docs, "doc_id", "text", k=3)
+    kept = dedup_chunks(inst, "doc_id").filter("kept").drop("kept")
+    again = dedup_chunks(kept, "doc_id")
+    assert again.filter(~F.col("kept")).count() == 0
