@@ -287,3 +287,60 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     daily = sketch_by(ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id")
     return merge_sketches(daily, ["event_type"]).orderBy("event_type")
+
+
+@register(
+    "agg_rfm_segments",
+    doc="RFM segmentation over orders: per-customer recency (days "
+    "before the corpus max date), frequency, monetary; fixed-threshold "
+    "segment labels; customers + revenue per segment. One customer "
+    "rollup + a broadcast 1-row max-date aggregate; all comparisons on "
+    "exact ints/decimals so the segment edges are engine-stable.",
+    oracle="""
+WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+c AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), (SELECT mxd FROM mx)) AS rec,
+         count(*) AS freq,
+         SUM(o_totalprice) AS mon
+  FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT CASE WHEN rec <= 30 AND freq >= 10 THEN 'champion'
+              WHEN rec <= 90 AND freq >= 5 THEN 'loyal'
+              WHEN rec <= 90 THEN 'recent'
+              WHEN freq >= 10 THEN 'at_risk'
+              ELSE 'hibernating' END AS segment,
+         mon
+  FROM c
+)
+SELECT segment, count(*) AS n_customers, ROUND(SUM(mon), 2) AS revenue
+FROM s GROUP BY segment ORDER BY segment
+""",
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    c = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("o_totalprice").alias("mon"),
+        )
+        .join(F.broadcast(mx))
+        .withColumn("rec", F.datediff(F.col("mxd"), F.col("last")))
+    )
+    seg = (
+        F.when((F.col("rec") <= 30) & (F.col("freq") >= 10), "champion")
+        .when((F.col("rec") <= 90) & (F.col("freq") >= 5), "loyal")
+        .when(F.col("rec") <= 90, "recent")
+        .when(F.col("freq") >= 10, "at_risk")
+        .otherwise("hibernating")
+    )
+    return (
+        c.select(seg.alias("segment"), "mon")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("mon"), 2).alias("revenue"))
+        .orderBy("segment")
+    )
