@@ -47,6 +47,13 @@ def get_spark(app_name: str = "spark-jx", shuffle_partitions: int | None = None)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime Bloom-filter pruning for selective fact-fact joins: the
+        # filtered build side seeds a bloom filter that prunes the probe
+        # scan pre-shuffle. Off by default in OSS Spark; the size
+        # thresholds (10 MB build / 10 GB probe scan) mean it only fires
+        # where it pays -- locally the probe scan is under the threshold,
+        # so plan tests lower it explicitly (test_bloom_filter_join_pruning)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

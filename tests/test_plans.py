@@ -344,3 +344,40 @@ def test_dedup_on_fingerprint_bucketed_layout_has_no_exchange(spark, tmp_path):
         assert dedup.count() == raw
     finally:
         spark.sql("DROP TABLE IF EXISTS docs_by_fp")
+
+
+def test_bloom_filter_join_pruning(spark):
+    """Runtime bloom-filter injection: a selective dim filter seeds a
+    bloom filter that prunes the fact scan BEFORE the join shuffle. The
+    10 GB probe-scan threshold never trips locally, so lower it for the
+    assertion; production keeps the defaults."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMALL, "lineitem")
+        orders = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
