@@ -65,3 +65,32 @@ def bucketed_join(
     """Join two co-bucketed tables; with matching bucket spec Catalyst
     plans a sort-merge join with no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table).hint("merge"), on)
+
+
+def normalize_to_bits(col, lo: float, hi: float, bits: int = 16):
+    """Map a numeric column to an integer rank in [0, 2^bits): the
+    fixed-grid quantization Z-ordering interleaves. Bounds are the
+    table's (cheaply known or pre-agged) min/max; values at hi clamp to
+    the top cell."""
+    span = float(hi) - float(lo)
+    cells = (1 << bits) - 1
+    scaled = ((col.cast("double") - F.lit(float(lo))) / F.lit(span)) * F.lit(cells)
+    return F.least(F.greatest(F.floor(scaled).cast("bigint"), F.lit(0)), F.lit(cells))
+
+
+def zorder_key2(a, b, bits: int = 16):
+    """Bit-interleave two `bits`-bit integer columns into one Z-curve
+    key (a pure codegen expression -- 4*bits shift/mask ops, no UDF).
+
+    Sorting (then range-splitting) a table by this key clusters rows
+    that are close in BOTH dimensions into the same files/row groups,
+    so parquet min/max stats prune 2-D box predicates (e.g. time x
+    user, lat x lon) that a 1-D sort can only prune along its leading
+    column. The write pays one range shuffle -- same cost as any global
+    sort -- and every later selective scan wins."""
+    key = F.lit(0).cast("bigint")
+    aa, bb = a.cast("bigint"), b.cast("bigint")
+    for i in range(bits):
+        key = key.bitwiseOR(F.shiftleft(F.shiftright(aa, i).bitwiseAND(F.lit(1)), 2 * i))
+        key = key.bitwiseOR(F.shiftleft(F.shiftright(bb, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return key

@@ -381,3 +381,33 @@ def test_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_key_matches_model_and_quads(spark):
+    """Interleave must equal the bit-twiddling model, and the defining
+    locality property must hold: z >> 2 identifies the 2x2 quad."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.layout import zorder_key2
+
+    pts = list(itertools.product(range(8), range(8)))
+    df = spark.createDataFrame(pts, ["x", "y"]).select(
+        "x", "y", zorder_key2(F.col("x"), F.col("y"), bits=3).alias("z")
+    )
+    got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+
+    def model(x, y):
+        z = 0
+        for i in range(3):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): model(x, y) for x, y in pts}
+    # quad property: the four cells of any 2x2 block share z >> 2
+    for qx in range(4):
+        for qy in range(4):
+            quad = {got[(2 * qx + dx, 2 * qy + dy)] >> 2 for dx in (0, 1) for dy in (0, 1)}
+            assert len(quad) == 1
