@@ -39,12 +39,15 @@ def with_stream_offsets(
     Caller must eventually unpersist or let the persisted intermediate
     age out; it is needed only while this plan is alive.
     """
+    # a null token count contributes 0 to the stream and must not
+    # poison the row's own offset (sum-over-window would yield null)
     ranged = (
-        df.repartitionByRange(num_parts, F.col(id_col))
+        df.withColumn("_tok0", F.coalesce(F.col(tok_col).cast("long"), F.lit(0)))
+        .repartitionByRange(num_parts, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    totals = ranged.groupBy("_pid").agg(F.sum(tok_col).alias("_t")).collect()
+    totals = ranged.groupBy("_pid").agg(F.sum("_tok0").alias("_t")).collect()
     acc = 0
     offsets = []
     for row in sorted(totals, key=lambda r: r["_pid"]):
@@ -53,13 +56,13 @@ def with_stream_offsets(
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, ["_pid", "_off"]) if offsets else None
     w = Window.partitionBy("_pid").orderBy(id_col)
-    local = ranged.withColumn("_local", F.sum(tok_col).over(w) - F.col(tok_col))
+    local = ranged.withColumn("_local", F.sum("_tok0").over(w) - F.col("_tok0"))
     if off_df is None:
-        return local.withColumn("start", F.col("_local")).drop("_pid", "_local")
+        return local.withColumn("start", F.col("_local")).drop("_pid", "_local", "_tok0")
     return (
         local.join(F.broadcast(off_df), "_pid")
         .withColumn("start", (F.col("_local") + F.col("_off")).cast("long"))
-        .drop("_pid", "_local", "_off")
+        .drop("_pid", "_local", "_off", "_tok0")
     )
 
 
@@ -71,13 +74,13 @@ def pack_chunks(
     tokens touch, ``crosses`` = doc straddles a sequence boundary.
     Zero-token docs get start_seq == end_seq and never cross."""
     out = with_stream_offsets(df, id_col, tok_col, num_parts)
-    end = F.col("start") + F.col(tok_col)
+    end = F.col("start") + F.coalesce(F.col(tok_col).cast("long"), F.lit(0))
     L = F.lit(int(seq_len))
     return (
         out.withColumn("start_seq", F.floor(F.col("start") / L))
         .withColumn(
             "end_seq",
-            F.when(F.col(tok_col) > 0, F.floor((end - 1) / L)).otherwise(
+            F.when(F.coalesce(F.col(tok_col), F.lit(0)) > 0, F.floor((end - 1) / L)).otherwise(
                 F.floor(F.col("start") / L)
             ),
         )
