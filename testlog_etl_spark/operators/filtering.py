@@ -34,6 +34,9 @@ def default_rules(col: Column) -> list[tuple[str, Column]]:
     oracle restates them verbatim.
     """
     return [
+        # null text would null out every signal below and fall through to
+        # 'keep' (CASE treats null conditions as false) -- catch it first
+        ("missing", col.isNull()),
         ("too_short", textstats.token_count(col) < 25),
         ("low_stopword", textstats.stopword_ratio(col) < 0.02),
         ("repetitive", textstats.dup_ngram_fraction(col, 2) > 0.05),
