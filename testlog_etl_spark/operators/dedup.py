@@ -34,9 +34,15 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 def content_hash(col: Column) -> Column:
     """Normalized content fingerprint for exact text dedup: lowercase,
-    collapse whitespace, xxhash64 (cheap, partition-order independent)."""
+    collapse whitespace, xxhash64 (cheap, partition-order independent).
+
+    Null text stays NULL: xxhash64(NULL) would return the seed (42),
+    silently equating every null doc in joins/count-distinct -- the
+    opposite of SQL null semantics, where a null fingerprint never
+    equi-matches and COUNT(DISTINCT) skips it (what every oracle
+    assumes)."""
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
-    return F.xxhash64(norm)
+    return F.when(col.isNull(), F.lit(None).cast("bigint")).otherwise(F.xxhash64(norm))
 
 
 def chunk_instances(
