@@ -116,8 +116,12 @@ def normalized_text(col: Column) -> Column:
 
 
 def fingerprint(col: Column) -> Column:
-    """64-bit document fingerprint over normalized text (exact-dup key)."""
-    return F.xxhash64(normalized_text(col))
+    """64-bit document fingerprint over normalized text (exact-dup key).
+    Null text stays NULL (xxhash64(NULL) would return the seed and
+    equate every null doc -- see operators/dedup.py::content_hash)."""
+    return F.when(col.isNull(), F.lit(None).cast("bigint")).otherwise(
+        F.xxhash64(normalized_text(col))
+    )
 
 
 def rolling_fingerprints(col: Column, k: int = 8, keep: int = 4) -> Column:
