@@ -450,3 +450,55 @@ def topk_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("nationkey").desc(), "name")
         .limit(30)
     )
+
+
+@register(
+    "join_full_outer_counts",
+    doc="full-outer join accounting: customers <> orders with "
+    "match/customer-only/order-only tallies -- the J-superset member "
+    "without a prior driver query. One sort-merge (AQE may pick "
+    "broadcast at this SF); null-side counts are exact ints.",
+    oracle="""
+SELECT count(CASE WHEN c.c_custkey IS NOT NULL AND o.o_orderkey IS NOT NULL THEN 1 END) AS n_matched,
+       count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_customer_only,
+       count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_order_only
+FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+""",
+)
+def join_full_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("c_custkey").isNotNull() & F.col("o_orderkey").isNotNull(), 1)).alias("n_matched"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_customer_only"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_order_only"),
+    )
+
+
+@register(
+    "agg_pivot_type_by_day",
+    doc="pivot surface: events pivoted to one column per event type "
+    "(explicit value list -- no extra distinct pass, deterministic "
+    "schema) with daily counts; oracle restates as conditional "
+    "aggregation.",
+    oracle="""
+SELECT ts::DATE AS day,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY 1 ORDER BY day
+""",
+)
+def agg_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("day")
+    )
