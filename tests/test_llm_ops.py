@@ -394,3 +394,20 @@ def test_locf_leading_gap_stays_null_and_fills_after(spark):
     assert out[("b", 0)] == (1, 1.0)
     assert out[("b", 20)] == (0, 1.0)      # carried forward
     assert out[("b", 40)] == (1, 3.0)
+
+
+def test_exact_k_per_group_budget_and_nesting(spark):
+    """Exactly min(k,|group|) rows per group; raising k keeps every
+    previously drawn row (rank prefixes nest)."""
+    from testlog_etl_spark.operators.sampling import exact_k_per_group
+
+    rows = [(i, "g" + str(i % 3)) for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    k10 = exact_k_per_group(df, "g", "id", k=10, seed="5")
+    by_g = {r["g"]: 0 for r in k10.collect()}
+    for r in k10.collect():
+        by_g[r["g"]] = by_g.get(r["g"], 0) + 1
+    assert by_g == {"g0": 10, "g1": 10, "g2": 10, "tiny": 1}
+    ids10 = {r["id"] for r in k10.collect()}
+    ids20 = {r["id"] for r in exact_k_per_group(df, "g", "id", k=20, seed="5").collect()}
+    assert ids10 <= ids20
