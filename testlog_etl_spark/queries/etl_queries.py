@@ -35,7 +35,7 @@ R = 4
     oracle="""
 SELECT event_type,
   count(*) AS n,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
 FROM events
 GROUP BY event_type

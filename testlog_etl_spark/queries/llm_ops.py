@@ -305,8 +305,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="token counting: whitespace and BPE-ish regex counts per source.",
     oracle=f"""
 SELECT source,
-  SUM(len(list_filter(string_split(trim(text), ' '), t -> t <> ''))) AS ws_tokens,
-  SUM(len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}'))) AS bpe_tokens
+  CAST(SUM(len(list_filter(string_split(trim(text), ' '), t -> t <> ''))) AS BIGINT) AS ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}'))) AS BIGINT) AS bpe_tokens
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -455,8 +455,9 @@ WITH synth AS (
   FROM synth
 )
 SELECT source, count(*) AS n_docs,
-       SUM(n_email) AS emails, SUM(n_ipv4) AS ipv4s, SUM(n_phone) AS phones,
-       SUM(masked_len) AS masked_chars
+       CAST(SUM(n_email) AS BIGINT) AS emails, CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(masked_len) AS BIGINT) AS masked_chars
 FROM f GROUP BY source ORDER BY source
 """,
 )
@@ -548,7 +549,7 @@ WITH b AS (
          CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
   FROM b
 )
-SELECT split, source, count(*) AS n_docs, SUM(n_chars) AS chars
+SELECT split, source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM s GROUP BY split, source ORDER BY split, source
 """,
 )
@@ -595,7 +596,7 @@ WITH s AS (
          ELSE 'keep' END AS verdict
   FROM s
 )
-SELECT verdict, count(*) AS n_docs, SUM(n_tok) AS tokens
+SELECT verdict, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
 FROM v GROUP BY verdict ORDER BY verdict
 """,
 )
@@ -630,7 +631,7 @@ WITH b AS (
          try_cast(('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15)) AS BIGINT) % 10000 AS bkt
   FROM documents
 )
-SELECT source, count(*) AS n_docs, SUM(n_chars) AS chars
+SELECT source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM b
 WHERE bkt < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
                         WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000
@@ -679,7 +680,7 @@ WITH t AS (
   FROM c
 )
 SELECT source, count(*) AS n_chunks,
-       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM r GROUP BY source ORDER BY source
 """,
 )
@@ -795,9 +796,9 @@ WITH s AS (
              OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
   FROM documents
 )
-SELECT source, count(*) AS n_docs, SUM(n_tok) AS n_tokens,
-       SUM(CASE WHEN n_tok > 0 AND (cum - n_tok) // 512 <> (cum - 1) // 512
-                THEN 1 ELSE 0 END) AS n_crossing
+SELECT source, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN n_tok > 0 AND (cum - n_tok) // 512 <> (cum - 1) // 512
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
 FROM s GROUP BY source ORDER BY source
 """,
 )
@@ -895,7 +896,7 @@ sampled AS (
   SELECT * FROM dedup
   WHERE try_cast(('0x' || substr(md5(doc_id::VARCHAR || ':13'), 1, 15)) AS BIGINT) % 10000 < 5000
 )
-SELECT source, count(*) AS n_docs, SUM(n_tok) AS n_tokens
+SELECT source, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM sampled GROUP BY source ORDER BY source
 """,
 )
@@ -949,7 +950,8 @@ r AS (
          row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
   FROM h
 )
-SELECT source, count(*) AS n_docs, SUM(n_chars) AS chars, SUM(doc_id) AS id_sum
+SELECT source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM r WHERE rk <= 40
 GROUP BY source ORDER BY source
 """,
@@ -990,7 +992,7 @@ new AS (
   FROM documents WHERE doc_id % 2 = 1
 )
 SELECT source, count(*) AS n_new,
-       SUM(CASE WHEN ex.norm IS NULL THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN ex.norm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM new LEFT JOIN ex ON new.norm = ex.norm
 GROUP BY source ORDER BY source
 """,

@@ -33,8 +33,14 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # requires a directory/glob (basePath must be a directory), and the
     # glob's parent becomes the basePath
     df = spark.readStream.schema(raw_schema).parquet(table_path(sf_dir, name) + "*")
-    if name == "events" and dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        # mirror load_table's ts normalization (long nanos or TIMESTAMP_NTZ
+        # -> instant TIMESTAMP): event-time watermarks reject NTZ
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     assert df.schema == batch.schema
     return df
 

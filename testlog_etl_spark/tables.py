@@ -45,28 +45,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark
-        # rejects by default (PARQUET_TYPE_ILLEGAL). The caller's session may
-        # not have been built by session.get_spark (the driver harness uses
-        # its own), so set the legacy conf defensively here, at the last
-        # moment before the read. It is runtime-settable (verified: conf.set
-        # then re-read succeeds) and makes the column arrive as long nanos.
+        # The generated events.parquet has stored ts as TIMESTAMP(NANOS) in
+        # some rounds (which Spark rejects by default: PARQUET_TYPE_ILLEGAL)
+        # and plain TIMESTAMP(MICROS, isAdjustedToUTC=false) in others. The
+        # caller's session may not have been built by session.get_spark
+        # (the driver harness uses its own), so set the confs defensively
+        # here, at the last moment before the read; both are
+        # runtime-settable (verified: conf.set then re-read succeeds).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin UTC so NTZ wall-times and unix_timestamp/epoch bucketing
+        # agree with DuckDB (which reads the same parquet as naive-as-UTC)
+        # regardless of the host session's zone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as a long of
-        # nanos-since-epoch. Convert to a real timestamp (microsecond
-        # precision, like DuckDB's own nanos->us coercion). The cast is a
-        # projection on one column -- pushdown/pruning on the rest is
-        # unaffected.
+        # Normalize ts to a real instant TIMESTAMP (LTZ, microsecond
+        # precision) whatever the storage flavor was:
+        # - TIMESTAMP(NANOS) + nanosAsLong arrives as long nanos-since-epoch;
+        # - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+        #   TIMESTAMP_NTZ, which streaming event-time and double-casts
+        #   reject.
+        # Either way the cast is a projection on one column -- pushdown and
+        # pruning on the rest is unaffected.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer div, not /: nanos-since-epoch (~1.7e18) overflows
             # double's exact-integer range, so float division drifts ulps
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # wall time interpreted in the (UTC-pinned) session zone; the
+            # resulting instant equals DuckDB's naive-as-UTC reading
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -27,6 +27,45 @@ TABLES = [
 ]
 
 
+def _kind(t: str) -> str:
+    """Normalize a Spark simpleString / DuckDB type name to a width-aware
+    kind tag, so HUGEINT-vs-BIGINT (and any other typed-value drift the
+    repr compare can't see) is caught before the driver's hash does."""
+    t = t.strip().lower()
+    if t.endswith("[]") or t.startswith("array"):
+        return "list"
+    if t.startswith("struct") or t.startswith("map"):
+        return t.split("<")[0]
+    if t.startswith("decimal"):
+        return "decimal"
+    base = t.split("(")[0]
+    return {
+        "tinyint": "i8", "smallint": "i16", "int": "i32", "integer": "i32",
+        "bigint": "i64", "long": "i64", "hugeint": "i128",
+        "utinyint": "u8", "usmallint": "u16", "uinteger": "u32", "ubigint": "u64",
+        "float": "f32", "real": "f32", "double": "f64",
+        "varchar": "str", "string": "str", "text": "str",
+        "boolean": "bool", "bool": "bool", "date": "date",
+        "timestamp": "ts", "timestamp_ntz": "ts", "timestamp with time zone": "ts",
+        "blob": "bin", "binary": "bin",
+    }.get(base, base)
+
+
+def _kind_compatible(s: str | None, d: str | None) -> bool:
+    """True when the driver's typed-value hash treats the pair as equal.
+
+    Evidence from CORRECTNESS_r02: int WIDTH differences are benign
+    (row_number rank: Spark i32 vs DuckDB i64 hash-matched), but
+    HUGEINT/DECIMAL are not (pandas/arrow converts them to float64 ->
+    6 hash mismatches). So: any int{8..64} ~ any int{8..64}; everything
+    else must match exactly.
+    """
+    if s == d:
+        return True
+    ints = {"i8", "i16", "i32", "i64"}
+    return s in ints and d in ints
+
+
 def main(argv: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -57,14 +96,30 @@ def main(argv: list[str]) -> int:
             sdf = qs[name](spark, SF)
             s_cols = sorted(sdf.columns)
             s = sorted(map(repr, (tuple(r[c] for c in s_cols) for r in sdf.collect())))
+            s_kinds = {f.name: _kind(f.dataType.simpleString()) for f in sdf.schema.fields}
             if name in oracles:
                 rel = con.execute(oracles[name])
                 raw_cols = [c[0] for c in rel.description]
                 d_cols = sorted(raw_cols)
                 idx = [raw_cols.index(c) for c in d_cols]
-                d = sorted(map(repr, (tuple(r[i] for i in idx) for r in rel.fetchall())))
-                ok = s == d and s_cols == d_cols
-                status = "MATCH" if ok else "MISMATCH"
+                rows = rel.fetchall()
+                d = sorted(map(repr, (tuple(r[i] for i in idx) for r in rows)))
+                # dtype parity: a DuckDB HUGEINT/DECIMAL vs Spark BIGINT has
+                # identical Python reprs but hash-mismatches in the driver
+                # (it hashes typed Arrow values) -- r02 lost 6 queries to it.
+                # DB-API description collapses numerics to 'NUMBER'; the
+                # relation API keeps real DuckDB type names.
+                drel = con.sql(oracles[name])
+                d_kinds = {
+                    c: _kind(str(t)) for c, t in zip(drel.columns, drel.types)
+                }
+                kind_bad = {
+                    c: (s_kinds.get(c), d_kinds.get(c))
+                    for c in d_cols
+                    if not _kind_compatible(s_kinds.get(c), d_kinds.get(c))
+                }
+                ok = s == d and s_cols == d_cols and not kind_bad
+                status = "MATCH" if ok else f"MISMATCH {kind_bad or ''}".rstrip()
                 if not ok:
                     bad[name] = status
             else:
