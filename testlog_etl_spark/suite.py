@@ -125,7 +125,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q10_returned_items",
     "q18_large_orders",
     "stream_hourly_window",
-    "jx_deep_query",
+    # new this round: single-scan table profiler (jx_deep_query, green in
+    # r01 and unchanged, yields the anchor slot)
+    "profile_documents",
 )
 
 
@@ -173,6 +175,7 @@ def _load_all() -> None:
         "sources_queries",
         "setops_queries",
         "asof_queries",
+        "profile_queries",
     ):
         # No blanket except: a transitive ImportError inside a module would
         # silently drop its whole query family from the driver's view.
