@@ -121,8 +121,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_topk_cosine",
     "dedup_exact",
     "etl_mozlog_results",
-    "etl_perfherder",
-    "q10_returned_items",
+    "index_postings",
+    "filter_quality_quantile",
     "q18_large_orders",
     "stream_hourly_window",
     # new this round: single-scan table profiler (jx_deep_query, green in
@@ -176,6 +176,7 @@ def _load_all() -> None:
         "setops_queries",
         "asof_queries",
         "profile_queries",
+        "index_queries",
     ):
         # No blanket except: a transitive ImportError inside a module would
         # silently drop its whole query family from the driver's view.
