@@ -24,7 +24,7 @@ WITH t AS (
 ),
 g AS (
   SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df,
-         list_sort(list(DISTINCT doc_id)) AS postings
+         array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
   FROM t GROUP BY term
 )
 SELECT term, tf, df, postings FROM g
@@ -36,7 +36,9 @@ def index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return (
         postings.build_postings(docs, "doc_id", textstats.tokens(F.col("text")), max_df=390)
-        .select("term", "tf", "df", "postings")
+        # suite convention: collections are stringified (sorted + joined)
+        # so the driver's typed value-hash sees identical scalars
+        .select("term", "tf", "df", F.array_join("postings", ",").alias("postings"))
         .orderBy("term")
     )
 
