@@ -32,7 +32,14 @@ from pyspark.sql import functions as F
 
 from testlog_etl_spark.expressions import JXCompiler
 
-_RANKING = {"rownum": F.row_number, "row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}
+_RANKING = {
+    "rownum": F.row_number,
+    "row_number": F.row_number,
+    "rank": F.rank,
+    "dense_rank": F.dense_rank,
+    "percent_rank": F.percent_rank,
+    "cume_dist": F.cume_dist,
+}
 
 
 def _sort_cols(sort: Any, compiler: JXCompiler) -> list[Column]:
@@ -82,6 +89,13 @@ def apply_window(df: DataFrame, clause: dict, compiler: JXCompiler) -> DataFrame
         if not sort_cols:
             raise ValueError(f"window aggregate {agg!r} requires `sort`")
         return df.withColumn(name, _RANKING[agg]().over(w))
+
+    if agg == "ntile":
+        # bucket boundary placement under ties follows row order, so a
+        # deterministic result requires a tie-broken (unique) sort
+        if not sort_cols:
+            raise ValueError("window aggregate 'ntile' requires `sort`")
+        return df.withColumn(name, F.ntile(int(clause.get("buckets", 4))).over(w))
 
     raw = clause.get("value", ".")
     # count over the whole row: "." / "*" means every row contributes

@@ -323,3 +323,41 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_type", ["view", "click", "purchase"], horizon_sec=604800
     )
     return funnel_counts(stages, 3)
+
+
+@register(
+    "win_distribution_ranks",
+    doc="distribution ranking functions: ntile quartiles (unique "
+    "tie-broken sort -- bucket boundaries follow row order), "
+    "percent_rank and cume_dist (functions of the VALUE under the tied "
+    "sort, so deterministic).",
+    oracle=f"""
+SELECT event_id,
+  NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile,
+  ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY user_id), {R}) AS pr,
+  ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY user_id), {R}) AS cd
+FROM events
+ORDER BY event_id
+""",
+)
+def win_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    out = run_jx(
+        spark,
+        {
+            "from": "events",
+            "window": [
+                {"name": "quartile", "aggregate": "ntile", "buckets": 4,
+                 "edges": ["event_type"], "sort": ["value", "event_id"]},
+                {"name": "pr", "aggregate": "percent_rank",
+                 "edges": ["event_type"], "sort": ["user_id"]},
+                {"name": "cd", "aggregate": "cume_dist",
+                 "edges": ["event_type"], "sort": ["user_id"]},
+            ],
+            "sort": "event_id",
+        },
+        tables,
+    )
+    return out.select(
+        "event_id", "quartile", F.round("pr", R).alias("pr"), F.round("cd", R).alias("cd")
+    )

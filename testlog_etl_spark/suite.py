@@ -123,7 +123,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "etl_mozlog_results",
     "index_postings",
     "filter_quality_quantile",
-    "q18_large_orders",
+    "win_distribution_ranks",
     "stream_hourly_window",
     # new this round: single-scan table profiler (jx_deep_query, green in
     # r01 and unchanged, yields the anchor slot)

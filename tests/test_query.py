@@ -276,3 +276,34 @@ def test_format_cube_2d_nested_reshape(spark):
         [0, 1, 0],  # ops
         [1, 0, 0],  # null dept: the lvl='jr' row with missing dept
     ]
+
+
+def test_window_distribution_ranks(spark, people):
+    out = run_jx(
+        spark,
+        {
+            "from": "people",
+            "select": ["name", "dept", "score"],
+            "window": [
+                {"name": "q2", "aggregate": "ntile", "buckets": 2, "edges": ["dept"], "sort": "name"},
+                {"name": "pr", "aggregate": "percent_rank", "edges": ["dept"], "sort": "score"},
+                {"name": "cd", "aggregate": "cume_dist", "edges": ["dept"], "sort": "score"},
+            ],
+            "sort": ["dept", "name"],
+        },
+        people,
+    )
+    eng = [(r["name"], r["q2"], r["pr"], r["cd"]) for r in out.collect() if r["dept"] == "eng"]
+    # eng: alice score 10, bob score 20 -> pr = (rank-1)/(n-1), cd = rank/n
+    assert eng == [("alice", 1, 0.0, 0.5), ("bob", 2, 1.0, 1.0)]
+
+
+def test_window_ntile_requires_sort(spark, people):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires `sort`"):
+        run_jx(
+            spark,
+            {"from": "people", "window": [{"name": "b", "aggregate": "ntile", "edges": ["dept"]}]},
+            people,
+        )
