@@ -174,3 +174,43 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "source_csv_roundtrip",
+    doc="S1/S7 sibling: CSV block sink then schema'd source with "
+    "PERMISSIVE bad-record quarantine wired (header, explicit schema -- "
+    "streaming/batch CSV cannot infer at scale; one shuffle-free "
+    "write + read, aggregate equals the direct one).",
+    oracle=f"""
+SELECT event_type, count(*) AS n, ROUND(SUM(value), {R}) AS sum_value
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from testlog_etl_spark.streaming.jobs import SCRATCH
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    block_path = os.path.join(SCRATCH, "csv", "events_block")
+    shutil.rmtree(block_path, ignore_errors=True)
+    (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select("event_id", "event_type", "value")
+        .write.option("header", True)
+        .option("compression", "gzip")
+        .csv(block_path)
+    )
+    back = spark.read.schema("event_id bigint, event_type string, value double, _corrupt string").option(
+        "header", True
+    ).option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt").csv(block_path)
+    return (
+        back.filter(F.col("_corrupt").isNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), R).alias("sum_value"))
+        .orderBy("event_type")
+    )

@@ -119,7 +119,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_running_sum",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
-    "dedup_exact",
+    "source_csv_roundtrip",
     "etl_mozlog_results",
     "index_postings",
     "filter_quality_quantile",
