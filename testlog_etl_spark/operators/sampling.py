@@ -107,3 +107,53 @@ def split_assign(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def weighted_mixture(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    factors: dict[str, float],
+    default: float = 1.0,
+    buckets: int = 10_000,
+    seed: str = "mix",
+    rep_col: str = "_rep",
+) -> DataFrame:
+    """Up/down-sample each stratum by a real-valued replication factor --
+    the data-mixture step (e.g. wiki x3.5, web x0.4) emitted as rows.
+
+    A factor r emits floor(r) copies of every row plus one more for the
+    deterministic ``frac(r)`` hash-slice of ids (the same md5-bucket draw
+    as stratified_sample, so a factor of 0.4 keeps exactly the rows
+    hash_sample(0.4) would). ``rep_col`` numbers the copies (0-based) so
+    downstream shuffling/packing can distinguish them.
+
+    Scale shape: pure projection + row-local explode(sequence) -- no
+    shuffle, no RNG state, no driver participation; output volume is
+    sum(r_s * |s|), exactly the data a trainer must read anyway.
+    Upsampling by integer factors keeps every id; re-tuning a fractional
+    part later preserves previously kept rows (buckets nest).
+    """
+    for name, r in factors.items():
+        if r < 0:
+            raise ValueError(f"factor for {name!r} must be >= 0, got {r}")
+    if default < 0:
+        raise ValueError(f"default factor must be >= 0, got {default}")
+
+    fac: Column | None = None
+    for name, r in factors.items():
+        cond = F.col(strata_col) == name
+        fac = F.when(cond, F.lit(float(r))) if fac is None else fac.when(cond, F.lit(float(r)))
+    fac = F.lit(float(default)) if fac is None else fac.otherwise(F.lit(float(default)))
+
+    whole = F.floor(fac).cast("bigint")
+    # fractional copy: same nested-bucket draw as stratified_sample
+    frac_cut = F.round((fac - whole) * buckets).cast("bigint")
+    extra = (hash_bucket(F.col(id_col), buckets, seed) < frac_cut).cast("bigint")
+    copies = (whole + extra).alias("_copies")
+
+    out = df.withColumn("_copies", copies).filter(F.col("_copies") > 0)
+    return (
+        out.withColumn(rep_col, F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))
+        .drop("_copies")
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from testlog_etl_spark.operators import multimodal, neardup, similarity, textstats
+from testlog_etl_spark.operators import multimodal, neardup, sampling, similarity, textstats
 from testlog_etl_spark.suite import register
 from testlog_etl_spark.tables import load_tables
 
@@ -1202,4 +1202,51 @@ def text_bpe_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("doc_id").alias("n_docs"))
         .orderBy(F.desc("n"), "pair")
         .limit(30)
+    )
+
+
+@register(
+    "sample_mixture_weighted",
+    doc="weighted mixture resampling: per-source REAL replication factors "
+    "(upsample x2.5, downsample x0.4, drop x0) -- floor(r) copies plus a "
+    "deterministic frac(r) hash-slice, emitted with a copy index. Pure "
+    "projection + row-local explode(sequence): no shuffle, no RNG.",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                     WHEN 'src3' THEN 0.0 ELSE 1.0 END AS fac,
+         try_cast(('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 15)) AS BIGINT) % 10000 AS b
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         CAST(floor(fac) AS BIGINT)
+         + CASE WHEN b < CAST(round((fac - floor(fac)) * 10000) AS BIGINT)
+                THEN 1 ELSE 0 END AS copies
+  FROM f
+),
+e AS (
+  SELECT doc_id, source, unnest(range(copies)) AS rep FROM c WHERE copies > 0
+)
+SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+       CAST(max(rep) AS BIGINT) AS max_rep
+FROM e GROUP BY source ORDER BY source
+""",
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    mixed = sampling.weighted_mixture(
+        docs, "source", "doc_id",
+        {"src0": 2.5, "src1": 0.4, "src3": 0.0},
+        default=1.0, seed="mix",
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.max("_rep").alias("max_rep"),
+        )
+        .orderBy("source")
     )

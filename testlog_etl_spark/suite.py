@@ -113,7 +113,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
+    "sample_mixture_weighted",
     "agg_basic_groupby",
     "edges_set_dense",
     "win_running_sum",

@@ -411,3 +411,40 @@ def test_exact_k_per_group_budget_and_nesting(spark):
     ids10 = {r["id"] for r in k10.collect()}
     ids20 = {r["id"] for r in exact_k_per_group(df, "g", "id", k=20, seed="5").collect()}
     assert ids10 <= ids20
+
+
+def test_weighted_mixture_replication(spark):
+    from testlog_etl_spark.operators.sampling import hash_bucket, weighted_mixture
+
+    df = spark.createDataFrame(
+        [(i, "up" if i < 10 else "down" if i < 20 else "drop") for i in range(30)],
+        "doc_id bigint, src string",
+    )
+    out = weighted_mixture(df, "src", "doc_id", {"up": 2.5, "down": 0.5, "drop": 0.0}, seed="t")
+    rows = out.groupBy("src").count().collect()
+    got = {r["src"]: r["count"] for r in rows}
+    assert "drop" not in got  # factor 0 removes the stratum entirely
+    # up: every id twice, plus the frac(0.5) hash slice once more
+    from pyspark.sql import functions as F
+
+    up_extra = df.filter((F.col("src") == "up") & (hash_bucket(F.col("doc_id"), seed="t") < 5000)).count()
+    assert got["up"] == 10 * 2 + up_extra
+    # down: exactly the 0.5 hash slice, once each
+    down_kept = df.filter((F.col("src") == "down") & (hash_bucket(F.col("doc_id"), seed="t") < 5000)).count()
+    assert got["down"] == down_kept
+
+    # copy indices are 0..copies-1 per id
+    reps = out.filter(F.col("src") == "up").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("_rep")).alias("r")).collect()
+    for r in reps:
+        assert r["r"] == list(range(len(r["r"])))
+
+
+def test_weighted_mixture_rejects_negative(spark):
+    import pytest as _pytest
+
+    from testlog_etl_spark.operators.sampling import weighted_mixture
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, src string")
+    with _pytest.raises(ValueError):
+        weighted_mixture(df, "src", "doc_id", {"a": -1.0})
