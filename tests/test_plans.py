@@ -411,3 +411,19 @@ def test_zorder_key_matches_model_and_quads(spark):
         for qy in range(4):
             quad = {got[(2 * qx + dx, 2 * qy + dy)] >> 2 for dx in (0, 1) for dy in (0, 1)}
             assert len(quad) == 1
+
+
+def test_weighted_mixture_is_shuffle_free(spark):
+    """Mixture replication must be projection + row-local generate: no
+    Exchange, no python boundary, factors resolved to a literal CASE."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from testlog_etl_spark.operators.sampling import weighted_mixture
+    from testlog_etl_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    df = weighted_mixture(docs, "source", "doc_id", {"src0": 2.5, "src1": 0.4})
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan  # the row-local copy fan-out
