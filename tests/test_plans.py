@@ -426,4 +426,5 @@ def test_weighted_mixture_is_shuffle_free(spark):
     plan = plan_of(df)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Generate explode" in plan  # the row-local copy fan-out
+    # the row-local copy fan-out, inside whole-stage codegen
+    assert "Generate" in plan and "explode(sequence" in plan
