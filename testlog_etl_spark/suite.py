@@ -109,7 +109,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sessionize_native_window",
     "layout_bucketed_join",
     "agg_salted_skew",
-    # -- 35-50: per-round anchors (flagship + bench + join/stream reps)
+    # -- 35-50: per-round anchors (flagship + bench + join/stream reps),
+    # six slots rotated to round-3's NEW operators (each displaced anchor
+    # was hash-green in r01/r02 and its code is unchanged: q6, q10, q18,
+    # dedup_exact, etl_perfherder, jx_deep_query)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -125,8 +128,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter_quality_quantile",
     "win_distribution_ranks",
     "stream_hourly_window",
-    # new this round: single-scan table profiler (jx_deep_query, green in
-    # r01 and unchanged, yields the anchor slot)
     "profile_documents",
 )
 
