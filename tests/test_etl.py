@@ -167,3 +167,26 @@ def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 10_000
     assert out.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))
+
+
+def test_csv_permissive_quarantine(spark, tmp_path):
+    """CSV sibling of the JSONL dead-letter: malformed rows surface in the
+    corrupt-record column instead of killing the read, good rows parse."""
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "event_id,event_type,value\n"
+        "1,click,10.5\n"
+        "2,view,NOT_A_NUMBER\n"
+        "3,view,7.25\n"
+    )
+    df = (
+        spark.read.schema("event_id bigint, event_type string, value double, _corrupt string")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(p))
+    ).cache()  # PERMISSIVE corrupt-column reads require materialization before filter
+    good = df.filter(df["_corrupt"].isNull())
+    bad = df.filter(df["_corrupt"].isNotNull())
+    assert {(r["event_id"], r["value"]) for r in good.collect()} == {(1, 10.5), (3, 7.25)}
+    assert [r["_corrupt"] for r in bad.collect()] == ["2,view,NOT_A_NUMBER"]
