@@ -261,3 +261,51 @@ def ivf_topk(
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization: scale 127/max|x|,
+    round-half-up via floor(x+0.5) (identical on Spark and DuckDB, unlike
+    banker's rounding). Emitted as array<tinyint> -- the actual 4x
+    storage/shuffle cut a quantized ANN corpus exists for."""
+    mx = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    return F.transform(
+        vec,
+        lambda x: F.when(mx == F.lit(0.0), F.lit(0))
+        .otherwise(F.floor(x * F.lit(127.0) / mx + F.lit(0.5)))
+        .cast("tinyint"),
+    )
+
+
+def topk_cosine_int8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Exact top-k over int8-QUANTIZED vectors: the per-vector scales
+    cancel inside cosine, so scoring is integer dot products (every
+    product <= 127^2 and every sum exact in double -- bit-identical
+    across engines, which makes this approximate-storage path exactly
+    oracle-able). Same broadcast-queries-over-one-corpus-scan shape as
+    the float tier."""
+    from testlog_etl_spark.util import spread
+
+    def prep(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
+        q = quantize_int8(F.col(vec_col).cast("array<double>"))
+        d = F.transform(q, lambda x: x.cast("double"))
+        return df.select(F.col(id_col), d.alias(out)).withColumn(f"{out}_n", l2_norm(F.col(out)))
+
+    c_side = spread(prep(corpus, c_id, c_vec, "_cq"))
+    q_side = prep(queries, q_id, q_vec, "_qq")
+    pairs = c_side.crossJoin(F.broadcast(q_side))
+    scored = pairs.select(
+        q_id,
+        c_id,
+        (dot(F.col("_qq"), F.col("_cq")) / (F.col("_qq_n") * F.col("_cq_n"))).alias("cosine"),
+    ).filter(F.col(q_id) != F.col(c_id))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

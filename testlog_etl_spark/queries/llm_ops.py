@@ -1250,3 +1250,46 @@ def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sim_topk_int8",
+    doc="similarity search over int8-QUANTIZED embeddings: per-vector "
+    "scales cancel inside cosine, so scoring is integer dot products -- "
+    "exact in double on both engines, which makes the 4x-storage ANN "
+    "path fully oracle-able (unlike recall-graded LSH/IVF tiers). "
+    "Oracle states the same quantize + integer-dot ranking in SQL.",
+    oracle=f"""
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CASE WHEN mx = 0 THEN 0
+                     ELSE floor(x::DOUBLE * 127.0 / mx + 0.5) END) AS qv
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        FROM embeddings)
+),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         list_dot_product(a.qv, b.qv)
+           / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos_full
+  FROM q8 a JOIN q8 b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT q_id, c_id, cos_full,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_full DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, ROUND(cos_full, {R}) AS cos, rank
+FROM r WHERE rank <= 5
+ORDER BY q_id, rank
+""",
+)
+def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = similarity.topk_cosine_int8(queries, corpus, k=5)
+    return out.select("q_id", "c_id", F.round("cosine", R).alias("cos"), "rank").orderBy("q_id", "rank")

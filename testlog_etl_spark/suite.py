@@ -117,7 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "sample_mixture_weighted",
-    "agg_basic_groupby",
+    "sim_topk_int8",
     "edges_set_dense",
     "win_running_sum",
     "dedup_minhash_lsh",

@@ -448,3 +448,33 @@ def test_weighted_mixture_rejects_negative(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id bigint, src string")
     with _pytest.raises(ValueError):
         weighted_mixture(df, "src", "doc_id", {"a": -1.0})
+
+
+def test_quantize_int8_range_and_saturation(spark):
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame([(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])], "id bigint, v array<double>")
+    out = {r["id"]: r["q"] for r in df.select("id", quantize_int8(F.col("v")).alias("q")).collect()}
+    # scale = 127/max|x|: the max-magnitude component saturates at +-127
+    assert out[1] == [64, -127, 32]  # 0.5*127=63.5 -> 64 (round-half-up)
+    assert out[2] == [0, 0, 0]  # zero vector stays zero, no div-by-zero
+    assert df.select(quantize_int8(F.col("v")).alias("q")).schema["q"].dataType.simpleString() == "array<tinyint>"
+
+
+def test_int8_topk_matches_float_topk_neighbors(spark):
+    # quantization at 64 dims barely perturbs cosine; top-1 neighbor of
+    # each query must agree with the float tier on this corpus
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.similarity import topk_cosine, topk_cosine_int8
+    from testlog_etl_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", "embeddings".split())["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    top1_f = {r["q_id"]: r["c_id"] for r in topk_cosine(queries, corpus, 1).collect()}
+    top1_q = {r["q_id"]: r["c_id"] for r in topk_cosine_int8(queries, corpus, 1).collect()}
+    assert top1_f == top1_q
