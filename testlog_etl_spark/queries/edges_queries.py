@@ -340,3 +340,55 @@ def edges_range_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables,
     )
     return out.withColumn("sum_price", F.round("sum_price", R))
+
+
+@register(
+    "edges_percentile_cells",
+    doc="percentile aggregates INSIDE cube cells (A6/A7 x D2): exact "
+    "median and p90 of event value per event-type part, dense over the "
+    "set domain -- pins the percentile path through cube_aggregate.",
+    oracle=f"""
+WITH dom AS (
+  SELECT unnest(['click', 'view', 'purchase', 'signup', 'error']) AS event_type
+),
+g AS (
+  SELECT event_type, count(*) AS n,
+         ROUND(median(value), {R}) AS med_value,
+         ROUND(quantile_cont(value, 0.9), {R}) AS p90_value
+  FROM events
+  GROUP BY event_type
+)
+SELECT d.event_type, coalesce(g.n, 0) AS n, g.med_value, g.p90_value
+FROM dom d LEFT JOIN g USING (event_type)
+ORDER BY event_type
+""",
+)
+def edges_percentile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("events",))
+    out = run_jx(
+        spark,
+        {
+            "from": "events",
+            "edges": [
+                {
+                    "name": "event_type",
+                    "value": "event_type",
+                    "domain": {
+                        "type": "set",
+                        "partitions": ["click", "view", "purchase", "signup", "error"],
+                    },
+                    "allowNulls": False,
+                }
+            ],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "med_value", "value": "value", "aggregate": "median"},
+                {"name": "p90_value", "value": "value", "aggregate": "percentile", "percentile": 0.9},
+            ],
+            "sort": "event_type",
+        },
+        tables,
+    )
+    return out.select(
+        "event_type", "n", F.round("med_value", R).alias("med_value"), F.round("p90_value", R).alias("p90_value")
+    )

@@ -118,7 +118,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "sample_mixture_weighted",
     "sim_topk_int8",
-    "edges_set_dense",
+    "edges_percentile_cells",
     "win_running_sum",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
