@@ -390,3 +390,48 @@ def etl_typed_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cohort_retention",
+    doc="cohort retention matrix: users bucketed by signup week, counted "
+    "distinct-active per week offset. Three partial-agg shuffles, all on "
+    "user_id or the (small) cohort keys; the user-grain join reuses the "
+    "user_id partitioning from the signup rollup.",
+    oracle="""
+WITH signup AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) // 604800 AS cohort_week
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+  FROM events
+)
+SELECT s.cohort_week, a.week - s.cohort_week AS week_offset,
+       count(DISTINCT s.user_id) AS n_users
+FROM signup s JOIN activity a ON s.user_id = a.user_id
+WHERE a.week >= s.cohort_week
+GROUP BY s.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    week = lambda c: F.floor(F.floor(F.unix_timestamp(c)) / 604800).cast("bigint")  # noqa: E731
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(week(F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select("user_id", week(F.col("ts")).alias("week")).distinct()
+    return (
+        signup.join(activity, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .withColumn("week_offset", F.col("week") - F.col("cohort_week"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -110,17 +110,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "layout_bucketed_join",
     "agg_salted_skew",
     # -- 35-50: per-round anchors (flagship + bench + join/stream reps),
-    # eight slots rotated to round-3's NEW operators (each displaced
+    # nine slots rotated to round-3's NEW operators (each displaced
     # anchor was hash-green in r01/r02 and its code is unchanged: q6,
     # q10, q18, dedup_exact, etl_perfherder, jx_deep_query,
-    # agg_basic_groupby, edges_set_dense)
+    # agg_basic_groupby, edges_set_dense, win_running_sum)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "sample_mixture_weighted",
     "sim_topk_int8",
     "edges_percentile_cells",
-    "win_running_sum",
+    "cohort_retention",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
     "source_csv_roundtrip",
