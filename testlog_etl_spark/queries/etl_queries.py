@@ -435,3 +435,72 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "transition_matrix",
+    doc="event-type transition matrix (Markov bigrams): lag over each "
+    "user's unique-sorted event stream, rolled up to (prev, next) "
+    "counts. One user-keyed window shuffle + one partial-agg shuffle on "
+    "the (tiny) type-pair keys.",
+    oracle="""
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+""",
+)
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "skew_report",
+    doc="key-skew diagnosis (what you run BEFORE deciding to salt): "
+    "top-10 heaviest user_ids with share of total. Partial-agg per key, "
+    "TakeOrdered for the top-k (no global sort), one-row total "
+    "broadcast.",
+    oracle="""
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT count(*) AS total FROM events),
+r AS (
+  SELECT user_id, n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rank
+  FROM c
+)
+SELECT r.user_id, r.n, ROUND(r.n / t.total, 4) AS share, r.rank
+FROM r, t
+WHERE r.rank <= 10
+ORDER BY r.rank
+""",
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), "user_id").limit(10)
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    # rank window runs over the already-limited 10 rows -- single tiny task
+    w = Window.orderBy(F.desc("n"), "user_id")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n") / F.col("total"), 4))
+        .withColumn("rank", F.row_number().over(w))
+        .select("user_id", "n", "share", "rank")
+        .orderBy("rank")
+    )

@@ -110,10 +110,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "layout_bucketed_join",
     "agg_salted_skew",
     # -- 35-50: per-round anchors (flagship + bench + join/stream reps),
-    # nine slots rotated to round-3's NEW operators (each displaced
+    # eleven slots rotated to round-3's NEW operators (each displaced
     # anchor was hash-green in r01/r02 and its code is unchanged: q6,
     # q10, q18, dedup_exact, etl_perfherder, jx_deep_query,
-    # agg_basic_groupby, edges_set_dense, win_running_sum)
+    # agg_basic_groupby, edges_set_dense, win_running_sum,
+    # sim_topk_cosine, etl_mozlog_results)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -122,9 +123,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "edges_percentile_cells",
     "cohort_retention",
     "dedup_minhash_lsh",
-    "sim_topk_cosine",
+    "transition_matrix",
     "source_csv_roundtrip",
-    "etl_mozlog_results",
+    "skew_report",
     "index_postings",
     "filter_quality_quantile",
     "win_distribution_ranks",
