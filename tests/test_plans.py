@@ -428,3 +428,15 @@ def test_weighted_mixture_is_shuffle_free(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the row-local copy fan-out, inside whole-stage codegen
     assert "Generate" in plan and "explode(sequence" in plan
+
+
+def test_skew_report_uses_take_ordered_not_global_sort(spark):
+    """Top-10 of per-key counts must plan as TakeOrderedAndProject over
+    the partial-aggregated counts -- a global sort of key counts would
+    shuffle every distinct key to one ordering pass."""
+    from testlog_etl_spark.suite import REGISTRY, _load_all
+
+    _load_all()
+    df = REGISTRY["skew_report"].fn(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
