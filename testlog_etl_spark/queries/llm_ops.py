@@ -1293,3 +1293,52 @@ def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     out = similarity.topk_cosine_int8(queries, corpus, k=5)
     return out.select("q_id", "c_id", F.round("cosine", R).alias("cos"), "rank").orderBy("q_id", "rank")
+
+
+@register(
+    "text_boilerplate_fraction",
+    doc="boilerplate diagnostic: per-doc fraction of distinct 3-word "
+    "shingles that also occur in OTHER docs, averaged per source. The "
+    "corpus-frequency join moves 8-byte xxhash64 shingle keys, never "
+    "shingle text (collision-free at corpus scale vs 2^64).",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+d AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS g FROM t),
+c AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM d GROUP BY g),
+p AS (
+  SELECT d.doc_id,
+         SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS frac
+  FROM d JOIN c USING (g)
+  GROUP BY d.doc_id
+)
+SELECT doc.source, count(*) AS n_docs,
+       ROUND(AVG(coalesce(p.frac, 0)), {R}) AS avg_boilerplate
+FROM documents doc LEFT JOIN p ON doc.doc_id = p.doc_id
+GROUP BY doc.source
+ORDER BY doc.source
+""",
+)
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.util import spread
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = spread(docs.select("doc_id", neardup.word_shingles(F.col("text")).alias("_sh")))
+    # 8-byte keys through both shuffles; shingle text never leaves the row
+    g = sh.select("doc_id", F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("g"))
+    counts = g.groupBy("g").agg(F.count_distinct("doc_id").alias("n_docs"))
+    frac = (
+        g.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)) / F.count(F.lit(1))).alias("frac")
+        )
+    )
+    return (
+        docs.join(frac, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.coalesce("frac", F.lit(0.0))), R).alias("avg_boilerplate"),
+        )
+        .orderBy("source")
+    )

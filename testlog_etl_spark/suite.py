@@ -110,13 +110,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "layout_bucketed_join",
     "agg_salted_skew",
     # -- 35-50: per-round anchors (flagship + bench + join/stream reps),
-    # eleven slots rotated to round-3's NEW operators (each displaced
+    # twelve slots rotated to round-3's NEW operators (each displaced
     # anchor was hash-green in r01/r02 and its code is unchanged: q6,
-    # q10, q18, dedup_exact, etl_perfherder, jx_deep_query,
+    # q10, q18, q3, dedup_exact, etl_perfherder, jx_deep_query,
     # agg_basic_groupby, edges_set_dense, win_running_sum,
     # sim_topk_cosine, etl_mozlog_results)
     "q1_pricing_summary",
-    "q3_shipping_priority",
+    "text_boilerplate_fraction",
     "q5_local_supplier_volume",
     "sample_mixture_weighted",
     "sim_topk_int8",
