@@ -31,7 +31,17 @@ BAND_R = 2  # rows per band -> N_HASHES // BAND_R bands
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (k consecutive tokens joined by a space)."""
+    """Distinct k-word shingles (k consecutive tokens joined by a space).
+
+    Docs with fewer than k tokens get an EMPTY shingle set -- matching the
+    DuckDB oracle twin (``_DUCK_SHINGLES``: a list comprehension over an
+    empty range). The pre-r04 fallback (one concat-of-all-tokens partial
+    shingle, possibly '') diverged from the oracle for degenerate docs;
+    today's corpus has none, but a testdata regeneration could (ADVICE r03).
+    Downstream semantics for empty sets: minhash signature = all-sentinel
+    (such docs band-collide only with each other), exact Jaccard = 0 ->
+    filtered by any threshold > 0.
+    """
     toks = tokens(col)
     n = F.size(toks)
     return F.array_distinct(
@@ -41,7 +51,7 @@ def word_shingles(col: Column, k: int = 3) -> Column:
                 F.sequence(F.lit(1), n - k + 1),
                 lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
             ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        ).otherwise(F.expr("cast(array() as array<string>)"))
     )
 
 

@@ -36,13 +36,16 @@ ORDER BY event_type
 """,
 )
 def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    import uuid
 
     from testlog_etl_spark.streaming.jobs import SCRATCH
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    block_path = os.path.join(SCRATCH, "jsonl", "events_block")
-    shutil.rmtree(block_path, ignore_errors=True)
+    # per-invocation unique block dir (ADVICE r03): a fixed shared path
+    # races under concurrent/re-entrant harness runs (one run's rmtree
+    # deleting the block another is lazily reading). Blocks are tiny;
+    # stale ones are abandoned, never deleted while possibly live.
+    block_path = os.path.join(SCRATCH, "jsonl", f"events_block_{uuid.uuid4().hex}")
     # timestamps serialize as ISO strings; this block only needs the
     # filtered analytical columns (the reference's blocks are projected
     # transform outputs, not raw table dumps)
@@ -191,13 +194,13 @@ ORDER BY event_type
 """,
 )
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    import uuid
 
     from testlog_etl_spark.streaming.jobs import SCRATCH
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    block_path = os.path.join(SCRATCH, "csv", "events_block")
-    shutil.rmtree(block_path, ignore_errors=True)
+    # unique per invocation -- see source_jsonl_roundtrip's race note
+    block_path = os.path.join(SCRATCH, "csv", f"events_block_{uuid.uuid4().hex}")
     (
         ev.filter(F.col("event_type").isin("click", "view"))
         .select("event_id", "event_type", "value")

@@ -143,8 +143,29 @@ def _ordered() -> dict[str, QueryCase]:
     return {n: REGISTRY[n] for n in (*DRIVER_WINDOW, *rest)}
 
 
+def _pin_session(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin session confs EVERY query path depends on, in every query path.
+
+    The driver harness builds its own (default-config) SparkSession; before
+    r04 only the events loader set these, so timezone-sensitive behavior in
+    a non-UTC host session depended on whether an events load ran first
+    (ADVICE r03: order-dependent results). Pinning here makes every
+    driver-facing callable self-sufficient and order-independent; the set
+    in tables.load_table remains as a defensive mirror for direct callers.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: case.fn for name, case in _ordered().items()}
+    return {name: _pin_session(case.fn) for name, case in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:

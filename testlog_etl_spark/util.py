@@ -42,19 +42,30 @@ def _render_sql(v) -> str:
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Repartition up to the cluster's parallelism for CPU-heavy per-row
-    operators (hashing, signatures, pairwise math).
+    """Fan out to the cluster's parallelism for CPU-heavy per-row
+    operators (hashing, signatures, pairwise math) -- but ONLY when the
+    input is under-split.
 
     The driver's tables are single small parquet files -> one input
-    partition, which would serialize such work on one core. At real
-    scale inputs arrive in many splits and this becomes a no-op-ish
-    round-robin; the shuffle it costs is proportional to the (small)
-    projected columns, not the full table.
+    partition, which would serialize such work on one core. At 100 TB the
+    input already arrives in thousands of splits, and an unconditional
+    ``repartition(n)`` (the pre-r04 behavior) would round-robin-shuffle
+    the whole projected corpus for nothing -- round-robin repartition
+    ALWAYS shuffles, there is no no-op case. So gate on the plan's actual
+    partition count and return the frame untouched when it is already
+    spread.
 
-    Plan-free by design: probing df.rdd.getNumPartitions() would force an
-    RDD conversion / plan analysis on the driver per call. An unconditional
-    repartition keeps planning lazy; at real scale AQE coalesces the
-    resulting shuffle partitions to the data's actual size anyway.
+    The probe (``df.rdd.getNumPartitions()``) plans the frame's physical
+    scan driver-side but runs no job; ``spread`` is only ever applied to
+    scan+projection frames (no upstream shuffle stages to execute), so
+    the probe costs one cheap planning pass per query build. Callers must
+    keep that contract: spread the *projected scan*, not a joined frame.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 -- fall back to the safe (shuffling) path
+        current = 0
+    if current >= target:
+        return df
     return df.repartition(target)

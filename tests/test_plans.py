@@ -440,3 +440,19 @@ def test_skew_report_uses_take_ordered_not_global_sort(spark):
     df = REGISTRY["skew_report"].fn(spark, SF_SMALL)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_spread_is_identity_when_already_split(spark):
+    """util.spread must NOT shuffle an input that already has >= target
+    partitions: at 100 TB the corpus arrives in thousands of splits and
+    the pre-r04 unconditional repartition round-robin-shuffled the whole
+    projected corpus before shingling/signatures (VERDICT r03 nit #1)."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.util import spread
+
+    wide = spark.range(0, 1000, 1, 64).withColumn("t", F.lit("x"))
+    assert "Exchange" not in plan_of(spread(wide, min_parts=32), mode="simple")
+    # the sandbox case still fans out: single-split input gets the shuffle
+    narrow = spark.range(0, 1000, 1, 1).withColumn("t", F.lit("x"))
+    assert "RoundRobinPartitioning" in plan_of(spread(narrow, min_parts=32), mode="simple")

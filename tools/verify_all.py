@@ -46,7 +46,15 @@ def _kind(t: str) -> str:
         "float": "f32", "real": "f32", "double": "f64",
         "varchar": "str", "string": "str", "text": "str",
         "boolean": "bool", "bool": "bool", "date": "date",
-        "timestamp": "ts", "timestamp_ntz": "ts", "timestamp with time zone": "ts",
+        # Timestamp flavors stay DISTINCT kinds (ADVICE r03): collapsing
+        # NTZ / instant / tz-aware into one tag would hide exactly the
+        # repr-equal-but-Arrow-dtype-different drift class that cost six
+        # queries in r02 (HUGEINT). "timestamp" (Spark LTZ instant /
+        # DuckDB naive) is the one empirically hash-green pairing (every
+        # events query r02-r03); anything NTZ- or tz-suffixed on either
+        # side is new territory and must be flagged, not waved through.
+        "timestamp": "ts", "timestamp_ntz": "ts_ntz",
+        "timestamp with time zone": "ts_tz", "timestamptz": "ts_tz",
         "blob": "bin", "binary": "bin",
     }.get(base, base)
 
