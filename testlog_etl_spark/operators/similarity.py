@@ -73,18 +73,60 @@ def topk_cosine(
 
 
 def _argmin_cell(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Index of the nearest centroid (literal centroid arrays: k is
-    small, so this is a codegen'd expression chain, not a join)."""
-    best_d, best_i = None, None
-    for i, c in centroids:
-        d = sq_dist(vec, const_array([float(x) for x in c]))
-        if best_d is None:
-            best_d, best_i = d, F.lit(i)
-        else:
-            cond = d < best_d
-            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_i
+    """Id of the nearest centroid, as ONE literal centroid matrix plus a
+    runtime fold over its k rows.
+
+    The pre-r04 form unrolled a k-deep WHEN chain, duplicating the full
+    distance expression k times in the generated Java -- fine at k<=256,
+    Janino compile blow-up past it (VERDICT r03 nit #2). The fold keeps
+    codegen size O(1) in k: k=4096 compiles exactly as fast as k=4, and
+    the per-row work is the same O(k*dim) either way. The literal matrix
+    is k*dim*8 bytes of plan constant (32 MB at k=4096/dim=1024); beyond
+    that, use ``assign_cells_join`` (broadcast-join form, needs row ids).
+    Ties break to the earlier centroid in the given order (strict <),
+    matching the old chain's semantics."""
+    ids = const_array([int(i) for i, _ in centroids])
+    cents = const_array([[float(x) for x in c] for _, c in centroids])
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).cast("bigint").alias("i")
+    )
+
+    def step(acc: Column, j: Column) -> Column:
+        d = sq_dist(vec, F.element_at(cents, j))
+        return F.when(
+            d < acc["d"], F.struct(d.alias("d"), F.element_at(ids, j).alias("i"))
+        ).otherwise(acc)
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(len(centroids))), init, step)["i"]
+
+
+def assign_cells_join(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    cell_col: str = "_cell",
+) -> DataFrame:
+    """Broadcast-join centroid assignment for k too large for a literal
+    plan constant (>~4k centroids): corpus x broadcast(centroids) pairs
+    scored, then min-reduced per row. Needs a row id because the n*k
+    expansion must be folded back per row; map-side partial aggregation
+    collapses the expansion to n rows per partition before any shuffle.
+    Returns (id_col, cell_col) -- callers rejoin vectors as needed."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in centroids], "cell bigint, centroid array<double>"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = (
+        df.select(F.col(id_col), v.alias("_v"))
+        .join(F.broadcast(cent_df))
+        .select(id_col, F.col("cell"), sq_dist(F.col("_v"), F.col("centroid")).alias("_d"))
+    )
+    # min of (dist, cell) struct = argmin with deterministic low-id ties
+    return scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("_d"), F.col("cell"))).alias("_m")
+    ).select(id_col, F.col("_m.cell").alias(cell_col))
 
 
 def kmeans_fit(
@@ -92,24 +134,37 @@ def kmeans_fit(
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's iterations as DataFrame jobs. Deterministic init: the k
     rows with smallest id (or first k under an arbitrary-but-stable
-    sort). Each iteration: one scan + one groupBy(cell) shuffle of
-    dimension-wise sums -- O(k*dim) rows move, the corpus never does."""
+    sort). Each iteration: one scan + the (cell, dim)-keyed partial
+    aggregation -- O(k*dim) rows move, the corpus never does.
+
+    The update step sums vectors ELEMENTWISE via posexplode + two-stage
+    aggregation instead of the pre-r04 `dim` separate F.sum(v[d])
+    aggregates (which generated dim-wide aggregate lists -- codegen/driver
+    pain at dim>=1024, VERDICT r03 nit #2). Shuffle bytes are identical
+    (n*dim doubles either way, map-side-combined to k*dim per partition);
+    the driver collects k rows of arrays, never k*dim scalars."""
     v = F.col(vec_col).cast("array<double>")
     order = F.col(id_col) if id_col else F.col(vec_col).cast("string")
     init = df.select(v.alias("_v")).orderBy(order).limit(k).collect()
     centroids = [(i, list(r["_v"])) for i, r in enumerate(init)]
-    dim = len(centroids[0][1])
 
     for _ in range(n_iter):
         assigned = df.select(v.alias("_v")).withColumn("_cell", _argmin_cell(F.col("_v"), centroids))
-        sums = assigned.groupBy("_cell").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[F.sum(F.col("_v")[d]).alias(f"_s{d}") for d in range(dim)],
+        sums = (
+            assigned.select("_cell", F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_cell", "_d")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .groupBy("_cell")
+            .agg(
+                F.max("_n").alias("_n"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_d", "_s"))), lambda s: s["_s"]
+                ).alias("_sums"),
+            )
         )
-        rows = sums.collect()
         new = dict(centroids)
-        for r in rows:
-            new[r["_cell"]] = [r[f"_s{d}"] / r["_n"] for d in range(dim)]
+        for r in sums.collect():
+            new[r["_cell"]] = [s / r["_n"] for s in r["_sums"]]
         centroids = sorted(new.items())
     return centroids
 
@@ -238,15 +293,16 @@ def ivf_topk(
     )
 
     # per-query probe list: nprobe nearest centroids (tiny, driver-free:
-    # rank literal-centroid distances per row)
-    dists = F.array(
-        *[
-            F.struct(
-                sq_dist(cast(q_vec), const_array([float(x) for x in c])).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in centroids
-        ]
+    # rank distances against ONE literal centroid matrix per row -- same
+    # O(1)-codegen shape as _argmin_cell, not k unrolled struct exprs)
+    ids = const_array([int(i) for i, _ in centroids])
+    cents = const_array([[float(x) for x in c] for _, c in centroids])
+    dists = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda j: F.struct(
+            sq_dist(cast(q_vec), F.element_at(cents, j)).alias("d"),
+            F.element_at(ids, j).alias("cell"),
+        ),
     )
     probes = queries.select(
         F.col(q_id),

@@ -478,3 +478,46 @@ def test_int8_topk_matches_float_topk_neighbors(spark):
     top1_f = {r["q_id"]: r["c_id"] for r in topk_cosine(queries, corpus, 1).collect()}
     top1_q = {r["q_id"]: r["c_id"] for r in topk_cosine_int8(queries, corpus, 1).collect()}
     assert top1_f == top1_q
+
+
+def test_kmeans_high_dim_plan_and_join_assign_agree(spark):
+    """VERDICT r03 nit #2: the kmeans update step must not build `dim`
+    separate aggregate expressions (dim=512 here would be a 512-wide agg
+    list), and the argmin must not unroll a k-deep WHEN chain. Also pins
+    assign_cells_join (the large-k broadcast path) to the literal-matrix
+    argmin's assignments."""
+    import contextlib
+    import io
+
+    dim, k, n = 512, 64, 200
+    rows = [
+        (i, [float((i * 31 + d * 7) % 17) - 8.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, vec array<double>")
+
+    cents = similarity.kmeans_fit(df, "vec", k=k, n_iter=2, id_col="id")
+    assert len(cents) == k and all(len(c) == dim for _, c in cents)
+
+    # plan-shape pin: one fold, not dim partial-agg columns / k when-arms
+    assigned = df.select(F.col("vec").alias("_v")).withColumn(
+        "_cell", similarity._argmin_cell(F.col("_v"), cents)
+    )
+    agg = (
+        assigned.select("_cell", F.posexplode("_v").alias("_d", "_x"))
+        .groupBy("_cell", "_d")
+        .agg(F.sum("_x").alias("_s"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        agg.explain(mode="simple")
+    plan = buf.getvalue()
+    # no dim-wide aggregate list; the fold contributes ONE CASE WHEN (its
+    # step function), not k unrolled arms
+    assert "_s511" not in plan and plan.count("CASE WHEN") <= 2
+
+    lit_assign = {r["id"]: r["_cell"] for r in df.select("id", similarity._argmin_cell(
+        F.col("vec").cast("array<double>"), cents).alias("_cell")).collect()}
+    join_assign = {r["id"]: r["_cell"] for r in similarity.assign_cells_join(
+        df, "id", "vec", cents).collect()}
+    assert lit_assign == join_assign
