@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from testlog_etl_spark import oracles as osql
 from testlog_etl_spark.operators import multimodal, neardup, sampling, similarity, textstats
 from testlog_etl_spark.suite import register
 from testlog_etl_spark.tables import load_tables
@@ -23,6 +24,40 @@ R = 4
 
 # DuckDB-side distinct 3-word shingles (list comprehension over tokens)
 _DUCK_SHINGLES = "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of neardup.simhash64 + pigeonhole pair search, exact
+    to the bit: per-token XXH64 via the generated SQL expression
+    (oracles.xxh64_unsigned_sql, bit-identical to F.xxhash64), then the
+    64 sign-votes as Python-unrolled CASE terms (vote for bit k is
+    positive iff 2*|{tokens with bit k set}| > |tokens|), then an exact
+    O(n^2) Hamming<=3 pair scan -- the contract the chunked equi-join
+    blocking must reproduce."""
+    hash_expr = osql.xxh64_unsigned_sql("__t")
+    terms = []
+    for bit in range(64):
+        mask = -(1 << 63) if bit == 63 else (1 << bit)
+        mask_sql = "(-9223372036854775807 - 1)" if bit == 63 else str(mask)
+        terms.append(
+            f"CASE WHEN 2 * len(list_filter(us, __u -> __u // {1 << bit} % 2 = 1)) > len(us) "
+            f"THEN {mask_sql}::BIGINT ELSE 0 END"
+        )
+    sig = "(" + " + ".join(terms) + ")::BIGINT"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), __t -> __t != '') AS toks
+  FROM documents
+),
+h AS (SELECT doc_id, [{hash_expr} for __t in toks] AS us FROM t),
+sig AS (SELECT doc_id, {sig} AS sig FROM h)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 @register(
@@ -109,10 +144,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,
+    oracle=_simhash_oracle(),
     doc="SimHash near-dup tier: 64-bit signatures, pigeonhole-blocked "
-    "Hamming<=3 pairs. Engine-specific bit patterns -> no SQL twin; "
-    "invariants pinned in tests/test_llm_ops.py.",
+    "Hamming<=3 pairs. Exactly oracled since r04: the DuckDB twin "
+    "recomputes the bit-identical signatures via a generated SQL XXH64 "
+    "(testlog_etl_spark/oracles.py) and does the O(n^2) Hamming scan "
+    "the blocking must reproduce; bit-level invariants additionally "
+    "pinned in tests/test_llm_ops.py.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -197,14 +235,84 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", F.round("cosine", R).alias("cos"), "rank").orderBy("q_id", "rank")
 
 
+def _lsh_topk_oracle(dim: int = 64, n_tables: int = 8, n_bits: int = 4, k: int = 5) -> str:
+    """DuckDB twin of similarity.lsh_topk, exact: the hyperplanes are
+    deterministic literals (rademacher_planes, crc32-seeded), so the
+    oracle renders the SAME planes into SQL and recomputes signatures,
+    buckets, candidates, and cosines. Float discipline: dots and norms
+    are sequential left folds in array order on BOTH engines (Spark
+    aggregate/zip_with vs generated reduce), so sign decisions at the
+    >= 0 boundary and the pre-round rank ordering agree bit-for-bit."""
+    planes = similarity.rademacher_planes(42, n_tables * n_bits, dim)
+
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ",".join("1.0" if x > 0 else "-1.0" for x in p) + "]"
+
+    def dot_plane(vec: str, p: list[float]) -> str:
+        return (
+            f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+            f"__i -> {vec}[__i] * ({plane_lit(p)}::DOUBLE[])[__i])), (__a, __x) -> __a + __x)"
+        )
+
+    def sig_expr(t: int, vec: str) -> str:
+        bits = [
+            f"CASE WHEN {dot_plane(vec, planes[t * n_bits + b])} >= 0.0 THEN {1 << b} ELSE 0 END"
+            for b in range(n_bits)
+        ]
+        return "(" + " + ".join(bits) + ")::BIGINT"
+
+    sigs = "[" + ", ".join(sig_expr(t, "vec") for t in range(n_tables)) + "]"
+    dot_vv = (
+        "reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, %d), "
+        "__i -> qv.vec[__i] * cv.vec[__i])), (__a, __x) -> __a + __x)" % (dim + 1)
+    )
+
+    def norm(vec: str) -> str:
+        return (
+            f"sqrt(reduce(list_prepend(0.0::DOUBLE, list_transform({vec}, __e -> __e * __e)), "
+            f"(__a, __x) -> __a + __x))"
+        )
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+s AS (SELECT vec_id, vec, {sigs} AS sigs FROM v),
+b AS (
+  SELECT vec_id, t, sigs[t + 1] AS sig
+  FROM s, (SELECT unnest(range(0, {n_tables})) AS t) tt
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM b q JOIN b c ON q.t = c.t AND q.sig = c.sig AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+         {dot_vv} / ({norm('qv.vec')} * {norm('cv.vec')}) AS cosine
+  FROM cand
+  JOIN v qv ON qv.vec_id = cand.q_id
+  JOIN v cv ON cv.vec_id = cand.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, ROUND(cosine, {R}) AS cos, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
 @register(
     "sim_lsh_topk",
-    oracle=None,
+    oracle=_lsh_topk_oracle(),
     bench=True,
     doc="LSH-bucketed approximate top-k: random-hyperplane signatures, "
     "8 tables x 4 bits, candidates meet only inside matching buckets "
-    "(equi-join, no crossJoin). Rows-only by design (engine-specific "
-    "hyperplanes); recall vs brute force pinned in golden tests.",
+    "(equi-join, no crossJoin). Exactly oracled since r04: the planes "
+    "are deterministic literals, so the DuckDB twin recomputes the "
+    "identical buckets and cosines; recall vs brute force additionally "
+    "pinned in golden tests.",
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]

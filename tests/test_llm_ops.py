@@ -521,3 +521,29 @@ def test_kmeans_high_dim_plan_and_join_assign_agree(spark):
     join_assign = {r["id"]: r["_cell"] for r in similarity.assign_cells_join(
         df, "id", "vec", cents).collect()}
     assert lit_assign == join_assign
+
+
+def test_xxh64_sql_matches_spark(spark):
+    """The generated DuckDB XXH64 expression (oracles.xxh64_sql) must be
+    bit-identical to F.xxhash64 across every tail-path boundary (0..7
+    byte tails, 4-byte chunk, 8-byte words, 32-byte stripes) -- it is
+    the foundation of the dedup_simhash oracle."""
+    import random
+
+    import duckdb
+
+    from testlog_etl_spark.oracles import xxh64_sql
+
+    random.seed(11)
+    tests = ["", "a", "abc", "x" * 7, "y" * 8, "p" * 12, "q" * 31, "w" * 32, "m" * 33, "n" * 100]
+    tests += ["".join(random.choice("abcdefgh ") for _ in range(random.randint(1, 80))) for _ in range(20)]
+    sdf = spark.createDataFrame([(t,) for t in tests], ["s"])
+    want = [r["h"] for r in sdf.select(F.xxhash64("s").alias("h")).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{s}')" for s in tests)
+        + ") v(s)"
+    )
+    got = [r[0] for r in con.execute(f"SELECT {xxh64_sql('s')} FROM t").fetchall()]
+    assert got == want
