@@ -82,6 +82,10 @@ class Edge:
     limit: int | None = None  # default-domain part cap
     allow_nulls: bool = True
     bound: int = DEFAULT_EDGE_LIMIT  # static worst-case part count
+    others: bool = False  # D9: collapse over-limit parts into one OTHER part
+
+
+OTHERS_LABEL = "OTHER"
 
 
 def normalize_edge(spark: SparkSession, spec: Any, compiler: JXCompiler) -> Edge:
@@ -188,13 +192,15 @@ def normalize_edge(spark: SparkSession, spec: Any, compiler: JXCompiler) -> Edge
     # reference's terms aggregations are size-capped the same way), so a
     # default edge is still BOUNDED and the densify join stays broadcastable.
     limit = int(spec.get("limit") or domain.get("limit") or 0) or DEFAULT_EDGE_LIMIT
+    others = bool(spec.get("others") or domain.get("others"))
     return Edge(
         name=name,
         key=val_col,
         domain=None,
         limit=limit,
         allow_nulls=allow_nulls,
-        bound=limit,
+        bound=limit + (1 if others else 0),
+        others=others,
     )
 
 
@@ -218,6 +224,51 @@ def _numeric_domain_df(spark: SparkSession, name: str, dmin: float, dmax: float,
     return spark.range(n_parts).select((F.lit(dmin) + F.col("id") * F.lit(i)).alias(name))
 
 
+def _resolve_others(df: DataFrame, e: Edge) -> Edge:
+    """D9 OTHER part: a default domain with ``others: true`` keeps its
+    first ``limit`` parts and collapses every over-limit part into one
+    synthetic OTHER row instead of dropping those rows.
+
+    Shape: one extra *discovery* aggregate over the (column-pruned) edge
+    column finds the kept parts -- bounded by ``limit``, so collecting
+    them to the driver is safe by construction -- and the bucket key
+    becomes a pure ``isin`` expression. The main fact aggregate then sees
+    OTHER as just another group, so EVERY aggregate type (avg, median,
+    cardinality...) is computed correctly over the collapsed rows; the
+    alternative (re-aggregating the grouped result) would be wrong for
+    any non-decomposable aggregate. At scale the discovery pass shuffles
+    only map-side-deduped distinct keys, never rows.
+    """
+    if not e.others:
+        return e
+    import dataclasses
+
+    dtype = df.select(e.key.alias(e.name)).schema[e.name].dataType.simpleString()
+    if dtype != "string":
+        raise ValueError(
+            f"edge {e.name!r}: others=true needs a string-typed edge "
+            f"(got {dtype}) -- the OTHER part is a synthetic label"
+        )
+    kept = [
+        r[e.name]
+        for r in df.select(e.key.alias(e.name))
+        .where(e.key.isNotNull())
+        .distinct()
+        .orderBy(e.name)
+        .limit(e.limit or DEFAULT_EDGE_LIMIT)
+        .collect()
+    ]
+    key = (
+        F.when(e.key.isNull(), F.lit(None).cast("string"))
+        .when(e.key.isin(kept) if kept else F.lit(False), e.key)
+        .otherwise(F.lit(OTHERS_LABEL))
+    )
+    dom = df.sparkSession.createDataFrame(
+        [(v,) for v in (*kept, OTHERS_LABEL)], f"{e.name} string"
+    )
+    return dataclasses.replace(e, key=key, domain=dom, bound=len(kept) + 1)
+
+
 def cube_aggregate(
     spark: SparkSession,
     df: DataFrame,
@@ -227,6 +278,7 @@ def cube_aggregate(
 ) -> DataFrame:
     """Dense aggregate over edges; `count_like` aggregate output names are
     default-filled with 0 in empty cells (D8), everything else stays null."""
+    edges = [_resolve_others(df, e) for e in edges]
     work = df
     key_cols = []
     for e in edges:

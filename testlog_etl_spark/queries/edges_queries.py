@@ -218,6 +218,56 @@ def edges_default_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "edges_default_other",
+    doc="D9 OTHER overflow part: default domain capped at 3 parts, "
+    "over-limit parts COLLAPSE into a synthetic OTHER row instead of "
+    "dropping (SURVEY SS2.5 D9). The avg aggregate proves OTHER is a "
+    "real group in the ONE fact aggregate -- non-decomposable "
+    "aggregates stay exact, which a post-hoc re-aggregation of kept "
+    "parts could not deliver.",
+    oracle=f"""
+WITH dom AS (
+  SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL ORDER BY lang LIMIT 3
+),
+b AS (
+  SELECT CASE WHEN lang IS NULL THEN NULL
+              WHEN lang IN (SELECT lang FROM dom) THEN lang
+              ELSE 'OTHER' END AS lang,
+         n_chars
+  FROM documents
+),
+g AS (
+  SELECT lang, count(*) AS n, ROUND(AVG(n_chars), {R}) AS avg_chars
+  FROM b GROUP BY lang
+),
+full_dom AS (
+  SELECT lang FROM dom
+  UNION ALL SELECT 'OTHER'
+  UNION ALL SELECT NULL
+)
+SELECT d.lang AS lang, coalesce(g.n, 0) AS n, g.avg_chars
+FROM full_dom d LEFT JOIN g ON d.lang IS NOT DISTINCT FROM g.lang
+ORDER BY d.lang NULLS LAST
+""",
+)
+def edges_default_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, ("documents",))
+    out = run_jx(
+        spark,
+        {
+            "from": "documents",
+            "edges": [{"name": "lang", "value": "lang", "limit": 3, "others": True}],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "avg_chars", "value": "n_chars", "aggregate": "average"},
+            ],
+        },
+        tables,
+    )
+    return out.withColumn("avg_chars", F.round("avg_chars", R))
+
+
+@register(
     "edges_two_dims",
     doc="two-edge dense cube: |domain1| x |domain2| cells incl. zero cells "
     "-- the reference's signature datacube shape.",

@@ -307,3 +307,46 @@ def test_window_ntile_requires_sort(spark, people):
             {"from": "people", "window": [{"name": "b", "aggregate": "ntile", "edges": ["dept"]}]},
             people,
         )
+
+
+def test_edges_default_other_collapses_overflow(spark):
+    """D9: over-limit parts collapse into one OTHER row whose aggregates
+    are computed over the COLLAPSED rows (avg must be exact, proving
+    OTHER is a group in the fact aggregate, not a re-aggregation)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("c", 100.0), ("d", 7.0), ("e", 9.0), (None, 5.0)],
+        "k string, v double",
+    )
+    out = run_jx(
+        spark,
+        {
+            "from": "t",
+            "edges": [{"name": "k", "value": "k", "limit": 2, "others": True}],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "avg_v", "value": "v", "aggregate": "average"},
+            ],
+        },
+        {"t": df},
+    )
+    rows = {r["k"]: (r["n"], r["avg_v"]) for r in out.collect()}
+    # kept = first 2 parts by value order (a, b); c/d/e collapse
+    assert rows["a"] == (2, 2.0)
+    assert rows["b"] == (1, 10.0)
+    assert rows["OTHER"] == (3, (100.0 + 7.0 + 9.0) / 3)
+    assert rows[None] == (1, 5.0)
+    assert set(rows) == {"a", "b", "OTHER", None}
+
+    # non-string edges cannot host a synthetic string label
+    with _pytest.raises(ValueError, match="others=true needs a string"):
+        run_jx(
+            spark,
+            {
+                "from": "t",
+                "edges": [{"name": "v", "value": "v", "limit": 2, "others": True}],
+                "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+            },
+            {"t": df},
+        ).collect()
