@@ -78,3 +78,76 @@ def dedup_chunks(instances: DataFrame, id_col: str) -> DataFrame:
     oracles agree on exactly which instance survives."""
     w = Window.partitionBy("chunk_hash").orderBy(F.col(id_col), F.col("pos"))
     return instances.withColumn("kept", F.row_number().over(w) == 1)
+
+
+def duplicated_gram_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """(id, pos) for every token position starting a k-token gram that
+    also occurs in at least one OTHER document.
+
+    The distributed restatement of suffix-array substring dedup (Lee et
+    al., "Deduplicating Training Data..."): any cross-doc repeated
+    substring of >= k tokens is exactly a run of cross-doc repeated
+    k-grams, so marking gram starts and merging runs (substring_spans)
+    yields the maximal duplicated spans without ever materializing a
+    suffix array. Shuffle discipline: grams ride the exchanges as
+    8-byte xxhash64 keys with (id, pos) -- the text never leaves the
+    scan stage; collision odds are ~n^2/2^65 (negligible,
+    deterministic). Plan: one partial-agg shuffle to find cross-doc
+    hashes, one equi-join back (both on the 8-byte key), no cartesian.
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.expr("cast(array() as array<bigint>)"))
+
+    from testlog_etl_spark.util import spread
+
+    g = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.posexplode(grams).alias("_pos", "_h")
+    )
+    # cross-doc: the hash occurs in >= 2 distinct docs (intra-doc repeats
+    # alone do not make a gram "duplicated" for corpus dedup purposes)
+    dup = (
+        g.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    return g.join(dup, "_h").select(F.col(id_col), F.col("_pos").alias("pos"))
+
+
+def substring_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Maximal cross-doc duplicated token spans per document: merge runs
+    of duplicated k-gram start positions into (span_start, span_end)
+    intervals (0-based token offsets, inclusive), token-coverage
+    merging: two gram windows join one span when their covered token
+    ranges overlap or touch.
+
+    One window pass per doc partition does the merge (running max of
+    gram starts; a gap > k opens a new span) -- the per-doc data is
+    gram STARTS only, so partition skew is bounded by document length,
+    not corpus size."""
+    pos = duplicated_gram_positions(df, id_col, text_col, k)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_span = F.when(prev_max.isNull() | (F.col("pos") > prev_max + k), 1).otherwise(0)
+    grp = F.sum(new_span).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        pos.withColumn("_grp", grp)
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .drop("_grp")
+    )

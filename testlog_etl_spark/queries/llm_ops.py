@@ -1128,6 +1128,69 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_K = 8
+
+
+def _substring_spans_oracle(k: int = _SPAN_K) -> str:
+    """DuckDB twin of operators/dedup.py::substring_spans over gram TEXT
+    (the semantic contract); the Spark side moves 8-byte xxhash64 gram
+    keys instead -- agreement also certifies the hash path collision-free
+    at this scale."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), __t -> __t != '') AS w
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id,
+         [array_to_string(w[__i:__i + {k - 1}], ' ') for __i in range(1, len(w) - {k} + 2)] AS grams
+  FROM t
+),
+g AS (
+  SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos, unnest(grams) AS gram
+  FROM g0
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos) OVER w1 IS NULL OR pos > max(pos) OVER w1 + {k}
+              THEN 1 ELSE 0 END AS new_span
+  FROM p
+  WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+mm AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM m
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {k - 1} AS span_end,
+       MAX(pos) + {k - 1} - MIN(pos) + 1 AS span_tokens
+FROM mm GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=_substring_spans_oracle(),
+    doc="exact-substring-span dedup tier (RefinedWeb / Lee et al.): "
+    "maximal cross-doc duplicated token spans of >= 8 tokens per doc, "
+    "found as runs of cross-doc-repeated 8-gram hashes -- the "
+    "distributed restatement of suffix-array dedup (no suffix array, "
+    "no pairwise compare; 8-byte keys through every shuffle). Oracle "
+    "recomputes the spans over gram TEXT.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.dedup import substring_spans
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return substring_spans(docs, "doc_id", "text", k=_SPAN_K).orderBy("doc_id", "span_start")
+
+
 @register(
     "text_unigram_ppl",
     doc="CCNet-style LM quality signal: unigram model trained on the "

@@ -547,3 +547,37 @@ def test_xxh64_sql_matches_spark(spark):
     )
     got = [r[0] for r in con.execute(f"SELECT {xxh64_sql('s')} FROM t").fetchall()]
     assert got == want
+
+
+def test_substring_spans_merge_and_plan(spark):
+    """Span semantics: runs of cross-doc duplicated 8-grams merge into
+    maximal spans (touching windows join); intra-doc-only repeats do not
+    count; short docs yield nothing. Plan: equi-joins only, no cartesian
+    product, and gram text must not ride the shuffles."""
+    import contextlib
+    import io
+
+    from testlog_etl_spark.operators.dedup import substring_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens -> one 12-token span
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " xx yy zz " + " ".join(f"u{i}" for i in range(9))),
+            (2, "aa bb " + shared + " cc"),
+            (3, " ".join(f"q{i}" for i in range(8)) + " " + " ".join(f"q{i}" for i in range(8))),  # intra-doc only
+            (4, "too short to gram"),
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_spans(docs, "doc_id", "text", k=8)
+    rows = {(r["doc_id"]): (r["span_start"], r["span_end"], r["span_tokens"]) for r in out.collect()}
+    # doc 1: tokens 0..11 duplicated; doc 2: offset by 2
+    assert rows[1] == (0, 11, 12)
+    assert rows[2] == (2, 13, 12)
+    assert 3 not in rows and 4 not in rows
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
