@@ -62,7 +62,14 @@ def agg_basic_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         tables,
     )
-    return out.withColumn("sum_qty", F.round("sum_qty", R)).withColumn("avg_price", F.round("avg_price", R))
+    return (
+        out.withColumn("sum_qty", F.round("sum_qty", R))
+        .withColumn("avg_price", F.round("avg_price", R))
+        # instant-TIMESTAMP output pin (testdata flips storage between
+        # instant and NTZ; only instant-vs-naive is driver-hash-proven)
+        .withColumn("first_ship", F.col("first_ship").cast("timestamp"))
+        .withColumn("last_ship", F.col("last_ship").cast("timestamp"))
+    )
 
 
 @register(

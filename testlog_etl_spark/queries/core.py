@@ -104,7 +104,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        # output date pinned to instant TIMESTAMP: testdata regenerations
+        # flip parquet storage between instant and NTZ, and only the
+        # instant-vs-DuckDB-naive pairing is driver-hash-proven (the
+        # filter above stays on the raw column, so pushdown is unaffected)
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"), "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -253,7 +257,8 @@ LIMIT 25
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+        # instant-TIMESTAMP output pin -- see q3_shipping_priority
+        orders.select("o_orderkey", "o_totalprice", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(25)
     )
@@ -365,7 +370,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            "o_orderdate",
+            # instant-TIMESTAMP output pin -- see q3_shipping_priority
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
             F.round("o_totalprice", R).alias("total_price"),
             "sum_qty",
         )

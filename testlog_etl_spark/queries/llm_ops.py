@@ -434,10 +434,29 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id,
+         unnest([ord(substr(text, __i, 1)) // 32 for __i in range(1, length(text) + 1)]) AS bin
+  FROM documents
+),
+e AS (SELECT doc_id, entropy(bin) AS ent FROM b GROUP BY doc_id),
+d AS (
+  SELECT doc.doc_id, coalesce(length(doc.text), 0) AS n_bytes, coalesce(e.ent, 0.0) AS ent
+  FROM documents doc LEFT JOIN e ON doc.doc_id = e.doc_id
+)
+SELECT 'image' AS kind, count(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(AVG(ent), {R}) AS avg_entropy
+FROM d
+GROUP BY kind
+ORDER BY kind
+""",
     doc="multimodal plumbing: binary payload column -> mapInPandas "
-    "featurizer (Arrow batches); rows-only by design -- byte values "
-    "pinned in golden tests.",
+    "featurizer (Arrow batches). Fully oracled since r04: the sandbox "
+    "payloads are the documents' (ASCII) text bytes, so DuckDB "
+    "recomputes the 8-bin byte entropy per payload with its log2 "
+    "entropy() aggregate -- certifying the Arrow batch path end-to-end; "
+    "raw byte values additionally pinned in golden tests.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]

@@ -62,75 +62,78 @@ def register(
 # below is a curated verification window, rotated per round so the UNION of
 # rounds covers the whole registry (COVERAGE.md tracks the cumulative set).
 #
-# Round-3 window: after r01+r02, 73/107 queries have a green driver row.
-#   1-6    the six r02 hash-mismatches (DuckDB HUGEINT sums vs Spark
-#          BIGINT -- oracles now CAST ... AS BIGINT; verified locally with
-#          the dtype-aware tools/verify_all.py);
-#   7-34   every remaining never-driver-checked query (the 28 that have
-#          sat beyond the cap in both rounds, incl. the five rows-only
-#          ones: sketch/simhash/IVF/LSH/multimodal-features);
-#   35-50  anchors re-verified every round: the flagship/bench set plus
-#          the big-join and streaming representatives.
-# Entries beyond 50 were hash-green in r01 or r02 and are unchanged.
+# Round-4 window: after r01-r03, every registered query has at least one
+# green driver row EXCEPT the twelve prior-green anchors displaced by
+# r03's new operators (VERDICT r03 top-next) -- testdata regenerates
+# between rounds, so those carried rows are stale. This round:
+#   1-12   the twelve displaced anchors, re-verified on current data;
+#   13-26  everything r04 added or touched: the three newly-ORACLED
+#          queries (dedup_simhash, sim_lsh_topk, multimodal_features --
+#          generated-SQL XXH64 / literal-plane / entropy() twins), the
+#          two new operators (edges_default_other D9 OTHER,
+#          dedup_substring_spans), and every query over code changed
+#          this round (word_shingles degenerate-doc fix, spread() gate,
+#          kmeans vectorization, scratch-path uniqueness, edges.py
+#          others support);
+#   27-30  flagship + the remaining bench anchors, re-verified every
+#          round;
+#   31-50  the longest-carried r01-era greens (rotation debt paydown).
+# Entries beyond 50 were hash-green in r02/r03 and are unchanged.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- 1-6: r02 hash-mismatch fixes (oracle dtype casts)
-    "etl_props_extract",
-    "text_token_counts",
-    "split_hash_deterministic",
-    "docs_filter_pipeline",
-    "sample_stratified",
-    "dedup_chunk_crossdoc",
-    # -- 7-34: never driver-checked before this round
-    "join_semi_anti",
-    "topk_union_distinct",
-    "join_full_outer_counts",
-    "agg_pivot_type_by_day",
-    "agg_sketch_rollup",
-    "agg_rfm_segments",
-    "win_moving_frame",
-    "win_ranking",
-    "ts_downsample_locf",
-    "funnel_view_click_purchase",
+    # -- 1-12: displaced prior-green anchors (stale since r01/r02 data)
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "dedup_exact",
+    "etl_perfherder",
+    "jx_deep_query",
+    "agg_basic_groupby",
+    "edges_set_dense",
+    "win_running_sum",
+    "sim_topk_cosine",
+    "etl_mozlog_results",
+    # -- 13-26: new or touched in r04
+    "edges_default_other",
+    "dedup_substring_spans",
     "dedup_simhash",
-    "sim_ivf_topk",
     "sim_lsh_topk",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_group_resolve",
+    "text_boilerplate_fraction",
+    "sim_ivf_topk",
+    "sim_topk_int8",
+    "dedup_embedding_cosine",
     "multimodal_features",
-    "text_pii_scrub",
-    "pack_sequences",
-    "text_tfidf_topk",
-    "corpus_build_e2e",
-    "sample_exact_k_per_group",
-    "dedup_incremental",
-    "text_unigram_ppl",
-    "embed_quantize_int8",
-    "text_source_kl",
-    "text_bpe_pair_mining",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    # -- 27-30: flagship + bench anchors
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
     "sessionize_batch",
     "sessionize_native_window",
-    "layout_bucketed_join",
-    "agg_salted_skew",
-    # -- 35-50: per-round anchors (flagship + bench + join/stream reps),
-    # twelve slots rotated to round-3's NEW operators (each displaced
-    # anchor was hash-green in r01/r02 and its code is unchanged: q6,
-    # q10, q18, q3, dedup_exact, etl_perfherder, jx_deep_query,
-    # agg_basic_groupby, edges_set_dense, win_running_sum,
-    # sim_topk_cosine, etl_mozlog_results)
-    "q1_pricing_summary",
-    "text_boilerplate_fraction",
-    "q5_local_supplier_volume",
-    "sample_mixture_weighted",
-    "sim_topk_int8",
-    "edges_percentile_cells",
-    "cohort_retention",
-    "dedup_minhash_lsh",
-    "transition_matrix",
-    "source_csv_roundtrip",
-    "skew_report",
-    "index_postings",
-    "filter_quality_quantile",
-    "win_distribution_ranks",
-    "stream_hourly_window",
-    "profile_documents",
+    # -- 31-50: longest-carried r01-era greens
+    "jx_when_case_in",
+    "jx_casts_regex",
+    "jx_arith_floor_bucket",
+    "jx_setop_strings",
+    "edges_two_dims",
+    "edges_month_calendar",
+    "agg_cardinality_median",
+    "agg_stats_moments",
+    "agg_union_list",
+    "agg_value_one",
+    "topk_orders",
+    "union_distinct_sources",
+    "text_langid",
+    "text_quality",
+    "text_vocab_topk",
+    "text_repetition",
+    "etl_text_log_steps",
+    "etl_mozlog_suites",
+    "decontam_ngram_overlap",
+    "etl_coverage_lcov",
 )
 
 
