@@ -201,6 +201,7 @@ def _load_all() -> None:
         "streaming_queries",
         "sources_queries",
         "setops_queries",
+        "subqueries",
         "asof_queries",
         "profile_queries",
         "index_queries",

@@ -456,3 +456,47 @@ def test_spread_is_identity_when_already_split(spark):
     # the sandbox case still fans out: single-split input gets the shuffle
     narrow = spark.range(0, 1000, 1, 1).withColumn("t", F.lit("x"))
     assert "RoundRobinPartitioning" in plan_of(spread(narrow, min_parts=32), mode="simple")
+
+
+# -- subqueries.py (decorrelated TPC-H shapes), r04 ------------------------
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    # Catalyst must extract the common l_partkey=p_partkey conjunct from
+    # the OR-of-ANDs; losing it turns the join into a nested-loop product
+    # over lineitem x part, which is a scale-killer.
+    plan = plan_of(_q("q19_disjunctive_revenue")(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_subquery_crossjoins_are_broadcast(spark):
+    # q11/q15/q22 decorrelate a scalar subquery to a 1-row agg crossJoin:
+    # the build side must be broadcast (cost-1 nested loop), never a
+    # shuffled CartesianProduct.
+    for name in ("q11_value_concentration", "q15_top_supplier", "q22_dormant_customers"):
+        plan = plan_of(_q(name)(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+
+
+def test_exists_shapes_use_semi_anti_joins(spark):
+    plan4 = plan_of(_q("q4_priority_exists")(spark, SF_SMALL))
+    assert "LeftSemi" in plan4
+    plan21 = plan_of(_q("q21_suppliers_kept_waiting")(spark, SF_SMALL))
+    assert "LeftSemi" in plan21 and "LeftAnti" in plan21
+    plan22 = plan_of(_q("q22_dormant_customers")(spark, SF_SMALL))
+    assert "LeftAnti" in plan22
+
+
+def test_q13_outer_join_preserves_unmatched(spark):
+    # left outer with the priority filter INSIDE the join condition: the
+    # filter must not be pushed below the outer join as a WHERE (that
+    # would silently convert it to an inner join and drop 0-count rows).
+    df = _q("q13_order_count_distribution")(spark, SF_SMALL)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    total = sum(rows.values())
+    # every customer appears exactly once in the distribution
+    from testlog_etl_spark.tables import load_table
+
+    assert total == load_table(spark, SF_SMALL, "customer").count()
