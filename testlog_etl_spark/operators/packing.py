@@ -86,3 +86,33 @@ def pack_chunks(
         )
         .withColumn("crosses", (F.col("end_seq") > F.col("start_seq")).cast("boolean"))
     )
+
+
+def chunk_with_overlap(
+    df: DataFrame, id_col: str, text_col: str, window: int = 32, stride: int = 24
+) -> DataFrame:
+    """Cut each document into fixed-size token windows with overlap
+    (``window`` tokens every ``stride`` -- the RAG/pretraining chunking
+    step where stride < window preserves cross-boundary context).
+
+    Emits one row per (doc, chunk): chunk_idx, chunk_len (short final
+    chunks are kept, not padded -- padding is the packer's decision),
+    and the chunk text. All array intrinsics (split / sequence / slice /
+    explode), no Python, no shuffle: chunking is embarrassingly parallel
+    and the explode multiplies rows ~n_tokens/stride-fold BEFORE any
+    downstream aggregation, so callers should project away ``chunk_text``
+    prior to any exchange (hash it if identity is all they need --
+    the same keep-payload-out-of-shuffles rule as the dedup tiers).
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        .select(id_col, "_toks", "_n", F.explode(starts).alias("_start"))
+        .select(
+            id_col,
+            (F.col("_start") / stride).cast("int").alias("chunk_idx"),
+            F.least(F.lit(window), F.col("_n") - F.col("_start")).cast("int").alias("chunk_len"),
+            F.array_join(F.slice(F.col("_toks"), F.col("_start") + 1, window), " ").alias("chunk_text"),
+        )
+    )

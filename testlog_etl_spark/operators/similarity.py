@@ -365,3 +365,75 @@ def topk_cosine_int8(
     ).filter(F.col(q_id) != F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    n_bits: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) restated Spark-first:
+    bucket embeddings into cells, score pairwise cosine ONLY within a
+    cell, and drop every vector that has a lower-id neighbor at or above
+    ``threshold`` in its cell -- the lowest-id member of each duplicate
+    chain survives as the exemplar.
+
+    Two deliberate departures from the paper, both scale/determinism
+    calls rather than simplifications:
+
+    - Cells are one deterministic ``n_bits`` sign-LSH signature
+      (Rademacher planes), not k-means clusters: identical partitioning
+      on every engine and every run, which makes the operator exactly
+      oracle-able. A k-means cell assignment drops in via
+      ``assign_cells_join`` when recall matters more than replay.
+    - Exemplar choice is min-id, not nearest-to-centroid: id order is
+      total and engine-portable.
+
+    Scale shape: cells cap the pair expansion at sum(|cell|^2) versus
+    n^2; the self-join is a (sig) equi-join whose shuffle carries
+    (sig, id, vector) once per side -- with 2^n_bits cells sized to
+    executor memory, each cell's pair loop is cell-local. Returns one
+    row per DROPPED vector: (id, exemplar id, cosine to that exemplar).
+    """
+    planes_lit = const_array(rademacher_planes(seed, n_bits, dim))
+    # one-table signature: same single-SQL-string discipline as lsh_topk
+    # (a Python-built tree of n_bits nested folds costs py4j round trips)
+    sig_sql = f"""
+    cast(aggregate(sequence(0, {n_bits - 1}), cast(0.0 as double), (acc, b) ->
+      acc + cast(aggregate(zip_with(_v, element_at(_planes, b + 1), (x, y) -> x * y),
+                           cast(0.0 as double), (a2, x2) -> a2 + x2) >= 0.0 as double)
+            * cast(shiftleft(1, b) as double)
+    ) as bigint)
+    """
+    from testlog_etl_spark.util import spread
+
+    side = (
+        spread(df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")))
+        .withColumn("_planes", planes_lit)
+        .withColumn("_sig", F.expr(sig_sql))
+        .withColumn("_n", l2_norm(F.col("_v")))
+        .select(id_col, "_sig", "_v", "_n")
+    )
+    a = side.select(
+        F.col(id_col).alias("_id_a"), F.col("_sig"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = side.select(
+        F.col(id_col).alias("_id_b"), F.col("_sig"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    pairs = (
+        a.join(b, on="_sig")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .withColumn("_cos", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("_cos") >= F.lit(threshold))
+    )
+    # per dropped id: exemplar = the SMALLEST lower id over threshold
+    # (min of (id_a, cos) structs -- deterministic, ties impossible on id)
+    return (
+        pairs.groupBy(F.col("_id_b").alias(id_col))
+        .agg(F.min(F.struct(F.col("_id_a"), F.col("_cos"))).alias("_m"))
+        .select(id_col, F.col("_m._id_a").alias("exemplar"), F.col("_m._cos").alias("cosine"))
+    )

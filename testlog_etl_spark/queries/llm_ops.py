@@ -1532,3 +1532,161 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _semantic_dedup_oracle(dim: int = 64, n_bits: int = 6, seed: int = 7, tau: float = 0.45) -> str:
+    """DuckDB twin of similarity.semantic_dedup, exact: renders the SAME
+    Rademacher planes as SQL literals, recomputes the one-table cell
+    signature, the within-cell lower-id pairs, and the fold-ordered
+    cosines (reduce over list_transform = Spark's aggregate/zip_with
+    left fold, so threshold decisions at >= tau agree bit-for-bit),
+    then resolves each dropped id to its smallest qualifying exemplar."""
+    planes = similarity.rademacher_planes(seed, n_bits, dim)
+
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ",".join("1.0" if x > 0 else "-1.0" for x in p) + "]"
+
+    def dot_plane(vec: str, p: list[float]) -> str:
+        return (
+            f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+            f"__i -> {vec}[__i] * ({plane_lit(p)}::DOUBLE[])[__i])), (__a, __x) -> __a + __x)"
+        )
+
+    sig = (
+        "("
+        + " + ".join(
+            f"CASE WHEN {dot_plane('vec', planes[b])} >= 0.0 THEN {1 << b} ELSE 0 END"
+            for b in range(n_bits)
+        )
+        + ")::BIGINT"
+    )
+    dot_ab = (
+        f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+        f"__i -> a.vec[__i] * b.vec[__i])), (__a, __x) -> __a + __x)"
+    )
+
+    def norm(vec: str) -> str:
+        return (
+            f"sqrt(reduce(list_prepend(0.0::DOUBLE, list_transform({vec}, __e -> __e * __e)), "
+            f"(__a, __x) -> __a + __x))"
+        )
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+s AS (SELECT vec_id, vec, {sig} AS sig FROM v),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {dot_ab} / ({norm('a.vec')} * {norm('b.vec')}) AS cosine
+  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+),
+hits AS (
+  SELECT id_b, id_a, cosine,
+         ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+  FROM pairs WHERE cosine >= {tau}
+)
+SELECT id_b AS vec_id, id_a AS exemplar, ROUND(cosine, {R}) AS cos
+FROM hits WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+@register(
+    "dedup_semantic",
+    oracle=_semantic_dedup_oracle(),
+    doc="SemDeDup tier (Abbas et al. 2023): deterministic sign-LSH cells "
+    "bound the pair expansion (sum |cell|^2, never n^2), within-cell "
+    "cosine >= 0.45 drops all but the lowest-id member of each duplicate "
+    "chain. Exactly oracled: cells, pairs, and fold-ordered cosines are "
+    "recomputed in DuckDB from the same literal planes. Distinct from "
+    "dedup_embedding_cosine (the exact all-pairs CONTRACT tier): this is "
+    "the scale path WITH resolution to a kept exemplar.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    out = similarity.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", dim=64, threshold=0.45, n_bits=6, seed=7
+    )
+    return out.select("vec_id", "exemplar", F.round("cosine", R).alias("cos")).orderBy("vec_id")
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start FROM toks
+)
+SELECT doc_id,
+  CAST(start // 24 AS INT) AS chunk_idx,
+  CAST(LEAST(32, len(toks) - start) AS INT) AS chunk_len,
+  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_idx
+""",
+    doc="context-window chunking with overlap (32-token windows every 24 "
+    "tokens): the RAG/pretraining chunk-split step as pure array "
+    "intrinsics -- no shuffle, no Python; short final chunks kept unpadded.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import packing
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return packing.chunk_with_overlap(docs, "doc_id", "text", window=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@register(
+    "embed_label_cohesion",
+    oracle=f"""
+WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+u AS (
+  SELECT label, unnest(vec) AS val, unnest(range(1, len(vec) + 1)) AS idx FROM e
+),
+c AS (
+  SELECT label, array_agg(avgval ORDER BY idx) AS centroid
+  FROM (SELECT label, idx, AVG(val) AS avgval FROM u GROUP BY label, idx)
+  GROUP BY label
+)
+SELECT e.label, COUNT(*) AS n_vectors,
+  ROUND(AVG(
+    reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), __i -> e.vec[__i] * c.centroid[__i])), (__a, __x) -> __a + __x)
+    / (sqrt(reduce(list_prepend(0.0::DOUBLE, list_transform(e.vec, __e -> __e * __e)), (__a, __x) -> __a + __x))
+     * sqrt(reduce(list_prepend(0.0::DOUBLE, list_transform(c.centroid, __e -> __e * __e)), (__a, __x) -> __a + __x)))
+  ), {R}) AS avg_cos
+FROM e JOIN c ON e.label = c.label
+GROUP BY e.label
+ORDER BY e.label
+""",
+    doc="per-label embedding cohesion report: elementwise mean vector per "
+    "label (posexplode + two-stage agg -- the vectorized kmeans-update "
+    "shape, NOT dim separate F.sum aggregates), then mean cosine of each "
+    "member to its centroid. Cluster-quality/drift diagnostic for "
+    "embedding pipelines; shuffle volume is n*dim doubles map-side-"
+    "combined to labels*dim per partition.",
+)
+def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = F.col("embedding").cast("array<double>")
+    cents = (
+        emb.select("label", F.posexplode(v).alias("_d", "_x"))
+        .groupBy("label", "_d")
+        .agg(F.avg("_x").alias("_m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_d", "_m"))), lambda s: s["_m"]
+            ).alias("_centroid")
+        )
+    )
+    joined = emb.select("label", v.alias("_v")).join(F.broadcast(cents), "label")
+    cos = similarity.dot(F.col("_v"), F.col("_centroid")) / (
+        similarity.l2_norm(F.col("_v")) * similarity.l2_norm(F.col("_centroid"))
+    )
+    return (
+        joined.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.round(F.avg(cos), R).alias("avg_cos"))
+        .orderBy("label")
+    )

@@ -581,3 +581,77 @@ def test_substring_spans_merge_and_plan(spark):
         out.explain(mode="formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_invariants(spark):
+    from tests.conftest import SF_SMALL
+    from testlog_etl_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    tau = 0.45
+    dropped = similarity.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", dim=64, threshold=tau, n_bits=6, seed=7
+    ).collect()
+    drop_ids = {r["vec_id"] for r in dropped}
+    # precision is exact: every reported (dropped, exemplar) pair really
+    # is over threshold, and the exemplar has the lower id
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    for r in dropped:
+        assert r["exemplar"] < r["vec_id"]
+        assert cos(vecs[r["exemplar"]], vecs[r["vec_id"]]) >= tau - 1e-9
+    # survivors are pairwise below threshold WITHIN a cell: if two
+    # same-cell survivors were >= tau, the higher id would have a
+    # lower-id qualifying neighbor and could not have survived
+    planes = similarity.rademacher_planes(7, 6, 64)
+
+    def sig(v):
+        s = 0
+        for b, p in enumerate(planes):
+            if sum(x * y for x, y in zip(v, p)) >= 0.0:
+                s |= 1 << b
+        return s
+
+    from collections import defaultdict
+
+    cells = defaultdict(list)
+    for i, v in vecs.items():
+        if i not in drop_ids:
+            cells[sig(v)].append(i)
+    for members in cells.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                assert cos(vecs[a], vecs[b]) < tau
+
+
+def test_chunk_with_overlap_covers_and_aligns(spark):
+    from testlog_etl_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(50))), (2, " ".join(f"v{i}" for i in range(24))), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = packing.chunk_with_overlap(df, "doc_id", "text", window=32, stride=24)
+    rows = sorted(((r["doc_id"], r["chunk_idx"], r["chunk_len"], r["chunk_text"]) for r in out.collect()))
+    by_doc = {}
+    for d, i, ln, txt in rows:
+        by_doc.setdefault(d, []).append((i, ln, txt))
+    # chunk count = ceil(n/stride); indices contiguous from 0
+    assert [i for i, _, _ in by_doc[1]] == [0, 1, 2]  # n=50 -> starts 0,24,48
+    assert [i for i, _, _ in by_doc[2]] == [0]
+    assert [i for i, _, _ in by_doc[3]] == [0]
+    # lengths: min(window, n - start)
+    assert [ln for _, ln, _ in by_doc[1]] == [32, 26, 2]
+    # overlap: chunk 1 of doc 1 starts at token 24
+    assert by_doc[1][1][2].split(" ")[0] == "w24"
+    # stride-prefix concatenation reconstructs the doc
+    recon = []
+    for i, ln, txt in by_doc[1]:
+        recon.extend(txt.split(" ")[:24])
+    assert recon[:50] == [f"w{i}" for i in range(50)]
