@@ -130,7 +130,12 @@ def assign_cells_join(
 
 
 def kmeans_fit(
-    df: DataFrame, vec_col: str, k: int, n_iter: int = 5, id_col: str | None = None
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    n_iter: int = 5,
+    id_col: str | None = None,
+    centroid_quant_bits: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's iterations as DataFrame jobs. Deterministic init: the k
     rows with smallest id (or first k under an arbitrary-but-stable
@@ -142,11 +147,30 @@ def kmeans_fit(
     aggregates (which generated dim-wide aggregate lists -- codegen/driver
     pain at dim>=1024, VERDICT r03 nit #2). Shuffle bytes are identical
     (n*dim doubles either way, map-side-combined to k*dim per partition);
-    the driver collects k rows of arrays, never k*dim scalars."""
+    the driver collects k rows of arrays, never k*dim scalars.
+
+    ``centroid_quant_bits``: snap every centroid component to the
+    2^-bits binary grid (floor(x*2^bits + 0.5) / 2^bits -- scaling by a
+    power of two is exact in binary, and floor(x+0.5) is the same
+    half-up rule quantize_int8 established as cross-engine-identical).
+    This absorbs the one engine-specific quantity in Lloyd's -- the
+    addition ORDER of the update-step mean -- so a twin that replays the
+    same iterations sequentially (e.g. the DuckDB oracle) lands on
+    bit-identical centroids. At bits=20 the snap is ~1e-6 relative,
+    far below any recall effect; None keeps raw means."""
     v = F.col(vec_col).cast("array<double>")
     order = F.col(id_col) if id_col else F.col(vec_col).cast("string")
+
+    def snap(x: float) -> float:
+        if centroid_quant_bits is None:
+            return x
+        g = float(1 << centroid_quant_bits)
+        import math
+
+        return math.floor(x * g + 0.5) / g
+
     init = df.select(v.alias("_v")).orderBy(order).limit(k).collect()
-    centroids = [(i, list(r["_v"])) for i, r in enumerate(init)]
+    centroids = [(i, [snap(x) for x in r["_v"]]) for i, r in enumerate(init)]
 
     for _ in range(n_iter):
         assigned = df.select(v.alias("_v")).withColumn("_cell", _argmin_cell(F.col("_v"), centroids))
@@ -164,7 +188,7 @@ def kmeans_fit(
         )
         new = dict(centroids)
         for r in sums.collect():
-            new[r["_cell"]] = [s / r["_n"] for s in r["_sums"]]
+            new[r["_cell"]] = [snap(s / r["_n"]) for s in r["_sums"]]
         centroids = sorted(new.items())
     return centroids
 

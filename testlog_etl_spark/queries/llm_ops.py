@@ -217,16 +217,129 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", F.round("cosine", R).alias("cos"), "rank").orderBy("q_id", "rank")
 
 
+def _ivf_topk_oracle(
+    dim: int = 64, k_cells: int = 8, n_iter: int = 3, nprobe: int = 3, k: int = 5, qbits: int = 20
+) -> str:
+    """DuckDB twin of kmeans_fit + ivf_topk, exact since r04: Lloyd's is
+    deterministic up to the addition ORDER of the update-step mean, and
+    centroid_quant_bits snaps every centroid to the 2^-20 binary grid
+    (floor(x*2^20+0.5)/2^20 -- exact scaling, half-up floor) on BOTH
+    engines, absorbing that last ulp. The twin replays init (k smallest
+    ids), each assignment (argmin by (sq_dist, cell) -- the same
+    tie-break as _argmin_cell's strict-< fold), each snapped mean
+    update with empty-cell carry-over, the nprobe probe ranking, and
+    the fold-ordered cosines. n_iter chained CTE blocks: iterative
+    dataflow restated as a static pipeline, the sim_topk_int8 playbook
+    applied to an iterative algorithm."""
+    g = float(1 << qbits)
+
+    def snap(x: str) -> str:
+        return f"floor(({x}) * {g} + 0.5) / {g}"
+
+    def sqdist(a: str, b: str) -> str:
+        return (
+            f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+            f"__i -> ({a}[__i] - {b}[__i]) * ({a}[__i] - {b}[__i]))), (__a, __x) -> __a + __x)"
+        )
+
+    def dotp(a: str, b: str) -> str:
+        return (
+            f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+            f"__i -> {a}[__i] * {b}[__i])), (__a, __x) -> __a + __x)"
+        )
+
+    def norm(vec: str) -> str:
+        return (
+            f"sqrt(reduce(list_prepend(0.0::DOUBLE, list_transform({vec}, __e -> __e * __e)), "
+            f"(__a, __x) -> __a + __x))"
+        )
+
+    blocks = [
+        f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(vec, __x -> {snap('__x')}) AS centroid
+  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {k_cells})
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"c{i - 1}"
+        blocks.append(
+            f"""a{i} AS (
+  SELECT vec_id, vec, cell FROM (
+    SELECT v.vec_id, v.vec, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {sqdist('v.vec', 'c.centroid')}, c.cell) AS rn
+    FROM v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+u{i} AS (
+  SELECT cell, array_agg(m ORDER BY idx) AS centroid FROM (
+    SELECT cell, idx, {snap('AVG(val)')} AS m FROM (
+      SELECT cell, unnest(vec) AS val, unnest(range(1, {dim + 1})) AS idx FROM a{i}
+    ) GROUP BY cell, idx
+  ) GROUP BY cell
+),
+c{i} AS (
+  SELECT p.cell, COALESCE(u{i}.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN u{i} ON p.cell = u{i}.cell
+)"""
+        )
+    final = f"c{n_iter}"
+    blocks.append(
+        f"""cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {sqdist('v.vec', 'c.centroid')}, c.cell) AS rn
+    FROM v CROSS JOIN {final} c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {sqdist('v.vec', 'c.centroid')}, c.cell) AS rn
+    FROM v CROSS JOIN {final} c WHERE v.vec_id < 20
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.q_id, s.vec_id AS c_id,
+         {dotp('qv.vec', 'cv.vec')} / ({norm('qv.vec')} * {norm('cv.vec')}) AS cosine
+  FROM probes p
+  JOIN cells s ON s.cell = p.cell AND s.vec_id <> p.q_id
+  JOIN v qv ON qv.vec_id = p.q_id
+  JOIN v cv ON cv.vec_id = s.vec_id
+),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)"""
+    )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body}
+SELECT q_id, c_id, ROUND(cosine, {R}) AS cos, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
 @register(
     "sim_ivf_topk",
-    oracle=None,
-    doc="IVF approximate top-k: k-means(8 cells, 3 iters) coarse "
-    "quantizer, nprobe=3. Rows-only by design (engine-specific "
-    "centroids); recall vs brute force pinned in golden tests.",
+    oracle=_ivf_topk_oracle(),
+    doc="IVF approximate top-k: k-means(8 cells, 3 iters, grid-snapped "
+    "centroids) coarse quantizer, nprobe=3. Exactly oracled since r04: "
+    "centroid_quant_bits=20 makes Lloyd's engine-portable (see "
+    "_ivf_topk_oracle), so the DuckDB twin replays the identical "
+    "iterations; recall vs brute force additionally pinned in tests.",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    cents = similarity.kmeans_fit(emb, "embedding", k=8, n_iter=3, id_col="vec_id")
+    cents = similarity.kmeans_fit(
+        emb, "embedding", k=8, n_iter=3, id_col="vec_id", centroid_quant_bits=20
+    )
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
