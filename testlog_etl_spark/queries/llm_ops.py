@@ -1706,6 +1706,7 @@ ORDER BY vec_id
 @register(
     "dedup_semantic",
     oracle=_semantic_dedup_oracle(),
+    bench=True,
     doc="SemDeDup tier (Abbas et al. 2023): deterministic sign-LSH cells "
     "bound the pair expansion (sum |cell|^2, never n^2), within-cell "
     "cosine >= 0.45 drops all but the lowest-id member of each duplicate "

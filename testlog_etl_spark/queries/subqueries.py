@@ -470,6 +470,7 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
 """,
+    bench=True,
 )
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

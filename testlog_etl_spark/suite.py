@@ -77,8 +77,14 @@ def register(
 #          others support);
 #   27-30  flagship + the remaining bench anchors, re-verified every
 #          round;
-#   31-50  the longest-carried r01-era greens (rotation debt paydown).
-# Entries beyond 50 were hash-green in r02/r03 and are unchanged.
+#   31-45  first-ever driver rows for the queries added mid-r04: the
+#          twelve decorrelated subquery shapes (q4..q22), the SemDeDup
+#          tier, overlap chunking, and label cohesion -- a first driver
+#          row beats a third re-verification of a carried green;
+#   46-50  rotation debt paydown: five of the longest-carried r01-era
+#          greens, one per family (jx / agg / edges / topk / etl).
+# Entries beyond 50 were hash-green in r01-r03 (and re-verified locally
+# via tools/verify_all.py each round) and are unchanged.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- 1-12: displaced prior-green anchors (stale since r01/r02 data)
     "q3_shipping_priority",
@@ -113,27 +119,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "sessionize_batch",
     "sessionize_native_window",
-    # -- 31-50: longest-carried r01-era greens
+    # -- 31-45: first driver rows for mid-r04 additions
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q11_value_concentration",
+    "q12_late_shipping_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
+    "dedup_semantic",
+    "text_chunk_overlap",
+    "embed_label_cohesion",
+    # -- 46-50: rotation debt paydown (one per long-carried family)
     "jx_when_case_in",
-    "jx_casts_regex",
-    "jx_arith_floor_bucket",
-    "jx_setop_strings",
-    "edges_two_dims",
-    "edges_month_calendar",
     "agg_cardinality_median",
-    "agg_stats_moments",
-    "agg_union_list",
-    "agg_value_one",
+    "edges_month_calendar",
     "topk_orders",
-    "union_distinct_sources",
-    "text_langid",
-    "text_quality",
-    "text_vocab_topk",
-    "text_repetition",
-    "etl_text_log_steps",
     "etl_mozlog_suites",
-    "decontam_ngram_overlap",
-    "etl_coverage_lcov",
 )
 
 
