@@ -443,13 +443,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_suppliers_kept_waiting",
-    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on lineitem "
-    "(another supplier contributed to the order / no OTHER supplier was "
-    "also late). Decorrelated to left_semi then left_anti on orderkey "
-    "with suppkey-inequality conjuncts; the anti join's lateness "
-    "condition references the outer o_orderdate, carried on the probe "
-    "side. Lateness = shipped >60 days after order placement (schema "
-    "has no commit/receipt dates).",
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS correlated self-predicates "
+    "on lineitem (another supplier contributed to the order / no OTHER "
+    "supplier was also late). Because both predicates are order-local, "
+    "the Spark side rewrites the two self-joins into per-order window "
+    "aggregates sharing ONE exchange -- one lineitem scan and shuffle "
+    "instead of three scans and two join shuffles; the oracle keeps the "
+    "EXISTS/NOT EXISTS contract form. Lateness = shipped >60 days after "
+    "order placement (schema has no commit/receipt dates).",
     oracle="""
 SELECT s_name, COUNT(*) AS numwait
 FROM supplier
@@ -473,34 +474,33 @@ LIMIT 20
     bench=True,
 )
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # The literal decorrelation (left_semi + left_anti self-joins) scans
+    # lineitem three times and shuffles it twice. Both correlated
+    # predicates are ORDER-LOCAL, so they collapse into per-order window
+    # aggregates over ONE shuffle:
+    #   EXISTS other supplier        <=> #distinct suppliers in order >= 2
+    #   NOT EXISTS other late suppl. <=> #distinct LATE suppliers == 1
+    #     (the probe line is itself late, so its supplier is that one)
+    # Both collect_sets share the same partitionBy(orderkey) exchange
+    # (pinned by test_q21_single_exchange_for_both_counts). The oracle
+    # keeps the EXISTS/NOT EXISTS form: it states the contract, this
+    # states the plan.
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
     supp = load_table(spark, sf_dir, "supplier")
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
-    l1 = (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(late)
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    j = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).withColumn(
+        "_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
     )
-    l2 = li.select(F.col("l_orderkey").alias("l2_ok"), F.col("l_suppkey").alias("l2_sk"))
-    l3 = li.select(
-        F.col("l_orderkey").alias("l3_ok"),
-        F.col("l_suppkey").alias("l3_sk"),
-        F.col("l_shipdate").alias("l3_ship"),
+    w = Window.partitionBy("l_orderkey")
+    per = j.withColumn("_n_supp", F.size(F.collect_set("l_suppkey").over(w))).withColumn(
+        "_n_late_supp",
+        F.size(F.collect_set(F.when(F.col("_late"), F.col("l_suppkey"))).over(w)),
     )
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l2_ok") == F.col("l_orderkey")) & (F.col("l2_sk") != F.col("l_suppkey")),
-            "left_semi",
-        ).join(
-            l3,
-            (F.col("l3_ok") == F.col("l_orderkey"))
-            & (F.col("l3_sk") != F.col("l_suppkey"))
-            & (F.col("l3_ship") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
-            "left_anti",
-        )
-    )
+    waiting = per.filter(F.col("_late") & (F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
     return (
         waiting.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")

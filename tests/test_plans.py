@@ -483,10 +483,19 @@ def test_scalar_subquery_crossjoins_are_broadcast(spark):
 def test_exists_shapes_use_semi_anti_joins(spark):
     plan4 = plan_of(_q("q4_priority_exists")(spark, SF_SMALL))
     assert "LeftSemi" in plan4
-    plan21 = plan_of(_q("q21_suppliers_kept_waiting")(spark, SF_SMALL))
-    assert "LeftSemi" in plan21 and "LeftAnti" in plan21
     plan22 = plan_of(_q("q22_dormant_customers")(spark, SF_SMALL))
     assert "LeftAnti" in plan22
+
+
+def test_q21_single_exchange_for_both_counts(spark):
+    # q21's two order-local EXISTS predicates are window aggregates that
+    # must SHARE one partitionBy(orderkey) exchange; a second
+    # hashpartitioning on the same key, or any lineitem self-join,
+    # would reintroduce the shuffles the rewrite removed.
+    plan = plan_of(_q("q21_suppliers_kept_waiting")(spark, SF_SMALL))
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    n_order_exchanges = plan.count("hashpartitioning(l_orderkey")
+    assert n_order_exchanges <= 1, plan
 
 
 def test_q13_outer_join_preserves_unmatched(spark):
