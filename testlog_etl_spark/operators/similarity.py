@@ -391,14 +391,24 @@ def topk_cosine_int8(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _auto_cell_bits(n: int, target_cell_rows: int) -> int:
+    """Cell-count sizing for semantic_dedup: enough sign-LSH bits that
+    the EXPECTED cell holds ~target_cell_rows vectors, so per-cell pair
+    work stays constant as the corpus grows (pair cost ~ n * target)."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(1.0, n / target_cell_rows))))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
     threshold: float,
-    n_bits: int = 6,
+    n_bits: int | None = None,
     seed: int = 7,
+    target_cell_rows: int = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) restated Spark-first:
     bucket embeddings into cells, score pairwise cosine ONLY within a
@@ -418,11 +428,23 @@ def semantic_dedup(
       total and engine-portable.
 
     Scale shape: cells cap the pair expansion at sum(|cell|^2) versus
-    n^2; the self-join is a (sig) equi-join whose shuffle carries
-    (sig, id, vector) once per side -- with 2^n_bits cells sized to
-    executor memory, each cell's pair loop is cell-local. Returns one
-    row per DROPPED vector: (id, exemplar id, cosine to that exemplar).
+    n^2 -- which is ~n^2 / 2^n_bits under a balanced hash, so the cell
+    COUNT must grow with the corpus or the quadratic term comes back:
+    the r04 scale probe measured slope 1.4 (1.1 s -> 19.4 s at 8x) with
+    n_bits pinned at 6, exactly the fixed-cell-count failure mode. Hence
+    ``n_bits=None`` (the default) auto-sizes from a cheap count():
+    n_bits = ceil(log2(n / target_cell_rows)), keeping expected cell
+    size -- and therefore per-cell pair work -- CONSTANT as the corpus
+    grows; recall per-pair then depends only on cell granularity vs
+    duplicate distance, the standard SemDeDup trade. Pass explicit
+    n_bits when replay determinism across corpus sizes matters (the
+    oracle-paired driver query pins 6). The self-join is a (sig)
+    equi-join whose shuffle carries (sig, id, vector) once per side.
+    Returns one row per DROPPED vector: (id, exemplar id, cosine to
+    that exemplar).
     """
+    if n_bits is None:
+        n_bits = _auto_cell_bits(df.count(), target_cell_rows)
     planes_lit = const_array(rademacher_planes(seed, n_bits, dim))
     # one-table signature: same single-SQL-string discipline as lsh_topk
     # (a Python-built tree of n_bits nested folds costs py4j round trips)

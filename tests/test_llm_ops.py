@@ -655,3 +655,16 @@ def test_chunk_with_overlap_covers_and_aligns(spark):
     for i, ln, txt in by_doc[1]:
         recon.extend(txt.split(" ")[:24])
     assert recon[:50] == [f"w{i}" for i in range(50)]
+
+
+def test_semantic_dedup_auto_cell_sizing():
+    # fixed cell count is the superlinear failure mode (SCALE.md r04
+    # probe: slope 1.4 with n_bits pinned); auto-sizing must grow the
+    # cell count with the corpus so expected cell size stays constant
+    from testlog_etl_spark.operators.similarity import _auto_cell_bits
+
+    assert _auto_cell_bits(500, 256) == 1
+    assert _auto_cell_bits(40_000, 256) == 8
+    assert _auto_cell_bits(1_000_000_000, 256) == 22
+    # 8x the corpus -> 3 more bits -> 8x the cells: pair work flat
+    assert _auto_cell_bits(8 * 40_000, 256) == _auto_cell_bits(40_000, 256) + 3
