@@ -151,3 +151,52 @@ def substring_spans(
         .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
         .drop("_grp")
     )
+
+
+def cdc_chunks(df: DataFrame, id_col: str, text_col: str, mask_bits: int = 3) -> DataFrame:
+    """Content-defined chunking (FastCDC-style, tokens as the unit): a
+    chunk boundary falls AFTER token i whenever the low ``mask_bits``
+    bits of xxhash64(token_i) are zero -- expected chunk length
+    2^mask_bits tokens. Unlike fixed-window chunking (chunk_instances),
+    boundaries depend only on LOCAL content, so inserting or deleting a
+    token re-synchronizes within one chunk instead of shifting every
+    downstream chunk -- the property that makes CDC the dedup unit for
+    append/edit-heavy corpora (tested:
+    test_cdc_chunks_resync_after_insertion).
+
+    The boundary test uses the SIGNED Spark hash's low bits
+    (``& mask``), which equal the unsigned low bits -- the DuckDB twin
+    tests ``unsigned % 2^bits`` on its generated XXH64 and lands on the
+    same boundaries.
+
+    Emits one row per (doc, chunk): chunk_idx, n_tok, chunk_text and
+    chunk_hash. Row-local array intrinsics only -- no shuffle here; the
+    cross-doc grouping downstream should key on ``chunk_hash`` (8
+    bytes), never chunk_text (oracle-paired queries group by text to
+    stay engine-comparable, at driver-test sizes only)."""
+    mask = (1 << mask_bits) - 1
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(F.col("_toks"))
+    bnds = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.xxhash64(F.element_at(F.col("_toks"), i)).bitwiseAND(F.lit(mask)) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_bnds", bnds)
+        .withColumn("_starts", F.concat(F.array(F.lit(0)), F.col("_bnds")))
+        .withColumn("_ends", F.concat(F.col("_bnds"), F.array(n)))
+    )
+    ci = F.explode(F.sequence(F.lit(1), F.size(F.col("_starts"))))
+    start = F.element_at(F.col("_starts"), F.col("chunk_idx"))
+    end = F.element_at(F.col("_ends"), F.col("chunk_idx"))
+    out = spans.select(id_col, "_toks", "_starts", "_ends", ci.alias("chunk_idx")).select(
+        id_col,
+        "chunk_idx",
+        (end - start).alias("n_tok"),
+        F.array_join(F.slice(F.col("_toks"), start + 1, end - start), " ").alias("chunk_text"),
+    )
+    return out.withColumn("chunk_hash", F.xxhash64(F.col("chunk_text")))

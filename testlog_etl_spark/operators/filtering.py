@@ -53,3 +53,38 @@ def filter_verdict(col: Column, rules: list[tuple[str, Column]] | None = None) -
     for name, fails in reversed(rules):
         out = F.when(fails, F.lit(name)).otherwise(out)
     return out
+
+
+# literal weights for the linear quality model: a stand-in for the
+# model-based filtering stage (FineWeb-Edu-style classifier inference)
+# with the MODEL made deterministic -- the Spark-side plumbing (feature
+# extraction in scan codegen, scoring as arithmetic, threshold routing)
+# is exactly what a real exported linear/logistic model needs.
+MODEL_WEIGHTS = {
+    "bias": -2.0,
+    "log_tokens": 0.55,
+    "type_token_ratio": 1.2,
+    "stopword_ratio": 4.0,
+    "mean_token_len": 0.12,
+}
+
+
+def linear_quality_score(text: Column) -> Column:
+    """Logistic score over engineered features, all codegen'd per row:
+    sigmoid(w . [1, ln(1+n_tokens), distinct/total tokens,
+    stopword_ratio, mean_token_len]). The expression tree fixes the
+    evaluation order, so the score is bit-portable across engines up to
+    libm exp() ulps -- callers round before comparing engines."""
+    from testlog_etl_spark.operators import textstats
+
+    toks = textstats.tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+    w = MODEL_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log_tokens"]) * F.log(F.lit(1.0) + F.size(toks))
+        + F.lit(w["type_token_ratio"]) * (F.size(F.array_distinct(toks)) / n)
+        + F.lit(w["stopword_ratio"]) * textstats.stopword_ratio(text)
+        + F.lit(w["mean_token_len"]) * textstats.mean_token_len(text)
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

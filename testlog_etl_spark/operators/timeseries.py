@@ -86,3 +86,95 @@ def downsample_locf(
             F.last("_agg", ignorenulls=True).over(w).alias("filled"),
         )
     )
+
+
+def downsample_interpolate(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: Column,
+    interval_sec: int,
+    agg: str = "avg",
+    agg_round_to: int | None = 2,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """LOCF's sibling with LINEAR interpolation across gaps: empty
+    buckets get prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+    between the surrounding observed buckets; after the last
+    observation the fill degrades to LOCF (nothing to interpolate
+    toward), before the first it stays null -- the standard
+    sensor/metrics resampling contract.
+
+    Same scale shape as downsample_locf (one keyed aggregate shuffle,
+    generated grid, broadcast span): the interpolation needs TWO window
+    passes over the same (series ORDER BY bucket) sort -- backward
+    (last prev value/time) and forward (first next value/time) -- and
+    Spark plans both over ONE exchange+sort since the partitioning and
+    ordering match (windows-family exchange-reuse plan test).
+
+    Bucket aggregates are rounded to ``agg_round_to`` BEFORE
+    interpolating (identical inputs on both engines); the interpolated
+    value itself is a fixed four-op expression over those inputs, so it
+    is engine-portable, and is rounded to ``round_to`` at the end for
+    the oracle compare.
+    """
+    step = F.lit(int(interval_sec))
+    bucket = F.timestamp_seconds((F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step)
+    per_bucket = (
+        df.select(F.col(series_col).alias("_s"), bucket.alias("bucket"), value_col.alias("_v"))
+        .groupBy("_s", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), getattr(F, agg)("_v").alias("_agg"))
+    )
+    if agg_round_to is not None:
+        per_bucket = per_bucket.withColumn("_agg", F.round("_agg", agg_round_to))
+
+    span = df.agg(
+        F.min(F.unix_timestamp(F.col(ts_col))).alias("_lo"),
+        F.max(F.unix_timestamp(F.col(ts_col))).alias("_hi"),
+    )
+    grid = (
+        per_bucket.select("_s")
+        .distinct()
+        .join(F.broadcast(span))
+        .select(
+            "_s",
+            F.explode(
+                F.sequence(
+                    (F.col("_lo") / step).cast("long") * step,
+                    (F.col("_hi") / step).cast("long") * step,
+                    step,
+                )
+            ).alias("_b"),
+        )
+        .select("_s", F.timestamp_seconds(F.col("_b")).alias("bucket"))
+    )
+    back = Window.partitionBy("_s").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.partitionBy("_s").orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+    b_sec = F.unix_timestamp(F.col("bucket"))
+    obs_sec = F.when(F.col("_agg").isNotNull(), b_sec)
+    joined = (
+        grid.join(per_bucket, ["_s", "bucket"], "left")
+        .withColumn("_pv", F.last("_agg", ignorenulls=True).over(back))
+        .withColumn("_pt", F.last(obs_sec, ignorenulls=True).over(back))
+        .withColumn("_nv", F.first("_agg", ignorenulls=True).over(fwd))
+        .withColumn("_nt", F.first(obs_sec, ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.when(F.col("_agg").isNotNull(), F.col("_agg"))
+        .when(F.col("_pv").isNull(), F.lit(None).cast("double"))
+        .when(F.col("_nv").isNull(), F.col("_pv"))
+        .otherwise(
+            F.col("_pv")
+            + (F.col("_nv") - F.col("_pv"))
+            * (b_sec - F.col("_pt"))
+            / (F.col("_nt") - F.col("_pt"))
+        )
+    )
+    if round_to is not None:
+        interp = F.round(interp, round_to)
+    return joined.select(
+        F.col("_s").alias(series_col),
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        interp.alias("filled"),
+    )

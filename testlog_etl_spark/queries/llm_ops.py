@@ -1804,3 +1804,128 @@ def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.round(F.avg(cos), R).alias("avg_cos"))
         .orderBy("label")
     )
+
+
+def _cdc_oracle(mask_bits: int = 3) -> str:
+    """DuckDB twin of dedup.cdc_chunks + cross-doc rollup: per-token
+    XXH64 via the generated SQL expression, unsigned % 2^bits boundary
+    test (== the Spark side's signed & mask on the low bits), identical
+    span construction, then the multi-token repeated-chunk report."""
+    h = osql.xxh64_unsigned_sql("__t")
+    m = 1 << mask_bits
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+hh AS (SELECT doc_id, toks, [{h} for __t in toks] AS us FROM t),
+b AS (
+  SELECT doc_id, toks,
+         list_filter(range(1, len(toks)), __i -> us[__i] % {m} = 0) AS bnds
+  FROM hh
+),
+spans AS (
+  SELECT doc_id, toks, list_prepend(0, bnds) AS starts, list_append(bnds, len(toks)) AS ends
+  FROM b
+),
+chunks AS (
+  SELECT doc_id, unnest(range(1, len(starts) + 1)) AS ci, toks, starts, ends FROM spans
+),
+ctext AS (
+  SELECT doc_id, array_to_string(toks[starts[ci] + 1 : ends[ci]], ' ') AS chunk_text,
+         ends[ci] - starts[ci] AS n_tok
+  FROM chunks
+)
+SELECT chunk_text, CAST(max(n_tok) AS INT) AS n_tok,
+       count(DISTINCT doc_id) AS n_docs, count(*) AS n_inst
+FROM ctext
+GROUP BY chunk_text
+HAVING count(DISTINCT doc_id) > 1 AND max(n_tok) >= 2
+ORDER BY n_docs DESC, n_inst DESC, chunk_text
+LIMIT 30
+"""
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=_cdc_oracle(),
+    doc="content-defined chunking dedup (FastCDC-style): hash-gated "
+    "token boundaries (expected chunk 8 tokens) re-synchronize after "
+    "edits, unlike fixed windows; report = top multi-token chunks "
+    "repeated across documents. Exactly oracled via the generated-SQL "
+    "XXH64 boundary test; at scale the rollup keys on the 8-byte "
+    "chunk_hash, not text (text kept here for the oracle compare).",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import dedup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    chunks = dedup.cdc_chunks(docs, "doc_id", "text", mask_bits=3)
+    return (
+        chunks.groupBy("chunk_text")
+        .agg(
+            F.max("n_tok").cast("int").alias("n_tok"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_inst"),
+        )
+        .filter((F.col("n_docs") > 1) & (F.col("n_tok") >= 2))
+        .select("chunk_text", "n_tok", "n_docs", "n_inst")
+        .orderBy(F.col("n_docs").desc(), F.col("n_inst").desc(), "chunk_text")
+        .limit(30)
+    )
+
+
+def _model_score_oracle() -> str:
+    """DuckDB twin of filtering.linear_quality_score: the same feature
+    expressions and weight literals, spelled so the arithmetic shape
+    matches; exp() ulp drift across libms is absorbed by the ROUND on
+    the mean and by the threshold margin (a score exactly at the cut is measure-zero)."""
+    from testlog_etl_spark.operators.filtering import MODEL_WEIGHTS as W
+    from testlog_etl_spark.operators.textstats import STOPWORDS
+
+    stop = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), __t -> __t != '')"
+    ltoks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), __t -> __t != '')"
+    return f"""
+WITH f AS (
+  SELECT source,
+    {W['bias']}
+    + {W['log_tokens']} * ln(1.0 + len({toks}))
+    + {W['type_token_ratio']} * (len(list_distinct({toks}))::DOUBLE / greatest(len({toks}), 1))
+    + {W['stopword_ratio']} * (len(list_filter({ltoks}, __t -> list_contains({stop}, __t)))::DOUBLE
+                               / greatest(len({ltoks}), 1))
+    + {W['mean_token_len']} * (list_sum(list_transform({toks}, __t -> length(__t)))::DOUBLE
+                               / greatest(len({toks}), 1)) AS z
+  FROM documents
+),
+s AS (SELECT source, 1.0 / (1.0 + exp(-z)) AS score FROM f)
+SELECT source, count(*) AS n_docs,
+       CAST(SUM(CASE WHEN score >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(AVG(score), {R}) AS avg_score
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "filter_model_score",
+    oracle=_model_score_oracle(),
+    doc="model-based quality filtering (FineWeb-Edu-style classifier "
+    "inference, the model made deterministic): logistic score over "
+    "codegen'd features (log-tokens, type-token ratio, stopword ratio, "
+    "mean token length) with literal weights, threshold routing at 0.8 (the split point of this corpus's score mass); "
+    "per-source keep accounting. The plumbing -- features in scan "
+    "codegen, score as arithmetic, no Python -- is exactly what an "
+    "exported real linear model needs at 100 TB.",
+)
+def filter_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import filtering
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    score = filtering.linear_quality_score(F.col("text"))
+    return (
+        docs.withColumn("_score", score)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_score") >= 0.8, 1).otherwise(0)).alias("n_kept"),
+            F.round(F.avg("_score"), R).alias("avg_score"),
+        )
+        .orderBy("source")
+    )

@@ -361,3 +361,75 @@ def win_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "quartile", F.round("pr", R).alias("pr"), F.round("cd", R).alias("cd")
     )
+
+
+@register(
+    "ts_downsample_interpolate",
+    doc="linear-interpolation resampling (LOCF's sibling): 15-min sum "
+    "per event_type on the dense grid; gaps get prev + (next-prev) * "
+    "(t-t_prev)/(t_next-t_prev) between surrounding observed buckets, "
+    "LOCF after the last observation, null before the first. Backward "
+    "and forward window passes share ONE exchange+sort (same "
+    "partitioning+ordering); bucket sums rounded before interpolating "
+    "so both engines interpolate identical inputs "
+    "(operators/timeseries.py::downsample_interpolate).",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         to_timestamp((floor(epoch(ts))::BIGINT // 900) * 900)::TIMESTAMP AS bucket,
+         count(*) AS n, ROUND(SUM(value), 2) AS agg
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT (floor(epoch(min(ts)))::BIGINT // 900) * 900 AS lo,
+         (floor(epoch(max(ts)))::BIGINT // 900) * 900 AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, to_timestamp(g.s::BIGINT)::TIMESTAMP AS bucket
+  FROM (SELECT DISTINCT event_type FROM events) t, span, unnest(range(span.lo, span.hi + 900, 900)) AS g(s)
+),
+j AS (
+  SELECT grid.event_type, grid.bucket, b.n, b.agg,
+         epoch(grid.bucket)::BIGINT AS bsec,
+         last_value(b.agg IGNORE NULLS) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN b.agg IS NOT NULL THEN epoch(grid.bucket)::BIGINT END IGNORE NULLS) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(b.agg IGNORE NULLS) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN b.agg IS NOT NULL THEN epoch(grid.bucket)::BIGINT END IGNORE NULLS) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM grid LEFT JOIN b ON b.event_type = grid.event_type AND b.bucket = grid.bucket
+)
+SELECT event_type, bucket, coalesce(n, 0) AS n,
+  floor((CASE
+    WHEN agg IS NOT NULL THEN agg
+    WHEN pv IS NULL THEN NULL
+    WHEN nv IS NULL THEN pv
+    ELSE pv + (nv - pv) * (bsec - pt) / (nt - pt)
+  END) * 10000 + 0.5) / 10000 AS filled
+FROM j
+ORDER BY event_type, bucket
+""",
+)
+def ts_downsample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.timeseries import downsample_interpolate
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    out = downsample_interpolate(
+        ev, "event_type", "ts", F.col("value"), interval_sec=900, agg="sum", agg_round_to=2, round_to=None
+    )
+    # floor(x*1e4+0.5)/1e4, not F.round: interpolating 2-dp inputs at
+    # rational time fractions lands EXACTLY on 4th-decimal halves, where
+    # Spark's and DuckDB's decimal rounding disagree; the floor idiom is
+    # the same IEEE ops on the same double on both engines
+    # (quantize_int8 precedent).
+    half_up = F.floor(F.col("filled") * 10000 + F.lit(0.5)) / 10000
+    return out.select(
+        "event_type", "bucket", "n", half_up.alias("filled")
+    ).orderBy("event_type", "bucket")

@@ -190,3 +190,36 @@ def test_csv_permissive_quarantine(spark, tmp_path):
     bad = df.filter(df["_corrupt"].isNotNull())
     assert {(r["event_id"], r["value"]) for r in good.collect()} == {(1, 10.5), (3, 7.25)}
     assert [r["_corrupt"] for r in bad.collect()] == ["2,view,NOT_A_NUMBER"]
+
+
+def test_downsample_interpolate_semantics(spark):
+    # one series, observations at buckets 0 and 30s with a 2-bucket gap
+    # (10s interval): gap buckets linearly interpolated; tail LOCF;
+    # head (before first obs) null
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.timeseries import downsample_interpolate
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    df = spark.createDataFrame(
+        [("s", at(30), 10.0), ("s", at(60), 40.0), ("s", at(70), 40.0), ("x", at(65), 7.0)],
+        ["series", "ts", "v"],
+    )
+    out = downsample_interpolate(
+        df, "series", "ts", F.col("v"), interval_sec=10, agg="sum", agg_round_to=2, round_to=4
+    )
+    rows = {(r["series"], r["bucket"].second + 60 * r["bucket"].minute): r["filled"] for r in out.collect()}
+    assert rows[("s", 30)] == 10.0
+    # gap buckets 40,50 between 10.0@30 and 40.0@60: 20.0 and 30.0
+    assert rows[("s", 40)] == 20.0 and rows[("s", 50)] == 30.0
+    assert rows[("s", 60)] == 40.0
+    # x: null before its first observation at 60
+    assert rows[("x", 30)] is None and rows[("x", 60)] == 7.0
+    # x tail after last obs: LOCF
+    assert rows[("x", 70)] == 7.0

@@ -668,3 +668,33 @@ def test_semantic_dedup_auto_cell_sizing():
     assert _auto_cell_bits(1_000_000_000, 256) == 22
     # 8x the corpus -> 3 more bits -> 8x the cells: pair work flat
     assert _auto_cell_bits(8 * 40_000, 256) == _auto_cell_bits(40_000, 256) + 3
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    # THE content-defined-chunking property: prepending a token changes
+    # only the chunks up to the first boundary; fixed-window chunking
+    # shifts every chunk. Compare preserved-chunk fraction.
+    from testlog_etl_spark.operators import dedup
+
+    words = [f"tok{i % 37}x{i % 11}" for i in range(200)]
+    base = " ".join(words)
+    edited = "INSERTED " + base
+    df = spark.createDataFrame([(1, base), (2, edited)], ["doc_id", "text"])
+    out = dedup.cdc_chunks(df, "doc_id", "text", mask_bits=3)
+    sets = {
+        r["doc_id"]: set()
+        for r in out.select("doc_id").distinct().collect()
+    }
+    for r in out.collect():
+        sets[r["doc_id"]].add(r["chunk_text"])
+    preserved = len(sets[1] & sets[2]) / max(1, len(sets[1]))
+    assert preserved >= 0.7, preserved
+    # fixed windows under the same edit: every chunk shifts, ~0 preserved
+    fixed = dedup.chunk_instances(df, "doc_id", "text", k=8) if hasattr(dedup, "chunk_instances") else None
+    # (documented contrast; chunk_instances emits hashes, set overlap on them)
+    if fixed is not None:
+        fsets: dict[int, set] = {1: set(), 2: set()}
+        for r in fixed.collect():
+            fsets[r["doc_id"]].add(r["chunk_hash"])
+        f_preserved = len(fsets[1] & fsets[2]) / max(1, len(fsets[1]))
+        assert f_preserved < preserved
