@@ -81,8 +81,9 @@ def register(
 #          twelve decorrelated subquery shapes (q4..q22), the SemDeDup
 #          tier, overlap chunking, and label cohesion -- a first driver
 #          row beats a third re-verification of a carried green;
-#   46-50  rotation debt paydown: five of the longest-carried r01-era
-#          greens, one per family (jx / agg / edges / topk / etl).
+#   46-48  the late-r04 additions (CDC chunking, model-score filter,
+#          linear interpolation); 49-50 rotation debt paydown for the
+#          two longest-carried families without another in-window row.
 # Entries beyond 50 were hash-green in r01-r03 (and re-verified locally
 # via tools/verify_all.py each round) and are unchanged.
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -135,12 +136,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_semantic",
     "text_chunk_overlap",
     "embed_label_cohesion",
-    # -- 46-50: rotation debt paydown (one per long-carried family)
+    # -- 46-48: first driver rows for the late-r04 additions
+    "dedup_cdc_chunks",
+    "filter_model_score",
+    "ts_downsample_interpolate",
+    # -- 49-50: rotation debt paydown (families not otherwise in-window:
+    #    jx scalar surface, aggregate sketch family)
     "jx_when_case_in",
     "agg_cardinality_median",
-    "edges_month_calendar",
-    "topk_orders",
-    "etl_mozlog_suites",
 )
 
 
