@@ -237,3 +237,51 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_upsert_latest",
+    doc="streaming keyed upsert (MERGE-INTO analog): the event stream is "
+    "staged as three disjoint file slices consumed one per micro-batch "
+    "(maxFilesPerTrigger=1), each merged into a keyed state table with "
+    "latest-(ts,event_id)-wins semantics; latest-wins is commutative "
+    "across batches so the final state equals the batch answer whatever "
+    "the split -- which is exactly what the oracle states (per-user "
+    "ROW_NUMBER over ts DESC, event_id DESC).",
+    oracle="""
+SELECT user_id, event_id, event_type, ROUND(value, 4) AS value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from testlog_etl_spark.streaming import jobs
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    base = os.path.join(jobs.SCRATCH, "upsert", uuid.uuid4().hex)
+    in_dir, out_dir = os.path.join(base, "in"), os.path.join(base, "state")
+    # three disjoint slices -> three micro-batches, so the upsert merge
+    # path (not just the first-batch insert) is what's exercised
+    for k in (0, 1, 2):
+        # id mod 3: total coverage whatever the id distribution (a range
+        # split would silently drop rows if regenerated ids stop being
+        # 0..n-1 contiguous)
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode("append").parquet(in_dir)
+    jobs.foreach_batch_upsert(spark, in_dir, out_dir, f"stream_upsert_{uuid.uuid4().hex[:8]}")
+    out = spark.read.parquet(out_dir)
+    res = out.select(
+        "user_id", "event_id", "event_type", F.round("value", 4).alias("value")
+    ).orderBy("user_id")
+    rows = res.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, res.schema)
