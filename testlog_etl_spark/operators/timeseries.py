@@ -178,3 +178,65 @@ def downsample_interpolate(
         F.coalesce("n", F.lit(0)).alias("n"),
         interp.alias("filled"),
     )
+
+
+def best_changepoint(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single best changepoint per series: the split minimizing total
+    within-segment SSE (binary segmentation, depth 1 -- the first step
+    of PELT/BinSeg) found in CLOSED FORM from running sums, no per-group
+    Python and no candidate-split explosion:
+
+        cost(t) = [S2(t) - S1(t)^2/t] + [(T2-S2(t)) - (T1-S1(t))^2/(n-t)]
+
+    with S1/S2 the ordered prefix sums of value and value^2 and T1/T2/n
+    the series totals. One (series ORDER BY order) window computes the
+    prefixes; totals ride the same partition (whole-partition frame
+    reuses the exchange); the argmin is a min-struct aggregate with
+    earliest-split tie-break. Prefix sums accumulate in ORDER, so those
+    are bit-identical across engines -- but the whole-series totals are
+    order-FREE aggregates whose ulp noise (~1e-6 of a ~1e5 cost) must
+    never decide a winner, so costs are floor(x+0.5)-snapped to INTEGER
+    resolution before the argmin: near-ties become true ties, broken by
+    earliest split identically everywhere. SSE at integer resolution
+    loses nothing (between-split gaps are orders of magnitude larger).
+
+    Cost per series is O(n) rows through ONE exchange; at 100 TB this is
+    the same shape as any per-series window. Returns one row per series:
+    n, split (order value of the LAST point of the left segment), left/
+    right means, and the SSE drop vs the unsplit segment.
+    """
+    w = Window.partitionBy("_s").orderBy("_o").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("_s")
+    base = (
+        df.select(
+            F.col(series_col).alias("_s"), F.col(order_col).alias("_o"), F.col(value_col).alias("_v")
+        )
+        .withColumn("_t", F.row_number().over(Window.partitionBy("_s").orderBy("_o")))
+        .withColumn("_s1", F.sum("_v").over(w))
+        .withColumn("_s2", F.sum(F.col("_v") * F.col("_v")).over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_t1", F.sum("_v").over(wall))
+        .withColumn("_t2", F.sum(F.col("_v") * F.col("_v")).over(wall))
+    )
+    t, n = F.col("_t"), F.col("_n")
+    s1, s2, t1, t2 = F.col("_s1"), F.col("_s2"), F.col("_t1"), F.col("_t2")
+    cost = F.floor((s2 - s1 * s1 / t) + ((t2 - s2) - (t1 - s1) * (t1 - s1) / (n - t)) + F.lit(0.5))
+    cand = base.filter(t < n).withColumn("_cost", cost)
+    best = cand.groupBy("_s").agg(
+        F.min(F.struct(F.col("_cost"), F.col("_t"), F.col("_o"), F.col("_s1"), F.col("_n"), F.col("_t1"), F.col("_t2"), F.col("_s2"))).alias("_m")
+    )
+    m = F.col("_m")
+    total_sse = F.floor(m["_t2"] - m["_t1"] * m["_t1"] / m["_n"] + F.lit(0.5))
+    return best.select(
+        F.col("_s").alias(series_col),
+        m["_n"].alias("n"),
+        m["_o"].alias("split"),
+        (m["_s1"] / m["_t"]).alias("mean_left"),
+        ((m["_t1"] - m["_s1"]) / (m["_n"] - m["_t"])).alias("mean_right"),
+        (total_sse - m["_cost"]).alias("sse_drop"),
+    )

@@ -433,3 +433,137 @@ def ts_downsample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "bucket", "n", half_up.alias("filled")
     ).orderBy("event_type", "bucket")
+
+
+@register(
+    "ts_changepoint",
+    doc="single best changepoint per event_type over the 15-min bucket "
+    "series: binary-segmentation depth 1 in CLOSED FORM from ordered "
+    "prefix sums (no per-group Python, no split-candidate explosion) -- "
+    "operators/timeseries.py::best_changepoint. Costs are floor-rounded "
+    "to integers before the argmin: prefix sums accumulate in order on "
+    "both engines, but the whole-series totals are order-free aggregates "
+    "whose ulp noise (~1e-6 of a ~1e5 cost) must not decide a winner; "
+    "integer resolution makes near-ties true ties, broken by earliest "
+    "split on both sides.",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         to_timestamp((floor(epoch(ts))::BIGINT // 900) * 900)::TIMESTAMP AS bucket,
+         ROUND(SUM(value), 2) AS agg
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT event_type, bucket, agg,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS t,
+         SUM(agg) OVER (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS s1,
+         SUM(agg * agg) OVER (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS s2,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(agg) OVER (PARTITION BY event_type) AS t1,
+         SUM(agg * agg) OVER (PARTITION BY event_type) AS t2
+  FROM b
+),
+c AS (
+  SELECT *, floor(((s2 - s1 * s1 / t) + ((t2 - s2) - (t1 - s1) * (t1 - s1) / (n - t))) + 0.5) AS cost
+  FROM o WHERE t < n
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cost, t) AS rn FROM c
+)
+SELECT event_type, n, bucket AS split,
+       ROUND(s1 / t, 4) AS mean_left,
+       ROUND((t1 - s1) / (n - t), 4) AS mean_right,
+       CAST(floor((t2 - t1 * t1 / n) + 0.5) - cost AS BIGINT) AS sse_drop
+FROM r WHERE rn = 1
+ORDER BY event_type
+""",
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    step = 900
+    bucket = F.timestamp_seconds((F.unix_timestamp("ts") / step).cast("long") * step)
+    b = (
+        ev.select(F.col("event_type"), bucket.alias("bucket"), F.col("value"))
+        .groupBy("event_type", "bucket")
+        .agg(F.round(F.sum("value"), 2).alias("agg"))
+    )
+    from testlog_etl_spark.operators.timeseries import best_changepoint
+
+    out = best_changepoint(b, "event_type", "bucket", "agg")
+    return out.select(
+        "event_type",
+        "n",
+        F.col("split"),
+        F.round("mean_left", 4).alias("mean_left"),
+        F.round("mean_right", 4).alias("mean_right"),
+        "sse_drop",
+    ).orderBy("event_type")
+
+
+@register(
+    "ts_rolling_anomaly",
+    doc="rolling z-score anomaly flags per event_type: each 15-min "
+    "bucket sum scored against the mean/std of the PRIOR 24 full "
+    "buckets (ROWS 24 PRECEDING..1 PRECEDING; null until the frame is "
+    "full, null when the frame is flat); |z|>3 counts as an anomaly. "
+    "One exchange per series shared by all three frame aggregates.",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         to_timestamp((floor(epoch(ts))::BIGINT // 900) * 900)::TIMESTAMP AS bucket,
+         ROUND(SUM(value), 2) AS agg
+  FROM events GROUP BY 1, 2
+),
+z AS (
+  SELECT event_type, bucket, agg,
+         COUNT(*) OVER w AS cnt,
+         AVG(agg) OVER w AS mu,
+         STDDEV_SAMP(agg) OVER w AS sd
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+s AS (
+  SELECT event_type,
+         CASE WHEN cnt = 24 AND sd > 1e-12 THEN (agg - mu) / sd END AS zscore
+  FROM z
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN abs(zscore) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       ROUND(MAX(abs(zscore)), 4) AS max_abs_z
+FROM s GROUP BY event_type ORDER BY event_type
+""",
+)
+def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    step = 900
+    bucket = F.timestamp_seconds((F.unix_timestamp("ts") / step).cast("long") * step)
+    b = (
+        ev.select(F.col("event_type"), bucket.alias("bucket"), F.col("value"))
+        .groupBy("event_type", "bucket")
+        .agg(F.round(F.sum("value"), 2).alias("agg"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-24, -1)
+    z = (
+        b.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .withColumn("mu", F.avg("agg").over(w))
+        .withColumn("sd", F.stddev_samp("agg").over(w))
+        .withColumn(
+            "zscore",
+            F.when(
+                (F.col("cnt") == 24) & (F.col("sd") > 1e-12),
+                (F.col("agg") - F.col("mu")) / F.col("sd"),
+            ),
+        )
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.abs("zscore") > 3, 1).otherwise(0)).alias("n_anomalies"),
+            F.round(F.max(F.abs("zscore")), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )

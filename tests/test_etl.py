@@ -223,3 +223,21 @@ def test_downsample_interpolate_semantics(spark):
     assert rows[("x", 30)] is None and rows[("x", 60)] == 7.0
     # x tail after last obs: LOCF
     assert rows[("x", 70)] == 7.0
+
+
+def test_best_changepoint_finds_step(spark):
+    # series A: mean 10 for t<50, mean 30 after -> split at t=49 (last
+    # left point); series B: flat -> split exists but sse_drop ~ 0
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.timeseries import best_changepoint
+
+    rows = [("A", i, 10.0 + (20.0 if i >= 50 else 0.0) + (i % 3) * 0.1) for i in range(100)]
+    rows += [("B", i, 5.0 + (i % 3) * 0.1) for i in range(100)]
+    df = spark.createDataFrame(rows, ["series", "t", "v"])
+    out = {r["series"]: r for r in best_changepoint(df, "series", "t", "v").collect()}
+    assert out["A"]["split"] == 49
+    assert out["A"]["sse_drop"] > 5000  # ~ n/4 * shift^2
+    assert out["B"]["sse_drop"] <= 1
+    assert abs(out["A"]["mean_left"] - 10.1) < 0.05
+    assert abs(out["A"]["mean_right"] - 30.1) < 0.05
