@@ -111,3 +111,70 @@ def dup_groups(
         .drop("comp")
         .withColumn("is_canonical", (F.col("group_id") == F.col(id_col)).cast("boolean"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    snap_bits: int = 30,
+) -> DataFrame:
+    """Weighted PageRank as an iterative DataFrame loop: per round,
+    contributions rank(src) * weight/out_weight flow along edges, and
+    new_rank = (1-d)/N + d * sum(inbound). Dangling mass (nodes without
+    out-edges) leaks, the simplest standard variant -- document if a
+    graph has sinks.
+
+    Engine-portability uses the kmeans trick: ranks are snapped to the
+    2^-snap_bits binary grid after every round (floor(x*2^bits+0.5) --
+    exact scaling, half-up floor), so the inbound-sum addition order
+    (the only engine-specific quantity) can never accumulate across
+    iterations and a sequential replay (the DuckDB twin) lands on
+    bit-identical ranks.
+
+    Scale shape: out-weights and N ride broadcast aggregates; each round
+    is edges><ranks (ranks are |V| rows -- broadcast while they fit,
+    AQE-shuffle beyond) + one sum shuffle keyed by dst carrying (node,
+    double) pairs. Driver never sees the rank vector; n_iter bounded
+    loops build a static plan chain like kmeans_fit.
+    """
+    g = float(1 << snap_bits)
+
+    def snap(c):
+        return F.floor(c * F.lit(g) + F.lit(0.5)) / F.lit(g)
+
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_frame = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    out_w = edges.groupBy(F.col(src).alias("_osrc")).agg(F.sum(weight).alias("_ow"))
+    e = edges.join(F.broadcast(out_w), F.col(src) == F.col("_osrc")).select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), (F.col(weight) / F.col("_ow")).alias("_frac")
+    )
+    ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
+        "node", snap(F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(n_iter):
+        inbound = (
+            e.join(F.broadcast(ranks), F.col("_src") == F.col("node"))
+            .select(F.col("_dst").alias("node"), (F.col("rank") * F.col("_frac")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(inbound, "node", "left")
+            .crossJoin(F.broadcast(n_frame))
+            .select(
+                "node",
+                snap(
+                    (1 - damping) / F.col("_n")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -72,3 +72,72 @@ def quantile_threshold_filter(
         .filter(cond)
         .drop("_thr")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    terms: Column,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval for one query against the corpus (Lucene's
+    BM25+1 idf: ln(1 + (N - df + 0.5)/(df + 0.5))), built as:
+
+    - per-doc length + per-(doc, query-term) tf in ONE pass over the
+      exploded terms, pre-filtered to the query's terms -- the explode
+      collapses to |Q| rows per doc before the shuffle, so what moves is
+      bounded by |Q| * n_docs, not corpus tokens;
+    - N, avg doc length, and per-term df ride broadcast 1-row/|Q|-row
+      aggregates (never a driver action);
+    - the final score is a per-doc sum of <= |Q| term contributions,
+      ranked by the ROUNDED score with doc-id ties so the top-k cut is
+      deterministic cross-engine (tiny-sum addition order differs).
+
+    At scale this is the scatter-gather any search engine does, with the
+    posting scan expressed as a filtered explode; for repeated queries
+    build_postings amortizes the explode into a term-keyed index.
+    """
+    q = F.array(*[F.lit(t) for t in query_terms])
+    base = docs.select(F.col(id_col).alias("_doc"), terms.alias("_terms")).select(
+        "_doc", "_terms", F.size("_terms").alias("_len")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"), F.avg("_len").alias("_avg_len")
+    )
+    hits = (
+        base.select("_doc", "_len", F.explode(F.filter("_terms", lambda t: F.array_contains(q, t))).alias("term"))
+        .groupBy("_doc", "_len", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = hits.groupBy("term").agg(F.count_distinct("_doc").alias("_df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_contrib",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (F.col("_tf") + F.lit(k1) * (1 - b + b * F.col("_len") / F.col("_avg_len"))),
+        )
+        .groupBy("_doc")
+        .agg(F.round(F.sum("_contrib"), 4).alias("score"), F.count(F.lit(1)).alias("n_terms"))
+    )
+    from pyspark.sql import Window
+
+    # TakeOrderedAndProject first (no global single-partition window over
+    # the corpus); the rank window then runs over k rows only
+    topk = scored.orderBy(F.col("score").desc(), F.col("_doc")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("_doc"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("_doc").alias(id_col), "score", "n_terms", "rank"
+    )

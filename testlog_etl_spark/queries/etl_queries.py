@@ -504,3 +504,77 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n", "share", "rank")
         .orderBy("rank")
     )
+
+
+def _pagerank_oracle(n_iter: int = 5, d: float = 0.85, bits: int = 30) -> str:
+    """DuckDB twin of dupgroups.pagerank over the event-transition graph:
+    the same grid-snapped iterations as chained CTEs (the kmeans/IVF
+    restatement playbook); ranks are bit-identical by construction, so
+    the compare is exact with no output rounding."""
+    g = 1 << bits
+
+    def snap(x: str) -> str:
+        return f"floor(({x}) * {g} + 0.5) / {g}"
+
+    blocks = [
+        f"""edges AS (
+  SELECT prev_type AS src, event_type AS dst, count(*)::DOUBLE AS w
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY src, dst
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nf AS (SELECT count(*) AS n FROM nodes),
+ow AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, edges.w / ow.ow AS frac FROM edges JOIN ow ON ow.src = edges.src),
+r0 AS (SELECT node, {snap('1.0 / nf.n')} AS rank FROM nodes, nf)"""
+    ]
+    for i in range(1, n_iter + 1):
+        blocks.append(
+            f"""i{i} AS (
+  SELECT e.dst AS node, SUM(r.rank * e.frac) AS inb
+  FROM e JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nodes.node, {snap(f'(1 - {d}) / nf.n + {d} * coalesce(i{i}.inb, 0.0)')} AS rank
+  FROM nodes LEFT JOIN i{i} ON i{i}.node = nodes.node, nf
+)"""
+        )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body}
+SELECT node, rank FROM r{n_iter} ORDER BY node
+"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="weighted PageRank over the event-type transition graph "
+    "(operators/dupgroups.py::pagerank): 5 damped iterations as an "
+    "iterative DataFrame loop -- per round a broadcast edges><ranks "
+    "join plus one (node, double) sum shuffle. Exactly oracled via the "
+    "kmeans/IVF playbook: ranks grid-snapped to 2^-30 each round, so "
+    "inbound-sum addition order can never accumulate and the chained-"
+    "CTE replay is bit-identical (no output rounding needed).",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from testlog_etl_spark.operators.dupgroups import pagerank
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return pagerank(edges, "src", "dst", "w", n_iter=5, damping=0.85).select(
+        "node", "rank"
+    ).orderBy("node")

@@ -76,3 +76,53 @@ def filter_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_bm25_topk",
+    doc="BM25 ranked retrieval (Lucene idf variant) for a fixed 3-term "
+    "query: filtered-explode term scan (moves <= |Q| rows per doc, not "
+    "corpus tokens), broadcast N/avglen/df stats, per-doc contribution "
+    "sum ranked by ROUNDED score with doc-id ties; top-k via "
+    "TakeOrderedAndProject, the rank window runs over k rows only "
+    "(operators/postings.py::bm25_topk).",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avg_len FROM lens),
+hits AS (
+  SELECT b.doc_id, l.dl, t.term, count(*) AS tf
+  FROM base b
+  JOIN lens l ON l.doc_id = b.doc_id,
+  LATERAL (SELECT unnest(list_filter(b.toks, x -> x IN ('spark', 'join', 'window'))) AS term) t
+  GROUP BY b.doc_id, l.dl, t.term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+scored AS (
+  SELECT h.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (h.tf * (1.2 + 1)) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avg_len))
+         ), 4) AS score,
+         count(*) AS n_terms
+  FROM hits h JOIN dfreq d ON d.term = h.term, stats s
+  GROUP BY h.doc_id
+),
+ranked AS (
+  SELECT doc_id, score, n_terms,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT doc_id, score, n_terms, rank FROM ranked WHERE rank <= 10
+ORDER BY rank
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = postings.bm25_topk(
+        docs, "doc_id", textstats.tokens(F.col("text")), ["spark", "join", "window"], k=10
+    )
+    return out.orderBy("rank")

@@ -43,3 +43,93 @@ FROM documents
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return profile(docs, ["doc_id", "lang", "n_chars", "source", "text"])
+
+
+@register(
+    "dq_constraint_report",
+    doc="data-quality constraint suite (dbt-test / expectation-style): "
+    "uniqueness, referential integrity (left_anti probes), null rate, "
+    "and accepted-range checks across the warehouse tables, one "
+    "violation-count row per constraint. Each check is one scan-bound "
+    "aggregate or a broadcast/AQE anti join; the union of tiny 1-row "
+    "results costs nothing. The report shape (constraint, violations, "
+    "status) is what a pipeline gate consumes.",
+    oracle="""
+SELECT * FROM (
+  SELECT 'customer.c_custkey unique' AS check_name,
+         count(*) - count(DISTINCT c_custkey) AS n_violations FROM customer
+  UNION ALL
+  SELECT 'events.value non-null', count(*) FILTER (WHERE value IS NULL) FROM events
+  UNION ALL
+  SELECT 'lineitem.l_discount in [0,1]',
+         count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_orderkey fk orders',
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem.l_quantity positive', count(*) FILTER (WHERE l_quantity <= 0) FROM lineitem
+  UNION ALL
+  SELECT 'orders.o_custkey fk customer',
+         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'orders.o_orderkey unique', count(*) - count(DISTINCT o_orderkey) FROM orders
+  UNION ALL
+  SELECT 'orders.o_totalprice positive', count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+)
+ORDER BY check_name
+""",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "events"))
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"), F.col("_v").alias("n_violations"))
+
+    checks = [
+        one(
+            "customer.c_custkey unique",
+            t["customer"].agg((F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("_v")),
+        ),
+        one(
+            "events.value non-null",
+            t["events"].agg(F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("_v")),
+        ),
+        one(
+            "lineitem.l_discount in [0,1]",
+            t["lineitem"].agg(
+                F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)).alias("_v")
+            ),
+        ),
+        one(
+            "lineitem.l_orderkey fk orders",
+            t["lineitem"]
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+            .agg(F.count(F.lit(1)).alias("_v")),
+        ),
+        one(
+            "lineitem.l_quantity positive",
+            t["lineitem"].agg(F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("_v")),
+        ),
+        one(
+            "orders.o_custkey fk customer",
+            t["orders"]
+            .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+            .agg(F.count(F.lit(1)).alias("_v")),
+        ),
+        one(
+            "orders.o_orderkey unique",
+            t["orders"].agg((F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("_v")),
+        ),
+        one(
+            "orders.o_totalprice positive",
+            t["orders"].agg(F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("_v")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")

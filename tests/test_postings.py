@@ -53,3 +53,41 @@ def test_quantile_filter_thresholds_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_prefers_term_dense_docs(spark):
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.postings import bm25_topk
+    from testlog_etl_spark.operators.textstats import tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark join filler filler"),
+            (2, "spark filler filler filler filler filler"),
+            (3, "nothing relevant here at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(df, "doc_id", tokens(F.col("text")), ["spark", "join"], k=3)
+    rows = sorted(((r["rank"], r["doc_id"]) for r in out.collect()))
+    assert [d for _, d in rows] == [1, 2]  # doc 3 never matches
+    assert rows[0][1] == 1  # tf-dense + two-term doc wins
+
+
+def test_pagerank_toy_graph(spark):
+    from testlog_etl_spark.operators.dupgroups import pagerank
+
+    # star: everyone points at 'hub'; hub points at 'a'
+    edges = spark.createDataFrame(
+        [("a", "hub", 1.0), ("b", "hub", 1.0), ("c", "hub", 1.0), ("hub", "a", 1.0)],
+        ["src", "dst", "w"],
+    )
+    # hub<->a is a 2-cycle, so ranks OSCILLATE and need ~30 rounds to
+    # settle; compare against the analytic fixed point (hub = 0.4797,
+    # a = 0.4452, b = c = 0.0375) rather than iteration-parity artifacts
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, "src", "dst", "w", n_iter=30).collect()}
+    assert abs(ranks["hub"] - 0.4797) < 0.01
+    assert abs(ranks["a"] - 0.4452) < 0.01
+    assert abs(ranks["b"] - 0.0375) < 1e-6 and abs(ranks["c"] - 0.0375) < 1e-6
+    assert abs(sum(ranks.values()) - 1.0) < 0.01  # no dangling nodes -> mass conserved
