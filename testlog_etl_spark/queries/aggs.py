@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from testlog_etl_spark.query import run_jx
 from testlog_etl_spark.suite import register
-from testlog_etl_spark.tables import load_tables
+from testlog_etl_spark.tables import load_table, load_tables
 
 R = 4
 
@@ -351,3 +351,48 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("mon"), 2).alias("revenue"))
         .orderBy("segment")
     )
+
+
+@register(
+    "mv_incremental_maintain",
+    doc="incremental materialized-view maintenance: a per-customer "
+    "revenue MV built from the 80% base slice is brought current by "
+    "merging the 20% delta slice's PARTIAL aggregates (union + re-agg "
+    "on the key -- counts add, mins min; base never rescanned). The "
+    "oracle is the FULL recompute, so the gate proves base+delta "
+    "maintenance equals recomputation up to output rounding "
+    "(operators/incremental.py).",
+    oracle=f"""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), {R}) AS revenue,
+       ROUND(MIN(o_totalprice), {R}) AS min_price,
+       ROUND(MAX(o_totalprice), {R}) AS max_price
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+def mv_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import incremental
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 5 == 0)
+    measures = {
+        "n_orders": ("count", F.lit(1)),
+        "revenue": ("sum", F.col("o_totalprice")),
+        "min_price": ("min", F.col("o_totalprice")),
+        "max_price": ("max", F.col("o_totalprice")),
+    }
+    mv = incremental.aggregate_partials(base, ["o_custkey"], measures)
+    d = incremental.aggregate_partials(delta, ["o_custkey"], measures)
+    out = incremental.merge_mv(
+        mv, d, ["o_custkey"], {"n_orders": "count", "revenue": "sum", "min_price": "min", "max_price": "max"}
+    )
+    return out.select(
+        "o_custkey",
+        "n_orders",
+        F.round("revenue", R).alias("revenue"),
+        F.round("min_price", R).alias("min_price"),
+        F.round("max_price", R).alias("max_price"),
+    ).orderBy("o_custkey")

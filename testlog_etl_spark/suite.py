@@ -81,9 +81,11 @@ def register(
 #          twelve decorrelated subquery shapes (q4..q22), the SemDeDup
 #          tier, overlap chunking, and label cohesion -- a first driver
 #          row beats a third re-verification of a carried green;
-#   46-48  the late-r04 additions (CDC chunking, model-score filter,
-#          linear interpolation); 49-50 rotation debt paydown for the
-#          two longest-carried families without another in-window row.
+#   46-50  the late-r04 additions: CDC chunking, model-score filter,
+#          linear interpolation, exactly-oracled PageRank, streaming
+#          keyed upsert. Remaining late additions (changepoint, rolling
+#          anomaly, BM25, DQ suite, incremental MV) get first rows in
+#          the r05 rotation; all are green in the local differential.
 # Entries beyond 50 were hash-green in r01-r03 (and re-verified locally
 # via tools/verify_all.py each round) and are unchanged.
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -140,10 +142,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_cdc_chunks",
     "filter_model_score",
     "ts_downsample_interpolate",
-    # -- 49-50: rotation debt paydown (families not otherwise in-window:
-    #    jx scalar surface, aggregate sketch family)
-    "jx_when_case_in",
-    "agg_cardinality_median",
+    # -- 49-50: first rows for the two most novel late additions (the
+    #    jx/agg families already have in-window rows at slots 7-8; their
+    #    r01-era greens stay covered by the local full differential)
+    "graph_pagerank",
+    "stream_upsert_latest",
 )
 
 
