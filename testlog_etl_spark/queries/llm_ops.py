@@ -1929,3 +1929,120 @@ def filter_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _corpus_v2_oracle(dim: int = 64, n_bits: int = 6, seed: int = 7, tau: float = 0.45) -> str:
+    """DuckDB twin of corpus_build_v2: exact dedup (normalized-text
+    winner), model-score gate at 0.8 (same feature/weight literals as
+    filter_model_score), semantic-dedup drop set recomputed from the
+    same literal planes, then the per-source rollup."""
+    from testlog_etl_spark.operators.filtering import MODEL_WEIGHTS as W
+    from testlog_etl_spark.operators.textstats import STOPWORDS
+
+    stop = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), __t -> __t != '')"
+    ltoks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), __t -> __t != '')"
+    planes = similarity.rademacher_planes(seed, n_bits, dim)
+
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ",".join("1.0" if x > 0 else "-1.0" for x in p) + "]"
+
+    def dot_plane(vec: str, p: list[float]) -> str:
+        return (
+            f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+            f"__i -> {vec}[__i] * ({plane_lit(p)}::DOUBLE[])[__i])), (__a, __x) -> __a + __x)"
+        )
+
+    sig = (
+        "("
+        + " + ".join(
+            f"CASE WHEN {dot_plane('vec', planes[b])} >= 0.0 THEN {1 << b} ELSE 0 END"
+            for b in range(n_bits)
+        )
+        + ")::BIGINT"
+    )
+    dot_ab = (
+        f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+        f"__i -> a.vec[__i] * b.vec[__i])), (__a, __x) -> __a + __x)"
+    )
+
+    def norm(vec: str) -> str:
+        return (
+            f"sqrt(reduce(list_prepend(0.0::DOUBLE, list_transform({vec}, __e -> __e * __e)), "
+            f"(__a, __x) -> __a + __x))"
+        )
+
+    return f"""
+WITH f AS (
+  SELECT doc_id, source,
+    len({toks}) AS n_tok,
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+    1.0 / (1.0 + exp(-(
+      {W['bias']}
+      + {W['log_tokens']} * ln(1.0 + len({toks}))
+      + {W['type_token_ratio']} * (len(list_distinct({toks}))::DOUBLE / greatest(len({toks}), 1))
+      + {W['stopword_ratio']} * (len(list_filter({ltoks}, __t -> list_contains({stop}, __t)))::DOUBLE
+                                 / greatest(len({ltoks}), 1))
+      + {W['mean_token_len']} * (list_sum(list_transform({toks}, __t -> length(__t)))::DOUBLE
+                                 / greatest(len({toks}), 1))
+    ))) AS score
+  FROM documents
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM f
+  ) WHERE rn = 1 AND score >= 0.8
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+s AS (SELECT vec_id, vec, {sig} AS sig FROM v),
+sem_dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE {dot_ab} / ({norm('a.vec')} * {norm('b.vec')}) >= {tau}
+)
+SELECT source, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM dedup d
+WHERE NOT EXISTS (SELECT 1 FROM sem_dropped sd WHERE sd.vec_id = d.doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "corpus_build_v2",
+    oracle=_corpus_v2_oracle(),
+    doc="corpus build v2 -- the r04 composite: exact dedup (earliest doc "
+    "per normalized text) -> model-score gate at 0.8 (classifier-"
+    "inference stage) -> semantic-dedup drop set (LSH-cell SemDeDup over "
+    "the paired embeddings, anti-joined on id) -> per-source doc/token "
+    "accounting. Signals computed once pre-shuffle; the dedup window and "
+    "final rollup move small columns only; the semantic drop set joins "
+    "as an 8-byte anti-join probe.",
+)
+def corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from testlog_etl_spark.operators.filtering import linear_quality_score
+    from testlog_etl_spark.util import spread
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    sig = docs.select(
+        "doc_id",
+        "source",
+        textstats.token_count(F.col("text")).alias("n_tok"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+        linear_quality_score(F.col("text")).alias("score"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = sig.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & (F.col("score") >= 0.8)
+    )
+    sem_dropped = similarity.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", dim=64, threshold=0.45, n_bits=6, seed=7
+    ).select("vec_id")
+    final = kept.join(sem_dropped, F.col("doc_id") == F.col("vec_id"), "left_anti")
+    return (
+        final.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("source")
+    )
