@@ -509,3 +509,24 @@ def test_q13_outer_join_preserves_unmatched(spark):
     from testlog_etl_spark.tables import load_table
 
     assert total == load_table(spark, SF_SMALL, "customer").count()
+
+
+def test_bm25_topk_uses_take_ordered(spark):
+    plan = plan_of(_q("text_bm25_topk")(spark, SF_SMALL), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    # the rank window must run AFTER the top-k cut, never over the corpus
+    assert "CartesianProduct" not in plan
+
+
+def test_changepoint_windows_share_exchange(spark):
+    # ordered prefixes + whole-partition totals: same partitioning, ONE
+    # exchange on the series key
+    plan = plan_of(_q("ts_changepoint")(spark, SF_SMALL))
+    assert plan.count("hashpartitioning(event_type") <= 2  # agg + shared window
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_rank_joins_broadcast(spark):
+    plan = plan_of(_q("graph_pagerank")(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
