@@ -698,3 +698,51 @@ def test_cdc_chunks_resync_after_insertion(spark):
             fsets[r["doc_id"]].add(r["chunk_hash"])
         f_preserved = len(fsets[1] & fsets[2]) / max(1, len(fsets[1]))
         assert f_preserved < preserved
+
+
+def test_cdc_chunks_partition_every_doc(spark):
+    # property over 100 seeded random docs: CDC chunks PARTITION the
+    # token sequence -- in-order concatenation reconstructs the doc and
+    # chunk lengths sum to the token count (no gaps, no overlaps)
+    import random
+
+    rng = random.Random(404)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 120)))) for i in range(100)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from testlog_etl_spark.operators import dedup
+
+    out = dedup.cdc_chunks(df, "doc_id", "text", mask_bits=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tok"], r["chunk_text"]))
+    assert set(by_doc) == {i for i, _ in docs}
+    for i, text in docs:
+        chunks = sorted(by_doc[i])
+        assert [c[0] for c in chunks] == list(range(1, len(chunks) + 1))
+        assert " ".join(c[2] for c in chunks) == text
+        assert sum(c[1] for c in chunks) == len(text.split(" "))
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    import random
+
+    rng = random.Random(405)
+    vocab = [f"t{i}" for i in range(40)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 90)))) for i in range(100)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from testlog_etl_spark.operators import packing
+
+    out = packing.chunk_with_overlap(df, "doc_id", "text", window=32, stride=24).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_len"], r["chunk_text"]))
+    for i, text in docs:
+        toks = text.split(" ")
+        chunks = sorted(by_doc[i])
+        # stride-prefix concatenation reconstructs the doc exactly
+        recon: list[str] = []
+        for idx, (ci, ln, txt) in enumerate(chunks):
+            piece = txt.split(" ")
+            recon.extend(piece if idx == len(chunks) - 1 else piece[:24])
+        assert recon == toks, (i, len(recon), len(toks))
