@@ -49,3 +49,35 @@ def test_window_selects_data(duck, name, table, pred, min_rows):
         f"(need >= {min_rows}); the paired query would verify on (near-)empty "
         f"input -- update the literal window in the query AND its oracle."
     )
+
+
+# categorical literals baked into queries: regeneration that renames
+# these values would leave filters selecting nothing
+VALUE_GUARDS = [
+    ("nation pair (q7)", "nation", "n_name IN ('NATION_1', 'NATION_2', 'NATION_3')", 3),
+    ("region ASIA (q8)", "region", "r_name = 'ASIA'", 1),
+    ("p_type PROMO (q8/q14)", "part", "p_type = 'PROMO'", 20),
+    ("q19 brands", "part", "p_brand IN ('Brand#12', 'Brand#23', 'Brand#3')", 20),
+    ("urgent priority (q12/q22)", "orders", "o_orderpriority = '1-URGENT'", 100),
+    ("F status (q21)", "orders", "o_orderstatus = 'F'", 100),
+    ("low nationkeys (q22)", "customer", "c_nationkey IN (0,1,2,3,4,5,6)", 50),
+    ("bm25 query terms", "documents",
+     "len(list_filter(string_split(text, ' '), t -> t IN ('spark','join','window'))) > 0", 50),
+    ("stopwords present (quality/model score)", "documents",
+     "len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','and','of','to'))) > 0", 50),
+    ("event types (pagerank/funnel)", "events",
+     "event_type IN ('view', 'click', 'purchase')", 100),
+]
+
+
+@pytest.mark.parametrize("name,table,pred,min_rows", VALUE_GUARDS, ids=[w[0] for w in VALUE_GUARDS])
+def test_value_domain_selects_data(duck, name, table, pred, min_rows):
+    from testlog_etl_spark.tables import table_path
+
+    n = duck.execute(
+        f"SELECT count(*) FROM read_parquet('{table_path(SF_ORACLE, table)}') WHERE {pred}"
+    ).fetchone()[0]
+    assert n >= min_rows, (
+        f"{name}: only {n} rows match {pred!r} -- a categorical literal a "
+        f"query depends on has drifted out of the regenerated testdata."
+    )
