@@ -169,11 +169,21 @@ def kmeans_fit(
 
         return math.floor(x * g + 0.5) / g
 
-    init = df.select(v.alias("_v")).orderBy(order).limit(k).collect()
+    # the projected vector frame is read n_iter+1 times (init + each
+    # assignment); persist it once -- MEMORY_AND_DISK by default, so at
+    # corpus sizes past executor memory it degrades to a disk-local
+    # re-read instead of re-running the scan+projection per iteration
+    # (the standard Lloyd's caching call)
+    df_v = df.select(v.alias("_v")).persist()
+    try:
+        init = df_v.orderBy(order).limit(k).collect()
+    except Exception:
+        df_v.unpersist()
+        raise
     centroids = [(i, [snap(x) for x in r["_v"]]) for i, r in enumerate(init)]
 
     for _ in range(n_iter):
-        assigned = df.select(v.alias("_v")).withColumn("_cell", _argmin_cell(F.col("_v"), centroids))
+        assigned = df_v.withColumn("_cell", _argmin_cell(F.col("_v"), centroids))
         sums = (
             assigned.select("_cell", F.posexplode("_v").alias("_d", "_x"))
             .groupBy("_cell", "_d")
@@ -190,6 +200,7 @@ def kmeans_fit(
         for r in sums.collect():
             new[r["_cell"]] = [snap(s / r["_n"]) for s in r["_sums"]]
         centroids = sorted(new.items())
+    df_v.unpersist()
     return centroids
 
 
