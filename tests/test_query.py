@@ -350,3 +350,22 @@ def test_edges_default_other_collapses_overflow(spark):
             },
             {"t": df},
         ).collect()
+
+
+def test_queries_are_timezone_independent(spark):
+    # ADVICE r03: results must not depend on the host session's zone or
+    # on whether an events load ran first. queries() pins UTC per call;
+    # this simulates a non-UTC driver session around a tz-sensitive query.
+    import __spark_entry__ as entry
+
+    from tests.conftest import SF_SMALL
+
+    qs = entry.queries()
+    fn = qs["stream_hourly_window"] if "stream_hourly_window" in qs else qs["edges_time_dense"]
+    utc_rows = sorted(map(repr, (tuple(r) for r in fn(spark, SF_SMALL).collect())))
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ny_rows = sorted(map(repr, (tuple(r) for r in fn(spark, SF_SMALL).collect())))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert utc_rows == ny_rows
