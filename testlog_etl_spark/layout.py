@@ -94,3 +94,46 @@ def zorder_key2(a, b, bits: int = 16):
         key = key.bitwiseOR(F.shiftleft(F.shiftright(aa, i).bitwiseAND(F.lit(1)), 2 * i))
         key = key.bitwiseOR(F.shiftleft(F.shiftright(bb, i).bitwiseAND(F.lit(1)), 2 * i + 1))
     return key
+
+
+def file_stats(spark, path: str) -> dict:
+    """Small-files diagnosis for a parquet directory: file count, total
+    bytes, and the min/median/max file size. Listing only -- no data
+    read; at 100 TB this is a namenode/liststatus call, not a job."""
+    import glob
+    import os
+    import statistics
+
+    sizes = [
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ]
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes) if sizes else 0,
+        "median_bytes": int(statistics.median(sizes)) if sizes else 0,
+        "max_bytes": max(sizes) if sizes else 0,
+    }
+
+
+def compact(spark, src_path: str, dst_path: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Rewrite a many-small-files parquet directory into ~target-sized
+    files: n_out = ceil(total_bytes / target) coalesced partitions.
+
+    Small files are THE silent 100 TB killer -- every query pays a task
+    per file and the namenode pays an entry per file; streaming sinks
+    and over-partitioned writes produce them constantly, so compaction
+    is a standing maintenance job. ``coalesce`` (not ``repartition``):
+    narrowing to fewer partitions needs no shuffle -- each output task
+    reads several input files sequentially. Row order within files may
+    change; table SEMANTICS don't (tested), which is why compaction can
+    run online against readers of the OLD files, with the same
+    write-then-swap commit as the streaming upsert sink. Returns the
+    output file count."""
+    import math
+
+    stats = file_stats(spark, src_path)
+    n_out = max(1, math.ceil(stats["total_bytes"] / target_file_bytes))
+    spark.read.parquet(src_path).coalesce(n_out).write.mode("overwrite").parquet(dst_path)
+    return file_stats(spark, dst_path)["n_files"]

@@ -19,7 +19,7 @@ constant memory per column, same single-scan plan, no expand.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
@@ -78,3 +78,51 @@ def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = True)
         for c in cols
     ]
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*").orderBy("column")
+
+
+def psi_report(
+    df: DataFrame,
+    split_col: Column,
+    value_col: Column,
+    bucket_width: float,
+    n_buckets: int,
+    base_label: str,
+    cmp_label: str,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Population-stability-index drift report between two named slices
+    of one table: fixed-width value buckets (top bucket open-ended), the
+    per-slice bucket shares p and q, and PSI = sum((p-q) * ln(p/q)) with
+    eps-smoothing so empty buckets don't blow up the log.
+
+    Fixed bucket EDGES (not quantiles) are the operative choice: counts
+    become integers, shares become exact ratios of integers, and the PSI
+    is deterministic across engines up to ln() ulps -- a quantile-edged
+    PSI would inherit the estimator's engine specifics. One scan, one
+    tiny (slice, bucket) aggregate, a pivot of 2 columns, one output
+    row per bucket plus the PSI total riding a 1-row aggregate.
+    """
+    bucket = F.least(F.floor(value_col / bucket_width), F.lit(n_buckets - 1)).cast("int")
+    counts = (
+        df.select(split_col.alias("_slice"), bucket.alias("bucket"))
+        .filter(F.col("_slice").isin(base_label, cmp_label))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_slice") == base_label, 1).otherwise(0)).alias("_nb"),
+            F.sum(F.when(F.col("_slice") == cmp_label, 1).otherwise(0)).alias("_nc"),
+        )
+    )
+    totals = counts.agg(F.sum("_nb").alias("_tb"), F.sum("_nc").alias("_tc"))
+    p = F.col("_nb") / F.col("_tb") + eps
+    q = F.col("_nc") / F.col("_tc") + eps
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.col("_nb").alias("n_base"),
+            F.col("_nc").alias("n_cmp"),
+            ((p - q) * F.log(p / q)).alias("_psi_term"),
+        )
+        .withColumn("psi_term", F.round("_psi_term", 6))
+        .drop("_psi_term")
+    )

@@ -133,3 +133,47 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+@register(
+    "drift_psi_report",
+    doc="population-stability-index drift monitor: order-value "
+    "distribution 1995 vs 1996 over fixed 50k-wide buckets (top bucket "
+    "open). Fixed edges keep counts integral and shares exact, so PSI "
+    "is engine-deterministic up to ln() ulps -- the quantile-edged "
+    "variant would inherit estimator internals "
+    "(operators/profile.py::psi_report). One scan + one tiny bucket "
+    "aggregate; the >0.1/>0.25 PSI action thresholds are the consumer's.",
+    oracle="""
+WITH c AS (
+  SELECT LEAST(floor(o_totalprice / 50000), 9)::INT AS bucket,
+         SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995 THEN 1 ELSE 0 END) AS n_base,
+         SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996 THEN 1 ELSE 0 END) AS n_cmp
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+  GROUP BY bucket
+),
+t AS (SELECT SUM(n_base) AS tb, SUM(n_cmp) AS tc FROM c)
+SELECT bucket, CAST(n_base AS BIGINT) AS n_base, CAST(n_cmp AS BIGINT) AS n_cmp,
+       ROUND((n_base / t.tb + 0.0001 - (n_cmp / t.tc + 0.0001))
+             * ln((n_base / t.tb + 0.0001) / (n_cmp / t.tc + 0.0001)), 6) AS psi_term
+FROM c, t
+ORDER BY bucket
+""",
+)
+def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.profile import psi_report
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    out = psi_report(
+        orders,
+        F.year("o_orderdate").cast("string"),
+        F.col("o_totalprice"),
+        bucket_width=50_000.0,
+        n_buckets=10,
+        base_label="1995",
+        cmp_label="1996",
+    )
+    return out.orderBy("bucket")

@@ -70,3 +70,24 @@ def test_chunk_dedup_idempotent(spark):
     kept = dedup_chunks(inst, "doc_id").filter("kept").drop("kept")
     again = dedup_chunks(kept, "doc_id")
     assert again.filter(~F.col("kept")).count() == 0
+
+
+def test_compact_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.layout import compact, file_stats
+    from testlog_etl_spark.tables import load_table
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # shatter: 64 tiny files
+    ev.repartition(64).write.mode("overwrite").parquet(src)
+    before = file_stats(spark, src)
+    assert before["n_files"] >= 64
+    n_out = compact(spark, src, dst, target_file_bytes=max(1, before["total_bytes"]))
+    assert n_out == 1
+    # semantics preserved: same rows, any order
+    a = sorted(map(repr, (tuple(r) for r in spark.read.parquet(src).collect())))
+    b = sorted(map(repr, (tuple(r) for r in spark.read.parquet(dst).collect())))
+    assert a == b
