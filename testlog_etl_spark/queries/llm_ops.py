@@ -2046,3 +2046,72 @@ def corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
         .orderBy("source")
     )
+
+
+@register(
+    "text_bigram_lm",
+    doc="bigram LM table (KenLM-flavor, add-1 smoothing over the "
+    "observed-unigram vocab): P(w2|w1) for the 30 most frequent "
+    "bigrams. Adjacent pairs form row-local via zip_with (no explode "
+    "of n^2); one (w1, w2) rollup plus an AQE-selected unigram join (vocab scales -- no forced broadcast); "
+    "counts are integers so the smoothed ratio is engine-exact before "
+    "rounding.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS w FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM toks WHERE len(w) >= 2
+),
+bc AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2,
+         count(*) AS n_big
+  FROM big GROUP BY 1, 2
+),
+uni AS (
+  SELECT w1, count(*) AS n_uni FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1
+),
+vocab AS (SELECT count(DISTINCT w1) AS v FROM uni)
+SELECT bc.w1, bc.w2, n_big,
+       ROUND((n_big + 1.0) / (uni.n_uni + vocab.v), 6) AS p_smoothed
+FROM bc JOIN uni ON uni.w1 = bc.w1, vocab
+ORDER BY n_big DESC, bc.w1, bc.w2
+LIMIT 30
+""",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = textstats.tokens(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    vocab = uni.agg(F.count_distinct("w1").alias("v"))
+    return (
+        # unigram table scales with vocabulary (millions of terms on web
+        # text): no forced broadcast -- AQE picks while it fits
+        big.join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "n_big",
+            F.round((F.col("n_big") + F.lit(1.0)) / (F.col("n_uni") + F.col("v")), 6).alias("p_smoothed"),
+        )
+        .orderBy(F.col("n_big").desc(), "w1", "w2")
+        .limit(30)
+    )
