@@ -50,8 +50,9 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="data-quality constraint suite (dbt-test / expectation-style): "
     "uniqueness, referential integrity (left_anti probes), null rate, "
     "and accepted-range checks across the warehouse tables, one "
-    "violation-count row per constraint. Each check is one scan-bound "
-    "aggregate or a broadcast/AQE anti join; the union of tiny 1-row "
+    "violation-count row per constraint. Scan-bound checks FUSE into one "
+    "aggregate per table (a 100 TB fact is scanned once, not once per "
+    "rule) unpivoted via stack(); FK probes are anti joins; the union of tiny 1-row "
     "results costs nothing. The report shape (constraint, violations, "
     "status) is what a pipeline gate consumes.",
     oracle="""
@@ -89,6 +90,29 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def one(name: str, df: DataFrame) -> DataFrame:
         return df.select(F.lit(name).alias("check_name"), F.col("_v").alias("n_violations"))
 
+    def unpivot(df: DataFrame, names: list[str]) -> DataFrame:
+        pairs = ", ".join(f"'{n}', `{n}`" for n in names)
+        return df.selectExpr(f"stack({len(names)}, {pairs}) AS (check_name, n_violations)")
+
+    # scan-bound checks FUSE into one aggregate per table (one scan
+    # computes every conditional count), then unpivot to report rows;
+    # only the referential-integrity probes need their own anti joins
+    lineitem_scan = unpivot(
+        t["lineitem"].agg(
+            F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)).alias(
+                "lineitem.l_discount in [0,1]"
+            ),
+            F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("lineitem.l_quantity positive"),
+        ),
+        ["lineitem.l_discount in [0,1]", "lineitem.l_quantity positive"],
+    )
+    orders_scan = unpivot(
+        t["orders"].agg(
+            (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("orders.o_orderkey unique"),
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("orders.o_totalprice positive"),
+        ),
+        ["orders.o_orderkey unique", "orders.o_totalprice positive"],
+    )
     checks = [
         one(
             "customer.c_custkey unique",
@@ -98,12 +122,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events.value non-null",
             t["events"].agg(F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("_v")),
         ),
-        one(
-            "lineitem.l_discount in [0,1]",
-            t["lineitem"].agg(
-                F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)).alias("_v")
-            ),
-        ),
+        lineitem_scan,
         one(
             "lineitem.l_orderkey fk orders",
             t["lineitem"]
@@ -111,23 +130,12 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("_v")),
         ),
         one(
-            "lineitem.l_quantity positive",
-            t["lineitem"].agg(F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("_v")),
-        ),
-        one(
             "orders.o_custkey fk customer",
             t["orders"]
             .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
             .agg(F.count(F.lit(1)).alias("_v")),
         ),
-        one(
-            "orders.o_orderkey unique",
-            t["orders"].agg((F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("_v")),
-        ),
-        one(
-            "orders.o_totalprice positive",
-            t["orders"].agg(F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("_v")),
-        ),
+        orders_scan,
     ]
     out = checks[0]
     for c in checks[1:]:

@@ -268,7 +268,20 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    base = os.path.join(jobs.SCRATCH, "upsert", uuid.uuid4().hex)
+    root = os.path.join(jobs.SCRATCH, "upsert")
+    # age-based cleanup of PRIOR runs' staging (unique dirs keep
+    # concurrent runs safe -- ADVICE r03; the age gate keeps them from
+    # accumulating); the CURRENT run's state dir stays on disk because
+    # the returned DataFrame lazily reads it -- no driver-side collect
+    # of the state table, which scales with distinct keys.
+    import time as _time
+
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if os.path.getmtime(p) < _time.time() - 600:
+                shutil.rmtree(p, ignore_errors=True)
+    base = os.path.join(root, uuid.uuid4().hex)
     in_dir, out_dir = os.path.join(base, "in"), os.path.join(base, "state")
     # three disjoint slices -> three micro-batches, so the upsert merge
     # path (not just the first-batch insert) is what's exercised
@@ -279,9 +292,6 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode("append").parquet(in_dir)
     jobs.foreach_batch_upsert(spark, in_dir, out_dir, f"stream_upsert_{uuid.uuid4().hex[:8]}")
     out = spark.read.parquet(out_dir)
-    res = out.select(
+    return out.select(
         "user_id", "event_id", "event_type", F.round("value", 4).alias("value")
     ).orderBy("user_id")
-    rows = res.collect()
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, res.schema)
