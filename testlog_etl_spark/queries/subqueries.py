@@ -551,3 +551,85 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), R).alias("totacctbal"))
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    doc="TPC-H Q9 shape (no partsupp: unit cost proxied by "
+    "0.6*p_retailprice): five-table join with a LIKE-filtered part "
+    "side, profit rolled up per supplier-nation x order-year. The part "
+    "filter prunes before the big join; nation broadcasts; the rollup "
+    "key is tiny (25 nations x ~7 years).",
+    oracle=f"""
+SELECT nation, o_year, ROUND(SUM(amount), {R}) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%5%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), R).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    doc="TPC-H Q16 shape (lineitem stands in for partsupp as the "
+    "part-supplier bridge): distinct-supplier counts per (brand, type, "
+    "size-bucket) with a NOT-IN brand exclusion. The bridge dedups to "
+    "distinct (partkey, suppkey) BEFORE joining part attributes, so the "
+    "count-distinct shuffle carries ids, not descriptions.",
+    oracle="""
+SELECT p_brand, p_type, CAST(p_size // 10 AS INT) AS size_bucket,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+GROUP BY p_brand, p_type, size_bucket
+ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
+LIMIT 40
+""",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(~F.col("p_brand").isin("Brand#1", "Brand#2"))
+    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        bridge.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand", "p_type", (F.col("p_size") / 10).cast("int").alias("size_bucket")
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "size_bucket")
+        .limit(40)
+    )
