@@ -65,3 +65,49 @@ def test_watermark_drops_late_events(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert dropped >= 1
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """SS2.9 late-data semantics: rows older than watermark are DROPPED
+    from stateful aggregation, and the engine accounts for them
+    (numRowsDroppedByWatermark). Two explicit micro-batches: batch 1
+    advances the watermark; batch 2 delivers a too-late row."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    src = str(tmp_path / "stream_in")
+    os.makedirs(src)
+    schema = StructType([StructField("ts", TimestampType())])
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_batch(name, *ts):
+        spark.createDataFrame([(t,) for t in ts], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch("a", t0, t0 + datetime.timedelta(minutes=60))  # advances watermark to 10:50
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .count()
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("wm_drop_test").start()
+    try:
+        q.processAllAvailable()
+        # batch 2: one row at 09:00 -- an hour behind the watermark
+        write_batch("b", t0 - datetime.timedelta(minutes=60))
+        q.processAllAvailable()
+        dropped = max(
+            (op.get("numRowsDroppedByWatermark", 0) for p in q.recentProgress for op in p["stateOperators"]),
+            default=0,
+        )
+    finally:
+        q.stop()
+    assert dropped >= 1, "late row was not dropped/accounted by the watermark"
+    # and the 09:00 window never reached the sink
+    wins = [r["w"]["start"] for r in spark.table("wm_drop_test").collect()]
+    assert all(w >= t0 - datetime.timedelta(minutes=15) for w in wins)
