@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Regenerate PLANS.md: the physical plans of the headline queries as a
+committed, diffable artifact. Pairs with tools/shuffle_audit.py (the
+measured exchange volumes) and tests/test_plans.py (the pinned plan
+properties): the audit says how many bytes moved, the tests say what
+must hold, this shows the actual plan a reviewer audits.
+
+Usage: python tools/plan_dump.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SHOWCASE = [
+    ("q1_pricing_summary", "scan-bound groupBy: partial_* aggregates before the 4-group exchange"),
+    ("q5_local_supplier_volume", "star join: BroadcastHashJoin only on fixed dims; facts AQE-selected"),
+    ("q21_suppliers_kept_waiting", "EXISTS/NOT-EXISTS as window aggregates over ONE orderkey exchange"),
+    ("q19_disjunctive_revenue", "OR-of-ANDs keeps the extracted equi-conjunct: hash join, not BNLJ"),
+    ("dedup_minhash_lsh", "band self-join moves (id, band) only; shingles never ride an exchange"),
+    ("sim_lsh_topk", "(table, sig) equi-join candidates; vectors rejoin after pair dedup"),
+    ("dedup_semantic", "cell equi-join; vector crosses its one exchange once per side"),
+    ("sessionize_batch", "per-user window chain over one exchange; session ids via running sum"),
+    ("graph_pagerank", "per-round broadcast rank join + (node, double) sum shuffle"),
+    ("mv_incremental_maintain", "MV merge: union of partials re-aggregated on the key"),
+]
+
+
+def main() -> None:
+    from testlog_etl_spark import suite
+    from testlog_etl_spark.session import get_spark
+
+    spark = get_spark("plan-dump")
+    qs = suite.queries()
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    print("# PLANS — physical plans of the headline queries (regenerate: `python tools/plan_dump.py > PLANS.md`)")
+    print()
+    print(f"Captured at sf dir `{sf}`; plan SHAPE is SF-independent except where AQE")
+    print("re-selects join strategies at runtime (those nodes show as AdaptiveSparkPlan).")
+    print("Measured exchange volumes for the same queries: SCALE.md \"Measured shuffle")
+    print("volumes\"; machine-checked plan properties: tests/test_plans.py.")
+    for name, note in SHOWCASE:
+        df = qs[name](spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="simple")
+        print(f"\n## {name}\n\n*{note}*\n\n```")
+        print(buf.getvalue().rstrip())
+        print("```")
+
+
+if __name__ == "__main__":
+    main()
