@@ -295,3 +295,98 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", "event_type", F.round("value", 4).alias("value")
     ).orderBy("user_id")
+
+
+@register(
+    "stream_stream_left_join",
+    doc="watermarked stream-stream LEFT OUTER join: clicks with their "
+    "same-user purchase within 30 min, or NULL once the watermark "
+    "proves no match can arrive. Outer rows emit only when the global "
+    "watermark passes the click's join horizon, so the query stages "
+    "the events and appends a far-future sentinel batch (both types, "
+    "excluded from results) to flush pending state -- the streaming "
+    "analog of end-of-input. Oracle = the batch LEFT JOIN.",
+    oracle="""
+SELECT c.user_id AS user_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+ORDER BY c.user_id
+""",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from testlog_etl_spark.streaming import jobs
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(jobs.SCRATCH, "ss_left")
+    import time as _time
+
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if os.path.getmtime(p) < _time.time() - 600:
+                shutil.rmtree(p, ignore_errors=True)
+    in_dir = os.path.join(root, uuid.uuid4().hex)
+    ev.coalesce(1).write.mode("append").parquet(in_dir)
+
+    raw_schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(raw_schema).parquet(in_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    stream2 = spark.readStream.schema(raw_schema).parquet(in_dir)
+    purchases = (
+        stream2.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + interval 30 minutes"),
+        "leftOuter",
+    )
+    qname = f"ss_left_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+        # flush: sentinel far past every real event advances BOTH sides'
+        # watermarks so pending outer rows emit (end-of-input analog).
+        # Built by bumping the latest RAW row, so whatever storage flavor
+        # this round's events.ts has (nanos-long / NTZ / instant), the
+        # sentinel file matches it byte-for-byte in schema.
+        raw = spark.read.parquet(in_dir)
+        one = raw.orderBy(F.col("ts").desc()).limit(1)
+        bump = (
+            F.col("ts") + F.lit(12 * 3600 * 10**9)
+            if dict(raw.dtypes)["ts"] == "bigint"
+            else F.col("ts") + F.expr("INTERVAL 12 HOURS")
+        )
+        sent = one.withColumn("ts", bump).withColumn(
+            "user_id", F.lit(-1).cast(dict(raw.dtypes)["user_id"])
+        )
+        sent.withColumn("event_type", F.lit("click")).unionByName(
+            sent.withColumn("event_type", F.lit("purchase"))
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = spark.table(qname).filter(F.col("c_user") >= 0)
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)).alias("n_matched"),
+        )
+        .orderBy("user_id")
+    )

@@ -567,3 +567,34 @@ def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "win_range_time_frame",
+    doc="value-based RANGE frame (vs the rows-frame family): per event, "
+    "the count and sum of the SAME user's events in the trailing hour "
+    "-- ordered by epoch seconds with rangeBetween(-3600, 0), so the "
+    "frame is defined by the ORDER VALUE, not row offsets; ragged "
+    "event spacing changes frame membership per row. One exchange per "
+    "user partition, frame evaluation within the sorted run.",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
+       ROUND(SUM(value) OVER w, 4) AS sum_trailing_hour
+FROM (SELECT event_id, user_id, value, floor(epoch(ts))::BIGINT AS tsec FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY tsec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+)
+def win_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("tsec").rangeBetween(-3600, 0)
+    return (
+        ev.select("event_id", "user_id", "value", F.unix_timestamp("ts").alias("tsec"))
+        .withColumn("n_trailing_hour", F.count(F.lit(1)).over(w))
+        .withColumn("sum_trailing_hour", F.round(F.sum("value").over(w), 4))
+        .select("event_id", "user_id", "n_trailing_hour", "sum_trailing_hour")
+        .orderBy("event_id")
+    )
