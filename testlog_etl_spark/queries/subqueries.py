@@ -1,8 +1,10 @@
-"""Correlated-subquery and multi-join analytics shapes (TPC-H Q4/Q7/Q8/
-Q11/Q12/Q13/Q14/Q15/Q17/Q19/Q21/Q22 adapted to the driver's slimmed
-schema -- no partsupp, no l_commitdate/l_receiptdate/l_shipmode, so the
-filters use the columns that exist while keeping each query's PLAN shape:
-the point of this module is Catalyst's subquery decorrelation surface.
+"""Correlated-subquery and multi-join analytics shapes: with Q2 and Q20
+(added late-r04) this module completes ALL 22 TPC-H query shapes
+(Q1/Q3/Q5/Q6/Q10/Q18 live in queries/core.py), each adapted to the
+driver's slimmed schema -- no partsupp, no l_commitdate/l_receiptdate/
+l_shipmode, so the filters use the columns that exist while keeping each
+query's PLAN shape: the point of this module is Catalyst's subquery
+decorrelation surface.
 
 Every correlated construct is written in its decorrelated DataFrame form
 (the form Catalyst itself rewrites to), so the plan is explicit and
@@ -632,4 +634,153 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "size_bucket")
         .limit(40)
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    doc="TPC-H Q2 shape (lineitem stands in for partsupp: a supplier's "
+    "offer price for a part = MIN observed unit price l_extendedprice/"
+    "l_quantity): correlated scalar-MIN subquery per part, restricted to "
+    "one region. Decorrelated: the per-(part,supplier) offer table is "
+    "built once, region-filtered via broadcast dims, per-part min via "
+    "groupBy + equi-join back (NOT a window -- no second sort), equality "
+    "filter selects the winning suppliers. Cross-engine determinism: the "
+    "unit price is ROW-LOCAL double division and MIN is order-free, so "
+    "the min-cost equality needs no rounding; only the displayed cost is "
+    "rounded. The offer-table shuffle carries (partkey, suppkey, one "
+    "double); part/nation/region broadcast.",
+    oracle=f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       ROUND(cost, {R}) AS min_cost
+FROM part
+JOIN ps ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND r_name = 'EUROPE'
+  AND cost = (
+    SELECT MIN(ps2.cost) FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # the partsupp analog: one row per (part, supplier) with its best
+    # observed unit price; built ONCE and reused for both the candidate
+    # rows and the per-part minimum (same decorrelation Catalyst applies
+    # to the correlated scalar subquery)
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    euro = (
+        offers.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    best = euro.groupBy(F.col("l_partkey").alias("_bpk")).agg(F.min("cost").alias("_best_cost"))
+    return (
+        euro.join(
+            best,
+            (F.col("l_partkey") == F.col("_bpk")) & (F.col("cost") == F.col("_best_cost")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("cost", R).alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q20_dominant_part_suppliers",
+    doc="TPC-H Q20 shape (no partsupp availqty: 'excess stock' becomes "
+    "'dominant share' -- the supplier shipped more than half of a part's "
+    "1997 volume): nested IN subqueries with a correlated scalar SUM, "
+    "decorrelated to per-(part,supplier) and per-part rollups over ONE "
+    "filtered lineitem scan lineage, joined on partkey, then a left_semi "
+    "into supplier. l_quantity is an integral double so both sums are "
+    "EXACT in any addition order -- the 0.5x threshold compare needs no "
+    "rounding. The semi-join probe carries suppkeys only; part's LIKE "
+    "filter broadcasts.",
+    oracle="""
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 1
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    ) sq
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND qty > 0.5 * (
+        SELECT SUM(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = sq.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      )
+  )
+ORDER BY s_name
+""",
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li97 = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    # both rollups share the filtered-scan lineage; the per-part total is
+    # the correlated scalar subquery decorrelated to a groupBy + join
+    per_ps = (
+        li97.join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    per_part = li97.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("l_quantity").alias("_total_qty")
+    )
+    dominant = (
+        per_ps.join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("qty") > F.lit(0.5) * F.col("_total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )

@@ -31,6 +31,8 @@ WINDOWS = [
      "o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'", 50),
     ("edges month domain", "orders",
      "o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'", 50),
+    ("q20 ship year", "lineitem",
+     "l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'", 1000),
     ("events week window", "events",
      "ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'", 100),
     ("events jx cutoff", "events", "ts < TIMESTAMP '2024-01-25'", 100),
@@ -67,6 +69,11 @@ VALUE_GUARDS = [
      "len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','and','of','to'))) > 0", 50),
     ("event types (pagerank/funnel)", "events",
      "event_type IN ('view', 'click', 'purchase')", 100),
+    ("region EUROPE (q2)", "region", "r_name = 'EUROPE'", 1),
+    ("p_size 15 (q2)", "part", "p_size = 15", 20),
+    ("small-name parts (q20)", "part", "p_name LIKE 'small%'", 100),
+    ("region-1 suppliers (q20)", "supplier",
+     "s_nationkey IN (1, 6, 11, 16, 21)", 10),
 ]
 
 

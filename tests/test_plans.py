@@ -530,3 +530,24 @@ def test_pagerank_rank_joins_broadcast(spark):
     plan = plan_of(_q("graph_pagerank")(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q2_offer_table_shares_one_exchange(spark):
+    # Q2's offer table (per-part,supplier min unit price) feeds BOTH the
+    # candidate rows and the per-part min; all dims broadcast, so the
+    # only exchanges are the offer groupBy and the per-part min groupBy
+    # -- no sort-merge join and no cartesian anywhere.
+    plan = plan_of(_q("q2_min_cost_supplier")(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # winner selection is TakeOrdered (limit 100), not a global sort
+    simple = plan_of(_q("q2_min_cost_supplier")(spark, SF_SMALL), mode="simple")
+    assert "TakeOrderedAndProject" in simple
+
+
+def test_q20_semi_join_carries_keys_only(spark):
+    # the dominant-supplier probe reaches supplier as a semi join; the
+    # part LIKE filter must broadcast into the lineitem scan side
+    plan = plan_of(_q("q20_dominant_part_suppliers")(spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
