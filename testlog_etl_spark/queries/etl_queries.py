@@ -578,3 +578,84 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, "src", "dst", "w", n_iter=5, damping=0.85).select(
         "node", "rank"
     ).orderBy("node")
+
+
+@register(
+    "snapshot_diff_orders",
+    doc="snapshot diff / CDC extraction (operators/diff.py): version N+1 "
+    "of orders is derived from version N by deterministic md5-bucket "
+    "slices (bucket 0 deleted, 1 status-updated, 2 price-updated, 3 "
+    "re-keyed copies inserted), then diffed back against N. ONE "
+    "full-outer shuffle on the key; change detection is null-safe "
+    "codegen compares; changed_cols names the differing columns. The "
+    "oracle rebuilds the same version and diffs with FULL JOIN + IS "
+    "DISTINCT FROM.",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+),
+b AS (
+  SELECT *, try_cast(('0x' || substr(md5(o_orderkey::VARCHAR || ':d'), 1, 15)) AS BIGINT) % 10 AS bkt
+  FROM old
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN bkt = 1 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN bkt = 2 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM b WHERE bkt <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice, o_orderpriority
+  FROM b WHERE bkt = 3
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       concat_ws(',',
+         CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+               AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END,
+         CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+               AND o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END,
+         CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+               AND o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END
+       ) AS changed
+FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+ORDER BY op, o_orderkey
+""",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.diff import snapshot_diff
+    from testlog_etl_spark.operators.sampling import hash_bucket
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    b = orders.withColumn("_bkt", hash_bucket(F.col("o_orderkey"), 10, "d"))
+    new = (
+        b.filter(F.col("_bkt") != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("_bkt") == 1, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+            F.when(F.col("_bkt") == 2, F.col("o_totalprice") + F.lit(1.0))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .unionByName(
+            b.filter(F.col("_bkt") == 3).select(
+                (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderpriority",
+            )
+        )
+    )
+    d = snapshot_diff(orders, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice", "o_orderpriority"])
+    return d.select(
+        "o_orderkey", "op", F.array_join("changed_cols", ",").alias("changed")
+    ).orderBy("op", "o_orderkey")

@@ -390,3 +390,40 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_sliding_window",
+    doc="event-time SLIDING window (1h/15min): each event counted in 4 "
+    "overlapping windows; epoch-aligned starts make the batch twin "
+    "exact (floor(ts/900)*900 - {0,900,1800,2700}).",
+    oracle="""
+SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - o) * 1000000) AS win_start,
+       event_type, count(*) AS n
+FROM events, unnest([0, 900, 1800, 2700]) AS t(o)
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = jobs.run_to_completion(jobs.sliding_window_counts(spark, sf_dir), "stream_sliding_window")
+    return out.orderBy("win_start", "event_type")
+
+
+@register(
+    "stream_static_enrich",
+    doc="stream-static broadcast join (J1/S10 enrichment applied to the "
+    "queue source): dim resolved per micro-batch, zero stream state; "
+    "drained output equals the batch join.",
+    oracle="""
+SELECT stage, count(*) AS n, ROUND(SUM(value * weight), 4) AS weighted_value
+FROM events
+JOIN (VALUES ('view', 'browse', 0.1), ('click', 'engage', 0.5), ('purchase', 'convert', 1.0))
+  AS dim(event_type, stage, weight) USING (event_type)
+GROUP BY stage
+ORDER BY stage
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = jobs.run_to_completion(jobs.stream_static_enrich(spark, sf_dir), "stream_static_enrich")
+    return out.orderBy("stage")

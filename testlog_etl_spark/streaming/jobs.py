@@ -225,3 +225,47 @@ def foreach_batch_upsert(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SLIDING window (1 h length, 15 min slide): each event
+    lands in 4 overlapping windows. Complements the tumbling form
+    (`hourly_windowed_counts`): sliding windows are the trend-smoothing
+    shape (rolling hourly rate refreshed every slide).
+
+    Scale: Spark expands each row to its length/slide window copies
+    BEFORE the shuffle, so the exchange carries (window, type) keys --
+    state is bounded by (#open windows x #types), expired by the
+    watermark, independent of stream length. Windows align to the epoch,
+    so the batch twin is exact: the window starts covering ts are
+    floor(ts/900)*900 - {0,900,1800,2700}."""
+    ev = stream_table(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched per micro-batch
+    against a bounded dimension (the reference's cached-dimension
+    enrichment, J1/S10, applied to its queue source). The static side is
+    planned as a broadcast hash join INSIDE each micro-batch -- no
+    stream state at all (unlike stream-stream joins), and the dim is
+    re-resolvable between batches (slowly-changing dims pick up
+    updates on the next trigger)."""
+    ev = stream_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("view", "browse", 0.1), ("click", "engage", 0.5), ("purchase", "convert", 1.0)],
+        "event_type string, stage string, weight double",
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
+        )
+    )
