@@ -240,3 +240,75 @@ def best_changepoint(
         ((m["_t1"] - m["_s1"]) / (m["_n"] - m["_t"])).alias("mean_right"),
         (total_sse - m["_cost"]).alias("sse_drop"),
     )
+
+
+def sweep_concurrency(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    num_parts: int = 32,
+) -> DataFrame:
+    """Interval-overlap sweep line: per key, the peak number of
+    simultaneously-open intervals and the first instant it is reached.
+
+    Intervals are half-open [start, end): an interval ending exactly
+    when another starts does NOT overlap it, enforced by ordering the
+    boundary stream (ts, delta) so -1 sorts before +1 at ties.
+
+    Scale design -- the classic formulation is a per-key ordered prefix
+    sum, which is fine when keys are many (each window partition is one
+    key's timeline) but collapses few massive keys into single tasks.
+    This implementation uses the hierarchical scan from packing.py
+    generalized to keyed boundaries, for the LOW-cardinality regime
+    (keys <= ~thousands; the driver holds num_parts x n_keys longs):
+
+    1. explode each interval to (+1 at start, -1 at end) -- row-local;
+    2. range-partition the boundary stream by (key, ts, delta) so each
+       partition holds a contiguous slice of each key's timeline;
+    3. per-(partition, key) delta totals -> driver (bounded rows),
+       exclusive-prefix-summed per key in partition order;
+    4. broadcast offsets back; intra-partition running sum via an
+       ordinary partitioned window + offset = exact global prefix sum
+       WITHOUT a single-partition window;
+    5. peak = max(prefix), first_peak_ts = min ts where prefix == peak
+       (tie-order independent: within an equal-(ts,delta) run the max
+       is attained at the run's end regardless of intra-run order).
+
+    For high-cardinality keys, use the plain window form instead:
+    ``SUM(delta) OVER (PARTITION BY key ORDER BY ts, delta)`` -- one
+    exchange, parallel across keys.
+    """
+    plus = df.select(
+        F.col(key_col).alias("_k"), F.col(start_col).alias("_bt"), F.lit(1).alias("_d")
+    )
+    minus = df.select(
+        F.col(key_col).alias("_k"), F.col(end_col).alias("_bt"), F.lit(-1).alias("_d")
+    )
+    ranged = (
+        plus.unionByName(minus)
+        .repartitionByRange(num_parts, F.col("_k"), F.col("_bt"), F.col("_d"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = ranged.groupBy("_pid", "_k").agg(F.sum("_d").alias("_t")).collect()
+    acc: dict[object, int] = {}
+    offsets = []
+    for row in sorted(totals, key=lambda r: (r["_k"], r["_pid"])):
+        offsets.append((row["_pid"], row["_k"], acc.get(row["_k"], 0)))
+        acc[row["_k"]] = acc.get(row["_k"], 0) + (row["_t"] or 0)
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, ["_pid", "_k", "_off"])
+    w = Window.partitionBy("_pid", "_k").orderBy("_bt", "_d")
+    conc = (
+        ranged.withColumn("_local", F.sum("_d").over(w))
+        .join(F.broadcast(off), ["_pid", "_k"])
+        .withColumn("_conc", (F.col("_local") + F.col("_off")).cast("long"))
+    )
+    peaks = conc.groupBy("_k").agg(F.max("_conc").alias("peak"))
+    return (
+        conc.join(F.broadcast(peaks), "_k")
+        .filter(F.col("_conc") == F.col("peak"))
+        .groupBy(F.col("_k").alias(key_col), "peak")
+        .agg(F.min("_bt").alias("first_peak_ts"))
+    )

@@ -598,3 +598,43 @@ def win_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "n_trailing_hour", "sum_trailing_hour")
         .orderBy("event_id")
     )
+
+
+@register(
+    "ts_peak_concurrency",
+    doc="interval-overlap sweep line (operators/timeseries.py::"
+    "sweep_concurrency): peak simultaneously-open 30-minute activity "
+    "windows per event_type and the first instant the peak is reached. "
+    "Half-open [start, end) intervals; the global ordered prefix sum "
+    "uses the packing.py hierarchical scan (range partition + per-"
+    "(partition,key) offsets broadcast back), NOT a single-partition "
+    "window -- the low-cardinality-key regime where a plain per-key "
+    "window would collapse each key's whole timeline into one task.",
+    oracle="""
+WITH b AS (
+  SELECT event_type, ts AS bt, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+), r AS (
+  SELECT event_type, bt, d,
+         CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY bt, d
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM b
+), p AS (SELECT event_type, MAX(conc) AS peak FROM r GROUP BY event_type)
+SELECT r.event_type AS event_type, p.peak AS peak, MIN(bt) AS first_peak_ts
+FROM r JOIN p ON r.event_type = p.event_type AND r.conc = p.peak
+GROUP BY r.event_type, p.peak
+ORDER BY r.event_type
+""",
+)
+def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.timeseries import sweep_concurrency
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    out = sweep_concurrency(iv, "event_type", "start", "end")
+    return out.select("event_type", "peak", "first_peak_ts").orderBy("event_type")

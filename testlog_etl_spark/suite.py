@@ -102,21 +102,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_running_sum",
     "sim_topk_cosine",
     "etl_mozlog_results",
-    # -- 13-26: new or touched in r04
+    # -- 13-26: new or touched in r04. Five slots that previously
+    #    re-verified prior-green queries whose code paths are already
+    #    covered by an in-window neighbor (ngram_jaccard/embedding_cosine
+    #    share the shingle/spread helpers with the minhash+cosine slots;
+    #    group_resolve, jsonl_roundtrip, topk_int8 are unchanged r01-r03
+    #    greens) now hold FIRST driver rows for the latest additions:
+    #    the final two TPC-H shapes (q2/q20 -- all 22 now covered), the
+    #    snapshot-diff CDC operator, and the two new streaming shapes.
+    #    The displaced five stay green in the local full differential.
     "edges_default_other",
     "dedup_substring_spans",
     "dedup_simhash",
     "sim_lsh_topk",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_group_resolve",
+    "q2_min_cost_supplier",
+    "q20_dominant_part_suppliers",
     "text_boilerplate_fraction",
     "sim_ivf_topk",
-    "sim_topk_int8",
-    "dedup_embedding_cosine",
+    "snapshot_diff_orders",
+    "stream_sliding_window",
     "multimodal_features",
     "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
+    "stream_static_enrich",
     # -- 27-30: flagship + bench anchors
     "q1_pricing_summary",
     "q5_local_supplier_volume",

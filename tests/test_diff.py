@@ -80,3 +80,62 @@ def test_diff_projects_before_the_join(spark):
     for seg in plan.split("\n\n"):
         if seg.lstrip().startswith(("(7) Exchange", "Exchange")) or ") Exchange" in seg.split("\n")[0]:
             assert "payload" not in seg, seg
+
+
+# ---- sweep_concurrency (operators/timeseries.py) ----
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "k string, start timestamp, end timestamp")
+
+
+def test_sweep_peak_and_first_instant(spark):
+    from datetime import datetime as dt
+
+    from testlog_etl_spark.operators.timeseries import sweep_concurrency
+
+    t = lambda m: dt(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        ("a", t(0), t(10)),
+        ("a", t(5), t(15)),   # overlaps first -> conc 2 at :05
+        ("a", t(5), t(8)),    # conc 3 at :05
+        ("a", t(20), t(30)),  # isolated
+        ("b", t(0), t(1)),
+    ]
+    got = {r["k"]: (r["peak"], r["first_peak_ts"]) for r in
+           sweep_concurrency(_iv(spark, rows), "k", "start", "end").collect()}
+    assert got == {"a": (3, t(5)), "b": (1, t(0))}
+
+
+def test_sweep_half_open_boundaries(spark):
+    from datetime import datetime as dt
+
+    from testlog_etl_spark.operators.timeseries import sweep_concurrency
+
+    # [0,10) and [10,20): end == start must NOT count as overlap
+    rows = [("a", dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 0, 10)),
+            ("a", dt(2024, 1, 1, 0, 10), dt(2024, 1, 1, 0, 20))]
+    [r] = sweep_concurrency(_iv(spark, rows), "k", "start", "end").collect()
+    assert r["peak"] == 1
+
+
+def test_sweep_matches_naive_on_random_intervals(spark):
+    from datetime import datetime as dt, timedelta
+
+    from testlog_etl_spark.operators.timeseries import sweep_concurrency
+
+    # deterministic pseudo-random intervals; naive O(n^2) check
+    base = dt(2024, 1, 1)
+    rows = []
+    x = 1
+    for i in range(60):
+        x = (x * 48271) % 2147483647
+        s = x % 500
+        d = 1 + (x >> 8) % 50
+        rows.append(("k" + str(i % 3), base + timedelta(minutes=s), base + timedelta(minutes=s + d)))
+    got = {r["k"]: r["peak"] for r in
+           sweep_concurrency(_iv(spark, rows), "k", "start", "end", num_parts=7).collect()}
+    for key in {r[0] for r in rows}:
+        ivs = [(s, e) for k, s, e in rows if k == key]
+        naive = max(sum(1 for s, e in ivs if s <= b < e) for b, _ in ivs)
+        assert got[key] == naive, key
