@@ -16,7 +16,7 @@ keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -156,4 +156,46 @@ def weighted_mixture(
     return (
         out.withColumn(rep_col, F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))
         .drop("_copies")
+    )
+
+
+def shuffle_key(key: Column, epoch: int, seed: str = "0") -> Column:
+    """60-bit deterministic shuffle position for a key in a given epoch
+    (first 15 hex digits of md5(key || ':e<epoch>:' || seed)). Distinct
+    epochs re-salt the hash, so per-epoch orders are decorrelated while
+    each remains reproducible run-to-run and engine-to-engine."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f":e{int(epoch)}:{seed}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, n_shards: int, epoch: int, seed: str = "0"
+) -> DataFrame:
+    """Deterministic training-order shuffle + sharding: assign every row
+    a shard and a position within it for the given epoch.
+
+    The training-data endgame: after dedup/filter/mix, the corpus must
+    be written in a randomized order, re-randomized per epoch, and split
+    into shards a loader can stream -- WITHOUT an RNG (irreproducible
+    across retries) and WITHOUT a global sort (one total order = one
+    range exchange whose output ordering few writers can exploit).
+
+    shard = shuffle_key % n_shards; within-shard position = rank by
+    (shuffle_key, id). Physically that is ONE hash exchange on shard +
+    a per-shard sort -- exactly the work of writing the shard files, no
+    extra shuffle. n_shards should be ~the write parallelism (each
+    shard sorts in one task); the per-shard window is the intended unit
+    of work, not a skew accident: md5 spreads ids uniformly, so shards
+    are balanced within sampling error. A new epoch changes only the
+    salt: no state, no reseeding protocol, any subset of shards can be
+    regenerated independently (crash recovery at 100 TB).
+    """
+    k = shuffle_key(F.col(id_col), epoch, seed)
+    shard = F.pmod(k, F.lit(int(n_shards))).cast("int")
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return (
+        df.withColumn("_skey", k)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_skey")
     )

@@ -494,3 +494,51 @@ def semantic_dedup(
         .agg(F.min(F.struct(F.col("_id_a"), F.col("_cos"))).alias("_m"))
         .select(id_col, F.col("_m._id_a").alias("exemplar"), F.col("_m._cos").alias("cosine"))
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    q_label: str = "q_label",
+    c_label: str = "c_label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, the k corpus
+    vectors MOST similar to it that carry a DIFFERENT label -- the
+    embedding-training step that turns a labeled corpus into
+    (anchor, hard-negative) pairs (easy negatives teach nothing; the
+    near-miss with the wrong label is the gradient signal).
+
+    Same plan discipline as ``topk_cosine``: the (small) anchor set is
+    broadcast over ONE corpus scan with norms precomputed per side; the
+    label filter prunes pairs BEFORE ranking so the per-anchor window
+    ranks only cross-label candidates. Ties break by corpus id. For
+    anchor sets too large to broadcast, mine per-cell via the IVF/LSH
+    tiers first and apply the same cross-label rank inside each cell.
+    """
+    from testlog_etl_spark.util import spread
+
+    cast = lambda c: F.col(c).cast("array<double>")  # noqa: E731 -- float32 in, double math
+    c_side = (
+        spread(corpus.select(F.col(c_id), F.col(c_label), cast(c_vec).alias("_cv")))
+        .withColumn("_cn", l2_norm(F.col("_cv")))
+    )
+    q_side = (
+        queries.select(F.col(q_id), F.col(q_label), cast(q_vec).alias("_qv"))
+        .withColumn("_qn", l2_norm(F.col("_qv")))
+    )
+    pairs = c_side.crossJoin(F.broadcast(q_side)).filter(
+        (F.col(q_id) != F.col(c_id)) & (F.col(q_label) != F.col(c_label))
+    )
+    scored = pairs.select(
+        q_id,
+        c_id,
+        F.col(c_label).alias("neg_label"),
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2115,3 +2115,74 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_big").desc(), "w1", "w2")
         .limit(30)
     )
+
+
+@register(
+    "embed_hard_negatives",
+    doc="contrastive hard-negative mining (operators/similarity.py::"
+    "hard_negatives): for 20 anchors, the 3 most-similar vectors with a "
+    "DIFFERENT label -- broadcast anchors over one corpus scan, "
+    "cross-label filter BEFORE the per-anchor rank.",
+    oracle=f"""
+SELECT r.qid AS q_id, r.cid AS c_id, r.neg_label, r.cos, r.rank
+FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS neg_label,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), {R}) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.vec_id
+         ) AS rank
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id AND q.label <> c.label
+  WHERE q.vec_id < 20
+) r
+WHERE rank <= 3
+ORDER BY q_id, rank
+""",
+)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_vec"),
+    )
+    out = similarity.hard_negatives(anchors, corpus, k=3)
+    return out.select(
+        "q_id", "c_id", "neg_label", F.round("cosine", R).alias("cos"), "rank"
+    ).orderBy("q_id", "rank")
+
+
+@register(
+    "corpus_epoch_shuffle",
+    doc="deterministic per-epoch training-order shuffle + sharding "
+    "(operators/sampling.py::epoch_shuffle): shard + in-shard position "
+    "from a salted md5 -- no RNG, no global sort; one hash exchange + "
+    "per-shard sort, the exact physical work of writing the shards.",
+    oracle="""
+SELECT doc_id, shard, pos
+FROM (
+  SELECT doc_id,
+         CAST(skey % 4 AS INT) AS shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY skey % 4 ORDER BY skey, doc_id) AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id,
+           try_cast(('0x' || substr(md5(doc_id::VARCHAR || ':e1:0'), 1, 15)) AS BIGINT) AS skey
+    FROM documents
+  )
+)
+ORDER BY shard, pos
+""",
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = sampling.epoch_shuffle(docs, "doc_id", n_shards=4, epoch=1)
+    return out.select("doc_id", "shard", F.col("pos").cast("long").alias("pos")).orderBy(
+        "shard", "pos"
+    )

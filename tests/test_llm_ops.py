@@ -746,3 +746,45 @@ def test_chunk_overlap_covers_every_token(spark):
             piece = txt.split(" ")
             recon.extend(piece if idx == len(chunks) - 1 else piece[:24])
         assert recon == toks, (i, len(recon), len(toks))
+
+
+def test_epoch_shuffle_partitions_and_decorrelates(spark):
+    from testlog_etl_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    e1 = epoch_shuffle(df, "doc_id", n_shards=4, epoch=1)
+    e1b = epoch_shuffle(df, "doc_id", n_shards=4, epoch=1)
+    e2 = epoch_shuffle(df, "doc_id", n_shards=4, epoch=2)
+    r1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in e1.collect()}
+    r1b = {r["doc_id"]: (r["shard"], r["pos"]) for r in e1b.collect()}
+    r2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in e2.collect()}
+    # every row exactly once, reproducible within an epoch
+    assert len(r1) == 200 and r1 == r1b
+    # positions within each shard are 1..n contiguous
+    for s in range(4):
+        poss = sorted(p for sh, p in r1.values() if sh == s)
+        assert poss == list(range(1, len(poss) + 1))
+    # epochs decorrelate: the assignment must actually change
+    assert r1 != r2
+
+
+def test_hard_negatives_cross_label_only(spark):
+    from testlog_etl_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.99, 0.14]),   # same label as anchor 0 -- excluded
+        (2, 1, [0.9, 0.44]),    # different label, very close -- the hard one
+        (3, 1, [-1.0, 0.0]),    # different label, far
+        (4, 2, [0.95, 0.31]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, label int, embedding array<double>")
+    anchors = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"), F.col("embedding").alias("q_vec")
+    )
+    corpus = df.select(
+        F.col("vec_id").alias("c_id"), F.col("label").alias("c_label"), F.col("embedding").alias("c_vec")
+    )
+    got = hard_negatives(anchors, corpus, k=2).collect()
+    assert [r["c_id"] for r in got] == [4, 2]          # ranked by similarity
+    assert all(r["neg_label"] != 0 for r in got)       # never the anchor's label
