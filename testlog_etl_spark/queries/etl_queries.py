@@ -659,3 +659,49 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "o_orderkey", "op", F.array_join("changed_cols", ",").alias("changed")
     ).orderBy("op", "o_orderkey")
+
+
+@register(
+    "events_cep_pattern",
+    doc="sequence-pattern detection (MATCH_RECOGNIZE / CEP shape): per "
+    "user, the ordered event-initial string is scanned for the "
+    "conversion pattern v+c+p (views then clicks then purchase) with "
+    "greedy non-overlapping regex semantics -- identical in Java regex "
+    "and RE2 for this alphabet. One groupBy shuffle builds each user's "
+    "sequence (array_sort over (ts, event_id) structs -- order is "
+    "enforced inside the aggregate, not assumed from input order); the "
+    "regex scan is row-local codegen.",
+    oracle="""
+SELECT user_id,
+       CAST(len(seq) AS INT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'v+c+p')) AS INT) AS conversions
+FROM (
+  SELECT user_id, string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+ORDER BY user_id
+""",
+)
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i"))
+                )
+            ),
+            lambda x: x["i"],
+        ),
+        "",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").cast("int").alias("seq_len"),
+            F.regexp_count("seq", F.lit("v+c+p")).cast("int").alias("conversions"),
+        )
+        .orderBy("user_id")
+    )

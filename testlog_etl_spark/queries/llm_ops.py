@@ -2186,3 +2186,31 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", F.col("pos").cast("long").alias("pos")).orderBy(
         "shard", "pos"
     )
+
+
+@register(
+    "dedup_hamming_prefix",
+    doc="exact fuzzy self-join (operators/neardup.py::hamming_join): "
+    "doc pairs whose 64-char padded prefixes are within Hamming "
+    "distance 4, via PassJoin-style pigeonhole chunk blocking (5 exact "
+    "chunks; no false negatives, no all-pairs) and a positionwise "
+    "codegen verify. The oracle states the contract with DuckDB's "
+    "native hamming() over the O(n^2) pair scan.",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS pre FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(hamming(a.pre, b.pre) AS INT) AS dist
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE hamming(a.pre, b.pre) <= 4
+ORDER BY a_id, b_id
+""",
+)
+def dedup_hamming_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    keyed = docs.select(
+        "doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("prefix")
+    )
+    out = neardup.hamming_join(keyed, "doc_id", "prefix", length=64, max_dist=4)
+    return out.orderBy("a_id", "b_id")

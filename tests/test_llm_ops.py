@@ -788,3 +788,50 @@ def test_hard_negatives_cross_label_only(spark):
     got = hard_negatives(anchors, corpus, k=2).collect()
     assert [r["c_id"] for r in got] == [4, 2]          # ranked by similarity
     assert all(r["neg_label"] != 0 for r in got)       # never the anchor's label
+
+
+def test_hamming_join_exact_within_threshold(spark):
+    from testlog_etl_spark.operators.neardup import hamming_join
+
+    base = "abcdefghijklmnop"  # 16 chars, 3 chunks at max_dist=2
+    rows = [
+        (0, base),
+        (1, base[:3] + "X" + base[4:]),            # dist 1 from 0
+        (2, base[:3] + "X" + base[8:9] + "Y" + base[10:][:-4] + base[-4:]),  # scrambled; recompute below
+        (3, "Z" * 16),                              # far from everything
+        (4, base),                                  # exact dup of 0
+    ]
+    # rebuild row 2 deterministically: dist 2 from 0 (positions 4 and 9)
+    s = list(base); s[3] = "X"; s[8] = "Y"
+    rows[2] = (2, "".join(s))
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    got = {(r["a_id"], r["b_id"]): r["dist"]
+           for r in hamming_join(df, "id", "key", length=16, max_dist=2).collect()}
+    assert got[(0, 4)] == 0
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 2
+    assert got[(1, 2)] == 1        # differ only at position 9
+    assert got[(1, 4)] == 1
+    assert got[(2, 4)] == 2
+    assert all(a != 3 and b != 3 for a, b in got)   # far row pairs with nothing
+    assert len(got) == 6
+
+
+def test_hamming_join_plan_has_no_cartesian(spark):
+    from testlog_etl_spark.operators.neardup import hamming_join
+    from tests.test_plans import plan_of
+
+    df = spark.createDataFrame([(0, "aaaa")], "id bigint, key string")
+    plan = plan_of(hamming_join(df, "id", "key", length=4, max_dist=1))
+    assert "CartesianProduct" not in plan
+
+
+def test_hamming_join_max_block_caps_hot_chunks(spark):
+    from testlog_etl_spark.operators.neardup import hamming_join
+
+    # 30 identical keys: exact mode yields 435 pairs; a cap of 2 drops
+    # the hot blocks entirely (recall valve semantics)
+    rows = [(i, "samesame") for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    assert hamming_join(df, "id", "key", length=8, max_dist=1).count() == 435
+    assert hamming_join(df, "id", "key", length=8, max_dist=1, max_block=2).count() == 0
