@@ -44,3 +44,78 @@ def merge_sketches(
         F.sum("n_rows").alias("n_rows"),
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("approx_distinct"),
     )
+
+
+def countmin_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies: a fixed depth x
+    width counter grid, each row counted into one cell per hash row.
+
+    Unlike HLL bytes, a count-min sketch is plain integer arithmetic on
+    engine-portable hashes (the md5-bucket idiom from sampling.py), so
+    it is EXACTLY reproducible cross-engine -- the DuckDB oracle
+    rebuilds the identical grid. Deterministic by construction: cell
+    values are sums, order-free.
+
+    Scale: the sketch aggregate shuffles (row, col) keys only -- at most
+    depth x width cells regardless of input size -- and cells are
+    map-side combined, so the exchange volume is bounded by the CLUSTER
+    (parts x cells), not the data. Sketches merge by cell-wise sum
+    (``merge_countmin``), the property that makes per-day sketch rows
+    rollable into months without rescanning -- same contract as the HLL
+    rollup, but exact-arithmetic instead of register-lattice.
+    """
+    from testlog_etl_spark.operators.sampling import hash_bucket
+
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                hash_bucket(F.col(key_col), width, seed=f"cm{i}").cast("int").alias("col"),
+            )
+            for i in range(int(depth))
+        ]
+    )
+    return (
+        df.select(F.explode(probes).alias("_p"))
+        .groupBy(F.col("_p.row").alias("row"), F.col("_p.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_countmin(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of same-shape sketches (the mergeability contract:
+    merge(sketch(A), sketch(B)) == sketch(A UNION ALL B), exactly)."""
+    it = iter(sketches)
+    acc = next(it)
+    for s in it:
+        acc = acc.unionByName(s)
+    return acc.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-frequency estimates: min over the key's depth cells.
+    Guaranteed >= the true count (collisions only ADD); the sketch side
+    is depth x width rows, so it broadcasts."""
+    from testlog_etl_spark.operators.sampling import hash_bucket
+
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                hash_bucket(F.col(key_col), width, seed=f"cm{i}").cast("int").alias("col"),
+            )
+            for i in range(int(depth))
+        ]
+    )
+    probed = keys.select(F.col(key_col), F.explode(probes).alias("_p")).select(
+        key_col, F.col("_p.row").alias("row"), F.col("_p.col").alias("col")
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
+    )

@@ -396,3 +396,118 @@ def mv_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_price", R).alias("min_price"),
         F.round("max_price", R).alias("max_price"),
     ).orderBy("o_custkey")
+
+
+@register(
+    "topk_per_group_agg",
+    doc="grouped top-k WITHOUT a ranking window (operators/topk.py): "
+    "Arrow-local batch prune (<=k per group per batch, zero shuffle) "
+    "then a k-bounded sort_array/slice merge -- the exchange carries "
+    "<= k x partitions rows per group where the window form moves and "
+    "sorts whole groups in single tasks. Top-3 orders by totalprice "
+    "per priority.",
+    oracle="""
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS INT) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+ORDER BY o_orderpriority, rank
+""",
+)
+def topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.topk import grouped_topk
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    out = grouped_topk(orders, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=3)
+    return out.select("o_orderpriority", "rank", "o_orderkey", "o_totalprice").orderBy(
+        "o_orderpriority", "rank"
+    )
+
+
+@register(
+    "agg_countmin_sketch",
+    doc="count-min sketch frequency estimation (operators/sketches.py::"
+    "countmin_sketch, d=4 w=64 so collisions are exercised at 150 "
+    "keys): the sketch aggregate shuffles at most d x w cells, the "
+    "estimate broadcasts the grid. Exactly oracled -- integer counters "
+    "over engine-portable md5 hashes (the HLL rollup's exact-arithmetic "
+    "sibling); est_n >= true_n always.",
+    oracle="""
+WITH keys AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id),
+h AS (
+  SELECT user_id, i,
+         CAST(try_cast(('0x' || substr(md5(user_id::VARCHAR || ':cm' || i), 1, 15)) AS BIGINT) % 64 AS INT) AS col
+  FROM keys, unnest([0, 1, 2, 3]) AS t(i)
+),
+cells AS (
+  SELECT i, col, CAST(SUM(true_n) AS BIGINT) AS c
+  FROM keys JOIN h USING (user_id)
+  GROUP BY i, col
+)
+SELECT k.user_id, k.true_n, est.est_n
+FROM keys k
+JOIN (SELECT h.user_id, MIN(c) AS est_n FROM h JOIN cells USING (i, col) GROUP BY h.user_id) est
+  USING (user_id)
+ORDER BY user_id
+""",
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sketches import countmin_estimate, countmin_sketch
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sk = countmin_sketch(ev, "user_id", depth=4, width=64)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    est = countmin_estimate(sk, truth.select("user_id"), "user_id", depth=4, width=64)
+    return truth.join(est, "user_id").select("user_id", "true_n", "est_n").orderBy("user_id")
+
+
+@register(
+    "ts_ohlc_bars",
+    doc="OHLC bar resampling (the financial downsample shape): per "
+    "(event_type, hour), open/close = value at the earliest/latest "
+    "event, high/low = extremes. One hash-agg shuffle; open/close ride "
+    "min_by/max_by over a zero-padded (epoch_us, event_id) string key "
+    "-- engines lack composite arg_min keys, a fixed-width string IS "
+    "one, portable by construction.",
+    oracle="""
+SELECT event_type, date_trunc('hour', ts) AS bar,
+       arg_min("value", okey) AS open,
+       max("value") AS high,
+       min("value") AS low,
+       arg_max("value", okey) AS close,
+       count(*) AS n,
+       ROUND(SUM("value"), 4) AS volume
+FROM (
+  SELECT *,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey
+  FROM events
+)
+GROUP BY event_type, bar
+ORDER BY event_type, bar
+""",
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    okey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.withColumn("okey", okey)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bar"))
+        .agg(
+            F.min_by("value", "okey").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "okey").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .orderBy("event_type", "bar")
+    )

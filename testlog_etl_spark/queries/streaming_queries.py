@@ -427,3 +427,89 @@ ORDER BY stage
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = jobs.run_to_completion(jobs.stream_static_enrich(spark, sf_dir), "stream_static_enrich")
     return out.orderBy("stage")
+
+
+@register(
+    "stream_session_window",
+    doc="native MERGING session windows in streaming mode "
+    "(F.session_window, 1-day gap): state is one open window per user, "
+    "windows merge as bridging events arrive, and a session emits when "
+    "the watermark passes its (last event + gap) close. End-of-input "
+    "via the far-future sentinel batch (user -1, excluded). Drained "
+    "append output equals batch gap-sessionization -- the same oracle "
+    "as batch gap-sessionization, reached through streaming state. "
+    "Boundary: session_window opens a NEW session at gap >= gapDuration "
+    "(half-open), so the oracle's break test is >= -- pairing it with "
+    "the cumsum twin's > would silently diverge on a corpus containing "
+    "an exact-86400s gap.",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 86400 THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+), g AS (
+  SELECT user_id, sess, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+  FROM s GROUP BY user_id, sess
+)
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM g ORDER BY user_id, session_start
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(jobs.SCRATCH, "sess_win")
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if os.path.getmtime(p) < _time.time() - 600:
+                shutil.rmtree(p, ignore_errors=True)
+    in_dir = os.path.join(root, uuid.uuid4().hex)
+    ev.coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "1 day").alias("_w"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+    qname = f"sess_win_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+        # sentinel 30 days past the horizon closes every real session
+        # (gap 1 day + watermark 1 h); user -1 is filtered from results
+        sent = (
+            ev.orderBy(F.col("ts").desc())
+            .limit(1)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+            .withColumn("user_id", F.lit(-1).cast(dict(ev.dtypes)["user_id"]))
+        )
+        sent.coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )

@@ -835,3 +835,46 @@ def test_hamming_join_max_block_caps_hot_chunks(spark):
     df = spark.createDataFrame(rows, "id bigint, key string")
     assert hamming_join(df, "id", "key", length=8, max_dist=1).count() == 435
     assert hamming_join(df, "id", "key", length=8, max_dist=1, max_block=2).count() == 0
+
+
+def test_countmin_merge_equals_union_and_overestimates(spark):
+    from testlog_etl_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+        merge_countmin,
+    )
+
+    a = spark.range(0, 300).select((F.col("id") % 17).alias("k"))
+    b = spark.range(0, 500).select((F.col("id") % 23).alias("k"))
+    merged = merge_countmin(countmin_sketch(a, "k", 4, 32), countmin_sketch(b, "k", 4, 32))
+    union = countmin_sketch(a.unionAll(b), "k", 4, 32)
+    m = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+    u = {(r["row"], r["col"]): r["cnt"] for r in union.collect()}
+    assert m == u  # mergeability is EXACT, not approximate
+    truth = a.unionAll(b).groupBy("k").count()
+    est = countmin_estimate(union, truth.select("k"), "k", 4, 32)
+    joined = truth.join(est, "k").collect()
+    assert len(joined) == 23
+    assert all(r["est_n"] >= r["count"] for r in joined)  # never undercounts
+
+
+def test_grouped_topk_matches_window_form(spark):
+    from pyspark.sql import Window
+
+    from testlog_etl_spark.operators.topk import grouped_topk
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("g"),
+        F.col("id").alias("i"),
+        ((F.col("id") * 37) % 1000).cast("double").alias("v"),
+    ).repartition(13)  # many partitions -> local prune actually exercised
+    got = {
+        (r["g"], r["rank"]): r["i"]
+        for r in grouped_topk(df, ["g"], "v", "i", k=4).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("i"))
+    want = {
+        (r["g"], r["rn"]): r["i"]
+        for r in df.withColumn("rn", F.row_number().over(w)).filter("rn <= 4").collect()
+    }
+    assert got == want
