@@ -513,3 +513,69 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "stream_hourly_distinct",
+    doc="CHAINED stateful aggregations in one streaming query (Spark "
+    "3.4+ multiple-stateful-operator support): distinct users per hour "
+    "as dedup-level groupBy (hour, user) feeding a count-level groupBy "
+    "(hour) -- COUNT(DISTINCT) is unsupported in streaming, the "
+    "two-level form is the scalable restatement (first level's state is "
+    "the distinct set, sharded by key; second level counts closed "
+    "groups). Windows emit on watermark close; sentinel flushes the "
+    "tail.",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY hour
+""",
+)
+def stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time as _time
+    import uuid
+
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(jobs.SCRATCH, "hr_distinct")
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if os.path.getmtime(p) < _time.time() - 600:
+                shutil.rmtree(p, ignore_errors=True)
+    in_dir = os.path.join(root, uuid.uuid4().hex)
+    ev.coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    level1 = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    level2 = level1.groupBy("w").agg(F.count(F.lit(1)).alias("n_users"))
+    qname = f"hr_distinct_{uuid.uuid4().hex[:8]}"
+    q = level2.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+        sent = (
+            ev.orderBy(F.col("ts").desc())
+            .limit(1)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+            .withColumn("user_id", F.lit(-1).cast(dict(ev.dtypes)["user_id"]))
+        )
+        sent.coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(qname).select(F.col("w.start").alias("hour"), "n_users")
+    # the sentinel's own far-future window never emits (nothing after it
+    # advances the watermark past its close), so no filter is needed --
+    # but keep one anyway: replays with a later second sentinel would
+    # surface it
+    horizon = ev.agg(F.max("ts")).collect()[0][0]
+    return out.filter(F.col("hour") <= horizon).orderBy("hour")
