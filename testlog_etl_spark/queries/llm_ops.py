@@ -2214,3 +2214,60 @@ def dedup_hamming_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = neardup.hamming_join(keyed, "doc_id", "prefix", length=64, max_dist=4)
     return out.orderBy("a_id", "b_id")
+
+
+@register(
+    "corpus_manifest_build",
+    doc="the training-data endgame composed end-to-end: epoch shuffle "
+    "-> shard -> sequence-pack offsets, one manifest row per document "
+    "(shard, position, first-token offset, first sequence index at "
+    "seq_len=512). Physically: the epoch_shuffle hash exchange + ONE "
+    "per-shard window (shards ~= write parallelism, so the window "
+    "partitions ARE the intended units of work). The manifest is what "
+    "a dataloader needs to stream any shard independently.",
+    oracle="""
+SELECT doc_id, shard, pos, tok_start,
+       CAST(tok_start // 512 AS BIGINT) AS seq_idx
+FROM (
+  SELECT doc_id, shard, pos,
+         CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY skey, doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS tok_start
+  FROM (
+    SELECT doc_id,
+           CAST(skey % 4 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY skey % 4 ORDER BY skey, doc_id) AS BIGINT) AS pos,
+           skey,
+           len(string_split(text, ' ')) AS n_tok
+    FROM (
+      SELECT doc_id, text,
+             try_cast(('0x' || substr(md5(doc_id::VARCHAR || ':e1:0'), 1, 15)) AS BIGINT) AS skey
+      FROM documents
+    )
+  )
+)
+ORDER BY shard, pos
+""",
+)
+def corpus_manifest_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_tok = docs.withColumn("n_tok", F.size(F.split("text", " ")).cast("long"))
+    shuffled = sampling.epoch_shuffle(with_tok, "doc_id", n_shards=4, epoch=1)
+    # re-derive the shuffle key for the in-shard pack order (epoch_shuffle
+    # drops it); same salted md5, pure projection
+    skey = sampling.shuffle_key(F.col("doc_id"), epoch=1)
+    w = Window.partitionBy("shard").orderBy(skey, "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        shuffled.withColumn("tok_start", (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long"))
+        .select(
+            "doc_id",
+            "shard",
+            F.col("pos").cast("long").alias("pos"),
+            "tok_start",
+            F.floor(F.col("tok_start") / 512).cast("long").alias("seq_idx"),
+        )
+        .orderBy("shard", "pos")
+    )

@@ -551,3 +551,11 @@ def test_q20_semi_join_carries_keys_only(spark):
     plan = plan_of(_q("q20_dominant_part_suppliers")(spark, SF_SMALL))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_manifest_windows_share_shard_exchange(spark):
+    # epoch_shuffle's pos window and the pack prefix-sum window both
+    # partition by shard: one exchange must serve both
+    plan = plan_of(_q("corpus_manifest_build")(spark, SF_SMALL))
+    assert plan.count("hashpartitioning(shard") <= 1, plan
+    assert "CartesianProduct" not in plan
