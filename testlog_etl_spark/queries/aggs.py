@@ -406,6 +406,7 @@ def mv_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "<= k x partitions rows per group where the window form moves and "
     "sorts whole groups in single tasks. Top-3 orders by totalprice "
     "per priority.",
+    bench=True,
     oracle="""
 SELECT o_orderpriority, rank, o_orderkey, o_totalprice
 FROM (
@@ -510,4 +511,53 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("volume"),
         )
         .orderBy("event_type", "bar")
+    )
+
+
+@register(
+    "agg_mad_robust",
+    doc="outlier-robust dispersion: per-event-type median absolute "
+    "deviation (MAD = median(|x - median(x)|)) plus the robust z-score "
+    "count beyond 3 scaled MADs. Two exact-percentile passes over one "
+    "scan lineage, joined back on the tiny type key -- the robust "
+    "sibling of agg_stats_moments (stddev is one bad row away from "
+    "useless at corpus scale; MAD is 50%-breakdown).",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median("value") AS med_v FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type,
+         ROUND(median(abs("value" - med_v)), 4) AS mad,
+         ROUND(any_value(med_v), 4) AS med_v
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type, d.med_v, d.mad,
+       CAST(SUM(CASE WHEN abs("value" - (SELECT med_v FROM med m WHERE m.event_type = e.event_type))
+                      > 3 * 1.4826 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN dev d ON e.event_type = d.event_type
+GROUP BY e.event_type, d.med_v, d.mad
+ORDER BY e.event_type
+""",
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med_v"))
+    with_med = ev.join(F.broadcast(med), "event_type")
+    dev = with_med.groupBy("event_type").agg(
+        F.round(F.median(F.abs(F.col("value") - F.col("med_v"))), 4).alias("mad"),
+        F.round(F.any_value("med_v"), 4).alias("med_v_r"),
+    )
+    return (
+        with_med.join(F.broadcast(dev), "event_type")
+        .groupBy("event_type", F.col("med_v_r").alias("med_v"), "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med_v")) > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .orderBy("event_type")
     )

@@ -2196,6 +2196,7 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunks; no false negatives, no all-pairs) and a positionwise "
     "codegen verify. The oracle states the contract with DuckDB's "
     "native hamming() over the O(n^2) pair scan.",
+    bench=True,
     oracle="""
 WITH p AS (
   SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS pre FROM documents
@@ -2270,4 +2271,52 @@ def corpus_manifest_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("tok_start") / 512).cast("long").alias("seq_idx"),
         )
         .orderBy("shard", "pos")
+    )
+
+
+@register(
+    "dedup_entity_resolution",
+    doc="entity resolution composed from EXACT verified tiers: Hamming "
+    "fuzzy join on padded 64-char prefixes (pigeonhole blocking, no "
+    "recall luck) -> distributed connected components (min-label + "
+    "pointer jumping) -> canonical entity id per non-singleton doc. "
+    "Unlike the LSH-based group resolve, every stage here is exact, so "
+    "the recursive-CTE oracle is a contract, not an approximation "
+    "match.",
+    oracle="""
+WITH RECURSIVE
+p AS (SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS pre FROM documents),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM p a JOIN p b ON a.doc_id < b.doc_id
+  WHERE hamming(a.pre, b.pre) <= 4
+),
+sym AS (SELECT src AS a, dst AS b FROM pairs UNION ALL SELECT dst AS a, src AS b FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+),
+comp AS (SELECT id, MIN(r) AS entity_id FROM reach GROUP BY id)
+SELECT id AS doc_id, entity_id FROM comp ORDER BY doc_id
+""",
+)
+def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import dupgroups
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    keyed = docs.select("doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("prefix"))
+    pairs = (
+        neardup.hamming_join(keyed, "doc_id", "prefix", length=64, max_dist=4)
+        .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
+    )
+    g = dupgroups.dup_groups(docs, pairs, "doc_id")
+    # non-singleton entities only (the oracle's component table contains
+    # exactly the docs that appear in some pair)
+    sizes = g.groupBy("group_id").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        g.join(F.broadcast(sizes), "group_id")
+        .filter(F.col("_n") >= 2)
+        .select("doc_id", F.col("group_id").alias("entity_id"))
+        .orderBy("doc_id")
     )
