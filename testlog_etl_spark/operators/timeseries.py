@@ -248,6 +248,7 @@ def sweep_concurrency(
     start_col: str,
     end_col: str,
     num_parts: int = 32,
+    method: str = "scan",
 ) -> DataFrame:
     """Interval-overlap sweep line: per key, the peak number of
     simultaneously-open intervals and the first instant it is reached.
@@ -275,9 +276,9 @@ def sweep_concurrency(
        (tie-order independent: within an equal-(ts,delta) run the max
        is attained at the run's end regardless of intra-run order).
 
-    For high-cardinality keys, use the plain window form instead:
-    ``SUM(delta) OVER (PARTITION BY key ORDER BY ts, delta)`` -- one
-    exchange, parallel across keys.
+    For high-cardinality keys, pass ``method="window"``: the plain
+    per-key ordered window -- one exchange, parallel across keys, each
+    key's timeline in one task (fine when no key dominates).
     """
     plus = df.select(
         F.col(key_col).alias("_k"), F.col(start_col).alias("_bt"), F.lit(1).alias("_d")
@@ -285,6 +286,18 @@ def sweep_concurrency(
     minus = df.select(
         F.col(key_col).alias("_k"), F.col(end_col).alias("_bt"), F.lit(-1).alias("_d")
     )
+    if method == "window":
+        w = Window.partitionBy("_k").orderBy("_bt", "_d")
+        conc = plus.unionByName(minus).withColumn("_conc", F.sum("_d").over(w).cast("long"))
+        peaks = conc.groupBy("_k").agg(F.max("_conc").alias("peak"))
+        return (
+            conc.join(F.broadcast(peaks), "_k")
+            .filter(F.col("_conc") == F.col("peak"))
+            .groupBy(F.col("_k").alias(key_col), "peak")
+            .agg(F.min("_bt").alias("first_peak_ts"))
+        )
+    if method != "scan":
+        raise ValueError(f"method must be 'scan' or 'window', got {method!r}")
     ranged = (
         plus.unionByName(minus)
         .repartitionByRange(num_parts, F.col("_k"), F.col("_bt"), F.col("_d"))

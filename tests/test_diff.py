@@ -139,3 +139,41 @@ def test_sweep_matches_naive_on_random_intervals(spark):
         ivs = [(s, e) for k, s, e in rows if k == key]
         naive = max(sum(1 for s, e in ivs if s <= b < e) for b, _ in ivs)
         assert got[key] == naive, key
+
+
+def test_sweep_window_method_matches_scan(spark):
+    from datetime import datetime as dt, timedelta
+
+    from testlog_etl_spark.operators.timeseries import sweep_concurrency
+
+    base = dt(2024, 1, 1)
+    rows, x = [], 7
+    for i in range(80):
+        x = (x * 48271) % 2147483647
+        s = x % 300
+        rows.append(("k" + str(i % 5), base + timedelta(minutes=s),
+                     base + timedelta(minutes=s + 1 + (x >> 7) % 40)))
+    df = _iv(spark, rows)
+    a = {tuple(r) for r in sweep_concurrency(df, "k", "start", "end", method="scan").collect()}
+    b = {tuple(r) for r in sweep_concurrency(df, "k", "start", "end", method="window").collect()}
+    assert a == b
+
+
+def test_snapshot_diff_roundtrip_reconstructs_new(spark):
+    # applying the diff to OLD must reproduce NEW exactly: delete the
+    # 'delete' keys, upsert the 'insert'/'update' keys from NEW
+    from testlog_etl_spark.operators.diff import snapshot_diff
+
+    old = _snap(spark, [(1, "A", 1.0), (2, "B", 2.0), (3, "C", 3.0), (4, "D", 4.0)])
+    new = _snap(spark, [(2, "B", 2.0), (3, "X", 3.0), (4, "D", 9.0), (5, "E", 5.0)])
+    d = snapshot_diff(old, new, ["k"])
+    from pyspark.sql import functions as F
+
+    touched = d.select("k")
+    rebuilt = (
+        old.join(touched, "k", "left_anti")          # untouched rows survive
+        .unionByName(                                 # upsert from NEW
+            new.join(d.filter(F.col("op") != "delete").select("k"), "k", "left_semi")
+        )
+    )
+    assert {tuple(r) for r in rebuilt.collect()} == {tuple(r) for r in new.collect()}
