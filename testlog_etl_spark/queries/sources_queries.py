@@ -217,3 +217,46 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), R).alias("sum_value"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    doc="S7 sibling, third columnar format: ORC block sink then source "
+    "(Spark-native writer/reader, zlib). Written partitioned by "
+    "event_type so the read-back filter becomes PARTITION PRUNING, not "
+    "a scan filter; the aggregate over the round-trip equals the "
+    "direct aggregate. Timestamps survive ORC's own epoch encoding "
+    "(a storage-flavor check parquet alone can't give).",
+    oracle=f"""
+SELECT event_type, count(*) AS n, ROUND(SUM(value), {R}) AS sum_value,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from testlog_etl_spark.streaming.jobs import SCRATCH
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    block_path = os.path.join(SCRATCH, "orc", f"events_block_{uuid.uuid4().hex}")
+    (
+        ev.select("event_id", "event_type", "value", "ts")
+        .write.partitionBy("event_type")
+        .option("compression", "zlib")
+        .orc(block_path)
+    )
+    back = spark.read.orc(block_path).filter(F.col("event_type").isin("purchase", "signup"))
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), R).alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )

@@ -559,3 +559,15 @@ def test_manifest_windows_share_shard_exchange(spark):
     plan = plan_of(_q("corpus_manifest_build")(spark, SF_SMALL))
     assert plan.count("hashpartitioning(shard") <= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_orc_roundtrip_read_is_partition_pruned(spark, tmp_path):
+    # the event_type filter on the partitioned ORC block must become a
+    # partition filter (directory pruning), not a data-scan filter
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id bigint, et string, v double"
+    )
+    path = str(tmp_path / "orcblk")
+    df.write.partitionBy("et").orc(path)
+    plan = plan_of(spark.read.orc(path).filter("et = 'a'"))
+    assert "PartitionFilters: [isnotnull(et" in plan or "et#" in plan.split("PartitionFilters")[1].split("]")[0]
