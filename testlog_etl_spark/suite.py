@@ -83,9 +83,17 @@ def register(
 #          row beats a third re-verification of a carried green;
 #   46-50  the late-r04 additions: CDC chunking, model-score filter,
 #          linear interpolation, exactly-oracled PageRank, streaming
-#          keyed upsert. Remaining late additions (changepoint, rolling
-#          anomaly, BM25, DQ suite, incremental MV) get first rows in
-#          the r05 rotation; all are green in the local differential.
+#          keyed upsert.
+# r05 rotation queue (first driver rows owed; all green in the local
+# full differential): changepoint, rolling anomaly, BM25, DQ suite,
+# incremental MV, plus the session-2 additions without slots --
+# ts_peak_concurrency, corpus_epoch_shuffle, embed_hard_negatives,
+# dedup_hamming_prefix, events_cep_pattern, topk_per_group_agg,
+# agg_countmin_sketch, ts_ohlc_bars, stream_session_window,
+# stream_hourly_distinct, corpus_manifest_build, agg_mad_robust,
+# dedup_entity_resolution, source_orc_roundtrip, and the five
+# displaced-this-round prior greens (ngram_jaccard, embedding_cosine,
+# group_resolve, jsonl_roundtrip, topk_int8).
 # Entries beyond 50 were hash-green in r01-r03 (and re-verified locally
 # via tools/verify_all.py each round) and are unchanged.
 DRIVER_WINDOW: tuple[str, ...] = (
