@@ -56,10 +56,12 @@ def snapshot_diff(
     o = old.select(
         *[F.col(k).alias(_OLD + k) for k in keys],
         *[F.col(c).alias(_OLD + c) for c in compare_cols],
+        F.lit(True).alias(_OLD + "present"),
     )
     n = new.select(
         *[F.col(k).alias(_NEW + k) for k in keys],
         *[F.col(c).alias(_NEW + c) for c in compare_cols],
+        F.lit(True).alias(_NEW + "present"),
     )
     cond = None
     for k in keys:
@@ -67,8 +69,13 @@ def snapshot_diff(
         cond = eq if cond is None else cond & eq
     j = o.join(n, cond, "full_outer")
 
-    in_old = F.col(_OLD + keys[0]).isNotNull()
-    in_new = F.col(_NEW + keys[0]).isNotNull()
+    # presence via explicit marker columns, NOT key nullness: a row whose
+    # key VALUE is null still carries its marker, so it classifies as a
+    # delete/insert on its own side instead of being mislabeled. (Null
+    # keys never equi-join -- SQL semantics -- so a null-keyed row can
+    # pair with nothing; each side's null-keyed rows surface separately.)
+    in_old = F.col(_OLD + "present").isNotNull()
+    in_new = F.col(_NEW + "present").isNotNull()
     # per-column differ flags; collected once, reused for op + changed_cols
     differs = {c: ~F.col(_OLD + c).eqNullSafe(F.col(_NEW + c)) for c in compare_cols}
     any_diff = None

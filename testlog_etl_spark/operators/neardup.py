@@ -299,6 +299,14 @@ def hamming_join(
     `hamming()`.
     """
     n_chunks = int(max_dist) + 1
+    if int(length) < n_chunks:
+        # with fewer characters than chunks, some chunk is the empty
+        # string for EVERY key -- one block holding the whole table,
+        # i.e. a silent O(n^2) cross product. Refuse loudly.
+        raise ValueError(
+            f"length ({length}) must be >= max_dist + 1 ({n_chunks}): "
+            "pigeonhole blocking needs a non-empty chunk per allowed edit"
+        )
     base = math.ceil(length / n_chunks)
     bounds = []
     start = 1

@@ -289,9 +289,11 @@ def sweep_concurrency(
     if method == "window":
         w = Window.partitionBy("_k").orderBy("_bt", "_d")
         conc = plus.unionByName(minus).withColumn("_conc", F.sum("_d").over(w).cast("long"))
-        peaks = conc.groupBy("_k").agg(F.max("_conc").alias("peak"))
+        peaks = conc.groupBy("_k").agg(F.max("_conc").alias("peak")).select(
+            F.col("_k").alias("_pk"), "peak"
+        )
         return (
-            conc.join(F.broadcast(peaks), "_k")
+            conc.join(F.broadcast(peaks), F.col("_k").eqNullSafe(F.col("_pk")))
             .filter(F.col("_conc") == F.col("peak"))
             .groupBy(F.col("_k").alias(key_col), "peak")
             .agg(F.min("_bt").alias("first_peak_ts"))
@@ -307,21 +309,47 @@ def sweep_concurrency(
     totals = ranged.groupBy("_pid", "_k").agg(F.sum("_d").alias("_t")).collect()
     acc: dict[object, int] = {}
     offsets = []
-    for row in sorted(totals, key=lambda r: (r["_k"], r["_pid"])):
+    # null keys are a group of their own (sorted first via the presence
+    # flag -- None is not comparable to str/int)
+    for row in sorted(totals, key=lambda r: (r["_k"] is not None, r["_k"] if r["_k"] is not None else 0, r["_pid"])):
         offsets.append((row["_pid"], row["_k"], acc.get(row["_k"], 0)))
         acc[row["_k"]] = acc.get(row["_k"], 0) + (row["_t"] or 0)
     spark = df.sparkSession
-    off = spark.createDataFrame(offsets, ["_pid", "_k", "_off"])
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    off_schema = StructType(
+        [
+            StructField("_pid", ranged.schema["_pid"].dataType),
+            StructField("_k", ranged.schema["_k"].dataType),
+            StructField("_off", LongType()),
+        ]
+    )
+    # explicit schema: survives empty input and all-null keys, where
+    # inference would fail
+    off = spark.createDataFrame(offsets, off_schema)
     w = Window.partitionBy("_pid", "_k").orderBy("_bt", "_d")
+    join_cond = (F.col("_lc._pid") == F.col("_rc._pid")) & F.col("_lc._k").eqNullSafe(
+        F.col("_rc._k")
+    )
     conc = (
         ranged.withColumn("_local", F.sum("_d").over(w))
-        .join(F.broadcast(off), ["_pid", "_k"])
+        .alias("_lc")
+        .join(F.broadcast(off.alias("_rc")), join_cond)
+        .select("_lc.*", F.col("_rc._off").alias("_off"))
         .withColumn("_conc", (F.col("_local") + F.col("_off")).cast("long"))
     )
-    peaks = conc.groupBy("_k").agg(F.max("_conc").alias("peak"))
-    return (
-        conc.join(F.broadcast(peaks), "_k")
+    peaks = conc.groupBy("_k").agg(F.max("_conc").alias("peak")).select(
+        F.col("_k").alias("_pk"), "peak"
+    )
+    out = (
+        conc.join(F.broadcast(peaks), F.col("_k").eqNullSafe(F.col("_pk")))
         .filter(F.col("_conc") == F.col("peak"))
         .groupBy(F.col("_k").alias(key_col), "peak")
         .agg(F.min("_bt").alias("first_peak_ts"))
     )
+    # materialize the (tiny: one row per key) result so the boundary
+    # cache can be released now instead of leaking for the session
+    out = out.persist()
+    out.count()
+    ranged.unpersist()
+    return out

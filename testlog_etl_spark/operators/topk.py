@@ -41,8 +41,9 @@ def grouped_topk(
     descending: bool = True,
 ) -> DataFrame:
     """Top ``k`` rows per group by ``order_col`` (ties broken by
-    ``id_col`` ascending). Returns group cols + ``rank`` (1-based) +
-    ``id_col`` + ``order_col``."""
+    ``id_col`` ascending; null order values sort LAST in either
+    direction, matching the window form's desc-nulls-last). Null group
+    keys form their own group, as in Spark's groupBy."""
     import pandas as pd  # noqa: F401 -- executors need it; fail fast on driver
 
     cols = [*group_cols, id_col, order_col]
@@ -56,14 +57,25 @@ def grouped_topk(
             if len(pdf) == 0:
                 continue
             yield (
-                pdf.sort_values([order_col, id_col], ascending=[asc, True])
-                .groupby(list(group_cols), sort=False)
+                # na_position='last' is the pandas default, mirrored
+                # explicitly: the merge stage also sorts nulls last
+                pdf.sort_values([order_col, id_col], ascending=[asc, True], na_position="last")
+                # dropna=False: a null group key is a group (Spark
+                # groupBy semantics), not a row to discard
+                .groupby(list(group_cols), sort=False, dropna=False)
                 .head(kk)
             )
 
     pruned = slim.mapInPandas(prune, schema)
     sort_key = (-F.col(order_col)).alias("_neg") if descending else F.col(order_col).alias("_neg")
-    item = F.struct(sort_key, F.col(id_col).alias("_id"), F.col(order_col).alias("_v"))
+    # leading null flag: NULL order values must lose to every real value
+    # (sort_array would otherwise place null-first-field structs FIRST)
+    item = F.struct(
+        F.col(order_col).isNull().cast("int").alias("_isnull"),
+        sort_key,
+        F.col(id_col).alias("_id"),
+        F.col(order_col).alias("_v"),
+    )
     topk = F.slice(F.sort_array(F.collect_list(item)), 1, kk)
     return (
         pruned.groupBy(*group_cols)

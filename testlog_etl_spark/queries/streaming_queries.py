@@ -462,22 +462,12 @@ FROM g ORDER BY user_id, session_start
 """,
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import time as _time
     import uuid
 
     from testlog_etl_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    root = os.path.join(jobs.SCRATCH, "sess_win")
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            p = os.path.join(root, d)
-            if os.path.getmtime(p) < _time.time() - 600:
-                shutil.rmtree(p, ignore_errors=True)
-    in_dir = os.path.join(root, uuid.uuid4().hex)
-    ev.coalesce(1).write.mode("append").parquet(in_dir)
+    in_dir = jobs.stage_stream_input(ev, "sess_win")
 
     schema = spark.read.parquet(in_dir).schema
     stream = spark.readStream.schema(schema).parquet(in_dir)
@@ -498,13 +488,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         # sentinel 30 days past the horizon closes every real session
         # (gap 1 day + watermark 1 h); user -1 is filtered from results
-        sent = (
-            ev.orderBy(F.col("ts").desc())
-            .limit(1)
-            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
-            .withColumn("user_id", F.lit(-1).cast(dict(ev.dtypes)["user_id"]))
-        )
-        sent.coalesce(1).write.mode("append").parquet(in_dir)
+        jobs.far_future_sentinel(ev).coalesce(1).write.mode("append").parquet(in_dir)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -534,21 +518,12 @@ ORDER BY hour
 """,
 )
 def stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import time as _time
     import uuid
 
     from testlog_etl_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    root = os.path.join(jobs.SCRATCH, "hr_distinct")
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            p = os.path.join(root, d)
-            if os.path.getmtime(p) < _time.time() - 600:
-                shutil.rmtree(p, ignore_errors=True)
-    in_dir = os.path.join(root, uuid.uuid4().hex)
-    ev.coalesce(1).write.mode("append").parquet(in_dir)
+    in_dir = jobs.stage_stream_input(ev, "hr_distinct")
 
     schema = spark.read.parquet(in_dir).schema
     stream = spark.readStream.schema(schema).parquet(in_dir)
@@ -562,13 +537,7 @@ def stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = level2.writeStream.outputMode("append").format("memory").queryName(qname).start()
     try:
         q.processAllAvailable()
-        sent = (
-            ev.orderBy(F.col("ts").desc())
-            .limit(1)
-            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
-            .withColumn("user_id", F.lit(-1).cast(dict(ev.dtypes)["user_id"]))
-        )
-        sent.coalesce(1).write.mode("append").parquet(in_dir)
+        jobs.far_future_sentinel(ev).coalesce(1).write.mode("append").parquet(in_dir)
         q.processAllAvailable()
     finally:
         q.stop()

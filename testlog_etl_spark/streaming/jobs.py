@@ -269,3 +269,40 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
         )
     )
+
+
+def stage_stream_input(df: DataFrame, subdir: str, ttl_sec: int = 600) -> str:
+    """Write ``df`` as the first micro-batch file of a fresh
+    per-invocation stream-input directory under SCRATCH/``subdir``,
+    pruning stale sibling runs (per-invocation uuid dirs: concurrent
+    harness runs never race each other; the ttl sweep keeps the scratch
+    area bounded). The shared front half of every drive-a-file-stream
+    query in streaming_queries.py."""
+    import shutil
+    import time
+    import uuid
+
+    root = os.path.join(SCRATCH, subdir)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if os.path.getmtime(p) < time.time() - ttl_sec:
+                shutil.rmtree(p, ignore_errors=True)
+    in_dir = os.path.join(root, uuid.uuid4().hex)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+    return in_dir
+
+
+def far_future_sentinel(df: DataFrame, days: int = 30, user_id: int = -1) -> DataFrame:
+    """One-row end-of-input analog: the latest event bumped ``days``
+    into the future under a reserved user id. Appending it as a final
+    micro-batch advances the watermark past every real window/horizon so
+    pending append-mode state flushes; results filter the reserved id.
+    Built from the input row so the file matches the stream's schema
+    byte-for-byte whatever this round's storage flavor is."""
+    return (
+        df.orderBy(F.col("ts").desc())
+        .limit(1)
+        .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {int(days)} DAYS"))
+        .withColumn("user_id", F.lit(int(user_id)).cast(dict(df.dtypes)["user_id"]))
+    )

@@ -177,3 +177,46 @@ def test_snapshot_diff_roundtrip_reconstructs_new(spark):
         )
     )
     assert {tuple(r) for r in rebuilt.collect()} == {tuple(r) for r in new.collect()}
+
+
+def test_sweep_scan_handles_empty_and_null_keys(spark):
+    from datetime import datetime as dt
+
+    from testlog_etl_spark.operators.timeseries import sweep_concurrency
+
+    empty = _iv(spark, [])
+    assert sweep_concurrency(empty, "k", "start", "end").count() == 0
+
+    rows = [
+        (None, dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 0, 10)),
+        (None, dt(2024, 1, 1, 0, 5), dt(2024, 1, 1, 0, 15)),
+        ("a", dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 0, 1)),
+    ]
+    got = {r["k"]: r["peak"] for r in
+           sweep_concurrency(_iv(spark, rows), "k", "start", "end").collect()}
+    assert got == {None: 2, "a": 1}
+
+
+def test_snapshot_diff_null_key_rows_classify_by_side(spark):
+    from testlog_etl_spark.operators.diff import snapshot_diff
+
+    old = _snap(spark, [(None, "A", 1.0), (1, "B", 2.0)])
+    new = _snap(spark, [(1, "B", 2.0)])
+    got = [(r["k"], r["op"]) for r in snapshot_diff(old, new, ["k"]).collect()]
+    # the null-keyed old row is a DELETE (it exists only on the old
+    # side), not a phantom insert
+    assert got == [(None, "delete")]
+
+
+def test_sweep_window_method_keeps_null_keys(spark):
+    from datetime import datetime as dt
+
+    from testlog_etl_spark.operators.timeseries import sweep_concurrency
+
+    rows = [
+        (None, dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 0, 10)),
+        (None, dt(2024, 1, 1, 0, 5), dt(2024, 1, 1, 0, 15)),
+    ]
+    got = {r["k"]: r["peak"] for r in
+           sweep_concurrency(_iv(spark, rows), "k", "start", "end", method="window").collect()}
+    assert got == {None: 2}

@@ -878,3 +878,28 @@ def test_grouped_topk_matches_window_form(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).filter("rn <= 4").collect()
     }
     assert got == want
+
+
+def test_grouped_topk_null_group_and_null_values(spark):
+    from testlog_etl_spark.operators.topk import grouped_topk
+
+    rows = [
+        (None, 1, 9.0), (None, 2, 8.0), (None, 3, 7.0),
+        ("a", 4, None), ("a", 5, 5.0), ("a", 6, 6.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, i bigint, v double")
+    got = {(r["g"], r["rank"]): r["i"] for r in grouped_topk(df, ["g"], "v", "i", k=2).collect()}
+    # null group key is a group, not dropped
+    assert got[(None, 1)] == 1 and got[(None, 2)] == 2
+    # null metric loses to every real value (desc nulls-last)
+    assert got[("a", 1)] == 6 and got[("a", 2)] == 5
+
+
+def test_hamming_join_rejects_degenerate_length(spark):
+    import pytest
+
+    from testlog_etl_spark.operators.neardup import hamming_join
+
+    df = spark.createDataFrame([(0, "abcd")], "id bigint, key string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_join(df, "id", "key", length=4, max_dist=4)
