@@ -82,3 +82,70 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_windows"), F.round(F.sum("lo"), 2).alias("sum_window_lo"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_scd2_dimension",
+    doc="slowly-changing-dimension (SCD Type 2) temporal join: each "
+    "event picks the dimension VERSION valid at its event time "
+    "(equi-join on the business key + validity-range conjunct -- "
+    "Catalyst extracts the equi part, so this is a hash join with the "
+    "range as a post-join filter; versions-per-key is small by SCD "
+    "construction, so no pair explosion). The versioned dim is derived "
+    "deterministically: every user upgrades from bronze at a "
+    "per-user-offset promotion date.",
+    oracle=f"""
+WITH dim AS (
+  SELECT user_id,
+         'bronze' AS tier,
+         TIMESTAMP '2023-12-01 00:00:00' AS valid_from,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 DAY * (user_id % 20) AS valid_to
+  FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'gold' ELSE 'silver' END,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 DAY * (user_id % 20),
+         TIMESTAMP '2100-01-01 00:00:00'
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT tier, count(*) AS n, ROUND(SUM(value), {R}) AS sum_value
+FROM events e
+JOIN dim d ON e.user_id = d.user_id
+          AND e.ts >= d.valid_from AND e.ts < d.valid_to
+GROUP BY tier
+ORDER BY tier
+""",
+)
+def join_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    users = ev.select("user_id").distinct()
+    promo = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + (
+        F.col("user_id") % 20
+    ) * F.expr("INTERVAL 1 DAY")
+    dim = users.select(
+        "user_id",
+        F.lit("bronze").alias("tier"),
+        F.to_timestamp(F.lit("2023-12-01 00:00:00")).alias("valid_from"),
+        promo.alias("valid_to"),
+    ).unionByName(
+        users.select(
+            "user_id",
+            F.when(F.col("user_id") % 2 == 0, "gold").otherwise("silver").alias("tier"),
+            promo.alias("valid_from"),
+            F.to_timestamp(F.lit("2100-01-01 00:00:00")).alias("valid_to"),
+        )
+    )
+    d = dim.select(
+        F.col("user_id").alias("d_user"), "tier", "valid_from", "valid_to"
+    )
+    return (
+        ev.join(
+            d,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("ts") < F.col("valid_to")),
+        )
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), R).alias("sum_value"))
+        .orderBy("tier")
+    )

@@ -548,3 +548,42 @@ def stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surface it
     horizon = ev.agg(F.max("ts")).collect()[0][0]
     return out.filter(F.col("hour") <= horizon).orderBy("hour")
+
+
+@register(
+    "stream_mv_maintenance",
+    doc="streaming aggregate-MV maintenance (foreachBatch + operators/"
+    "incremental.py): each micro-batch reduces to per-type PARTIALS "
+    "merged into the MV table -- monoid merges make the result "
+    "independent of the batch split (input staged as 3 batches here), "
+    "and state lives in the sink table, not executor memory. Final MV "
+    "== the one-shot batch aggregate, which is the oracle.",
+    oracle="""
+SELECT event_type, count(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(jobs.SCRATCH, "mv_maint")
+    in_dir = os.path.join(root, uuid.uuid4().hex)
+    out_dir = os.path.join(root, uuid.uuid4().hex + "_mv")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # stage as 3 micro-batches on a value-independent split: the MV
+    # result must not depend on the split (monoid merge), and the
+    # driver query exercises exactly that
+    for k in range(3):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode("append").parquet(in_dir)
+    jobs.foreach_batch_mv(spark, in_dir, out_dir, f"stream_mv_{uuid.uuid4().hex[:8]}")
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        "event_type", "n", F.round("sum_value", 4).alias("sum_value"), "first_ts", "last_ts"
+    ).orderBy("event_type")

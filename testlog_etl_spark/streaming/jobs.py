@@ -306,3 +306,58 @@ def far_future_sentinel(df: DataFrame, days: int = 30, user_id: int = -1) -> Dat
         .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {int(days)} DAYS"))
         .withColumn("user_id", F.lit(int(user_id)).cast(dict(df.dtypes)["user_id"]))
     )
+
+
+def foreach_batch_mv(
+    spark: SparkSession,
+    in_dir: str,
+    out_path: str,
+    query_name: str,
+) -> None:
+    """Streaming aggregate-MV maintenance: every micro-batch is reduced
+    to PARTIALS (per-type count/sum/min/max) and merged into the MV via
+    operators/incremental.py::merge_mv -- the base stream is never
+    rescanned, the MV table is the only state, and because the merge
+    functions are commutative monoids the final MV is independent of
+    how the input was split into batches (exactly the property the
+    multi-batch driver query asserts against the one-shot batch
+    aggregate). The unbounded-state alternative (complete-mode memory
+    sink) holds every group in executor memory; the MV-merge form keeps
+    state in the (transactional at scale: Delta/Iceberg commit; dir
+    swap here) sink table instead."""
+    import shutil
+
+    from testlog_etl_spark.operators.incremental import aggregate_partials, merge_mv
+
+    measures_build = {
+        "n": ("count", F.lit(1)),
+        "sum_value": ("sum", F.col("value")),
+        "first_ts": ("min", F.col("ts")),
+        "last_ts": ("max", F.col("ts")),
+    }
+    measures_merge = {"n": "count", "sum_value": "sum", "first_ts": "min", "last_ts": "max"}
+
+    raw_schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = aggregate_partials(batch_df, ["event_type"], measures_build)
+        if os.path.isdir(out_path):
+            current = spark.read.parquet(out_path)
+            delta = merge_mv(current, delta, ["event_type"], measures_merge)
+        tmp = out_path + ".tmp"
+        delta.write.mode("overwrite").parquet(tmp)
+        old = out_path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(out_path):
+            os.rename(out_path, old)
+        os.rename(tmp, out_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    ckpt = os.path.join(SCRATCH, "ckpt", query_name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = stream.writeStream.foreachBatch(sink).option("checkpointLocation", ckpt).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
