@@ -199,3 +199,41 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .drop("_skey")
     )
+
+
+def weighted_exact_k(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "0",
+    snap_bits: int = 20,
+) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement per group
+    (Efraimidis-Spirakis A-ExpJ, restated deterministically): each row
+    draws key = ln(u) / weight with u from the md5 hash of its id, and
+    the k rows with the LARGEST keys win -- inclusion probability
+    proportional to weight, sticky per id, no RNG state.
+
+    Cross-engine exactness uses the kmeans/IVF playbook: u is a
+    half-open bucket midpoint ((bucket + 0.5) / 2^20, never 0 or 1) and
+    the key is snapped to the 2^-20 binary grid, absorbing libm ln ulp
+    differences; ties after snapping break by id. Non-positive weights
+    are excluded (they have no sampling mass).
+
+    Scale: ranking is delegated to operators/topk.py::grouped_topk --
+    Arrow-local prune then k-bounded merge, so no group ever sorts in
+    one task and the exchange is k-bounded. The classic reservoir
+    formulation is sequential; this is its shuffle-disciplined batch
+    equivalent.
+    """
+    from testlog_etl_spark.operators.topk import grouped_topk
+
+    g = float(1 << snap_bits)
+    b = hash_bucket(F.col(id_col), 1 << snap_bits, seed=seed)
+    u = (b.cast("double") + F.lit(0.5)) / F.lit(g)
+    raw = F.ln(u) / F.col(weight_col).cast("double")
+    key = F.floor(raw * g + F.lit(0.5)) / F.lit(g)
+    keyed = df.filter(F.col(weight_col) > 0).withColumn("_skey", key)
+    return grouped_topk(keyed, [group_col], "_skey", id_col, k=k, descending=True)

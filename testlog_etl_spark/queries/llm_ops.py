@@ -2320,3 +2320,33 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("group_id").alias("entity_id"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_weighted_exact_k",
+    doc="exact-k weighted sampling without replacement per source "
+    "(A-ExpJ restated: key = snapped ln(u)/weight from the id's md5, "
+    "top-k by key -- operators/sampling.py::weighted_exact_k). "
+    "Inclusion odds scale with doc length (n_chars); sticky per id, "
+    "no RNG; ranking rides the k-bounded grouped_topk merge.",
+    oracle="""
+SELECT source, rank, doc_id
+FROM (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS INT) AS rank
+  FROM (
+    SELECT source, doc_id,
+           floor((ln((try_cast(('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15)) AS BIGINT) % 1048576 + 0.5) / 1048576.0)
+                  / n_chars) * 1048576 + 0.5) / 1048576 AS skey
+    FROM documents
+    WHERE n_chars > 0
+  )
+)
+WHERE rank <= 5
+ORDER BY source, rank
+""",
+)
+def sample_weighted_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = sampling.weighted_exact_k(docs, "source", "doc_id", "n_chars", k=5)
+    return out.select("source", "rank", "doc_id").orderBy("source", "rank")

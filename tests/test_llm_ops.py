@@ -903,3 +903,22 @@ def test_hamming_join_rejects_degenerate_length(spark):
     df = spark.createDataFrame([(0, "abcd")], "id bigint, key string")
     with pytest.raises(ValueError, match="pigeonhole"):
         hamming_join(df, "id", "key", length=4, max_dist=4)
+
+
+def test_weighted_exact_k_prefers_heavy_and_is_sticky(spark):
+    from testlog_etl_spark.operators.sampling import weighted_exact_k
+
+    rows = [("g", i, 1.0 if i < 19 else 10000.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, id bigint, w double")
+    wins = 0
+    for seed in ("a", "b", "c", "d", "e"):
+        got = weighted_exact_k(df, "g", "id", "w", k=1, seed=seed).collect()
+        assert len(got) == 1
+        wins += got[0]["id"] == 19
+        again = weighted_exact_k(df, "g", "id", "w", k=1, seed=seed).collect()
+        assert got[0]["id"] == again[0]["id"]  # sticky per seed
+    # weight 10000 vs 19 unit weights: heavy item should nearly always win
+    assert wins >= 4
+    # zero/negative weights are excluded entirely
+    z = spark.createDataFrame([("g", 1, 0.0), ("g", 2, -3.0)], "g string, id bigint, w double")
+    assert weighted_exact_k(z, "g", "id", "w", k=2).count() == 0
