@@ -705,3 +705,128 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "graph_market_basket",
+    doc="market-basket association mining over the user x event-type "
+    "bipartite graph: support, confidence, and lift for every ordered "
+    "type pair co-occurring in a user's history. Distinct (user, type) "
+    "first (one dedup shuffle carrying two small columns), pairs via "
+    "self-join on user (bounded: types-per-user <= 5 here; in general "
+    "cap the basket with a max-basket filter, the postings max_df "
+    "move), then one rollup + broadcast of the tiny per-type counts.",
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM events),
+tc AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS n_ab
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY ante, cons
+)
+SELECT ante, cons, n_ab,
+       ROUND(n_ab / n_users, 4) AS support,
+       ROUND(n_ab / ta.n_t, 4) AS confidence,
+       ROUND((n_ab / n_users) / ((ta.n_t / n_users) * (tb.n_t / n_users)), 4) AS lift
+FROM pairs
+JOIN tc ta ON ta.event_type = ante
+JOIN tc tb ON tb.event_type = cons
+CROSS JOIN n
+ORDER BY ante, cons
+""",
+)
+def graph_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.count_distinct("user_id").cast("double").alias("n_users"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("ante"))
+    b = ut.select("user_id", F.col("event_type").alias("cons"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = tc.select(F.col("event_type").alias("ante"), F.col("n_t").alias("n_a"))
+    tb = tc.select(F.col("event_type").alias("cons"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "ante")
+        .join(F.broadcast(tb), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_users"), R).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), R).alias("confidence"),
+            F.round(
+                (F.col("n_ab") / F.col("n_users"))
+                / ((F.col("n_a") / F.col("n_users")) * (F.col("n_b") / F.col("n_users"))),
+                R,
+            ).alias("lift"),
+        )
+        .orderBy("ante", "cons")
+    )
+
+
+@register(
+    "graph_triangles",
+    doc="triangle count per node on the undirected event-transition "
+    "graph: canonical a<b<c ordered two-path + closing-edge semi "
+    "check, so each triangle is generated exactly once and the join "
+    "never enumerates a pair twice -- the standard distributed "
+    "formulation (node-order degeneracy would cap fan-out on skewed "
+    "graphs; the transition graph is tiny, the SHAPE is what scales).",
+    oracle="""
+WITH raw AS (
+  SELECT prev_type AS a, event_type AS b FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  ) WHERE prev_type IS NOT NULL AND prev_type <> event_type
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+GROUP BY node
+ORDER BY node
+""",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    raw = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type")))
+        .select(
+            F.least("prev_type", "event_type").alias("u"),
+            F.greatest("prev_type", "event_type").alias("v"),
+        )
+        .distinct()
+    )
+    e1 = raw.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = raw.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = raw.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")), "left_semi")
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")).orderBy("node")
