@@ -587,3 +587,60 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", F.round("sum_value", 4).alias("sum_value"), "first_ts", "last_ts"
     ).orderBy("event_type")
+
+
+@register(
+    "stream_rate_limit",
+    doc="second custom stateful operator (operators/ratelimit.py, "
+    "applyInPandasWithState): per-user hourly quota of 3 with admit "
+    "counts carried across micro-batches in keyed state. Input staged "
+    "as 3 CHRONOLOGICAL batches (streams arrive in rough time order; "
+    "a quota admitted out of order would be a different contract), so "
+    "the admitted set equals the batch row_number()-per-(user,hour) "
+    "answer.",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_admitted,
+       ROUND(SUM(value), 4) AS sum_admitted
+FROM (
+  SELECT e.*, ROW_NUMBER() OVER (
+           PARTITION BY user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+           ORDER BY ts, event_id) AS rn
+  FROM events e
+)
+WHERE rn <= 3
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from testlog_etl_spark.operators.ratelimit import rate_limit_stateful
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(jobs.SCRATCH, "rate_limit")
+    in_dir = os.path.join(root, uuid.uuid4().hex)
+    # three chronological micro-batches (tercile cut points span the
+    # events month at every SF; fixture guard pins the window)
+    t1, t2 = "2024-01-11 00:00:00", "2024-01-21 00:00:00"
+    for lo, hi in ((None, t1), (t1, t2), (t2, None)):
+        part = ev
+        if lo:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        part.coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    limited = rate_limit_stateful(stream, quota=3, window_sec=3600)
+    out = jobs.run_to_completion(limited, f"rate_limit_{uuid.uuid4().hex[:8]}", output_mode="append")
+    # admitted events joined back for their type: the limiter's output
+    # carries ids, the enrichment is a batch join on the static table
+    typed = out.join(ev.select("event_id", "event_type"), "event_id")
+    return (
+        typed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_admitted"), F.round(F.sum("value"), 4).alias("sum_admitted"))
+        .orderBy("event_type")
+    )

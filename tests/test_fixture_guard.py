@@ -33,6 +33,10 @@ WINDOWS = [
      "o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'", 50),
     ("q20 ship year", "lineitem",
      "l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'", 1000),
+    ("rate-limit tercile 1", "events", "ts < TIMESTAMP '2024-01-11'", 100),
+    ("rate-limit tercile 2", "events",
+     "ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'", 100),
+    ("rate-limit tercile 3", "events", "ts >= TIMESTAMP '2024-01-21'", 100),
     ("events week window", "events",
      "ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'", 100),
     ("events jx cutoff", "events", "ts < TIMESTAMP '2024-01-25'", 100),
