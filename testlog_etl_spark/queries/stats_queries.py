@@ -1,0 +1,181 @@
+"""Statistical-testing queries: the experiment-analysis surface a data
+platform grows next to its ETL (A/B readouts, drift tests, independence
+checks). All three are compositions of exact aggregates -- no sampling,
+no iteration -- so each has an exact DuckDB twin.
+
+Determinism notes follow the suite conventions: integer counts
+everywhere possible, doubles rounded at presentation, and the KS
+statistic is computed over per-VALUE counts (group-by value first) so
+window cumsums never order ties arbitrarily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from testlog_etl_spark.suite import register
+from testlog_etl_spark.tables import load_tables
+
+R = 4
+
+
+@register(
+    "stats_chi_square",
+    doc="chi-square independence test, lang x source on documents: "
+    "observed cell counts vs independence expectation "
+    "(row_tot x col_tot / n). One count rollup + two tiny broadcast "
+    "margins; the statistic is a sum over |langs| x |sources| cells.",
+    oracle=f"""
+WITH o AS (SELECT lang, source, count(*)::DOUBLE AS obs FROM documents GROUP BY lang, source),
+r AS (SELECT lang, SUM(obs) AS row_tot FROM o GROUP BY lang),
+c AS (SELECT source, SUM(obs) AS col_tot FROM o GROUP BY source),
+n AS (SELECT SUM(obs) AS n FROM o)
+SELECT ROUND(SUM(pow(obs - row_tot * col_tot / n, 2) / (row_tot * col_tot / n)), {R}) AS chi2,
+       CAST((SELECT count(*) FROM r) - 1 AS BIGINT) * CAST((SELECT count(*) FROM c) - 1 AS BIGINT) AS dof
+FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+""",
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    r = o.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    n = o.agg(F.sum("obs").alias("n"))
+    n_rows = r.agg(F.count(F.lit(1)).alias("nr"))
+    n_cols = c.agg(F.count(F.lit(1)).alias("nc"))
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(F.round(F.sum(F.pow(F.col("obs") - e, 2) / e), R).alias("chi2"))
+        .crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(n_cols))
+        .select("chi2", ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"))
+    )
+
+
+@register(
+    "stats_ks_by_day",
+    doc="two-sample Kolmogorov-Smirnov statistic per day: sup |ECDF_view "
+    "- ECDF_click| over the value distributions. Values are rolled up "
+    "per (day, value) FIRST -- cumsums then run over distinct values, "
+    "so tie order can never move the supremum -- and the window "
+    "partitions by day (parallel across partitions; never a global "
+    "single-partition sort).",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "value" AS val,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pv AS (
+  SELECT day, val, SUM(is_a)::BIGINT AS ca, SUM(1 - is_a)::BIGINT AS cb
+  FROM v GROUP BY day, val
+),
+tot AS (SELECT day, SUM(ca)::DOUBLE AS na, SUM(cb)::DOUBLE AS nb FROM pv GROUP BY day),
+cum AS (
+  SELECT pv.day,
+         SUM(ca) OVER (PARTITION BY pv.day ORDER BY val ROWS UNBOUNDED PRECEDING) / na AS fa,
+         SUM(cb) OVER (PARTITION BY pv.day ORDER BY val ROWS UNBOUNDED PRECEDING) / nb AS fb
+  FROM pv JOIN tot ON tot.day = pv.day
+)
+SELECT day, ROUND(MAX(abs(fa - fb)), {R}) AS ks
+FROM cum GROUP BY day ORDER BY day
+""",
+)
+def stats_ks_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("value").alias("val"),
+        (F.col("event_type") == "view").cast("int").alias("is_a"),
+    )
+    pv = v.groupBy("day", "val").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    tot = pv.groupBy("day").agg(
+        F.sum("ca").cast("double").alias("na"), F.sum("cb").cast("double").alias("nb")
+    )
+    w = Window.partitionBy("day").orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        pv.join(F.broadcast(tot), "day")
+        .withColumn("fa", F.sum("ca").over(w) / F.col("na"))
+        .withColumn("fb", F.sum("cb").over(w) / F.col("nb"))
+    )
+    return (
+        cum.groupBy("day")
+        .agg(F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), R).alias("ks"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "stats_welch_ttest",
+    doc="A/B readout: users split into deterministic md5-hash variants, "
+    "Welch's t on event value per event_type (means/variances from one "
+    "co-grouped rollup -- no second scan; sample variance via the "
+    "n/(n-1) correction over population moments so both engines "
+    "compute the same closed form).",
+    oracle=f"""
+WITH t AS (
+  SELECT event_type,
+         try_cast(('0x' || substr(md5(user_id::VARCHAR || ':ab'), 1, 15)) AS BIGINT) % 2 AS variant,
+         "value" AS val
+  FROM events
+),
+s AS (
+  SELECT event_type, variant, count(*)::DOUBLE AS n, AVG(val) AS mean,
+         (SUM(val * val) / count(*) - AVG(val) * AVG(val)) * count(*) / (count(*) - 1) AS var
+  FROM t GROUP BY event_type, variant
+)
+SELECT a.event_type,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       ROUND(a.mean - b.mean, {R}) AS mean_diff,
+       ROUND((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), {R}) AS t_stat
+FROM (SELECT * FROM s WHERE variant = 0) a
+JOIN (SELECT * FROM s WHERE variant = 1) b USING (event_type)
+ORDER BY a.event_type
+""",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sampling import hash_bucket
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    t = ev.select(
+        "event_type",
+        hash_bucket(F.col("user_id"), 2, seed="ab").alias("variant"),
+        F.col("value").alias("val"),
+    )
+    s = t.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("val").alias("mean"),
+        (
+            (F.sum(F.col("val") * F.col("val")) / F.count(F.lit(1))
+             - F.avg("val") * F.avg("val"))
+            * F.count(F.lit(1))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("var"),
+    )
+    a = s.filter(F.col("variant") == 0).select(
+        "event_type", F.col("n").alias("na"), F.col("mean").alias("ma"), F.col("var").alias("va")
+    )
+    b = s.filter(F.col("variant") == 1).select(
+        "event_type", F.col("n").alias("nb"), F.col("mean").alias("mb"), F.col("var").alias("vb")
+    )
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.round(F.col("ma") - F.col("mb"), R).alias("mean_diff"),
+            F.round(
+                (F.col("ma") - F.col("mb"))
+                / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")),
+                R,
+            ).alias("t_stat"),
+        )
+        .orderBy("event_type")
+    )

@@ -232,6 +232,7 @@ def _load_all() -> None:
         "setops_queries",
         "subqueries",
         "asof_queries",
+        "stats_queries",
         "profile_queries",
         "index_queries",
     ):
