@@ -107,3 +107,17 @@ def snapshot_diff(
         )
         .filter(F.col("op") != "unchanged")
     )
+
+
+def apply_diff(old: DataFrame, diff: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Apply a ``snapshot_diff`` result to ``old``, reconstructing
+    ``new``: untouched rows pass through (anti-join on the diff's keys),
+    insert/update keys take their rows from ``new``. The CDC consumer
+    half of the diff contract -- `test_snapshot_diff_roundtrip*` pins
+    apply(old, diff(old, new)) == new exactly. Shuffle cost: two keyed
+    joins against the (typically small) diff frame, which broadcasts."""
+    touched = diff.select(*keys)
+    upserts = diff.filter(F.col("op") != "delete").select(*keys)
+    return old.join(F.broadcast(touched), list(keys), "left_anti").unionByName(
+        new.join(F.broadcast(upserts), list(keys), "left_semi")
+    )

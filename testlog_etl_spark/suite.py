@@ -233,6 +233,7 @@ def _load_all() -> None:
         "subqueries",
         "asof_queries",
         "stats_queries",
+        "features_queries",
         "profile_queries",
         "index_queries",
     ):

@@ -166,16 +166,10 @@ def test_snapshot_diff_roundtrip_reconstructs_new(spark):
 
     old = _snap(spark, [(1, "A", 1.0), (2, "B", 2.0), (3, "C", 3.0), (4, "D", 4.0)])
     new = _snap(spark, [(2, "B", 2.0), (3, "X", 3.0), (4, "D", 9.0), (5, "E", 5.0)])
-    d = snapshot_diff(old, new, ["k"])
-    from pyspark.sql import functions as F
+    from testlog_etl_spark.operators.diff import apply_diff
 
-    touched = d.select("k")
-    rebuilt = (
-        old.join(touched, "k", "left_anti")          # untouched rows survive
-        .unionByName(                                 # upsert from NEW
-            new.join(d.filter(F.col("op") != "delete").select("k"), "k", "left_semi")
-        )
-    )
+    d = snapshot_diff(old, new, ["k"])
+    rebuilt = apply_diff(old, d, new, ["k"])
     assert {tuple(r) for r in rebuilt.collect()} == {tuple(r) for r in new.collect()}
 
 

@@ -34,6 +34,7 @@ WINDOWS = [
     ("q20 ship year", "lineitem",
      "l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'", 1000),
     ("rate-limit tercile 1", "events", "ts < TIMESTAMP '2024-01-11'", 100),
+    ("temporal-split val side", "events", "ts >= TIMESTAMP '2024-01-24'", 100),
     ("rate-limit tercile 2", "events",
      "ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'", 100),
     ("rate-limit tercile 3", "events", "ts >= TIMESTAMP '2024-01-21'", 100),
