@@ -119,3 +119,52 @@ def countmin_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
     )
+
+
+def histogram_sketch(
+    df: DataFrame, group_col: str, value_col: str, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Equi-width histogram sketch per group: integral counts per fixed
+    bin, values clamped to [lo, hi). Like the count-min grid (and unlike
+    HLL register bytes) this is exact integer arithmetic over a
+    deterministic binning, so it is exactly reproducible cross-engine
+    AND mergeable by cell-wise addition -- per-day histogram rows roll
+    into months without rescanning, the quantile estimate below reads
+    the merged grid."""
+    w = (float(hi) - float(lo)) / int(bins)
+    b = F.least(
+        F.lit(int(bins) - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(w)).cast("int")),
+    )
+    return (
+        df.groupBy(F.col(group_col), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    sketch: DataFrame, group_col: str, q: float, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Quantile estimate from the histogram grid: find the bin where the
+    running count crosses q*n, interpolate linearly inside it. Pure
+    window arithmetic over <= ``bins`` rows per group -- deterministic,
+    engine-portable (integer cumsums; one double division at the end)."""
+    from pyspark.sql import Window
+
+    w = (float(hi) - float(lo)) / int(bins)
+    win = Window.partitionBy(group_col).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy(group_col)
+    c = (
+        sketch.withColumn("cum", F.sum("cnt").over(win))
+        .withColumn("n", F.sum("cnt").over(tot))
+        .withColumn("_target", F.lit(float(q)) * F.col("n"))
+    )
+    # first bin whose cumulative count reaches the target
+    hit = c.filter(F.col("cum") >= F.col("_target")).groupBy(group_col).agg(
+        F.min_by(
+            F.struct("bin", "cum", "cnt", "_target"), F.col("bin")
+        ).alias("_h")
+    )
+    frac = (F.col("_h._target") - (F.col("_h.cum") - F.col("_h.cnt"))) / F.col("_h.cnt")
+    est = F.lit(float(lo)) + (F.col("_h.bin").cast("double") + frac) * F.lit(w)
+    return hit.select(F.col(group_col), est.alias("q_est"))

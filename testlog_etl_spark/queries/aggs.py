@@ -561,3 +561,64 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_histogram_quantile",
+    doc="mergeable equi-width histogram sketch + in-grid quantile "
+    "estimate (operators/sketches.py): integral bin counts per "
+    "event_type (exact arithmetic, cell-wise mergeable -- the exact "
+    "sibling of the HLL rollup, like count-min), p50/p90 interpolated "
+    "inside the crossing bin. Estimate accuracy vs the exact "
+    "percentile is bounded by bin width; the oracle replays the "
+    "identical grid arithmetic, so the match is exact.",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         least(63, greatest(0, CAST(floor(("value" - 0.0) / (1000.0 / 64)) AS INT))) AS bin,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY event_type, bin
+),
+c AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM s
+),
+h AS (
+  SELECT event_type,
+         arg_min(bin, bin) FILTER (cum >= 0.5 * n) AS b50,
+         arg_min(cum, bin) FILTER (cum >= 0.5 * n) AS c50,
+         arg_min(cnt, bin) FILTER (cum >= 0.5 * n) AS k50,
+         arg_min(bin, bin) FILTER (cum >= 0.9 * n) AS b90,
+         arg_min(cum, bin) FILTER (cum >= 0.9 * n) AS c90,
+         arg_min(cnt, bin) FILTER (cum >= 0.9 * n) AS k90,
+         any_value(n) AS n
+  FROM c GROUP BY event_type
+)
+SELECT event_type,
+       ROUND(0.0 + (b50 + (0.5 * n - (c50 - k50)) / k50) * (1000.0 / 64), 4) AS p50_est,
+       ROUND(0.0 + (b90 + (0.9 * n - (c90 - k90)) / k90) * (1000.0 / 64), 4) AS p90_est
+FROM h ORDER BY event_type
+""",
+)
+def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sketches import histogram_quantile, histogram_sketch
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sk = histogram_sketch(ev, "event_type", "value", lo=0.0, hi=1000.0, bins=64)
+    p50 = histogram_quantile(sk, "event_type", 0.5, 0.0, 1000.0, 64).withColumnRenamed(
+        "q_est", "p50_raw"
+    )
+    p90 = histogram_quantile(sk, "event_type", 0.9, 0.0, 1000.0, 64).withColumnRenamed(
+        "q_est", "p90_raw"
+    )
+    return (
+        p50.join(p90, "event_type")
+        .select(
+            "event_type",
+            F.round("p50_raw", 4).alias("p50_est"),
+            F.round("p90_raw", 4).alias("p90_est"),
+        )
+        .orderBy("event_type")
+    )

@@ -922,3 +922,23 @@ def test_weighted_exact_k_prefers_heavy_and_is_sticky(spark):
     # zero/negative weights are excluded entirely
     z = spark.createDataFrame([("g", 1, 0.0), ("g", 2, -3.0)], "g string, id bigint, w double")
     assert weighted_exact_k(z, "g", "id", "w", k=2).count() == 0
+
+
+def test_histogram_sketch_merges_and_bounds_error(spark):
+    from testlog_etl_spark.operators.sketches import histogram_quantile, histogram_sketch
+
+    a = spark.range(0, 500).select(F.lit("g").alias("g"), (F.col("id") % 100).cast("double").alias("v"))
+    b = spark.range(0, 300).select(F.lit("g").alias("g"), (F.col("id") % 50).cast("double").alias("v"))
+    merged = (
+        histogram_sketch(a, "g", "v", 0.0, 100.0, 20)
+        .unionByName(histogram_sketch(b, "g", "v", 0.0, 100.0, 20))
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    union = histogram_sketch(a.unionByName(b), "g", "v", 0.0, 100.0, 20)
+    m = {(r["g"], r["bin"]): r["cnt"] for r in merged.collect()}
+    u = {(r["g"], r["bin"]): r["cnt"] for r in union.collect()}
+    assert m == u  # cell-wise merge == sketch of the union, exactly
+    [est] = histogram_quantile(union, "g", 0.5, 0.0, 100.0, 20).collect()
+    exact = a.unionByName(b).agg(F.median("v")).collect()[0][0]
+    assert abs(est["q_est"] - exact) <= 5.0  # one bin width
