@@ -43,9 +43,15 @@ def snapshot_diff(
     new: DataFrame,
     keys: Sequence[str],
     compare_cols: Sequence[str] | None = None,
+    include_payload: bool = False,
 ) -> DataFrame:
     """Diff two snapshots on ``keys``; compare ``compare_cols`` (default:
-    all shared non-key columns). Unchanged keys are dropped."""
+    all shared non-key columns). Unchanged keys are dropped.
+
+    With ``include_payload=True`` each insert/update row also carries the
+    NEW side's compared-column values (null on deletes) -- the complete
+    CDC record a consumer needs to apply the change WITHOUT access to
+    the new snapshot (see ``apply_diff``)."""
     if compare_cols is None:
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c not in set(keys)]
@@ -99,25 +105,39 @@ def snapshot_diff(
         )
     ) if compare_cols else F.array().cast("array<string>")
 
+    payload = (
+        [F.col(_NEW + c).alias(c) for c in compare_cols] if include_payload else []
+    )
     return (
         j.select(
             *[F.coalesce(F.col(_OLD + k), F.col(_NEW + k)).alias(k) for k in keys],
             op.alias("op"),
             changed.alias("changed_cols"),
+            *payload,
         )
         .filter(F.col("op") != "unchanged")
     )
 
 
-def apply_diff(old: DataFrame, diff: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """Apply a ``snapshot_diff`` result to ``old``, reconstructing
-    ``new``: untouched rows pass through (anti-join on the diff's keys),
-    insert/update keys take their rows from ``new``. The CDC consumer
-    half of the diff contract -- `test_snapshot_diff_roundtrip*` pins
-    apply(old, diff(old, new)) == new exactly. Shuffle cost: two keyed
-    joins against the (typically small) diff frame, which broadcasts."""
+def apply_diff(old: DataFrame, diff: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Apply a payload-carrying ``snapshot_diff`` result to ``old``,
+    reconstructing the new snapshot from (old, diff) ALONE -- the
+    position a real CDC consumer (replication target, downstream sink)
+    is in. Requires the diff to have been built with
+    ``include_payload=True`` and with ``compare_cols`` covering every
+    non-key column of ``old`` (otherwise uncompared columns cannot be
+    reconstructed and this raises). `test_snapshot_diff_roundtrip*`
+    pins apply(old, diff(old, new)) == new exactly. Shuffle cost: one
+    anti join against the (typically small, broadcast) diff keys plus
+    the diff's own rows."""
+    payload_cols = [c for c in old.columns if c not in set(keys)]
+    missing = [c for c in payload_cols if c not in diff.columns]
+    if missing:
+        raise ValueError(
+            f"diff lacks payload columns {missing}: build it with "
+            "include_payload=True and compare_cols covering every "
+            "non-key column"
+        )
     touched = diff.select(*keys)
-    upserts = diff.filter(F.col("op") != "delete").select(*keys)
-    return old.join(F.broadcast(touched), list(keys), "left_anti").unionByName(
-        new.join(F.broadcast(upserts), list(keys), "left_semi")
-    )
+    upserts = diff.filter(F.col("op") != "delete").select(*keys, *payload_cols)
+    return old.join(F.broadcast(touched), list(keys), "left_anti").unionByName(upserts)

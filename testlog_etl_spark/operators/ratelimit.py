@@ -62,10 +62,15 @@ def rate_limit_stateful(
             admitted = dict(zip(hours, counts))
         else:
             admitted = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # the runtime hands a group's batch as MULTIPLE Arrow chunks in
+        # arrival order; admission order must be event time across the
+        # whole batch, so concatenate before the single sort (chunk-local
+        # sorts would admit later-chunk rows out of order)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
             keep = []
-            for eid, ts, value in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+            for eid, ts, value in zip(batch["event_id"], batch["ts"], batch["value"]):
                 h = int(ts.value // 1_000_000_000) // wsec
                 c = admitted.get(h, 0)
                 if c < q:

@@ -234,6 +234,11 @@ def weighted_exact_k(
     b = hash_bucket(F.col(id_col), 1 << snap_bits, seed=seed)
     u = (b.cast("double") + F.lit(0.5)) / F.lit(g)
     raw = F.ln(u) / F.col(weight_col).cast("double")
-    key = F.floor(raw * g + F.lit(0.5)) / F.lit(g)
+    # floor in the DOUBLE domain (z - pmod(z, 1) == floor(z) exactly for
+    # |z| < 2^52, and z itself beyond -- where doubles are integral):
+    # F.floor returns LONG and would overflow for near-zero weights,
+    # deterministically excluding legitimate rows
+    z = raw * g + F.lit(0.5)
+    key = (z - F.pmod(z, F.lit(1.0))) / F.lit(g)
     keyed = df.filter(F.col(weight_col) > 0).withColumn("_skey", key)
     return grouped_topk(keyed, [group_col], "_skey", id_col, k=k, descending=True)

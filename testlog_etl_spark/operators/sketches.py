@@ -132,10 +132,13 @@ def histogram_sketch(
     into months without rescanning, the quantile estimate below reads
     the merged grid."""
     w = (float(hi) - float(lo)) / int(bins)
+    # clamp in LONG, cast to int only after: an extreme out-of-range
+    # value must land in the edge bin, not overflow the int cast (ANSI
+    # mode would fail the job; non-ANSI would wrap into a random bin)
     b = F.least(
-        F.lit(int(bins) - 1),
-        F.greatest(F.lit(0), F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(w)).cast("int")),
-    )
+        F.lit(int(bins) - 1).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(w))),
+    ).cast("int")
     return (
         df.groupBy(F.col(group_col), b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))

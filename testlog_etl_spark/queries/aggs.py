@@ -575,7 +575,7 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s AS (
   SELECT event_type,
-         least(63, greatest(0, CAST(floor(("value" - 0.0) / (1000.0 / 64)) AS INT))) AS bin,
+         CAST(least(63, greatest(0, floor(("value" - 0.0) / (1000.0 / 64)))) AS INT) AS bin,
          count(*)::BIGINT AS cnt
   FROM events GROUP BY event_type, bin
 ),

@@ -567,21 +567,18 @@ ORDER BY event_type
 """,
 )
 def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import uuid
 
     from testlog_etl_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    root = os.path.join(jobs.SCRATCH, "mv_maint")
-    in_dir = os.path.join(root, uuid.uuid4().hex)
-    out_dir = os.path.join(root, uuid.uuid4().hex + "_mv")
-    shutil.rmtree(out_dir, ignore_errors=True)
     # stage as 3 micro-batches on a value-independent split: the MV
     # result must not depend on the split (monoid merge), and the
     # driver query exercises exactly that
-    for k in range(3):
-        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode("append").parquet(in_dir)
+    in_dir = jobs.stage_stream_batches(
+        [ev.filter(F.col("event_id") % 3 == k) for k in range(3)], "mv_maint"
+    )
+    out_dir = in_dir + "_mv"
     jobs.foreach_batch_mv(spark, in_dir, out_dir, f"stream_mv_{uuid.uuid4().hex[:8]}")
     out = spark.read.parquet(out_dir)
     return out.select(
@@ -619,18 +616,18 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    root = os.path.join(jobs.SCRATCH, "rate_limit")
-    in_dir = os.path.join(root, uuid.uuid4().hex)
     # three chronological micro-batches (tercile cut points span the
     # events month at every SF; fixture guard pins the window)
     t1, t2 = "2024-01-11 00:00:00", "2024-01-21 00:00:00"
+    parts = []
     for lo, hi in ((None, t1), (t1, t2), (t2, None)):
         part = ev
         if lo:
             part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
         if hi:
             part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
-        part.coalesce(1).write.mode("append").parquet(in_dir)
+        parts.append(part)
+    in_dir = jobs.stage_stream_batches(parts, "rate_limit")
 
     schema = spark.read.parquet(in_dir).schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)

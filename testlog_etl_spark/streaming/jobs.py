@@ -293,6 +293,28 @@ def stage_stream_input(df: DataFrame, subdir: str, ttl_sec: int = 600) -> str:
     return in_dir
 
 
+def stage_stream_batches(dfs: list, subdir: str, ttl_sec: int = 600) -> str:
+    """Multi-batch variant of ``stage_stream_input``: write each frame
+    as its own micro-batch file (arrival order = list order) into one
+    fresh per-invocation input dir, with the same stale-sibling TTL
+    sweep so repeated suite runs don't grow the scratch area without
+    bound."""
+    import shutil
+    import time
+    import uuid
+
+    root = os.path.join(SCRATCH, subdir)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if os.path.getmtime(p) < time.time() - ttl_sec:
+                shutil.rmtree(p, ignore_errors=True)
+    in_dir = os.path.join(root, uuid.uuid4().hex)
+    for df in dfs:
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+    return in_dir
+
+
 def far_future_sentinel(df: DataFrame, days: int = 30, user_id: int = -1) -> DataFrame:
     """One-row end-of-input analog: the latest event bumped ``days``
     into the future under a reserved user id. Appending it as a final

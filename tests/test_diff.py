@@ -168,9 +168,16 @@ def test_snapshot_diff_roundtrip_reconstructs_new(spark):
     new = _snap(spark, [(2, "B", 2.0), (3, "X", 3.0), (4, "D", 9.0), (5, "E", 5.0)])
     from testlog_etl_spark.operators.diff import apply_diff
 
-    d = snapshot_diff(old, new, ["k"])
-    rebuilt = apply_diff(old, d, new, ["k"])
-    assert {tuple(r) for r in rebuilt.collect()} == {tuple(r) for r in new.collect()}
+    d = snapshot_diff(old, new, ["k"], include_payload=True)
+    rebuilt = apply_diff(old, d, ["k"])  # old + diff ONLY -- no new
+    assert {tuple(r.asDict().values()) for r in rebuilt.select("k", "status", "price").collect()} == {
+        tuple(r) for r in new.collect()
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="payload"):
+        apply_diff(old, snapshot_diff(old, new, ["k"]), ["k"])
 
 
 def test_sweep_scan_handles_empty_and_null_keys(spark):
