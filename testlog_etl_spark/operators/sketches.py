@@ -17,7 +17,7 @@ Built on Spark 4's Apache DataSketches exposure (``hll_sketch_agg`` /
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
