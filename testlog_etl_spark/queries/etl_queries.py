@@ -830,3 +830,117 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")).orderBy("node")
+
+
+@register(
+    "agg_survival_curve",
+    doc="user survival curve (churn analysis): S(t) = share of users "
+    "whose activity span (first to last event) reaches >= t days, for "
+    "t = 0..30. One per-user span rollup -> integral span-day "
+    "histogram -> suffix cumulative over the 31-row grid (a window "
+    "over the HISTOGRAM, never the users) -> share of the broadcast "
+    "user total.",
+    oracle="""
+WITH spans AS (
+  SELECT user_id,
+         CAST(floor(epoch(max(ts)) / 86400) - floor(epoch(min(ts)) / 86400) AS BIGINT) AS span_days
+  FROM events GROUP BY user_id
+),
+n AS (SELECT count(*)::DOUBLE AS n_users FROM spans),
+grid AS (SELECT unnest(range(0, 31)) AS t),
+h AS (SELECT span_days, count(*)::BIGINT AS c FROM spans GROUP BY span_days)
+SELECT t, CAST(COALESCE(SUM(c) FILTER (h.span_days >= t), 0) AS BIGINT) AS n_surviving,
+       ROUND(COALESCE(SUM(c) FILTER (h.span_days >= t), 0) / n.n_users, 4) AS survival
+FROM grid CROSS JOIN n LEFT JOIN h ON TRUE
+GROUP BY t, n.n_users
+ORDER BY t
+""",
+)
+def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    spans = ev.groupBy("user_id").agg(
+        (
+            F.floor(F.unix_timestamp(F.max("ts")) / 86400)
+            - F.floor(F.unix_timestamp(F.min("ts")) / 86400)
+        ).alias("span_days")
+    )
+    n = spans.agg(F.count(F.lit(1)).cast("double").alias("n_users"))
+    h = spans.groupBy("span_days").agg(F.count(F.lit(1)).alias("c"))
+    grid = spark.range(0, 31).select(F.col("id").alias("t"))
+    # suffix sum over the tiny histogram: surviving at t = sum of counts
+    # with span >= t; the join is grid x histogram (31 x <=31 rows)
+    joined = grid.crossJoin(F.broadcast(h)).withColumn(
+        "_hit", F.when(F.col("span_days") >= F.col("t"), F.col("c")).otherwise(F.lit(0))
+    )
+    return (
+        joined.groupBy("t")
+        .agg(F.sum("_hit").alias("n_surviving"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t",
+            "n_surviving",
+            F.round(F.col("n_surviving") / F.col("n_users"), 4).alias("survival"),
+        )
+        .orderBy("t")
+    )
+
+
+@register(
+    "funnel_latency_quantiles",
+    doc="funnel TIME-TO-CONVERT: for each user's first view, the delay "
+    "to their first subsequent purchase; median/p90 latency + "
+    "conversion share. The per-user pairing is two conditional "
+    "aggregates over ONE user exchange (min view ts, min purchase ts "
+    "after it via min over a conditional), then exact percentiles over "
+    "the small converted-users frame.",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT v.user_id, v.first_view, min(e.ts) AS first_purchase
+  FROM v JOIN events e ON e.user_id = v.user_id
+   AND e.event_type = 'purchase' AND e.ts > v.first_view
+  GROUP BY v.user_id, v.first_view
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewers,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       ROUND(count(*) / (SELECT count(*)::DOUBLE FROM v), 4) AS conversion,
+       ROUND(median(epoch(first_purchase) - epoch(first_view)) / 3600, 4) AS median_hours,
+       ROUND(quantile_cont(epoch(first_purchase) - epoch(first_view), 0.9) / 3600, 4) AS p90_hours
+FROM p
+""",
+)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    n_viewers = v.agg(F.count(F.lit(1)).alias("n_viewers"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = p.select(
+        (
+            (F.unix_micros("first_purchase") - F.unix_micros("first_view")).cast("double") / 1e6
+        ).alias("lat_sec")
+    )
+    return (
+        lat.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.median("lat_sec") / 3600, 4).alias("median_hours"),
+            F.round(F.percentile("lat_sec", F.lit(0.9)) / 3600, 4).alias("p90_hours"),
+        )
+        .crossJoin(F.broadcast(n_viewers))
+        .select(
+            "n_viewers",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_viewers").cast("double"), 4).alias("conversion"),
+            "median_hours",
+            "p90_hours",
+        )
+    )
