@@ -944,3 +944,60 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_hours",
         )
     )
+
+
+@register(
+    "compliance_delete_sweep",
+    doc="right-to-be-forgotten cascade: a deterministic md5-slice of "
+    "customers (bucket 0 of 20) is the deletion list; the sweep "
+    "cascades customer -> their orders -> those orders' lineitems via "
+    "left_semi probes carrying KEYS ONLY, and reports per-table "
+    "affected/remaining counts -- the audit record a deletion job "
+    "must emit. At scale each anti/semi join is one keyed shuffle "
+    "(or broadcast: the deletion list is usually tiny).",
+    oracle="""
+WITH del AS (
+  SELECT c_custkey FROM customer
+  WHERE try_cast(('0x' || substr(md5(c_custkey::VARCHAR || ':gdpr'), 1, 15)) AS BIGINT) % 20 = 0
+),
+del_orders AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del)),
+del_li AS (SELECT 1 FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+SELECT * FROM (
+  SELECT 'customer' AS tbl, (SELECT count(*) FROM del) AS n_deleted,
+         (SELECT count(*) FROM customer) - (SELECT count(*) FROM del) AS n_remaining
+  UNION ALL
+  SELECT 'lineitem', (SELECT count(*) FROM del_li),
+         (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM del_li)
+  UNION ALL
+  SELECT 'orders', (SELECT count(*) FROM del_orders),
+         (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_orders)
+)
+ORDER BY tbl
+""",
+)
+def compliance_delete_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sampling import hash_bucket
+
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cust, orders, li = t["customer"], t["orders"], t["lineitem"]
+    del_c = cust.filter(hash_bucket(F.col("c_custkey"), 20, "gdpr") == 0).select("c_custkey")
+    del_o = orders.join(
+        F.broadcast(del_c), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey")
+    del_l = li.join(del_o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+
+    def row(tbl: str, full: DataFrame, deleted: DataFrame) -> DataFrame:
+        return deleted.agg(F.count(F.lit(1)).alias("n_deleted")).crossJoin(
+            F.broadcast(full.agg(F.count(F.lit(1)).alias("_n_all")))
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            "n_deleted",
+            (F.col("_n_all") - F.col("n_deleted")).alias("n_remaining"),
+        )
+
+    return (
+        row("customer", cust, del_c)
+        .unionByName(row("lineitem", li, del_l))
+        .unionByName(row("orders", orders, del_o))
+        .orderBy("tbl")
+    )
