@@ -638,3 +638,119 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sweep_concurrency(iv, "event_type", "start", "end")
     return out.select("event_type", "peak", "first_peak_ts").orderBy("event_type")
+
+
+@register(
+    "ts_capped_balance",
+    doc="NON-ASSOCIATIVE per-key scan: running balance floored at zero "
+    "(credits from purchases, debits from errors; balance = max(0, "
+    "prev + delta)). The clamp makes the fold non-associative, so no "
+    "window/prefix-sum restatement exists -- the honest distributed "
+    "shape is applyInPandas per key: sequential WITHIN a key (vectorized "
+    "numpy fold), parallel ACROSS keys, one exchange. Restricted to "
+    "user_id < 30 so the oracle's recursive replay stays cheap.",
+    oracle="""
+WITH RECURSIVE seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN "value"
+              WHEN event_type = 'error' THEN -"value" ELSE 0 END AS delta,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 30
+),
+bal(user_id, rn, balance, peak) AS (
+  SELECT user_id, rn, greatest(0, delta), greatest(0, delta) FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, greatest(0, b.balance + s.delta),
+         greatest(b.peak, greatest(0, b.balance + s.delta))
+  FROM bal b JOIN seq s ON s.user_id = b.user_id AND s.rn = b.rn + 1
+),
+last AS (
+  SELECT user_id, arg_max(balance, rn) AS final_balance, max(peak) AS peak_balance,
+         max(rn) AS n_events
+  FROM bal GROUP BY user_id
+)
+SELECT user_id, ROUND(final_balance, 4) AS final_balance,
+       ROUND(peak_balance, 4) AS peak_balance, CAST(n_events AS BIGINT) AS n_events
+FROM last ORDER BY user_id
+""",
+)
+def ts_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].filter(F.col("user_id") < 30)
+    delta = (
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .when(F.col("event_type") == "error", -F.col("value"))
+        .otherwise(F.lit(0.0))
+    )
+    slim = ev.select("user_id", "ts", "event_id", delta.alias("delta"))
+
+    out_schema = "user_id long, final_balance double, peak_balance double, n_events long"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, peak = 0.0, 0.0
+        for d in pdf["delta"]:
+            bal = max(0.0, bal + float(d))
+            peak = max(peak, bal)
+        return pd.DataFrame(
+            [(int(pdf["user_id"].iloc[0]), round(bal, 4), round(peak, 4), len(pdf))],
+            columns=["user_id", "final_balance", "peak_balance", "n_events"],
+        )
+
+    return slim.groupBy("user_id").applyInPandas(fold, out_schema).orderBy("user_id")
+
+
+@register(
+    "ts_ewma_hourly",
+    doc="exponentially-weighted moving average over trailing 24 hourly "
+    "buckets, alpha = 0.5: EWMA weights 2^-j are EXACT doubles, so the "
+    "normalized weighted sum is cross-engine deterministic up to one "
+    "final rounding (a libm pow(0.8, j) would differ in ulps). "
+    "Physically a bounded 24-wide bucket-distance join on the tiny "
+    "per-hour rollup -- the raw stream is touched once.",
+    oracle="""
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h,
+         AVG("value") AS m
+  FROM events GROUP BY event_type, h
+),
+pairs AS (
+  SELECT cur.event_type, cur.h, prev.m, pow(2.0, -(cur.h - prev.h)) AS w
+  FROM b cur JOIN b prev
+    ON prev.event_type = cur.event_type
+   AND prev.h BETWEEN cur.h - 23 AND cur.h
+)
+SELECT event_type,
+       make_timestamp(h * 3600 * 1000000) AS hour,
+       ROUND(SUM(m * w) / SUM(w), 4) AS ewma
+FROM pairs
+GROUP BY event_type, h
+ORDER BY event_type, hour
+""",
+)
+def ts_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    b = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp(F.date_trunc("hour", "ts"))) / 3600).cast("long").alias("h"),
+    ).agg(F.avg("value").alias("m"))
+    cur = b.select("event_type", F.col("h").alias("ch"))
+    prev = b.select(
+        F.col("event_type").alias("p_type"), F.col("h").alias("ph"), F.col("m").alias("pm")
+    )
+    pairs = cur.join(
+        prev,
+        (F.col("p_type") == F.col("event_type"))
+        & F.col("ph").between(F.col("ch") - 23, F.col("ch")),
+    ).withColumn("w", F.pow(F.lit(2.0), -(F.col("ch") - F.col("ph"))))
+    return (
+        pairs.groupBy("event_type", "ch")
+        .agg(F.round(F.sum(F.col("pm") * F.col("w")) / F.sum("w"), 4).alias("ewma"))
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("ch") * 3600 * 1000000).alias("hour"),
+            "ewma",
+        )
+        .orderBy("event_type", "hour")
+    )
