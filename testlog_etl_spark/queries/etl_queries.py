@@ -869,12 +869,14 @@ def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spark.range(0, 31).select(F.col("id").alias("t"))
     # suffix sum over the tiny histogram: surviving at t = sum of counts
     # with span >= t; the join is grid x histogram (31 x <=31 rows)
-    joined = grid.crossJoin(F.broadcast(h)).withColumn(
+    joined = grid.join(F.broadcast(h), F.lit(True), "left").withColumn(
         "_hit", F.when(F.col("span_days") >= F.col("t"), F.col("c")).otherwise(F.lit(0))
     )
+    # LEFT join on TRUE (not crossJoin): an empty histogram must keep
+    # all 31 grid rows with zero counts, as the oracle's LEFT JOIN does
     return (
         joined.groupBy("t")
-        .agg(F.sum("_hit").alias("n_surviving"))
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_surviving"))
         .crossJoin(F.broadcast(n))
         .select(
             "t",
@@ -887,12 +889,12 @@ def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "funnel_latency_quantiles",
-    doc="funnel TIME-TO-CONVERT: for each user's first view, the delay "
-    "to their first subsequent purchase; median/p90 latency + "
-    "conversion share. The per-user pairing is two conditional "
-    "aggregates over ONE user exchange (min view ts, min purchase ts "
-    "after it via min over a conditional), then exact percentiles over "
-    "the small converted-users frame.",
+    doc="funnel TIME-TO-CONVERT: each user's first view paired with "
+    "the first subsequent purchase via operators/funnel.py::"
+    "funnel_stage_times (chained conditional-min windows over ONE user "
+    "exchange -- the same operator win_funnel_conversion uses, not a "
+    "per-stage join-back), then exact median/p90 latency over the "
+    "small converted-users frame plus the conversion share.",
     oracle="""
 WITH v AS (
   SELECT user_id, min(ts) AS first_view FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -912,22 +914,17 @@ FROM p
 """,
 )
 def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.funnel import funnel_stage_times
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("first_view")
+    st = (
+        funnel_stage_times(ev, "user_id", "ts", "event_type", ["view", "purchase"])
+        .select("user_id", "t1", "t2")
+        .distinct()
     )
-    n_viewers = v.agg(F.count(F.lit(1)).alias("n_viewers"))
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("first_view"))
-        .groupBy("user_id", "first_view")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
-    lat = p.select(
-        (
-            (F.unix_micros("first_purchase") - F.unix_micros("first_view")).cast("double") / 1e6
-        ).alias("lat_sec")
+    n_viewers = st.filter(F.col("t1").isNotNull()).agg(F.count(F.lit(1)).alias("n_viewers"))
+    lat = st.filter(F.col("t2").isNotNull()).select(
+        ((F.unix_micros("t2") - F.unix_micros("t1")).cast("double") / 1e6).alias("lat_sec")
     )
     return (
         lat.agg(

@@ -642,13 +642,15 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_capped_balance",
-    doc="NON-ASSOCIATIVE per-key scan: running balance floored at zero "
-    "(credits from purchases, debits from errors; balance = max(0, "
-    "prev + delta)). The clamp makes the fold non-associative, so no "
-    "window/prefix-sum restatement exists -- the honest distributed "
-    "shape is applyInPandas per key: sequential WITHIN a key (vectorized "
-    "numpy fold), parallel ACROSS keys, one exchange. Restricted to "
-    "user_id < 30 so the oracle's recursive replay stays cheap.",
+    doc="clamped running balances, two flavors. FLOOR-ONLY (credits "
+    "minus debits, never below zero) looks non-associative but reduces "
+    "EXACTLY via the Lindley identity b_n = S_n - min(0, min_k<=n S_k) "
+    "to two running windows over ONE exchange -- no sequential fold "
+    "needed. The TWO-SIDED clamp [0, 500] has no such closed form (the "
+    "cap destroys the reduction), so it runs as the honest sequential "
+    "shape: an applyInPandas fold, sequential within a key, parallel "
+    "across keys. The oracle replays both as a recursive CTE. "
+    "Restricted to user_id < 30 to keep the recursive replay cheap.",
     oracle="""
 WITH RECURSIVE seq AS (
   SELECT user_id, ts, event_id,
@@ -657,25 +659,33 @@ WITH RECURSIVE seq AS (
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events WHERE user_id < 30
 ),
-bal(user_id, rn, balance, peak) AS (
-  SELECT user_id, rn, greatest(0, delta), greatest(0, delta) FROM seq WHERE rn = 1
+bal(user_id, rn, balance, cbal, peak) AS (
+  SELECT user_id, rn, greatest(0, delta), least(500, greatest(0, delta)),
+         greatest(0, delta)
+  FROM seq WHERE rn = 1
   UNION ALL
-  SELECT s.user_id, s.rn, greatest(0, b.balance + s.delta),
+  SELECT s.user_id, s.rn,
+         greatest(0, b.balance + s.delta),
+         least(500, greatest(0, b.cbal + s.delta)),
          greatest(b.peak, greatest(0, b.balance + s.delta))
   FROM bal b JOIN seq s ON s.user_id = b.user_id AND s.rn = b.rn + 1
 ),
 last AS (
   SELECT user_id, arg_max(balance, rn) AS final_balance, max(peak) AS peak_balance,
-         max(rn) AS n_events
+         arg_max(cbal, rn) AS final_capped, max(rn) AS n_events
   FROM bal GROUP BY user_id
 )
 SELECT user_id, ROUND(final_balance, 4) AS final_balance,
-       ROUND(peak_balance, 4) AS peak_balance, CAST(n_events AS BIGINT) AS n_events
+       ROUND(peak_balance, 4) AS peak_balance,
+       ROUND(final_capped, 4) AS final_capped,
+       CAST(n_events AS BIGINT) AS n_events
 FROM last ORDER BY user_id
 """,
 )
 def ts_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
+
+    from pyspark.sql import Window
 
     ev = load_tables(spark, sf_dir, ("events",))["events"].filter(F.col("user_id") < 30)
     delta = (
@@ -685,20 +695,47 @@ def ts_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     slim = ev.select("user_id", "ts", "event_id", delta.alias("delta"))
 
-    out_schema = "user_id long, final_balance double, peak_balance double, n_events long"
+    # floor-only via Lindley: b = S - min(0, running_min(S)); both
+    # windows share the one (user ORDER BY ts, event_id) exchange
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lin = (
+        slim.withColumn("S", F.sum("delta").over(w))
+        .withColumn("b", F.col("S") - F.least(F.lit(0.0), F.min("S").over(w)))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id")))
+    )
+    floor_side = lin.groupBy("user_id").agg(
+        F.max_by("b", "rn").alias("final_balance_raw"),
+        F.max("b").alias("peak_balance_raw"),
+        F.max("rn").cast("long").alias("n_events"),
+    )
+
+    # two-sided clamp [0, cap]: provably no associative restatement --
+    # the honest sequential-within-key fold
+    out_schema = "user_id long, final_capped double"
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["ts", "event_id"])
-        bal, peak = 0.0, 0.0
+        bal = 0.0
         for d in pdf["delta"]:
-            bal = max(0.0, bal + float(d))
-            peak = max(peak, bal)
+            bal = min(500.0, max(0.0, bal + float(d)))
         return pd.DataFrame(
-            [(int(pdf["user_id"].iloc[0]), round(bal, 4), round(peak, 4), len(pdf))],
-            columns=["user_id", "final_balance", "peak_balance", "n_events"],
+            [(int(pdf["user_id"].iloc[0]), bal)], columns=["user_id", "final_capped"]
         )
 
-    return slim.groupBy("user_id").applyInPandas(fold, out_schema).orderBy("user_id")
+    capped = slim.groupBy("user_id").applyInPandas(fold, out_schema)
+    return (
+        floor_side.join(capped, "user_id")
+        .select(
+            "user_id",
+            F.round("final_balance_raw", 4).alias("final_balance"),
+            F.round("peak_balance_raw", 4).alias("peak_balance"),
+            F.round("final_capped", 4).alias("final_capped"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
 
 
 @register(
@@ -733,7 +770,10 @@ def ts_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     b = ev.groupBy(
         "event_type",
-        (F.floor(F.unix_timestamp(F.date_trunc("hour", "ts"))) / 3600).cast("long").alias("h"),
+        # floor-divide (matches the oracle's BIGINT //): a plain
+        # divide-then-cast truncates toward zero and would shift
+        # pre-1970 buckets by one
+        F.floor(F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600).cast("long").alias("h"),
     ).agg(F.avg("value").alias("m"))
     cur = b.select("event_type", F.col("h").alias("ch"))
     prev = b.select(
