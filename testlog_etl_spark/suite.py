@@ -87,11 +87,13 @@ def register(
 # r05 rotation queue (first driver rows owed; all green in the local
 # full differential): changepoint, rolling anomaly, BM25, DQ suite,
 # incremental MV, plus the session-2 additions without slots --
-# ts_peak_concurrency, corpus_epoch_shuffle, embed_hard_negatives,
-# dedup_hamming_prefix, events_cep_pattern, topk_per_group_agg,
-# agg_countmin_sketch, ts_ohlc_bars, stream_session_window,
-# stream_hourly_distinct, corpus_manifest_build, agg_mad_robust,
-# dedup_entity_resolution, source_orc_roundtrip, and the five
+# every session-2 addition without a slot (the ~40 newest COVERAGE.md
+# rows: peak concurrency, epoch shuffle, hard negatives, Hamming join,
+# CEP, grouped top-k, count-min + histogram sketches, OHLC, streaming
+# session window / chained distinct / MV maintenance / rate limit,
+# manifest, MAD, entity resolution, ORC, SCD2, weighted exact-k,
+# market basket, triangles, stats chi2/KS/t, features trio, survival,
+# funnel latency, compliance sweep, capped balance, EWMA), and the five
 # displaced-this-round prior greens (ngram_jaccard, embedding_cosine,
 # group_resolve, jsonl_roundtrip, topk_int8).
 # Entries beyond 50 were hash-green in r01-r03 (and re-verified locally
