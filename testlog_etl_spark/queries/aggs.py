@@ -622,3 +622,103 @@ def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_gini_concentration",
+    doc="Gini coefficient of revenue concentration across customers "
+    "(the inequality metric): exact closed form over the rank-ordered "
+    "per-customer revenue, G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n. One "
+    "rollup to customer grain, one rank window over the (small) "
+    "customer frame, one final aggregate; ranks are unique via the "
+    "(revenue, custkey) tie-break so both engines order identically.",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+),
+k AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i, count(*) OVER () AS n
+  FROM r
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+       ROUND(2.0 * SUM(i * rev) / (any_value(n) * SUM(rev)) - (any_value(n) + 1.0) / any_value(n), 4) AS gini
+FROM k
+""",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    r = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    # the global rank window runs over the CUSTOMER rollup (one row per
+    # customer), not the order stream -- bounded by customer count; at
+    # extreme scale rank via the packing.py hierarchical scan instead
+    k = r.withColumn("i", F.row_number().over(w))
+    n = r.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        k.crossJoin(F.broadcast(n))
+        .agg(
+            F.any_value(F.col("n")).cast("long").alias("n_customers"),
+            F.round(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("rev")) / (F.any_value("n") * F.sum("rev"))
+                - (F.any_value("n") + 1.0) / F.any_value("n"),
+                4,
+            ).alias("gini"),
+        )
+    )
+
+
+@register(
+    "agg_abc_pareto",
+    doc="ABC / Pareto classification: parts ranked by revenue, class A "
+    "= the head covering 80% of cumulative revenue, B to 95%, C the "
+    "tail. Cumulative share via one rank window over the per-part "
+    "rollup (part grain, not lineitems); per-class part counts and "
+    "revenue shares out.",
+    oracle="""
+WITH r AS (
+  SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+c AS (
+  SELECT rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev) OVER () AS tot
+  FROM r
+)
+SELECT CASE WHEN cum / tot <= 0.80 THEN 'A'
+            WHEN cum / tot <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       ROUND(SUM(rev) / any_value(tot), 4) AS revenue_share
+FROM c GROUP BY abc_class ORDER BY abc_class
+""",
+)
+def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    r = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev")
+    )
+    # global cum-share window runs over the PART rollup (one row per
+    # part), not lineitems; at a scale where even the part grain is too
+    # large for one task, swap in the packing.py hierarchical scan
+    w = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_w = Window.partitionBy()
+    c = r.withColumn("cum", F.sum("rev").over(w)).withColumn("tot", F.sum("rev").over(tot_w))
+    cls = (
+        F.when(F.col("cum") / F.col("tot") <= 0.80, "A")
+        .when(F.col("cum") / F.col("tot") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        c.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev") / F.any_value("tot"), 4).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

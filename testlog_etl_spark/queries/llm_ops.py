@@ -2350,3 +2350,58 @@ def sample_weighted_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     out = sampling.weighted_exact_k(docs, "source", "doc_id", "n_chars", k=5)
     return out.select("source", "rank", "doc_id").orderBy("source", "rank")
+
+
+@register(
+    "text_readability",
+    doc="readability scoring (Flesch-style, heuristic syllables = "
+    "vowel-group count): words/sentences/syllables per doc from two "
+    "regex counts + a split -- pure codegen string ops, no shuffle "
+    "until the per-source rollup. The score formula is the standard "
+    "206.835 - 1.015*(words/sentences) - 84.6*(syllables/words), "
+    "computed on BOTH engines from identical counts.",
+    oracle="""
+WITH d AS (
+  SELECT source,
+         len(string_split(text, ' '))::DOUBLE AS words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]')))::DOUBLE AS sentences,
+         greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))::DOUBLE AS syllables
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       ROUND(AVG(206.835 - 1.015 * (words / sentences) - 84.6 * (syllables / words)), 4) AS avg_flesch,
+       ROUND(AVG(words / sentences), 4) AS avg_sentence_len,
+       ROUND(AVG(syllables / words), 4) AS avg_syllables_per_word
+FROM d GROUP BY source ORDER BY source
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = F.size(F.split("text", " ")).cast("double")
+    sentences = F.greatest(F.lit(1), F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)"))).cast(
+        "double"
+    )
+    syllables = F.greatest(
+        F.lit(1), F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    ).cast("double")
+    d = docs.select(
+        "source",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words") / F.col("sentences"))
+        - F.lit(84.6) * (F.col("syllables") / F.col("words"))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(flesch), R).alias("avg_flesch"),
+            F.round(F.avg(F.col("words") / F.col("sentences")), R).alias("avg_sentence_len"),
+            F.round(F.avg(F.col("syllables") / F.col("words")), R).alias("avg_syllables_per_word"),
+        )
+        .orderBy("source")
+    )
