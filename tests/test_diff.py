@@ -221,3 +221,32 @@ def test_sweep_window_method_keeps_null_keys(spark):
     got = {r["k"]: r["peak"] for r in
            sweep_concurrency(_iv(spark, rows), "k", "start", "end", method="window").collect()}
     assert got == {None: 2}
+
+
+def test_lindley_window_form_equals_sequential_fold(spark):
+    # property pin for ts_capped_balance's floor-only path: the Lindley
+    # restatement b = S - min(0, running_min(S)) must equal the
+    # sequential clamp max(0, prev + d) on arbitrary delta sequences
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    x = 123456789
+    rows = []
+    for key in range(6):
+        for i in range(40):
+            x = (x * 48271) % 2147483647
+            rows.append((key, i, ((x % 2001) - 1000) / 10.0))  # deltas in [-100, 100]
+    df = spark.createDataFrame(rows, "k int, i int, d double")
+    w = Window.partitionBy("k").orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    lin = (
+        df.withColumn("S", F.sum("d").over(w))
+        .withColumn("b", F.col("S") - F.least(F.lit(0.0), F.min("S").over(w)))
+        .collect()
+    )
+    got = {(r["k"], r["i"]): r["b"] for r in lin}
+    # sequential reference
+    seqs: dict[int, float] = {}
+    for key, i, d in rows:
+        bal = max(0.0, seqs.get(key, 0.0) + d)
+        seqs[key] = bal
+        assert abs(got[(key, i)] - bal) < 1e-9, (key, i, got[(key, i)], bal)
