@@ -998,3 +998,209 @@ def compliance_delete_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("orders", orders, del_o))
         .orderBy("tbl")
     )
+
+
+@register(
+    "orders_duplicate_payments",
+    doc="duplicate-transaction detection (fraud/ops hygiene): order "
+    "pairs from the same customer with the SAME total within 24h of "
+    "each other. Blocking is the (custkey, totalprice) equi-join -- "
+    "exact-amount duplicates are the candidate set, the time band is a "
+    "post-join filter; no all-pairs scan, and the shuffle carries "
+    "(cust, amount, key, ts) only.",
+    oracle="""
+SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key, a.o_custkey AS custkey,
+       ROUND(a.o_totalprice, 4) AS amount,
+       CAST(abs(CAST(floor(epoch(b.o_orderdate)) AS BIGINT)
+                - CAST(floor(epoch(a.o_orderdate)) AS BIGINT)) AS BIGINT) AS gap_sec
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_totalprice = b.o_totalprice
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(epoch(b.o_orderdate) - epoch(a.o_orderdate)) <= 86400
+ORDER BY a_key, b_key
+""",
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    a = orders.select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").alias("a_ts"),
+    )
+    b = orders.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_custkey").alias("b_cust"),
+        F.col("o_totalprice").alias("b_amt"),
+        F.col("o_orderdate").alias("b_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("custkey") == F.col("b_cust"))
+            & (F.col("amount") == F.col("b_amt"))
+            & (F.col("a_key") < F.col("b_key")),
+        )
+        .withColumn(
+            "gap_sec",
+            F.abs(F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")).cast("long"),
+        )
+        .filter(F.col("gap_sec") <= 86400)
+        .select("a_key", "b_key", "custkey", F.round("amount", 4).alias("amount"), "gap_sec")
+        .orderBy("a_key", "b_key")
+    )
+
+
+@register(
+    "agg_mom_growth",
+    doc="month-over-month growth per event type: monthly rollup, lag "
+    "window over the tiny (type, month) frame, percent change vs the "
+    "prior month (null for each type's first month).",
+    oracle="""
+WITH m AS (
+  SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+         count(*)::BIGINT AS n, ROUND(SUM("value"), 4) AS revenue
+  FROM events GROUP BY event_type, month
+)
+SELECT event_type, month, n, revenue,
+       ROUND(100.0 * (revenue - lag(revenue) OVER w) / lag(revenue) OVER w, 4) AS revenue_mom_pct
+FROM m
+WINDOW w AS (PARTITION BY event_type ORDER BY month)
+ORDER BY event_type, month
+""",
+)
+def agg_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    m = ev.groupBy("event_type", F.date_trunc("month", "ts").alias("month")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("revenue")
+    )
+    w = Window.partitionBy("event_type").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        m.withColumn("revenue_mom_pct", F.round(100.0 * (F.col("revenue") - prev) / prev, 4))
+        .orderBy("event_type", "month")
+    )
+
+
+@register(
+    "attribution_last_touch",
+    doc="last-touch attribution: each purchase credited to the user's "
+    "most recent PRIOR non-purchase event (channel = event type) -- the "
+    "as-of join reused as a marketing-attribution model "
+    "(operators/asof.py: union + per-user window merge, ONE shuffle, "
+    "no pair explosion). Revenue per channel out; purchases with no "
+    "prior touch fall into the 'organic' bucket.",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, event_id, "value" FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts, event_id, event_type FROM events WHERE event_type <> 'purchase'
+),
+last_touch AS (
+  SELECT p.user_id, p.ts, p.event_id, p."value",
+         (SELECT t.event_type FROM touches t
+          WHERE t.user_id = p.user_id AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+          ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS channel
+  FROM purchases p
+)
+SELECT COALESCE(channel, 'organic') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM("value"), 4) AS revenue
+FROM last_touch
+GROUP BY 1 ORDER BY channel
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # asof merge inlined on the union (same shape as operators/asof.py):
+    # one user shuffle; last non-purchase value carried forward onto
+    # each purchase row
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "event_type",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias("_touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = (
+        tagged.withColumn("channel", F.last("_touch", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    return (
+        attributed.groupBy(F.coalesce("channel", F.lit("organic")).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"), F.round(F.sum("value"), 4).alias("revenue"))
+        .orderBy("channel")
+    )
+
+
+@register(
+    "attribution_linear",
+    doc="linear multi-touch attribution: each purchase's value split "
+    "equally across the user's touches in the prior 7 days; credit "
+    "rollup per channel. The pairing is a user equi-join with the "
+    "lookback as a post-join band filter (per-user touch lists are "
+    "bounded by the horizon, so the fan-out is horizon-bounded, not "
+    "quadratic); per-purchase touch counts come from one window over "
+    "the joined frame.",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, event_id, "value" FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS channel
+  FROM events WHERE event_type <> 'purchase'
+),
+pairs AS (
+  SELECT p.user_id, p.ts, p.event_id, p."value", t.channel,
+         count(*) OVER (PARTITION BY p.user_id, p.event_id) AS n_touches
+  FROM purchases p
+  JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.t_ts < p.ts AND t.t_ts >= p.ts - INTERVAL 7 DAY
+)
+SELECT channel, ROUND(SUM("value" / n_touches), 4) AS credited_revenue,
+       CAST(count(*) AS BIGINT) AS n_credits
+FROM pairs GROUP BY channel ORDER BY channel
+""",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("user_id", "event_id")
+    credited = pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias("credited_revenue"),
+            F.count(F.lit(1)).alias("n_credits"),
+        )
+        .orderBy("channel")
+    )
