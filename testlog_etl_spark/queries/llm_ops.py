@@ -2405,3 +2405,177 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_LANGID_PRED_SQL = """
+WITH s AS (
+  SELECT lang,
+    len(list_filter(string_split(lower(text),' '),
+        t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))::DOUBLE
+      / greatest(len(string_split(lower(text),' ')), 1) AS r_en,
+    len(list_filter(string_split(lower(text),' '),
+        t -> list_contains(['le','la','et','de','un','une','est','pour','dans','avec'], t)))::DOUBLE
+      / greatest(len(string_split(lower(text),' ')), 1) AS r_fr,
+    len(list_filter(string_split(lower(text),' '),
+        t -> list_contains(['der','die','das','und','ist','ein','eine','mit','von','zu'], t)))::DOUBLE
+      / greatest(len(string_split(lower(text),' ')), 1) AS r_de,
+    len(list_filter(string_split(lower(text),' '),
+        t -> list_contains(['el','la','y','de','un','una','es','para','en','con'], t)))::DOUBLE
+      / greatest(len(string_split(lower(text),' ')), 1) AS r_es
+  FROM documents
+),
+p AS (
+  SELECT lang,
+    CASE WHEN greatest(r_en, r_fr, r_de, r_es) < 0.03 THEN 'und'
+         WHEN r_en = greatest(r_en, r_fr, r_de, r_es) THEN 'en'
+         WHEN r_fr = greatest(r_en, r_fr, r_de, r_es) THEN 'fr'
+         WHEN r_de = greatest(r_en, r_fr, r_de, r_es) THEN 'de'
+         ELSE 'es' END AS predicted
+  FROM s
+)
+"""
+
+
+@register(
+    "eval_langid_metrics",
+    doc="model-evaluation layer over the langid heuristic: per-class "
+    "precision / recall / F1 from the (true, predicted) confusion "
+    "counts (text_langid is the raw matrix; this is the metrics "
+    "readout). Classes the predictor never emits get null precision; "
+    "0-recall classes stay 0 -- null semantics identical on both "
+    "engines.",
+    oracle=_LANGID_PRED_SQL
+    + """
+, m AS (
+  SELECT l.lang,
+         (SELECT count(*) FROM p WHERE p.lang = l.lang AND p.predicted = l.lang)::DOUBLE AS tp,
+         (SELECT count(*) FROM p WHERE p.predicted = l.lang AND p.lang <> l.lang)::DOUBLE AS fp,
+         (SELECT count(*) FROM p WHERE p.lang = l.lang AND p.predicted <> l.lang)::DOUBLE AS fn
+  FROM (SELECT DISTINCT lang FROM documents) l
+)
+SELECT lang,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       ROUND(tp / nullif(tp + fp, 0), 4) AS precision,
+       ROUND(tp / nullif(tp + fn, 0), 4) AS recall,
+       ROUND(2 * tp / nullif(2 * tp + fp + fn, 0), 4) AS f1
+FROM m ORDER BY lang
+""",
+)
+def eval_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    p = docs.select("lang", textstats.lang_id(F.col("text")).alias("predicted"))
+    per = p.groupBy("lang").agg(
+        F.sum(F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0))
+        .cast("double")
+        .alias("tp"),
+        F.count(F.lit(1)).cast("double").alias("n_true"),
+    )
+    pred_tot = p.groupBy(F.col("predicted").alias("lang")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_pred")
+    )
+    m = (
+        per.join(pred_tot, "lang", "left")
+        .withColumn("fp", F.coalesce(F.col("n_pred"), F.lit(0.0)) - F.col("tp"))
+        .withColumn("fn", F.col("n_true") - F.col("tp"))
+    )
+    nz = lambda c: F.when(c != 0, c)  # noqa: E731 -- nullif
+    return m.select(
+        "lang",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(F.col("tp") / nz(F.col("tp") + F.col("fp")), R).alias("precision"),
+        F.round(F.col("tp") / nz(F.col("tp") + F.col("fn")), R).alias("recall"),
+        F.round(2 * F.col("tp") / nz(2 * F.col("tp") + F.col("fp") + F.col("fn")), R).alias("f1"),
+    ).orderBy("lang")
+
+
+def _score_auc_oracle() -> str:
+    """DuckDB twin of eval_score_auc: the SAME weight literals as
+    filtering.MODEL_WEIGHTS (imported, not copied) and the same 2^-20
+    snap, then tie-averaged Mann-Whitney rank arithmetic over distinct
+    snapped scores."""
+    from testlog_etl_spark.operators.filtering import MODEL_WEIGHTS as W
+    from testlog_etl_spark.operators.textstats import STOPWORDS
+
+    stop = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), __t -> __t != '')"
+    ltoks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), __t -> __t != '')"
+    z = f"""{W['bias']}
+    + {W['log_tokens']} * ln(1.0 + len({toks}))
+    + {W['type_token_ratio']} * (len(list_distinct({toks}))::DOUBLE / greatest(len({toks}), 1))
+    + {W['stopword_ratio']} * (len(list_filter({ltoks}, __t -> list_contains({stop}, __t)))::DOUBLE
+                               / greatest(len({ltoks}), 1))
+    + {W['mean_token_len']} * (list_sum(list_transform({toks}, __t -> length(__t)))::DOUBLE
+                               / greatest(len({toks}), 1))"""
+    return f"""
+WITH sc AS (
+  SELECT floor((1.0 / (1.0 + exp(-({z})))) * 1048576 + 0.5) / 1048576 AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT s, SUM(y)::DOUBLE AS np, SUM(1 - y)::DOUBLE AS nn FROM sc GROUP BY s
+),
+r AS (
+  SELECT s, np, nn,
+         COALESCE(SUM(np + nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         np + nn AS k
+  FROM g
+),
+t AS (
+  SELECT SUM(np * (cb + (k + 1) / 2.0)) AS pos_rank_sum,
+         SUM(np) AS tot_p, SUM(nn) AS tot_n
+  FROM r
+)
+SELECT CAST(tot_p AS BIGINT) AS n_pos, CAST(tot_n AS BIGINT) AS n_neg,
+       ROUND((pos_rank_sum - tot_p * (tot_p + 1) / 2.0) / (tot_p * tot_n), 4) AS auc
+FROM t
+"""
+
+
+@register(
+    "eval_score_auc",
+    doc="exact AUC (Mann-Whitney with tie-averaged ranks) of the "
+    "quality-score model against the is-English label: scores snapped "
+    "to the 2^-20 grid on both engines (absorbing libm exp ulps, the "
+    "IVF playbook), then grouped PER DISTINCT SCORE so rank arithmetic "
+    "is tie-proof -- cumulative counts over the distinct-score frame, "
+    "never a row-level rank. The ranking window runs over distinct "
+    "snapped scores (grid-bounded); at extreme cardinality use the "
+    "histogram-sketch AUC instead.",
+    oracle=_score_auc_oracle(),
+)
+def eval_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from testlog_etl_spark.operators import filtering
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    g = F.lit(float(1 << 20))
+    snapped = F.floor(filtering.linear_quality_score(F.col("text")) * g + F.lit(0.5)) / g
+    sc = docs.select(
+        snapped.alias("s"), (F.col("lang") == "en").cast("int").alias("y")
+    )
+    grp = sc.groupBy("s").agg(
+        F.sum("y").cast("double").alias("np"),
+        F.sum(1 - F.col("y")).cast("double").alias("nn"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    r = grp.withColumn("cb", F.coalesce(F.sum(F.col("np") + F.col("nn")).over(w), F.lit(0.0)))
+    t = r.agg(
+        F.sum(F.col("np") * (F.col("cb") + (F.col("np") + F.col("nn") + 1) / 2.0)).alias(
+            "pos_rank_sum"
+        ),
+        F.sum("np").alias("tot_p"),
+        F.sum("nn").alias("tot_n"),
+    )
+    return t.select(
+        F.col("tot_p").cast("long").alias("n_pos"),
+        F.col("tot_n").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("pos_rank_sum") - F.col("tot_p") * (F.col("tot_p") + 1) / 2.0)
+            / (F.col("tot_p") * F.col("tot_n")),
+            4,
+        ).alias("auc"),
+    )
