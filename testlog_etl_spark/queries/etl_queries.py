@@ -1169,7 +1169,8 @@ pairs AS (
   FROM purchases p
   JOIN touches t
     ON t.user_id = p.user_id
-   AND t.t_ts < p.ts AND t.t_ts >= p.ts - INTERVAL 7 DAY
+   AND (t.t_ts < p.ts OR (t.t_ts = p.ts AND t.t_id < p.event_id))
+   AND t.t_ts >= p.ts - INTERVAL 7 DAY
 )
 SELECT channel, ROUND(SUM("value" / n_touches), 4) AS credited_revenue,
        CAST(count(*) AS BIGINT) AS n_credits
@@ -1186,12 +1187,20 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches = ev.filter(F.col("event_type") != "purchase").select(
         F.col("user_id").alias("t_user"),
         F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
         F.col("event_type").alias("channel"),
     )
+    # same simultaneity rule as attribution_last_touch: a touch sharing
+    # the purchase's timestamp (lower event_id) counts -- the two
+    # attribution models must agree on WHICH touches influenced a
+    # purchase, differing only in how credit is split
     pairs = purchases.join(
         touches,
         (F.col("user_id") == F.col("t_user"))
-        & (F.col("t_ts") < F.col("ts"))
+        & (
+            (F.col("t_ts") < F.col("ts"))
+            | ((F.col("t_ts") == F.col("ts")) & (F.col("t_id") < F.col("event_id")))
+        )
         & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
     )
     w = Window.partitionBy("user_id", "event_id")

@@ -25,6 +25,42 @@ R = 4
 # DuckDB-side distinct 3-word shingles (list comprehension over tokens)
 _DUCK_SHINGLES = "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
 
+# The ONE DuckDB spelling of textstats.lang_id: same \s+ trimmed
+# empty-free tokenization as tokens(), same 0.03 floor and tie-break
+# order, NULL text -> 'und'. Shared by text_langid (confusion matrix)
+# and eval_langid_metrics (metrics readout) so the two oracles can
+# never model different predictors.
+_LANGID_PRED_SQL = """
+WITH tok AS (
+  SELECT lang, text IS NULL AS no_text,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '') AS lt
+  FROM documents
+),
+s AS (
+  SELECT lang, no_text,
+    len(list_filter(lt, t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))::DOUBLE
+      / greatest(len(lt), 1) AS r_en,
+    len(list_filter(lt, t -> list_contains(['le','la','et','de','un','une','est','pour','dans','avec'], t)))::DOUBLE
+      / greatest(len(lt), 1) AS r_fr,
+    len(list_filter(lt, t -> list_contains(['der','die','das','und','ist','ein','eine','mit','von','zu'], t)))::DOUBLE
+      / greatest(len(lt), 1) AS r_de,
+    len(list_filter(lt, t -> list_contains(['el','la','y','de','un','una','es','para','en','con'], t)))::DOUBLE
+      / greatest(len(lt), 1) AS r_es
+  FROM tok
+),
+p AS (
+  SELECT lang,
+    CASE WHEN no_text THEN 'und'
+         WHEN greatest(r_en, r_fr, r_de, r_es) < 0.03 THEN 'und'
+         WHEN r_en = greatest(r_en, r_fr, r_de, r_es) THEN 'en'
+         WHEN r_fr = greatest(r_en, r_fr, r_de, r_es) THEN 'fr'
+         WHEN r_de = greatest(r_en, r_fr, r_de, r_es) THEN 'de'
+         ELSE 'es' END AS predicted
+  FROM s
+)
+"""
+
+
 
 def _simhash_oracle() -> str:
     """DuckDB twin of neardup.simhash64 + pigeonhole pair search, exact
@@ -480,32 +516,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_langid",
     doc="language-ID heuristic (stopword-ratio argmax over 4 languages): "
     "predicted x stored-lang confusion counts.",
-    oracle="""
-WITH s AS (
-  SELECT lang,
-    len(list_filter(string_split(lower(text),' '),
-        t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))::DOUBLE
-      / greatest(len(string_split(lower(text),' ')), 1) AS r_en,
-    len(list_filter(string_split(lower(text),' '),
-        t -> list_contains(['le','la','et','de','un','une','est','pour','dans','avec'], t)))::DOUBLE
-      / greatest(len(string_split(lower(text),' ')), 1) AS r_fr,
-    len(list_filter(string_split(lower(text),' '),
-        t -> list_contains(['der','die','das','und','ist','ein','eine','mit','von','zu'], t)))::DOUBLE
-      / greatest(len(string_split(lower(text),' ')), 1) AS r_de,
-    len(list_filter(string_split(lower(text),' '),
-        t -> list_contains(['el','la','y','de','un','una','es','para','en','con'], t)))::DOUBLE
-      / greatest(len(string_split(lower(text),' ')), 1) AS r_es
-  FROM documents
-),
-p AS (
-  SELECT lang,
-    CASE WHEN greatest(r_en, r_fr, r_de, r_es) < 0.03 THEN 'und'
-         WHEN r_en = greatest(r_en, r_fr, r_de, r_es) THEN 'en'
-         WHEN r_fr = greatest(r_en, r_fr, r_de, r_es) THEN 'fr'
-         WHEN r_de = greatest(r_en, r_fr, r_de, r_es) THEN 'de'
-         ELSE 'es' END AS predicted
-  FROM s
-)
+    oracle=_LANGID_PRED_SQL
+    + """
 SELECT lang, predicted, count(*) AS n
 FROM p GROUP BY lang, predicted
 ORDER BY lang, predicted
@@ -1872,27 +1884,34 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _model_score_oracle() -> str:
-    """DuckDB twin of filtering.linear_quality_score: the same feature
-    expressions and weight literals, spelled so the arithmetic shape
-    matches; exp() ulp drift across libms is absorbed by the ROUND on
-    the mean and by the threshold margin (a score exactly at the cut is measure-zero)."""
+def _quality_z_sql() -> str:
+    """The ONE DuckDB spelling of filtering.linear_quality_score's
+    logistic input z (same weight literals, imported; same \\s+ trimmed
+    empty-free tokenization as textstats.tokens). Shared by the
+    model-score, corpus-v2, and AUC oracles so a feature change cannot
+    silently diverge one of them."""
     from testlog_etl_spark.operators.filtering import MODEL_WEIGHTS as W
     from testlog_etl_spark.operators.textstats import STOPWORDS
 
     stop = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
     toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), __t -> __t != '')"
     ltoks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), __t -> __t != '')"
-    return f"""
-WITH f AS (
-  SELECT source,
-    {W['bias']}
+    return f"""{W['bias']}
     + {W['log_tokens']} * ln(1.0 + len({toks}))
     + {W['type_token_ratio']} * (len(list_distinct({toks}))::DOUBLE / greatest(len({toks}), 1))
     + {W['stopword_ratio']} * (len(list_filter({ltoks}, __t -> list_contains({stop}, __t)))::DOUBLE
                                / greatest(len({ltoks}), 1))
-    + {W['mean_token_len']} * (list_sum(list_transform({toks}, __t -> length(__t)))::DOUBLE
-                               / greatest(len({toks}), 1)) AS z
+    + {W['mean_token_len']} * (COALESCE(list_sum(list_transform({toks}, __t -> length(__t))), 0)::DOUBLE
+                               / greatest(len({toks}), 1))"""
+
+
+def _model_score_oracle() -> str:
+    """DuckDB twin of filtering.linear_quality_score rollup; exp() ulp
+    drift across libms is absorbed by the ROUND on the mean and by the
+    threshold margin (a score exactly at the cut is measure-zero)."""
+    return f"""
+WITH f AS (
+  SELECT source, {_quality_z_sql()} AS z
   FROM documents
 ),
 s AS (SELECT source, 1.0 / (1.0 + exp(-z)) AS score FROM f)
@@ -1936,12 +1955,7 @@ def _corpus_v2_oracle(dim: int = 64, n_bits: int = 6, seed: int = 7, tau: float 
     winner), model-score gate at 0.8 (same feature/weight literals as
     filter_model_score), semantic-dedup drop set recomputed from the
     same literal planes, then the per-source rollup."""
-    from testlog_etl_spark.operators.filtering import MODEL_WEIGHTS as W
-    from testlog_etl_spark.operators.textstats import STOPWORDS
-
-    stop = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
     toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), __t -> __t != '')"
-    ltoks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), __t -> __t != '')"
     planes = similarity.rademacher_planes(seed, n_bits, dim)
 
     def plane_lit(p: list[float]) -> str:
@@ -1977,15 +1991,7 @@ WITH f AS (
   SELECT doc_id, source,
     len({toks}) AS n_tok,
     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
-    1.0 / (1.0 + exp(-(
-      {W['bias']}
-      + {W['log_tokens']} * ln(1.0 + len({toks}))
-      + {W['type_token_ratio']} * (len(list_distinct({toks}))::DOUBLE / greatest(len({toks}), 1))
-      + {W['stopword_ratio']} * (len(list_filter({ltoks}, __t -> list_contains({stop}, __t)))::DOUBLE
-                                 / greatest(len({ltoks}), 1))
-      + {W['mean_token_len']} * (list_sum(list_transform({toks}, __t -> length(__t)))::DOUBLE
-                                 / greatest(len({toks}), 1))
-    ))) AS score
+    1.0 / (1.0 + exp(-({_quality_z_sql()}))) AS score
   FROM documents
 ),
 dedup AS (
@@ -2407,35 +2413,6 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANGID_PRED_SQL = """
-WITH s AS (
-  SELECT lang,
-    len(list_filter(string_split(lower(text),' '),
-        t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))::DOUBLE
-      / greatest(len(string_split(lower(text),' ')), 1) AS r_en,
-    len(list_filter(string_split(lower(text),' '),
-        t -> list_contains(['le','la','et','de','un','une','est','pour','dans','avec'], t)))::DOUBLE
-      / greatest(len(string_split(lower(text),' ')), 1) AS r_fr,
-    len(list_filter(string_split(lower(text),' '),
-        t -> list_contains(['der','die','das','und','ist','ein','eine','mit','von','zu'], t)))::DOUBLE
-      / greatest(len(string_split(lower(text),' ')), 1) AS r_de,
-    len(list_filter(string_split(lower(text),' '),
-        t -> list_contains(['el','la','y','de','un','una','es','para','en','con'], t)))::DOUBLE
-      / greatest(len(string_split(lower(text),' ')), 1) AS r_es
-  FROM documents
-),
-p AS (
-  SELECT lang,
-    CASE WHEN greatest(r_en, r_fr, r_de, r_es) < 0.03 THEN 'und'
-         WHEN r_en = greatest(r_en, r_fr, r_de, r_es) THEN 'en'
-         WHEN r_fr = greatest(r_en, r_fr, r_de, r_es) THEN 'fr'
-         WHEN r_de = greatest(r_en, r_fr, r_de, r_es) THEN 'de'
-         ELSE 'es' END AS predicted
-  FROM s
-)
-"""
-
-
 @register(
     "eval_langid_metrics",
     doc="model-evaluation layer over the langid heuristic: per-class "
@@ -2491,28 +2468,18 @@ def eval_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _score_auc_oracle() -> str:
-    """DuckDB twin of eval_score_auc: the SAME weight literals as
-    filtering.MODEL_WEIGHTS (imported, not copied) and the same 2^-20
-    snap, then tie-averaged Mann-Whitney rank arithmetic over distinct
-    snapped scores."""
-    from testlog_etl_spark.operators.filtering import MODEL_WEIGHTS as W
-    from testlog_etl_spark.operators.textstats import STOPWORDS
-
-    stop = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
-    toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), __t -> __t != '')"
-    ltoks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), __t -> __t != '')"
-    z = f"""{W['bias']}
-    + {W['log_tokens']} * ln(1.0 + len({toks}))
-    + {W['type_token_ratio']} * (len(list_distinct({toks}))::DOUBLE / greatest(len({toks}), 1))
-    + {W['stopword_ratio']} * (len(list_filter({ltoks}, __t -> list_contains({stop}, __t)))::DOUBLE
-                               / greatest(len({ltoks}), 1))
-    + {W['mean_token_len']} * (list_sum(list_transform({toks}, __t -> length(__t)))::DOUBLE
-                               / greatest(len({toks}), 1))"""
+    """DuckDB twin of eval_score_auc: the shared z spelling
+    (_quality_z_sql -- same weight literals and tokenization as the
+    Spark operator) with the 2^-20 snap, then tie-averaged Mann-Whitney
+    rank arithmetic over distinct snapped scores. Both sides restrict
+    to non-empty text: empty/null docs have no defined quality score,
+    and the engines' empty-aggregate conventions differ (NULL vs 0)."""
     return f"""
 WITH sc AS (
-  SELECT floor((1.0 / (1.0 + exp(-({z})))) * 1048576 + 0.5) / 1048576 AS s,
+  SELECT floor((1.0 / (1.0 + exp(-({_quality_z_sql()})))) * 1048576 + 0.5) / 1048576 AS s,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
   FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
 ),
 g AS (
   SELECT s, SUM(y)::DOUBLE AS np, SUM(1 - y)::DOUBLE AS nn FROM sc GROUP BY s
@@ -2551,7 +2518,9 @@ def eval_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from testlog_etl_spark.operators import filtering
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
     g = F.lit(float(1 << 20))
     snapped = F.floor(filtering.linear_quality_score(F.col("text")) * g + F.lit(0.5)) / g
     sc = docs.select(
