@@ -2548,3 +2548,80 @@ def eval_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("auc"),
     )
+
+
+@register(
+    "corpus_report_card",
+    doc="the corpus health one-pager, per source: docs, token mass, "
+    "mean quality score, exact-duplicate rate (share of docs whose "
+    "normalized text occurs more than once corpus-wide), and English "
+    "share per the langid heuristic. Every signal reuses an "
+    "already-oracled idiom (tokens(), _quality_z_sql, normalized-text "
+    "fingerprints, lang_id); signals are computed in ONE scan lineage "
+    "-- the dup-rate join carries 8-byte hashes.",
+    oracle=f"""
+WITH base AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), __t -> __t != '')) AS n_tok,
+         1.0 / (1.0 + exp(-({{z}}))) AS score,
+         hash(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '') AS lt
+  FROM documents
+),
+dup AS (SELECT fp, count(*) AS k FROM base GROUP BY fp),
+b2 AS (
+  SELECT base.*,
+         (len(list_filter(lt, t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))::DOUBLE
+          / greatest(len(lt), 1)) >= 0.03 AS en_hit
+  FROM base
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       ROUND(AVG(score), 4) AS mean_quality,
+       ROUND(SUM(CASE WHEN dup.k > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_rate,
+       ROUND(SUM(CASE WHEN en_hit THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS en_signal_share
+FROM b2 JOIN dup ON b2.fp = dup.fp
+GROUP BY source ORDER BY source
+""".replace("{{z}}", "{z}").format(z=_quality_z_sql()),
+)
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import filtering
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = textstats.tokens(F.col("text"))
+    en_ratio = (
+        F.size(
+            F.filter(
+                textstats.tokens(F.lower(F.col("text"))),
+                lambda t: t.isin(
+                    ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+                ),
+            )
+        )
+        / F.greatest(F.size(textstats.tokens(F.lower(F.col("text")))), F.lit(1))
+    )
+    base = docs.select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        filtering.linear_quality_score(F.col("text")).alias("score"),
+        F.xxhash64(textstats.normalized_text(F.col("text"))).alias("fp"),
+        (en_ratio >= 0.03).alias("en_hit"),
+    )
+    dup = base.groupBy("fp").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        base.join(dup, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(F.avg("score"), 4).alias("mean_quality"),
+            F.round(
+                F.sum(F.when(F.col("k") > 1, 1).otherwise(0)) / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+            F.round(
+                F.sum(F.when(F.col("en_hit"), 1).otherwise(0)) / F.count(F.lit(1)), 4
+            ).alias("en_signal_share"),
+        )
+        .orderBy("source")
+    )
