@@ -192,3 +192,24 @@ def xxh64_sql(s_expr: str, seed: int = SPARK_SEED) -> str:
         xxh64_unsigned_sql(s_expr, seed),
         lambda v: f"CASE WHEN {v} >= {1 << 63} THEN ({v} - {_M})::BIGINT ELSE ({v})::BIGINT END",
     )
+
+
+def quality_z_sql() -> str:
+    """The ONE DuckDB spelling of filtering.linear_quality_score's
+    logistic input z (same weight literals, imported; same \\s+ trimmed
+    empty-free tokenization as textstats.tokens). Shared by the
+    model-score, corpus-v2, and AUC oracles so a feature change cannot
+    silently diverge one of them."""
+    from testlog_etl_spark.operators.filtering import MODEL_WEIGHTS as W
+    from testlog_etl_spark.operators.textstats import STOPWORDS
+
+    stop = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), __t -> __t != '')"
+    ltoks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), __t -> __t != '')"
+    return f"""{W['bias']}
+    + {W['log_tokens']} * ln(1.0 + len({toks}))
+    + {W['type_token_ratio']} * (len(list_distinct({toks}))::DOUBLE / greatest(len({toks}), 1))
+    + {W['stopword_ratio']} * (len(list_filter({ltoks}, __t -> list_contains({stop}, __t)))::DOUBLE
+                               / greatest(len({ltoks}), 1))
+    + {W['mean_token_len']} * (COALESCE(list_sum(list_transform({toks}, __t -> length(__t))), 0)::DOUBLE
+                               / greatest(len({toks}), 1))"""

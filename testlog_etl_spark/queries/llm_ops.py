@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from testlog_etl_spark import oracles as osql
+from testlog_etl_spark.oracles import quality_z_sql as _quality_z_sql
 from testlog_etl_spark.operators import multimodal, neardup, sampling, similarity, textstats
 from testlog_etl_spark.suite import register
 from testlog_etl_spark.tables import load_tables
@@ -1884,27 +1885,6 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_z_sql() -> str:
-    """The ONE DuckDB spelling of filtering.linear_quality_score's
-    logistic input z (same weight literals, imported; same \\s+ trimmed
-    empty-free tokenization as textstats.tokens). Shared by the
-    model-score, corpus-v2, and AUC oracles so a feature change cannot
-    silently diverge one of them."""
-    from testlog_etl_spark.operators.filtering import MODEL_WEIGHTS as W
-    from testlog_etl_spark.operators.textstats import STOPWORDS
-
-    stop = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
-    toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), __t -> __t != '')"
-    ltoks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), __t -> __t != '')"
-    return f"""{W['bias']}
-    + {W['log_tokens']} * ln(1.0 + len({toks}))
-    + {W['type_token_ratio']} * (len(list_distinct({toks}))::DOUBLE / greatest(len({toks}), 1))
-    + {W['stopword_ratio']} * (len(list_filter({ltoks}, __t -> list_contains({stop}, __t)))::DOUBLE
-                               / greatest(len({ltoks}), 1))
-    + {W['mean_token_len']} * (COALESCE(list_sum(list_transform({toks}, __t -> length(__t))), 0)::DOUBLE
-                               / greatest(len({toks}), 1))"""
-
-
 def _model_score_oracle() -> str:
     """DuckDB twin of filtering.linear_quality_score rollup; exp() ulp
     drift across libms is absorbed by the ROUND on the mean and by the
@@ -2624,4 +2604,50 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("en_signal_share"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "dedup_sorted_tokens",
+    doc="bag-of-words duplicate tier: fingerprint = hash of the SORTED "
+    "token list, so reordered-word copies collapse where the "
+    "normalized-text tier (order-sensitive) cannot. Same 8-byte-hash "
+    "discipline; output is the (group size, #groups) histogram plus "
+    "how many groups the order-sensitive tier would MISS (pure "
+    "reorderings).",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         hash(array_to_string(list_sort(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')), ' ')) AS bag_fp,
+         hash(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS txt_fp
+  FROM documents
+),
+g AS (
+  SELECT bag_fp, count(*) AS group_size, count(DISTINCT txt_fp) AS n_orderings
+  FROM f GROUP BY bag_fp
+)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_orderings > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_reordered_groups
+FROM g GROUP BY group_size ORDER BY group_size
+""",
+)
+def dedup_sorted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bag = F.xxhash64(
+        F.array_join(F.array_sort(textstats.tokens(F.lower(F.col("text")))), " ")
+    )
+    txt = F.xxhash64(textstats.normalized_text(F.col("text")))
+    f = docs.select(bag.alias("bag_fp"), txt.alias("txt_fp"))
+    g = f.groupBy("bag_fp").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct("txt_fp").alias("n_orderings"),
+    )
+    return (
+        g.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("n_orderings") > 1, 1).otherwise(0)).alias("n_reordered_groups"),
+        )
+        .orderBy("group_size")
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from testlog_etl_spark.oracles import quality_z_sql
 from testlog_etl_spark.suite import register
 from testlog_etl_spark.tables import load_tables
 
@@ -178,4 +179,114 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_stat"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_correlation",
+    doc="Pearson correlation panel per event type: corr(value, "
+    "hour-of-day) and corr(value, day-of-month) from ONE co-grouped "
+    "rollup of the five sufficient sums -- the closed form both "
+    "engines compute identically (built-in corr() differs in "
+    "streaming-update order; the sufficient-statistics form is "
+    "addition-order-free up to the final rounded division).",
+    oracle=f"""
+WITH t AS (
+  SELECT event_type, "value" AS v,
+         CAST(hour(ts) AS DOUBLE) AS h,
+         CAST(day(ts) AS DOUBLE) AS d
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         SUM(v) AS sv, SUM(h) AS sh, SUM(d) AS sd,
+         SUM(v * v) AS svv, SUM(h * h) AS shh, SUM(d * d) AS sdd,
+         SUM(v * h) AS svh, SUM(v * d) AS svd
+  FROM t GROUP BY event_type
+)
+SELECT event_type,
+       ROUND((n * svh - sv * sh) / sqrt((n * svv - sv * sv) * (n * shh - sh * sh)), {R}) AS corr_value_hour,
+       ROUND((n * svd - sv * sd) / sqrt((n * svv - sv * sv) * (n * sdd - sd * sd)), {R}) AS corr_value_day
+FROM s ORDER BY event_type
+""",
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    t = ev.select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.hour("ts").cast("double").alias("h"),
+        F.dayofmonth("ts").cast("double").alias("d"),
+    )
+    s = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum("h").alias("sh"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("h") * F.col("h")).alias("shh"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("v") * F.col("h")).alias("svh"),
+        F.sum(F.col("v") * F.col("d")).alias("svd"),
+    )
+    def corr(sxy, sx, sy, sxx, syy):
+        return F.round(
+            (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy))
+            / F.sqrt(
+                (F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx))
+                * (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            R,
+        )
+    return s.select(
+        "event_type",
+        corr("svh", "sv", "sh", "svv", "shh").alias("corr_value_hour"),
+        corr("svd", "sv", "sd", "svv", "sdd").alias("corr_value_day"),
+    ).orderBy("event_type")
+
+
+@register(
+    "stats_quantile_normalize",
+    doc="cross-source score comparability: each doc's quality score "
+    "mapped to its WITHIN-SOURCE percentile (percent_rank over the "
+    "(source) window with a doc_id tie-break), then per-source "
+    "deciles of the normalized value -- the quantile-normalization "
+    "step that makes scores from differently-calibrated sources "
+    "rankable against each other. Scores ride the 2^-20 snap so the "
+    "rank order is engine-identical.",
+    oracle="""
+WITH sc AS (
+  SELECT doc_id, source,
+         floor((1.0 / (1.0 + exp(-({z})))) * 1048576 + 0.5) / 1048576 AS s
+  FROM documents
+),
+p AS (
+  SELECT source,
+         PERCENT_RANK() OVER (PARTITION BY source ORDER BY s, doc_id) AS pr
+  FROM sc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(median(pr), 4) AS median_pr,
+       ROUND(quantile_cont(pr, 0.9), 4) AS p90_pr
+FROM p GROUP BY source ORDER BY source
+""".format(z=quality_z_sql()),
+)
+def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import filtering
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    g = F.lit(float(1 << 20))
+    snapped = F.floor(filtering.linear_quality_score(F.col("text")) * g + F.lit(0.5)) / g
+    sc = docs.select("doc_id", "source", snapped.alias("s"))
+    w = Window.partitionBy("source").orderBy("s", "doc_id")
+    p = sc.withColumn("pr", F.percent_rank().over(w))
+    return (
+        p.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.median("pr"), 4).alias("median_pr"),
+            F.round(F.percentile("pr", F.lit(0.9)), 4).alias("p90_pr"),
+        )
+        .orderBy("source")
     )
