@@ -1246,3 +1246,100 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .orderBy("event_type", "dow", "hod")
     )
+
+
+@register(
+    "orders_backlog_aging",
+    doc="backlog aging report: orders with NO line shipped by the "
+    "reference date, bucketed by age (anti join against the shipped-"
+    "by-ref projection -- keys only through the probe -- then an "
+    "integral-day age histogram).",
+    oracle="""
+WITH shipped AS (
+  SELECT DISTINCT l_orderkey FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1996-06-30 00:00:00'
+),
+backlog AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(epoch(TIMESTAMP '1996-06-30 00:00:00') - epoch(o_orderdate)) AS BIGINT) // 86400 AS age_days
+  FROM orders
+  WHERE o_orderdate <= TIMESTAMP '1996-06-30 00:00:00'
+    AND o_orderkey NOT IN (SELECT l_orderkey FROM shipped)
+)
+SELECT o_orderpriority,
+       CAST(CASE WHEN age_days < 30 THEN 0 WHEN age_days < 90 THEN 30
+                 WHEN age_days < 180 THEN 90 ELSE 180 END AS INT) AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM backlog
+GROUP BY o_orderpriority, age_bucket
+ORDER BY o_orderpriority, age_bucket
+""",
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ref = F.lit("1996-06-30 00:00:00").cast("timestamp")
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    shipped = (
+        t["lineitem"].filter(F.col("l_shipdate") <= ref).select("l_orderkey").distinct()
+    )
+    backlog = (
+        t["orders"]
+        .filter(F.col("o_orderdate") <= ref)
+        .join(shipped, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .withColumn(
+            "age_days",
+            (F.floor(F.unix_timestamp(ref) - F.unix_timestamp("o_orderdate")) / 86400).cast(
+                "long"
+            ),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") < 30, 0)
+        .when(F.col("age_days") < 90, 30)
+        .when(F.col("age_days") < 180, 90)
+        .otherwise(180)
+        .cast("int")
+    )
+    return (
+        backlog.groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority", "age_bucket")
+    )
+
+
+@register(
+    "events_inter_arrival",
+    doc="inter-arrival analysis: per-user event gap seconds via one lag "
+    "window, then exact per-type median/p90 of the gaps -- the "
+    "traffic-model readout (burstiness shows as p90 >> median).",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_sec
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       ROUND(median(gap_sec), 4) AS median_gap_sec,
+       ROUND(quantile_cont(gap_sec, 0.9), 4) AS p90_gap_sec
+FROM g WHERE gap_sec IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros("ts")
+    g = ev.withColumn(
+        "gap_sec", (micros - F.lag(micros).over(w)).cast("double") / 1e6
+    ).filter(F.col("gap_sec").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.median("gap_sec"), 4).alias("median_gap_sec"),
+            F.round(F.percentile("gap_sec", F.lit(0.9)), 4).alias("p90_gap_sec"),
+        )
+        .orderBy("event_type")
+    )

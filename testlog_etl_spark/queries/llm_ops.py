@@ -2651,3 +2651,48 @@ def dedup_sorted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+@register(
+    "text_vocab_growth",
+    doc="Heaps'-law vocabulary growth: cumulative distinct vocabulary "
+    "as the corpus is consumed in doc_id order, sampled per 100-doc "
+    "bucket. Each token contributes at its FIRST-occurrence doc (one "
+    "min-aggregate on the token hash -- the corpus-size shuffle "
+    "carries 8-byte hashes), then a cumulative window over the tiny "
+    "bucket frame.",
+    oracle="""
+WITH firsts AS (
+  SELECT min(doc_id) AS first_doc
+  FROM (
+    SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != ''))) AS tok
+    FROM documents
+  )
+  GROUP BY tok
+),
+b AS (
+  SELECT CAST(first_doc // 100 AS BIGINT) AS bucket, count(*)::BIGINT AS new_terms
+  FROM firsts GROUP BY bucket
+)
+SELECT bucket, new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+FROM b ORDER BY bucket
+""",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(textstats.tokens(F.lower(F.col("text"))))).alias("tok"),
+    )
+    firsts = toks.groupBy(F.xxhash64("tok").alias("th")).agg(F.min("doc_id").alias("first_doc"))
+    b = firsts.groupBy(F.floor(F.col("first_doc") / 100).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        b.withColumn("vocab_size", F.sum("new_terms").over(w).cast("long"))
+        .orderBy("bucket")
+    )

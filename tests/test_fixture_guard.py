@@ -16,6 +16,15 @@ import pytest
 from tests.conftest import SF_ORACLE
 
 
+def _li():
+    from testlog_etl_spark.tables import table_path
+
+    return table_path(SF_ORACLE, "lineitem")
+
+
+_LI_PATH = _li()
+
+
 # (name, table, predicate, minimum matching rows for the check to be
 # considered non-vacuous). Keep in sync with the literals in
 # testlog_etl_spark/queries/*.py -- the point is that these EXACT windows
@@ -35,6 +44,10 @@ WINDOWS = [
      "l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'", 1000),
     ("rate-limit tercile 1", "events", "ts < TIMESTAMP '2024-01-11'", 100),
     ("temporal-split val side", "events", "ts >= TIMESTAMP '2024-01-24'", 100),
+    ("backlog ref date", "orders",
+     "o_orderdate <= TIMESTAMP '1996-06-30' AND o_orderkey NOT IN "
+     "(SELECT DISTINCT l_orderkey FROM read_parquet('{li}') "
+     " WHERE l_shipdate <= TIMESTAMP '1996-06-30')".format(li=_LI_PATH), 100),
     ("rate-limit tercile 2", "events",
      "ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'", 100),
     ("rate-limit tercile 3", "events", "ts >= TIMESTAMP '2024-01-21'", 100),
