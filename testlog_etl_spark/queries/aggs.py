@@ -722,3 +722,88 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "agg_cube_grouping",
+    doc="full CUBE over (event_type, ISO-dow) with grouping-id "
+    "disambiguation (A16 widened past rollup: all 4 aggregation "
+    "levels in ONE pass -- Spark plans a single expand+aggregate, not "
+    "4 scans). NULL group values are real only where grouping says "
+    "so; the gid column is what makes subtotal rows machine-readable.",
+    oracle="""
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(CAST(isodow(ts) AS INT), -1) AS dow,
+       CAST(GROUPING(event_type) * 2 + GROUPING(isodow(ts)) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(SUM("value"), 4) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, isodow(ts))
+ORDER BY gid, event_type, dow
+""",
+)
+def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    dow = F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int")
+    return (
+        ev.cube(F.col("event_type"), dow.alias("dow"))
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "gid",
+            "n",
+            "sum_value",
+        )
+        .orderBy("gid", "event_type", "dow")
+    )
+
+
+@register(
+    "agg_supplier_hhi",
+    doc="Herfindahl-Hirschman concentration index of supplier revenue "
+    "per part type: sum of squared market shares x 10000 (the "
+    "antitrust scale). One (type, supplier) rollup; per-type totals "
+    "broadcast back; integral-cent-free double sums rounded at the "
+    "index, shares exact relative to their own rounded revenue.",
+    oracle="""
+WITH r AS (
+  SELECT p_type, l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_type, l_suppkey
+),
+t AS (SELECT p_type, SUM(rev) AS tot, count(*) AS n_suppliers FROM r GROUP BY p_type)
+SELECT r.p_type AS p_type,
+       CAST(any_value(n_suppliers) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(pow(rev / tot, 2)) * 10000, 4) AS hhi
+FROM r JOIN t ON t.p_type = r.p_type
+GROUP BY r.p_type ORDER BY p_type
+""",
+)
+def agg_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    r = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev")
+        )
+    )
+    tot = r.groupBy(F.col("p_type").alias("tp")).agg(
+        F.sum("rev").alias("tot"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        r.join(F.broadcast(tot), F.col("p_type") == F.col("tp"))
+        .groupBy("p_type")
+        .agg(
+            F.any_value("n_suppliers").cast("long").alias("n_suppliers"),
+            F.round(F.sum(F.pow(F.col("rev") / F.col("tot"), 2)) * 10000, 4).alias("hhi"),
+        )
+        .orderBy("p_type")
+    )

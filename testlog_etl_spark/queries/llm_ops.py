@@ -2696,3 +2696,62 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.withColumn("vocab_size", F.sum("new_terms").over(w).cast("long"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "text_zipf_fit",
+    doc="Zipf-law fit: least-squares slope of log(freq) vs log(rank) "
+    "over the top-100 terms (rank ties broken by term so both engines "
+    "order identically). Closed-form regression from the four "
+    "sufficient sums over a 100-row frame; the term-count rollup is "
+    "the only corpus-scale shuffle.",
+    oracle=f"""
+WITH tc AS (
+  SELECT tok, count(*)::DOUBLE AS freq
+  FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')) AS tok
+    FROM documents
+  ) GROUP BY tok
+),
+top AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM tc ORDER BY freq DESC, tok LIMIT 100
+),
+l AS (SELECT ln(rank) AS x, ln(freq) AS y FROM top),
+s AS (SELECT count(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM l)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), {R}) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, {R}) AS intercept
+FROM s
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = (
+        docs.select(F.explode(textstats.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    )
+    top = (
+        tc.orderBy(F.col("freq").desc(), "tok")
+        .limit(100)
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.col("freq").desc(), "tok")))
+    )
+    l = top.select(F.ln("rank").alias("x"), F.ln("freq").alias("y"))
+    s = l.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, R).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), R).alias("intercept"),
+    )
