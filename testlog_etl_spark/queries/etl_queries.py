@@ -1343,3 +1343,86 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_seasonal_index",
+    doc="seasonal index per (event_type, month): month mean value over "
+    "the type's grand mean (index 1.0 = typical month). Two rollups "
+    "over one scan lineage joined on the tiny type key.",
+    oracle="""
+WITH m AS (
+  SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+         AVG("value") AS month_mean
+  FROM events GROUP BY event_type, month
+),
+g AS (SELECT event_type, AVG("value") AS grand_mean FROM events GROUP BY event_type)
+SELECT m.event_type AS event_type, month,
+       ROUND(month_mean, 4) AS month_mean,
+       ROUND(month_mean / grand_mean, 4) AS seasonal_index
+FROM m JOIN g ON g.event_type = m.event_type
+ORDER BY event_type, month
+""",
+)
+def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    m = ev.groupBy("event_type", F.date_trunc("month", "ts").alias("month")).agg(
+        F.avg("value").alias("month_mean")
+    )
+    g = ev.groupBy(F.col("event_type").alias("et")).agg(F.avg("value").alias("grand_mean"))
+    return (
+        m.join(F.broadcast(g), F.col("event_type") == F.col("et"))
+        .select(
+            "event_type",
+            "month",
+            F.round("month_mean", 4).alias("month_mean"),
+            F.round(F.col("month_mean") / F.col("grand_mean"), 4).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "month")
+    )
+
+
+@register(
+    "dq_freshness_report",
+    doc="data-freshness readout (the DQ suite's temporal sibling): per "
+    "time-bearing table, row count, latest timestamp, and staleness "
+    "hours vs each table's own reference horizon -- the page an "
+    "on-call loads first. One metadata-light aggregate per table, "
+    "unioned.",
+    oracle="""
+SELECT * FROM (
+  SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, max(ts) AS latest,
+         CAST(floor((epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(max(ts))) / 3600) AS BIGINT) AS staleness_h
+  FROM events
+  UNION ALL
+  SELECT 'lineitem', count(*), max(l_shipdate),
+         CAST(floor((epoch(TIMESTAMP '2002-01-01 00:00:00') - epoch(max(l_shipdate))) / 3600) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders', count(*), max(o_orderdate),
+         CAST(floor((epoch(TIMESTAMP '2002-01-01 00:00:00') - epoch(max(o_orderdate))) / 3600) AS BIGINT)
+  FROM orders
+)
+ORDER BY tbl
+""",
+)
+def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events", "lineitem", "orders"))
+
+    def row(name: str, df: DataFrame, ts_col: str, ref: str) -> DataFrame:
+        ref_c = F.lit(ref).cast("timestamp")
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(ts_col).alias("latest"),
+            F.floor(
+                (F.unix_timestamp(ref_c) - F.unix_timestamp(F.max(ts_col))) / 3600
+            ).cast("long").alias("staleness_h"),
+        )
+
+    return (
+        row("events", t["events"], "ts", "2024-02-01 00:00:00")
+        .unionByName(row("lineitem", t["lineitem"], "l_shipdate", "2002-01-01 00:00:00"))
+        .unionByName(row("orders", t["orders"], "o_orderdate", "2002-01-01 00:00:00"))
+        .orderBy("tbl")
+    )

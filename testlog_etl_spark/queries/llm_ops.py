@@ -2755,3 +2755,41 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, R).alias("zipf_slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), R).alias("intercept"),
     )
+
+
+@register(
+    "docs_template_extraction",
+    doc="boilerplate template detection: the modal 32-char prefix per "
+    "source and its share -- crawls with injected page chrome show a "
+    "dominant template here. One (source, prefix-hash... prefix is 32 "
+    "bytes, carried) rollup + max_by over the tiny per-source frame.",
+    oracle="""
+WITH p AS (
+  SELECT source, substr(text, 1, 32) AS prefix, count(*) AS k
+  FROM documents GROUP BY source, prefix
+),
+t AS (SELECT source, SUM(k) AS n FROM p GROUP BY source)
+SELECT p.source AS source,
+       arg_max(prefix, lpad(CAST(k AS VARCHAR), 12, '0') || prefix) AS modal_prefix,
+       CAST(max(k) AS BIGINT) AS modal_count,
+       ROUND(max(k) / any_value(n), 4) AS modal_share
+FROM p JOIN t ON t.source = p.source
+GROUP BY p.source ORDER BY source
+""",
+)
+def docs_template_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    p = docs.groupBy("source", F.substring("text", 1, 32).alias("prefix")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    t = p.groupBy(F.col("source").alias("src")).agg(F.sum("k").cast("double").alias("n"))
+    return (
+        p.join(F.broadcast(t), F.col("source") == F.col("src"))
+        .groupBy("source")
+        .agg(
+            F.max_by("prefix", F.concat(F.lpad(F.col("k").cast("string"), 12, "0"), F.col("prefix"))).alias("modal_prefix"),
+            F.max("k").alias("modal_count"),
+            F.round(F.max("k") / F.any_value("n"), 4).alias("modal_share"),
+        )
+        .orderBy("source")
+    )
