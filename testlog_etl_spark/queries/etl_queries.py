@@ -1426,3 +1426,89 @@ def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("orders", t["orders"], "o_orderdate", "2002-01-01 00:00:00"))
         .orderBy("tbl")
     )
+
+
+@register(
+    "events_dau_mau",
+    doc="DAU/MAU engagement: per month, the average daily-active count "
+    "over the monthly-active count (the stickiness ratio). Per-(user, "
+    "day) dedup first so every later count is a cheap rollup -- no "
+    "windowed COUNT DISTINCT anywhere.",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(date_trunc('month', ts) AS TIMESTAMP) AS month
+  FROM events
+),
+dau AS (SELECT month, day, count(*)::DOUBLE AS dau FROM ud GROUP BY month, day),
+mau AS (SELECT month, count(DISTINCT user_id)::BIGINT AS mau FROM ud GROUP BY month)
+SELECT mau.month AS month, mau.mau,
+       ROUND(AVG(dau.dau), 4) AS avg_dau,
+       ROUND(AVG(dau.dau) / mau.mau, 4) AS stickiness
+FROM dau JOIN mau ON mau.month = dau.month
+GROUP BY mau.month, mau.mau
+ORDER BY month
+""",
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ud = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("month", "ts").alias("month"),
+    ).distinct()
+    dau = ud.groupBy("month", "day").agg(F.count(F.lit(1)).cast("double").alias("dau"))
+    mau = ud.select("month", "user_id").distinct().groupBy(F.col("month").alias("m")).agg(
+        F.count(F.lit(1)).alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), F.col("month") == F.col("m"))
+        .groupBy("month", "mau")
+        .agg(
+            F.round(F.avg("dau"), 4).alias("avg_dau"),
+            F.round(F.avg("dau") / F.any_value("mau"), 4).alias("stickiness"),
+        )
+        .select("month", "mau", "avg_dau", "stickiness")
+        .orderBy("month")
+    )
+
+
+@register(
+    "orders_cross_sell",
+    doc="cross-sell matrix: part-type pairs bought in the SAME order, "
+    "top 20 by co-occurrence. The self-join is order-local (fan-out "
+    "bounded by lines-per-order), distinct types per order FIRST so a "
+    "multi-line type counts once, part attributes broadcast.",
+    oracle="""
+WITH ot AS (
+  SELECT DISTINCT l_orderkey, p_type
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+pairs AS (
+  SELECT a.p_type AS type_a, b.p_type AS type_b, count(*)::BIGINT AS n_orders
+  FROM ot a JOIN ot b ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+  GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_orders
+FROM pairs
+ORDER BY n_orders DESC, type_a, type_b
+LIMIT 20
+""",
+)
+def orders_cross_sell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    ot = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    a = ot.select(F.col("l_orderkey").alias("ok"), F.col("p_type").alias("type_a"))
+    b = ot.select(F.col("l_orderkey").alias("ok2"), F.col("p_type").alias("type_b"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "type_a", "type_b")
+        .limit(20)
+    )
