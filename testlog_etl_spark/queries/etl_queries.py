@@ -1512,3 +1512,46 @@ def orders_cross_sell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "type_a", "type_b")
         .limit(20)
     )
+
+
+@register(
+    "events_error_budget",
+    doc="SLO error-budget burn: hourly error share vs a 1% budget, the "
+    "burn-rate multiplier, and per-day budget consumption -- the "
+    "alerting arithmetic behind multiwindow burn alerts, as one "
+    "hourly rollup plus a daily re-aggregate.",
+    oracle="""
+WITH h AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         count(*)::DOUBLE AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE AS errs
+  FROM events GROUP BY hour
+)
+SELECT CAST(date_trunc('day', hour) AS TIMESTAMP) AS day,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(errs) AS BIGINT) AS n_errors,
+       ROUND(SUM(errs) / SUM(n), 4) AS error_rate,
+       ROUND((SUM(errs) / SUM(n)) / 0.01, 4) AS burn_rate,
+       ROUND(MAX(errs / n) / 0.01, 4) AS worst_hour_burn
+FROM h GROUP BY day ORDER BY day
+""",
+)
+def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("double")
+        .alias("errs"),
+    )
+    return (
+        h.groupBy(F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("errs").cast("long").alias("n_errors"),
+            F.round(F.sum("errs") / F.sum("n"), 4).alias("error_rate"),
+            F.round((F.sum("errs") / F.sum("n")) / 0.01, 4).alias("burn_rate"),
+            F.round(F.max(F.col("errs") / F.col("n")) / 0.01, 4).alias("worst_hour_burn"),
+        )
+        .orderBy("day")
+    )

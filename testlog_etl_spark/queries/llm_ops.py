@@ -2793,3 +2793,107 @@ def docs_template_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_code_signal",
+    doc="code-vs-prose detection signals (the pretraining code-filter "
+    "heuristic): symbol density ({}();=<>[]), digit density, and "
+    "indented-line share per doc, rolled up per source -- pure regex "
+    "counts in scan codegen. Prose corpora read near zero; a code "
+    "crawl lights up.",
+    oracle="""
+WITH d AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[{}();=<>\\[\\]]'))::DOUBLE / greatest(length(text), 1) AS sym_density,
+         len(regexp_extract_all(text, '[0-9]'))::DOUBLE / greatest(length(text), 1) AS digit_density,
+         len(regexp_extract_all(text, '(^|\\n)(    |\\t)'))::DOUBLE
+           / greatest(len(regexp_extract_all(text, '(^|\\n)')) , 1) AS indent_share
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       ROUND(AVG(sym_density), 4) AS avg_sym_density,
+       ROUND(AVG(digit_density), 4) AS avg_digit_density,
+       ROUND(AVG(indent_share), 4) AS avg_indent_share
+FROM d GROUP BY source ORDER BY source
+""",
+)
+def text_code_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_chars = F.greatest(F.length("text"), F.lit(1))
+    sym = F.size(F.expr(r"regexp_extract_all(text, '[{}();=<>\\[\\]]', 0)")) / n_chars
+    dig = F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)")) / n_chars
+    lines = F.greatest(F.size(F.expr(r"regexp_extract_all(text, '(^|\n)', 0)")), F.lit(1))
+    indent = F.size(F.expr(r"regexp_extract_all(text, '(^|\n)(    |\t)', 0)")) / lines
+    d = docs.select(
+        "source",
+        sym.alias("sym_density"),
+        dig.alias("digit_density"),
+        indent.alias("indent_share"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("sym_density"), 4).alias("avg_sym_density"),
+            F.round(F.avg("digit_density"), 4).alias("avg_digit_density"),
+            F.round(F.avg("indent_share"), 4).alias("avg_indent_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "embed_norm_outliers",
+    doc="embedding hygiene: vector-norm distribution per label (mean / "
+    "median) and count beyond 3 scaled MADs -- degenerate embeddings "
+    "(zero or exploded norms) poison cosine retrieval; this is the "
+    "pre-index gate. Norms are one array fold per row; the MAD pass "
+    "reuses the robust-stats shape on the tiny (label, norm) rollup "
+    "lineage.",
+    oracle="""
+WITH n AS (
+  SELECT label,
+         sqrt(reduce(list_prepend(0.0::DOUBLE, list_transform(embedding::DOUBLE[], x -> x * x)),
+                     (a, x) -> a + x)) AS nrm
+  FROM embeddings
+),
+med AS (SELECT label, median(nrm) AS med_n FROM n GROUP BY label),
+dev AS (
+  SELECT n.label, ROUND(median(abs(nrm - med_n)), 4) AS mad
+  FROM n JOIN med USING (label) GROUP BY n.label
+)
+SELECT n.label AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(nrm), 4) AS mean_norm,
+       ROUND(any_value(med.med_n), 4) AS median_norm,
+       CAST(SUM(CASE WHEN abs(nrm - med.med_n) > 3 * 1.4826 * dev.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM n JOIN med USING (label) JOIN dev ON dev.label = n.label
+GROUP BY n.label ORDER BY label
+""",
+)
+def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.similarity import l2_norm
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    n = emb.select("label", l2_norm(F.col("embedding").cast("array<double>")).alias("nrm"))
+    med = n.groupBy(F.col("label").alias("l1")).agg(F.median("nrm").alias("med_n"))
+    with_med = n.join(F.broadcast(med), F.col("label") == F.col("l1"))
+    dev = with_med.groupBy(F.col("label").alias("l2")).agg(
+        F.round(F.median(F.abs(F.col("nrm") - F.col("med_n"))), 4).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(dev), F.col("label") == F.col("l2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("mean_norm"),
+            F.round(F.any_value("med_n"), 4).alias("median_norm"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("nrm") - F.col("med_n")) > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
