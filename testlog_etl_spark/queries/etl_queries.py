@@ -1555,3 +1555,106 @@ def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "forecast_seasonal_naive_mape",
+    doc="forecast backtest: seasonal-naive model (per-type same-ISO-dow "
+    "mean daily volume from the training window) evaluated on the "
+    "final week with MAPE and bias -- the evaluation harness matters "
+    "more than the model, and it is all exact rollups: train/test "
+    "split by date, per-(type, dow) training means broadcast onto "
+    "test days.",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(isodow(ts) AS INT) AS dow, count(*)::DOUBLE AS n
+  FROM events GROUP BY event_type, day, dow
+),
+train AS (
+  SELECT event_type, dow, AVG(n) AS pred
+  FROM daily WHERE day < TIMESTAMP '2024-01-24 00:00:00' GROUP BY event_type, dow
+),
+test AS (SELECT * FROM daily WHERE day >= TIMESTAMP '2024-01-24 00:00:00')
+SELECT test.event_type AS event_type,
+       CAST(count(*) AS BIGINT) AS n_test_days,
+       ROUND(AVG(abs(n - pred) / n), 4) AS mape,
+       ROUND(AVG(pred - n), 4) AS mean_bias
+FROM test JOIN train ON train.event_type = test.event_type AND train.dow = test.dow
+GROUP BY test.event_type ORDER BY event_type
+""",
+)
+def forecast_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    train = (
+        daily.filter(F.col("day") < cutoff)
+        .groupBy(F.col("event_type").alias("et"), F.col("dow").alias("dw"))
+        .agg(F.avg("n").alias("pred"))
+    )
+    test = daily.filter(F.col("day") >= cutoff)
+    return (
+        test.join(
+            F.broadcast(train),
+            (F.col("event_type") == F.col("et")) & (F.col("dow") == F.col("dw")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_days"),
+            F.round(F.avg(F.abs(F.col("n") - F.col("pred")) / F.col("n")), 4).alias("mape"),
+            F.round(F.avg(F.col("pred") - F.col("n")), 4).alias("mean_bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    doc="degree distribution of the undirected event-transition graph "
+    "(completes the graph-stats set beside components / PageRank / "
+    "triangles): per-node degree from the deduped edge list, then the "
+    "(degree, #nodes) histogram.",
+    oracle="""
+WITH raw AS (
+  SELECT prev_type AS a, event_type AS b FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  ) WHERE prev_type IS NOT NULL AND prev_type <> event_type
+),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw),
+deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type")))
+        .select(
+            F.least("prev_type", "event_type").alias("u"),
+            F.greatest("prev_type", "event_type").alias("v"),
+        )
+        .distinct()
+    )
+    nodes = e.select(F.col("u").alias("node")).unionAll(e.select(F.col("v").alias("node")))
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
