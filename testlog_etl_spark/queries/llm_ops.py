@@ -2897,3 +2897,86 @@ def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "dedup_tier_report",
+    doc="dedup-tier comparison: per tier -- exact (normalized text), "
+    "bag-of-words (sorted tokens), prefix-Hamming(<=4) -- how many "
+    "docs are flagged duplicate, and the INCREMENTAL docs each looser "
+    "tier adds over the stricter one. Each tier reuses its verified "
+    "idiom; the report is what decides which tiers a corpus actually "
+    "needs before paying for MinHash.",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         hash(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS txt_fp,
+         hash(array_to_string(list_sort(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')), ' ')) AS bag_fp,
+         rpad(substr(text, 1, 64), 64, ' ') AS pre
+  FROM documents
+),
+exact_d AS (
+  SELECT doc_id FROM f QUALIFY count(*) OVER (PARTITION BY txt_fp) > 1
+),
+bag_d AS (
+  SELECT doc_id FROM f QUALIFY count(*) OVER (PARTITION BY bag_fp) > 1
+),
+ham_d AS (
+  SELECT DISTINCT a.doc_id
+  FROM f a JOIN f b ON a.doc_id <> b.doc_id AND hamming(a.pre, b.pre) <= 4
+)
+SELECT * FROM (
+  SELECT 'a_exact' AS tier, (SELECT count(*) FROM exact_d) AS n_flagged,
+         0 AS n_incremental
+  UNION ALL
+  SELECT 'b_bag', (SELECT count(*) FROM bag_d),
+         (SELECT count(*) FROM bag_d WHERE doc_id NOT IN (SELECT doc_id FROM exact_d))
+  UNION ALL
+  SELECT 'c_prefix_hamming', (SELECT count(*) FROM ham_d),
+         (SELECT count(*) FROM ham_d WHERE doc_id NOT IN (SELECT doc_id FROM bag_d)
+            AND doc_id NOT IN (SELECT doc_id FROM exact_d))
+)
+ORDER BY tier
+""",
+)
+def dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    f = docs.select(
+        "doc_id",
+        F.xxhash64(textstats.normalized_text(F.col("text"))).alias("txt_fp"),
+        F.xxhash64(
+            F.array_join(F.array_sort(textstats.tokens(F.lower(F.col("text")))), " ")
+        ).alias("bag_fp"),
+        F.rpad(F.substring("text", 1, 64), 64, " ").alias("pre"),
+    )
+    exact_d = f.withColumn("_k", F.count(F.lit(1)).over(Window.partitionBy("txt_fp"))).filter(
+        "_k > 1"
+    ).select("doc_id")
+    bag_d = f.withColumn("_k", F.count(F.lit(1)).over(Window.partitionBy("bag_fp"))).filter(
+        "_k > 1"
+    ).select("doc_id")
+    pairs = neardup.hamming_join(
+        f.select("doc_id", "pre"), "doc_id", "pre", length=64, max_dist=4
+    )
+    ham_d = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+
+    def row(tier: str, d: DataFrame, minus: list[DataFrame]) -> DataFrame:
+        inc = d
+        for m in minus:
+            inc = inc.join(m, "doc_id", "left_anti")
+        return d.agg(F.count(F.lit(1)).alias("n_flagged")).crossJoin(
+            F.broadcast(inc.agg(F.count(F.lit(1)).alias("n_incremental")))
+        ).select(F.lit(tier).alias("tier"), "n_flagged", "n_incremental")
+
+    base = row("a_exact", exact_d, [exact_d])  # incremental over itself = 0
+    return (
+        base.unionByName(row("b_bag", bag_d, [exact_d]))
+        .unionByName(row("c_prefix_hamming", ham_d, [bag_d, exact_d]))
+        .orderBy("tier")
+    )
