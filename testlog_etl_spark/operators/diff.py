@@ -128,8 +128,12 @@ def apply_diff(old: DataFrame, diff: DataFrame, keys: Sequence[str]) -> DataFram
     non-key column of ``old`` (otherwise uncompared columns cannot be
     reconstructed and this raises). `test_snapshot_diff_roundtrip*`
     pins apply(old, diff(old, new)) == new exactly. Shuffle cost: one
-    anti join against the (typically small, broadcast) diff keys plus
-    the diff's own rows."""
+    anti join against the diff keys plus the diff's own rows. The join
+    strategy is deliberately left to Catalyst/AQE: a typical CDC diff is
+    small and auto-broadcasts under autoBroadcastJoinThreshold, but a
+    high-churn pair (full re-crawl where most keys changed) produces a
+    diff the size of the table, and a forced broadcast hint there would
+    bypass the threshold and OOM executors."""
     payload_cols = [c for c in old.columns if c not in set(keys)]
     missing = [c for c in payload_cols if c not in diff.columns]
     if missing:
@@ -140,4 +144,4 @@ def apply_diff(old: DataFrame, diff: DataFrame, keys: Sequence[str]) -> DataFram
         )
     touched = diff.select(*keys)
     upserts = diff.filter(F.col("op") != "delete").select(*keys, *payload_cols)
-    return old.join(F.broadcast(touched), list(keys), "left_anti").unionByName(upserts)
+    return old.join(touched, list(keys), "left_anti").unionByName(upserts)

@@ -20,8 +20,6 @@ Scale design (the whole point of these over exact O(n^2) comparison):
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -263,6 +261,27 @@ def simhash_pairs(
     )
 
 
+def _chunk_bounds(length: int, n_chunks: int) -> list[tuple[int, int, int]]:
+    """Split ``length`` chars into ``n_chunks`` contiguous (idx, start,
+    len) pieces by floor + remainder: the first length % n_chunks chunks
+    get one extra char, so EVERY chunk length is >= 1 whenever
+    length >= n_chunks. (A ceil-based split -- min(ceil(L/n), remaining)
+    -- yields a ZERO-length tail chunk whenever (n-1)*ceil(L/n) >= L,
+    e.g. L=16,n=5 -> 4,4,4,4,0: the empty chunk's substring is '' for
+    every key, silently degenerating the pigeonhole equi-join into the
+    full O(n^2) cross product the length guard claims to refuse;
+    ADVICE r04.)"""
+    base, rem = divmod(length, n_chunks)
+    bounds = []
+    start = 1
+    for i in range(n_chunks):
+        ln = base + (1 if i < rem else 0)
+        bounds.append((i, start, ln))
+        start += ln
+    assert all(ln >= 1 for _, _, ln in bounds) and start - 1 == length
+    return bounds
+
+
 def hamming_join(
     df: DataFrame,
     id_col: str,
@@ -307,13 +326,7 @@ def hamming_join(
             f"length ({length}) must be >= max_dist + 1 ({n_chunks}): "
             "pigeonhole blocking needs a non-empty chunk per allowed edit"
         )
-    base = math.ceil(length / n_chunks)
-    bounds = []
-    start = 1
-    for i in range(n_chunks):
-        ln = min(base, length - (start - 1))
-        bounds.append((i, start, ln))
-        start += ln
+    bounds = _chunk_bounds(int(length), n_chunks)
     keys = df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_key"))
     chunks = keys.select(
         "_id",

@@ -420,6 +420,7 @@ def semantic_dedup(
     n_bits: int | None = None,
     seed: int = 7,
     target_cell_rows: int = 256,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) restated Spark-first:
     bucket embeddings into cells, score pairwise cosine ONLY within a
@@ -449,13 +450,16 @@ def semantic_dedup(
     grows; recall per-pair then depends only on cell granularity vs
     duplicate distance, the standard SemDeDup trade. Pass explicit
     n_bits when replay determinism across corpus sizes matters (the
-    oracle-paired driver query pins 6). The self-join is a (sig)
-    equi-join whose shuffle carries (sig, id, vector) once per side.
-    Returns one row per DROPPED vector: (id, exemplar id, cosine to
-    that exemplar).
+    oracle-paired driver query pins 6). Auto-sizing needs the corpus
+    row count: pass ``n_rows`` when the caller already knows it (table
+    stats, a manifest, a prior count) so the default path costs NO extra
+    scan; only when both n_bits and n_rows are absent does this fall
+    back to one count() job. The self-join is a (sig) equi-join whose
+    shuffle carries (sig, id, vector) once per side. Returns one row per
+    DROPPED vector: (id, exemplar id, cosine to that exemplar).
     """
     if n_bits is None:
-        n_bits = _auto_cell_bits(df.count(), target_cell_rows)
+        n_bits = _auto_cell_bits(n_rows if n_rows is not None else df.count(), target_cell_rows)
     planes_lit = const_array(rademacher_planes(seed, n_bits, dim))
     # one-table signature: same single-SQL-string discipline as lsh_topk
     # (a Python-built tree of n_bits nested folds costs py4j round trips)
@@ -531,8 +535,14 @@ def hard_negatives(
         queries.select(F.col(q_id), F.col(q_label), cast(q_vec).alias("_qv"))
         .withColumn("_qn", l2_norm(F.col("_qv")))
     )
+    # label test is null-SAFE negated equality: a corpus row with a NULL
+    # label is a valid negative for any labeled anchor (plain != yields
+    # NULL there and silently drops the row). The id test assumes anchors
+    # and corpus share one id namespace (the usual mine-from-own-corpus
+    # case); callers mining against a foreign corpus where ids can
+    # coincide by accident should pre-rename ids to disjoint namespaces.
     pairs = c_side.crossJoin(F.broadcast(q_side)).filter(
-        (F.col(q_id) != F.col(c_id)) & (F.col(q_label) != F.col(c_label))
+        (F.col(q_id) != F.col(c_id)) & ~F.col(q_label).eqNullSafe(F.col(c_label))
     )
     scored = pairs.select(
         q_id,

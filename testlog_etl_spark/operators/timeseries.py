@@ -289,11 +289,14 @@ def sweep_concurrency(
     if method == "window":
         w = Window.partitionBy("_k").orderBy("_bt", "_d")
         conc = plus.unionByName(minus).withColumn("_conc", F.sum("_d").over(w).cast("long"))
-        peaks = conc.groupBy("_k").agg(F.max("_conc").alias("peak")).select(
-            F.col("_k").alias("_pk"), "peak"
-        )
+        # per-key peak via a whole-partition window over the SAME key
+        # partitioning -- reuses the running-sum exchange instead of a
+        # groupBy + broadcast-join back (this path is the HIGH-cardinality
+        # regime: a forced broadcast of one-row-per-key is O(#keys) driver
+        # memory and defeats the point)
+        wk = Window.partitionBy("_k")
         return (
-            conc.join(F.broadcast(peaks), F.col("_k").eqNullSafe(F.col("_pk")))
+            conc.withColumn("peak", F.max("_conc").over(wk))
             .filter(F.col("_conc") == F.col("peak"))
             .groupBy(F.col("_k").alias(key_col), "peak")
             .agg(F.min("_bt").alias("first_peak_ts"))

@@ -36,16 +36,14 @@ ORDER BY event_type
 """,
 )
 def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
-    from testlog_etl_spark.streaming.jobs import SCRATCH
+    from testlog_etl_spark.streaming.jobs import fresh_scratch_dir
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    # per-invocation unique block dir (ADVICE r03): a fixed shared path
-    # races under concurrent/re-entrant harness runs (one run's rmtree
-    # deleting the block another is lazily reading). Blocks are tiny;
-    # stale ones are abandoned, never deleted while possibly live.
-    block_path = os.path.join(SCRATCH, "jsonl", f"events_block_{uuid.uuid4().hex}")
+    # per-invocation unique block dir with stale-sibling TTL sweep
+    # (ADVICE r03 + r04): a fixed shared path races under concurrent
+    # harness runs; uuid dirs without a sweep grow the scratch area
+    # without bound. fresh_scratch_dir gives both guarantees.
+    block_path = fresh_scratch_dir("jsonl")
     # timestamps serialize as ISO strings; this block only needs the
     # filtered analytical columns (the reference's blocks are projected
     # transform outputs, not raw table dumps)
@@ -194,13 +192,11 @@ ORDER BY event_type
 """,
 )
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
-    from testlog_etl_spark.streaming.jobs import SCRATCH
+    from testlog_etl_spark.streaming.jobs import fresh_scratch_dir
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    # unique per invocation -- see source_jsonl_roundtrip's race note
-    block_path = os.path.join(SCRATCH, "csv", f"events_block_{uuid.uuid4().hex}")
+    # unique per invocation + TTL sweep -- see source_jsonl_roundtrip
+    block_path = fresh_scratch_dir("csv")
     (
         ev.filter(F.col("event_type").isin("click", "view"))
         .select("event_id", "event_type", "value")
@@ -237,12 +233,11 @@ ORDER BY event_type
 """,
 )
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
-    from testlog_etl_spark.streaming.jobs import SCRATCH
+    from testlog_etl_spark.streaming.jobs import fresh_scratch_dir
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    block_path = os.path.join(SCRATCH, "orc", f"events_block_{uuid.uuid4().hex}")
+    # unique per invocation + TTL sweep -- see source_jsonl_roundtrip
+    block_path = fresh_scratch_dir("orc")
     (
         ev.select("event_id", "event_type", "value", "ts")
         .write.partitionBy("event_type")

@@ -271,13 +271,15 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stage_stream_input(df: DataFrame, subdir: str, ttl_sec: int = 600) -> str:
-    """Write ``df`` as the first micro-batch file of a fresh
-    per-invocation stream-input directory under SCRATCH/``subdir``,
-    pruning stale sibling runs (per-invocation uuid dirs: concurrent
-    harness runs never race each other; the ttl sweep keeps the scratch
-    area bounded). The shared front half of every drive-a-file-stream
-    query in streaming_queries.py."""
+def fresh_scratch_dir(subdir: str, ttl_sec: int = 600) -> str:
+    """Reserve a fresh per-invocation uuid directory under
+    SCRATCH/``subdir``, first pruning stale sibling runs older than
+    ``ttl_sec``. Per-invocation dirs mean concurrent harness runs never
+    race each other (one run's rmtree can't delete a block another is
+    lazily reading -- a live sibling is by definition younger than the
+    TTL); the sweep keeps the scratch area bounded across repeated
+    suite/driver runs. Shared by the stream-input stagers AND the
+    jsonl/csv/orc block-sink round-trip queries."""
     import shutil
     import time
     import uuid
@@ -286,9 +288,21 @@ def stage_stream_input(df: DataFrame, subdir: str, ttl_sec: int = 600) -> str:
     if os.path.isdir(root):
         for d in os.listdir(root):
             p = os.path.join(root, d)
-            if os.path.getmtime(p) < time.time() - ttl_sec:
-                shutil.rmtree(p, ignore_errors=True)
-    in_dir = os.path.join(root, uuid.uuid4().hex)
+            try:
+                if os.path.getmtime(p) < time.time() - ttl_sec:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # sibling swept by a concurrent run between list and stat
+    return os.path.join(root, uuid.uuid4().hex)
+
+
+def stage_stream_input(df: DataFrame, subdir: str, ttl_sec: int = 600) -> str:
+    """Write ``df`` as the first micro-batch file of a fresh
+    per-invocation stream-input directory under SCRATCH/``subdir``
+    (see ``fresh_scratch_dir`` for the race/TTL contract). The shared
+    front half of every drive-a-file-stream query in
+    streaming_queries.py."""
+    in_dir = fresh_scratch_dir(subdir, ttl_sec)
     df.coalesce(1).write.mode("append").parquet(in_dir)
     return in_dir
 
@@ -299,17 +313,7 @@ def stage_stream_batches(dfs: list, subdir: str, ttl_sec: int = 600) -> str:
     fresh per-invocation input dir, with the same stale-sibling TTL
     sweep so repeated suite runs don't grow the scratch area without
     bound."""
-    import shutil
-    import time
-    import uuid
-
-    root = os.path.join(SCRATCH, subdir)
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            p = os.path.join(root, d)
-            if os.path.getmtime(p) < time.time() - ttl_sec:
-                shutil.rmtree(p, ignore_errors=True)
-    in_dir = os.path.join(root, uuid.uuid4().hex)
+    in_dir = fresh_scratch_dir(subdir, ttl_sec)
     for df in dfs:
         df.coalesce(1).write.mode("append").parquet(in_dir)
     return in_dir

@@ -837,6 +837,89 @@ def test_hamming_join_max_block_caps_hot_chunks(spark):
     assert hamming_join(df, "id", "key", length=8, max_dist=1, max_block=2).count() == 0
 
 
+def test_hamming_chunk_bounds_never_empty():
+    # ADVICE r04: the old ceil split gave a zero-length tail chunk for
+    # (16, d=4) and (12, d=4) -- '' matches every key, collapsing the
+    # pigeonhole equi-join into a full cross product. Floor+remainder
+    # must cover the key exactly with every chunk >= 1 char.
+    from testlog_etl_spark.operators.neardup import _chunk_bounds
+
+    for length in range(1, 70):
+        for n_chunks in range(1, length + 1):
+            bounds = _chunk_bounds(length, n_chunks)
+            assert len(bounds) == n_chunks
+            assert all(ln >= 1 for _, _, ln in bounds)
+            # contiguous, gapless cover of 1..length
+            pos = 1
+            for i, (idx, start, ln) in enumerate(bounds):
+                assert idx == i and start == pos
+                pos += ln
+            assert pos - 1 == length
+
+
+def test_hamming_join_previously_degenerate_combo(spark):
+    # the exact (length=16, max_dist=4) combo ADVICE r04 flagged: with
+    # the empty 5th chunk every key pair became a candidate; the fix
+    # keeps results exact AND blocks must actually block -- keys with no
+    # shared non-empty chunk pair with nothing.
+    from testlog_etl_spark.operators.neardup import hamming_join
+
+    base = "abcdefghijklmnop"
+    s = list(base)
+    for p in (0, 4, 8, 12):
+        s[p] = "X"
+    rows = [(0, base), (1, "".join(s)), (2, "Q" * 16)]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    got = {(r["a_id"], r["b_id"]): r["dist"]
+           for r in hamming_join(df, "id", "key", length=16, max_dist=4).collect()}
+    assert got == {(0, 1): 4}
+    # max_block=2 on 3 all-distinct keys: no chunk value is shared by
+    # more than 2 keys here, so with the degenerate '' chunk (shared by
+    # ALL 3) the pair would vanish; with the fix it survives
+    got_capped = hamming_join(df, "id", "key", length=16, max_dist=4, max_block=2).count()
+    assert got_capped == 1
+
+
+def test_hard_negatives_null_label_is_a_valid_negative(spark):
+    # plain != silently drops NULL-labeled corpus rows (NULL != x is
+    # NULL); the null-safe test must mine them as negatives for any
+    # labeled anchor
+    from testlog_etl_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, None, [0.99, 0.14]),   # unlabeled -- closest, must be mined
+        (2, 1, [0.9, 0.44]),
+        (3, 0, [0.97, 0.24]),      # same label -- excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, label int, embedding array<double>")
+    anchors = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"), F.col("embedding").alias("q_vec")
+    )
+    corpus = df.select(
+        F.col("vec_id").alias("c_id"), F.col("label").alias("c_label"), F.col("embedding").alias("c_vec")
+    )
+    got = hard_negatives(anchors, corpus, k=2).collect()
+    assert [r["c_id"] for r in got] == [1, 2]
+    # and NULL-labeled ANCHORS mine every labeled row as negative
+    anchors_null = df.filter("vec_id = 1").select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"), F.col("embedding").alias("q_vec")
+    )
+    got_n = hard_negatives(anchors_null, corpus, k=3).collect()
+    assert sorted(r["c_id"] for r in got_n) == [0, 2, 3]
+
+
+def test_semantic_dedup_n_rows_skips_count(spark):
+    # passing n_rows must produce the same result as the count() path
+    from testlog_etl_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0 + 0.001 * (i % 3), 2.0, float(i % 5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    auto = semantic_dedup(df, "vec_id", "embedding", dim=3, threshold=0.999)
+    hinted = semantic_dedup(df, "vec_id", "embedding", dim=3, threshold=0.999, n_rows=40)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, hinted.collect()))
+
+
 def test_countmin_merge_equals_union_and_overestimates(spark):
     from testlog_etl_spark.operators.sketches import (
         countmin_estimate,
