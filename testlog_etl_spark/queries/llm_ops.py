@@ -2680,8 +2680,6 @@ FROM b ORDER BY bucket
 """,
 )
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = docs.select(
         "doc_id",
@@ -2691,9 +2689,17 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = firsts.groupBy(F.floor(F.col("first_doc") / 100).cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).alias("new_terms")
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # cumulative vocab via the hierarchical scan: the bucket grain is
+    # first_doc/100, which SCALES with the corpus (tens of millions of
+    # buckets at 100 TB) -- an unpartitioned window would put them all
+    # in one task (window_lint r05 catch)
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
     return (
-        b.withColumn("vocab_size", F.sum("new_terms").over(w).cast("long"))
+        global_rank_cumsum(
+            b, [F.col("bucket").asc()], val_col="new_terms", cum_out="_cum"
+        )
+        .select("bucket", "new_terms", F.col("_cum").cast("long").alias("vocab_size"))
         .orderBy("bucket")
     )
 

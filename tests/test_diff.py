@@ -250,3 +250,52 @@ def test_lindley_window_form_equals_sequential_fold(spark):
         bal = max(0.0, seqs.get(key, 0.0) + d)
         seqs[key] = bal
         assert abs(got[(key, i)] - bal) < 1e-9, (key, i, got[(key, i)], bal)
+
+
+# ---------------------------------------------------------------- scan
+
+
+def test_global_rank_cumsum_matches_naive_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    rows = [(i, float((i * 37) % 101)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = global_rank_cumsum(
+        df,
+        [F.col("v").desc(), F.col("id").asc()],
+        val_col="v",
+        rank_out="i",
+        cum_out="cum",
+        n_out="n",
+        total_out="tot",
+        num_parts=7,
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    ref = (
+        df.withColumn("i", F.row_number().over(w))
+        .withColumn("cum", F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    g = {r["id"]: (r["i"], round(r["cum"], 6), r["n"], round(r["tot"], 6)) for r in got.collect()}
+    e = {r["id"]: (r["i"], round(r["cum"], 6)) for r in ref.collect()}
+    tot = round(sum(v for _, v in rows), 6)
+    assert len(g) == 200
+    for k, (i, cum, n, t) in g.items():
+        assert (i, cum) == e[k]
+        assert n == 200 and t == tot
+
+
+def test_global_rank_cumsum_empty_and_null_vals(spark):
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    empty = spark.createDataFrame([], "id bigint, v double")
+    assert global_rank_cumsum(empty, [F.col("id").asc()], val_col="v").count() == 0
+    # null values contribute 0 to the running sum, rows still ranked
+    df = spark.createDataFrame([(1, None), (2, 5.0), (3, None)], "id bigint, v double")
+    got = {r["id"]: (r["i"], r["cum"]) for r in
+           global_rank_cumsum(df, [F.col("id").asc()], val_col="v", num_parts=2).collect()}
+    assert got == {1: (1, 0.0), 2: (2, 5.0), 3: (3, 5.0)}

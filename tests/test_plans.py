@@ -572,3 +572,17 @@ def test_orc_roundtrip_read_is_partition_pruned(spark, tmp_path):
     plan = plan_of(spark.read.orc(path).filter("et = 'a'"))
     assert "PartitionFilters" in plan, plan
     assert "et#" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_gini_and_pareto_have_no_unpartitioned_window(spark):
+    # VERDICT r04 "what's wrong" #1: these two ranked/cumulative scans
+    # run over grains that SCALE with the data (customer, part), so the
+    # plan must show the hierarchical scan (range partitioning) and no
+    # unpartitioned window. (The keyless FINAL aggregate still plans a
+    # one-row SinglePartition merge -- that is partial+final and fine.)
+    from testlog_etl_spark.planlint import unpartitioned_windows
+
+    for name in ("agg_gini_concentration", "agg_abc_pareto"):
+        df = _q(name)(spark, SF_SMALL)
+        assert unpartitioned_windows(df) == [], name
+        assert "rangepartitioning" in plan_of(df).lower(), name

@@ -1,0 +1,91 @@
+"""Scale lint (VERDICT r04 "what's wrong" #1): no registered query may
+plan an UNPARTITIONED window over a frame that scales with the input.
+
+Builds every registered query's DataFrame at a small SF (plan analysis
+only -- collection never happens, though queries that stage inputs or
+iterate do run their bounded setup jobs) and walks the optimized
+logical plan for Window nodes with an empty partitionSpec
+(testlog_etl_spark/planlint.py). Each hit must be WHITELISTED here with
+a reason stating why the window's input frame is BOUNDED BY
+CONSTRUCTION (fixed bucket count, top-k list, fixed domain) -- the two
+rollup-grain offenders gini/abc_pareto were rewired onto the
+hierarchical scan (operators/scan.py) and must stay clean.
+
+Usage:
+    python tools/window_lint.py              # all registered queries
+    python tools/window_lint.py name [..]    # specific queries
+
+Exit 0 iff every unpartitioned window is whitelisted.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = os.environ.get("SPARK_JX_LINT_SF", "/root/testdata/sf0.001")
+
+# query name -> why its unpartitioned window's frame is bounded.
+# (r05 audit of the full 221-query registry: 6 queries planned
+# unpartitioned windows; text_vocab_growth's bucket grain scaled with
+# the corpus and was rewired onto operators/scan.py; the other 5 are
+# bounded by construction and whitelisted below.)
+WHITELIST: dict[str, str] = {
+    "skew_report": "rank window runs AFTER limit(10) -- 10-row frame",
+    "text_zipf_fit": "rank window runs AFTER limit(100) -- 100-row frame",
+    "text_bm25_topk": "rank window runs AFTER limit(k) (TakeOrderedAndProject first) -- k-row frame",
+    "jx_full_pipeline": (
+        "JX window clause runs over the event_type GROUPED frame; the "
+        "domain is a fixed small enum (~5 values), not data-scaling"
+    ),
+    "eval_score_auc": (
+        "cumulative window over DISTINCT grid-snapped scores: frame is "
+        "bounded by the 2^20 grid, never the document count; at extreme "
+        "grid sizes use the histogram-sketch AUC (docstring)"
+    ),
+}
+
+
+def main(argv: list[str]) -> int:
+    from pyspark.sql import SparkSession
+
+    from testlog_etl_spark.planlint import unpartitioned_windows
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("window-lint")
+        .getOrCreate()
+    )
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = [a for a in argv if not a.startswith("-")] or list(qs)
+
+    flagged: dict[str, list[str]] = {}
+    allowed = 0
+    for name in names:
+        try:
+            wins = unpartitioned_windows(qs[name](spark, SF))
+        except Exception as ex:  # noqa: BLE001 -- report, don't die mid-sweep
+            flagged[name] = [f"ERR building plan: {type(ex).__name__}: {str(ex)[:120]}"]
+            continue
+        if not wins:
+            continue
+        if name in WHITELIST:
+            allowed += 1
+            print(f"{name}: {len(wins)} unpartitioned window(s) [whitelisted: {WHITELIST[name]}]")
+        else:
+            flagged[name] = wins
+            print(f"{name}: {len(wins)} unpartitioned window(s) NOT WHITELISTED")
+            for w in wins:
+                print(f"    order={w[:160]}")
+    print(f"\nTOTAL {len(names)}  whitelisted {allowed}  FLAGGED {len(flagged)}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
