@@ -56,12 +56,24 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # fixed comparison core: the original 12-query headline set, frozen
+    # so round-over-round totals stay comparable as the bench set grows
+    # (r04's 16-query 14.1 s vs r03's 12-query 9.1 s reads as a
+    # regression until you subset; VERDICT r04 item 6)
+    core = (
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "agg_basic_groupby", "edges_set_dense",
+        "win_running_sum", "dedup_minhash_lsh", "sim_topk_cosine",
+        "sim_lsh_topk", "sessionize_batch", "sessionize_native_window",
+    )
+    core_total = round(sum(timings[n] for n in core if n in timings), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "core12_value": core_total,
                 "queries": timings,
                 "sf": sf_dir,
             }

@@ -62,109 +62,86 @@ def register(
 # below is a curated verification window, rotated per round so the UNION of
 # rounds covers the whole registry (COVERAGE.md tracks the cumulative set).
 #
-# Round-4 window: after r01-r03, every registered query has at least one
-# green driver row EXCEPT the twelve prior-green anchors displaced by
-# r03's new operators (VERDICT r03 top-next) -- testdata regenerates
-# between rounds, so those carried rows are stale. This round:
-#   1-12   the twelve displaced anchors, re-verified on current data;
-#   13-26  everything r04 added or touched: the three newly-ORACLED
-#          queries (dedup_simhash, sim_lsh_topk, multimodal_features --
-#          generated-SQL XXH64 / literal-plane / entropy() twins), the
-#          two new operators (edges_default_other D9 OTHER,
-#          dedup_substring_spans), and every query over code changed
-#          this round (word_shingles degenerate-doc fix, spread() gate,
-#          kmeans vectorization, scratch-path uniqueness, edges.py
-#          others support);
-#   27-30  flagship + the remaining bench anchors, re-verified every
-#          round;
-#   31-45  first-ever driver rows for the queries added mid-r04: the
-#          twelve decorrelated subquery shapes (q4..q22), the SemDeDup
-#          tier, overlap chunking, and label cohesion -- a first driver
-#          row beats a third re-verification of a carried green;
-#   46-50  the late-r04 additions: CDC chunking, model-score filter,
-#          linear interpolation, exactly-oracled PageRank, streaming
-#          keyed upsert.
-# r05 rotation queue (first driver rows owed; all green in the local
-# full differential): changepoint, rolling anomaly, BM25, DQ suite,
-# incremental MV, plus the session-2 additions without slots --
-# every session-2 addition without a slot (the ~40 newest COVERAGE.md
-# rows: peak concurrency, epoch shuffle, hard negatives, Hamming join,
-# CEP, grouped top-k, count-min + histogram sketches, OHLC, streaming
-# session window / chained distinct / MV maintenance / rate limit,
-# manifest, MAD, entity resolution, ORC, SCD2, weighted exact-k,
-# market basket, triangles, stats chi2/KS/t, features trio, survival,
-# funnel latency, compliance sweep, capped balance, EWMA), and the five
-# displaced-this-round prior greens (ngram_jaccard, embedding_cosine,
-# group_resolve, jsonl_roundtrip, topk_int8).
-# Entries beyond 50 were hash-green in r01-r03 (and re-verified locally
-# via tools/verify_all.py each round) and are unchanged.
+# Round-5 window (VERDICT r04 top-next #1): r04 went 50/50 green, so the
+# union of r01-r04 driver rows covers 145 of the 221 registered queries;
+# the remaining 76 are green only in the local full differential
+# (tools/verify_all.py, 221/221 this session). This round's window is
+# therefore ALL first-driver-row slots -- zero re-verification slots --
+# drawn from that 76 and ordered by family. Selection criteria, in order:
+# (a) everything VERDICT r04 item 1 lists by name; (b) every query whose
+# code changed this round (gini/abc_pareto/text_vocab_growth rewired onto
+# the operators/scan.py hierarchical scan, agg_sketch_rollup's new
+# contract oracle, dedup_hamming_prefix chunk-split fix,
+# ts_peak_concurrency window-path peak rewrite, embed_hard_negatives
+# null-safe labels, source_orc_roundtrip TTL sweep); (c) family spread so
+# every query module lands at least one r05 row. The 26 left over
+# (attribution pair, seasonal family, events/orders ops, text metrics,
+# corpus report/build_v2, eval_langid, norm outliers, degree
+# distribution, sorted-token + tier-report dedup, quantile normalize)
+# are the r06 queue -- r05+r06 then covers all 221. Prior-green queries
+# displaced from the window stay covered by the local differential,
+# which this session re-ran green on current testdata.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- 1-12: displaced prior-green anchors (stale since r01/r02 data)
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q18_large_orders",
-    "dedup_exact",
-    "etl_perfherder",
-    "jx_deep_query",
-    "agg_basic_groupby",
-    "edges_set_dense",
-    "win_running_sum",
-    "sim_topk_cosine",
-    "etl_mozlog_results",
-    # -- 13-26: new or touched in r04. Five slots that previously
-    #    re-verified prior-green queries whose code paths are already
-    #    covered by an in-window neighbor (ngram_jaccard/embedding_cosine
-    #    share the shingle/spread helpers with the minhash+cosine slots;
-    #    group_resolve, jsonl_roundtrip, topk_int8 are unchanged r01-r03
-    #    greens) now hold FIRST driver rows for the latest additions:
-    #    the final two TPC-H shapes (q2/q20 -- all 22 now covered), the
-    #    snapshot-diff CDC operator, and the two new streaming shapes.
-    #    The displaced five stay green in the local full differential.
-    "edges_default_other",
-    "dedup_substring_spans",
-    "dedup_simhash",
-    "sim_lsh_topk",
-    "dedup_minhash_lsh",
-    "q2_min_cost_supplier",
-    "q20_dominant_part_suppliers",
-    "text_boilerplate_fraction",
-    "sim_ivf_topk",
-    "snapshot_diff_orders",
-    "stream_sliding_window",
-    "multimodal_features",
-    "source_csv_roundtrip",
-    "stream_static_enrich",
-    # -- 27-30: flagship + bench anchors
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "sessionize_batch",
-    "sessionize_native_window",
-    # -- 31-45: first driver rows for mid-r04 additions
-    "q4_priority_exists",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q11_value_concentration",
-    "q12_late_shipping_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_customers",
-    "dedup_semantic",
-    "text_chunk_overlap",
-    "embed_label_cohesion",
-    # -- 46-48: first driver rows for the late-r04 additions
-    "dedup_cdc_chunks",
-    "filter_model_score",
-    "ts_downsample_interpolate",
-    # -- 49-50: first rows for the two most novel late additions (the
-    #    jx/agg families already have in-window rows at slots 7-8; their
-    #    r01-era greens stay covered by the local full differential)
-    "graph_pagerank",
-    "stream_upsert_latest",
+    # -- TPC-H stragglers + temporal join (first driver rows)
+    "q9_profit_by_nation_year",
+    "q16_supplier_variety",
+    "join_scd2_dimension",
+    # -- aggregate family: sketches + concentration + cube
+    "agg_sketch_rollup",
+    "agg_countmin_sketch",
+    "agg_histogram_quantile",
+    "agg_mad_robust",
+    "agg_gini_concentration",
+    "agg_abc_pareto",
+    "agg_cube_grouping",
+    "agg_supplier_hhi",
+    # -- windows / timeseries
+    "win_range_time_frame",
+    "ts_changepoint",
+    "ts_rolling_anomaly",
+    "ts_peak_concurrency",
+    "ts_capped_balance",
+    "ts_ewma_hourly",
+    "ts_ohlc_bars",
+    # -- events / graph / grouped top-k
+    "events_cep_pattern",
+    "graph_market_basket",
+    "graph_triangles",
+    "topk_per_group_agg",
+    # -- funnel / survival / compliance
+    "agg_survival_curve",
+    "funnel_latency_quantiles",
+    "compliance_delete_sweep",
+    # -- streaming shapes without a driver row yet
+    "stream_session_window",
+    "stream_hourly_distinct",
+    "stream_mv_maintenance",
+    "stream_rate_limit",
+    "stream_stream_left_join",
+    "mv_incremental_maintain",
+    # -- LLM / corpus operators
+    "text_bm25_topk",
+    "text_vocab_growth",
+    "dedup_hamming_prefix",
+    "dedup_entity_resolution",
+    "embed_hard_negatives",
+    "corpus_epoch_shuffle",
+    "corpus_manifest_build",
+    "sample_weighted_exact_k",
+    "drift_psi_report",
+    "eval_score_auc",
+    # -- statistical tests
+    "stats_chi_square",
+    "stats_ks_by_day",
+    "stats_welch_ttest",
+    "stats_correlation",
+    # -- feature engineering + data quality
+    "features_trailing_horizons",
+    "features_target_encoding",
+    "features_temporal_split",
+    "dq_constraint_report",
+    # -- sources
+    "source_orc_roundtrip",
 )
 
 
