@@ -88,7 +88,25 @@ def main() -> None:
     from testlog_etl_spark.session import get_spark
 
     spark = get_spark("scale-probe")
-    qs = suite.queries()
+    qs = dict(suite.queries())
+
+    # probe-only variant (not a registered query): SemDeDup with
+    # AUTO-sized cells (n_bits=None). The registered dedup_semantic pins
+    # n_bits=6 for its literal-plane DuckDB oracle, which is exactly the
+    # fixed-cell-count failure mode the r04 probe measured at slope 1.4;
+    # this variant measures the production default the fix ships.
+    def _dedup_semantic_auto(sp, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from testlog_etl_spark.operators import similarity
+        from testlog_etl_spark.tables import load_tables
+
+        emb = load_tables(sp, sf_dir, ("embeddings",))["embeddings"]
+        return similarity.semantic_dedup(
+            emb, id_col="vec_id", vec_col="embedding", dim=64, threshold=0.45, n_bits=None, seed=7
+        ).select("vec_id", "exemplar", FF.round("cosine", 4).alias("cos"))
+
+    qs["dedup_semantic_auto"] = _dedup_semantic_auto
 
     tiers = [("sf0.001", "/root/testdata/sf0.001", 0.001), ("sf0.01", "/root/testdata/sf0.01", 0.01), ("sf0.1", BASE, 0.1)]
     if "--skip-synth" not in sys.argv:
