@@ -909,6 +909,22 @@ def test_hard_negatives_null_label_is_a_valid_negative(spark):
     assert sorted(r["c_id"] for r in got_n) == [0, 2, 3]
 
 
+def test_auto_cell_bits_keeps_cell_size_constant():
+    # the scale contract of semantic_dedup(n_bits=None): expected rows
+    # per cell stays within [target/2, target] for any corpus size, so
+    # per-cell pair work is O(target^2) regardless of n -- from the
+    # sandbox's 2k vectors to 4e11 (100 TB-scale)
+    from testlog_etl_spark.operators.similarity import _auto_cell_bits
+
+    target = 256
+    n = 2_000
+    while n <= 4 * 10**11:
+        bits = _auto_cell_bits(n, target)
+        per_cell = n / (1 << bits)
+        assert target / 2 < per_cell <= target or n < target, (n, bits, per_cell)
+        n *= 7  # off-power-of-two steps hit both rounding sides
+
+
 def test_semantic_dedup_n_rows_skips_count(spark):
     # passing n_rows must produce the same result as the count() path
     from testlog_etl_spark.operators.similarity import semantic_dedup
