@@ -586,3 +586,30 @@ def test_gini_and_pareto_have_no_unpartitioned_window(spark):
         df = _q(name)(spark, SF_SMALL)
         assert unpartitioned_windows(df) == [], name
         assert "rangepartitioning" in plan_of(df).lower(), name
+
+
+def test_vocab_growth_has_no_unpartitioned_window(spark):
+    # the doc-bucket grain scales with the corpus; r05 rewired the
+    # cumulative vocab sum onto the hierarchical scan
+    from testlog_etl_spark.planlint import unpartitioned_windows
+
+    df = _q("text_vocab_growth")(spark, SF_SMALL)
+    assert unpartitioned_windows(df) == []
+    assert "rangepartitioning" in plan_of(df).lower()
+
+
+def test_sweep_concurrency_window_path_has_no_join(spark):
+    # the high-cardinality-key path must not join the per-key peaks
+    # back (ADVICE r04: a forced broadcast there is O(#keys)); peak is
+    # a whole-partition window over the existing per-key exchange
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.timeseries import sweep_concurrency
+
+    iv = spark.createDataFrame(
+        [(1, "a", 0, 10), (2, "a", 5, 15), (3, "b", 0, 3)],
+        "id bigint, k string, start bigint, end bigint",
+    )
+    plan = plan_of(sweep_concurrency(iv, "k", "start", "end", method="window"))
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(_k") <= 1, plan  # one exchange serves both windows
