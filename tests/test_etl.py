@@ -241,3 +241,27 @@ def test_best_changepoint_finds_step(spark):
     assert out["B"]["sse_drop"] <= 1
     assert abs(out["A"]["mean_left"] - 10.1) < 0.05
     assert abs(out["A"]["mean_right"] - 30.1) < 0.05
+
+
+def test_fresh_scratch_dir_sweeps_stale_keeps_live(tmp_path, monkeypatch):
+    import os
+    import time
+
+    from testlog_etl_spark.streaming import jobs
+
+    monkeypatch.setattr(jobs, "SCRATCH", str(tmp_path))
+    root = tmp_path / "blk"
+    stale = root / "deadbeef"
+    live = root / "cafef00d"
+    for d in (stale, live):
+        d.mkdir(parents=True)
+        (d / "part-0").write_text("x")
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+
+    fresh = jobs.fresh_scratch_dir("blk", ttl_sec=600)
+    # reserved path is new, under the subdir, and NOT created yet
+    # (writers create it); stale sibling swept, recent sibling kept
+    assert fresh.startswith(str(root)) and not os.path.exists(fresh)
+    assert not stale.exists()
+    assert live.exists()
