@@ -33,6 +33,8 @@ SHOWCASE = [
     ("dedup_hamming_prefix", "pigeonhole chunk equi-join candidates (exact); positionwise codegen verify after pair dedup"),
     ("snapshot_diff_orders", "CDC diff: ONE full-outer key exchange; null-safe compares in codegen"),
     ("q2_min_cost_supplier", "offer table reused for candidates AND per-part min; dims broadcast; TakeOrdered winner cut"),
+    ("agg_gini_concentration", "hierarchical scan rank (range partition + broadcast offsets) -- no unpartitioned window over the customer grain"),
+    ("agg_abc_pareto", "hierarchical scan cumsum over the part grain; grand total from the same pass"),
 ]
 
 
