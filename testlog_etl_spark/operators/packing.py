@@ -88,6 +88,23 @@ def pack_chunks(
     )
 
 
+def length_bucket(tok_count: Column, floor: int = 16, cap: int = 4096) -> Column:
+    """Power-of-two padding bucket for length-bucketed batching: the
+    smallest power of two >= tok_count (clamped to [floor, 2*cap] --
+    docs past ``cap`` land in one overflow bucket). Batching same-bucket
+    docs bounds padding waste at <50% per sequence vs pad-to-global-max;
+    the ladder is explicit integer CASE arms (never float log2: whether
+    log2(2^k) returns exactly k at a bucket boundary is libm-specific,
+    and an off-by-one-ulp there flips a doc's bucket between engines)."""
+    out = None
+    b = floor
+    while b <= cap:
+        cond = tok_count <= b
+        out = F.when(cond, b) if out is None else out.when(cond, b)
+        b *= 2
+    return out.otherwise(b).cast("int")
+
+
 def chunk_with_overlap(
     df: DataFrame, id_col: str, text_col: str, window: int = 32, stride: int = 24
 ) -> DataFrame:

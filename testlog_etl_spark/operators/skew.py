@@ -47,3 +47,42 @@ def salted_agg(
         )
         .withColumn("avg_value", F.col("sum_value") / F.col("n"))
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    salt_on: str | Column,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit key-salting for a skewed big-big equi-join: every hot
+    join key funnels its whole fact-side partition through ONE
+    sort-merge task; salting splits it across ``n_salt`` tasks by
+    joining on (keys..., salt) with the dim side replicated once per
+    salt value (an explode over sequence -- dim grows n_salt-fold, the
+    fact side not at all).
+
+    When to reach for this instead of the automatic remedies: AQE's
+    skew-join split rebalances by PARTITION BYTES and cannot see
+    CPU-bound explosion inside one key, and broadcast is off the table
+    by assumption (a dim small enough to broadcast never needs
+    salting). The join strategy is pinned to sort-merge for exactly
+    that reason -- at sandbox scale Catalyst would broadcast the
+    replicated dim and silently un-demonstrate the shape this operator
+    exists for (same pin as rangejoin's salted probe).
+
+    ``salt_on`` must be a high-cardinality fact column (a row id) so
+    salts spread uniformly; determinism: the salt is a hash, not RNG,
+    so re-runs produce identical plans and results. Result equals the
+    unsalted join exactly (``test_salted_join_equals_plain``)."""
+    salt = F.pmod(
+        F.xxhash64((F.col(salt_on) if isinstance(salt_on, str) else salt_on).cast("string")),
+        F.lit(n_salt),
+    ).cast("int")
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))).withColumn(
+        "_salt", F.col("_salt").cast("int")
+    )
+    return f.join(d.hint("merge"), [*keys, "_salt"], how).drop("_salt")

@@ -506,6 +506,49 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_salted_skew",
+    doc="salted big-big join on a HOT key (operators/skew.py::"
+    "salted_join -- the join sibling of agg_salted_skew): events join "
+    "their per-type average on event_type, a 4-value key that would "
+    "funnel each type's whole partition through one sort-merge task; "
+    "the salt spreads every type over 16 reducers (plan-pinned: join "
+    "keys include _salt, strategy pinned merge so sandbox-scale AQE "
+    "can't broadcast away the demonstrated shape). Threshold is the "
+    "ROUNDED per-type average so the boundary compare is exact on both "
+    "engines. Result provably equals the unsalted join.",
+    oracle="""
+WITH d AS (
+  SELECT event_type, ROUND(AVG(value), 2) AS type_avg FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(SUM(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       count(*) AS n,
+       ROUND(any_value(d.type_avg), 2) AS type_avg
+FROM events e JOIN d ON e.event_type = d.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.skew import salted_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    dim = ev.groupBy("event_type").agg(F.round(F.avg("value"), 2).alias("type_avg"))
+    joined = salted_join(
+        ev.select("event_id", "event_type", "value"), dim, ["event_type"], salt_on="event_id"
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") > F.col("type_avg")).cast("long")).alias("n_above"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.any_value("type_avg"), 2).alias("type_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _pagerank_oracle(n_iter: int = 5, d: float = 0.85, bits: int = 30) -> str:
     """DuckDB twin of dupgroups.pagerank over the event-transition graph:
     the same grid-snapped iterations as chained CTEs (the kmeans/IVF

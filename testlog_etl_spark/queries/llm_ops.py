@@ -385,6 +385,39 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", F.round("cosine", R).alias("cos"), "rank").orderBy("q_id", "rank")
 
 
+def _duck_plane_lit(p: list[float]) -> str:
+    return "[" + ",".join("1.0" if x > 0 else "-1.0" for x in p) + "]"
+
+
+def _duck_dot_plane(vec: str, p: list[float], dim: int) -> str:
+    return (
+        f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+        f"__i -> {vec}[__i] * ({_duck_plane_lit(p)}::DOUBLE[])[__i])), (__a, __x) -> __a + __x)"
+    )
+
+
+def _duck_sig_expr(planes: list[list[float]], t: int, n_bits: int, vec: str, dim: int) -> str:
+    bits = [
+        f"CASE WHEN {_duck_dot_plane(vec, planes[t * n_bits + b], dim)} >= 0.0 THEN {1 << b} ELSE 0 END"
+        for b in range(n_bits)
+    ]
+    return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+def _duck_norm(vec: str) -> str:
+    return (
+        f"sqrt(reduce(list_prepend(0.0::DOUBLE, list_transform({vec}, __e -> __e * __e)), "
+        f"(__a, __x) -> __a + __x))"
+    )
+
+
+def _duck_dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+        f"__i -> {a}[__i] * {b}[__i])), (__a, __x) -> __a + __x)"
+    )
+
+
 def _lsh_topk_oracle(dim: int = 64, n_tables: int = 8, n_bits: int = 4, k: int = 5) -> str:
     """DuckDB twin of similarity.lsh_topk, exact: the hyperplanes are
     deterministic literals (rademacher_planes, crc32-seeded), so the
@@ -394,34 +427,9 @@ def _lsh_topk_oracle(dim: int = 64, n_tables: int = 8, n_bits: int = 4, k: int =
     aggregate/zip_with vs generated reduce), so sign decisions at the
     >= 0 boundary and the pre-round rank ordering agree bit-for-bit."""
     planes = similarity.rademacher_planes(42, n_tables * n_bits, dim)
-
-    def plane_lit(p: list[float]) -> str:
-        return "[" + ",".join("1.0" if x > 0 else "-1.0" for x in p) + "]"
-
-    def dot_plane(vec: str, p: list[float]) -> str:
-        return (
-            f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
-            f"__i -> {vec}[__i] * ({plane_lit(p)}::DOUBLE[])[__i])), (__a, __x) -> __a + __x)"
-        )
-
-    def sig_expr(t: int, vec: str) -> str:
-        bits = [
-            f"CASE WHEN {dot_plane(vec, planes[t * n_bits + b])} >= 0.0 THEN {1 << b} ELSE 0 END"
-            for b in range(n_bits)
-        ]
-        return "(" + " + ".join(bits) + ")::BIGINT"
-
-    sigs = "[" + ", ".join(sig_expr(t, "vec") for t in range(n_tables)) + "]"
-    dot_vv = (
-        "reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, %d), "
-        "__i -> qv.vec[__i] * cv.vec[__i])), (__a, __x) -> __a + __x)" % (dim + 1)
-    )
-
-    def norm(vec: str) -> str:
-        return (
-            f"sqrt(reduce(list_prepend(0.0::DOUBLE, list_transform({vec}, __e -> __e * __e)), "
-            f"(__a, __x) -> __a + __x))"
-        )
+    sigs = "[" + ", ".join(_duck_sig_expr(planes, t, n_bits, "vec", dim) for t in range(n_tables)) + "]"
+    dot_vv = _duck_dot("qv.vec", "cv.vec", dim)
+    norm = _duck_norm
 
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -472,6 +480,100 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     out = similarity.lsh_topk(queries, corpus, k=5, dim=64, n_tables=8, n_bits=4)
     return out.select("q_id", "c_id", F.round("cosine", R).alias("cos"), "rank").orderBy("q_id", "rank")
+
+
+def _ann_recall_oracle(dim: int = 64, n_tables: int = 8, n_bits: int = 4, k: int = 5) -> str:
+    """DuckDB twin of eval_ann_recall: recomputes BOTH rankings exactly --
+    the brute-force top-k (ground truth) and the sign-LSH top-k (the
+    same literal-plane replay as _lsh_topk_oracle) -- and joins them for
+    per-query hit counts. Exact because cosines are identical left folds
+    on both engines and ties break on c_id in both rankings."""
+    planes = similarity.rademacher_planes(42, n_tables * n_bits, dim)
+    sigs = "[" + ", ".join(_duck_sig_expr(planes, t, n_bits, "vec", dim) for t in range(n_tables)) + "]"
+    dot_vv = _duck_dot("qv.vec", "cv.vec", dim)
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+s AS (SELECT vec_id, vec, {sigs} AS sigs FROM v),
+b AS (
+  SELECT vec_id, t, sigs[t + 1] AS sig
+  FROM s, (SELECT unnest(range(0, {n_tables})) AS t) tt
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM b q JOIN b c ON q.t = c.t AND q.sig = c.sig AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+),
+lsh_scored AS (
+  SELECT cand.q_id, cand.c_id,
+         {dot_vv} / ({_duck_norm('qv.vec')} * {_duck_norm('cv.vec')}) AS cosine
+  FROM cand
+  JOIN v qv ON qv.vec_id = cand.q_id
+  JOIN v cv ON cv.vec_id = cand.c_id
+),
+lsh AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS r
+    FROM lsh_scored
+  ) WHERE r <= {k}
+),
+brute_scored AS (
+  SELECT qv.vec_id AS q_id, cv.vec_id AS c_id,
+         {dot_vv} / ({_duck_norm('qv.vec')} * {_duck_norm('cv.vec')}) AS cosine
+  FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id
+  WHERE qv.vec_id < 20
+),
+brute AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS r
+    FROM brute_scored
+  ) WHERE r <= {k}
+)
+SELECT br.q_id,
+       count(*) AS n_true,
+       CAST(SUM(CASE WHEN l.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN l.c_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS recall
+FROM brute br LEFT JOIN lsh l ON l.q_id = br.q_id AND l.c_id = br.c_id
+GROUP BY br.q_id
+ORDER BY br.q_id
+"""
+
+
+@register(
+    "eval_ann_recall",
+    oracle=_ann_recall_oracle(),
+    doc="ANN quality evaluation: recall@5 of the sign-LSH tier against "
+    "the exact brute-force top-5, per query -- the measurement a "
+    "pipeline owner runs before trading recall for the LSH cost "
+    "profile (tables x bits are the dial; SCALE.md ANN row). Exactly "
+    "oracled: BOTH rankings replay in DuckDB from the same literal "
+    "planes and fold-ordered cosines. Plan shape: one corpus scan per "
+    "ranking, the truth><approx join is on (q_id, c_id) keys only.",
+)
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    truth = similarity.topk_cosine(queries, corpus, k=5).select("q_id", "c_id")
+    approx = similarity.lsh_topk(queries, corpus, k=5, dim=64, n_tables=8, n_bits=4).select(
+        "q_id", "c_id", F.lit(1).alias("_hit")
+    )
+    return (
+        truth.join(approx, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double") / F.count(F.lit(1)), 4
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
 
 
 @register(
@@ -1070,6 +1172,56 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pack_length_buckets",
+    doc="length-bucketed batching accounting (the pack_sequences "
+    "sibling for padded batching): docs binned to the smallest "
+    "power-of-two token bucket (operators/packing.py::length_bucket -- "
+    "integer CASE ladder, no float log2 at bucket boundaries), per "
+    "bucket the doc/token mass, padded token mass, padding-waste "
+    "fraction, and 16-doc batch count. Pure projection + one rollup "
+    "shuffle of bucket cells; at 100 TB the bucket id doubles as the "
+    "batch-shard write key.",
+    oracle="""
+WITH t AS (
+  SELECT len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n FROM documents
+),
+b AS (
+  SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+              WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+              WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048 WHEN n <= 4096 THEN 4096
+              ELSE 8192 END::INT AS bucket,
+         n
+  FROM t
+)
+SELECT bucket, count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+       ROUND(1.0 - SUM(n)::DOUBLE / (bucket * count(*)), 4) AS waste_frac,
+       CAST(ceil(count(*) / 16.0) AS BIGINT) AS n_batches
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import packing
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_tok = textstats.token_count(F.col("text"))
+    g = (
+        docs.select(packing.length_bucket(n_tok).alias("bucket"), n_tok.alias("_n"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_n").cast("long").alias("n_tokens"))
+    )
+    padded = (F.col("bucket").cast("long") * F.col("n_docs")).alias("padded_tokens")
+    return g.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        padded,
+        F.round(F.lit(1.0) - F.col("n_tokens").cast("double") / padded, 4).alias("waste_frac"),
+        F.ceil(F.col("n_docs") / F.lit(16.0)).cast("long").alias("n_batches"),
+    ).orderBy("bucket")
 
 
 @register(

@@ -1041,3 +1041,30 @@ def test_histogram_sketch_merges_and_bounds_error(spark):
     [est] = histogram_quantile(union, "g", 0.5, 0.0, 100.0, 20).collect()
     exact = a.unionByName(b).agg(F.median("v")).collect()[0][0]
     assert abs(est["q_est"] - exact) <= 5.0  # one bin width
+
+
+def test_length_bucket_ladder(spark):
+    from testlog_etl_spark.operators.packing import length_bucket
+
+    rows = [(0, 0), (1, 1), (2, 16), (3, 17), (4, 100), (5, 4096), (6, 4097), (7, 99999)]
+    df = spark.createDataFrame(rows, "id int, n int")
+    got = {r["id"]: r["b"] for r in df.select("id", length_bucket(F.col("n")).alias("b")).collect()}
+    assert got == {0: 16, 1: 16, 2: 16, 3: 32, 4: 128, 5: 4096, 6: 8192, 7: 8192}
+
+
+def test_salted_join_equals_plain(spark):
+    from testlog_etl_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "k%d" % (i % 3), float(i)) for i in range(60)], "rid bigint, k string, v double"
+    )
+    dim = spark.createDataFrame([("k0", 10.0), ("k1", 20.0), ("k2", 30.0)], "k string, w double")
+    salted = salted_join(fact, dim, ["k"], salt_on="rid", n_salt=4)
+    plain = fact.join(dim, "k")
+    assert sorted(map(tuple, salted.select("k", "rid", "v", "w").collect())) == sorted(
+        map(tuple, plain.select("k", "rid", "v", "w").collect())
+    )
+    # outer rows with no dim match survive a left salted join
+    dim2 = dim.filter("k <> 'k2'")
+    left = salted_join(fact, dim2, ["k"], salt_on="rid", n_salt=4, how="left")
+    assert left.count() == 60 and left.filter("w IS NULL").count() == 20

@@ -613,3 +613,17 @@ def test_sweep_concurrency_window_path_has_no_join(spark):
     plan = plan_of(sweep_concurrency(iv, "k", "start", "end", method="window"))
     assert "Join" not in plan, plan
     assert plan.count("hashpartitioning(_k") <= 1, plan  # one exchange serves both windows
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    # the exchange must be keyed on (k, _salt) -- each hot key split
+    # over n_salt reducers -- and the strategy pinned to sort-merge
+    from testlog_etl_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "a", 1.0)], "rid bigint, k string, v double")
+    dim = spark.createDataFrame([("a", 2.0)], "k string, w double")
+    plan = plan_of(salted_join(fact, dim, ["k"], salt_on="rid", n_salt=8))
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan
+    seg = plan.split("hashpartitioning(k")[1].split(")")[0]
+    assert "_salt" in seg, plan
