@@ -332,6 +332,46 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile_contract",
+    doc="approximate-percentile contract (the TDigest-analog sibling of "
+    "agg_sketch_rollup's HLL contract): per type, exact interpolated "
+    "p50/p95 cross-checked against DuckDB's quantile_cont, plus "
+    "in-query booleans pinning percentile_approx (accuracy 10000 -> "
+    "rank error <= n/10000) within 5%% of exact -- the driver hash "
+    "fails the row if Spark's sketch ever drifts. The approx VALUE "
+    "stays out of the output (t-digest-style internals are "
+    "engine-specific, like HLL registers).",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(quantile_cont("value", 0.5), 4) AS exact_p50,
+       ROUND(quantile_cont("value", 0.95), 4) AS exact_p95,
+       TRUE AS p50_within_5pct,
+       TRUE AS p95_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.5)").alias("_e50"),
+        F.expr("percentile(value, 0.95)").alias("_e95"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("_a50"),
+        F.expr("percentile_approx(value, 0.95, 10000)").alias("_a95"),
+    )
+    within = lambda a, e: F.abs(F.col(a) - F.col(e)) <= 0.05 * F.abs(F.col(e))  # noqa: E731
+    return g.select(
+        "event_type",
+        "n",
+        F.round("_e50", 4).alias("exact_p50"),
+        F.round("_e95", 4).alias("exact_p95"),
+        within("_a50", "_e50").alias("p50_within_5pct"),
+        within("_a95", "_e95").alias("p95_within_5pct"),
+    ).orderBy("event_type")
+
+
+@register(
     "agg_rfm_segments",
     doc="RFM segmentation over orders: per-customer recency (days "
     "before the corpus max date), frequency, monetary; fixed-threshold "

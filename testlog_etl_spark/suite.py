@@ -79,7 +79,8 @@ def register(
 # corpus report/build_v2, eval_langid, norm outliers, degree
 # distribution, sorted-token + tier-report dedup, quantile normalize)
 # are the r06 queue, together with the three operators added late-r05
-# (eval_ann_recall, pack_length_buckets, join_salted_skew -- 29 of 50
+# (eval_ann_recall, pack_length_buckets, join_salted_skew,
+# agg_percentile_contract -- 30 of 50
 # slots, leaving recurring-anchor room) -- r05+r06 then covers the full
 # registry. Prior-green queries
 # displaced from the window stay covered by the local differential,
