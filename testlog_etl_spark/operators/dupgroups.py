@@ -135,11 +135,14 @@ def pagerank(
     iterations and a sequential replay (the DuckDB twin) lands on
     bit-identical ranks.
 
-    Scale shape: out-weights and N ride broadcast aggregates; each round
-    is edges><ranks (ranks are |V| rows -- broadcast while they fit,
-    AQE-shuffle beyond) + one sum shuffle keyed by dst carrying (node,
-    double) pairs. Driver never sees the rank vector; n_iter bounded
-    loops build a static plan chain like kmeans_fit.
+    Scale shape: N rides a broadcast 1-row aggregate; each round is
+    edges><ranks (ranks and out-weights are |V| rows -- their join
+    strategy is deliberately LEFT TO AQE: broadcast while they fit,
+    sort-merge beyond; a forced hint here would OOM executors on a
+    billion-node graph, the apply_diff lesson) + one sum shuffle keyed
+    by dst carrying (node, double) pairs. Driver never sees the rank
+    vector; n_iter bounded loops build a static plan chain like
+    kmeans_fit.
     """
     g = float(1 << snap_bits)
 
@@ -153,7 +156,7 @@ def pagerank(
     )
     n_frame = nodes.agg(F.count(F.lit(1)).alias("_n"))
     out_w = edges.groupBy(F.col(src).alias("_osrc")).agg(F.sum(weight).alias("_ow"))
-    e = edges.join(F.broadcast(out_w), F.col(src) == F.col("_osrc")).select(
+    e = edges.join(out_w, F.col(src) == F.col("_osrc")).select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), (F.col(weight) / F.col("_ow")).alias("_frac")
     )
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
@@ -161,7 +164,7 @@ def pagerank(
     )
     for _ in range(n_iter):
         inbound = (
-            e.join(F.broadcast(ranks), F.col("_src") == F.col("node"))
+            e.join(ranks, F.col("_src") == F.col("node"))
             .select(F.col("_dst").alias("node"), (F.col("rank") * F.col("_frac")).alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))

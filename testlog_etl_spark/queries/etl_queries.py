@@ -1022,7 +1022,7 @@ def compliance_delete_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, orders, li = t["customer"], t["orders"], t["lineitem"]
     del_c = cust.filter(hash_bucket(F.col("c_custkey"), 20, "gdpr") == 0).select("c_custkey")
     del_o = orders.join(
-        F.broadcast(del_c), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+        del_c, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
     ).select("o_orderkey")
     del_l = li.join(del_o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
 
@@ -1542,7 +1542,7 @@ def orders_cross_sell(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     ot = (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_type")
         .distinct()
     )

@@ -2453,7 +2453,7 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly the docs that appear in some pair)
     sizes = g.groupBy("group_id").agg(F.count(F.lit(1)).alias("_n"))
     return (
-        g.join(F.broadcast(sizes), "group_id")
+        g.join(sizes, "group_id")
         .filter(F.col("_n") >= 2)
         .select("doc_id", F.col("group_id").alias("entity_id"))
         .orderBy("doc_id")
