@@ -212,3 +212,40 @@ def test_packing_matches_sequential_model(toks, parts):
         r = got[i]
         assert (r["start"], r["start_seq"], r["end_seq"], r["crosses"]) == (acc, lo, hi, hi > lo)
         acc += tok
+
+
+# ---------------------------------------------------------------------------
+# hierarchical global scan vs a sequential model
+# ---------------------------------------------------------------------------
+
+scan_rows = st.lists(
+    st.tuples(st.integers(-50, 50), st.one_of(st.none(), st.integers(-20, 20))),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(scan_rows, st.integers(2, 6), st.booleans())
+def test_global_scan_matches_sequential_model(rows, parts, desc):
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    spark = _spark()
+    data = [(i, v, None if x is None else float(x)) for i, (v, x) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id bigint, k bigint, v double")
+    order = [F.col("k").desc() if desc else F.col("k").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: (r["i"], r["cum"], r["n"], r["tot"])
+        for r in global_rank_cumsum(
+            df, order, val_col="v", n_out="n", total_out="tot", num_parts=parts
+        ).collect()
+    }
+    seq = sorted(data, key=lambda t: ((-t[1] if desc else t[1]), t[0]))
+    acc, tot = 0.0, sum(x or 0.0 for _, _, x in data)
+    for rank, (i, _, x) in enumerate(seq, start=1):
+        acc += x or 0.0
+        gi, gcum, gn, gtot = got[i]
+        assert gi == rank and abs(gcum - acc) < 1e-9
+        assert gn == len(data) and abs(gtot - tot) < 1e-9
