@@ -216,6 +216,61 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_schema_evolution",
+    doc="S1/S5 hardening: schema evolution across ingest blocks -- an "
+    "early block written WITHOUT the value column and a later block "
+    "WITH it are read back as one dataset via mergeSchema (the "
+    "100 TB ingest reality: producers add fields mid-stream; a reader "
+    "pinned to either block's schema would drop data or crash). "
+    "Missing columns surface as NULL, so count(value) < count(*) "
+    "exactly on the old block's rows; the aggregate proves both "
+    "blocks' rows and the evolved column survive.",
+    oracle=f"""
+WITH unioned AS (
+  SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 1
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       count(value) AS n_with_value,
+       ROUND(SUM(value), {R}) AS sum_value
+FROM unioned GROUP BY event_type ORDER BY event_type
+""",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.streaming.jobs import fresh_scratch_dir
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    block_path = fresh_scratch_dir("evolve")
+    # block 0: early producer, no value column yet
+    (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "event_type")
+        .write.parquet(os.path.join(block_path, "b0"))
+    )
+    # block 1: evolved producer adds value
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select("event_id", "event_type", "value")
+        .write.parquet(os.path.join(block_path, "b1"))
+    )
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(block_path, "b0"), os.path.join(block_path, "b1")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_with_value"),
+            F.round(F.sum("value"), R).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "source_orc_roundtrip",
     doc="S7 sibling, third columnar format: ORC block sink then source "
     "(Spark-native writer/reader, zlib). Written partitioned by "
