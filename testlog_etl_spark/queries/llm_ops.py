@@ -147,6 +147,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    doc="asymmetric shingle CONTAINMENT tier: C(A in B) = |A∩B| / |A| "
+    "-- catches a short doc quoted/embedded inside a long one, which "
+    "symmetric Jaccard structurally misses (the union term drowns the "
+    "small side). One row per (contained, container) ordered pair at "
+    "C >= 0.8 with |A| >= 3 shingles (degenerate tiny docs excluded on "
+    "both engines). Same brute-force-pair contract as the Jaccard "
+    "tier; at scale the candidate generation rides the same MinHash "
+    "banding, with only the verify formula swapped.",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t)
+SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+       ROUND(len(list_intersect(a.sh,b.sh))::DOUBLE / len(a.sh), {R}) AS containment
+FROM d a JOIN d b ON a.doc_id <> b.doc_id
+WHERE len(a.sh) >= 3
+  AND len(list_intersect(a.sh,b.sh))::DOUBLE / len(a.sh) >= 0.8
+ORDER BY contained_id, container_id
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.util import spread
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = spread(docs.select("doc_id", neardup.word_shingles(F.col("text")).alias("sh")))
+    a = d.filter(F.size("sh") >= 3).select(
+        F.col("doc_id").alias("contained_id"), F.col("sh").alias("sh_a")
+    )
+    b = d.select(F.col("doc_id").alias("container_id"), F.col("sh").alias("sh_b"))
+    c = (
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+        / F.size("sh_a")
+    )
+    return (
+        a.join(b, F.col("contained_id") != F.col("container_id"))
+        .withColumn("containment", c)
+        .filter(F.col("containment") >= 0.8)
+        .select("contained_id", "container_id", F.round("containment", R).alias("containment"))
+        .orderBy("contained_id", "container_id")
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     doc="exact n-gram Jaccard tier (the verify stage as its own "
     "operator): brute-force pair scan, same contract as the oracle.",
