@@ -52,10 +52,12 @@ def test_registry_window_invariants():
     assert len(suite.DRIVER_WINDOW) == 50
     assert names[:50] == list(suite.DRIVER_WINDOW)
     rows_only = {n for n, c in suite.REGISTRY.items() if c.oracle is None}
-    # every rows-only case must say why in its doc (golden/engine-specific)
-    for n in rows_only:
-        doc = suite.REGISTRY[n].doc.lower()
-        assert any(w in doc for w in ("golden", "engine-specific", "no sql twin", "rows-only")), n
+    # r05 closed the last rows-only query (agg_sketch_rollup got a
+    # contract oracle): every registered query now carries a DuckDB
+    # twin. Keep it that way -- a new engine-specific op should ship a
+    # contract oracle (exact columns cross-checked + invariant booleans
+    # the driver hash enforces), not a rows-only registration.
+    assert rows_only == set(), rows_only
 
 
 def test_chunk_dedup_idempotent(spark):
