@@ -332,6 +332,57 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_weighted_median",
+    doc="weighted median (A6 widened): smallest price whose cumulative "
+    "QUANTITY weight reaches half the group's total -- the "
+    "importance-weighted statistic Spark has no built-in for "
+    "(percentile() weighs rows equally). Per-group ordered cumsum via "
+    "a PARTITIONED window (group grain bounded by the flag domain, "
+    "never a global window); the crossing row is picked by min-struct, "
+    "deterministic because the (price, orderkey, linenumber) order is "
+    "total. Quantities are integral doubles, so cumulative sums are "
+    "exact in both engines and the >= tot/2 boundary cannot drift.",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice, l_quantity,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n,
+       ROUND(any_value(tot), 4) AS tot_weight,
+       ROUND(MIN(CASE WHEN cum >= tot / 2.0 THEN l_extendedprice END), 4) AS weighted_median
+FROM w GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy("l_returnflag")
+    c = li.withColumn("cum", F.sum("l_quantity").over(wo)).withColumn(
+        "tot", F.sum("l_quantity").over(wp)
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.any_value("tot"), 4).alias("tot_weight"),
+            F.round(
+                F.min(F.when(F.col("cum") >= F.col("tot") / 2.0, F.col("l_extendedprice"))), 4
+            ).alias("weighted_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "agg_percentile_contract",
     doc="approximate-percentile contract (the TDigest-analog sibling of "
     "agg_sketch_rollup's HLL contract): per type, exact interpolated "

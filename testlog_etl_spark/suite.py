@@ -80,8 +80,8 @@ def register(
 # distribution, sorted-token + tier-report dedup, quantile normalize)
 # are the r06 queue, together with the three operators added late-r05
 # (eval_ann_recall, pack_length_buckets, join_salted_skew,
-# agg_percentile_contract, source_schema_evolution, dedup_containment;
-# registry now 227 -- 32 of 50
+# agg_percentile_contract, source_schema_evolution, dedup_containment,
+# agg_weighted_median; registry now 228 -- 33 of 50
 # slots, leaving recurring-anchor room) -- r05+r06 then covers the full
 # registry. Prior-green queries
 # displaced from the window stay covered by the local differential,
