@@ -627,3 +627,13 @@ def test_salted_join_spreads_hot_keys(spark):
     assert "BroadcastHashJoin" not in plan
     seg = plan.split("hashpartitioning(k")[1].split(")")[0]
     assert "_salt" in seg, plan
+
+
+def test_ann_recall_join_is_keyed_not_nested_loop(spark):
+    # the truth tier is an INTENDED broadcast crossJoin (queries over one
+    # corpus scan); the truth><approx recall join must be a keyed hash
+    # join on (q_id, c_id), never a nested loop over the rankings
+    plan = plan_of(_q("eval_ann_recall")(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # the two crossJoin tiers only
+    assert "hashpartitioning(q_id" in plan or "BroadcastHashJoin" in plan, plan
