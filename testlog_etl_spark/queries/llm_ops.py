@@ -2642,6 +2642,63 @@ def eval_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+@register(
+    "corpus_token_budget",
+    doc="token-budget corpus selection: fill a fixed token budget with "
+    "the best-scored docs (rank by model score desc, keep the prefix "
+    "whose cumulative token count fits -- the 'best 1T tokens' "
+    "construction step). Ordering uses the 2^-20-snapped logistic "
+    "score (the eval_score_auc pairing, bit-identical cross-engine) "
+    "with doc_id tie-break; the cumulative count runs through the "
+    "operators/scan.py hierarchical scan because the doc grain SCALES "
+    "(an unpartitioned window here is exactly what window_lint "
+    "forbids). Token counts are integral, so the budget boundary "
+    "cannot drift.",
+    oracle=f"""
+WITH sc AS (
+  SELECT source, doc_id,
+         floor((1.0 / (1.0 + exp(-({_quality_z_sql()})))) * 1048576 + 0.5) / 1048576 AS s,
+         len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS n_tok
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+c AS (
+  SELECT source, s, n_tok,
+         SUM(n_tok) OVER (ORDER BY s DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sc
+)
+SELECT source, count(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+       ROUND(AVG(s), 6) AS avg_score
+FROM c WHERE cum <= 50000 GROUP BY source ORDER BY source
+""",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import filtering
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    g = F.lit(float(1 << 20))
+    snapped = F.floor(filtering.linear_quality_score(F.col("text")) * g + F.lit(0.5)) / g
+    base = docs.select(
+        "source", "doc_id", snapped.alias("s"), textstats.token_count(F.col("text")).alias("n_tok")
+    )
+    c = global_rank_cumsum(
+        base, [F.col("s").desc(), F.col("doc_id").asc()], val_col="n_tok", cum_out="cum"
+    )
+    return (
+        c.filter(F.col("cum") <= 50000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+            F.round(F.avg("s"), 6).alias("avg_score"),
+        )
+        .orderBy("source")
+    )
+
+
 def _score_auc_oracle() -> str:
     """DuckDB twin of eval_score_auc: the shared z spelling
     (_quality_z_sql -- same weight literals and tokenization as the
