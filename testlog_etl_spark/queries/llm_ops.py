@@ -1178,6 +1178,79 @@ def dedup_group_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_best_exemplar",
+    doc="quality-based exemplar per duplicate group (the production "
+    "alternative to dedup_group_resolve's min-id survivor): connected "
+    "components over the verified pair graph, then keep each group's "
+    "HIGHEST-scored member (2^-20-snapped logistic score -- "
+    "bit-portable -- with doc_id tie-break, selected via one "
+    "min-struct aggregate, no per-group sort). Non-singleton groups "
+    "only. Oracle replays components with a recursive CTE and the "
+    "same snapped score.",
+    oracle=f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh))) >= 0.5
+),
+sym AS (SELECT src AS a, dst AS b FROM pairs UNION ALL SELECT dst AS a, src AS b FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+),
+comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+m AS (
+  SELECT comp.comp AS group_id, documents.doc_id,
+         floor((1.0 / (1.0 + exp(-({_quality_z_sql()})))) * 1048576 + 0.5) / 1048576 AS s
+  FROM documents JOIN comp ON comp.id = documents.doc_id
+),
+sel AS (
+  SELECT group_id, doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY s DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY group_id) AS gs
+  FROM m
+)
+SELECT group_id, doc_id AS exemplar_id, ROUND(s, 6) AS exemplar_score,
+       CAST(gs AS BIGINT) AS group_size
+FROM sel WHERE rn = 1 AND gs >= 2
+ORDER BY group_id
+""",
+)
+def dedup_best_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import dupgroups, filtering
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = neardup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    g = dupgroups.dup_groups(docs, pairs, "doc_id")
+    snap = F.lit(float(1 << 20))
+    s = F.floor(filtering.linear_quality_score(F.col("text")) * snap + F.lit(0.5)) / snap
+    # members of real duplicate groups only (a non-singleton group's
+    # members matched a >=0.5-Jaccard pair, so text is non-degenerate)
+    members = g.select("group_id", "doc_id", s.alias("_s"))
+    # min of (-score, doc_id) == max score with SMALLEST-id tie-break;
+    # negation of grid-snapped doubles is exact
+    agg = members.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min(F.struct((-F.col("_s")).alias("ns"), F.col("doc_id").alias("d"))).alias("_m"),
+    )
+    return (
+        agg.filter(F.col("group_size") >= 2)
+        .select(
+            "group_id",
+            F.col("_m.d").alias("exemplar_id"),
+            F.round(-F.col("_m.ns"), 6).alias("exemplar_score"),
+            "group_size",
+        )
+        .orderBy("group_id")
+    )
+
+
+@register(
     "pack_sequences",
     doc="GPT-style concat-and-chunk packing accounting: docs laid out "
     "as one token stream in doc_id order, cut into 512-token sequences; "

@@ -81,7 +81,8 @@ def register(
 # are the r06 queue, together with the three operators added late-r05
 # (eval_ann_recall, pack_length_buckets, join_salted_skew,
 # agg_percentile_contract, source_schema_evolution, dedup_containment,
-# agg_weighted_median, corpus_token_budget; registry now 229 -- 34 of 50
+# agg_weighted_median, corpus_token_budget, dedup_best_exemplar;
+# registry now 230 -- 35 of 50
 # slots, leaving recurring-anchor room) -- r05+r06 then covers the full
 # registry. Prior-green queries
 # displaced from the window stay covered by the local differential,
