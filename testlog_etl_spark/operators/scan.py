@@ -11,25 +11,49 @@ introduced for token streams (reference parity: the reference's
 row-at-a-time engines sort-then-scan on one node; Spark-first is a
 range shuffle + bounded driver merge):
 
-1. range-partition on the order columns, so partition p holds an
-   order-contiguous slice and partition ids increase along the order;
+1. range-partition on the order columns and sort within partitions, so
+   partition p holds an order-contiguous, order-sorted slice and
+   partition ids increase along the order;
 2. one tiny per-partition aggregate (count + sum) -> driver: bounded by
    the PARTITION COUNT, never the data size;
-3. exclusive-prefix the per-partition totals on the driver, broadcast
-   the (pid, rank_offset, sum_offset) rows back;
-4. intra-partition row_number / running sum via an ordinary partitioned
-   window, plus the broadcast offset.
+3. exclusive-prefix the per-partition totals on the driver, capture the
+   (pid -> rank_offset, sum_offset) map in the scan closure;
+4. intra-partition row_number / running sum via an Arrow-batched
+   ``mapInPandas`` pass over the already-sorted partitions -- NO second
+   exchange. (The previous implementation used
+   ``Window.partitionBy("_pid")``, which Catalyst satisfies with a full
+   hashpartitioning(_pid) Exchange on top of the range shuffle -- two
+   full-data shuffles, and 32 pids hashed into 32 reducers collide.
+   The mapInPandas form scans each range partition in place.)
 
-Total cost: one range shuffle + one map-side window; grand totals
-(row count, value sum) fall out of step 3 for free, so callers that
-need ``n`` or ``tot`` alongside the scan pay no extra job.
+Total cost: ONE full-data range shuffle (plus the 32-row totals agg);
+grand totals (row count, value sum) fall out of step 3 for free, so
+callers that need ``n`` or ``tot`` alongside the scan pay no extra job.
+
+FP note: the running sum associates as (partition/batch carry) + an
+intra-batch sequential cumsum -- the same association family as the
+windowed form it replaced (offset + intra-partition fold). Callers that
+need ENGINE-EXACT cum boundaries (oracle differential) must snap the
+value column to a dyadic grid first (the 2^-20 snap used throughout
+queries/), which makes every fold order bit-identical.
+
+Lifetime note: the range-partitioned intermediate is persisted so the
+totals job and the main scan see the SAME sampled partition boundaries
+(repartitionByRange samples; an unpersisted recompute could re-sample
+and mismatch the offset map). The cached blocks are NOT eagerly freed
+when the returned plan's action finishes -- they live until Spark's
+ContextCleaner garbage-collects the unreferenced RDD (or the session
+ends). Callers running many scans in one long session can pass
+``persist_handles`` and unpersist after their action.
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -43,6 +67,7 @@ def global_rank_cumsum(
     n_out: str | None = None,
     total_out: str | None = None,
     num_parts: int = 32,
+    persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Add a global ``rank_out`` = row_number over ``order_by`` (callers
     must make the order TOTAL -- include a unique tie-break column --
@@ -53,47 +78,65 @@ def global_rank_cumsum(
     accumulator values). ``order_by`` takes Column sort expressions, so
     descending orders (``F.col("rev").desc()``) work.
 
-    The persisted range-partitioned intermediate keeps the totals job
-    and the main job on the SAME sampled partition boundaries (same
-    contract as with_stream_offsets); it lives only while this plan
-    does.
+    Pass-through columns must be Arrow-convertible (the scan streams
+    each partition through ``mapInPandas``); every current caller's are.
+    If ``persist_handles`` is given, the persisted range-partitioned
+    intermediate is appended so the caller can ``unpersist()`` it after
+    its action (see module docstring for why eager unpersist inside
+    this function would be unsafe).
     """
     order_by = list(order_by)
     val = F.coalesce(F.col(val_col).cast("double"), F.lit(0.0)) if val_col else F.lit(0.0)
     ranged = (
         df.withColumn("_val0", val)
         .repartitionByRange(num_parts, *order_by)
+        .sortWithinPartitions(*order_by)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    if persist_handles is not None:
+        persist_handles.append(ranged)
     totals = ranged.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_c"), F.sum("_val0").alias("_s")
     ).collect()
     n_acc, s_acc = 0, 0.0
-    offsets = []
+    off_map: dict[int, tuple[int, float]] = {}
     for row in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], n_acc, s_acc))
+        off_map[row["_pid"]] = (n_acc, s_acc)
         n_acc += row["_c"]
         s_acc += row["_s"] or 0.0
-    off_schema = StructType(
-        [
-            StructField("_pid", ranged.schema["_pid"].dataType),
-            StructField("_roff", LongType()),
-            StructField("_soff", DoubleType()),
-        ]
-    )
-    # explicit schema: survives the empty-input case where inference fails
-    off = df.sparkSession.createDataFrame(offsets, off_schema)
-    w = Window.partitionBy("_pid").orderBy(*order_by)
-    out = (
-        ranged.join(F.broadcast(off), "_pid")
-        .withColumn(rank_out, (F.row_number().over(w) + F.col("_roff")).cast("long"))
-    )
+
+    passthrough = [f for f in ranged.schema.fields if f.name not in ("_pid", "_val0")]
+    out_fields = list(passthrough) + [StructField(rank_out, LongType())]
     if val_col:
-        run = F.sum("_val0").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        out = out.withColumn(cum_out, run + F.col("_soff"))
+        out_fields.append(StructField(cum_out, DoubleType()))
+    out_schema = StructType(out_fields)
+    names = [f.name for f in out_fields]
+    want_cum = bool(val_col)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        roff: int | None = None
+        carry = 0.0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if roff is None:
+                roff, carry = off_map.get(int(pdf["_pid"].iloc[0]), (0, 0.0))
+            n = len(pdf)
+            out = pdf.drop(columns=["_pid", "_val0"])
+            out[rank_out] = np.arange(roff + 1, roff + n + 1, dtype="int64")
+            roff += n
+            if want_cum:
+                cs = pdf["_val0"].to_numpy(dtype="float64").cumsum() + carry
+                out[cum_out] = cs
+                carry = float(cs[-1])
+            yield out[names]
+
+    out = ranged.mapInPandas(scan, out_schema)
     if n_out:
         out = out.withColumn(n_out, F.lit(n_acc).cast("long"))
     if total_out:
         out = out.withColumn(total_out, F.lit(s_acc).cast("double"))
-    return out.drop("_pid", "_roff", "_soff", "_val0")
+    return out

@@ -75,8 +75,25 @@ def salted_join(
 
     ``salt_on`` must be a high-cardinality fact column (a row id) so
     salts spread uniformly; determinism: the salt is a hash, not RNG,
-    so re-runs produce identical plans and results. Result equals the
-    unsalted join exactly (``test_salted_join_equals_plain``)."""
+    so re-runs produce identical plans and results.
+
+    ``how`` is restricted to fact-side-preserving join types: with
+    ``right``/``full`` outer joins an unmatched dim row would surface
+    once PER SALT REPLICA (n_salt duplicate null-extended rows), so the
+    equals-the-unsalted-join guarantee below would not hold. For those
+    shapes, salt the other side or fall back to AQE skew handling.
+    Result equals the unsalted join exactly for every accepted ``how``
+    (``test_salted_join_equals_plain``)."""
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported -- dim rows are replicated "
+            f"n_salt times, so right/full outer joins would emit unmatched dim "
+            f"rows once per replica. Use one of inner/left/left_semi/left_anti."
+        )
     salt = F.pmod(
         F.xxhash64((F.col(salt_on) if isinstance(salt_on, str) else salt_on).cast("string")),
         F.lit(n_salt),

@@ -19,6 +19,14 @@ def _walk(node):
     yield node
     for i in range(node.children().size()):
         yield from _walk(node.children().apply(i))
+    # ADVICE r05: children() alone never descends into subquery-expression
+    # plans, so a Window introduced via a scalar/IN/EXISTS subquery was
+    # invisible to the lint. QueryPlan.subqueries returns each subquery
+    # expression's plan; recursing through _walk also covers nested
+    # subqueries-inside-subqueries.
+    subs = node.subqueries()
+    for i in range(subs.size()):
+        yield from _walk(subs.apply(i))
 
 
 def unpartitioned_windows(df: DataFrame) -> list[str]:

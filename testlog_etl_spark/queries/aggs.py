@@ -810,16 +810,19 @@ WITH r AS (
   SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS rev
   FROM lineitem GROUP BY l_partkey
 ),
+ri AS (
+  SELECT l_partkey, ROUND(rev * 10000, 0) AS rev_i FROM r
+),
 c AS (
-  SELECT rev,
-         SUM(rev) OVER (ORDER BY rev DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum,
-         SUM(rev) OVER () AS tot
-  FROM r
+  SELECT rev_i,
+         SUM(rev_i) OVER (ORDER BY rev_i DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev_i) OVER () AS tot
+  FROM ri
 )
 SELECT CASE WHEN cum / tot <= 0.80 THEN 'A'
             WHEN cum / tot <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
        CAST(count(*) AS BIGINT) AS n_parts,
-       ROUND(SUM(rev) / any_value(tot), 4) AS revenue_share
+       ROUND(SUM(rev_i) / any_value(tot), 4) AS revenue_share
 FROM c GROUP BY abc_class ORDER BY abc_class
 """,
 )
@@ -830,14 +833,22 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = li.groupBy("l_partkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev")
     )
+    # integral-cents grid (ADVICE r05): ROUND(rev,4)*1e4 rounds to an
+    # INTEGRAL double, so every partial/cumulative sum on both engines
+    # is exact up to 2^53 regardless of fold order -- the scan's
+    # partition-offset association vs the oracle's sequential window
+    # cannot drift the cum/tot 0.80/0.95 class boundary. Ratios and
+    # shares of exact integrals are single IEEE ops on identical
+    # operands, hence bit-identical across engines.
+    ri = r.withColumn("rev_i", F.round(F.col("rev") * 10000, 0))
     # cumulative revenue via the hierarchical scan (range shuffle +
     # bounded driver merge), NOT an unpartitioned window: the scan runs
     # over the PART grain, which scales with the data (~2e10 rows at
     # 100 TB TPC-H). The grand total falls out of the same pass.
     c = global_rank_cumsum(
-        r,
-        [F.col("rev").desc(), F.col("l_partkey").asc()],
-        val_col="rev",
+        ri,
+        [F.col("rev_i").desc(), F.col("l_partkey").asc()],
+        val_col="rev_i",
         cum_out="cum",
         total_out="tot",
     )
@@ -850,7 +861,7 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy(cls.alias("abc_class"))
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("rev") / F.any_value("tot"), 4).alias("revenue_share"),
+            F.round(F.sum("rev_i") / F.any_value("tot"), 4).alias("revenue_share"),
         )
         .orderBy("abc_class")
     )

@@ -1068,3 +1068,10 @@ def test_salted_join_equals_plain(spark):
     dim2 = dim.filter("k <> 'k2'")
     left = salted_join(fact, dim2, ["k"], salt_on="rid", n_salt=4, how="left")
     assert left.count() == 60 and left.filter("w IS NULL").count() == 20
+    # ADVICE r05: dim rows are replicated n_salt times, so right/full
+    # outer would emit unmatched dim rows once per replica -- rejected.
+    import pytest as _pytest
+
+    for bad in ("right", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError, match="unsupported"):
+            salted_join(fact, dim, ["k"], salt_on="rid", n_salt=4, how=bad)

@@ -637,3 +637,39 @@ def test_ann_recall_join_is_keyed_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # the two crossJoin tiers only
     assert "hashpartitioning(q_id" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_window_lint_sees_subquery_windows(spark):
+    # ADVICE r05: _walk only recursed into children(), so a Window
+    # introduced via a scalar/IN subquery expression was invisible to
+    # the scale lint. Both shapes must now be flagged.
+    from testlog_etl_spark.planlint import unpartitioned_windows
+
+    spark.range(10).createOrReplaceTempView("_lint_t")
+    scalar = spark.sql(
+        "SELECT id, (SELECT max(rn) FROM "
+        "(SELECT row_number() OVER (ORDER BY id) AS rn FROM _lint_t)) AS m "
+        "FROM _lint_t"
+    )
+    assert unpartitioned_windows(scalar)
+    in_sub = spark.sql(
+        "SELECT id FROM _lint_t WHERE id IN "
+        "(SELECT rn FROM (SELECT row_number() OVER (ORDER BY id) AS rn FROM _lint_t))"
+    )
+    assert unpartitioned_windows(in_sub)
+
+
+def test_global_rank_cumsum_single_exchange(spark):
+    # ADVICE r05: the old Window.partitionBy('_pid') form planned a
+    # SECOND full-data hashpartitioning exchange on top of the range
+    # shuffle; the mapInPandas scan must plan exactly one full-data
+    # exchange (rangepartitioning) and no hashpartitioning of _pid.
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id bigint, v double")
+    out = global_rank_cumsum(df, [F.col("v").asc(), F.col("id").asc()], val_col="v", num_parts=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
+    assert "hashpartitioning(_pid" not in plan, plan
