@@ -62,92 +62,76 @@ def register(
 # below is a curated verification window, rotated per round so the UNION of
 # rounds covers the whole registry (COVERAGE.md tracks the cumulative set).
 #
-# Round-5 window (VERDICT r04 top-next #1): r04 went 50/50 green, so the
-# union of r01-r04 driver rows covers 145 of the 221 registered queries;
-# the remaining 76 are green only in the local full differential
-# (tools/verify_all.py, 221/221 this session). This round's window is
-# therefore ALL first-driver-row slots -- zero re-verification slots --
-# drawn from that 76 and ordered by family. Selection criteria, in order:
-# (a) everything VERDICT r04 item 1 lists by name; (b) every query whose
-# code changed this round (gini/abc_pareto/text_vocab_growth rewired onto
-# the operators/scan.py hierarchical scan, agg_sketch_rollup's new
-# contract oracle, dedup_hamming_prefix chunk-split fix,
-# ts_peak_concurrency window-path peak rewrite, embed_hard_negatives
-# null-safe labels, source_orc_roundtrip TTL sweep); (c) family spread so
-# every query module lands at least one r05 row. The 26 left over
-# (attribution pair, seasonal family, events/orders ops, text metrics,
-# corpus report/build_v2, eval_langid, norm outliers, degree
-# distribution, sorted-token + tier-report dedup, quantile normalize)
-# are the r06 queue, together with the three operators added late-r05
-# (eval_ann_recall, pack_length_buckets, join_salted_skew,
-# agg_percentile_contract, source_schema_evolution, dedup_containment,
-# agg_weighted_median, corpus_token_budget, dedup_best_exemplar;
-# registry now 230 -- 35 of 50
-# slots, leaving recurring-anchor room) -- r05+r06 then covers the full
-# registry. Prior-green queries
-# displaced from the window stay covered by the local differential,
-# which this session re-ran green on current testdata.
+# Round-6 window: r05 went 50/50 green, so the union of r01-r05 driver rows
+# covers 195 of the 230 registered queries. This window takes ALL 35
+# remaining never-driver-signed queries (computed from the r01-r05
+# CORRECTNESS files vs the registry) -- after this round the union covers
+# the ENTIRE registry -- plus 15 anchor slots: first the three queries
+# whose code changed this round (abc_pareto's integral-cents grid,
+# gini + vocab_growth riding the rewritten operators/scan.py mapInPandas
+# scan) and then recurring high-value anchors (flagships, bench set,
+# survey hard spots) so regressions in the core surface stay
+# driver-visible every round. Anchor slots are swapped for any operator
+# added later in r06 so new work lands a first driver row immediately.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- TPC-H stragglers + temporal join (first driver rows)
-    "q9_profit_by_nation_year",
-    "q16_supplier_variety",
-    "join_scd2_dimension",
-    # -- aggregate family: sketches + concentration + cube
-    "agg_sketch_rollup",
-    "agg_countmin_sketch",
-    "agg_histogram_quantile",
-    "agg_mad_robust",
-    "agg_gini_concentration",
+    # -- changed-code anchors (re-sign after this round's edits)
     "agg_abc_pareto",
-    "agg_cube_grouping",
-    "agg_supplier_hhi",
-    # -- windows / timeseries
-    "win_range_time_frame",
-    "ts_changepoint",
-    "ts_rolling_anomaly",
-    "ts_peak_concurrency",
-    "ts_capped_balance",
-    "ts_ewma_hourly",
-    "ts_ohlc_bars",
-    # -- events / graph / grouped top-k
-    "events_cep_pattern",
-    "graph_market_basket",
-    "graph_triangles",
-    "topk_per_group_agg",
-    # -- funnel / survival / compliance
-    "agg_survival_curve",
-    "funnel_latency_quantiles",
-    "compliance_delete_sweep",
-    # -- streaming shapes without a driver row yet
-    "stream_session_window",
-    "stream_hourly_distinct",
-    "stream_mv_maintenance",
-    "stream_rate_limit",
-    "stream_stream_left_join",
-    "mv_incremental_maintain",
-    # -- LLM / corpus operators
-    "text_bm25_topk",
+    "agg_gini_concentration",
     "text_vocab_growth",
-    "dedup_hamming_prefix",
-    "dedup_entity_resolution",
-    "embed_hard_negatives",
-    "corpus_epoch_shuffle",
-    "corpus_manifest_build",
-    "sample_weighted_exact_k",
-    "drift_psi_report",
-    "eval_score_auc",
-    # -- statistical tests
-    "stats_chi_square",
-    "stats_ks_by_day",
-    "stats_welch_ttest",
-    "stats_correlation",
-    # -- feature engineering + data quality
-    "features_trailing_horizons",
-    "features_target_encoding",
-    "features_temporal_split",
-    "dq_constraint_report",
-    # -- sources
-    "source_orc_roundtrip",
+    # -- never-signed: aggregate / seasonal family
+    "agg_mom_growth",
+    "agg_percentile_contract",
+    "agg_seasonal_index",
+    "agg_weighted_median",
+    "stats_quantile_normalize",
+    # -- never-signed: attribution + orders analytics
+    "attribution_last_touch",
+    "attribution_linear",
+    "orders_backlog_aging",
+    "orders_cross_sell",
+    "orders_duplicate_payments",
+    # -- never-signed: events analytics
+    "events_dau_mau",
+    "events_error_budget",
+    "events_inter_arrival",
+    "events_seasonality_profile",
+    "forecast_seasonal_naive_mape",
+    # -- never-signed: corpus / dedup / packing
+    "corpus_build_v2",
+    "corpus_report_card",
+    "corpus_token_budget",
+    "dedup_best_exemplar",
+    "dedup_containment",
+    "dedup_sorted_tokens",
+    "dedup_tier_report",
+    "pack_length_buckets",
+    "join_salted_skew",
+    # -- never-signed: text / docs / embeddings
+    "docs_template_extraction",
+    "text_bigram_lm",
+    "text_code_signal",
+    "text_readability",
+    "text_zipf_fit",
+    "embed_norm_outliers",
+    "eval_ann_recall",
+    "eval_langid_metrics",
+    # -- never-signed: quality / graph / sources
+    "dq_freshness_report",
+    "graph_degree_distribution",
+    "source_schema_evolution",
+    # -- recurring anchors (flagships + bench set + survey hard spots)
+    "q1_pricing_summary",
+    "q21_suppliers_kept_waiting",
+    "etl_mozlog_results",
+    "sessionize_batch",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "sim_topk_cosine",
+    "jx_full_pipeline",
+    "win_frame_median",
+    "edges_default_other",
+    "stream_event_counts",
 )
 
 
