@@ -126,3 +126,25 @@ def psi_report(
         .withColumn("psi_term", F.round("_psi_term", 6))
         .drop("_psi_term")
     )
+
+
+def k_anonymity(df: DataFrame, qi_cols: list[str | Column], k: int) -> DataFrame:
+    """Per-equivalence-class k-anonymity accounting: group the table by
+    its quasi-identifier columns and flag every class smaller than
+    ``k`` (re-identification risk -- a class of size 1 pins a row to an
+    individual). Returns one row per class: the QI values, ``class_size``
+    and ``risky`` (class_size < k).
+
+    Scale shape: one hash aggregate on the QI key -- the same shuffle
+    any rollup pays, partial map-side combine included; no window, no
+    self-join. Callers roll the classes up into a risk report (see
+    queries/profile_queries.py::dq_k_anonymity) -- that second rollup
+    runs over the already-reduced class frame, which is <= |distinct QI
+    combinations| rows, typically orders of magnitude below the row
+    count."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in qi_cols]
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("risky", F.col("class_size") < F.lit(k))
+    )

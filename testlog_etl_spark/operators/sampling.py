@@ -242,3 +242,65 @@ def weighted_exact_k(
     key = (z - F.pmod(z, F.lit(1.0))) / F.lit(g)
     keyed = df.filter(F.col(weight_col) > 0).withColumn("_skey", key)
     return grouped_topk(keyed, [group_col], "_skey", id_col, k=k, descending=True)
+
+
+def temperature_allocation(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col: Column | str,
+    budget: int,
+    grid_bits: int = 20,
+) -> DataFrame:
+    """Temperature-resampled domain mixture with an EXACT integer token
+    budget: per stratum, raw share p = tokens/total is flattened to
+    w = sqrt(p) (temperature T=2 -- the multilingual-corpus rebalancing
+    move: head domains give up mass to the tail), renormalized, and the
+    token ``budget`` is split by LARGEST-REMAINDER apportionment so the
+    integer allocations sum to exactly ``budget``.
+
+    Cross-engine determinism: w is snapped to the 2^-grid_bits dyadic
+    grid, so the renormalizing sum is exact in any fold order; every
+    downstream value (target = budget*w/sum_w, floor, remainder) is a
+    single IEEE op chain on identical operands, hence bit-identical in
+    Spark and the SQL oracle. sqrt is correctly-rounded by IEEE 754 --
+    unlike pow(p, alpha), which is why the temperature is fixed at the
+    sqrt point rather than parameterized.
+
+    Scale shape: ONE rollup shuffle to the stratum grain; every window
+    after it runs over the reduced |strata| frame (a fixed small
+    domain -- callers must whitelist the bounded unpartitioned window
+    in the scale lint, as jx_full_pipeline does)."""
+    g = float(1 << grid_bits)
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    agg = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("long").alias("tokens"),
+    )
+    ww = Window.partitionBy()  # bounded: one row per stratum
+    tot = F.sum("tokens").over(ww)
+    p = F.when(tot > 0, F.col("tokens").cast("double") / tot.cast("double")).otherwise(F.lit(0.0))
+    w = F.floor(F.sqrt(p) * F.lit(g) + F.lit(0.5)) / F.lit(g)
+    s = agg.withColumn("share", p).withColumn("w_temp", w)
+    sw = F.sum("w_temp").over(ww)
+    target = F.when(sw > 0, F.lit(float(budget)) * F.col("w_temp") / sw).otherwise(F.lit(0.0))
+    s = s.withColumn("_target", target).withColumn("_base", F.floor(target))
+    extra = (F.lit(budget) - F.sum("_base").over(ww)).cast("long")
+    rnk = F.row_number().over(
+        Window.orderBy((F.col("_target") - F.col("_base")).desc(), F.col(strata_col).asc())
+    )
+    return (
+        s.withColumn("_extra", extra)
+        .withColumn("_rnk", rnk)
+        .withColumn(
+            "alloc_tokens",
+            # degenerate empty-corpus case (sum of weights 0): allocate
+            # nothing rather than hand every stratum a remainder unit
+            F.when(
+                sw > 0,
+                F.col("_base") + F.when(F.col("_rnk") <= F.col("_extra"), 1).otherwise(0),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("_target", "_base", "_extra", "_rnk")
+    )

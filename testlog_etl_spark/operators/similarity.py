@@ -207,13 +207,30 @@ def kmeans_fit(
 def rademacher_planes(seed: int, n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic +-1 hyperplanes (sign-LSH works for any symmetric
     coefficient distribution; Rademacher keeps them exactly reproducible
-    across machines — crc32-seeded, no RNG state)."""
-    import zlib
+    across machines — md5-seeded, no RNG state).
 
-    return [
-        [1.0 if zlib.crc32(f"{seed}:{p}:{d}".encode()) & 1 else -1.0 for d in range(dim)]
-        for p in range(n_planes)
-    ]
+    md5, NOT crc32: crc32 is LINEAR over GF(2), so two equal-length
+    inputs differing in one character (plane index p vs p+1, or seed s
+    vs s+1) flip a FIXED bit pattern — when that pattern's low bit is 0,
+    consecutive planes come out IDENTICAL. The original crc32 version
+    produced only 4 distinct planes of the 32 requested for the LSH
+    tables (including antipodal pairs — ~2 effective directions). md5
+    is nonlinear; each 128-bit digest seeds 128 independent signs, with
+    a block counter extending past dim 128."""
+    import hashlib
+
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        bits: list[int] = []
+        block = 0
+        while len(bits) < dim:
+            digest = hashlib.md5(f"{seed}:{p}:{block}".encode()).digest()
+            for byte in digest:
+                for k in range(8):
+                    bits.append((byte >> k) & 1)
+            block += 1
+        planes.append([1.0 if b else -1.0 for b in bits[:dim]])
+    return planes
 
 
 def lsh_topk(
@@ -352,6 +369,36 @@ def ivf_topk(
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def random_sign_projection(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    d_out: int,
+    seed: int = 7,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign (Achlioptas/Rademacher) projection:
+    ``out_col`` = [dot(v, s_j)/sqrt(d_out) for j < d_out] with s_j the
+    deterministic +-1 planes from ``rademacher_planes`` (md5-seeded,
+    no RNG state, identical on every machine). The 1/sqrt(d_out)
+    scaling makes E[|proj|^2] = |v|^2, so downstream consumers can use
+    projected distances directly.
+
+    A pure per-row projection -- no shuffle, stays inside whole-stage
+    codegen via the zip_with/aggregate left fold (the same fold the
+    LSH signature path uses, so the DuckDB reduce() twin is
+    bit-identical). At 100 TB this is the compress-before-shuffle
+    move: d_out=8 doubles ride the ANN/dedup exchanges instead of the
+    full dim=64 vector (8x shuffle-byte cut on the vector payload)."""
+    planes = rademacher_planes(seed, d_out, dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.lit(float(d_out) ** 0.5)
+    proj = F.array(
+        *[(dot(v, F.array(*[F.lit(c) for c in p])) / scale) for p in planes]
+    )
+    return df.withColumn(out_col, proj)
 
 
 def quantize_int8(vec: Column) -> Column:

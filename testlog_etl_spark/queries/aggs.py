@@ -950,3 +950,44 @@ def agg_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@register(
+    "topk_global_paging",
+    doc="deterministic keyset pagination at scale: page 3 (ranks "
+    "101-150) of parts by revenue. LIMIT/OFFSET pulls offset+limit "
+    "rows into one task and re-sorts per page; the hierarchical scan "
+    "(operators/scan.py) assigns a GLOBAL rank in one range shuffle, "
+    "so any page is a filter on the rank column and deep pages cost "
+    "the same as page one. Ordering folds integral cents "
+    "(ROUND(rev,4)*1e4) so rank order cannot drift between engines at "
+    "ulp-close revenues; ties broken by l_partkey.",
+    oracle="""
+WITH r AS (
+  SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+k AS (
+  SELECT l_partkey, rev,
+         ROW_NUMBER() OVER (ORDER BY ROUND(rev * 10000, 0) DESC, l_partkey) AS i
+  FROM r
+)
+SELECT i, l_partkey, rev FROM k WHERE i BETWEEN 101 AND 150 ORDER BY i
+""",
+)
+def topk_global_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    r = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev")
+    )
+    ri = r.withColumn("rev_i", F.round(F.col("rev") * 10000, 0))
+    k = global_rank_cumsum(
+        ri, [F.col("rev_i").desc(), F.col("l_partkey").asc()], rank_out="i"
+    )
+    return (
+        k.filter(F.col("i").between(101, 150))
+        .select("i", "l_partkey", "rev")
+        .orderBy("i")
+    )

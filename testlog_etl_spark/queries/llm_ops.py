@@ -463,7 +463,7 @@ def _duck_dot(a: str, b: str, dim: int) -> str:
 
 def _lsh_topk_oracle(dim: int = 64, n_tables: int = 8, n_bits: int = 4, k: int = 5) -> str:
     """DuckDB twin of similarity.lsh_topk, exact: the hyperplanes are
-    deterministic literals (rademacher_planes, crc32-seeded), so the
+    deterministic literals (rademacher_planes, md5-seeded), so the
     oracle renders the SAME planes into SQL and recomputes signatures,
     buckets, candidates, and cosines. Float discipline: dots and norms
     are sequential left folds in array order on BOTH engines (Spark
@@ -3310,4 +3310,196 @@ def dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unionByName(row("b_bag", bag_d, [exact_d]))
         .unionByName(row("c_prefix_hamming", ham_d, [bag_d, exact_d]))
         .orderBy("tier")
+    )
+
+
+_TOK_SQL = "len(list_filter(string_split(trim(text), ' '), t -> t <> ''))"
+
+
+@register(
+    "corpus_mixture_weights",
+    doc="temperature-resampled domain mixture (operators/sampling.py::"
+    "temperature_allocation): per source, raw token share p flattened "
+    "to sqrt(p) (T=2 -- head domains cede mass to the tail), "
+    "renormalized, and a 1M-token budget split by largest-remainder "
+    "apportionment so integer allocations sum to EXACTLY the budget. "
+    "w snapped to the 2^-20 grid makes the renormalizing sum exact in "
+    "any fold order; sqrt is correctly-rounded IEEE (pow is not, which "
+    "is why T is pinned at 2). One rollup shuffle; every later step "
+    "runs over the bounded |sources| frame (window_lint whitelisted).",
+    oracle=f"""
+WITH t AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(SUM({_TOK_SQL}) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+p AS (
+  SELECT source, n_docs, tokens,
+         tokens::DOUBLE / (SUM(tokens) OVER ())::DOUBLE AS share,
+         floor(sqrt(tokens::DOUBLE / (SUM(tokens) OVER ())::DOUBLE) * 1048576 + 0.5) / 1048576 AS w
+  FROM t
+),
+a AS (
+  SELECT source, n_docs, tokens, share, w,
+         1000000.0 * w / SUM(w) OVER () AS target
+  FROM p
+),
+b AS (
+  SELECT source, n_docs, tokens, share, w, target,
+         floor(target) AS base,
+         CAST(1000000 - SUM(floor(target)) OVER () AS BIGINT) AS extra,
+         ROW_NUMBER() OVER (ORDER BY target - floor(target) DESC, source) AS rnk
+  FROM a
+)
+SELECT source, n_docs, tokens,
+       ROUND(share, 6) AS share,
+       ROUND(w, 6) AS w_temp,
+       CAST(base + CASE WHEN rnk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+FROM b ORDER BY source
+""",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = sampling.temperature_allocation(
+        docs, "source", textstats.token_count(F.col("text")), budget=1_000_000
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round("share", 6).alias("share"),
+        F.round("w_temp", 6).alias("w_temp"),
+        "alloc_tokens",
+    ).orderBy("source")
+
+
+def _rsp_oracle(dim: int = 64, d_out: int = 8, seed: int = 7) -> str:
+    """DuckDB twin of similarity.random_sign_projection + the per-label
+    norm-preservation report: the +-1 planes are deterministic literals
+    (rademacher_planes, md5-seeded), dots and norms are sequential
+    left folds in array order on both engines (Spark aggregate/zip_with
+    vs reduce()), the scale 1/sqrt(d_out) is one correctly-rounded IEEE
+    op, and the per-row ratio is 2^-20-snapped before averaging so the
+    cross-row sum is exact in any fold order."""
+    from testlog_etl_spark.operators import similarity as _sim
+
+    planes = _sim.rademacher_planes(seed, d_out, dim)
+    scale = repr(float(d_out) ** 0.5)
+    projs = ", ".join(
+        f"{_duck_dot_plane('vec', p, dim)} / {scale}" for p in planes
+    )
+    pn = " + ".join(f"(proj[{j + 1}] * proj[{j + 1}])" for j in range(d_out))
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+),
+pr AS (
+  SELECT vec_id, label, [{projs}] AS proj,
+         reduce(list_prepend(0.0::DOUBLE, list_transform(vec, __e -> __e * __e)),
+                (__a, __x) -> __a + __x) AS onorm2
+  FROM v
+),
+r AS (
+  SELECT label,
+         CASE WHEN onorm2 > 0
+              THEN floor(({pn}) / onorm2 * 1048576 + 0.5) / 1048576
+              ELSE 0.0 END AS ratio
+  FROM pr
+)
+SELECT label, count(*) AS n_vecs,
+       ROUND(SUM(ratio) / count(*), 4) AS avg_ratio,
+       ROUND(MIN(ratio), 4) AS min_ratio,
+       ROUND(MAX(ratio), 4) AS max_ratio
+FROM r GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "embed_random_projection",
+    doc="Johnson-Lindenstrauss sign projection 64->8 (operators/"
+    "similarity.py::random_sign_projection, deterministic md5 "
+    "Rademacher planes) with a per-label norm-preservation report "
+    "(avg/min/max of |proj|^2/|v|^2 -- the JL contract E[ratio]=1). "
+    "Pure per-row projection, no shuffle: at 100 TB this is the "
+    "compress-before-shuffle move -- 8 doubles ride downstream "
+    "ANN/dedup exchanges instead of the 64-float payload.",
+    oracle=_rsp_oracle(),
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    pr = similarity.random_sign_projection(emb, "embedding", dim=64, d_out=8, seed=7)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    onorm2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    pnorm2 = F.aggregate(F.col("proj"), F.lit(0.0), lambda acc, x: acc + x * x)
+    g = F.lit(float(1 << 20))
+    ratio = F.when(
+        onorm2 > 0, F.floor(pnorm2 / onorm2 * g + F.lit(0.5)) / g
+    ).otherwise(F.lit(0.0))
+    return (
+        pr.select("label", ratio.alias("ratio"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("ratio") / F.count(F.lit(1)), 4).alias("avg_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "split_leakage_audit",
+    doc="train/eval contamination audit: deterministic 90/10 hash split "
+    "(operators/sampling.py::split_assign, md5-bucketed, sticky per "
+    "doc_id), content fingerprint = md5 of the first-8-token prefix "
+    "(near-verbatim leakage, the eval-set hygiene check run before "
+    "every training round); an eval doc is contaminated when its "
+    "fingerprint also appears in train. One distinct-project on the "
+    "train side + one fingerprint equi-join (left semi) -- at 100 TB "
+    "both sides shuffle 16-byte fingerprints, never text.",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, source,
+         CASE WHEN try_cast(('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15)) AS BIGINT) % 10000 < 9000
+              THEN 'train' ELSE 'eval' END AS split,
+         substr(md5(array_to_string(
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')[1:8], ' ')), 1, 16) AS fp
+  FROM documents WHERE text IS NOT NULL
+),
+tr AS (SELECT DISTINCT fp FROM s WHERE split = 'train'),
+ev AS (
+  SELECT s.source, s.fp, EXISTS(SELECT 1 FROM tr WHERE tr.fp = s.fp) AS hit
+  FROM s WHERE split = 'eval'
+)
+SELECT source,
+       count(*) AS n_eval_docs,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       ROUND(SUM(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS contamination_rate
+FROM ev GROUP BY source ORDER BY source
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull()
+    )
+    s = sampling.split_assign(docs, "doc_id", {"train": 0.9, "eval": 0.1}, seed="7")
+    prefix = F.array_join(F.slice(textstats.tokens(F.lower(F.col("text"))), 1, 8), " ")
+    s = s.withColumn("fp", F.substring(F.md5(prefix), 1, 16))
+    train_fp = s.filter(F.col("split") == "train").select("fp").distinct()
+    ev = s.filter(F.col("split") == "eval").select("doc_id", "source", "fp")
+    hits = (
+        ev.join(train_fp.withColumnRenamed("fp", "_tfp"), ev["fp"] == F.col("_tfp"), "left")
+        .withColumn("hit", F.col("_tfp").isNotNull())
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_docs"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("double") / F.count(F.lit(1)), 4
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
     )

@@ -185,3 +185,54 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cmp_label="1996",
     )
     return out.orderBy("bucket")
+
+
+@register(
+    "dq_k_anonymity",
+    doc="k-anonymity risk report (operators/profile.py::k_anonymity): "
+    "equivalence classes over the quasi-identifiers (nation, market "
+    "segment, account-balance band); any class smaller than k=5 is a "
+    "re-identification risk. Per-segment rollup of class counts, risky "
+    "classes, and the share of rows sitting in risky classes -- the "
+    "privacy gate a dataset passes before release. One hash rollup to "
+    "the QI grain + one rollup over the already-reduced class frame; "
+    "no window, no self-join, nothing holistic.",
+    oracle="""
+WITH cls AS (
+  SELECT c_mktsegment, c_nationkey, floor(c_acctbal / 1000) AS bal_band,
+         count(*) AS class_size
+  FROM customer GROUP BY c_mktsegment, c_nationkey, floor(c_acctbal / 1000)
+)
+SELECT c_mktsegment AS segment,
+       count(*) AS n_classes,
+       CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_classes,
+       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS risky_rows,
+       CAST(SUM(class_size) AS BIGINT) AS total_rows,
+       ROUND(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)::DOUBLE
+             / SUM(class_size), 4) AS risky_row_share
+FROM cls GROUP BY c_mktsegment ORDER BY segment
+""",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.profile import k_anonymity
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    cls = k_anonymity(
+        cust,
+        [F.col("c_mktsegment"), F.col("c_nationkey"), F.floor(F.col("c_acctbal") / 1000).alias("bal_band")],
+        k=5,
+    )
+    risky_rows = F.sum(F.when(F.col("risky"), F.col("class_size")).otherwise(0))
+    return (
+        cls.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("risky"), 1).otherwise(0)).cast("long").alias("risky_classes"),
+            risky_rows.cast("long").alias("risky_rows"),
+            F.sum("class_size").cast("long").alias("total_rows"),
+            F.round(risky_rows.cast("double") / F.sum("class_size"), 4).alias("risky_row_share"),
+        )
+        .orderBy("segment")
+    )

@@ -119,19 +119,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dq_freshness_report",
     "graph_degree_distribution",
     "source_schema_evolution",
-    # -- recurring anchors (flagships + bench set + survey hard spots)
+    # -- operators added in r06 (first driver rows)
+    "corpus_mixture_weights",
+    "embed_random_projection",
+    "split_leakage_audit",
+    "dq_k_anonymity",
+    "topk_global_paging",
+    # -- recurring anchors (flagships + bench set)
     "q1_pricing_summary",
     "q21_suppliers_kept_waiting",
     "etl_mozlog_results",
     "sessionize_batch",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_semantic",
     "sim_topk_cosine",
-    "jx_full_pipeline",
-    "win_frame_median",
-    "edges_default_other",
-    "stream_event_counts",
 )
 
 

@@ -1075,3 +1075,67 @@ def test_salted_join_equals_plain(spark):
     for bad in ("right", "full", "outer", "full_outer"):
         with _pytest.raises(ValueError, match="unsupported"):
             salted_join(fact, dim, ["k"], salt_on="rid", n_salt=4, how=bad)
+
+
+def test_temperature_allocation_sums_to_budget(spark):
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.sampling import temperature_allocation
+
+    rows = [("s%d" % (i % 7), i, 10 + (i * 13) % 400) for i in range(300)]
+    df = spark.createDataFrame(rows, "src string, doc_id bigint, n_tok int")
+    for budget in (1, 999, 100_000):
+        out = temperature_allocation(df, "src", "n_tok", budget=budget).collect()
+        assert sum(r["alloc_tokens"] for r in out) == budget, budget
+        assert all(r["alloc_tokens"] >= 0 for r in out)
+    # temperature-2 flattening: the head stratum's allocated share must
+    # not exceed its raw share; a tail stratum's must not fall below
+    out = temperature_allocation(df, "src", "n_tok", budget=1_000_000).collect()
+    head = max(out, key=lambda r: r["tokens"])
+    tail = min(out, key=lambda r: r["tokens"])
+    assert head["alloc_tokens"] / 1_000_000 <= head["share"] + 1e-9
+    assert tail["alloc_tokens"] / 1_000_000 >= tail["share"] - 1e-9
+
+
+def test_temperature_allocation_zero_tokens(spark):
+    from testlog_etl_spark.operators.sampling import temperature_allocation
+
+    df = spark.createDataFrame([("a", 0), ("b", 0)], "src string, n_tok int")
+    out = temperature_allocation(df, "src", "n_tok", budget=100).collect()
+    assert all(r["alloc_tokens"] == 0 for r in out)
+
+
+def test_random_sign_projection_deterministic_and_jl(spark):
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.similarity import random_sign_projection
+
+    rows = [(i, [float(((i * 31 + j * 7) % 19) - 9) for j in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    a = random_sign_projection(df, "embedding", dim=16, d_out=4, seed=3).collect()
+    b = random_sign_projection(df, "embedding", dim=16, d_out=4, seed=3).collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))
+    assert all(len(r["proj"]) == 4 for r in a)
+    # JL contract: E[|proj|^2] = |v|^2 -- the dataset-mean ratio should
+    # be loosely near 1 even at d_out=4
+    ratios = []
+    for r in a:
+        o = sum(x * x for x in r["embedding"])
+        p = sum(x * x for x in r["proj"])
+        if o:
+            ratios.append(p / o)
+    m = sum(ratios) / len(ratios)
+    assert 0.5 < m < 1.5, m
+    # different seed -> different planes -> different projection
+    c = random_sign_projection(df, "embedding", dim=16, d_out=4, seed=4).collect()
+    assert sorted(map(repr, a)) != sorted(map(repr, c))
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from testlog_etl_spark.operators.profile import k_anonymity
+
+    rows = [("x", 1)] * 6 + [("x", 2)] * 2 + [("y", 1)]
+    df = spark.createDataFrame(rows, "seg string, band int")
+    out = {(r["seg"], r["band"]): (r["class_size"], r["risky"]) for r in
+           k_anonymity(df, ["seg", "band"], k=5).collect()}
+    assert out == {("x", 1): (6, False), ("x", 2): (2, True), ("y", 1): (1, True)}

@@ -41,6 +41,11 @@ WHITELIST: dict[str, str] = {
         "JX window clause runs over the event_type GROUPED frame; the "
         "domain is a fixed small enum (~5 values), not data-scaling"
     ),
+    "corpus_mixture_weights": (
+        "temperature/renormalize/remainder-rank windows all run over the "
+        "per-source ROLLUP frame -- a fixed small domain (~20 sources), "
+        "not data-scaling; the corpus-scale work is the one rollup shuffle"
+    ),
     "eval_score_auc": (
         "cumulative window over DISTINCT grid-snapped scores: frame is "
         "bounded by the 2^20 grid, never the document count; at extreme "
