@@ -673,3 +673,36 @@ def test_global_rank_cumsum_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan, plan
     assert "hashpartitioning(_pid" not in plan, plan
+
+
+def test_mixture_weights_single_corpus_shuffle(spark):
+    # the only full-data exchange is the per-source rollup; temperature,
+    # renormalization and remainder-rank all run over the reduced
+    # |sources| frame (bounded windows, no second corpus-scale shuffle)
+    plan = plan_of(_q("corpus_mixture_weights")(spark, SF_SMALL), mode="simple")
+    assert plan.count("hashpartitioning(source") == 1, plan
+    # the only other exchange is the SinglePartition hop of the ~20-row
+    # rollup into the bounded windows -- partial aggregation below it
+    # means corpus rows never reach it
+    assert plan.count("Exchange") == 2 and "Exchange SinglePartition" in plan, plan
+
+
+def test_leakage_audit_join_shuffles_fingerprints_not_text(spark):
+    # both sides of the train><eval probe must project text away BEFORE
+    # their exchanges: only (fp, source, ...) keys ride the shuffles
+    plan = plan_of(_q("split_leakage_audit")(spark, SF_SMALL), mode="simple")
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg.splitlines()[0]
+        assert "text" not in head, head
+
+
+def test_random_projection_is_pure_projection(spark):
+    # no exchange, no Python worker: the JL projection is array
+    # intrinsics inside the scan stage
+    from testlog_etl_spark.operators.similarity import random_sign_projection
+    from testlog_etl_spark.tables import load_tables
+
+    emb = load_tables(spark, SF_SMALL, ("embeddings",))["embeddings"]
+    plan = plan_of(random_sign_projection(emb, "embedding", dim=64, d_out=8), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
