@@ -249,3 +249,31 @@ def test_global_scan_matches_sequential_model(rows, parts, desc):
         gi, gcum, gn, gtot = got[i]
         assert gi == rank and abs(gcum - acc) < 1e-9
         assert gn == len(data) and abs(gtot - tot) < 1e-9
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=8),
+    st.integers(1, 500_000),
+)
+def test_temperature_allocation_apportionment_invariants(token_counts, budget):
+    from testlog_etl_spark.operators.sampling import temperature_allocation
+
+    spark = _spark()
+    rows = [(f"s{i}", int(t)) for i, t in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "src string, n_tok long")
+    out = temperature_allocation(df, "src", "n_tok", budget=budget).collect()
+    total_tok = sum(token_counts)
+    if total_tok == 0:
+        assert all(r["alloc_tokens"] == 0 for r in out)
+        return
+    # largest-remainder apportionment: sums exactly, each within 1 unit
+    # of its real-valued target, zero-token strata get nothing
+    assert sum(r["alloc_tokens"] for r in out) == budget
+    ws = {r["src"]: r["w_temp"] for r in out}
+    sw = sum(ws.values())
+    for r in out:
+        target = budget * ws[r["src"]] / sw
+        assert target - 1 < r["alloc_tokens"] < target + 1, (r, target)
+        if r["tokens"] == 0:
+            assert r["alloc_tokens"] == 0
