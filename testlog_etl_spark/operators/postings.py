@@ -141,3 +141,40 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         F.col("_doc").alias(id_col), "score", "n_terms", "rank"
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    id_col: str,
+    terms: Column,
+    phrase: list[str],
+) -> DataFrame:
+    """Exact phrase search without an index rescan: every phrase term's
+    occurrence is reduced to its ALIGNED ANCHOR (position - term offset
+    in the phrase), so a phrase match is an equi-join of the per-term
+    anchor sets on (doc, anchor) -- one hash join per phrase term, no
+    window, no per-doc sequential scan. Returns (id_col, n_matches)
+    with one count per doc containing the phrase at least once.
+
+    Scale shape: the per-term filter runs on the exploded frame BEFORE
+    any exchange, so only occurrences of the |phrase| query terms move
+    -- the join inputs are term-selectivity-sized, never corpus-sized.
+    (Stopword-heavy phrase terms inherit the postings max_df caveat:
+    their anchor sets are corpus-proportional; cap or pre-prune via the
+    postings df stats.) Positions are flattened at explode time; no
+    positional lists are materialized per term, so no reducer builds an
+    unbounded array."""
+    if not phrase:
+        raise ValueError("phrase_search: phrase must be non-empty")
+    pos = docs.select(
+        F.col(id_col).alias("_doc"), F.posexplode(terms).alias("_p", "_term")
+    )
+    joined: DataFrame | None = None
+    for i, term in enumerate(phrase):
+        side = pos.filter(F.col("_term") == term).select(
+            "_doc", (F.col("_p") - F.lit(i)).alias("_anchor")
+        )
+        joined = side if joined is None else joined.join(side, ["_doc", "_anchor"])
+    return joined.groupBy(F.col("_doc").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )

@@ -126,3 +126,35 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", textstats.tokens(F.col("text")), ["spark", "join", "window"], k=10
     )
     return out.orderBy("rank")
+
+
+@register(
+    "index_phrase_search",
+    doc="exact phrase search ('table scan') via aligned anchors "
+    "(operators/postings.py::phrase_search): each phrase term's "
+    "occurrences reduce to position-minus-offset anchors, so the "
+    "phrase match is a (doc, anchor) equi-join per term -- no window, "
+    "no per-doc scan, join inputs term-selectivity-sized. The IR "
+    "primitive beside BM25 (ranked) and postings (boolean).",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(w) AS term, unnest(range(0, len(w))) AS p FROM tok
+),
+s0 AS (SELECT doc_id, p - 0 AS anchor FROM pos WHERE term = 'table'),
+s1 AS (SELECT doc_id, p - 1 AS anchor FROM pos WHERE term = 'scan')
+SELECT s0.doc_id AS doc_id, count(*) AS n_matches
+FROM s0 JOIN s1 USING (doc_id, anchor)
+GROUP BY s0.doc_id
+ORDER BY doc_id
+""",
+)
+def index_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = postings.phrase_search(
+        docs, "doc_id", textstats.tokens(F.col("text")), ["table", "scan"]
+    )
+    return out.orderBy("doc_id")

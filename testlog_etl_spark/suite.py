@@ -125,6 +125,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "split_leakage_audit",
     "dq_k_anonymity",
     "topk_global_paging",
+    "index_phrase_search",
     # -- recurring anchors (flagships + bench set)
     "q1_pricing_summary",
     "q21_suppliers_kept_waiting",
@@ -132,7 +133,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sessionize_batch",
     "dedup_minhash_lsh",
     "dedup_semantic",
-    "sim_topk_cosine",
 )
 
 

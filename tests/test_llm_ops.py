@@ -1139,3 +1139,29 @@ def test_k_anonymity_flags_small_classes(spark):
     out = {(r["seg"], r["band"]): (r["class_size"], r["risky"]) for r in
            k_anonymity(df, ["seg", "band"], k=5).collect()}
     assert out == {("x", 1): (6, False), ("x", 2): (2, True), ("y", 1): (1, True)}
+
+
+def test_phrase_search_anchors(spark):
+    from testlog_etl_spark.operators.postings import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),       # "a b" at 0 and 3 -> 2 matches
+            (2, "b a x a y b"),       # no adjacent "a b"
+            (3, "a a a"),             # repeated-term phrase probe
+            (4, "x y a b"),           # 1 match at end
+        ],
+        "doc_id bigint, text string",
+    )
+    from testlog_etl_spark.operators import textstats
+
+    out = {r["doc_id"]: r["n_matches"] for r in
+           phrase_search(docs, "doc_id", textstats.tokens(F.col("text")), ["a", "b"]).collect()}
+    assert out == {1: 2, 4: 1}
+    # 3-term phrase and a repeated-term phrase ("a a" matches twice in "a a a")
+    out3 = {r["doc_id"]: r["n_matches"] for r in
+            phrase_search(docs, "doc_id", textstats.tokens(F.col("text")), ["a", "b", "c"]).collect()}
+    assert out3 == {1: 2}
+    rep = {r["doc_id"]: r["n_matches"] for r in
+           phrase_search(docs, "doc_id", textstats.tokens(F.col("text")), ["a", "a"]).collect()}
+    assert rep == {3: 2}
