@@ -1701,3 +1701,41 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+@register(
+    "graph_subtree_rollup",
+    doc="hierarchical (recursive-CTE) subtree rollup over the implicit "
+    "binary doc hierarchy (parent = doc_id div 2): per ancestor, the "
+    "proper-descendant count and subtree char mass. Spark-first "
+    "restatement of WITH RECURSIVE: pointer DOUBLING closes depth 32 "
+    "in 5 equi-join+distinct rounds -- log2(depth) jobs instead of a "
+    "depth-long dependent chain (operators/hierarchy.py; the same "
+    "doubling that drives dupgroups' connected components). Closure "
+    "rows are 16-byte id pairs; the rollup is one hash aggregate.",
+    oracle="""
+WITH RECURSIVE anc(node, anc) AS (
+  SELECT doc_id, doc_id // 2 FROM documents WHERE doc_id > 0
+  UNION ALL
+  SELECT node, anc // 2 FROM anc WHERE anc > 0
+)
+SELECT a.anc AS ancestor,
+       count(*) AS n_desc,
+       CAST(SUM(d.n_chars) AS BIGINT) AS subtree_value
+FROM anc a JOIN documents d ON d.doc_id = a.node
+GROUP BY a.anc
+ORDER BY ancestor
+""",
+)
+def graph_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.hierarchy import subtree_rollup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = subtree_rollup(
+        docs,
+        "doc_id",
+        parent=(F.col("doc_id") / 2).cast("long"),
+        value=F.col("n_chars"),
+        rounds=5,
+    )
+    return out.orderBy("ancestor")

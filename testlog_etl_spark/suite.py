@@ -126,13 +126,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dq_k_anonymity",
     "topk_global_paging",
     "index_phrase_search",
+    "graph_subtree_rollup",
     # -- recurring anchors (flagships + bench set)
     "q1_pricing_summary",
     "q21_suppliers_kept_waiting",
     "etl_mozlog_results",
     "sessionize_batch",
     "dedup_minhash_lsh",
-    "dedup_semantic",
 )
 
 

@@ -1165,3 +1165,26 @@ def test_phrase_search_anchors(spark):
     rep = {r["doc_id"]: r["n_matches"] for r in
            phrase_search(docs, "doc_id", textstats.tokens(F.col("text")), ["a", "a"]).collect()}
     assert rep == {3: 2}
+
+
+def test_subtree_rollup_chain_and_tree(spark):
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.hierarchy import ancestor_closure, subtree_rollup
+
+    # perfect binary tree ids 1..15 (parent = id // 2); values = id
+    df = spark.createDataFrame([(i, i) for i in range(1, 16)], "id bigint, v bigint")
+    out = {r["ancestor"]: (r["n_desc"], r["subtree_value"]) for r in
+           subtree_rollup(df, "id", (F.col("id") / 2).cast("long"), F.col("v")).collect()}
+    # node 1's proper descendants: 2..15 -> 14 nodes, sum 2+..+15 = 119
+    assert out[1] == (14, 119)
+    # leaf 15 has no descendants -> absent; node 7 -> {14, 15}
+    assert 15 not in out and out[7] == (2, 29)
+    # root 0 sees every node 1..15
+    assert out[0] == (15, 120)
+    # doubling depth contract: a 40-deep chain is NOT closed by
+    # rounds=5 (2^5=32) but IS by rounds=6
+    chain = spark.createDataFrame([(i, i - 1) for i in range(1, 41)], "node bigint, anc bigint")
+    c5 = ancestor_closure(chain, rounds=5).filter("node = 40 AND anc = 0").count()
+    c6 = ancestor_closure(chain, rounds=6).filter("node = 40 AND anc = 0").count()
+    assert (c5, c6) == (0, 1)
