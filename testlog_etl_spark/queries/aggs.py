@@ -974,6 +974,7 @@ k AS (
 )
 SELECT i, l_partkey, rev FROM k WHERE i BETWEEN 101 AND 150 ORDER BY i
 """,
+    bench=True,
 )
 def topk_global_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.operators.scan import global_rank_cumsum
