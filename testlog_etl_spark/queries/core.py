@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from testlog_etl_spark.suite import register
-from testlog_etl_spark.tables import load_table
+from testlog_etl_spark.tables import load_table, load_tables
 
 # Rounding scale for float aggregates: far above double ulp noise at these
 # magnitudes, far below data resolution (prices have 2 decimals).
@@ -507,4 +507,47 @@ def agg_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
         .orderBy("day")
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    doc="big-big join with a codegen Bloom semi-prefilter (operators/"
+    "bloom.py): the selective build side (urgent finished orders, ~7% "
+    "of orders) renders its key set as a literal 2^20-bit filter; the "
+    "probe side (lineitem) drops non-members inside its SCAN stage -- "
+    "before the join exchange -- so ~93% of probe shuffle bytes never "
+    "move. False positives only; the real join re-verifies, so results "
+    "are identical to the plain join (property-tested no-false-"
+    "negatives). Merge strategy pinned to keep the probe exchange "
+    "visible at sandbox scale (AQE would broadcast the small build "
+    "side and hide the effect this operator exists for at 100 TB).",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.bloom import bloom_prefiltered_join
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    build = (
+        t["orders"]
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F"))
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .hint("merge")
+    )
+    joined = bloom_prefiltered_join(t["lineitem"], build, ["l_orderkey"])
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
     )

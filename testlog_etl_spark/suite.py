@@ -127,12 +127,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "topk_global_paging",
     "index_phrase_search",
     "graph_subtree_rollup",
+    "join_bloom_prefilter",
     # -- recurring anchors (flagships + bench set)
     "q1_pricing_summary",
     "q21_suppliers_kept_waiting",
     "etl_mozlog_results",
     "sessionize_batch",
-    "dedup_minhash_lsh",
 )
 
 

@@ -1188,3 +1188,28 @@ def test_subtree_rollup_chain_and_tree(spark):
     c5 = ancestor_closure(chain, rounds=5).filter("node = 40 AND anc = 0").count()
     c6 = ancestor_closure(chain, rounds=6).filter("node = 40 AND anc = 0").count()
     assert (c5, c6) == (0, 1)
+
+
+def test_bloom_no_false_negatives_and_join_equivalence(spark):
+    from testlog_etl_spark.operators.bloom import (
+        bloom_prefiltered_join,
+        build_bloom_bits,
+        might_contain,
+    )
+
+    build = spark.range(0, 3000, 7).select(F.col("id").alias("k"))
+    probe = spark.range(0, 9000).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    words = build_bloom_bits(build, F.col("k"), n_bits_log2=14)
+    # load-bearing property: every member passes (false POSITIVES only)
+    missed = build.join(
+        probe.filter(might_contain(F.col("k"), words, 14)), "k", "left_anti"
+    ).count()
+    assert missed == 0
+    got = sorted(map(tuple, bloom_prefiltered_join(probe, build, ["k"]).collect()))
+    want = sorted(map(tuple, probe.join(build, "k").collect()))
+    assert got == want
+    # composite keys hash their concatenation
+    b2 = spark.createDataFrame([(1, "x"), (2, "y")], "a bigint, b string")
+    p2 = spark.createDataFrame([(1, "x", 9), (1, "z", 8), (2, "y", 7)], "a bigint, b string, v int")
+    got2 = sorted(map(tuple, bloom_prefiltered_join(p2, b2, ["a", "b"]).collect()))
+    assert got2 == sorted(map(tuple, p2.join(b2, ["a", "b"]).collect()))

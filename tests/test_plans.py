@@ -706,3 +706,17 @@ def test_random_projection_is_pure_projection(spark):
     plan = plan_of(random_sign_projection(emb, "embedding", dim=64, d_out=8), mode="simple")
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bloom_prefilter_applies_before_probe_exchange(spark):
+    # the Bloom membership predicate must run in the probe side's scan
+    # stage (a Filter below the probe's Exchange), so pruned rows never
+    # reach the shuffle write
+    plan = plan_of(_q("join_bloom_prefilter")(spark, SF_SMALL), mode="simple")
+    assert "SortMergeJoin" in plan, plan
+    probe_seg = plan.split("SortMergeJoin")[1]
+    # below the join: the lineitem branch must contain Filter -> Scan
+    # with the bitset probe (element_at against the literal array)
+    assert "element_at" in probe_seg, plan
+    li_branch = probe_seg.split("FileScan parquet")[0]
+    assert "Filter" in li_branch and "element_at" in li_branch, plan
