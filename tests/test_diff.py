@@ -299,3 +299,18 @@ def test_global_rank_cumsum_empty_and_null_vals(spark):
     got = {r["id"]: (r["i"], r["cum"]) for r in
            global_rank_cumsum(df, [F.col("id").asc()], val_col="v", num_parts=2).collect()}
     assert got == {1: (1, 0.0), 2: (2, 5.0), 3: (3, 5.0)}
+
+
+def test_global_rank_cumsum_persist_handles(spark):
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id bigint, v double")
+    handles = []
+    out = global_rank_cumsum(df, [F.col("id").asc()], val_col="v", persist_handles=handles)
+    assert out.count() == 10
+    [h] = handles
+    assert h.storageLevel.useMemory  # persisted while the plan is live
+    h.unpersist(blocking=True)
+    assert not h.storageLevel.useMemory
