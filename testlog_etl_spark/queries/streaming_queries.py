@@ -641,3 +641,65 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_admitted"), F.round(F.sum("value"), 4).alias("sum_admitted"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_record_breakers",
+    doc="third custom stateful operator (operators/highwater.py): "
+    "per-user running high-water mark carried across micro-batches -- "
+    "an event is emitted iff it STRICTLY exceeds every earlier value "
+    "for its user; state is ONE double per key (constant per-key "
+    "memory however long the stream runs). A Spark-4 "
+    "transformWithStateInPandas StatefulProcessor twin ships alongside "
+    "(record_breakers_tws; its driver worker imports google.protobuf, "
+    "absent in this sandbox, so the registered path runs "
+    "applyInPandasWithState). Input staged as 3 chronological batches; "
+    "the emitted set equals the batch prior-max window answer -- pure "
+    "comparisons, no arithmetic, exact on any engine.",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_records,
+       ROUND(SUM(value), 4) AS sum_records
+FROM (
+  SELECT e.*, MAX(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+  FROM events e
+)
+WHERE prior_max IS NULL OR value > prior_max
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_record_breakers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from testlog_etl_spark.operators.highwater import record_breakers
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    t1, t2 = "2024-01-11 00:00:00", "2024-01-21 00:00:00"
+    parts = []
+    for lo, hi in ((None, t1), (t1, t2), (t2, None)):
+        part = ev
+        if lo:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        parts.append(part)
+    in_dir = jobs.stage_stream_batches(parts, "record_breakers")
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    records = record_breakers(stream.select("event_id", "user_id", "ts", "value"))
+    out = jobs.run_to_completion(
+        records, f"record_breakers_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    typed = out.join(ev.select("event_id", "event_type"), "event_id")
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.round(F.sum("value"), 4).alias("sum_records"),
+        )
+        .orderBy("event_type")
+    )

@@ -128,11 +128,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "index_phrase_search",
     "graph_subtree_rollup",
     "join_bloom_prefilter",
+    "stream_record_breakers",
     # -- recurring anchors (flagships + bench set)
     "q1_pricing_summary",
     "q21_suppliers_kept_waiting",
     "etl_mozlog_results",
-    "sessionize_batch",
 )
 
 

@@ -111,3 +111,53 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # and the 09:00 window never reached the sink
     wins = [r["w"]["start"] for r in spark.table("wm_drop_test").collect()]
     assert all(w >= t0 - datetime.timedelta(minutes=15) for w in wins)
+
+
+def test_record_breakers_cross_batch_state(spark):
+    """The running max must survive micro-batch boundaries: a value that
+    is a record in batch 1 suppresses smaller values in batch 2."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.highwater import record_breakers
+    from testlog_etl_spark.streaming import jobs
+
+    b1 = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:00:00", 10.0), (2, 7, "2024-01-01 01:00:00", 5.0)],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(3, 7, "2024-01-02 00:00:00", 9.0), (4, 7, "2024-01-02 01:00:00", 11.0)],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    in_dir = jobs.stage_stream_batches([b1, b2], "rb_unit")
+    stream = spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    out = jobs.run_to_completion(
+        record_breakers(stream), f"rb_unit_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    got = sorted(r["event_id"] for r in out.collect())
+    # 1 (first=record), NOT 2 (5<10), NOT 3 (9<10, cross-batch!), 4 (11>10)
+    assert got == [1, 4]
+
+
+def test_record_breakers_tws_sandbox_gate(spark):
+    """The Spark-4 transformWithState twin must fail FAST and clearly in
+    this sandbox (its driver worker needs google.protobuf) rather than
+    crashing mid-stream."""
+    import pytest
+
+    from testlog_etl_spark.operators.highwater import record_breakers_tws
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        pytest.skip("protobuf present -- TWS path usable here")
+    except ImportError:
+        pass
+    df = spark.readStream.format("rate").load().selectExpr(
+        "value AS event_id", "value % 3 AS user_id",
+        "timestamp AS ts", "CAST(value AS DOUBLE) AS value",
+    )
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        record_breakers_tws(df)
