@@ -35,6 +35,10 @@ SHOWCASE = [
     ("q2_min_cost_supplier", "offer table reused for candidates AND per-part min; dims broadcast; TakeOrdered winner cut"),
     ("agg_gini_concentration", "hierarchical scan rank (range partition + broadcast offsets) -- no unpartitioned window over the customer grain"),
     ("agg_abc_pareto", "hierarchical scan cumsum over the part grain; grand total from the same pass"),
+    ("join_bloom_prefilter", "Bloom bitset probe filters lineitem INSIDE its scan stage, before the merge-join exchange"),
+    ("topk_global_paging", "rank page = filter on the scan's global rank; no single-task OFFSET sort"),
+    ("graph_subtree_rollup", "pointer-doubling closure: log2(depth) join rounds; ancestor-keyed rollup"),
+    ("corpus_mixture_weights", "one corpus-scale rollup exchange; bounded windows over the strata frame"),
 ]
 
 
