@@ -3503,3 +3503,97 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_source_overlap_matrix",
+    doc="cross-source duplication (provenance) matrix: which sources "
+    "copy from which. Distinct (source, prefix-fingerprint) pairs "
+    "self-join on the fingerprint with source_a < source_b -- one "
+    "16-byte-key equi-join, candidate-volume-proportional (the "
+    "all-pairs-of-sources frame never materializes); per source pair, "
+    "the count of distinct shared fingerprints. The report that "
+    "decides which source to drop when near-dup tiers flag systematic "
+    "mirroring.",
+    oracle="""
+WITH f AS (
+  SELECT DISTINCT source,
+         substr(md5(array_to_string(
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')[1:8],
+           ' ')), 1, 16) AS fp
+  FROM documents WHERE text IS NOT NULL
+),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b
+""",
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull()
+    )
+    prefix = F.array_join(F.slice(textstats.tokens(F.lower(F.col("text"))), 1, 8), " ")
+    f = docs.select(
+        "source", F.substring(F.md5(prefix), 1, 16).alias("fp")
+    ).distinct()
+    a = f.select(F.col("source").alias("source_a"), "fp")
+    b = f.select(F.col("source").alias("source_b"), F.col("fp").alias("fp_b"))
+    pairs = a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("source_a") < F.col("source_b")))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "corpus_context_window_report",
+    doc="context-window overflow accounting: per source, how many docs "
+    "exceed a 64-BPE-ish-token context window, the truncation waste "
+    "(tokens beyond the limit a naive truncation throws away) and the "
+    "window utilization (kept tokens / capacity). The packing-policy "
+    "input every sequence-prep pipeline computes before choosing "
+    "truncate-vs-split (pack_sequences / text_chunk_overlap are the "
+    "split paths). Pure per-row token counts + one rollup shuffle; "
+    "integral token arithmetic so sums are fold-order exact.",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+       ROUND(SUM(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS over_rate,
+       CAST(SUM(greatest(n_tok - 64, 0)) AS BIGINT) AS truncation_waste,
+       ROUND(SUM(least(n_tok, 64))::DOUBLE / (64.0 * count(*)), 4) AS utilization
+FROM t GROUP BY source ORDER BY source
+""",
+)
+def corpus_context_window_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    limit = 64
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull()
+    )
+    n_tok = textstats.bpe_ish_token_count(F.col("text"))
+    t = docs.select("source", n_tok.alias("n_tok"))
+    over = F.sum(F.when(F.col("n_tok") > limit, 1).otherwise(0))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            over.cast("long").alias("n_over"),
+            F.round(over.cast("double") / F.count(F.lit(1)), 4).alias("over_rate"),
+            F.sum(F.greatest(F.col("n_tok") - limit, F.lit(0))).cast("long").alias("truncation_waste"),
+            F.round(
+                F.sum(F.least(F.col("n_tok"), F.lit(limit))).cast("double")
+                / (F.lit(float(limit)) * F.count(F.lit(1))),
+                4,
+            ).alias("utilization"),
+        )
+        .orderBy("source")
+    )
