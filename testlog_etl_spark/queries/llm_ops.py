@@ -3597,3 +3597,73 @@ def corpus_context_window_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "eval_score_calibration",
+    doc="reliability diagram for the model quality score: 2^-20-snapped "
+    "logistic score binned into 10 equal-width bins; per bin, doc "
+    "count, mean score, and the rate at which the cheap score's "
+    "prediction agrees with the expensive heuristic gate "
+    "(docs_filter_pipeline's keep verdict as the outcome) -- the "
+    "calibration readout that decides whether a learned filter can "
+    "replace the rule gate at 100 TB. Pure per-row exprs + one "
+    "10-cell rollup; bin ids and outcomes are integral/boolean so "
+    "nothing drifts cross-engine; mean score = sum of snapped dyadics "
+    "/ count (exact).",
+    oracle=f"""
+WITH s AS (
+  SELECT
+    floor((1.0 / (1.0 + exp(-({_quality_z_sql()})))) * 1048576 + 0.5) / 1048576 AS score,
+    len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS n_tok,
+    len(list_filter(string_split(lower(text),' '),
+        t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))::DOUBLE
+      / greatest(len(string_split(lower(text),' ')), 1) AS sw,
+    list_sum(list_transform(list_filter(string_split(trim(text), ' '), t -> t <> ''),
+                            t -> length(t)))::DOUBLE
+      / greatest(len(list_filter(string_split(trim(text), ' '), t -> t <> '')), 1) AS mtl,
+    CASE WHEN len(string_split(trim(text), ' ')) >= 2
+         THEN 1.0 - len(list_distinct(list_transform(range(1, len(string_split(trim(text),' '))),
+                i -> string_split(trim(text),' ')[i] || ' ' || string_split(trim(text),' ')[i+1])))::DOUBLE
+              / (len(string_split(trim(text),' ')) - 1)
+         ELSE 0.0 END AS dup2
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+v AS (
+  SELECT score,
+         least(CAST(floor(score * 10) AS INT), 9) AS bin,
+         (n_tok >= 25 AND sw >= 0.02 AND dup2 <= 0.05 AND mtl BETWEEN 2.0 AND 9.0) AS kept
+  FROM s
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(score) / count(*), 6) AS mean_score,
+       ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS keep_rate
+FROM v GROUP BY bin ORDER BY bin
+""",
+)
+def eval_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import filtering
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    g = F.lit(float(1 << 20))
+    score = F.floor(filtering.linear_quality_score(F.col("text")) * g + F.lit(0.5)) / g
+    kept = filtering.filter_verdict(F.col("text")) == "keep"
+    t = docs.select(
+        score.alias("score"),
+        F.least(F.floor(score * 10).cast("int"), F.lit(9)).alias("bin"),
+        kept.alias("kept"),
+    )
+    return (
+        t.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("score") / F.count(F.lit(1)), 6).alias("mean_score"),
+            F.round(
+                F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("double") / F.count(F.lit(1)), 4
+            ).alias("keep_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -74,8 +74,9 @@ def register(
 # driver-visible every round. Anchor slots are swapped for any operator
 # added later in r06 so new work lands a first driver row immediately.
 # r07 queue (registered late-r06, window full): dedup_source_overlap_matrix,
-# corpus_context_window_report -- both locally MATCH-verified; sign them in
-# the r07 window together with any r07 additions.
+# corpus_context_window_report, eval_score_calibration -- all locally
+# MATCH-verified; sign them in the r07 window together with any r07
+# additions.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- changed-code anchors (re-sign after this round's edits)
     "agg_abc_pareto",
