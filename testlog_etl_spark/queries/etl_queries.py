@@ -1103,7 +1103,7 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prior month (null for each type's first month).",
     oracle="""
 WITH m AS (
-  SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+  SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
          count(*)::BIGINT AS n, ROUND(SUM("value"), 4) AS revenue
   FROM events GROUP BY event_type, month
 )
@@ -1118,7 +1118,11 @@ def agg_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    m = ev.groupBy("event_type", F.date_trunc("month", "ts").alias("month")).agg(
+    # month as DATE: a timestamp output renders through the COLLECTING
+    # process's OS timezone (pyspark collect uses fromtimestamp), so a
+    # non-UTC harness would shift the instant; calendar dates are
+    # TZ-independent (r06 TZ=America/New_York sweep caught this)
+    m = ev.groupBy("event_type", F.date_trunc("month", "ts").cast("date").alias("month")).agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("revenue")
     )
     w = Window.partitionBy("event_type").orderBy("month")
@@ -1395,7 +1399,7 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over one scan lineage joined on the tiny type key.",
     oracle="""
 WITH m AS (
-  SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+  SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
          AVG("value") AS month_mean
   FROM events GROUP BY event_type, month
 ),
@@ -1409,7 +1413,8 @@ ORDER BY event_type, month
 )
 def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    m = ev.groupBy("event_type", F.date_trunc("month", "ts").alias("month")).agg(
+    # month as DATE -- TZ-independent output (see agg_mom_growth note)
+    m = ev.groupBy("event_type", F.date_trunc("month", "ts").cast("date").alias("month")).agg(
         F.avg("value").alias("month_mean")
     )
     g = ev.groupBy(F.col("event_type").alias("et")).agg(F.avg("value").alias("grand_mean"))
@@ -1434,15 +1439,16 @@ def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unioned.",
     oracle="""
 SELECT * FROM (
-  SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, max(ts) AS latest,
+  SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest,
          CAST(floor((epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(max(ts))) / 3600) AS BIGINT) AS staleness_h
   FROM events
   UNION ALL
-  SELECT 'lineitem', count(*), max(l_shipdate),
+  SELECT 'lineitem', count(*), strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S'),
          CAST(floor((epoch(TIMESTAMP '2002-01-01 00:00:00') - epoch(max(l_shipdate))) / 3600) AS BIGINT)
   FROM lineitem
   UNION ALL
-  SELECT 'orders', count(*), max(o_orderdate),
+  SELECT 'orders', count(*), strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S'),
          CAST(floor((epoch(TIMESTAMP '2002-01-01 00:00:00') - epoch(max(o_orderdate))) / 3600) AS BIGINT)
   FROM orders
 )
@@ -1457,7 +1463,10 @@ def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.agg(
             F.lit(name).alias("tbl"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.max(ts_col).alias("latest"),
+            # latest rendered as a UTC string: a raw timestamp output
+            # re-renders through the collecting process's OS timezone
+            # (r06 TZ sweep); the formatted wall time is TZ-independent
+            F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("latest"),
             F.floor(
                 (F.unix_timestamp(ref_c) - F.unix_timestamp(F.max(ts_col))) / 3600
             ).cast("long").alias("staleness_h"),
@@ -1479,8 +1488,8 @@ def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "windowed COUNT DISTINCT anywhere.",
     oracle="""
 WITH ud AS (
-  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-         CAST(date_trunc('month', ts) AS TIMESTAMP) AS month
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(date_trunc('month', ts) AS DATE) AS month
   FROM events
 ),
 dau AS (SELECT month, day, count(*)::DOUBLE AS dau FROM ud GROUP BY month, day),
@@ -1495,10 +1504,11 @@ ORDER BY month
 )
 def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # day/month as DATE -- TZ-independent output (see agg_mom_growth note)
     ud = ev.select(
         "user_id",
-        F.date_trunc("day", "ts").alias("day"),
-        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("month", "ts").cast("date").alias("month"),
     ).distinct()
     dau = ud.groupBy("month", "day").agg(F.count(F.lit(1)).cast("double").alias("dau"))
     mau = ud.select("month", "user_id").distinct().groupBy(F.col("month").alias("m")).agg(
@@ -1570,7 +1580,7 @@ WITH h AS (
          SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE AS errs
   FROM events GROUP BY hour
 )
-SELECT CAST(date_trunc('day', hour) AS TIMESTAMP) AS day,
+SELECT CAST(date_trunc('day', hour) AS DATE) AS day,
        CAST(SUM(n) AS BIGINT) AS n_events,
        CAST(SUM(errs) AS BIGINT) AS n_errors,
        ROUND(SUM(errs) / SUM(n), 4) AS error_rate,
@@ -1588,7 +1598,8 @@ def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("errs"),
     )
     return (
-        h.groupBy(F.date_trunc("day", "hour").alias("day"))
+        # day as DATE -- TZ-independent output (see agg_mom_growth note)
+        h.groupBy(F.date_trunc("day", "hour").cast("date").alias("day"))
         .agg(
             F.sum("n").cast("long").alias("n_events"),
             F.sum("errs").cast("long").alias("n_errors"),
