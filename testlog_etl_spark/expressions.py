@@ -614,7 +614,12 @@ class JXCompiler:
         if isinstance(args, str):
             lit = self._parse_date_literal(args)
             if lit is not None:
-                return F.lit(lit).cast("timestamp")
+                # render as a wall-time STRING and cast in the session
+                # timezone (UTC-pinned): F.lit(naive datetime) converts
+                # through the driver process's OS timezone (mktime), so
+                # the same literal meant a different instant on a
+                # non-UTC host (r06 TZ=America/New_York sweep)
+                return F.lit(lit.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp")
             return F.lit(args).try_cast("timestamp")
         # expression: unix seconds -> timestamp
         return F.timestamp_seconds(_num(self.compile(args)))

@@ -35,8 +35,8 @@ SELECT
   count(l_quantity) AS n_qty,
   ROUND(SUM(l_quantity), {R}) AS sum_qty,
   ROUND(AVG(l_extendedprice), {R}) AS avg_price,
-  min(l_shipdate) AS first_ship,
-  max(l_shipdate) AS last_ship
+  CAST(min(l_shipdate) AS DATE) AS first_ship,
+  CAST(max(l_shipdate) AS DATE) AS last_ship
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -65,10 +65,12 @@ def agg_basic_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("sum_qty", F.round("sum_qty", R))
         .withColumn("avg_price", F.round("avg_price", R))
-        # instant-TIMESTAMP output pin (testdata flips storage between
-        # instant and NTZ; only instant-vs-naive is driver-hash-proven)
-        .withColumn("first_ship", F.col("first_ship").cast("timestamp"))
-        .withColumn("last_ship", F.col("last_ship").cast("timestamp"))
+        # DATE output: TZ- and storage-flavor-proof -- an instant output
+        # re-renders through the collecting process's OS timezone
+        # (r06 TZ sweep); the calendar date is identical under
+        # instant/UTC-session and NTZ storage alike
+        .withColumn("first_ship", F.col("first_ship").cast("date"))
+        .withColumn("last_ship", F.col("last_ship").cast("date"))
     )
 
 
@@ -603,7 +605,7 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "-- engines lack composite arg_min keys, a fixed-width string IS "
     "one, portable by construction.",
     oracle="""
-SELECT event_type, date_trunc('hour', ts) AS bar,
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar,
        arg_min("value", okey) AS open,
        max("value") AS high,
        min("value") AS low,
@@ -627,7 +629,8 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.withColumn("okey", okey)
-        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bar"))
+        # bar as formatted UTC string -- TZ-proof (see agg_basic_groupby)
+        .groupBy("event_type", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bar"))
         .agg(
             F.min_by("value", "okey").alias("open"),
             F.max("value").alias("high"),

@@ -78,7 +78,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   l_orderkey,
   ROUND(SUM(l_extendedprice * (1 - l_discount)), {R}) AS revenue,
-  o_orderdate,
+  CAST(o_orderdate AS DATE) AS o_orderdate,
   o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -104,11 +104,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R).alias("revenue"))
-        # output date pinned to instant TIMESTAMP: testdata regenerations
-        # flip parquet storage between instant and NTZ, and only the
-        # instant-vs-DuckDB-naive pairing is driver-hash-proven (the
+        # output as DATE: TZ- and storage-flavor-proof -- an instant
+        # output re-renders through the collecting process's OS timezone
+        # (r06 TZ=America/New_York sweep), while the calendar date is
+        # identical under instant/UTC-session and NTZ storage alike (the
         # filter above stays on the raw column, so pushdown is unaffected)
-        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"), "o_orderpriority")
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -248,7 +249,7 @@ def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrderedAndProject: per-partition heap of k, then k-way driver "
     "merge -- no global sort at any scale.",
     oracle="""
-SELECT o_orderkey, o_totalprice, o_orderdate
+SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
 FROM orders
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 25
@@ -257,8 +258,8 @@ LIMIT 25
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
-        # instant-TIMESTAMP output pin -- see q3_shipping_priority
-        orders.select("o_orderkey", "o_totalprice", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"))
+        # DATE output -- TZ-proof rendering, see q3_shipping_priority
+        orders.select("o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("o_orderdate"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(25)
     )
@@ -343,7 +344,7 @@ WITH big AS (
   SELECT l_orderkey, ROUND(SUM(l_quantity), {R}) AS sum_qty
   FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
 )
-SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
        ROUND(o_totalprice, {R}) AS total_price, sum_qty
 FROM big
 JOIN orders ON o_orderkey = l_orderkey
@@ -370,8 +371,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            # instant-TIMESTAMP output pin -- see q3_shipping_priority
-            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            # DATE output -- TZ-proof rendering, see q3_shipping_priority
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
             F.round("o_totalprice", R).alias("total_price"),
             "sum_qty",
         )

@@ -78,10 +78,10 @@ g AS (
   WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
   GROUP BY 1
 )
-SELECT d.day, coalesce(g.n, 0) AS n, g.avg_value
+SELECT CAST(d.day AS DATE) AS day, coalesce(g.n, 0) AS n, g.avg_value
 FROM dom d LEFT JOIN g USING (day)
 UNION ALL
-SELECT NULL AS day, count(*) AS n, ROUND(AVG(value), {R}) AS avg_value
+SELECT CAST(NULL AS DATE) AS day, count(*) AS n, ROUND(AVG(value), {R}) AS avg_value
 FROM events WHERE ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2024-01-08'
 ORDER BY day NULLS LAST
 """,
@@ -106,7 +106,8 @@ def edges_time_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         tables,
     )
-    return out.withColumn("avg_value", F.round("avg_value", R))
+    # day as DATE -- TZ-proof output (edge buckets are midnight starts)
+    return out.withColumn("avg_value", F.round("avg_value", R)).withColumn("day", F.col("day").cast("date"))
 
 
 @register(
@@ -124,10 +125,10 @@ g AS (
   WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
   GROUP BY 1
 )
-SELECT d.month, coalesce(g.n, 0) AS n, g.total
+SELECT CAST(d.month AS DATE) AS month, coalesce(g.n, 0) AS n, g.total
 FROM dom d LEFT JOIN g USING (month)
 UNION ALL
-SELECT NULL AS month, count(*) AS n, ROUND(SUM(o_totalprice), {R}) AS total
+SELECT CAST(NULL AS DATE) AS month, count(*) AS n, ROUND(SUM(o_totalprice), {R}) AS total
 FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01' OR o_orderdate >= TIMESTAMP '1995-07-01'
 ORDER BY month NULLS LAST
 """,
@@ -152,7 +153,8 @@ def edges_month_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         tables,
     )
-    return out.withColumn("total", F.round("total", R))
+    # month as DATE -- TZ-proof output (calendar bucket starts)
+    return out.withColumn("total", F.round("total", R)).withColumn("month", F.col("month").cast("date"))
 
 
 @register(

@@ -231,8 +231,8 @@ def jx_casts_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   event_type,
   count(*) AS n,
-  min(ts) AS first_ts,
-  max(ts) AS last_ts
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
 FROM events
 WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
 GROUP BY event_type
@@ -256,6 +256,12 @@ def jx_date_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         tables,
         now=datetime(2024, 2, 1),
+    ).select(
+        "event_type",
+        "n",
+        # formatted UTC strings -- TZ-proof output (r06 TZ sweep)
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
 
 

@@ -621,7 +621,7 @@ WITH b AS (
                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
   FROM b
 ), p AS (SELECT event_type, MAX(conc) AS peak FROM r GROUP BY event_type)
-SELECT r.event_type AS event_type, p.peak AS peak, MIN(bt) AS first_peak_ts
+SELECT r.event_type AS event_type, p.peak AS peak, strftime(MIN(bt), '%Y-%m-%d %H:%M:%S') AS first_peak_ts
 FROM r JOIN p ON r.event_type = p.event_type AND r.conc = p.peak
 GROUP BY r.event_type, p.peak
 ORDER BY r.event_type
@@ -637,7 +637,12 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
     )
     out = sweep_concurrency(iv, "event_type", "start", "end")
-    return out.select("event_type", "peak", "first_peak_ts").orderBy("event_type")
+    # first_peak_ts as formatted UTC string -- TZ-proof output (r06)
+    return out.select(
+        "event_type",
+        "peak",
+        F.date_format("first_peak_ts", "yyyy-MM-dd HH:mm:ss").alias("first_peak_ts"),
+    ).orderBy("event_type")
 
 
 @register(
@@ -759,7 +764,7 @@ pairs AS (
    AND prev.h BETWEEN cur.h - 23 AND cur.h
 )
 SELECT event_type,
-       make_timestamp(h * 3600 * 1000000) AS hour,
+       strftime(make_timestamp(h * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS hour,
        ROUND(SUM(m * w) / SUM(w), 4) AS ewma
 FROM pairs
 GROUP BY event_type, h
@@ -789,7 +794,8 @@ def ts_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("pm") * F.col("w")) / F.sum("w"), 4).alias("ewma"))
         .select(
             "event_type",
-            F.timestamp_micros(F.col("ch") * 3600 * 1000000).alias("hour"),
+            # hour as formatted UTC string -- TZ-proof output (r06)
+            F.date_format(F.timestamp_micros(F.col("ch") * 3600 * 1000000), "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "ewma",
         )
         .orderBy("event_type", "hour")
