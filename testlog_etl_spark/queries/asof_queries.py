@@ -27,7 +27,8 @@ p AS (
   SELECT user_id, ts, ROUND(MAX(value), {R}) AS pval
   FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 )
-SELECT c.event_id, c.user_id, c.ts, p.ts AS ts_asof, p.pval AS pval_asof
+SELECT c.event_id, c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_asof, p.pval AS pval_asof
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 ORDER BY c.event_id
 """,
@@ -41,7 +42,14 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.max("value"), R).alias("pval"))
     )
     out = asof_join(clicks, purchases, on=["user_id"], left_time="ts", right_time="ts")
-    return out.select("event_id", "user_id", "ts", "ts_asof", "pval_asof").orderBy("event_id")
+    # formatted UTC strings -- TZ-proof output (r06 TZ sweep)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("ts_asof"),
+        "pval_asof",
+    ).orderBy("event_id")
 
 
 @register(

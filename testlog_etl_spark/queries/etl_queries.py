@@ -65,8 +65,8 @@ def etl_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT user_id,
   count(*) AS n_events,
-  min(ts) AS start_ts,
-  max(ts) AS end_ts,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
   ROUND(epoch(max(ts)) - epoch(min(ts)), 3) AS span_sec,
   ROUND(SUM(value), {R}) AS total_value,
   array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
@@ -81,8 +81,9 @@ def etl_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("start_ts"),
-            F.max("ts").alias("end_ts"),
+            # formatted UTC strings -- TZ-proof output (r06 TZ sweep)
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
             F.round(F.max("ts").cast("double") - F.min("ts").cast("double"), 3).alias("span_sec"),
             F.round(F.sum("value"), R).alias("total_value"),
             F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
@@ -96,7 +97,7 @@ def etl_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="T9 idempotency: deterministic keep-latest per (user, type) -- "
     "the overwrite-by-id semantics of the reference's rollover sink.",
     oracle="""
-SELECT user_id, event_type, event_id, ts
+SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
 FROM (
   SELECT user_id, event_type, event_id, ts,
          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
@@ -109,7 +110,11 @@ ORDER BY user_id, event_type
 def etl_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     kept = latest_by(ev, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()])
-    return kept.select("user_id", "event_type", "event_id", "ts").orderBy("user_id", "event_type")
+    # ts as formatted UTC string -- TZ-proof output (r06 TZ sweep)
+    return kept.select(
+        "user_id", "event_type", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    ).orderBy("user_id", "event_type")
 
 
 @register(
@@ -293,8 +298,8 @@ WITH lines AS (
   WHERE regexp_matches("value", '{_TEXT_MARK}')
 )
 SELECT log_key, step,
-  min(CASE WHEN _kind = 'Started' THEN at END) AS start_time,
-  max(CASE WHEN _kind = 'Finished' THEN at END) AS end_time,
+  strftime(min(CASE WHEN _kind = 'Started' THEN at END), '%Y-%m-%d %H:%M:%S') AS start_time,
+  strftime(max(CASE WHEN _kind = 'Finished' THEN at END), '%Y-%m-%d %H:%M:%S') AS end_time,
   max(CASE WHEN _kind = 'Finished' THEN result_code END) AS result_code,
   max(CASE WHEN _kind = 'Finished' THEN elapsed END) AS elapsed,
   (max(CASE WHEN _kind = 'Finished' THEN result_code END) = 0) AS ok
@@ -305,7 +310,11 @@ ORDER BY log_key, step
 )
 def etl_text_log_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = fixtures.text_log_file(spark)
-    return parse_steps(lines).orderBy("log_key", "step")
+    out = parse_steps(lines)
+    # formatted UTC strings -- TZ-proof output (r06 TZ sweep)
+    return out.withColumn(
+        "start_time", F.date_format("start_time", "yyyy-MM-dd HH:mm:ss")
+    ).withColumn("end_time", F.date_format("end_time", "yyyy-MM-dd HH:mm:ss")).orderBy("log_key", "step")
 
 
 _PERF = fixtures.fixture_path("perfherder.jsonl")

@@ -31,7 +31,7 @@ WITH d AS (
   FROM events GROUP BY user_id, day
 ),
 e AS (SELECT *, CAST(floor(epoch(day)) AS BIGINT) // 86400 AS dnum FROM d)
-SELECT user_id, day,
+SELECT user_id, CAST(day AS DATE) AS day,
        CAST(SUM(n) OVER (w RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1d,
        CAST(SUM(n) OVER (w RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d,
        CAST(SUM(n) OVER (w RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_28d,
@@ -54,9 +54,10 @@ def features_trailing_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
     w7 = base.rangeBetween(-6, 0)
     w28 = base.rangeBetween(-27, 0)
     return (
+        # day as DATE -- TZ-proof output (r06 TZ sweep)
         d.select(
             "user_id",
-            "day",
+            F.col("day").cast("date").alias("day"),
             F.sum("n").over(w1).alias("n_1d"),
             F.sum("n").over(w7).alias("n_7d"),
             F.sum("n").over(w28).alias("n_28d"),
@@ -80,7 +81,7 @@ WITH cat AS (
   SELECT event_type, count(*)::DOUBLE AS n, SUM("value") AS s
   FROM events GROUP BY event_type
 )
-SELECT e.event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+SELECT e.event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
        count(*)::BIGINT AS n_rows,
        ROUND(AVG((s - "value") / (n - 1)), {R}) AS mean_loo_enc
 FROM events e JOIN cat USING (event_type)
@@ -96,7 +97,8 @@ def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.join(F.broadcast(cat), "event_type")
         .withColumn("_loo", (F.col("s") - F.col("value")) / (F.col("n") - 1))
-        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        # day as DATE -- TZ-proof output (r06 TZ sweep)
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.avg("_loo"), R).alias("mean_loo_enc"),

@@ -280,7 +280,8 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(a storage-flavor check parquet alone can't give).",
     oracle=f"""
 SELECT event_type, count(*) AS n, ROUND(SUM(value), {R}) AS sum_value,
-       min(ts) AS first_ts, max(ts) AS last_ts
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
 FROM events
 WHERE event_type IN ('purchase', 'signup')
 GROUP BY event_type
@@ -305,8 +306,9 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), R).alias("sum_value"),
-            F.min("ts").alias("first_ts"),
-            F.max("ts").alias("last_ts"),
+            # formatted UTC strings -- TZ-proof output (r06 TZ sweep)
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         )
         .orderBy("event_type")
     )

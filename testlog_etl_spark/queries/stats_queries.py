@@ -82,7 +82,7 @@ cum AS (
          SUM(cb) OVER (PARTITION BY pv.day ORDER BY val ROWS UNBOUNDED PRECEDING) / nb AS fb
   FROM pv JOIN tot ON tot.day = pv.day
 )
-SELECT day, ROUND(MAX(abs(fa - fb)), {R}) AS ks
+SELECT CAST(day AS DATE) AS day, ROUND(MAX(abs(fa - fb)), {R}) AS ks
 FROM cum GROUP BY day ORDER BY day
 """,
 )
@@ -105,9 +105,11 @@ def stats_ks_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("fa", F.sum("ca").over(w) / F.col("na"))
         .withColumn("fb", F.sum("cb").over(w) / F.col("nb"))
     )
+    # day as DATE -- TZ-proof output (r06 TZ sweep)
     return (
         cum.groupBy("day")
         .agg(F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), R).alias("ks"))
+        .withColumn("day", F.col("day").cast("date"))
         .orderBy("day")
     )
 

@@ -39,7 +39,7 @@ def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="event-time tumbling window + watermark; complete-mode output "
     "over the drained file equals batch date_trunc('hour').",
     oracle="""
-SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n
 FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
@@ -47,7 +47,9 @@ ORDER BY hour, event_type
 )
 def stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = jobs.run_to_completion(jobs.hourly_windowed_counts(spark, sf_dir), "stream_hourly_window")
-    return out.orderBy("hour", "event_type")
+    # formatted UTC string -- TZ-proof output (r06 TZ sweep); string
+    # order == chronological order for this format
+    return out.withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH:mm:ss")).orderBy("hour", "event_type")
 
 
 _SESSIONIZE_SQL = """
@@ -74,7 +76,8 @@ WITH o AS (
     "one shuffle; the streaming twin is the stateful operator below.",
     oracle=_SESSIONIZE_SQL
     + """
-SELECT user_id, session_start, session_end, n_events, sum_value
+SELECT user_id, strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end, n_events, sum_value
 FROM g ORDER BY user_id, session_start
 """,
     bench=True,
@@ -85,7 +88,13 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     out = sessionize(ev, gap_sec=86400.0)
-    return out.withColumn("sum_value", F.round("sum_value", 4)).orderBy("user_id", "session_start")
+    # formatted UTC strings -- TZ-proof output (r06 TZ sweep)
+    return (
+        out.withColumn("sum_value", F.round("sum_value", 4))
+        .withColumn("session_start", F.date_format("session_start", "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("session_end", F.date_format("session_end", "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("user_id", "session_start")
+    )
 
 
 @register(
@@ -95,7 +104,8 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle is batch sessionization minus each user's trailing session.",
     oracle=_SESSIONIZE_SQL
     + """
-SELECT user_id, session_start, session_end, n_events, sum_value
+SELECT user_id, strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end, n_events, sum_value
 FROM (SELECT *, max(sess) OVER (PARTITION BY user_id) AS max_sess FROM g)
 WHERE sess < max_sess
 ORDER BY user_id, session_start
@@ -108,7 +118,13 @@ def sessionize_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = jobs.run_to_completion(
         sessionize_stateful(ev, gap_sec=86400.0), "sessionize_stream_stateful", output_mode="append"
     )
-    return out.withColumn("sum_value", F.round("sum_value", 4)).orderBy("user_id", "session_start")
+    # formatted UTC strings -- TZ-proof output (r06 TZ sweep)
+    return (
+        out.withColumn("sum_value", F.round("sum_value", 4))
+        .withColumn("session_start", F.date_format("session_start", "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("session_end", F.date_format("session_end", "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("user_id", "session_start")
+    )
 
 
 @register(
@@ -181,8 +197,8 @@ WITH o AS (
   FROM o
 )
 SELECT user_id,
-  min(ts) AS session_start,
-  max(ts) + INTERVAL 1 DAY AS window_close,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS window_close,
   count(*) AS n_events,
   ROUND(SUM(value), 4) AS sum_value
 FROM s
@@ -197,10 +213,11 @@ def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id", F.session_window("ts", "86400 seconds").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        # formatted UTC strings -- TZ-proof output (r06 TZ sweep)
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("window_close"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_close"),
             "n_events",
             "sum_value",
         )
@@ -398,7 +415,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "overlapping windows; epoch-aligned starts make the batch twin "
     "exact (floor(ts/900)*900 - {0,900,1800,2700}).",
     oracle="""
-SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - o) * 1000000) AS win_start,
+SELECT strftime(make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - o) * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type, count(*) AS n
 FROM events, unnest([0, 900, 1800, 2700]) AS t(o)
 GROUP BY 1, 2
@@ -407,7 +424,8 @@ ORDER BY win_start, event_type
 )
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = jobs.run_to_completion(jobs.sliding_window_counts(spark, sf_dir), "stream_sliding_window")
-    return out.orderBy("win_start", "event_type")
+    # formatted UTC string -- TZ-proof output (r06 TZ sweep)
+    return out.withColumn("win_start", F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")).orderBy("win_start", "event_type")
 
 
 @register(
@@ -457,7 +475,8 @@ WITH o AS (
          count(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
   FROM s GROUP BY user_id, sess
 )
-SELECT user_id, session_start, session_end, n_events, sum_value
+SELECT user_id, strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end, n_events, sum_value
 FROM g ORDER BY user_id, session_start
 """,
 )
@@ -492,9 +511,12 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    # formatted UTC strings -- TZ-proof output (r06 TZ sweep)
     return (
         spark.table(qname)
         .filter(F.col("user_id") >= 0)
+        .withColumn("session_start", F.date_format("session_start", "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("session_end", F.date_format("session_end", "yyyy-MM-dd HH:mm:ss"))
         .orderBy("user_id", "session_start")
     )
 
@@ -510,7 +532,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groups). Windows emit on watermark close; sentinel flushes the "
     "tail.",
     oracle="""
-SELECT date_trunc('hour', ts) AS hour,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY 1
@@ -547,7 +569,13 @@ def stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but keep one anyway: replays with a later second sentinel would
     # surface it
     horizon = ev.agg(F.max("ts")).collect()[0][0]
-    return out.filter(F.col("hour") <= horizon).orderBy("hour")
+    # formatted UTC string -- TZ-proof output (r06 TZ sweep); the
+    # horizon filter runs on the raw timestamp BEFORE formatting
+    return (
+        out.filter(F.col("hour") <= horizon)
+        .withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("hour")
+    )
 
 
 @register(
@@ -560,7 +588,8 @@ def stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "== the one-shot batch aggregate, which is the oracle.",
     oracle="""
 SELECT event_type, count(*) AS n, ROUND(SUM(value), 4) AS sum_value,
-       min(ts) AS first_ts, max(ts) AS last_ts
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -581,8 +610,13 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = in_dir + "_mv"
     jobs.foreach_batch_mv(spark, in_dir, out_dir, f"stream_mv_{uuid.uuid4().hex[:8]}")
     out = spark.read.parquet(out_dir)
+    # formatted UTC strings -- TZ-proof output (r06 TZ sweep)
     return out.select(
-        "event_type", "n", F.round("sum_value", 4).alias("sum_value"), "first_ts", "last_ts"
+        "event_type",
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     ).orderBy("event_type")
 
 
