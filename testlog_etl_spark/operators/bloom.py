@@ -96,7 +96,25 @@ def bloom_prefiltered_join(
     """Equi-join with the probe side Bloom-pruned before its exchange.
     Single-key joins probe the key directly; composite keys hash their
     concatenation. The join itself is unchanged (sort-merge/AQE as
-    planned); results are identical to ``probe.join(build, keys, how)``."""
+    planned); results are identical to ``probe.join(build, keys, how)``.
+
+    ``how`` is restricted to probe-match-preserving join types: the
+    filter drops probe rows that cannot match, which is only sound when
+    unmatched probe rows are absent from the result anyway. With
+    ``left``/``full`` an unmatched probe row should surface
+    null-extended but is silently dropped; with ``left_anti`` the
+    filter drops exactly the rows the anti join should RETURN. A
+    ``right`` outer join would be sound (pruned probe rows cannot
+    null-extend the build side) but is rejected too -- prune the other
+    side instead, it is the cheap one by construction."""
+    allowed = {"inner", "left_semi", "leftsemi", "semi"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"bloom_prefiltered_join: how={how!r} unsupported -- the Bloom "
+            f"filter drops non-matching probe rows before the join, which "
+            f"changes left/right/full/anti results. Use inner or left_semi, "
+            f"or apply might_contain() yourself where semantics allow."
+        )
     key_col = F.xxhash64(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(keys[0])
     build_key = (
         F.xxhash64(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(keys[0])

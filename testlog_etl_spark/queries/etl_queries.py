@@ -1754,7 +1754,9 @@ def graph_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = subtree_rollup(
         docs,
         "doc_id",
-        parent=(F.col("doc_id") / 2).cast("long"),
+        # integral division: `/` is double true-division, exact only for
+        # ids < 2^53 -- `div` matches the oracle's `//` at any id scale
+        parent=F.expr("doc_id div 2"),
         value=F.col("n_chars"),
         rounds=5,
     )

@@ -1213,3 +1213,12 @@ def test_bloom_no_false_negatives_and_join_equivalence(spark):
     p2 = spark.createDataFrame([(1, "x", 9), (1, "z", 8), (2, "y", 7)], "a bigint, b string, v int")
     got2 = sorted(map(tuple, bloom_prefiltered_join(p2, b2, ["a", "b"]).collect()))
     assert got2 == sorted(map(tuple, p2.join(b2, ["a", "b"]).collect()))
+    # semi join accepted (probe-match-preserving); outer/anti rejected:
+    # the filter drops exactly the rows left/anti joins must keep
+    semi = sorted(map(tuple, bloom_prefiltered_join(probe, build, ["k"], how="left_semi").collect()))
+    assert semi == sorted(map(tuple, probe.join(build, "k", "left_semi").collect()))
+    import pytest
+
+    for bad in ("left", "right", "full", "left_anti"):
+        with pytest.raises(ValueError, match="unsupported"):
+            bloom_prefiltered_join(probe, build, ["k"], how=bad)
