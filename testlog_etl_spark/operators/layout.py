@@ -1,0 +1,139 @@
+"""Data-layout operators: Z-order (Morton) clustering for 2-D data
+skipping, and run-length compressibility accounting for sort-order
+selection -- the two knobs that decide how much of a 100 TB table a
+query has to READ before any operator runs.
+
+Z-order: interleaving the bits of two quantized dimensions gives a 1-D
+sort key whose contiguous ranges are 2-D tiles, so range-partitioning
+files by z-value keeps BOTH dimensions' per-file min/max stats tight --
+a point/range predicate on either dimension then prunes most files,
+where single-column clustering only serves one dimension. The z-value
+itself is pure codegen bit arithmetic (shiftleft/or over a fixed bit
+budget), engine-portable and therefore exactly oracle-able.
+
+RLE runs: parquet/ORC encode a column as (value, repeat-count) runs,
+so bytes-on-disk for low-cardinality columns is proportional to the
+RUN COUNT, not the row count -- which the writer's sort order controls
+entirely. Counting runs under a candidate ordering is a global
+sequential dependency (value != previous value); the distributed form
+mirrors ``operators/scan.py``: range-partition on the ordering, count
+intra-partition boundaries with one Arrow pass, and stitch the
+(partition-count-bounded) edge values on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_value(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton code of two already-quantized non-negative ints, ``bits``
+    bits each: bit b of x lands at 2b, of y at 2b+1. Unrolled
+    shift/and/or -- whole-stage codegen, no UDF."""
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+        )
+    return z
+
+
+def zorder_sql(x_expr: str, y_expr: str, bits: int = 8) -> str:
+    """The DuckDB twin of ``zorder_value`` as one SQL expression."""
+    terms = [
+        f"(({x_expr}) // {1 << b} % 2) * {1 << (2 * b)}"
+        f" + (({y_expr}) // {1 << b} % 2) * {1 << (2 * b + 1)}"
+        for b in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def rle_runs(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    cols: Sequence[str],
+    num_parts: int = 32,
+) -> dict[str, int]:
+    """Exact run counts of each of ``cols`` when the table is laid out
+    in ``order_by`` order (callers make the order total for a
+    deterministic answer). One full-data range shuffle; the Arrow pass
+    emits ONE summary row per partition (runs per column + the
+    partition's first/last values), and the driver stitches boundaries
+    -- collect size is bounded by the partition count, never the data.
+    """
+    cols = list(cols)
+    order_by = list(order_by)
+    # measured columns ride along as string casts under reserved names;
+    # the ordering expressions (possibly .desc() sort orders) keep
+    # operating on the original columns and never get projected
+    proj = df.select(
+        "*", *[F.col(c).cast("string").alias(f"_m_{c}") for c in cols]
+    )
+    ranged = (
+        proj.repartitionByRange(num_parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .select(
+            F.spark_partition_id().alias("_pid"),
+            *[F.col(f"_m_{c}").alias(c) for c in cols],
+        )
+    )
+
+    fields = ["_pid"]
+    for c in cols:
+        fields += [f"runs_{c}", f"first_{c}", f"last_{c}"]
+    out_schema = ", ".join(
+        f"`{f}` long" if f.startswith(("runs_", "_pid")) else f"`{f}` string"
+        for f in fields
+    )
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # streamed batch-by-batch with a carry value per column, so the
+        # task never materializes its whole (sorted) partition at once
+        pid: int | None = None
+        counts = dict.fromkeys(cols, 0)
+        first: dict[str, object] = {}
+        last: dict[str, object] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            for c in cols:
+                s = pdf[c].fillna("\x00null")  # sentinel: NULL runs count
+                changes = int((s != s.shift(1)).sum())  # first row counts
+                if c in last and s.iloc[0] == last[c]:
+                    changes -= 1  # batch's first value continues prior run
+                counts[c] += changes
+                if c not in first:
+                    first[c] = s.iloc[0]
+                last[c] = s.iloc[-1]
+        if pid is None:
+            return
+        row: dict[str, object] = {"_pid": pid}
+        for c in cols:
+            row[f"runs_{c}"] = counts[c]
+            row[f"first_{c}"] = first[c]
+            row[f"last_{c}"] = last[c]
+        yield pd.DataFrame([row])
+
+    parts = sorted(
+        (r.asDict() for r in ranged.mapInPandas(summarize, out_schema).collect()),
+        key=lambda r: r["_pid"],
+    )
+    totals = {c: 0 for c in cols}
+    prev_last: dict[str, object] = {}
+    for p in parts:
+        for c in cols:
+            totals[c] += p[f"runs_{c}"]
+            # the partition's first value continues the previous run
+            if prev_last.get(c) is not None and p[f"first_{c}"] == prev_last[c]:
+                totals[c] -= 1
+        for c in cols:
+            prev_last[c] = p[f"last_{c}"]
+    return totals

@@ -368,3 +368,80 @@ def hamming_join(
         .filter(F.col("dist") <= int(max_dist))
         .select("a_id", "b_id", "dist")
     )
+
+
+def editdist1_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_block: int | None = None,
+) -> DataFrame:
+    """All pairs within Levenshtein distance 1 -- the record-linkage
+    tier for SHORT normalized keys (names, codes, titles) where the
+    edit may be an insertion/deletion, which shifts every later
+    character and so defeats ``hamming_join``'s fixed-position chunks.
+
+    Deletion-neighborhood blocking (the FastSS / SymSpell family,
+    public): each key emits itself plus its ``len`` single-character
+    deletions. Any two keys with ed <= 1 share a neighborhood member
+    exactly --
+      * equal keys: identity = identity;
+      * one substitution at position i: both delete-at-i variants are
+        the same string;
+      * one insert/delete: the shorter key IS one of the longer key's
+        deletion variants (and its own identity key).
+    So the (hashed-variant) equi-join yields a candidate superset with
+    no false negatives; hash collisions and different-position
+    coincidences are false POSITIVES only, removed by the final
+    ``F.levenshtein <= 1`` verify (JVM builtin, no UDF).
+
+    Scale: the neighborhood shuffle carries (8-byte variant hash, id,
+    key) -- len+1 rows per input row, so total shuffle is
+    O(n * keylen); keys are short by contract (this operator is for
+    name/code columns, not documents). Hot variants (a deletion shared
+    by a huge block of near-identical keys) expand quadratically into
+    candidates; ``max_block`` caps them -- a documented recall valve,
+    exactness holds only when it is None. Candidate pairs are
+    ``distinct``-ed before the verify so each pair is scored once.
+    """
+    keys = df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_key")).filter(
+        F.col("_key").isNotNull()
+    )
+    # identity + all single-char deletions, as one array column, then
+    # hashed to 8 bytes so the exchange never carries variant strings
+    variants = F.array_union(
+        F.array(F.col("_key")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("_key")),
+            lambda i: F.concat(
+                F.substring(F.col("_key"), F.lit(1), i - 1),
+                F.col("_key").substr(i + 1, F.length("_key")),
+            ),
+        ),
+    )
+    # array_union dedups variants per row and ids are unique, so the
+    # exploded frame is distinct by construction -- no dedup shuffle
+    exploded = keys.select(
+        "_id", "_key", F.explode(variants).alias("_v")
+    ).select("_id", "_key", F.xxhash64("_v").alias("_vh"))
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_vh")
+        exploded = (
+            exploded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= int(max_block))
+            .drop("_bn")
+        )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a._vh") == F.col("b._vh")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._key").alias("key_a"),
+            F.col("b._key").alias("key_b"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("key_a", "key_b") <= 1)

@@ -140,3 +140,77 @@ def global_rank_cumsum(
     if total_out:
         out = out.withColumn(total_out, F.lit(s_acc).cast("double"))
     return out
+
+
+def global_running_max(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    val_col: str,
+    out: str = "run_max",
+    exclusive: bool = False,
+    num_parts: int = 32,
+    persist_handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Running maximum of ``val_col`` (double) in an arbitrary total
+    order, same shape as ``global_rank_cumsum``: one range shuffle, a
+    partition-count-bounded totals collect, then an in-place Arrow
+    cummax per already-sorted partition -- no single-partition window.
+
+    ``exclusive=True`` gives each row the max over STRICTLY preceding
+    rows (NULL for the global first row) -- the watermark shape: "the
+    high-water mark as of just before this row arrived". Max is a
+    lattice join, so unlike the cumsum there is no FP-association
+    caveat: any grouping of the fold yields the identical result.
+    """
+    order_by = list(order_by)
+    ranged = (
+        df.withColumn("_val0", F.col(val_col).cast("double"))
+        .repartitionByRange(num_parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    if persist_handles is not None:
+        persist_handles.append(ranged)
+    totals = ranged.groupBy("_pid").agg(F.max("_val0").alias("_m")).collect()
+    carry_map: dict[int, float | None] = {}
+    acc: float | None = None
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        carry_map[row["_pid"]] = acc
+        m = row["_m"]
+        if m is not None and (acc is None or m > acc):
+            acc = m
+
+    passthrough = [f for f in ranged.schema.fields if f.name not in ("_pid", "_val0")]
+    out_schema = StructType(list(passthrough) + [StructField(out, DoubleType())])
+    names = [f.name for f in out_schema.fields]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        init = False
+        carry: float | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if not init:
+                carry = carry_map.get(int(pdf["_pid"].iloc[0]))
+                init = True
+            vals = pdf["_val0"].to_numpy(dtype="float64")
+            filled = np.where(np.isnan(vals), -np.inf, vals)
+            cm = np.maximum.accumulate(filled)
+            if carry is not None:
+                cm = np.maximum(cm, carry)
+            res = np.empty(len(vals))
+            if exclusive:
+                res[0] = carry if carry is not None else np.nan
+                res[1:] = cm[:-1]
+            else:
+                res = cm
+            res = np.where(np.isinf(res), np.nan, res)
+            o = pdf.drop(columns=["_pid", "_val0"])
+            o[out] = res
+            carry = float(cm[-1]) if not np.isinf(cm[-1]) else carry
+            yield o[names]
+
+    return ranged.mapInPandas(scan, out_schema)

@@ -171,3 +171,81 @@ def histogram_quantile(
     frac = (F.col("_h._target") - (F.col("_h.cum") - F.col("_h.cnt"))) / F.col("_h.cnt")
     est = F.lit(float(lo)) + (F.col("_h.bin").cast("double") + frac) * F.lit(w)
     return hit.select(F.col(group_col), est.alias("q_est"))
+
+
+def misra_gries_candidates(df: DataFrame, key_col: str, k: int = 200) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``key_col`` frequency:
+    at most ``k`` candidate rows (item, est) per partition, emitted by
+    an Arrow-batched bounded-memory fold.
+
+    The load-bearing MG recall guarantee (Misra & Gries 1982; merge
+    form per Agarwal et al., "Mergeable Summaries", PODS 2012): any
+    item with partition frequency > n_p/k survives that partition's
+    summary, and by averaging, any item with GLOBAL frequency > n/k
+    exceeds n_p/k in at least one partition -- so the union of
+    per-partition summaries contains every global heavy hitter. The
+    batch fold is the mergeable-summaries generalization of the
+    classic one-at-a-time decrement: add a batch's exact counts to the
+    counter map, then if more than k counters remain subtract the
+    (k+1)-th largest value from all and drop the non-positive -- a
+    simultaneous decrement that preserves the undercount bound.
+
+    Memory per task: k counters + one Arrow batch's distincts, however
+    many distinct keys the full column has -- the property that makes
+    this viable where an exact groupBy's shuffle would carry the whole
+    vocabulary. Shuffle cost of the summary: <= k rows per partition.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("item", StringType()), StructField("est", LongType())]
+    )
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: pd.Series | None = None
+        for pdf in batches:
+            vc = pdf[key_col].dropna().astype(str).value_counts()
+            if vc.empty:
+                continue
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = (counters - cut)[lambda s: s > 0]
+        if counters is not None and not counters.empty:
+            yield pd.DataFrame(
+                {"item": counters.index, "est": counters.to_numpy("int64")}
+            )
+
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        fold, out_schema
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key_col: str, k: int = 200, n: int | None = None
+) -> DataFrame:
+    """EXACT frequencies of every item with count > n/k, found without
+    ever shuffling the full key distribution: MG candidate generation
+    (recall-complete, <= k rows/partition) then one verification scan
+    that counts ONLY candidate keys (broadcast semi-filter prunes the
+    aggregate's shuffle to candidate rows). Output: (item, cnt) -- the
+    candidate set's false positives are removed by the exact filter,
+    so the result is identical to the full GROUP BY ... HAVING twin.
+    """
+    cands = misra_gries_candidates(df, key_col, k).select("item").distinct()
+    keyed = df.select(F.col(key_col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+    if n is None:  # callers with the count in hand skip this scan
+        n = keyed.count()
+    exact = (
+        keyed.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * k > F.lit(n))
+    )
+    return exact

@@ -995,3 +995,146 @@ def topk_global_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "l_partkey", "rev")
         .orderBy("i")
     )
+
+
+@register(
+    "agg_skyline_pareto",
+    doc="skyline / Pareto frontier (Borzsonyi et al. ICDE'01): the "
+    "parts not dominated in (minimize retail price, maximize size) -- "
+    "dominance needs one strict inequality, so exact duplicates "
+    "survive together. Spark side is the local-prune-then-merge "
+    "operator (operators/skyline.py): per-partition Arrow frontier, "
+    "then the exact frontier of the tiny candidate union -- no global "
+    "sort, no O(n^2) join; the oracle states the O(n^2) NOT EXISTS "
+    "contract directly.",
+    oracle="""
+SELECT a.p_partkey, ROUND(a.p_retailprice, 2) AS price, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY a.p_partkey
+""",
+)
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.skyline import pareto_frontier_2d
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    pts = part.select("p_partkey", "p_retailprice", "p_size")
+    front = pareto_frontier_2d(pts, "p_retailprice", "p_size")
+    return front.select(
+        "p_partkey", F.round("p_retailprice", 2).alias("price"), "p_size"
+    ).orderBy("p_partkey")
+
+
+@register(
+    "agg_heavyhitters_mg",
+    doc="EXACT heavy-hitter terms (count > n/k, k=500) located by "
+    "per-partition Misra-Gries summaries (operators/sketches.py): the "
+    "MG recall bound guarantees every global heavy hitter survives "
+    "some partition's k counters, so one verification scan counting "
+    "ONLY the <= k*parts candidates (broadcast semi-filter before the "
+    "aggregate) returns exact counts without ever shuffling the full "
+    "vocabulary -- the frequent-terms pattern where distinct terms "
+    "dwarf executor memory. Oracle is the direct GROUP BY ... HAVING "
+    "twin (vocabulary fits DuckDB at sf0.01).",
+    oracle="""
+WITH t AS (
+  SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS item
+  FROM documents WHERE text IS NOT NULL
+),
+n AS (SELECT count(*) AS n FROM t)
+SELECT item, count(*) AS cnt,
+       ROUND(count(*) * 1.0 / (SELECT n FROM n), 6) AS share
+FROM t GROUP BY item
+HAVING count(*) * 500 > (SELECT n FROM n)
+ORDER BY cnt DESC, item
+""",
+)
+def agg_heavyhitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import textstats
+    from testlog_etl_spark.operators.sketches import heavy_hitters_exact
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    terms = docs.where(F.col("text").isNotNull()).select(
+        F.explode(textstats.tokens(F.col("text"))).alias("term")
+    )
+    n = terms.count()
+    hh = heavy_hitters_exact(terms, "term", k=500, n=n)
+    return hh.select(
+        "item",
+        "cnt",
+        F.round(F.col("cnt") / F.lit(n), 6).alias("share"),
+    ).orderBy(F.desc("cnt"), "item")
+
+
+@register(
+    "agg_sample_estimate",
+    doc="approximate-query-processing readout: a deterministic 1/16 "
+    "hash sample (xxhash64 of the line's composite key, pmod 16 == 0 "
+    "-- engine-portable via the generated XXH64 SQL twin) estimates "
+    "per-returnflag revenue and row count; exact values joined "
+    "alongside with relative error. At 100 TB the sample predicate "
+    "cuts the aggregate's input 16x at the scan (hash of key columns, "
+    "no correlated bias); the exact pass here exists only to grade "
+    "the estimator.",
+    oracle=None,  # filled below: needs the generated xxh64 SQL
+)
+def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = li.select(
+        "l_returnflag",
+        rev.alias("rev"),
+        (F.pmod(F.xxhash64(key), F.lit(16)) == 0).alias("in_sample"),
+    )
+    agg = base.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).alias("n_sample"),
+        F.round(F.sum(F.when(F.col("in_sample"), F.col("rev"))) * 16, 2).alias("est_rev"),
+        F.round(F.sum("rev"), 2).alias("exact_rev"),
+        F.count(F.lit(1)).alias("exact_n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_sample",
+        (F.col("n_sample") * 16).alias("est_n"),
+        "exact_n",
+        "est_rev",
+        "exact_rev",
+        F.round((F.col("est_rev") - F.col("exact_rev")) / F.col("exact_rev") * 100, 3).alias(
+            "rel_err_pct"
+        ),
+    ).orderBy("l_returnflag")
+
+
+def _sample_estimate_oracle() -> str:
+    from testlog_etl_spark import oracles as _o
+
+    h = _o.xxh64_sql("l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR")
+    return f"""
+WITH base AS (
+  SELECT l_returnflag,
+         l_extendedprice * (1 - l_discount) AS rev,
+         (({h}) % 16 + 16) % 16 = 0 AS in_sample
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag,
+         CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+         ROUND(SUM(CASE WHEN in_sample THEN rev END) * 16, 2) AS est_rev,
+         ROUND(SUM(rev), 2) AS exact_rev,
+         count(*) AS exact_n
+  FROM base GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_sample, n_sample * 16 AS est_n, exact_n, est_rev, exact_rev,
+       ROUND((est_rev - exact_rev) / exact_rev * 100, 3) AS rel_err_pct
+FROM agg ORDER BY l_returnflag
+"""
+
+
+from testlog_etl_spark.suite import REGISTRY as _REG  # noqa: E402
+
+_REG["agg_sample_estimate"].oracle = _sample_estimate_oracle()

@@ -1761,3 +1761,59 @@ def graph_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=5,
     )
     return out.orderBy("ancestor")
+
+
+@register(
+    "etl_erasure_cascade",
+    doc="right-to-erasure cascade audit (the governance delete every "
+    "production pipeline needs): erasure set = customers with "
+    "c_acctbal < -900; orders of those customers and lineitems of "
+    "those orders purge transitively. Output: per-entity purged/kept "
+    "counts -- the audit record a deletion job must emit. Scale "
+    "shape: the erasure keyset is a tiny filtered dimension -- both "
+    "cascades are BROADCAST semi/anti joins against it, so the fact "
+    "tables never shuffle; at 100 TB this is one scan per table.",
+    oracle="""
+WITH erased AS (SELECT c_custkey FROM customer WHERE c_acctbal < -900),
+eo AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM erased)),
+rows_ AS (
+  SELECT 'customer' AS entity,
+         (SELECT count(*) FROM erased) AS purged,
+         (SELECT count(*) FROM customer) - (SELECT count(*) FROM erased) AS kept
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*) FROM eo),
+         (SELECT count(*) FROM orders) - (SELECT count(*) FROM eo)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM eo)),
+         (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM eo))
+)
+SELECT entity, purged, kept FROM rows_ ORDER BY entity
+""",
+)
+def etl_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cust, orders, li = t["customer"], t["orders"], t["lineitem"]
+    erased = cust.where(F.col("c_acctbal") < -900).select("c_custkey")
+    eo = orders.join(
+        F.broadcast(erased), orders["o_custkey"] == erased["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    n_cust = cust.count()
+    n_erased = erased.count()
+    n_orders = orders.count()
+    n_eo = eo.count()
+    # the order keyset of an erasure batch is bounded (it is the fan-out
+    # of a human-scale request set), so broadcasting it is the plan you
+    # want at any fact-table size
+    li_purged = li.join(
+        F.broadcast(eo), li["l_orderkey"] == eo["o_orderkey"], "left_semi"
+    ).count()
+    n_li = li.count()
+    rows = [
+        ("customer", n_erased, n_cust - n_erased),
+        ("orders", n_eo, n_orders - n_eo),
+        ("lineitem", li_purged, n_li - li_purged),
+    ]
+    out = spark.createDataFrame(rows, "entity string, purged long, kept long")
+    return out.orderBy("entity")

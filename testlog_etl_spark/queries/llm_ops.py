@@ -3667,3 +3667,44 @@ def eval_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "dedup_editdist_neighbors",
+    doc="edit-distance near-dup tier: per-customer count of OTHER "
+    "customers whose name is within Levenshtein distance 1 (insert / "
+    "delete / substitute -- the typo class Hamming chunking cannot "
+    "block because one indel shifts every later character). Spark "
+    "side is deletion-neighborhood blocking (FastSS / SymSpell "
+    "family, operators/neardup.py::editdist1_pairs): identity + "
+    "single-deletion variants hashed to 8 bytes, equi-join on the "
+    "variant hash (no false negatives by the pigeonhole of one edit), "
+    "then a JVM levenshtein verify. Oracle states the exact O(n^2) "
+    "contract with DuckDB's native levenshtein().",
+    oracle="""
+WITH pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+sym AS (
+  SELECT id_a AS custkey FROM pairs
+  UNION ALL
+  SELECT id_b FROM pairs
+)
+SELECT custkey, count(*) AS n_neighbors
+FROM sym GROUP BY custkey
+ORDER BY custkey
+""",
+)
+def dedup_editdist_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    pairs = neardup.editdist1_pairs(cust, "c_custkey", "c_name")
+    sym = pairs.select(F.col("id_a").alias("custkey")).unionAll(
+        pairs.select(F.col("id_b").alias("custkey"))
+    )
+    return (
+        sym.groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+        .orderBy("custkey")
+    )

@@ -312,3 +312,156 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "layout_zorder_pruning",
+    doc="Z-order (Morton) clustering readout: orders quantized to an "
+    "8-bit (custkey, epoch-day) grid, bit-interleaved into a 16-bit "
+    "z-value (operators/layout.py::zorder_value -- unrolled codegen "
+    "shift/or, engine-portable), then bucketed by the top 8 z bits. "
+    "Per-bucket bounding boxes stay tight on BOTH dimensions -- the "
+    "property that makes z-ordered file layout prune 2-D predicates "
+    "from parquet min/max stats where single-column clustering serves "
+    "only one dimension. Spans are the data-skipping figure of merit: "
+    "writing files by z-bucket gives each file a (x_span+1)x(y_span+1) "
+    "tile, so a point predicate on either dimension reads only "
+    "buckets whose span covers it.",
+    oracle=None,  # filled below: shares the generated z-value SQL
+)
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.layout import zorder_value
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    xq = F.pmod(F.col("o_custkey"), F.lit(256)).cast("long")
+    yq = F.pmod(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")), F.lit(256)).cast("long")
+    z = zorder_value(xq, yq, bits=8)
+    g = (
+        orders.select(xq.alias("xq"), yq.alias("yq"), z.alias("z"))
+        .withColumn("bucket", F.shiftright(F.col("z"), 8))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("xq") - F.min("xq")).alias("x_span"),
+            (F.max("yq") - F.min("yq")).alias("y_span"),
+        )
+    )
+    return g.orderBy("bucket")
+
+
+def _zorder_oracle() -> str:
+    from testlog_etl_spark.operators.layout import zorder_sql
+
+    x = "(o_custkey % 256 + 256) % 256"
+    y = "(datediff('day', DATE '1970-01-01', o_orderdate::DATE) % 256 + 256) % 256"
+    z = zorder_sql(x, y, bits=8)
+    return f"""
+WITH q AS (
+  SELECT {x} AS xq, {y} AS yq, {z} AS z FROM orders
+)
+SELECT z // 256 AS bucket, count(*) AS n_rows,
+       max(xq) - min(xq) AS x_span, max(yq) - min(yq) AS y_span
+FROM q GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register(
+    "layout_rle_runs",
+    doc="sort-order compressibility report: exact run counts of three "
+    "low-cardinality lineitem columns under the natural (orderkey, "
+    "linenumber) layout vs a (returnflag, linestatus, ship-month) "
+    "clustered layout -- the run count IS the parquet RLE page cost, "
+    "so this readout chooses the writer's sort order. Distributed "
+    "form (operators/layout.py::rle_runs): one range shuffle per "
+    "ordering, one Arrow summary ROW per partition, boundary stitch "
+    "on the driver (collect bounded by partition count). Oracle "
+    "recomputes runs via lag() windows.",
+    oracle="""
+WITH nat AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         strftime(l_shipdate, '%Y-%m') AS sm,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+),
+srt AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         strftime(l_shipdate, '%Y-%m') AS sm,
+         row_number() OVER (
+           ORDER BY l_returnflag, l_linestatus, strftime(l_shipdate, '%Y-%m'),
+                    l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+),
+runs AS (
+  SELECT 'natural' AS ordering, 'l_returnflag' AS col, count(*) AS n_runs
+  FROM (SELECT rf AS v, lag(rf) OVER (ORDER BY rn) AS pv FROM nat)
+  WHERE v IS DISTINCT FROM pv
+  UNION ALL
+  SELECT 'natural' AS ordering, 'l_linestatus' AS col, count(*) AS n_runs
+  FROM (SELECT ls AS v, lag(ls) OVER (ORDER BY rn) AS pv FROM nat)
+  WHERE v IS DISTINCT FROM pv
+  UNION ALL
+  SELECT 'natural' AS ordering, 'ship_month' AS col, count(*) AS n_runs
+  FROM (SELECT sm AS v, lag(sm) OVER (ORDER BY rn) AS pv FROM nat)
+  WHERE v IS DISTINCT FROM pv
+  UNION ALL
+  SELECT 'clustered' AS ordering, 'l_returnflag' AS col, count(*) AS n_runs
+  FROM (SELECT rf AS v, lag(rf) OVER (ORDER BY rn) AS pv FROM srt)
+  WHERE v IS DISTINCT FROM pv
+  UNION ALL
+  SELECT 'clustered' AS ordering, 'l_linestatus' AS col, count(*) AS n_runs
+  FROM (SELECT ls AS v, lag(ls) OVER (ORDER BY rn) AS pv FROM srt)
+  WHERE v IS DISTINCT FROM pv
+  UNION ALL
+  SELECT 'clustered' AS ordering, 'ship_month' AS col, count(*) AS n_runs
+  FROM (SELECT sm AS v, lag(sm) OVER (ORDER BY rn) AS pv FROM srt)
+  WHERE v IS DISTINCT FROM pv
+),
+n AS (SELECT count(*) AS n_rows FROM lineitem)
+SELECT ordering, col, (SELECT n_rows FROM n) AS n_rows, n_runs,
+       ROUND((SELECT n_rows FROM n) * 1.0 / n_runs, 2) AS rows_per_run
+FROM runs
+ORDER BY ordering, col
+""",
+)
+def layout_rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.layout import rle_runs
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    proj = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+    )
+    cols = ["l_returnflag", "l_linestatus", "ship_month"]
+    natural = rle_runs(proj, [F.col("l_orderkey"), F.col("l_linenumber")], cols)
+    clustered = rle_runs(
+        proj,
+        [
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            F.col("ship_month"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        cols,
+    )
+    n_rows = li.count()
+    rows = [("natural", c, n_rows, natural[c]) for c in cols] + [
+        ("clustered", c, n_rows, clustered[c]) for c in cols
+    ]
+    out = spark.createDataFrame(
+        rows, "ordering string, col string, n_rows long, n_runs long"
+    )
+    # ratio rounded ENGINE-side (Spark HALF_UP == DuckDB ROUND; Python's
+    # round() is banker's and could diverge on a .xx5 boundary)
+    out = out.withColumn(
+        "rows_per_run", F.round(F.col("n_rows") / F.col("n_runs"), 2)
+    )
+    return out.orderBy("ordering", "col")
+
+
+from testlog_etl_spark.suite import REGISTRY as _REG2  # noqa: E402
+
+_REG2["layout_zorder_pruning"].oracle = _zorder_oracle()

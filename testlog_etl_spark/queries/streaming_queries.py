@@ -737,3 +737,93 @@ def stream_record_breakers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_late_arrival_audit",
+    doc="watermark lateness accounting: events arrive out of order "
+    "(deterministic hash jitter stands in for network reordering); a "
+    "60 s-delay watermark tracks the running max event time over the "
+    "ARRIVAL order, and a row is late-dropped iff its event time is "
+    "behind (watermark - delay) at its own arrival -- exactly Spark "
+    "Structured Streaming's drop rule, restated batch-replayable so "
+    "the per-hour accepted/dropped counts are an auditable readout "
+    "(the operations question 'what did the watermark cost us?'). "
+    "The running max over a data-scale total order runs through "
+    "operators/scan.py::global_running_max (range shuffle + Arrow "
+    "cummax) -- no single-partition window.",
+    oracle=None,  # filled below: shares the generated xxh64 SQL
+)
+def stream_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan import global_running_max
+    from testlog_etl_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    base = ev.select(
+        "event_id",
+        "ts",
+        F.unix_timestamp("ts").cast("double").alias("ts_sec"),
+        (
+            F.unix_timestamp("ts")
+            + F.pmod(F.xxhash64(F.col("event_id").cast("string")), F.lit(120))
+        ).cast("double").alias("arr_sec"),
+    )
+    scanned = global_running_max(
+        base,
+        [F.col("arr_sec"), F.col("event_id")],
+        "ts_sec",
+        out="seen_max",
+        exclusive=True,
+    )
+    flagged = scanned.withColumn(
+        "late", F.col("ts_sec") < F.col("seen_max") - 60
+    )
+    out = (
+        flagged.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events",
+            "n_late",
+            F.round(F.col("n_late") / F.col("n_events"), 4).alias("late_frac"),
+        )
+    )
+    return out.orderBy("hour")
+
+
+def _late_arrival_oracle() -> str:
+    from testlog_etl_spark import oracles as _o
+
+    h = _o.xxh64_sql("event_id::VARCHAR")
+    return f"""
+WITH e AS (
+  SELECT event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + (({h}) % 120 + 120) % 120 AS arr_sec
+  FROM events
+),
+w AS (
+  SELECT *,
+         max(ts_sec) OVER (
+           ORDER BY arr_sec, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_max
+  FROM e
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n_events,
+       CAST(SUM(CASE WHEN ts_sec < seen_max - 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(SUM(CASE WHEN ts_sec < seen_max - 60 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS late_frac
+FROM w
+GROUP BY date_trunc('hour', ts)
+ORDER BY hour
+"""
+
+
+from testlog_etl_spark.suite import REGISTRY as _REG3  # noqa: E402
+
+_REG3["stream_late_arrival_audit"].oracle = _late_arrival_oracle()

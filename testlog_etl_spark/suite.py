@@ -62,81 +62,72 @@ def register(
 # below is a curated verification window, rotated per round so the UNION of
 # rounds covers the whole registry (COVERAGE.md tracks the cumulative set).
 #
-# Round-6 window: r05 went 50/50 green, so the union of r01-r05 driver rows
-# covers 195 of the 230 registered queries. This window takes ALL 35
-# remaining never-driver-signed queries (computed from the r01-r05
-# CORRECTNESS files vs the registry) -- after this round the union covers
-# the ENTIRE registry -- plus 15 anchor slots: first the three queries
-# whose code changed this round (abc_pareto's integral-cents grid,
-# gini + vocab_growth riding the rewritten operators/scan.py mapInPandas
-# scan) and then recurring high-value anchors (flagships, bench set,
-# survey hard spots) so regressions in the core surface stay
-# driver-visible every round. Anchor slots are swapped for any operator
-# added later in r06 so new work lands a first driver row immediately.
-# r07 queue (registered late-r06, window full): dedup_source_overlap_matrix,
-# corpus_context_window_report, eval_score_calibration -- all locally
-# MATCH-verified; sign them in the r07 window together with any r07
-# additions.
+# Round-7 window: r06 went 50/50 green; the union of r01-r06 driver rows
+# covers the entire registry EXCEPT the three queries registered late in
+# r06 after that round's window was sealed (dedup_source_overlap_matrix,
+# corpus_context_window_report, eval_score_calibration). This window
+# signs those three first, then the queries whose code changed this
+# round (graph_subtree_rollup's integral-division parent fix,
+# join_bloom_prefilter's `how` guard), then every operator ADDED in r07
+# (first driver rows), and fills the remaining slots with recurring
+# high-value anchors (flagships, bench set, survey hard spots) so
+# regressions in the core surface stay driver-visible every round.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # -- late-r06 registrations (first driver rows; locally MATCH since r06)
+    "dedup_source_overlap_matrix",
+    "corpus_context_window_report",
+    "eval_score_calibration",
     # -- changed-code anchors (re-sign after this round's edits)
-    "agg_abc_pareto",
-    "agg_gini_concentration",
-    "text_vocab_growth",
-    # -- never-signed: aggregate / seasonal family
-    "agg_mom_growth",
-    "agg_percentile_contract",
-    "agg_seasonal_index",
-    "agg_weighted_median",
-    "stats_quantile_normalize",
-    # -- never-signed: attribution + orders analytics
-    "attribution_last_touch",
-    "attribution_linear",
-    "orders_backlog_aging",
-    "orders_cross_sell",
-    "orders_duplicate_payments",
-    # -- never-signed: events analytics
-    "events_dau_mau",
-    "events_error_budget",
-    "events_inter_arrival",
-    "events_seasonality_profile",
-    "forecast_seasonal_naive_mape",
-    # -- never-signed: corpus / dedup / packing
-    "corpus_build_v2",
-    "corpus_report_card",
-    "corpus_token_budget",
-    "dedup_best_exemplar",
-    "dedup_containment",
-    "dedup_sorted_tokens",
-    "dedup_tier_report",
-    "pack_length_buckets",
-    "join_salted_skew",
-    # -- never-signed: text / docs / embeddings
-    "docs_template_extraction",
-    "text_bigram_lm",
-    "text_code_signal",
-    "text_readability",
-    "text_zipf_fit",
-    "embed_norm_outliers",
-    "eval_ann_recall",
-    "eval_langid_metrics",
-    # -- never-signed: quality / graph / sources
-    "dq_freshness_report",
-    "graph_degree_distribution",
-    "source_schema_evolution",
-    # -- operators added in r06 (first driver rows)
-    "corpus_mixture_weights",
-    "embed_random_projection",
-    "split_leakage_audit",
-    "dq_k_anonymity",
-    "topk_global_paging",
-    "index_phrase_search",
     "graph_subtree_rollup",
     "join_bloom_prefilter",
-    "stream_record_breakers",
-    # -- recurring anchors (flagships + bench set)
+    # -- operators added in r07 (first driver rows)
+    "dedup_editdist_neighbors",
+    "agg_skyline_pareto",
+    "agg_heavyhitters_mg",
+    "layout_zorder_pruning",
+    "agg_sample_estimate",
+    "stream_late_arrival_audit",
+    "etl_erasure_cascade",
+    "layout_rle_runs",
+    # -- recurring anchors: flagships + bench set
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "q21_suppliers_kept_waiting",
     "etl_mozlog_results",
+    "agg_basic_groupby",
+    "edges_set_dense",
+    "win_running_sum",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "sim_lsh_topk",
+    "dedup_semantic",
+    "dedup_hamming_prefix",
+    "sessionize_batch",
+    "sessionize_native_window",
+    "topk_per_group_agg",
+    "topk_global_paging",
+    # -- recurring anchors: survey hard spots + families round-robin
+    "jx_null_semantics",
+    "jx_deep_query",
+    "jx_date_relative",
+    "edges_default_other",
+    "edges_percentile_cells",
+    "win_frame_median",
+    "agg_cube_grouping",
+    "agg_sketch_rollup",
+    "etl_dedup_latest",
+    "etl_perfherder",
+    "etl_coverage_lcov",
+    "stream_event_counts",
+    "stream_upsert_latest",
+    "stream_session_window",
+    "dedup_exact",
+    "dedup_substring_spans",
+    "sim_ivf_topk",
+    "text_quality",
+    "text_langid",
 )
 
 

@@ -1,0 +1,221 @@
+"""Unit tests for the r07 operators: skyline, Misra-Gries heavy
+hitters, edit-distance-1 blocking, z-order/RLE layout, and the
+exclusive global running max."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- skyline
+
+
+def test_skyline_dominance_and_ties(spark):
+    from testlog_etl_spark.operators.skyline import pareto_frontier_2d
+
+    rows = [
+        # (id, x=price, y=size)
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # exact duplicate of 1 -> BOTH survive
+        (3, 10.0, 4),   # dominated by 1 (equal x, smaller y)
+        (4, 12.0, 5),   # dominated by 1 (same y, dearer)
+        (5, 12.0, 7),   # frontier (dearer but bigger)
+        (6, 9.0, 2),    # frontier (cheapest)
+        (7, 11.0, 6),   # dominated by nothing cheaper-with->=y? 10->5, so 6>5: frontier
+        (8, 13.0, 7),   # dominated by 5 (same y, dearer)
+        (9, 13.0, 1),   # dominated by 6
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y long").repartition(4)
+    got = sorted(r["id"] for r in pareto_frontier_2d(df, "x", "y").collect())
+    assert got == [1, 2, 5, 6, 7]
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    import random
+
+    from testlog_etl_spark.operators.skyline import pareto_frontier_2d
+
+    rng = random.Random(7)
+    rows = [(i, float(rng.randint(0, 30)), rng.randint(0, 30)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, x double, y long").repartition(8)
+    got = sorted(r["id"] for r in pareto_frontier_2d(df, "x", "y").collect())
+    want = sorted(
+        i
+        for i, x, y in rows
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y)) for _, x2, y2 in rows
+        )
+    )
+    assert got == want
+
+
+# ----------------------------------------------------------- heavy hitters
+
+
+def test_misra_gries_recall_and_exact_filter(spark):
+    from testlog_etl_spark.operators.sketches import heavy_hitters_exact
+
+    # zipf-ish: item i appears 1000//(i+1) times; many singletons as noise
+    rows = []
+    for i in range(50):
+        rows += [(f"hot{i}",)] * (1000 // (i + 1))
+    rows += [(f"noise{j}",) for j in range(5000)]
+    df = spark.createDataFrame(rows, "k string").repartition(16)
+    n = len(rows)
+    k = 100
+    got = {r["item"]: r["cnt"] for r in heavy_hitters_exact(df, "k", k=k).collect()}
+    from collections import Counter
+
+    exact = Counter(r[0] for r in rows)
+    want = {item: c for item, c in exact.items() if c * k > n}
+    assert got == want  # exact counts AND exact membership
+    assert len(want) > 0  # the test actually exercises hitters
+
+
+def test_misra_gries_candidate_bound(spark):
+    from testlog_etl_spark.operators.sketches import misra_gries_candidates
+
+    rows = [(str(i % 997),) for i in range(20000)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    cands = misra_gries_candidates(df, "k", k=50)
+    per_part = (
+        cands.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    # each partition's summary is capped at k rows
+    assert all(r["count"] <= 50 for r in per_part)
+
+
+# ------------------------------------------------------------- editdist-1
+
+
+def test_editdist1_pairs_exact_vs_bruteforce(spark):
+    from testlog_etl_spark.operators.neardup import editdist1_pairs
+
+    names = [
+        (1, "alpha"), (2, "alpho"),      # substitution
+        (3, "alph"),                     # deletion of 1
+        (4, "alphaa"),                   # insertion on 1
+        (5, "beta"), (6, "beta"),        # exact duplicates
+        (7, "gamma"), (8, "gamm"),       # deletion
+        (9, "delta"),                    # no neighbor
+        (10, "dleta"),                   # transposition = ed 2 from delta -> NOT a pair
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in editdist1_pairs(df, "id", "name").collect()
+    )
+
+    def ed(a: str, b: str) -> int:
+        import numpy as np
+
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return int(d[-1])
+
+    want = sorted(
+        (a_id, b_id)
+        for ai, (a_id, a) in enumerate(names)
+        for b_id, b in (names[j] for j in range(ai + 1, len(names)))
+        if ed(a, b) <= 1
+    )
+    assert got == want
+    assert (9, 10) not in got  # transposition is distance 2
+
+
+def test_editdist1_null_keys_ignored(spark):
+    from testlog_etl_spark.operators.neardup import editdist1_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "abd")], "id long, name string"
+    )
+    got = [(r["id_a"], r["id_b"]) for r in editdist1_pairs(df, "id", "name").collect()]
+    assert got == [(1, 3)]
+
+
+# ------------------------------------------------------------------ layout
+
+
+def test_zorder_value_matches_reference_interleave(spark):
+    from testlog_etl_spark.operators.layout import zorder_value
+
+    def morton(x: int, y: int, bits: int = 8) -> int:
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 5, 17, 255) for y in (0, 2, 9, 128, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", zorder_value(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_locality_beats_single_column(spark):
+    """The point of z-order: bucketing by z keeps BOTH dims' per-bucket
+    spans small; bucketing by x alone leaves y unconstrained."""
+    from testlog_etl_spark.operators.layout import zorder_value
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    z = df.select(
+        "x", "y", F.shiftright(zorder_value(F.col("x"), F.col("y"), 6), 6).alias("b")
+    )
+    spans = z.groupBy("b").agg(
+        (F.max("x") - F.min("x")).alias("xs"), (F.max("y") - F.min("y")).alias("ys")
+    ).agg(F.avg("xs").alias("xs"), F.avg("ys").alias("ys")).collect()[0]
+    # 64 buckets over a 64x64 grid: z-tiles are 8x8 -> both spans ~7.
+    assert spans["xs"] < 16 and spans["ys"] < 16
+
+
+def test_rle_runs_exact_with_boundary_stitch(spark):
+    from testlog_etl_spark.operators.layout import rle_runs
+
+    # value blocks deliberately larger than rows/partitions so runs SPAN
+    # range-partition boundaries and exercise the driver stitch
+    rows = [(i, "A" if i < 400 else "B" if i < 500 else "C") for i in range(600)]
+    df = spark.createDataFrame(rows, "i long, v string")
+    got = rle_runs(df, [F.col("i")], ["v"], num_parts=8)
+    assert got == {"v": 3}
+    # reversed order gives the same block count here (blocks reverse)
+    got_rev = rle_runs(df, [F.col("i").desc()], ["v"], num_parts=8)
+    assert got_rev == {"v": 3}
+
+
+def test_rle_runs_null_and_alternating(spark):
+    from testlog_etl_spark.operators.layout import rle_runs
+
+    rows = [(0, None), (1, None), (2, "x"), (3, None), (4, "x"), (5, "x")]
+    df = spark.createDataFrame(rows, "i long, v string")
+    got = rle_runs(df, [F.col("i")], ["v"], num_parts=3)
+    assert got == {"v": 4}  # null,null | x | null | x,x
+
+
+# -------------------------------------------------------- running max scan
+
+
+def test_global_running_max_inclusive_exclusive(spark):
+    from testlog_etl_spark.operators.scan import global_running_max
+
+    rows = [(1, 5.0), (2, 3.0), (3, 9.0), (4, 2.0), (5, 9.5), (6, 1.0)]
+    df = spark.createDataFrame(rows, "i long, v double").repartition(4)
+    inc = {
+        r["i"]: r["m"]
+        for r in global_running_max(df, [F.col("i")], "v", out="m", num_parts=3).collect()
+    }
+    assert inc == {1: 5.0, 2: 5.0, 3: 9.0, 4: 9.0, 5: 9.5, 6: 9.5}
+    exc = {
+        r["i"]: r["m"]
+        for r in global_running_max(
+            df, [F.col("i")], "v", out="m", exclusive=True, num_parts=3
+        ).collect()
+    }
+    assert exc[1] is None
+    assert {k: v for k, v in exc.items() if k > 1} == {
+        2: 5.0, 3: 5.0, 4: 9.0, 5: 9.0, 6: 9.5
+    }
