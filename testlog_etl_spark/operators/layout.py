@@ -33,15 +33,14 @@ from pyspark.sql import functions as F
 
 def zorder_value(x: Column, y: Column, bits: int = 8) -> Column:
     """Morton code of two already-quantized non-negative ints, ``bits``
-    bits each: bit b of x lands at 2b, of y at 2b+1. Unrolled
-    shift/and/or -- whole-stage codegen, no UDF."""
-    z = F.lit(0).cast("long")
-    for b in range(bits):
-        z = (
-            z.bitwiseOR(F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b))
-            .bitwiseOR(F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1))
-        )
-    return z
+    bits each: bit b of x lands at 2b, of y at 2b+1. Delegates to the
+    write-path implementation (``testlog_etl_spark.layout.zorder_key2``,
+    unrolled codegen shift/or) so the query-side readout and the
+    clustered-write sort key can never use different bit layouts;
+    ``zorder_sql`` below is its generated DuckDB twin."""
+    from testlog_etl_spark.layout import zorder_key2
+
+    return zorder_key2(x, y, bits=bits)
 
 
 def zorder_sql(x_expr: str, y_expr: str, bits: int = 8) -> str:

@@ -720,3 +720,61 @@ def test_bloom_prefilter_applies_before_probe_exchange(spark):
     assert "element_at" in probe_seg, plan
     li_branch = probe_seg.split("FileScan parquet")[0]
     assert "Filter" in li_branch and "element_at" in li_branch, plan
+
+
+def test_editdist_join_is_hash_equi_join_on_variant_hash(spark):
+    """editdist1_pairs meets candidates via the 8-byte variant-hash
+    equi-join; a nested-loop/cartesian would mean the blocking silently
+    degenerated into all-pairs. Variant STRINGS must not ride the
+    exchange -- only their xxhash64."""
+    df = _q("dedup_editdist_neighbors")(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_vh" in plan  # the hashed variant is the join key
+
+
+def test_heavy_hitters_verify_is_candidate_pruned(spark):
+    """The exact-verify aggregate must count only candidate keys: a
+    broadcast semi join (or its AQE equivalent) gates the full explode
+    before the groupBy, so the vocabulary never shuffles."""
+    df = _q("agg_heavyhitters_mg")(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_erasure_cascade_counts_use_broadcast_semi(spark):
+    """Both cascade levels are broadcast semi joins against the tiny
+    erasure keyset -- the fact tables must not shuffle."""
+    from testlog_etl_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, SF_SMALL, ("customer", "orders"))
+    erased = t["customer"].where(F.col("c_acctbal") < -900).select("c_custkey")
+    eo = t["orders"].join(
+        F.broadcast(erased),
+        t["orders"]["o_custkey"] == erased["c_custkey"],
+        "left_semi",
+    )
+    plan = plan_of(eo)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_sample_estimate_single_aggregate_pass(spark):
+    """est and exact come from ONE conditional aggregate over one scan --
+    not a union of a sampled query and an exact query (which would scan
+    lineitem twice)."""
+    df = _q("agg_sample_estimate")(spark, SF_SMALL)
+    plan = plan_of(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_skyline_no_join_no_global_sort(spark):
+    """The skyline operator is two Arrow passes -- no join of any kind
+    (the O(n^2) NOT EXISTS shape) and no global Sort over the input."""
+    df = _q("agg_skyline_pareto")(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
