@@ -249,3 +249,45 @@ def heavy_hitters_exact(
         .where(F.col("cnt") * k > F.lit(n))
     )
     return exact
+
+
+def bitmap_words(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+    """EXACT mergeable distinct-count sketch for dense integer ids (the
+    roaring-bitmap pattern, flat-word form): per bucket, the id set as
+    (word_index, 64-bit word) rows -- id i sets bit i%64 of word i//64.
+
+    Like the HLL rollup this is an ingest-time reduction whose merge is
+    a lattice join (bitwise OR -- order- and grouping-free), but for id
+    domains that are dense integers it is EXACT, not ~2%: re-aggregating
+    coarser grains (day sketches -> month distinct) ors words and
+    popcounts, never touching raw rows again. State per bucket:
+    ceil(domain/64) longs AT WORST, and only OCCUPIED words exist as
+    rows (sparse buckets stay small -- the roaring insight, minus the
+    per-container encoding switch).
+
+    Shuffle: one partial-aggregated exchange of (bucket, word_index)
+    keys -- map-side bit_or collapses each partition's rows to occupied
+    words first, so exchange volume is occupancy-bounded, not
+    row-bounded.
+    """
+    # integral division (`/` is double true-division, exact only < 2^53);
+    # shiftleft's bit count must be a column here, so SQL-expr form
+    word = F.expr(f"`{id_col}` div 64").alias("_w")
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(`{id_col}`, 64) AS INT))")
+    return (
+        df.select(*bucket_cols, word, bit.alias("_b"))
+        .groupBy(*bucket_cols, "_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+    )
+
+
+def bitmap_merge_distinct(
+    words: DataFrame, group_cols: list[str], out: str = "n_distinct"
+) -> DataFrame:
+    """Merge word rows to ``group_cols`` (bitwise OR per word index) and
+    popcount: the exact distinct over the merged buckets. Touches only
+    sketch rows, never raw data."""
+    merged = words.groupBy(*group_cols, "_w").agg(F.bit_or("_bits").alias("_m"))
+    return merged.groupBy(*group_cols).agg(
+        F.sum(F.bit_count("_m")).cast("long").alias(out)
+    )

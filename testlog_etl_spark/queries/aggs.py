@@ -1138,3 +1138,46 @@ FROM agg ORDER BY l_returnflag
 from testlog_etl_spark.suite import REGISTRY as _REG  # noqa: E402
 
 _REG["agg_sample_estimate"].oracle = _sample_estimate_oracle()
+
+
+@register(
+    "agg_bitmap_distinct",
+    doc="exact mergeable distinct sketch (flat roaring-bitmap form, "
+    "operators/sketches.py::bitmap_words): per-DAY (word, 64-bit word) "
+    "bitmap rows over event user ids, merged to ISO weeks by bitwise "
+    "OR + popcount -- the HLL rollup pattern (ingest-granular sketch, "
+    "query-time merge, raw rows touched once) but EXACT for dense int "
+    "id domains. The weekly readout carries the daily sketch-row count "
+    "so the state/accuracy trade vs HLL is visible in the result. "
+    "Oracle recomputes weekly exact distincts directly.",
+    oracle="""
+WITH d AS (
+  SELECT datediff('day', DATE '2024-01-01', ts::DATE) // 7 AS week,
+         ts::DATE AS day, user_id
+  FROM events
+),
+words AS (
+  SELECT week, day, user_id // 64 AS w
+  FROM d GROUP BY week, day, user_id // 64
+),
+wc AS (SELECT week, count(*) AS n_sketch_rows FROM words GROUP BY week)
+SELECT d.week, count(DISTINCT d.user_id) AS n_users,
+       (SELECT n_sketch_rows FROM wc WHERE wc.week = d.week) AS n_sketch_rows
+FROM d GROUP BY d.week ORDER BY week
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sketches import bitmap_merge_distinct, bitmap_words
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    base = ev.select(
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+        ).cast("long").alias("week"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    daily = bitmap_words(base, ["week", "day"], "user_id")  # ingest-grain sketch
+    weekly = bitmap_merge_distinct(daily, ["week"], out="n_users")
+    rows = daily.groupBy("week").agg(F.count(F.lit(1)).alias("n_sketch_rows"))
+    return weekly.join(rows, "week").select("week", "n_users", "n_sketch_rows").orderBy("week")

@@ -1817,3 +1817,62 @@ def etl_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = spark.createDataFrame(rows, "entity string, purged long, kept long")
     return out.orderBy("entity")
+
+
+@register(
+    "events_retention_cohorts",
+    doc="cohort retention matrix: users cohorted by the week of their "
+    "first event (integer week index from the 2024-01-01 Monday "
+    "anchor -- no engine week-numbering conventions in play), then "
+    "for each (cohort, week-offset) the share of the cohort active "
+    "that week. Two rollups over one distinct (user, week) activity "
+    "frame + a broadcast-sized cohort dimension join -- the weekly "
+    "grain frame is |users|x|weeks|, already reduced before any join. "
+    "The product-analytics readout behind every growth dashboard.",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '2024-01-01', ts::DATE) // 7 AS week
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cw FROM act GROUP BY user_id),
+size_ AS (SELECT cw, count(*) AS n_cohort FROM cohort GROUP BY cw),
+ret AS (
+  SELECT c.cw AS cohort_week, a.week - c.cw AS week_offset,
+         count(*) AS n_active
+  FROM act a JOIN cohort c USING (user_id)
+  GROUP BY c.cw, a.week - c.cw
+)
+SELECT r.cohort_week, r.week_offset, r.n_active,
+       ROUND(r.n_active * 1.0 / s.n_cohort, 4) AS retention
+FROM ret r JOIN size_ s ON s.cw = r.cohort_week
+ORDER BY cohort_week, week_offset
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    act = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+        ).cast("long").alias("week"),
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cw"))
+    size = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
+    ret = (
+        act.join(cohort, "user_id")
+        .groupBy(F.col("cw").alias("cohort_week"), (F.col("week") - F.col("cw")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        ret.join(
+            F.broadcast(size), ret["cohort_week"] == size["cw"]
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

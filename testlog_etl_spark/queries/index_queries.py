@@ -158,3 +158,49 @@ def index_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", textstats.tokens(F.col("text")), ["table", "scan"]
     )
     return out.orderBy("doc_id")
+
+
+@register(
+    "index_boolean_retrieval",
+    doc="boolean retrieval (join AND vector AND NOT slow): the exploded "
+    "(doc, term) stream is filtered to the QUERY'S terms before any "
+    "exchange (term-selectivity-sized input, same prune as phrase "
+    "search), then one doc-keyed aggregate evaluates the AND/NOT as "
+    "boolean max flags -- no per-term join chain, no posting-list "
+    "materialization. Output: matching doc ids with their source and "
+    "length. Oracle evaluates membership with list_contains.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, source, n_chars
+FROM t
+WHERE list_contains(toks, 'join') AND list_contains(toks, 'vector')
+  AND NOT list_contains(toks, 'slow')
+ORDER BY doc_id
+""",
+)
+def index_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    terms = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(textstats.tokens(F.col("text"))).alias("term"),
+    )
+    hits = (
+        terms.where(F.col("term").isin("join", "vector", "slow"))
+        .groupBy("doc_id", "source", "n_chars")
+        .agg(
+            F.max(F.when(F.col("term") == "join", 1).otherwise(0)).alias("h_a"),
+            F.max(F.when(F.col("term") == "vector", 1).otherwise(0)).alias("h_b"),
+            F.max(F.when(F.col("term") == "slow", 1).otherwise(0)).alias("h_not"),
+        )
+    )
+    return (
+        hits.where((F.col("h_a") == 1) & (F.col("h_b") == 1) & (F.col("h_not") == 0))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

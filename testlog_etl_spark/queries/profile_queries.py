@@ -236,3 +236,57 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "join_size_estimate",
+    doc="planner-statistics readout: per-key frequency histograms of "
+    "both sides of orders><lineitem predict the join cardinality as "
+    "sum(c_left * c_right) over shared keys BEFORE paying the join -- "
+    "the estimate every cost-based optimizer builds from column stats, "
+    "here exact because the histograms are exact. Output: per "
+    "orderpriority stratum, the predicted pair count, the two sides' "
+    "row/key counts, and the max single-key contribution (the skew "
+    "signal AQE would split on). The stats join touches only "
+    "(key, count) rows -- at 100 TB this is the cheap dry run that "
+    "decides salting/broadcast before the real join.",
+    oracle="""
+WITH lo AS (
+  SELECT o_orderkey, o_orderpriority, count(*) AS c_o
+  FROM orders GROUP BY o_orderkey, o_orderpriority
+),
+ll AS (SELECT l_orderkey, count(*) AS c_l FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT lo.o_orderpriority AS priority, lo.c_o * ll.c_l AS pairs
+  FROM lo JOIN ll ON lo.o_orderkey = ll.l_orderkey
+)
+SELECT priority,
+       CAST(SUM(pairs) AS BIGINT) AS predicted_rows,
+       count(*) AS n_shared_keys,
+       CAST(MAX(pairs) AS BIGINT) AS max_key_pairs
+FROM j GROUP BY priority ORDER BY priority
+""",
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    lo = t["orders"].groupBy("o_orderkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c_o")
+    )
+    ll = t["lineitem"].groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("c_l")
+    )
+    j = lo.join(ll, "o_orderkey").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("c_o") * F.col("c_l")).alias("pairs"),
+    )
+    return (
+        j.groupBy("priority")
+        .agg(
+            F.sum("pairs").alias("predicted_rows"),
+            F.count(F.lit(1)).alias("n_shared_keys"),
+            F.max("pairs").alias("max_key_pairs"),
+        )
+        .orderBy("priority")
+    )

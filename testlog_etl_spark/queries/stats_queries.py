@@ -292,3 +292,84 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "stats_jackknife_ci",
+    doc="delete-one-bucket jackknife CI for the mean extended price: "
+    "32 deterministic hash buckets (xxhash64 of the line key) each "
+    "contribute (sum, count); the 32 leave-one-out means and their "
+    "jackknife variance are computed over the REDUCED 32-row frame -- "
+    "the distributed-uncertainty pattern when a closed-form SE is "
+    "unavailable (ratio metrics, post-stratified means): one rollup "
+    "shuffle of 32 cells, resampling without re-scanning. Sums snap "
+    "to cents so the fold order can't move the last ulp cross-engine.",
+    oracle=None,  # filled below: shares the generated xxh64 SQL
+)
+def stats_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    buckets = li.select(
+        F.pmod(F.xxhash64(key), F.lit(32)).alias("b"), cents.alias("v")
+    ).groupBy("b").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+    # the jackknife arithmetic runs on the 32-row reduced frame; the
+    # 1-row totals broadcast back (bounded by construction)
+    # distinct names: Spark resolves case-insensitively, so `S` vs the
+    # bucket column `s` would be AMBIGUOUS_REFERENCE
+    tot = buckets.agg(F.sum("s").alias("tS"), F.sum("c").alias("tC"))
+    # theta_i come out IDENTICAL on both engines (pure functions of the
+    # exact integer S/C/s/c); the variance uses the raw-moment closed
+    # form (same convention as stats_welch_ttest) so both engines run
+    # the same arithmetic rather than their own var() algorithms
+    theta = buckets.crossJoin(F.broadcast(tot)).select(
+        ((F.col("tS") - F.col("s")) / (F.col("tC") - F.col("c")) / 100).alias("th"),
+        "tS",
+        "tC",
+    )
+    agg = theta.groupBy("tS", "tC").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.avg("th").alias("m1"),
+        F.avg(F.col("th") * F.col("th")).alias("m2"),
+    )
+    jk = F.sqrt((F.col("m2") - F.col("m1") * F.col("m1")) * (F.col("n_buckets") - 1))
+    mean = F.col("tS") / F.col("tC") / 100
+    return agg.select(
+        F.round(mean, 4).alias("mean_price"),
+        F.round(jk, 4).alias("jk_se"),
+        F.round(mean - 1.96 * jk, 4).alias("ci_lo"),
+        F.round(mean + 1.96 * jk, 4).alias("ci_hi"),
+        "n_buckets",
+    )
+
+
+def _jackknife_oracle() -> str:
+    from testlog_etl_spark.oracles import xxh64_sql
+
+    h = xxh64_sql("l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR")
+    return f"""
+WITH b AS (
+  SELECT (({h}) % 32 + 32) % 32 AS b,
+         CAST(SUM(round(l_extendedprice * 100, 0)) AS BIGINT) AS s,
+         count(*) AS c
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS S, CAST(SUM(c) AS BIGINT) AS C FROM b),
+theta AS (
+  SELECT (tot.S - b.s) * 1.0 / (tot.C - b.c) / 100 AS th, tot.S AS S, tot.C AS C
+  FROM b, tot
+)
+SELECT ROUND(S * 1.0 / C / 100, 4) AS mean_price,
+       ROUND(sqrt((AVG(th * th) - AVG(th) * AVG(th)) * (count(*) - 1)), 4) AS jk_se,
+       ROUND(S * 1.0 / C / 100
+             - 1.96 * sqrt((AVG(th * th) - AVG(th) * AVG(th)) * (count(*) - 1)), 4) AS ci_lo,
+       ROUND(S * 1.0 / C / 100
+             + 1.96 * sqrt((AVG(th * th) - AVG(th) * AVG(th)) * (count(*) - 1)), 4) AS ci_hi,
+       count(*) AS n_buckets
+FROM theta GROUP BY S, C
+"""
+
+
+from testlog_etl_spark.suite import REGISTRY as _REG4  # noqa: E402
+
+_REG4["stats_jackknife_ci"].oracle = _jackknife_oracle()

@@ -89,6 +89,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_late_arrival_audit",
     "etl_erasure_cascade",
     "layout_rle_runs",
+    "agg_bitmap_distinct",
+    "index_boolean_retrieval",
+    "join_size_estimate",
+    "stats_jackknife_ci",
+    "events_retention_cohorts",
     # -- recurring anchors: flagships + bench set
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -123,11 +128,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_event_counts",
     "stream_upsert_latest",
     "stream_session_window",
-    "dedup_exact",
-    "dedup_substring_spans",
-    "sim_ivf_topk",
-    "text_quality",
-    "text_langid",
 )
 
 

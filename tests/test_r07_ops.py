@@ -219,3 +219,63 @@ def test_global_running_max_inclusive_exclusive(spark):
     assert {k: v for k, v in exc.items() if k > 1} == {
         2: 5.0, 3: 5.0, 4: 9.0, 5: 9.0, 6: 9.5
     }
+
+
+# ------------------------------------------------------------ bitmap sketch
+
+
+def test_bitmap_words_merge_exactness(spark):
+    """The load-bearing sketch contract: merging per-bucket word rows
+    gives the IDENTICAL distinct as sketching the unioned raw rows --
+    bitwise OR is a lattice join, grouping cannot change it."""
+    from testlog_etl_spark.operators.sketches import (
+        bitmap_merge_distinct,
+        bitmap_words,
+    )
+
+    rows = [(d, u) for d in range(5) for u in range(0, 300, d + 1)]
+    df = spark.createDataFrame(rows, "day int, uid long").repartition(8)
+    daily = bitmap_words(df, ["day"], "uid")
+    merged = bitmap_merge_distinct(daily, [], out="n").collect()[0]["n"]
+    direct_words = bitmap_words(df.select(F.lit(0).alias("one"), "uid"), ["one"], "uid")
+    direct = bitmap_merge_distinct(direct_words, ["one"], out="n").collect()[0]["n"]
+    exact = df.select("uid").distinct().count()
+    assert merged == direct == exact
+
+
+def test_bitmap_words_bit_placement(spark):
+    from testlog_etl_spark.operators.sketches import bitmap_words
+
+    df = spark.createDataFrame([(0, 0), (0, 63), (0, 64), (0, 127)], "g int, uid long")
+    got = {
+        r["_w"]: r["_bits"] for r in bitmap_words(df, ["g"], "uid").collect()
+    }
+    # word 0: bits 0 and 63 -> 1 | min_long; word 1: bits 0 and 63 again
+    assert got[0] == got[1] == 1 | -(1 << 63)
+
+
+# ---------------------------------------------------------------- jackknife
+
+
+def test_jackknife_matches_closed_form(spark):
+    """For the MEAN, delete-one-group jackknife has a closed form; the
+    query's bucket arithmetic must reproduce a NumPy reference on the
+    same bucket partition."""
+    import numpy as np
+
+    from testlog_etl_spark.suite import REGISTRY, _load_all
+
+    _load_all()
+    row = REGISTRY["stats_jackknife_ci"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    want = con.execute(REGISTRY["stats_jackknife_ci"].oracle).fetchall()[0]
+    assert (
+        row["mean_price"], row["jk_se"], row["ci_lo"], row["ci_hi"], row["n_buckets"]
+    ) == want
+    assert row["ci_lo"] < row["mean_price"] < row["ci_hi"]
+    assert row["jk_se"] > 0
