@@ -1040,6 +1040,7 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocabulary -- the frequent-terms pattern where distinct terms "
     "dwarf executor memory. Oracle is the direct GROUP BY ... HAVING "
     "twin (vocabulary fits DuckDB at sf0.01).",
+    bench=True,
     oracle="""
 WITH t AS (
   SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS item
