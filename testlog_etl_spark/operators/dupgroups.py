@@ -181,3 +181,41 @@ def pagerank(
             )
         )
     return ranks
+
+
+def bfs_levels(edges: DataFrame, seeds: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any seed, as an iterative
+    frontier-expansion DataFrame loop (Spark has no recursive CTE; this
+    is the standard Pregel-style restatement).
+
+    ``edges`` is directed ``(src, dst)`` -- pass both directions for an
+    undirected graph. ``seeds`` has one ``node`` column. Returns
+    ``(node, lvl)`` for every node within ``max_iter`` hops; BFS
+    first-visit order makes ``lvl`` the exact minimum distance, matching
+    a recursive-CTE replay that enumerates all paths and takes
+    ``min(lvl)``.
+
+    Scale shape: each round is ONE equi-join of the frontier against the
+    edge table (shuffle keyed by node -- AQE broadcasts the frontier
+    while it fits) plus an anti-join against the visited set; the driver
+    never sees node ids, only the frontier's emptiness bit (limit(1)
+    early-stop). ``localCheckpoint`` truncates the per-round lineage so
+    a deep graph cannot accumulate a 12-deep union plan.
+    """
+    visited = seeds.select("node").distinct().withColumn("lvl", F.lit(0).cast("int"))
+    visited = visited.localCheckpoint()
+    frontier = visited.select("node")
+    for i in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("lvl", F.lit(i).cast("int"))
+        )
+        nxt = nxt.localCheckpoint()
+        if not nxt.take(1):
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

@@ -445,3 +445,62 @@ def editdist1_pairs(
         .distinct()
     )
     return cand.filter(F.levenshtein("key_a", "key_b") <= 1)
+
+
+def jaccard_pairs_prefix_filtered(
+    d: DataFrame, id_col: str, sh_col: str, threshold: float
+) -> DataFrame:
+    """All pairs with exact set-Jaccard >= threshold, WITHOUT the O(n^2)
+    crossjoin: PPJoin-style prefix filtering (Xiao et al., WWW'08 --
+    public algorithm, restated on DataFrames).
+
+    Lossless-candidate argument (order-free variant): if J(x,y) >= t
+    then |x n y| >= t*|x| (since |x u y| >= |x|). Keep from each doc a
+    PREFIX of p = |x| - ceil(t*|x|) + 1 tokens; if prefix(x) shares no
+    token with y, the intersection fits in the other |x| - p =
+    ceil(t*|x|) - 1 < t*|x| tokens -- contradiction. So joining every
+    doc's prefix against the FULL posting list catches every qualifying
+    pair at least once, for ANY token order. Ordering tokens
+    rarest-first (global doc-frequency asc, token asc) is purely a
+    candidate-volume optimization: prefixes then hold the rarest
+    tokens, whose postings are shortest.
+
+    Scale shape vs the brute-force sibling (dedup_ngram_jaccard's
+    id_a < id_b crossjoin): shuffles are all LINEAR in token volume --
+    df count, sort-regroup per doc, prefix><postings equi-join keyed by
+    token -- and the only super-linear term is the candidate verify,
+    which is bounded by true-ish pairs instead of n^2/2. Skewed (stop-
+    word-like) tokens land in postings but rarely in prefixes, so the
+    join's build side per key stays proportional to RARE-token df.
+    """
+    tok = d.select(F.col(id_col).alias("_id"), F.explode(sh_col).alias("_s"))
+    df_ = tok.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    arr = (
+        tok.join(df_, "_s")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_s"))).alias("_arr"))
+    )
+    n = F.size("_arr")
+    p = n - F.ceil(n * F.lit(float(threshold))).cast("int") + F.lit(1)
+    pref = arr.select(
+        F.col("_id").alias("_id_p"),
+        F.explode(F.slice("_arr", F.lit(1), p)).alias("_st"),
+    ).select("_id_p", F.col("_st._s").alias("_s"))
+    cand = (
+        pref.join(tok.select(F.col("_id").alias("_id_f"), "_s"), "_s")
+        .filter(F.col("_id_p") != F.col("_id_f"))
+        .select(
+            F.least("_id_p", "_id_f").alias("id_a"),
+            F.greatest("_id_p", "_id_f").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = d.select(F.col(id_col).alias("id_a"), F.col(sh_col).alias("sh_a"))
+    b = d.select(F.col(id_col).alias("id_b"), F.col(sh_col).alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

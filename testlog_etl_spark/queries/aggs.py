@@ -1182,3 +1182,71 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = bitmap_merge_distinct(daily, ["week"], out="n_users")
     rows = daily.groupBy("week").agg(F.count(F.lit(1)).alias("n_sketch_rows"))
     return weekly.join(rows, "week").select("week", "n_users", "n_sketch_rows").orderBy("week")
+
+
+@register(
+    "agg_largest_remainder",
+    doc="exact integer apportionment (Hamilton / largest-remainder "
+    "method): 1000 seats split across nations proportional to customer "
+    "count. ALL-INTEGER arithmetic -- base = (seats*cnt) div total, "
+    "remainder = (seats*cnt) mod total, leftover seats to the largest "
+    "remainders (nation name tiebreak) -- so the allocation is "
+    "engine-exact with no float ranking anywhere. The ranking window "
+    "runs over the 25-row nation rollup (bounded by construction, "
+    "window-lint whitelisted), never the raw fact table.",
+    oracle="""
+WITH c AS (
+  SELECT n_name, count(*)::BIGINT AS cnt
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+b AS (
+  SELECT n_name, cnt,
+         (1000 * cnt) // (SELECT SUM(cnt) FROM c) AS base,
+         (1000 * cnt) % (SELECT SUM(cnt) FROM c) AS rem
+  FROM c
+),
+l AS (SELECT 1000 - SUM(base) AS leftover FROM b),
+r AS (
+  SELECT n_name, cnt, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rk
+  FROM b
+)
+SELECT n_name, cnt AS customers,
+       CAST(base + CASE WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0 END AS BIGINT) AS seats
+FROM r
+ORDER BY n_name
+""",
+)
+def agg_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    c = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = c.agg(F.sum("cnt").alias("tot"))
+    b = c.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "cnt",
+        F.expr("(1000 * cnt) div tot").alias("base"),
+        F.pmod(1000 * F.col("cnt"), F.col("tot")).alias("rem"),
+    )
+    leftover = b.agg((F.lit(1000) - F.sum("base")).alias("leftover"))
+    # bounded-by-construction window: 25 nation rows post-rollup
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "n_name"))
+    return (
+        b.withColumn("rk", rk)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "n_name",
+            F.col("cnt").alias("customers"),
+            (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+            .cast("long")
+            .alias("seats"),
+        )
+        .orderBy("n_name")
+    )

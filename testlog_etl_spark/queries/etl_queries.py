@@ -1876,3 +1876,121 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "graph_bfs_reach",
+    doc="iterative multi-source BFS (operators/dupgroups.py::bfs_levels) "
+    "-- Spark's restatement of the recursive CTE it lacks. Graph: the "
+    "doc_id binary tree (i -> 2i, 2i+1, the subtree-rollup hierarchy) "
+    "plus +37 skip links, undirected, so minimum-hop levels genuinely "
+    "require BFS (skips beat tree paths for far nodes). Seed: doc 1, "
+    "12-round cap. The oracle replays it as WITH RECURSIVE enumerating "
+    "all paths up to the cap and taking min(lvl) -- exact on integer "
+    "levels, proving frontier expansion visits each node at its true "
+    "minimum distance. Per round: one frontier><edges equi-join (AQE "
+    "broadcasts the frontier while it fits) + one anti-join; driver "
+    "sees only the emptiness bit.",
+    oracle="""
+WITH RECURSIVE
+mx AS (SELECT max(doc_id) AS m FROM documents),
+e0 AS (
+  SELECT doc_id AS src, doc_id * 2 AS dst FROM documents
+  WHERE doc_id >= 1 AND doc_id * 2 <= (SELECT m FROM mx)
+  UNION ALL
+  SELECT doc_id, doc_id * 2 + 1 FROM documents
+  WHERE doc_id >= 1 AND doc_id * 2 + 1 <= (SELECT m FROM mx)
+  UNION ALL
+  SELECT doc_id, doc_id + 37 FROM documents
+  WHERE doc_id + 37 <= (SELECT m FROM mx)
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+r AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS lvl
+  UNION
+  SELECT e.dst, r.lvl + 1 FROM r JOIN e ON e.src = r.node WHERE r.lvl < 12
+)
+SELECT node, CAST(min(lvl) AS INT) AS lvl FROM r GROUP BY node ORDER BY node
+""",
+)
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.dupgroups import bfs_levels
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = docs.select("doc_id")
+    mx = ids.agg(F.max("doc_id").alias("_m"))
+    base = ids.crossJoin(F.broadcast(mx))
+    e0 = (
+        base.filter((F.col("doc_id") >= 1) & (F.col("doc_id") * 2 <= F.col("_m")))
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") * 2).alias("dst"))
+        .union(
+            base.filter((F.col("doc_id") >= 1) & (F.col("doc_id") * 2 + 1 <= F.col("_m")))
+            .select(F.col("doc_id").alias("src"), (F.col("doc_id") * 2 + 1).alias("dst"))
+        )
+        .union(
+            base.filter(F.col("doc_id") + 37 <= F.col("_m"))
+            .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 37).alias("dst"))
+        )
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    seeds = ids.filter(F.col("doc_id") == 1).select(F.col("doc_id").alias("node"))
+    return bfs_levels(edges, seeds, max_iter=12).orderBy("node")
+
+
+@register(
+    "events_longest_streak",
+    doc="longest consecutive-active-day streak per user: the classic "
+    "gaps-and-islands shape -- per-(user, day) dedup, then day_index "
+    "minus ROW_NUMBER as the island key (constant within a run of "
+    "consecutive days), one rollup per island, max per user with the "
+    "EARLIEST streak start as the deterministic tiebreak. All windows "
+    "partitioned by user_id; integer day arithmetic end to end.",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+g AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '2024-01-01', day)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS isl
+  FROM d
+),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len, min(day) AS start_day
+  FROM g GROUP BY user_id, isl
+)
+SELECT user_id, len AS longest_streak, start_day AS streak_start
+FROM (
+  SELECT user_id, len, start_day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, start_day) AS rn
+  FROM s
+) WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "isl",
+        F.datediff("day", F.lit("2024-01-01").cast("date")) - F.row_number().over(w),
+    )
+    s = g.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    pick = Window.partitionBy("user_id").orderBy(F.desc("len"), "start_day")
+    return (
+        s.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            F.col("start_day").alias("streak_start"),
+        )
+        .orderBy("user_id")
+    )

@@ -3708,3 +3708,36 @@ def dedup_editdist_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_neighbors"))
         .orderBy("custkey")
     )
+
+
+@register(
+    "dedup_jaccard_prefixfilter",
+    doc="the SCALE path for dedup_ngram_jaccard: identical output "
+    "contract (all pairs with exact 3-shingle Jaccard >= 0.5) but "
+    "candidates come from PPJoin-style prefix filtering "
+    "(operators/neardup.py::jaccard_pairs_prefix_filtered) instead of "
+    "the O(n^2) id_a < id_b crossjoin -- rarest-first token prefixes "
+    "of length n - ceil(t*n) + 1 joined against the full posting "
+    "list, then exact verify. Every shuffle is linear in token "
+    "volume; the oracle is deliberately the SAME brute-force SQL as "
+    "the crossjoin sibling, so the driver hash proves the filter is "
+    "lossless.",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.sh,b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh))), {R}) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh,b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh))) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def dedup_jaccard_prefixfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = docs.select("doc_id", neardup.word_shingles(F.col("text")).alias("sh"))
+    pairs = neardup.jaccard_pairs_prefix_filtered(d, "doc_id", "sh", 0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", R).alias("jaccard")
+    ).orderBy("id_a", "id_b")

@@ -373,3 +373,57 @@ FROM theta GROUP BY S, C
 from testlog_etl_spark.suite import REGISTRY as _REG4  # noqa: E402
 
 _REG4["stats_jackknife_ci"].oracle = _jackknife_oracle()
+
+
+@register(
+    "stats_ols_trend",
+    doc="per-group simple linear regression, closed form: per "
+    "event_type, value regressed on the integer day index "
+    "(days since 2024-01-01). slope = covar_pop/var_pop, intercept "
+    "from the means, fit quality as corr^2 -- the SAME moment "
+    "formulas DuckDB's regr_* family computes, written out so both "
+    "engines run identical arithmetic (one rollup, no second pass; "
+    "Spark's covar_pop/corr are single-scan Welford-style "
+    "aggregates). Rounded at presentation like stats_correlation.",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))::DOUBLE AS x,
+         "value" AS y
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(covar_pop(y, x) / var_pop(x), {R}) AS slope,
+       ROUND(avg(y) - covar_pop(y, x) / var_pop(x) * avg(x), {R}) AS intercept,
+       ROUND(corr(y, x) * corr(y, x), {R}) AS r2
+FROM d GROUP BY event_type ORDER BY event_type
+""",
+)
+def stats_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.select(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_pop("y", "x").alias("_cov"),
+        F.var_pop("x").alias("_varx"),
+        F.avg("y").alias("_my"),
+        F.avg("x").alias("_mx"),
+        F.corr("y", "x").alias("_r"),
+    )
+    slope = F.col("_cov") / F.col("_varx")
+    return g.select(
+        "event_type",
+        "n",
+        F.round(slope, R).alias("slope"),
+        F.round(F.col("_my") - slope * F.col("_mx"), R).alias("intercept"),
+        F.round(F.col("_r") * F.col("_r"), R).alias("r2"),
+    ).orderBy("event_type")

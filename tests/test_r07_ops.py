@@ -279,3 +279,94 @@ def test_jackknife_matches_closed_form(spark):
     ) == want
     assert row["ci_lo"] < row["mean_price"] < row["ci_hi"]
     assert row["jk_se"] > 0
+
+
+# ------------------------------------------------------------------- BFS
+
+
+def test_bfs_levels_min_hop_and_early_stop(spark):
+    from testlog_etl_spark.operators.dupgroups import bfs_levels
+
+    # 1-2-3-4 chain plus a 1->4 shortcut: min-hop for 4 must be 1, not 3.
+    e0 = [(1, 2), (2, 3), (3, 4), (1, 4), (4, 5), (9, 10)]  # 9-10 unreachable
+    edges = spark.createDataFrame(
+        e0 + [(b, a) for a, b in e0], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    lv = {r["node"]: r["lvl"] for r in bfs_levels(edges, seeds, max_iter=10).collect()}
+    assert lv == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}  # early stop before iter 10
+
+
+def test_bfs_levels_multi_source_takes_nearest_seed(spark):
+    from testlog_etl_spark.operators.dupgroups import bfs_levels
+
+    e0 = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        e0 + [(b, a) for a, b in e0], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    lv = {r["node"]: r["lvl"] for r in bfs_levels(edges, seeds, max_iter=10).collect()}
+    assert lv == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_levels_respects_iteration_cap(spark):
+    from testlog_etl_spark.operators.dupgroups import bfs_levels
+
+    e0 = [(i, i + 1) for i in range(1, 8)]
+    edges = spark.createDataFrame(
+        e0 + [(b, a) for a, b in e0], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    lv = {r["node"]: r["lvl"] for r in bfs_levels(edges, seeds, max_iter=3).collect()}
+    assert lv == {1: 0, 2: 1, 3: 2, 4: 3}  # nodes 5.. beyond the cap excluded
+
+
+# ------------------------------------------- prefix-filtered Jaccard join
+
+
+def test_prefix_filter_matches_bruteforce_pairs(spark):
+    from testlog_etl_spark.operators.neardup import (
+        jaccard,
+        jaccard_pairs_prefix_filtered,
+    )
+
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b", "c", "e"]),       # J(1,2)=3/5=0.6
+        (3, ["a", "b", "c", "d"]),       # J(1,3)=1.0
+        (4, ["x", "y"]),                  # J with others = 0
+        (5, ["x", "y", "z"]),             # J(4,5)=2/3
+        (6, []),                          # empty set: never qualifies
+        (7, ["q"]),
+        (8, ["q"]),                       # J(7,8)=1.0 singleton sets
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, sh array<string>").repartition(3)
+    for t in (0.5, 0.9):
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+            for r in jaccard_pairs_prefix_filtered(d, "doc_id", "sh", t).collect()
+        }
+        a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        brute = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("j", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("j") >= t)
+        )
+        want = {(r["id_a"], r["id_b"]): round(r["j"], 6) for r in brute.collect()}
+        assert got == want, f"threshold {t}"
+
+
+# ------------------------------------------------------ largest remainder
+
+
+def test_largest_remainder_exact_total_and_monotone(spark):
+    from testlog_etl_spark.suite import REGISTRY
+
+    out = REGISTRY["agg_largest_remainder"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["seats"] for r in out) == 1000  # apportionment is exact
+    # more customers never means fewer seats under Hamilton with equal quotas
+    by_cnt = sorted(out, key=lambda r: (r["customers"], r["n_name"]))
+    for lo, hi in zip(by_cnt, by_cnt[1:]):
+        if hi["customers"] > lo["customers"]:
+            assert hi["seats"] >= lo["seats"]

@@ -35,6 +35,11 @@ SF = os.environ.get("SPARK_JX_LINT_SF", "/root/testdata/sf0.001")
 # bounded by construction and whitelisted below.)
 WHITELIST: dict[str, str] = {
     "skew_report": "rank window runs AFTER limit(10) -- 10-row frame",
+    "agg_largest_remainder": (
+        "remainder-rank window runs over the per-NATION rollup frame -- "
+        "fixed 25-row domain; the data-scaling work is the one customer "
+        "count shuffle"
+    ),
     "text_zipf_fit": "rank window runs AFTER limit(100) -- 100-row frame",
     "text_bm25_topk": "rank window runs AFTER limit(k) (TakeOrderedAndProject first) -- k-row frame",
     "jx_full_pipeline": (
