@@ -178,3 +178,43 @@ def phrase_search(
     return joined.groupBy(F.col("_doc").alias(id_col)).agg(
         F.count(F.lit(1)).alias("n_matches")
     )
+
+
+def rrf_fusion(
+    rankings: list[DataFrame], id_col: str, c: int = 60, k: int = 10
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack & Clarke, SIGIR'09): fuse N
+    ranked lists into one by rrf(d) = sum over lists of 1/(c + rank_d),
+    items missing from a list contributing 0. Each input DataFrame
+    carries (id_col, rank).
+
+    Determinism: each contribution is ONE double division on integer
+    inputs and the fused score a sum of <= N such terms -- rounded at
+    presentation, ranked with id tiebreak, so engines can't disagree.
+    Scale shape: the inputs are already top-k' lists (bounded), so the
+    N-way full-outer join chain and the final rank window run on
+    k'-bounded frames, never corpus-sized data.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.col("rank").cast("int").alias(f"rank_{i}"),
+            (F.lit(1.0) / (F.lit(c) + F.col("rank"))).alias(f"_c{i}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    fused = reduce(lambda a, b: a.join(b, id_col, "full_outer"), parts)
+    score = reduce(
+        lambda a, b: a + b,
+        [F.coalesce(F.col(f"_c{i}"), F.lit(0.0)) for i in range(len(parts))],
+    )
+    scored = fused.withColumn("rrf", F.round(score, 6))
+    topk = scored.orderBy(F.col("rrf").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, *[f"rank_{i}" for i in range(len(parts))], "rrf", "rank"
+    )

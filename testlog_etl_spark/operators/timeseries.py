@@ -356,3 +356,99 @@ def sweep_concurrency(
     out.count()
     ranged.unpersist()
     return out
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    num_parts: int = 32,
+) -> DataFrame:
+    """Merge overlapping-OR-touching half-open ``[start, end)`` intervals
+    per key into maximal islands; returns one row per island
+    ``(key, island_start, island_end)``.
+
+    Semantics: an interval ending exactly when another starts MERGES
+    with it (the complement of sweep_concurrency's tie rule) -- the
+    gaps-and-islands contract ``next.start <= running_max(end)``.
+
+    Scale design: boundaries are NETTED per (key, instant) first (one
+    keyed rollup; +1 for starts, -1 for ends, simultaneous boundaries
+    collapse to one strictly-ordered row per instant -- which is also
+    what makes the merge rule order-free: a -1/+1 pair at the same
+    instant nets to 0 so coverage never visibly dips), then the running
+    coverage count comes from the SAME hierarchical keyed prefix scan
+    as sweep_concurrency: range partition by (key, instant),
+    per-(partition, key) totals to the driver (bounded rows), exclusive
+    offsets broadcast back, intra-partition window. Island boundaries
+    are the instants where coverage enters / leaves zero; starts and
+    ends strictly alternate per key, so the k-th start joins the k-th
+    end by a row_number over the MARKER rows (2 per island, already
+    coverage-compressed -- not per interval).
+    """
+    plus = df.select(F.col(key_col).alias("_k"), F.col(start_col).alias("_bt"), F.lit(1).alias("_d"))
+    minus = df.select(F.col(key_col).alias("_k"), F.col(end_col).alias("_bt"), F.lit(-1).alias("_d"))
+    net = (
+        plus.unionByName(minus)
+        .groupBy("_k", "_bt")
+        .agg(F.sum("_d").alias("_net"))
+        .filter(F.col("_net") != 0)
+    )
+    ranged = (
+        net.repartitionByRange(num_parts, F.col("_k"), F.col("_bt"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = ranged.groupBy("_pid", "_k").agg(F.sum("_net").alias("_t")).collect()
+    acc: dict[object, int] = {}
+    offsets = []
+    for row in sorted(
+        totals,
+        key=lambda r: (r["_k"] is not None, r["_k"] if r["_k"] is not None else 0, r["_pid"]),
+    ):
+        offsets.append((row["_pid"], row["_k"], acc.get(row["_k"], 0)))
+        acc[row["_k"]] = acc.get(row["_k"], 0) + (row["_t"] or 0)
+    spark = df.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    off_schema = StructType(
+        [
+            StructField("_pid", ranged.schema["_pid"].dataType),
+            StructField("_k", ranged.schema["_k"].dataType),
+            StructField("_off", LongType()),
+        ]
+    )
+    off = spark.createDataFrame(offsets, off_schema)
+    w = Window.partitionBy("_pid", "_k").orderBy("_bt")
+    join_cond = (F.col("_lc._pid") == F.col("_rc._pid")) & F.col("_lc._k").eqNullSafe(
+        F.col("_rc._k")
+    )
+    conc = (
+        ranged.withColumn("_local", F.sum("_net").over(w))
+        .alias("_lc")
+        .join(F.broadcast(off.alias("_rc")), join_cond)
+        .select("_lc.*", F.col("_rc._off").alias("_off"))
+        .withColumn("_after", (F.col("_local") + F.col("_off")).cast("long"))
+        .withColumn("_before", F.col("_after") - F.col("_net"))
+    )
+    markers = conc.filter(
+        ((F.col("_before") == 0) & (F.col("_after") > 0))
+        | ((F.col("_after") == 0) & (F.col("_before") > 0))
+    ).select("_k", "_bt", (F.col("_before") == 0).alias("_is_start"))
+    mw = Window.partitionBy("_k", "_is_start").orderBy("_bt")
+    numbered = markers.withColumn("_rn", F.row_number().over(mw))
+    starts = numbered.filter("_is_start").select(
+        F.col("_k"), F.col("_rn"), F.col("_bt").alias("island_start")
+    )
+    ends = numbered.filter(~F.col("_is_start")).select(
+        F.col("_k").alias("_k2"), F.col("_rn").alias("_rn2"), F.col("_bt").alias("island_end")
+    )
+    out = starts.join(
+        ends,
+        (F.col("_rn") == F.col("_rn2")) & F.col("_k").eqNullSafe(F.col("_k2")),
+    ).select(F.col("_k").alias(key_col), "island_start", "island_end")
+    out = out.persist()
+    out.count()
+    ranged.unpersist()
+    return out

@@ -204,3 +204,116 @@ def index_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "search_rrf_fusion",
+    doc="hybrid-retrieval rank fusion (operators/postings.py::"
+    "rrf_fusion): BM25 and length-normalized TF-IDF each rank the "
+    "corpus for the same 3-term query (top-20 lists, ROUNDED-score + "
+    "doc-id ties), then Reciprocal Rank Fusion sum(1/(60+rank)) fuses "
+    "them into the final top-10 -- the standard way to combine lexical "
+    "and secondary rankers without score calibration. Every rank "
+    "window runs AFTER a TakeOrderedAndProject limit (k-row frames); "
+    "the fused join chain is over two 20-row lists.",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avg_len FROM lens),
+hits AS (
+  SELECT b.doc_id, l.dl, t.term, count(*) AS tf
+  FROM base b
+  JOIN lens l ON l.doc_id = b.doc_id,
+  LATERAL (SELECT unnest(list_filter(b.toks, x -> x IN ('spark', 'join', 'window'))) AS term) t
+  GROUP BY b.doc_id, l.dl, t.term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+bm_scored AS (
+  SELECT h.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (h.tf * (1.2 + 1)) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avg_len))
+         ), 4) AS score
+  FROM hits h JOIN dfreq d ON d.term = h.term, stats s
+  GROUP BY h.doc_id
+),
+bm AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm_scored QUALIFY r <= 20
+),
+tf_scored AS (
+  SELECT h.doc_id,
+         ROUND(SUM((h.tf::DOUBLE / h.dl) * ln((s.n_docs + 1.0) / (d.df + 1.0))), 6) AS score
+  FROM hits h JOIN dfreq d ON d.term = h.term, stats s
+  GROUP BY h.doc_id
+),
+tfr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM tf_scored QUALIFY r <= 20
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, tfr.doc_id) AS doc_id,
+         CAST(bm.r AS INT) AS rank_bm25, CAST(tfr.r AS INT) AS rank_tfidf,
+         ROUND(COALESCE(1.0 / (60 + bm.r), 0) + COALESCE(1.0 / (60 + tfr.r), 0), 6) AS rrf
+  FROM bm FULL JOIN tfr ON bm.doc_id = tfr.doc_id
+)
+SELECT doc_id, rank_bm25, rank_tfidf, rrf,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM fused QUALIFY rank <= 10
+ORDER BY rank
+""",
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    Q = ["spark", "join", "window"]
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bm = postings.bm25_topk(docs, "doc_id", textstats.tokens(F.col("text")), Q, k=20)
+
+    q = F.array(*[F.lit(t) for t in Q])
+    base = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("_t")
+    ).select("doc_id", "_t", F.size("_t").alias("dl"))
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(F.filter("_t", lambda t: F.array_contains(q, t))).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = hits.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    tf_scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("tf").cast("double") / F.col("dl"))
+                    * F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    tfr = (
+        tf_scored.orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")))
+    )
+    out = postings.rrf_fusion(
+        [bm.select("doc_id", "rank"), tfr.select("doc_id", "rank")], "doc_id", c=60, k=10
+    )
+    return out.select(
+        "doc_id",
+        F.col("rank_0").alias("rank_bm25"),
+        F.col("rank_1").alias("rank_tfidf"),
+        "rrf",
+        "rank",
+    ).orderBy("rank")

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from testlog_etl_spark.operators.profile import profile
 from testlog_etl_spark.suite import register
@@ -289,4 +290,58 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pairs").alias("max_key_pairs"),
         )
         .orderBy("priority")
+    )
+
+
+@register(
+    "dq_benford_digits",
+    doc="Benford first-digit conformance check on o_totalprice -- the "
+    "classic fabricated-data / unit-drift screen for a DQ suite. The "
+    "leading digit comes from INTEGER-STRING truncation "
+    "(floor -> BIGINT -> first char), never floor(log10(x)) float "
+    "arithmetic, so 10^k boundaries can't flip digits across engines. "
+    "Per digit: observed count/share, the Benford expectation "
+    "log10(1+1/d), and the chi-square contribution; one 9-cell rollup "
+    "off a single scan.",
+    oracle="""
+WITH v AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM v),
+o AS (SELECT digit, count(*)::BIGINT AS observed FROM v GROUP BY digit)
+SELECT o.digit,
+       o.observed,
+       ROUND(o.observed / n.n, 4) AS obs_share,
+       ROUND(ln(1.0 + 1.0 / o.digit) / ln(10.0), 4) AS benford_share,
+       ROUND(pow(o.observed - n.n * (ln(1.0 + 1.0 / o.digit) / ln(10.0)), 2)
+             / (n.n * (ln(1.0 + 1.0 / o.digit) / ln(10.0))), 4) AS chi2_term
+FROM o CROSS JOIN n
+ORDER BY o.digit
+""",
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    n = v.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    o = v.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    exp_share = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        o.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "observed",
+            F.round(F.col("observed") / F.col("n"), 4).alias("obs_share"),
+            F.round(exp_share, 4).alias("benford_share"),
+            F.round(
+                F.pow(F.col("observed") - F.col("n") * exp_share, 2)
+                / (F.col("n") * exp_share),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
     )

@@ -427,3 +427,112 @@ def stats_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_my") - slope * F.col("_mx"), R).alias("intercept"),
         F.round(F.col("_r") * F.col("_r"), R).alias("r2"),
     ).orderBy("event_type")
+
+
+@register(
+    "stats_mutual_info",
+    doc="mutual information between lang and source (bits), with the "
+    "marginal entropies and normalized MI -- the feature-dependence "
+    "readout next to stats_chi_square, from the SAME contingency "
+    "rollup shape: one (lang, source) count shuffle, two tiny "
+    "broadcast margins, a one-row result. log2 via ln/ln(2) on both "
+    "engines so the arithmetic is term-identical.",
+    oracle=f"""
+WITH o AS (SELECT lang, source, count(*)::DOUBLE AS c FROM documents GROUP BY lang, source),
+n AS (SELECT SUM(c) AS n FROM o),
+r AS (SELECT lang, SUM(c) AS rc FROM o GROUP BY lang),
+cl AS (SELECT source, SUM(c) AS cc FROM o GROUP BY source),
+mi AS (
+  SELECT SUM((c / n.n) * ln(c * n.n / (rc * cc)) / ln(2)) AS mi
+  FROM o JOIN r USING (lang) JOIN cl USING (source) CROSS JOIN n
+),
+hl AS (SELECT -SUM((rc / n.n) * ln(rc / n.n) / ln(2)) AS h FROM r CROSS JOIN n),
+hs AS (SELECT -SUM((cc / n.n) * ln(cc / n.n) / ln(2)) AS h FROM cl CROSS JOIN n)
+SELECT ROUND(mi.mi, {R}) AS mi_bits,
+       ROUND(hl.h, {R}) AS h_lang,
+       ROUND(hs.h, {R}) AS h_source,
+       ROUND(mi.mi / sqrt(hl.h * hs.h), {R}) AS nmi
+FROM mi, hl, hs
+""",
+)
+def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    n = o.agg(F.sum("c").alias("n"))
+    r = o.groupBy("lang").agg(F.sum("c").alias("rc"))
+    cl = o.groupBy("source").agg(F.sum("c").alias("cc"))
+    ln2 = F.log(F.lit(2.0))
+    mi = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(cl), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                (F.col("c") / F.col("n"))
+                * F.log(F.col("c") * F.col("n") / (F.col("rc") * F.col("cc")))
+                / ln2
+            ).alias("mi")
+        )
+    )
+    hl = r.crossJoin(F.broadcast(n)).agg(
+        (-F.sum((F.col("rc") / F.col("n")) * F.log(F.col("rc") / F.col("n")) / ln2)).alias("h_l")
+    )
+    hs = cl.crossJoin(F.broadcast(n)).agg(
+        (-F.sum((F.col("cc") / F.col("n")) * F.log(F.col("cc") / F.col("n")) / ln2)).alias("h_s")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            F.round("mi", R).alias("mi_bits"),
+            F.round("h_l", R).alias("h_lang"),
+            F.round("h_s", R).alias("h_source"),
+            F.round(F.col("mi") / F.sqrt(F.col("h_l") * F.col("h_s")), R).alias("nmi"),
+        )
+    )
+
+
+@register(
+    "stats_winsorized_mean",
+    doc="robust location estimates per returnflag: raw mean beside the "
+    "5/95-winsorized mean (values CLAMPED to the exact interpolated "
+    "p5/p95, the percentile<->quantile_cont pairing "
+    "agg_percentile_contract certifies) and the trimmed mean (values "
+    "strictly inside the fences dropped -- inclusive bounds). One "
+    "percentile rollup broadcast back over one clamp pass.",
+    oracle=f"""
+WITH p AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(AVG(l_extendedprice), {R}) AS mean_raw,
+       ROUND(AVG(LEAST(GREATEST(l_extendedprice, p.p05), p.p95)), {R}) AS mean_winsorized,
+       ROUND(AVG(CASE WHEN l_extendedprice BETWEEN p.p05 AND p.p95
+                      THEN l_extendedprice END), {R}) AS mean_trimmed
+FROM lineitem l JOIN p ON l.l_returnflag = p.l_returnflag
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+""",
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    p = li.groupBy(F.col("l_returnflag").alias("_rf")).agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    j = li.join(F.broadcast(p), li["l_returnflag"] == p["_rf"])
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    inside = F.col("l_extendedprice").between(F.col("p05"), F.col("p95"))
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), R).alias("mean_raw"),
+            F.round(F.avg(clamped), R).alias("mean_winsorized"),
+            F.round(F.avg(F.when(inside, F.col("l_extendedprice"))), R).alias("mean_trimmed"),
+        )
+        .orderBy("l_returnflag")
+    )

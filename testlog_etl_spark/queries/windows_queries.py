@@ -800,3 +800,111 @@ def ts_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "ts_interval_coalesce",
+    doc="gaps-and-islands interval coalescing (operators/timeseries.py::"
+    "coalesce_intervals): per event_type, 30-minute activity windows "
+    "merged into maximal overlapping-or-TOUCHING islands, readout = "
+    "island count / covered seconds / longest island. Sibling of "
+    "ts_peak_concurrency with the complementary tie rule (end==start "
+    "merges), and the same hierarchical keyed prefix scan instead of a "
+    "per-key window -- boundaries are netted per (key, instant) first, "
+    "which both compresses the scan input and makes the merge rule "
+    "order-free. The oracle replays it as the classic running-max "
+    "window formulation.",
+    oracle="""
+WITH iv AS (
+  SELECT event_type AS k, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+),
+o AS (
+  SELECT k, s, e,
+         max(e) OVER (PARTITION BY k ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+),
+f AS (SELECT k, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM o),
+g AS (
+  SELECT k, s, e,
+         SUM(ni) OVER (PARTITION BY k ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl
+  FROM f
+),
+m AS (SELECT k, isl, min(s) AS s, max(e) AS e FROM g GROUP BY k, isl)
+SELECT k AS event_type,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(SUM(date_diff('second', s, e)) AS BIGINT) AS covered_seconds,
+       CAST(MAX(date_diff('second', s, e)) AS BIGINT) AS longest_island_seconds
+FROM m GROUP BY k ORDER BY event_type
+""",
+)
+def ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.timeseries import coalesce_intervals
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    islands = coalesce_intervals(iv, "event_type", "start", "end")
+    dur = F.col("island_end").cast("long") - F.col("island_start").cast("long")
+    return (
+        islands.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(dur).alias("covered_seconds"),
+            F.max(dur).alias("longest_island_seconds"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_time_weighted_avg",
+    doc="time-weighted average (TWAP shape): each event's value holds "
+    "until the user's next event; weight = held seconds; last event "
+    "carries no weight (no horizon extrapolation). One lead() window "
+    "per user partition, integer-second weights, one rollup; users "
+    "with a single event (no held segment) drop out, matching the "
+    "oracle's HAVING.",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, "value",
+         date_diff('second', ts, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS w
+  FROM events
+),
+seg AS (SELECT user_id, "value", w::DOUBLE AS w FROM o WHERE w IS NOT NULL)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       ROUND(SUM("value" * w) / SUM(w), {R}) AS twa,
+       ROUND(AVG("value"), {R}) AS mean_unweighted
+FROM seg GROUP BY user_id HAVING SUM(w) > 0 ORDER BY user_id
+""",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn(
+        "w",
+        (F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")).cast("double"),
+    ).filter(F.col("w").isNotNull())
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            (F.sum(F.col("value") * F.col("w")) / F.sum("w")).alias("_twa"),
+            F.avg("value").alias("_mu"),
+            F.sum("w").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            F.round("_twa", R).alias("twa"),
+            F.round("_mu", R).alias("mean_unweighted"),
+        )
+        .orderBy("user_id")
+    )

@@ -370,3 +370,57 @@ def test_largest_remainder_exact_total_and_monotone(spark):
     for lo, hi in zip(by_cnt, by_cnt[1:]):
         if hi["customers"] > lo["customers"]:
             assert hi["seats"] >= lo["seats"]
+
+
+# ------------------------------------------------------ interval coalesce
+
+
+def test_coalesce_intervals_touching_overlap_and_gaps(spark):
+    import datetime as dt
+
+    from testlog_etl_spark.operators.timeseries import coalesce_intervals
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # key a: [0,10) + [10,20) touch -> one island; [30,40) separate
+        ("a", T(0), T(10)),
+        ("a", T(10), T(20)),
+        ("a", T(30), T(40)),
+        # key a: nested + simultaneous starts
+        ("a", T(32), T(35)),
+        # key b: two intervals starting at the SAME instant from zero
+        ("b", T(5), T(15)),
+        ("b", T(5), T(25)),
+        # key c: exact duplicate intervals
+        ("c", T(1), T(2)),
+        ("c", T(1), T(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, s timestamp, e timestamp"
+    ).repartition(4)
+    out = coalesce_intervals(df, "k", "s", "e", num_parts=4).collect()
+    got = sorted((r["k"], r["island_start"].minute, r["island_end"].minute) for r in out)
+    assert got == [
+        ("a", 0, 20),
+        ("a", 30, 40),
+        ("b", 5, 25),
+        ("c", 1, 2),
+    ]
+
+
+# ------------------------------------------------------------ RRF fusion
+
+
+def test_rrf_fusion_scores_and_missing_items(spark):
+    from testlog_etl_spark.operators.postings import rrf_fusion
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in rrf_fusion([a, b], "doc_id", c=60, k=10).collect()}
+    assert round(out[1]["rrf"], 6) == round(1 / 61 + 1 / 62, 6)
+    assert round(out[3]["rrf"], 6) == round(1 / 63 + 1 / 61, 6)
+    assert round(out[2]["rrf"], 6) == round(1 / 62, 6)  # missing from b
+    assert out[9]["rank_0"] is None and out[9]["rank_1"] == 3
+    # doc 1 and doc 3 tie-break by id when scores tie; here 1 and 3 share
+    # the same contribution multiset so rrf is equal -> doc 1 ranks first
+    assert out[1]["rank"] == 1 and out[3]["rank"] == 2

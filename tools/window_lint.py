@@ -42,6 +42,10 @@ WHITELIST: dict[str, str] = {
     ),
     "text_zipf_fit": "rank window runs AFTER limit(100) -- 100-row frame",
     "text_bm25_topk": "rank window runs AFTER limit(k) (TakeOrderedAndProject first) -- k-row frame",
+    "search_rrf_fusion": (
+        "all three rank windows (bm25 top-20, tfidf top-20, fused top-10) "
+        "run AFTER TakeOrderedAndProject limits -- k-row frames"
+    ),
     "jx_full_pipeline": (
         "JX window clause runs over the event_type GROUPED frame; the "
         "domain is a fixed small enum (~5 values), not data-scaling"
