@@ -69,7 +69,8 @@ def register(
 # signs those three first, then the queries whose code changed this
 # round (graph_subtree_rollup's integral-division parent fix,
 # join_bloom_prefilter's `how` guard), then every operator ADDED in r07
-# (first driver rows), and fills the remaining slots with recurring
+# -- BOTH sessions' batches (first driver rows) -- and fills the
+# remaining slots with recurring
 # high-value anchors (flagships, bench set, survey hard spots) so
 # regressions in the core surface stay driver-visible every round.
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -113,21 +114,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sessionize_native_window",
     "topk_per_group_agg",
     "topk_global_paging",
-    # -- recurring anchors: survey hard spots + families round-robin
+    # -- recurring anchors: survey hard spots
     "jx_null_semantics",
     "jx_deep_query",
-    "jx_date_relative",
     "edges_default_other",
-    "edges_percentile_cells",
-    "win_frame_median",
-    "agg_cube_grouping",
-    "agg_sketch_rollup",
-    "etl_dedup_latest",
-    "etl_perfherder",
-    "etl_coverage_lcov",
-    "stream_event_counts",
-    "stream_upsert_latest",
-    "stream_session_window",
+    # -- operators added in the r07 second session (first driver rows;
+    #    each local-MATCHed at registration). These displace eleven
+    #    multi-round-green recurring anchors (jx_date_relative,
+    #    edges_percentile_cells, win_frame_median, agg_cube_grouping,
+    #    agg_sketch_rollup, etl_dedup_latest, etl_perfherder,
+    #    etl_coverage_lcov, stream_event_counts, stream_upsert_latest,
+    #    stream_session_window) -- all of which already hold 2+ driver
+    #    rows from earlier rounds -- so that NEW code gets signed first.
+    "dedup_jaccard_prefixfilter",
+    "graph_bfs_reach",
+    "search_rrf_fusion",
+    "ts_interval_coalesce",
+    "events_longest_streak",
+    "ts_time_weighted_avg",
+    "stats_ols_trend",
+    "stats_mutual_info",
+    "stats_winsorized_mean",
+    "agg_largest_remainder",
+    "dq_benford_digits",
 )
 
 
