@@ -1994,3 +1994,80 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _jaro_winkler_oracle() -> str:
+    from testlog_etl_spark import oracles as _osql
+
+    h = _osql.xxh64_sql("p_name || ':jw'")
+    return f"""
+WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+dirty AS (
+  SELECT p_name AS orig_name,
+         CASE WHEN (({h}) % 2 + 2) % 2 = 0
+              THEN substr(p_name, 1, length(p_name) - 1)
+              ELSE substr(p_name, 1, 2) || substr(p_name, 4, 1)
+                   || substr(p_name, 3, 1) || substr(p_name, 5)
+         END AS dirty_name
+  FROM names
+)
+SELECT d.orig_name, d.dirty_name, c.p_name AS clean_name,
+       ROUND(jaro_winkler_similarity(d.dirty_name, c.p_name), 4) AS jw
+FROM dirty d JOIN names c ON substr(d.dirty_name, 1, 2) = substr(c.p_name, 1, 2)
+WHERE jaro_winkler_similarity(d.dirty_name, c.p_name) >= 0.9
+ORDER BY orig_name, clean_name
+"""
+
+
+@register(
+    "join_jaro_winkler",
+    doc="fuzzy string matching for entity resolution "
+    "(operators/strsim.py::jaro_winkler, Arrow-batched pandas UDF "
+    "implementing the standard Winkler-boosted Jaro -- bit-compatible "
+    "with DuckDB's builtin, the oracle engine scores with "
+    "jaro_winkler_similarity while Spark scores in the UDF and the "
+    "driver hash requires identical decisions at the 0.9 threshold). "
+    "A deterministically corrupted catalog (drop-last-char or "
+    "swap-chars-3-4 by hash parity; first 2 chars always preserved) is "
+    "matched back to the clean name list, BLOCKED on first-2-char "
+    "equality -- the standard trade: the UDF scores block candidates, "
+    "never the crossjoin, and the join is lossless exactly because the "
+    "corruption model preserves the block key.",
+    oracle=None,  # generated below: needs the xxh64 SQL twin
+)
+def join_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.strsim import jaro_winkler
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    names = part.filter(F.col("p_name").isNotNull()).select("p_name").distinct()
+    even = F.pmod(F.xxhash64(F.concat(F.col("p_name"), F.lit(":jw"))), F.lit(2)) == 0
+    dirty = names.select(
+        F.col("p_name").alias("orig_name"),
+        F.when(
+            even, F.expr("substring(p_name, 1, length(p_name) - 1)")
+        )
+        .otherwise(
+            F.concat(
+                F.substring("p_name", 1, 2),
+                F.substring("p_name", 4, 1),
+                F.substring("p_name", 3, 1),
+                F.expr("substring(p_name, 5)"),
+            )
+        )
+        .alias("dirty_name"),
+    )
+    clean = names.select(F.col("p_name").alias("clean_name"))
+    cand = dirty.join(
+        clean,
+        F.substring("dirty_name", 1, 2) == F.substring("clean_name", 1, 2),
+    ).withColumn("jw", jaro_winkler(F.col("dirty_name"), F.col("clean_name")))
+    return (
+        cand.filter(F.col("jw") >= 0.9)
+        .select("orig_name", "dirty_name", "clean_name", F.round("jw", 4).alias("jw"))
+        .orderBy("orig_name", "clean_name")
+    )
+
+
+from testlog_etl_spark.suite import REGISTRY as _ETL_REG  # noqa: E402
+
+_ETL_REG["join_jaro_winkler"].oracle = _jaro_winkler_oracle()

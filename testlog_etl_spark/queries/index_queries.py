@@ -317,3 +317,92 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf",
         "rank",
     ).orderBy("rank")
+
+
+@register(
+    "eval_dcg_ndcg",
+    doc="ranking-quality metric for the retrieval family: NDCG@10 of "
+    "the BM25 ranking (operators/postings.py::bm25_topk, the same "
+    "ranked list text_bm25_topk signs) against graded relevance = "
+    "count of query terms present in the doc (0..3). DCG discounts by "
+    "log2(rank+1); IDCG re-ranks the WHOLE corpus by relevance via "
+    "TakeOrderedAndProject (rank window after the limit, k rows). One "
+    "summary row -- the eval readout a retrieval pipeline gates on.",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+rel AS (
+  SELECT doc_id,
+         (list_contains(toks, 'spark')::INT + list_contains(toks, 'join')::INT
+          + list_contains(toks, 'window')::INT) AS rel
+  FROM base
+),
+lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avg_len FROM lens),
+hits AS (
+  SELECT b.doc_id, l.dl, t.term, count(*) AS tf
+  FROM base b
+  JOIN lens l ON l.doc_id = b.doc_id,
+  LATERAL (SELECT unnest(list_filter(b.toks, x -> x IN ('spark', 'join', 'window'))) AS term) t
+  GROUP BY b.doc_id, l.dl, t.term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+bm_scored AS (
+  SELECT h.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (h.tf * (1.2 + 1)) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avg_len))
+         ), 4) AS score
+  FROM hits h JOIN dfreq d ON d.term = h.term, stats s
+  GROUP BY h.doc_id
+),
+bm AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm_scored QUALIFY rank <= 10
+),
+dcg AS (
+  SELECT SUM(rel.rel / (ln(bm.rank + 1.0) / ln(2.0))) AS dcg
+  FROM bm JOIN rel ON rel.doc_id = bm.doc_id
+),
+ideal AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rank
+  FROM rel QUALIFY rank <= 10
+),
+idcg AS (SELECT SUM(rel / (ln(rank + 1.0) / ln(2.0))) AS idcg FROM ideal)
+SELECT ROUND(dcg.dcg, 4) AS dcg, ROUND(idcg.idcg, 4) AS idcg,
+       ROUND(dcg.dcg / idcg.idcg, 4) AS ndcg
+FROM dcg CROSS JOIN idcg
+""",
+)
+def eval_dcg_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    Q = ["spark", "join", "window"]
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = textstats.tokens(F.col("text"))
+    rel_expr = sum(F.array_contains(toks, t).cast("int") for t in Q)
+    rel = docs.select("doc_id", rel_expr.alias("rel"))
+    bm = postings.bm25_topk(docs, "doc_id", toks, Q, k=10).select("doc_id", "rank")
+    ln2 = F.log(F.lit(2.0))
+    dcg = (
+        bm.join(rel, "doc_id")
+        .agg(F.sum(F.col("rel") / (F.log(F.col("rank") + 1.0) / ln2)).alias("dcg"))
+    )
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(10)
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("rel"), "doc_id")))
+    )
+    idcg = ideal.agg(
+        F.sum(F.col("rel") / (F.log(F.col("rank") + 1.0) / ln2)).alias("idcg")
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.round("dcg", 4).alias("dcg"),
+            F.round("idcg", 4).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+        )
+    )

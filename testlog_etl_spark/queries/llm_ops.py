@@ -3741,3 +3741,132 @@ def dedup_jaccard_prefixfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", R).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "corpus_balanced_shards",
+    doc="balanced training-shard assignment: docs ranked by token count "
+    "(desc, doc_id ties) via the hierarchical global scan "
+    "(operators/scan.py::global_rank_cumsum -- no single-partition "
+    "window), then dealt round-robin into 16 shards: sorted round-"
+    "robin is the classic near-LPT heuristic, largest items spread "
+    "first so shard token totals stay within one max-doc of each "
+    "other. Readout: per-shard doc count, token total, share of the "
+    "global token budget.",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tok,
+         ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS i
+  FROM d
+),
+s AS (
+  SELECT (i - 1) % 16 AS shard, count(*)::BIGINT AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+  FROM r GROUP BY shard
+),
+t AS (SELECT SUM(shard_tokens) AS tot FROM s)
+SELECT CAST(shard AS BIGINT) AS shard, n_docs, shard_tokens,
+       ROUND(shard_tokens / t.tot, 6) AS token_share
+FROM s CROSS JOIN t
+ORDER BY shard
+""",
+)
+def corpus_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = docs.select(
+        "doc_id", F.size(textstats.tokens(F.col("text"))).alias("n_tok")
+    )
+    handles: list = []
+    r = global_rank_cumsum(
+        d,
+        [F.col("n_tok").desc(), F.col("doc_id")],
+        rank_out="i",
+        persist_handles=handles,
+    )
+    s = r.groupBy(((F.col("i") - 1) % 16).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("shard_tokens"),
+    )
+    t = s.agg(F.sum("shard_tokens").cast("double").alias("tot"))
+    out = (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_tokens",
+            F.round(F.col("shard_tokens") / F.col("tot"), 6).alias("token_share"),
+        )
+        .orderBy("shard")
+    )
+    out = out.persist()
+    out.count()
+    for h in handles:
+        h.unpersist()
+    return out
+
+
+def _feature_hashing_oracle() -> str:
+    h_dim = osql.xxh64_sql("term")
+    h_sign = osql.xxh64_sql("term || '#s'")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS term
+  FROM documents
+),
+m AS (
+  SELECT doc_id, term,
+         (({h_dim}) % 64 + 64) % 64 AS dim,
+         ((({h_sign}) % 2 + 2) % 2) * 2 - 1 AS sign
+  FROM tok
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       count(*)::BIGINT AS n_tokens,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       CAST(SUM(sign) AS BIGINT) AS signed_sum
+FROM m GROUP BY dim ORDER BY dim
+"""
+
+
+@register(
+    "text_feature_hashing",
+    doc="the hashing trick (Weinberger et al. '09): every token mapped "
+    "to one of 64 feature dimensions by xxhash64, with a second "
+    "independent hash choosing +-1 so collisions cancel in expectation "
+    "(the signed variant that keeps the inner product unbiased). "
+    "Readout per dimension: token mass, DISTINCT colliding terms, and "
+    "the signed sum. Fixed output dimensionality regardless of "
+    "vocabulary size -- the embedding-free featurizer for corpus-scale "
+    "linear models; one explode + one 64-group rollup, no vocabulary "
+    "state anywhere.",
+    oracle=None,  # generated below: needs the xxh64 SQL twin
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(
+        F.explode(textstats.tokens(F.col("text"))).alias("term")
+    )
+    dim = F.pmod(F.xxhash64(F.col("term")), F.lit(64))
+    sign = F.pmod(F.xxhash64(F.concat(F.col("term"), F.lit("#s"))), F.lit(2)) * 2 - 1
+    return (
+        tok.select(dim.alias("dim"), F.col("term"), sign.alias("sign"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("term").alias("n_terms"),
+            F.sum("sign").alias("signed_sum"),
+        )
+        .orderBy("dim")
+    )
+
+
+from testlog_etl_spark.suite import REGISTRY as _LLM_REG  # noqa: E402
+
+_LLM_REG["text_feature_hashing"].oracle = _feature_hashing_oracle()

@@ -345,3 +345,61 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "dq_outlier_iqr_fences",
+    doc="Tukey-fence outlier screen per event_type: exact interpolated "
+    "q1/q3 (the certified percentile<->quantile_cont pairing), 1.5*IQR "
+    "fences, low/high outlier counts and share. One percentile rollup "
+    "broadcast back over one counting pass -- the DQ sibling of "
+    "stats_winsorized_mean.",
+    oracle="""
+WITH p AS (
+  SELECT event_type,
+         quantile_cont("value", 0.25) AS q1,
+         quantile_cont("value", 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(p.q1, 4) AS q1,
+       ROUND(p.q3, 4) AS q3,
+       CAST(count(*) FILTER (WHERE e."value" < p.q1 - 1.5 * (p.q3 - p.q1)) AS BIGINT) AS n_low,
+       CAST(count(*) FILTER (WHERE e."value" > p.q3 + 1.5 * (p.q3 - p.q1)) AS BIGINT) AS n_high,
+       ROUND((count(*) FILTER (WHERE e."value" < p.q1 - 1.5 * (p.q3 - p.q1)
+                                  OR e."value" > p.q3 + 1.5 * (p.q3 - p.q1)))::DOUBLE
+             / count(*), 4) AS outlier_share
+FROM events e JOIN p ON e.event_type = p.event_type
+GROUP BY e.event_type, p.q1, p.q3
+ORDER BY e.event_type
+""",
+)
+def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    p = ev.groupBy(F.col("event_type").alias("_et")).agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    j = ev.join(F.broadcast(p), ev["event_type"] == p["_et"])
+    iqr = F.col("q3") - F.col("q1")
+    low = F.col("value") < F.col("q1") - 1.5 * iqr
+    high = F.col("value") > F.col("q3") + 1.5 * iqr
+    return (
+        j.groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(low.cast("long")).alias("n_low"),
+            F.sum(high.cast("long")).alias("n_high"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            "n_low",
+            "n_high",
+            F.round((F.col("n_low") + F.col("n_high")) / F.col("n"), 4).alias("outlier_share"),
+        )
+        .orderBy("event_type")
+    )

@@ -536,3 +536,91 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def _bootstrap_oracle() -> str:
+    from testlog_etl_spark.oracles import xxh64_sql
+
+    h = xxh64_sql("o_orderkey::VARCHAR || ':' || b::VARCHAR")
+    return f"""
+WITH d AS (
+  SELECT o_totalprice, t.b AS b,
+         (({h}) % 1000000 + 1000000) % 1000000 AS h
+  FROM orders CROSS JOIN range(32) t(b)
+),
+w AS (
+  SELECT b, o_totalprice,
+         CASE WHEN h < 367879 THEN 0 WHEN h < 735758 THEN 1 WHEN h < 919698 THEN 2
+              WHEN h < 981011 THEN 3 WHEN h < 996340 THEN 4 ELSE 5 END AS w
+  FROM d
+),
+rep AS (SELECT b, SUM(w * o_totalprice) / SUM(w) AS m FROM w GROUP BY b),
+base AS (SELECT count(*)::BIGINT AS n, AVG(o_totalprice) AS mean FROM orders)
+SELECT base.n,
+       ROUND(base.mean, 2) AS mean,
+       CAST(32 AS INT) AS n_replicates,
+       ROUND(AVG(rep.m), 2) AS boot_mean,
+       ROUND(quantile_cont(rep.m, 0.025), 2) AS ci_lo,
+       ROUND(quantile_cont(rep.m, 0.975), 2) AS ci_hi
+FROM rep CROSS JOIN base GROUP BY base.n, base.mean
+"""
+
+
+@register(
+    "stats_bootstrap_poisson",
+    doc="distributed bootstrap CI via the POISSON bootstrap -- the "
+    "variant that works on data too large to multinomial-resample: "
+    "each of 32 replicates weights every row by an approximate "
+    "Poisson(1) draw (inverse-CDF over a deterministic per-(row, "
+    "replicate) xxhash64 bucket, cutoffs precomputed as INTEGER "
+    "literals so no exp() runs in-query on either engine), replicate "
+    "means summarized by exact-interpolated 2.5/97.5 percentiles. The "
+    "32x row fan-out collapses in the map-side partial aggregate -- "
+    "the shuffle carries 32 rows per partition, never 32x the data.",
+    oracle=None,  # generated below: needs the xxh64 SQL twin
+)
+def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    )
+    h = F.pmod(
+        F.xxhash64(F.concat_ws(":", F.col("o_orderkey"), F.col("b"))), F.lit(1000000)
+    )
+    w = (
+        F.when(h < 367879, 0)
+        .when(h < 735758, 1)
+        .when(h < 919698, 2)
+        .when(h < 981011, 3)
+        .when(h < 996340, 4)
+        .otherwise(5)
+    )
+    rep = (
+        d.withColumn("w", w)
+        .groupBy("b")
+        .agg((F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")).alias("m"))
+    )
+    base = orders.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("o_totalprice").alias("_mean")
+    )
+    return (
+        rep.crossJoin(F.broadcast(base))
+        .groupBy("n", "_mean")
+        .agg(
+            F.lit(32).alias("n_replicates"),
+            F.round(F.avg("m"), 2).alias("boot_mean"),
+            F.round(F.expr("percentile(m, 0.025)"), 2).alias("ci_lo"),
+            F.round(F.expr("percentile(m, 0.975)"), 2).alias("ci_hi"),
+        )
+        .select(
+            "n", F.round("_mean", 2).alias("mean"), "n_replicates",
+            "boot_mean", "ci_lo", "ci_hi",
+        )
+    )
+
+
+from testlog_etl_spark.suite import REGISTRY as _REG  # noqa: E402
+
+_REG["stats_bootstrap_poisson"].oracle = _bootstrap_oracle()

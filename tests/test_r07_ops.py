@@ -424,3 +424,61 @@ def test_rrf_fusion_scores_and_missing_items(spark):
     # doc 1 and doc 3 tie-break by id when scores tie; here 1 and 3 share
     # the same contribution multiset so rrf is equal -> doc 1 ranks first
     assert out[1]["rank"] == 1 and out[3]["rank"] == 2
+
+
+# ----------------------------------------------------------- Jaro-Winkler
+
+
+def test_jaro_winkler_matches_duckdb_on_real_names(spark):
+    import duckdb
+
+    from testlog_etl_spark.operators.strsim import jaro_winkler
+
+    names = [
+        r["p_name"]
+        for r in spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+        .select("p_name")
+        .distinct()
+        .collect()
+    ]
+    # every blocked pair (same setup as the query) plus adversarial edges
+    pairs = [(a, b) for a in names for b in names if a[:2] == b[:2]]
+    pairs += [("", ""), ("", "x"), ("ab", "ab"), ("martha", "marhta")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["jw"]
+        for r in df.withColumn("jw", jaro_winkler(F.col("a"), F.col("b"))).collect()
+    }
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute("SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+
+# ------------------------------------------------------- Poisson bootstrap
+
+
+def test_poisson_bootstrap_weights_and_ci_shape(spark):
+    from testlog_etl_spark.suite import REGISTRY
+
+    row = REGISTRY["stats_bootstrap_poisson"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_replicates"] == 32
+    assert r["ci_lo"] <= r["boot_mean"] <= r["ci_hi"]
+    # the CI must bracket the point estimate for a mean statistic
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+
+
+# ------------------------------------------------------- balanced shards
+
+
+def test_balanced_shards_cover_all_docs_and_balance(spark):
+    from testlog_etl_spark.suite import REGISTRY
+
+    out = REGISTRY["corpus_balanced_shards"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 16
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-3
+    toks = [r["shard_tokens"] for r in out]
+    # sorted round-robin keeps shard totals within a small factor
+    assert max(toks) <= 1.25 * min(toks)

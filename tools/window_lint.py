@@ -42,6 +42,10 @@ WHITELIST: dict[str, str] = {
     ),
     "text_zipf_fit": "rank window runs AFTER limit(100) -- 100-row frame",
     "text_bm25_topk": "rank window runs AFTER limit(k) (TakeOrderedAndProject first) -- k-row frame",
+    "eval_dcg_ndcg": (
+        "both rank windows (bm25 top-10, ideal-relevance top-10) run "
+        "AFTER TakeOrderedAndProject limits -- 10-row frames"
+    ),
     "search_rrf_fusion": (
         "all three rank windows (bm25 top-20, tfidf top-20, fused top-10) "
         "run AFTER TakeOrderedAndProject limits -- k-row frames"
