@@ -2071,3 +2071,40 @@ def join_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
 from testlog_etl_spark.suite import REGISTRY as _ETL_REG  # noqa: E402
 
 _ETL_REG["join_jaro_winkler"].oracle = _jaro_winkler_oracle()
+
+
+@register(
+    "events_trigram_paths",
+    doc="top user-journey trigrams: consecutive event_type triples per "
+    "user (two leads over ONE per-user exchange), counted corpus-wide, "
+    "top 15 with (count desc, path) determinism -- the Sankey/flow "
+    "readout beside transition_matrix's bigram stationary view.",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*)::BIGINT AS n
+FROM t WHERE e3 IS NOT NULL
+GROUP BY path ORDER BY n DESC, path LIMIT 15
+""",
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        t.select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )

@@ -3870,3 +3870,189 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 from testlog_etl_spark.suite import REGISTRY as _LLM_REG  # noqa: E402
 
 _LLM_REG["text_feature_hashing"].oracle = _feature_hashing_oracle()
+
+
+def _pq_oracle(dim: int = 64, m: int = 4, k: int = 8, n_iter: int = 2, qbits: int = 20) -> str:
+    """DuckDB twin of per-subspace kmeans_fit + nearest-code assignment:
+    the _ivf_topk_oracle playbook (grid-snapped Lloyd's replayed as
+    chained CTEs, argmin ties ORDER BY (dist, cell)) applied once per
+    PQ subspace."""
+    g = float(1 << qbits)
+    sd = dim // m
+
+    def snap(x: str) -> str:
+        return f"floor(({x}) * {g} + 0.5) / {g}"
+
+    def sqdist(a: str, b: str) -> str:
+        return (
+            f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {sd + 1}), "
+            f"__i -> ({a}[__i] - {b}[__i]) * ({a}[__i] - {b}[__i]))), (__a, __x) -> __a + __x)"
+        )
+
+    blocks = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)"]
+    selects = []
+    for s in range(m):
+        a, b = sd * s + 1, sd * (s + 1)
+        blocks.append(f"v{s} AS (SELECT vec_id, vec[{a}:{b}] AS sv FROM v)")
+        blocks.append(
+            f"""c{s}_0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(sv, __x -> {snap('__x')}) AS centroid
+  FROM (SELECT vec_id, sv FROM v{s} ORDER BY vec_id LIMIT {k})
+)"""
+        )
+        for i in range(1, n_iter + 1):
+            prev = f"c{s}_{i - 1}"
+            blocks.append(
+                f"""a{s}_{i} AS (
+  SELECT vec_id, sv, cell FROM (
+    SELECT v{s}.vec_id, v{s}.sv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v{s}.vec_id
+                              ORDER BY {sqdist(f'v{s}.sv', 'c.centroid')}, c.cell) AS rn
+    FROM v{s} CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+u{s}_{i} AS (
+  SELECT cell, array_agg(mv ORDER BY idx) AS centroid FROM (
+    SELECT cell, idx, {snap('AVG(val)')} AS mv FROM (
+      SELECT cell, unnest(sv) AS val, unnest(range(1, {sd + 1})) AS idx FROM a{s}_{i}
+    ) GROUP BY cell, idx
+  ) GROUP BY cell
+),
+c{s}_{i} AS (
+  SELECT p.cell, COALESCE(u{s}_{i}.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN u{s}_{i} ON p.cell = u{s}_{i}.cell
+)"""
+            )
+        fin = f"c{s}_{n_iter}"
+        blocks.append(
+            f"""f{s} AS (
+  SELECT cell, d FROM (
+    SELECT v{s}.vec_id, c.cell, {sqdist(f'v{s}.sv', 'c.centroid')} AS d,
+           ROW_NUMBER() OVER (PARTITION BY v{s}.vec_id
+                              ORDER BY {sqdist(f'v{s}.sv', 'c.centroid')}, c.cell) AS rn
+    FROM v{s} CROSS JOIN {fin} c
+  ) WHERE rn = 1
+)"""
+        )
+        selects.append(
+            f"SELECT {s} AS subspace, count(*)::BIGINT AS n_vecs, "
+            f"count(DISTINCT cell)::BIGINT AS cells_used, ROUND(AVG(d), 6) AS mse FROM f{s}"
+        )
+    body = ",\n".join(blocks)
+    union = " UNION ALL ".join(selects)
+    return f"WITH {body}\nSELECT * FROM ({union}) ORDER BY subspace"
+
+
+@register(
+    "sim_product_quantization",
+    doc="product quantization (Jegou et al. '11) -- the ANN storage "
+    "compressor beside IVF: the 64-dim embedding splits into 4 "
+    "subspaces of 16 dims, each learns an 8-centroid codebook "
+    "(kmeans_fit, grid-snapped centroids: the IVF exact-oracle "
+    "playbook), and every vector encodes to 4 one-byte codes -- 64x "
+    "smaller than float32. Readout per subspace: vectors, codebook "
+    "cells actually used, mean squared reconstruction error. Each "
+    "subspace's Lloyd's moves O(k*subdim) rows per iteration (the "
+    "corpus never shuffles); encoding is a per-row literal-matrix fold.",
+    oracle=None,  # generated below (chained-CTE kmeans replay)
+)
+def sim_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    outs = []
+    for s in range(4):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", 1 + 16 * s, 16).cast("array<double>").alias("sv")
+        )
+        cents = similarity.kmeans_fit(
+            sub, "sv", k=8, n_iter=2, id_col="vec_id", centroid_quant_bits=20
+        )
+        cent_df = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in cents],
+            "cell bigint, centroid array<double>",
+        )
+        assigned = sub.withColumn(
+            "cell", similarity._argmin_cell(F.col("sv"), cents)
+        )
+        outs.append(
+            assigned.join(F.broadcast(cent_df), "cell").select(
+                F.lit(s).alias("subspace"),
+                F.col("cell"),
+                similarity.sq_dist(F.col("sv"), F.col("centroid")).alias("d"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return (
+        u.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count_distinct("cell").alias("cells_used"),
+            F.round(F.avg("d"), 6).alias("mse"),
+        )
+        .orderBy("subspace")
+    )
+
+
+_LLM_REG["sim_product_quantization"].oracle = _pq_oracle()
+
+
+@register(
+    "corpus_threshold_sweep",
+    doc="dedup-aggressiveness sweep: for Jaccard thresholds 0.5..0.9, "
+    "how many near-dup pairs qualify and what fraction of the corpus a "
+    "min-id-exemplar dedup would drop. Pairs come from ONE "
+    "prefix-filtered pass at the loosest threshold (0.5) -- every "
+    "tighter threshold is a free filter over the same candidates, so "
+    "the sweep costs one pair join, not five. The 5-row threshold "
+    "table joins by non-equi broadcast; the oracle replays the "
+    "brute-force pair scan per threshold.",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh,b.sh))::DOUBLE /
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh))) AS j
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh))) >= 0.5
+),
+th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+SELECT th.threshold,
+       count(p.id_a)::BIGINT AS n_pairs,
+       count(DISTINCT p.id_b)::BIGINT AS n_dup_docs,
+       ROUND(count(DISTINCT p.id_b) / n.n_docs, 6) AS dup_rate
+FROM th LEFT JOIN pairs p ON p.j >= th.threshold CROSS JOIN n
+GROUP BY th.threshold, n.n_docs
+ORDER BY th.threshold
+""",
+)
+def corpus_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = docs.select("doc_id", neardup.word_shingles(F.col("text")).alias("sh"))
+    pairs = neardup.jaccard_pairs_prefix_filtered(d, "doc_id", "sh", 0.5).select(
+        "id_a", "id_b", F.col("jaccard").alias("j")
+    )
+    th = docs.sparkSession.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        th.join(pairs, pairs["j"] >= th["threshold"], "left")
+        .crossJoin(F.broadcast(n))
+        .groupBy("threshold", "n_docs")
+        .agg(
+            F.count("id_a").alias("n_pairs"),
+            F.count_distinct("id_b").alias("n_dup_docs"),
+        )
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+        .orderBy("threshold")
+    )

@@ -908,3 +908,80 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_holt_linear",
+    doc="Holt's linear (double-exponential) smoothing, alpha=beta=0.5: "
+    "level/trend recursions have NO associative restatement (each step "
+    "mixes the previous level into the trend), so this runs as the "
+    "honest sequential shape -- an applyInPandas fold, sequential "
+    "within a user, parallel across users (the ts_capped_balance "
+    "two-sided-clamp playbook). Init l=y1, b=y2-y1; the oracle replays "
+    "the identical op order as a recursive CTE, so doubles match "
+    "bit-for-bit before the presentation rounding. Restricted to "
+    "user_id < 30 to keep the sequential replay cheap.",
+    oracle=f"""
+WITH RECURSIVE
+s AS (
+  SELECT user_id, "value" AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events WHERE user_id < 30
+),
+n AS (SELECT user_id, max(i) AS n FROM s GROUP BY user_id HAVING max(i) >= 2),
+rec AS (
+  SELECT n.user_id, 1 AS i, y1.y AS l, y2.y - y1.y AS b
+  FROM n
+  JOIN s y1 ON y1.user_id = n.user_id AND y1.i = 1
+  JOIN s y2 ON y2.user_id = n.user_id AND y2.i = 2
+  UNION ALL
+  SELECT r.user_id, r.i + 1,
+         0.5 * s.y + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM rec r JOIN s ON s.user_id = r.user_id AND s.i = r.i + 1
+)
+SELECT r.user_id,
+       CAST(n.n AS BIGINT) AS n_events,
+       ROUND(r.l, {R}) AS level,
+       ROUND(r.b, {R}) AS trend,
+       ROUND(r.l + r.b, {R}) AS forecast_next
+FROM rec r JOIN n ON n.user_id = r.user_id AND r.i = n.n
+ORDER BY r.user_id
+""",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].filter(F.col("user_id") < 30)
+    slim = ev.select("user_id", "ts", "event_id", "value")
+    out_schema = "user_id long, n_events long, _l double, _b double"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        y = [float(v) for v in pdf["value"]]
+        if len(y) < 2:
+            return pd.DataFrame(columns=["user_id", "n_events", "_l", "_b"])
+        l, b = y[0], y[1] - y[0]
+        for t in range(1, len(y)):
+            nl = 0.5 * y[t] + 0.5 * (l + b)
+            b = 0.5 * (nl - l) + 0.5 * b
+            l = nl
+        return pd.DataFrame(
+            [(int(pdf["user_id"].iloc[0]), len(y), l, b)],
+            columns=["user_id", "n_events", "_l", "_b"],
+        )
+
+    # rounding happens ENGINE-side (F.round = SQL half-away), never in
+    # the fold: Python round() is banker's and would diverge at .xxxx5
+    return (
+        slim.groupBy("user_id")
+        .applyInPandas(fold, out_schema)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("_l", R).alias("level"),
+            F.round("_b", R).alias("trend"),
+            F.round(F.col("_l") + F.col("_b"), R).alias("forecast_next"),
+        )
+        .orderBy("user_id")
+    )

@@ -482,3 +482,29 @@ def test_balanced_shards_cover_all_docs_and_balance(spark):
     toks = [r["shard_tokens"] for r in out]
     # sorted round-robin keeps shard totals within a small factor
     assert max(toks) <= 1.25 * min(toks)
+
+
+# ------------------------------------------------------------ Holt linear
+
+
+def test_holt_linear_hand_computed(spark, tmp_path):
+    import datetime as dt
+
+    from testlog_etl_spark.suite import REGISTRY
+
+    # hand replay: y = [2, 4, 8]; l1=2, b1=2
+    # t2: l = .5*4 + .5*(2+2) = 4;  b = .5*(4-2) + .5*2 = 2
+    # t3: l = .5*8 + .5*(4+2) = 7;  b = .5*(7-4) + .5*2 = 2.5
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, i), i, "view", float(y), None)
+        for i, y in enumerate([2, 4, 8])
+    ] + [(99, dt.datetime(2024, 1, 1), 10, "view", 5.0, None)]  # single event: dropped
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: r for r in REGISTRY["ts_holt_linear"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {1}
+    assert (out[1]["level"], out[1]["trend"], out[1]["forecast_next"]) == (7.0, 2.5, 9.5)
+    assert out[1]["n_events"] == 3
