@@ -778,3 +778,39 @@ def test_skyline_no_join_no_global_sort(spark):
     plan = plan_of(df)
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_join_has_no_cartesian(spark):
+    # the whole point of the PPJoin restatement: candidate generation is
+    # an EQUI-join on the token, never the O(n^2) crossjoin its
+    # brute-force sibling plans
+    df = _q("dedup_jaccard_prefixfilter")(spark, SF_SMALL)
+    plan = plan_of(df).lower()
+    assert "cartesianproduct" not in plan
+    assert "broadcastnestedloop" not in plan
+
+
+def test_winsorized_and_iqr_broadcast_the_percentile_rollup(spark):
+    # the per-group percentile table is group-cardinality-sized; the
+    # clamp/count pass must broadcast it, not shuffle the fact table
+    for name in ("stats_winsorized_mean", "dq_outlier_iqr_fences"):
+        plan = plan_of(_q(name)(spark, SF_SMALL)).lower()
+        assert "broadcasthashjoin" in plan, name
+
+
+def test_bootstrap_fanout_collapses_in_partial_aggregate(spark):
+    # the 32x replicate explode must partial-aggregate before the
+    # exchange: plan shows partial + final HashAggregate pairs around
+    # one exchange keyed by the replicate id (measured: 34 shuffle rows
+    # from 300k exploded inputs, SCALE.md r07)
+    plan = plan_of(_q("stats_bootstrap_poisson")(spark, SF_SMALL)).lower()
+    assert plan.count("hashaggregate") >= 2
+    assert "explode" in plan or "generate" in plan
+
+
+def test_rrf_fusion_ranks_after_take_ordered(spark):
+    # every ranking cut is TakeOrderedAndProject (no global sort of the
+    # scored corpus); the fused join chain runs on k-row inputs
+    plan = plan_of(_q("search_rrf_fusion")(spark, SF_SMALL)).lower()
+    assert "takeorderedandproject" in plan
+    assert "cartesianproduct" not in plan
