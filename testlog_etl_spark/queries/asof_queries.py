@@ -157,3 +157,55 @@ def join_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), R).alias("sum_value"))
         .orderBy("tier")
     )
+
+
+@register(
+    "asof_tolerance_join",
+    doc="as-of join with a staleness TOLERANCE (operators/asof.py's "
+    "tolerance_seconds): each error event takes the user's most recent "
+    "purchase at-or-before it ONLY if it happened within the last 24h "
+    "-- older matches null out, the staleness guard every feature-"
+    "lookup asof needs. Same one-shuffle union+window merge as "
+    "asof_last_purchase; the oracle is DuckDB's ASOF LEFT JOIN with "
+    "the tolerance applied as a post-join CASE (nulling both matched "
+    "columns), semantically identical to nulling in the carry.",
+    oracle=f"""
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+p AS (
+  SELECT user_id, ts, ROUND(MAX(value), {R}) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+j AS (
+  SELECT e.event_id, e.user_id, e.ts, p.ts AS pts, p.pval
+  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CASE WHEN pts >= ts - INTERVAL 24 HOURS
+            THEN strftime(pts, '%Y-%m-%d %H:%M:%S') END AS ts_asof,
+       CASE WHEN pts >= ts - INTERVAL 24 HOURS THEN pval END AS pval_asof
+FROM j ORDER BY event_id
+""",
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), R).alias("pval"))
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        tolerance_seconds=24 * 3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("ts_asof"),
+        "pval_asof",
+    ).orderBy("event_id")

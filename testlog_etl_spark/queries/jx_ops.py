@@ -366,3 +366,55 @@ def jx_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cross-engine canonical form for the set-valued column
     return out.withColumn("nset", F.array_join(F.array_sort("nset"), ","))
+
+
+@register(
+    "jx_array_lambdas",
+    doc="higher-order array-lambda surface: transform / filter / "
+    "aggregate(reduce) / array_distinct+sort over the per-doc token "
+    "array, all pure codegen (no UDF, no explode -- the array never "
+    "leaves its row, so the scan is the only data movement). Per doc: "
+    "long-token count (filter+size), total characters (aggregate "
+    "fold), the sorted distinct-length set (transform->distinct->"
+    "sort, an ARRAY output column), and mean token length off the "
+    "fold. DuckDB twins: list_filter / list_transform / reduce / "
+    "list_sort(list_distinct()).",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS lt
+  FROM documents
+)
+SELECT doc_id,
+       len(lt)::BIGINT AS n_tokens,
+       len(list_filter(lt, x -> length(x) > 6))::BIGINT AS n_long,
+       reduce(list_prepend(0::BIGINT, list_transform(lt, x -> length(x))),
+              (a, x) -> a + x)::BIGINT AS total_chars,
+       list_sort(list_distinct(list_transform(lt, x -> length(x)))) AS length_set,
+       ROUND(reduce(list_prepend(0::BIGINT, list_transform(lt, x -> length(x))),
+                    (a, x) -> a + x)::DOUBLE / greatest(len(lt), 1), {R}) AS mean_len
+FROM t ORDER BY doc_id
+""",
+)
+def jx_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.textstats import tokens
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    lt = tokens(F.col("text"))
+    total = F.aggregate(
+        F.transform(lt, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lt).cast("long").alias("n_tokens"),
+        F.size(F.filter(lt, lambda x: F.length(x) > 6)).cast("long").alias("n_long"),
+        total.alias("total_chars"),
+        F.array_sort(F.array_distinct(F.transform(lt, lambda x: F.length(x).cast("long")))).alias(
+            "length_set"
+        ),
+        F.round(
+            total.cast("double") / F.greatest(F.size(lt), F.lit(1)), R
+        ).alias("mean_len"),
+    ).orderBy("doc_id")

@@ -403,3 +403,120 @@ def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _block_checksum_oracle() -> str:
+    from testlog_etl_spark.oracles import xxh64_sql
+
+    fp = xxh64_sql("concat_ws('|', o_orderkey, o_orderstatus, cents)")
+    blk = xxh64_sql("o_orderkey::VARCHAR")
+    base = """
+  SELECT o_orderkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         try_cast(('0x' || substr(md5(o_orderkey::VARCHAR || ':d'), 1, 15)) AS BIGINT) % 10 AS bkt
+  FROM orders
+"""
+    return f"""
+WITH v1 AS (SELECT o_orderkey, o_orderstatus,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders),
+b AS ({base}),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN bkt = 1 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN bkt = 2 THEN cents + 100 ELSE cents END AS cents
+  FROM b WHERE bkt <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, cents FROM b WHERE bkt = 3
+),
+h1 AS (
+  SELECT (({blk}) % 64 + 64) % 64 AS block,
+         count(*)::BIGINT AS n_v1, bit_xor({fp}) AS x1
+  FROM v1 GROUP BY block
+),
+h2 AS (
+  SELECT (({blk}) % 64 + 64) % 64 AS block,
+         count(*)::BIGINT AS n_v2, bit_xor({fp}) AS x2
+  FROM v2 GROUP BY block
+)
+SELECT COALESCE(h1.block, h2.block) AS block,
+       COALESCE(n_v1, 0) AS n_v1, COALESCE(n_v2, 0) AS n_v2,
+       (n_v1 IS NOT DISTINCT FROM n_v2 AND x1 IS NOT DISTINCT FROM x2) AS block_clean
+FROM h1 FULL JOIN h2 ON h1.block = h2.block
+ORDER BY block
+"""
+
+
+@register(
+    "dq_block_checksum_diff",
+    doc="anti-entropy / merkle-style table comparison: two table "
+    "versions (v2 derived from orders by the snapshot_diff corruption "
+    "model) are compared WITHOUT shipping rows -- each side rolls up "
+    "to 64 blocks (xxhash64 of the key) carrying a row count and an "
+    "order-independent bit_xor of per-row fingerprints (key|status|"
+    "price-cents; cents, not a double rendering, so the fingerprint "
+    "string is engine-stable). Unequal (count, xor) flags exactly the "
+    "blocks that need row-level reconciliation: at 100 TB the exchange "
+    "is 64 rows per side, and only flagged blocks re-scan -- the "
+    "rsync argument, on DataFrames. bit_xor makes the checksum "
+    "addition-order-free with no overflow, so engines can't disagree.",
+    oracle=None,  # generated below: needs the xxh64 SQL twin
+)
+def dq_block_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sampling import hash_bucket
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    v1 = orders.select("o_orderkey", "o_orderstatus", cents.alias("cents"))
+    b = v1.withColumn("bkt", hash_bucket(F.col("o_orderkey"), 10, "d"))
+    v2 = (
+        b.filter(F.col("bkt") != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("bkt") == 1, F.lit("X")).otherwise(F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.when(F.col("bkt") == 2, F.col("cents") + 100).otherwise(F.col("cents")).alias(
+                "cents"
+            ),
+        )
+        .unionByName(
+            b.filter(F.col("bkt") == 3).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "cents",
+            )
+        )
+    )
+
+    def blocks(df: DataFrame, n_col: str, x_col: str) -> DataFrame:
+        fp = F.xxhash64(
+            F.concat_ws("|", F.col("o_orderkey"), F.col("o_orderstatus"), F.col("cents"))
+        )
+        blk = F.pmod(F.xxhash64(F.col("o_orderkey").cast("string")), F.lit(64))
+        return (
+            df.select(blk.alias("block"), fp.alias("_fp"))
+            .groupBy("block")
+            .agg(
+                F.count(F.lit(1)).alias(n_col),
+                F.expr("bit_xor(_fp)").alias(x_col),
+            )
+        )
+
+    h1 = blocks(v1, "n_v1", "x1")
+    h2 = blocks(v2, "n_v2", "x2").withColumnRenamed("block", "block2")
+    j = h1.join(h2, F.col("block") == F.col("block2"), "full_outer")
+    return j.select(
+        F.coalesce("block", "block2").alias("block"),
+        F.coalesce("n_v1", F.lit(0)).alias("n_v1"),
+        F.coalesce("n_v2", F.lit(0)).alias("n_v2"),
+        (
+            F.col("n_v1").eqNullSafe(F.col("n_v2"))
+            & F.col("x1").eqNullSafe(F.col("x2"))
+        ).alias("block_clean"),
+    ).orderBy("block")
+
+
+from testlog_etl_spark.suite import REGISTRY as _PROF_REG  # noqa: E402
+
+_PROF_REG["dq_block_checksum_diff"].oracle = _block_checksum_oracle()

@@ -508,3 +508,39 @@ def test_holt_linear_hand_computed(spark, tmp_path):
     assert set(out) == {1}
     assert (out[1]["level"], out[1]["trend"], out[1]["forecast_next"]) == (7.0, 2.5, 9.5)
     assert out[1]["n_events"] == 3
+
+
+# ------------------------------------------------- block checksum diff
+
+
+def test_block_checksum_flags_only_corrupted_blocks(spark):
+    from testlog_etl_spark.suite import REGISTRY
+
+    out = REGISTRY["dq_block_checksum_diff"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) >= 60  # 64 blocks, some may be empty at tiny sf
+    dirty = [r for r in out if not r["block_clean"]]
+    clean = [r for r in out if r["block_clean"]]
+    # the corruption model touches ~40% of rows spread over the key
+    # hash, so SOME blocks must differ and clean blocks must agree on n
+    assert dirty, "corruption must surface"
+    for r in clean:
+        assert r["n_v1"] == r["n_v2"]
+
+
+# --------------------------------------------------- asof with tolerance
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from testlog_etl_spark.suite import REGISTRY
+
+    rows = REGISTRY["asof_tolerance_join"].fn(spark, "/root/testdata/sf0.001").collect()
+    import datetime as dt
+
+    for r in rows:
+        if r["ts_asof"] is not None:
+            t = dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S")
+            m = dt.datetime.strptime(r["ts_asof"], "%Y-%m-%d %H:%M:%S")
+            assert dt.timedelta(0) <= t - m <= dt.timedelta(hours=24)
+            assert r["pval_asof"] is not None
+        else:
+            assert r["pval_asof"] is None
