@@ -1250,3 +1250,76 @@ def agg_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "agg_grouping_sets",
+    doc="explicit GROUPING SETS ((flag, status), (flag), ()) -- the "
+    "third multi-granularity shape beside CUBE (agg_cube_grouping) and "
+    "ROLLUP (setop_rollup), via the native DataFrame groupingSets API "
+    "(Spark 4): one scan expands to the three grains inside the "
+    "aggregate (Expand node), never three scans. grouping() flags "
+    "disambiguate real NULLs from subtotal rows.",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       count(*)::BIGINT AS n,
+       ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty")
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_decimal_exact_revenue",
+    doc="money math WITHOUT float drift: prices and discounts cast to "
+    "DECIMAL(18,4) at the scan, revenue summed in exact decimal "
+    "arithmetic -- the result is a single exact rational, identical on "
+    "any engine, any partitioning, any addition order (the property "
+    "the double-typed twins approximate with presentation rounding). "
+    "The output hash matches DuckDB's HUGEINT-backed decimal sum "
+    "digit-for-digit at scale 4.",
+    oracle="""
+SELECT l_returnflag,
+       count(*)::BIGINT AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DECIMAL(38,4)) AS revenue
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def agg_decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    p = F.col("l_extendedprice").cast("decimal(18,4)")
+    d = F.col("l_discount").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(p).cast("decimal(38,4)").alias("sum_price"),
+            F.sum(p * (one - d)).cast("decimal(38,4)").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

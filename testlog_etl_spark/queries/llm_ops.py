@@ -4056,3 +4056,81 @@ def corpus_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+def _power_pc_oracle(dim: int = 64, n_iter: int = 4, qbits: int = 20) -> str:
+    """Sequential replay of power_iteration_top_pc: same init (exact
+    1/8 components), same per-iteration (row-dot, per-dim sum,
+    norm in dim order, snap-after-normalize)."""
+    g = float(1 << qbits)
+
+    def snap(x: str) -> str:
+        return f"floor(({x}) * {g} + 0.5) / {g}"
+
+    init = "[" + ", ".join(["0.125"] * dim) + "]::DOUBLE[]"
+    blocks = [
+        "v AS (SELECT embedding::DOUBLE[] AS x FROM embeddings)",
+        f"p0 AS (SELECT {init} AS pv)",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"p{i - 1}"
+        blocks.append(
+            f"""d{i} AS (
+  SELECT x,
+         reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),
+                __j -> x[__j] * pv[__j])), (__a, __b) -> __a + __b) AS dot
+  FROM v CROSS JOIN {prev}
+),
+w{i} AS (
+  SELECT array_agg(s ORDER BY idx) AS w FROM (
+    SELECT idx, SUM(val * dot) AS s FROM (
+      SELECT dot, unnest(x) AS val, unnest(range(1, {dim + 1})) AS idx FROM d{i}
+    ) GROUP BY idx
+  )
+),
+n{i} AS (
+  SELECT sqrt(reduce(list_prepend(0.0::DOUBLE, list_transform(w, __e -> __e * __e)),
+              (__a, __b) -> __a + __b)) AS nrm
+  FROM w{i}
+),
+p{i} AS (
+  SELECT list_transform(w, __e -> {snap('__e / nrm')}) AS pv
+  FROM w{i} CROSS JOIN n{i}
+)"""
+        )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body}
+SELECT CAST(idx AS INT) AS dim, pv[idx] AS loading,
+       ROUND((SELECT nrm FROM n{n_iter}), 4) AS eigenvalue
+FROM p{n_iter} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS idx)
+ORDER BY dim
+"""
+
+
+@register(
+    "embed_top_principal",
+    doc="top principal direction of the embedding cloud by POWER "
+    "ITERATION on DataFrames (operators/linalg.py): 4 rounds, each ONE "
+    "pass computing row projections x.v (array fold, vectors never "
+    "leave their rows) and the elementwise (x.v)*x contributions, "
+    "partial-aggregated to 64 dim-keyed rows before the only exchange; "
+    "the driver holds one 64-float state vector (kmeans contract). "
+    "Grid-snapped after every normalize, so the sequential CTE replay "
+    "is bit-identical -- the kmeans/pagerank exact-oracle playbook "
+    "applied to iterative linear algebra. Uncentered (second-moment "
+    "direction); center upstream for true PCA.",
+    oracle=None,  # generated below (chained-CTE power-iteration replay)
+)
+def embed_top_principal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.linalg import power_iteration_top_pc
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v, lam = power_iteration_top_pc(emb, "embedding", dim=64, n_iter=4)
+    out = spark.createDataFrame(
+        [(i + 1, float(c)) for i, c in enumerate(v)], "dim int, loading double"
+    )
+    return out.withColumn("eigenvalue", F.round(F.lit(lam), 4)).orderBy("dim")
+
+
+_LLM_REG["embed_top_principal"].oracle = _power_pc_oracle()

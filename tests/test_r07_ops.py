@@ -544,3 +544,31 @@ def test_asof_tolerance_nulls_stale_matches(spark):
             assert r["pval_asof"] is not None
         else:
             assert r["pval_asof"] is None
+
+
+# --------------------------------------------------------- power iteration
+
+
+def test_power_iteration_recovers_planted_direction(spark):
+    from testlog_etl_spark.operators.linalg import power_iteration_top_pc
+
+    # plant a dominant direction e1 with noise in e2..e4
+    rows = []
+    for i in range(200):
+        s = 10.0 if i % 2 == 0 else -10.0
+        rows.append((i, [s, (i % 7) * 0.1, (i % 5) * 0.1, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+    v, lam = power_iteration_top_pc(df, "v", dim=4, n_iter=6)
+    # unit norm (up to grid snap) and dominated by component 1
+    assert abs(sum(c * c for c in v) - 1.0) < 1e-4
+    assert abs(v[0]) > 0.99
+    assert lam > 0
+
+
+def test_power_iteration_unit_vector_invariant_on_embeddings(spark):
+    from testlog_etl_spark.suite import REGISTRY
+
+    out = REGISTRY["embed_top_principal"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 64
+    assert abs(sum(r["loading"] ** 2 for r in out) - 1.0) < 1e-4
+    assert len({r["eigenvalue"] for r in out}) == 1
