@@ -1323,3 +1323,49 @@ def agg_decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    doc="deterministic MODE: most frequent l_quantity per returnflag "
+    "with the (count desc, value asc) tiebreak spelled out -- both "
+    "engines' native mode() leave ties implementation-defined, so the "
+    "portable form is the value-count rollup + rank-1 pick. The "
+    "ranking window runs over the per-group distinct-value frame "
+    "(bounded: 50 quantities), never raw rows.",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_quantity, count(*)::BIGINT AS n
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+t AS (SELECT l_returnflag, SUM(n) AS tot FROM c GROUP BY l_returnflag),
+r AS (
+  SELECT l_returnflag, l_quantity, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rk
+  FROM c
+)
+SELECT r.l_returnflag, r.l_quantity AS mode_qty, r.n AS mode_count,
+       ROUND(r.n / t.tot, 6) AS mode_share
+FROM r JOIN t ON t.l_returnflag = r.l_returnflag
+WHERE r.rk = 1 ORDER BY r.l_returnflag
+""",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy(F.col("l_returnflag").alias("_rf")).agg(F.sum("n").cast("double").alias("tot"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), "l_quantity")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(t), F.col("l_returnflag") == F.col("_rf"))
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+            F.round(F.col("n") / F.col("tot"), 6).alias("mode_share"),
+        )
+        .orderBy("l_returnflag")
+    )

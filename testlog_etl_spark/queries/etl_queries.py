@@ -2108,3 +2108,78 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(15)
     )
+
+
+@register(
+    "events_cooccurrence_pmi",
+    doc="pointwise mutual information of event-type pairs co-occurring "
+    "in the same user-day: the association readout between "
+    "transition_matrix (sequential) and stats_mutual_info (global). "
+    "Per-(user, day) distinct types first, order-canonical pairs "
+    "(a < b), marginals off the same rollup; pmi = log2(p_ab/(p_a "
+    "p_b)) with all probabilities over the user-day universe.",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+  FROM events
+),
+n AS (SELECT count(DISTINCT (user_id, day)) ::DOUBLE AS n FROM ud),
+m AS (SELECT event_type, count(*)::DOUBLE AS n_t FROM ud GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::DOUBLE AS n_ab
+  FROM ud a JOIN ud b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       ROUND(ln((p.n_ab / n.n) / ((ma.n_t / n.n) * (mb.n_t / n.n))) / ln(2.0), 4) AS pmi
+FROM p
+JOIN m ma ON ma.event_type = p.type_a
+JOIN m mb ON mb.event_type = p.type_b
+CROSS JOIN n
+ORDER BY type_a, type_b
+""",
+)
+def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ud = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).distinct()
+    n = ud.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    m = ud.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("n_t"))
+    a = ud.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = ud.select(
+        F.col("user_id").alias("u2"), F.col("day").alias("d2"), F.col("event_type").alias("type_b")
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("day") == F.col("d2"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    )
+    ma = m.select(F.col("event_type").alias("_ta"), F.col("n_t").alias("na"))
+    mb = m.select(F.col("event_type").alias("_tb"), F.col("n_t").alias("nb"))
+    pmi = (
+        F.log((F.col("n_ab") / F.col("n")) / ((F.col("na") / F.col("n")) * (F.col("nb") / F.col("n"))))
+        / F.log(F.lit(2.0))
+    )
+    return (
+        p.join(F.broadcast(ma), F.col("type_a") == F.col("_ta"))
+        .join(F.broadcast(mb), F.col("type_b") == F.col("_tb"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )

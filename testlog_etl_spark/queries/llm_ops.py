@@ -4134,3 +4134,166 @@ def embed_top_principal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LLM_REG["embed_top_principal"].oracle = _power_pc_oracle()
+
+
+def _pq_adc_oracle(dim: int = 64, m: int = 4, k_cells: int = 8, n_iter: int = 2, qbits: int = 20, k: int = 5) -> str:
+    """Extends _pq_oracle's per-subspace kmeans replay with the ADC
+    search: per-query distance tables against each codebook, summed
+    over the corpus codes, ranked on the ROUNDED estimate."""
+    g = float(1 << qbits)
+    sd = dim // m
+
+    def snap(x: str) -> str:
+        return f"floor(({x}) * {g} + 0.5) / {g}"
+
+    def sqdist(a: str, b: str) -> str:
+        return (
+            f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {sd + 1}), "
+            f"__i -> ({a}[__i] - {b}[__i]) * ({a}[__i] - {b}[__i]))), (__a, __x) -> __a + __x)"
+        )
+
+    blocks = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)"]
+    for s in range(m):
+        a, b = sd * s + 1, sd * (s + 1)
+        blocks.append(f"v{s} AS (SELECT vec_id, vec[{a}:{b}] AS sv FROM v)")
+        blocks.append(
+            f"""c{s}_0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(sv, __x -> {snap('__x')}) AS centroid
+  FROM (SELECT vec_id, sv FROM v{s} ORDER BY vec_id LIMIT {k_cells})
+)"""
+        )
+        for i in range(1, n_iter + 1):
+            prev = f"c{s}_{i - 1}"
+            blocks.append(
+                f"""a{s}_{i} AS (
+  SELECT vec_id, sv, cell FROM (
+    SELECT v{s}.vec_id, v{s}.sv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v{s}.vec_id
+                              ORDER BY {sqdist(f'v{s}.sv', 'c.centroid')}, c.cell) AS rn
+    FROM v{s} CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+u{s}_{i} AS (
+  SELECT cell, array_agg(mv ORDER BY idx) AS centroid FROM (
+    SELECT cell, idx, {snap('AVG(val)')} AS mv FROM (
+      SELECT cell, unnest(sv) AS val, unnest(range(1, {sd + 1})) AS idx FROM a{s}_{i}
+    ) GROUP BY cell, idx
+  ) GROUP BY cell
+),
+c{s}_{i} AS (
+  SELECT p.cell, COALESCE(u{s}_{i}.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN u{s}_{i} ON p.cell = u{s}_{i}.cell
+)"""
+            )
+        fin = f"c{s}_{n_iter}"
+        blocks.append(
+            f"""code{s} AS (
+  SELECT vec_id AS c_id, {s} AS sub, cell FROM (
+    SELECT v{s}.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v{s}.vec_id
+                              ORDER BY {sqdist(f'v{s}.sv', 'c.centroid')}, c.cell) AS rn
+    FROM v{s} CROSS JOIN {fin} c
+  ) WHERE rn = 1
+),
+qd{s} AS (
+  SELECT v{s}.vec_id AS q_id, {s} AS sub, c.cell,
+         {sqdist(f'v{s}.sv', 'c.centroid')} AS qdist
+  FROM v{s} CROSS JOIN {fin} c WHERE v{s}.vec_id < 20
+)"""
+        )
+    codes = " UNION ALL ".join(f"SELECT * FROM code{s}" for s in range(m))
+    qds = " UNION ALL ".join(f"SELECT * FROM qd{s}" for s in range(m))
+    blocks.append(f"codes AS ({codes})")
+    blocks.append(f"qd AS ({qds})")
+    blocks.append(
+        f"""pairs AS (
+  SELECT qd.q_id, codes.c_id, ROUND(SUM(qd.qdist), 6) AS adc
+  FROM codes JOIN qd ON qd.sub = codes.sub AND qd.cell = codes.cell
+  WHERE qd.q_id <> codes.c_id
+  GROUP BY qd.q_id, codes.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+  FROM pairs
+)"""
+    )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body}
+SELECT q_id, c_id, adc, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
+@register(
+    "sim_pq_adc_topk",
+    doc="PQ asymmetric-distance search (the query side of "
+    "sim_product_quantization): corpus vectors live ONLY as 4 one-byte "
+    "codes; each query precomputes a 4x8 distance table against the "
+    "codebooks (exact query subvectors vs centroids -- 'asymmetric'), "
+    "and candidate distance is 4 table lookups summed -- at 100 TB the "
+    "scan reads codes, never floats, and the distance-table join "
+    "broadcasts 640 rows. Ranked on the ROUNDED estimate with id "
+    "ties (the bm25 determinism rule). Same grid-snapped kmeans "
+    "replay as the PQ/IVF oracles.",
+    oracle=None,  # generated below
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    codes_parts = []
+    qd_parts = []
+    for s in range(4):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", 1 + 16 * s, 16).cast("array<double>").alias("sv")
+        )
+        cents = similarity.kmeans_fit(
+            sub, "sv", k=8, n_iter=2, id_col="vec_id", centroid_quant_bits=20
+        )
+        cent_df = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in cents],
+            "cell bigint, centroid array<double>",
+        )
+        codes_parts.append(
+            sub.withColumn("cell", similarity._argmin_cell(F.col("sv"), cents)).select(
+                F.col("vec_id").alias("c_id"), F.lit(s).alias("sub"), "cell"
+            )
+        )
+        qd_parts.append(
+            sub.filter(F.col("vec_id") < 20)
+            .crossJoin(F.broadcast(cent_df))
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.lit(s).alias("sub"),
+                "cell",
+                similarity.sq_dist(F.col("sv"), F.col("centroid")).alias("qdist"),
+            )
+        )
+    codes = codes_parts[0]
+    for c in codes_parts[1:]:
+        codes = codes.unionByName(c)
+    qd = qd_parts[0]
+    for q in qd_parts[1:]:
+        qd = qd.unionByName(q)
+    pairs = (
+        codes.join(F.broadcast(qd), ["sub", "cell"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.round(F.sum("qdist"), 6).alias("adc"))
+    )
+    from testlog_etl_spark.operators.topk import grouped_topk
+
+    top = grouped_topk(pairs, ["q_id"], "adc", "c_id", 5, descending=False)
+    w = Window.partitionBy("q_id").orderBy("adc", "c_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("q_id", "c_id", "adc", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+_LLM_REG["sim_pq_adc_topk"].oracle = _pq_adc_oracle()
