@@ -39,6 +39,11 @@ SHOWCASE = [
     ("topk_global_paging", "rank page = filter on the scan's global rank; no single-task OFFSET sort"),
     ("graph_subtree_rollup", "pointer-doubling closure: log2(depth) join rounds; ancestor-keyed rollup"),
     ("corpus_mixture_weights", "one corpus-scale rollup exchange; bounded windows over the strata frame"),
+    ("dedup_jaccard_prefixfilter", "PPJoin: prefix><postings equi-join candidates (linear in tokens); exact verify after pair dedup -- no crossjoin"),
+    ("ts_interval_coalesce", "netted (key, instant) boundaries through the hierarchical keyed scan; island pairing on marker rows"),
+    ("stats_bootstrap_poisson", "32x replicate explode collapses in partial HashAggregate; exchange carries one row per (partition, replicate)"),
+    ("search_rrf_fusion", "every ranking cut is TakeOrderedAndProject; fusion joins run on k-row lists"),
+    ("dq_block_checksum_diff", "two 64-row block rollups full-outer-joined; rows never cross -- the anti-entropy shape"),
 ]
 
 
