@@ -4297,3 +4297,62 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LLM_REG["sim_pq_adc_topk"].oracle = _pq_adc_oracle()
+
+
+@register(
+    "text_sentence_stats",
+    doc="sentence-level corpus stats per source: docs, sentences "
+    "(punctuation-split, trimmed-empty-free), sentences per doc, and "
+    "token-weighted words per sentence -- the readability-adjacent "
+    "rollup a data-quality pipeline gates on. One scan: sentence "
+    "splitting and per-sentence word counts are array lambdas inside "
+    "the row (no explode before the per-source rollup).",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                    x -> trim(x)), x -> x <> '') AS sents
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT source, len(sents) AS n_sent,
+         reduce(list_prepend(0::BIGINT,
+                list_transform(sents,
+                  x -> len(list_filter(regexp_split_to_array(x, '\\s+'), w -> w <> '')))),
+                (a, b) -> a + b) AS n_words
+  FROM s
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       CAST(SUM(n_sent) AS BIGINT) AS n_sentences,
+       ROUND(SUM(n_sent)::DOUBLE / count(*), 4) AS sent_per_doc,
+       ROUND(SUM(n_words)::DOUBLE / SUM(n_sent), 4) AS words_per_sent
+FROM c GROUP BY source ORDER BY source
+""",
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), "[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    words_of = lambda x: F.size(  # noqa: E731
+        F.filter(F.split(x, "\\s+"), lambda w: w != "")
+    ).cast("long")
+    c = docs.filter(F.col("text").isNotNull()).select(
+        "source",
+        F.size(sents).alias("n_sent"),
+        F.aggregate(
+            F.transform(sents, words_of), F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("n_words"),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sent").alias("n_sentences"),
+            F.round(F.sum("n_sent").cast("double") / F.count(F.lit(1)), 4).alias("sent_per_doc"),
+            F.round(F.sum("n_words").cast("double") / F.sum("n_sent"), 4).alias("words_per_sent"),
+        )
+        .orderBy("source")
+    )

@@ -985,3 +985,68 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_gap_report",
+    doc="coverage-gap report, the complement of ts_interval_coalesce: "
+    "after merging 30-minute activity windows into islands "
+    "(operators/timeseries.py::coalesce_intervals, hierarchical keyed "
+    "scan), the DOWNTIME between consecutive islands per event_type -- "
+    "gap count, total and max gap seconds. The lag window runs over "
+    "island rows (coverage-compressed, 2 per island), never raw events.",
+    oracle="""
+WITH iv AS (
+  SELECT event_type AS k, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+),
+o AS (
+  SELECT k, s, e,
+         max(e) OVER (PARTITION BY k ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+),
+f AS (SELECT k, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM o),
+g AS (
+  SELECT k, s, e,
+         SUM(ni) OVER (PARTITION BY k ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl
+  FROM f
+),
+m AS (SELECT k, isl, min(s) AS s, max(e) AS e FROM g GROUP BY k, isl),
+gaps AS (
+  SELECT k,
+         date_diff('second', lag(e) OVER (PARTITION BY k ORDER BY s), s) AS gap
+  FROM m
+)
+SELECT k AS event_type,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS total_gap_seconds,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_seconds
+FROM gaps GROUP BY k ORDER BY event_type
+""",
+)
+def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from testlog_etl_spark.operators.timeseries import coalesce_intervals
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    islands = coalesce_intervals(iv, "event_type", "start", "end")
+    w = Window.partitionBy("event_type").orderBy("island_start")
+    gaps = islands.withColumn(
+        "gap",
+        F.col("island_start").cast("long") - F.lag(F.col("island_end").cast("long")).over(w),
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.coalesce(F.sum("gap"), F.lit(0)).alias("total_gap_seconds"),
+            F.max("gap").alias("max_gap_seconds"),
+        )
+        .orderBy("event_type")
+    )
