@@ -2183,3 +2183,54 @@ def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "udtf_token_chunks",
+    doc="Python UDTF surface (Spark 4 @udtf, SURVEY 2.10): a table "
+    "function chunking each doc into 40-token pieces with index and "
+    "length, invoked via SQL LATERAL -- the arbitrary-Python-transform "
+    "escape hatch when array intrinsics won't do (here they would: "
+    "text_chunk_overlap is the intrinsic twin; this pins the UDTF "
+    "API). Tokenization matches textstats.tokens (trimmed whitespace "
+    "split, empty-free) so the DuckDB unnest-range twin is exact.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(w[(i * 40 + 1):((i + 1) * 40)], ' ') AS chunk_text,
+         len(w[(i * 40 + 1):((i + 1) * 40)])::BIGINT AS n_tok
+  FROM t, LATERAL (SELECT unnest(range(0, CAST(ceil(len(w) / 40.0) AS BIGINT))) AS i)
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, n_tok, chunk_text
+FROM c ORDER BY doc_id, chunk_idx
+""",
+)
+def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tok long, chunk_text string")
+    class TokenChunker:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.strip().split()
+            for i in range(0, len(toks), 40):
+                piece = toks[i : i + 40]
+                yield i // 40, len(piece), " ".join(piece)
+
+    spark.udtf.register("token_chunker", TokenChunker)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs.createOrReplaceTempView("_udtf_docs")
+    out = spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.n_tok, c.chunk_text
+        FROM _udtf_docs, LATERAL token_chunker(text) c
+        WHERE text IS NOT NULL
+        """
+    )
+    return out.orderBy("doc_id", "chunk_idx")

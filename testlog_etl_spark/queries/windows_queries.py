@@ -1050,3 +1050,46 @@ def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "win_custom_udaf_drawdown",
+    doc="custom window-style aggregation as a GROUPED_AGG pandas UDAF "
+    "(SURVEY 2.10's 'custom window aggregation classes' row): max "
+    "drawdown of value per user -- peak-so-far minus current, maxed "
+    "over the (ts, event_id) order. The UDAF receives an Arrow struct "
+    "batch per group and sorts internally (GROUPED_AGG gives no order "
+    "guarantee); rounding is engine-side. The oracle states the same "
+    "quantity as a running-max window -- also the scalable Spark form; "
+    "the UDAF exists to pin the API for aggregations that DON'T reduce "
+    "to windows.",
+    oracle=f"""
+WITH r AS (
+  SELECT user_id, "value",
+         max("value") OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS peak
+  FROM events
+)
+SELECT user_id, ROUND(MAX(peak - "value"), {R}) AS max_drawdown
+FROM r GROUP BY user_id ORDER BY user_id
+""",
+)
+def win_custom_udaf_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies hints, which pandas_udf can't infer here
+    @F.pandas_udf(DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    def max_drawdown(rows):
+        df = pd.DataFrame(list(rows))
+        df = df.sort_values(["ts", "event_id"])
+        peak = df["value"].cummax()
+        return float((peak - df["value"]).max())
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy("user_id")
+        .agg(F.round(max_drawdown(F.struct("ts", "event_id", "value")), R).alias("max_drawdown"))
+        .orderBy("user_id")
+    )
