@@ -520,3 +520,48 @@ def dq_block_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 from testlog_etl_spark.suite import REGISTRY as _PROF_REG  # noqa: E402
 
 _PROF_REG["dq_block_checksum_diff"].oracle = _block_checksum_oracle()
+
+
+@register(
+    "dq_null_matrix",
+    doc="completeness matrix: null fraction of every documents column "
+    "PER SOURCE -- the drill-down under profile_documents' global "
+    "nulls, the first question when a feed degrades. ONE aggregate "
+    "per source computes every column's null count (fuse-into-one-"
+    "scan); unpivoted to (source, column, null_frac) report rows.",
+    oracle="""
+SELECT source, col AS "column",
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(n_null AS BIGINT) AS n_null,
+       ROUND(n_null / n::DOUBLE, 6) AS null_frac
+FROM (
+  SELECT source, count(*) AS n,
+         count(*) - count(text) AS null_text,
+         count(*) - count(lang) AS null_lang,
+         count(*) - count(n_chars) AS null_n_chars
+  FROM documents GROUP BY source
+)
+UNPIVOT (n_null FOR col IN (null_text AS 'text', null_lang AS 'lang', null_n_chars AS 'n_chars'))
+ORDER BY source, "column"
+""",
+)
+def dq_null_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("null_lang"),
+        F.sum(F.col("n_chars").isNull().cast("long")).alias("null_n_chars"),
+    )
+    u = g.selectExpr(
+        "source",
+        "n",
+        "stack(3, 'text', null_text, 'lang', null_lang, 'n_chars', null_n_chars) AS (column, n_null)",
+    )
+    return u.select(
+        "source",
+        "column",
+        F.col("n").alias("n_rows"),
+        "n_null",
+        F.round(F.col("n_null") / F.col("n").cast("double"), 6).alias("null_frac"),
+    ).orderBy("source", "column")

@@ -465,3 +465,79 @@ def layout_rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 from testlog_etl_spark.suite import REGISTRY as _REG2  # noqa: E402
 
 _REG2["layout_zorder_pruning"].oracle = _zorder_oracle()
+
+
+@register(
+    "layout_dictionary_estimate",
+    doc="dictionary-encoding advisor for the writer: per candidate "
+    "string column of lineitem, cardinality vs row count and the "
+    "estimated plain- vs dict-encoded byte footprint (4-byte codes + "
+    "one dictionary copy of each distinct value) -- the layout "
+    "decision parquet writers make per row group, surfaced as a "
+    "query. ONE aggregate computes every column's stats (the "
+    "profile/dq_constraint fuse-into-one-scan rule); integer byte "
+    "arithmetic so both engines agree exactly.",
+    oracle="""
+WITH s AS (
+  SELECT
+    count(*) AS n,
+    count(DISTINCT l_returnflag) AS d_rf, SUM(length(l_returnflag)) AS b_rf,
+    count(DISTINCT l_linestatus) AS d_ls, SUM(length(l_linestatus)) AS b_ls,
+    count(DISTINCT l_shipdate)   AS d_sd, SUM(10)                   AS b_sd
+  FROM lineitem
+),
+u AS (
+  SELECT 'l_returnflag' AS "column", n, d_rf AS n_distinct, b_rf AS plain_bytes FROM s
+  UNION ALL SELECT 'l_linestatus', n, d_ls, b_ls FROM s
+  UNION ALL SELECT 'l_shipdate', n, d_sd, b_sd FROM s
+),
+-- ALL-INTEGER dict estimate (4-byte codes + floor-avg-len dictionary):
+-- float-cast rounding differs across engines, integer div does not
+e AS (
+  SELECT "column", n, n_distinct, plain_bytes,
+         4 * n + (plain_bytes // n) * n_distinct AS dict_bytes
+  FROM u
+)
+SELECT "column",
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(plain_bytes AS BIGINT) AS plain_bytes,
+       CAST(dict_bytes AS BIGINT) AS dict_bytes,
+       ROUND(dict_bytes::DOUBLE / plain_bytes, 4) AS ratio,
+       dict_bytes < plain_bytes AS dict_wins
+FROM e ORDER BY "column"
+""",
+)
+def layout_dictionary_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("l_returnflag").alias("d_rf"),
+        F.sum(F.length("l_returnflag")).alias("b_rf"),
+        F.count_distinct("l_linestatus").alias("d_ls"),
+        F.sum(F.length("l_linestatus")).alias("b_ls"),
+        F.count_distinct("l_shipdate").alias("d_sd"),
+        F.sum(F.lit(10)).alias("b_sd"),
+    )
+    rows = []
+    for col, d, b in (
+        ("l_returnflag", "d_rf", "b_rf"),
+        ("l_linestatus", "d_ls", "b_ls"),
+        ("l_shipdate", "d_sd", "b_sd"),
+    ):
+        dict_bytes = 4 * F.col("n") + F.expr(f"({b} div n) * {d}")
+        rows.append(
+            s.select(
+                F.lit(col).alias("column"),
+                F.col("n").alias("n_rows"),
+                F.col(d).cast("long").alias("n_distinct"),
+                F.col(b).cast("long").alias("plain_bytes"),
+                dict_bytes.cast("long").alias("dict_bytes"),
+                F.round(dict_bytes.cast("double") / F.col(b), 4).alias("ratio"),
+                (dict_bytes < F.col(b)).alias("dict_wins"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("column")
