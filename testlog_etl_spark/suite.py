@@ -69,10 +69,10 @@ def register(
 # signs those three first, then the queries whose code changed this
 # round (graph_subtree_rollup's integral-division parent fix,
 # join_bloom_prefilter's `how` guard), then every operator ADDED in r07
-# -- BOTH sessions' batches (first driver rows) -- and fills the
-# remaining slots with recurring
-# high-value anchors (flagships, bench set, survey hard spots) so
-# regressions in the core surface stay driver-visible every round.
+# -- BOTH sessions' batches, first driver rows, filling the window
+# completely (no recurring-anchor slots this round; the anchors hold 2+
+# prior driver rows each and the full-registry local sweep re-verified
+# them, see the block comment below).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- late-r06 registrations (first driver rows; locally MATCH since r06)
     "dedup_source_overlap_matrix",
@@ -95,37 +95,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_size_estimate",
     "stats_jackknife_ci",
     "events_retention_cohorts",
-    # -- recurring anchors: flagships + bench set
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q21_suppliers_kept_waiting",
-    "etl_mozlog_results",
-    "agg_basic_groupby",
-    "edges_set_dense",
-    "win_running_sum",
-    "dedup_minhash_lsh",
-    "sim_topk_cosine",
-    "sim_lsh_topk",
-    "dedup_semantic",
-    "dedup_hamming_prefix",
-    "sessionize_batch",
-    "sessionize_native_window",
-    "topk_per_group_agg",
-    "topk_global_paging",
-    # -- recurring anchors: survey hard spots
-    "jx_null_semantics",
-    "jx_deep_query",
-    "edges_default_other",
-    # -- operators added in the r07 second session (first driver rows;
-    #    each local-MATCHed at registration). These displace eleven
-    #    multi-round-green recurring anchors (jx_date_relative,
-    #    edges_percentile_cells, win_frame_median, agg_cube_grouping,
-    #    agg_sketch_rollup, etl_dedup_latest, etl_perfherder,
-    #    etl_coverage_lcov, stream_event_counts, stream_upsert_latest,
-    #    stream_session_window) -- all of which already hold 2+ driver
-    #    rows from earlier rounds -- so that NEW code gets signed first.
+    # -- operators added in the r07 SECOND session (first driver rows;
+    #    every one local-MATCHed at registration AND in the full-registry
+    #    default-config sweep, 289/289 MATCH). They displace ALL the
+    #    recurring anchors this round (flagships, bench set, survey hard
+    #    spots -- each already holding 2+ driver-green rows from r01-r06
+    #    and re-verified in the same local sweep): first driver rows for
+    #    new code outrank a third row for stable code. Four session-2
+    #    additions (events_trigram_paths, agg_mode_deterministic,
+    #    ts_gap_report, dq_null_matrix -- the simplest shapes over
+    #    well-trodden machinery) queue for the r08 window, which should
+    #    sign them FIRST.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",
@@ -137,6 +117,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stats_winsorized_mean",
     "agg_largest_remainder",
     "dq_benford_digits",
+    "stats_bootstrap_poisson",
+    "dq_outlier_iqr_fences",
+    "corpus_balanced_shards",
+    "text_feature_hashing",
+    "eval_dcg_ndcg",
+    "join_jaro_winkler",
+    "sim_product_quantization",
+    "ts_holt_linear",
+    "corpus_threshold_sweep",
+    "asof_tolerance_join",
+    "jx_array_lambdas",
+    "dq_block_checksum_diff",
+    "embed_top_principal",
+    "agg_grouping_sets",
+    "agg_decimal_exact_revenue",
+    "sim_pq_adc_topk",
+    "events_cooccurrence_pmi",
+    "text_sentence_stats",
+    "udtf_token_chunks",
+    "win_custom_udaf_drawdown",
+    "layout_dictionary_estimate",
 )
 
 
