@@ -151,3 +151,60 @@ def features_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(leak)).select(
         "n_train", "n_val", "users_train", "users_val", "users_leaking", "val_value_share"
     )
+
+
+@register(
+    "features_woe_encoding",
+    doc="weight-of-evidence bucket encoding + information value, the "
+    "credit-scoring sibling of features_target_encoding: order-value "
+    "buckets scored by ln(good_share/bad_share) against the "
+    "orderstatus='F' target, 0.5-smoothed so empty cells stay finite. "
+    "One bucket rollup; marginals ride a broadcast 1-row aggregate; "
+    "the IV column is the per-bucket contribution a feature-selection "
+    "gate sums.",
+    oracle="""
+WITH b AS (
+  SELECT LEAST(CAST(floor(o_totalprice / 50000) AS BIGINT), 5) AS bucket,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+  FROM orders
+),
+c AS (
+  SELECT bucket,
+         SUM(1 - bad)::DOUBLE AS n_good, SUM(bad)::DOUBLE AS n_bad
+  FROM b GROUP BY bucket
+),
+t AS (SELECT SUM(n_good) AS tg, SUM(n_bad) AS tb FROM c)
+SELECT c.bucket,
+       CAST(c.n_good AS BIGINT) AS n_good,
+       CAST(c.n_bad AS BIGINT) AS n_bad,
+       ROUND(ln(((c.n_good + 0.5) / t.tg) / ((c.n_bad + 0.5) / t.tb)), 4) AS woe,
+       ROUND(((c.n_good + 0.5) / t.tg - (c.n_bad + 0.5) / t.tb)
+             * ln(((c.n_good + 0.5) / t.tg) / ((c.n_bad + 0.5) / t.tb)), 6) AS iv_term
+FROM c CROSS JOIN t
+ORDER BY c.bucket
+""",
+)
+def features_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    b = orders.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(5)).alias("bucket"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("bad"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum(1 - F.col("bad")).cast("double").alias("n_good"),
+        F.sum("bad").cast("double").alias("n_bad"),
+    )
+    t = c.agg(F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb"))
+    gs = (F.col("n_good") + 0.5) / F.col("tg")
+    bs = (F.col("n_bad") + 0.5) / F.col("tb")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            F.col("n_good").cast("long").alias("n_good"),
+            F.col("n_bad").cast("long").alias("n_bad"),
+            F.round(F.log(gs / bs), 4).alias("woe"),
+            F.round((gs - bs) * F.log(gs / bs), 6).alias("iv_term"),
+        )
+        .orderBy("bucket")
+    )
