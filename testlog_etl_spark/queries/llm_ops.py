@@ -4136,7 +4136,7 @@ def embed_top_principal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LLM_REG["embed_top_principal"].oracle = _power_pc_oracle()
 
 
-def _pq_adc_oracle(dim: int = 64, m: int = 4, k_cells: int = 8, n_iter: int = 2, qbits: int = 20, k: int = 5) -> str:
+def _pq_adc_body(dim: int = 64, m: int = 4, k_cells: int = 8, n_iter: int = 2, qbits: int = 20) -> str:
     """Extends _pq_oracle's per-subspace kmeans replay with the ADC
     search: per-query distance tables against each codebook, summed
     over the corpus codes, ranked on the ROUNDED estimate."""
@@ -4219,7 +4219,11 @@ ranked AS (
   FROM pairs
 )"""
     )
-    body = ",\n".join(blocks)
+    return ",\n".join(blocks)
+
+
+def _pq_adc_oracle(k: int = 5) -> str:
+    body = _pq_adc_body()
     return f"""
 WITH {body}
 SELECT q_id, c_id, adc, CAST(rank AS INT) AS rank
@@ -4356,3 +4360,89 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _pq_recall_oracle(dim: int = 64, k: int = 5) -> str:
+    """ADC top-k replay (shared _pq_adc_body) beside the exact
+    full-dimension sqdist top-k; recall = overlap / k per query."""
+    body = _pq_adc_body()
+
+    def sqdist64(a: str, b: str) -> str:
+        return (
+            f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+            f"__i -> ({a}[__i] - {b}[__i]) * ({a}[__i] - {b}[__i]))), (__a, __x) -> __a + __x)"
+        )
+
+    return f"""
+WITH {body},
+bq AS (SELECT vec_id AS q_id, vec FROM v WHERE vec_id < 20),
+bs AS (
+  SELECT bq.q_id, v.vec_id AS c_id, ROUND({sqdist64('bq.vec', 'v.vec')}, 6) AS d
+  FROM bq JOIN v ON v.vec_id <> bq.q_id
+),
+br AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rn
+    FROM bs
+  ) WHERE rn <= {k}
+),
+adc5 AS (SELECT q_id, c_id FROM ranked WHERE rank <= {k})
+SELECT br.q_id,
+       count(adc5.c_id)::BIGINT AS n_overlap,
+       ROUND(count(adc5.c_id) / {k}.0, 4) AS recall
+FROM br LEFT JOIN adc5 USING (q_id, c_id)
+GROUP BY br.q_id ORDER BY br.q_id
+"""
+
+
+@register(
+    "eval_pq_recall",
+    doc="recall@5 of the PQ-ADC list against EXACT full-dimension "
+    "squared-distance top-5 -- the accuracy/compression trade readout "
+    "for sim_pq_adc_topk (the sibling of eval_ann_recall's IVF "
+    "grading). Exact side: query-tier crossjoin (20 queries, "
+    "documented eval-tier cost) with the grouped top-k prune; both "
+    "lists rank on ROUNDED distances with id ties, so the overlap "
+    "count is engine-stable.",
+    oracle=None,  # generated below (shared PQ replay + brute-force CTE)
+)
+def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.topk import grouped_topk
+
+    adc = (
+        sim_pq_adc_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 5)
+        .select("q_id", F.col("c_id").alias("a_cid"))
+    )
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    bq = v.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("qv")
+    )
+    bs = (
+        v.crossJoin(F.broadcast(bq))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(similarity.sq_dist(F.col("qv"), F.col("vec")), 6).alias("d"),
+        )
+    )
+    br = grouped_topk(bs, ["q_id"], "d", "c_id", 5, descending=False).select("q_id", "c_id")
+    return (
+        br.join(
+            adc,
+            (br["q_id"] == adc["q_id"]) & (br["c_id"] == adc["a_cid"]),
+            "left",
+        )
+        .drop(adc["q_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count("a_cid").alias("n_overlap"),
+            F.round(F.count("a_cid") / 5.0, 4).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+_LLM_REG["eval_pq_recall"].oracle = _pq_recall_oracle()
