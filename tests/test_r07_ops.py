@@ -572,3 +572,47 @@ def test_power_iteration_unit_vector_invariant_on_embeddings(spark):
     assert len(out) == 64
     assert abs(sum(r["loading"] ** 2 for r in out) - 1.0) < 1e-4
     assert len({r["eigenvalue"] for r in out}) == 1
+
+
+# ----------------------------------------------- late-batch invariants
+
+
+def test_threshold_sweep_is_monotone(spark):
+    from testlog_etl_spark.suite import REGISTRY
+
+    out = sorted(
+        REGISTRY["corpus_threshold_sweep"].fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in out] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for lo, hi in zip(out, out[1:]):
+        # tightening the threshold can only shrink pairs and dup docs
+        assert hi["n_pairs"] <= lo["n_pairs"]
+        assert hi["n_dup_docs"] <= lo["n_dup_docs"]
+
+
+def test_ndcg_bounds_and_ideal_dominance(spark):
+    from testlog_etl_spark.suite import REGISTRY
+
+    r = REGISTRY["eval_dcg_ndcg"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 <= r["dcg"] <= r["idcg"]
+    assert 0 <= r["ndcg"] <= 1
+
+
+def test_pq_recall_bounds(spark):
+    from testlog_etl_spark.suite import REGISTRY
+
+    rows = REGISTRY["eval_pq_recall"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "20 query rows expected"
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 5
+        assert abs(r["recall"] - r["n_overlap"] / 5) < 1e-9
+
+
+def test_woe_iv_terms_nonnegative(spark):
+    from testlog_etl_spark.suite import REGISTRY
+
+    rows = REGISTRY["features_woe_encoding"].fn(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        # (g-b)*ln(g/b) >= 0 always; rounding can only graze zero
+        assert r["iv_term"] >= -1e-6, r
