@@ -101,11 +101,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    recurring anchors this round (flagships, bench set, survey hard
     #    spots -- each already holding 2+ driver-green rows from r01-r06
     #    and re-verified in the same local sweep): first driver rows for
-    #    new code outrank a third row for stable code. Four session-2
-    #    additions (events_trigram_paths, agg_mode_deterministic,
-    #    ts_gap_report, dq_null_matrix -- the simplest shapes over
-    #    well-trodden machinery) queue for the r08 window, which should
-    #    sign them FIRST.
+    #    new code outrank a third row for stable code. SIX session-2
+    #    additions queue for the r08 window, which should sign them
+    #    FIRST: events_trigram_paths, agg_mode_deterministic,
+    #    ts_gap_report, dq_null_matrix, features_woe_encoding,
+    #    eval_pq_recall (the last two registered after this window was
+    #    sealed; all six locally MATCH).
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",
