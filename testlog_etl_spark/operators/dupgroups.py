@@ -219,3 +219,32 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame, max_iter: int = 12) -> DataFr
         visited = visited.union(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return visited
+
+
+def kcore_peel(edges: DataFrame, k: int, n_rounds: int) -> DataFrame:
+    """Bounded k-core peeling: per round, drop every node whose degree
+    among SURVIVING nodes is < k, restrict edges to survivors, repeat.
+    Returns (node, deg) for nodes alive after ``n_rounds`` with their
+    final-round degree. Fixed round count (not run-to-convergence) so a
+    sequential replay -- the chained-CTE oracle -- is exactly this
+    computation; callers size n_rounds to the cascade depth they need
+    (peeling converges in <= max-degree rounds on any graph).
+
+    Scale shape per round: one degree aggregate keyed by node + two
+    semi-joins restricting the edge list; survivors shrink
+    monotonically, so round cost falls as the cascade burns out.
+    localCheckpoint truncates the per-round plan chain.
+    """
+    e = edges.select("src", "dst").localCheckpoint()
+    deg = None
+    for _ in range(n_rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
+        e = (
+            e.join(alive.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return out.filter(F.col("deg") >= k).select(F.col("src").alias("node"), "deg")

@@ -209,3 +209,97 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("ts_asof"),
         "pval_asof",
     ).orderBy("event_id")
+
+
+@register(
+    "asof_nearest_join",
+    doc="NEAREST as-of (both directions + pick the closer, backward "
+    "wins ties): each error event takes the user's purchase closest in "
+    "time within +-24h -- two one-shuffle asof merges "
+    "(operators/asof.py backward + forward, each tolerance-guarded) "
+    "and a codegen CASE; no range-join pair explosion. DuckDB twin: "
+    "two ASOF joins with the same tie rule.",
+    oracle=f"""
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+p AS (
+  SELECT user_id, ts, ROUND(MAX(value), {R}) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+bwd AS (
+  SELECT e.event_id, p.ts AS bts, p.pval AS bval
+  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+),
+fwd AS (
+  SELECT e.event_id, p.ts AS fts, p.pval AS fval
+  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+),
+j AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         CASE WHEN bwd.bts < e.ts - INTERVAL 24 HOURS THEN NULL ELSE bwd.bts END AS bts,
+         CASE WHEN bwd.bts < e.ts - INTERVAL 24 HOURS THEN NULL ELSE bwd.bval END AS bval,
+         CASE WHEN fwd.fts > e.ts + INTERVAL 24 HOURS THEN NULL ELSE fwd.fts END AS fts,
+         CASE WHEN fwd.fts > e.ts + INTERVAL 24 HOURS THEN NULL ELSE fwd.fval END AS fval
+  FROM e
+  LEFT JOIN bwd ON bwd.event_id = e.event_id
+  LEFT JOIN fwd ON fwd.event_id = e.event_id
+),
+pick AS (
+  SELECT event_id, user_id, ts,
+         CASE
+           WHEN bts IS NULL AND fts IS NULL THEN NULL
+           WHEN fts IS NULL THEN 'b'
+           WHEN bts IS NULL THEN 'f'
+           WHEN date_diff('second', bts, ts) <= date_diff('second', ts, fts) THEN 'b'
+           ELSE 'f'
+         END AS side,
+         bts, bval, fts, fval
+  FROM j
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CASE side WHEN 'b' THEN strftime(bts, '%Y-%m-%d %H:%M:%S')
+                 WHEN 'f' THEN strftime(fts, '%Y-%m-%d %H:%M:%S') END AS ts_nearest,
+       CASE side WHEN 'b' THEN bval WHEN 'f' THEN fval END AS pval_nearest,
+       CASE side WHEN 'b' THEN CAST(date_diff('second', bts, ts) AS BIGINT)
+                 WHEN 'f' THEN CAST(date_diff('second', ts, fts) AS BIGINT) END AS gap_seconds
+FROM pick ORDER BY event_id
+""",
+)
+def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), R).alias("pval"))
+    )
+    bwd = asof_join(
+        errors, purchases, on=["user_id"], left_time="ts", right_time="ts",
+        direction="backward", tolerance_seconds=24 * 3600, suffix="_b",
+    ).select("event_id", "user_id", "ts", F.col("ts_b").alias("bts"), F.col("pval_b").alias("bval"))
+    fwd = asof_join(
+        errors, purchases, on=["user_id"], left_time="ts", right_time="ts",
+        direction="forward", tolerance_seconds=24 * 3600, suffix="_f",
+    ).select(F.col("event_id").alias("eid2"), F.col("ts_f").alias("fts"), F.col("pval_f").alias("fval"))
+    j = bwd.join(fwd, F.col("event_id") == F.col("eid2"), "left").drop("eid2")
+    bgap = F.col("ts").cast("long") - F.col("bts").cast("long")
+    fgap = F.col("fts").cast("long") - F.col("ts").cast("long")
+    side = (
+        F.when(F.col("bts").isNull() & F.col("fts").isNull(), F.lit(None))
+        .when(F.col("fts").isNull(), F.lit("b"))
+        .when(F.col("bts").isNull(), F.lit("f"))
+        .when(bgap <= fgap, F.lit("b"))
+        .otherwise(F.lit("f"))
+    )
+    p = j.withColumn("side", side)
+    pick = lambda b, f: F.when(F.col("side") == "b", b).when(F.col("side") == "f", f)  # noqa: E731
+    return p.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        pick(
+            F.date_format("bts", "yyyy-MM-dd HH:mm:ss"),
+            F.date_format("fts", "yyyy-MM-dd HH:mm:ss"),
+        ).alias("ts_nearest"),
+        pick(F.col("bval"), F.col("fval")).alias("pval_nearest"),
+        pick(bgap, fgap).cast("long").alias("gap_seconds"),
+    ).orderBy("event_id")

@@ -2234,3 +2234,139 @@ def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return out.orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "events_bitmap_retention",
+    doc="week-over-week retention WITHOUT a distinct join: weekly user "
+    "bitmaps (operators/sketches.py::bitmap_words, exact for dense int "
+    "ids), consecutive weeks intersected by word-aligned AND + "
+    "popcount. Raw rows are touched once to build sketches; the "
+    "retention matrix is sketch-row joins -- occupancy-bounded, the "
+    "readout pattern that makes N-week retention O(weeks^2 * words), "
+    "never O(weeks^2 * users). Oracle recomputes exact distinct "
+    "intersections the row way.",
+    oracle="""
+WITH d AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) // 7 AS week,
+         user_id
+  FROM events
+),
+u AS (SELECT DISTINCT week, user_id FROM d),
+base AS (SELECT week, count(*) AS n FROM u GROUP BY week),
+ret AS (
+  SELECT a.week AS week, count(*) AS n_ret
+  FROM u a JOIN u b ON b.user_id = a.user_id AND b.week = a.week + 1
+  GROUP BY a.week
+)
+SELECT base.week AS week,
+       CAST(base.n AS BIGINT) AS n_active,
+       CAST(COALESCE(ret.n_ret, 0) AS BIGINT) AS n_retained_next,
+       ROUND(COALESCE(ret.n_ret, 0) / base.n::DOUBLE, 4) AS retention_next_week
+FROM base LEFT JOIN ret ON ret.week = base.week
+ORDER BY week
+""",
+)
+def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sketches import bitmap_merge_distinct, bitmap_words
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    wk = ev.select(
+        F.expr(
+            "datediff(CAST(date_trunc('day', ts) AS DATE), DATE '2024-01-01') div 7"
+        ).alias("week"),
+        "user_id",
+    )
+    words = bitmap_words(wk, ["week"], "user_id")
+    base = bitmap_merge_distinct(words, ["week"], out="n_active")
+    a = words.select("week", "_w", F.col("_bits").alias("b1"))
+    b = words.select((F.col("week") - 1).alias("wk2"), F.col("_w").alias("w2"), F.col("_bits").alias("b2"))
+    inter = (
+        a.join(b, (F.col("week") == F.col("wk2")) & (F.col("_w") == F.col("w2")))
+        .select("week", F.bit_count(F.col("b1").bitwiseAND(F.col("b2"))).alias("c"))
+        .groupBy("week")
+        .agg(F.sum("c").cast("long").alias("n_ret"))
+    )
+    return (
+        base.join(inter, "week", "left")
+        .select(
+            "week",
+            "n_active",
+            F.coalesce("n_ret", F.lit(0)).alias("n_retained_next"),
+            F.round(
+                F.coalesce("n_ret", F.lit(0)) / F.col("n_active").cast("double"), 4
+            ).alias("retention_next_week"),
+        )
+        .orderBy("week")
+    )
+
+
+def _kcore_oracle(k: int = 4, n_rounds: int = 5) -> str:
+    blocks = [
+        """mx AS (SELECT max(doc_id) AS m FROM documents),
+e_raw AS (
+  SELECT doc_id AS src, doc_id * 2 AS dst FROM documents
+  WHERE doc_id >= 1 AND doc_id * 2 <= (SELECT m FROM mx)
+  UNION ALL
+  SELECT doc_id, doc_id * 2 + 1 FROM documents
+  WHERE doc_id >= 1 AND doc_id * 2 + 1 <= (SELECT m FROM mx)
+  UNION ALL
+  SELECT doc_id, doc_id + 37 FROM documents
+  WHERE doc_id + 37 <= (SELECT m FROM mx)
+),
+e0 AS (SELECT src, dst FROM e_raw UNION SELECT dst, src FROM e_raw)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        prev = f"e{i - 1}"
+        blocks.append(
+            f"""d{i} AS (SELECT src, count(*) AS deg FROM {prev} GROUP BY src),
+a{i} AS (SELECT src AS node FROM d{i} WHERE deg >= {k}),
+e{i} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN a{i} s ON s.node = e.src
+  JOIN a{i} t ON t.node = e.dst
+)"""
+        )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body}
+SELECT src AS node, count(*)::BIGINT AS deg
+FROM e{n_rounds} GROUP BY src HAVING count(*) >= {k}
+ORDER BY node
+"""
+
+
+@register(
+    "graph_kcore",
+    doc="k-core decomposition by bounded peeling (operators/dupgroups"
+    ".py::kcore_peel): 5 rounds of drop-degree<4 / restrict-edges over "
+    "the doc-tree + skip-link graph (the graph_bfs_reach edge set) -- "
+    "the iterative-cascade sibling of BFS, replayed exactly by chained "
+    "CTEs (fixed rounds, so the oracle IS the computation). Per round "
+    "one node-keyed degree aggregate + two semi-joins; survivor count "
+    "is monotone decreasing so round cost burns down with the cascade.",
+    oracle=_kcore_oracle(),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.dupgroups import kcore_peel
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = docs.select("doc_id")
+    mx = ids.agg(F.max("doc_id").alias("_m"))
+    base = ids.crossJoin(F.broadcast(mx))
+    e0 = (
+        base.filter((F.col("doc_id") >= 1) & (F.col("doc_id") * 2 <= F.col("_m")))
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") * 2).alias("dst"))
+        .union(
+            base.filter((F.col("doc_id") >= 1) & (F.col("doc_id") * 2 + 1 <= F.col("_m")))
+            .select(F.col("doc_id").alias("src"), (F.col("doc_id") * 2 + 1).alias("dst"))
+        )
+        .union(
+            base.filter(F.col("doc_id") + 37 <= F.col("_m"))
+            .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 37).alias("dst"))
+        )
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    return kcore_peel(edges, k=4, n_rounds=5).select(
+        "node", F.col("deg").cast("long").alias("deg")
+    ).orderBy("node")

@@ -616,3 +616,29 @@ def test_woe_iv_terms_nonnegative(spark):
     for r in rows:
         # (g-b)*ln(g/b) >= 0 always; rounding can only graze zero
         assert r["iv_term"] >= -1e-6, r
+
+
+# ------------------------------------------------------------- k-core
+
+
+def test_kcore_peeling_cascade(spark):
+    from testlog_etl_spark.operators.dupgroups import kcore_peel
+
+    # K4 clique (each node degree 3) + a pendant chain hanging off node 1.
+    # 3-core: the clique survives; the chain peels away over two rounds
+    # (5 drops, then 4 loses its support).
+    clique = [(a, b) for a in (1, 2, 3, 10) for b in (1, 2, 3, 10) if a != b]
+    chain = [(1, 4), (4, 1), (4, 5), (5, 4)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    out = {r["node"]: r["deg"] for r in kcore_peel(edges, k=3, n_rounds=4).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 10: 3}
+
+
+def test_bitmap_retention_bounds(spark):
+    from testlog_etl_spark.suite import REGISTRY
+
+    rows = REGISTRY["events_bitmap_retention"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_retained_next"] <= r["n_active"]
+        assert 0.0 <= r["retention_next_week"] <= 1.0
