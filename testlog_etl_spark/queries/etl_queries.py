@@ -2370,3 +2370,119 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(edges, k=4, n_rounds=5).select(
         "node", F.col("deg").cast("long").alias("deg")
     ).orderBy("node")
+
+
+@register(
+    "events_behavior_entropy",
+    doc="behavioral entropy per user (Shannon, bits, over the user's "
+    "event-type mix) rolled into a 0.25-wide histogram -- the "
+    "user-diversity readout beside DAU/MAU. Two keyed rollups "
+    "((user, type) then user) + one tiny histogram aggregate; entropy "
+    "terms are exact count ratios so both engines compute identical "
+    "sums before the presentation round.",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*)::DOUBLE AS n
+  FROM events GROUP BY user_id, event_type
+),
+t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id),
+h AS (
+  SELECT c.user_id,
+         -SUM((c.n / t.tot) * ln(c.n / t.tot) / ln(2.0)) AS ent
+  FROM c JOIN t ON t.user_id = c.user_id
+  GROUP BY c.user_id
+)
+SELECT CAST(floor(ent / 0.25) AS BIGINT) AS bucket,
+       count(*)::BIGINT AS n_users,
+       ROUND(AVG(ent), 4) AS avg_entropy
+FROM h GROUP BY bucket ORDER BY bucket
+""",
+)
+def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    t = c.groupBy(F.col("user_id").alias("_u")).agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    h = (
+        c.join(t, F.col("user_id") == F.col("_u"))
+        .groupBy("user_id")
+        .agg((-F.sum(p * F.log(p) / F.log(F.lit(2.0)))).alias("ent"))
+    )
+    return (
+        h.groupBy(F.floor(F.col("ent") / 0.25).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("ent"), 4).alias("avg_entropy"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "eval_offline_policy_ips",
+    doc="offline policy evaluation by inverse propensity scoring: "
+    "logged (event_type = action, value = reward) pairs score three "
+    "candidate always-X policies -- IPS value = mean(reward * "
+    "1[a = pi(x)] / p_behavior(a)) with the behavior propensity "
+    "estimated as the global action share from the SAME log. The "
+    "counterfactual readout an ML platform runs before an online "
+    "test; exact count-ratio arithmetic, one log scan + a broadcast "
+    "3-row propensity table.",
+    oracle="""
+WITH p AS (
+  SELECT event_type, count(*)::DOUBLE / (SELECT count(*) FROM events) AS prop
+  FROM events GROUP BY event_type
+),
+pol AS (SELECT unnest(['view', 'click', 'purchase']) AS policy),
+s AS (
+  SELECT pol.policy,
+         SUM(CASE WHEN e.event_type = pol.policy THEN e."value" / p.prop ELSE 0 END) AS ips_sum,
+         SUM(CASE WHEN e.event_type = pol.policy THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+         SUM(CASE WHEN e.event_type = pol.policy THEN e."value" ELSE 0 END) AS r_sum,
+         count(*)::DOUBLE AS n
+  FROM events e JOIN p ON p.event_type = e.event_type CROSS JOIN pol
+  GROUP BY pol.policy
+)
+SELECT policy, n_matched,
+       ROUND(ips_sum / n, 4) AS ips_value,
+       ROUND(r_sum / greatest(n_matched, 1), 4) AS matched_mean_reward
+FROM s ORDER BY policy
+""",
+)
+def eval_offline_policy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    tot = ev.agg(F.count(F.lit(1)).cast("double").alias("_tot"))
+    p = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        .crossJoin(F.broadcast(tot))
+        .select("event_type", (F.col("_c") / F.col("_tot")).alias("prop"))
+    )
+    pol = ev.sparkSession.createDataFrame(
+        [("view",), ("click",), ("purchase",)], "policy string"
+    )
+    s = (
+        ev.join(F.broadcast(p), "event_type")
+        .crossJoin(F.broadcast(pol))
+        .groupBy("policy")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == F.col("policy"), F.col("value") / F.col("prop")).otherwise(0.0)
+            ).alias("ips_sum"),
+            F.sum(
+                F.when(F.col("event_type") == F.col("policy"), 1).otherwise(0)
+            ).cast("long").alias("n_matched"),
+            F.sum(
+                F.when(F.col("event_type") == F.col("policy"), F.col("value")).otherwise(0.0)
+            ).alias("r_sum"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+    )
+    return s.select(
+        "policy",
+        "n_matched",
+        F.round(F.col("ips_sum") / F.col("n"), 4).alias("ips_value"),
+        F.round(F.col("r_sum") / F.greatest(F.col("n_matched").cast("double"), F.lit(1.0)), 4).alias(
+            "matched_mean_reward"
+        ),
+    ).orderBy("policy")
