@@ -2486,3 +2486,57 @@ def eval_offline_policy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_mean_reward"
         ),
     ).orderBy("policy")
+
+
+@register(
+    "events_trailing_distinct_bitmap",
+    doc="trailing-7-day DISTINCT users per day -- the windowed COUNT "
+    "DISTINCT that defeats plain windows at scale (distinct doesn't "
+    "decompose) -- solved with the mergeable bitmap sketch: daily user "
+    "bitmaps built once (one occupancy-bounded exchange), then each "
+    "day ORs its 7 trailing days' WORDS and popcounts. Work is "
+    "O(days x 7 x occupied words), independent of raw row count after "
+    "the sketch pass; the oracle recomputes each window's exact "
+    "distinct the row way.",
+    oracle="""
+WITH d AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day,
+         user_id
+  FROM events
+),
+u AS (SELECT DISTINCT day, user_id FROM d),
+days AS (SELECT DISTINCT day FROM u)
+SELECT days.day,
+       (SELECT count(DISTINCT u.user_id) FROM u
+        WHERE u.day BETWEEN days.day - 6 AND days.day)::BIGINT AS trailing7_distinct
+FROM days ORDER BY day
+""",
+)
+def events_trailing_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sketches import bitmap_words
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.select(
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+        "user_id",
+    )
+    words = bitmap_words(d, ["day"], "user_id")
+    days = words.select("day").distinct()
+    # day joins its 7 trailing sketch days: a range join on the tiny
+    # (day, word) sketch frame, never on raw rows
+    w2 = words.select(
+        F.col("day").alias("sday"), F.col("_w"), F.col("_bits")
+    )
+    merged = (
+        days.join(
+            w2,
+            (F.col("sday") >= F.col("day") - 6) & (F.col("sday") <= F.col("day")),
+        )
+        .groupBy("day", "_w")
+        .agg(F.bit_or("_bits").alias("_m"))
+        .groupBy("day")
+        .agg(F.sum(F.bit_count("_m")).cast("long").alias("trailing7_distinct"))
+    )
+    return merged.orderBy("day")

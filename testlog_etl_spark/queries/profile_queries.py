@@ -565,3 +565,55 @@ def dq_null_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_null",
         F.round(F.col("n_null") / F.col("n").cast("double"), 6).alias("null_frac"),
     ).orderBy("source", "column")
+
+
+@register(
+    "dq_l_diversity",
+    doc="l-diversity, the gate AFTER dq_k_anonymity: a k-anonymous "
+    "class is still unsafe if its SENSITIVE attribute (market segment "
+    "here) is homogeneous -- l-diversity requires >= l distinct "
+    "sensitive values per quasi-identifier class. Per-nation rollup of "
+    "classes (nation x balance-band QI), their sensitive diversity, "
+    "and the rows sitting in classes below l=2. Same two-rollup shape "
+    "as k-anonymity: QI grain first, then the reduced class frame.",
+    oracle="""
+WITH cls AS (
+  SELECT c_nationkey, floor(c_acctbal / 1000) AS bal_band,
+         count(*) AS class_size,
+         count(DISTINCT c_mktsegment) AS l_div
+  FROM customer GROUP BY c_nationkey, floor(c_acctbal / 1000)
+)
+SELECT c_nationkey AS nation,
+       count(*)::BIGINT AS n_classes,
+       CAST(SUM(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT) AS homogeneous_classes,
+       CAST(SUM(CASE WHEN l_div < 2 THEN class_size ELSE 0 END) AS BIGINT) AS exposed_rows,
+       ROUND(SUM(CASE WHEN l_div < 2 THEN class_size ELSE 0 END)::DOUBLE
+             / SUM(class_size), 4) AS exposed_row_share,
+       ROUND(AVG(l_div), 4) AS avg_l
+FROM cls GROUP BY c_nationkey ORDER BY nation
+""",
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    cls = cust.groupBy(
+        "c_nationkey", F.floor(F.col("c_acctbal") / 1000).alias("bal_band")
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct("c_mktsegment").alias("l_div"),
+    )
+    homog = F.when(F.col("l_div") < 2, F.col("class_size")).otherwise(0)
+    return (
+        cls.groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("l_div") < 2, 1).otherwise(0)).cast("long").alias(
+                "homogeneous_classes"
+            ),
+            F.sum(homog).cast("long").alias("exposed_rows"),
+            F.round(F.sum(homog).cast("double") / F.sum("class_size"), 4).alias(
+                "exposed_row_share"
+            ),
+            F.round(F.avg("l_div"), 4).alias("avg_l"),
+        )
+        .orderBy("nation")
+    )
