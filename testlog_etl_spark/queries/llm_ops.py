@@ -4446,3 +4446,79 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LLM_REG["eval_pq_recall"].oracle = _pq_recall_oracle()
+
+
+@register(
+    "multimodal_audio_windows",
+    doc="audio frame-windowing plumbing (the 25 ms window / 10 ms hop "
+    "speech convention): documents adapted as fake 16 kHz 16-bit PCM "
+    "clips (n_samples = bytes div 2), each clip EXPLODED to its window "
+    "starts via sequence() -- the fan-out-before-featurize shape, all "
+    "integer arithmetic. Per source: clips, windowable clips, total "
+    "frames, and a cross-check that the exploded frame count equals "
+    "the closed-form (n - 400) div 160 + 1 on every clip (the driver "
+    "hash fails if fan-out and formula ever disagree).",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, source, coalesce(length(text), 0) // 2 AS n_samples
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, n_samples,
+         CASE WHEN n_samples >= 400 THEN (n_samples - 400) // 160 + 1 ELSE 0 END AS frames_formula
+  FROM m
+),
+x AS (
+  SELECT f.doc_id, count(*) AS frames_exploded
+  FROM f, LATERAL (SELECT unnest(range(0, f.n_samples - 400 + 1, 160)) AS w0)
+  WHERE f.n_samples >= 400
+  GROUP BY f.doc_id
+)
+SELECT f.source,
+       count(*)::BIGINT AS n_clips,
+       CAST(SUM(CASE WHEN f.n_samples >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS windowable_clips,
+       CAST(SUM(f.frames_formula) AS BIGINT) AS total_frames,
+       bool_and(coalesce(x.frames_exploded, 0) = f.frames_formula) AS explode_matches_formula
+FROM f LEFT JOIN x ON x.doc_id = f.doc_id
+GROUP BY f.source ORDER BY f.source
+""",
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.expr("coalesce(length(text), 0) div 2").alias("n_samples"),
+    )
+    f = m.withColumn(
+        "frames_formula",
+        F.when(
+            F.col("n_samples") >= 400,
+            F.expr("(n_samples - 400) div 160 + 1"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    x = (
+        f.filter(F.col("n_samples") >= 400)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_samples") - 400, F.lit(160).cast("long"))
+            ).alias("w0"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("frames_exploded"))
+        .withColumnRenamed("doc_id", "_did")
+    )
+    j = f.join(x, F.col("doc_id") == F.col("_did"), "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum((F.col("n_samples") >= 400).cast("int")).cast("long").alias("windowable_clips"),
+            F.sum("frames_formula").cast("long").alias("total_frames"),
+            F.expr("bool_and(coalesce(frames_exploded, 0) = frames_formula)").alias(
+                "explode_matches_formula"
+            ),
+        )
+        .orderBy("source")
+    )
