@@ -2540,3 +2540,57 @@ def events_trailing_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.sum(F.bit_count("_m")).cast("long").alias("trailing7_distinct"))
     )
     return merged.orderBy("day")
+
+
+@register(
+    "join_null_safe_semantics",
+    doc="null-safe vs standard equi-join, the semantic trap spelled "
+    "out: a derived nullable key (NULLIF(lang, 'de')) joins two corpus "
+    "halves under `=` (SQL 3VL -- NULL keys match NOTHING, rows "
+    "silently drop) and under `<=>` / IS NOT DISTINCT FROM (NULL is a "
+    "join value). The per-key match counts differ exactly on the NULL "
+    "row; at scale the null-safe form also concentrates every NULL in "
+    "one shuffle partition -- the skew note callers need.",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, NULLIF(lang, 'de') AS k FROM documents WHERE doc_id % 2 = 0
+),
+b AS (
+  SELECT doc_id, NULLIF(lang, 'de') AS k FROM documents WHERE doc_id % 2 = 1
+),
+std AS (SELECT a.k AS k, count(*) AS n FROM a JOIN b ON a.k = b.k GROUP BY a.k),
+ns AS (
+  SELECT a.k AS k, count(*) AS n
+  FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k GROUP BY a.k
+)
+SELECT ns.k AS join_key,
+       CAST(coalesce(std.n, 0) AS BIGINT) AS n_standard,
+       CAST(ns.n AS BIGINT) AS n_null_safe
+FROM ns LEFT JOIN std ON std.k IS NOT DISTINCT FROM ns.k
+ORDER BY join_key NULLS FIRST
+""",
+)
+def join_null_safe_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    k = F.expr("NULLIF(lang, 'de')")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(k.alias("ka"))
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(k.alias("kb"))
+    std = (
+        a.join(b, F.col("ka") == F.col("kb"))
+        .groupBy(F.col("ka").alias("k1"))
+        .agg(F.count(F.lit(1)).alias("n_std"))
+    )
+    ns = (
+        a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+        .groupBy(F.col("ka").alias("k2"))
+        .agg(F.count(F.lit(1)).alias("n_ns"))
+    )
+    return (
+        ns.join(std, F.col("k2").eqNullSafe(F.col("k1")), "left")
+        .select(
+            F.col("k2").alias("join_key"),
+            F.coalesce("n_std", F.lit(0)).alias("n_standard"),
+            F.col("n_ns").alias("n_null_safe"),
+        )
+        .orderBy(F.col("join_key").asc_nulls_first())
+    )
