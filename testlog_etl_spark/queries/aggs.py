@@ -1369,3 +1369,39 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_mean_family",
+    doc="the full mean family per returnflag: arithmetic, harmonic "
+    "(n / sum(1/x)), geometric (exp(avg(ln x))) over extended price -- "
+    "AM >= GM >= HM on positive data, pinned by construction in the "
+    "test suite. Geometric via log-space (the only overflow-safe form "
+    "at corpus scale); identical expression on both engines, rounded "
+    "at presentation.",
+    oracle=f"""
+SELECT l_returnflag,
+       count(*)::BIGINT AS n,
+       ROUND(AVG(l_extendedprice), {R}) AS mean_arith,
+       ROUND(count(*) / SUM(1.0 / l_extendedprice), {R}) AS mean_harmonic,
+       ROUND(exp(AVG(ln(l_extendedprice))), {R}) AS mean_geometric
+FROM lineitem WHERE l_extendedprice > 0
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].filter(
+        F.col("l_extendedprice") > 0
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), R).alias("mean_arith"),
+            F.round(
+                F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("l_extendedprice")), R
+            ).alias("mean_harmonic"),
+            F.round(F.exp(F.avg(F.log("l_extendedprice"))), R).alias("mean_geometric"),
+        )
+        .orderBy("l_returnflag")
+    )

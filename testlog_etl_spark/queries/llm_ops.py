@@ -4522,3 +4522,61 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_alphabet_profile",
+    doc="character-class profile per lang: letter / digit / whitespace "
+    "/ punctuation-other shares of the raw text bytes -- the script "
+    "sanity check beside lang-ID (a 'fr' slice full of digits is a "
+    "parser bug, not French). Regex counts are length differences "
+    "(regexp_replace strip then length), identical on both engines; "
+    "one scan, one lang rollup.",
+    oracle="""
+WITH c AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_letter,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         length(text) - length(regexp_replace(text, '[ \\t\\n]', '', 'g')) AS n_space
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT lang,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       ROUND(SUM(n_letter)::DOUBLE / SUM(n_chars), 4) AS letter_share,
+       ROUND(SUM(n_digit)::DOUBLE / SUM(n_chars), 4) AS digit_share,
+       ROUND(SUM(n_space)::DOUBLE / SUM(n_chars), 4) AS space_share,
+       ROUND((SUM(n_chars) - SUM(n_letter) - SUM(n_digit) - SUM(n_space))::DOUBLE
+             / SUM(n_chars), 4) AS other_share
+FROM c GROUP BY lang ORDER BY lang
+""",
+)
+def text_alphabet_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull()
+    )
+    strip = lambda pat: F.length("text") - F.length(F.regexp_replace("text", pat, ""))  # noqa: E731
+    c = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        strip("[A-Za-z]").alias("n_letter"),
+        strip("[0-9]").alias("n_digit"),
+        strip("[ \\t\\n]").alias("n_space"),
+    )
+    g = c.groupBy("lang").agg(
+        F.sum("n_chars").alias("nc"),
+        F.sum("n_letter").alias("nl"),
+        F.sum("n_digit").alias("nd"),
+        F.sum("n_space").alias("ns"),
+    )
+    return g.select(
+        "lang",
+        F.col("nc").cast("long").alias("n_chars"),
+        F.round(F.col("nl").cast("double") / F.col("nc"), 4).alias("letter_share"),
+        F.round(F.col("nd").cast("double") / F.col("nc"), 4).alias("digit_share"),
+        F.round(F.col("ns").cast("double") / F.col("nc"), 4).alias("space_share"),
+        F.round(
+            (F.col("nc") - F.col("nl") - F.col("nd") - F.col("ns")).cast("double") / F.col("nc"),
+            4,
+        ).alias("other_share"),
+    ).orderBy("lang")

@@ -617,3 +617,92 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "dq_scd2_integrity",
+    doc="SCD2 validity-interval integrity check: the versioned "
+    "dimension (join_scd2_dimension's derivation, deterministically "
+    "CORRUPTED -- every 7th user's second version starts 2 days early "
+    "= OVERLAP, every 7th+1 user's 3 days late = GAP) audited per "
+    "business key with one lag() over the (key ORDER BY valid_from) "
+    "exchange: overlaps (valid_from < previous valid_to), gaps "
+    "(valid_from > previous valid_to), and clean keys. The contract "
+    "check every temporal join in the suite silently assumes.",
+    oracle="""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+dim AS (
+  SELECT user_id, 'bronze' AS tier,
+         TIMESTAMP '2023-12-01 00:00:00' AS valid_from,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 DAY * (user_id % 20) AS valid_to
+  FROM users
+  UNION ALL
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'gold' ELSE 'silver' END,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 DAY * (user_id % 20)
+           + CASE WHEN user_id % 7 = 0 THEN -INTERVAL 2 DAY
+                  WHEN user_id % 7 = 1 THEN INTERVAL 3 DAY
+                  ELSE INTERVAL 0 DAY END,
+         TIMESTAMP '2100-01-01 00:00:00'
+  FROM users
+),
+lagged AS (
+  SELECT user_id, valid_from,
+         lag(valid_to) OVER (PARTITION BY user_id ORDER BY valid_from, valid_to) AS prev_to
+  FROM dim
+),
+per_key AS (
+  SELECT user_id,
+         MAX(CASE WHEN prev_to IS NOT NULL AND valid_from < prev_to THEN 1 ELSE 0 END) AS has_overlap,
+         MAX(CASE WHEN prev_to IS NOT NULL AND valid_from > prev_to THEN 1 ELSE 0 END) AS has_gap
+  FROM lagged GROUP BY user_id
+)
+SELECT count(*)::BIGINT AS n_keys,
+       CAST(SUM(has_overlap) AS BIGINT) AS overlap_keys,
+       CAST(SUM(has_gap) AS BIGINT) AS gap_keys,
+       CAST(SUM(CASE WHEN has_overlap = 0 AND has_gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS clean_keys
+FROM per_key
+""",
+)
+def dq_scd2_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    users = ev.select("user_id").distinct()
+    promo = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + (F.col("user_id") % 20) * F.expr(
+        "INTERVAL 1 DAY"
+    )
+    skew = (
+        F.when(F.col("user_id") % 7 == 0, F.expr("-INTERVAL 2 DAY"))
+        .when(F.col("user_id") % 7 == 1, F.expr("INTERVAL 3 DAY"))
+        .otherwise(F.expr("INTERVAL 0 DAY"))
+    )
+    v1 = users.select(
+        "user_id",
+        F.to_timestamp(F.lit("2023-12-01 00:00:00")).alias("valid_from"),
+        promo.alias("valid_to"),
+    )
+    v2 = users.select(
+        "user_id",
+        (promo + skew).alias("valid_from"),
+        F.to_timestamp(F.lit("2100-01-01 00:00:00")).alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    w = Window.partitionBy("user_id").orderBy("valid_from", "valid_to")
+    lagged = dim.withColumn("prev_to", F.lag("valid_to").over(w))
+    per_key = lagged.groupBy("user_id").agg(
+        F.max(
+            (F.col("prev_to").isNotNull() & (F.col("valid_from") < F.col("prev_to"))).cast("int")
+        ).alias("has_overlap"),
+        F.max(
+            (F.col("prev_to").isNotNull() & (F.col("valid_from") > F.col("prev_to"))).cast("int")
+        ).alias("has_gap"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("has_overlap").cast("long").alias("overlap_keys"),
+        F.sum("has_gap").cast("long").alias("gap_keys"),
+        F.sum(((F.col("has_overlap") == 0) & (F.col("has_gap") == 0)).cast("int"))
+        .cast("long")
+        .alias("clean_keys"),
+    )
