@@ -1405,3 +1405,63 @@ def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_fiscal_445",
+    doc="4-4-5 fiscal-calendar rollup: order dates mapped to fiscal "
+    "(quarter, period) by PURE INTEGER week arithmetic from the "
+    "2024-01-01 anchor (week w: quarter = w div 13, period within "
+    "quarter by the 4/4/5 split of w mod 13) -- no engine week-"
+    "numbering conventions anywhere, the retail-calendar sibling of "
+    "the ISO-week traps the events queries avoid. Revenue + orders "
+    "per fiscal period.",
+    oracle="""
+WITH w AS (
+  SELECT o_totalprice,
+         datediff('day', DATE '2024-01-01', CAST(date_trunc('day', o_orderdate) AS DATE)) // 7 AS wk
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2024-01-01'
+),
+f AS (
+  SELECT o_totalprice, wk,
+         wk // 13 AS fq,
+         CASE WHEN wk % 13 < 4 THEN 1 WHEN wk % 13 < 8 THEN 2 ELSE 3 END AS fp
+  FROM w
+)
+SELECT CAST(fq AS BIGINT) AS fiscal_quarter,
+       CAST(fp AS INT) AS fiscal_period,
+       count(*)::BIGINT AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM f GROUP BY fq, fp ORDER BY fiscal_quarter, fiscal_period
+""",
+)
+def agg_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2024-01-01").cast("timestamp")
+    )
+    wk = F.expr(
+        "datediff(CAST(date_trunc('day', o_orderdate) AS DATE), DATE '2024-01-01') div 7"
+    )
+    f = orders.select(
+        "o_totalprice",
+        wk.alias("wk"),
+    ).select(
+        "o_totalprice",
+        F.expr("wk div 13").alias("fq"),
+        F.when(F.pmod("wk", F.lit(13)) < 4, 1)
+        .when(F.pmod("wk", F.lit(13)) < 8, 2)
+        .otherwise(3)
+        .alias("fp"),
+    )
+    return (
+        f.groupBy(
+            F.col("fq").cast("long").alias("fiscal_quarter"),
+            F.col("fp").cast("int").alias("fiscal_period"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("fiscal_quarter", "fiscal_period")
+    )

@@ -2594,3 +2594,63 @@ def join_null_safe_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("join_key").asc_nulls_first())
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    doc="degree assortativity of the doc-tree + skip-link graph "
+    "(the graph_bfs_reach edge set): Pearson correlation of endpoint "
+    "degrees over edges -- do high-degree nodes link to high-degree "
+    "nodes? One degree rollup joined back to both endpoints (the "
+    "degree table is |V| rows of two longs; AQE broadcasts it), corr "
+    "via the same single-scan moment aggregate as stats_correlation.",
+    oracle="""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+e_raw AS (
+  SELECT doc_id AS src, doc_id * 2 AS dst FROM documents
+  WHERE doc_id >= 1 AND doc_id * 2 <= (SELECT m FROM mx)
+  UNION ALL
+  SELECT doc_id, doc_id * 2 + 1 FROM documents
+  WHERE doc_id >= 1 AND doc_id * 2 + 1 <= (SELECT m FROM mx)
+  UNION ALL
+  SELECT doc_id, doc_id + 37 FROM documents
+  WHERE doc_id + 37 <= (SELECT m FROM mx)
+),
+e AS (SELECT src, dst FROM e_raw UNION SELECT dst, src FROM e_raw),
+d AS (SELECT src AS node, count(*)::DOUBLE AS deg FROM e GROUP BY src)
+SELECT count(*)::BIGINT AS n_edges,
+       ROUND(AVG(ds.deg), 4) AS mean_src_deg,
+       ROUND(corr(ds.deg, dd.deg), 4) AS assortativity
+FROM e JOIN d ds ON ds.node = e.src JOIN d dd ON dd.node = e.dst
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = docs.select("doc_id")
+    mx = ids.agg(F.max("doc_id").alias("_m"))
+    base = ids.crossJoin(F.broadcast(mx))
+    e0 = (
+        base.filter((F.col("doc_id") >= 1) & (F.col("doc_id") * 2 <= F.col("_m")))
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") * 2).alias("dst"))
+        .union(
+            base.filter((F.col("doc_id") >= 1) & (F.col("doc_id") * 2 + 1 <= F.col("_m")))
+            .select(F.col("doc_id").alias("src"), (F.col("doc_id") * 2 + 1).alias("dst"))
+        )
+        .union(
+            base.filter(F.col("doc_id") + 37 <= F.col("_m"))
+            .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 37).alias("dst"))
+        )
+    )
+    e = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    d = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    ds = d.select(F.col("node").alias("_s"), F.col("deg").alias("sdeg"))
+    dd = d.select(F.col("node").alias("_d"), F.col("deg").alias("ddeg"))
+    return (
+        e.join(ds, F.col("src") == F.col("_s"))
+        .join(dd, F.col("dst") == F.col("_d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.round(F.avg("sdeg"), 4).alias("mean_src_deg"),
+            F.round(F.corr("sdeg", "ddeg"), 4).alias("assortativity"),
+        )
+    )

@@ -4580,3 +4580,76 @@ def text_alphabet_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("other_share"),
     ).orderBy("lang")
+
+
+@register(
+    "text_char_entropy_rate",
+    doc="character-level entropy rate per lang: H(next char | current "
+    "char) = H(bigram) - H(unigram-prefix), the compressibility / "
+    "gibberish signal that needs no tokenizer. Bigrams explode via an "
+    "in-row sequence transform (Spark) / list comprehension (DuckDB); "
+    "two vocabulary-bounded rollups (charset^2 cells max), entropy "
+    "sums in exact count ratios, log2 at presentation.",
+    oracle="""
+WITH bg AS (
+  SELECT lang, unnest([substr(text, i, 2) for i in range(1, length(text))]) AS b
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 2
+),
+bc AS (SELECT lang, b, count(*)::DOUBLE AS c FROM bg GROUP BY lang, b),
+bt AS (SELECT lang, SUM(c) AS t FROM bc GROUP BY lang),
+hb AS (
+  SELECT bc.lang, -SUM((c / t) * ln(c / t) / ln(2.0)) AS h2
+  FROM bc JOIN bt ON bt.lang = bc.lang GROUP BY bc.lang
+),
+uc AS (SELECT lang, substr(b, 1, 1) AS u, SUM(c) AS c FROM bc GROUP BY lang, substr(b, 1, 1)),
+hu AS (
+  SELECT uc.lang, -SUM((uc.c / bt.t) * ln(uc.c / bt.t) / ln(2.0)) AS h1
+  FROM uc JOIN bt ON bt.lang = uc.lang GROUP BY uc.lang
+)
+SELECT hb.lang,
+       ROUND(hb.h2, 4) AS h_bigram,
+       ROUND(hu.h1, 4) AS h_unigram,
+       ROUND(hb.h2 - hu.h1, 4) AS entropy_rate
+FROM hb JOIN hu ON hu.lang = hb.lang
+ORDER BY hb.lang
+""",
+)
+def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.length("text") >= 2)
+    )
+    bg = docs.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.substring(F.col("text"), i, 2),
+            )
+        ).alias("b"),
+    )
+    bc = bg.groupBy("lang", "b").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    bt = bc.groupBy(F.col("lang").alias("_l")).agg(F.sum("c").alias("t"))
+    ln2 = F.log(F.lit(2.0))
+    hb = (
+        bc.join(F.broadcast(bt), F.col("lang") == F.col("_l"))
+        .groupBy("lang")
+        .agg((-F.sum((F.col("c") / F.col("t")) * F.log(F.col("c") / F.col("t")) / ln2)).alias("h2"))
+    )
+    uc = bc.groupBy("lang", F.substring("b", 1, 1).alias("u")).agg(F.sum("c").alias("cu"))
+    hu = (
+        uc.join(F.broadcast(bt), F.col("lang") == F.col("_l"))
+        .groupBy(F.col("lang").alias("lang2"))
+        .agg(
+            (-F.sum((F.col("cu") / F.col("t")) * F.log(F.col("cu") / F.col("t")) / ln2)).alias("h1")
+        )
+    )
+    return (
+        hb.join(hu, F.col("lang") == F.col("lang2"))
+        .select(
+            "lang",
+            F.round("h2", 4).alias("h_bigram"),
+            F.round("h1", 4).alias("h_unigram"),
+            F.round(F.col("h2") - F.col("h1"), 4).alias("entropy_rate"),
+        )
+        .orderBy("lang")
+    )
