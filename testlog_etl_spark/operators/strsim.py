@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType
 
 
 def _jw(s1: str, s2: str, p: float = 0.1, boost: float = 0.7) -> float:
@@ -69,4 +69,54 @@ def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
             for x, y in zip(a, b)
         ],
         dtype="float64",
+    )
+
+
+def _dl(a: str, b: str) -> int:
+    """TRUE (unrestricted) Damerau-Levenshtein -- the alphabet-indexed
+    DP, matching DuckDB's damerau_levenshtein (probe: CA->ABC = 2, the
+    case the restricted/OSA variant scores 3)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxdist = la + lb
+    da: dict[str, int] = {}
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            left = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][left] + (i - 1 - k) + 1 + (j - 1 - left),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+@F.pandas_udf(LongType())
+def damerau_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            _dl(x, y) if x is not None and y is not None else None
+            for x, y in zip(a, b)
+        ],
+        dtype="int64",
     )

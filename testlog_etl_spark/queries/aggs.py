@@ -1465,3 +1465,96 @@ def agg_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fiscal_quarter", "fiscal_period")
     )
+
+
+@register(
+    "agg_rollup_cascade",
+    doc="re-aggregability proof as a query: monthly revenue computed "
+    "THREE ways -- directly from raw orders, from the daily rollup, "
+    "and from a weekly (7-day-block) rollup -- with in-query equality "
+    "flags the driver hash enforces. SUM/COUNT re-aggregate exactly "
+    "(the MV-maintenance property mv_incremental_maintain exercises "
+    "incrementally): integer counts are exactly associative, and the "
+    "double legs are compared ROUNDED at 2dp, which absorbs the "
+    "between-grain addition-order ulps while still catching any real "
+    "cascade error.",
+    oracle="""
+WITH raw AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         datediff('day', DATE '2024-01-01', CAST(date_trunc('day', o_orderdate) AS DATE)) // 7 AS wk,
+         o_totalprice
+  FROM orders
+),
+direct AS (
+  SELECT month, count(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev FROM raw GROUP BY month
+),
+daily AS (
+  SELECT month, day, count(*) AS n, SUM(o_totalprice) AS rev FROM raw GROUP BY month, day
+),
+from_daily AS (
+  SELECT month, SUM(n) AS n, ROUND(SUM(rev), 2) AS rev FROM daily GROUP BY month
+),
+weekly AS (
+  SELECT min(month) AS month, wk, count(*) AS n, SUM(o_totalprice) AS rev
+  FROM raw GROUP BY wk
+  HAVING count(DISTINCT month) = 1
+),
+from_weekly AS (
+  SELECT month, SUM(n) AS n, ROUND(SUM(rev), 2) AS rev FROM weekly GROUP BY month
+)
+SELECT d.month,
+       CAST(d.n AS BIGINT) AS n_orders,
+       d.rev AS revenue,
+       (d.n = fd.n AND d.rev = fd.rev) AS daily_cascade_exact,
+       CAST(coalesce(fw.n, 0) AS BIGINT) AS n_in_whole_weeks
+FROM direct d
+JOIN from_daily fd ON fd.month = d.month
+LEFT JOIN from_weekly fw ON fw.month = d.month
+ORDER BY d.month
+""",
+)
+def agg_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    raw = orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+        F.expr(
+            "datediff(CAST(date_trunc('day', o_orderdate) AS DATE), DATE '2024-01-01') div 7"
+        ).alias("wk"),
+        "o_totalprice",
+    )
+    direct = raw.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    daily = raw.groupBy("month", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev")
+    )
+    from_daily = daily.groupBy(F.col("month").alias("m2")).agg(
+        F.sum("n").alias("n2"), F.round(F.sum("rev"), 2).alias("rev2")
+    )
+    weekly = (
+        raw.groupBy("wk")
+        .agg(
+            F.min("month").alias("month"),
+            F.count_distinct("month").alias("nm"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+        .filter(F.col("nm") == 1)
+    )
+    from_weekly = weekly.groupBy(F.col("month").alias("m3")).agg(F.sum("n").alias("n3"))
+    return (
+        direct.join(from_daily, F.col("month") == F.col("m2"))
+        .join(from_weekly, F.col("month") == F.col("m3"), "left")
+        .select(
+            "month",
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("rev").alias("revenue"),
+            ((F.col("n") == F.col("n2")) & (F.col("rev") == F.col("rev2"))).alias(
+                "daily_cascade_exact"
+            ),
+            F.coalesce(F.col("n3"), F.lit(0)).cast("long").alias("n_in_whole_weeks"),
+        )
+        .orderBy("month")
+    )

@@ -2654,3 +2654,77 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("sdeg", "ddeg"), 4).alias("assortativity"),
         )
     )
+
+
+def _damerau_oracle() -> str:
+    from testlog_etl_spark import oracles as _osql
+
+    h = _osql.xxh64_sql("p_name || ':dl'")
+    return f"""
+WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+dirty AS (
+  SELECT p_name AS orig_name,
+         CASE WHEN (({h}) % 2 + 2) % 2 = 0
+              THEN substr(p_name, 1, 2) || substr(p_name, 4, 1)
+                   || substr(p_name, 3, 1) || substr(p_name, 5)
+              ELSE substr(p_name, 1, 4) || 'x' || substr(p_name, 5)
+         END AS dirty_name
+  FROM names
+)
+SELECT d.orig_name, d.dirty_name, c.p_name AS clean_name,
+       CAST(damerau_levenshtein(d.dirty_name, c.p_name) AS BIGINT) AS dl
+FROM dirty d JOIN names c ON substr(d.dirty_name, 1, 2) = substr(c.p_name, 1, 2)
+WHERE damerau_levenshtein(d.dirty_name, c.p_name) <= 1
+ORDER BY orig_name, clean_name
+"""
+
+
+@register(
+    "join_damerau_fuzzy",
+    doc="transposition-aware fuzzy join: TRUE Damerau-Levenshtein "
+    "(operators/strsim.py::damerau_levenshtein, the alphabet-indexed "
+    "DP -- probe-verified against DuckDB's builtin including the "
+    "CA->ABC=2 case OSA scores 3) matches a corrupted catalog "
+    "(adjacent-char swap OR one inserted char, both distance 1, both "
+    "first-2-char-preserving) back to clean names at dl <= 1, blocked "
+    "on the 2-char prefix. The integer-distance sibling of "
+    "join_jaro_winkler -- Spark scores in an Arrow UDF, DuckDB with "
+    "its builtin, and the driver hash requires identical decisions.",
+    oracle=None,  # generated below: needs the xxh64 SQL twin
+)
+def join_damerau_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.strsim import damerau_levenshtein
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    names = part.filter(F.col("p_name").isNotNull()).select("p_name").distinct()
+    even = F.pmod(F.xxhash64(F.concat(F.col("p_name"), F.lit(":dl"))), F.lit(2)) == 0
+    dirty = names.select(
+        F.col("p_name").alias("orig_name"),
+        F.when(
+            even,
+            F.concat(
+                F.substring("p_name", 1, 2),
+                F.substring("p_name", 4, 1),
+                F.substring("p_name", 3, 1),
+                F.expr("substring(p_name, 5)"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.substring("p_name", 1, 4), F.lit("x"), F.expr("substring(p_name, 5)"))
+        )
+        .alias("dirty_name"),
+    )
+    clean = names.select(F.col("p_name").alias("clean_name"))
+    cand = dirty.join(
+        clean, F.substring("dirty_name", 1, 2) == F.substring("clean_name", 1, 2)
+    ).withColumn("dl", damerau_levenshtein(F.col("dirty_name"), F.col("clean_name")))
+    return (
+        cand.filter(F.col("dl") <= 1)
+        .select("orig_name", "dirty_name", "clean_name", "dl")
+        .orderBy("orig_name", "clean_name")
+    )
+
+
+from testlog_etl_spark.suite import REGISTRY as _ETL_REG2  # noqa: E402
+
+_ETL_REG2["join_damerau_fuzzy"].oracle = _damerau_oracle()

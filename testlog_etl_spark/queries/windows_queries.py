@@ -1093,3 +1093,54 @@ def win_custom_udaf_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(max_drawdown(F.struct("ts", "event_id", "value")), R).alias("max_drawdown"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_autocorrelation",
+    doc="lag-1/lag-7 autocorrelation of the daily event-count series "
+    "per event_type: Pearson corr of (count_t, count_{t-k}) over the "
+    "lagged pairs -- the persistence/weekly-cycle readout a forecaster "
+    "checks before model choice. One daily rollup, two lag() windows "
+    "over the same per-type exchange, corr as a single-scan moment "
+    "aggregate (the stats_correlation pairing).",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::DOUBLE AS n
+  FROM events GROUP BY event_type, day
+),
+l AS (
+  SELECT event_type, n,
+         lag(n, 1) OVER w AS n1,
+         lag(n, 7) OVER w AS n7
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       ROUND(corr(n, n1), 4) AS acf_lag1,
+       ROUND(corr(n, n7), 4) AS acf_lag7
+FROM l GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("n1"),
+        F.lag("n", 7).over(w).alias("n7"),
+    )
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr("n", "n1"), 4).alias("acf_lag1"),
+            F.round(F.corr("n", "n7"), 4).alias("acf_lag7"),
+        )
+        .orderBy("event_type")
+    )

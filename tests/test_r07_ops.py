@@ -642,3 +642,41 @@ def test_bitmap_retention_bounds(spark):
     for r in rows:
         assert 0 <= r["n_retained_next"] <= r["n_active"]
         assert 0.0 <= r["retention_next_week"] <= 1.0
+
+
+# ------------------------------------------------- Damerau-Levenshtein
+
+
+def test_damerau_matches_duckdb_on_real_names(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from testlog_etl_spark.operators.strsim import damerau_levenshtein
+
+    names = [
+        r["p_name"]
+        for r in spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+        .select("p_name")
+        .distinct()
+        .collect()
+    ]
+    pairs = [(a, b) for a in names for b in names if a[:2] == b[:2]]
+    pairs += [("CA", "ABC"), ("ab", "ba"), ("", "x"), ("", "")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["dl"]
+        for r in df.withColumn("dl", damerau_levenshtein(F.col("a"), F.col("b"))).collect()
+    }
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute("SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+
+def test_mean_family_am_gm_hm_inequality(spark):
+    from testlog_etl_spark.suite import REGISTRY
+
+    rows = REGISTRY["agg_mean_family"].fn(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert r["mean_arith"] >= r["mean_geometric"] >= r["mean_harmonic"], r
