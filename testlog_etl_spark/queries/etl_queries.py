@@ -2728,3 +2728,118 @@ def join_damerau_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 from testlog_etl_spark.suite import REGISTRY as _ETL_REG2  # noqa: E402
 
 _ETL_REG2["join_damerau_fuzzy"].oracle = _damerau_oracle()
+
+
+@register(
+    "events_new_vs_returning",
+    doc="daily new-vs-returning user split: first-seen day per user "
+    "(one rollup) broadcast-joined back to the per-(user, day) "
+    "activity -- new on the first-seen day, returning after. The "
+    "growth-accounting readout beside DAU/MAU; integer day keys, "
+    "DATE output.",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+SELECT ud.day,
+       CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN ud.day > fs.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+       ROUND(SUM(CASE WHEN ud.day > fs.first_day THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS returning_share
+FROM ud JOIN fs ON fs.user_id = ud.user_id
+GROUP BY ud.day ORDER BY ud.day
+""",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    fs = ud.groupBy(F.col("user_id").alias("_u")).agg(F.min("day").alias("first_day"))
+    j = ud.join(fs, F.col("user_id") == F.col("_u"))
+    is_new = (F.col("day") == F.col("first_day")).cast("int")
+    is_ret = (F.col("day") > F.col("first_day")).cast("int")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.sum(is_new).cast("long").alias("new_users"),
+            F.sum(is_ret).cast("long").alias("returning_users"),
+            F.round(F.sum(is_ret).cast("double") / F.count(F.lit(1)), 4).alias(
+                "returning_share"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    doc="cohort lifetime value: customers grouped by FIRST-order month, "
+    "revenue accumulated by month offset since the cohort month -- the "
+    "cumulative-LTV curve per acquisition cohort (the revenue sibling "
+    "of events_retention_cohorts' activity matrix). Month offsets as "
+    "integer month arithmetic from DATE parts (no engine interval "
+    "conventions); the cumulative sum runs per cohort over the "
+    "offset-bounded rollup frame.",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         (EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate))::BIGINT AS m,
+         o_totalprice
+  FROM orders
+),
+c AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY o_custkey),
+r AS (
+  -- per-cell revenue SNAPPED to the 2^-20 binary grid: the running sum
+  -- then adds exact multiples of 2^-20 (exact in double up to 2^53),
+  -- so the cumulative value cannot drift across engines before the
+  -- presentation rounding (5 boundary rows flipped without this)
+  SELECT c.cm AS cohort_m, o.m - c.cm AS offset_m,
+         floor(SUM(o.o_totalprice) * 1048576 + 0.5) / 1048576 AS rev,
+         count(*) AS n_orders
+  FROM o JOIN c ON c.o_custkey = o.o_custkey
+  GROUP BY c.cm, o.m - c.cm
+),
+sz AS (SELECT cm AS cohort_m, count(*)::DOUBLE AS n_cust FROM c GROUP BY cm)
+SELECT CAST(r.cohort_m AS BIGINT) AS cohort_month_index,
+       CAST(r.offset_m AS BIGINT) AS month_offset,
+       CAST(r.n_orders AS BIGINT) AS n_orders,
+       ROUND(SUM(r.rev) OVER (PARTITION BY r.cohort_m ORDER BY r.offset_m
+                              ROWS UNBOUNDED PRECEDING) / sz.n_cust, 2) AS cum_ltv_per_customer
+FROM r JOIN sz ON sz.cohort_m = r.cohort_m
+ORDER BY cohort_month_index, month_offset
+""",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    o = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("m"),
+        "o_totalprice",
+    )
+    c = o.groupBy(F.col("o_custkey").alias("_ck")).agg(F.min("m").alias("cm"))
+    r = (
+        o.join(c, F.col("o_custkey") == F.col("_ck"))
+        .groupBy(F.col("cm").alias("cohort_m"), (F.col("m") - F.col("cm")).alias("offset_m"))
+        .agg(
+            (F.floor(F.sum("o_totalprice") * 1048576 + 0.5) / 1048576).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    sz = c.groupBy(F.col("cm").alias("_cm")).agg(F.count(F.lit(1)).cast("double").alias("n_cust"))
+    w = Window.partitionBy("cohort_m").orderBy("offset_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        r.join(F.broadcast(sz), F.col("cohort_m") == F.col("_cm"))
+        .select(
+            F.col("cohort_m").alias("cohort_month_index"),
+            F.col("offset_m").alias("month_offset"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(F.sum("rev").over(w) / F.col("n_cust"), 2).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort_month_index", "month_offset")
+    )
