@@ -4653,3 +4653,85 @@ def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    doc="Neyman-optimal stratified sampling DESIGN: a 1000-row budget "
+    "split across (source) strata proportional to N_h * sigma_h "
+    "(stddev of doc length within the stratum) -- the allocation that "
+    "minimizes estimator variance, vs plain proportional. Weights "
+    "snapped to the 2^-20 grid, seats by the SAME integer largest-"
+    "remainder method as agg_largest_remainder (rank window over the "
+    "stratum rollup, bounded). Emitting the design, not a sample: at "
+    "100 TB the design is what the scan-time sampler consumes.",
+    oracle="""
+WITH s AS (
+  SELECT source, count(*)::BIGINT AS n_h,
+         floor(coalesce(stddev_pop(n_chars), 0) * 1048576 + 0.5) / 1048576 AS sd
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_h,
+         CAST(floor(n_h * sd * 1048576 + 0.5) AS BIGINT) AS wq
+  FROM s
+),
+t AS (SELECT SUM(wq) AS tot FROM w),
+b AS (
+  SELECT source, n_h, wq,
+         (1000 * wq) // t.tot AS base,
+         (1000 * wq) % t.tot AS rem
+  FROM w CROSS JOIN t
+),
+l AS (SELECT 1000 - SUM(base) AS leftover FROM b),
+r AS (
+  SELECT source, n_h, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+  FROM b
+)
+SELECT source, n_h,
+       CAST(base + CASE WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0 END AS BIGINT) AS n_sample,
+       ROUND((base + CASE WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0 END) / n_h::DOUBLE, 6) AS sampling_frac
+FROM r ORDER BY source
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    g = float(1 << 20)
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        (F.floor(F.coalesce(F.stddev_pop("n_chars"), F.lit(0.0)) * g + 0.5) / g).alias("sd"),
+    )
+    w = s.select(
+        "source",
+        "n_h",
+        F.floor(F.col("n_h") * F.col("sd") * g + 0.5).cast("long").alias("wq"),
+    )
+    t = w.agg(F.sum("wq").alias("tot"))
+    b = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_h",
+        F.expr("(1000 * wq) div tot").alias("base"),
+        F.pmod(1000 * F.col("wq"), F.col("tot")).alias("rem"),
+    )
+    leftover = b.agg((F.lit(1000) - F.sum("base")).alias("leftover"))
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    return (
+        b.withColumn("rk", rk)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "n_h",
+            (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sample"),
+            F.round(
+                (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+                / F.col("n_h").cast("double"),
+                6,
+            ).alias("sampling_frac"),
+        )
+        .orderBy("source")
+    )

@@ -706,3 +706,53 @@ def dq_scd2_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("clean_keys"),
     )
+
+
+@register(
+    "dq_p_chart",
+    doc="statistical process control p-chart: daily error-event share "
+    "against 3-sigma binomial limits around the center line (the "
+    "overall error rate) -- ucl/lcl = p0 +- 3*sqrt(p0(1-p0)/n_day), "
+    "out-of-control days flagged. The SPC screen an ops pipeline "
+    "gates on, beside the error-budget view; one daily rollup + a "
+    "broadcast 1-row center line.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*)::DOUBLE AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE AS e
+  FROM events GROUP BY day
+),
+p0 AS (SELECT SUM(e) / SUM(n) AS p FROM d)
+SELECT d.day,
+       CAST(d.n AS BIGINT) AS n_events,
+       ROUND(d.e / d.n, 6) AS error_rate,
+       ROUND(p0.p, 6) AS center_line,
+       ROUND(p0.p + 3 * sqrt(p0.p * (1 - p0.p) / d.n), 6) AS ucl,
+       ROUND(greatest(p0.p - 3 * sqrt(p0.p * (1 - p0.p) / d.n), 0), 6) AS lcl,
+       (d.e / d.n > p0.p + 3 * sqrt(p0.p * (1 - p0.p) / d.n)
+        OR d.e / d.n < greatest(p0.p - 3 * sqrt(p0.p * (1 - p0.p) / d.n), 0)) AS out_of_control
+FROM d CROSS JOIN p0 ORDER BY d.day
+""",
+)
+def dq_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int")).cast("double").alias("e"),
+    )
+    p0 = d.agg((F.sum("e") / F.sum("n")).alias("p"))
+    j = d.crossJoin(F.broadcast(p0))
+    sig = F.sqrt(F.col("p") * (1 - F.col("p")) / F.col("n"))
+    ucl = F.col("p") + 3 * sig
+    lcl = F.greatest(F.col("p") - 3 * sig, F.lit(0.0))
+    rate = F.col("e") / F.col("n")
+    return j.select(
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(rate, 6).alias("error_rate"),
+        F.round("p", 6).alias("center_line"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
+    ).orderBy("day")

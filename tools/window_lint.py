@@ -35,6 +35,11 @@ SF = os.environ.get("SPARK_JX_LINT_SF", "/root/testdata/sf0.001")
 # bounded by construction and whitelisted below.)
 WHITELIST: dict[str, str] = {
     "skew_report": "rank window runs AFTER limit(10) -- 10-row frame",
+    "sample_neyman_allocation": (
+        "remainder-rank window runs over the per-SOURCE stratum rollup "
+        "-- fixed small domain (~20 sources); the data-scaling work is "
+        "the one doc rollup shuffle"
+    ),
     "agg_largest_remainder": (
         "remainder-rank window runs over the per-NATION rollup frame -- "
         "fixed 25-row domain; the data-scaling work is the one customer "
