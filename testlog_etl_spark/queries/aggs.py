@@ -1558,3 +1558,56 @@ def agg_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "agg_to_date_totals",
+    doc="MTD / QTD / YTD as-of the corpus max order date: one "
+    "conditional-aggregation scan (no three passes), period starts via "
+    "date_trunc month/quarter/year against a broadcast 1-row anchor. "
+    "The BI to-date readout; anchor emitted as DATE (TZ-proof).",
+    oracle="""
+WITH a AS (SELECT max(o_orderdate) AS mx FROM orders)
+SELECT CAST(date_trunc('day', a.mx) AS DATE) AS as_of,
+       CAST(count(*) FILTER (WHERE o_orderdate >= date_trunc('month', a.mx)) AS BIGINT) AS mtd_orders,
+       ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderdate >= date_trunc('month', a.mx)), 0), 2) AS mtd_revenue,
+       CAST(count(*) FILTER (WHERE o_orderdate >= date_trunc('quarter', a.mx)) AS BIGINT) AS qtd_orders,
+       ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderdate >= date_trunc('quarter', a.mx)), 0), 2) AS qtd_revenue,
+       CAST(count(*) FILTER (WHERE o_orderdate >= date_trunc('year', a.mx)) AS BIGINT) AS ytd_orders,
+       ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderdate >= date_trunc('year', a.mx)), 0), 2) AS ytd_revenue
+FROM orders CROSS JOIN a
+GROUP BY a.mx
+""",
+)
+def agg_to_date_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    a = orders.agg(F.max("o_orderdate").alias("mx"))
+    j = orders.crossJoin(F.broadcast(a))
+
+    def period(unit: str):
+        return F.col("o_orderdate") >= F.date_trunc(unit, F.col("mx"))
+
+    def cnt(unit: str):
+        return F.sum(period(unit).cast("int")).cast("long")
+
+    def rev(unit: str):
+        return F.round(
+            F.coalesce(F.sum(F.when(period(unit), F.col("o_totalprice"))), F.lit(0.0)), 2
+        )
+
+    return j.groupBy("mx").agg(
+        cnt("month").alias("mtd_orders"),
+        rev("month").alias("mtd_revenue"),
+        cnt("quarter").alias("qtd_orders"),
+        rev("quarter").alias("qtd_revenue"),
+        cnt("year").alias("ytd_orders"),
+        rev("year").alias("ytd_revenue"),
+    ).select(
+        F.date_trunc("day", "mx").cast("date").alias("as_of"),
+        "mtd_orders",
+        "mtd_revenue",
+        "qtd_orders",
+        "qtd_revenue",
+        "ytd_orders",
+        "ytd_revenue",
+    )

@@ -4735,3 +4735,89 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sim_sparse_tfidf_pairs",
+    doc="sparse TF-IDF cosine doc pairs >= 0.3 -- the weighted-vector "
+    "sibling of the Jaccard tiers, as sparse linear algebra on "
+    "DataFrames: (doc, term, weight) rows self-join ON THE TERM (the "
+    "only exchange key), products partial-sum per pair, norms "
+    "broadcast back. Candidate volume is bounded by a df-cap prune "
+    "(terms in > 100 docs drop before the join -- the stopword "
+    "posting-list control from index_postings), so the join is "
+    "rare-term-density-sized, not n^2. Weights snapped to the 2^-20 "
+    "grid; the threshold tests the ROUNDED cosine (the bm25 "
+    "determinism rule).",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         floor(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) * 1048576 + 0.5) / 1048576 AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE df.df <= 100
+),
+nrm AS (
+  SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+)
+SELECT p.id_a, p.id_b,
+       ROUND(p.dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM p JOIN nrm na ON na.doc_id = p.id_a JOIN nrm nb ON nb.doc_id = p.id_b
+WHERE ROUND(p.dot / (na.nrm * nb.nrm), 4) >= 0.3
+ORDER BY id_a, id_b
+""",
+)
+def sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    g = float(1 << 20)
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(textstats.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = (
+        tf.join(dfq, "term")
+        .filter(F.col("df") <= 100)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.floor(
+                    F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) * g + 0.5
+                )
+                / g
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), F.col("term").alias("t2"), F.col("w").alias("wb"))
+    p = (
+        a.join(b, (F.col("term") == F.col("t2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("_b"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
+    return (
+        p.join(na, F.col("id_a") == F.col("_a"))
+        .join(nb, F.col("id_b") == F.col("_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
