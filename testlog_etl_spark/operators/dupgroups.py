@@ -248,3 +248,36 @@ def kcore_peel(edges: DataFrame, k: int, n_rounds: int) -> DataFrame:
         )
     out = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     return out.filter(F.col("deg") >= k).select(F.col("src").alias("node"), "deg")
+
+
+def sssp_bellman_ford(
+    edges: DataFrame, seeds: DataFrame, n_rounds: int
+) -> DataFrame:
+    """Single-source shortest paths over WEIGHTED edges by bounded
+    Bellman-Ford rounds: per round, every edge relaxes
+    dist(dst) <- min(dist(dst), dist(src) + w); n_rounds bounds path
+    length, so a sequential chained-CTE replay is exactly this
+    computation (the kcore/pagerank fixed-rounds playbook on the
+    min-plus semiring). ``edges``: (src, dst, w) with integer weights;
+    ``seeds``: (node) at distance 0. Returns (node, dist) for nodes
+    reached within n_rounds hops -- min is a lattice join, so
+    partial-aggregation order can never matter.
+
+    Scale shape per round: ONE equi-join of the frontier-bearing dist
+    table against edges (shuffle keyed by node) + a min-combine keyed
+    by dst; localCheckpoint truncates the chain.
+    """
+    dist = seeds.select("node").distinct().withColumn("dist", F.lit(0).cast("long"))
+    dist = dist.localCheckpoint()
+    for _ in range(n_rounds):
+        relaxed = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -2843,3 +2843,77 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month_index", "month_offset")
     )
+
+
+def _sssp_oracle(n_rounds: int = 6) -> str:
+    blocks = [
+        """mx AS (SELECT max(doc_id) AS m FROM documents),
+e_raw AS (
+  SELECT doc_id AS src, doc_id * 2 AS dst FROM documents
+  WHERE doc_id >= 1 AND doc_id * 2 <= (SELECT m FROM mx)
+  UNION ALL
+  SELECT doc_id, doc_id * 2 + 1 FROM documents
+  WHERE doc_id >= 1 AND doc_id * 2 + 1 <= (SELECT m FROM mx)
+  UNION ALL
+  SELECT doc_id, doc_id + 37 FROM documents
+  WHERE doc_id + 37 <= (SELECT m FROM mx)
+),
+und AS (SELECT src, dst FROM e_raw UNION SELECT dst, src FROM e_raw),
+e AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM und),
+d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        prev = f"d{i - 1}"
+        blocks.append(
+            f"""d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, {prev}.dist + e.w AS dist
+    FROM {prev} JOIN e ON e.src = {prev}.node
+  ) GROUP BY node
+)"""
+        )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body}
+SELECT node, dist FROM d{n_rounds} ORDER BY node
+"""
+
+
+@register(
+    "graph_sssp_weighted",
+    doc="weighted single-source shortest paths by bounded Bellman-Ford "
+    "(operators/dupgroups.py::sssp_bellman_ford, 6 rounds) over the "
+    "doc-tree + skip graph with integer weights (src+dst) mod 7 + 1 -- "
+    "the MIN-PLUS-semiring sibling of BFS's hop counting (a weighted "
+    "path can beat a shorter-hop path, which the oracle's replay "
+    "proves the relaxation order can't miss: min is a lattice join). "
+    "Per round one node-keyed join + one min-combine; integer "
+    "distances end to end.",
+    oracle=_sssp_oracle(),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.dupgroups import sssp_bellman_ford
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = docs.select("doc_id")
+    mx = ids.agg(F.max("doc_id").alias("_m"))
+    base = ids.crossJoin(F.broadcast(mx))
+    e0 = (
+        base.filter((F.col("doc_id") >= 1) & (F.col("doc_id") * 2 <= F.col("_m")))
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") * 2).alias("dst"))
+        .union(
+            base.filter((F.col("doc_id") >= 1) & (F.col("doc_id") * 2 + 1 <= F.col("_m")))
+            .select(F.col("doc_id").alias("src"), (F.col("doc_id") * 2 + 1).alias("dst"))
+        )
+        .union(
+            base.filter(F.col("doc_id") + 37 <= F.col("_m"))
+            .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 37).alias("dst"))
+        )
+    )
+    und = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    edges = und.withColumn("w", F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1)
+    seeds = ids.filter(F.col("doc_id") == 1).select(F.col("doc_id").alias("node"))
+    out = sssp_bellman_ford(edges, seeds, n_rounds=6)
+    return out.select("node", F.col("dist").cast("long").alias("dist")).orderBy("node")

@@ -680,3 +680,17 @@ def test_mean_family_am_gm_hm_inequality(spark):
     rows = REGISTRY["agg_mean_family"].fn(spark, "/root/testdata/sf0.001").collect()
     for r in rows:
         assert r["mean_arith"] >= r["mean_geometric"] >= r["mean_harmonic"], r
+
+
+# ---------------------------------------------------------------- SSSP
+
+
+def test_sssp_weighted_beats_fewer_hops(spark):
+    from testlog_etl_spark.operators.dupgroups import sssp_bellman_ford
+
+    # 1->3 direct costs 10; 1->2->3 costs 2+3=5: more hops, shorter path
+    e = [(1, 3, 10), (1, 2, 2), (2, 3, 3), (3, 4, 1)]
+    edges = spark.createDataFrame(e, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    d = {r["node"]: r["dist"] for r in sssp_bellman_ford(edges, seeds, n_rounds=4).collect()}
+    assert d == {1: 0, 2: 2, 3: 5, 4: 6}
