@@ -756,3 +756,62 @@ def dq_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lcl, 6).alias("lcl"),
         ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
     ).orderBy("day")
+
+
+@register(
+    "dq_sequence_gaps",
+    doc="sequence-completeness audit WITHOUT a global window: events "
+    "deterministically corrupted (md5 bucket 0 of event_id dropped) "
+    "then audited for id gaps by pure anti-join algebra -- a gap "
+    "STARTS at id+1 wherever id+1 is absent (and id < max), so gap "
+    "count, missing total (span minus present), and max-id/min-id all "
+    "come from set operations that shuffle only ids; no ordered scan "
+    "of the sequence anywhere (the lead()-based formulation would put "
+    "the whole sequence through one task).",
+    oracle="""
+WITH pres AS (
+  SELECT event_id AS id FROM events
+  WHERE try_cast(('0x' || substr(md5(event_id::VARCHAR || ':g'), 1, 15)) AS BIGINT) % 10 <> 0
+),
+b AS (SELECT min(id) AS lo, max(id) AS hi, count(*) AS n FROM pres),
+gs AS (
+  SELECT p.id + 1 AS gap_start
+  FROM pres p CROSS JOIN b
+  WHERE p.id < b.hi AND NOT EXISTS (SELECT 1 FROM pres q WHERE q.id = p.id + 1)
+)
+SELECT b.lo AS min_id, b.hi AS max_id,
+       CAST(b.n AS BIGINT) AS n_present,
+       CAST(b.hi - b.lo + 1 - b.n AS BIGINT) AS n_missing,
+       (SELECT count(*) FROM gs)::BIGINT AS n_gaps
+FROM b
+""",
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.sampling import hash_bucket
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    pres = ev.filter(hash_bucket(F.col("event_id"), 10, "g") != 0).select(
+        F.col("event_id").alias("id")
+    )
+    b = pres.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    nxt = pres.select((F.col("id") + 1).alias("id2"))
+    gap_starts = (
+        nxt.join(pres, F.col("id2") == F.col("id"), "left_anti")
+        .crossJoin(F.broadcast(b))
+        .filter(F.col("id2") <= F.col("hi"))
+    )
+    ng = gap_starts.agg(F.count(F.lit(1)).alias("n_gaps"))
+    return (
+        b.crossJoin(F.broadcast(ng))
+        .select(
+            "lo",
+            "hi",
+            F.col("n").cast("long").alias("n_present"),
+            (F.col("hi") - F.col("lo") + 1 - F.col("n")).cast("long").alias("n_missing"),
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+        )
+        .withColumnRenamed("lo", "min_id")
+        .withColumnRenamed("hi", "max_id")
+    )

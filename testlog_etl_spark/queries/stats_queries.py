@@ -624,3 +624,86 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 from testlog_etl_spark.suite import REGISTRY as _REG  # noqa: E402
 
 _REG["stats_bootstrap_poisson"].oracle = _bootstrap_oracle()
+
+
+@register(
+    "stats_runs_test",
+    doc="Wald-Wolfowitz runs test for randomness on the daily revenue "
+    "series: days classified above/below the EXACT median, runs "
+    "counted as sign-changes + 1 (one lag over the day-ordered "
+    "rollup), z-score against the closed-form run-count expectation "
+    "mu = 2 n1 n2 / n + 1. The trend/cycle screen beside the "
+    "autocorrelation readout; median via the certified "
+    "percentile<->quantile_cont pairing, days AT the median excluded "
+    "(the standard convention).",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY day
+),
+m AS (SELECT quantile_cont(rev, 0.5) AS med FROM d),
+s AS (
+  SELECT day, CASE WHEN rev > m.med THEN 1 ELSE 0 END AS up
+  FROM d CROSS JOIN m WHERE rev <> m.med
+),
+l AS (
+  SELECT up, lag(up) OVER (ORDER BY day) AS pup FROM s
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN pup IS NULL OR up <> pup THEN 1 ELSE 0 END) AS DOUBLE) AS runs,
+    CAST(SUM(up) AS DOUBLE) AS n1,
+    CAST(SUM(1 - up) AS DOUBLE) AS n2
+  FROM l
+)
+SELECT CAST(runs AS BIGINT) AS n_runs,
+       CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below,
+       ROUND(2 * n1 * n2 / (n1 + n2) + 1, 4) AS expected_runs,
+       ROUND((runs - (2 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 4) AS z
+FROM agg
+""",
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    m = d.agg(F.expr("percentile(rev, 0.5)").alias("med"))
+    s = (
+        d.crossJoin(F.broadcast(m))
+        .filter(F.col("rev") != F.col("med"))
+        .select("day", (F.col("rev") > F.col("med")).cast("int").alias("up"))
+    )
+    # the day series is bounded by the calendar span (one row per day),
+    # so the single lag over it is a bounded frame, not data-scaling
+    w = Window.orderBy("day")
+    l = s.select("up", F.lag("up").over(w).alias("pup"))
+    agg = l.agg(
+        F.sum(
+            F.when(F.col("pup").isNull() | (F.col("up") != F.col("pup")), 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("runs"),
+        F.sum("up").cast("double").alias("n1"),
+        F.sum(1 - F.col("up")).cast("double").alias("n2"),
+    )
+    n = F.col("n1") + F.col("n2")
+    mu = 2 * F.col("n1") * F.col("n2") / n + 1
+    var = (
+        2
+        * F.col("n1")
+        * F.col("n2")
+        * (2 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (n * n * (n - 1))
+    )
+    return agg.select(
+        F.col("runs").cast("long").alias("n_runs"),
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        F.round(mu, 4).alias("expected_runs"),
+        F.round((F.col("runs") - mu) / F.sqrt(var), 4).alias("z"),
+    )

@@ -35,6 +35,10 @@ SF = os.environ.get("SPARK_JX_LINT_SF", "/root/testdata/sf0.001")
 # bounded by construction and whitelisted below.)
 WHITELIST: dict[str, str] = {
     "skew_report": "rank window runs AFTER limit(10) -- 10-row frame",
+    "stats_runs_test": (
+        "the one lag() runs over the per-DAY revenue rollup -- frame "
+        "bounded by the calendar span (one row per day), not raw rows"
+    ),
     "sample_neyman_allocation": (
         "remainder-rank window runs over the per-SOURCE stratum rollup "
         "-- fixed small domain (~20 sources); the data-scaling work is "
