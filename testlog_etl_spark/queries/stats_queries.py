@@ -707,3 +707,69 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 4).alias("expected_runs"),
         F.round((F.col("runs") - mu) / F.sqrt(var), 4).alias("z"),
     )
+
+
+@register(
+    "stats_delta_method_ci",
+    doc="ratio-metric A/B readout with DELTA-METHOD standard errors -- "
+    "the experimentation-platform staple for metrics like "
+    "revenue-per-unit where both numerator and denominator are random: "
+    "R = sum(x)/sum(y) per arm (odd/even orderkey split of lineitem), "
+    "var(R) ~= (sigma_x^2 - 2 R cov + R^2 sigma_y^2) / (n ybar^2), "
+    "z on the arm difference. One moment rollup per arm "
+    "(var_pop/covar_pop single-scan aggregates, the stats_correlation "
+    "pairing); no resampling anywhere.",
+    oracle="""
+WITH g AS (
+  SELECT l_orderkey % 2 AS arm,
+         count(*)::DOUBLE AS n,
+         AVG(l_extendedprice) AS mx, AVG(l_quantity) AS my,
+         var_pop(l_extendedprice) AS vx, var_pop(l_quantity) AS vy,
+         covar_pop(l_extendedprice, l_quantity) AS cxy
+  FROM lineitem GROUP BY arm
+),
+r AS (
+  SELECT arm, n, mx / my AS ratio,
+         (vx - 2 * (mx / my) * cxy + (mx / my) * (mx / my) * vy) / (n * my * my) AS var_r
+  FROM g
+),
+a AS (SELECT * FROM r WHERE arm = 0),
+b AS (SELECT * FROM r WHERE arm = 1)
+SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       ROUND(a.ratio, 6) AS ratio_a, ROUND(b.ratio, 6) AS ratio_b,
+       ROUND(a.ratio - b.ratio, 6) AS diff,
+       ROUND(sqrt(a.var_r + b.var_r), 6) AS se,
+       ROUND((a.ratio - b.ratio) / sqrt(a.var_r + b.var_r), 4) AS z
+FROM a CROSS JOIN b
+""",
+)
+def stats_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    g = li.groupBy(F.pmod("l_orderkey", F.lit(2)).alias("arm")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("l_extendedprice").alias("mx"),
+        F.avg("l_quantity").alias("my"),
+        F.var_pop("l_extendedprice").alias("vx"),
+        F.var_pop("l_quantity").alias("vy"),
+        F.covar_pop("l_extendedprice", "l_quantity").alias("cxy"),
+    )
+    ratio = F.col("mx") / F.col("my")
+    var_r = (
+        F.col("vx") - 2 * ratio * F.col("cxy") + ratio * ratio * F.col("vy")
+    ) / (F.col("n") * F.col("my") * F.col("my"))
+    r = g.select("arm", "n", ratio.alias("ratio"), var_r.alias("var_r"))
+    a = r.filter(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("ratio").alias("ra"), F.col("var_r").alias("va")
+    )
+    b = r.filter(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("ratio").alias("rb"), F.col("var_r").alias("vb")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("ra", 6).alias("ratio_a"),
+        F.round("rb", 6).alias("ratio_b"),
+        F.round(F.col("ra") - F.col("rb"), 6).alias("diff"),
+        F.round(F.sqrt(F.col("va") + F.col("vb")), 6).alias("se"),
+        F.round((F.col("ra") - F.col("rb")) / F.sqrt(F.col("va") + F.col("vb")), 4).alias("z"),
+    )
