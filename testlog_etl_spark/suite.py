@@ -101,12 +101,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    recurring anchors this round (flagships, bench set, survey hard
     #    spots -- each already holding 2+ driver-green rows from r01-r06
     #    and re-verified in the same local sweep): first driver rows for
-    #    new code outrank a third row for stable code. SIX session-2
-    #    additions queue for the r08 window, which should sign them
-    #    FIRST: events_trigram_paths, agg_mode_deterministic,
-    #    ts_gap_report, dq_null_matrix, features_woe_encoding,
-    #    eval_pq_recall (the last two registered after this window was
-    #    sealed; all six locally MATCH).
+    #    new code outrank a third row for stable code. THIRTY-FOUR
+    #    session-2 additions registered after this window filled queue
+    #    for r08, which should sign them FIRST (all locally MATCH in
+    #    the end-of-session full sweep): events_trigram_paths,
+    #    agg_mode_deterministic, ts_gap_report, dq_null_matrix,
+    #    features_woe_encoding, eval_pq_recall, events_bitmap_retention,
+    #    graph_kcore, asof_nearest_join, events_behavior_entropy,
+    #    eval_offline_policy_ips, dq_l_diversity,
+    #    events_trailing_distinct_bitmap, multimodal_audio_windows,
+    #    join_null_safe_semantics, dq_scd2_integrity, agg_mean_family,
+    #    text_alphabet_profile, agg_fiscal_445,
+    #    graph_degree_assortativity, text_char_entropy_rate,
+    #    join_damerau_fuzzy, agg_rollup_cascade, events_autocorrelation,
+    #    events_new_vs_returning, orders_cohort_ltv,
+    #    sample_neyman_allocation, dq_p_chart, agg_to_date_totals,
+    #    sim_sparse_tfidf_pairs, graph_sssp_weighted, stats_runs_test,
+    #    dq_sequence_gaps, stats_delta_method_ci.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",
