@@ -773,3 +773,218 @@ def stats_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("va") + F.col("vb")), 6).alias("se"),
         F.round((F.col("ra") - F.col("rb")) / F.sqrt(F.col("va") + F.col("vb")), 4).alias("z"),
     )
+
+
+@register(
+    "stats_mann_whitney",
+    doc="Mann-Whitney U (Wilcoxon rank-sum) per l_returnflag: arms are "
+    "the deterministic odd/even orderkey split, metric "
+    "l_extendedprice. Average ranks come from a per-VALUE rollup "
+    "(rank(v) = count-below + (count-at+1)/2), so the window cumsum "
+    "runs over DISTINCT values partitioned by returnflag -- parallel "
+    "across partitions, tie order can never move the statistic. "
+    "Tie-corrected normal approximation: "
+    "var = na*nb/12 * ((n+1) - sum(t^3-t)/(n*(n-1))).",
+    oracle=f"""
+WITH v AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS val,
+         CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END AS is_a
+  FROM lineitem
+),
+pv AS (
+  SELECT flag, val, SUM(is_a)::BIGINT AS ca, COUNT(*)::BIGINT AS ct
+  FROM v GROUP BY flag, val
+),
+cum AS (
+  SELECT flag, val, ca, ct,
+         SUM(ct) OVER (PARTITION BY flag ORDER BY val
+                       ROWS UNBOUNDED PRECEDING) - ct AS below
+  FROM pv
+),
+agg AS (
+  SELECT flag,
+         SUM(ca)::DOUBLE AS na,
+         SUM(ct - ca)::DOUBLE AS nb,
+         SUM(ca * (below + (ct + 1) / 2.0)) AS r1,
+         SUM(ct * ct * ct - ct)::DOUBLE AS ties
+  FROM cum GROUP BY flag
+)
+SELECT flag,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       ROUND(r1 - na * (na + 1) / 2.0, 2) AS u_stat,
+       ROUND((r1 - na * (na + 1) / 2.0 - na * nb / 2.0)
+             / sqrt(na * nb / 12.0
+                    * ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1)))), 4) AS z
+FROM agg ORDER BY flag
+""",
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("val"),
+        (F.col("l_orderkey") % 2 == 1).cast("int").alias("is_a"),
+    )
+    pv = v.groupBy("flag", "val").agg(
+        F.sum("is_a").alias("ca"), F.count(F.lit(1)).alias("ct")
+    )
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pv.withColumn("below", F.sum("ct").over(w) - F.col("ct"))
+    agg = cum.groupBy("flag").agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum(F.col("ct") - F.col("ca")).cast("double").alias("nb"),
+        F.sum(F.col("ca") * (F.col("below") + (F.col("ct") + 1) / 2.0)).alias("r1"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("double")
+        .alias("ties"),
+    )
+    n = F.col("na") + F.col("nb")
+    u = F.col("r1") - F.col("na") * (F.col("na") + 1) / 2.0
+    var = (
+        F.col("na")
+        * F.col("nb")
+        / 12.0
+        * ((n + 1) - F.col("ties") / (n * (n - 1)))
+    )
+    return agg.select(
+        "flag",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(u, 2).alias("u_stat"),
+        F.round((u - F.col("na") * F.col("nb") / 2.0) / F.sqrt(var), 4).alias("z"),
+    ).orderBy("flag")
+
+
+@register(
+    "stats_anova_oneway",
+    doc="one-way ANOVA of order value across the five o_orderpriority "
+    "groups: SSB = sum n_g (mean_g - grand)^2, SSW = sum n_g "
+    "var_pop_g, F = (SSB/(k-1)) / (SSW/(n-k)), effect size eta^2 = "
+    "SSB/(SSB+SSW). One scan (per-group count/avg/var_pop rollup), "
+    "then arithmetic over k=5 rows -- both engines use stable one-pass "
+    "variance, so the round-4 statistic is engine-portable (the "
+    "Welch-t / delta-method precedent).",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp, COUNT(*)::DOUBLE AS n,
+         AVG(o_totalprice) AS m, var_pop(o_totalprice) AS v
+  FROM orders GROUP BY grp
+),
+t AS (SELECT SUM(n) AS nt, SUM(n * m) / SUM(n) AS gm, COUNT(*)::DOUBLE AS k FROM g),
+s AS (
+  SELECT MAX(k) AS k, MAX(nt) AS nt,
+         SUM(n * (m - gm) * (m - gm)) AS ssb,
+         SUM(n * v) AS ssw
+  FROM g CROSS JOIN t
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(nt AS BIGINT) AS n,
+       ROUND((ssb / (k - 1)) / (ssw / (nt - k)), {R}) AS f_stat,
+       ROUND(ssb / (ssb + ssw), 6) AS eta_sq
+FROM s
+""",
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    g = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("o_totalprice").alias("m"),
+        F.var_pop("o_totalprice").alias("v"),
+    )
+    t = g.agg(
+        F.sum("n").alias("nt"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    s = g.crossJoin(F.broadcast(t)).agg(
+        F.max("k").alias("k"),
+        F.max("nt").alias("nt"),
+        F.sum(F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))).alias("ssb"),
+        F.sum(F.col("n") * F.col("v")).alias("ssw"),
+    )
+    return s.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nt").cast("long").alias("n"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("nt") - F.col("k"))), R
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_sq"),
+    )
+
+
+@register(
+    "stats_spearman_corr",
+    doc="Spearman rank correlation (tie-aware average ranks) between "
+    "event value and hour-of-day, per event_type: rank maps built from "
+    "per-VALUE rollups (rank(v) = count-below + (count-at+1)/2, the "
+    "mann_whitney construction), joined back to rows, then Pearson "
+    "corr over the rank pairs. Windows partition by event_type over "
+    "DISTINCT values; the join back is an equi-shuffle on "
+    "(type, value) -- no global sort anywhere.",
+    oracle=f"""
+WITH v AS (
+  SELECT event_type AS et, "value" AS x, EXTRACT(hour FROM ts)::DOUBLE AS y
+  FROM events
+),
+rx AS (
+  SELECT et, x,
+         SUM(COUNT(*)) OVER (PARTITION BY et ORDER BY x
+                             ROWS UNBOUNDED PRECEDING)
+           - COUNT(*) + (COUNT(*) + 1) / 2.0 AS xr
+  FROM v GROUP BY et, x
+),
+ry AS (
+  SELECT et, y,
+         SUM(COUNT(*)) OVER (PARTITION BY et ORDER BY y
+                             ROWS UNBOUNDED PRECEDING)
+           - COUNT(*) + (COUNT(*) + 1) / 2.0 AS yr
+  FROM v GROUP BY et, y
+)
+SELECT v.et AS event_type,
+       COUNT(*)::BIGINT AS n,
+       ROUND(corr(xr, yr), {R}) AS spearman_rho
+FROM v JOIN rx ON rx.et = v.et AND rx.x = v.x
+       JOIN ry ON ry.et = v.et AND ry.y = v.y
+GROUP BY v.et ORDER BY v.et
+""",
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = ev.select(
+        F.col("event_type").alias("et"),
+        F.col("value").alias("x"),
+        F.hour("ts").cast("double").alias("y"),
+    )
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        w = (
+            Window.partitionBy("et")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            v.groupBy("et", col)
+            .agg(F.count(F.lit(1)).alias("ct"))
+            .withColumn(
+                out,
+                F.sum("ct").over(w) - F.col("ct") + (F.col("ct") + 1) / 2.0,
+            )
+            .drop("ct")
+        )
+
+    joined = v.join(rank_map("x", "xr"), ["et", "x"]).join(
+        rank_map("y", "yr"), ["et", "y"]
+    )
+    return (
+        joined.groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("xr", "yr"), R).alias("spearman_rho"),
+        )
+        .orderBy("event_type")
+    )

@@ -117,7 +117,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    events_new_vs_returning, orders_cohort_ltv,
     #    sample_neyman_allocation, dq_p_chart, agg_to_date_totals,
     #    sim_sparse_tfidf_pairs, graph_sssp_weighted, stats_runs_test,
-    #    dq_sequence_gaps, stats_delta_method_ci.
+    #    dq_sequence_gaps, stats_delta_method_ci. Session-3 additions
+    #    join the same r08 queue: stats_mann_whitney,
+    #    stats_anova_oneway, stats_spearman_corr.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -1,0 +1,116 @@
+"""Invariant tests for the r07 session-3 operators: each statistic is
+re-derived by an INDEPENDENT pure-Python brute force over the same
+parquet rows (fetched via DuckDB), so a shared-misconception bug in the
+Spark query + SQL oracle pair would still be caught here."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_SMALL, register_duck_views
+
+
+def _avg_ranks(values):
+    """value -> tie-averaged rank (1-based) over the full list."""
+    s = sorted(values)
+    ranks = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[s[i]] = (i + 1 + j) / 2.0
+        i = j
+    return ranks
+
+
+def test_mann_whitney_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT l_returnflag, l_extendedprice, l_orderkey % 2 = 1 FROM lineitem"
+    ).fetchall()
+    by_flag = {}
+    for flag, val, is_a in rows:
+        by_flag.setdefault(flag, []).append((val, is_a))
+    got = {
+        r["flag"]: r
+        for r in REGISTRY["stats_mann_whitney"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(by_flag)
+    for flag, pairs in by_flag.items():
+        ranks = _avg_ranks([v for v, _ in pairs])
+        na = sum(1 for _, a in pairs if a)
+        nb = len(pairs) - na
+        r1 = sum(ranks[v] for v, a in pairs if a)
+        u = r1 - na * (na + 1) / 2.0
+        n = na + nb
+        # tie term over value multiplicities
+        from collections import Counter
+
+        ties = sum(c**3 - c for c in Counter(v for v, _ in pairs).values())
+        var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+        z = (u - na * nb / 2.0) / math.sqrt(var)
+        assert got[flag]["n_a"] == na and got[flag]["n_b"] == nb
+        assert got[flag]["u_stat"] == pytest.approx(u, abs=0.011)
+        assert got[flag]["z"] == pytest.approx(z, abs=1e-3)
+
+
+def test_anova_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT o_orderpriority, o_totalprice FROM orders"
+    ).fetchall()
+    groups = {}
+    for g, x in rows:
+        groups.setdefault(g, []).append(x)
+    k, n = len(groups), len(rows)
+    gm = sum(x for xs in groups.values() for x in xs) / n
+    ssb = sum(len(xs) * (sum(xs) / len(xs) - gm) ** 2 for xs in groups.values())
+    ssw = sum(
+        sum((x - sum(xs) / len(xs)) ** 2 for x in xs) for xs in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    row = REGISTRY["stats_anova_oneway"].fn(spark, SF_SMALL).collect()[0]
+    assert row["k_groups"] == k and row["n"] == n
+    # query output is presentation-rounded (4 / 6 places)
+    assert row["f_stat"] == pytest.approx(f, abs=6e-5)
+    assert row["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=6e-7)
+
+
+def test_spearman_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        'SELECT event_type, "value", EXTRACT(hour FROM ts) FROM events'
+    ).fetchall()
+    by_type = {}
+    for et, x, y in rows:
+        by_type.setdefault(et, []).append((x, float(y)))
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_spearman_corr"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(by_type)
+    for et, pairs in by_type.items():
+        rx = _avg_ranks([x for x, _ in pairs])
+        ry = _avg_ranks([y for _, y in pairs])
+        xs = [rx[x] for x, _ in pairs]
+        ys = [ry[y] for _, y in pairs]
+        n = len(pairs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+        sx = math.sqrt(sum((a - mx) ** 2 for a in xs))
+        sy = math.sqrt(sum((b - my) ** 2 for b in ys))
+        rho = cov / (sx * sy)
+        assert got[et]["n"] == n
+        assert got[et]["spearman_rho"] == pytest.approx(rho, abs=1e-3)
