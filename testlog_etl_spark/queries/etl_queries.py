@@ -2917,3 +2917,105 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = ids.filter(F.col("doc_id") == 1).select(F.col("doc_id").alias("node"))
     out = sssp_bellman_ford(edges, seeds, n_rounds=6)
     return out.select("node", F.col("dist").cast("long").alias("dist")).orderBy("node")
+
+
+@register(
+    "graph_clustering_coefficient",
+    doc="local clustering coefficient per node on the undirected "
+    "event-transition graph: cc(v) = 2 T(v) / (deg(v) (deg(v)-1)), "
+    "triangles from the canonical a<b<c ordered two-path + closing "
+    "semi check (the graph_triangles construction -- each triangle "
+    "generated once), degree from the distinct edge set, nodes with "
+    "deg < 2 or zero triangles kept at cc = 0 via the left join. The "
+    "community-structure readout beside degree assortativity.",
+    oracle="""
+WITH raw AS (
+  SELECT prev_type AS a, event_type AS b FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  ) WHERE prev_type IS NOT NULL AND prev_type <> event_type
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tc AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY node
+)
+SELECT deg.node, deg.degree,
+       COALESCE(tc.n_triangles, 0) AS n_triangles,
+       ROUND(CASE WHEN deg.degree < 2 THEN 0.0
+                  ELSE 2.0 * COALESCE(tc.n_triangles, 0)
+                       / (deg.degree * (deg.degree - 1)) END, 4) AS clustering_coeff
+FROM deg LEFT JOIN tc ON tc.node = deg.node
+ORDER BY deg.node
+""",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            F.least("prev_type", "event_type").alias("u"),
+            F.greatest("prev_type", "event_type").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")), "left_semi")
+        .select("a", "b", "c")
+    )
+    tc = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tc, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1))
+                ),
+                4,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("node")
+    )

@@ -1144,3 +1144,184 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_LB_LAGS = tuple(range(1, 8))
+_LB_LAGCOLS = ",\n         ".join(f"lag(n, {k}) OVER w AS l{k}" for k in _LB_LAGS)
+_LB_UNION = "\n  UNION ALL ".join(
+    f"SELECT event_type, n, {k} AS lag, l{k} AS lx FROM l" for k in _LB_LAGS
+)
+
+
+@register(
+    "stats_ljung_box",
+    doc="Ljung-Box portmanteau test per event_type: ACF r_k for lags "
+    "1..7 of the daily event-count series with the standard "
+    "mean-centered estimator (num_k = sum (x_t - xbar)(x_{t-k} - "
+    "xbar), den = n var_pop), then the cumulative Q_m = n(n+2) "
+    "sum_{k<=m} r_k^2/(n-k) -- the is-this-white-noise screen run "
+    "after fitting any forecast model. One daily rollup, ONE lag "
+    "window pass producing all 7 lag columns (stack unpivots them), "
+    "per-type moments broadcast back; the Q cumsum runs over the "
+    "7-row-per-type lag grid (bounded frame).",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::DOUBLE AS n
+  FROM events GROUP BY event_type, day
+),
+m AS (
+  SELECT event_type, AVG(n) AS mu, COUNT(*)::DOUBLE AS nd,
+         var_pop(n) * COUNT(*) AS den
+  FROM d GROUP BY event_type
+),
+l AS (
+  SELECT event_type, n,
+         {_LB_LAGCOLS}
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+u AS (
+  {_LB_UNION}
+),
+r AS (
+  SELECT u.event_type, u.lag,
+         SUM((u.n - m.mu) * (u.lx - m.mu)) / MAX(m.den) AS rk,
+         MAX(m.nd) AS nd
+  FROM u JOIN m ON m.event_type = u.event_type
+  WHERE u.lx IS NOT NULL
+  GROUP BY u.event_type, u.lag
+)
+SELECT event_type, lag,
+       ROUND(rk, 4) AS acf,
+       ROUND(nd * (nd + 2)
+             * SUM(rk * rk / (nd - lag))
+               OVER (PARTITION BY event_type ORDER BY lag
+                     ROWS UNBOUNDED PRECEDING), 4) AS q_stat
+FROM r
+ORDER BY event_type, lag
+""",
+)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    m = d.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        (F.var_pop("n") * F.count(F.lit(1))).alias("den"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "n",
+        *[F.lag("n", k).over(w).alias(f"l{k}") for k in _LB_LAGS],
+    )
+    stack_args = ", ".join(f"{k}, l{k}" for k in _LB_LAGS)
+    u = l.selectExpr(
+        "event_type", "n", f"stack({len(_LB_LAGS)}, {stack_args}) as (lag, lx)"
+    ).filter(F.col("lx").isNotNull())
+    r = (
+        u.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "lag")
+        .agg(
+            (F.sum((F.col("n") - F.col("mu")) * (F.col("lx") - F.col("mu"))) / F.max("den")).alias("rk"),
+            F.max("nd").alias("nd"),
+        )
+    )
+    # the Q cumsum runs over the 7-row-per-type lag grid -- a bounded
+    # frame, never the data
+    wq = (
+        Window.partitionBy("event_type")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return r.select(
+        "event_type",
+        "lag",
+        F.round("rk", 4).alias("acf"),
+        F.round(
+            F.col("nd")
+            * (F.col("nd") + 2)
+            * F.sum(F.col("rk") * F.col("rk") / (F.col("nd") - F.col("lag"))).over(wq),
+            4,
+        ).alias("q_stat"),
+    ).orderBy("event_type", "lag")
+
+
+@register(
+    "ts_stl_decompose",
+    doc="additive trend/seasonal/residual decomposition of the daily "
+    "revenue series (STL-lite): trend = centered 7-day moving average "
+    "(only days with the full +-3 frame kept), seasonal = per-ISO-dow "
+    "mean of the detrended series re-centered to sum to zero over the "
+    "week, residual = the rest. The forecasting pre-read beside the "
+    "seasonal-index/holt queries. Day grid is calendar-bounded, so "
+    "the day-ordered window is a bounded frame; the dow profile is a "
+    "7-row broadcast.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY day
+),
+t AS (
+  SELECT day, rev,
+         AVG(rev) OVER w AS trend,
+         COUNT(*) OVER w AS fw
+  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full_t AS (SELECT day, rev, trend, rev - trend AS det FROM t WHERE fw = 7),
+s_raw AS (
+  SELECT CAST(isodow(day) AS INT) AS dow, AVG(det) AS s0
+  FROM full_t GROUP BY dow
+),
+s AS (SELECT dow, s0 - (SELECT AVG(s0) FROM s_raw) AS seasonal FROM s_raw)
+SELECT f.day, ROUND(f.rev, 2) AS rev, ROUND(f.trend, 4) AS trend,
+       ROUND(s.seasonal, 4) AS seasonal,
+       ROUND(f.det - s.seasonal, 4) AS residual
+FROM full_t f JOIN s ON s.dow = CAST(isodow(f.day) AS INT)
+ORDER BY f.day
+""",
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    # calendar-bounded series (one row per day): the day-ordered window
+    # is a bounded frame, not data-scaling
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day",
+        "rev",
+        F.avg("rev").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("fw"),
+    )
+    full_t = t.filter(F.col("fw") == 7).select(
+        "day", "rev", "trend", (F.col("rev") - F.col("trend")).alias("det")
+    )
+    s_raw = full_t.groupBy(
+        F.expr("extract(DAYOFWEEK_ISO FROM day)").cast("int").alias("dow")
+    ).agg(F.avg("det").alias("s0"))
+    smean = s_raw.agg(F.avg("s0").alias("sm"))
+    s = s_raw.crossJoin(F.broadcast(smean)).select(
+        "dow", (F.col("s0") - F.col("sm")).alias("seasonal")
+    )
+    return (
+        full_t.withColumn(
+            "dow", F.expr("extract(DAYOFWEEK_ISO FROM day)").cast("int")
+        )
+        .join(F.broadcast(s), "dow")
+        .select(
+            "day",
+            F.round("rev", 2).alias("rev"),
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round(F.col("det") - F.col("seasonal"), 4).alias("residual"),
+        )
+        .orderBy("day")
+    )

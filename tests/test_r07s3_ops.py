@@ -114,3 +114,91 @@ def test_spearman_matches_bruteforce(spark, duck):
         rho = cov / (sx * sy)
         assert got[et]["n"] == n
         assert got[et]["spearman_rho"] == pytest.approx(rho, abs=1e-3)
+
+
+def test_ljung_box_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) "
+        "FROM events GROUP BY event_type, d ORDER BY event_type, d"
+    ).fetchall()
+    series = {}
+    for et, _, n in rows:
+        series.setdefault(et, []).append(float(n))
+    got = {}
+    for r in REGISTRY["stats_ljung_box"].fn(spark, SF_SMALL).collect():
+        got[(r["event_type"], r["lag"])] = r
+    for et, xs in series.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        den = sum((x - mu) ** 2 for x in xs)
+        q = 0.0
+        for k in range(1, 8):
+            num = sum((xs[t] - mu) * (xs[t - k] - mu) for t in range(k, n))
+            rk = num / den
+            q += rk * rk / (n - k)
+            row = got[(et, k)]
+            assert row["acf"] == pytest.approx(rk, abs=1e-3)
+            assert row["q_stat"] == pytest.approx(n * (n + 2) * q, abs=5e-3)
+
+
+def test_stl_decompose_identity_and_trend(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["ts_stl_decompose"].fn(spark, SF_SMALL).collect()
+    assert len(rows) > 100
+    # additive identity: rev == trend + seasonal + residual (up to rounding)
+    for r in rows:
+        assert r["rev"] == pytest.approx(
+            r["trend"] + r["seasonal"] + r["residual"], abs=2e-3
+        )
+    # seasonal is a pure function of ISO dow, centered to ~0 over the week
+    by_dow = {}
+    for r in rows:
+        by_dow.setdefault(r["day"].isoweekday(), set()).add(r["seasonal"])
+    assert all(len(v) == 1 for v in by_dow.values())
+    assert sum(next(iter(v)) for v in by_dow.values()) == pytest.approx(0, abs=4e-3)
+
+
+def test_clustering_coeff_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    edges = duck.execute(
+        """
+        WITH raw AS (
+          SELECT prev_type AS a, event_type AS b FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events
+          ) WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        )
+        SELECT DISTINCT least(a,b), greatest(a,b) FROM raw
+        """
+    ).fetchall()
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    got = {
+        r["node"]: r
+        for r in REGISTRY["graph_clustering_coefficient"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(adj)
+    for node, nbrs in adj.items():
+        deg = len(nbrs)
+        tri = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and y in adj[x]
+        )
+        cc = 0.0 if deg < 2 else 2.0 * tri / (deg * (deg - 1))
+        assert got[node]["degree"] == deg
+        assert got[node]["n_triangles"] == tri
+        assert got[node]["clustering_coeff"] == pytest.approx(cc, abs=1e-3)

@@ -68,6 +68,11 @@ WHITELIST: dict[str, str] = {
         "per-source ROLLUP frame -- a fixed small domain (~20 sources), "
         "not data-scaling; the corpus-scale work is the one rollup shuffle"
     ),
+    "ts_stl_decompose": (
+        "centered 7-day moving average runs over the per-DAY revenue "
+        "rollup -- frame bounded by the calendar span (one row per "
+        "day), the stats_runs_test rationale"
+    ),
     "eval_score_auc": (
         "cumulative window over DISTINCT grid-snapped scores: frame is "
         "bounded by the 2^20 grid, never the document count; at extreme "
