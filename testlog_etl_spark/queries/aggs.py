@@ -1611,3 +1611,58 @@ def agg_to_date_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ytd_orders",
         "ytd_revenue",
     )
+
+
+@register(
+    "agg_theil_index",
+    doc="Theil inequality indexes of customer revenue per market "
+    "segment: T = (1/n) sum (x/mu) ln(x/mu) (top-sensitive) and "
+    "L = mean log deviation (1/n) sum ln(mu/x) (bottom-sensitive), "
+    "x = per-customer revenue. The decomposable complement to the "
+    "gini/HHI/ABC concentration family. Two-level rollup "
+    "(customer, then segment) + a broadcast of the 5 segment means -- "
+    "no sort, no window.",
+    oracle="""
+WITH cx AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey AS cust,
+         SUM(o.o_totalprice) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY seg, cust
+),
+m AS (SELECT seg, COUNT(*)::DOUBLE AS n, AVG(x) AS mu FROM cx GROUP BY seg)
+SELECT cx.seg AS segment,
+       CAST(MAX(m.n) AS BIGINT) AS n_customers,
+       ROUND(SUM((cx.x / m.mu) * ln(cx.x / m.mu)) / MAX(m.n), 4) AS theil_t,
+       ROUND(SUM(ln(m.mu / cx.x)) / MAX(m.n), 4) AS theil_l
+FROM cx JOIN m ON m.seg = cx.seg
+GROUP BY cx.seg
+ORDER BY segment
+""",
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    cx = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("cust"))
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    m = cx.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("x").alias("mu")
+    )
+    return (
+        cx.join(F.broadcast(m), "seg")
+        .groupBy(F.col("seg").alias("segment"))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.round(
+                F.sum((F.col("x") / F.col("mu")) * F.log(F.col("x") / F.col("mu")))
+                / F.max("n"),
+                4,
+            ).alias("theil_t"),
+            F.round(F.sum(F.log(F.col("mu") / F.col("x"))) / F.max("n"), 4).alias(
+                "theil_l"
+            ),
+        )
+        .orderBy("segment")
+    )

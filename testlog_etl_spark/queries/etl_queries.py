@@ -3019,3 +3019,64 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@register(
+    "etl_quarantine_badrecords",
+    doc="rules-engine row routing (the quarantine half of a "
+    "validate-then-load ETL): each event is checked against three "
+    "declarative rules (value spike > 450, props.k >= 90, weekend "
+    "purchase); rows firing ANY rule are quarantined with their full "
+    "sorted reason set. The driver-facing readout aggregates the "
+    "quarantine by reason combination (bounded: 2^3 combos) with an "
+    "offender sample; at 100 TB the same lineage writes the "
+    "quarantined rows to a side sink instead -- the rule columns are "
+    "pure codegen, one scan, no shuffle before the tiny rollup.",
+    oracle="""
+WITH flags AS (
+  SELECT event_id,
+         CASE WHEN "value" > 450 THEN 1 ELSE 0 END AS r_spike,
+         CASE WHEN CAST(json_extract_string(props, 'k') AS BIGINT) >= 90 THEN 1 ELSE 0 END AS r_k,
+         CASE WHEN event_type = 'purchase' AND isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS r_wknd
+  FROM events
+),
+q AS (
+  SELECT event_id,
+         array_to_string(list_filter(
+           [CASE WHEN r_spike = 1 THEN 'value_spike' END,
+            CASE WHEN r_k = 1 THEN 'props_k_high' END,
+            CASE WHEN r_wknd = 1 THEN 'weekend_purchase' END], x -> x IS NOT NULL), ',') AS reasons
+  FROM flags WHERE r_spike + r_k + r_wknd > 0
+)
+SELECT reasons, CAST(count(*) AS BIGINT) AS n_rows,
+       MIN(event_id) AS sample_event_id
+FROM q GROUP BY reasons ORDER BY reasons
+""",
+)
+def etl_quarantine_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    r_spike = F.when(F.col("value") > 450, F.lit("value_spike"))
+    r_k = F.when(
+        F.get_json_object("props", "$.k").cast("long") >= 90, F.lit("props_k_high")
+    )
+    r_wknd = F.when(
+        (F.col("event_type") == "purchase")
+        & (F.expr("extract(DAYOFWEEK_ISO FROM CAST(ts AS DATE))") >= 6),
+        F.lit("weekend_purchase"),
+    )
+    q = (
+        ev.select(
+            "event_id",
+            F.array_compact(F.array(r_spike, r_k, r_wknd)).alias("fired"),
+        )
+        .filter(F.size("fired") > 0)
+        .select("event_id", F.array_join("fired", ",").alias("reasons"))
+    )
+    return (
+        q.groupBy("reasons")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("sample_event_id"),
+        )
+        .orderBy("reasons")
+    )

@@ -4821,3 +4821,95 @@ def sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.3)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "eval_pr_curve",
+    doc="precision/recall/F1 curve of the quality-score model against "
+    "the is-English label over a fixed 19-point threshold grid "
+    "(t = i/20): scores snapped to the 2^-20 grid (the AUC pairing), "
+    "rolled up PER DISTINCT SCORE first, then a broadcast non-equi "
+    "join against the 19-row grid -- the curve costs one rollup "
+    "shuffle however large the corpus; the grid side is constant.",
+    oracle=f"""
+WITH sc AS (
+  SELECT floor((1.0 / (1.0 + exp(-({_quality_z_sql()})))) * 1048576 + 0.5) / 1048576 AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+g AS (
+  SELECT s, SUM(y)::DOUBLE AS np, SUM(1 - y)::DOUBLE AS nn FROM sc GROUP BY s
+),
+tot AS (SELECT SUM(np) AS p, SUM(nn) AS n FROM g),
+grid AS (SELECT unnest(range(1, 20)) AS i),
+cell AS (
+  SELECT grid.i,
+         SUM(g.np) FILTER (WHERE g.s >= grid.i / 20.0) AS tp,
+         SUM(g.nn) FILTER (WHERE g.s >= grid.i / 20.0) AS fp
+  FROM grid CROSS JOIN g
+  GROUP BY grid.i
+)
+SELECT ROUND(i / 20.0, 2) AS threshold,
+       CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+       CAST(COALESCE(fp, 0) AS BIGINT) AS fp,
+       ROUND(COALESCE(tp / NULLIF(tp + fp, 0), 0), 4) AS precision,
+       ROUND(COALESCE(tp, 0) / p, 4) AS recall,
+       ROUND(COALESCE(2 * tp / NULLIF(2 * tp + fp + (p - COALESCE(tp, 0)), 0), 0), 4) AS f1
+FROM cell CROSS JOIN tot
+ORDER BY threshold
+""",
+)
+def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import filtering
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    gsnap = F.lit(float(1 << 20))
+    snapped = (
+        F.floor(filtering.linear_quality_score(F.col("text")) * gsnap + F.lit(0.5))
+        / gsnap
+    )
+    sc = docs.select(
+        snapped.alias("s"), (F.col("lang") == "en").cast("int").alias("y")
+    )
+    g = sc.groupBy("s").agg(
+        F.sum("y").cast("double").alias("np"),
+        F.sum(1 - F.col("y")).cast("double").alias("nn"),
+    )
+    tot = g.agg(F.sum("np").alias("p"), F.sum("nn").alias("n"))
+    grid = spark.range(1, 20).select(F.col("id").cast("int").alias("i"))
+    cell = (
+        g.crossJoin(F.broadcast(grid))
+        .groupBy("i")
+        .agg(
+            F.sum(F.when(F.col("s") >= F.col("i") / 20.0, F.col("np"))).alias("tp"),
+            F.sum(F.when(F.col("s") >= F.col("i") / 20.0, F.col("nn"))).alias("fp"),
+        )
+    )
+    tp0 = F.coalesce(F.col("tp"), F.lit(0.0))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("i") / 20.0, 2).alias("threshold"),
+            tp0.cast("long").alias("tp"),
+            F.coalesce(F.col("fp"), F.lit(0.0)).cast("long").alias("fp"),
+            F.round(
+                F.coalesce(F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0.0)), F.lit(0.0)),
+                4,
+            ).alias("precision"),
+            F.round(tp0 / F.col("p"), 4).alias("recall"),
+            F.round(
+                F.coalesce(
+                    2 * F.col("tp")
+                    / F.nullif(
+                        2 * F.col("tp") + F.col("fp") + (F.col("p") - tp0), F.lit(0.0)
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("f1"),
+        )
+        .orderBy("threshold")
+    )

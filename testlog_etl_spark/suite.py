@@ -120,7 +120,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    dq_sequence_gaps, stats_delta_method_ci. Session-3 additions
     #    join the same r08 queue: stats_mann_whitney,
     #    stats_anova_oneway, stats_spearman_corr, stats_ljung_box,
-    #    ts_stl_decompose, graph_clustering_coefficient.
+    #    ts_stl_decompose, graph_clustering_coefficient,
+    #    agg_theil_index, eval_pr_curve, etl_quarantine_badrecords.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -202,3 +202,82 @@ def test_clustering_coeff_matches_bruteforce(spark, duck):
         assert got[node]["degree"] == deg
         assert got[node]["n_triangles"] == tri
         assert got[node]["clustering_coeff"] == pytest.approx(cc, abs=1e-3)
+
+
+def test_theil_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT c.c_mktsegment, o.o_custkey, SUM(o.o_totalprice) FROM orders o "
+        "JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY 1, 2"
+    ).fetchall()
+    by_seg = {}
+    for seg, _, x in rows:
+        by_seg.setdefault(seg, []).append(x)
+    got = {
+        r["segment"]: r
+        for r in REGISTRY["agg_theil_index"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(by_seg)
+    for seg, xs in by_seg.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        t = sum((x / mu) * math.log(x / mu) for x in xs) / n
+        l = sum(math.log(mu / x) for x in xs) / n
+        assert got[seg]["n_customers"] == n
+        assert got[seg]["theil_t"] == pytest.approx(t, abs=1e-3)
+        assert got[seg]["theil_l"] == pytest.approx(l, abs=1e-3)
+
+
+def test_pr_curve_invariants(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["eval_pr_curve"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 19
+    recalls = [r["recall"] for r in rows]
+    # predicted-positive set shrinks as the threshold rises
+    assert recalls == sorted(recalls, reverse=True)
+    tps = [r["tp"] for r in rows]
+    assert tps == sorted(tps, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["precision"] <= 1.0
+        assert 0.0 <= r["recall"] <= 1.0
+        assert 0.0 <= r["f1"] <= 1.0
+        # F1 is the harmonic mean of P and R (up to rounding)
+        if r["precision"] + r["recall"] > 0:
+            want = 2 * r["precision"] * r["recall"] / (r["precision"] + r["recall"])
+            assert r["f1"] == pytest.approx(want, abs=2e-3)
+
+
+def test_quarantine_matches_bruteforce(spark, duck):
+    import datetime as dt
+    import json
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        'SELECT event_id, "value", props, event_type, CAST(ts AS DATE) FROM events'
+    ).fetchall()
+    want = {}
+    for eid, val, props, et, day in rows:
+        fired = []
+        if val > 450:
+            fired.append("value_spike")
+        if json.loads(props).get("k", -1) >= 90:
+            fired.append("props_k_high")
+        if et == "purchase" and day.isoweekday() >= 6:
+            fired.append("weekend_purchase")
+        if fired:
+            key = ",".join(fired)
+            n, s = want.get(key, (0, None))
+            want[key] = (n + 1, eid if s is None else min(s, eid))
+    got = {
+        r["reasons"]: (r["n_rows"], r["sample_event_id"])
+        for r in REGISTRY["etl_quarantine_badrecords"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
