@@ -3080,3 +3080,94 @@ def etl_quarantine_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("reasons")
     )
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Chained-CTE replay of the synchronous deterministic LPA rounds:
+    each round re-labels every node with its neighbors' most frequent
+    label, ties broken by MIN label -- same tie rule both engines."""
+    parts = [
+        """
+WITH raw AS (
+  SELECT prev_type AS a, event_type AS b FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  ) WHERE prev_type IS NOT NULL AND prev_type <> event_type
+),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw),
+ed AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{r} AS (
+  SELECT ed.dst AS node, l.label, count(*) AS c
+  FROM ed JOIN l{r - 1} l ON l.node = ed.src
+  GROUP BY ed.dst, l.label
+),
+l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, label AS community FROM l{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    doc="deterministic synchronous label propagation (3 rounds) on the "
+    "undirected event-transition graph: every node re-labels to its "
+    "neighbors' most frequent label, ties broken by MIN label -- the "
+    "standard LPA community heuristic made replayable (no random "
+    "visit order). Each round is one (dst, label) count shuffle + a "
+    "degree-bounded per-node pick window; rounds chain as plan "
+    "lineage, no driver loop state. Oracle replays the identical "
+    "rounds as chained CTEs.",
+    oracle=_lpa_oracle(),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            F.least("prev_type", "event_type").alias("u"),
+            F.greatest("prev_type", "event_type").alias("v"),
+        )
+        .distinct()
+    )
+    ed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    wp = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(3):
+        cnt = (
+            ed.join(labels, ed.src == labels.node)
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.select(F.col("n2").alias("node"), "label", "c")
+            .withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select("node", F.col("label").alias("community")).orderBy("node")

@@ -1325,3 +1325,202 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ts_cusum_drift",
+    doc="one-sided tabular CUSUM drift detector per event_type on the "
+    "daily value-sum series: s_hi_t = max(0, s_hi_{t-1} + ((x_t - mu) "
+    "- k)), s_lo symmetric, slack k = 0.5 sigma, alarm line h = 4 "
+    "sigma. The recursion has no associative restatement (the max(0,.) "
+    "clamp), so it runs as the honest applyInPandas fold -- "
+    "sequential within a type, parallel across types (the holt_linear "
+    "playbook); the oracle replays the identical op order as a "
+    "recursive CTE. Daily sums are rounded to 6 places and mu/k/h "
+    "snapped BEFORE the fold on both engines, so the recursion is "
+    "bit-exact cross-engine and alarm counts can never flip on ulps.",
+    oracle=f"""
+WITH RECURSIVE
+d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM("value"), 6) AS x
+  FROM events GROUP BY event_type, day
+),
+s AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM d
+),
+p AS (
+  SELECT event_type,
+         floor(AVG(x) * 1048576 + 0.5) / 1048576 AS mu,
+         floor(stddev_pop(x) * 524288 + 0.5) / 1048576 AS k,
+         floor(stddev_pop(x) * 4194304 + 0.5) / 1048576 AS h,
+         max(i) AS n
+  FROM s GROUP BY event_type
+),
+rec AS (
+  SELECT p.event_type, 1 AS i,
+         greatest(0.0, (s.x - p.mu) - p.k) AS s_hi,
+         greatest(0.0, (p.mu - s.x) - p.k) AS s_lo,
+         CASE WHEN greatest(0.0, (s.x - p.mu) - p.k) > p.h THEN 1 ELSE 0 END AS a_hi,
+         CASE WHEN greatest(0.0, (p.mu - s.x) - p.k) > p.h THEN 1 ELSE 0 END AS a_lo
+  FROM p JOIN s ON s.event_type = p.event_type AND s.i = 1
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         greatest(0.0, r.s_hi + ((s.x - p.mu) - p.k)),
+         greatest(0.0, r.s_lo + ((p.mu - s.x) - p.k)),
+         r.a_hi + CASE WHEN greatest(0.0, r.s_hi + ((s.x - p.mu) - p.k)) > p.h THEN 1 ELSE 0 END,
+         r.a_lo + CASE WHEN greatest(0.0, r.s_lo + ((p.mu - s.x) - p.k)) > p.h THEN 1 ELSE 0 END
+  FROM rec r
+  JOIN p ON p.event_type = r.event_type
+  JOIN s ON s.event_type = r.event_type AND s.i = r.i + 1
+)
+SELECT r.event_type,
+       CAST(p.n AS BIGINT) AS n_days,
+       CAST(r.a_hi AS BIGINT) AS n_alarms_hi,
+       CAST(r.a_lo AS BIGINT) AS n_alarms_lo,
+       ROUND(r.s_hi, {R}) AS final_s_hi,
+       ROUND(r.s_lo, {R}) AS final_s_lo
+FROM rec r JOIN p ON p.event_type = r.event_type AND r.i = p.n
+ORDER BY r.event_type
+""",
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    g = F.lit(float(1 << 20))
+    p = d.groupBy("event_type").agg(
+        (F.floor(F.avg("x") * g + 0.5) / g).alias("mu"),
+        (F.floor(F.stddev_pop("x") * float(1 << 19) + 0.5) / g).alias("k"),
+        (F.floor(F.stddev_pop("x") * float(1 << 22) + 0.5) / g).alias("h"),
+    )
+    slim = d.join(F.broadcast(p), "event_type")
+    out_schema = (
+        "event_type string, n_days long, n_alarms_hi long, n_alarms_lo long, "
+        "_s_hi double, _s_lo double"
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        mu = float(pdf["mu"].iloc[0])
+        k = float(pdf["k"].iloc[0])
+        h = float(pdf["h"].iloc[0])
+        s_hi = s_lo = 0.0
+        a_hi = a_lo = 0
+        for x in (float(v) for v in pdf["x"]):
+            s_hi = max(0.0, s_hi + ((x - mu) - k))
+            s_lo = max(0.0, s_lo + ((mu - x) - k))
+            if s_hi > h:
+                a_hi += 1
+            if s_lo > h:
+                a_lo += 1
+        return pd.DataFrame(
+            [(pdf["event_type"].iloc[0], len(pdf), a_hi, a_lo, s_hi, s_lo)],
+            columns=[
+                "event_type", "n_days", "n_alarms_hi", "n_alarms_lo", "_s_hi", "_s_lo",
+            ],
+        )
+
+    return (
+        slim.groupBy("event_type")
+        .applyInPandas(fold, out_schema)
+        .select(
+            "event_type",
+            "n_days",
+            "n_alarms_hi",
+            "n_alarms_lo",
+            F.round("_s_hi", R).alias("final_s_hi"),
+            F.round("_s_lo", R).alias("final_s_lo"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_theilsen_slope",
+    doc="Theil-Sen robust trend per event_type: median of all pairwise "
+    "slopes (x_j - x_i)/(j - i) over the day-indexed daily value-sum "
+    "series, intercept = median(x_i - slope * i). The outlier-proof "
+    "alternative to stats_ols_trend. The pair self-join is "
+    "CALENDAR-bounded (one row per day per type: ~30x30 pairs per "
+    "type whatever the row count), daily sums rounded to 6 before "
+    "pairing and the slope rounded to 6 before the intercept pass, so "
+    "both medians interpolate identical value sets (the certified "
+    "percentile<->quantile_cont pairing).",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM("value"), 6) AS x
+  FROM events GROUP BY event_type, day
+),
+s AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM d
+),
+sl AS (
+  SELECT a.event_type,
+         ROUND(quantile_cont((b.x - a.x) / (b.i - a.i), 0.5), 6) AS slope,
+         COUNT(*)::BIGINT AS n_pairs
+  FROM s a JOIN s b ON b.event_type = a.event_type AND b.i > a.i
+  GROUP BY a.event_type
+)
+SELECT s.event_type,
+       CAST(MAX(s.i) AS BIGINT) AS n_days,
+       MAX(sl.n_pairs) AS n_pairs,
+       MAX(sl.slope) AS sen_slope,
+       ROUND(quantile_cont(s.x - sl.slope * s.i, 0.5), 4) AS sen_intercept
+FROM s JOIN sl ON sl.event_type = s.event_type
+GROUP BY s.event_type
+ORDER BY s.event_type
+""",
+)
+def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    s = d.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    a = s.select(
+        F.col("event_type").alias("et"), F.col("x").alias("xa"), F.col("i").alias("ia")
+    )
+    b = s.select(
+        F.col("event_type").alias("et"), F.col("x").alias("xb"), F.col("i").alias("ib")
+    )
+    sl = (
+        a.join(b, "et")
+        .filter(F.col("ib") > F.col("ia"))
+        .groupBy("et")
+        .agg(
+            F.round(
+                F.expr("percentile((xb - xa) / (ib - ia), 0.5)"), 6
+            ).alias("slope"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return (
+        s.join(F.broadcast(sl), s.event_type == sl.et)
+        .groupBy("event_type")
+        .agg(
+            F.max("i").cast("long").alias("n_days"),
+            F.max("n_pairs").alias("n_pairs"),
+            F.max("slope").alias("sen_slope"),
+            F.round(
+                F.expr("percentile(x - slope * i, 0.5)"), 4
+            ).alias("sen_intercept"),
+        )
+        .orderBy("event_type")
+    )

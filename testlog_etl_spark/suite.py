@@ -121,7 +121,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    join the same r08 queue: stats_mann_whitney,
     #    stats_anova_oneway, stats_spearman_corr, stats_ljung_box,
     #    ts_stl_decompose, graph_clustering_coefficient,
-    #    agg_theil_index, eval_pr_curve, etl_quarantine_badrecords.
+    #    agg_theil_index, eval_pr_curve, etl_quarantine_badrecords,
+    #    ts_cusum_drift, ts_theilsen_slope, graph_label_propagation.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

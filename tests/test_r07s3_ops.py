@@ -281,3 +281,118 @@ def test_quarantine_matches_bruteforce(spark, duck):
         for r in REGISTRY["etl_quarantine_badrecords"].fn(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def test_cusum_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "ROUND(SUM(\"value\"), 6) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, x in rows:
+        series.setdefault(et, []).append(x)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_cusum_drift"].fn(spark, SF_SMALL).collect()
+    }
+    for et, xs in series.items():
+        n = len(xs)
+        mu0 = sum(xs) / n
+        var = sum((x - mu0) ** 2 for x in xs) / n
+        sd = math.sqrt(var)
+        g = float(1 << 20)
+        mu = math.floor(mu0 * g + 0.5) / g
+        k = math.floor(sd * (1 << 19) + 0.5) / g
+        h = math.floor(sd * (1 << 22) + 0.5) / g
+        s_hi = s_lo = 0.0
+        a_hi = a_lo = 0
+        for x in xs:
+            s_hi = max(0.0, s_hi + ((x - mu) - k))
+            s_lo = max(0.0, s_lo + ((mu - x) - k))
+            a_hi += s_hi > h
+            a_lo += s_lo > h
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["n_alarms_hi"] == a_hi and r["n_alarms_lo"] == a_lo
+        assert r["final_s_hi"] == pytest.approx(s_hi, abs=1e-3)
+        assert r["final_s_lo"] == pytest.approx(s_lo, abs=1e-3)
+
+
+def test_theilsen_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "ROUND(SUM(\"value\"), 6) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, x in rows:
+        series.setdefault(et, []).append(x)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_theilsen_slope"].fn(spark, SF_SMALL).collect()
+    }
+    for et, xs in series.items():
+        n = len(xs)
+        slopes = [
+            (xs[j] - xs[i]) / (j - i)
+            for i in range(n)
+            for j in range(i + 1, n)
+        ]
+        slope = round(_median(slopes), 6)
+        icepts = [xs[i] - slope * (i + 1) for i in range(n)]
+        r = got[et]
+        assert r["n_days"] == n and r["n_pairs"] == len(slopes)
+        assert r["sen_slope"] == pytest.approx(slope, abs=2e-6)
+        assert r["sen_intercept"] == pytest.approx(_median(icepts), abs=1e-3)
+
+
+def test_lpa_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    edges = duck.execute(
+        """
+        WITH raw AS (
+          SELECT prev_type AS a, event_type AS b FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events
+          ) WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        )
+        SELECT DISTINCT least(a,b), greatest(a,b) FROM raw
+        """
+    ).fetchall()
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+            # tie -> min label: max on (count, reverse-lexicographic)
+            new[n] = best[0]
+        labels = new
+    got = {
+        r["node"]: r["community"]
+        for r in REGISTRY["graph_label_propagation"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == labels
