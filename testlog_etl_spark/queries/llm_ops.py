@@ -4913,3 +4913,48 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "text_hapax_ratio",
+    doc="hapax legomena profile per source: vocabulary size, share of "
+    "terms occurring exactly once within the source, and the hapax "
+    "share of total token mass -- the vocabulary-health companion to "
+    "the Zipf/Heaps fits (a high hapax share flags OCR noise or "
+    "boilerplate-stripped corpora). One (source, term) count rollup; "
+    "everything else is integer arithmetic over per-source rollups.",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')) AS term
+  FROM documents
+),
+tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM tok GROUP BY source, term)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(count(*) FILTER (WHERE tf = 1) AS BIGINT) AS hapax,
+       CAST(SUM(tf) AS BIGINT) AS token_mass,
+       ROUND(count(*) FILTER (WHERE tf = 1) * 1.0 / count(*), 4) AS hapax_vocab_share,
+       ROUND(count(*) FILTER (WHERE tf = 1) * 1.0 / SUM(tf), 4) AS hapax_token_share
+FROM tf GROUP BY source ORDER BY source
+""",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(
+        "source",
+        F.explode(textstats.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    hapax = F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            hapax.alias("hapax"),
+            F.sum("tf").alias("token_mass"),
+            F.round(hapax * 1.0 / F.count(F.lit(1)), 4).alias("hapax_vocab_share"),
+            F.round(hapax * 1.0 / F.sum("tf"), 4).alias("hapax_token_share"),
+        )
+        .orderBy("source")
+    )

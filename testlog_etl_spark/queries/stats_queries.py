@@ -988,3 +988,212 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_kendall_tau",
+    doc="Kendall tau-b per event_type between the daily value-sum and "
+    "daily event-count series: all-pairs concordant/discordant/tie "
+    "counts over the day-indexed rollup -- the pair self-join is "
+    "CALENDAR-bounded (one row per day per type; ~30x30 pairs "
+    "whatever the raw row count), counts are exact integers, "
+    "tau_b = (C - D)/sqrt((n0 - n1)(n0 - n2)) with the standard tie "
+    "corrections. The rank-correlation complement to spearman_corr "
+    "when the series have heavy ties.",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM("value"), 6) AS x, count(*)::BIGINT AS y
+  FROM events GROUP BY event_type, day
+),
+s AS (
+  SELECT event_type, x, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM d
+),
+pairs AS (
+  SELECT a.event_type,
+         SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END)::BIGINT AS c,
+         SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END)::BIGINT AS disc,
+         SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END)::BIGINT AS n1,
+         SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END)::BIGINT AS n2,
+         COUNT(*)::BIGINT AS n0,
+         MAX(a.i) AS _na
+  FROM s a JOIN s b ON b.event_type = a.event_type AND b.i > a.i
+  GROUP BY a.event_type
+),
+n AS (SELECT event_type, max(i) AS n_days FROM s GROUP BY event_type)
+SELECT p.event_type, CAST(n.n_days AS BIGINT) AS n_days,
+       p.c AS concordant, p.disc AS discordant,
+       ROUND((p.c - p.disc) / sqrt((p.n0 - p.n1) * (p.n0 - p.n2)), {R}) AS tau_b
+FROM pairs p JOIN n ON n.event_type = p.event_type
+ORDER BY p.event_type
+""",
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum("value"), 6).alias("x"), F.count(F.lit(1)).alias("y")
+    )
+    s = d.select(
+        "event_type",
+        "x",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    a = s.select(
+        F.col("event_type").alias("et"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("i").alias("ia"),
+    )
+    b = s.select(
+        F.col("event_type").alias("et"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("i").alias("ib"),
+    )
+    dx = F.col("xb") - F.col("xa")
+    dy = (F.col("yb") - F.col("ya")).cast("double")
+    pairs = (
+        a.join(b, "et")
+        .filter(F.col("ib") > F.col("ia"))
+        .groupBy("et")
+        .agg(
+            F.sum(F.when(dx * dy > 0, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(dx * dy < 0, 1).otherwise(0)).alias("disc"),
+            F.sum(F.when(F.col("xb") == F.col("xa"), 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("yb") == F.col("ya"), 1).otherwise(0)).alias("n2"),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+    n = s.groupBy("event_type").agg(F.max("i").alias("n_days"))
+    return (
+        pairs.join(n, pairs.et == n.event_type)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("c").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            F.round(
+                (F.col("c") - F.col("disc"))
+                / F.sqrt(
+                    ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n2"))).cast(
+                        "double"
+                    )
+                ),
+                R,
+            ).alias("tau_b"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Abramowitz-Stegun 7.1.26 erfc -- the SAME formula string on both
+# engines (p-values are approximations by construction; determinism
+# comes from identical expression trees + the round-6 presentation)
+_AS_ERFC = (
+    "(0.254829592 * {t} - 0.284496736 * pow({t}, 2) + 1.421413741 * pow({t}, 3)"
+    " - 1.453152027 * pow({t}, 4) + 1.061405429 * pow({t}, 5)) * exp(-({x}) * ({x}))"
+)
+
+
+@register(
+    "stats_benjamini_hochberg",
+    doc="Benjamini-Hochberg FDR step-up over the family of per-"
+    "event_type Welch z-tests (odd/even user_id arms on value): "
+    "two-sided p from the Abramowitz-Stegun 7.1.26 erfc "
+    "approximation evaluated as the IDENTICAL expression tree on "
+    "both engines, ranked ascending over the m=5 family (bounded "
+    "frame), rejected iff rank <= max{{k: p_k <= k q / m}} at "
+    "q = 0.10. The multiple-testing gate the chi2/KS/t family feeds.",
+    oracle=f"""
+WITH arms AS (
+  SELECT event_type, user_id % 2 AS arm,
+         COUNT(*)::DOUBLE AS n, AVG("value") AS m, var_samp("value") AS v
+  FROM events GROUP BY event_type, arm
+),
+z AS (
+  SELECT a1.event_type,
+         (a1.m - a0.m) / sqrt(a1.v / a1.n + a0.v / a0.n) AS z
+  FROM arms a1 JOIN arms a0
+    ON a0.event_type = a1.event_type AND a1.arm = 1 AND a0.arm = 0
+),
+p AS (
+  SELECT event_type, z,
+         ROUND({_AS_ERFC.format(t="(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))", x="abs(z) / sqrt(2.0)")}, 6) AS pv
+  FROM z
+),
+r AS (
+  SELECT event_type, z, pv,
+         ROW_NUMBER() OVER (ORDER BY pv, event_type) AS k,
+         COUNT(*) OVER () AS m
+  FROM p
+),
+kmax AS (
+  SELECT COALESCE(MAX(CASE WHEN pv * m <= k * 0.10 THEN k END), 0) AS km FROM r
+)
+SELECT r.event_type, ROUND(r.z, 4) AS z, r.pv AS p_value,
+       CAST(r.k AS BIGINT) AS p_rank,
+       ROUND(r.k * 0.10 / r.m, 6) AS bh_cutoff,
+       r.k <= kmax.km AS rejected
+FROM r CROSS JOIN kmax
+ORDER BY r.event_type
+""",
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    arms = ev.groupBy("event_type", (F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        "event_type", F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        "event_type", F.col("n").alias("n0"), F.col("m").alias("m0"), F.col("v").alias("v0")
+    )
+    z = a1.join(a0, "event_type").select(
+        "event_type",
+        (
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0"))
+        ).alias("z"),
+    )
+    erfc = _AS_ERFC.format(
+        t="(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))",
+        x="abs(z) / sqrt(2.0)",
+    )
+    p = z.select("event_type", "z", F.round(F.expr(erfc), 6).alias("pv"))
+    # family rank runs over the m=5 event types -- a fixed tiny frame
+    wk = Window.orderBy("pv", "event_type")
+    r = p.select(
+        "event_type",
+        "z",
+        "pv",
+        F.row_number().over(wk).alias("k"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    kmax = r.agg(
+        F.coalesce(
+            F.max(F.when(F.col("pv") * F.col("m") <= F.col("k") * 0.10, F.col("k"))),
+            F.lit(0),
+        ).alias("km")
+    )
+    return (
+        r.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            F.round("z", 4).alias("z"),
+            F.col("pv").alias("p_value"),
+            F.col("k").cast("long").alias("p_rank"),
+            F.round(F.col("k") * 0.10 / F.col("m"), 6).alias("bh_cutoff"),
+            (F.col("k") <= F.col("km")).alias("rejected"),
+        )
+        .orderBy("event_type")
+    )

@@ -122,7 +122,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_anova_oneway, stats_spearman_corr, stats_ljung_box,
     #    ts_stl_decompose, graph_clustering_coefficient,
     #    agg_theil_index, eval_pr_curve, etl_quarantine_badrecords,
-    #    ts_cusum_drift, ts_theilsen_slope, graph_label_propagation.
+    #    ts_cusum_drift, ts_theilsen_slope, graph_label_propagation,
+    #    stats_kendall_tau, stats_benjamini_hochberg, text_hapax_ratio.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -396,3 +396,92 @@ def test_lpa_matches_bruteforce(spark, duck):
         for r in REGISTRY["graph_label_propagation"].fn(spark, SF_SMALL).collect()
     }
     assert got == labels
+
+
+def test_kendall_tau_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "ROUND(SUM(\"value\"), 6), count(*) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, x, y in rows:
+        series.setdefault(et, []).append((x, y))
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_kendall_tau"].fn(spark, SF_SMALL).collect()
+    }
+    for et, pts in series.items():
+        n = len(pts)
+        c = d = n1 = n2 = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = pts[j][0] - pts[i][0]
+                dy = pts[j][1] - pts[i][1]
+                if dx * dy > 0:
+                    c += 1
+                elif dx * dy < 0:
+                    d += 1
+                if dx == 0:
+                    n1 += 1
+                if dy == 0:
+                    n2 += 1
+        n0 = n * (n - 1) // 2
+        tau = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+        r = got[et]
+        assert r["n_days"] == n
+        assert (r["concordant"], r["discordant"]) == (c, d)
+        assert r["tau_b"] == pytest.approx(tau, abs=1e-3)
+
+
+def test_bh_fdr_stepup_invariants(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["stats_benjamini_hochberg"].fn(spark, SF_SMALL).collect()
+    m = len(rows)
+    assert m == 5
+    by_rank = sorted(rows, key=lambda r: r["p_rank"])
+    # p ascending in rank, cutoffs k*q/m, rejection is a prefix of ranks
+    ps = [r["p_value"] for r in by_rank]
+    assert ps == sorted(ps)
+    for r in by_rank:
+        assert r["bh_cutoff"] == pytest.approx(r["p_rank"] * 0.10 / m, abs=1e-6)
+    km = max((r["p_rank"] for r in by_rank if r["p_value"] <= r["bh_cutoff"]), default=0)
+    for r in by_rank:
+        assert r["rejected"] == (r["p_rank"] <= km)
+    # two-sided p from |z|: sanity against the normal tail at the grid points
+    for r in by_rank:
+        z = abs(r["z"])
+        approx = math.erfc(z / math.sqrt(2.0))
+        assert r["p_value"] == pytest.approx(approx, abs=2e-4)
+
+
+def test_hapax_matches_bruteforce(spark, duck):
+    from collections import Counter
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute("SELECT source, text FROM documents").fetchall()
+    per_src = {}
+    for src, text in rows:
+        toks = [t for t in (text or "").strip().lower().split() if t]
+        per_src.setdefault(src, Counter()).update(toks)
+    got = {
+        r["source"]: r
+        for r in REGISTRY["text_hapax_ratio"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        vocab = len(cnt)
+        hapax = sum(1 for v in cnt.values() if v == 1)
+        mass = sum(cnt.values())
+        r = got[src]
+        assert (r["vocab"], r["hapax"], r["token_mass"]) == (vocab, hapax, mass)
+        assert r["hapax_vocab_share"] == pytest.approx(hapax / vocab, abs=1e-3)
+        assert r["hapax_token_share"] == pytest.approx(hapax / mass, abs=1e-3)

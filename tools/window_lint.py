@@ -73,6 +73,10 @@ WHITELIST: dict[str, str] = {
         "rollup -- frame bounded by the calendar span (one row per "
         "day), the stats_runs_test rationale"
     ),
+    "stats_benjamini_hochberg": (
+        "family rank/count windows run over the per-EVENT_TYPE z-test "
+        "rollup -- a fixed tiny m=5 family, not data-scaling"
+    ),
     "eval_score_auc": (
         "cumulative window over DISTINCT grid-snapped scores: frame is "
         "bounded by the 2^20 grid, never the document count; at extreme "
