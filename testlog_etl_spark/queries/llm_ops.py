@@ -4958,3 +4958,76 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_js_divergence",
+    doc="pairwise Jensen-Shannon divergence matrix between source "
+    "unigram distributions: only the COMMON-vocabulary terms ride the "
+    "term-keyed pair join (term-partitioned equi-join, scale-safe); "
+    "each side's disjoint-support mass contributes in closed form "
+    "(sum_only p ln 2 = (1 - sum_common p) ln 2), so JS is exact "
+    "without materializing the vocabulary union per pair. The "
+    "symmetric, bounded complement to the per-source KL drift.",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')) AS term
+  FROM documents
+),
+tf AS (SELECT source, term, count(*)::DOUBLE AS tf FROM tok GROUP BY source, term),
+tot AS (SELECT source, SUM(tf) AS tot FROM tf GROUP BY source),
+p AS (
+  SELECT tf.source, tf.term, tf.tf / tot.tot AS p
+  FROM tf JOIN tot ON tot.source = tf.source
+),
+common AS (
+  SELECT a.source AS sa, b.source AS sb,
+         SUM(a.p * ln(2.0 * a.p / (a.p + b.p))
+             + b.p * ln(2.0 * b.p / (a.p + b.p))) AS core,
+         SUM(a.p) AS cpa, SUM(b.p) AS cpb
+  FROM p a JOIN p b ON b.term = a.term AND a.source < b.source
+  GROUP BY sa, sb
+)
+SELECT sa AS source_a, sb AS source_b,
+       ROUND(0.5 * (core + ((1.0 - cpa) + (1.0 - cpb)) * ln(2.0)), 4) AS js_divergence
+FROM common ORDER BY source_a, source_b
+""",
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(
+        "source",
+        F.explode(textstats.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    tot = tf.groupBy("source").agg(F.sum("tf").alias("tot"))
+    p = tf.join(F.broadcast(tot), "source").select(
+        "source", "term", (F.col("tf") / F.col("tot")).alias("p")
+    )
+    a = p.select(F.col("source").alias("sa"), "term", F.col("p").alias("pa"))
+    b = p.select(F.col("source").alias("sb"), F.col("term").alias("termb"), F.col("p").alias("pb"))
+    common = (
+        a.join(b, (F.col("term") == F.col("termb")) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                F.col("pa") * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb")))
+                + F.col("pb") * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb")))
+            ).alias("core"),
+            F.sum("pa").alias("cpa"),
+            F.sum("pb").alias("cpb"),
+        )
+    )
+    return common.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.round(
+            0.5
+            * (
+                F.col("core")
+                + ((1.0 - F.col("cpa")) + (1.0 - F.col("cpb"))) * F.log(F.lit(2.0))
+            ),
+            4,
+        ).alias("js_divergence"),
+    ).orderBy("source_a", "source_b")

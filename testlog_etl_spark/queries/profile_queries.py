@@ -815,3 +815,55 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("lo", "min_id")
         .withColumnRenamed("hi", "max_id")
     )
+
+
+def _dp_noise_oracle() -> str:
+    from testlog_etl_spark.oracles import xxh64_sql
+
+    h = xxh64_sql("event_type || ':dp'")
+    return f"""
+WITH c AS (
+  SELECT event_type, count(*)::BIGINT AS n_true,
+         ((({h}) % 1048576 + 1048576) % 1048576 + 0.5) / 1048576.0 AS u
+  FROM events GROUP BY event_type
+),
+nz AS (
+  SELECT event_type, n_true, u - 0.5 AS uc FROM c
+)
+SELECT event_type, n_true,
+       ROUND(n_true + (-1.0) * sign(uc) * ln(1.0 - 2.0 * abs(uc)), 4) AS n_noisy,
+       ROUND(abs((-1.0) * sign(uc) * ln(1.0 - 2.0 * abs(uc))), 4) AS abs_noise,
+       1.0::DOUBLE AS epsilon
+FROM nz ORDER BY event_type
+"""
+
+
+@register(
+    "dq_dp_noisy_counts",
+    doc="differential-privacy release audit: per-event_type counts with "
+    "deterministic Laplace(1/epsilon) noise drawn by inverse-CDF from "
+    "a hash-uniform u in (0,1) (xxh64 of the group key -- replayable "
+    "releases, the same-seed property a DP accountant needs to "
+    "reconcile a published table against the warehouse). True count, "
+    "noisy count, and realized |noise| side by side -- an AUDIT query "
+    "(the publishable artifact would drop n_true). One count rollup; "
+    "the noise is pure codegen on 5 rows.",
+    oracle=_dp_noise_oracle(),
+)
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    g = F.lit(float(1 << 20))
+    u = (F.pmod(F.xxhash64(F.concat(F.col("event_type"), F.lit(":dp"))), F.lit(1 << 20)) + 0.5) / g
+    uc = u - 0.5
+    noise = F.lit(-1.0) * F.signum(uc) * F.log(F.lit(1.0) - 2.0 * F.abs(uc))
+    return (
+        c.select(
+            "event_type",
+            "n_true",
+            F.round(F.col("n_true") + noise, 4).alias("n_noisy"),
+            F.round(F.abs(noise), 4).alias("abs_noise"),
+            F.lit(1.0).alias("epsilon"),
+        )
+        .orderBy("event_type")
+    )

@@ -1197,3 +1197,100 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_cuped_adjustment",
+    doc="CUPED variance-reduced A/B readout: unit = user, arms = "
+    "odd/even user_id, metric y = late-period (day >= 15) value sum, "
+    "covariate x = pre-period value sum; theta = covar_pop(x,y)/"
+    "var_pop(x) fitted on ALL units (the standard pooled estimator), "
+    "y_adj = y - theta (x - xbar). Reports the per-arm means, the "
+    "achieved variance-reduction share (1 - var(y_adj)/var(y)) and "
+    "the z-score on the adjusted difference -- the "
+    "experimentation-platform companion to welch/delta-method. ONE "
+    "per-user conditional rollup, then single-scan moment aggregates.",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         SUM(CASE WHEN EXTRACT(day FROM ts) >= 15 THEN "value" ELSE 0 END) AS y,
+         SUM(CASE WHEN EXTRACT(day FROM ts) < 15 THEN "value" ELSE 0 END) AS x
+  FROM events GROUP BY user_id
+),
+th AS (
+  SELECT covar_pop(x, y) / var_pop(x) AS theta, AVG(x) AS xbar,
+         var_pop(y) AS vy FROM u
+),
+adj AS (
+  SELECT u.arm, u.y, u.y - th.theta * (u.x - th.xbar) AS ya,
+         th.vy AS vy
+  FROM u CROSS JOIN th
+),
+vr AS (SELECT 1.0 - var_pop(ya) / MAX(vy) AS var_reduction FROM adj),
+arms AS (
+  SELECT arm, COUNT(*)::DOUBLE AS n, AVG(y) AS my, AVG(ya) AS mya,
+         var_samp(ya) AS va
+  FROM adj GROUP BY arm
+)
+SELECT CAST(a1.n AS BIGINT) AS n_treat, CAST(a0.n AS BIGINT) AS n_ctrl,
+       ROUND(a1.my, 4) AS mean_y_treat, ROUND(a0.my, 4) AS mean_y_ctrl,
+       ROUND(a1.mya - a0.mya, 4) AS adj_diff,
+       ROUND((a1.mya - a0.mya) / sqrt(a1.va / a1.n + a0.va / a0.n), 4) AS z_adj,
+       ROUND(vr.var_reduction, 4) AS var_reduction
+FROM arms a1 JOIN arms a0 ON a1.arm = 1 AND a0.arm = 0
+CROSS JOIN vr
+""",
+)
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.dayofmonth("ts") >= 15, F.col("value")).otherwise(0.0)
+        ).alias("y"),
+        F.sum(
+            F.when(F.dayofmonth("ts") < 15, F.col("value")).otherwise(0.0)
+        ).alias("x"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    th = u.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        F.avg("x").alias("xbar"),
+        F.var_pop("y").alias("vy"),
+    )
+    adj = u.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))).alias("ya"),
+        "vy",
+    )
+    vr = adj.agg((1.0 - F.var_pop("ya") / F.max("vy")).alias("var_reduction"))
+    arms = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("my"),
+        F.avg("ya").alias("mya"),
+        F.var_samp("ya").alias("va"),
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("my").alias("my1"),
+        F.col("mya").alias("mya1"), F.col("va").alias("va1"),
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("my").alias("my0"),
+        F.col("mya").alias("mya0"), F.col("va").alias("va0"),
+    )
+    return (
+        a1.crossJoin(F.broadcast(a0))
+        .crossJoin(F.broadcast(vr))
+        .select(
+            F.col("n1").cast("long").alias("n_treat"),
+            F.col("n0").cast("long").alias("n_ctrl"),
+            F.round("my1", 4).alias("mean_y_treat"),
+            F.round("my0", 4).alias("mean_y_ctrl"),
+            F.round(F.col("mya1") - F.col("mya0"), 4).alias("adj_diff"),
+            F.round(
+                (F.col("mya1") - F.col("mya0"))
+                / F.sqrt(F.col("va1") / F.col("n1") + F.col("va0") / F.col("n0")),
+                4,
+            ).alias("z_adj"),
+            F.round("var_reduction", 4).alias("var_reduction"),
+        )
+    )

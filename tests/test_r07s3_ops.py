@@ -485,3 +485,99 @@ def test_hapax_matches_bruteforce(spark, duck):
         assert (r["vocab"], r["hapax"], r["token_mass"]) == (vocab, hapax, mass)
         assert r["hapax_vocab_share"] == pytest.approx(hapax / vocab, abs=1e-3)
         assert r["hapax_token_share"] == pytest.approx(hapax / mass, abs=1e-3)
+
+
+def test_dp_noise_invariants(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["dq_dp_noisy_counts"].fn(spark, SF_SMALL).collect()
+    rows2 = REGISTRY["dq_dp_noisy_counts"].fn(spark, SF_SMALL).collect()
+    # deterministic release: same seed -> identical noise
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+    for r in rows:
+        assert r["epsilon"] == 1.0
+        # realized noise consistent with the reported magnitude
+        assert abs(r["n_noisy"] - r["n_true"]) == pytest.approx(
+            r["abs_noise"], abs=2e-4
+        )
+        # inverse-CDF from a 2^-20-grid uniform bounds |noise| by ln(2^20)/eps
+        assert r["abs_noise"] <= math.log(1 << 20) + 1e-6
+
+
+def test_js_divergence_matches_union_bruteforce(spark, duck):
+    from collections import Counter
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute("SELECT source, text FROM documents").fetchall()
+    dists = {}
+    for src, text in rows:
+        toks = [t for t in (text or "").strip().lower().split() if t]
+        dists.setdefault(src, Counter()).update(toks)
+    probs = {
+        s: {t: c / sum(cnt.values()) for t, c in cnt.items()}
+        for s, cnt in dists.items()
+    }
+    got = {
+        (r["source_a"], r["source_b"]): r["js_divergence"]
+        for r in REGISTRY["text_js_divergence"].fn(spark, SF_SMALL).collect()
+    }
+    srcs = sorted(probs)
+    assert set(got) == {(a, b) for a in srcs for b in srcs if a < b}
+    # independent union-vocabulary formulation
+    for (a, b), js in got.items():
+        pa, pb = probs[a], probs[b]
+        want = 0.0
+        for t in set(pa) | set(pb):
+            p, q = pa.get(t, 0.0), pb.get(t, 0.0)
+            m = (p + q) / 2.0
+            if p > 0:
+                want += 0.5 * p * math.log(p / m)
+            if q > 0:
+                want += 0.5 * q * math.log(q / m)
+        assert js == pytest.approx(want, abs=1e-3)
+
+
+def test_cuped_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        'SELECT user_id, EXTRACT(day FROM ts), "value" FROM events'
+    ).fetchall()
+    ux, uy = {}, {}
+    for uid, day, v in rows:
+        if day >= 15:
+            uy[uid] = uy.get(uid, 0.0) + v
+            ux.setdefault(uid, 0.0)
+        else:
+            ux[uid] = ux.get(uid, 0.0) + v
+            uy.setdefault(uid, 0.0)
+    uids = sorted(ux)
+    xs = [ux[u] for u in uids]
+    ys = [uy[u] for u in uids]
+    n = len(uids)
+    xbar, ybar = sum(xs) / n, sum(ys) / n
+    cov = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / n
+    vx = sum((x - xbar) ** 2 for x in xs) / n
+    vy = sum((y - ybar) ** 2 for y in ys) / n
+    theta = cov / vx
+    ya = {u: uy[u] - theta * (ux[u] - xbar) for u in uids}
+    yabar = sum(ya.values()) / n
+    vya = sum((v - yabar) ** 2 for v in ya.values()) / n
+    r = REGISTRY["stats_cuped_adjustment"].fn(spark, SF_SMALL).collect()[0]
+    t = [u for u in uids if u % 2 == 1]
+    c = [u for u in uids if u % 2 == 0]
+    assert (r["n_treat"], r["n_ctrl"]) == (len(t), len(c))
+    assert r["var_reduction"] == pytest.approx(1 - vya / vy, abs=1e-3)
+    mt = sum(ya[u] for u in t) / len(t)
+    mc = sum(ya[u] for u in c) / len(c)
+    assert r["adj_diff"] == pytest.approx(mt - mc, abs=1e-3)
+    vt = sum((ya[u] - mt) ** 2 for u in t) / (len(t) - 1)
+    vc = sum((ya[u] - mc) ** 2 for u in c) / (len(c) - 1)
+    want_z = (mt - mc) / math.sqrt(vt / len(t) + vc / len(c))
+    assert r["z_adj"] == pytest.approx(want_z, abs=1e-3)
