@@ -1666,3 +1666,95 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def _kmv_oracle(k: int = 16) -> str:
+    from testlog_etl_spark import oracles as _o
+
+    h = _o.xxh64_sql("text")
+    return f"""
+WITH u AS (
+  SELECT DISTINCT source,
+         ((({h}) % 4503599627370496 + 4503599627370496) % 4503599627370496)
+           / 4503599627370496.0 AS u
+  FROM documents
+),
+r AS (
+  SELECT source, u,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY u) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS nd
+  FROM u
+),
+per AS (
+  SELECT source AS scope, MAX(nd)::BIGINT AS n_exact,
+         MAX(CASE WHEN rn = {k} THEN u END) AS theta
+  FROM r GROUP BY source
+),
+uu AS (SELECT DISTINCT u FROM u),
+un AS (
+  SELECT '__union__' AS scope, COUNT(*)::BIGINT AS n_exact,
+         (SELECT MAX(u) FROM (SELECT u FROM uu ORDER BY u LIMIT {k})) AS theta
+  FROM uu
+),
+allrows AS (SELECT * FROM per UNION ALL SELECT * FROM un)
+SELECT scope, n_exact,
+       ROUND(CASE WHEN theta IS NULL THEN n_exact
+                  ELSE ({k} - 1) / theta END, 2) AS kmv_est,
+       ROUND(abs(CASE WHEN theta IS NULL THEN n_exact
+                      ELSE ({k} - 1) / theta END - n_exact)
+             * 100.0 / n_exact, 2) AS err_pct
+FROM allrows ORDER BY scope
+"""
+
+
+@register(
+    "agg_kmv_distinct_sketch",
+    doc="KMV / theta sketch distinct-count estimation per source plus "
+    "the MERGED union sketch (k=16 minimum hash values of the "
+    "xxh64-uniformized doc text; estimate (k-1)/theta_k, exact "
+    "fallback when a scope holds < k distinct values). The mergeable "
+    "sketch tier beside HLL (engine-opaque bytes) and bitmap (exact): "
+    "KMV is EXACTLY replayable cross-engine -- the sketch IS k "
+    "doubles, the union merge is k-smallest-of-union, and set "
+    "arithmetic (intersections via inclusion-exclusion) stays exact "
+    "on the same representation. Sketch build is one distinct rollup "
+    "+ a partitioned k-rank; the union is a k-bounded TakeOrdered.",
+    oracle=_kmv_oracle(),
+)
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = 16
+    m52 = 4503599627370496
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    u = docs.select(
+        "source",
+        (F.pmod(F.xxhash64("text"), F.lit(m52)) / float(m52)).alias("u"),
+    ).distinct()
+    r = u.select(
+        "source",
+        "u",
+        F.row_number().over(Window.partitionBy("source").orderBy("u")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("nd"),
+    )
+    per = r.groupBy(F.col("source").alias("scope")).agg(
+        F.max("nd").cast("long").alias("n_exact"),
+        F.max(F.when(F.col("rn") == k, F.col("u"))).alias("theta"),
+    )
+    uu = u.select("u").distinct()
+    theta_u = uu.orderBy("u").limit(k).agg(F.max("u").alias("theta"))
+    un = uu.agg(F.count(F.lit(1)).cast("long").alias("n_exact")).crossJoin(
+        F.broadcast(theta_u)
+    ).select(F.lit("__union__").alias("scope"), "n_exact", "theta")
+    allrows = per.unionByName(un)
+    est = F.when(F.col("theta").isNull(), F.col("n_exact").cast("double")).otherwise(
+        (k - 1) / F.col("theta")
+    )
+    return allrows.select(
+        "scope",
+        "n_exact",
+        F.round(est, 2).alias("kmv_est"),
+        F.round(F.abs(est - F.col("n_exact")) * 100.0 / F.col("n_exact"), 2).alias(
+            "err_pct"
+        ),
+    ).orderBy("scope")

@@ -1294,3 +1294,149 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("var_reduction", 4).alias("var_reduction"),
         )
     )
+
+
+@register(
+    "stats_two_proportion_z",
+    doc="two-proportion z-test (pooled variance) on purchase share per "
+    "arm (odd/even user_id): the conversion-rate A/B readout beside "
+    "welch (means) and CUPED (variance reduction). Counts are exact "
+    "integers from one conditional rollup; the statistic is closed-"
+    "form arithmetic on 2 rows.",
+    oracle="""
+WITH arms AS (
+  SELECT user_id % 2 AS arm,
+         COUNT(*)::DOUBLE AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS k
+  FROM events GROUP BY arm
+)
+SELECT CAST(a1.n AS BIGINT) AS n_treat, CAST(a0.n AS BIGINT) AS n_ctrl,
+       CAST(a1.k AS BIGINT) AS conv_treat, CAST(a0.k AS BIGINT) AS conv_ctrl,
+       ROUND(a1.k / a1.n, 6) AS rate_treat,
+       ROUND(a0.k / a0.n, 6) AS rate_ctrl,
+       ROUND((a1.k / a1.n - a0.k / a0.n)
+             / sqrt(((a1.k + a0.k) / (a1.n + a0.n))
+                    * (1.0 - (a1.k + a0.k) / (a1.n + a0.n))
+                    * (1.0 / a1.n + 1.0 / a0.n)), 4) AS z
+FROM arms a1 JOIN arms a0 ON a1.arm = 1 AND a0.arm = 0
+""",
+)
+def stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    arms = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("double")
+        .alias("k"),
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("k").alias("k0")
+    )
+    pp = (F.col("k1") + F.col("k0")) / (F.col("n1") + F.col("n0"))
+    return a1.crossJoin(F.broadcast(a0)).select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_ctrl"),
+        F.col("k1").cast("long").alias("conv_treat"),
+        F.col("k0").cast("long").alias("conv_ctrl"),
+        F.round(F.col("k1") / F.col("n1"), 6).alias("rate_treat"),
+        F.round(F.col("k0") / F.col("n0"), 6).alias("rate_ctrl"),
+        F.round(
+            (F.col("k1") / F.col("n1") - F.col("k0") / F.col("n0"))
+            / F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n0"))),
+            4,
+        ).alias("z"),
+    )
+
+
+@register(
+    "stats_sprt_sequential",
+    doc="Wald SPRT early-stopping readout per event_type: H0 p=0.45 vs "
+    "H1 p=0.55 on the share of high-value events (value > 100), "
+    "alpha = beta = 0.05 (boundaries +-ln 19). The per-day LLR "
+    "increment is closed-form from the (k, n) daily rollup "
+    "(k ln(p1/p0) + (n-k) ln(q1/q0)) and the LLR path is an "
+    "ASSOCIATIVE cumsum -- unlike CUSUM no fold is needed; the "
+    "crossing day falls out of one conditional aggregate over the "
+    "calendar-bounded cumulative series.",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CASE WHEN "value" > 100 THEN 1 ELSE 0 END)::DOUBLE AS k,
+         COUNT(*)::DOUBLE AS n
+  FROM events GROUP BY event_type, day
+),
+c AS (
+  SELECT event_type, day,
+         SUM(k * ln(0.55 / 0.45) + (n - k) * ln(0.45 / 0.55))
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS llr
+  FROM d
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(MAX(CASE WHEN day = (SELECT MAX(day) FROM c c2 WHERE c2.event_type = c.event_type) THEN llr END), 4) AS final_llr,
+       MIN(CASE WHEN llr >= ln(19.0) OR llr <= -ln(19.0) THEN day END) AS first_crossing,
+       CASE
+         WHEN MIN(CASE WHEN llr >= ln(19.0) THEN day END) IS NOT NULL
+              AND (MIN(CASE WHEN llr <= -ln(19.0) THEN day END) IS NULL
+                   OR MIN(CASE WHEN llr >= ln(19.0) THEN day END)
+                      < MIN(CASE WHEN llr <= -ln(19.0) THEN day END))
+           THEN 'accept_h1'
+         WHEN MIN(CASE WHEN llr <= -ln(19.0) THEN day END) IS NOT NULL
+           THEN 'accept_h0'
+         ELSE 'continue'
+       END AS decision
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum((F.col("value") > 100).cast("int")).cast("double").alias("k"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    import math as _m
+
+    l1 = _m.log(0.55 / 0.45)
+    l0 = _m.log(0.45 / 0.55)
+    bound = _m.log(19.0)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.select(
+        "event_type",
+        "day",
+        F.sum(F.col("k") * F.lit(l1) + (F.col("n") - F.col("k")) * F.lit(l0))
+        .over(w)
+        .alias("llr"),
+    )
+    wmax = Window.partitionBy("event_type")
+    c = c.withColumn("max_day", F.max("day").over(wmax))
+    hi = F.min(F.when(F.col("llr") >= bound, F.col("day")))
+    lo = F.min(F.when(F.col("llr") <= -bound, F.col("day")))
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.max(F.when(F.col("day") == F.col("max_day"), F.col("llr"))), 4
+            ).alias("final_llr"),
+            F.least(hi, lo).alias("first_crossing"),
+            F.when(
+                hi.isNotNull() & (lo.isNull() | (hi < lo)), F.lit("accept_h1")
+            )
+            .when(lo.isNotNull(), F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+        )
+        .orderBy("event_type")
+    )

@@ -124,7 +124,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    agg_theil_index, eval_pr_curve, etl_quarantine_badrecords,
     #    ts_cusum_drift, ts_theilsen_slope, graph_label_propagation,
     #    stats_kendall_tau, stats_benjamini_hochberg, text_hapax_ratio,
-    #    dq_dp_noisy_counts, text_js_divergence, stats_cuped_adjustment.
+    #    dq_dp_noisy_counts, text_js_divergence, stats_cuped_adjustment,
+    #    stats_two_proportion_z, stats_sprt_sequential,
+    #    agg_kmv_distinct_sketch.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -581,3 +581,86 @@ def test_cuped_matches_bruteforce(spark, duck):
     vc = sum((ya[u] - mc) ** 2 for u in c) / (len(c) - 1)
     want_z = (mt - mc) / math.sqrt(vt / len(t) + vc / len(c))
     assert r["z_adj"] == pytest.approx(want_z, abs=1e-3)
+
+
+def test_two_proportion_z_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT user_id % 2, event_type = 'purchase' FROM events"
+    ).fetchall()
+    n = {0: 0, 1: 0}
+    k = {0: 0, 1: 0}
+    for arm, conv in rows:
+        n[arm] += 1
+        k[arm] += bool(conv)
+    r = REGISTRY["stats_two_proportion_z"].fn(spark, SF_SMALL).collect()[0]
+    assert (r["n_treat"], r["n_ctrl"]) == (n[1], n[0])
+    assert (r["conv_treat"], r["conv_ctrl"]) == (k[1], k[0])
+    p1, p0 = k[1] / n[1], k[0] / n[0]
+    pp = (k[1] + k[0]) / (n[1] + n[0])
+    z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1 / n[1] + 1 / n[0]))
+    assert r["z"] == pytest.approx(z, abs=1e-3)
+
+
+def test_sprt_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        'SELECT event_type, CAST(date_trunc(\'day\', ts) AS DATE) AS d, '
+        'SUM(CASE WHEN "value" > 100 THEN 1 ELSE 0 END), COUNT(*) '
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, day, kk, nn in rows:
+        series.setdefault(et, []).append((day, kk, nn))
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_sprt_sequential"].fn(spark, SF_SMALL).collect()
+    }
+    l1, l0, bound = math.log(0.55 / 0.45), math.log(0.45 / 0.55), math.log(19.0)
+    for et, days in series.items():
+        llr = 0.0
+        hi = lo = None
+        for day, kk, nn in days:
+            llr += kk * l1 + (nn - kk) * l0
+            if llr >= bound and hi is None:
+                hi = day
+            if llr <= -bound and lo is None:
+                lo = day
+        r = got[et]
+        assert r["n_days"] == len(days)
+        assert r["final_llr"] == pytest.approx(llr, abs=1e-3)
+        if hi is not None and (lo is None or hi < lo):
+            assert r["decision"] == "accept_h1" and r["first_crossing"] == hi
+        elif lo is not None:
+            assert r["decision"] == "accept_h0"
+        else:
+            assert r["decision"] == "continue" and r["first_crossing"] is None
+
+
+def test_kmv_sketch_invariants(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["agg_kmv_distinct_sketch"].fn(spark, SF_SMALL).collect()
+    per = [r for r in rows if r["scope"] != "__union__"]
+    un = [r for r in rows if r["scope"] == "__union__"]
+    assert len(un) == 1 and len(per) >= 2
+    # union exact distinct can never exceed the sum of per-source exacts
+    assert un[0]["n_exact"] <= sum(r["n_exact"] for r in per)
+    for r in rows:
+        # exact fallback when the scope holds < k distinct values
+        if r["n_exact"] < 16:
+            assert r["kmv_est"] == pytest.approx(r["n_exact"], abs=1e-6)
+            assert r["err_pct"] == pytest.approx(0.0, abs=1e-6)
+        assert r["kmv_est"] > 0
+        # err_pct is computed from the UNROUNDED estimate; recomputing
+        # from the round-2 kmv_est wobbles by up to 0.5/n_exact*100
+        assert r["err_pct"] == pytest.approx(
+            abs(r["kmv_est"] - r["n_exact"]) * 100.0 / r["n_exact"], abs=0.06
+        )
