@@ -1758,3 +1758,66 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_pct"
         ),
     ).orderBy("scope")
+
+
+@register(
+    "orders_revenue_bridge",
+    doc="two-period revenue bridge per market segment (the BI growth "
+    "decomposition): delta = volume effect (order-count change at "
+    "base-period avg ticket) + rate effect (avg-ticket change at "
+    "current volume), 1995 -> 1996. The two effects sum EXACTLY to "
+    "the revenue delta by construction -- the algebra is checked in "
+    "the output. One joint rollup per (segment, year); everything "
+    "else is arithmetic on 5 rows.",
+    oracle="""
+WITH y AS (
+  SELECT c.c_mktsegment AS seg, EXTRACT(year FROM o.o_orderdate) AS yr,
+         COUNT(*)::DOUBLE AS n, SUM(o.o_totalprice) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE EXTRACT(year FROM o.o_orderdate) IN (1995, 1996)
+  GROUP BY seg, yr
+)
+SELECT a.seg AS segment,
+       ROUND(a.rev, 2) AS rev_1995,
+       ROUND(b.rev, 2) AS rev_1996,
+       ROUND((b.n - a.n) * (a.rev / a.n), 2) AS volume_effect,
+       ROUND(b.n * (b.rev / b.n - a.rev / a.n), 2) AS rate_effect,
+       ROUND(b.rev - a.rev, 2) AS total_delta
+FROM y a JOIN y b ON b.seg = a.seg AND a.yr = 1995 AND b.yr = 1996
+ORDER BY segment
+""",
+)
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    y = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.year("o_orderdate").alias("yr")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"), F.sum("o_totalprice").alias("rev"))
+    )
+    a = y.filter(F.col("yr") == 1995).select(
+        "seg", F.col("n").alias("na"), F.col("rev").alias("reva")
+    )
+    b = y.filter(F.col("yr") == 1996).select(
+        F.col("seg").alias("segb"), F.col("n").alias("nb"), F.col("rev").alias("revb")
+    )
+    return (
+        a.join(b, a.seg == b.segb)
+        .select(
+            F.col("seg").alias("segment"),
+            F.round("reva", 2).alias("rev_1995"),
+            F.round("revb", 2).alias("rev_1996"),
+            F.round(
+                (F.col("nb") - F.col("na")) * (F.col("reva") / F.col("na")), 2
+            ).alias("volume_effect"),
+            F.round(
+                F.col("nb") * (F.col("revb") / F.col("nb") - F.col("reva") / F.col("na")),
+                2,
+            ).alias("rate_effect"),
+            F.round(F.col("revb") - F.col("reva"), 2).alias("total_delta"),
+        )
+        .orderBy("segment")
+    )

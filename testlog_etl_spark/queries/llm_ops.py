@@ -5031,3 +5031,50 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("js_divergence"),
     ).orderBy("source_a", "source_b")
+
+
+@register(
+    "embed_dim_variance_profile",
+    doc="per-dimension variance profile of the embedding table (the "
+    "PCA-preprocessing read: which dims carry signal, whether "
+    "whitening is needed before quantization/ANN): posexplode to "
+    "(dim, val) -- the IVF elementwise-stats idiom -- one rollup for "
+    "mean/var_pop per dim, var_share against the broadcast total. "
+    "64 output rows however many vectors; vectors never ride a "
+    "shuffle wider than (dim, val) pairs.",
+    oracle="""
+WITH dv AS (
+  SELECT unnest(range(0, 64)) AS dim, unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+s AS (
+  SELECT dim, AVG(val) AS mean, var_pop(val) AS var FROM dv GROUP BY dim
+),
+t AS (SELECT SUM(var) AS tot FROM s)
+SELECT CAST(s.dim AS INT) AS dim,
+       ROUND(s.mean, 6) AS mean,
+       ROUND(s.var, 6) AS var_pop,
+       ROUND(s.var / t.tot, 6) AS var_share
+FROM s CROSS JOIN t
+ORDER BY dim
+""",
+)
+def embed_dim_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    dv = emb.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select("dim", F.col("val").cast("double").alias("val"))
+    s = dv.groupBy("dim").agg(
+        F.avg("val").alias("mean"), F.var_pop("val").alias("var")
+    )
+    t = s.agg(F.sum("var").alias("tot"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round("mean", 6).alias("mean"),
+            F.round("var", 6).alias("var_pop"),
+            F.round(F.col("var") / F.col("tot"), 6).alias("var_share"),
+        )
+        .orderBy("dim")
+    )

@@ -1524,3 +1524,84 @@ def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_periodogram_weekly",
+    doc="Goertzel-style periodogram of the daily revenue series over a "
+    "fixed period grid p = 2..14 days: power(p) = (sum x~ cos(2 pi "
+    "t/p))^2 + (sum x~ sin(2 pi t/p))^2 on the mean-centered series "
+    "-- the cycle detector that confirms (or falsifies) the weekly "
+    "seasonality the STL/seasonal-index queries assume. The day index "
+    "comes from the calendar-bounded rollup; the period grid is a "
+    "13-row broadcast; pi is pinned to the same literal on both "
+    "engines so cos/sin see identical arguments.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY day
+),
+s AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t FROM d
+),
+m AS (SELECT AVG(rev) AS mu, COUNT(*)::DOUBLE AS n FROM s),
+grid AS (SELECT unnest(range(2, 15)) AS p),
+pow AS (
+  SELECT grid.p,
+         ROUND(SUM((s.rev - m.mu) * cos(2.0 * 3.141592653589793 * s.t / grid.p)), 3) AS c,
+         ROUND(SUM((s.rev - m.mu) * sin(2.0 * 3.141592653589793 * s.t / grid.p)), 3) AS sn,
+         MAX(m.n) AS n
+  FROM grid CROSS JOIN s CROSS JOIN m
+  GROUP BY grid.p
+)
+SELECT CAST(p AS INT) AS period_days,
+       ROUND((c * c + sn * sn) / n, 2) AS power
+FROM pow ORDER BY period_days
+""",
+)
+def ts_periodogram_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    # calendar-bounded day index (one row per day -- runs-test rationale)
+    s = d.select(
+        "rev", (F.row_number().over(Window.orderBy("day")) - 1).alias("t")
+    )
+    m = s.agg(F.avg("rev").alias("mu"), F.count(F.lit(1)).cast("double").alias("n"))
+    grid = spark.range(2, 15).select(F.col("id").cast("int").alias("p"))
+    pi2 = 2.0 * 3.141592653589793
+    pow_ = (
+        s.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(m))
+        .groupBy("p")
+        .agg(
+            # snap the Fourier sums BEFORE squaring: the +-1e6-term
+            # cancellation leaves ~1e-5 cross-engine sum-order wobble
+            # that squaring would amplify past any output rounding
+            F.round(
+                F.sum(
+                    (F.col("rev") - F.col("mu"))
+                    * F.cos(F.lit(pi2) * F.col("t") / F.col("p"))
+                ),
+                3,
+            ).alias("c"),
+            F.round(
+                F.sum(
+                    (F.col("rev") - F.col("mu"))
+                    * F.sin(F.lit(pi2) * F.col("t") / F.col("p"))
+                ),
+                3,
+            ).alias("sn"),
+            F.max("n").alias("n"),
+        )
+    )
+    return pow_.select(
+        F.col("p").cast("int").alias("period_days"),
+        F.round((F.col("c") * F.col("c") + F.col("sn") * F.col("sn")) / F.col("n"), 2).alias(
+            "power"
+        ),
+    ).orderBy("period_days")

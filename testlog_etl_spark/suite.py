@@ -126,7 +126,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_kendall_tau, stats_benjamini_hochberg, text_hapax_ratio,
     #    dq_dp_noisy_counts, text_js_divergence, stats_cuped_adjustment,
     #    stats_two_proportion_z, stats_sprt_sequential,
-    #    agg_kmv_distinct_sketch.
+    #    agg_kmv_distinct_sketch, embed_dim_variance_profile,
+    #    orders_revenue_bridge, ts_periodogram_weekly.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -664,3 +664,69 @@ def test_kmv_sketch_invariants(spark):
         assert r["err_pct"] == pytest.approx(
             abs(r["kmv_est"] - r["n_exact"]) * 100.0 / r["n_exact"], abs=0.06
         )
+
+
+def test_dim_variance_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    vecs = [r[0] for r in duck.execute("SELECT embedding FROM embeddings").fetchall()]
+    dims = len(vecs[0])
+    got = {
+        r["dim"]: r
+        for r in REGISTRY["embed_dim_variance_profile"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(range(dims))
+    tot = 0.0
+    per = {}
+    for d in range(dims):
+        xs = [float(v[d]) for v in vecs]
+        mu = sum(xs) / len(xs)
+        var = sum((x - mu) ** 2 for x in xs) / len(xs)
+        per[d] = (mu, var)
+        tot += var
+    for d, (mu, var) in per.items():
+        assert got[d]["mean"] == pytest.approx(mu, abs=1e-4)
+        assert got[d]["var_pop"] == pytest.approx(var, abs=1e-4)
+        assert got[d]["var_share"] == pytest.approx(var / tot, abs=1e-4)
+
+
+def test_revenue_bridge_identity(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["orders_revenue_bridge"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # decomposition closes exactly: volume + rate == delta
+        assert r["volume_effect"] + r["rate_effect"] == pytest.approx(
+            r["total_delta"], abs=0.03
+        )
+        assert r["total_delta"] == pytest.approx(
+            r["rev_1996"] - r["rev_1995"], abs=0.02
+        )
+
+
+def test_periodogram_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d, SUM(o_totalprice) "
+        "FROM orders GROUP BY d ORDER BY d"
+    ).fetchall()
+    xs = [x for _, x in rows]
+    n = len(xs)
+    mu = sum(xs) / n
+    got = {
+        r["period_days"]: r["power"]
+        for r in REGISTRY["ts_periodogram_weekly"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(range(2, 15))
+    for p in range(2, 15):
+        c = sum((x - mu) * math.cos(2 * math.pi * t / p) for t, x in enumerate(xs))
+        sn = sum((x - mu) * math.sin(2 * math.pi * t / p) for t, x in enumerate(xs))
+        want = (c * c + sn * sn) / n
+        assert got[p] == pytest.approx(want, rel=1e-6)

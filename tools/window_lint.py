@@ -68,6 +68,10 @@ WHITELIST: dict[str, str] = {
         "per-source ROLLUP frame -- a fixed small domain (~20 sources), "
         "not data-scaling; the corpus-scale work is the one rollup shuffle"
     ),
+    "ts_periodogram_weekly": (
+        "day-index row_number runs over the per-DAY revenue rollup -- "
+        "calendar-bounded frame (the runs-test rationale)"
+    ),
     "ts_stl_decompose": (
         "centered 7-day moving average runs over the per-DAY revenue "
         "rollup -- frame bounded by the calendar span (one row per "
