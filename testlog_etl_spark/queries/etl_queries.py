@@ -3171,3 +3171,88 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
         )
     return labels.select("node", F.col("label").alias("community")).orderBy("node")
+
+
+@register(
+    "graph_transitivity_global",
+    doc="global transitivity of the event-transition graph: C = 3 T / "
+    "sum_v C(deg_v, 2) -- closed triads over connected triples, the "
+    "one-number community summary beside the per-node clustering "
+    "coefficient (whose weighted mean this is). Triangles via the "
+    "canonical once-per-triangle a<b<c join; triads from the degree "
+    "rollup in closed form.",
+    oracle="""
+WITH raw AS (
+  SELECT prev_type AS a, event_type AS b FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  ) WHERE prev_type IS NOT NULL AND prev_type <> event_type
+),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw),
+deg AS (
+  SELECT node, count(*)::BIGINT AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+),
+tri AS (
+  SELECT count(*)::BIGINT AS t
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       tri.t AS n_triangles,
+       CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_triads,
+       ROUND(3.0 * tri.t / (SELECT SUM(d * (d - 1) / 2) FROM deg), 4) AS transitivity
+FROM tri
+""",
+)
+def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            F.least("prev_type", "event_type").alias("u"),
+            F.greatest("prev_type", "event_type").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")), "left_semi")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_triads"),
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            "n_triads",
+            F.round(3.0 * F.col("t") / F.col("n_triads"), 4).alias("transitivity"),
+        )
+    )

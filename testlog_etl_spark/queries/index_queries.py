@@ -406,3 +406,66 @@ def eval_dcg_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
         )
     )
+
+
+@register(
+    "index_trigram_search",
+    doc="substring search ('hash value') via a character-TRIGRAM "
+    "posting prefilter (the pg_trgm pattern): a doc containing the "
+    "query substring necessarily contains EVERY query trigram, so "
+    "candidates = docs matching all 8 distinct query trigrams "
+    "(distinct (doc, trigram) semi-join against the broadcast query "
+    "set, count == 8), then the exact contains() verify runs on "
+    "candidates only -- the prefilter is LOSSLESS by the pigeonhole "
+    "argument and the oracle is the direct full-scan contains(), so "
+    "the driver hash proves losslessness. Occurrence counts via the "
+    "length-difference identity. The trigram index build is the "
+    "1-row-per-char explode an indexer pays ONCE, not per query.",
+    oracle="""
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'hash value', '')))
+            / length('hash value') AS BIGINT) AS n_occurrences
+FROM documents
+WHERE contains(text, 'hash value')
+ORDER BY doc_id
+""",
+)
+def index_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = "hash value"
+    qtris = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tris = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0)))
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.substring("text", F.col("i"), 3).alias("tri"))
+        .distinct()
+    )
+    qdf = F.broadcast(
+        docs.sparkSession.createDataFrame([(t,) for t in qtris], "tri string")
+    )
+    cand = (
+        tris.join(qdf, "tri", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == len(qtris))
+        .select("doc_id")
+    )
+    return (
+        docs.join(cand, "doc_id", "left_semi")
+        .filter(F.col("text").contains(q))
+        .select(
+            "doc_id",
+            (
+                (F.length("text") - F.length(F.replace(F.col("text"), F.lit(q), F.lit(""))))
+                / F.length(F.lit(q))
+            )
+            .cast("long")
+            .alias("n_occurrences"),
+        )
+        .orderBy("doc_id")
+    )

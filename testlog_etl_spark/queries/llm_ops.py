@@ -5078,3 +5078,88 @@ def embed_dim_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "multimodal_image_tiles",
+    doc="image tile-grid plumbing (the ViT patchify shape): documents "
+    "adapted as fake row-major 8-bit grayscale images (side = "
+    "isqrt(n_chars), content = text bytes), tiled into 16x16 patches "
+    "with stride 16 -- the 2-D fan-out-before-encode. Per source: "
+    "images, tileable images, total tiles, mean tiles/image, and a "
+    "cross-check that the 2-D EXPLODED (tile_y x tile_x) count equals "
+    "the closed-form (side div 16)^2 on every image (driver hash "
+    "fails if grid fan-out and formula ever disagree). All integer "
+    "arithmetic; the real decoder stays behind the documented codec "
+    "stub (operators/multimodal.py).",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, source,
+         CAST(floor(sqrt(coalesce(n_chars, 0))) AS BIGINT) AS side
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, side, (side // 16) * (side // 16) AS tiles_formula,
+         side // 16 AS g
+  FROM m
+),
+x AS (
+  SELECT f.doc_id, count(*) AS tiles_exploded
+  FROM f,
+       LATERAL (SELECT unnest(range(0, f.g)) AS ty),
+       LATERAL (SELECT unnest(range(0, f.g)) AS tx)
+  WHERE f.g >= 1
+  GROUP BY f.doc_id
+)
+SELECT f.source,
+       count(*)::BIGINT AS n_images,
+       CAST(SUM(CASE WHEN f.g >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS tileable_images,
+       CAST(SUM(f.tiles_formula) AS BIGINT) AS total_tiles,
+       ROUND(AVG(f.tiles_formula), 4) AS mean_tiles_per_image,
+       bool_and(coalesce(x.tiles_exploded, 0) = f.tiles_formula) AS explode_matches_formula
+FROM f LEFT JOIN x ON x.doc_id = f.doc_id
+GROUP BY f.source ORDER BY f.source
+""",
+)
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.floor(F.sqrt(F.coalesce(F.col("n_chars"), F.lit(0)))).cast("long").alias("side"),
+    )
+    f = m.select(
+        "doc_id",
+        "source",
+        "side",
+        F.expr("(side div 16) * (side div 16)").alias("tiles_formula"),
+        F.expr("side div 16").alias("g"),
+    )
+    x = (
+        f.filter(F.col("g") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("g") - 1)).alias("ty"),
+            "g",
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("g") - 1)).alias("tx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tiles_exploded"))
+    )
+    joined = f.join(x, "doc_id", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum((F.col("g") >= 1).cast("int")).alias("tileable_images"),
+            F.sum("tiles_formula").alias("total_tiles"),
+            F.round(F.avg("tiles_formula"), 4).alias("mean_tiles_per_image"),
+            F.min(
+                (F.coalesce(F.col("tiles_exploded"), F.lit(0)) == F.col("tiles_formula")).cast("boolean")
+            ).alias("explode_matches_formula"),
+        )
+        .orderBy("source")
+    )

@@ -127,7 +127,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    dq_dp_noisy_counts, text_js_divergence, stats_cuped_adjustment,
     #    stats_two_proportion_z, stats_sprt_sequential,
     #    agg_kmv_distinct_sketch, embed_dim_variance_profile,
-    #    orders_revenue_bridge, ts_periodogram_weekly.
+    #    orders_revenue_bridge, ts_periodogram_weekly,
+    #    multimodal_image_tiles, index_trigram_search,
+    #    graph_transitivity_global.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -730,3 +730,61 @@ def test_periodogram_matches_bruteforce(spark, duck):
         sn = sum((x - mu) * math.sin(2 * math.pi * t / p) for t, x in enumerate(xs))
         want = (c * c + sn * sn) / n
         assert got[p] == pytest.approx(want, rel=1e-6)
+
+
+def test_image_tiles_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute("SELECT source, n_chars FROM documents").fetchall()
+    want = {}
+    for src, n_chars in rows:
+        side = math.isqrt(n_chars or 0)
+        g = side // 16
+        n, tiled, tot = want.get(src, (0, 0, 0))
+        want[src] = (n + 1, tiled + (g >= 1), tot + g * g)
+    got = {
+        r["source"]: r
+        for r in REGISTRY["multimodal_image_tiles"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for src, (n, tiled, tot) in want.items():
+        r = got[src]
+        assert (r["n_images"], r["tileable_images"], r["total_tiles"]) == (n, tiled, tot)
+        assert r["mean_tiles_per_image"] == pytest.approx(tot / n, abs=1e-3)
+        assert r["explode_matches_formula"] is True
+
+
+def test_trigram_search_matches_direct_scan(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    want = {}
+    for doc_id, text in duck.execute("SELECT doc_id, text FROM documents").fetchall():
+        if "hash value" in (text or ""):
+            want[doc_id] = text.count("hash value")
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in REGISTRY["index_trigram_search"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_transitivity_consistent_with_local_cc(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    g = REGISTRY["graph_transitivity_global"].fn(spark, SF_SMALL).collect()[0]
+    local = REGISTRY["graph_clustering_coefficient"].fn(spark, SF_SMALL).collect()
+    # triangle total: each triangle contributes 3 node-triangle incidences
+    assert sum(r["n_triangles"] for r in local) == 3 * g["n_triangles"]
+    # triads from degrees
+    assert g["n_triads"] == sum(
+        r["degree"] * (r["degree"] - 1) // 2 for r in local
+    )
+    assert g["n_nodes"] == len(local)
+    # transitivity equals the degree-weighted mean of local ccs
+    want = 3.0 * g["n_triangles"] / g["n_triads"]
+    assert g["transitivity"] == pytest.approx(want, abs=1e-3)
