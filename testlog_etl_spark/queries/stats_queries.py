@@ -1440,3 +1440,171 @@ def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_levene_test",
+    doc="Brown-Forsythe homogeneity-of-variance test across the five "
+    "order priorities: one-way ANOVA F applied to |x - median_g| "
+    "(median-centered Levene -- robust to non-normality), medians via "
+    "the certified percentile pairing, then the anova_oneway moment "
+    "algebra on the transformed variable. The variance-equality "
+    "pre-check for anova/welch model choice.",
+    oracle=f"""
+WITH med AS (
+  SELECT o_orderpriority AS grp, quantile_cont(o_totalprice, 0.5) AS md
+  FROM orders GROUP BY grp
+),
+z AS (
+  SELECT o.o_orderpriority AS grp, abs(o.o_totalprice - med.md) AS z
+  FROM orders o JOIN med ON med.grp = o.o_orderpriority
+),
+g AS (
+  SELECT grp, COUNT(*)::DOUBLE AS n, AVG(z) AS m, var_pop(z) AS v
+  FROM z GROUP BY grp
+),
+t AS (SELECT SUM(n) AS nt, SUM(n * m) / SUM(n) AS gm, COUNT(*)::DOUBLE AS k FROM g),
+s AS (
+  SELECT MAX(k) AS k, MAX(nt) AS nt,
+         SUM(n * (m - gm) * (m - gm)) AS ssb,
+         SUM(n * v) AS ssw
+  FROM g CROSS JOIN t
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(nt AS BIGINT) AS n,
+       ROUND((ssb / (k - 1)) / (ssw / (nt - k)), {R}) AS w_stat
+FROM s
+""",
+)
+def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    med = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("md")
+    )
+    z = (
+        orders.join(
+            F.broadcast(med), orders.o_orderpriority == med.grp
+        ).select("grp", F.abs(F.col("o_totalprice") - F.col("md")).alias("z"))
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("z").alias("m"),
+        F.var_pop("z").alias("v"),
+    )
+    t = g.agg(
+        F.sum("n").alias("nt"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    s = g.crossJoin(F.broadcast(t)).agg(
+        F.max("k").alias("k"),
+        F.max("nt").alias("nt"),
+        F.sum(F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))).alias("ssb"),
+        F.sum(F.col("n") * F.col("v")).alias("ssw"),
+    )
+    return s.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nt").cast("long").alias("n"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("nt") - F.col("k"))),
+            R,
+        ).alias("w_stat"),
+    )
+
+
+@register(
+    "stats_effect_sizes",
+    doc="effect-size suite per l_returnflag for the odd/even orderkey "
+    "arms on l_extendedprice: Cohen's d (pooled-SD standardized mean "
+    "difference), Hedges' g (small-sample correction 1 - 3/(4 df - "
+    "1)), and Cliff's delta derived EXACTLY from the Mann-Whitney "
+    "U (delta = 2U/(n1 n2) - 1, tie-averaged ranks from the per-VALUE "
+    "rollup). The practical-significance companion to the z/p "
+    "readouts: same shuffles as mann_whitney plus one moment rollup.",
+    oracle=f"""
+WITH v AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS val,
+         CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END AS is_a
+  FROM lineitem
+),
+mo AS (
+  SELECT flag,
+         COUNT(*) FILTER (is_a = 1)::DOUBLE AS na,
+         COUNT(*) FILTER (is_a = 0)::DOUBLE AS nb,
+         AVG(val) FILTER (is_a = 1) AS ma,
+         AVG(val) FILTER (is_a = 0) AS mb,
+         var_samp(val) FILTER (is_a = 1) AS va,
+         var_samp(val) FILTER (is_a = 0) AS vb
+  FROM v GROUP BY flag
+),
+pv AS (
+  SELECT flag, val, SUM(is_a)::BIGINT AS ca, COUNT(*)::BIGINT AS ct
+  FROM v GROUP BY flag, val
+),
+cum AS (
+  SELECT flag, ca, ct,
+         SUM(ct) OVER (PARTITION BY flag ORDER BY val
+                       ROWS UNBOUNDED PRECEDING) - ct AS below
+  FROM pv
+),
+u AS (
+  SELECT flag,
+         SUM(ca * (below + (ct + 1) / 2.0))
+           - (SELECT na FROM mo m WHERE m.flag = cum.flag)
+             * ((SELECT na FROM mo m WHERE m.flag = cum.flag) + 1) / 2.0 AS u1
+  FROM cum GROUP BY flag
+)
+SELECT mo.flag,
+       ROUND((mo.ma - mo.mb)
+             / sqrt(((mo.na - 1) * mo.va + (mo.nb - 1) * mo.vb)
+                    / (mo.na + mo.nb - 2)), 6) AS cohens_d,
+       ROUND(((mo.ma - mo.mb)
+              / sqrt(((mo.na - 1) * mo.va + (mo.nb - 1) * mo.vb)
+                     / (mo.na + mo.nb - 2)))
+             * (1.0 - 3.0 / (4.0 * (mo.na + mo.nb - 2) - 1.0)), 6) AS hedges_g,
+       ROUND(2.0 * u.u1 / (mo.na * mo.nb) - 1.0, 6) AS cliffs_delta
+FROM mo JOIN u ON u.flag = mo.flag
+ORDER BY mo.flag
+""",
+)
+def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("val"),
+        (F.col("l_orderkey") % 2 == 1).cast("int").alias("is_a"),
+    )
+    mo = v.groupBy("flag").agg(
+        F.sum("is_a").cast("double").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("double").alias("nb"),
+        F.avg(F.when(F.col("is_a") == 1, F.col("val"))).alias("ma"),
+        F.avg(F.when(F.col("is_a") == 0, F.col("val"))).alias("mb"),
+        F.var_samp(F.when(F.col("is_a") == 1, F.col("val"))).alias("va"),
+        F.var_samp(F.when(F.col("is_a") == 0, F.col("val"))).alias("vb"),
+    )
+    pv = v.groupBy("flag", "val").agg(
+        F.sum("is_a").alias("ca"), F.count(F.lit(1)).alias("ct")
+    )
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pv.withColumn("below", F.sum("ct").over(w) - F.col("ct"))
+    r1 = cum.groupBy("flag").agg(
+        F.sum(F.col("ca") * (F.col("below") + (F.col("ct") + 1) / 2.0)).alias("r1")
+    )
+    j = mo.join(r1, "flag")
+    u1 = F.col("r1") - F.col("na") * (F.col("na") + 1) / 2.0
+    d = (F.col("ma") - F.col("mb")) / F.sqrt(
+        ((F.col("na") - 1) * F.col("va") + (F.col("nb") - 1) * F.col("vb"))
+        / (F.col("na") + F.col("nb") - 2)
+    )
+    return j.select(
+        "flag",
+        F.round(d, 6).alias("cohens_d"),
+        F.round(
+            d * (1.0 - 3.0 / (4.0 * (F.col("na") + F.col("nb") - 2) - 1.0)), 6
+        ).alias("hedges_g"),
+        F.round(2.0 * u1 / (F.col("na") * F.col("nb")) - 1.0, 6).alias("cliffs_delta"),
+    ).orderBy("flag")

@@ -1605,3 +1605,114 @@ def ts_periodogram_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "power"
         ),
     ).orderBy("period_days")
+
+
+@register(
+    "ts_holt_winters",
+    doc="additive Holt-Winters (level/trend/seasonal, period m=7, "
+    "alpha=beta=gamma=0.5) per event_type on the round-6 daily value "
+    "sums: l' = 0.5 (y - s_old) + 0.5 (l + b); b' = 0.5 (l' - l) + "
+    "0.5 b; s' = 0.5 (y - l') + 0.5 s_old. Like holt_linear the "
+    "recursion has no associative restatement, so it runs as the "
+    "honest applyInPandas fold (sequential within a type, parallel "
+    "across types); the seasonal state is a ROTATING 7-SLOT LIST and "
+    "the oracle replays the identical op order as a recursive CTE "
+    "carrying the same list (init: l0 = round-6 mean of week one "
+    "summed in pinned order, s_i = y_i - l0, b0 = 0). Forecast = "
+    "l + b + next day's seasonal slot.",
+    oracle="""
+WITH RECURSIVE
+d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM("value"), 6) AS y
+  FROM events GROUP BY event_type, day
+),
+s AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM d
+),
+n AS (SELECT event_type, max(i) AS n FROM s GROUP BY event_type HAVING max(i) >= 14),
+wk AS (
+  SELECT s.event_type, list(s.y ORDER BY s.i) AS ys
+  FROM s JOIN n ON n.event_type = s.event_type
+  WHERE s.i <= 7 GROUP BY s.event_type
+),
+init AS (
+  SELECT event_type,
+         floor(((((((ys[1] + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6]) + ys[7]) / 7.0
+               * 1000000 + 0.5) / 1000000 AS l0,
+         ys
+  FROM wk
+),
+rec AS (
+  SELECT i.event_type, 7 AS i, i.l0 AS l, 0.0::DOUBLE AS b,
+         [i.ys[1] - i.l0, i.ys[2] - i.l0, i.ys[3] - i.l0, i.ys[4] - i.l0,
+          i.ys[5] - i.l0, i.ys[6] - i.l0, i.ys[7] - i.l0] AS sl
+  FROM init i
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         0.5 * (s.y - r.sl[1]) + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * (s.y - r.sl[1]) + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+         list_append(r.sl[2:7],
+           0.5 * (s.y - (0.5 * (s.y - r.sl[1]) + 0.5 * (r.l + r.b))) + 0.5 * r.sl[1])
+  FROM rec r JOIN s ON s.event_type = r.event_type AND s.i = r.i + 1
+)
+SELECT r.event_type,
+       CAST(n.n AS BIGINT) AS n_days,
+       ROUND(r.l, 4) AS level,
+       ROUND(r.b, 4) AS trend,
+       ROUND(r.l + r.b + r.sl[1], 4) AS forecast_next
+FROM rec r JOIN n ON n.event_type = r.event_type AND r.i = n.n
+ORDER BY r.event_type
+""",
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    out_schema = "event_type string, n_days long, _l double, _b double, _f double"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        y = [float(v) for v in pdf["y"]]
+        if len(y) < 14:
+            return pd.DataFrame(
+                columns=["event_type", "n_days", "_l", "_b", "_f"]
+            )
+        # pinned-order week-one mean, floor-snap (NOT python round: banker's)
+        l = _m.floor(
+            ((((((y[0] + y[1]) + y[2]) + y[3]) + y[4]) + y[5]) + y[6]) / 7.0 * 1000000
+            + 0.5
+        ) / 1000000
+        b = 0.0
+        sl = [y[i] - l for i in range(7)]
+        for t in range(7, len(y)):
+            s_old = sl[0]
+            nl = 0.5 * (y[t] - s_old) + 0.5 * (l + b)
+            nb = 0.5 * (nl - l) + 0.5 * b
+            ns = 0.5 * (y[t] - nl) + 0.5 * s_old
+            sl = sl[1:] + [ns]
+            l, b = nl, nb
+        return pd.DataFrame(
+            [(pdf["event_type"].iloc[0], len(y), l, b, l + b + sl[0])],
+            columns=["event_type", "n_days", "_l", "_b", "_f"],
+        )
+
+    return (
+        d.groupBy("event_type")
+        .applyInPandas(fold, out_schema)
+        .select(
+            "event_type",
+            "n_days",
+            F.round("_l", 4).alias("level"),
+            F.round("_b", 4).alias("trend"),
+            F.round("_f", 4).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )

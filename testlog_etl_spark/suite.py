@@ -129,7 +129,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    agg_kmv_distinct_sketch, embed_dim_variance_profile,
     #    orders_revenue_bridge, ts_periodogram_weekly,
     #    multimodal_image_tiles, index_trigram_search,
-    #    graph_transitivity_global.
+    #    graph_transitivity_global, stats_levene_test,
+    #    stats_effect_sizes, ts_holt_winters.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -788,3 +788,101 @@ def test_transitivity_consistent_with_local_cc(spark):
     # transitivity equals the degree-weighted mean of local ccs
     want = 3.0 * g["n_triangles"] / g["n_triads"]
     assert g["transitivity"] == pytest.approx(want, abs=1e-3)
+
+
+def test_levene_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute("SELECT o_orderpriority, o_totalprice FROM orders").fetchall()
+    groups = {}
+    for g, x in rows:
+        groups.setdefault(g, []).append(x)
+    zs = {}
+    for g, xs in groups.items():
+        md = _median(xs)
+        zs[g] = [abs(x - md) for x in xs]
+    k = len(zs)
+    n = sum(len(v) for v in zs.values())
+    gm = sum(x for v in zs.values() for x in v) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - gm) ** 2 for v in zs.values())
+    ssw = sum(sum((x - sum(v) / len(v)) ** 2 for x in v) for v in zs.values())
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    r = REGISTRY["stats_levene_test"].fn(spark, SF_SMALL).collect()[0]
+    assert (r["k_groups"], r["n"]) == (k, n)
+    assert r["w_stat"] == pytest.approx(w, abs=6e-5)
+
+
+def test_effect_sizes_match_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT l_returnflag, l_extendedprice, l_orderkey % 2 = 1 FROM lineitem"
+    ).fetchall()
+    by_flag = {}
+    for flag, val, is_a in rows:
+        by_flag.setdefault(flag, []).append((val, bool(is_a)))
+    got = {
+        r["flag"]: r
+        for r in REGISTRY["stats_effect_sizes"].fn(spark, SF_SMALL).collect()
+    }
+    for flag, pairs in by_flag.items():
+        a = sorted(v for v, t in pairs if t)
+        b = sorted(v for v, t in pairs if not t)
+        na, nb = len(a), len(b)
+        ma, mb = sum(a) / na, sum(b) / nb
+        va = sum((x - ma) ** 2 for x in a) / (na - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+        d = (ma - mb) / math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+        g = d * (1 - 3 / (4 * (na + nb - 2) - 1))
+        # Cliff's delta via direct dominance counting (independent of U):
+        # two-pointer over the sorted arrays
+        import bisect
+
+        gt = sum(bisect.bisect_left(b, x) for x in a)  # b[j] <  x
+        le = sum(bisect.bisect_right(b, x) for x in a)  # b[j] <= x
+        lt = na * nb - le  # b[j] > x
+        delta = (gt - lt) / (na * nb)
+        r = got[flag]
+        assert r["cohens_d"] == pytest.approx(d, abs=1e-5)
+        assert r["hedges_g"] == pytest.approx(g, abs=1e-5)
+        assert r["cliffs_delta"] == pytest.approx(delta, abs=1e-5)
+
+
+def test_holt_winters_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "ROUND(SUM(\"value\"), 6) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, y in rows:
+        series.setdefault(et, []).append(y)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_holt_winters"].fn(spark, SF_SMALL).collect()
+    }
+    for et, y in series.items():
+        if len(y) < 14:
+            assert et not in got
+            continue
+        l = math.floor(sum(y[:7]) / 7.0 * 1e6 + 0.5) / 1e6
+        b = 0.0
+        sl = [y[i] - l for i in range(7)]
+        for t in range(7, len(y)):
+            s_old = sl[0]
+            nl = 0.5 * (y[t] - s_old) + 0.5 * (l + b)
+            nb = 0.5 * (nl - l) + 0.5 * b
+            sl = sl[1:] + [0.5 * (y[t] - nl) + 0.5 * s_old]
+            l, b = nl, nb
+        r = got[et]
+        assert r["n_days"] == len(y)
+        assert r["level"] == pytest.approx(l, abs=1e-3)
+        assert r["trend"] == pytest.approx(b, abs=1e-3)
+        assert r["forecast_next"] == pytest.approx(l + b + sl[0], abs=1e-3)
