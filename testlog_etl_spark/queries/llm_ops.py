@@ -5163,3 +5163,71 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "join_radius_grid",
+    doc="fixed-radius 2-D neighbor join (r = 0.02 on the first two "
+    "embedding dims) via GRID-CELL blocking: points land in "
+    "floor(coord/r) cells, candidate pairs come from the 3x3 "
+    "neighborhood -- realized as an equi-join on (cell_x + dx, "
+    "cell_y + dy) over the 9 broadcast offsets -- then the exact "
+    "distance verify prunes. LOSSLESS: two points within r can "
+    "differ by at most one cell per axis, so every true pair appears "
+    "in some offset bucket; the oracle is the O(n^2) direct distance "
+    "join, so the driver hash proves it. Canonical a<b dedup "
+    "BEFORE the verify; the DJ/spatial-blocking shape for "
+    "cluster-dedup and geo joins.",
+    oracle="""
+WITH p AS (
+  SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+FROM p a JOIN p b ON b.vec_id > a.vec_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.02 * 0.02
+ORDER BY id_a, id_b
+""",
+)
+def join_radius_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = 0.02
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    p = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+        F.floor(F.element_at("embedding", 1).cast("double") / r).alias("cx"),
+        F.floor(F.element_at("embedding", 2).cast("double") / r).alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    a = p.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        "cx",
+        "cy",
+    ).crossJoin(F.broadcast(offsets))
+    b = p.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(
+            b,
+            (F.col("cx") + F.col("dx") == F.col("bx"))
+            & (F.col("cy") + F.col("dy") == F.col("by"))
+            & (F.col("id_b") > F.col("id_a")),
+        )
+        .filter(d2 <= F.lit(r * r))
+        .select("id_a", "id_b", F.round(F.sqrt(d2), 6).alias("dist"))
+        .orderBy("id_a", "id_b")
+    )

@@ -827,3 +827,51 @@ ORDER BY hour
 from testlog_etl_spark.suite import REGISTRY as _REG3  # noqa: E402
 
 _REG3["stream_late_arrival_audit"].oracle = _late_arrival_oracle()
+
+
+@register(
+    "stream_topk_maintenance",
+    doc="incremental global top-k maintenance via foreachBatch "
+    "(streaming/jobs.py::foreach_batch_topk): each micro-batch's "
+    "LOCAL top-10 (value desc, event_id asc -- a total order, so the "
+    "result can never flap on ties) merges into a k-row sink table "
+    "that is the ONLY state -- bounded memory however long the stream "
+    "runs, the leaderboard shape a complete-mode memory sink would "
+    "hold unbounded state for. Top-k over a union is associative and "
+    "idempotent on a total order, so the final table equals the "
+    "one-shot batch top-k however the input was split into batches -- "
+    "exactly what the oracle asserts.",
+    oracle="""
+SELECT event_id, user_id, event_type, ROUND("value", 4) AS value
+FROM events
+ORDER BY "value" DESC, event_id
+LIMIT 10
+""",
+)
+def stream_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    t1, t2 = "2024-01-11 00:00:00", "2024-01-21 00:00:00"
+    parts = []
+    for lo, hi in ((None, t1), (t1, t2), (t2, None)):
+        part = ev
+        if lo:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        parts.append(part)
+    in_dir = jobs.stage_stream_batches(parts, "topk_maint")
+    out_dir = jobs.fresh_scratch_dir("topk_maint_out", 600)
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    jobs.foreach_batch_topk(
+        spark, in_dir, out_dir, f"stream_topk_{uuid.uuid4().hex[:8]}"
+    )
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    ).orderBy(F.desc("value"), F.asc("event_id"))

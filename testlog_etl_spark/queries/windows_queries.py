@@ -1716,3 +1716,91 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_kalman_level",
+    doc="local-level Kalman filter per event_type on the round-6 daily "
+    "value sums (process noise q = 100, observation noise r = 2500, "
+    "diffuse-ish init P = 1e6, l0 = y1): P' = P + q; K = P'/(P' + r); "
+    "l += K (y - l); P = (1 - K) P'. The gain recursion is "
+    "non-associative, so it runs as the honest applyInPandas fold "
+    "(the holt/cusum playbook) and the oracle replays the identical "
+    "op order as a recursive CTE. Output: final level, converged "
+    "gain, innovation RMS -- the denoised-level readout beside "
+    "EWMA/Holt (Kalman's gain ADAPTS instead of being pinned).",
+    oracle="""
+WITH RECURSIVE
+d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM("value"), 6) AS y
+  FROM events GROUP BY event_type, day
+),
+s AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM d
+),
+n AS (SELECT event_type, max(i) AS n FROM s GROUP BY event_type),
+rec AS (
+  SELECT s.event_type, 1 AS i, s.y AS l, 1000000.0::DOUBLE AS p,
+         0.0::DOUBLE AS k, 0.0::DOUBLE AS ss
+  FROM s WHERE s.i = 1
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         r.l + ((r.p + 100.0) / ((r.p + 100.0) + 2500.0)) * (s.y - r.l),
+         (1.0 - (r.p + 100.0) / ((r.p + 100.0) + 2500.0)) * (r.p + 100.0),
+         (r.p + 100.0) / ((r.p + 100.0) + 2500.0),
+         r.ss + (s.y - r.l) * (s.y - r.l)
+  FROM rec r JOIN s ON s.event_type = r.event_type AND s.i = r.i + 1
+)
+SELECT r.event_type,
+       CAST(n.n AS BIGINT) AS n_days,
+       ROUND(r.l, 4) AS level,
+       ROUND(r.k, 6) AS gain,
+       ROUND(sqrt(r.ss / (n.n - 1)), 4) AS innovation_rms
+FROM rec r JOIN n ON n.event_type = r.event_type AND r.i = n.n
+ORDER BY r.event_type
+""",
+)
+def ts_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    out_schema = "event_type string, n_days long, _l double, _k double, _ss double"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        y = [float(v) for v in pdf["y"]]
+        l, p = y[0], 1000000.0
+        k = 0.0
+        ss = 0.0
+        for t in range(1, len(y)):
+            pp = p + 100.0
+            k = pp / (pp + 2500.0)
+            innov = y[t] - l
+            l = l + k * innov
+            p = (1.0 - k) * pp
+            ss = ss + innov * innov
+        return pd.DataFrame(
+            [(pdf["event_type"].iloc[0], len(y), l, k, ss)],
+            columns=["event_type", "n_days", "_l", "_k", "_ss"],
+        )
+
+    return (
+        d.groupBy("event_type")
+        .applyInPandas(fold, out_schema)
+        .select(
+            "event_type",
+            "n_days",
+            F.round("_l", 4).alias("level"),
+            F.round("_k", 6).alias("gain"),
+            F.round(F.sqrt(F.col("_ss") / (F.col("n_days") - 1)), 4).alias(
+                "innovation_rms"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -387,3 +387,48 @@ def foreach_batch_mv(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def foreach_batch_topk(
+    spark: SparkSession,
+    in_dir: str,
+    out_path: str,
+    query_name: str,
+    k: int = 10,
+) -> None:
+    """Incremental global top-k maintenance: every micro-batch is
+    reduced to its LOCAL top-k (value desc, event_id asc -- total
+    order, so ties can't flap), unioned with the current k-row sink
+    table, and the union's top-k overwrites the sink. State is the
+    k-row table itself -- bounded however long the stream runs -- and
+    because top-k over a union is associative/idempotent on a total
+    order, the final table equals the batch top-k regardless of how
+    the input was split (the property the driver query asserts)."""
+    import shutil
+
+    raw_schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+
+    def topk(df: DataFrame) -> DataFrame:
+        return df.orderBy(F.desc("value"), F.asc("event_id")).limit(k)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = topk(batch_df.select("event_id", "user_id", "event_type", "value"))
+        if os.path.isdir(out_path):
+            delta = topk(spark.read.parquet(out_path).unionByName(delta))
+        tmp = out_path + ".tmp"
+        delta.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = out_path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(out_path):
+            os.rename(out_path, old)
+        os.rename(tmp, out_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -130,7 +130,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    orders_revenue_bridge, ts_periodogram_weekly,
     #    multimodal_image_tiles, index_trigram_search,
     #    graph_transitivity_global, stats_levene_test,
-    #    stats_effect_sizes, ts_holt_winters.
+    #    stats_effect_sizes, ts_holt_winters, stream_topk_maintenance,
+    #    ts_kalman_level, join_radius_grid.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

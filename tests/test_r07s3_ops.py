@@ -886,3 +886,73 @@ def test_holt_winters_matches_bruteforce(spark, duck):
         assert r["level"] == pytest.approx(l, abs=1e-3)
         assert r["trend"] == pytest.approx(b, abs=1e-3)
         assert r["forecast_next"] == pytest.approx(l + b + sl[0], abs=1e-3)
+
+
+def test_kalman_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "ROUND(SUM(\"value\"), 6) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, y in rows:
+        series.setdefault(et, []).append(y)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_kalman_level"].fn(spark, SF_SMALL).collect()
+    }
+    for et, y in series.items():
+        l, p, k, ss = y[0], 1e6, 0.0, 0.0
+        for t in range(1, len(y)):
+            pp = p + 100.0
+            k = pp / (pp + 2500.0)
+            innov = y[t] - l
+            l += k * innov
+            p = (1 - k) * pp
+            ss += innov * innov
+        r = got[et]
+        assert r["n_days"] == len(y)
+        assert r["level"] == pytest.approx(l, abs=1e-3)
+        assert r["gain"] == pytest.approx(k, abs=1e-5)
+        assert r["innovation_rms"] == pytest.approx(
+            math.sqrt(ss / (len(y) - 1)), abs=1e-3
+        )
+
+
+def test_radius_join_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    pts = duck.execute(
+        "SELECT vec_id, embedding[1]::DOUBLE, embedding[2]::DOUBLE FROM embeddings"
+    ).fetchall()
+    r = 0.02
+    want = set()
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a, b = pts[i], pts[j]
+            if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r:
+                want.add((min(a[0], b[0]), max(a[0], b[0])))
+    got = {
+        (row["id_a"], row["id_b"])
+        for row in REGISTRY["join_radius_grid"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_stream_topk_equals_batch_topk(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    want = duck.execute(
+        'SELECT event_id FROM events ORDER BY "value" DESC, event_id LIMIT 10'
+    ).fetchall()
+    got = REGISTRY["stream_topk_maintenance"].fn(spark, SF_SMALL).collect()
+    assert [r["event_id"] for r in got] == [w[0] for w in want]
+    vals = [r["value"] for r in got]
+    assert vals == sorted(vals, reverse=True)
