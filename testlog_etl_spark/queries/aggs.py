@@ -1821,3 +1821,87 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "orders_littles_law_check",
+    doc="Little's Law accounting over the order pipeline, per year: "
+    "L = lambda x W checked on exact integral definitions -- "
+    "open-order-DAYS (sum over orders of their open span clipped to "
+    "the year, open = orderdate until max lineitem SHIPDATE clamped to >= the "
+    "orderdate (the synthetic shipdates are uncorrelated with order "
+    "dates, so ~20% would otherwise close before opening)) give "
+    "both L (avg concurrent open orders = open-days / year-days) and "
+    "W (avg residence = open-days / arrivals), so the identity closes "
+    "EXACTLY when arrivals are attributed to the clipping year; the "
+    "drift column vs the naive unclipped-W estimate is the readout "
+    "(how much boundary effects distort the steady-state assumption). "
+    "One lineitem rollup (max shipdate per order) + integer day "
+    "arithmetic.",
+    oracle="""
+WITH span AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS od,
+         GREATEST(MAX(CAST(l.l_shipdate AS DATE)), CAST(o.o_orderdate AS DATE)) AS cd
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, od
+),
+yr AS (
+  SELECT EXTRACT(year FROM od)::INT AS y,
+         COUNT(*)::DOUBLE AS arrivals,
+         SUM(GREATEST(0,
+             date_diff('day', GREATEST(od, (EXTRACT(year FROM od) || '-01-01')::DATE),
+                       LEAST(cd, (EXTRACT(year FROM od) || '-12-31')::DATE) ) + 1))::DOUBLE AS open_days,
+         SUM(date_diff('day', od, cd) + 1)::DOUBLE AS full_days
+  FROM span GROUP BY y
+)
+SELECT y AS year,
+       CAST(arrivals AS BIGINT) AS arrivals,
+       ROUND(open_days / 365.0, 4) AS l_avg_open,
+       ROUND(arrivals / 365.0, 4) AS lambda_per_day,
+       ROUND(open_days / arrivals, 4) AS w_clipped_days,
+       ROUND((arrivals / 365.0) * (open_days / arrivals) / (open_days / 365.0), 4) AS littles_ratio,
+       ROUND(full_days / arrivals, 4) AS w_naive_days
+FROM yr ORDER BY year
+""",
+)
+def orders_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    span = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("cd0"))
+        .select(
+            "o_orderkey", "od", F.greatest("cd0", "od").alias("cd")
+        )
+    )
+    y = F.year("od")
+    ystart = F.to_date(F.concat(y.cast("string"), F.lit("-01-01")))
+    yend = F.to_date(F.concat(y.cast("string"), F.lit("-12-31")))
+    yr = span.groupBy(y.cast("int").alias("y")).agg(
+        F.count(F.lit(1)).cast("double").alias("arrivals"),
+        F.sum(
+            F.greatest(
+                F.lit(0),
+                F.datediff(F.least("cd", yend), F.greatest("od", ystart)) + 1,
+            )
+        )
+        .cast("double")
+        .alias("open_days"),
+        F.sum(F.datediff("cd", "od") + 1).cast("double").alias("full_days"),
+    )
+    return yr.select(
+        F.col("y").alias("year"),
+        F.col("arrivals").cast("long").alias("arrivals"),
+        F.round(F.col("open_days") / 365.0, 4).alias("l_avg_open"),
+        F.round(F.col("arrivals") / 365.0, 4).alias("lambda_per_day"),
+        F.round(F.col("open_days") / F.col("arrivals"), 4).alias("w_clipped_days"),
+        F.round(
+            (F.col("arrivals") / 365.0)
+            * (F.col("open_days") / F.col("arrivals"))
+            / (F.col("open_days") / 365.0),
+            4,
+        ).alias("littles_ratio"),
+        F.round(F.col("full_days") / F.col("arrivals"), 4).alias("w_naive_days"),
+    ).orderBy("year")

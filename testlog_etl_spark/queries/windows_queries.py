@@ -1804,3 +1804,241 @@ def ts_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_leaderboard_churn",
+    doc="week-over-week leaderboard churn: the top-20 users by summed "
+    "value are computed per ISO week (TakeOrdered k-frames on the "
+    "per-(week, user) rollup -- value desc, user asc total order), "
+    "then consecutive weeks compare by set arithmetic: retained / "
+    "entered / dropped counts and the Jaccard stability of the top "
+    "set. The 'did the heavy hitters move' monitoring readout over "
+    "any ranking the heavy-hitter sketches maintain.",
+    oracle="""
+WITH wk AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id,
+         SUM("value") AS v
+  FROM events GROUP BY week, user_id
+),
+r AS (
+  SELECT week, user_id,
+         ROW_NUMBER() OVER (PARTITION BY week ORDER BY v DESC, user_id) AS rn
+  FROM wk
+),
+top AS (SELECT week, user_id FROM r WHERE rn <= 20),
+pairs AS (
+  SELECT a.week AS week_from, b.week AS week_to, a.user_id AS ua, b.user_id AS ub
+  FROM top a FULL JOIN top b
+    ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+)
+SELECT week_cmp.week_from, week_cmp.week_to,
+       week_cmp.retained, week_cmp.entered, week_cmp.dropped,
+       ROUND(week_cmp.retained * 1.0
+             / (week_cmp.retained + week_cmp.entered + week_cmp.dropped), 4) AS jaccard
+FROM (
+  SELECT w1.week AS week_from, CAST(w1.week + INTERVAL 7 DAY AS DATE) AS week_to,
+         (SELECT count(*) FROM top a JOIN top b
+            ON b.user_id = a.user_id AND a.week = w1.week
+           AND b.week = w1.week + INTERVAL 7 DAY)::BIGINT AS retained,
+         (SELECT count(*) FROM top b WHERE b.week = w1.week + INTERVAL 7 DAY
+            AND NOT EXISTS (SELECT 1 FROM top a WHERE a.week = w1.week
+                            AND a.user_id = b.user_id))::BIGINT AS entered,
+         (SELECT count(*) FROM top a WHERE a.week = w1.week
+            AND NOT EXISTS (SELECT 1 FROM top b WHERE b.week = w1.week + INTERVAL 7 DAY
+                            AND b.user_id = a.user_id))::BIGINT AS dropped
+  FROM (SELECT DISTINCT week FROM top) w1
+  WHERE EXISTS (SELECT 1 FROM top b WHERE b.week = w1.week + INTERVAL 7 DAY)
+) week_cmp
+ORDER BY week_from
+""",
+)
+def events_leaderboard_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    wk = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+    ).agg(F.sum("value").alias("v"))
+    rn = F.row_number().over(
+        Window.partitionBy("week").orderBy(F.desc("v"), F.asc("user_id"))
+    )
+    top = wk.withColumn("rn", rn).filter(F.col("rn") <= 20).select("week", "user_id")
+    a = top.select(F.col("week").alias("week_from"), F.col("user_id").alias("ua"))
+    b = top.select(
+        (F.col("week") - F.expr("INTERVAL 7 DAY")).cast("date").alias("week_from"),
+        F.col("user_id").alias("ub"),
+    )
+    # label each (week_from, user) by membership on both sides
+    au = a.select("week_from", F.col("ua").alias("user_id")).withColumn("fa", F.lit(1))
+    bu = b.select("week_from", F.col("ub").alias("user_id")).withColumn("fb", F.lit(1))
+    lab = au.join(bu, ["week_from", "user_id"], "full")
+    agg = lab.groupBy("week_from").agg(
+        F.sum(
+            F.when(F.col("fa").isNotNull() & F.col("fb").isNotNull(), 1).otherwise(0)
+        ).alias("retained"),
+        F.sum(F.when(F.col("fa").isNull(), 1).otherwise(0)).alias("entered"),
+        F.sum(F.when(F.col("fb").isNull(), 1).otherwise(0)).alias("dropped"),
+    )
+    weeks_with_next = (
+        a.select("week_from").distinct().join(
+            b.select("week_from").distinct(), "week_from", "left_semi"
+        )
+    )
+    return (
+        agg.join(weeks_with_next, "week_from", "left_semi")
+        .select(
+            "week_from",
+            F.date_add("week_from", 7).alias("week_to"),
+            "retained",
+            "entered",
+            "dropped",
+            F.round(
+                F.col("retained")
+                * 1.0
+                / (F.col("retained") + F.col("entered") + F.col("dropped")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("week_from")
+    )
+
+
+def _lttb_oracle(nb: int = 10) -> str:
+    """Chained-CTE replay of the LTTB bucket walk: the selected point in
+    bucket b depends on the previous selection, so the steps chain as
+    CTEs (the LPA/k-core playbook); bucket means are list_reduce sums
+    in pinned day order, snapped to 6 places, so both engines pick
+    argmax over identical doubles (tie -> smallest t)."""
+    ib = nb - 2  # interior buckets
+    head = f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM("value"), 6) AS y
+  FROM events GROUP BY event_type, day
+),
+sr AS (
+  SELECT event_type, day, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+s AS (
+  SELECT event_type, day, y, t, n, CAST(t AS DOUBLE) AS x,
+         CASE WHEN t >= 2 AND t <= n - 1
+              THEN ((t - 2) * {ib}) // (n - 2) END AS bidx
+  FROM sr WHERE n >= {nb}
+),
+anchors AS (
+  SELECT event_type, bidx AS b,
+         AVG(x) AS ax,
+         floor((list_reduce(list(y ORDER BY t), (a, v) -> a + v)
+                / COUNT(*)) * 1000000 + 0.5) / 1000000 AS ay
+  FROM s WHERE bidx IS NOT NULL GROUP BY event_type, bidx
+),
+lastp AS (
+  SELECT event_type, x AS ax, y AS ay FROM s WHERE t = n
+),
+sel0 AS (SELECT event_type, t, x, y FROM s WHERE t = 1)"""
+    parts = [head]
+    for b in range(ib):
+        anchor = (
+            f"(SELECT event_type, ax, ay FROM anchors WHERE b = {b + 1})"
+            if b < ib - 1
+            else "lastp"
+        )
+        parts.append(
+            f""",
+cand{b} AS (
+  SELECT c.event_type, c.t, c.x, c.y,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.event_type
+           ORDER BY abs((p.x - a.ax) * (c.y - p.y) - (p.x - c.x) * (a.ay - p.y)) DESC,
+                    c.t) AS rn
+  FROM s c
+  JOIN sel{b} p ON p.event_type = c.event_type
+  JOIN {anchor} a ON a.event_type = c.event_type
+  WHERE c.bidx = {b}
+),
+sel{b + 1} AS (SELECT event_type, t, x, y FROM cand{b} WHERE rn = 1)"""
+        )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT event_type, t, y FROM sel{b}" for b in range(ib + 1)
+    )
+    parts.append(
+        f"""
+SELECT event_type, CAST(t AS BIGINT) AS t, y FROM (
+  {unions}
+  UNION ALL SELECT event_type, t, y FROM s WHERE t = n
+) ORDER BY event_type, t"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ts_lttb_downsample",
+    doc="Largest-Triangle-Three-Buckets downsampling (Steinarsson's "
+    "visualization downsampler) of the daily value-sum series per "
+    "event_type to 10 points: first/last pinned, interior points in 8 "
+    "equal index buckets, each bucket keeping the point that "
+    "maximizes the triangle area with the PREVIOUS selection and the "
+    "NEXT bucket's mean -- a sequential dependency, so it runs as the "
+    "honest applyInPandas fold (parallel across types) and the oracle "
+    "replays the identical walk as chained CTEs. Bucket means are "
+    "pinned-order list_reduce sums snapped to 6 places; argmax "
+    "tie-breaks to the smallest index on both engines.",
+    oracle=_lttb_oracle(),
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    import pandas as pd
+
+    nb = 10
+    ib = nb - 2
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    out_schema = "event_type string, t long, y double"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        ys = [float(v) for v in pdf["y"]]
+        n = len(ys)
+        if n < nb:
+            return pd.DataFrame(columns=["event_type", "t", "y"])
+        et = pdf["event_type"].iloc[0]
+        # interior bucket membership + pinned-order snapped means
+        buckets: list[list[int]] = [[] for _ in range(ib)]
+        for t in range(2, n):  # 1-based t in [2, n-1]
+            buckets[((t - 2) * ib) // (n - 2)].append(t)
+        anchors = []
+        for idxs in buckets:
+            ax = sum(float(t) for t in idxs) / len(idxs)
+            acc = 0.0
+            for t in idxs:
+                acc = acc + ys[t - 1]
+            ay = _m.floor((acc / len(idxs)) * 1000000 + 0.5) / 1000000
+            anchors.append((ax, ay))
+        sel = [(1, 1.0, ys[0])]
+        for b in range(ib):
+            px, py = sel[-1][1], sel[-1][2]
+            ax, ay = anchors[b + 1] if b < ib - 1 else (float(n), ys[n - 1])
+            best = None
+            for t in buckets[b]:
+                xc, yc = float(t), ys[t - 1]
+                area = abs((px - ax) * (yc - py) - (px - xc) * (ay - py))
+                if best is None or area > best[0]:
+                    best = (area, t, xc, yc)
+            sel.append((best[1], best[2], best[3]))
+        sel.append((n, float(n), ys[n - 1]))
+        return pd.DataFrame(
+            [(et, t, y) for t, _, y in sel], columns=["event_type", "t", "y"]
+        )
+
+    return (
+        d.groupBy("event_type")
+        .applyInPandas(fold, out_schema)
+        .orderBy("event_type", "t")
+    )

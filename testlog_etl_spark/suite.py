@@ -131,7 +131,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    multimodal_image_tiles, index_trigram_search,
     #    graph_transitivity_global, stats_levene_test,
     #    stats_effect_sizes, ts_holt_winters, stream_topk_maintenance,
-    #    ts_kalman_level, join_radius_grid.
+    #    ts_kalman_level, join_radius_grid, orders_littles_law_check,
+    #    events_leaderboard_churn, ts_lttb_downsample.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -956,3 +956,105 @@ def test_stream_topk_equals_batch_topk(spark, duck):
     assert [r["event_id"] for r in got] == [w[0] for w in want]
     vals = [r["value"] for r in got]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_littles_law_identity_and_w(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = REGISTRY["orders_littles_law_check"].fn(spark, SF_SMALL).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        # with consistent integral definitions the identity closes exactly
+        assert r["littles_ratio"] == pytest.approx(1.0, abs=1e-6)
+        # recomposed from round-4 columns: error ~ lambda * 5e-5
+        assert r["l_avg_open"] == pytest.approx(
+            r["lambda_per_day"] * r["w_clipped_days"], rel=1e-4
+        )
+        # clipping can only shorten residence
+        assert r["w_clipped_days"] <= r["w_naive_days"] + 1e-9
+
+
+def test_leaderboard_churn_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT CAST(date_trunc('week', ts) AS DATE), user_id, SUM(\"value\") "
+        "FROM events GROUP BY 1, 2"
+    ).fetchall()
+    byweek = {}
+    for wk, uid, v in rows:
+        byweek.setdefault(wk, []).append((v, uid))
+    tops = {
+        wk: {uid for _, uid in sorted(vs, key=lambda p: (-p[0], p[1]))[:20]}
+        for wk, vs in byweek.items()
+    }
+    import datetime as dt
+
+    got = {
+        r["week_from"]: r
+        for r in REGISTRY["events_leaderboard_churn"].fn(spark, SF_SMALL).collect()
+    }
+    expect_weeks = {
+        wk for wk in tops if (wk + dt.timedelta(days=7)) in tops
+    }
+    assert set(got) == expect_weeks
+    for wk in expect_weeks:
+        nxt = wk + dt.timedelta(days=7)
+        ret = len(tops[wk] & tops[nxt])
+        ent = len(tops[nxt] - tops[wk])
+        dro = len(tops[wk] - tops[nxt])
+        r = got[wk]
+        assert (r["retained"], r["entered"], r["dropped"]) == (ret, ent, dro)
+        assert r["jaccard"] == pytest.approx(ret / (ret + ent + dro), abs=1e-3)
+
+
+def test_lttb_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "ROUND(SUM(\"value\"), 6) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, y in rows:
+        series.setdefault(et, []).append(y)
+    got = {}
+    for r in REGISTRY["ts_lttb_downsample"].fn(spark, SF_SMALL).collect():
+        got.setdefault(r["event_type"], []).append((r["t"], r["y"]))
+    nb, ib = 10, 8
+    for et, ys in series.items():
+        n = len(ys)
+        if n < nb:
+            assert et not in got
+            continue
+        sel = got[et]
+        assert len(sel) == nb
+        ts = [t for t, _ in sel]
+        assert ts[0] == 1 and ts[-1] == n and ts == sorted(ts)
+        # independent re-derivation of the walk
+        buckets = [[] for _ in range(ib)]
+        for t in range(2, n):
+            buckets[((t - 2) * ib) // (n - 2)].append(t)
+        prev = (1.0, ys[0])
+        for b in range(ib):
+            if b < ib - 1:
+                nxt_idx = buckets[b + 1]
+                ax = sum(map(float, nxt_idx)) / len(nxt_idx)
+                ay = sum(ys[t - 1] for t in nxt_idx) / len(nxt_idx)
+            else:
+                ax, ay = float(n), ys[n - 1]
+            px, py = prev
+            best_t, best_area = None, -1.0
+            for t in buckets[b]:
+                area = abs((px - ax) * (ys[t - 1] - py) - (px - t) * (ay - py))
+                if area > best_area + 1e-9:
+                    best_t, best_area = t, area
+            # allow exact-tie divergence only (none observed in practice)
+            assert ts[b + 1] == best_t
+            prev = (float(best_t), ys[best_t - 1])
