@@ -5231,3 +5231,78 @@ def join_radius_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(F.sqrt(d2), 6).alias("dist"))
         .orderBy("id_a", "id_b")
     )
+
+
+def _matryoshka_oracle(dim: int = 64, pdim: int = 16, k: int = 5) -> str:
+    """Both rankings replayed exactly: full-dim cosine top-k (truth) and
+    PREFIX-dim cosine top-k (the Matryoshka candidate tier), identical
+    left folds, ties on c_id."""
+    full = f"{_duck_dot('qv.vec', 'cv.vec', dim)} / ({_duck_norm('qv.vec')} * {_duck_norm('cv.vec')})"
+    pref = (
+        f"{_duck_dot('qv.vec', 'cv.vec', pdim)} "
+        f"/ (sqrt({_duck_dot('qv.vec', 'qv.vec', pdim)}) * sqrt({_duck_dot('cv.vec', 'cv.vec', pdim)}))"
+    )
+
+    def ranking(score: str, name: str) -> str:
+        return f"""
+{name}_scored AS (
+  SELECT qv.vec_id AS q_id, cv.vec_id AS c_id, {score} AS cosine
+  FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id
+  WHERE qv.vec_id < 20
+),
+{name} AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+    FROM {name}_scored
+  ) WHERE rn <= {k}
+)"""
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),{ranking(full, 'truth')},{ranking(pref, 'approx')}
+SELECT t.q_id,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS recall
+FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.c_id = t.c_id
+GROUP BY t.q_id ORDER BY t.q_id
+"""
+
+
+@register(
+    "embed_matryoshka_recall",
+    oracle=_matryoshka_oracle(),
+    doc="Matryoshka prefix-dimension evaluation: recall@5 of the "
+    "16-dim-PREFIX cosine ranking against the full 64-dim truth, per "
+    "query -- the measurement behind MRL-style coarse-to-fine "
+    "retrieval (search the cheap prefix tier, rerank the survivors "
+    "full-width). Both rankings are exact identical left folds; the "
+    "prefix tier reads 4x fewer floats per candidate, which at 100 TB "
+    "is the column-pruned scan win the variance-profile query sizes.",
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    truth = similarity.topk_cosine(queries, corpus, k=5).select("q_id", "c_id")
+    pq = queries.select("q_id", F.slice("q_vec", 1, 16).alias("q_vec"))
+    pc = corpus.select("c_id", F.slice("c_vec", 1, 16).alias("c_vec"))
+    approx = similarity.topk_cosine(pq, pc, k=5).select(
+        "q_id", "c_id", F.lit(1).alias("_hit")
+    )
+    return (
+        truth.join(approx, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )

@@ -1608,3 +1608,82 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hedges_g"),
         F.round(2.0 * u1 / (F.col("na") * F.col("nb")) - 1.0, 6).alias("cliffs_delta"),
     ).orderBy("flag")
+
+
+@register(
+    "stats_wasserstein_drift",
+    doc="1-D Wasserstein-1 (earth mover) drift per event_type between "
+    "the first and second half of the month (day < 16 vs >= 16): "
+    "W1 = integral |F1 - F2| dv computed EXACTLY on the per-VALUE "
+    "rollup -- cumulative shares over distinct values times the gap "
+    "to the next value (the KS construction with an integral instead "
+    "of a sup). The magnitude-aware drift metric beside KS (shape), "
+    "PSI (binned) and KL (likelihood): windows partition by type, "
+    "shuffle ~ distinct values.",
+    oracle=f"""
+WITH v AS (
+  SELECT event_type, "value" AS val,
+         CASE WHEN EXTRACT(day FROM ts) < 16 THEN 1 ELSE 0 END AS is_a
+  FROM events
+),
+pv AS (
+  SELECT event_type, val, SUM(is_a)::BIGINT AS ca, SUM(1 - is_a)::BIGINT AS cb
+  FROM v GROUP BY event_type, val
+),
+tot AS (
+  SELECT event_type, SUM(ca)::DOUBLE AS na, SUM(cb)::DOUBLE AS nb
+  FROM pv GROUP BY event_type
+),
+cum AS (
+  SELECT pv.event_type, pv.val,
+         SUM(ca) OVER w / na AS fa,
+         SUM(cb) OVER w / nb AS fb,
+         LEAD(pv.val) OVER w AS nxt
+  FROM pv JOIN tot ON tot.event_type = pv.event_type
+  WINDOW w AS (PARTITION BY pv.event_type ORDER BY pv.val ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type,
+       ROUND(SUM(abs(fa - fb) * (nxt - val)), 6) AS w1_distance,
+       ROUND(MAX(abs(fa - fb)), 4) AS ks_stat
+FROM cum WHERE nxt IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stats_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = ev.select(
+        "event_type",
+        F.col("value").alias("val"),
+        (F.dayofmonth("ts") < 16).cast("int").alias("is_a"),
+    )
+    pv = v.groupBy("event_type", "val").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    tot = pv.groupBy("event_type").agg(
+        F.sum("ca").cast("double").alias("na"), F.sum("cb").cast("double").alias("nb")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    word = Window.partitionBy("event_type").orderBy("val")
+    cum = (
+        pv.join(F.broadcast(tot), "event_type")
+        .withColumn("fa", F.sum("ca").over(wcum) / F.col("na"))
+        .withColumn("fb", F.sum("cb").over(wcum) / F.col("nb"))
+        .withColumn("nxt", F.lead("val").over(word))
+    )
+    return (
+        cum.filter(F.col("nxt").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("fa") - F.col("fb")) * (F.col("nxt") - F.col("val"))),
+                6,
+            ).alias("w1_distance"),
+            F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 4).alias("ks_stat"),
+        )
+        .orderBy("event_type")
+    )

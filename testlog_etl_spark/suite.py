@@ -132,7 +132,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    graph_transitivity_global, stats_levene_test,
     #    stats_effect_sizes, ts_holt_winters, stream_topk_maintenance,
     #    ts_kalman_level, join_radius_grid, orders_littles_law_check,
-    #    events_leaderboard_churn, ts_lttb_downsample.
+    #    events_leaderboard_churn, ts_lttb_downsample,
+    #    graph_ppr_single_source, stats_wasserstein_drift,
+    #    embed_matryoshka_recall.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

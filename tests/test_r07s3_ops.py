@@ -1058,3 +1058,118 @@ def test_lttb_matches_bruteforce(spark, duck):
             # allow exact-tie divergence only (none observed in practice)
             assert ts[b + 1] == best_t
             prev = (float(best_t), ys[best_t - 1])
+
+
+def test_ppr_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    edges = duck.execute(
+        """
+        SELECT prev_type, event_type, count(*) FROM (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ) WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall()
+    out = {}
+    nodes = set()
+    for s, dst, w in edges:
+        nodes.update((s, dst))
+        out.setdefault(s, []).append((dst, float(w)))
+    frac = {
+        s: [(dst, w / sum(w for _, w in lst)) for dst, w in lst]
+        for s, lst in out.items()
+    }
+    g = float(1 << 30)
+    ranks = {n: (1.0 if n == "view" else 0.0) for n in nodes}
+    for _ in range(5):
+        inb = {n: 0.0 for n in nodes}
+        for s, lst in frac.items():
+            for dst, fr in lst:
+                inb[dst] += ranks[s] * fr
+        ranks = {
+            n: math.floor(((0.15 if n == "view" else 0.0) + 0.85 * inb[n]) * g + 0.5) / g
+            for n in nodes
+        }
+    got = {
+        r["node"]: r["rank"]
+        for r in REGISTRY["graph_ppr_single_source"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == nodes
+    for n in nodes:
+        assert got[n] == pytest.approx(ranks[n], abs=1e-6)
+
+
+def test_wasserstein_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        'SELECT event_type, "value", EXTRACT(day FROM ts) < 16 FROM events'
+    ).fetchall()
+    series = {}
+    for et, v, is_a in rows:
+        series.setdefault(et, ([], []))[0 if is_a else 1].append(v)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_wasserstein_drift"].fn(spark, SF_SMALL).collect()
+    }
+    for et, (a, b) in series.items():
+        vals = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        sa, sb = sorted(a), sorted(b)
+        import bisect
+
+        w1 = 0.0
+        ks = 0.0
+        for i in range(len(vals) - 1):
+            fa = bisect.bisect_right(sa, vals[i]) / na
+            fb = bisect.bisect_right(sb, vals[i]) / nb
+            w1 += abs(fa - fb) * (vals[i + 1] - vals[i])
+            ks = max(ks, abs(fa - fb))
+        r = got[et]
+        assert r["w1_distance"] == pytest.approx(w1, abs=1e-4)
+        assert r["ks_stat"] == pytest.approx(ks, abs=1e-3)
+
+
+def test_matryoshka_recall_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    vecs = {
+        r[0]: [float(x) for x in r[1]]
+        for r in duck.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    }
+
+    def topk(qid, dims):
+        qv = vecs[qid][:dims]
+        qn = math.sqrt(sum(x * x for x in qv))
+        scored = []
+        for cid, cv in vecs.items():
+            if cid == qid:
+                continue
+            c = cv[:dims]
+            cn = math.sqrt(sum(x * x for x in c))
+            cos = sum(x * y for x, y in zip(qv, c)) / (qn * cn)
+            scored.append((-cos, cid))
+        scored.sort()
+        return {cid for _, cid in scored[:5]}
+
+    got = {
+        r["q_id"]: r
+        for r in REGISTRY["embed_matryoshka_recall"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(range(20))
+    for qid in range(20):
+        truth = topk(qid, 64)
+        approx = topk(qid, 16)
+        hit = len(truth & approx)
+        r = got[qid]
+        assert r["n_true"] == 5
+        assert r["n_hit"] == hit
+        assert r["recall"] == pytest.approx(hit / 5, abs=1e-6)
