@@ -5306,3 +5306,106 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+def _matryoshka_rerank_oracle(dim: int = 64, pdim: int = 16, kc: int = 20, k: int = 5) -> str:
+    """Truth = full-dim top-k; pipeline = prefix-dim top-kc candidates
+    reranked full-width to top-k. All three rankings exact."""
+    full = f"{_duck_dot('qv.vec', 'cv.vec', dim)} / ({_duck_norm('qv.vec')} * {_duck_norm('cv.vec')})"
+    pref = (
+        f"{_duck_dot('qv.vec', 'cv.vec', pdim)} "
+        f"/ (sqrt({_duck_dot('qv.vec', 'qv.vec', pdim)}) * sqrt({_duck_dot('cv.vec', 'cv.vec', pdim)}))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+truth AS (
+  SELECT q_id, c_id FROM (
+    SELECT qv.vec_id AS q_id, cv.vec_id AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY {full} DESC, cv.vec_id) AS rn
+    FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id
+    WHERE qv.vec_id < 20
+  ) WHERE rn <= {k}
+),
+cand AS (
+  SELECT q_id, c_id FROM (
+    SELECT qv.vec_id AS q_id, cv.vec_id AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY {pref} DESC, cv.vec_id) AS rn
+    FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id
+    WHERE qv.vec_id < 20
+  ) WHERE rn <= {kc}
+),
+rer AS (
+  SELECT q_id, c_id FROM (
+    SELECT cand.q_id, cand.c_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY cand.q_id
+             ORDER BY {full} DESC, cv.vec_id) AS rn
+    FROM cand JOIN v qv ON qv.vec_id = cand.q_id
+              JOIN v cv ON cv.vec_id = cand.c_id
+  ) WHERE rn <= {k}
+)
+SELECT t.q_id,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN r.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN r.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS recall
+FROM truth t LEFT JOIN rer r ON r.q_id = t.q_id AND r.c_id = t.c_id
+GROUP BY t.q_id ORDER BY t.q_id
+"""
+
+
+@register(
+    "sim_matryoshka_rerank",
+    oracle=_matryoshka_rerank_oracle(),
+    doc="two-stage Matryoshka retrieval PIPELINE: the cheap 16-dim "
+    "prefix tier proposes top-20 candidates, the full 64-dim cosine "
+    "reranks the survivors to top-5 -- recall@5 vs the exact top-5 "
+    "shows what the 4x-narrower first-pass scan costs end to end "
+    "(vs embed_matryoshka_recall's single-tier readout). The rerank "
+    "join touches 20 rows per query however large the corpus -- the "
+    "coarse-to-fine shape every production vector store runs.",
+)
+def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    truth = similarity.topk_cosine(queries, corpus, k=5).select("q_id", "c_id")
+    pq = queries.select("q_id", F.slice("q_vec", 1, 16).alias("q_vec"))
+    pc = corpus.select("c_id", F.slice("c_vec", 1, 16).alias("c_vec"))
+    cand = similarity.topk_cosine(pq, pc, k=20).select("q_id", "c_id")
+    # rerank the survivors full-width: candidate-bounded join, then the
+    # exact cosine only on 20 rows per query
+    rer_scored = (
+        cand.join(queries, "q_id")
+        .join(corpus, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            similarity.cosine(
+                F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    rer = (
+        rer_scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "c_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        truth.join(rer, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )

@@ -1687,3 +1687,77 @@ def stats_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_mcnemar",
+    doc="McNemar paired test on within-user behavior change: each user "
+    "is classified high-activity (above the GLOBAL per-half median of "
+    "user event counts) in the first vs second half of the month; the "
+    "discordant-pair counts b (high->low) and c (low->high) give "
+    "chi2 = (b - c)^2 / (b + c) with the continuity-corrected variant "
+    "alongside. The paired-design complement to the two-proportion z "
+    "(which wrongly assumes independent samples for repeated users). "
+    "One per-(user, half) rollup + two broadcast medians.",
+    oracle=f"""
+WITH uh AS (
+  SELECT user_id,
+         SUM(CASE WHEN EXTRACT(day FROM ts) < 16 THEN 1 ELSE 0 END)::DOUBLE AS n1,
+         SUM(CASE WHEN EXTRACT(day FROM ts) >= 16 THEN 1 ELSE 0 END)::DOUBLE AS n2
+  FROM events GROUP BY user_id
+),
+med AS (
+  SELECT quantile_cont(n1, 0.5) AS m1, quantile_cont(n2, 0.5) AS m2 FROM uh
+),
+cls AS (
+  SELECT CASE WHEN n1 > m1 THEN 1 ELSE 0 END AS h1,
+         CASE WHEN n2 > m2 THEN 1 ELSE 0 END AS h2
+  FROM uh CROSS JOIN med
+),
+agg AS (
+  SELECT SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS b,
+         SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS c,
+         COUNT(*)::BIGINT AS n_users
+  FROM cls
+)
+SELECT n_users,
+       CAST(b AS BIGINT) AS high_to_low,
+       CAST(c AS BIGINT) AS low_to_high,
+       ROUND((b - c) * (b - c) / (b + c), {R}) AS mcnemar_chi2,
+       ROUND((abs(b - c) - 1) * (abs(b - c) - 1) / (b + c), {R}) AS mcnemar_cc
+FROM agg
+""",
+)
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    uh = ev.groupBy("user_id").agg(
+        F.sum((F.dayofmonth("ts") < 16).cast("int")).cast("double").alias("n1"),
+        F.sum((F.dayofmonth("ts") >= 16).cast("int")).cast("double").alias("n2"),
+    )
+    med = uh.agg(
+        F.expr("percentile(n1, 0.5)").alias("m1"),
+        F.expr("percentile(n2, 0.5)").alias("m2"),
+    )
+    cls = uh.crossJoin(F.broadcast(med)).select(
+        (F.col("n1") > F.col("m1")).cast("int").alias("h1"),
+        (F.col("n2") > F.col("m2")).cast("int").alias("h2"),
+    )
+    agg = cls.agg(
+        F.sum(F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("b"),
+        F.sum(F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("c"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    b, c = F.col("b"), F.col("c")
+    return agg.select(
+        "n_users",
+        b.cast("long").alias("high_to_low"),
+        c.cast("long").alias("low_to_high"),
+        F.round((b - c) * (b - c) / (b + c), R).alias("mcnemar_chi2"),
+        F.round((F.abs(b - c) - 1) * (F.abs(b - c) - 1) / (b + c), R).alias(
+            "mcnemar_cc"
+        ),
+    )

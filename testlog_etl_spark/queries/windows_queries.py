@@ -2042,3 +2042,52 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fold, out_schema)
         .orderBy("event_type", "t")
     )
+
+
+@register(
+    "ts_downsample_m4",
+    doc="M4 downsampling (min/max/first/last per pixel bucket) of the "
+    "per-type event value stream into 10 time buckets -- the "
+    "error-free line-chart downsampler (Jugel et al.): every bucket "
+    "keeps exactly the four points a pixel column can show, as ONE "
+    "rollup with min_by/max_by (first/last via the (ts, event_id) "
+    "total order). The aggregation-only complement to LTTB's "
+    "perceptual walk: no sequential dependency, so it's a plain "
+    "shuffle however long the series.",
+    oracle="""
+WITH b AS (
+  SELECT event_type, "value" AS v, ts, event_id,
+         least(9, (EXTRACT(day FROM ts) - 1) // 3) AS bucket
+  FROM events
+)
+SELECT event_type, CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(MIN(v), 4) AS v_min,
+       ROUND(MAX(v), 4) AS v_max,
+       ROUND(first(v ORDER BY ts, event_id), 4) AS v_first,
+       ROUND(last(v ORDER BY ts, event_id), 4) AS v_last
+FROM b GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+""",
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    b = ev.select(
+        "event_type",
+        F.col("value").alias("v"),
+        "ts",
+        "event_id",
+        F.least(F.lit(9), F.expr("(extract(DAY FROM ts) - 1) div 3")).cast("int").alias("bucket"),
+    )
+    key = F.struct(F.unix_micros("ts").alias("e"), F.col("event_id").alias("i"))
+    return (
+        b.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("v"), 4).alias("v_min"),
+            F.round(F.max("v"), 4).alias("v_max"),
+            F.round(F.min_by("v", key), 4).alias("v_first"),
+            F.round(F.max_by("v", key), 4).alias("v_last"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -134,7 +134,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    ts_kalman_level, join_radius_grid, orders_littles_law_check,
     #    events_leaderboard_churn, ts_lttb_downsample,
     #    graph_ppr_single_source, stats_wasserstein_drift,
-    #    embed_matryoshka_recall.
+    #    embed_matryoshka_recall, sim_matryoshka_rerank, stats_mcnemar,
+    #    ts_downsample_m4.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -1173,3 +1173,74 @@ def test_matryoshka_recall_matches_bruteforce(spark, duck):
         assert r["n_true"] == 5
         assert r["n_hit"] == hit
         assert r["recall"] == pytest.approx(hit / 5, abs=1e-6)
+
+
+def test_matryoshka_rerank_beats_prefix_only(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    rerank = {
+        r["q_id"]: r["recall"]
+        for r in REGISTRY["sim_matryoshka_rerank"].fn(spark, SF_SMALL).collect()
+    }
+    prefix = {
+        r["q_id"]: r["recall"]
+        for r in REGISTRY["embed_matryoshka_recall"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(rerank) == set(prefix)
+    # reranking top-20 candidates full-width can only find MORE of the
+    # true top-5 than taking the prefix tier's top-5 directly
+    assert all(rerank[q] >= prefix[q] - 1e-9 for q in rerank)
+    assert sum(rerank.values()) >= sum(prefix.values())
+
+
+def test_mcnemar_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT user_id, SUM(CASE WHEN EXTRACT(day FROM ts) < 16 THEN 1 ELSE 0 END), "
+        "SUM(CASE WHEN EXTRACT(day FROM ts) >= 16 THEN 1 ELSE 0 END) "
+        "FROM events GROUP BY user_id"
+    ).fetchall()
+    n1 = [float(r[1]) for r in rows]
+    n2 = [float(r[2]) for r in rows]
+    m1, m2 = _median(n1), _median(n2)
+    b = sum(1 for a, bb in zip(n1, n2) if a > m1 and bb <= m2)
+    c = sum(1 for a, bb in zip(n1, n2) if a <= m1 and bb > m2)
+    r = REGISTRY["stats_mcnemar"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_users"] == len(rows)
+    assert (r["high_to_low"], r["low_to_high"]) == (b, c)
+    assert r["mcnemar_chi2"] == pytest.approx((b - c) ** 2 / (b + c), abs=1e-3)
+    assert r["mcnemar_cc"] == pytest.approx(
+        (abs(b - c) - 1) ** 2 / (b + c), abs=1e-3
+    )
+
+
+def test_m4_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        'SELECT event_type, "value", ts, event_id, EXTRACT(day FROM ts) FROM events'
+    ).fetchall()
+    cells = {}
+    for et, v, ts, eid, day in rows:
+        b = min(9, (int(day) - 1) // 3)
+        cells.setdefault((et, b), []).append((ts, eid, v))
+    got = {
+        (r["event_type"], r["bucket"]): r
+        for r in REGISTRY["ts_downsample_m4"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(cells)
+    for key, pts in cells.items():
+        pts.sort()
+        vs = [v for _, _, v in pts]
+        r = got[key]
+        assert r["n"] == len(pts)
+        assert r["v_min"] == pytest.approx(min(vs), abs=1e-3)
+        assert r["v_max"] == pytest.approx(max(vs), abs=1e-3)
+        assert r["v_first"] == pytest.approx(pts[0][2], abs=1e-3)
+        assert r["v_last"] == pytest.approx(pts[-1][2], abs=1e-3)
