@@ -3361,3 +3361,101 @@ def graph_ppr_single_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", "rank").orderBy("node")
+
+
+def _absorb_oracle(target: str = "purchase", n_iter: int = 6, bits: int = 30) -> str:
+    g = 1 << bits
+
+    def snap(x: str) -> str:
+        return f"floor(({x}) * {g} + 0.5) / {g}"
+
+    blocks = [
+        f"""edges AS (
+  SELECT prev_type AS src, event_type AS dst, count(*)::DOUBLE AS w
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY src, dst
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+ow AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, edges.w / ow.ow AS frac FROM edges JOIN ow ON ow.src = edges.src),
+p0 AS (SELECT node, CASE WHEN node = '{target}' THEN 1.0 ELSE 0.0 END AS p FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        blocks.append(
+            f"""s{i} AS (
+  SELECT e.src AS node, SUM(e.frac * p.p) AS np
+  FROM e JOIN p{i - 1} p ON p.node = e.dst GROUP BY e.src
+),
+p{i} AS (
+  SELECT nodes.node,
+         CASE WHEN nodes.node = '{target}' THEN 1.0
+              ELSE {snap(f'coalesce(s{i}.np, 0.0)')} END AS p
+  FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node
+)"""
+        )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body}
+SELECT node, p AS p_hit FROM p{n_iter} ORDER BY node
+"""
+
+
+@register(
+    "graph_absorbing_hit_probability",
+    oracle=_absorb_oracle(),
+    doc="absorbing-Markov conversion probability: for every state of "
+    "the event-transition chain, the probability of REACHING "
+    "'purchase' within 6 steps (purchase absorbing at p = 1; "
+    "p_{{k+1}}(s) = sum_t T(s,t) p_k(t) elsewhere) -- the "
+    "finite-horizon answer to 'how close is each behavior state to "
+    "converting', the funnel/transition-matrix family's forward "
+    "closure. Per round one edges><p join + (node, double) sum "
+    "shuffle, grid-snapped (pagerank playbook), chained-CTE replay "
+    "bit-identical.",
+)
+def graph_absorbing_hit_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    target, n_iter, bits = "purchase", 6, 30
+    g = float(1 << bits)
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(ow, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("frac")
+    )
+    p = nodes.select(
+        "node",
+        F.when(F.col("node") == target, F.lit(1.0)).otherwise(F.lit(0.0)).alias("p"),
+    )
+    for _ in range(n_iter):
+        s = (
+            e.join(p, e.dst == p.node)
+            .groupBy(F.col("src").alias("n2"))
+            .agg(F.sum(F.col("frac") * F.col("p")).alias("np"))
+        )
+        p = nodes.join(s, nodes.node == F.col("n2"), "left").select(
+            "node",
+            F.when(F.col("node") == target, F.lit(1.0))
+            .otherwise(
+                F.floor(F.coalesce(F.col("np"), F.lit(0.0)) * g + 0.5) / g
+            )
+            .alias("p"),
+        )
+    return p.select("node", F.col("p").alias("p_hit")).orderBy("node")

@@ -5409,3 +5409,160 @@ def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@register(
+    "eval_cohens_kappa",
+    oracle=_LANGID_PRED_SQL
+    + """
+, cell AS (
+  SELECT CASE WHEN predicted = 'en' THEN 1 ELSE 0 END AS a,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+  FROM p
+),
+agg AS (
+  SELECT COUNT(*)::DOUBLE AS n,
+         SUM(CASE WHEN a = b THEN 1 ELSE 0 END)::DOUBLE AS agree,
+         SUM(a)::DOUBLE AS pa, SUM(b)::DOUBLE AS pb
+  FROM cell
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       ROUND(agree / n, 4) AS p_observed,
+       ROUND((pa * pb + (n - pa) * (n - pb)) / (n * n), 4) AS p_expected,
+       ROUND((agree / n - (pa * pb + (n - pa) * (n - pb)) / (n * n))
+             / (1.0 - (pa * pb + (n - pa) * (n - pb)) / (n * n)), 4) AS kappa
+FROM agg
+""",
+    doc="Cohen's kappa chance-corrected agreement between the langid "
+    "heuristic's is-English call and the stored label: po from the "
+    "diagonal, pe from the marginal products -- the single-number "
+    "rater-agreement summary the eval_langid_metrics confusion table "
+    "feeds. One scan over the shared predicted-language lineage.",
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    cell = docs.select(
+        (textstats.lang_id(F.col("text")) == "en").cast("int").alias("a"),
+        (F.col("lang") == "en").cast("int").alias("b"),
+    )
+    agg = cell.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("int")).cast("double").alias("agree"),
+        F.sum("a").cast("double").alias("pa"),
+        F.sum("b").cast("double").alias("pb"),
+    )
+    n, pa, pb = F.col("n"), F.col("pa"), F.col("pb")
+    pe = (pa * pb + (n - pa) * (n - pb)) / (n * n)
+    po = F.col("agree") / n
+    return agg.select(
+        n.cast("long").alias("n_docs"),
+        F.round(po, 4).alias("p_observed"),
+        F.round(pe, 4).alias("p_expected"),
+        F.round((po - pe) / (1.0 - pe), 4).alias("kappa"),
+    )
+
+
+_RAKE_STOPS = textstats.STOPWORDS["en"]
+
+
+@register(
+    "text_keyphrase_rake",
+    doc="RAKE keyphrase extraction over the corpus: candidate phrases "
+    "are maximal stopword-free token runs (gaps-and-islands: phrase "
+    "id = pos - rownum over non-stop tokens, per doc), word scores "
+    "deg/freq where deg sums the lengths of every phrase instance "
+    "containing the word, phrase score = sum of its word scores; "
+    "identical phrase texts aggregate corpus-wide and the top 15 by "
+    "(score desc, phrase) come back. All shuffles are (doc, phrase) "
+    "or (term) keyed; the only windows partition by doc_id.",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS term FROM t
+),
+ns AS (
+  SELECT doc_id, pos, term,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM tok
+  WHERE NOT list_contains({_RAKE_STOPS!r}, term)
+),
+ph AS (
+  SELECT doc_id, grp, COUNT(*)::BIGINT AS len,
+         string_agg(term, ' ' ORDER BY pos) AS phrase
+  FROM ns GROUP BY doc_id, grp
+),
+ws AS (
+  SELECT ns.term,
+         COUNT(*)::DOUBLE AS freq,
+         SUM(ph.len)::DOUBLE AS deg
+  FROM ns JOIN ph ON ph.doc_id = ns.doc_id AND ph.grp = ns.grp
+  GROUP BY ns.term
+),
+psc AS (
+  SELECT ph.doc_id, ph.grp, ph.phrase,
+         SUM(ws.deg / ws.freq) AS score
+  FROM ns JOIN ph ON ph.doc_id = ns.doc_id AND ph.grp = ns.grp
+          JOIN ws ON ws.term = ns.term
+  GROUP BY ph.doc_id, ph.grp, ph.phrase
+)
+SELECT phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       ROUND(MAX(score), 4) AS rake_score
+FROM psc
+GROUP BY phrase
+ORDER BY rake_score DESC, phrase
+LIMIT 15
+""",
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(textstats.tokens(F.lower(F.col("text")))).alias("pos", "term"),
+    )
+    ns = (
+        tok.filter(~F.col("term").isin(*_RAKE_STOPS))
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+    )
+    ph = ns.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda x: x["term"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    ws = (
+        ns.join(ph.select("doc_id", "grp", "len"), ["doc_id", "grp"])
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("freq"),
+            F.sum("len").cast("double").alias("deg"),
+        )
+    )
+    psc = (
+        ns.join(ph, ["doc_id", "grp"])
+        .join(ws, "term")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum(F.col("deg") / F.col("freq")).alias("score"))
+    )
+    return (
+        psc.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.round(F.max("score"), 4).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(15)
+    )

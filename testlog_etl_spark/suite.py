@@ -135,7 +135,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    events_leaderboard_churn, ts_lttb_downsample,
     #    graph_ppr_single_source, stats_wasserstein_drift,
     #    embed_matryoshka_recall, sim_matryoshka_rerank, stats_mcnemar,
-    #    ts_downsample_m4.
+    #    ts_downsample_m4, eval_cohens_kappa, text_keyphrase_rake,
+    #    graph_absorbing_hit_probability.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

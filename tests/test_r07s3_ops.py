@@ -1244,3 +1244,116 @@ def test_m4_matches_bruteforce(spark, duck):
         assert r["v_max"] == pytest.approx(max(vs), abs=1e-3)
         assert r["v_first"] == pytest.approx(pts[0][2], abs=1e-3)
         assert r["v_last"] == pytest.approx(pts[-1][2], abs=1e-3)
+
+
+def test_kappa_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    # confusion marginals from the already-verified langid query
+    conf = REGISTRY["text_langid"].fn(spark, SF_SMALL).collect()
+    n = sum(r["n"] for r in conf)
+    pa = sum(r["n"] for r in conf if r["predicted"] == "en")
+    pb = sum(r["n"] for r in conf if r["lang"] == "en")
+    agree = sum(
+        r["n"]
+        for r in conf
+        if (r["predicted"] == "en") == (r["lang"] == "en")
+    )
+    po = agree / n
+    pe = (pa * pb + (n - pa) * (n - pb)) / (n * n)
+    r = REGISTRY["eval_cohens_kappa"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_docs"] == n
+    assert r["p_observed"] == pytest.approx(po, abs=1e-3)
+    assert r["p_expected"] == pytest.approx(pe, abs=1e-3)
+    assert r["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=2e-3)
+
+
+def test_rake_matches_bruteforce(spark, duck):
+    from collections import Counter, defaultdict
+
+    from testlog_etl_spark.operators.textstats import STOPWORDS
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    stops = set(STOPWORDS["en"])
+    docs = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    phrases = []  # list of token-lists
+    for _, text in docs:
+        run = []
+        for t in (text or "").strip().lower().split():
+            if t in stops:
+                if run:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(t)
+        if run:
+            phrases.append(run)
+    freq = Counter()
+    deg = Counter()
+    for p in phrases:
+        for t in p:
+            freq[t] += 1
+            deg[t] += len(p)
+    score = defaultdict(float)
+    count = Counter()
+    for p in phrases:
+        txt = " ".join(p)
+        count[txt] += 1
+        score[txt] = sum(deg[t] / freq[t] for t in p)
+    top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = REGISTRY["text_keyphrase_rake"].fn(spark, SF_SMALL).collect()
+    assert len(got) == 15
+    for row, (txt, sc) in zip(got, top):
+        assert row["phrase"] == txt
+        assert row["n_occurrences"] == count[txt]
+        assert row["rake_score"] == pytest.approx(sc, abs=1e-3)
+
+
+def test_absorbing_hit_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    edges = duck.execute(
+        """
+        SELECT prev_type, event_type, count(*) FROM (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ) WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall()
+    out = {}
+    nodes = set()
+    for s, d, w in edges:
+        nodes.update((s, d))
+        out.setdefault(s, []).append((d, float(w)))
+    frac = {
+        s: [(d, w / sum(w for _, w in lst)) for d, w in lst]
+        for s, lst in out.items()
+    }
+    g = float(1 << 30)
+    p = {n: (1.0 if n == "purchase" else 0.0) for n in nodes}
+    for _ in range(6):
+        np_ = {}
+        for n in nodes:
+            if n == "purchase":
+                np_[n] = 1.0
+            else:
+                acc = sum(fr * p[d] for d, fr in frac.get(n, []))
+                np_[n] = math.floor(acc * g + 0.5) / g
+        p = np_
+    got = {
+        r["node"]: r["p_hit"]
+        for r in REGISTRY["graph_absorbing_hit_probability"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == nodes
+    for n in nodes:
+        assert got[n] == pytest.approx(p[n], abs=1e-6)
+    # monotone sanity: every probability in [0, 1], target pinned at 1
+    assert got["purchase"] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in got.values())
