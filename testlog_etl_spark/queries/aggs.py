@@ -1905,3 +1905,111 @@ def orders_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("littles_ratio"),
         F.round(F.col("full_days") / F.col("arrivals"), 4).alias("w_naive_days"),
     ).orderBy("year")
+
+
+@register(
+    "agg_lorenz_deciles",
+    doc="Lorenz curve deciles of customer revenue (the gini query's "
+    "presentable companion): global revenue rank via the hierarchical "
+    "range-partition scan (operators/scan.py::global_rank_cumsum -- "
+    "no single-partition window; deciles from integer rank "
+    "arithmetic), then the decile rollup and a 10-row cumulative "
+    "share. Bottom-decile share vs top-decile share is the "
+    "concentration readout.",
+    oracle="""
+WITH cx AS (
+  SELECT o_custkey AS cust, SUM(o_totalprice) AS x
+  FROM orders GROUP BY cust
+),
+r AS (
+  SELECT cust, x,
+         ROW_NUMBER() OVER (ORDER BY x, cust) AS i,
+         COUNT(*) OVER () AS n
+  FROM cx
+),
+d AS (
+  SELECT ((i - 1) * 10) // n AS decile,
+         COUNT(*)::BIGINT AS n_customers,
+         SUM(x) AS rev
+  FROM r GROUP BY decile
+),
+t AS (SELECT SUM(rev) AS tot FROM d)
+SELECT CAST(d.decile AS INT) AS decile, d.n_customers,
+       ROUND(d.rev, 2) AS revenue,
+       ROUND(d.rev / t.tot, 6) AS rev_share,
+       ROUND(SUM(d.rev) OVER (ORDER BY d.decile ROWS UNBOUNDED PRECEDING) / t.tot, 6) AS cum_share
+FROM d CROSS JOIN t
+ORDER BY decile
+""",
+)
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cx = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    handles: list = []
+    r = global_rank_cumsum(
+        cx, [F.col("x").asc(), F.col("cust").asc()], rank_out="i",
+        n_out="n", persist_handles=handles,
+    )
+    d = r.groupBy(F.expr("((i - 1) * 10) div n").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("x").alias("rev")
+    )
+    t = d.agg(F.sum("rev").alias("tot"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_customers",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.col("tot"), 6).alias("rev_share"),
+            F.round(F.sum("rev").over(wc) / F.col("tot"), 6).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+    out = out.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return out
+
+
+@register(
+    "agg_native_unpivot",
+    doc="native UNPIVOT surface pin (DataFrame.unpivot / SQL UNPIVOT, "
+    "the Spark-4 wide->long primitive): the per-priority "
+    "count/revenue/avg metrics frame melts into (priority, metric, "
+    "value) rows JVM-side -- no stack() string, no Python row work; "
+    "the same melt the stack()-based queries hand-roll, pinned here "
+    "as the first-class API so regressions in the native path "
+    "surface. Oracle restates with UNION ALL.",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS prio,
+         COUNT(*)::DOUBLE AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS revenue,
+         ROUND(AVG(o_totalprice), 4) AS avg_ticket
+  FROM orders GROUP BY prio
+)
+SELECT prio, metric, val FROM (
+  SELECT prio, 'n_orders' AS metric, n_orders AS val FROM m
+  UNION ALL SELECT prio, 'revenue', revenue FROM m
+  UNION ALL SELECT prio, 'avg_ticket', avg_ticket FROM m
+)
+ORDER BY prio, metric
+""",
+)
+def agg_native_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    m = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_ticket"),
+    )
+    return m.unpivot(
+        ["prio"], ["n_orders", "revenue", "avg_ticket"], "metric", "val"
+    ).orderBy("prio", "metric")

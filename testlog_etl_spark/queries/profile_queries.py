@@ -867,3 +867,77 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_MASK_COLS = (
+    ("customer.c_name", "customer", "c_name"),
+    ("orders.o_orderpriority", "orders", "o_orderpriority"),
+    ("part.p_type", "part", "p_type"),
+    ("events.props", "events", "props"),
+)
+
+
+def _mask_sql(col: str) -> str:
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{col}, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g')"
+    )
+
+
+@register(
+    "dq_value_pattern_profile",
+    doc="value-pattern profiling (the classic data-profiling 'pattern "
+    "analysis'): every value masked to its character-class shape "
+    "(uppercase->A, lowercase->a, digit->9, punctuation kept), top-3 "
+    "masks per profiled column with counts and share -- how a "
+    "profiler discovers mixed formats, stray whitespace, or rogue "
+    "encodings in string columns before they break a parser. One "
+    "rollup per column (unioned); masks are pure codegen regex.",
+    oracle="SELECT col, mask, n, share FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{label}' AS col, mask, n, share, rn FROM (
+  SELECT mask, CAST(count(*) AS BIGINT) AS n,
+         ROUND(count(*) * 1.0 / SUM(count(*)) OVER (), 4) AS share,
+         ROW_NUMBER() OVER (ORDER BY count(*) DESC, mask) AS rn
+  FROM (SELECT {_mask_sql(col)} AS mask FROM {tbl})
+  GROUP BY mask
+)"""
+        for label, tbl, col in _MASK_COLS
+    )
+    + "\n) WHERE rn <= 3 ORDER BY col, n DESC, mask",
+)
+def dq_value_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tables = load_tables(
+        spark, sf_dir, tuple(sorted({t for _, t, _ in _MASK_COLS}))
+    )
+    outs = []
+    for label, tbl, col in _MASK_COLS:
+        mask = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(col), "[A-Z]", "A"), "[a-z]", "a"
+            ),
+            "[0-9]",
+            "9",
+        )
+        g = tables[tbl].select(mask.alias("mask")).groupBy("mask").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        wtot = Window.partitionBy()
+        wrn = Window.orderBy(F.desc("n"), F.asc("mask"))
+        outs.append(
+            g.select(
+                F.lit(label).alias("col"),
+                "mask",
+                "n",
+                F.round(F.col("n") * 1.0 / F.sum("n").over(wtot), 4).alias("share"),
+                F.row_number().over(wrn).alias("rn"),
+            ).filter(F.col("rn") <= 3)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("col", "mask", "n", "share").orderBy(
+        "col", F.desc("n"), "mask"
+    )

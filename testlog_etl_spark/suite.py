@@ -136,7 +136,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    graph_ppr_single_source, stats_wasserstein_drift,
     #    embed_matryoshka_recall, sim_matryoshka_rerank, stats_mcnemar,
     #    ts_downsample_m4, eval_cohens_kappa, text_keyphrase_rake,
-    #    graph_absorbing_hit_probability.
+    #    graph_absorbing_hit_probability, agg_lorenz_deciles,
+    #    dq_value_pattern_profile, agg_native_unpivot.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

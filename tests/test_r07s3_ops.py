@@ -1357,3 +1357,85 @@ def test_absorbing_hit_matches_bruteforce(spark, duck):
     # monotone sanity: every probability in [0, 1], target pinned at 1
     assert got["purchase"] == 1.0
     assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_lorenz_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT o_custkey, SUM(o_totalprice) FROM orders GROUP BY 1"
+    ).fetchall()
+    xs = sorted((x, cust) for cust, x in rows)
+    n = len(xs)
+    deciles = {}
+    for i, (x, _) in enumerate(xs):
+        d = (i * 10) // n
+        cnt, rev = deciles.get(d, (0, 0.0))
+        deciles[d] = (cnt + 1, rev + x)
+    tot = sum(rev for _, rev in deciles.values())
+    got = {
+        r["decile"]: r
+        for r in REGISTRY["agg_lorenz_deciles"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(deciles)
+    cum = 0.0
+    for d in sorted(deciles):
+        cnt, rev = deciles[d]
+        cum += rev
+        r = got[d]
+        assert r["n_customers"] == cnt
+        assert r["revenue"] == pytest.approx(rev, abs=0.02)
+        assert r["rev_share"] == pytest.approx(rev / tot, abs=1e-5)
+        assert r["cum_share"] == pytest.approx(cum / tot, abs=1e-5)
+    # Lorenz invariants: shares ascend by decile, cum ends at 1
+    shares = [got[d]["rev_share"] for d in sorted(got)]
+    assert shares == sorted(shares)
+    assert got[max(got)]["cum_share"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pattern_profile_matches_bruteforce(spark, duck):
+    import re
+    from collections import Counter
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    cols = [
+        ("customer.c_name", "SELECT c_name FROM customer"),
+        ("orders.o_orderpriority", "SELECT o_orderpriority FROM orders"),
+        ("part.p_type", "SELECT p_type FROM part"),
+        ("events.props", "SELECT props FROM events"),
+    ]
+    got = {}
+    for r in REGISTRY["dq_value_pattern_profile"].fn(spark, SF_SMALL).collect():
+        got.setdefault(r["col"], []).append(r)
+    for label, sql in cols:
+        vals = [r[0] for r in duck.execute(sql).fetchall()]
+        masks = Counter(
+            re.sub(r"[0-9]", "9", re.sub(r"[a-z]", "a", re.sub(r"[A-Z]", "A", v)))
+            for v in vals
+        )
+        top = sorted(masks.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        rows = got[label]
+        assert len(rows) == min(3, len(masks))
+        for row, (mask, cnt) in zip(rows, top):
+            assert row["mask"] == mask and row["n"] == cnt
+            assert row["share"] == pytest.approx(cnt / len(vals), abs=1e-3)
+
+
+def test_native_unpivot_shape(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["agg_native_unpivot"].fn(spark, SF_SMALL).collect()
+    prios = {r["prio"] for r in rows}
+    assert len(rows) == 3 * len(prios)
+    for p in prios:
+        ms = {r["metric"]: r["val"] for r in rows if r["prio"] == p}
+        assert set(ms) == {"n_orders", "revenue", "avg_ticket"}
+        assert ms["avg_ticket"] == pytest.approx(
+            ms["revenue"] / ms["n_orders"], rel=1e-4
+        )

@@ -68,6 +68,14 @@ WHITELIST: dict[str, str] = {
         "per-source ROLLUP frame -- a fixed small domain (~20 sources), "
         "not data-scaling; the corpus-scale work is the one rollup shuffle"
     ),
+    "dq_value_pattern_profile": (
+        "share/rank windows run over each column's MASK rollup -- the "
+        "domain is format shapes (a handful per column), not rows"
+    ),
+    "agg_lorenz_deciles": (
+        "cumulative-share window runs over the 10-row DECILE rollup; "
+        "the data-scaling rank runs on the hierarchical scan"
+    ),
     "ts_periodogram_weekly": (
         "day-index row_number runs over the per-DAY revenue rollup -- "
         "calendar-bounded frame (the runs-test rationale)"
