@@ -1761,3 +1761,259 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mcnemar_cc"
         ),
     )
+
+
+@register(
+    "stats_partial_correlation",
+    doc="first-order partial correlation per event_type: r(value, "
+    "hour-of-day | day-of-month) = (rxy - rxz rzy) / sqrt((1-rxz^2)"
+    "(1-rzy^2)) -- does the value~hour association survive "
+    "controlling for the monthly trend? Three Pearson moments from "
+    "ONE scan (corr is a single-pass aggregate on both engines, the "
+    "stats_correlation pairing).",
+    oracle=f"""
+WITH v AS (
+  SELECT event_type, "value" AS x,
+         EXTRACT(hour FROM ts)::DOUBLE AS y,
+         EXTRACT(day FROM ts)::DOUBLE AS z
+  FROM events
+),
+c AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n,
+         corr(x, y) AS rxy, corr(x, z) AS rxz, corr(z, y) AS rzy
+  FROM v GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(rxy, {R}) AS r_xy,
+       ROUND((rxy - rxz * rzy) / sqrt((1 - rxz * rxz) * (1 - rzy * rzy)), {R}) AS r_xy_given_z
+FROM c ORDER BY event_type
+""",
+)
+def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = ev.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.hour("ts").cast("double").alias("y"),
+        F.dayofmonth("ts").cast("double").alias("z"),
+    )
+    c = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.corr("x", "y").alias("rxy"),
+        F.corr("x", "z").alias("rxz"),
+        F.corr("z", "y").alias("rzy"),
+    )
+    return c.select(
+        "event_type",
+        "n",
+        F.round("rxy", R).alias("r_xy"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("rzy"))
+            / F.sqrt(
+                (1 - F.col("rxz") * F.col("rxz")) * (1 - F.col("rzy") * F.col("rzy"))
+            ),
+            R,
+        ).alias("r_xy_given_z"),
+    ).orderBy("event_type")
+
+
+@register(
+    "stats_cramers_v",
+    doc="Cramer's V effect size for the lang x source association: "
+    "V = sqrt(chi2 / (n * min(r-1, c-1))) on the same "
+    "observed-vs-independence cells as stats_chi_square -- the "
+    "bounded [0,1] strength number the raw chi2 (which grows with n) "
+    "can't give. Same one-rollup plan.",
+    oracle=f"""
+WITH o AS (SELECT lang, source, count(*)::DOUBLE AS obs FROM documents GROUP BY lang, source),
+r AS (SELECT lang, SUM(obs) AS row_tot FROM o GROUP BY lang),
+c AS (SELECT source, SUM(obs) AS col_tot FROM o GROUP BY source),
+n AS (SELECT SUM(obs) AS n FROM o),
+chi AS (
+  SELECT SUM(pow(obs - row_tot * col_tot / n.n, 2) / (row_tot * col_tot / n.n)) AS chi2,
+         MAX(n.n) AS n,
+         (SELECT count(*) FROM r) AS nr,
+         (SELECT count(*) FROM c) AS nc
+  FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(chi2, {R}) AS chi2,
+       CAST(LEAST(nr - 1, nc - 1) AS BIGINT) AS min_dim,
+       ROUND(sqrt(chi2 / (n * LEAST(nr - 1, nc - 1))), {R}) AS cramers_v
+FROM chi
+""",
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    r = o.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    n = o.agg(F.sum("obs").alias("n"))
+    nr = r.agg(F.count(F.lit(1)).alias("nr"))
+    nc = c.agg(F.count(F.lit(1)).alias("nc"))
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    chi = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(F.pow(F.col("obs") - e, 2) / e).alias("chi2"),
+            F.max("n").alias("n"),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+    )
+    md = F.least(F.col("nr") - 1, F.col("nc") - 1)
+    return chi.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("chi2", R).alias("chi2"),
+        md.cast("long").alias("min_dim"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("n") * md)), R).alias("cramers_v"),
+    )
+
+
+_PACF_LAGS = tuple(range(1, 8))
+
+
+def _pacf_oracle() -> str:
+    lagcols = ",\n         ".join(f"lag(n, {k}) OVER w AS l{k}" for k in _PACF_LAGS)
+    union = "\n  UNION ALL ".join(
+        f"SELECT event_type, n, {k} AS lag, l{k} AS lx FROM l" for k in _PACF_LAGS
+    )
+    return f"""
+WITH RECURSIVE
+d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::DOUBLE AS n
+  FROM events GROUP BY event_type, day
+),
+m AS (
+  SELECT event_type, AVG(n) AS mu, var_pop(n) * COUNT(*) AS den
+  FROM d GROUP BY event_type
+),
+l AS (
+  SELECT event_type, n,
+         {lagcols}
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+u AS (
+  {union}
+),
+acf AS (
+  SELECT u.event_type, u.lag,
+         ROUND(SUM((u.n - m.mu) * (u.lx - m.mu)) / MAX(m.den), 10) AS r
+  FROM u JOIN m ON m.event_type = u.event_type
+  WHERE u.lx IS NOT NULL
+  GROUP BY u.event_type, u.lag
+),
+rl AS (
+  SELECT event_type, list(r ORDER BY lag) AS rl FROM acf GROUP BY event_type
+),
+rec AS (
+  SELECT event_type, 1 AS k, [rl[1]] AS phi,
+         1.0 - rl[1] * rl[1] AS v, rl
+  FROM rl
+  UNION ALL
+  SELECT r.event_type, r.k + 1,
+         list_append(
+           list_transform(range(1, r.k + 1),
+             j -> r.phi[j] - ((r.rl[r.k + 1]
+                   - list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range(1, r.k + 1), i -> r.phi[i] * r.rl[r.k + 1 - i])),
+                       (a, b) -> a + b)) / r.v) * r.phi[r.k + 1 - j]),
+           (r.rl[r.k + 1]
+                   - list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range(1, r.k + 1), i -> r.phi[i] * r.rl[r.k + 1 - i])),
+                       (a, b) -> a + b)) / r.v),
+         r.v * (1.0 - pow((r.rl[r.k + 1]
+                   - list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range(1, r.k + 1), i -> r.phi[i] * r.rl[r.k + 1 - i])),
+                       (a, b) -> a + b)) / r.v, 2)),
+         r.rl
+  FROM rec r WHERE r.k < {len(_PACF_LAGS)}
+)
+SELECT rec.event_type, rec.k AS lag,
+       ROUND(rec.rl[rec.k], 4) AS acf,
+       ROUND(rec.phi[rec.k], 4) AS pacf
+FROM rec
+ORDER BY event_type, lag
+"""
+
+
+@register(
+    "ts_pacf_durbin_levinson",
+    doc="partial autocorrelation function (lags 1..7) of the daily "
+    "event-count series per event_type via the Durbin-Levinson "
+    "recursion -- the AR-order diagnostic read next to the ACF "
+    "(stats_ljung_box): phi_kk isolates lag-k dependence with "
+    "shorter lags regressed out. ACF estimates are snapped to 10 "
+    "places so both engines feed the recursion identical doubles; "
+    "the level-k coefficient VECTOR rides an applyInPandas fold "
+    "(parallel across types) and the oracle replays the identical "
+    "op order as a list-carrying recursive CTE (the holt_winters "
+    "playbook).",
+    oracle=_pacf_oracle(),
+)
+def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    m = d.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        (F.var_pop("n") * F.count(F.lit(1))).alias("den"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "n",
+        *[F.lag("n", k).over(w).alias(f"l{k}") for k in _PACF_LAGS],
+    )
+    stack_args = ", ".join(f"{k}, l{k}" for k in _PACF_LAGS)
+    u = l.selectExpr(
+        "event_type", "n", f"stack({len(_PACF_LAGS)}, {stack_args}) as (lag, lx)"
+    ).filter(F.col("lx").isNotNull())
+    acf = (
+        u.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "lag")
+        .agg(
+            F.round(
+                F.sum((F.col("n") - F.col("mu")) * (F.col("lx") - F.col("mu")))
+                / F.max("den"),
+                10,
+            ).alias("r")
+        )
+    )
+    out_schema = "event_type string, lag int, acf double, pacf double"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("lag")
+        rl = [float(v) for v in pdf["r"]]
+        et = pdf["event_type"].iloc[0]
+        phi = [rl[0]]
+        v = 1.0 - rl[0] * rl[0]
+        rows = [(et, 1, rl[0], phi[0])]
+        for k in range(1, len(rl)):  # producing lag k+1 (0-based rl)
+            acc = 0.0
+            for i in range(1, k + 1):
+                acc = acc + phi[i - 1] * rl[k - i]
+            pk = (rl[k] - acc) / v
+            phi = [phi[j - 1] - pk * phi[k - j] for j in range(1, k + 1)] + [pk]
+            v = v * (1.0 - pk * pk)
+            rows.append((et, k + 1, rl[k], pk))
+        return pd.DataFrame(rows, columns=["event_type", "lag", "acf", "pacf"])
+
+    return (
+        acf.groupBy("event_type")
+        .applyInPandas(fold, out_schema)
+        .select(
+            "event_type",
+            "lag",
+            F.round("acf", 4).alias("acf"),
+            F.round("pacf", 4).alias("pacf"),
+        )
+        .orderBy("event_type", "lag")
+    )

@@ -137,7 +137,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    embed_matryoshka_recall, sim_matryoshka_rerank, stats_mcnemar,
     #    ts_downsample_m4, eval_cohens_kappa, text_keyphrase_rake,
     #    graph_absorbing_hit_probability, agg_lorenz_deciles,
-    #    dq_value_pattern_profile, agg_native_unpivot.
+    #    dq_value_pattern_profile, agg_native_unpivot,
+    #    stats_partial_correlation, stats_cramers_v,
+    #    ts_pacf_durbin_levinson.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -1439,3 +1439,101 @@ def test_native_unpivot_shape(spark):
         assert ms["avg_ticket"] == pytest.approx(
             ms["revenue"] / ms["n_orders"], rel=1e-4
         )
+
+
+def test_partial_corr_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        'SELECT event_type, "value", EXTRACT(hour FROM ts), EXTRACT(day FROM ts) FROM events'
+    ).fetchall()
+    by = {}
+    for et, x, h, d in rows:
+        by.setdefault(et, []).append((x, float(h), float(d)))
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_partial_correlation"].fn(spark, SF_SMALL).collect()
+    }
+
+    def corr(a, b):
+        n = len(a)
+        ma, mb = sum(a) / n, sum(b) / n
+        cov = sum((p - ma) * (q - mb) for p, q in zip(a, b))
+        sa = math.sqrt(sum((p - ma) ** 2 for p in a))
+        sb = math.sqrt(sum((q - mb) ** 2 for q in b))
+        return cov / (sa * sb)
+
+    for et, pts in by.items():
+        xs, ys, zs = zip(*pts)
+        rxy, rxz, rzy = corr(xs, ys), corr(xs, zs), corr(zs, ys)
+        part = (rxy - rxz * rzy) / math.sqrt((1 - rxz**2) * (1 - rzy**2))
+        r = got[et]
+        assert r["n"] == len(pts)
+        assert r["r_xy"] == pytest.approx(rxy, abs=1e-3)
+        assert r["r_xy_given_z"] == pytest.approx(part, abs=1e-3)
+
+
+def test_cramers_v_matches_bruteforce(spark, duck):
+    from collections import Counter
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    cells = Counter(
+        (lang, src)
+        for lang, src in duck.execute("SELECT lang, source FROM documents").fetchall()
+    )
+    n = sum(cells.values())
+    rows = Counter()
+    cols = Counter()
+    for (lang, src), c in cells.items():
+        rows[lang] += c
+        cols[src] += c
+    chi2 = sum(
+        (c - rows[lang] * cols[src] / n) ** 2 / (rows[lang] * cols[src] / n)
+        for (lang, src), c in cells.items()
+    )
+    md = min(len(rows) - 1, len(cols) - 1)
+    r = REGISTRY["stats_cramers_v"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n"] == n and r["min_dim"] == md
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-3)
+    assert r["cramers_v"] == pytest.approx(math.sqrt(chi2 / (n * md)), abs=1e-4)
+
+
+def test_pacf_matches_yule_walker_solve(spark, duck):
+    import numpy as np
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, n in rows:
+        series.setdefault(et, []).append(float(n))
+    got = {}
+    for r in REGISTRY["ts_pacf_durbin_levinson"].fn(spark, SF_SMALL).collect():
+        got[(r["event_type"], r["lag"])] = r
+    for et, xs in series.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        den = sum((x - mu) ** 2 for x in xs)
+        acf = [
+            sum((xs[t] - mu) * (xs[t - k] - mu) for t in range(k, n)) / den
+            for k in range(0, 8)
+        ]
+        # INDEPENDENT method: PACF(k) = last coeff of the Yule-Walker
+        # Toeplitz solve (numpy), not another Durbin-Levinson pass
+        for k in range(1, 8):
+            R = np.array([[acf[abs(i - j)] for j in range(k)] for i in range(k)])
+            rhs = np.array(acf[1 : k + 1])
+            phi = np.linalg.solve(R, rhs)
+            row = got[(et, k)]
+            assert row["acf"] == pytest.approx(acf[k], abs=1e-3)
+            assert row["pacf"] == pytest.approx(phi[-1], abs=1e-3)
