@@ -3459,3 +3459,195 @@ def graph_absorbing_hit_probability(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("p"),
         )
     return p.select("node", F.col("p").alias("p_hit")).orderBy("node")
+
+
+def _modularity_oracle(rounds: int = 3) -> str:
+    lpa = _lpa_oracle(rounds)
+    # reuse the LPA chained CTEs up to l{rounds}, then score the partition
+    body = lpa[lpa.index("WITH") + 5 : lpa.rindex("SELECT node")]
+    return f"""
+WITH {body.rstrip()},
+final AS (SELECT node, label AS community FROM l{rounds}),
+m AS (SELECT count(*)::DOUBLE AS m FROM e),
+intra AS (
+  SELECT fa.community, count(*)::DOUBLE AS ec
+  FROM e JOIN final fa ON fa.node = e.u
+         JOIN final fb ON fb.node = e.v AND fb.community = fa.community
+  GROUP BY fa.community
+),
+degc AS (
+  SELECT f.community, SUM(d.d)::DOUBLE AS dc
+  FROM (SELECT node, count(*)::DOUBLE AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node) d
+  JOIN final f ON f.node = d.node
+  GROUP BY f.community
+)
+SELECT degc.community,
+       CAST(coalesce(intra.ec, 0) AS BIGINT) AS intra_edges,
+       CAST(degc.dc AS BIGINT) AS total_degree,
+       ROUND(coalesce(intra.ec, 0) / m.m - pow(degc.dc / (2 * m.m), 2), 6) AS q_contrib
+FROM degc LEFT JOIN intra ON intra.community = degc.community
+CROSS JOIN m
+ORDER BY degc.community
+"""
+
+
+@register(
+    "graph_modularity_lpa",
+    oracle=_modularity_oracle(),
+    doc="Newman modularity scorecard of the 3-round LPA partition "
+    "(graph_label_propagation's output judged on its own graph): per "
+    "community, intra-community edges e_c, total degree d_c, and the "
+    "contribution Q_c = e_c/m - (d_c/2m)^2 -- sum over rows is the "
+    "partition's Q. The detect-then-score pair every community "
+    "pipeline runs; shares the LPA chained-CTE lineage so both "
+    "engines score the IDENTICAL partition.",
+)
+def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            F.least("prev_type", "event_type").alias("u"),
+            F.greatest("prev_type", "event_type").alias("v"),
+        )
+        .distinct()
+    )
+    ed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    wp = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(3):
+        cnt = (
+            ed.join(labels, ed.src == labels.node)
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.select(F.col("n2").alias("node"), "label", "c")
+            .withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    final = labels.select("node", F.col("label").alias("community"))
+    m = e.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    fa = final.select(F.col("node").alias("u"), F.col("community").alias("ca"))
+    fb = final.select(F.col("node").alias("v"), F.col("community").alias("cb"))
+    intra = (
+        e.join(fa, "u")
+        .join(fb, "v")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("double").alias("ec"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    degc = (
+        deg.join(final, "node")
+        .groupBy("community")
+        .agg(F.sum("d").alias("dc"))
+    )
+    return (
+        degc.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.coalesce("ec", F.lit(0.0)).cast("long").alias("intra_edges"),
+            F.col("dc").cast("long").alias("total_degree"),
+            F.round(
+                F.coalesce("ec", F.lit(0.0)) / F.col("m")
+                - F.pow(F.col("dc") / (2 * F.col("m")), 2),
+                6,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )
+
+
+@register(
+    "graph_markov_entropy_rate",
+    doc="entropy rate of the event-transition Markov chain: per state, "
+    "the conditional next-step entropy H(next | s) = -sum_t T(s,t) "
+    "log2 T(s,t), plus each state's EMPIRICAL visit share pi(s) (from "
+    "the same transition counts) and its contribution pi(s) H(s) -- "
+    "sum of the contribution column is the chain's empirical entropy "
+    "rate, the behavioral-predictability number (0 bits = "
+    "deterministic next step). One (src, dst) count rollup, "
+    "everything downstream is closed-form on the tiny state space.",
+    oracle="""
+WITH edges AS (
+  SELECT prev_type AS src, event_type AS dst, count(*)::DOUBLE AS w
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY src, dst
+),
+ow AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+tot AS (SELECT SUM(w) AS tot FROM edges),
+h AS (
+  SELECT e.src,
+         -SUM((e.w / o.ow) * log2(e.w / o.ow)) AS h_next
+  FROM edges e JOIN ow o ON o.src = e.src
+  GROUP BY e.src
+)
+SELECT h.src AS state,
+       ROUND(ow.ow / tot.tot, 6) AS visit_share,
+       ROUND(h.h_next, 4) AS h_next_bits,
+       ROUND((ow.ow / tot.tot) * h.h_next, 6) AS rate_contrib
+FROM h JOIN ow ON ow.src = h.src CROSS JOIN tot
+ORDER BY state
+""",
+)
+def graph_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    tot = edges.agg(F.sum("w").alias("tot"))
+    h = (
+        edges.join(F.broadcast(ow), "src")
+        .groupBy("src")
+        .agg(
+            (-F.sum((F.col("w") / F.col("ow")) * F.log2(F.col("w") / F.col("ow")))).alias(
+                "h_next"
+            )
+        )
+    )
+    return (
+        h.join(ow, "src")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("src").alias("state"),
+            F.round(F.col("ow") / F.col("tot"), 6).alias("visit_share"),
+            F.round("h_next", 4).alias("h_next_bits"),
+            F.round((F.col("ow") / F.col("tot")) * F.col("h_next"), 6).alias(
+                "rate_contrib"
+            ),
+        )
+        .orderBy("state")
+    )

@@ -2017,3 +2017,91 @@ def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+@register(
+    "stats_durbin_watson",
+    doc="Durbin-Watson autocorrelated-residuals diagnostic on the "
+    "per-type daily-count OLS trend: closed-form a/b from one moment "
+    "rollup (the stats_ols_trend pairing, snapped to 10 places so "
+    "both engines residualize identically), then DW = sum (e_t - "
+    "e_{t-1})^2 / sum e_t^2 over the day-ordered residuals (one lag "
+    "window per type). DW ~ 2(1 - acf1): read beside ljung_box/pacf.",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::DOUBLE AS y
+  FROM events GROUP BY event_type, day
+),
+s AS (
+  SELECT event_type, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS t
+  FROM d
+),
+fit AS (
+  SELECT event_type,
+         ROUND(covar_pop(t, y) / var_pop(t), 10) AS b,
+         ROUND(AVG(y) - ROUND(covar_pop(t, y) / var_pop(t), 10) * AVG(t), 10) AS a
+  FROM s GROUP BY event_type
+),
+e AS (
+  SELECT s.event_type, s.t,
+         s.y - (fit.a + fit.b * s.t) AS e
+  FROM s JOIN fit ON fit.event_type = s.event_type
+),
+l AS (
+  SELECT event_type, e,
+         lag(e) OVER (PARTITION BY event_type ORDER BY t) AS pe
+  FROM e
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(SUM(CASE WHEN pe IS NOT NULL THEN (e - pe) * (e - pe) ELSE 0 END)
+             / SUM(e * e), {R}) AS durbin_watson
+FROM l GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    s = d.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("double")
+        .alias("t"),
+    )
+    b = F.round(F.covar_pop("t", "y") / F.var_pop("t"), 10)
+    fit = s.groupBy("event_type").agg(
+        b.alias("b"), F.round(F.avg("y") - b * F.avg("t"), 10).alias("a")
+    )
+    e = s.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "t",
+        (F.col("y") - (F.col("a") + F.col("b") * F.col("t"))).alias("e"),
+    )
+    l = e.select(
+        "event_type",
+        "e",
+        F.lag("e").over(Window.partitionBy("event_type").orderBy("t")).alias("pe"),
+    )
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("pe").isNotNull(),
+                        (F.col("e") - F.col("pe")) * (F.col("e") - F.col("pe")),
+                    ).otherwise(0.0)
+                )
+                / F.sum(F.col("e") * F.col("e")),
+                R,
+            ).alias("durbin_watson"),
+        )
+        .orderBy("event_type")
+    )

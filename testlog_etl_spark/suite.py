@@ -139,7 +139,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    graph_absorbing_hit_probability, agg_lorenz_deciles,
     #    dq_value_pattern_profile, agg_native_unpivot,
     #    stats_partial_correlation, stats_cramers_v,
-    #    ts_pacf_durbin_levinson.
+    #    ts_pacf_durbin_levinson, stats_durbin_watson,
+    #    graph_modularity_lpa, graph_markov_entropy_rate.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -1537,3 +1537,89 @@ def test_pacf_matches_yule_walker_solve(spark, duck):
             row = got[(et, k)]
             assert row["acf"] == pytest.approx(acf[k], abs=1e-3)
             assert row["pacf"] == pytest.approx(phi[-1], abs=1e-3)
+
+
+def test_durbin_watson_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, y in rows:
+        series.setdefault(et, []).append(float(y))
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_durbin_watson"].fn(spark, SF_SMALL).collect()
+    }
+    for et, ys in series.items():
+        n = len(ys)
+        ts = list(range(1, n + 1))
+        mt, my = sum(ts) / n, sum(ys) / n
+        b = sum((t - mt) * (y - my) for t, y in zip(ts, ys)) / sum(
+            (t - mt) ** 2 for t in ts
+        )
+        a = my - b * mt
+        e = [y - (a + b * t) for t, y in zip(ts, ys)]
+        dw = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n)) / sum(x * x for x in e)
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["durbin_watson"] == pytest.approx(dw, abs=1e-3)
+        # DW ~ 2 (1 - acf1): sanity band
+        assert 0.0 <= r["durbin_watson"] <= 4.0
+
+
+def test_modularity_consistent_with_lpa(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    lpa = {
+        r["node"]: r["community"]
+        for r in REGISTRY["graph_label_propagation"].fn(spark, SF_SMALL).collect()
+    }
+    rows = REGISTRY["graph_modularity_lpa"].fn(spark, SF_SMALL).collect()
+    assert {r["community"] for r in rows} == set(lpa.values())
+    tot_deg = sum(r["total_degree"] for r in rows)
+    tot_intra = sum(r["intra_edges"] for r in rows)
+    # handshake: community degrees sum to 2m; intra edges <= m
+    assert tot_deg % 2 == 0
+    m = tot_deg // 2
+    assert tot_intra <= m
+    q = sum(r["q_contrib"] for r in rows)
+    assert -0.5 <= q <= 1.0
+
+
+def test_markov_entropy_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    edges = duck.execute(
+        """
+        SELECT prev_type, event_type, count(*) FROM (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ) WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall()
+    out = {}
+    tot = 0.0
+    for s, d, w in edges:
+        out.setdefault(s, {})[d] = float(w)
+        tot += w
+    got = {
+        r["state"]: r
+        for r in REGISTRY["graph_markov_entropy_rate"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(out)
+    for s, dsts in out.items():
+        ow = sum(dsts.values())
+        h = -sum((w / ow) * math.log2(w / ow) for w in dsts.values())
+        r = got[s]
+        assert r["visit_share"] == pytest.approx(ow / tot, abs=1e-4)
+        assert r["h_next_bits"] == pytest.approx(h, abs=1e-3)
+        assert r["rate_contrib"] == pytest.approx((ow / tot) * h, abs=1e-4)
