@@ -2013,3 +2013,52 @@ def agg_native_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.unpivot(
         ["prio"], ["n_orders", "revenue", "avg_ticket"], "metric", "val"
     ).orderBy("prio", "metric")
+
+
+@register(
+    "agg_share_of_parent",
+    doc="share-of-parent hierarchy readout: nation revenue as a share "
+    "of its region, region revenue as a share of the total -- the "
+    "drill-down percentage every BI tool computes per level. One "
+    "joint (region, nation) rollup; parent totals are window sums "
+    "over the 25-row rollup (fixed dimension domain).",
+    oracle="""
+WITH j AS (
+  SELECT r.r_name AS region, n.n_name AS nation, SUM(o.o_totalprice) AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY region, nation
+)
+SELECT region, nation,
+       ROUND(rev, 2) AS revenue,
+       ROUND(rev / SUM(rev) OVER (PARTITION BY region), 6) AS share_of_region,
+       ROUND(SUM(rev) OVER (PARTITION BY region) / SUM(rev) OVER (), 6) AS region_share_of_total
+FROM j ORDER BY region, nation
+""",
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    j = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    # windows run over the 25-row (region, nation) rollup -- fixed domain
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return j.select(
+        "region",
+        "nation",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(wr), 6).alias("share_of_region"),
+        F.round(F.sum("rev").over(wr) / F.sum("rev").over(wt), 6).alias(
+            "region_share_of_total"
+        ),
+    ).orderBy("region", "nation")

@@ -2091,3 +2091,177 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+_HURST_WINDOWS = (5, 10, 15, 30)
+
+
+def _hurst_oracle() -> str:
+    per_w = "\n  UNION ALL ".join(
+        f"""SELECT event_type, {w} AS w, blk, 
+         MAX(cum) - MIN(cum) AS r,
+         ROUND(stddev_pop(x), 10) AS s,
+         COUNT(*) AS bn
+  FROM (
+    SELECT event_type, x, (t - 1) // {w} AS blk,
+           SUM(x - bmu) OVER (PARTITION BY event_type, (t - 1) // {w}
+                              ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum
+    FROM (
+      SELECT event_type, t, x,
+             AVG(x) OVER (PARTITION BY event_type, (t - 1) // {w}) AS bmu
+      FROM s
+    )
+  ) GROUP BY event_type, blk"""
+        for w in _HURST_WINDOWS
+    )
+    return f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM("value"), 6) AS x
+  FROM events GROUP BY event_type, day
+),
+s AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM d
+),
+blocks AS (
+  {per_w}
+),
+rs AS (
+  SELECT event_type, w,
+         AVG(r / s) AS rs_mean
+  FROM blocks WHERE bn = w AND s > 0
+  GROUP BY event_type, w
+),
+ll AS (
+  SELECT event_type, ln(w::DOUBLE) AS lx, ln(rs_mean) AS ly FROM rs
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scales,
+       ROUND(covar_pop(lx, ly) / var_pop(lx), 4) AS hurst_h
+FROM ll GROUP BY event_type
+ORDER BY event_type
+""".replace("(t - 1) // {w}", "(t - 1) // {w}")
+
+
+@register(
+    "stats_hurst_exponent",
+    doc="Hurst exponent by rescaled-range (R/S) analysis per "
+    "event_type: the daily value-sum series is cut into complete "
+    "blocks of w in (5, 10, 15, 30) days; per block R = range of the "
+    "mean-adjusted cumulative deviation, S = round-10 population "
+    "stddev; H = slope of ln E[R/S] on ln w -- the long-memory "
+    "diagnostic (H ~ 0.5 random walk, > 0.5 trending). Block cumsums "
+    "are bounded w-row frames partitioned by (type, block); the "
+    "log-log fit is closed-form over 4 points.",
+    oracle=_hurst_oracle(),
+)
+def stats_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    s = d.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("t"),
+    )
+    blocks = None
+    for wsz in _HURST_WINDOWS:
+        blk = F.expr(f"(t - 1) div {wsz}")
+        base = s.withColumn("blk", blk).withColumn(
+            "bmu", F.avg("x").over(Window.partitionBy("event_type", "blk"))
+        )
+        wcum = (
+            Window.partitionBy("event_type", "blk")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = base.withColumn("cum", F.sum(F.col("x") - F.col("bmu")).over(wcum))
+        b = cum.groupBy("event_type", "blk").agg(
+            (F.max("cum") - F.min("cum")).alias("r"),
+            F.round(F.stddev_pop("x"), 10).alias("sd"),
+            F.count(F.lit(1)).alias("bn"),
+        ).withColumn("w", F.lit(wsz))
+        blocks = b if blocks is None else blocks.unionByName(b)
+    rs = (
+        blocks.filter((F.col("bn") == F.col("w")) & (F.col("sd") > 0))
+        .groupBy("event_type", "w")
+        .agg(F.avg(F.col("r") / F.col("sd")).alias("rs_mean"))
+    )
+    ll = rs.select(
+        "event_type",
+        F.log(F.col("w").cast("double")).alias("lx"),
+        F.log("rs_mean").alias("ly"),
+    )
+    return (
+        ll.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scales"),
+            F.round(F.covar_pop("lx", "ly") / F.var_pop("lx"), 4).alias("hurst_h"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_variance_ratio",
+    doc="Lo-MacKinlay variance-ratio random-walk test per event_type "
+    "on the daily value-sum series: VR(q) = Var(q-day overlapping "
+    "differences) / (q Var(1-day differences)) for q in (2, 4, 7) -- "
+    "VR ~ 1 under a random walk, < 1 mean-reverting, > 1 trending; "
+    "the stationarity screen beside hurst/acf. Differences come from "
+    "ONE lag-window pass (var_pop single-scan aggregates).",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM("value"), 6) AS x
+  FROM events GROUP BY event_type, day
+),
+l AS (
+  SELECT event_type, x,
+         x - lag(x, 1) OVER w AS d1,
+         x - lag(x, 2) OVER w AS d2,
+         x - lag(x, 4) OVER w AS d4,
+         x - lag(x, 7) OVER w AS d7
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_diffs,
+       ROUND(var_pop(d2) / (2 * var_pop(d1)), 4) AS vr_2,
+       ROUND(var_pop(d4) / (4 * var_pop(d1)), 4) AS vr_4,
+       ROUND(var_pop(d7) / (7 * var_pop(d1)), 4) AS vr_7
+FROM l GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        *[
+            (F.col("x") - F.lag("x", q).over(w)).alias(f"d{q}")
+            for q in (1, 2, 4, 7)
+        ],
+    )
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.sum(F.col("d1").isNotNull().cast("int")).alias("n_diffs"),
+            F.round(F.var_pop("d2") / (2 * F.var_pop("d1")), 4).alias("vr_2"),
+            F.round(F.var_pop("d4") / (4 * F.var_pop("d1")), 4).alias("vr_4"),
+            F.round(F.var_pop("d7") / (7 * F.var_pop("d1")), 4).alias("vr_7"),
+        )
+        .orderBy("event_type")
+    )

@@ -140,7 +140,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    dq_value_pattern_profile, agg_native_unpivot,
     #    stats_partial_correlation, stats_cramers_v,
     #    ts_pacf_durbin_levinson, stats_durbin_watson,
-    #    graph_modularity_lpa, graph_markov_entropy_rate.
+    #    graph_modularity_lpa, graph_markov_entropy_rate,
+    #    stats_hurst_exponent, ts_variance_ratio, agg_share_of_parent.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -1623,3 +1623,94 @@ def test_markov_entropy_matches_bruteforce(spark, duck):
         assert r["visit_share"] == pytest.approx(ow / tot, abs=1e-4)
         assert r["h_next_bits"] == pytest.approx(h, abs=1e-3)
         assert r["rate_contrib"] == pytest.approx((ow / tot) * h, abs=1e-4)
+
+
+def test_hurst_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "ROUND(SUM(\"value\"), 6) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, x in rows:
+        series.setdefault(et, []).append(x)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_hurst_exponent"].fn(spark, SF_SMALL).collect()
+    }
+    for et, xs in series.items():
+        pts = []
+        for w in (5, 10, 15, 30):
+            rss = []
+            for b in range(len(xs) // w):
+                blk = xs[b * w : (b + 1) * w]
+                mu = sum(blk) / w
+                cum, mx, mn = 0.0, -1e18, 1e18
+                for v in blk:
+                    cum += v - mu
+                    mx, mn = max(mx, cum), min(mn, cum)
+                sd = math.sqrt(sum((v - mu) ** 2 for v in blk) / w)
+                if sd > 0:
+                    rss.append((mx - mn) / round(sd, 10))
+            if rss:
+                pts.append((math.log(w), math.log(sum(rss) / len(rss))))
+        n = len(pts)
+        mx_ = sum(p[0] for p in pts) / n
+        my_ = sum(p[1] for p in pts) / n
+        h = sum((a - mx_) * (b - my_) for a, b in pts) / sum(
+            (a - mx_) ** 2 for a, _ in pts
+        )
+        r = got[et]
+        assert r["n_scales"] == n
+        assert r["hurst_h"] == pytest.approx(h, abs=1e-3)
+
+
+def test_variance_ratio_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "ROUND(SUM(\"value\"), 6) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, x in rows:
+        series.setdefault(et, []).append(x)
+
+    def var_pop(v):
+        m = sum(v) / len(v)
+        return sum((x - m) ** 2 for x in v) / len(v)
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_variance_ratio"].fn(spark, SF_SMALL).collect()
+    }
+    for et, xs in series.items():
+        diffs = {q: [xs[i] - xs[i - q] for i in range(q, len(xs))] for q in (1, 2, 4, 7)}
+        r = got[et]
+        assert r["n_diffs"] == len(diffs[1])
+        for q in (2, 4, 7):
+            want = var_pop(diffs[q]) / (q * var_pop(diffs[1]))
+            assert r[f"vr_{q}"] == pytest.approx(want, abs=1e-3)
+
+
+def test_share_of_parent_sums(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["agg_share_of_parent"].fn(spark, SF_SMALL).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["region"], []).append(r)
+    region_shares = {}
+    for reg, rs in by_region.items():
+        # nation shares within a region sum to 1
+        assert sum(r["share_of_region"] for r in rs) == pytest.approx(1.0, abs=1e-3)
+        shares = {r["region_share_of_total"] for r in rs}
+        assert len(shares) == 1
+        region_shares[reg] = next(iter(shares))
+    assert sum(region_shares.values()) == pytest.approx(1.0, abs=1e-3)

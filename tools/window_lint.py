@@ -68,6 +68,10 @@ WHITELIST: dict[str, str] = {
         "per-source ROLLUP frame -- a fixed small domain (~20 sources), "
         "not data-scaling; the corpus-scale work is the one rollup shuffle"
     ),
+    "agg_share_of_parent": (
+        "share windows run over the 25-row (region, nation) rollup -- "
+        "fixed dimension domain, the largest_remainder rationale"
+    ),
     "dq_value_pattern_profile": (
         "share/rank windows run over each column's MASK rollup -- the "
         "domain is format shapes (a handful per column), not rows"
