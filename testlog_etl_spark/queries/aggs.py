@@ -2062,3 +2062,44 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share_of_total"
         ),
     ).orderBy("region", "nation")
+
+
+@register(
+    "orders_discount_elasticity",
+    doc="discount semi-elasticity of demand per returnflag: OLS of "
+    "ln(quantity) on discount over line items -- "
+    "b = covar_pop/var_pop, so a 1-point discount increase moves "
+    "quantity by ~b% (the pricing-analytics read; with synthetic "
+    "uncorrelated data b ~ 0, which IS the readout). One single-scan "
+    "moment rollup per flag; r^2 from the same moments.",
+    oracle=f"""
+WITH v AS (
+  SELECT l_returnflag AS flag, l_discount AS x, ln(l_quantity) AS y
+  FROM lineitem WHERE l_quantity > 0
+)
+SELECT flag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(covar_pop(x, y) / var_pop(x), 4) AS semi_elasticity,
+       ROUND(AVG(y) - (covar_pop(x, y) / var_pop(x)) * AVG(x), 4) AS intercept,
+       ROUND(pow(corr(x, y), 2), 6) AS r2
+FROM v GROUP BY flag ORDER BY flag
+""",
+)
+def orders_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.filter(F.col("l_quantity") > 0).select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_discount").alias("x"),
+        F.log("l_quantity").alias("y"),
+    )
+    b = F.covar_pop("x", "y") / F.var_pop("x")
+    return (
+        v.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(b, 4).alias("semi_elasticity"),
+            F.round(F.avg("y") - b * F.avg("x"), 4).alias("intercept"),
+            F.round(F.pow(F.corr("x", "y"), 2), 6).alias("r2"),
+        )
+        .orderBy("flag")
+    )

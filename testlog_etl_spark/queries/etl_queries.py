@@ -1370,7 +1370,7 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH g AS (
   SELECT event_type,
-         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_sec
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::DOUBLE / 1000000 AS gap_sec
   FROM events
 )
 SELECT event_type,
@@ -3651,3 +3651,207 @@ def graph_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@register(
+    "events_bot_score",
+    doc="bot-likelihood composite per user: three deterministic "
+    "signals -- events/day rate, inter-arrival regularity (1/(1+CV) "
+    "of gap seconds: clockwork emitters score high), and behavioral "
+    "narrowness (1 - type-entropy/log2(5)) -- each min-max normalized "
+    "over the user population (broadcast extremes; identical "
+    "normalization both engines), averaged into one score; top 20 "
+    "users by (score desc, user asc). One per-user rollup + one lag "
+    "window; the abuse-triage readout the events family feeds.",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::DOUBLE / 1000000 AS gap
+  FROM events
+),
+u AS (
+  SELECT e.user_id,
+         COUNT(*)::DOUBLE AS n,
+         COUNT(*)::DOUBLE / GREATEST(date_diff('day', MIN(CAST(e.ts AS DATE)), MAX(CAST(e.ts AS DATE))) + 1, 1) AS rate
+  FROM events e GROUP BY e.user_id
+),
+cv AS (
+  SELECT user_id,
+         CASE WHEN AVG(gap) > 0 THEN stddev_pop(gap) / AVG(gap) ELSE 0.0 END AS cv
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+),
+ent AS (
+  SELECT user_id,
+         1.0 - COALESCE(-SUM(p * log2(p)), 0.0) / log2(5.0) AS narrow
+  FROM (
+    SELECT user_id, count(*)::DOUBLE / SUM(count(*)) OVER (PARTITION BY user_id) AS p
+    FROM events GROUP BY user_id, event_type
+  ) GROUP BY user_id
+),
+j AS (
+  SELECT u.user_id, u.n, ROUND(u.rate, 8) AS rate,
+         ROUND(1.0 / (1.0 + COALESCE(cv.cv, 0.0)), 8) AS reg,
+         ROUND(ent.narrow, 8) AS narrow
+  FROM u JOIN ent ON ent.user_id = u.user_id
+  LEFT JOIN cv ON cv.user_id = u.user_id
+),
+mm AS (
+  SELECT MIN(rate) AS r0, MAX(rate) AS r1, MIN(reg) AS g0, MAX(reg) AS g1,
+         MIN(narrow) AS e0, MAX(narrow) AS e1
+  FROM j
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       ROUND(((rate - r0) / NULLIF(r1 - r0, 0)
+              + (reg - g0) / NULLIF(g1 - g0, 0)
+              + (narrow - e0) / NULLIF(e1 - e0, 0)) / 3.0, 6) AS bot_score
+FROM j CROSS JOIN mm
+ORDER BY bot_score DESC, user_id
+LIMIT 20
+""",
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast("double")
+            / 1000000
+        ).alias("gap"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.greatest(
+                F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))) + 1,
+                F.lit(1),
+            )
+        ).alias("rate"),
+    )
+    cv = (
+        g.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.when(F.avg("gap") > 0, F.stddev_pop("gap") / F.avg("gap"))
+            .otherwise(0.0)
+            .alias("cv")
+        )
+    )
+    p = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .withColumn("p", F.col("c") / F.sum("c").over(Window.partitionBy("user_id")))
+    )
+    ent = p.groupBy("user_id").agg(
+        (
+            1.0
+            - F.coalesce(-F.sum(F.col("p") * F.log2("p")), F.lit(0.0))
+            / F.log2(F.lit(5.0))
+        ).alias("narrow")
+    )
+    j = (
+        u.join(ent, "user_id")
+        .join(cv, "user_id", "left")
+        .select(
+            "user_id",
+            "n",
+            F.round("rate", 8).alias("rate"),
+            F.round(1.0 / (1.0 + F.coalesce(F.col("cv"), F.lit(0.0))), 8).alias("reg"),
+            F.round("narrow", 8).alias("narrow"),
+        )
+    )
+    mm = j.agg(
+        F.min("rate").alias("r0"), F.max("rate").alias("r1"),
+        F.min("reg").alias("g0"), F.max("reg").alias("g1"),
+        F.min("narrow").alias("e0"), F.max("narrow").alias("e1"),
+    )
+    norm = (
+        (F.col("rate") - F.col("r0")) / F.nullif(F.col("r1") - F.col("r0"), F.lit(0.0))
+        + (F.col("reg") - F.col("g0")) / F.nullif(F.col("g1") - F.col("g0"), F.lit(0.0))
+        + (F.col("narrow") - F.col("e0")) / F.nullif(F.col("e1") - F.col("e0"), F.lit(0.0))
+    ) / 3.0
+    return (
+        j.crossJoin(F.broadcast(mm))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(norm, 6).alias("bot_score"),
+        )
+        .orderBy(F.desc("bot_score"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "dq_pipeline_reconciliation",
+    doc="row-count reconciliation ledger across derivation stages (the "
+    "audit a pipeline owner signs before publishing): raw events -> "
+    "typed (props.k parses) -> valued (value > 0) -> deduplicated "
+    "(first per (user_id, ts)) -> final, one row per stage with rows "
+    "kept, rows dropped AT that stage, and the drop reason. Stage "
+    "predicates are cumulative single-scan flags; the dedup stage is "
+    "the only shuffle. At 100 TB the same flags feed a metrics sink "
+    "instead of a SELECT.",
+    oracle="""
+WITH f AS (
+  SELECT *,
+         CASE WHEN try_cast(json_extract_string(props, 'k') AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END AS ok_typed,
+         CASE WHEN "value" > 0 THEN 1 ELSE 0 END AS ok_val
+  FROM events
+),
+d AS (
+  SELECT ok_typed, ok_val,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+  FROM f WHERE ok_typed = 1 AND ok_val = 1
+),
+c AS (
+  SELECT (SELECT count(*) FROM f) AS n_raw,
+         (SELECT count(*) FROM f WHERE ok_typed = 1) AS n_typed,
+         (SELECT count(*) FROM f WHERE ok_typed = 1 AND ok_val = 1) AS n_valued,
+         (SELECT count(*) FROM d WHERE rn = 1) AS n_final
+)
+SELECT stage, rows_kept, rows_dropped, reason FROM (
+  SELECT 1 AS ord, 'raw' AS stage, n_raw AS rows_kept, 0::BIGINT AS rows_dropped, 'source' AS reason FROM c
+  UNION ALL SELECT 2, 'typed', n_typed, n_raw - n_typed, 'props.k unparseable' FROM c
+  UNION ALL SELECT 3, 'valued', n_valued, n_typed - n_valued, 'non-positive value' FROM c
+  UNION ALL SELECT 4, 'deduped', n_final, n_valued - n_final, 'duplicate (user_id, ts)' FROM c
+) ORDER BY ord
+""",
+)
+def dq_pipeline_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    f = ev.select(
+        "*",
+        F.get_json_object("props", "$.k").cast("long").isNotNull().cast("int").alias("ok_typed"),
+        (F.col("value") > 0).cast("int").alias("ok_val"),
+    )
+    d = (
+        f.filter((F.col("ok_typed") == 1) & (F.col("ok_val") == 1))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy("event_id")
+            ),
+        )
+    )
+    c = f.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("ok_typed").alias("n_typed"),
+        F.sum(F.col("ok_typed") * F.col("ok_val")).alias("n_valued"),
+    ).crossJoin(
+        F.broadcast(d.filter(F.col("rn") == 1).agg(F.count(F.lit(1)).alias("n_final")))
+    )
+    rows = c.selectExpr(
+        "stack(4, "
+        "1, 'raw', n_raw, CAST(0 AS BIGINT), 'source', "
+        "2, 'typed', n_typed, n_raw - n_typed, 'props.k unparseable', "
+        "3, 'valued', n_valued, n_typed - n_valued, 'non-positive value', "
+        "4, 'deduped', n_final, n_valued - n_final, 'duplicate (user_id, ts)'"
+        ") as (ord, stage, rows_kept, rows_dropped, reason)"
+    )
+    return rows.select("stage", "rows_kept", "rows_dropped", "reason").orderBy("ord")

@@ -141,7 +141,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_partial_correlation, stats_cramers_v,
     #    ts_pacf_durbin_levinson, stats_durbin_watson,
     #    graph_modularity_lpa, graph_markov_entropy_rate,
-    #    stats_hurst_exponent, ts_variance_ratio, agg_share_of_parent.
+    #    stats_hurst_exponent, ts_variance_ratio, agg_share_of_parent,
+    #    events_bot_score, dq_pipeline_reconciliation,
+    #    orders_discount_elasticity.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

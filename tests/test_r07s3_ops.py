@@ -1714,3 +1714,108 @@ def test_share_of_parent_sums(spark):
         assert len(shares) == 1
         region_shares[reg] = next(iter(shares))
     assert sum(region_shares.values()) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_bot_score_matches_bruteforce(spark, duck):
+    from collections import Counter
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT user_id, epoch_us(ts), CAST(ts AS DATE), event_type FROM events "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    per = {}
+    for uid, us, day, et in rows:
+        per.setdefault(uid, []).append((us, day, et))
+    sig = {}
+    for uid, evs in per.items():
+        n = len(evs)
+        days = (max(d for _, d, _ in evs) - min(d for _, d, _ in evs)).days + 1
+        rate = n / max(days, 1)
+        gaps = [(evs[i][0] - evs[i - 1][0]) / 1e6 for i in range(1, n)]
+        if gaps:
+            mg = sum(gaps) / len(gaps)
+            sd = math.sqrt(sum((g - mg) ** 2 for g in gaps) / len(gaps))
+            cv = sd / mg if mg > 0 else 0.0
+        else:
+            cv = 0.0
+        cnt = Counter(et for _, _, et in evs)
+        ps = [c / n for c in cnt.values()]
+        ent = -sum(p * math.log2(p) for p in ps)
+        sig[uid] = (
+            round(rate, 8),
+            round(1 / (1 + cv), 8),
+            round(1 - ent / math.log2(5), 8),
+            n,
+        )
+    r0, r1 = min(s[0] for s in sig.values()), max(s[0] for s in sig.values())
+    g0, g1 = min(s[1] for s in sig.values()), max(s[1] for s in sig.values())
+    e0, e1 = min(s[2] for s in sig.values()), max(s[2] for s in sig.values())
+    scores = {
+        uid: ((r - r0) / (r1 - r0) + (g - g0) / (g1 - g0) + (e - e0) / (e1 - e0)) / 3
+        for uid, (r, g, e, _) in sig.items()
+    }
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = REGISTRY["events_bot_score"].fn(spark, SF_SMALL).collect()
+    assert [r["user_id"] for r in got] == [u for u, _ in want]
+    for row, (uid, sc) in zip(got, want):
+        assert row["n_events"] == sig[uid][3]
+        assert row["bot_score"] == pytest.approx(sc, abs=1e-5)
+
+
+def test_reconciliation_ledger_consistency(spark, duck):
+    import json
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        'SELECT props, "value", user_id, ts FROM events'
+    ).fetchall()
+    n_raw = len(rows)
+    typed = [r for r in rows if isinstance(json.loads(r[0]).get("k"), int)]
+    valued = [r for r in typed if r[1] > 0]
+    final = len({(r[2], r[3]) for r in valued})
+    got = {r["stage"]: r for r in REGISTRY["dq_pipeline_reconciliation"].fn(spark, SF_SMALL).collect()}
+    assert got["raw"]["rows_kept"] == n_raw
+    assert got["typed"]["rows_kept"] == len(typed)
+    assert got["valued"]["rows_kept"] == len(valued)
+    assert got["deduped"]["rows_kept"] == final
+    # ledger closes: kept[k] + dropped[k] == kept[k-1]
+    order = ["raw", "typed", "valued", "deduped"]
+    for prev, cur in zip(order, order[1:]):
+        assert got[cur]["rows_kept"] + got[cur]["rows_dropped"] == got[prev]["rows_kept"]
+
+
+def test_elasticity_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT l_returnflag, l_discount, l_quantity FROM lineitem WHERE l_quantity > 0"
+    ).fetchall()
+    by = {}
+    for flag, x, q in rows:
+        by.setdefault(flag, []).append((x, math.log(q)))
+    got = {
+        r["flag"]: r
+        for r in REGISTRY["orders_discount_elasticity"].fn(spark, SF_SMALL).collect()
+    }
+    for flag, pts in by.items():
+        xs, ys = zip(*pts)
+        n = len(pts)
+        mx, my = sum(xs) / n, sum(ys) / n
+        cov = sum((a - mx) * (b - my) for a, b in pts) / n
+        vx = sum((a - mx) ** 2 for a in xs) / n
+        vy = sum((b - my) ** 2 for b in ys) / n
+        b_ = cov / vx
+        r = got[flag]
+        assert r["n"] == n
+        assert r["semi_elasticity"] == pytest.approx(b_, abs=1e-3)
+        assert r["intercept"] == pytest.approx(my - b_ * mx, abs=1e-3)
+        assert r["r2"] == pytest.approx(cov * cov / (vx * vy), abs=1e-4)
