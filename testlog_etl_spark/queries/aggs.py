@@ -2103,3 +2103,81 @@ def orders_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "orders_abc_migration",
+    doc="ABC class MIGRATION matrix 1995 -> 1996: customers classified "
+    "per year by cumulative-revenue share (A to 80%, B to 95%, C "
+    "tail; the abc_pareto integral-cents + hierarchical-scan "
+    "construction per year, so no unpartitioned window over the "
+    "scaling customer grain), full-outer joined on customer with 'N' "
+    "for absent years -- who churned out of the head, who climbed in. "
+    "The account-management readout on top of the static ABC cut.",
+    oracle="""
+WITH r95 AS (
+  SELECT o_custkey AS cust, ROUND(SUM(o_totalprice) * 100, 0) AS rev_i
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995 GROUP BY cust
+),
+c95 AS (
+  SELECT cust,
+         CASE WHEN SUM(rev_i) OVER (ORDER BY rev_i DESC, cust ROWS UNBOUNDED PRECEDING)
+                   / SUM(rev_i) OVER () <= 0.80 THEN 'A'
+              WHEN SUM(rev_i) OVER (ORDER BY rev_i DESC, cust ROWS UNBOUNDED PRECEDING)
+                   / SUM(rev_i) OVER () <= 0.95 THEN 'B' ELSE 'C' END AS cls
+  FROM r95
+),
+r96 AS (
+  SELECT o_custkey AS cust, ROUND(SUM(o_totalprice) * 100, 0) AS rev_i
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996 GROUP BY cust
+),
+c96 AS (
+  SELECT cust,
+         CASE WHEN SUM(rev_i) OVER (ORDER BY rev_i DESC, cust ROWS UNBOUNDED PRECEDING)
+                   / SUM(rev_i) OVER () <= 0.80 THEN 'A'
+              WHEN SUM(rev_i) OVER (ORDER BY rev_i DESC, cust ROWS UNBOUNDED PRECEDING)
+                   / SUM(rev_i) OVER () <= 0.95 THEN 'B' ELSE 'C' END AS cls
+  FROM r96
+)
+SELECT COALESCE(a.cls, 'N') AS class_1995,
+       COALESCE(b.cls, 'N') AS class_1996,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM c95 a FULL JOIN c96 b ON b.cust = a.cust
+GROUP BY class_1995, class_1996
+ORDER BY class_1995, class_1996
+""",
+)
+def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+
+    def classify(year: int, out: str) -> DataFrame:
+        r = (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy(F.col("o_custkey").alias("cust"))
+            .agg(F.round(F.sum("o_totalprice") * 100, 0).alias("rev_i"))
+        )
+        c = global_rank_cumsum(
+            r,
+            [F.col("rev_i").desc(), F.col("cust").asc()],
+            val_col="rev_i",
+            cum_out="cum",
+            total_out="tot",
+        )
+        share = F.col("cum") / F.col("tot")
+        return c.select(
+            "cust",
+            F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias(out),
+        )
+    a = classify(1995, "ca")
+    b = classify(1996, "cb")
+    return (
+        a.join(b, "cust", "full")
+        .groupBy(
+            F.coalesce("ca", F.lit("N")).alias("class_1995"),
+            F.coalesce("cb", F.lit("N")).alias("class_1996"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("class_1995", "class_1996")
+    )

@@ -3855,3 +3855,59 @@ def dq_pipeline_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ") as (ord, stage, rows_kept, rows_dropped, reason)"
     )
     return rows.select("stage", "rows_kept", "rows_dropped", "reason").orderBy("ord")
+
+
+@register(
+    "events_streak_histogram",
+    doc="distribution of consecutive-active-day run lengths across all "
+    "users (the engagement-persistence histogram behind "
+    "events_longest_streak's per-user max): active days per user -> "
+    "gaps-and-islands (date - dense day-rank stays constant within a "
+    "run) -> run lengths -> corpus histogram with user-reach per "
+    "length. Windows partition by user; the histogram is a tiny "
+    "rollup.",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+  FROM d
+),
+runs AS (
+  SELECT user_id, grp, COUNT(*)::BIGINT AS len
+  FROM r GROUP BY user_id, grp
+)
+SELECT len AS streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM runs GROUP BY len
+ORDER BY streak_days
+""",
+)
+def events_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    r = d.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            "day",
+            F.row_number().over(Window.partitionBy("user_id").orderBy("day")),
+        ).alias("grp"),
+    )
+    runs = r.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        runs.groupBy(F.col("len").alias("streak_days"))
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("streak_days")
+    )

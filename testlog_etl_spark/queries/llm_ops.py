@@ -5566,3 +5566,68 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), F.asc("phrase"))
         .limit(15)
     )
+
+
+@register(
+    "text_term_burstiness",
+    doc="term burstiness (Church-Gale overdispersion): for the 50 "
+    "highest-df terms, the index of dispersion var/mean of the "
+    "per-document term frequency -- bursty content words cluster in "
+    "few docs (index >> 1) while function words spread Poisson-like "
+    "(index ~ 1); the keyword-vs-glue diagnostic next to TF-IDF. "
+    "Per-doc tf INCLUDES zeros via the closed form (moments over "
+    "occurring docs extended algebraically to the full corpus), so "
+    "no doc x vocab blow-up exists anywhere.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')) AS term
+  FROM documents
+),
+nd AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+tf AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok GROUP BY term, doc_id),
+st AS (
+  SELECT term,
+         COUNT(*)::BIGINT AS df,
+         SUM(tf) AS s1,
+         SUM(tf * tf) AS s2
+  FROM tf GROUP BY term
+),
+top AS (
+  SELECT term, df, s1, s2 FROM st ORDER BY df DESC, term LIMIT 50
+)
+SELECT term, df,
+       ROUND(s1 / nd.nd, 6) AS mean_tf,
+       ROUND((s2 / nd.nd - (s1 / nd.nd) * (s1 / nd.nd)) / (s1 / nd.nd), 4) AS dispersion
+FROM top CROSS JOIN nd
+ORDER BY dispersion DESC, term
+""",
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(
+        "doc_id",
+        F.explode(textstats.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    st = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("s1"),
+        F.sum(F.col("tf") * F.col("tf")).alias("s2"),
+    )
+    # k-bounded TakeOrderedAndProject -- no vocabulary-wide rank window
+    top = st.orderBy(F.desc("df"), F.asc("term")).limit(50)
+    mean = F.col("s1") / F.col("nd")
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            "df",
+            F.round(mean, 6).alias("mean_tf"),
+            F.round((F.col("s2") / F.col("nd") - mean * mean) / mean, 4).alias(
+                "dispersion"
+            ),
+        )
+        .orderBy(F.desc("dispersion"), F.asc("term"))
+    )

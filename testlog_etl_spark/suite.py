@@ -143,7 +143,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    graph_modularity_lpa, graph_markov_entropy_rate,
     #    stats_hurst_exponent, ts_variance_ratio, agg_share_of_parent,
     #    events_bot_score, dq_pipeline_reconciliation,
-    #    orders_discount_elasticity.
+    #    orders_discount_elasticity, text_term_burstiness,
+    #    events_streak_histogram, orders_abc_migration.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -1819,3 +1819,98 @@ def test_elasticity_matches_bruteforce(spark, duck):
         assert r["semi_elasticity"] == pytest.approx(b_, abs=1e-3)
         assert r["intercept"] == pytest.approx(my - b_ * mx, abs=1e-3)
         assert r["r2"] == pytest.approx(cov * cov / (vx * vy), abs=1e-4)
+
+
+def test_burstiness_matches_bruteforce(spark, duck):
+    from collections import Counter
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    nd = len(rows)
+    tf = {}
+    for doc_id, text in rows:
+        for t, c in Counter((text or "").strip().lower().split()).items():
+            tf.setdefault(t, {})[doc_id] = c
+    stats = {
+        t: (len(d), sum(d.values()), sum(v * v for v in d.values()))
+        for t, d in tf.items()
+    }
+    top = sorted(stats.items(), key=lambda kv: (-kv[1][0], kv[0]))[:50]
+    got = {
+        r["term"]: r
+        for r in REGISTRY["text_term_burstiness"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == {t for t, _ in top}
+    for t, (df, s1, s2) in top:
+        mean = s1 / nd
+        disp = (s2 / nd - mean * mean) / mean
+        r = got[t]
+        assert r["df"] == df
+        assert r["mean_tf"] == pytest.approx(mean, abs=1e-4)
+        assert r["dispersion"] == pytest.approx(disp, abs=1e-3)
+
+
+def test_streak_histogram_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) FROM events"
+    ).fetchall()
+    per = {}
+    for uid, d in rows:
+        per.setdefault(uid, []).append(d)
+    hist = {}
+    for uid, days in per.items():
+        days.sort()
+        run = 1
+        for i in range(1, len(days) + 1):
+            if i < len(days) and (days[i] - days[i - 1]).days == 1:
+                run += 1
+            else:
+                n, us = hist.get(run, (0, set()))
+                us = us | {uid}
+                hist[run] = (n + 1, us)
+                run = 1
+    got = {
+        r["streak_days"]: r
+        for r in REGISTRY["events_streak_histogram"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(hist)
+    for length, (n, users) in hist.items():
+        assert got[length]["n_streaks"] == n
+        assert got[length]["n_users"] == len(users)
+
+
+def test_abc_migration_consistent(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = REGISTRY["orders_abc_migration"].fn(spark, SF_SMALL).collect()
+    total = sum(r["n_customers"] for r in rows)
+
+    def classes(year):
+        revs = duck.execute(
+            f"SELECT o_custkey, ROUND(SUM(o_totalprice) * 100, 0) FROM orders "
+            f"WHERE EXTRACT(year FROM o_orderdate) = {year} GROUP BY 1"
+        ).fetchall()
+        revs.sort(key=lambda r: (-r[1], r[0]))
+        tot = sum(r[1] for r in revs)
+        out, cum = {}, 0.0
+        for cust, rv in revs:
+            cum += rv
+            out[cust] = "A" if cum / tot <= 0.80 else ("B" if cum / tot <= 0.95 else "C")
+        return out
+    c95, c96 = classes(1995), classes(1996)
+    assert total == len(set(c95) | set(c96))
+    want = {}
+    for cust in set(c95) | set(c96):
+        key = (c95.get(cust, "N"), c96.get(cust, "N"))
+        want[key] = want.get(key, 0) + 1
+    got = {(r["class_1995"], r["class_1996"]): r["n_customers"] for r in rows}
+    assert got == want
