@@ -5631,3 +5631,81 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("dispersion"), F.asc("term"))
     )
+
+
+def _topk_filtered_oracle(dim: int = 64, k: int = 5) -> str:
+    full = f"{_duck_dot('qv.vec', 'cv.vec', dim)} / ({_duck_norm('qv.vec')} * {_duck_norm('cv.vec')})"
+    return f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings)
+SELECT q_id, c_id, ROUND(cosine, 6) AS cosine FROM (
+  SELECT qv.vec_id AS q_id, cv.vec_id AS c_id, {full} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY {full} DESC, cv.vec_id) AS rn
+  FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id AND cv.label = 3
+  WHERE qv.vec_id < 20
+) WHERE rn <= {k}
+ORDER BY q_id, c_id
+"""
+
+
+@register(
+    "sim_topk_filtered",
+    oracle=_topk_filtered_oracle(),
+    doc="FILTERED vector search: exact cosine top-5 among corpus "
+    "vectors restricted to label = 3 -- the metadata-predicate + "
+    "k-NN combination every production vector store serves "
+    "(pre-filtering, not post-filtering: the label predicate prunes "
+    "the corpus SCAN before any distance math, so a selective filter "
+    "cuts the dominant cost proportionally -- post-filter top-k would "
+    "both waste distance work and under-fill k). Plan shape: "
+    "pushed-down label filter -> broadcast query set -> per-query "
+    "k-rank.",
+)
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("label") == 3).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return (
+        similarity.topk_cosine(queries, corpus, k=5)
+        .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("q_id", "c_id")
+    )
+
+
+@register(
+    "embed_isotropy_score",
+    doc="embedding isotropy one-pager: participation ratio "
+    "(sum var)^2 / sum var^2 of the per-dimension variances (in "
+    "[1, d]; d means perfectly isotropic), its /d normalization, and "
+    "the top-dimension variance share -- the collapse diagnostic "
+    "(anisotropic spaces hurt cosine retrieval) on top of the "
+    "dim-variance profile's same posexplode rollup.",
+    oracle="""
+WITH dv AS (
+  SELECT unnest(range(0, 64)) AS dim, unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+s AS (SELECT dim, var_pop(val) AS v FROM dv GROUP BY dim)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+       ROUND(SUM(v) * SUM(v) / SUM(v * v), 4) AS participation_ratio,
+       ROUND(SUM(v) * SUM(v) / SUM(v * v) / COUNT(*), 6) AS isotropy,
+       ROUND(MAX(v) / SUM(v), 6) AS top_dim_share
+FROM s
+""",
+)
+def embed_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    dv = emb.select(F.posexplode("embedding").alias("dim", "val")).select(
+        "dim", F.col("val").cast("double").alias("val")
+    )
+    s = dv.groupBy("dim").agg(F.var_pop("val").alias("v"))
+    pr = F.sum("v") * F.sum("v") / F.sum(F.col("v") * F.col("v"))
+    return s.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(pr, 4).alias("participation_ratio"),
+        F.round(pr / F.count(F.lit(1)), 6).alias("isotropy"),
+        F.round(F.max("v") / F.sum("v"), 6).alias("top_dim_share"),
+    )

@@ -2105,3 +2105,59 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_ab_srm_check",
+    doc="sample-ratio-mismatch guardrail: chi-square of observed arm "
+    "sizes (odd/even user_id unit split, counted over UNITS not "
+    "events) against the designed 50/50, with the standard p < 0.001 "
+    "SRM alarm convention evaluated via the round-6 A&S erfc "
+    "p-value (dof 1: chi2 = z^2, p = erfc(sqrt(chi2/2))). The FIRST "
+    "check an experiment readout runs -- a mismatched split "
+    "invalidates every downstream z/t/CUPED number.",
+    oracle=f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+a AS (
+  SELECT SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1,
+         SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS n0
+  FROM u
+),
+c AS (
+  SELECT n1, n0,
+         pow(n1 - (n1 + n0) / 2, 2) / ((n1 + n0) / 2)
+         + pow(n0 - (n1 + n0) / 2, 2) / ((n1 + n0) / 2) AS chi2
+  FROM a
+)
+SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_ctrl,
+       ROUND(chi2, 6) AS srm_chi2,
+       ROUND({_AS_ERFC.format(t="(1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2.0)))", x="sqrt(chi2 / 2.0)")}, 6) AS p_value,
+       ROUND({_AS_ERFC.format(t="(1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2.0)))", x="sqrt(chi2 / 2.0)")}, 6) < 0.001 AS srm_alarm
+FROM c
+""",
+)
+def stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = ev.select("user_id").distinct()
+    a = u.agg(
+        F.sum((F.col("user_id") % 2 == 1).cast("int")).cast("double").alias("n1"),
+        F.sum((F.col("user_id") % 2 == 0).cast("int")).cast("double").alias("n0"),
+    )
+    e = (F.col("n1") + F.col("n0")) / 2
+    c = a.select(
+        "n1",
+        "n0",
+        (
+            F.pow(F.col("n1") - e, 2) / e + F.pow(F.col("n0") - e, 2) / e
+        ).alias("chi2"),
+    )
+    erfc = _AS_ERFC.format(
+        t="(1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2.0)))", x="sqrt(chi2 / 2.0)"
+    )
+    return c.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_ctrl"),
+        F.round("chi2", 6).alias("srm_chi2"),
+        F.round(F.expr(erfc), 6).alias("p_value"),
+        (F.round(F.expr(erfc), 6) < 0.001).alias("srm_alarm"),
+    )

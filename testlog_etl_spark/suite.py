@@ -144,7 +144,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_hurst_exponent, ts_variance_ratio, agg_share_of_parent,
     #    events_bot_score, dq_pipeline_reconciliation,
     #    orders_discount_elasticity, text_term_burstiness,
-    #    events_streak_histogram, orders_abc_migration.
+    #    events_streak_histogram, orders_abc_migration,
+    #    sim_topk_filtered, embed_isotropy_score, stats_ab_srm_check.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -1914,3 +1914,67 @@ def test_abc_migration_consistent(spark, duck):
         want[key] = want.get(key, 0) + 1
     got = {(r["class_1995"], r["class_1996"]): r["n_customers"] for r in rows}
     assert got == want
+
+
+def test_topk_filtered_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    vecs = {
+        r[0]: ([float(x) for x in r[1]], r[2])
+        for r in duck.execute(
+            "SELECT vec_id, embedding, label FROM embeddings"
+        ).fetchall()
+    }
+    got = {}
+    for r in REGISTRY["sim_topk_filtered"].fn(spark, SF_SMALL).collect():
+        got.setdefault(r["q_id"], []).append(r["c_id"])
+    for qid in range(20):
+        qv, _ = vecs[qid]
+        qn = math.sqrt(sum(x * x for x in qv))
+        scored = sorted(
+            (
+                -sum(a * b for a, b in zip(qv, cv)) / (qn * math.sqrt(sum(x * x for x in cv))),
+                cid,
+            )
+            for cid, (cv, lbl) in vecs.items()
+            if lbl == 3 and cid != qid
+        )
+        want = sorted(cid for _, cid in scored[:5])
+        assert sorted(got[qid]) == want
+        # every result carries the filter label
+        assert all(vecs[c][1] == 3 for c in got[qid])
+
+
+def test_isotropy_consistent_with_variance_profile(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    prof = REGISTRY["embed_dim_variance_profile"].fn(spark, SF_SMALL).collect()
+    vs = [r["var_pop"] for r in prof]
+    r = REGISTRY["embed_isotropy_score"].fn(spark, SF_SMALL).collect()[0]
+    pr = sum(vs) ** 2 / sum(v * v for v in vs)
+    assert r["n_dims"] == len(vs)
+    # profile vars are round-6; allow the propagated wobble
+    assert r["participation_ratio"] == pytest.approx(pr, abs=5e-3)
+    assert r["isotropy"] == pytest.approx(pr / len(vs), abs=1e-4)
+    assert 1.0 <= r["participation_ratio"] <= r["n_dims"]
+    assert r["top_dim_share"] == pytest.approx(max(vs) / sum(vs), abs=1e-4)
+
+
+def test_srm_check_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    uids = [r[0] for r in duck.execute("SELECT DISTINCT user_id FROM events").fetchall()]
+    n1 = sum(1 for u in uids if u % 2 == 1)
+    n0 = len(uids) - n1
+    e = len(uids) / 2
+    chi2 = (n1 - e) ** 2 / e + (n0 - e) ** 2 / e
+    r = REGISTRY["stats_ab_srm_check"].fn(spark, SF_SMALL).collect()[0]
+    assert (r["n_treat"], r["n_ctrl"]) == (n1, n0)
+    assert r["srm_chi2"] == pytest.approx(chi2, abs=1e-4)
+    assert r["p_value"] == pytest.approx(math.erfc(math.sqrt(chi2 / 2)), abs=2e-4)
+    assert r["srm_alarm"] == (r["p_value"] < 0.001)
