@@ -2181,3 +2181,113 @@ def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("class_1995", "class_1996")
     )
+
+
+@register(
+    "agg_weighted_percentile",
+    doc="quantity-weighted price percentiles per returnflag (p25/50/90 "
+    "by the weighted-CDF lower-bound rule: smallest value whose "
+    "cumulative weight share reaches p): per-VALUE weight rollup, "
+    "cumulative weights over distinct prices partitioned by flag, "
+    "min-satisfying value per p -- the weighted-median query's "
+    "general-p sibling, exact integer weights end to end.",
+    oracle="""
+WITH pv AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS val,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY flag, val
+),
+c AS (
+  SELECT flag, val,
+         SUM(w) OVER (PARTITION BY flag ORDER BY val ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM pv
+)
+SELECT flag,
+       MIN(CASE WHEN cw * 4 >= tw THEN val END) AS wp25,
+       MIN(CASE WHEN cw * 2 >= tw THEN val END) AS wp50,
+       MIN(CASE WHEN cw * 10 >= tw * 9 THEN val END) AS wp90
+FROM c GROUP BY flag ORDER BY flag
+""",
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    pv = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("val")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("flag")
+    c = pv.select(
+        "flag",
+        "val",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return (
+        c.groupBy("flag")
+        .agg(
+            F.min(F.when(F.col("cw") * 4 >= F.col("tw"), F.col("val"))).alias("wp25"),
+            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("val"))).alias("wp50"),
+            F.min(
+                F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("val"))
+            ).alias("wp90"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "events_mde_power",
+    doc="experiment design readout per event_type: with the current "
+    "per-arm unit counts and metric variance (per-user mean value), "
+    "the minimum detectable effect at alpha = 0.05 / power = 0.80 -- "
+    "MDE = (z_a + z_b) sqrt(var (1/n1 + 1/n0)) with the z constants "
+    "pinned as literals (1.959964, 0.841621) -- in absolute units and "
+    "as a share of the control mean. The how-long-must-this-run "
+    "planning number beside the SRM/CUPED readouts.",
+    oracle="""
+WITH u AS (
+  SELECT event_type, user_id, user_id % 2 AS arm, AVG("value") AS m
+  FROM events GROUP BY event_type, user_id, arm
+),
+g AS (
+  SELECT event_type,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::DOUBLE AS n0,
+         var_samp(m) AS v,
+         AVG(CASE WHEN arm = 0 THEN m END) AS mc
+  FROM u GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_ctrl,
+       ROUND((1.959964 + 0.841621) * sqrt(v * (1.0 / n1 + 1.0 / n0)), 4) AS mde_abs,
+       ROUND((1.959964 + 0.841621) * sqrt(v * (1.0 / n1 + 1.0 / n0)) / mc, 6) AS mde_rel
+FROM g ORDER BY event_type
+""",
+)
+def events_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = ev.groupBy(
+        "event_type", "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(F.avg("value").alias("m"))
+    g = u.groupBy("event_type").agg(
+        F.sum((F.col("arm") == 1).cast("int")).cast("double").alias("n1"),
+        F.sum((F.col("arm") == 0).cast("int")).cast("double").alias("n0"),
+        F.var_samp("m").alias("v"),
+        F.avg(F.when(F.col("arm") == 0, F.col("m"))).alias("mc"),
+    )
+    z = 1.959964 + 0.841621
+    mde = F.lit(z) * F.sqrt(F.col("v") * (1.0 / F.col("n1") + 1.0 / F.col("n0")))
+    return g.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_ctrl"),
+        F.round(mde, 4).alias("mde_abs"),
+        F.round(mde / F.col("mc"), 6).alias("mde_rel"),
+    ).orderBy("event_type")

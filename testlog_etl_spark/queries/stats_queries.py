@@ -2161,3 +2161,118 @@ def stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(erfc), 6).alias("p_value"),
         (F.round(F.expr(erfc), 6) < 0.001).alias("srm_alarm"),
     )
+
+
+@register(
+    "stats_chow_break_test",
+    doc="Chow structural-break test per event_type at the known "
+    "mid-month intervention (day 16): daily-count OLS fit pooled vs "
+    "separate pre/post segments, F = ((SSR_p - SSR_1 - SSR_2)/2) / "
+    "((SSR_1 + SSR_2)/(n - 4)); level and slope deltas reported "
+    "alongside -- the interrupted-time-series readout. SSRs come "
+    "from the covar/var closed form per segment (snapped fits, the "
+    "durbin_watson pairing): SSR = n(var_y - b^2 var_t).",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::DOUBLE AS y,
+         CASE WHEN EXTRACT(day FROM ts) >= 16 THEN 1 ELSE 0 END AS seg
+  FROM events GROUP BY event_type, day, seg
+),
+s AS (
+  SELECT event_type, seg, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS t
+  FROM d
+),
+fit AS (
+  SELECT event_type, seg, COUNT(*)::DOUBLE AS n,
+         ROUND(covar_pop(t, y) / var_pop(t), 10) AS b,
+         var_pop(y) AS vy, var_pop(t) AS vt,
+         AVG(y) AS my, AVG(t) AS mt
+  FROM s GROUP BY event_type, seg
+),
+pool AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n,
+         ROUND(covar_pop(t, y) / var_pop(t), 10) AS b,
+         var_pop(y) AS vy, var_pop(t) AS vt
+  FROM s GROUP BY event_type
+),
+ssr AS (
+  SELECT f.event_type,
+         SUM(f.n * (f.vy - f.b * f.b * f.vt)) AS ssr_seg,
+         MAX(p.n * (p.vy - p.b * p.b * p.vt)) AS ssr_pool,
+         MAX(p.n) AS n,
+         MAX(CASE WHEN f.seg = 1 THEN f.my END) - MAX(CASE WHEN f.seg = 0 THEN f.my END) AS level_delta,
+         MAX(CASE WHEN f.seg = 1 THEN f.b END) - MAX(CASE WHEN f.seg = 0 THEN f.b END) AS slope_delta
+  FROM fit f JOIN pool p ON p.event_type = f.event_type
+  GROUP BY f.event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       ROUND(level_delta, 4) AS level_delta,
+       ROUND(slope_delta, 6) AS slope_delta,
+       ROUND(((ssr_pool - ssr_seg) / 2) / (ssr_seg / (n - 4)), {R}) AS chow_f
+FROM ssr ORDER BY event_type
+""",
+)
+def stats_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (F.dayofmonth("ts") >= 16).cast("int").alias("seg"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    s = d.select(
+        "event_type",
+        "seg",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("double")
+        .alias("t"),
+    )
+    b = F.round(F.covar_pop("t", "y") / F.var_pop("t"), 10)
+    fit = s.groupBy("event_type", "seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        b.alias("b"),
+        F.var_pop("y").alias("vy"),
+        F.var_pop("t").alias("vt"),
+        F.avg("y").alias("my"),
+    )
+    pool = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("pn"),
+        b.alias("pb"),
+        F.var_pop("y").alias("pvy"),
+        F.var_pop("t").alias("pvt"),
+    )
+    ssr = (
+        fit.join(pool, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("vy") - F.col("b") * F.col("b") * F.col("vt"))
+            ).alias("ssr_seg"),
+            F.max(
+                F.col("pn") * (F.col("pvy") - F.col("pb") * F.col("pb") * F.col("pvt"))
+            ).alias("ssr_pool"),
+            F.max("pn").alias("n"),
+            (
+                F.max(F.when(F.col("seg") == 1, F.col("my")))
+                - F.max(F.when(F.col("seg") == 0, F.col("my")))
+            ).alias("level_delta"),
+            (
+                F.max(F.when(F.col("seg") == 1, F.col("b")))
+                - F.max(F.when(F.col("seg") == 0, F.col("b")))
+            ).alias("slope_delta"),
+        )
+    )
+    return ssr.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round("level_delta", 4).alias("level_delta"),
+        F.round("slope_delta", 6).alias("slope_delta"),
+        F.round(
+            ((F.col("ssr_pool") - F.col("ssr_seg")) / 2)
+            / (F.col("ssr_seg") / (F.col("n") - 4)),
+            R,
+        ).alias("chow_f"),
+    ).orderBy("event_type")

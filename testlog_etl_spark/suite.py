@@ -145,7 +145,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    events_bot_score, dq_pipeline_reconciliation,
     #    orders_discount_elasticity, text_term_burstiness,
     #    events_streak_histogram, orders_abc_migration,
-    #    sim_topk_filtered, embed_isotropy_score, stats_ab_srm_check.
+    #    sim_topk_filtered, embed_isotropy_score, stats_ab_srm_check,
+    #    stats_chow_break_test, agg_weighted_percentile,
+    #    events_mde_power.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

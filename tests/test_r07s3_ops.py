@@ -1978,3 +1978,107 @@ def test_srm_check_matches_bruteforce(spark, duck):
     assert r["srm_chi2"] == pytest.approx(chi2, abs=1e-4)
     assert r["p_value"] == pytest.approx(math.erfc(math.sqrt(chi2 / 2)), abs=2e-4)
     assert r["srm_alarm"] == (r["p_value"] < 0.001)
+
+
+def test_chow_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "MAX(CASE WHEN EXTRACT(day FROM ts) >= 16 THEN 1 ELSE 0 END), count(*) "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, seg, y in rows:
+        series.setdefault(et, []).append((seg, float(y)))
+
+    def ssr(pts):
+        n = len(pts)
+        ts_, ys = zip(*pts)
+        mt, my = sum(ts_) / n, sum(ys) / n
+        vt = sum((t - mt) ** 2 for t in ts_) / n
+        vy = sum((y - my) ** 2 for y in ys) / n
+        cov = sum((t - mt) * (y - my) for t, y in zip(ts_, ys)) / n
+        b = round(cov / vt, 10)
+        return n * (vy - b * b * vt), b, my
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_chow_break_test"].fn(spark, SF_SMALL).collect()
+    }
+    for et, pts in series.items():
+        idx = [(float(i + 1), y) for i, (_, y) in enumerate(pts)]
+        pre = [(t, y) for (t, y), (s, _) in zip(idx, pts) if s == 0]
+        post = [(t, y) for (t, y), (s, _) in zip(idx, pts) if s == 1]
+        sp, _, _ = ssr(idx)
+        s1, b1, m1 = ssr(pre)
+        s2, b2, m2 = ssr(post)
+        n = len(idx)
+        f = ((sp - s1 - s2) / 2) / ((s1 + s2) / (n - 4))
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["level_delta"] == pytest.approx(m2 - m1, abs=1e-3)
+        assert r["slope_delta"] == pytest.approx(b2 - b1, abs=1e-4)
+        assert r["chow_f"] == pytest.approx(f, abs=1e-2)
+
+
+def test_weighted_percentile_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT l_returnflag, l_extendedprice, CAST(l_quantity AS BIGINT) FROM lineitem"
+    ).fetchall()
+    per = {}
+    for flag, val, w in rows:
+        per.setdefault(flag, {}).setdefault(val, 0)
+        per[flag][val] += w
+    got = {
+        r["flag"]: r
+        for r in REGISTRY["agg_weighted_percentile"].fn(spark, SF_SMALL).collect()
+    }
+    for flag, vw in per.items():
+        tw = sum(vw.values())
+        cum = 0
+        want = {}
+        for val in sorted(vw):
+            cum += vw[val]
+            for name, num, den in (("wp25", 1, 4), ("wp50", 1, 2), ("wp90", 9, 10)):
+                if name not in want and cum * den >= tw * num:
+                    want[name] = val
+        r = got[flag]
+        for name in ("wp25", "wp50", "wp90"):
+            assert r[name] == want[name]
+
+
+def test_mde_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        'SELECT event_type, user_id, AVG("value") FROM events GROUP BY 1, 2'
+    ).fetchall()
+    per = {}
+    for et, uid, m in rows:
+        per.setdefault(et, []).append((uid, m))
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_mde_power"].fn(spark, SF_SMALL).collect()
+    }
+    for et, us in per.items():
+        ms = [m for _, m in us]
+        n = len(ms)
+        mean = sum(ms) / n
+        v = sum((m - mean) ** 2 for m in ms) / (n - 1)
+        n1 = sum(1 for u, _ in us if u % 2 == 1)
+        n0 = n - n1
+        mc = sum(m for u, m in us if u % 2 == 0) / n0
+        mde = (1.959964 + 0.841621) * math.sqrt(v * (1 / n1 + 1 / n0))
+        r = got[et]
+        assert (r["n_treat"], r["n_ctrl"]) == (n1, n0)
+        assert r["mde_abs"] == pytest.approx(mde, abs=1e-3)
+        assert r["mde_rel"] == pytest.approx(mde / mc, abs=1e-4)
