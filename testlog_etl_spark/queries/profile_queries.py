@@ -941,3 +941,66 @@ def dq_value_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("col", "mask", "n", "share").orderBy(
         "col", F.desc("n"), "mask"
     )
+
+
+@register(
+    "dq_categorical_drift_new_values",
+    doc="categorical-domain drift audit between month halves: per "
+    "monitored column (event_type; props.k decile bucket), values "
+    "present only in the second half (NEW -- schema-on-read landmines "
+    "for downstream CASE logic), only in the first (DISAPPEARED), and "
+    "stable, with row counts. Pure set algebra on per-half value "
+    "rollups (full-outer join per column, unioned) -- the categorical "
+    "complement to the numeric PSI/KS drift monitors.",
+    oracle="""
+WITH src AS (
+  SELECT 'event_type' AS col, event_type AS val,
+         CASE WHEN EXTRACT(day FROM ts) < 16 THEN 0 ELSE 1 END AS half
+  FROM events
+  UNION ALL
+  SELECT 'props_k_decile',
+         CAST(try_cast(json_extract_string(props, 'k') AS BIGINT) // 10 AS VARCHAR),
+         CASE WHEN EXTRACT(day FROM ts) < 16 THEN 0 ELSE 1 END
+  FROM events
+),
+g AS (
+  SELECT col, val,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n_first,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n_second
+  FROM src GROUP BY col, val
+)
+SELECT col, val,
+       CASE WHEN n_first = 0 THEN 'new'
+            WHEN n_second = 0 THEN 'disappeared'
+            ELSE 'stable' END AS status,
+       n_first, n_second
+FROM g ORDER BY col, val
+""",
+)
+def dq_categorical_drift_new_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    half = F.when(F.dayofmonth("ts") < 16, 0).otherwise(1).alias("half")
+    a = ev.select(F.lit("event_type").alias("col"), F.col("event_type").alias("val"), half)
+    b = ev.select(
+        F.lit("props_k_decile").alias("col"),
+        F.expr("CAST(CAST(get_json_object(props, '$.k') AS BIGINT) div 10 AS STRING)").alias("val"),
+        half,
+    )
+    g = (
+        a.unionByName(b)
+        .groupBy("col", "val")
+        .agg(
+            F.sum((F.col("half") == 0).cast("int")).alias("n_first"),
+            F.sum((F.col("half") == 1).cast("int")).alias("n_second"),
+        )
+    )
+    return g.select(
+        "col",
+        "val",
+        F.when(F.col("n_first") == 0, "new")
+        .when(F.col("n_second") == 0, "disappeared")
+        .otherwise("stable")
+        .alias("status"),
+        "n_first",
+        "n_second",
+    ).orderBy("col", "val")

@@ -2276,3 +2276,101 @@ def stats_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             R,
         ).alias("chow_f"),
     ).orderBy("event_type")
+
+
+@register(
+    "stats_granger_lite",
+    doc="Granger-style lead-lag screen over event-type pairs: does "
+    "x's daily count at t-1 improve an AR(1) model of y? Restricted "
+    "(y ~ y_{{t-1}}) vs unrestricted (y ~ y_{{t-1}} + x_{{t-1}}) OLS "
+    "in exact closed form (2x2 normal equations by determinant), "
+    "F = (SSR_r - SSR_u) / (SSR_u / (n - 3)). All 20 ordered pairs "
+    "from ONE day-matrix rollup + a tiny pair cross join; inputs "
+    "snapped to 6 places so both engines solve identical systems.",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::DOUBLE AS n
+  FROM events GROUP BY event_type, day
+),
+l AS (
+  SELECT event_type, day, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS n1
+  FROM d
+),
+pairs AS (
+  SELECT y.event_type AS y_type, x.event_type AS x_type,
+         y.n AS y, ROUND(y.n1, 6) AS yl, ROUND(x.n1, 6) AS xl
+  FROM l y JOIN l x ON x.day = y.day AND x.event_type <> y.event_type
+  WHERE y.n1 IS NOT NULL AND x.n1 IS NOT NULL
+),
+m AS (
+  SELECT y_type, x_type, COUNT(*)::DOUBLE AS n,
+         AVG(y) AS my, AVG(yl) AS ma, AVG(xl) AS mb,
+         covar_pop(yl, y) AS say, covar_pop(xl, y) AS sby,
+         var_pop(yl) AS saa, var_pop(xl) AS sbb, covar_pop(yl, xl) AS sab,
+         var_pop(y) AS syy
+  FROM pairs GROUP BY y_type, x_type
+),
+f AS (
+  SELECT y_type, x_type, n,
+         n * (syy - say * say / saa) AS ssr_r,
+         n * (syy - (say * (sbb * say - sab * sby)
+                     + sby * (saa * sby - sab * say))
+                    / (saa * sbb - sab * sab)) AS ssr_u
+  FROM m
+)
+SELECT y_type, x_type, CAST(n AS BIGINT) AS n_days,
+       ROUND((ssr_r - ssr_u) / (ssr_u / (n - 3)), {R}) AS granger_f
+FROM f ORDER BY y_type, x_type
+""",
+)
+def stats_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    l = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.lag("n").over(Window.partitionBy("event_type").orderBy("day")).alias("n1"),
+    )
+    y = l.select(
+        F.col("event_type").alias("y_type"),
+        "day",
+        F.col("n").alias("y"),
+        F.round("n1", 6).alias("yl"),
+    ).filter(F.col("yl").isNotNull())
+    x = l.select(
+        F.col("event_type").alias("x_type"),
+        F.col("day").alias("dayx"),
+        F.round("n1", 6).alias("xl"),
+    ).filter(F.col("xl").isNotNull())
+    pairs = y.join(
+        x, (F.col("day") == F.col("dayx")) & (F.col("x_type") != F.col("y_type"))
+    )
+    m = pairs.groupBy("y_type", "x_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.covar_pop("yl", "y").alias("say"),
+        F.covar_pop("xl", "y").alias("sby"),
+        F.var_pop("yl").alias("saa"),
+        F.var_pop("xl").alias("sbb"),
+        F.covar_pop("yl", "xl").alias("sab"),
+        F.var_pop("y").alias("syy"),
+    )
+    det = F.col("saa") * F.col("sbb") - F.col("sab") * F.col("sab")
+    ssr_r = F.col("n") * (F.col("syy") - F.col("say") * F.col("say") / F.col("saa"))
+    ssr_u = F.col("n") * (
+        F.col("syy")
+        - (
+            F.col("say") * (F.col("sbb") * F.col("say") - F.col("sab") * F.col("sby"))
+            + F.col("sby") * (F.col("saa") * F.col("sby") - F.col("sab") * F.col("say"))
+        )
+        / det
+    )
+    return m.select(
+        "y_type",
+        "x_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round((ssr_r - ssr_u) / (ssr_u / (F.col("n") - 3)), R).alias("granger_f"),
+    ).orderBy("y_type", "x_type")

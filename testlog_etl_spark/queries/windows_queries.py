@@ -2265,3 +2265,80 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_forecast_backtest",
+    doc="one-step-ahead forecast BACKTEST per event_type over the last "
+    "14 days of the month: seasonal-naive (y_{t-7}) vs persistence/"
+    "LOCF (y_{t-1}) on the daily value sums -- MAE and MAPE per "
+    "method plus the winner, all from ONE lag-window pass (both "
+    "forecasters are window-expressible, so the backtest costs one "
+    "shuffle; the method-choice readout feeding holt/kalman model "
+    "selection).",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM("value"), 6) AS y,
+         EXTRACT(day FROM ts) AS dom
+  FROM events GROUP BY event_type, day, dom
+),
+l AS (
+  SELECT event_type, dom, y,
+         lag(y, 7) OVER w AS f_seasonal,
+         lag(y, 1) OVER w AS f_locf
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+b AS (SELECT * FROM l WHERE dom >= 17 AND f_seasonal IS NOT NULL AND f_locf IS NOT NULL),
+agg AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_days,
+         ROUND(AVG(abs(y - f_seasonal)), 4) AS mae_seasonal,
+         ROUND(AVG(abs(y - f_locf)), 4) AS mae_locf,
+         ROUND(AVG(abs(y - f_seasonal) / y), 6) AS mape_seasonal,
+         ROUND(AVG(abs(y - f_locf) / y), 6) AS mape_locf
+  FROM b GROUP BY event_type
+)
+SELECT *,
+       CASE WHEN mae_seasonal <= mae_locf THEN 'seasonal_naive' ELSE 'locf' END AS winner
+FROM agg ORDER BY event_type
+""",
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.dayofmonth("ts").alias("dom"),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "dom",
+        "y",
+        F.lag("y", 7).over(w).alias("f_seasonal"),
+        F.lag("y", 1).over(w).alias("f_locf"),
+    )
+    b = l.filter(
+        (F.col("dom") >= 17)
+        & F.col("f_seasonal").isNotNull()
+        & F.col("f_locf").isNotNull()
+    )
+    agg = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg(F.abs(F.col("y") - F.col("f_seasonal"))), 4).alias("mae_seasonal"),
+        F.round(F.avg(F.abs(F.col("y") - F.col("f_locf"))), 4).alias("mae_locf"),
+        F.round(F.avg(F.abs(F.col("y") - F.col("f_seasonal")) / F.col("y")), 6).alias(
+            "mape_seasonal"
+        ),
+        F.round(F.avg(F.abs(F.col("y") - F.col("f_locf")) / F.col("y")), 6).alias(
+            "mape_locf"
+        ),
+    )
+    return agg.select(
+        "*",
+        F.when(F.col("mae_seasonal") <= F.col("mae_locf"), "seasonal_naive")
+        .otherwise("locf")
+        .alias("winner"),
+    ).orderBy("event_type")

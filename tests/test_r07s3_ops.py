@@ -2082,3 +2082,120 @@ def test_mde_matches_bruteforce(spark, duck):
         assert (r["n_treat"], r["n_ctrl"]) == (n1, n0)
         assert r["mde_abs"] == pytest.approx(mde, abs=1e-3)
         assert r["mde_rel"] == pytest.approx(mde / mc, abs=1e-4)
+
+
+def test_granger_matches_bruteforce(spark, duck):
+    import numpy as np
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, day, n in rows:
+        series.setdefault(et, {})[day] = float(n)
+    got = {
+        (r["y_type"], r["x_type"]): r
+        for r in REGISTRY["stats_granger_lite"].fn(spark, SF_SMALL).collect()
+    }
+    types = sorted(series)
+    for yt in types:
+        for xt in types:
+            if xt == yt:
+                continue
+            days = sorted(set(series[yt]) & set(series[xt]))
+            pts = []
+            for i, day in enumerate(days):
+                if i == 0:
+                    continue
+                prev = days[i - 1]
+                pts.append(
+                    (
+                        series[yt][day],
+                        round(series[yt][prev], 6),
+                        round(series[xt][prev], 6),
+                    )
+                )
+            ys = np.array([p[0] for p in pts])
+            yl = np.array([p[1] for p in pts])
+            xl = np.array([p[2] for p in pts])
+            n = len(pts)
+            # restricted: OLS y ~ 1 + yl; unrestricted adds xl (numpy lstsq
+            # -- an INDEPENDENT solver, not our determinant formula)
+            Xr = np.column_stack([np.ones(n), yl])
+            Xu = np.column_stack([np.ones(n), yl, xl])
+            br, *_ = np.linalg.lstsq(Xr, ys, rcond=None)
+            bu, *_ = np.linalg.lstsq(Xu, ys, rcond=None)
+            ssr_r = float(((ys - Xr @ br) ** 2).sum())
+            ssr_u = float(((ys - Xu @ bu) ** 2).sum())
+            f = (ssr_r - ssr_u) / (ssr_u / (n - 3))
+            r = got[(yt, xt)]
+            assert r["n_days"] == n
+            assert r["granger_f"] == pytest.approx(f, abs=5e-3)
+
+
+def test_forecast_backtest_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "ROUND(SUM(\"value\"), 6), MAX(EXTRACT(day FROM ts)) "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, y, dom in rows:
+        series.setdefault(et, []).append((y, int(dom)))
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_forecast_backtest"].fn(spark, SF_SMALL).collect()
+    }
+    for et, pts in series.items():
+        ys = [y for y, _ in pts]
+        test = [
+            (ys[i], ys[i - 7], ys[i - 1])
+            for i in range(7, len(ys))
+            if pts[i][1] >= 17
+        ]
+        mae_s = sum(abs(y - fs) for y, fs, _ in test) / len(test)
+        mae_l = sum(abs(y - fl) for y, _, fl in test) / len(test)
+        r = got[et]
+        assert r["n_days"] == len(test)
+        assert r["mae_seasonal"] == pytest.approx(mae_s, abs=1e-3)
+        assert r["mae_locf"] == pytest.approx(mae_l, abs=1e-3)
+        assert r["winner"] == ("seasonal_naive" if mae_s <= mae_l else "locf")
+
+
+def test_categorical_drift_matches_bruteforce(spark, duck):
+    import json
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, props, EXTRACT(day FROM ts) < 16 FROM events"
+    ).fetchall()
+    counts = {}
+    for et, props, first in rows:
+        for col, val in (
+            ("event_type", et),
+            ("props_k_decile", str(json.loads(props)["k"] // 10)),
+        ):
+            a, b = counts.get((col, val), (0, 0))
+            counts[(col, val)] = (a + (1 if first else 0), b + (0 if first else 1))
+    got = {
+        (r["col"], r["val"]): r
+        for r in REGISTRY["dq_categorical_drift_new_values"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(counts)
+    for key, (nf, ns) in counts.items():
+        r = got[key]
+        assert (r["n_first"], r["n_second"]) == (nf, ns)
+        want = "new" if nf == 0 else ("disappeared" if ns == 0 else "stable")
+        assert r["status"] == want
