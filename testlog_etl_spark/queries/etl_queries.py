@@ -3911,3 +3911,140 @@ def events_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("streak_days")
     )
+
+
+def _hits_oracle(n_iter: int = 5, bits: int = 30) -> str:
+    g = 1 << bits
+
+    def snap(x: str) -> str:
+        return f"floor(({x}) * {g} + 0.5) / {g}"
+
+    blocks = [
+        """edges AS MATERIALIZED (
+  SELECT prev_type AS src, event_type AS dst, count(*)::DOUBLE AS w
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY src, dst
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, 1.0 AS h FROM nodes),
+a0 AS (SELECT node, 1.0 AS a FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        blocks.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(h.h * e.w) AS v
+  FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+),
+an{i} AS MATERIALIZED (SELECT SUM(v) AS s FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT nodes.node, {snap('coalesce(ar.v, 0.0) / an.s')} AS a
+  FROM nodes LEFT JOIN ar{i} ar ON ar.node = nodes.node, an{i} an
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(a.a * e.w) AS v
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+),
+hn{i} AS MATERIALIZED (SELECT SUM(v) AS s FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT nodes.node, {snap('coalesce(hr.v, 0.0) / hn.s')} AS h
+  FROM nodes LEFT JOIN hr{i} hr ON hr.node = nodes.node, hn{i} hn
+)"""
+        )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body}
+SELECT h{n_iter}.node AS node, h{n_iter}.h AS hub, a{n_iter}.a AS authority
+FROM h{n_iter} JOIN a{n_iter} ON a{n_iter}.node = h{n_iter}.node
+ORDER BY h{n_iter}.node
+"""
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle=_hits_oracle(),
+    doc="HITS hubs & authorities on the weighted event-transition "
+    "graph: 5 mutual-reinforcement rounds (authority <- inbound hub "
+    "mass, hub <- outbound authority mass), L1-normalized and "
+    "grid-snapped to 2^-30 each half-round (the pagerank playbook), "
+    "chained-CTE replay bit-identical. Hub-heavy states FEED journeys "
+    "(browse), authority-heavy states ABSORB them (purchase) -- the "
+    "directed complement to PageRank's single score.",
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n_iter, bits = 5, 30
+    g = float(1 << bits)
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    # pin the edge rollup + node set ONCE: every round joins them twice,
+    # and an unchecked lineage would replay the lag-window shuffle 10+
+    # times (and hang a default-config 200-partition session)
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+
+    def snap(col):
+        return F.floor(col * g + 0.5) / g
+
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(n_iter):
+        ar = (
+            edges.join(h, edges.src == h.node)
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.sum(F.col("h") * F.col("w")).alias("v"))
+        )
+        an = ar.agg(F.sum("v").alias("s"))
+        a = (
+            nodes.join(ar, nodes.node == F.col("n2"), "left")
+            .crossJoin(F.broadcast(an))
+            .select(
+                "node", snap(F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("a")
+            )
+        )
+        # checkpoint BEFORE h consumes a: rebinding after h is built would
+        # leave h's lineage holding the unchecked a-plan and the tree
+        # still doubles per round
+        a = a.coalesce(1).localCheckpoint(eager=True)
+        hr = (
+            edges.join(a, edges.dst == a.node)
+            .groupBy(F.col("src").alias("n2"))
+            .agg(F.sum(F.col("a") * F.col("w")).alias("v"))
+        )
+        hn = hr.agg(F.sum("v").alias("s"))
+        h = (
+            nodes.join(hr, nodes.node == F.col("n2"), "left")
+            .crossJoin(F.broadcast(hn))
+            .select(
+                "node", snap(F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("h")
+            )
+        )
+        # truncate lineage each round (the bfs_levels playbook): the two
+        # mutual joins per round would otherwise double the plan tree
+        # per half-round -- 2^10 subtrees by round five
+        # rank frames are node-count-sized: collapse to one partition so
+        # the checkpoint doesn't materialize 200 near-empty shuffle files
+        # per round under a default-config session
+        h = h.coalesce(1).localCheckpoint(eager=True)
+    return (
+        h.join(a.withColumnRenamed("node", "node_a"), h.node == F.col("node_a"))
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
+        .orderBy("node")
+    )

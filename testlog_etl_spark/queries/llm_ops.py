@@ -5709,3 +5709,91 @@ def embed_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pr / F.count(F.lit(1)), 6).alias("isotropy"),
         F.round(F.max("v") / F.sum("v"), 6).alias("top_dim_share"),
     )
+
+
+_LSH_CONFIGS = ((64, 2), (32, 4), (16, 8), (8, 16))
+
+
+@register(
+    "dedup_lsh_parameter_advisor",
+    doc="MinHash-LSH (bands, rows) parameter advisor: for each 128-hash "
+    "split, the S-curve P(s) = 1 - (1 - s^r)^b is integrated over the "
+    "MEASURED pairwise-Jaccard mass of the corpus sample (docs < 300, "
+    "exact token-set Jaccard via the shared-term join -- zero-overlap "
+    "pairs contribute zero and never materialize), reporting the "
+    "50%-catch threshold (1/b)^(1/r) and the expected candidate-pair "
+    "volume per config -- the recall-vs-cost dial read BEFORE "
+    "committing a banding to dedup_minhash_lsh. One token-keyed pair "
+    "join feeds all four configs.",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')) AS toks
+  FROM documents WHERE doc_id < 300
+),
+t AS (SELECT doc_id, unnest(toks) AS term, len(toks) AS sz FROM docs),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         COUNT(*)::DOUBLE AS inter, MAX(a.sz) AS sa, MAX(b.sz) AS sb
+  FROM t a JOIN t b ON b.term = a.term AND b.doc_id > a.doc_id
+  GROUP BY ia, ib
+),
+sims AS (
+  SELECT inter / (sa + sb - inter) AS s FROM pairs
+),
+cfg AS (
+  SELECT unnest({[c[0] for c in _LSH_CONFIGS]}) AS b,
+         unnest({[c[1] for c in _LSH_CONFIGS]}) AS r
+)
+SELECT cfg.b AS bands, cfg.r AS rows_per_band,
+       ROUND(pow(1.0 / cfg.b, 1.0 / cfg.r), 4) AS s50_threshold,
+       CAST((SELECT COUNT(*) FROM sims) AS BIGINT) AS overlapping_pairs,
+       ROUND((SELECT SUM(1.0 - pow(1.0 - pow(s, cfg.r), cfg.b)) FROM sims), 2) AS expected_candidates
+FROM cfg ORDER BY bands DESC
+""",
+)
+def dedup_lsh_parameter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.array_distinct(textstats.tokens(F.lower(F.col("text")))).alias("toks"),
+        )
+    )
+    t = docs.select(
+        "doc_id", F.explode("toks").alias("term"), F.size("toks").alias("sz")
+    )
+    a = t.select(
+        F.col("doc_id").alias("ia"), "term", F.col("sz").alias("sa")
+    )
+    b = t.select(
+        F.col("doc_id").alias("ib"), F.col("term").alias("termb"), F.col("sz").alias("sb")
+    )
+    pairs = (
+        a.join(b, (F.col("term") == F.col("termb")) & (F.col("ib") > F.col("ia")))
+        .groupBy("ia", "ib")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("inter"),
+            F.max("sa").alias("sa"),
+            F.max("sb").alias("sb"),
+        )
+    )
+    sims = pairs.select(
+        (F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))).alias("s")
+    )
+    cfg = spark.createDataFrame(list(_LSH_CONFIGS), "b int, r int")
+    joined = sims.crossJoin(F.broadcast(cfg))
+    agg = joined.groupBy("b", "r").agg(
+        F.count(F.lit(1)).alias("overlapping_pairs"),
+        F.round(
+            F.sum(1.0 - F.pow(1.0 - F.pow(F.col("s"), F.col("r")), F.col("b"))), 2
+        ).alias("expected_candidates"),
+    )
+    return agg.select(
+        F.col("b").alias("bands"),
+        F.col("r").alias("rows_per_band"),
+        F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 4).alias("s50_threshold"),
+        F.col("overlapping_pairs").cast("long").alias("overlapping_pairs"),
+        "expected_candidates",
+    ).orderBy(F.desc("bands"))

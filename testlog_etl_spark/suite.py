@@ -148,7 +148,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    sim_topk_filtered, embed_isotropy_score, stats_ab_srm_check,
     #    stats_chow_break_test, agg_weighted_percentile,
     #    events_mde_power, stats_granger_lite, ts_forecast_backtest,
-    #    dq_categorical_drift_new_values.
+    #    dq_categorical_drift_new_values, dedup_lsh_parameter_advisor,
+    #    graph_hits_hubs_authorities.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -2199,3 +2199,76 @@ def test_categorical_drift_matches_bruteforce(spark, duck):
         assert (r["n_first"], r["n_second"]) == (nf, ns)
         want = "new" if nf == 0 else ("disappeared" if ns == 0 else "stable")
         assert r["status"] == want
+
+
+def test_lsh_advisor_matches_bruteforce(spark, duck):
+    from collections import Counter
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300"
+    ).fetchall()
+    toks = {d: set((t or "").strip().lower().split()) for d, t in rows}
+    ids = sorted(toks)
+    sims = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(toks[a] & toks[b])
+            if inter:
+                sims.append(inter / len(toks[a] | toks[b]))
+    got = {
+        r["bands"]: r
+        for r in REGISTRY["dedup_lsh_parameter_advisor"].fn(spark, SF_SMALL).collect()
+    }
+    for b, rr in ((64, 2), (32, 4), (16, 8), (8, 16)):
+        exp = sum(1 - (1 - s**rr) ** b for s in sims)
+        r = got[b]
+        assert r["rows_per_band"] == rr
+        assert r["overlapping_pairs"] == len(sims)
+        assert r["s50_threshold"] == pytest.approx((1 / b) ** (1 / rr), abs=1e-4)
+        assert r["expected_candidates"] == pytest.approx(exp, abs=0.05)
+    # monotone: more, shorter bands catch more pairs
+    assert got[64]["expected_candidates"] >= got[8]["expected_candidates"]
+
+
+def test_hits_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    edges = duck.execute(
+        """
+        SELECT prev_type, event_type, count(*) FROM (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ) WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall()
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    g = float(1 << 30)
+    snap = lambda x: math.floor(x * g + 0.5) / g  # noqa: E731
+    h = {n: 1.0 for n in nodes}
+    a = {}
+    for _ in range(5):
+        av = {n: 0.0 for n in nodes}
+        for s, d, w in edges:
+            av[d] += h[s] * w
+        tot = sum(av.values())
+        a = {n: snap(v / tot) for n, v in av.items()}
+        hv = {n: 0.0 for n in nodes}
+        for s, d, w in edges:
+            hv[s] += a[d] * w
+        tot = sum(hv.values())
+        h = {n: snap(v / tot) for n, v in hv.items()}
+    got = {
+        r["node"]: r
+        for r in REGISTRY["graph_hits_hubs_authorities"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n]["hub"] == pytest.approx(h[n], abs=1e-6)
+        assert got[n]["authority"] == pytest.approx(a[n], abs=1e-6)
