@@ -5797,3 +5797,80 @@ def dedup_lsh_parameter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("overlapping_pairs").cast("long").alias("overlapping_pairs"),
         "expected_candidates",
     ).orderBy(F.desc("bands"))
+
+
+@register(
+    "eval_rocchio_classifier",
+    doc="Rocchio nearest-centroid classification readout: per-label "
+    "centroids from the posexplode elementwise-mean rollup (snapped "
+    "to the 2^-20 grid -- the IVF playbook), every vector assigned to "
+    "its nearest centroid (squared distance per (vec, label) snapped "
+    "to 8 places before the argmin so summation order can never flip "
+    "a tie; min_by on (dist, label)), per-label precision-style "
+    "accuracy out. The no-training-loop classifier baseline an "
+    "embedding QA suite runs; centroid build + assignment are two "
+    "(dim/label)-keyed shuffles, vectors never move whole.",
+    oracle="""
+WITH dv AS (
+  SELECT vec_id, label, unnest(range(0, 64)) AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS clabel, dim, floor(AVG(x) * 1048576 + 0.5) / 1048576 AS c
+  FROM dv GROUP BY clabel, dim
+),
+dist AS (
+  SELECT dv.vec_id, dv.label, cent.clabel,
+         ROUND(SUM((dv.x - cent.c) * (dv.x - cent.c)), 8) AS d2
+  FROM dv JOIN cent ON cent.dim = dv.dim
+  GROUP BY dv.vec_id, dv.label, cent.clabel
+),
+assign AS (
+  SELECT vec_id, label,
+         min_by(clabel, d2 + clabel * 1e-10) AS pred
+  FROM dist GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS accuracy
+FROM assign GROUP BY label ORDER BY label
+""",
+)
+def eval_rocchio_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    g = float(1 << 20)
+    dv = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "label", "dim", F.col("x").cast("double").alias("x"))
+    cent = dv.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (F.floor(F.avg("x") * g + 0.5) / g).alias("c")
+    )
+    dist = (
+        dv.join(cent, "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 8
+            ).alias("d2")
+        )
+    )
+    assign = dist.groupBy("vec_id", "label").agg(
+        # composite scalar key: d2 is snapped to 1e-8 granularity, the
+        # clabel*1e-10 term only breaks exact-d2 ties (label asc)
+        F.min_by("clabel", F.col("d2") + F.col("clabel") * 1e-10).alias("pred")
+    )
+    return (
+        assign.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("pred") == F.col("label")).cast("int")).alias("n_correct"),
+            F.round(
+                F.sum((F.col("pred") == F.col("label")).cast("int")) * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

@@ -2374,3 +2374,101 @@ def stats_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_days"),
         F.round((ssr_r - ssr_u) / (ssr_u / (F.col("n") - 3)), R).alias("granger_f"),
     ).orderBy("y_type", "x_type")
+
+
+def _perm_test_oracle(reps: int = 64) -> str:
+    from testlog_etl_spark.oracles import xxh64_sql
+
+    h = xxh64_sql("user_id::VARCHAR || ':p' || b::VARCHAR")
+    return f"""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm, AVG("value") AS m
+  FROM events GROUP BY user_id, arm
+),
+obs AS (
+  SELECT AVG(CASE WHEN arm = 1 THEN m END)
+         - AVG(CASE WHEN arm = 0 THEN m END) AS d
+  FROM u
+),
+p AS (
+  SELECT t.b AS b,
+         CASE WHEN (({h}) % 2 + 2) % 2 = 1 THEN 1 ELSE 0 END AS parm,
+         u.m
+  FROM u CROSS JOIN range({reps}) t(b)
+),
+rep AS (
+  SELECT b,
+         AVG(CASE WHEN parm = 1 THEN m END)
+         - AVG(CASE WHEN parm = 0 THEN m END) AS d
+  FROM p GROUP BY b
+)
+SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_units,
+       ROUND(obs.d, 6) AS observed_diff,
+       CAST({reps} AS INT) AS n_permutations,
+       CAST((SELECT SUM(CASE WHEN abs(rep.d) >= abs(obs.d) THEN 1 ELSE 0 END) FROM rep) AS BIGINT) AS n_as_extreme,
+       ROUND((SELECT SUM(CASE WHEN abs(rep.d) >= abs(obs.d) THEN 1 ELSE 0 END) FROM rep) * 1.0 / {reps}, 4) AS p_value
+FROM obs
+""",
+
+
+@register(
+    "stats_permutation_test",
+    doc="deterministic permutation test on the per-user mean value "
+    "(odd/even arms): 64 hash-seeded label reshuffles (xxh64(user, "
+    "replicate) parity -- replayable, the Poisson-bootstrap trick "
+    "applied to permutation inference), two-sided p = share of "
+    "permuted |mean diffs| at least as extreme as observed. The "
+    "assumption-free companion to welch/CUPED: ONE unit rollup, one "
+    "64x label explode that collapses map-side (the bootstrap's "
+    "shuffle shape).",
+    oracle=_perm_test_oracle()[0],
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reps = 64
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.avg("value").alias("m")
+    )
+    obs = u.agg(
+        (
+            F.avg(F.when(F.col("arm") == 1, F.col("m")))
+            - F.avg(F.when(F.col("arm") == 0, F.col("m")))
+        ).alias("d")
+    )
+    b = spark.range(reps).select(F.col("id").cast("int").alias("b"))
+    p = u.crossJoin(F.broadcast(b)).select(
+        "m",
+        "b",
+        F.pmod(
+            F.xxhash64(
+                F.concat(F.col("user_id").cast("string"), F.lit(":p"), F.col("b").cast("string"))
+            ),
+            F.lit(2),
+        ).alias("parm"),
+    )
+    rep = p.groupBy("b").agg(
+        (
+            F.avg(F.when(F.col("parm") == 1, F.col("m")))
+            - F.avg(F.when(F.col("parm") == 0, F.col("m")))
+        ).alias("d")
+    )
+    n_units = u.agg(F.count(F.lit(1)).alias("n"))
+    extreme = (
+        rep.crossJoin(F.broadcast(obs.select(F.col("d").alias("od"))))
+        .agg(
+            F.sum(
+                (F.abs(F.col("d")) >= F.abs(F.col("od"))).cast("int")
+            ).alias("ne")
+        )
+    )
+    return (
+        obs.crossJoin(F.broadcast(n_units))
+        .crossJoin(F.broadcast(extreme))
+        .select(
+            F.col("n").cast("long").alias("n_units"),
+            F.round("d", 6).alias("observed_diff"),
+            F.lit(reps).cast("int").alias("n_permutations"),
+            F.col("ne").cast("long").alias("n_as_extreme"),
+            F.round(F.col("ne") * 1.0 / reps, 4).alias("p_value"),
+        )
+    )

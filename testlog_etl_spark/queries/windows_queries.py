@@ -2342,3 +2342,88 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("locf")
         .alias("winner"),
     ).orderBy("event_type")
+
+
+def _haar_oracle(levels: int = 4) -> str:
+    blocks = [
+        """d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM("value"), 6) AS v
+  FROM events GROUP BY event_type, day
+),
+s0 AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM d QUALIFY i <= 16
+)"""
+    ]
+    for k in range(1, levels + 1):
+        blocks.append(
+            f"""s{k} AS (
+  SELECT event_type, (i - 1) // 2 + 1 AS i,
+         (MAX(CASE WHEN i % 2 = 1 THEN v END)
+          + MAX(CASE WHEN i % 2 = 0 THEN v END)) / 2 AS v,
+         (MAX(CASE WHEN i % 2 = 1 THEN v END)
+          - MAX(CASE WHEN i % 2 = 0 THEN v END)) / 2 AS dd
+  FROM s{k - 1} GROUP BY event_type, (i - 1) // 2 + 1
+)"""
+        )
+    energies = ",\n       ".join(
+        f"ROUND((SELECT SUM(dd * dd) FROM s{k} x WHERE x.event_type = t.event_type), 2) AS energy_l{k}"
+        for k in range(1, levels + 1)
+    )
+    return f"""
+WITH {','.join(blocks)}
+SELECT event_type,
+       {energies}
+FROM (SELECT DISTINCT event_type FROM s0) t
+ORDER BY event_type
+"""
+
+
+@register(
+    "ts_wavelet_haar_energy",
+    doc="Haar wavelet energy spectrum per event_type over the first 16 "
+    "days of daily value sums: 4 halving levels (smooth = pair mean, "
+    "detail = pair half-difference), energy_k = sum of squared "
+    "details -- which TIME SCALE carries the variance (daily noise "
+    "vs weekly structure), the multiresolution complement to the "
+    "periodogram. Every op is a dyadic mean/difference of round-6 "
+    "inputs, so both engines are bit-identical with no grid tricks; "
+    "each level is one bounded pair rollup.",
+    oracle=_haar_oracle(),
+)
+def ts_wavelet_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    s = d.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    ).filter(F.col("i") <= 16)
+    energies = []
+    for k in range(1, 5):
+        odd = F.max(F.when(F.col("i") % 2 == 1, F.col("v")))
+        even = F.max(F.when(F.col("i") % 2 == 0, F.col("v")))
+        nxt = s.groupBy(
+            "event_type", (F.expr("(i - 1) div 2") + 1).alias("i2")
+        ).agg(
+            ((odd + even) / 2).alias("v"),
+            ((odd - even) / 2).alias("dd"),
+        )
+        energies.append(
+            nxt.groupBy("event_type").agg(
+                F.round(F.sum(F.col("dd") * F.col("dd")), 2).alias(f"energy_l{k}")
+            )
+        )
+        s = nxt.select("event_type", F.col("i2").alias("i"), "v")
+    out = energies[0]
+    for e in energies[1:]:
+        out = out.join(e, "event_type")
+    return out.orderBy("event_type")

@@ -149,7 +149,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_chow_break_test, agg_weighted_percentile,
     #    events_mde_power, stats_granger_lite, ts_forecast_backtest,
     #    dq_categorical_drift_new_values, dedup_lsh_parameter_advisor,
-    #    graph_hits_hubs_authorities.
+    #    graph_hits_hubs_authorities, ts_wavelet_haar_energy,
+    #    stats_permutation_test, eval_rocchio_classifier.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -2272,3 +2272,89 @@ def test_hits_matches_bruteforce(spark, duck):
     for n in nodes:
         assert got[n]["hub"] == pytest.approx(h[n], abs=1e-6)
         assert got[n]["authority"] == pytest.approx(a[n], abs=1e-6)
+
+
+def test_haar_energy_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "ROUND(SUM(\"value\"), 6) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, v in rows:
+        series.setdefault(et, []).append(v)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_wavelet_haar_energy"].fn(spark, SF_SMALL).collect()
+    }
+    for et, xs in series.items():
+        s = xs[:16]
+        for k in range(1, 5):
+            det = [(s[2 * i] - s[2 * i + 1]) / 2 for i in range(len(s) // 2)]
+            s = [(s[2 * i] + s[2 * i + 1]) / 2 for i in range(len(s) // 2)]
+            e = sum(d * d for d in det)
+            assert got[et][f"energy_l{k}"] == pytest.approx(e, abs=0.02)
+    # Parseval-flavored sanity: total detail energy <= total variance mass
+    for et, xs in series.items():
+        s16 = xs[:16]
+        mu = sum(s16) / 16
+        tot_var = sum((x - mu) ** 2 for x in s16)
+        e_sum = sum(got[et][f"energy_l{k}"] * (2 ** (k - 1)) for k in range(1, 5))
+        assert e_sum <= tot_var * 1.001 + 1e-6
+
+
+def test_permutation_test_matches_bruteforce(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    r = REGISTRY["stats_permutation_test"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_permutations"] == 64
+    assert 0 <= r["n_as_extreme"] <= 64
+    assert r["p_value"] == pytest.approx(r["n_as_extreme"] / 64, abs=6e-5)
+    # two runs identical (hash-seeded determinism)
+    r2 = REGISTRY["stats_permutation_test"].fn(spark, SF_SMALL).collect()[0]
+    assert tuple(r) == tuple(r2)
+
+
+def test_rocchio_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT vec_id, label, embedding FROM embeddings"
+    ).fetchall()
+    g = float(1 << 20)
+    by_label = {}
+    for _, lbl, vec in rows:
+        by_label.setdefault(lbl, []).append([float(x) for x in vec])
+    cents = {
+        lbl: [
+            math.floor((sum(v[d] for v in vs) / len(vs)) * g + 0.5) / g
+            for d in range(64)
+        ]
+        for lbl, vs in by_label.items()
+    }
+    correct = {}
+    total = {}
+    for _, lbl, vec in rows:
+        v = [float(x) for x in vec]
+        best = min(
+            (round(sum((a - c) ** 2 for a, c in zip(v, cv)), 8) + cl * 1e-10, cl)
+            for cl, cv in cents.items()
+        )[1]
+        total[lbl] = total.get(lbl, 0) + 1
+        correct[lbl] = correct.get(lbl, 0) + (best == lbl)
+    got = {
+        r["label"]: r
+        for r in REGISTRY["eval_rocchio_classifier"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(total)
+    for lbl in total:
+        r = got[lbl]
+        assert r["n_vectors"] == total[lbl]
+        assert r["n_correct"] == correct[lbl]
+        assert r["accuracy"] == pytest.approx(correct[lbl] / total[lbl], abs=1e-4)
