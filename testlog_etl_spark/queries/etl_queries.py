@@ -4048,3 +4048,58 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
         .orderBy("node")
     )
+
+
+@register(
+    "events_type_coengagement",
+    doc="co-engagement matrix over event types: for every unordered "
+    "type pair, users doing BOTH, Jaccard of the user sets, and the "
+    "conditional reach P(also B | did A-or-B pairwise symmetrized) -- "
+    "which behaviors share an audience (the cross-feature adoption "
+    "readout). One distinct (user, type) rollup, pair counts via a "
+    "type-keyed self-join on user, set algebra from per-type totals.",
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY event_type),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_both
+  FROM ut a JOIN ut b ON b.user_id = a.user_id AND b.event_type > a.event_type
+  GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       ROUND(p.n_both * 1.0 / (ta.n + tb.n - p.n_both), 4) AS user_jaccard
+FROM pair p
+JOIN tot ta ON ta.event_type = p.type_a
+JOIN tot tb ON tb.event_type = p.type_b
+ORDER BY type_a, type_b
+""",
+)
+def events_type_coengagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ut = ev.select("user_id", "event_type").distinct()
+    tot = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("type_b") > F.col("type_a"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tot.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pair.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_both")),
+                4,
+            ).alias("user_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -2427,3 +2427,94 @@ def ts_wavelet_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in energies[1:]:
         out = out.join(e, "event_type")
     return out.orderBy("event_type")
+
+
+@register(
+    "ts_seasonality_strength",
+    doc="seasonal/trend strength indexes (Hyndman's STL-based F_s = "
+    "max(0, 1 - Var(resid)/Var(seasonal + resid)) and F_t analog) for "
+    "the daily revenue series -- one-number answers to 'is the weekly "
+    "cycle real?' computed from the SAME decomposition lineage as "
+    "ts_stl_decompose (centered 7-day MA trend, zero-centered dow "
+    "seasonal). Two variance aggregates over the decomposed columns.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY day
+),
+t AS (
+  SELECT day, rev,
+         AVG(rev) OVER w AS trend,
+         COUNT(*) OVER w AS fw
+  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full_t AS (SELECT day, rev, trend, rev - trend AS det FROM t WHERE fw = 7),
+s_raw AS (
+  SELECT CAST(isodow(day) AS INT) AS dow, AVG(det) AS s0
+  FROM full_t GROUP BY dow
+),
+s AS (SELECT dow, s0 - (SELECT AVG(s0) FROM s_raw) AS seasonal FROM s_raw),
+x AS (
+  SELECT f.rev, f.trend, s.seasonal, f.det - s.seasonal AS resid
+  FROM full_t f JOIN s ON s.dow = CAST(isodow(f.day) AS INT)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(GREATEST(0.0, 1.0 - var_pop(resid) / var_pop(seasonal + resid)), 4) AS seasonal_strength,
+       ROUND(GREATEST(0.0, 1.0 - var_pop(resid) / var_pop(trend + resid)), 4) AS trend_strength
+FROM x
+""",
+)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    # calendar-bounded day grid -- the stl_decompose whitelist rationale
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day",
+        "rev",
+        F.avg("rev").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("fw"),
+    )
+    full_t = t.filter(F.col("fw") == 7).select(
+        "day", "rev", "trend", (F.col("rev") - F.col("trend")).alias("det")
+    )
+    s_raw = full_t.groupBy(
+        F.expr("extract(DAYOFWEEK_ISO FROM day)").cast("int").alias("dow")
+    ).agg(F.avg("det").alias("s0"))
+    smean = s_raw.agg(F.avg("s0").alias("sm"))
+    s = s_raw.crossJoin(F.broadcast(smean)).select(
+        "dow", (F.col("s0") - F.col("sm")).alias("seasonal")
+    )
+    x = (
+        full_t.withColumn(
+            "dow", F.expr("extract(DAYOFWEEK_ISO FROM day)").cast("int")
+        )
+        .join(F.broadcast(s), "dow")
+        .select(
+            "trend",
+            "seasonal",
+            (F.col("det") - F.col("seasonal")).alias("resid"),
+        )
+    )
+    return x.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.var_pop("resid") / F.var_pop(F.col("seasonal") + F.col("resid")),
+            ),
+            4,
+        ).alias("seasonal_strength"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.var_pop("resid") / F.var_pop(F.col("trend") + F.col("resid")),
+            ),
+            4,
+        ).alias("trend_strength"),
+    )

@@ -150,7 +150,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    events_mde_power, stats_granger_lite, ts_forecast_backtest,
     #    dq_categorical_drift_new_values, dedup_lsh_parameter_advisor,
     #    graph_hits_hubs_authorities, ts_wavelet_haar_energy,
-    #    stats_permutation_test, eval_rocchio_classifier.
+    #    stats_permutation_test, eval_rocchio_classifier,
+    #    ts_seasonality_strength, events_type_coengagement.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -2358,3 +2358,53 @@ def test_rocchio_matches_bruteforce(spark, duck):
         assert r["n_vectors"] == total[lbl]
         assert r["n_correct"] == correct[lbl]
         assert r["accuracy"] == pytest.approx(correct[lbl] / total[lbl], abs=1e-4)
+
+
+def test_seasonality_strength_consistent_with_stl(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    stl = REGISTRY["ts_stl_decompose"].fn(spark, SF_SMALL).collect()
+    seas = [r["seasonal"] for r in stl]
+    res = [r["residual"] for r in stl]
+    trend = [r["trend"] for r in stl]
+
+    def var(v):
+        m = sum(v) / len(v)
+        return sum((x - m) ** 2 for x in v) / len(v)
+
+    fs = max(0.0, 1 - var(res) / var([s + r for s, r in zip(seas, res)]))
+    ft = max(0.0, 1 - var(res) / var([t + r for t, r in zip(trend, res)]))
+    got = REGISTRY["ts_seasonality_strength"].fn(spark, SF_SMALL).collect()[0]
+    assert got["n_days"] == len(stl)
+    # stl output is presentation-rounded; small propagated wobble
+    assert got["seasonal_strength"] == pytest.approx(fs, abs=1e-3)
+    assert got["trend_strength"] == pytest.approx(ft, abs=1e-3)
+    assert 0.0 <= got["seasonal_strength"] <= 1.0
+
+
+def test_coengagement_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute("SELECT DISTINCT user_id, event_type FROM events").fetchall()
+    sets = {}
+    for uid, et in rows:
+        sets.setdefault(et, set()).add(uid)
+    types = sorted(sets)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in REGISTRY["events_type_coengagement"].fn(spark, SF_SMALL).collect()
+    }
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            both = len(sets[a] & sets[b])
+            if both == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert r["n_both"] == both
+            assert r["user_jaccard"] == pytest.approx(
+                both / len(sets[a] | sets[b]), abs=1e-4
+            )

@@ -84,6 +84,10 @@ WHITELIST: dict[str, str] = {
         "day-index row_number runs over the per-DAY revenue rollup -- "
         "calendar-bounded frame (the runs-test rationale)"
     ),
+    "ts_seasonality_strength": (
+        "same centered 7-day MA over the per-DAY revenue rollup as "
+        "ts_stl_decompose -- calendar-bounded day grid"
+    ),
     "ts_stl_decompose": (
         "centered 7-day moving average runs over the per-DAY revenue "
         "rollup -- frame bounded by the calendar span (one row per "
