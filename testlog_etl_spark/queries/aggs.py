@@ -2291,3 +2291,175 @@ def events_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 4).alias("mde_abs"),
         F.round(mde / F.col("mc"), 6).alias("mde_rel"),
     ).orderBy("event_type")
+
+
+def _median_polish_oracle(sweeps: int = 2) -> str:
+    blocks = [
+        """m0 AS (
+  SELECT CAST(isodow(CAST(date_trunc('day', ts) AS DATE)) AS INT) AS dow,
+         CAST(date_trunc('week', ts) AS DATE) AS week,
+         ROUND(SUM("value"), 6) AS v
+  FROM events
+  GROUP BY dow, week
+),
+re0 AS (SELECT dow, 0.0::DOUBLE AS e FROM (SELECT DISTINCT dow FROM m0)),
+ce0 AS (SELECT week, 0.0::DOUBLE AS e FROM (SELECT DISTINCT week FROM m0))"""
+    ]
+    prev = "m0"
+    for s in range(1, sweeps + 1):
+        blocks.append(
+            f"""rm{s} AS MATERIALIZED (SELECT dow, quantile_cont(v, 0.5) AS md FROM {prev} GROUP BY dow),
+mr{s} AS MATERIALIZED (
+  SELECT m.dow, m.week, m.v - rm{s}.md AS v
+  FROM {prev} m JOIN rm{s} ON rm{s}.dow = m.dow
+),
+re{s} AS (SELECT re{s - 1}.dow, re{s - 1}.e + rm{s}.md AS e FROM re{s - 1} JOIN rm{s} ON rm{s}.dow = re{s - 1}.dow),
+cm{s} AS MATERIALIZED (SELECT week, quantile_cont(v, 0.5) AS md FROM mr{s} GROUP BY week),
+m{s} AS MATERIALIZED (
+  SELECT m.dow, m.week, m.v - cm{s}.md AS v
+  FROM mr{s} m JOIN cm{s} ON cm{s}.week = m.week
+),
+ce{s} AS (SELECT ce{s - 1}.week, ce{s - 1}.e + cm{s}.md AS e FROM ce{s - 1} JOIN cm{s} ON cm{s}.week = ce{s - 1}.week)"""
+        )
+        prev = f"m{s}"
+    return f"""
+WITH {','.join(blocks)}
+SELECT component, key, effect FROM (
+  SELECT 'dow' AS component, dow::VARCHAR AS key, ROUND(e, 4) AS effect FROM re{sweeps}
+  UNION ALL
+  SELECT 'week', week::VARCHAR, ROUND(e, 4) FROM ce{sweeps}
+  UNION ALL
+  SELECT 'residual_abs_sum', 'all', ROUND(SUM(abs(v)), 4) FROM m{sweeps}
+) ORDER BY component, key
+"""
+
+
+@register(
+    "agg_tukey_median_polish",
+    oracle=_median_polish_oracle(),
+    doc="Tukey median polish of the (dow x week) daily-value matrix: "
+    "two row/column sweeps alternately subtracting row then column "
+    "medians, accumulating dow and week effects -- the OUTLIER-PROOF "
+    "two-way decomposition beside the mean-based STL (a single crazy "
+    "day moves a mean effect but not a median one). Sequential sweeps "
+    "chain as plan lineage (chained MATERIALIZED CTEs on the oracle "
+    "side); medians are the certified percentile pairing; residual "
+    "mass reported as the fit diagnostic.",
+)
+def agg_tukey_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    m = ev.groupBy(
+        F.expr("extract(DAYOFWEEK_ISO FROM CAST(date_trunc('day', ts) AS DATE))")
+        .cast("int")
+        .alias("dow"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    re = m.select("dow").distinct().select("dow", F.lit(0.0).alias("e"))
+    ce = m.select("week").distinct().select("week", F.lit(0.0).alias("e"))
+    for _ in range(2):
+        rm = m.groupBy("dow").agg(F.expr("percentile(v, 0.5)").alias("md"))
+        m = m.join(F.broadcast(rm), "dow").select(
+            "dow", "week", (F.col("v") - F.col("md")).alias("v")
+        )
+        re = re.join(F.broadcast(rm), "dow").select(
+            "dow", (F.col("e") + F.col("md")).alias("e")
+        )
+        cm = m.groupBy("week").agg(F.expr("percentile(v, 0.5)").alias("md"))
+        m = m.join(F.broadcast(cm), "week").select(
+            "dow", "week", (F.col("v") - F.col("md")).alias("v")
+        )
+        ce = ce.join(F.broadcast(cm), "week").select(
+            "week", (F.col("e") + F.col("md")).alias("e")
+        )
+    rows = (
+        re.select(
+            F.lit("dow").alias("component"),
+            F.col("dow").cast("string").alias("key"),
+            F.round("e", 4).alias("effect"),
+        )
+        .unionByName(
+            ce.select(
+                F.lit("week").alias("component"),
+                F.col("week").cast("string").alias("key"),
+                F.round("e", 4).alias("effect"),
+            )
+        )
+        .unionByName(
+            m.agg(F.round(F.sum(F.abs("v")), 4).alias("effect")).select(
+                F.lit("residual_abs_sum").alias("component"),
+                F.lit("all").alias("key"),
+                "effect",
+            )
+        )
+    )
+    return rows.orderBy("component", "key")
+
+
+@register(
+    "events_hazard_rate",
+    doc="discrete-time hazard of churn: h(t) = share of users whose "
+    "activity span ENDS at exactly t days among those surviving to "
+    "t (the derivative view of agg_survival_curve, same integral "
+    "span-day rollup): per-span-day histogram -> suffix survivors via "
+    "a bounded 31-row cumulative -> hazard + cumulative-hazard "
+    "(Nelson-Aalen sum). The when-do-they-leave readout.",
+    oracle="""
+WITH spans AS (
+  SELECT user_id,
+         CAST(floor(epoch(max(ts)) / 86400) - floor(epoch(min(ts)) / 86400) AS BIGINT) AS span_days
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT span_days AS t, count(*)::DOUBLE AS ended
+  FROM spans GROUP BY span_days
+),
+grid AS (SELECT unnest(range(0, 31)) AS t),
+g AS (
+  SELECT grid.t, COALESCE(h.ended, 0) AS ended
+  FROM grid LEFT JOIN h ON h.t = grid.t
+),
+c AS (
+  SELECT t, ended,
+         SUM(ended) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS at_risk
+  FROM g
+)
+SELECT CAST(t AS INT) AS t_days,
+       CAST(ended AS BIGINT) AS n_ended,
+       CAST(at_risk AS BIGINT) AS n_at_risk,
+       ROUND(CASE WHEN at_risk > 0 THEN ended / at_risk ELSE 0 END, 6) AS hazard,
+       ROUND(SUM(CASE WHEN at_risk > 0 THEN ended / at_risk ELSE 0 END)
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS cum_hazard
+FROM c ORDER BY t_days
+""",
+)
+def events_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    spans = ev.groupBy("user_id").agg(
+        (
+            F.floor(F.unix_timestamp(F.max("ts")) / 86400)
+            - F.floor(F.unix_timestamp(F.min("ts")) / 86400)
+        )
+        .cast("long")
+        .alias("span_days")
+    )
+    h = spans.groupBy(F.col("span_days").alias("t")).agg(
+        F.count(F.lit(1)).cast("double").alias("ended")
+    )
+    grid = spark.range(0, 31).select(F.col("id").alias("t"))
+    g = grid.join(h, "t", "left").select(
+        "t", F.coalesce("ended", F.lit(0.0)).alias("ended")
+    )
+    # 31-row fixed grid -- bounded frames (the survival_curve rationale)
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    wasc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.withColumn("at_risk", F.sum("ended").over(wdesc))
+    hz = F.when(F.col("at_risk") > 0, F.col("ended") / F.col("at_risk")).otherwise(0.0)
+    return c.select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("ended").cast("long").alias("n_ended"),
+        F.col("at_risk").cast("long").alias("n_at_risk"),
+        F.round(hz, 6).alias("hazard"),
+        F.round(F.sum(hz).over(wasc), 6).alias("cum_hazard"),
+    ).orderBy("t_days")

@@ -151,7 +151,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    dq_categorical_drift_new_values, dedup_lsh_parameter_advisor,
     #    graph_hits_hubs_authorities, ts_wavelet_haar_energy,
     #    stats_permutation_test, eval_rocchio_classifier,
-    #    ts_seasonality_strength, events_type_coengagement.
+    #    ts_seasonality_strength, events_type_coengagement,
+    #    agg_tukey_median_polish, events_hazard_rate.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

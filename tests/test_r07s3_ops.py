@@ -2408,3 +2408,75 @@ def test_coengagement_matches_bruteforce(spark, duck):
             assert r["user_jaccard"] == pytest.approx(
                 both / len(sets[a] | sets[b]), abs=1e-4
             )
+
+
+def test_median_polish_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT CAST(isodow(CAST(date_trunc('day', ts) AS DATE)) AS INT), "
+        "CAST(date_trunc('week', ts) AS DATE), ROUND(SUM(\"value\"), 6) "
+        "FROM events GROUP BY 1, 2"
+    ).fetchall()
+    cells = {(d, w): v for d, w, v in rows}
+    dows = sorted({d for d, _ in cells})
+    weeks = sorted({w for _, w in cells})
+    re = {d: 0.0 for d in dows}
+    ce = {w: 0.0 for w in weeks}
+    m = dict(cells)
+    for _ in range(2):
+        for d in dows:
+            md = _median([m[(d, w)] for w in weeks if (d, w) in m])
+            re[d] += md
+            for w in weeks:
+                if (d, w) in m:
+                    m[(d, w)] -= md
+        for w in weeks:
+            md = _median([m[(d, w)] for d in dows if (d, w) in m])
+            ce[w] += md
+            for d in dows:
+                if (d, w) in m:
+                    m[(d, w)] -= md
+    got = {
+        (r["component"], r["key"]): r["effect"]
+        for r in REGISTRY["agg_tukey_median_polish"].fn(spark, SF_SMALL).collect()
+    }
+    for d in dows:
+        assert got[("dow", str(d))] == pytest.approx(re[d], abs=1e-3)
+    for w in weeks:
+        assert got[("week", w.isoformat())] == pytest.approx(ce[w], abs=1e-3)
+    assert got[("residual_abs_sum", "all")] == pytest.approx(
+        sum(abs(v) for v in m.values()), abs=0.02
+    )
+
+
+def test_hazard_consistent_with_survival(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    spans = [
+        r[0]
+        for r in duck.execute(
+            "SELECT CAST(floor(epoch(max(ts)) / 86400) - floor(epoch(min(ts)) / 86400) AS BIGINT) "
+            "FROM events GROUP BY user_id"
+        ).fetchall()
+    ]
+    got = {
+        r["t_days"]: r
+        for r in REGISTRY["events_hazard_rate"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(range(31))
+    cum = 0.0
+    for t in range(31):
+        ended = sum(1 for s in spans if s == t)
+        at_risk = sum(1 for s in spans if s >= t)
+        r = got[t]
+        assert r["n_ended"] == ended
+        assert r["n_at_risk"] == at_risk
+        hz = ended / at_risk if at_risk else 0.0
+        cum += hz
+        assert r["hazard"] == pytest.approx(hz, abs=1e-4)
+        assert r["cum_hazard"] == pytest.approx(cum, abs=1e-3)

@@ -76,6 +76,10 @@ WHITELIST: dict[str, str] = {
         "share/rank windows run over each column's MASK rollup -- the "
         "domain is format shapes (a handful per column), not rows"
     ),
+    "events_hazard_rate": (
+        "suffix/cumulative windows run over the fixed 31-row span-day "
+        "grid (the survival_curve rationale)"
+    ),
     "agg_lorenz_deciles": (
         "cumulative-share window runs over the 10-row DECILE rollup; "
         "the data-scaling rank runs on the hierarchical scan"
