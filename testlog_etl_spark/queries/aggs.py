@@ -2463,3 +2463,58 @@ def events_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hz, 6).alias("hazard"),
         F.round(F.sum(hz).over(wasc), 6).alias("cum_hazard"),
     ).orderBy("t_days")
+
+
+@register(
+    "orders_repeat_purchase",
+    doc="repeat-purchase profile per market segment: share of "
+    "customers with 2+ orders, mean orders per repeat customer, and "
+    "the revenue share repeat customers carry -- the retention-"
+    "economics one-liner (is the business repeat-driven?). One "
+    "per-customer rollup + one segment rollup.",
+    oracle="""
+WITH cx AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey AS cust,
+         count(*)::BIGINT AS n_orders, SUM(o.o_totalprice) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY seg, cust
+)
+SELECT seg AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       ROUND(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS repeat_share,
+       ROUND(SUM(CASE WHEN n_orders >= 2 THEN n_orders ELSE 0 END) * 1.0
+             / NULLIF(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END), 0), 4) AS orders_per_repeat,
+       ROUND(SUM(CASE WHEN n_orders >= 2 THEN rev ELSE 0 END) / SUM(rev), 4) AS repeat_revenue_share
+FROM cx GROUP BY seg ORDER BY segment
+""",
+)
+def orders_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    cx = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("cust"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("rev"))
+    )
+    rep = (F.col("n_orders") >= 2).cast("int")
+    return (
+        cx.groupBy(F.col("seg").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(rep).alias("n_repeat"),
+            F.round(F.sum(rep) * 1.0 / F.count(F.lit(1)), 4).alias("repeat_share"),
+            F.round(
+                F.sum(F.when(F.col("n_orders") >= 2, F.col("n_orders")).otherwise(0))
+                * 1.0
+                / F.nullif(F.sum(rep), F.lit(0)),
+                4,
+            ).alias("orders_per_repeat"),
+            F.round(
+                F.sum(F.when(F.col("n_orders") >= 2, F.col("rev")).otherwise(0.0))
+                / F.sum("rev"),
+                4,
+            ).alias("repeat_revenue_share"),
+        )
+        .orderBy("segment")
+    )

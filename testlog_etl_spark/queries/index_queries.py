@@ -469,3 +469,57 @@ def index_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "index_proximity_search",
+    doc="proximity retrieval: docs where 'hash' and 'merge' occur "
+    "within 3 whitespace tokens of each other IN EITHER ORDER -- the "
+    "NEAR operator beside exact-phrase (aligned anchors) and boolean "
+    "(term flags): each term's positions reduce to per-doc posting "
+    "rows, the pair join keys on doc and filters |pa - pb| <= 3, "
+    "match COUNT = qualifying position pairs. Join inputs are "
+    "term-selectivity-sized.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(w) AS term, unnest(range(0, len(w))) AS p FROM tok
+),
+a AS (SELECT doc_id, p FROM pos WHERE term = 'hash'),
+b AS (SELECT doc_id, p FROM pos WHERE term = 'merge')
+SELECT a.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(abs(a.p - b.p)) AS BIGINT) AS min_distance
+FROM a JOIN b ON b.doc_id = a.doc_id AND abs(a.p - b.p) <= 3
+GROUP BY a.doc_id
+ORDER BY doc_id
+""",
+)
+def index_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.trim("text"), " "), lambda x: x != "")
+        ).alias("p", "term"),
+    )
+    a = pos.filter(F.col("term") == "hash").select("doc_id", F.col("p").alias("pa"))
+    b = pos.filter(F.col("term") == "merge").select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= 3),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_distance"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2472,3 +2472,92 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ne") * 1.0 / reps, 4).alias("p_value"),
         )
     )
+
+
+@register(
+    "stats_fisher_combined",
+    doc="Fisher's combined-probability meta-analysis over the per-"
+    "event_type Welch z family (the stats_benjamini_hochberg "
+    "p-values, same erfc idiom): X = -2 sum ln(p) ~ chi2(2k) -- one "
+    "global 'is anything moving' number complementing BH's per-test "
+    "decisions; its own p via the dof-2k chi-square survival "
+    "restated through the normal approximation "
+    "(Wilson-Hilferty cube-root), identical expression both engines.",
+    oracle=f"""
+WITH arms AS (
+  SELECT event_type, user_id % 2 AS arm,
+         COUNT(*)::DOUBLE AS n, AVG("value") AS m, var_samp("value") AS v
+  FROM events GROUP BY event_type, arm
+),
+z AS (
+  SELECT a1.event_type,
+         (a1.m - a0.m) / sqrt(a1.v / a1.n + a0.v / a0.n) AS z
+  FROM arms a1 JOIN arms a0
+    ON a0.event_type = a1.event_type AND a1.arm = 1 AND a0.arm = 0
+),
+p AS (
+  SELECT event_type,
+         ROUND({_AS_ERFC.format(t="(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))", x="abs(z) / sqrt(2.0)")}, 6) AS pv
+  FROM z
+),
+x AS (
+  SELECT COUNT(*)::DOUBLE AS k, -2.0 * SUM(ln(pv)) AS fisher_x FROM p
+),
+wh AS (
+  SELECT k, fisher_x,
+         (pow(fisher_x / (2 * k), 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * 2 * k)))
+           / sqrt(2.0 / (9.0 * 2 * k)) AS z_wh
+  FROM x
+)
+SELECT CAST(k AS BIGINT) AS k_tests,
+       ROUND(fisher_x, 4) AS fisher_x,
+       CAST(2 * k AS BIGINT) AS dof,
+       ROUND(z_wh, 4) AS z_wilson_hilferty,
+       ROUND({_AS_ERFC.format(t="(1.0 / (1.0 + 0.3275911 * (greatest(z_wh, 0.0) / sqrt(2.0))))", x="greatest(z_wh, 0.0) / sqrt(2.0)")} / 2.0, 6) AS p_combined
+FROM wh
+""",
+)
+def stats_fisher_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    arms = ev.groupBy("event_type", (F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        "event_type", F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        "event_type", F.col("n").alias("n0"), F.col("m").alias("m0"), F.col("v").alias("v0")
+    )
+    z = a1.join(a0, "event_type").select(
+        "event_type",
+        (
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0"))
+        ).alias("z"),
+    )
+    erfc_p = _AS_ERFC.format(
+        t="(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))", x="abs(z) / sqrt(2.0)"
+    )
+    p = z.select("event_type", F.round(F.expr(erfc_p), 6).alias("pv"))
+    x = p.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        (-2.0 * F.sum(F.log("pv"))).alias("fisher_x"),
+    )
+    dof2 = 2 * F.col("k")
+    z_wh = (
+        F.pow(F.col("fisher_x") / dof2, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dof2))
+    ) / F.sqrt(2.0 / (9.0 * dof2))
+    wh = x.select("k", "fisher_x", z_wh.alias("z_wh"))
+    erfc_c = _AS_ERFC.format(
+        t="(1.0 / (1.0 + 0.3275911 * (greatest(z_wh, 0.0) / sqrt(2.0))))",
+        x="greatest(z_wh, 0.0) / sqrt(2.0)",
+    )
+    return wh.select(
+        F.col("k").cast("long").alias("k_tests"),
+        F.round("fisher_x", 4).alias("fisher_x"),
+        (2 * F.col("k")).cast("long").alias("dof"),
+        F.round("z_wh", 4).alias("z_wilson_hilferty"),
+        F.round(F.expr(erfc_c) / 2.0, 6).alias("p_combined"),
+    )

@@ -152,7 +152,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    graph_hits_hubs_authorities, ts_wavelet_haar_energy,
     #    stats_permutation_test, eval_rocchio_classifier,
     #    ts_seasonality_strength, events_type_coengagement,
-    #    agg_tukey_median_polish, events_hazard_rate.
+    #    agg_tukey_median_polish, events_hazard_rate,
+    #    stats_fisher_combined, index_proximity_search,
+    #    orders_repeat_purchase.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

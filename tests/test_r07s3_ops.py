@@ -2480,3 +2480,73 @@ def test_hazard_consistent_with_survival(spark, duck):
         cum += hz
         assert r["hazard"] == pytest.approx(hz, abs=1e-4)
         assert r["cum_hazard"] == pytest.approx(cum, abs=1e-3)
+
+
+def test_fisher_combined_consistent_with_bh(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    bh = REGISTRY["stats_benjamini_hochberg"].fn(spark, SF_SMALL).collect()
+    ps = [r["p_value"] for r in bh]
+    x = -2 * sum(math.log(p) for p in ps)
+    r = REGISTRY["stats_fisher_combined"].fn(spark, SF_SMALL).collect()[0]
+    assert r["k_tests"] == len(ps) and r["dof"] == 2 * len(ps)
+    assert r["fisher_x"] == pytest.approx(x, abs=1e-3)
+    k2 = 2.0 * len(ps)
+    z = ((x / k2) ** (1 / 3) - (1 - 2 / (9 * k2))) / math.sqrt(2 / (9 * k2))
+    assert r["z_wilson_hilferty"] == pytest.approx(z, abs=1e-3)
+    assert r["p_combined"] == pytest.approx(
+        math.erfc(max(z, 0.0) / math.sqrt(2)) / 2, abs=2e-4
+    )
+
+
+def test_proximity_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    want = {}
+    for doc_id, text in rows:
+        toks = [t for t in (text or "").strip().split(" ") if t]
+        pa = [i for i, t in enumerate(toks) if t == "hash"]
+        pb = [i for i, t in enumerate(toks) if t == "merge"]
+        pairs = [(x, y) for x in pa for y in pb if abs(x - y) <= 3]
+        if pairs:
+            want[doc_id] = (len(pairs), min(abs(x - y) for x, y in pairs))
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_distance"])
+        for r in REGISTRY["index_proximity_search"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_repeat_purchase_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT c.c_mktsegment, o.o_custkey, count(*), SUM(o.o_totalprice) "
+        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY 1, 2"
+    ).fetchall()
+    per = {}
+    for seg, cust, n, rev in rows:
+        per.setdefault(seg, []).append((n, rev))
+    got = {
+        r["segment"]: r
+        for r in REGISTRY["orders_repeat_purchase"].fn(spark, SF_SMALL).collect()
+    }
+    for seg, cs in per.items():
+        nrep = sum(1 for n, _ in cs if n >= 2)
+        r = got[seg]
+        assert r["n_customers"] == len(cs)
+        assert r["n_repeat"] == nrep
+        assert r["repeat_share"] == pytest.approx(nrep / len(cs), abs=1e-4)
+        if nrep:
+            assert r["orders_per_repeat"] == pytest.approx(
+                sum(n for n, _ in cs if n >= 2) / nrep, abs=1e-3
+            )
+        assert r["repeat_revenue_share"] == pytest.approx(
+            sum(rev for n, rev in cs if n >= 2) / sum(rev for _, rev in cs), abs=1e-4
+        )
