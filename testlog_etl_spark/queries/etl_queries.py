@@ -4103,3 +4103,60 @@ def events_type_coengagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "graph_reciprocity",
+    doc="weighted reciprocity of the directed event-transition graph: "
+    "per edge (a -> b), is the reverse transition also observed, and "
+    "the global weighted reciprocity sum(min(w_ab, w_ba)) / sum(w) -- "
+    "the back-and-forth vs one-way-funnel structure number. One "
+    "(src, dst) rollup full-outer-joined with its own transpose.",
+    oracle="""
+WITH edges AS (
+  SELECT prev_type AS src, event_type AS dst, count(*)::DOUBLE AS w
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL AND prev_type <> event_type
+  GROUP BY src, dst
+),
+j AS (
+  SELECT e.src, e.dst, e.w, COALESCE(r.w, 0.0) AS wr
+  FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+)
+SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+       CAST(SUM(CASE WHEN wr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocated,
+       ROUND(SUM(LEAST(w, wr)) / SUM(w), 4) AS weighted_reciprocity
+FROM j
+""",
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    r = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w").alias("wr")
+    )
+    j = edges.join(r, ["src", "dst"], "left").select(
+        "w", F.coalesce("wr", F.lit(0.0)).alias("wr")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_directed_edges"),
+        F.sum((F.col("wr") > 0).cast("int")).alias("n_reciprocated"),
+        F.round(F.sum(F.least("w", "wr")) / F.sum("w"), 4).alias(
+            "weighted_reciprocity"
+        ),
+    )

@@ -1004,3 +1004,48 @@ def dq_categorical_drift_new_values(spark: SparkSession, sf_dir: str) -> DataFra
         "n_first",
         "n_second",
     ).orderBy("col", "val")
+
+
+@register(
+    "dq_ingestion_order_audit",
+    doc="ingestion-order audit: within each user's event stream "
+    "(ordered by event_id, the ingestion sequence), how often does "
+    "event time go BACKWARDS (adjacent inversion), and by how much "
+    "(max regression seconds) -- the out-of-order-arrival rate that "
+    "sizes streaming watermarks (stream_late_arrival_audit's batch "
+    "ledger). One lag window per user, integer microsecond "
+    "arithmetic.",
+    oracle="""
+WITH l AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS d_us
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_adjacent_pairs,
+       CAST(SUM(CASE WHEN d_us < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+       ROUND(SUM(CASE WHEN d_us < 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS inversion_rate,
+       ROUND(COALESCE(MAX(CASE WHEN d_us < 0 THEN -d_us END), 0) / 1000000.0, 3) AS max_regression_s
+FROM l WHERE d_us IS NOT NULL
+""",
+)
+def dq_ingestion_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    l = ev.select(
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("d_us")
+    ).filter(F.col("d_us").isNotNull())
+    inv = (F.col("d_us") < 0).cast("int")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_adjacent_pairs"),
+        F.sum(inv).alias("n_inversions"),
+        F.round(F.sum(inv) * 1.0 / F.count(F.lit(1)), 6).alias("inversion_rate"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("d_us") < 0, -F.col("d_us"))), F.lit(0)
+            )
+            / 1000000.0,
+            3,
+        ).alias("max_regression_s"),
+    )

@@ -2561,3 +2561,66 @@ def stats_fisher_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z_wh", 4).alias("z_wilson_hilferty"),
         F.round(F.expr(erfc_c) / 2.0, 6).alias("p_combined"),
     )
+
+
+@register(
+    "stats_bland_altman",
+    doc="Bland-Altman method-agreement analysis between the exact "
+    "whitespace token count and the chars/6 ESTIMATOR (the "
+    "budget-from-byte-length shortcut pipelines use before "
+    "tokenizing): mean difference (bias), 1.96-sd limits of "
+    "agreement, and the share of documents inside the limits -- the "
+    "do-these-two-measurements-agree readout correlation alone can't "
+    "answer. One scan + one moment rollup; the within-limits share "
+    "is a second conditional pass over the same lineage.",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim(text), ' '), t -> t <> ''))::DOUBLE AS a,
+         length(text) / 6.0 AS b
+  FROM documents
+),
+d AS (SELECT doc_id, a - b AS diff FROM m),
+s AS (
+  SELECT AVG(diff) AS bias, stddev_samp(diff) AS sd, COUNT(*)::DOUBLE AS n
+  FROM d
+)
+SELECT CAST(s.n AS BIGINT) AS n_docs,
+       ROUND(s.bias, 4) AS bias,
+       ROUND(s.bias - 1.96 * s.sd, 4) AS loa_low,
+       ROUND(s.bias + 1.96 * s.sd, 4) AS loa_high,
+       ROUND(SUM(CASE WHEN d.diff >= s.bias - 1.96 * s.sd
+                       AND d.diff <= s.bias + 1.96 * s.sd THEN 1 ELSE 0 END) / s.n, 4) AS within_loa_share
+FROM d CROSS JOIN s
+GROUP BY s.n, s.bias, s.sd
+""",
+)
+def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import textstats
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    m = docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("double").alias("a"),
+        (F.length("text") / 6.0).alias("b"),
+    )
+    d = m.select((F.col("a") - F.col("b")).alias("diff"))
+    s = d.agg(
+        F.avg("diff").alias("bias"),
+        F.stddev_samp("diff").alias("sd"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    j = d.crossJoin(F.broadcast(s))
+    lo = F.col("bias") - 1.96 * F.col("sd")
+    hi = F.col("bias") + 1.96 * F.col("sd")
+    return j.groupBy("n", "bias", "sd").agg(
+        F.sum(
+            ((F.col("diff") >= lo) & (F.col("diff") <= hi)).cast("int")
+        ).alias("_in")
+    ).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("bias", 4).alias("bias"),
+        F.round(lo, 4).alias("loa_low"),
+        F.round(hi, 4).alias("loa_high"),
+        F.round(F.col("_in") / F.col("n"), 4).alias("within_loa_share"),
+    )

@@ -154,7 +154,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    ts_seasonality_strength, events_type_coengagement,
     #    agg_tukey_median_polish, events_hazard_rate,
     #    stats_fisher_combined, index_proximity_search,
-    #    orders_repeat_purchase.
+    #    orders_repeat_purchase, stats_bland_altman, graph_reciprocity,
+    #    dq_ingestion_order_audit.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -2550,3 +2550,77 @@ def test_repeat_purchase_matches_bruteforce(spark, duck):
         assert r["repeat_revenue_share"] == pytest.approx(
             sum(rev for n, rev in cs if n >= 2) / sum(rev for _, rev in cs), abs=1e-4
         )
+
+
+def test_bland_altman_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute("SELECT text FROM documents").fetchall()
+    diffs = []
+    for (text,) in rows:
+        a = len([t for t in (text or "").strip().split(" ") if t])
+        b = len(text or "") / 6.0
+        diffs.append(a - b)
+    n = len(diffs)
+    bias = sum(diffs) / n
+    sd = math.sqrt(sum((d - bias) ** 2 for d in diffs) / (n - 1))
+    lo, hi = bias - 1.96 * sd, bias + 1.96 * sd
+    within = sum(1 for d in diffs if lo <= d <= hi) / n
+    r = REGISTRY["stats_bland_altman"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_docs"] == n
+    assert r["bias"] == pytest.approx(bias, abs=1e-3)
+    assert r["loa_low"] == pytest.approx(lo, abs=1e-3)
+    assert r["loa_high"] == pytest.approx(hi, abs=1e-3)
+    assert r["within_loa_share"] == pytest.approx(within, abs=1e-4)
+
+
+def test_reciprocity_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    edges = duck.execute(
+        """
+        SELECT prev_type, event_type, count(*) FROM (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ) WHERE prev_type IS NOT NULL AND prev_type <> event_type GROUP BY 1, 2
+        """
+    ).fetchall()
+    w = {(s, d): float(c) for s, d, c in edges}
+    n_recip = sum(1 for (s, d) in w if (d, s) in w)
+    wr = sum(min(c, w.get((d, s), 0.0)) for (s, d), c in w.items()) / sum(w.values())
+    r = REGISTRY["graph_reciprocity"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_directed_edges"] == len(w)
+    assert r["n_reciprocated"] == n_recip
+    assert r["weighted_reciprocity"] == pytest.approx(wr, abs=1e-4)
+
+
+def test_ingestion_order_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT user_id, event_id, epoch_us(ts) FROM events ORDER BY user_id, event_id"
+    ).fetchall()
+    per = {}
+    for uid, eid, us in rows:
+        per.setdefault(uid, []).append(us)
+    n_pairs = inv = 0
+    max_reg = 0
+    for us in per.values():
+        for i in range(1, len(us)):
+            n_pairs += 1
+            d = us[i] - us[i - 1]
+            if d < 0:
+                inv += 1
+                max_reg = max(max_reg, -d)
+    r = REGISTRY["dq_ingestion_order_audit"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_adjacent_pairs"] == n_pairs
+    assert r["n_inversions"] == inv
+    assert r["inversion_rate"] == pytest.approx(inv / n_pairs, abs=1e-5)
+    assert r["max_regression_s"] == pytest.approx(max_reg / 1e6, abs=1e-3)
