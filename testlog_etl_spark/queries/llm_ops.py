@@ -5874,3 +5874,47 @@ def eval_rocchio_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "corpus_uncertainty_sample",
+    doc="active-learning uncertainty sampling: the 25 documents whose "
+    "quality score sits closest to the 0.5 decision boundary "
+    "(|score - 0.5| ascending, doc_id tie-break) -- the "
+    "label-these-next queue that maximizes model information per "
+    "annotation. Scores snapped to the 2^-20 grid (the AUC pairing); "
+    "selection is a k-bounded TakeOrdered, no global sort "
+    "materializes.",
+    oracle=f"""
+WITH sc AS (
+  SELECT doc_id,
+         floor((1.0 / (1.0 + exp(-({_quality_z_sql()})))) * 1048576 + 0.5) / 1048576 AS s
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+)
+SELECT doc_id, ROUND(s, 6) AS score,
+       ROUND(abs(s - 0.5), 6) AS uncertainty_gap
+FROM sc
+ORDER BY abs(s - 0.5), doc_id
+LIMIT 25
+""",
+)
+def corpus_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import filtering
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    g = F.lit(float(1 << 20))
+    s = F.floor(filtering.linear_quality_score(F.col("text")) * g + F.lit(0.5)) / g
+    sc = docs.select("doc_id", s.alias("s"))
+    return (
+        sc.orderBy(F.abs(F.col("s") - 0.5), F.asc("doc_id"))
+        .limit(25)
+        .select(
+            "doc_id",
+            F.round("s", 6).alias("score"),
+            F.round(F.abs(F.col("s") - 0.5), 6).alias("uncertainty_gap"),
+        )
+        .orderBy(F.col("uncertainty_gap"), F.asc("doc_id"))
+    )

@@ -541,3 +541,56 @@ def layout_dictionary_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("column")
+
+
+@register(
+    "layout_partition_planner",
+    doc="writer partition-size planner: per order-date month, row "
+    "count, estimated serialized bytes (integer per-row footprint "
+    "from column widths -- the dictionary-advisor arithmetic), target "
+    "file count at a 256 KiB target, and a skew flag when a month "
+    "needs > 2x the median file count -- the small-files/giant-files "
+    "advisor a compaction job reads before writing a date-partitioned "
+    "tree. One rollup; the median is over the ~80-month frame.",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         count(*)::BIGINT AS n_rows,
+         count(*)::BIGINT * 64 AS est_bytes
+  FROM orders GROUP BY month
+),
+f AS (
+  SELECT month, n_rows, est_bytes,
+         CAST(ceil(est_bytes / 262144.0) AS BIGINT) AS n_files
+  FROM m
+),
+med AS (SELECT quantile_cont(n_files, 0.5) AS mf FROM f)
+SELECT f.month, f.n_rows, f.est_bytes, f.n_files,
+       f.n_files > 2 * med.mf AS skew_flag
+FROM f CROSS JOIN med
+ORDER BY month
+""",
+)
+def layout_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    f = m.select(
+        "month",
+        "n_rows",
+        (F.col("n_rows") * 64).alias("est_bytes"),
+        F.ceil(F.col("n_rows") * 64 / 262144.0).cast("long").alias("n_files"),
+    )
+    med = f.agg(F.expr("percentile(n_files, 0.5)").alias("mf"))
+    return (
+        f.crossJoin(F.broadcast(med))
+        .select(
+            "month",
+            "n_rows",
+            "est_bytes",
+            "n_files",
+            (F.col("n_files") > 2 * F.col("mf")).alias("skew_flag"),
+        )
+        .orderBy("month")
+    )

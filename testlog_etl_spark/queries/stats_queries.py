@@ -2624,3 +2624,91 @@ def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hi, 4).alias("loa_high"),
         F.round(F.col("_in") / F.col("n"), 4).alias("within_loa_share"),
     )
+
+
+@register(
+    "stats_equivalence_tost",
+    doc="TOST equivalence test per event_type (odd/even user arms on "
+    "per-user mean value): two one-sided z-tests against the "
+    "+-0.05-of-control-mean margin; equivalence is CLAIMED iff both "
+    "one-sided ps < 0.05 (p_tost = max of the pair, erfc idiom). The "
+    "complement to difference testing -- 'no effect' needs its own "
+    "test, a big p on Welch is not evidence of equivalence.",
+    oracle=f"""
+WITH u AS (
+  SELECT event_type, user_id, user_id % 2 AS arm, AVG("value") AS m
+  FROM events GROUP BY event_type, user_id, arm
+),
+g AS (
+  SELECT event_type,
+         COUNT(*) FILTER (arm = 1)::DOUBLE AS n1,
+         COUNT(*) FILTER (arm = 0)::DOUBLE AS n0,
+         AVG(m) FILTER (arm = 1) AS m1,
+         AVG(m) FILTER (arm = 0) AS m0,
+         var_samp(m) FILTER (arm = 1) AS v1,
+         var_samp(m) FILTER (arm = 0) AS v0
+  FROM u GROUP BY event_type
+),
+t AS (
+  SELECT event_type, m1 - m0 AS diff, 0.05 * m0 AS margin,
+         sqrt(v1 / n1 + v0 / n0) AS se
+  FROM g
+),
+z AS (
+  SELECT event_type, diff, margin,
+         (diff + margin) / se AS z_low,
+         (margin - diff) / se AS z_hi
+  FROM t
+)
+SELECT event_type,
+       ROUND(diff, 4) AS diff,
+       ROUND(margin, 4) AS margin,
+       ROUND(GREATEST(
+         ROUND({_AS_ERFC.format(t="(1.0 / (1.0 + 0.3275911 * (greatest(z_low, 0.0) / sqrt(2.0))))", x="greatest(z_low, 0.0) / sqrt(2.0)")} / 2.0, 6),
+         ROUND({_AS_ERFC.format(t="(1.0 / (1.0 + 0.3275911 * (greatest(z_hi, 0.0) / sqrt(2.0))))", x="greatest(z_hi, 0.0) / sqrt(2.0)")} / 2.0, 6)), 6) AS p_tost,
+       GREATEST(
+         ROUND({_AS_ERFC.format(t="(1.0 / (1.0 + 0.3275911 * (greatest(z_low, 0.0) / sqrt(2.0))))", x="greatest(z_low, 0.0) / sqrt(2.0)")} / 2.0, 6),
+         ROUND({_AS_ERFC.format(t="(1.0 / (1.0 + 0.3275911 * (greatest(z_hi, 0.0) / sqrt(2.0))))", x="greatest(z_hi, 0.0) / sqrt(2.0)")} / 2.0, 6)) < 0.05 AS equivalent
+FROM z ORDER BY event_type
+""",
+)
+def stats_equivalence_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = ev.groupBy(
+        "event_type", "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(F.avg("value").alias("m"))
+    g = u.groupBy("event_type").agg(
+        F.sum((F.col("arm") == 1).cast("int")).cast("double").alias("n1"),
+        F.sum((F.col("arm") == 0).cast("int")).cast("double").alias("n0"),
+        F.avg(F.when(F.col("arm") == 1, F.col("m"))).alias("m1"),
+        F.avg(F.when(F.col("arm") == 0, F.col("m"))).alias("m0"),
+        F.var_samp(F.when(F.col("arm") == 1, F.col("m"))).alias("v1"),
+        F.var_samp(F.when(F.col("arm") == 0, F.col("m"))).alias("v0"),
+    )
+    t = g.select(
+        "event_type",
+        (F.col("m1") - F.col("m0")).alias("diff"),
+        (0.05 * F.col("m0")).alias("margin"),
+        F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")).alias("se"),
+    )
+    z = t.select(
+        "event_type",
+        "diff",
+        "margin",
+        ((F.col("diff") + F.col("margin")) / F.col("se")).alias("z_low"),
+        ((F.col("margin") - F.col("diff")) / F.col("se")).alias("z_hi"),
+    )
+    def onesided(zc: str):
+        e = _AS_ERFC.format(
+            t=f"(1.0 / (1.0 + 0.3275911 * (greatest({zc}, 0.0) / sqrt(2.0))))",
+            x=f"greatest({zc}, 0.0) / sqrt(2.0)",
+        )
+        return F.round(F.expr(e) / 2.0, 6)
+    p_tost = F.greatest(onesided("z_low"), onesided("z_hi"))
+    return z.select(
+        "event_type",
+        F.round("diff", 4).alias("diff"),
+        F.round("margin", 4).alias("margin"),
+        F.round(p_tost, 6).alias("p_tost"),
+        (p_tost < 0.05).alias("equivalent"),
+    ).orderBy("event_type")

@@ -2624,3 +2624,54 @@ def test_ingestion_order_matches_bruteforce(spark, duck):
     assert r["n_inversions"] == inv
     assert r["inversion_rate"] == pytest.approx(inv / n_pairs, abs=1e-5)
     assert r["max_regression_s"] == pytest.approx(max_reg / 1e6, abs=1e-3)
+
+
+def test_tost_consistency(spark):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["stats_equivalence_tost"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["margin"] > 0
+        assert 0.0 <= r["p_tost"] <= 0.5 + 1e-9
+        assert r["equivalent"] == (r["p_tost"] < 0.05)
+        # equivalence requires |diff| inside the margin
+        if r["equivalent"]:
+            assert abs(r["diff"]) < r["margin"]
+
+
+def test_uncertainty_sample_is_boundary_closest(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["corpus_uncertainty_sample"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    gaps = [r["uncertainty_gap"] for r in rows]
+    assert gaps == sorted(gaps)
+    for r in rows:
+        assert r["uncertainty_gap"] == pytest.approx(abs(r["score"] - 0.5), abs=1e-5)
+
+
+def test_partition_planner_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT CAST(date_trunc('month', o_orderdate) AS DATE), count(*) "
+        "FROM orders GROUP BY 1"
+    ).fetchall()
+    files = {m: math.ceil(n * 64 / 262144.0) for m, n in rows}
+    mf = _median(sorted(files.values()))
+    got = {
+        r["month"]: r
+        for r in REGISTRY["layout_partition_planner"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(files)
+    for m, n in rows:
+        r = got[m]
+        assert r["n_rows"] == n
+        assert r["est_bytes"] == n * 64
+        assert r["n_files"] == files[m]
+        assert r["skew_flag"] == (files[m] > 2 * mf)
