@@ -5918,3 +5918,159 @@ def corpus_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("uncertainty_gap"), F.asc("doc_id"))
     )
+
+
+def _mmr_oracle(k_cand: int = 20, k_out: int = 5, lam: float = 0.7, dim: int = 64) -> str:
+    full = f"{_duck_dot('qv.vec', 'cv.vec', dim)} / ({_duck_norm('qv.vec')} * {_duck_norm('cv.vec')})"
+    cc = f"{_duck_dot('av.vec', 'bv.vec', dim)} / ({_duck_norm('av.vec')} * {_duck_norm('bv.vec')})"
+    head = f"""
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cand AS MATERIALIZED (
+  SELECT q_id, c_id, rel FROM (
+    SELECT qv.vec_id AS q_id, cv.vec_id AS c_id,
+           ROUND({full}, 6) AS rel,
+           ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY {full} DESC, cv.vec_id) AS rn
+    FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id
+    WHERE qv.vec_id < 10
+  ) WHERE rn <= {k_cand}
+),
+sim AS MATERIALIZED (
+  SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+         ROUND({cc}, 6) AS s
+  FROM cand a JOIN cand b ON b.q_id = a.q_id AND b.c_id <> a.c_id
+  JOIN v av ON av.vec_id = a.c_id
+  JOIN v bv ON bv.vec_id = b.c_id
+),
+sel1 AS MATERIALIZED (
+  SELECT q_id, c_id, rel AS mmr FROM (
+    SELECT q_id, c_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)"""
+    blocks = [head]
+    prev_union = "SELECT q_id, c_id FROM sel1"
+    for r in range(2, k_out + 1):
+        blocks.append(
+            f""",
+pool{r} AS MATERIALIZED (
+  SELECT c.q_id, c.c_id, c.rel,
+         MAX(s.s) AS max_sim
+  FROM cand c
+  JOIN sim s ON s.q_id = c.q_id AND s.ca = c.c_id
+       AND s.cb IN (SELECT c_id FROM ({prev_union}) u WHERE u.q_id = c.q_id)
+  WHERE c.c_id NOT IN (SELECT c_id FROM ({prev_union}) u2 WHERE u2.q_id = c.q_id)
+  GROUP BY c.q_id, c.c_id, c.rel
+),
+sel{r} AS MATERIALIZED (
+  SELECT q_id, c_id, mmr FROM (
+    SELECT q_id, c_id,
+           {lam} * rel - {1 - lam:.1f} * max_sim AS mmr,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY {lam} * rel - {1 - lam:.1f} * max_sim DESC, c_id) AS rn
+    FROM pool{r}
+  ) WHERE rn = 1
+)"""
+        )
+        prev_union += f" UNION ALL SELECT q_id, c_id FROM sel{r}"
+    unions = "\n  UNION ALL ".join(
+        f"SELECT q_id, {r} AS rank, c_id, mmr FROM sel{r}" for r in range(1, k_out + 1)
+    )
+    blocks.append(
+        f"""
+SELECT q_id, rank, c_id, ROUND(mmr, 6) AS mmr_score FROM (
+  {unions}
+) ORDER BY q_id, rank"""
+    )
+    return "".join(blocks)
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc="Maximal Marginal Relevance diversified reranking: the exact "
+    "top-20 candidates per query (10 queries) are greedily reranked "
+    "to 5 results with mmr = 0.7 rel - 0.3 max-sim-to-selected -- "
+    "the redundancy-killing rerank every RAG retrieval stack runs "
+    "after cosine top-k. Relevance and candidate-pair similarities "
+    "snap to 6 places BEFORE the greedy walk (argmax ties -> c_id), "
+    "so the sequential selection -- applyInPandas per query over the "
+    "20x20 bounded pair frame, parallel across queries -- replays "
+    "bit-identically as chained MATERIALIZED CTEs.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    k_cand, k_out, lam = 20, 5, 0.7
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    cand = similarity.topk_cosine(queries_df, corpus, k=k_cand).select(
+        "q_id", "c_id", F.round("cosine", 6).alias("rel")
+    )
+    a = cand.select("q_id", F.col("c_id").alias("ca"))
+    b = cand.select(F.col("q_id").alias("q2"), F.col("c_id").alias("cb"))
+    va = corpus.select(F.col("c_id").alias("ca"), F.col("c_vec").alias("va"))
+    vb = corpus.select(F.col("c_id").alias("cb"), F.col("c_vec").alias("vb"))
+    pairs = (
+        a.join(b, (F.col("q_id") == F.col("q2")) & (F.col("ca") != F.col("cb")))
+        .join(va, "ca")
+        .join(vb, "cb")
+        .select(
+            "q_id",
+            "ca",
+            "cb",
+            F.round(
+                similarity.cosine(
+                    F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    joined = cand.join(
+        pairs.select("q_id", F.col("ca").alias("c_id"), "cb", "s"),
+        ["q_id", "c_id"],
+        "left",
+    )
+    out_schema = "q_id long, rank int, c_id long, mmr_score double"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qid = int(pdf["q_id"].iloc[0])
+        rel = {}
+        sim = {}
+        for row in pdf.itertuples(index=False):
+            rel[int(row.c_id)] = float(row.rel)
+            if row.cb == row.cb and row.cb is not None:  # not NaN
+                try:
+                    sim[(int(row.c_id), int(row.cb))] = float(row.s)
+                except (TypeError, ValueError):
+                    pass
+        selected = []
+        rows = []
+        remaining = dict(rel)
+        # first pick: pure relevance, tie -> smallest c_id
+        first = max(remaining.items(), key=lambda kv: (kv[1], -kv[0]))
+        selected.append(first[0])
+        rows.append((qid, 1, first[0], first[1]))
+        del remaining[first[0]]
+        for r in range(2, 6):
+            best = None
+            for c, rv in sorted(remaining.items()):
+                ms = max(sim.get((c, s_), 0.0) for s_ in selected)
+                score = 0.7 * rv - 0.3 * ms
+                if best is None or score > best[1]:
+                    best = (c, score)
+            selected.append(best[0])
+            rows.append((qid, r, best[0], best[1]))
+            del remaining[best[0]]
+        return pd.DataFrame(rows, columns=["q_id", "rank", "c_id", "mmr_score"])
+
+    return (
+        joined.groupBy("q_id")
+        .applyInPandas(fold, out_schema)
+        .select("q_id", "rank", "c_id", F.round("mmr_score", 6).alias("mmr_score"))
+        .orderBy("q_id", "rank")
+    )

@@ -156,7 +156,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_fisher_combined, index_proximity_search,
     #    orders_repeat_purchase, stats_bland_altman, graph_reciprocity,
     #    dq_ingestion_order_audit, stats_equivalence_tost,
-    #    corpus_uncertainty_sample, layout_partition_planner.
+    #    corpus_uncertainty_sample, layout_partition_planner,
+    #    sim_mmr_rerank.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

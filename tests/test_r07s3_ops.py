@@ -2675,3 +2675,57 @@ def test_partition_planner_matches_bruteforce(spark, duck):
         assert r["est_bytes"] == n * 64
         assert r["n_files"] == files[m]
         assert r["skew_flag"] == (files[m] > 2 * mf)
+
+
+def test_mmr_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    vecs = {
+        r[0]: [float(x) for x in r[1]]
+        for r in duck.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    }
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    got = {}
+    for r in REGISTRY["sim_mmr_rerank"].fn(spark, SF_SMALL).collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["c_id"], r["mmr_score"]))
+    assert set(got) == set(range(10))
+    for qid in range(10):
+        qv = vecs[qid]
+        scored = sorted(
+            ((round(cos(qv, cv), 6), -cid) for cid, cv in vecs.items() if cid != qid),
+            reverse=True,
+        )[:20]
+        cand = {-ncid: rel for rel, ncid in scored}
+        sims = {
+            (a, b): round(cos(vecs[a], vecs[b]), 6)
+            for a in cand
+            for b in cand
+            if a != b
+        }
+        selected, expect = [], []
+        remaining = dict(cand)
+        first = max(remaining.items(), key=lambda kv: (kv[1], -kv[0]))
+        selected.append(first[0])
+        expect.append((1, first[0], first[1]))
+        del remaining[first[0]]
+        for rank in range(2, 6):
+            best = None
+            for c in sorted(remaining):
+                ms = max(sims[(c, s)] for s in selected)
+                score = 0.7 * remaining[c] - 0.3 * ms
+                if best is None or score > best[1]:
+                    best = (c, score)
+            selected.append(best[0])
+            expect.append((rank, best[0], best[1]))
+            del remaining[best[0]]
+        rows = sorted(got[qid])
+        assert [(r, c) for r, c, _ in rows] == [(r, c) for r, c, _ in expect]
+        for (_, _, g), (_, _, w) in zip(rows, expect):
+            assert g == pytest.approx(w, abs=2e-6)
