@@ -44,6 +44,11 @@ SHOWCASE = [
     ("stats_bootstrap_poisson", "32x replicate explode collapses in partial HashAggregate; exchange carries one row per (partition, replicate)"),
     ("search_rrf_fusion", "every ranking cut is TakeOrderedAndProject; fusion joins run on k-row lists"),
     ("dq_block_checksum_diff", "two 64-row block rollups full-outer-joined; rows never cross -- the anti-entropy shape"),
+    ("stats_mann_whitney", "per-VALUE rollup + partitioned rank window; tie-corrected U from 8-byte exchanges"),
+    ("agg_lorenz_deciles", "hierarchical scan rank over the customer grain; cumulative share over the 10-row decile rollup"),
+    ("sim_mmr_rerank", "k-bounded candidate + 20x20 pair frames per query; greedy walk in one Arrow fold per query"),
+    ("index_trigram_search", "distinct (doc, trigram) semi-join against the 8-row broadcast query set; contains() verify on candidates only"),
+    ("join_radius_grid", "3x3 grid-cell offset equi-join candidates; exact distance verify -- no crossjoin"),
 ]
 
 
