@@ -2712,3 +2712,145 @@ def stats_equivalence_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_tost, 6).alias("p_tost"),
         (p_tost < 0.05).alias("equivalent"),
     ).orderBy("event_type")
+
+
+@register(
+    "stats_cohens_h",
+    doc="Cohen's h effect size for the conversion-rate difference "
+    "(odd/even arms, purchase share): h = 2 asin(sqrt(p1)) - "
+    "2 asin(sqrt(p0)) -- the arcsine-stabilized magnitude that "
+    "complements the two-proportion z (which only says 'unlikely "
+    "under H0', not 'big'). asin/sqrt are correctly-rounded IEEE "
+    "ops, identical on both engines; one conditional rollup.",
+    oracle="""
+WITH arms AS (
+  SELECT user_id % 2 AS arm,
+         COUNT(*)::DOUBLE AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS k
+  FROM events GROUP BY arm
+)
+SELECT ROUND(a1.k / a1.n, 6) AS rate_treat,
+       ROUND(a0.k / a0.n, 6) AS rate_ctrl,
+       ROUND(2 * asin(sqrt(a1.k / a1.n)) - 2 * asin(sqrt(a0.k / a0.n)), 6) AS cohens_h,
+       CASE WHEN abs(2 * asin(sqrt(a1.k / a1.n)) - 2 * asin(sqrt(a0.k / a0.n))) < 0.2 THEN 'negligible'
+            WHEN abs(2 * asin(sqrt(a1.k / a1.n)) - 2 * asin(sqrt(a0.k / a0.n))) < 0.5 THEN 'small'
+            WHEN abs(2 * asin(sqrt(a1.k / a1.n)) - 2 * asin(sqrt(a0.k / a0.n))) < 0.8 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM arms a1 JOIN arms a0 ON a1.arm = 1 AND a0.arm = 0
+""",
+)
+def stats_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    arms = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("double")
+        .alias("k"),
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        (F.col("k") / F.col("n")).alias("p1")
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        (F.col("k") / F.col("n")).alias("p0")
+    )
+    j = a1.crossJoin(F.broadcast(a0))
+    h = 2 * F.asin(F.sqrt("p1")) - 2 * F.asin(F.sqrt("p0"))
+    return j.select(
+        F.round("p1", 6).alias("rate_treat"),
+        F.round("p0", 6).alias("rate_ctrl"),
+        F.round(h, 6).alias("cohens_h"),
+        F.when(F.abs(h) < 0.2, "negligible")
+        .when(F.abs(h) < 0.5, "small")
+        .when(F.abs(h) < 0.8, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+@register(
+    "events_retention_halflife",
+    doc="retention half-life: week-over-week return rates (share of "
+    "week-w actives also active in week w+1..w+3, averaged per "
+    "horizon) fitted to exponential decay by ln-linear closed-form "
+    "OLS over the 3 horizon points -- half-life = ln 2 / lambda in "
+    "weeks, the one-number engagement durability readout on top of "
+    "the cohort matrix. Distinct (user, week) rollup + 3 horizon "
+    "joins, then arithmetic on 3 rows.",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+h AS (
+  SELECT k.h, COUNT(*)::DOUBLE AS base,
+         SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE AS retained
+  FROM uw a CROSS JOIN (SELECT unnest(range(1, 4)) AS h) k
+  LEFT JOIN uw r ON r.user_id = a.user_id
+        AND r.week = CAST(a.week + INTERVAL (7 * k.h) DAY AS DATE)
+  WHERE EXISTS (SELECT 1 FROM uw w2 WHERE w2.week = CAST(a.week + INTERVAL (7 * k.h) DAY AS DATE))
+  GROUP BY k.h
+),
+pts AS (
+  SELECT h::DOUBLE AS x, ln(retained / base) AS y FROM h WHERE retained > 0
+),
+fit AS (
+  SELECT COUNT(*)::BIGINT AS n_points,
+         CASE WHEN var_pop(x) > 0 THEN covar_pop(x, y) / var_pop(x) END AS slope
+  FROM pts
+)
+SELECT n_points,
+       ROUND(-slope, 6) AS lambda_per_week,
+       ROUND(CASE WHEN slope < 0 THEN ln(2.0) / (-slope) END, 4) AS halflife_weeks
+FROM fit
+""",
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    weeks = uw.select("week").distinct()
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("h"))
+    a = uw.crossJoin(F.broadcast(ks)).withColumn(
+        "target_week", F.date_add("week", 7 * F.col("h"))
+    )
+    # only (week, horizon) pairs whose target week exists in the data
+    a = a.join(
+        weeks.select(F.col("week").alias("target_week")), "target_week", "left_semi"
+    )
+    r = uw.select(
+        F.col("user_id").alias("ru"), F.col("week").alias("target_week")
+    )
+    h = (
+        a.join(
+            r,
+            (F.col("user_id") == F.col("ru"))
+            & (a.target_week == r.target_week),
+            "left",
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("base"),
+            F.sum(F.col("ru").isNotNull().cast("int")).cast("double").alias("retained"),
+        )
+    )
+    pts = h.filter(F.col("retained") > 0).select(
+        F.col("h").cast("double").alias("x"),
+        F.log(F.col("retained") / F.col("base")).alias("y"),
+    )
+    # degenerate single-point fits (tiny SFs) yield var_pop = 0: emit
+    # NULL instead of an ANSI divide-by-zero
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.when(
+            F.var_pop("x") > 0, F.covar_pop("x", "y") / F.var_pop("x")
+        ).alias("slope"),
+    )
+    return fit.select(
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round(-F.col("slope"), 6).alias("lambda_per_week"),
+        # half-life only meaningful for DECAYING retention (slope < 0)
+        F.round(
+            F.when(F.col("slope") < 0, F.log(F.lit(2.0)) / (-F.col("slope"))), 4
+        ).alias("halflife_weeks"),
+    )

@@ -2729,3 +2729,72 @@ def test_mmr_matches_bruteforce(spark, duck):
         assert [(r, c) for r, c, _ in rows] == [(r, c) for r, c, _ in expect]
         for (_, _, g), (_, _, w) in zip(rows, expect):
             assert g == pytest.approx(w, abs=2e-6)
+
+
+def test_cohens_h_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT user_id % 2, event_type = 'purchase' FROM events"
+    ).fetchall()
+    n = {0: 0, 1: 0}
+    k = {0: 0, 1: 0}
+    for arm, conv in rows:
+        n[arm] += 1
+        k[arm] += bool(conv)
+    p1, p0 = k[1] / n[1], k[0] / n[0]
+    h = 2 * math.asin(math.sqrt(p1)) - 2 * math.asin(math.sqrt(p0))
+    r = REGISTRY["stats_cohens_h"].fn(spark, SF_SMALL).collect()[0]
+    assert r["rate_treat"] == pytest.approx(p1, abs=1e-5)
+    assert r["rate_ctrl"] == pytest.approx(p0, abs=1e-5)
+    assert r["cohens_h"] == pytest.approx(h, abs=1e-5)
+    band = abs(h)
+    want = (
+        "negligible" if band < 0.2 else "small" if band < 0.5
+        else "medium" if band < 0.8 else "large"
+    )
+    assert r["magnitude"] == want
+
+
+def test_retention_halflife_matches_bruteforce(spark, duck):
+    import datetime as dt
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) FROM events"
+    ).fetchall()
+    byweek = {}
+    for uid, wk in rows:
+        byweek.setdefault(wk, set()).add(uid)
+    pts = []
+    for hzn in (1, 2, 3):
+        base = retained = 0
+        for wk, users in byweek.items():
+            tgt = wk + dt.timedelta(days=7 * hzn)
+            if tgt in byweek:
+                base += len(users)
+                retained += len(users & byweek[tgt])
+        if retained > 0:
+            pts.append((float(hzn), math.log(retained / base)))
+    n = len(pts)
+    r = REGISTRY["events_retention_halflife"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_points"] == n
+    if n < 2:
+        assert r["lambda_per_week"] is None
+        return
+    mx = sum(x for x, _ in pts) / n
+    my = sum(y for _, y in pts) / n
+    slope = sum((x - mx) * (y - my) for x, y in pts) / sum(
+        (x - mx) ** 2 for x, _ in pts
+    )
+    assert r["lambda_per_week"] == pytest.approx(-slope, abs=1e-4)
+    if slope < 0:
+        assert r["halflife_weeks"] == pytest.approx(math.log(2) / (-slope), abs=1e-2)
+    else:
+        # synthetic users return every week at tiny SFs: no decay to fit
+        assert r["halflife_weeks"] is None
