@@ -4160,3 +4160,119 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_reciprocity"
         ),
     )
+
+
+def _stationary_oracle(n_iter: int = 8, bits: int = 30) -> str:
+    g = 1 << bits
+
+    def snap(x: str) -> str:
+        return f"floor(({x}) * {g} + 0.5) / {g}"
+
+    blocks = [
+        """edges AS MATERIALIZED (
+  SELECT prev_type AS src, event_type AS dst, count(*)::DOUBLE AS w
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY src, dst
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+ow AS MATERIALIZED (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+e AS MATERIALIZED (SELECT edges.src, edges.dst, edges.w / ow.ow AS frac FROM edges JOIN ow ON ow.src = edges.src),
+emp AS MATERIALIZED (
+  SELECT ow.src AS node, ow.ow / (SELECT SUM(ow) FROM ow) AS share FROM ow
+),
+p0 AS (SELECT node, 1.0 / nn.n AS p FROM nodes, nn)"""
+    ]
+    for i in range(1, n_iter + 1):
+        blocks.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(p.p * e.frac) AS np
+  FROM e JOIN p{i - 1} p ON p.node = e.src GROUP BY e.dst
+),
+p{i} AS MATERIALIZED (
+  SELECT nodes.node, {snap(f'coalesce(s{i}.np, 0.0)')} AS p
+  FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node
+)"""
+        )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body}
+SELECT p.node, p.p AS stationary_p,
+       ROUND(coalesce(emp.share, 0.0), 6) AS empirical_share,
+       ROUND(abs(p.p - coalesce(emp.share, 0.0)), 6) AS gap
+FROM p{n_iter} p LEFT JOIN emp ON emp.node = p.node
+ORDER BY p.node
+"""
+
+
+@register(
+    "graph_markov_stationary",
+    oracle=_stationary_oracle(),
+    doc="stationary distribution of the event-transition chain by 8 "
+    "grid-snapped power-iteration rounds from the uniform start, "
+    "reported against the EMPIRICAL visit shares the entropy-rate "
+    "query uses -- the gap column audits whether the observed mix "
+    "has mixed to equilibrium (a large gap flags non-stationary "
+    "behavior). Same per-round join/sum shape and chained-"
+    "MATERIALIZED-CTE replay as pagerank/PPR/absorbing.",
+)
+def graph_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n_iter, bits = 8, 30
+    g = float(1 << bits)
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    nn = nodes.count()
+    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(ow, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("frac")
+    ).localCheckpoint(eager=True)
+    tot = ow.agg(F.sum("ow").alias("t"))
+    emp = ow.crossJoin(F.broadcast(tot)).select(
+        F.col("src").alias("node"), (F.col("ow") / F.col("t")).alias("share")
+    )
+    p = nodes.select("node", F.lit(1.0 / nn).alias("p"))
+    for _ in range(n_iter):
+        s = (
+            e.join(p, e.src == p.node)
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.sum(F.col("p") * F.col("frac")).alias("np"))
+        )
+        p = (
+            nodes.join(s, nodes.node == F.col("n2"), "left")
+            .select(
+                "node",
+                (F.floor(F.coalesce("np", F.lit(0.0)) * g + 0.5) / g).alias("p"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    return (
+        p.join(emp, "node", "left")
+        .select(
+            "node",
+            F.col("p").alias("stationary_p"),
+            F.round(F.coalesce("share", F.lit(0.0)), 6).alias("empirical_share"),
+            F.round(F.abs(F.col("p") - F.coalesce("share", F.lit(0.0))), 6).alias("gap"),
+        )
+        .orderBy("node")
+    )

@@ -2854,3 +2854,173 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("slope") < 0, F.log(F.lit(2.0)) / (-F.col("slope"))), 4
         ).alias("halflife_weeks"),
     )
+
+
+@register(
+    "stats_anderson_darling",
+    doc="Anderson-Darling normality test per event_type on the daily "
+    "value-sum series: A2 = -n - mean over i of (2i-1)(ln F(z_i) + "
+    "ln(1 - F(z_{n+1-i}))) with F the standard normal CDF via the "
+    "shared A&S erfc (identical expression trees; z standardized by "
+    "the round-10 sample moments). The tail-sensitive normality "
+    "screen the z/t machinery implicitly assumes; i and its mirror "
+    "come from one partitioned rank + a self-join on the mirrored "
+    "index -- calendar-bounded frames.",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM("value"), 6) AS x
+  FROM events GROUP BY event_type, day
+),
+m AS (
+  SELECT event_type, ROUND(AVG(x), 10) AS mu, ROUND(stddev_samp(x), 10) AS sd,
+         COUNT(*)::DOUBLE AS n
+  FROM d GROUP BY event_type
+),
+s AS (
+  SELECT d.event_type, (d.x - m.mu) / m.sd AS z,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.x, d.day) AS i,
+         m.n
+  FROM d JOIN m ON m.event_type = d.event_type
+),
+f AS (
+  SELECT event_type, i, n, z,
+         CASE WHEN z >= 0
+              THEN 1.0 - ROUND({_AS_ERFC.format(t="(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))", x="abs(z) / sqrt(2.0)")}, 10) / 2.0
+              ELSE ROUND({_AS_ERFC.format(t="(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))", x="abs(z) / sqrt(2.0)")}, 10) / 2.0
+         END AS cdf
+  FROM s
+),
+j AS (
+  SELECT a.event_type, a.i, a.n,
+         (2 * a.i - 1) * (ln(a.cdf) + ln(1.0 - b.cdf)) AS term
+  FROM f a JOIN f b ON b.event_type = a.event_type AND b.i = a.n - a.i + 1
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       ROUND(-MAX(n) - SUM(term) / MAX(n), 4) AS a_squared
+FROM j GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    m = d.groupBy("event_type").agg(
+        F.round(F.avg("x"), 10).alias("mu"),
+        F.round(F.stddev_samp("x"), 10).alias("sd"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    s = d.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        ((F.col("x") - F.col("mu")) / F.col("sd")).alias("z"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("x", "day"))
+        .alias("i"),
+        "n",
+    )
+    erfc = _AS_ERFC.format(
+        t="(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))", x="abs(z) / sqrt(2.0)"
+    )
+    half = F.round(F.expr(erfc), 10) / 2.0
+    f = s.select(
+        "event_type",
+        "i",
+        "n",
+        F.when(F.col("z") >= 0, 1.0 - half).otherwise(half).alias("cdf"),
+    )
+    a = f.select("event_type", "i", "n", F.col("cdf").alias("ca"))
+    b = f.select(
+        F.col("event_type").alias("et2"), F.col("i").alias("i2"), F.col("cdf").alias("cb")
+    )
+    j = a.join(
+        b,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("i2") == F.col("n") - F.col("i") + 1),
+    ).select(
+        "event_type",
+        "n",
+        ((2 * F.col("i") - 1) * (F.log("ca") + F.log(1.0 - F.col("cb")))).alias("term"),
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.round(-F.max("n") - F.sum("term") / F.max("n"), 4).alias("a_squared"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_hodges_lehmann",
+    doc="Hodges-Lehmann location estimator per event_type: the median "
+    "of all pairwise Walsh averages (x_i + x_j)/2, i <= j, over the "
+    "daily value-sum series -- the rank-based robust center that "
+    "pairs with Theil-Sen (slopes) and the signed-rank test family; "
+    "reported beside the plain mean/median for the robustness gap. "
+    "The pair join is CALENDAR-bounded (~30 days per type); the "
+    "median is the certified percentile pairing.",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM("value"), 6) AS x
+  FROM events GROUP BY event_type, day
+),
+s AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM d
+),
+w AS (
+  SELECT a.event_type, (a.x + b.x) / 2 AS walsh
+  FROM s a JOIN s b ON b.event_type = a.event_type AND b.i >= a.i
+)
+SELECT w.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_walsh,
+       ROUND(quantile_cont(w.walsh, 0.5), 4) AS hodges_lehmann,
+       ROUND((SELECT AVG(x) FROM d WHERE d.event_type = w.event_type), 4) AS mean,
+       ROUND((SELECT quantile_cont(x, 0.5) FROM d WHERE d.event_type = w.event_type), 4) AS median
+FROM w GROUP BY w.event_type
+ORDER BY event_type
+""",
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    s = d.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    a = s.select(
+        F.col("event_type").alias("et"), F.col("x").alias("xa"), F.col("i").alias("ia")
+    )
+    b = s.select(
+        F.col("event_type").alias("et"), F.col("x").alias("xb"), F.col("i").alias("ib")
+    )
+    w = (
+        a.join(b, "et")
+        .filter(F.col("ib") >= F.col("ia"))
+        .select(F.col("et").alias("event_type"), ((F.col("xa") + F.col("xb")) / 2).alias("walsh"))
+    )
+    base = d.groupBy("event_type").agg(
+        F.round(F.avg("x"), 4).alias("mean"),
+        F.round(F.expr("percentile(x, 0.5)"), 4).alias("median"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_walsh"),
+            F.round(F.expr("percentile(walsh, 0.5)"), 4).alias("hodges_lehmann"),
+        )
+        .join(F.broadcast(base), "event_type")
+        .select("event_type", "n_walsh", "hodges_lehmann", "mean", "median")
+        .orderBy("event_type")
+    )

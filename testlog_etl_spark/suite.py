@@ -157,7 +157,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    orders_repeat_purchase, stats_bland_altman, graph_reciprocity,
     #    dq_ingestion_order_audit, stats_equivalence_tost,
     #    corpus_uncertainty_sample, layout_partition_planner,
-    #    sim_mmr_rerank, stats_cohens_h, events_retention_halflife.
+    #    sim_mmr_rerank, stats_cohens_h, events_retention_halflife,
+    #    stats_anderson_darling, agg_hodges_lehmann,
+    #    graph_markov_stationary.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -2798,3 +2798,107 @@ def test_retention_halflife_matches_bruteforce(spark, duck):
     else:
         # synthetic users return every week at tiny SFs: no decay to fit
         assert r["halflife_weeks"] is None
+
+
+def test_anderson_darling_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "ROUND(SUM(\"value\"), 6) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, x in rows:
+        series.setdefault(et, []).append(x)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_anderson_darling"].fn(spark, SF_SMALL).collect()
+    }
+    for et, xs in series.items():
+        n = len(xs)
+        mu = round(sum(xs) / n, 10)
+        sd = round(math.sqrt(sum((x - mu) ** 2 for x in xs) / (n - 1)), 10)
+        zs = sorted((x - mu) / sd for x in xs)
+        # independent CDF: math.erfc (the A&S approximation is within
+        # 2e-4 -- A2 aggregates ~n log terms, so allow a loose band)
+        cdf = [1 - math.erfc(z / math.sqrt(2)) / 2 if z >= 0 else math.erfc(-z / math.sqrt(2)) / 2 for z in zs]
+        a2 = -n - sum(
+            (2 * (i + 1) - 1) * (math.log(cdf[i]) + math.log(1 - cdf[n - 1 - i]))
+            for i in range(n)
+        ) / n
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["a_squared"] == pytest.approx(a2, abs=0.02)
+
+
+def test_hodges_lehmann_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "ROUND(SUM(\"value\"), 6) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, x in rows:
+        series.setdefault(et, []).append(x)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["agg_hodges_lehmann"].fn(spark, SF_SMALL).collect()
+    }
+    for et, xs in series.items():
+        walsh = [
+            (xs[i] + xs[j]) / 2 for i in range(len(xs)) for j in range(i, len(xs))
+        ]
+        r = got[et]
+        assert r["n_walsh"] == len(walsh)
+        assert r["hodges_lehmann"] == pytest.approx(_median(walsh), abs=1e-3)
+        assert r["mean"] == pytest.approx(sum(xs) / len(xs), abs=1e-3)
+        assert r["median"] == pytest.approx(_median(xs), abs=1e-3)
+
+
+def test_markov_stationary_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    edges = duck.execute(
+        """
+        SELECT prev_type, event_type, count(*) FROM (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ) WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall()
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    out = {}
+    for s, d, w in edges:
+        out.setdefault(s, []).append((d, float(w)))
+    frac = {
+        s: [(d, w / sum(w for _, w in lst)) for d, w in lst]
+        for s, lst in out.items()
+    }
+    g = float(1 << 30)
+    p = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(8):
+        np_ = {n: 0.0 for n in nodes}
+        for s, lst in frac.items():
+            for d, fr in lst:
+                np_[d] += p[s] * fr
+        p = {n: math.floor(v * g + 0.5) / g for n, v in np_.items()}
+    got = {
+        r["node"]: r
+        for r in REGISTRY["graph_markov_stationary"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n]["stationary_p"] == pytest.approx(p[n], abs=1e-6)
+        assert got[n]["gap"] == pytest.approx(
+            abs(p[n] - got[n]["empirical_share"]), abs=1e-4
+        )
+    # probabilities stay a distribution after snapping (up to snap error)
+    assert sum(r["stationary_p"] for r in got.values()) == pytest.approx(1.0, abs=1e-4)
