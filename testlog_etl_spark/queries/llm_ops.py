@@ -6074,3 +6074,78 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rank", "c_id", F.round("mmr_score", 6).alias("mmr_score"))
         .orderBy("q_id", "rank")
     )
+
+
+@register(
+    "eval_knn_classifier",
+    doc="k-NN (k=5) label-vote classification readout over the "
+    "embedding table: each vector's 5 exact cosine neighbors "
+    "(excluding itself) vote; majority label wins, ties break to the "
+    "smallest label (deterministic count-desc/label-asc argmax via "
+    "min_by on a composite scalar key). Accuracy per label beside "
+    "the Rocchio centroid baseline -- the local-vs-prototype gap is "
+    "the cluster-shape diagnostic. Same k-bounded top-k plan as the "
+    "retrieval family.",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+nn AS (
+  SELECT q_id, c_label FROM (
+    SELECT qv.vec_id AS q_id, cv.label AS c_label,
+           ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+             ORDER BY reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), __i -> qv.vec[__i] * cv.vec[__i])), (__a, __x) -> __a + __x) / (sqrt(reduce(list_prepend(0.0::DOUBLE, list_transform(qv.vec, __e -> __e * __e)), (__a, __x) -> __a + __x)) * sqrt(reduce(list_prepend(0.0::DOUBLE, list_transform(cv.vec, __e -> __e * __e)), (__a, __x) -> __a + __x))) DESC, cv.vec_id) AS rn
+    FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT q_id, c_label, COUNT(*)::BIGINT AS c FROM nn GROUP BY q_id, c_label
+),
+pred AS (
+  SELECT q_id, min_by(c_label, -c + c_label * 1e-3) AS pred
+  FROM votes GROUP BY q_id
+)
+SELECT v.label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN pred.pred = v.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN pred.pred = v.label THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS accuracy
+FROM v JOIN pred ON pred.q_id = v.vec_id
+GROUP BY v.label ORDER BY v.label
+""",
+)
+def eval_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries_df = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("c_label"),
+    )
+    nn = similarity.topk_cosine(
+        queries_df, corpus.select("c_id", "c_vec"), k=5
+    ).select("q_id", "c_id")
+    votes = (
+        nn.join(corpus.select("c_id", "c_label"), "c_id")
+        .groupBy("q_id", "c_label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # count-desc then label-asc argmax as one scalar key: counts are
+    # integers <= 5, the label*1e-3 term only breaks count ties
+    pred = votes.groupBy("q_id").agg(
+        F.min_by("c_label", -F.col("c") + F.col("c_label") * 1e-3).alias("pred")
+    )
+    truth = emb.select(F.col("vec_id").alias("q_id"), "label")
+    return (
+        truth.join(pred, "q_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("pred") == F.col("label")).cast("int")).alias("n_correct"),
+            F.round(
+                F.sum((F.col("pred") == F.col("label")).cast("int")) * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

@@ -3024,3 +3024,80 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_walsh", "hodges_lehmann", "mean", "median")
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    doc="Wilcoxon signed-rank test on the PAIRED per-user activity "
+    "change (first- vs second-half event counts): zero diffs dropped "
+    "(the standard convention), |diff| tie-averaged ranks from the "
+    "per-VALUE rollup (the mann_whitney construction), W+ = rank sum "
+    "over positive diffs, tie-corrected normal z. The paired-design "
+    "rank test beside McNemar (binary) and the t (parametric): one "
+    "user rollup + one distinct-|diff| cumsum.",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         SUM(CASE WHEN EXTRACT(day FROM ts) >= 16 THEN 1 ELSE 0 END)::DOUBLE
+         - SUM(CASE WHEN EXTRACT(day FROM ts) < 16 THEN 1 ELSE 0 END)::DOUBLE AS d
+  FROM events GROUP BY user_id
+),
+nz AS (SELECT d, abs(d) AS ad FROM u WHERE d <> 0),
+pv AS (
+  SELECT ad, SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS cpos,
+         COUNT(*)::BIGINT AS ct
+  FROM nz GROUP BY ad
+),
+cum AS (
+  SELECT ad, cpos, ct,
+         SUM(ct) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) - ct AS below
+  FROM pv
+),
+agg AS (
+  SELECT SUM(ct)::DOUBLE AS n,
+         SUM(cpos * (below + (ct + 1) / 2.0)) AS wplus,
+         SUM(ct * ct * ct - ct)::DOUBLE AS ties
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n_nonzero,
+       ROUND(wplus, 2) AS w_plus,
+       ROUND((wplus - n * (n + 1) / 4.0)
+             / sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0), {R}) AS z
+FROM agg
+""",
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.dayofmonth("ts") >= 16).cast("int")).cast("double")
+            - F.sum((F.dayofmonth("ts") < 16).cast("int")).cast("double")
+        ).alias("d")
+    )
+    nz = u.filter(F.col("d") != 0).select("d", F.abs("d").alias("ad"))
+    pv = nz.groupBy("ad").agg(
+        F.sum((F.col("d") > 0).cast("int")).alias("cpos"),
+        F.count(F.lit(1)).alias("ct"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    # |diff| takes integer event-count values -- a bounded domain (the
+    # calendar caps per-user counts), so the distinct-value cumsum frame
+    # is small; at true scale route through the hierarchical scan
+    cum = pv.withColumn("below", F.sum("ct").over(w) - F.col("ct"))
+    agg = cum.agg(
+        F.sum("ct").cast("double").alias("n"),
+        F.sum(F.col("cpos") * (F.col("below") + (F.col("ct") + 1) / 2.0)).alias("wplus"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("double")
+        .alias("ties"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.cast("long").alias("n_nonzero"),
+        F.round("wplus", 2).alias("w_plus"),
+        F.round(
+            (F.col("wplus") - n * (n + 1) / 4.0)
+            / F.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - F.col("ties") / 48.0),
+            R,
+        ).alias("z"),
+    )

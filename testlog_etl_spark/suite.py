@@ -159,7 +159,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    corpus_uncertainty_sample, layout_partition_planner,
     #    sim_mmr_rerank, stats_cohens_h, events_retention_halflife,
     #    stats_anderson_darling, agg_hodges_lehmann,
-    #    graph_markov_stationary.
+    #    graph_markov_stationary, stats_wilcoxon_signed_rank,
+    #    eval_knn_classifier.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -2902,3 +2902,63 @@ def test_markov_stationary_matches_bruteforce(spark, duck):
         )
     # probabilities stay a distribution after snapping (up to snap error)
     assert sum(r["stationary_p"] for r in got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_wilcoxon_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT SUM(CASE WHEN EXTRACT(day FROM ts) >= 16 THEN 1 ELSE 0 END) "
+        "- SUM(CASE WHEN EXTRACT(day FROM ts) < 16 THEN 1 ELSE 0 END) "
+        "FROM events GROUP BY user_id"
+    ).fetchall()
+    ds = [float(r[0]) for r in rows if r[0] != 0]
+    ranks = _avg_ranks([abs(d) for d in ds])
+    n = len(ds)
+    wplus = sum(ranks[abs(d)] for d in ds if d > 0)
+    from collections import Counter
+
+    ties = sum(c**3 - c for c in Counter(abs(d) for d in ds).values())
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    z = (wplus - n * (n + 1) / 4.0) / math.sqrt(var)
+    r = REGISTRY["stats_wilcoxon_signed_rank"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_nonzero"] == n
+    assert r["w_plus"] == pytest.approx(wplus, abs=0.011)
+    assert r["z"] == pytest.approx(z, abs=1e-3)
+
+
+def test_knn_matches_bruteforce(spark, duck):
+    from collections import Counter
+
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute("SELECT vec_id, label, embedding FROM embeddings").fetchall()
+    vecs = {r[0]: ([float(x) for x in r[2]], r[1]) for r in rows}
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    correct = Counter()
+    total = Counter()
+    for qid, (qv, lbl) in vecs.items():
+        scored = sorted(
+            ((-cos(qv, cv), cid) for cid, (cv, _) in vecs.items() if cid != qid)
+        )[:5]
+        votes = Counter(vecs[cid][1] for _, cid in scored)
+        pred = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        total[lbl] += 1
+        correct[lbl] += pred == lbl
+    got = {
+        r["label"]: r
+        for r in REGISTRY["eval_knn_classifier"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(total)
+    for lbl in total:
+        assert got[lbl]["n_vectors"] == total[lbl]
+        assert got[lbl]["n_correct"] == correct[lbl]

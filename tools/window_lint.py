@@ -76,6 +76,11 @@ WHITELIST: dict[str, str] = {
         "share/rank windows run over each column's MASK rollup -- the "
         "domain is format shapes (a handful per column), not rows"
     ),
+    "stats_wilcoxon_signed_rank": (
+        "the distinct-|diff| cumsum runs over integer event-count "
+        "deltas -- a calendar-capped domain; route through the "
+        "hierarchical scan at true scale (docstring)"
+    ),
     "events_hazard_rate": (
         "suffix/cumulative windows run over the fixed 31-row span-day "
         "grid (the survival_curve rationale)"
