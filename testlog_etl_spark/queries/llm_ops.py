@@ -6149,3 +6149,86 @@ def eval_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "text_self_similarity_diversity",
+    doc="corpus self-similarity / diversity one-pager (the Self-BLEU "
+    "idea restated with exact token-set Jaccard): over the doc_id < "
+    "200 sample, mean pairwise Jaccard among OVERLAPPING pairs, the "
+    "share of all pairs overlapping at all, and the share above 0.5 "
+    "(near-template mass) -- low diversity warns of mode collapse in "
+    "generated corpora before any model sees them. Shared-term pair "
+    "join (zero-overlap pairs never materialize; closed-form total "
+    "pair count supplies the denominator).",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, list_distinct(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')) AS toks
+  FROM documents WHERE doc_id < 200
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM docs),
+t AS (SELECT doc_id, unnest(toks) AS term, len(toks) AS sz FROM docs),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         COUNT(*)::DOUBLE AS inter, MAX(a.sz) AS sa, MAX(b.sz) AS sb
+  FROM t a JOIN t b ON b.term = a.term AND b.doc_id > a.doc_id
+  GROUP BY ia, ib
+),
+sims AS (SELECT inter / (sa + sb - inter) AS s FROM pairs)
+SELECT CAST(n.n AS BIGINT) AS n_docs,
+       CAST(n.n * (n.n - 1) / 2 AS BIGINT) AS n_pairs,
+       CAST((SELECT COUNT(*) FROM sims) AS BIGINT) AS overlapping_pairs,
+       ROUND((SELECT AVG(s) FROM sims), 6) AS mean_jaccard_overlapping,
+       ROUND((SELECT COUNT(*) FROM sims) / (n.n * (n.n - 1) / 2), 4) AS overlap_share,
+       ROUND((SELECT SUM(CASE WHEN s > 0.5 THEN 1 ELSE 0 END) FROM sims)
+             / (n.n * (n.n - 1) / 2), 6) AS near_template_share
+FROM n
+""",
+)
+def text_self_similarity_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.array_distinct(textstats.tokens(F.lower(F.col("text")))).alias("toks"),
+        )
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    t = docs.select(
+        "doc_id", F.explode("toks").alias("term"), F.size("toks").alias("sz")
+    )
+    a = t.select(F.col("doc_id").alias("ia"), "term", F.col("sz").alias("sa"))
+    b = t.select(
+        F.col("doc_id").alias("ib"), F.col("term").alias("termb"), F.col("sz").alias("sb")
+    )
+    sims = (
+        a.join(b, (F.col("term") == F.col("termb")) & (F.col("ib") > F.col("ia")))
+        .groupBy("ia", "ib")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("inter"),
+            F.max("sa").alias("sa"),
+            F.max("sb").alias("sb"),
+        )
+        .select(
+            (F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))).alias("s")
+        )
+    )
+    stats = sims.agg(
+        F.count(F.lit(1)).cast("double").alias("op"),
+        F.avg("s").alias("mj"),
+        F.sum((F.col("s") > 0.5).cast("int")).cast("double").alias("nt"),
+    )
+    tot = F.col("n") * (F.col("n") - 1) / 2
+    return (
+        n.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            tot.cast("long").alias("n_pairs"),
+            F.col("op").cast("long").alias("overlapping_pairs"),
+            F.round("mj", 6).alias("mean_jaccard_overlapping"),
+            F.round(F.col("op") / tot, 4).alias("overlap_share"),
+            F.round(F.col("nt") / tot, 6).alias("near_template_share"),
+        )
+    )

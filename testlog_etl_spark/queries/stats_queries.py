@@ -3101,3 +3101,86 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             R,
         ).alias("z"),
     )
+
+
+@register(
+    "stats_friedman_test",
+    doc="Friedman repeated-measures rank test: within every day "
+    "(block), the 5 event types (treatments) are tie-average-ranked "
+    "by daily count; chi2_F = 12/(n k (k+1)) sum R_j^2 - 3 n (k+1) "
+    "over complete blocks -- 'do the types keep the same ordering "
+    "day after day' without normality assumptions (the blocked "
+    "complement to anova/kruskal). Ranks come from per-day windows "
+    "over the 5-row type frame; everything after is closed form.",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         count(*)::DOUBLE AS n
+  FROM events GROUP BY day, event_type
+),
+k AS (SELECT COUNT(DISTINCT event_type) AS k FROM d),
+complete AS (
+  SELECT day FROM d GROUP BY day
+  HAVING COUNT(*) = (SELECT k FROM k)
+),
+r AS (
+  SELECT d.day, d.event_type,
+         RANK() OVER (PARTITION BY d.day ORDER BY d.n) AS rmin,
+         COUNT(*) OVER (PARTITION BY d.day, d.n) AS cnt
+  FROM d JOIN complete c ON c.day = d.day
+),
+ar AS (
+  SELECT day, event_type, rmin + (cnt - 1) / 2.0 AS arank FROM r
+),
+rj AS (
+  SELECT event_type, SUM(arank) AS rsum, COUNT(*)::DOUBLE AS n_blocks
+  FROM ar GROUP BY event_type
+)
+SELECT CAST(MAX(n_blocks) AS BIGINT) AS n_blocks,
+       CAST((SELECT k FROM k) AS BIGINT) AS k_treatments,
+       ROUND(12.0 / (MAX(n_blocks) * (SELECT k FROM k) * ((SELECT k FROM k) + 1))
+             * SUM(rsum * rsum)
+             - 3.0 * MAX(n_blocks) * ((SELECT k FROM k) + 1), {R}) AS friedman_chi2
+FROM rj
+""",
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    k = d.agg(F.countDistinct("event_type").alias("k"))
+    complete = (
+        d.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("c") == F.col("k"))
+        .select("day")
+    )
+    dc = d.join(complete, "day", "left_semi")
+    # tie-averaged rank = min-rank + (ties-at-value - 1)/2; windows run
+    # over the 5-row per-day type frame
+    wday = Window.partitionBy("day").orderBy("n")
+    wtie = Window.partitionBy("day", "n")
+    ar = dc.select(
+        "day",
+        "event_type",
+        (F.rank().over(wday) + (F.count(F.lit(1)).over(wtie) - 1) / 2.0).alias("arank"),
+    )
+    rj = ar.groupBy("event_type").agg(
+        F.sum("arank").alias("rsum"), F.count(F.lit(1)).cast("double").alias("n_blocks")
+    )
+    agg = rj.crossJoin(F.broadcast(k)).agg(
+        F.max("n_blocks").alias("nb"),
+        F.max("k").cast("double").alias("kk"),
+        F.sum(F.col("rsum") * F.col("rsum")).alias("ss"),
+    )
+    return agg.select(
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.col("kk").cast("long").alias("k_treatments"),
+        F.round(
+            12.0 / (F.col("nb") * F.col("kk") * (F.col("kk") + 1)) * F.col("ss")
+            - 3.0 * F.col("nb") * (F.col("kk") + 1),
+            R,
+        ).alias("friedman_chi2"),
+    )

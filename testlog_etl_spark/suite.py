@@ -160,7 +160,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    sim_mmr_rerank, stats_cohens_h, events_retention_halflife,
     #    stats_anderson_darling, agg_hodges_lehmann,
     #    graph_markov_stationary, stats_wilcoxon_signed_rank,
-    #    eval_knn_classifier.
+    #    eval_knn_classifier, stats_friedman_test,
+    #    text_self_similarity_diversity. (Session-3 total: 100 added
+    #    operators; the registry closes r07 at 421, all oracle-backed.)
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -2962,3 +2962,60 @@ def test_knn_matches_bruteforce(spark, duck):
     for lbl in total:
         assert got[lbl]["n_vectors"] == total[lbl]
         assert got[lbl]["n_correct"] == correct[lbl]
+
+
+def test_friedman_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT CAST(date_trunc('day', ts) AS DATE), event_type, count(*) "
+        "FROM events GROUP BY 1, 2"
+    ).fetchall()
+    days = {}
+    types = set()
+    for day, et, n in rows:
+        days.setdefault(day, {})[et] = float(n)
+        types.add(et)
+    k = len(types)
+    blocks = [v for v in days.values() if len(v) == k]
+    rsum = {t: 0.0 for t in types}
+    for blk in blocks:
+        ranks = _avg_ranks(list(blk.values()))
+        for t, v in blk.items():
+            rsum[t] += ranks[v]
+    n = len(blocks)
+    chi2 = 12.0 / (n * k * (k + 1)) * sum(v * v for v in rsum.values()) - 3 * n * (k + 1)
+    r = REGISTRY["stats_friedman_test"].fn(spark, SF_SMALL).collect()[0]
+    assert (r["n_blocks"], r["k_treatments"]) == (n, k)
+    assert r["friedman_chi2"] == pytest.approx(chi2, abs=1e-3)
+
+
+def test_self_similarity_matches_bruteforce(spark, duck):
+    from testlog_etl_spark.suite import REGISTRY, queries
+
+    queries()
+    register_duck_views(duck, SF_SMALL)
+    rows = duck.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 200"
+    ).fetchall()
+    toks = {d: set((t or "").strip().lower().split()) for d, t in rows}
+    ids = sorted(toks)
+    sims = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(toks[a] & toks[b])
+            if inter:
+                sims.append(inter / len(toks[a] | toks[b]))
+    n = len(ids)
+    tot = n * (n - 1) // 2
+    r = REGISTRY["text_self_similarity_diversity"].fn(spark, SF_SMALL).collect()[0]
+    assert (r["n_docs"], r["n_pairs"], r["overlapping_pairs"]) == (n, tot, len(sims))
+    assert r["mean_jaccard_overlapping"] == pytest.approx(
+        sum(sims) / len(sims), abs=1e-4
+    )
+    assert r["overlap_share"] == pytest.approx(len(sims) / tot, abs=1e-3)
+    assert r["near_template_share"] == pytest.approx(
+        sum(1 for s in sims if s > 0.5) / tot, abs=1e-4
+    )
