@@ -2408,7 +2408,7 @@ SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_units,
        CAST((SELECT SUM(CASE WHEN abs(rep.d) >= abs(obs.d) THEN 1 ELSE 0 END) FROM rep) AS BIGINT) AS n_as_extreme,
        ROUND((SELECT SUM(CASE WHEN abs(rep.d) >= abs(obs.d) THEN 1 ELSE 0 END) FROM rep) * 1.0 / {reps}, 4) AS p_value
 FROM obs
-""",
+"""
 
 
 @register(
@@ -2421,7 +2421,7 @@ FROM obs
     "assumption-free companion to welch/CUPED: ONE unit rollup, one "
     "64x label explode that collapses map-side (the bootstrap's "
     "shuffle shape).",
-    oracle=_perm_test_oracle()[0],
+    oracle=_perm_test_oracle(),
 )
 def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = 64
