@@ -814,3 +814,57 @@ def test_rrf_fusion_ranks_after_take_ordered(spark):
     plan = plan_of(_q("search_rrf_fusion")(spark, SF_SMALL)).lower()
     assert "takeorderedandproject" in plan
     assert "cartesianproduct" not in plan
+
+
+# ---------------------------------------------------------------- r07 s3
+
+
+def test_filtered_vector_search_pushes_label_filter(spark):
+    # pre-filtering is the point: the label predicate must reach the
+    # embeddings scan (pushed filter), not run after distance math
+    df = _q("sim_topk_filtered")(spark, SF_SMALL)
+    plan = plan_of(df)
+    pushed = [seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("label" in p for p in pushed), pushed
+
+
+def test_trigram_search_broadcasts_query_trigrams(spark):
+    # the 8-row query-trigram set must broadcast into the posting
+    # semi-join; the doc side never shuffles whole
+    plan = plan_of(_q("index_trigram_search")(spark, SF_SMALL)).lower()
+    assert "broadcasthashjoin" in plan
+    assert "cartesianproduct" not in plan
+
+
+def test_radius_grid_join_is_equi_not_cartesian(spark):
+    # 3x3 cell blocking realizes as an EQUI hash join on shifted cell
+    # keys -- the O(n^2) distance join must never plan. (The one
+    # BroadcastNestedLoopJoin in the plan is the intentional 9-ROW
+    # offsets crossJoin, constant-sized by construction.)
+    plan = plan_of(_q("join_radius_grid")(spark, SF_SMALL)).lower()
+    assert "cartesianproduct" not in plan
+    assert "broadcasthashjoin" in plan
+
+
+def test_mann_whitney_has_no_unpartitioned_window(spark):
+    from testlog_etl_spark.planlint import unpartitioned_windows
+
+    for name in ("stats_mann_whitney", "stats_effect_sizes", "stats_wasserstein_drift"):
+        assert unpartitioned_windows(_q(name)(spark, SF_SMALL)) == [], name
+
+
+def test_burstiness_top_terms_via_take_ordered(spark):
+    # top-50-df selection must be the k-bounded TakeOrderedAndProject,
+    # never a vocabulary-wide rank window
+    plan = plan_of(_q("text_term_burstiness")(spark, SF_SMALL)).lower()
+    assert "takeorderedandproject" in plan
+    from testlog_etl_spark.planlint import unpartitioned_windows
+
+    assert unpartitioned_windows(_q("text_term_burstiness")(spark, SF_SMALL)) == []
+
+
+def test_lsh_advisor_pairs_are_equi_joined(spark):
+    # candidate pairs come from the shared-term equi-join; zero-overlap
+    # pairs must never materialize via a cross product
+    plan = plan_of(_q("dedup_lsh_parameter_advisor")(spark, SF_SMALL)).lower()
+    assert "cartesianproduct" not in plan
