@@ -468,6 +468,67 @@ _REG2["layout_zorder_pruning"].oracle = _zorder_oracle()
 
 
 @register(
+    "layout_hilbert_pruning",
+    doc="Hilbert-curve clustering readout, the locality-tighter sibling "
+    "of layout_zorder_pruning: the SAME (custkey, epoch-day) 8-bit "
+    "grid, linearized by the Hilbert index instead of Morton. "
+    "operators/layout.py::with_hilbert unrolls the xy2d fold as a "
+    "ladder of chained projections (linear plan size; a single "
+    "expression tree would grow ~3^bits nodes) that stays inside one "
+    "WholeStageCodegen span -- no shuffle, no UDF. The oracle replays "
+    "the identical fold as generated chained CTEs (hilbert_sql_ctes), "
+    "so the index is bit-exact across engines. Buckets are the top 8 "
+    "of 16 index bits = 256-key curve segments; per-bucket bounding "
+    "boxes are the data-skipping figure of merit, and Hilbert's "
+    "unit-step adjacency (consecutive keys are grid neighbors -- "
+    "property-tested) keeps them tighter than Z-order's quadrant "
+    "jumps, which is why Delta/Iceberg offer it for file clustering.",
+    oracle=None,  # filled below: shares the generated fold SQL
+)
+def layout_hilbert_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.layout import with_hilbert
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    xq = F.pmod(F.col("o_custkey"), F.lit(256)).cast("long")
+    yq = F.pmod(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")),
+        F.lit(256),
+    ).cast("long")
+    base = orders.select(xq.alias("xq"), yq.alias("yq"))
+    h = with_hilbert(base, F.col("xq"), F.col("yq"), bits=8, out="h")
+    g = (
+        h.withColumn("bucket", F.expr("h div 256"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("xq") - F.min("xq")).alias("x_span"),
+            (F.max("yq") - F.min("yq")).alias("y_span"),
+        )
+    )
+    return g.orderBy("bucket")
+
+
+def _hilbert_oracle() -> str:
+    from testlog_etl_spark.operators.layout import hilbert_sql_ctes
+
+    src = (
+        "SELECT (o_custkey % 256 + 256) % 256 AS xq, "
+        "(datediff('day', DATE '1970-01-01', o_orderdate::DATE) % 256 + 256) % 256 AS yq "
+        "FROM orders"
+    )
+    ctes = hilbert_sql_ctes(src, "xq", "yq", bits=8, keep="xq, yq", out="h")
+    return f"""
+{ctes}
+SELECT h // 256 AS bucket, count(*) AS n_rows,
+       max(xq) - min(xq) AS x_span, max(yq) - min(yq) AS y_span
+FROM h8 GROUP BY bucket ORDER BY bucket
+"""
+
+
+_REG2["layout_hilbert_pruning"].oracle = _hilbert_oracle()
+
+
+@register(
     "layout_dictionary_estimate",
     doc="dictionary-encoding advisor for the writer: per candidate "
     "string column of lineitem, cardinality vs row count and the "

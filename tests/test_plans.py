@@ -868,3 +868,22 @@ def test_lsh_advisor_pairs_are_equi_joined(spark):
     # pairs must never materialize via a cross product
     plan = plan_of(_q("dedup_lsh_parameter_advisor")(spark, SF_SMALL)).lower()
     assert "cartesianproduct" not in plan
+
+
+def test_hilbert_pruning_single_exchange_pure_codegen(spark):
+    """The Hilbert fold ladder must stay JVM-side (no python boundary)
+    and add NO shuffle of its own: the only Exchange is the bucket
+    aggregation's, and the scan reads just the two quantized columns."""
+    import re
+
+    df = _q("layout_hilbert_pruning")(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one hash exchange (the bucket agg); the trailing rangepartitioning
+    # exchange belongs to the deterministic ORDER BY, not the fold
+    simple = plan_of(df, mode="simple")
+    assert simple.count("Exchange hashpartitioning") == 1, simple
+    assert "CartesianProduct" not in plan and "Generate" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_custkey" in read and "o_orderdate" in read
+    assert "o_totalprice" not in read

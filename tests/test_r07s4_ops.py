@@ -1,0 +1,106 @@
+"""Unit tests for round-7 session-4 operators (Hilbert layout, schema
+evolution, FD audit, binned quantile, containment dedup, ...)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- Hilbert
+
+
+def _xy2d_classic(order: int, x: int, y: int) -> int:
+    """Classic Wikipedia xy2d -- the independent reference the masked
+    production formulation must match bit-for-bit."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_masked_equals_classic_exhaustive():
+    from testlog_etl_spark.operators.layout import hilbert_d
+
+    for order in range(1, 7):
+        n = 1 << order
+        for x in range(n):
+            for y in range(n):
+                assert hilbert_d(x, y, order) == _xy2d_classic(order, x, y)
+
+
+def test_hilbert_bijection_and_unit_step_adjacency():
+    from testlog_etl_spark.operators.layout import hilbert_d
+
+    order, n = 5, 32
+    pos: dict[int, tuple[int, int]] = {}
+    for x in range(n):
+        for y in range(n):
+            pos[hilbert_d(x, y, order)] = (x, y)
+    assert len(pos) == n * n  # bijection onto [0, n^2)
+    assert set(pos) == set(range(n * n))
+    for d in range(1, n * n):
+        (x0, y0), (x1, y1) = pos[d - 1], pos[d]
+        # THE Hilbert property: consecutive keys are grid neighbors
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_with_hilbert_spark_matches_reference(spark):
+    from testlog_etl_spark.operators.layout import hilbert_d, with_hilbert
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = with_hilbert(df, F.col("x"), F.col("y"), bits=8, out="h").collect()
+    for r in got:
+        assert r.h == hilbert_d(r.x, r.y, 8), (r.x, r.y)
+
+
+def test_hilbert_sql_ctes_duckdb_matches_reference(duck):
+    from testlog_etl_spark.operators.layout import hilbert_d, hilbert_sql_ctes
+
+    rng = random.Random(11)
+    pts = [(rng.randrange(64), rng.randrange(64)) for _ in range(200)]
+    values = ", ".join(f"({x}, {y})" for x, y in pts)
+    src = f"SELECT * FROM (VALUES {values}) AS t(xq, yq)"
+    ctes = hilbert_sql_ctes(src, "xq", "yq", bits=6, keep="xq, yq", out="h")
+    rows = duck.execute(f"{ctes} SELECT xq, yq, h FROM h6").fetchall()
+    assert len(rows) == len(pts)
+    for x, y, h in rows:
+        assert h == hilbert_d(x, y, 6), (x, y)
+
+
+def test_hilbert_buckets_tighter_than_zorder(spark):
+    """The reason to offer Hilbert above Z-order: on the same quantized
+    grid with the same bucket width, Hilbert's per-bucket bounding boxes
+    have a smaller mean half-perimeter (x_span + y_span) -- tighter
+    boxes => tighter parquet min/max stats => more files pruned."""
+    from testlog_etl_spark.operators.layout import with_hilbert, zorder_value
+
+    rng = random.Random(3)
+    pts = [(rng.randrange(64), rng.randrange(64)) for _ in range(4000)]
+    df = spark.createDataFrame(pts, "x long, y long")
+
+    def mean_half_perimeter(bucketed):
+        rows = (
+            bucketed.groupBy("b")
+            .agg(((F.max("x") - F.min("x")) + (F.max("y") - F.min("y"))).alias("hp"))
+            .collect()
+        )
+        return sum(r.hp for r in rows) / len(rows)
+
+    hil = with_hilbert(df, F.col("x"), F.col("y"), bits=6, out="h").withColumn(
+        "b", F.expr("h div 64")
+    )
+    zor = df.withColumn("b", F.shiftright(zorder_value(F.col("x"), F.col("y"), bits=6), 6))
+    assert mean_half_perimeter(hil) <= mean_half_perimeter(zor)
