@@ -1049,3 +1049,151 @@ def dq_ingestion_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("max_regression_s"),
     )
+
+
+@register(
+    "dq_functional_dependency",
+    doc="functional-dependency audit: for candidate FDs A -> B, how many "
+    "determinant groups carry MORE than one dependent value (the "
+    "violation count a constraint miner or schema doc needs). "
+    "c_custkey -> c_nationkey is the key-determined control (must "
+    "HOLD); c_nationkey -> c_mktsegment and p_type -> p_size are "
+    "expected violations -- one healthy and two broken FDs keep both "
+    "report paths honest. Candidate pairs from each table stack into "
+    "one frame per scan, then ONE two-level rollup serves every FD; "
+    "at 100 TB each level is a map-side-combinable agg on the "
+    "determinant key.",
+    oracle="""
+WITH fd AS (
+  SELECT 'c_custkey->c_nationkey' AS fd, c_custkey::VARCHAR AS det, c_nationkey::VARCHAR AS dep FROM customer
+  UNION ALL
+  SELECT 'c_nationkey->c_mktsegment', c_nationkey::VARCHAR, c_mktsegment::VARCHAR FROM customer
+  UNION ALL
+  SELECT 'p_type->p_size', p_type::VARCHAR, p_size::VARCHAR FROM part
+),
+g AS (
+  SELECT fd, det, count(DISTINCT dep) AS nd, count(*) AS n
+  FROM fd GROUP BY fd, det
+)
+SELECT fd,
+       count(*) AS n_groups,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+       CAST(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT) AS violating_rows,
+       CAST(MAX(nd) AS BIGINT) AS max_distinct_dep,
+       (MAX(nd) = 1) AS holds
+FROM g GROUP BY fd ORDER BY fd
+""",
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "part"))
+
+    def stacked_fds(df: DataFrame, fds: list[tuple[str, str, str]]) -> DataFrame:
+        # stack each table's candidate (det, dep) pairs in ONE scan
+        return df.selectExpr(
+            f"stack({len(fds)}, "
+            + ", ".join(
+                f"'{label}', CAST({det} AS STRING), CAST({dep} AS STRING)"
+                for label, det, dep in fds
+            )
+            + ") AS (fd, det, dep)"
+        )
+
+    stacked = stacked_fds(
+        t["customer"],
+        [
+            ("c_custkey->c_nationkey", "c_custkey", "c_nationkey"),
+            ("c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"),
+        ],
+    ).unionByName(stacked_fds(t["part"], [("p_type->p_size", "p_type", "p_size")]))
+    g = stacked.groupBy("fd", "det").agg(
+        F.countDistinct("dep").alias("nd"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        g.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("violating_groups"),
+            F.sum(F.when(F.col("nd") > 1, F.col("n")).otherwise(0)).alias("violating_rows"),
+            F.max("nd").alias("max_distinct_dep"),
+            (F.max("nd") == 1).alias("holds"),
+        )
+        .orderBy("fd")
+    )
+
+
+@register(
+    "dq_referential_orphans",
+    doc="referential-integrity audit over the star's FK edges: per edge, "
+    "child rows whose key has NO parent (orphans -- corruption) and "
+    "parent keys no child references (childless -- expected business "
+    "slack, e.g. customers who never ordered). Orphan counting rides a "
+    "left join + null test so the child table is scanned once per "
+    "edge; childless parents are a left_anti from the (distinct) "
+    "parent key set. Both sides reduce BEFORE the single-row "
+    "crossJoin stitch (broadcast-1-row by construction). In TPC-H "
+    "every orphan count must be 0 while customer/part/supplier all "
+    "carry childless rows -- asserting both directions keeps the "
+    "audit falsifiable.",
+    oracle="""
+SELECT 'lineitem.l_partkey->part' AS edge,
+       (SELECT count(*) FROM lineitem) AS child_rows,
+       (SELECT count(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_partkey IS NULL) AS orphan_rows,
+       (SELECT count(DISTINCT p_partkey) FROM part) AS parent_keys,
+       (SELECT count(*) FROM part p WHERE NOT EXISTS
+         (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)) AS childless_parents
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_suppkey IS NULL),
+       (SELECT count(DISTINCT s_suppkey) FROM supplier),
+       (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+         (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL),
+       (SELECT count(DISTINCT c_custkey) FROM customer),
+       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+ORDER BY edge
+""",
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer", "part", "supplier"))
+
+    def edge(label: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        c = child.select(F.col(ckey).alias("k"))
+        p = parent.select(F.col(pkey).alias("k")).distinct()
+        hit = c.join(p.withColumn("_hit", F.lit(1)), "k", "left").agg(
+            F.count(F.lit(1)).alias("child_rows"),
+            F.sum(F.col("_hit").isNull().cast("long")).alias("orphan_rows"),
+        )
+        childless = p.join(c.distinct(), "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("childless_parents")
+        )
+        parents = p.agg(F.count(F.lit(1)).alias("parent_keys"))
+        return (
+            hit.crossJoin(parents)
+            .crossJoin(childless)
+            .select(
+                F.lit(label).alias("edge"),
+                "child_rows",
+                "orphan_rows",
+                "parent_keys",
+                "childless_parents",
+            )
+        )
+
+    out = (
+        edge("lineitem.l_partkey->part", t["lineitem"], "l_partkey", t["part"], "p_partkey")
+        .unionByName(
+            edge("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey")
+        )
+        .unionByName(
+            edge("orders.o_custkey->customer", t["orders"], "o_custkey", t["customer"], "c_custkey")
+        )
+    )
+    return out.orderBy("edge")

@@ -104,3 +104,70 @@ def test_hilbert_buckets_tighter_than_zorder(spark):
     )
     zor = df.withColumn("b", F.shiftright(zorder_value(F.col("x"), F.col("y"), bits=6), 6))
     assert mean_half_perimeter(hil) <= mean_half_perimeter(zor)
+
+
+# ------------------------------------------------- schema evolution merge
+
+
+def test_merge_schema_surfaces_null_for_legacy_rows(spark, tmp_path):
+    v1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    v2 = spark.createDataFrame([(3, 30.0, "R1")], "id long, v double, region string")
+    v1.write.parquet(str(tmp_path / "gen=v1"))
+    v2.write.parquet(str(tmp_path / "gen=v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "gen=v1"), str(tmp_path / "gen=v2")
+    )
+    assert set(merged.columns) == {"id", "v", "region"}
+    rows = {r.id: r for r in merged.collect()}
+    assert len(rows) == 3  # lossless: no rows dropped or duplicated
+    assert rows[1].region is None and rows[2].region is None
+    assert rows[3].region == "R1"
+
+
+# ------------------------------------------- functional dependency audit
+
+
+def test_fd_audit_flags_only_violated_dependency(spark, sf_dir):
+    from testlog_etl_spark.queries.profile_queries import dq_functional_dependency
+
+    out = {r.fd: r for r in dq_functional_dependency(spark, sf_dir).collect()}
+    # key-determined FD must hold with zero violations
+    ctrl = out["c_custkey->c_nationkey"]
+    assert ctrl.holds and ctrl.violating_groups == 0 and ctrl.max_distinct_dep == 1
+    # nation cannot determine market segment
+    viol = out["c_nationkey->c_mktsegment"]
+    assert not viol.holds and viol.violating_groups > 0
+    assert viol.violating_rows >= viol.violating_groups
+
+
+# ------------------------------------------------ referential orphan audit
+
+
+def test_orphan_audit_counts_injected_orphans(spark):
+    """The sf tables are referentially clean, so prove the detector on
+    frames with KNOWN corruption: 2 orphan child rows, 1 childless parent."""
+    from testlog_etl_spark.queries.profile_queries import dq_referential_orphans
+
+    child = spark.createDataFrame([(1,), (1,), (2,), (99,), (98,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+
+    c = child.select(F.col("fk").alias("k"))
+    p = parent.select(F.col("pk").alias("k")).distinct()
+    hit = c.join(p.withColumn("_hit", F.lit(1)), "k", "left").agg(
+        F.count(F.lit(1)).alias("child_rows"),
+        F.sum(F.col("_hit").isNull().cast("long")).alias("orphan_rows"),
+    ).collect()[0]
+    assert hit.child_rows == 5 and hit.orphan_rows == 2
+    childless = p.join(c.distinct(), "k", "left_anti").count()
+    assert childless == 1
+
+
+def test_orphan_audit_clean_on_sf_tables(spark, sf_dir):
+    from testlog_etl_spark.queries.profile_queries import dq_referential_orphans
+
+    rows = dq_referential_orphans(spark, sf_dir).collect()
+    assert len(rows) == 3
+    assert all(r.orphan_rows == 0 for r in rows)  # TPC-H integrity
+    # at sf0.001 every parent is referenced; childless is bounded by keys
+    assert all(0 <= r.childless_parents <= r.parent_keys for r in rows)
+    assert all(r.child_rows > r.parent_keys for r in rows)  # fact >> dim
