@@ -2518,3 +2518,83 @@ def orders_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "agg_binned_quantile",
+    doc="mergeable one-pass quantile sketch: a 256-bin equi-width "
+    "histogram of l_extendedprice, then quantiles by cumulative "
+    "interpolation inside the hit bin. The histogram is an ordinary "
+    "groupBy count -- map-side combinable, merges across partitions/"
+    "days by vector addition, and its error is bounded a priori by "
+    "one bin width (range/256), unlike rank-based exact percentiles "
+    "whose global sort shuffles the WHOLE column at 100 TB. Bounds "
+    "ride a broadcast 1-row crossJoin (never a driver collect); the "
+    "cumulative walk is a window over the 256-row bin frame, bounded "
+    "by construction. Deterministic double math replayed identically "
+    "by the oracle (no approx_percentile engine internals).",
+    oracle="""
+WITH b AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+         count(*) AS n
+  FROM lineitem
+),
+h AS (
+  SELECT LEAST(CAST(FLOOR((l_extendedprice - b.lo) / (b.hi - b.lo) * 256) AS BIGINT),
+               255) AS bin,
+         count(*) AS cnt
+  FROM lineitem, b GROUP BY 1
+),
+c AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+q AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q)
+SELECT q.q, b.n AS n_rows, c.bin,
+       ROUND(b.lo + (c.bin + (q.q * b.n - (c.cum - c.cnt)) / c.cnt)
+                    * (b.hi - b.lo) / 256, 2) AS estimate,
+       ROUND((b.hi - b.lo) / 256, 2) AS max_error
+FROM q, b, c
+WHERE c.cum - c.cnt < q.q * b.n AND q.q * b.n <= c.cum
+ORDER BY q.q
+""",
+)
+def agg_binned_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    x = F.col("l_extendedprice")
+    bounds = li.agg(F.min(x).alias("lo"), F.max(x).alias("hi"), F.count(F.lit(1)).alias("n"))
+    binned = (
+        li.select(x.alias("v"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 256),
+                F.lit(255),
+            ).alias("bin")
+        )
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    # 256-row frame: the unpartitioned window is bounded by the bin count,
+    # never the data (window_lint whitelist class: static frame)
+    cum = hist.withColumn("cum", F.sum("cnt").over(Window.orderBy("bin")))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (0.25, 0.5, 0.75, 0.9, 0.99)])).alias("q")
+    )
+    joined = (
+        cum.crossJoin(F.broadcast(bounds))
+        .join(
+            F.broadcast(qs),
+            (F.col("cum") - F.col("cnt") < F.col("q") * F.col("n"))
+            & (F.col("q") * F.col("n") <= F.col("cum")),
+        )
+    )
+    width = (F.col("hi") - F.col("lo")) / 256
+    est = F.col("lo") + (
+        F.col("bin") + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    ) * width
+    return joined.select(
+        "q",
+        F.col("n").alias("n_rows"),
+        "bin",
+        F.round(est, 2).alias("estimate"),
+        F.round(width, 2).alias("max_error"),
+    ).orderBy("q")

@@ -6232,3 +6232,81 @@ def text_self_similarity_diversity(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.col("nt") / tot, 6).alias("near_template_share"),
         )
     )
+
+
+@register(
+    "dedup_containment_postings",
+    doc="ASYMMETRIC near-dup tier: shingle containment C(A,B) = "
+    "|S(A) n S(B)| / |S(A)| -- catches a short doc quoted or pasted "
+    "inside a longer one -- the SCALE path for the brute-force "
+    "dedup_containment tier above (same semantics, different plan): "
+    "distinct (doc, shingle) postings equi-join on the shingle -- "
+    "candidate volume proportional to true co-occurrence, never "
+    "all-pairs; shingles with document frequency > 64 are dropped "
+    "first (boilerplate valve, same contract as the Hamming tier's "
+    "max_block: bounded per-shingle fan-out at the cost of recall on "
+    "pure-boilerplate overlap, and sizes are computed on the SAME "
+    "capped shingle space so the ratio stays internally consistent). "
+    "Both directions of every pair are reported since C(A,B) != C(B,A).",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)])) AS shingle
+  FROM t
+),
+kept AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) <= 64),
+p AS (SELECT s.doc_id, s.shingle FROM s JOIN kept USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM p GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, sz.n_sh AS n_sh_a, n_common,
+       ROUND(n_common::DOUBLE / sz.n_sh, 4) AS containment
+FROM inter JOIN sz ON sz.doc_id = id_a
+WHERE n_common::DOUBLE / sz.n_sh >= 0.6
+ORDER BY id_a, id_b
+""",
+)
+def dedup_containment_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.util import spread
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull()
+    )
+    posting = spread(
+        docs.select(
+            "doc_id", F.explode(neardup.word_shingles(F.col("text"))).alias("shingle")
+        )
+    )
+    kept = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= 64
+    )
+    p = posting.join(kept.select("shingle"), "shingle")
+    sz = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = p.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = p.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("id_a") != F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = inter.join(sz.withColumnRenamed("doc_id", "id_a"), "id_a").select(
+        "id_a",
+        "id_b",
+        F.col("n_sh").alias("n_sh_a"),
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_sh")).alias("_c"),
+    )
+    return (
+        out.filter(F.col("_c") >= 0.6)
+        .select("id_a", "id_b", "n_sh_a", "n_common", F.round("_c", 4).alias("containment"))
+        .orderBy("id_a", "id_b")
+    )

@@ -171,3 +171,69 @@ def test_orphan_audit_clean_on_sf_tables(spark, sf_dir):
     # at sf0.001 every parent is referenced; childless is bounded by keys
     assert all(0 <= r.childless_parents <= r.parent_keys for r in rows)
     assert all(r.child_rows > r.parent_keys for r in rows)  # fact >> dim
+
+
+# ------------------------------------------------- binned quantile sketch
+
+
+def test_binned_quantile_within_stated_error(spark, sf_dir):
+    from testlog_etl_spark.queries.aggs import agg_binned_quantile
+
+    rows = agg_binned_quantile(spark, sf_dir).collect()
+    assert [r.q for r in rows] == [0.25, 0.5, 0.75, 0.9, 0.99]
+    import numpy as np
+
+    vals = np.array(
+        [
+            r.v
+            for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .selectExpr("l_extendedprice AS v")
+            .collect()
+        ]
+    )
+    for r in rows:
+        exact = float(np.quantile(vals, r.q, method="linear"))
+        # the sketch's a-priori bound: one bin width
+        assert abs(r.estimate - exact) <= r.max_error + 1e-6, (r.q, r.estimate, exact)
+
+
+def test_binned_quantile_monotone_and_bounded(spark, sf_dir):
+    from testlog_etl_spark.queries.aggs import agg_binned_quantile
+
+    rows = agg_binned_quantile(spark, sf_dir).collect()
+    ests = [r.estimate for r in rows]
+    assert ests == sorted(ests)  # quantile estimates are monotone in q
+    assert all(0 <= r.bin <= 255 for r in rows)
+
+
+# ------------------------------------------------ containment postings
+
+
+def test_containment_postings_asymmetric_and_capped(spark):
+    from testlog_etl_spark.operators import neardup
+
+    # B embeds A's full text; C is unrelated
+    a_text = "alpha beta gamma delta epsilon zeta"
+    b_text = "intro words first " + a_text + " trailing words afterwards done"
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, "totally different content here now")],
+        "doc_id long, text string",
+    )
+    posting = docs.select(
+        "doc_id", F.explode(neardup.word_shingles(F.col("text"))).alias("shingle")
+    )
+    sz = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = posting.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = posting.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        a.join(b, (F.col("shingle") == F.col("sh_b")) & (F.col("id_a") != F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = {
+        (r.id_a, r.id_b): r.n_common / r.n_sh
+        for r in inter.join(sz.withColumnRenamed("doc_id", "id_a"), "id_a").collect()
+    }
+    assert cont[(1, 2)] == 1.0  # A fully contained in B
+    assert cont[(2, 1)] < 0.5  # B is NOT contained in A -- asymmetry
+    assert (1, 3) not in cont and (3, 1) not in cont
