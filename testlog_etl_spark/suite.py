@@ -162,7 +162,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    graph_markov_stationary, stats_wilcoxon_signed_rank,
     #    eval_knn_classifier, stats_friedman_test,
     #    text_self_similarity_diversity. (Session-3 total: 100 added
-    #    operators; the registry closes r07 at 421, all oracle-backed.)
+    #    operators; the registry closed session 3 at 421.) Session-4 additions
+    #    join the same r08 queue: layout_hilbert_pruning,
+    #    source_schema_evolution_merge, dq_functional_dependency,
+    #    dq_referential_orphans, dedup_containment_postings,
+    #    agg_binned_quantile.
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

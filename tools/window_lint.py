@@ -35,6 +35,10 @@ SF = os.environ.get("SPARK_JX_LINT_SF", "/root/testdata/sf0.001")
 # bounded by construction and whitelisted below.)
 WHITELIST: dict[str, str] = {
     "skew_report": "rank window runs AFTER limit(10) -- 10-row frame",
+    "agg_binned_quantile": (
+        "cumulative sum runs over the 256-row histogram frame -- bin "
+        "count is a constant of the sketch, never the data"
+    ),
     "stats_runs_test": (
         "the one lag() runs over the per-DAY revenue rollup -- frame "
         "bounded by the calendar span (one row per day), not raw rows"
