@@ -6310,3 +6310,80 @@ def dedup_containment_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "n_sh_a", "n_common", F.round("_c", 4).alias("containment"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "corpus_dedup_cascade",
+    doc="the END-TO-END tiered dedup pipeline as one readout: exact "
+    "(normalized text) -> prefix fingerprint (first 8 tokens) -> "
+    "bag-of-words (sorted distinct tokens), each tier keeping the "
+    "min-doc_id survivor and feeding ONLY survivors to the next -- "
+    "the cheapest-filter-first cascade every production corpus build "
+    "runs, with per-tier removal accounting. Each tier is one "
+    "groupBy(8-byte fingerprint).agg(min, min_by) -- map-side "
+    "combinable, survivor set identical to grouping by the raw key "
+    "(hash injective at corpus size, same contract as dedup_exact). "
+    "Counts assemble via single-row crossJoins; no driver loop, no "
+    "tier materialization.",
+    oracle="""
+WITH d0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+t1 AS (
+  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM d0 GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+),
+t2 AS (
+  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM t1 GROUP BY array_to_string(
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')[1:8], ' ')
+),
+t3 AS (
+  SELECT min(doc_id) AS doc_id
+  FROM t2 GROUP BY array_to_string(
+    list_sort(list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        t -> t != ''))), ' ')
+),
+n AS (
+  SELECT (SELECT count(*) FROM d0) AS n0, (SELECT count(*) FROM t1) AS n1,
+         (SELECT count(*) FROM t2) AS n2, (SELECT count(*) FROM t3) AS n3
+)
+SELECT tier, docs_in, docs_out, docs_in - docs_out AS removed,
+       ROUND((docs_in - docs_out) * 1.0 / docs_in, 4) AS removed_frac
+FROM (
+  SELECT '1_exact' AS tier, n0 AS docs_in, n1 AS docs_out FROM n
+  UNION ALL SELECT '2_prefix', n1, n2 FROM n
+  UNION ALL SELECT '3_bag', n2, n3 FROM n
+)
+ORDER BY tier
+""",
+)
+def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull()
+    )
+    d0 = docs.select("doc_id", "text")
+
+    def keep_min(df: DataFrame, key) -> DataFrame:
+        return df.groupBy(F.xxhash64(key).alias("_fp")).agg(
+            F.min("doc_id").alias("doc_id"), F.min_by("text", "doc_id").alias("text")
+        ).drop("_fp")
+
+    toks = textstats.tokens(F.lower(F.col("text")))
+    t1 = keep_min(d0, textstats.normalized_text(F.col("text")))
+    t2 = keep_min(t1, F.array_join(F.slice(toks, 1, 8), " "))
+    t3 = keep_min(t2, F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+    c0 = d0.agg(F.count(F.lit(1)).alias("n0"))
+    c1 = t1.agg(F.count(F.lit(1)).alias("n1"))
+    c2 = t2.agg(F.count(F.lit(1)).alias("n2"))
+    c3 = t3.agg(F.count(F.lit(1)).alias("n3"))
+    wide = c0.crossJoin(c1).crossJoin(c2).crossJoin(c3)
+    out = wide.selectExpr(
+        "stack(3, '1_exact', n0, n1, '2_prefix', n1, n2, '3_bag', n2, n3)"
+        " AS (tier, docs_in, docs_out)"
+    )
+    return (
+        out.withColumn("removed", F.col("docs_in") - F.col("docs_out"))
+        .withColumn("removed_frac", F.round(F.col("removed") * 1.0 / F.col("docs_in"), 4))
+        .select("tier", "docs_in", "docs_out", "removed", "removed_frac")
+        .orderBy("tier")
+    )

@@ -715,3 +715,101 @@ def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+# one spec drives BOTH engines' byte model: fixed widths for numerics,
+# length+20 for strings (UTF8String object overhead, the driver-memory
+# quantity Spark's own SizeEstimator approximates for broadcast sizing)
+_BCAST_SPEC: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int"), ("r_name", "str")],
+    "nation": [("n_nationkey", "int"), ("n_name", "str"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "long"),
+        ("c_name", "str"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "str"),
+    ],
+    "supplier": [
+        ("s_suppkey", "long"),
+        ("s_name", "str"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "long"),
+        ("p_name", "str"),
+        ("p_brand", "str"),
+        ("p_type", "str"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+}
+_BCAST_THRESHOLD = 10 * 1024 * 1024  # spark.sql.autoBroadcastJoinThreshold default
+
+
+def _bcast_oracle() -> str:
+    width = {"int": "4", "long": "8", "double": "8"}
+    selects = []
+    for t, cols in _BCAST_SPEC.items():
+        expr = " + ".join(
+            width[k] if k != "str" else f"(COALESCE(length({c}), 0) + 20)" for c, k in cols
+        )
+        selects.append(
+            f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
+            f"CAST(SUM({expr}) AS BIGINT) AS est_bytes FROM {t}"
+        )
+    u = " UNION ALL ".join(selects)
+    return f"""
+SELECT table_name, n_rows, est_bytes,
+       est_bytes < {_BCAST_THRESHOLD} AS broadcastable,
+       ROUND(est_bytes / {_BCAST_THRESHOLD}.0, 4) AS threshold_ratio
+FROM ({u}) ORDER BY table_name
+"""
+
+
+@register(
+    "layout_broadcast_advisor",
+    doc="join-strategy advisor: per dimension table, the estimated "
+    "in-memory byte footprint against the 10 MB "
+    "autoBroadcastJoinThreshold default -- the number that decides "
+    "whether a star join plans as BroadcastHashJoin (dim ships to "
+    "every executor, fact never shuffles) or falls back to a "
+    "sort-merge exchange of the FACT side, the single most expensive "
+    "planning miss at 100 TB. One byte-model spec (fixed numeric "
+    "widths, length+20 per string) generates BOTH engines' "
+    "arithmetic, and a plan test pins that Spark's actual planner "
+    "agrees with the advisor's verdict on the small dims. Per-table "
+    "cost: one count/sum aggregate -- the scan is column-pruned to "
+    "the string columns.",
+    oracle=_bcast_oracle(),
+)
+def layout_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, tuple(_BCAST_SPEC))
+    width = {"int": 4, "long": 8, "double": 8}
+    outs = []
+    for name, cols in _BCAST_SPEC.items():
+        per_row = None
+        for c, k in cols:
+            b = (
+                F.lit(width[k])
+                if k != "str"
+                else F.coalesce(F.length(F.col(c)), F.lit(0)) + 20
+            )
+            per_row = b if per_row is None else per_row + b
+        outs.append(
+            t[name].agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(per_row).cast("long").alias("est_bytes"),
+            ).select(F.lit(name).alias("table_name"), "n_rows", "est_bytes")
+        )
+    import functools
+
+    u = functools.reduce(lambda a, b: a.unionByName(b), outs)
+    return u.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        (F.col("est_bytes") < _BCAST_THRESHOLD).alias("broadcastable"),
+        F.round(F.col("est_bytes") / float(_BCAST_THRESHOLD), 4).alias("threshold_ratio"),
+    ).orderBy("table_name")

@@ -2518,3 +2518,94 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("trend_strength"),
     )
+
+
+@register(
+    "funnel_session_scoped",
+    doc="session-scoped funnel: view -> click -> purchase must complete "
+    "INSIDE one 30-min-gap session, the grain product analytics "
+    "actually reports (the user-grain funnel above credits conversions "
+    "days apart). Composition of two window passes that share the "
+    "user-key exchange: gap sessionization (lag + cumulative break "
+    "count, ties broken by event_id on both engines) then the "
+    "conditional-min stage windows re-partitioned by (user, session). "
+    "Single-row output; NULLIF guards the empty-funnel division "
+    "identically in both engines.",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+),
+f1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id, sid) AS t1
+  FROM s
+),
+f2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id, sid) AS t2
+  FROM f1
+),
+f3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id, sid) AS t3
+  FROM f2
+),
+u AS (SELECT DISTINCT user_id, sid, t1, t2, t3 FROM f3)
+SELECT count(*) AS n_sessions,
+       count(t1) AS n_step1, count(t2) AS n_step2, count(t3) AS n_step3,
+       ROUND(count(t2) * 1.0 / NULLIF(count(t1), 0), 4) AS conv_view_click,
+       ROUND(count(t3) * 1.0 / NULLIF(count(t2), 0), 4) AS conv_click_purchase
+FROM u
+""",
+)
+def funnel_session_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.floor(F.unix_timestamp("ts")) - F.floor(F.unix_timestamp(F.lag("ts").over(wo)))
+        > 1800
+    ).cast("int")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(F.coalesce(brk, F.lit(0)))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws)
+    f1 = s.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(ws)
+    f2 = f1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+    ).over(ws)
+    f3 = f2.withColumn("t3", t3)
+    u = f3.select("user_id", "sid", "t1", "t2", "t3").distinct()
+    return u.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("t1").alias("n_step1"),
+        F.count("t2").alias("n_step2"),
+        F.count("t3").alias("n_step3"),
+        F.round(F.count("t2") * 1.0 / F.nullif(F.count("t1"), F.lit(0)), 4).alias(
+            "conv_view_click"
+        ),
+        F.round(F.count("t3") * 1.0 / F.nullif(F.count("t2"), F.lit(0)), 4).alias(
+            "conv_click_purchase"
+        ),
+    )
