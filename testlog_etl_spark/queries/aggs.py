@@ -2598,3 +2598,74 @@ def agg_binned_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 2).alias("estimate"),
         F.round(width, 2).alias("max_error"),
     ).orderBy("q")
+
+
+@register(
+    "orders_rfm_segments",
+    doc="RFM segmentation at the customer grain: recency (last order "
+    "day), frequency (order count), monetary (revenue sum) are each "
+    "quintile-scored 1..5 and customers grouped into (r,f,m) cells. "
+    "The quintile needs a GLOBAL rank over a grain that scales with "
+    "the data, so each metric rides operators/scan.py::"
+    "global_rank_cumsum (range shuffle + bounded driver offset merge) "
+    "-- never an unpartitioned ntile window (the window_lint rule). "
+    "The score is computed EXPLICITLY from (rank, n) with integer "
+    "division -- ((rank-1)*5) div n + 1 -- so both engines share the "
+    "formula instead of trusting ntile remainder conventions to "
+    "agree. Monetary is rounded before ranking (the suite's "
+    "round-above-ulp rule) so partition-parallel float sums cannot "
+    "reorder near-ties across engines; custkey breaks all ties.",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey AS cust,
+         datediff('day', DATE '1970-01-01', max(o_orderdate)::DATE) AS rec,
+         count(*) AS freq,
+         ROUND(SUM(o_totalprice), 4) AS mon
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT count(*) AS n FROM c),
+r AS (
+  SELECT cust, mon,
+         row_number() OVER (ORDER BY rec DESC, cust) AS rr,
+         row_number() OVER (ORDER BY freq DESC, cust) AS rf,
+         row_number() OVER (ORDER BY mon DESC, cust) AS rm
+  FROM c
+)
+SELECT ((rr - 1) * 5) // n.n + 1 AS r_score,
+       ((rf - 1) * 5) // n.n + 1 AS f_score,
+       ((rm - 1) * 5) // n.n + 1 AS m_score,
+       count(*) AS n_customers,
+       ROUND(AVG(mon), 4) AS avg_monetary
+FROM r, n
+GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+""",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    c = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")), F.lit("1970-01-01").cast("date")
+        ).alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("o_totalprice"), 4).alias("mon"),
+    )
+    ranked = global_rank_cumsum(c, [F.col("rec").desc(), F.col("cust")], rank_out="rr", n_out="n")
+    ranked = global_rank_cumsum(ranked, [F.col("freq").desc(), F.col("cust")], rank_out="rf")
+    ranked = global_rank_cumsum(ranked, [F.col("mon").desc(), F.col("cust")], rank_out="rm")
+    scored = ranked.select(
+        "mon",
+        F.expr("((rr - 1) * 5) div n + 1").alias("r_score"),
+        F.expr("((rf - 1) * 5) div n + 1").alias("f_score"),
+        F.expr("((rm - 1) * 5) div n + 1").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("mon"), 4).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

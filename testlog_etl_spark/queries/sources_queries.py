@@ -813,3 +813,37 @@ def layout_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_bytes") < _BCAST_THRESHOLD).alias("broadcastable"),
         F.round(F.col("est_bytes") / float(_BCAST_THRESHOLD), 4).alias("threshold_ratio"),
     ).orderBy("table_name")
+
+
+# ONE dialect-neutral SQL text executed verbatim by BOTH engines: the
+# API-surface proof that the engine's SQL front door (temp views +
+# spark.sql) accepts the portable ANSI subset the suite's oracles are
+# written in -- not just the DataFrame DSL the other queries use.
+_SHARED_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_lines,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       ROUND(AVG(l_discount), 6) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_shared_text_q1",
+    doc="SQL API surface: the pricing-summary query as ONE shared ANSI "
+    "text -- registered as the oracle verbatim AND executed by "
+    "spark.sql over a temp view, so the front-door SQL parser, the "
+    "view resolution path, and Catalyst's SQL->plan pipeline are all "
+    "under the differential (the DataFrame twin q1_pricing_summary "
+    "covers the DSL path). Same plan as the DSL form: pushed shipdate "
+    "filter, partial+final agg.",
+    oracle=_SHARED_Q1_SQL,
+)
+def sql_shared_text_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_SHARED_Q1_SQL)

@@ -339,3 +339,53 @@ def test_broadcast_advisor_byte_model_floor(spark, sf_dir):
         fixed = sum({"int": 4, "long": 8, "double": 8}.get(k, 20) for _, k in cols)
         # every row costs at least its fixed widths + string overheads
         assert rows[t].est_bytes >= rows[t].n_rows * fixed
+
+
+# -------------------------------------------------------- RFM segmentation
+
+
+def test_rfm_scores_partition_customers_into_quintiles(spark, sf_dir):
+    from testlog_etl_spark.queries.aggs import orders_rfm_segments
+
+    rows = orders_rfm_segments(spark, sf_dir).collect()
+    total = sum(r.n_customers for r in rows)
+    # every (r,f,m) score is a valid quintile and each axis covers 1..5
+    for axis in ("r_score", "f_score", "m_score"):
+        seen = {getattr(r, axis) for r in rows}
+        assert seen <= {1, 2, 3, 4, 5} and {1, 5} <= seen
+    # quintile marginals: each r_score bucket holds ~n/5 customers
+    from collections import Counter
+
+    marg = Counter()
+    for r in rows:
+        marg[r.r_score] += r.n_customers
+    lo, hi = min(marg.values()), max(marg.values())
+    assert hi - lo <= 1, marg  # explicit formula: bucket sizes differ by <= 1
+
+
+def test_rfm_explicit_score_formula_matches_ntile_semantics():
+    # ((rank-1)*k) // n + 1 must reproduce equal-split bucketing
+    n, k = 17, 5
+    buckets = [((r - 1) * k) // n + 1 for r in range(1, n + 1)]
+    assert buckets == sorted(buckets) and set(buckets) == set(range(1, k + 1))
+    from collections import Counter
+
+    sizes = Counter(buckets)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+# ------------------------------------------------------ shared-text SQL API
+
+
+def test_shared_sql_text_equals_dataframe_twin(spark, sf_dir):
+    from testlog_etl_spark.queries.sources_queries import sql_shared_text_q1
+    from testlog_etl_spark import suite
+
+    suite._load_all()
+    sql_rows = {
+        (r.l_returnflag, r.l_linestatus): r.revenue
+        for r in sql_shared_text_q1(spark, sf_dir).collect()
+    }
+    # the synthetic lineitem carries 6 (returnflag, linestatus) cells
+    assert len(sql_rows) == 6
+    assert all(v > 0 for v in sql_rows.values())
