@@ -847,3 +847,48 @@ def sql_shared_text_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     li.createOrReplaceTempView("lineitem")
     return spark.sql(_SHARED_Q1_SQL)
+
+
+@register(
+    "source_python_datasource",
+    doc="SURVEY S-surface: a custom PYTHON DATA SOURCE (Spark 4 "
+    "DataSource API, etl/pyds.py) -- the connector a user writes for "
+    "a system Spark has no built-in reader for. partitions() splits "
+    "the key range into 8 independent input partitions (real scan "
+    "parallelism, one Python worker each, Arrow-batched to the JVM); "
+    "pushFilters accepts the bucket=3 equality so non-matching rows "
+    "are dropped AT GENERATION and never cross the Python->JVM "
+    "boundary (unit-tested). Rows are a pure integer function of the "
+    "row id, so DuckDB replays the entire source from range(n) "
+    "exactly.",
+    oracle=f"""
+SELECT i % 7 AS bucket, count(*) AS n,
+       CAST(SUM((i * 2654435761) % 1000003) AS BIGINT) AS sum_value,
+       CAST(MIN((i * 2654435761) % 1000003) AS BIGINT) AS min_value,
+       CAST(MAX((i * 2654435761) % 1000003) AS BIGINT) AS max_value
+FROM range(50000) t(i)
+WHERE i % 7 = 3
+GROUP BY 1 ORDER BY 1
+""",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.etl.pyds import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", "50000")
+        .option("parts", "8")
+        .load()
+        .filter(F.col("bucket") == 3)
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bucket")
+    )

@@ -389,3 +389,46 @@ def test_shared_sql_text_equals_dataframe_twin(spark, sf_dir):
     # the synthetic lineitem carries 6 (returnflag, linestatus) cells
     assert len(sql_rows) == 6
     assert all(v > 0 for v in sql_rows.values())
+
+
+# ---------------------------------------------------- python data source
+
+
+def test_python_datasource_partitions_and_rows(spark):
+    from testlog_etl_spark.etl.pyds import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", "1000")
+        .option("parts", "7")  # uneven: 1000 = 6*143 + 142
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert sorted(r.event_id for r in rows) == list(range(1000))  # exactly once
+
+
+def test_python_datasource_pushdown_prunes_at_source():
+    """The pushed bucket=3 equality must drop rows inside read() -- they
+    never cross the Python->JVM boundary -- while any other predicate is
+    returned to Spark as unsupported."""
+    from pyspark.sql.datasource import EqualTo
+    from testlog_etl_spark.etl.pyds import RangePartition, SyntheticEventsReader
+
+    r = SyntheticEventsReader({"n": "100", "parts": "2"})
+    other = EqualTo(("value",), 5)
+    unsupported = list(r.pushFilters([EqualTo(("bucket",), 3), other]))
+    assert unsupported == [other]  # bucket eq consumed, rest handed back
+    got = list(r.read(RangePartition(0, 100)))
+    assert got and all(b == 3 for _, b, _ in got)
+    assert len(got) == len([i for i in range(100) if i % 7 == 3])
+
+
+def test_python_datasource_value_formula_matches_oracle():
+    from testlog_etl_spark.etl.pyds import KNUTH, PRIME, row_value
+
+    for i in (0, 1, 7, 49999):
+        assert row_value(i) == (i * KNUTH) % PRIME
+    assert 50000 * KNUTH < 2**63  # integer math stays exact on both engines
