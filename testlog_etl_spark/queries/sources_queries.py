@@ -892,3 +892,82 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Shared ANSI text #2: WITH RECURSIVE (new engine surface in Spark 4) --
+# the binary doc hierarchy walked to the root per document. Integer
+# division is spelled CAST((cur - cur % 2) / 2 AS BIGINT): both engines'
+# `/` yields double, but the value is exactly integral so the cast is
+# exact -- the dialect-portable spelling of `div` / `//` (and immune to
+# the double-truncation hazard ADVICE flagged for plain (x/2)::long,
+# which is only exact below 2^53 WITH a fractional part; here there is
+# none by construction).
+_SHARED_RECURSIVE_SQL = """
+WITH RECURSIVE walk(leaf, cur, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id >= 1
+  UNION ALL
+  SELECT leaf, CAST((cur - (cur % 2)) / 2 AS BIGINT), depth + 1
+  FROM walk WHERE cur > 1
+),
+j AS (
+  SELECT w.leaf, w.depth, COALESCE(d.n_chars, 0) AS nc
+  FROM walk w JOIN documents d ON d.doc_id = w.cur
+),
+p AS (
+  SELECT leaf, MAX(depth) AS root_depth, SUM(nc) AS path_chars
+  FROM j GROUP BY leaf
+)
+SELECT root_depth, count(*) AS n_docs,
+       CAST(SUM(path_chars) AS BIGINT) AS sum_path_chars
+FROM p GROUP BY root_depth ORDER BY root_depth
+"""
+
+
+@register(
+    "sql_recursive_cte_ancestors",
+    doc="SQL API surface #2: WITH RECURSIVE executed as ONE shared ANSI "
+    "text by spark.sql and the oracle -- Spark 4's recursive-CTE "
+    "front door under the differential. Walks every document's "
+    "parent chain (parent = child div 2, the graph_subtree_rollup "
+    "hierarchy inverted: per-LEAF path rollup instead of per-ancestor "
+    "subtree rollup) accumulating chars along the root path; "
+    "iteration count is log2(max id), each round one equi-join "
+    "against the previous frontier -- the same log-round contract as "
+    "the pointer-jumping connected components.",
+    oracle=_SHARED_RECURSIVE_SQL,
+)
+def sql_recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_SHARED_RECURSIVE_SQL)
+
+
+# Shared ANSI text #3: correlated LATERAL subquery with per-row ORDER BY
+# + LIMIT -- the SQL spelling of grouped top-k. Values pass through from
+# parquet untouched (no float arithmetic), so no rounding is needed.
+_SHARED_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@register(
+    "sql_shared_text_lateral_topn",
+    doc="SQL API surface #3: correlated LATERAL subquery (per-nation "
+    "top-2 customers by balance) as ONE shared ANSI text on both "
+    "engines -- the declarative twin of topk_per_group_agg's "
+    "Arrow-pruned plan. Catalyst decorrelates the lateral into a "
+    "ranked window join rather than re-running the subquery per row; "
+    "ties broken by name so the LIMIT is total-order deterministic.",
+    oracle=_SHARED_LATERAL_SQL,
+)
+def sql_shared_text_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("nation", "customer"))
+    t["nation"].createOrReplaceTempView("nation")
+    t["customer"].createOrReplaceTempView("customer")
+    return spark.sql(_SHARED_LATERAL_SQL)

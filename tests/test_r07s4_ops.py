@@ -432,3 +432,48 @@ def test_python_datasource_value_formula_matches_oracle():
     for i in (0, 1, 7, 49999):
         assert row_value(i) == (i * KNUTH) % PRIME
     assert 50000 * KNUTH < 2**63  # integer math stays exact on both engines
+
+
+# ------------------------------------------------------ SQL surface twins
+
+
+def test_recursive_cte_depths_match_log2(spark, sf_dir):
+    """root_depth of doc n under parent = n div 2 is floor(log2(n)) --
+    the closed form the recursive walk must reproduce."""
+    from testlog_etl_spark.queries.sources_queries import sql_recursive_cte_ancestors
+
+    rows = sql_recursive_cte_ancestors(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id >= 1").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    import math
+
+    for r in rows:
+        lo, hi = 1 << r.root_depth, (1 << (r.root_depth + 1)) - 1
+        expected = len([i for i in range(1, n_docs + 1) if lo <= i <= hi])
+        assert r.n_docs == expected, (r.root_depth, r.n_docs, expected)
+        assert r.root_depth == math.floor(math.log2(lo))
+
+
+def test_lateral_topn_is_per_group_top2(spark, sf_dir):
+    from testlog_etl_spark.queries.sources_queries import sql_shared_text_lateral_topn
+
+    rows = sql_shared_text_lateral_topn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r.n_name].append(r.c_acctbal)
+    assert all(len(v) <= 2 for v in per.values())
+    assert all(v == sorted(v, reverse=True) for v in per.values())
+    # cross-check one nation against a direct DataFrame top-2
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = nat.filter("n_name = 'NATION_0'").collect()[0].n_nationkey
+    direct = [
+        r.c_acctbal
+        for r in cust.filter(F.col("c_nationkey") == k)
+        .orderBy(F.col("c_acctbal").desc(), "c_name")
+        .limit(2)
+        .collect()
+    ]
+    assert per["NATION_0"] == direct
