@@ -166,7 +166,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    join the same r08 queue: layout_hilbert_pruning,
     #    source_schema_evolution_merge, dq_functional_dependency,
     #    dq_referential_orphans, dedup_containment_postings,
-    #    agg_binned_quantile.
+    #    agg_binned_quantile, corpus_dedup_cascade,
+    #    funnel_session_scoped, layout_broadcast_advisor,
+    #    orders_rfm_segments, sql_shared_text_q1,
+    #    source_python_datasource, sql_recursive_cte_ancestors,
+    #    sql_shared_text_lateral_topn. (Registry: 435.)
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",

@@ -477,3 +477,31 @@ def test_lateral_topn_is_per_group_top2(spark, sf_dir):
         .collect()
     ]
     assert per["NATION_0"] == direct
+
+
+# ----------------------------------------------------- observe() metrics
+
+
+def test_observed_metrics_match_direct_agg_one_action(spark, tmp_path):
+    from testlog_etl_spark.operators.observe import with_quality_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, None), (5, 50.0)], "id long, v double"
+    )
+    inst, obs = with_quality_metrics(df, "v", extra={"max_id": F.max("id")})
+    inst.write.parquet(str(tmp_path / "out"))  # the ONE action
+    got = obs.get
+    assert got["n_rows"] == 5 and got["n_null"] == 2
+    assert got["sum_value"] == 90.0 and got["max_id"] == 5
+
+
+def test_drop_audit_accounts_without_extra_scans(spark, tmp_path):
+    from testlog_etl_spark.operators.observe import drop_audit
+
+    df = spark.range(100).withColumn("v", F.col("id") % 10)
+    kept, audit = drop_audit(df, F.col("v") < 3)
+    kept.write.parquet(str(tmp_path / "kept"))  # one action drives both counters
+    got = audit.get()
+    assert got == {"n_in": 100, "n_kept": 30, "n_dropped": 70}
+    # and the kept data really is the filtered set
+    assert spark.read.parquet(str(tmp_path / "kept")).count() == 30
