@@ -971,3 +971,107 @@ def sql_shared_text_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     t["nation"].createOrReplaceTempView("nation")
     t["customer"].createOrReplaceTempView("customer")
     return spark.sql(_SHARED_LATERAL_SQL)
+
+
+@register(
+    "source_binary_files",
+    doc="S-surface: the binaryFile source -- how image/audio dirs enter "
+    "Spark at scale (one row per file: path, length, raw bytes; the "
+    "multimodal decode UDFs downstream consume exactly this shape). "
+    "Stages 24 deterministic blobs (content = repeated xor-pattern of "
+    "the file index, staged once per invocation under a fresh scratch "
+    "dir), reads them back as binary rows, and audits length + "
+    "byte-sum + first/last byte per size class. At 100 TB the "
+    "pathGlobFilter/recursiveFileLookup options prune the listing "
+    "driver-side before any read. Oracle replays the blob definition "
+    "from range(24) -- integer math only.",
+    oracle="""
+SELECT i % 3 AS size_class, count(*) AS n_files,
+       CAST(SUM(100 + (i % 3) * 50) AS BIGINT) AS total_bytes,
+       CAST(SUM((100 + (i % 3) * 50) * ((i * 37) % 251)) AS BIGINT) AS byte_sum,
+       CAST(MIN((i * 37) % 251) AS BIGINT) AS min_fill,
+       CAST(MAX((i * 37) % 251) AS BIGINT) AS max_fill
+FROM range(24) t(i)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.streaming.jobs import fresh_scratch_dir
+
+    root = fresh_scratch_dir("binfiles")
+    os.makedirs(root, exist_ok=True)  # writers mkdir; plain open() won't
+    # blob i: (100 + (i%3)*50) bytes, every byte = (i*37) % 251
+    for i in range(24):
+        size = 100 + (i % 3) * 50
+        fill = (i * 37) % 251
+        with open(os.path.join(root, f"blob_{i:03d}.bin"), "wb") as fh:
+            fh.write(bytes([fill]) * size)
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(root)
+    parsed = files.select(
+        F.regexp_extract(F.col("path"), r"blob_(\d+)\.bin$", 1).cast("long").alias("i"),
+        F.col("length"),
+        # first byte == fill byte (uniform content); hex->dec keeps the
+        # extraction JVM-side and valid for any byte value (a utf8 cast
+        # would mangle bytes >= 0x80)
+        F.conv(F.hex(F.substring(F.col("content"), 1, 1)), 16, 10)
+        .cast("long")
+        .alias("fill"),
+    )
+    return (
+        parsed.withColumn("size_class", F.pmod("i", F.lit(3)))
+        .groupBy("size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").alias("total_bytes"),
+            F.sum(F.col("length") * F.col("fill")).alias("byte_sum"),
+            F.min("fill").alias("min_fill"),
+            F.max("fill").alias("max_fill"),
+        )
+        .orderBy("size_class")
+    )
+
+
+@register(
+    "source_fixed_width_text",
+    doc="S-surface: fixed-width text ingest (the mainframe/legacy-export "
+    "format every ETL system eventually meets). Sink: events rendered "
+    "as 34-char records via ONE codegen'd format_string (id right-"
+    "padded 12, type left-padded 10, value*100 zero-padded 12 as "
+    "integer cents -- floats never round-trip through decimal text "
+    "unrounded). Source: spark.read.text + substr/trim/cast slicing, "
+    "the whole parse staying inside WholeStageCodegen -- no Python, "
+    "no regex. The aggregate over the round-trip equals the direct "
+    "one; cents stay integers end-to-end on both engines.",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def source_fixed_width_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.streaming.jobs import fresh_scratch_dir
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    root = fresh_scratch_dir("fixedwidth")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    lines = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.format_string("%-12d%10s%012d", F.col("event_id"), F.col("event_type"), cents).alias(
+            "value"
+        )
+    )
+    lines.write.text(root)
+
+    raw = spark.read.text(root)
+    parsed = raw.select(
+        F.trim(F.substring("value", 1, 12)).cast("long").alias("event_id"),
+        F.trim(F.substring("value", 13, 10)).alias("event_type"),
+        F.substring("value", 23, 12).cast("long").alias("cents"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        .orderBy("event_type")
+    )

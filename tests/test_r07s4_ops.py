@@ -505,3 +505,43 @@ def test_drop_audit_accounts_without_extra_scans(spark, tmp_path):
     assert got == {"n_in": 100, "n_kept": 30, "n_dropped": 70}
     # and the kept data really is the filtered set
     assert spark.read.parquet(str(tmp_path / "kept")).count() == 30
+
+
+# ---------------------------------------------------- binary / fixed-width
+
+
+def test_binary_files_source_reads_exact_bytes(spark, tmp_path):
+    blobs = {f"b_{i}.bin": bytes([i * 7 % 251]) * (10 + i) for i in range(5)}
+    for name, content in blobs.items():
+        (tmp_path / name).write_bytes(content)
+    rows = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(tmp_path))
+        .collect()
+    )
+    assert len(rows) == 5
+    for r in rows:
+        name = r.path.rsplit("/", 1)[1]
+        assert bytes(r.content) == blobs[name]
+        assert r.length == len(blobs[name])
+
+
+def test_fixed_width_roundtrip_preserves_cents(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "click", 12.345), (2, "purchase", 0.005), (3, "click", 99999.99)],
+        "event_id long, event_type string, value double",
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    df.select(
+        F.format_string("%-12d%10s%012d", "event_id", "event_type", cents).alias("value")
+    ).write.text(str(tmp_path / "fw"))
+    back = spark.read.text(str(tmp_path / "fw")).select(
+        F.trim(F.substring("value", 1, 12)).cast("long").alias("event_id"),
+        F.trim(F.substring("value", 13, 10)).alias("event_type"),
+        F.substring("value", 23, 12).cast("long").alias("cents"),
+    )
+    got = {r.event_id: r for r in back.collect()}
+    assert got[1].cents == 1235 and got[1].event_type == "click"  # HALF_UP round
+    assert got[2].cents == 1  # 0.005 -> 1 cent, not dropped
+    assert got[3].cents == 9999999
