@@ -49,6 +49,10 @@ SHOWCASE = [
     ("sim_mmr_rerank", "k-bounded candidate + 20x20 pair frames per query; greedy walk in one Arrow fold per query"),
     ("index_trigram_search", "distinct (doc, trigram) semi-join against the 8-row broadcast query set; contains() verify on candidates only"),
     ("join_radius_grid", "3x3 grid-cell offset equi-join candidates; exact distance verify -- no crossjoin"),
+    ("layout_hilbert_pruning", "Hilbert fold as a Project ladder (linear plan size, one codegen span); only 256 bucket partials cross the one exchange"),
+    ("sql_recursive_cte_ancestors", "WITH RECURSIVE: log2(max id) UnionLoop rounds, each an equi-join against the prior frontier"),
+    ("orders_rfm_segments", "three metric quintiles via hierarchical range-scan ranks -- no unpartitioned ntile over the customer grain"),
+    ("agg_binned_quantile", "histogram sketch: partial counts collapse map-side; quantile walk over the 256-row bin frame"),
 ]
 
 
