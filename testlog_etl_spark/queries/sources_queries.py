@@ -657,66 +657,6 @@ def layout_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "source_schema_evolution_merge",
-    doc="S7 hardening: schema-evolution read across parquet file "
-    "generations. Legacy files (even event_id) carry the original "
-    "(event_id, event_type, value) schema; current files add a "
-    "region_code column. spark.read.option(mergeSchema, true) unifies "
-    "the footers -- legacy rows surface region_code as NULL, exactly "
-    "how a 100 TB table written over years of pipeline versions reads "
-    "back (per-file footer merge is a driver-side listing cost; row "
-    "data is untouched). The readout proves null-surfacing and that "
-    "no rows are lost or duplicated: per event_type, total rows, "
-    "legacy (null-region) rows, evolved rows, distinct evolved "
-    "regions, and the value sum. Oracle recomputes the same split "
-    "from the base table -- the merge itself must be lossless.",
-    oracle=f"""
-SELECT event_type,
-       count(*) AS n_total,
-       count(*) FILTER (WHERE event_id % 2 = 0) AS n_legacy,
-       count(*) FILTER (WHERE event_id % 2 = 1) AS n_evolved,
-       count(DISTINCT CASE WHEN event_id % 2 = 1
-                           THEN 'R' || CAST(event_id % 5 AS VARCHAR) END) AS n_regions,
-       ROUND(SUM(value), {R}) AS sum_value
-FROM events
-GROUP BY event_type
-ORDER BY event_type
-""",
-)
-def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from testlog_etl_spark.streaming.jobs import fresh_scratch_dir
-
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    root = fresh_scratch_dir("schema_evo")
-    legacy = ev.filter(F.pmod("event_id", F.lit(2)) == 0).select(
-        "event_id", "event_type", "value"
-    )
-    evolved = ev.filter(F.pmod("event_id", F.lit(2)) == 1).select(
-        "event_id",
-        "event_type",
-        "value",
-        F.concat(F.lit("R"), F.pmod("event_id", F.lit(5)).cast("string")).alias("region_code"),
-    )
-    legacy.write.parquet(os.path.join(root, "gen=v1"))
-    evolved.write.parquet(os.path.join(root, "gen=v2"))
-
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(root, "gen=v1"), os.path.join(root, "gen=v2")
-    )
-    return (
-        merged.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.count(F.when(F.col("region_code").isNull(), 1)).alias("n_legacy"),
-            F.count("region_code").alias("n_evolved"),
-            F.countDistinct("region_code").alias("n_regions"),
-            F.round(F.sum("value"), R).alias("sum_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
 # one spec drives BOTH engines' byte model: fixed widths for numerics,
 # length+20 for strings (UTF8String object overhead, the driver-memory
 # quantity Spark's own SizeEstimator approximates for broadcast sizing)

@@ -164,13 +164,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    text_self_similarity_diversity. (Session-3 total: 100 added
     #    operators; the registry closed session 3 at 421.) Session-4 additions
     #    join the same r08 queue: layout_hilbert_pruning,
-    #    source_schema_evolution_merge, dq_functional_dependency,
+    #    dq_functional_dependency,
     #    dq_referential_orphans, dedup_containment_postings,
     #    agg_binned_quantile, corpus_dedup_cascade,
     #    funnel_session_scoped, layout_broadcast_advisor,
     #    orders_rfm_segments, sql_shared_text_q1,
     #    source_python_datasource, sql_recursive_cte_ancestors,
-    #    sql_shared_text_lateral_topn. (Registry: 435.)
+    #    sql_shared_text_lateral_topn, source_binary_files,
+    #    source_fixed_width_text. (Registry: 436;
+    #    source_schema_evolution_merge was drafted then removed as a
+    #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",
     "graph_bfs_reach",
     "search_rrf_fusion",
