@@ -6319,7 +6319,10 @@ def dedup_containment_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bag-of-words (sorted distinct tokens), each tier keeping the "
     "min-doc_id survivor and feeding ONLY survivors to the next -- "
     "the cheapest-filter-first cascade every production corpus build "
-    "runs, with per-tier removal accounting. Each tier is one "
+    "runs, with per-tier removal accounting (dedup_tier_report is the "
+    "sibling DIAGNOSTIC: tiers evaluated independently with "
+    "incremental-flag sets; this is the sequential PIPELINE those "
+    "numbers justify). Each tier is one "
     "groupBy(8-byte fingerprint).agg(min, min_by) -- map-side "
     "combinable, survivor set identical to grouping by the raw key "
     "(hash injective at corpus size, same contract as dedup_exact). "
