@@ -545,3 +545,61 @@ def test_fixed_width_roundtrip_preserves_cents(spark, tmp_path):
     assert got[1].cents == 1235 and got[1].event_type == "click"  # HALF_UP round
     assert got[2].cents == 1  # 0.005 -> 1 cent, not dropped
     assert got[3].cents == 9999999
+
+
+# --------------------------------------------- transformWithState (gated)
+
+
+def test_transform_with_state_processor_logic_batchwise():
+    """The processor's per-key fold is plain Python over pandas batches;
+    test it directly (the streaming transport is environment-gated --
+    see operators/twstate.py docstring)."""
+    import pandas as pd
+    from testlog_etl_spark.operators.twstate import DistinctTypeTracker
+
+    t = DistinctTypeTracker()
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeValueState()
+
+    t.init(FakeHandle())
+    b1 = pd.DataFrame(
+        {"ts": [1, 2, 3], "event_id": [10, 11, 12], "event_type": ["a", "b", "a"]}
+    )
+    out1 = list(t.handleInputRows((7,), iter([b1]), None))
+    assert len(out1) == 1
+    assert out1[0].values.tolist() == [[7, 10, 1], [7, 11, 2]]  # change-only
+    # second micro-batch: state carries across; only the new type emits
+    b2 = pd.DataFrame({"ts": [4, 5], "event_id": [13, 14], "event_type": ["b", "c"]})
+    out2 = list(t.handleInputRows((7,), iter([b2]), None))
+    assert out2[0].values.tolist() == [[7, 14, 3]]
+
+
+def test_transform_with_state_gate_matches_environment(spark):
+    from testlog_etl_spark.operators.twstate import (
+        distinct_type_emissions,
+        protobuf_available,
+    )
+
+    if protobuf_available():
+        import pytest
+
+        pytest.skip("protobuf present: gate inactive (operator runs for real)")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    )  # any streaming frame: the gate fires before wiring
+    import pytest
+
+    with pytest.raises(RuntimeError, match="google.protobuf"):
+        distinct_type_emissions(stream)
