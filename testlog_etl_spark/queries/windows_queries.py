@@ -2609,3 +2609,107 @@ def funnel_session_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_click_purchase"
         ),
     )
+
+
+@register(
+    "ts_sax_motifs",
+    doc="SAX motif discovery (symbolic aggregate approximation, the "
+    "standard PAA+quantize pipeline): each (event_type, day) 24-hour "
+    "load profile is averaged into 6 four-hour PAA segments, "
+    "z-normalized, and quantized into a 3-symbol word via the "
+    "normal-tercile breakpoints (+-0.43); identical words across days "
+    "are motifs -- recurring intraday shapes, found by an exact "
+    "groupBy on the word instead of any pairwise distance scan. "
+    "Scale shape: one (type, day, hour) rollup (map-side), a "
+    "constant-24 dense grid explode, one segment rollup, one word "
+    "rollup -- every exchange is key+word-sized. Sums/means/stds are "
+    "rounded to 4dp BEFORE quantizing so both engines symbolize "
+    "identical inputs; zero-variance days quantize to all-'b' via the "
+    "shared sd=0 guard.",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+         ROUND(SUM(value), 4) AS v
+  FROM events GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT e.event_type, d.day, h.hr, COALESCE(hourly.v, 0.0) AS v
+  FROM (SELECT DISTINCT event_type FROM hourly) e
+  CROSS JOIN (SELECT DISTINCT day FROM hourly) d
+  CROSS JOIN (SELECT unnest(range(24)) AS hr) h
+  LEFT JOIN hourly ON hourly.event_type = e.event_type
+                  AND hourly.day = d.day AND hourly.hr = h.hr
+),
+paa AS (
+  SELECT event_type, day, hr // 4 AS seg, ROUND(AVG(v), 4) AS v
+  FROM grid GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT event_type, day,
+         ROUND(AVG(v), 4) AS mu,
+         ROUND(stddev_pop(v), 4) AS sd
+  FROM paa GROUP BY 1, 2
+),
+sym AS (
+  SELECT p.event_type, p.day, p.seg,
+         CASE WHEN s.sd = 0 THEN 'b'
+              WHEN ROUND((p.v - s.mu) / s.sd, 4) <= -0.43 THEN 'a'
+              WHEN ROUND((p.v - s.mu) / s.sd, 4) <= 0.43 THEN 'b'
+              ELSE 'c' END AS c
+  FROM paa p JOIN stats s ON p.event_type = s.event_type AND p.day = s.day
+),
+words AS (
+  SELECT event_type, day, string_agg(c, '' ORDER BY seg) AS word
+  FROM sym GROUP BY event_type, day
+)
+SELECT event_type, word, count(*) AS n_days,
+       CAST(MIN(day) AS VARCHAR) AS first_day
+FROM words GROUP BY event_type, word
+HAVING count(*) >= 2
+ORDER BY event_type, n_days DESC, word
+""",
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hourly = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    # dense 24-hour grid per (type, day): hours with no events are 0,
+    # generated via one explode of a 24-literal -- no data-scaling join
+    days = hourly.select("event_type", "day").distinct()
+    grid = days.select(
+        "event_type", "day", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hr")
+    ).join(hourly, ["event_type", "day", "hr"], "left").fillna(0.0, ["v"])
+    paa = grid.groupBy(
+        "event_type", "day", F.expr("hr div 4").alias("seg")
+    ).agg(F.round(F.avg("v"), 4).alias("v"))
+    stats = paa.groupBy("event_type", "day").agg(
+        F.round(F.avg("v"), 4).alias("mu"),
+        F.round(F.stddev_pop("v"), 4).alias("sd"),
+    )
+    z = F.round((F.col("v") - F.col("mu")) / F.col("sd"), 4)
+    sym = paa.join(stats, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        "seg",
+        F.when(F.col("sd") == 0, F.lit("b"))
+        .when(z <= -0.43, F.lit("a"))
+        .when(z <= 0.43, F.lit("b"))
+        .otherwise(F.lit("c"))
+        .alias("c"),
+    )
+    words = sym.groupBy("event_type", "day").agg(
+        F.array_join(F.array_sort(F.collect_list(F.struct("seg", "c"))).c, "").alias("word")
+    )
+    return (
+        words.groupBy("event_type", "word")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("day").cast("string").alias("first_day"),
+        )
+        .filter(F.col("n_days") >= 2)
+        .orderBy("event_type", F.col("n_days").desc(), "word")
+    )

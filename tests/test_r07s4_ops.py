@@ -603,3 +603,36 @@ def test_transform_with_state_gate_matches_environment(spark):
 
     with pytest.raises(RuntimeError, match="google.protobuf"):
         distinct_type_emissions(stream)
+
+
+# ------------------------------------------------------------- SAX motifs
+
+
+def test_sax_symbolization_breakpoints():
+    """Tercile breakpoints map z-scores to a/b/c with equal normal mass;
+    the boundary rule is <= on the rounded z, shared by both engines."""
+
+    def sym(z, sd=1.0):
+        if sd == 0:
+            return "b"
+        if z <= -0.43:
+            return "a"
+        if z <= 0.43:
+            return "b"
+        return "c"
+
+    assert [sym(z) for z in (-2, -0.43, -0.1, 0.43, 3)] == list("aabbc")
+    assert sym(999, sd=0) == "b"  # flat day: zero variance guard
+
+
+def test_sax_motifs_words_are_6_segments_and_grouped(spark):
+    from testlog_etl_spark.queries.windows_queries import ts_sax_motifs
+
+    # sf0.01: dense enough that recurring intraday shapes exist -- the
+    # PAA coarsening (24h -> 6 segments, 3 symbols) is what makes the
+    # motif groupBy non-trivial (raw 24-char words never repeat)
+    rows = ts_sax_motifs(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "sf0.01 events must contain at least one recurring shape"
+    for r in rows:
+        assert len(r.word) == 6 and set(r.word) <= set("abc")
+        assert r.n_days >= 2
