@@ -2713,3 +2713,133 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_days") >= 2)
         .orderBy("event_type", F.col("n_days").desc(), "word")
     )
+
+
+def _dtw_fold_sql(n: int) -> str:
+    """DTW(nxn) as ONE Spark SQL expression: outer fold over rows i with
+    the previous DP row as accumulator, inner fold over j building row i
+    left-to-right -- the classic O(n^2) recurrence entirely inside
+    whole-stage codegen (no UDF, no Python, no shuffle). Columns `_a`,
+    `_b` are the two (already-normalized) length-n double arrays."""
+    return f"""
+element_at(
+  aggregate(sequence(0, {n - 1}),
+    cast(array() as array<double>),
+    (prev, i) ->
+      aggregate(sequence(0, {n - 1}),
+        cast(array() as array<double>),
+        (cur, j) ->
+          cur || array(
+            abs(element_at(_a, i+1) - element_at(_b, j+1)) +
+            CASE
+              WHEN i = 0 AND j = 0 THEN cast(0.0 as double)
+              WHEN i = 0 THEN element_at(cur, j)
+              WHEN j = 0 THEN element_at(prev, 1)
+              ELSE least(element_at(prev, j+1), element_at(cur, j), element_at(prev, j))
+            END)
+      )
+  ), {n})
+"""
+
+
+@register(
+    "ts_dtw_shape_distance",
+    doc="dynamic time warping between event types' z-normalized "
+    "average-day profiles -- the elastic shape distance (tolerates "
+    "phase shift) that Euclidean hour-by-hour comparison cannot give, "
+    "an operator Spark lacks, built as a COMPOSITION of built-ins: "
+    "the full O(24x24) DP recurrence runs as one nested "
+    "aggregate()/fold SQL expression inside whole-stage codegen "
+    "(_dtw_fold_sql) -- per-pair cost is a constant, the pair frame "
+    "is #types^2 (at entity grain you would LSH-prune pairs first, "
+    "same valve as the dedup tiers). The oracle replays the identical "
+    "DP as a 576-step recursive CTE carrying (prev row, partial row); "
+    "inputs are rounded 4dp before the fold and both engines execute "
+    "the same operation order, so the distances match bit-exactly.",
+    oracle="""
+WITH RECURSIVE hourly AS (
+  -- integer micro-units: the hour average is an EXACT integer sum over
+  -- any partitioning, then one double division identical on both
+  -- engines -- float SUM/AVG is association-order-dependent and a
+  -- parallel Spark sum near a rounding boundary diverged from DuckDB's
+  -- sequential one (caught by the default-session rehearsal)
+  SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                    / count(*) / 100.0, 0) AS BIGINT) AS vq
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(SUM(vq) AS DOUBLE) AS s1,
+         CAST(SUM(vq * vq) AS DOUBLE) AS s2
+  FROM hourly GROUP BY 1
+),
+prof AS (
+  SELECT h.event_type,
+         array_agg(CASE WHEN s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n) <= 0 THEN 0.0
+                        ELSE ROUND((h.vq - s.s1 / s.n) /
+                                   sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 4)
+                   END ORDER BY h.hr) AS p
+  FROM hourly h JOIN stats s ON h.event_type = s.event_type
+  GROUP BY h.event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.p AS a, b.p AS b
+  FROM prof a JOIN prof b ON a.event_type < b.event_type
+),
+dp AS (
+  SELECT type_a, type_b, a, b, 0 AS k,
+         CAST([] AS DOUBLE[]) AS prev,
+         CAST([abs(a[1] - b[1])] AS DOUBLE[]) AS cur
+  FROM pairs
+  UNION ALL
+  SELECT type_a, type_b, a, b, k + 1,
+         CASE WHEN (k + 1) % 24 = 0 THEN cur ELSE prev END,
+         CASE WHEN (k + 1) % 24 = 0
+              THEN [abs(a[(k + 1) // 24 + 1] - b[1]) + cur[1]]
+              ELSE cur || [abs(a[k // 24 + 1] - b[(k + 1) % 24 + 1]) +
+                CASE WHEN k // 24 = 0 THEN cur[(k + 1) % 24]
+                     ELSE least(prev[(k + 1) % 24 + 1], cur[(k + 1) % 24], prev[(k + 1) % 24])
+                END]
+         END
+  FROM dp WHERE k < 575
+)
+SELECT type_a, type_b, ROUND(cur[24], 4) AS dtw
+FROM dp WHERE k = 575
+ORDER BY type_a, type_b
+""",
+)
+def ts_dtw_shape_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # integer micro-units (see oracle note): exact sums regardless of
+    # partitioning, then single divisions both engines execute identically
+    micro = F.round(F.col("value") * 1000000, 0).cast("long")
+    hourly = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.round(F.sum(micro).cast("double") / F.count(F.lit(1)) / 100.0, 0)
+        .cast("long")
+        .alias("vq")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vq").cast("double").alias("s1"),
+        F.sum(F.col("vq") * F.col("vq")).cast("double").alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mu * mu
+    z = F.when(var <= 0, F.lit(0.0)).otherwise(
+        F.round((F.col("vq") - mu) / F.sqrt(var), 4)
+    )
+    prof = (
+        hourly.join(stats, "event_type")
+        .select("event_type", "hr", z.alias("z"))
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("hr", "z"))).z.alias("p"))
+    )
+    a = prof.select(F.col("event_type").alias("type_a"), F.col("p").alias("_a"))
+    b = prof.select(F.col("event_type").alias("type_b"), F.col("p").alias("_b"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.withColumn("dtw", F.round(F.expr(_dtw_fold_sql(24)), 4))
+        .select("type_a", "type_b", "dtw")
+        .orderBy("type_a", "type_b")
+    )

@@ -636,3 +636,58 @@ def test_sax_motifs_words_are_6_segments_and_grouped(spark):
     for r in rows:
         assert len(r.word) == 6 and set(r.word) <= set("abc")
         assert r.n_days >= 2
+
+
+# ------------------------------------------------------------ DTW distance
+
+
+def _dtw_ref(a, b):
+    import math
+
+    n, m = len(a), len(b)
+    dp = [[math.inf] * m for _ in range(n)]
+    for i in range(n):
+        for j in range(m):
+            c = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                dp[i][j] = c
+            elif i == 0:
+                dp[i][j] = c + dp[0][j - 1]
+            elif j == 0:
+                dp[i][j] = c + dp[i - 1][0]
+            else:
+                dp[i][j] = c + min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1])
+    return dp[n - 1][m - 1]
+
+
+def test_dtw_fold_matches_reference_and_properties(spark):
+    from testlog_etl_spark.queries.windows_queries import _dtw_fold_sql
+
+    rng = random.Random(9)
+    n = 8
+    cases = [
+        (
+            [round(rng.uniform(-3, 3), 4) for _ in range(n)],
+            [round(rng.uniform(-3, 3), 4) for _ in range(n)],
+        )
+        for _ in range(6)
+    ]
+    # identity and symmetry ride along as extra cases
+    cases.append((cases[0][0], cases[0][0]))
+    cases.append((cases[1][1], cases[1][0]))
+    df = spark.createDataFrame(cases, "_a array<double>, _b array<double>")
+    got = [r.d for r in df.select(F.expr(_dtw_fold_sql(n)).alias("d")).collect()]
+    for (a, b), d in zip(cases, got):
+        assert abs(d - _dtw_ref(a, b)) < 1e-9, (a, b, d)
+    assert got[6] == 0.0  # d(a, a) = 0
+    assert abs(got[7] - _dtw_ref(cases[1][0], cases[1][1])) < 1e-9  # symmetry
+
+
+def test_dtw_tolerates_phase_shift_where_euclidean_does_not():
+    """The reason DTW exists: the same peak one step later is cheap for
+    DTW, expensive point-to-point."""
+    a = [0, 0, 5, 0, 0, 0]
+    b = [0, 0, 0, 5, 0, 0]
+    l1 = sum(abs(x - y) for x, y in zip(a, b))
+    assert _dtw_ref(a, b) < l1
+    assert _dtw_ref(a, b) == 0.0  # warping aligns the peaks exactly
