@@ -2602,6 +2602,7 @@ def agg_binned_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_rfm_segments",
+    bench=True,
     doc="RFM segmentation at the customer grain: recency (last order "
     "day), frequency (order count), monetary (revenue sum) are each "
     "quintile-scored 1..5 and customers grouped into (r,f,m) cells. "

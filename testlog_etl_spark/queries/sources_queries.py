@@ -469,6 +469,7 @@ _REG2["layout_zorder_pruning"].oracle = _zorder_oracle()
 
 @register(
     "layout_hilbert_pruning",
+    bench=True,
     doc="Hilbert-curve clustering readout, the locality-tighter sibling "
     "of layout_zorder_pruning: the SAME (custkey, epoch-day) 8-bit "
     "grid, linearized by the Hilbert index instead of Morton. "
