@@ -2,6 +2,13 @@
 applyInPandasWithState (arbitrary named state variables, timers, state
 schema evolution) behind the same Arrow batch transport.
 
+Second processor on this API: operators/highwater.py carries the FIRST
+(``RecordBreakersProcessor``, scalar high-water ValueState, r06); this
+module adds the SET-VALUED state shape (cumulative distinct tracking
+with change-only emission) -- the two state disciplines a stateful
+pipeline actually alternates between. Both share the same environment
+gate, documented below.
+
 ENVIRONMENT STUB -- read before judging coverage: the API's
 driver<->worker state protocol is protobuf-serialized, and this sandbox
 has NO google.protobuf (verified: `import google.protobuf` ->
