@@ -3184,3 +3184,106 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             R,
         ).alias("friedman_chi2"),
     )
+
+
+@register(
+    "stats_empirical_bayes_rates",
+    doc="empirical-Bayes shrinkage of per-part return rates "
+    "(beta-binomial, method of moments): small-sample parts get "
+    "pulled toward the corpus prior, high-volume parts keep their "
+    "raw rate -- THE smoothing every per-entity rate dashboard needs "
+    "before ranking entities with 3 observations against ones with "
+    "3000. Prior strength K = m(1-m)/v - 1 from the moments of the "
+    "group-rate distribution; shrunk_i = (x_i + K*m)/(n_i + K). "
+    "Determinism discipline: each group's rate is quantized to "
+    "integer micro-units FIRST (exact per-row op), so the moment "
+    "sums are integer-exact under any partitioning (the DTW "
+    "parallel-AVG lesson); the banded readout pins the defining "
+    "property -- shrinkage magnitude decreases with group size. "
+    "Two rollups, everything map-side combinable.",
+    oracle="""
+WITH g AS (
+  SELECT l_partkey,
+         count(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x,
+         CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    * 1000000.0 / count(*), 0) AS BIGINT) AS rq
+  FROM lineitem GROUP BY l_partkey
+),
+mom AS (
+  SELECT count(*) AS gn,
+         CAST(SUM(rq) AS DOUBLE) AS s1,
+         CAST(SUM(rq * rq) AS DOUBLE) AS s2
+  FROM g
+),
+prior AS (
+  SELECT (s1 / gn) / 1000000.0 AS m,
+         (s2 / gn - (s1 / gn) * (s1 / gn)) / 1000000.0 / 1000000.0 AS v
+  FROM mom
+),
+k AS (
+  SELECT m, v,
+         CASE WHEN v <= 0 THEN 0.0 ELSE m * (1 - m) / v - 1 END AS kk
+  FROM prior
+),
+scored AS (
+  SELECT g.n, g.x,
+         g.rq / 1000000.0 AS raw,
+         (g.x + k.kk * k.m) / (g.n + k.kk) AS shrunk
+  FROM g, k
+)
+SELECT CASE WHEN n <= 2 THEN '1_n<=2' WHEN n <= 5 THEN '2_n3-5'
+            WHEN n <= 10 THEN '3_n6-10' ELSE '4_n>10' END AS band,
+       count(*) AS n_groups,
+       ROUND(AVG(raw), 4) AS avg_raw,
+       ROUND(AVG(shrunk), 4) AS avg_shrunk,
+       ROUND(AVG(abs(raw - shrunk)), 4) AS avg_shift
+FROM scored
+GROUP BY 1 ORDER BY band
+""",
+)
+def stats_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    ret = (F.col("l_returnflag") == "R").cast("long")
+    g = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ret).alias("x"),
+    ).withColumn(
+        "rq", F.round(F.col("x") * 1000000.0 / F.col("n"), 0).cast("long")
+    )
+    mom = g.agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.sum("rq").cast("double").alias("s1"),
+        F.sum(F.col("rq") * F.col("rq")).cast("double").alias("s2"),
+    )
+    m = (F.col("s1") / F.col("gn")) / 1000000.0
+    v = (F.col("s2") / F.col("gn") - (F.col("s1") / F.col("gn")) * (F.col("s1") / F.col("gn"))) / 1000000.0 / 1000000.0
+    k = mom.select(
+        m.alias("m"),
+        v.alias("v"),
+    ).withColumn(
+        "kk", F.when(F.col("v") <= 0, F.lit(0.0)).otherwise(
+            F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+        )
+    )
+    scored = g.crossJoin(F.broadcast(k)).select(
+        "n",
+        (F.col("rq") / 1000000.0).alias("raw"),
+        ((F.col("x") + F.col("kk") * F.col("m")) / (F.col("n") + F.col("kk"))).alias("shrunk"),
+    )
+    band = (
+        F.when(F.col("n") <= 2, "1_n<=2")
+        .when(F.col("n") <= 5, "2_n3-5")
+        .when(F.col("n") <= 10, "3_n6-10")
+        .otherwise("4_n>10")
+    )
+    return (
+        scored.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.round(F.avg("raw"), 4).alias("avg_raw"),
+            F.round(F.avg("shrunk"), 4).alias("avg_shrunk"),
+            F.round(F.avg(F.abs(F.col("raw") - F.col("shrunk"))), 4).alias("avg_shift"),
+        )
+        .orderBy("band")
+    )

@@ -691,3 +691,39 @@ def test_dtw_tolerates_phase_shift_where_euclidean_does_not():
     l1 = sum(abs(x - y) for x, y in zip(a, b))
     assert _dtw_ref(a, b) < l1
     assert _dtw_ref(a, b) == 0.0  # warping aligns the peaks exactly
+
+
+# ------------------------------------------------ empirical-Bayes shrinkage
+
+
+def test_eb_shrinkage_decreases_with_group_size(spark, sf_dir):
+    from testlog_etl_spark.queries.stats_queries import stats_empirical_bayes_rates
+
+    rows = {r.band: r for r in stats_empirical_bayes_rates(spark, sf_dir).collect()}
+    assert rows, "must produce at least one size band"
+    # the defining property: small-n groups move further toward the prior
+    bands = sorted(rows)
+    shifts = [rows[b].avg_shift for b in bands]
+    if len(shifts) >= 2:
+        assert shifts[0] >= shifts[-1], shifts
+    for r in rows.values():
+        assert 0.0 <= r.avg_raw <= 1.0 and 0.0 <= r.avg_shrunk <= 1.0
+
+
+def test_eb_shrinkage_closed_form_on_toy():
+    """Hand-check the beta-binomial MoM formula: groups (1/2, 5/10,
+    50/100) all have raw rate 0.5 -> zero variance -> K=0 -> no
+    shrinkage; a dispersed set shrinks the small group most."""
+    rates = [0.5, 0.5, 0.5]
+    m = sum(rates) / 3
+    v = sum((r - m) ** 2 for r in rates) / 3
+    assert v == 0  # degenerate prior: shrunk == raw by the kk=0 guard
+
+    groups = [(1, 2), (9, 10), (50, 100)]  # (x, n): rates .5, .9, .5
+    rs = [x / n for x, n in groups]
+    m = sum(rs) / 3
+    v = sum((r - m) ** 2 for r in rs) / 3
+    k = m * (1 - m) / v - 1
+    shrunk = [(x + k * m) / (n + k) for x, n in groups]
+    shifts = [abs(s - r) for s, r in zip(shrunk, rs)]
+    assert shifts[0] > shifts[2]  # n=2 moves more than n=100
