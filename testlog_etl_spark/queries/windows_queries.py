@@ -2843,3 +2843,129 @@ def ts_dtw_shape_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("type_a", "type_b", "dtw")
         .orderBy("type_a", "type_b")
     )
+
+
+def _viterbi_consts() -> dict:
+    """HMM parameters as FULL-PRECISION repr literals shared by both
+    engines (repr round-trips exactly; both parsers are correctly-
+    rounded). Max-product Viterbi in log space uses only + and
+    greatest at runtime -- no exp/ln whose libm implementations could
+    differ cross-engine by an ulp."""
+    import math
+
+    emit = {
+        "view": (math.log(0.55), math.log(0.25)),
+        "click": (math.log(0.25), math.log(0.30)),
+        "purchase": (math.log(0.05), math.log(0.25)),
+        "signup": (math.log(0.05), math.log(0.10)),
+        "error": (math.log(0.10), math.log(0.10)),
+    }
+    t = {k: math.log(v) for k, v in {"t00": 0.8, "t01": 0.2, "t10": 0.3, "t11": 0.7}.items()}
+    return {"emit": emit, **t, "p0": math.log(0.6), "p1": math.log(0.4)}
+
+
+def _viterbi_emit_case(state: int, var: str) -> str:
+    c = _viterbi_consts()
+    whens = " ".join(
+        f"WHEN '{k}' THEN CAST({v[state]!r} AS DOUBLE)" for k, v in c["emit"].items()
+    )
+    return f"(CASE {var} {whens} ELSE CAST(-23.0 AS DOUBLE) END)"
+
+
+def _viterbi_oracle() -> str:
+    c = _viterbi_consts()
+    e0, e1 = _viterbi_emit_case(0, "seq[k + 1]"), _viterbi_emit_case(1, "seq[k + 1]")
+    s0, s1 = _viterbi_emit_case(0, "seq[1]"), _viterbi_emit_case(1, "seq[1]")
+    return f"""
+WITH RECURSIVE seqs AS (
+  SELECT user_id, array_agg(event_type ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+),
+dp AS (
+  SELECT user_id, seq, 1 AS k,
+         CAST({c['p0']!r} AS DOUBLE) + {s0} AS lp0,
+         CAST({c['p1']!r} AS DOUBLE) + {s1} AS lp1
+  FROM seqs
+  UNION ALL
+  SELECT user_id, seq, k + 1,
+         greatest(lp0 + CAST({c['t00']!r} AS DOUBLE), lp1 + CAST({c['t10']!r} AS DOUBLE)) + {e0},
+         greatest(lp0 + CAST({c['t01']!r} AS DOUBLE), lp1 + CAST({c['t11']!r} AS DOUBLE)) + {e1}
+  FROM dp WHERE k < len(seq)
+),
+fin AS (
+  SELECT user_id, len(seq) AS n, lp0, lp1,
+         CAST(ROUND(greatest(lp0, lp1) / len(seq) * 10000, 0) AS BIGINT) AS q
+  FROM dp WHERE k = len(seq)
+)
+SELECT CASE WHEN lp1 > lp0 THEN 'engaged' ELSE 'casual' END AS state,
+       count(*) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       ROUND(SUM(n) * 1.0 / count(*), 2) AS avg_seq_len,
+       ROUND(CAST(SUM(q) AS DOUBLE) / count(*) / 10000.0, 4) AS avg_lp_per_event
+FROM fin GROUP BY 1 ORDER BY state
+"""
+
+
+@register(
+    "events_viterbi_engagement",
+    doc="Viterbi decoding of a 2-state engagement HMM over each user's "
+    "event sequence -- probabilistic sequence classification as a "
+    "pure-codegen fold (the DTW pattern applied to max-product DP): "
+    "the accumulator is a named_struct of the two state log-probs, "
+    "each step one greatest()+literal-CASE emission, so a user's "
+    "WHOLE trellis collapses inside whole-stage codegen with no UDF "
+    "and only the (user, sequence) rollup shuffle. Log-space "
+    "max-product uses only + and greatest -- deterministic cross-"
+    "engine, unlike forward-algorithm log-sum-exp whose exp/ln libm "
+    "could drift an ulp. Per-user scores are quantized to integer "
+    "1e-4 units before the state rollup so the report averages are "
+    "exact under any partitioning. Oracle replays the identical "
+    "recurrence as a per-user recursive CTE.",
+    oracle=_viterbi_oracle(),
+)
+def events_viterbi_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _viterbi_consts()
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    seqs = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).event_type.alias(
+            "_seq"
+        )
+    )
+    s0, s1 = _viterbi_emit_case(0, "element_at(_seq, 1)"), _viterbi_emit_case(
+        1, "element_at(_seq, 1)"
+    )
+    e0, e1 = _viterbi_emit_case(0, "x"), _viterbi_emit_case(1, "x")
+    fold = f"""
+aggregate(
+  slice(_seq, 2, greatest(size(_seq) - 1, 0)),
+  named_struct(
+    'lp0', CAST({c['p0']!r} AS DOUBLE) + {s0},
+    'lp1', CAST({c['p1']!r} AS DOUBLE) + {s1}),
+  (acc, x) -> named_struct(
+    'lp0', greatest(acc.lp0 + CAST({c['t00']!r} AS DOUBLE), acc.lp1 + CAST({c['t10']!r} AS DOUBLE)) + {e0},
+    'lp1', greatest(acc.lp0 + CAST({c['t01']!r} AS DOUBLE), acc.lp1 + CAST({c['t11']!r} AS DOUBLE)) + {e1})
+)
+"""
+    scored = seqs.select(
+        F.size("_seq").alias("n"), F.expr(fold).alias("v")
+    ).select(
+        "n",
+        F.col("v.lp0").alias("lp0"),
+        F.col("v.lp1").alias("lp1"),
+        F.round(F.greatest("v.lp0", "v.lp1") / F.col("n") * 10000, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    state = F.when(F.col("lp1") > F.col("lp0"), "engaged").otherwise("casual")
+    return (
+        scored.groupBy(state.alias("state"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("n") * 1.0 / F.count(F.lit(1)), 2).alias("avg_seq_len"),
+            F.round(F.sum("q").cast("double") / F.count(F.lit(1)) / 10000.0, 4).alias(
+                "avg_lp_per_event"
+            ),
+        )
+        .orderBy("state")
+    )

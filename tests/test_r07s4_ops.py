@@ -727,3 +727,74 @@ def test_eb_shrinkage_closed_form_on_toy():
     shrunk = [(x + k * m) / (n + k) for x, n in groups]
     shifts = [abs(s - r) for s, r in zip(shrunk, rs)]
     assert shifts[0] > shifts[2]  # n=2 moves more than n=100
+
+
+# ---------------------------------------------------------- Viterbi HMM
+
+
+def test_viterbi_fold_matches_python_reference(spark):
+    import math
+
+    from testlog_etl_spark.queries.windows_queries import (
+        _viterbi_consts,
+        events_viterbi_engagement,  # noqa: F401 -- import exercises registration
+        _viterbi_emit_case,
+    )
+
+    c = _viterbi_consts()
+
+    def ref(seq):
+        lp0 = c["p0"] + c["emit"][seq[0]][0]
+        lp1 = c["p1"] + c["emit"][seq[0]][1]
+        for x in seq[1:]:
+            lp0, lp1 = (
+                max(lp0 + c["t00"], lp1 + c["t10"]) + c["emit"][x][0],
+                max(lp0 + c["t01"], lp1 + c["t11"]) + c["emit"][x][1],
+            )
+        return lp0, lp1
+
+    s0 = _viterbi_emit_case(0, "element_at(_seq, 1)")
+    s1 = _viterbi_emit_case(1, "element_at(_seq, 1)")
+    e0, e1 = _viterbi_emit_case(0, "x"), _viterbi_emit_case(1, "x")
+    fold = f"""
+aggregate(
+  slice(_seq, 2, greatest(size(_seq) - 1, 0)),
+  named_struct('lp0', CAST({c['p0']!r} AS DOUBLE) + {s0},
+               'lp1', CAST({c['p1']!r} AS DOUBLE) + {s1}),
+  (acc, x) -> named_struct(
+    'lp0', greatest(acc.lp0 + CAST({c['t00']!r} AS DOUBLE), acc.lp1 + CAST({c['t10']!r} AS DOUBLE)) + {e0},
+    'lp1', greatest(acc.lp0 + CAST({c['t01']!r} AS DOUBLE), acc.lp1 + CAST({c['t11']!r} AS DOUBLE)) + {e1}))
+"""
+    seqs = [
+        ["view", "click", "purchase", "purchase"],
+        ["view", "view", "view"],
+        ["purchase"],
+        ["error", "signup", "purchase", "click", "view"],
+    ]
+    df = spark.createDataFrame([(s,) for s in seqs], "_seq array<string>")
+    got = df.select(F.expr(f"({fold}).lp0").alias("a"), F.expr(f"({fold}).lp1").alias("b")).collect()
+    for seq, row in zip(seqs, got):
+        r0, r1 = ref(seq)
+        assert math.isclose(row.a, r0, rel_tol=0, abs_tol=1e-12)
+        assert math.isclose(row.b, r1, rel_tol=0, abs_tol=1e-12)
+
+
+def test_viterbi_classifies_purchase_heavy_as_engaged():
+    import math
+
+    from testlog_etl_spark.queries.windows_queries import _viterbi_consts
+
+    c = _viterbi_consts()
+
+    def best_state(seq):
+        lp0 = c["p0"] + c["emit"][seq[0]][0]
+        lp1 = c["p1"] + c["emit"][seq[0]][1]
+        for x in seq[1:]:
+            lp0, lp1 = (
+                max(lp0 + c["t00"], lp1 + c["t10"]) + c["emit"][x][0],
+                max(lp0 + c["t01"], lp1 + c["t11"]) + c["emit"][x][1],
+            )
+        return "engaged" if lp1 > lp0 else "casual"
+
+    assert best_state(["purchase", "purchase", "purchase"]) == "engaged"
+    assert best_state(["view", "view", "view", "view"]) == "casual"
