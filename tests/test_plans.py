@@ -887,3 +887,36 @@ def test_hilbert_pruning_single_exchange_pure_codegen(spark):
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "o_custkey" in read and "o_orderdate" in read
     assert "o_totalprice" not in read
+
+
+def test_containment_postings_no_cartesian_pruned_scan(spark):
+    """Candidates must come from the shingle equi-join (posting lists),
+    never a cross product; the documents scan reads only id + text."""
+    plan = plan_of(_q("dedup_containment_postings")(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_dedup_cascade_no_cartesian_no_window(spark):
+    """Tier rollups are plain aggregates; the only joins are the
+    broadcast single-row count stitches."""
+    plan = plan_of(_q("corpus_dedup_cascade")(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_session_funnel_shares_user_exchange(spark):
+    """Sessionization partitions by user, the funnel windows by
+    (user, sid): at most two hash exchanges end to end -- the funnel
+    clauses themselves must all share one."""
+    simple = plan_of(_q("funnel_session_scoped")(spark, SF_SMALL), mode="simple")
+    assert simple.count("Exchange hashpartitioning") <= 2, simple
+
+
+def test_viterbi_fold_is_pure_codegen(spark):
+    """The whole trellis collapses in JVM expressions: no Python
+    boundary anywhere in the plan."""
+    plan = plan_of(_q("events_viterbi_engagement")(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
