@@ -798,3 +798,40 @@ def test_viterbi_classifies_purchase_heavy_as_engaged():
 
     assert best_state(["purchase", "purchase", "purchase"]) == "engaged"
     assert best_state(["view", "view", "view", "view"]) == "casual"
+
+
+# ------------------------------------------------- join-MV delta refresh
+
+
+def test_join_mv_delta_equals_full_recompute(spark, sf_dir):
+    from testlog_etl_spark.queries.etl_queries import mv_join_delta_maintenance
+
+    got = {r.priority: (r.n_lines, r.revenue) for r in mv_join_delta_maintenance(spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")  # noqa: E741
+    full = {
+        r.priority: (r.n, r.rev)
+        for r in l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"),
+        )
+        .collect()
+    }
+    assert got == full  # the four-quadrant union IS the full join
+
+
+def test_join_mv_delta_broadcasts_delta_sides(spark, sf_dir):
+    import contextlib
+    import io
+
+    from testlog_etl_spark.queries.etl_queries import mv_join_delta_maintenance
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mv_join_delta_maintenance(spark, sf_dir).explain(mode="formatted")
+    plan = buf.getvalue()
+    # the three delta joins build on the broadcast (small) side
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
