@@ -1197,3 +1197,63 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("edge")
+
+
+@register(
+    "dq_primary_key_uniqueness",
+    doc="primary-key uniqueness audit across the whole star: per table, "
+    "row count vs distinct key count and the duplicate-row surplus -- "
+    "the cheapest invariant every load job asserts before publishing. "
+    "dq_constraint_report carries two of these as named expectations; "
+    "this is the per-TABLE breakdown including the keys it omits, and "
+    "lineitem's COMPOSITE (orderkey, linenumber) key -- which the "
+    "synthetic generator genuinely VIOLATES (line numbers repeat "
+    "within an order), so the broken path of the audit is exercised "
+    "by real data, not an injected fixture. One count+"
+    "count_distinct aggregate per table, map-side combinable; "
+    "compound keys hash to one 8-byte column first so the distinct "
+    "never shuffles two columns.",
+    oracle="""
+SELECT 'customer' AS table_name, count(*) AS n_rows,
+       count(DISTINCT c_custkey) AS n_keys,
+       count(*) - count(DISTINCT c_custkey) AS dup_rows FROM customer
+UNION ALL
+SELECT 'documents', count(*), count(DISTINCT doc_id),
+       count(*) - count(DISTINCT doc_id) FROM documents
+UNION ALL
+SELECT 'events', count(*), count(DISTINCT event_id),
+       count(*) - count(DISTINCT event_id) FROM events
+UNION ALL
+SELECT 'lineitem', count(*),
+       count(DISTINCT hash(l_orderkey, '|', l_linenumber)),
+       count(*) - count(DISTINCT hash(l_orderkey, '|', l_linenumber)) FROM lineitem
+UNION ALL
+SELECT 'orders', count(*), count(DISTINCT o_orderkey),
+       count(*) - count(DISTINCT o_orderkey) FROM orders
+ORDER BY table_name
+""",
+)
+def dq_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "documents", "events", "lineitem", "orders"))
+
+    def audit(name: str, df: DataFrame, key) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"), F.count_distinct(key).alias("n_keys")
+        ).select(
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            "n_keys",
+            (F.col("n_rows") - F.col("n_keys")).alias("dup_rows"),
+        )
+
+    import functools
+
+    outs = [
+        audit("customer", t["customer"], F.col("c_custkey")),
+        audit("documents", t["documents"], F.col("doc_id")),
+        audit("events", t["events"], F.col("event_id")),
+        # composite key -> ONE hashed column through the distinct
+        audit("lineitem", t["lineitem"], F.xxhash64("l_orderkey", F.lit("|"), "l_linenumber")),
+        audit("orders", t["orders"], F.col("o_orderkey")),
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), outs).orderBy("table_name")

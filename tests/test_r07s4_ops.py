@@ -835,3 +835,29 @@ def test_join_mv_delta_broadcasts_delta_sides(spark, sf_dir):
     # the three delta joins build on the broadcast (small) side
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------- PK uniqueness
+
+
+def test_pk_uniqueness_clean_star_and_composite_key(spark, sf_dir):
+    from testlog_etl_spark.queries.profile_queries import dq_primary_key_uniqueness
+
+    rows = {r.table_name: r for r in dq_primary_key_uniqueness(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "documents", "events", "lineitem", "orders"}
+    # surrogate-keyed tables are clean...
+    for name in ("customer", "documents", "events", "orders"):
+        assert rows[name].dup_rows == 0, name
+    # ...but the synthetic lineitem genuinely VIOLATES its nominal
+    # (orderkey, linenumber) key -- the audit must REPORT it, which is
+    # the broken path exercised by real data rather than an injection
+    li = rows["lineitem"]
+    assert li.dup_rows > 0 and li.n_keys < li.n_rows
+
+
+def test_pk_uniqueness_detects_injected_duplicates(spark):
+    df = spark.createDataFrame([(1,), (2,), (2,), (3,), (3,), (3,)], "k long")
+    out = df.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.count_distinct("k").alias("n_keys")
+    ).collect()[0]
+    assert out.n_rows - out.n_keys == 3  # surplus = extra copies, not groups
