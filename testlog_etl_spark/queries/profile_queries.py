@@ -1257,3 +1257,89 @@ def dq_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit("orders", t["orders"], F.col("o_orderkey")),
     ]
     return functools.reduce(lambda a, b: a.unionByName(b), outs).orderBy("table_name")
+
+
+@register(
+    "dq_generalization_ladder",
+    doc="k-anonymity generalization ladder, the DECISION op above "
+    "dq_k_anonymity's report: sweep the balance-band generalization "
+    "levels (width 100 -> 1000 -> 10000 -> segment-only), measure each "
+    "level's smallest equivalence class and risky-row share at k=5, "
+    "and flag the MINIMAL level that satisfies k -- the release "
+    "pipeline publishes at that level (coarser destroys utility, "
+    "finer leaks). All four levels ride ONE stacked rollup (the QI "
+    "tuples for every level are emitted by one stack() over one "
+    "customer scan) + one rollup of the reduced class frame -- never "
+    "four scans. Monotonicity (coarser level => fewer risky rows) is "
+    "property-tested.",
+    oracle="""
+WITH q AS (
+  SELECT lvl, seg, band, count(*) AS class_size
+  FROM (
+    SELECT * FROM (
+      SELECT 1 AS lvl, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 100) AS VARCHAR) AS band FROM customer
+      UNION ALL
+      SELECT 2, c_mktsegment, CAST(floor(c_acctbal / 1000) AS VARCHAR) FROM customer
+      UNION ALL
+      SELECT 3, c_mktsegment, CAST(floor(c_acctbal / 10000) AS VARCHAR) FROM customer
+      UNION ALL
+      SELECT 4, c_mktsegment, '*' FROM customer
+    )
+  ) GROUP BY lvl, seg, band
+),
+lv AS (
+  SELECT lvl,
+         count(*) AS n_classes,
+         CAST(MIN(class_size) AS BIGINT) AS min_class,
+         CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS risky_rows,
+         ROUND(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)::DOUBLE
+               / SUM(class_size), 4) AS risky_share
+  FROM q GROUP BY lvl
+),
+m AS (SELECT MIN(lvl) AS chosen FROM lv WHERE min_class >= 5)
+SELECT lvl, n_classes, min_class, risky_rows, risky_share,
+       (min_class >= 5) AS satisfies_k,
+       (lvl = m.chosen) AS chosen_level
+FROM lv, m ORDER BY lvl
+""",
+)
+def dq_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    stacked = cust.selectExpr(
+        "stack(4, "
+        "1, c_mktsegment, CAST(floor(c_acctbal / 100) AS STRING), "
+        "2, c_mktsegment, CAST(floor(c_acctbal / 1000) AS STRING), "
+        "3, c_mktsegment, CAST(floor(c_acctbal / 10000) AS STRING), "
+        "4, c_mktsegment, '*'"
+        ") AS (lvl, seg, band)"
+    )
+    cls = stacked.groupBy("lvl", "seg", "band").agg(F.count(F.lit(1)).alias("class_size"))
+    lv = cls.groupBy("lvl").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("min_class"),
+        F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)).alias(
+            "risky_rows"
+        ),
+        F.round(
+            F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("class_size"),
+            4,
+        ).alias("risky_share"),
+    )
+    chosen = lv.filter(F.col("min_class") >= 5).agg(F.min("lvl").alias("chosen"))
+    return (
+        lv.crossJoin(F.broadcast(chosen))
+        .select(
+            "lvl",
+            "n_classes",
+            "min_class",
+            "risky_rows",
+            "risky_share",
+            (F.col("min_class") >= 5).alias("satisfies_k"),
+            (F.col("lvl") == F.col("chosen")).alias("chosen_level"),
+        )
+        .orderBy("lvl")
+    )

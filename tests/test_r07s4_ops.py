@@ -861,3 +861,27 @@ def test_pk_uniqueness_detects_injected_duplicates(spark):
         F.count(F.lit(1)).alias("n_rows"), F.count_distinct("k").alias("n_keys")
     ).collect()[0]
     assert out.n_rows - out.n_keys == 3  # surplus = extra copies, not groups
+
+
+# --------------------------------------------------- generalization ladder
+
+
+def test_generalization_ladder_monotone_and_chooses_minimal(spark, sf_dir):
+    from testlog_etl_spark.queries.profile_queries import dq_generalization_ladder
+
+    rows = sorted(dq_generalization_ladder(spark, sf_dir).collect(), key=lambda r: r.lvl)
+    assert [r.lvl for r in rows] == [1, 2, 3, 4]
+    # coarser generalization can only shrink risky mass and class count
+    risky = [r.risky_rows for r in rows]
+    assert risky == sorted(risky, reverse=True)
+    n_cls = [r.n_classes for r in rows]
+    assert n_cls == sorted(n_cls, reverse=True)
+    # the chosen level is the FIRST satisfying one, and exactly one is chosen
+    sat = [r.satisfies_k for r in rows]
+    chosen = [r.chosen_level for r in rows]
+    assert sum(chosen) <= 1
+    if any(sat):
+        first = sat.index(True)
+        assert chosen[first] and all(not c for i, c in enumerate(chosen) if i != first)
+    # level 4 (segment-only) always satisfies k=5 on any non-trivial corpus
+    assert rows[3].satisfies_k
