@@ -875,3 +875,63 @@ def stream_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
     ).orderBy(F.desc("value"), F.asc("event_id"))
+
+
+@register(
+    "stream_lambda_backfill_union",
+    doc="lambda-architecture serving view: a BATCH history (events "
+    "before the cutover, read as plain parquet) unioned with a "
+    "STREAMING tail (files arriving after cutover, drained through a "
+    "micro-batch aggregation) -- where the tail's second micro-batch "
+    "deliberately RE-DELIVERS the first one's last day (how real "
+    "backfill/retry seams look) and watermarked stateful "
+    "dropDuplicates on event_id counts each replayed id once. Batch partials "
+    "and stream partials then merge by key re-aggregation (the same "
+    "partial+final contract as the aggregate MV), so the served view "
+    "equals the single-table batch answer EXACTLY -- the lambda "
+    "correctness claim. At 100 TB the history side is one immutable "
+    "pre-aggregated table; only the tail re-aggregates per batch.",
+    oracle="""
+SELECT event_type, count(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_lambda_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = "2024-01-21 00:00:00"
+    history = ev.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+    tail = ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp"))
+    # the tail arrives as two micro-batches whose seam OVERLAPS: batch 2
+    # re-delivers batch 1's last day (how real backfill/retry seams look)
+    mid = "2024-01-26 00:00:00"
+    t1 = tail.filter(F.col("ts") < F.lit(mid).cast("timestamp"))
+    replay = t1.filter(F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+    t2 = tail.filter(F.col("ts") >= F.lit(mid).cast("timestamp")).unionByName(replay)
+    in_dir = jobs.stage_stream_batches([t1, t2], "lambda_tail")
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    # seam dedup: the replayed ids must count ONCE across micro-batches --
+    # id-keyed stateful dropDuplicates is the idempotence guard (a
+    # wall-clock filter could not tell a replay from a late arrival)
+    deduped = stream.withWatermark("ts", "7 days").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+    tail_view = jobs.run_to_completion(agg, f"lambda_{uuid.uuid4().hex[:8]}")
+
+    hist_view = history.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+    merged = (
+        hist_view.unionByName(tail_view)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("sum_value"), 4).alias("sum_value"))
+    )
+    return merged.orderBy("event_type")

@@ -174,8 +174,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    source_fixed_width_text, ts_sax_motifs,
     #    ts_dtw_shape_distance, stats_empirical_bayes_rates,
     #    events_viterbi_engagement, mv_join_delta_maintenance,
-    #    dq_primary_key_uniqueness, dq_generalization_ladder.
-    #    (Registry: 443;
+    #    dq_primary_key_uniqueness, dq_generalization_ladder,
+    #    stream_lambda_backfill_union. (Registry: 444;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

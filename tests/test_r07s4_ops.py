@@ -885,3 +885,33 @@ def test_generalization_ladder_monotone_and_chooses_minimal(spark, sf_dir):
         assert chosen[first] and all(not c for i, c in enumerate(chosen) if i != first)
     # level 4 (segment-only) always satisfies k=5 on any non-trivial corpus
     assert rows[3].satisfies_k
+
+
+# -------------------------------------------------- lambda backfill union
+
+
+def test_lambda_seam_actually_replays_rows(spark, sf_dir):
+    """The dedup claim is hollow unless the staged stream really carries
+    duplicate ids across micro-batches -- pin the replay volume."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut, mid, seam = "2024-01-21 00:00:00", "2024-01-26 00:00:00", "2024-01-25 00:00:00"
+    tail = ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp"))
+    replay = tail.filter(
+        (F.col("ts") >= F.lit(seam).cast("timestamp"))
+        & (F.col("ts") < F.lit(mid).cast("timestamp"))
+    )
+    assert replay.count() > 0  # fixture guard: the seam day is non-empty
+
+
+def test_lambda_union_equals_batch_answer(spark, sf_dir):
+    from testlog_etl_spark.queries.streaming_queries import stream_lambda_backfill_union
+
+    got = {r.event_type: (r.n, r.sum_value) for r in stream_lambda_backfill_union(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r.event_type: (r.n, r.s)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    }
+    assert got == want  # served view == single-table batch truth
