@@ -11,6 +11,7 @@
 
 from __future__ import annotations
 
+import datetime
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1016,3 +1017,46 @@ def source_fixed_width_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "sql_named_parameters",
+    doc="SQL API surface #4: PARAMETERIZED spark.sql -- named ':param' "
+    "markers bound via args (Spark 4's injection-safe front door; "
+    "values are bound as literals by the parser, never string-"
+    "spliced). The query itself is the pricing cut by a parameterized "
+    "date + discount band; the oracle carries the same statement with "
+    "the literals inlined, which is exactly the binding contract "
+    "being asserted.",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.05
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate <= :ship_cut
+          AND l_discount BETWEEN :lo AND :hi
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        args={
+            "ship_cut": datetime.datetime(1997, 6, 30),
+            "lo": 0.02,
+            "hi": 0.05,
+        },
+    )
+
