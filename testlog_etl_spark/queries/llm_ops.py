@@ -6390,3 +6390,76 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tier", "docs_in", "docs_out", "removed", "removed_frac")
         .orderBy("tier")
     )
+
+
+@register(
+    "text_unicode_nfc_audit",
+    doc="Unicode normalization audit: how much of the corpus is NOT in "
+    "NFC (decomposed sequences make byte-identical-looking strings "
+    "hash differently -- a silent dedup/fingerprint killer for "
+    "multilingual corpora). JVM Spark has NO normalization builtin, "
+    "so this is the honest UDF case: an @arrow_udf (Spark 4 Arrow-"
+    "native UDF surface, one Arrow batch per call) applying "
+    "unicodedata.normalize per string -- per-string Python is "
+    "inherent to the operation, same contract as the Jaro-Winkler "
+    "pandas_udf (NOTE: pyarrow 16.1's own utf8_normalize is broken -- "
+    "it decomposes under every form -- verified and avoided). The "
+    "corpus is salted deterministically: doc_id%3==0 gets a "
+    "decomposed suffix, ==1 the precomposed twin, ==2 none, so both "
+    "audit paths run on every engine. Oracle uses DuckDB's native "
+    "nfc_normalize.",
+    oracle="""
+WITH t AS (
+  SELECT source,
+         text || CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN ' caf' || chr(101) || chr(769)
+                   WHEN 1 THEN ' caf' || chr(233)
+                   ELSE '' END AS t2
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(CASE WHEN t2 != nfc_normalize(t2) THEN 1 ELSE 0 END) AS BIGINT) AS n_denormalized,
+       CAST(SUM(length(t2) - length(nfc_normalize(t2))) AS BIGINT) AS codepoints_saved
+FROM t GROUP BY source ORDER BY source
+""",
+)
+def text_unicode_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    def _nfc_impl(s):
+        import unicodedata
+
+        return pa.array(
+            [None if v is None else unicodedata.normalize("NFC", v) for v in s.to_pylist()],
+            type=pa.string(),
+        )
+
+    # real annotation OBJECTS: this module uses PEP-563 string annotations
+    # (from __future__ import annotations), which arrow_udf's signature
+    # inspection cannot resolve -- assign the classes directly instead
+    _nfc_impl.__annotations__ = {"s": pa.Array, "return": pa.Array}
+    nfc = arrow_udf(_nfc_impl, "string")
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull()
+    )
+    suffix = (
+        # explicit escapes: a source-file normalization by any tool would
+        # silently merge the two cases if the raw characters were inline
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit(" caf" + "e\u0301"))
+        .when(F.pmod("doc_id", F.lit(3)) == 1, F.lit(" caf" + "\u00e9"))
+        .otherwise(F.lit(""))
+    )
+    t = docs.select("source", F.concat(F.col("text"), suffix).alias("t2"))
+    n = t.withColumn("nfc", nfc("t2"))
+    return (
+        n.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("t2") != F.col("nfc")).cast("long")).alias("n_denormalized"),
+            F.sum(F.length("t2") - F.length("nfc")).alias("codepoints_saved"),
+        )
+        .orderBy("source")
+    )

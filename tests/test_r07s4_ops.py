@@ -915,3 +915,40 @@ def test_lambda_union_equals_batch_answer(spark, sf_dir):
         .collect()
     }
     assert got == want  # served view == single-table batch truth
+
+
+# ----------------------------------------------------------- NFC audit
+
+
+def test_nfc_audit_counts_only_decomposed_docs(spark, sf_dir):
+    from testlog_etl_spark.queries.llm_ops import text_unicode_nfc_audit
+
+    rows = text_unicode_nfc_audit(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("text IS NOT NULL")
+    per_source = {
+        r.source: r.n
+        for r in docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        # exactly the doc_id%3==0 docs are denormalized, one combining
+        # mark each; precomposed and clean docs must NOT be flagged
+        assert r.n_denormalized == per_source.get(r.source, 0), r
+        assert r.codepoints_saved == r.n_denormalized
+
+
+def test_pyarrow_utf8_normalize_is_broken_here():
+    """Document WHY the operator uses unicodedata: this pyarrow build
+    decomposes under every form. If this test ever fails, the operator
+    can switch to the vectorized kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = pc.utf8_normalize(pa.array(["café"]), form="NFC").to_pylist()[0]
+    assert out != "café"  # broken: returns the DECOMPOSED form
+    import unicodedata
+
+    assert unicodedata.normalize("NFC", "café") == "café"  # the fix
