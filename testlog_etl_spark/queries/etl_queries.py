@@ -4334,3 +4334,238 @@ def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+def _markov_attr_oracle(n_iter: int = 8, bits: int = 30) -> str:
+    g = 1 << bits
+
+    def snap(x: str) -> str:
+        return f"floor(({x}) * {g} + 0.5) / {g}"
+
+    blocks = [
+        f"""e0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e0
+),
+tp AS (
+  SELECT user_id, sid, MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_conv
+  FROM s GROUP BY user_id, sid
+),
+touch AS (
+  SELECT s.user_id, s.sid, s.ts, s.event_id, s.event_type, tp.t_conv
+  FROM s JOIN tp ON tp.user_id = s.user_id AND tp.sid = s.sid
+  WHERE s.event_type != 'purchase' AND (tp.t_conv IS NULL OR s.ts < tp.t_conv)
+),
+ord AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn,
+         lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS nxt
+  FROM touch
+),
+raw_edges AS (
+  SELECT 'START' AS src, event_type AS dst FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT event_type,
+         COALESCE(nxt, CASE WHEN t_conv IS NOT NULL THEN 'CONV' ELSE 'LOST' END)
+  FROM ord
+  UNION ALL
+  SELECT 'START', 'CONV' FROM tp t
+  WHERE t.t_conv IS NOT NULL AND NOT EXISTS (
+    SELECT 1 FROM touch WHERE touch.user_id = t.user_id AND touch.sid = t.sid)
+),
+edges AS (SELECT src, dst, count(*)::DOUBLE AS w FROM raw_edges GROUP BY src, dst),
+ow AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+ef AS (SELECT edges.src, edges.dst, edges.w / ow.ow AS frac
+       FROM edges JOIN ow ON ow.src = edges.src),
+channels AS (SELECT DISTINCT event_type AS ch FROM touch),
+scen AS (SELECT 'full' AS scen UNION ALL SELECT ch FROM channels),
+se AS (
+  SELECT scen.scen, ef.src,
+         CASE WHEN ef.dst = scen.scen THEN 'LOST' ELSE ef.dst END AS dst,
+         SUM(ef.frac) AS frac
+  FROM scen CROSS JOIN ef
+  WHERE ef.src != scen.scen
+  GROUP BY scen.scen, ef.src, 3
+),
+states AS (
+  SELECT ch AS node FROM channels
+  UNION ALL SELECT 'START' UNION ALL SELECT 'CONV' UNION ALL SELECT 'LOST'
+),
+sn AS (SELECT scen.scen, states.node FROM scen CROSS JOIN states),
+p0 AS (SELECT scen, node, CASE WHEN node = 'CONV' THEN 1.0 ELSE 0.0 END AS p FROM sn)"""
+    ]
+    for i in range(1, n_iter + 1):
+        blocks.append(
+            f"""s{i} AS (
+  SELECT se.scen, se.src AS node, SUM(se.frac * p.p) AS np
+  FROM se JOIN p{i - 1} p ON p.scen = se.scen AND p.node = se.dst
+  GROUP BY se.scen, se.src
+),
+p{i} AS (
+  SELECT sn.scen, sn.node,
+         CASE WHEN sn.node = 'CONV' THEN 1.0
+              WHEN sn.node = 'LOST' THEN 0.0
+              ELSE {snap(f'coalesce(s{i}.np, 0.0)')} END AS p
+  FROM sn LEFT JOIN s{i} ON s{i}.scen = sn.scen AND s{i}.node = sn.node
+)"""
+        )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body},
+res AS (SELECT scen, p FROM p{n_iter} WHERE node = 'START'),
+base AS (SELECT p AS pf FROM res WHERE scen = 'full'),
+eff AS (
+  SELECT res.scen AS channel, res.p AS p_removed,
+         GREATEST(1 - res.p / NULLIF(base.pf, 0), 0) AS removal_effect
+  FROM res, base WHERE res.scen != 'full'
+),
+tot AS (SELECT SUM(removal_effect) AS te FROM eff)
+SELECT channel,
+       ROUND((SELECT pf FROM base), 6) AS p_full,
+       ROUND(p_removed, 6) AS p_removed,
+       ROUND(removal_effect, 4) AS removal_effect,
+       ROUND(removal_effect / NULLIF(tot.te, 0), 4) AS attribution_share
+FROM eff, tot
+ORDER BY channel
+"""
+
+
+@register(
+    "attribution_markov_removal",
+    oracle=_markov_attr_oracle(),
+    doc="Markov removal-effect attribution, the model-based member of "
+    "the attribution family (last-touch and linear are positional): "
+    "session journeys (30-min gaps, touches before first purchase) "
+    "build a START/channels/CONV/LOST transition chain, and each "
+    "channel's credit is its REMOVAL EFFECT -- how much the START->"
+    "CONV absorption probability (8-step horizon, grid-snapped "
+    "pagerank playbook) drops when visits to that channel are "
+    "redirected to LOST. All five scenarios (full + one removal per "
+    "channel) solve in ONE joint iteration over the (scenario, node) "
+    "frame -- the scenario dimension rides the same tiny-join loop, "
+    "not five separate passes. Data-scale work is only the journey "
+    "edge rollup; the chain frame is (channels+3) x scenarios rows.",
+)
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from testlog_etl_spark.tables import load_tables
+
+    n_iter, bits = 8, 30
+    g = float(1 << bits)
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.floor(F.unix_timestamp("ts")) - F.floor(F.unix_timestamp(F.lag("ts").over(wo)))
+        > 1800
+    ).cast("int")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(F.coalesce(brk, F.lit(0)))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    tp = s.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_conv")
+    )
+    touch = s.join(tp, ["user_id", "sid"]).filter(
+        (F.col("event_type") != "purchase")
+        & (F.col("t_conv").isNull() | (F.col("ts") < F.col("t_conv")))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ordd = touch.withColumn("rn", F.row_number().over(ws)).withColumn(
+        "nxt", F.lead("event_type").over(ws)
+    )
+    start_edges = ordd.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("event_type").alias("dst")
+    )
+    step_edges = ordd.select(
+        F.col("event_type").alias("src"),
+        F.coalesce(
+            "nxt", F.when(F.col("t_conv").isNotNull(), "CONV").otherwise("LOST")
+        ).alias("dst"),
+    )
+    bare_conv = (
+        tp.filter(F.col("t_conv").isNotNull())
+        .join(touch.select("user_id", "sid").distinct(), ["user_id", "sid"], "left_anti")
+        .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    )
+    edges = (
+        start_edges.unionByName(step_edges)
+        .unionByName(bare_conv)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ef = edges.join(ow, "src").select("src", "dst", (F.col("w") / F.col("ow")).alias("frac"))
+
+    # chain solve: the transition frame is (channels+3)^2 <= ~50 rows
+    # BY CONSTRUCTION, so it collects to the driver (the k-means/D9
+    # bounded-collect rule) and the 8-round x 5-scenario fold runs in
+    # exact Python -- the same snap arithmetic as the CTE replay. The
+    # first cut of this operator looped DataFrame joins with eager
+    # localCheckpoints instead: a checkpoint under an unexecuted
+    # broadcast exchange stalls until spark.sql.broadcastTimeout (300 s)
+    # and the unpersisted 8-round lineage blew the default session's
+    # heap -- measured, hence this shape.
+    import math
+
+    frac_rows = [(r.src, r.dst, float(r.frac)) for r in ef.collect()]
+    chans = sorted({s for s, _, _ in frac_rows if s != "START"})
+    def solve(removed):
+        edges_s = {}
+        for s_, d_, f_ in sorted(frac_rows):
+            if s_ == removed:
+                continue
+            d2 = "LOST" if d_ == removed else d_
+            edges_s.setdefault(s_, []).append((d2, f_))
+        nodes = set(edges_s) | {d for outs in edges_s.values() for d, _ in outs}
+        pv = {n: (1.0 if n == "CONV" else 0.0) for n in nodes | {"CONV", "LOST", "START"}}
+        for _ in range(n_iter):
+            nxt = {}
+            for n in pv:
+                if n == "CONV":
+                    nxt[n] = 1.0
+                elif n == "LOST":
+                    nxt[n] = 0.0
+                else:
+                    acc = 0.0
+                    for d2, f_ in edges_s.get(n, ()):  # sorted fold order
+                        acc += f_ * pv.get(d2, 0.0)
+                    nxt[n] = math.floor(acc * g + 0.5) / g
+            pv = nxt
+        return pv.get("START", 0.0)
+
+    p_full = solve(None)
+    effs = []
+    for ch in chans:
+        p_rem = solve(ch)
+        effect = max(1.0 - (p_rem / p_full), 0.0) if p_full else 0.0
+        effs.append((ch, p_rem, effect))
+    te = sum(e for _, _, e in effs)
+    out_rows = [
+        (
+            ch,
+            round(p_full, 6),
+            round(p_rem, 6),
+            round(e, 4),
+            round(e / te, 4) if te else None,
+        )
+        for ch, p_rem, e in effs
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, p_full double, p_removed double, "
+        "removal_effect double, attribution_share double",
+    ).orderBy("channel")

@@ -952,3 +952,62 @@ def test_pyarrow_utf8_normalize_is_broken_here():
     import unicodedata
 
     assert unicodedata.normalize("NFC", "café") == "café"  # the fix
+
+
+# --------------------------------------------- Markov removal attribution
+
+
+def test_markov_removal_shares_sum_to_one_and_bounds(spark, sf_dir):
+    from testlog_etl_spark.queries.etl_queries import attribution_markov_removal
+
+    rows = attribution_markov_removal(spark, sf_dir).collect()
+    assert rows, "journeys must produce at least one channel"
+    assert all(0.0 <= r.removal_effect <= 1.0 for r in rows)
+    assert all(0.0 <= r.p_removed <= r.p_full + 1e-9 for r in rows)
+    total_share = sum(r.attribution_share for r in rows)
+    assert abs(total_share - 1.0) < 0.01  # shares normalize (4dp rounding slack)
+
+
+def test_markov_removal_gateway_channel_gets_full_credit(spark):
+    """Hand-built chain: every converting journey passes through 'a'
+    (START->a->CONV or START->a->b->CONV); removing 'a' kills ALL
+    conversion, removing 'b' only some -- a's effect must dominate."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows, eid = [], 0
+
+    def journey(uid, kinds, minute_base):
+        nonlocal eid
+        for i, k in enumerate(kinds):
+            rows.append(
+                (eid, t0 + datetime.timedelta(minutes=minute_base + i), uid, k, 1.0, None)
+            )
+            eid += 1
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    for u in range(6):
+        journey(u, ["a", "purchase"], 0)  # converts via a alone
+    for u in range(6, 10):
+        journey(u, ["a", "b", "purchase"], 0)  # converts via a then b
+    for u in range(10, 14):
+        journey(u, ["b"], 0)  # b-only, no conversion
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+    from testlog_etl_spark.queries.etl_queries import attribution_markov_removal
+
+    out = {r.channel: r for r in attribution_markov_removal(spark, d).collect()}
+    # FIRST-ORDER Markov closed form (not path replay): full model
+    # p = (10/14)(0.6 + 0.4*0.5) + (4/14)(0.5) = 5/7; removing 'a'
+    # leaves START->b->CONV mass = (4/14)(0.5) = 1/7 (the model
+    # generalizes b->CONV to b-only journeys -- that is the POINT of
+    # Markov attribution vs path counting); removing 'b' leaves
+    # (10/14)(0.6) = 3/7.
+    assert abs(out["a"].p_full - 5 / 7) < 1e-4
+    assert abs(out["a"].p_removed - 1 / 7) < 1e-4
+    assert abs(out["b"].p_removed - 3 / 7) < 1e-4
+    assert abs(out["a"].removal_effect - 0.8) < 1e-3
+    assert abs(out["b"].removal_effect - 0.4) < 1e-3
+    assert abs(out["a"].attribution_share - 2 / 3) < 1e-3
