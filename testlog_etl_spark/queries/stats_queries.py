@@ -3287,3 +3287,149 @@ def stats_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "stats_simpsons_paradox_scan",
+    doc="Simpson's-paradox detector: does the discount->quantity "
+    "association REVERSE when lineitem is pooled vs split by part "
+    "brand? For the pooled frame and every brand, the OLS slope sign "
+    "of quantity on discount comes from the closed-form covariance "
+    "(n*Sxy - Sx*Sy over n*Sxx - Sx^2 -- sign needs only the "
+    "numerator); a brand whose slope sign contradicts the pooled "
+    "sign is a paradox cell, the classic aggregation-bias audit "
+    "before anyone trusts a pooled trend. ONE scan: per-brand moment "
+    "sums (map-side combinable integers-and-doubles), pooled moments "
+    "as the SUM of brand moments -- no second pass. Slope numerators "
+    "are rounded identically before the sign compare.",
+    oracle="""
+WITH m AS (
+  SELECT p.p_brand AS brand,
+         count(*) AS n,
+         SUM(l.l_discount) AS sx, SUM(l.l_quantity) AS sy,
+         SUM(l.l_discount * l.l_quantity) AS sxy
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+),
+pooled AS (
+  SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy, SUM(sxy) AS sxy FROM m
+),
+sgn AS (
+  SELECT m.brand, m.n,
+         ROUND(m.n * m.sxy - m.sx * m.sy, 4) AS num_brand,
+         ROUND(pooled.n * pooled.sxy - pooled.sx * pooled.sy, 4) AS num_pooled
+  FROM m, pooled
+)
+SELECT brand, n AS n_lines, num_brand,
+       (CASE WHEN num_brand > 0 THEN 1 WHEN num_brand < 0 THEN -1 ELSE 0 END) AS brand_sign,
+       (CASE WHEN num_pooled > 0 THEN 1 WHEN num_pooled < 0 THEN -1 ELSE 0 END) AS pooled_sign,
+       (num_brand * num_pooled < 0) AS paradox
+FROM sgn
+ORDER BY brand
+""",
+)
+def stats_simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    j = t["lineitem"].join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+    m = j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_discount").alias("sx"),
+        F.sum("l_quantity").alias("sy"),
+        F.sum(F.col("l_discount") * F.col("l_quantity")).alias("sxy"),
+    )
+    pooled = m.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("px"),
+        F.sum("sy").alias("py"),
+        F.sum("sxy").alias("pxy"),
+    )
+    sgn = m.crossJoin(F.broadcast(pooled)).select(
+        "brand",
+        F.col("n").alias("n_lines"),
+        F.round(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 4).alias("num_brand"),
+        F.round(F.col("pn") * F.col("pxy") - F.col("px") * F.col("py"), 4).alias("num_pooled"),
+    )
+    sign = lambda c: F.when(c > 0, 1).when(c < 0, -1).otherwise(0)  # noqa: E731
+    return sgn.select(
+        "brand",
+        "n_lines",
+        "num_brand",
+        sign(F.col("num_brand")).alias("brand_sign"),
+        sign(F.col("num_pooled")).alias("pooled_sign"),
+        (F.col("num_brand") * F.col("num_pooled") < 0).alias("paradox"),
+    ).orderBy("brand")
+
+
+@register(
+    "stats_median_ci_order_stats",
+    doc="distribution-free median confidence interval via ORDER "
+    "STATISTICS (the binomial/sign-test construction, normal-"
+    "approximated ranks k = (n -/+ 1.959964*sqrt(n))/2): the CI "
+    "bounds are the values AT those global ranks, so the operator is "
+    "exact selection, not estimation -- and rank selection at the "
+    "order-total grain rides operators/scan.py::global_rank_cumsum "
+    "(range shuffle + offset broadcast), never a single-partition "
+    "sort. Both engines compute identical rank integers (sqrt is "
+    "correctly-rounded IEEE; floor/ceil of identical doubles agree) "
+    "and then pass parquet values through untouched -- no float "
+    "aggregation anywhere.",
+    oracle="""
+WITH n AS (SELECT count(*) AS n FROM orders),
+k AS (
+  SELECT n,
+         CAST(FLOOR((n - 1.959964 * sqrt(n)) / 2) AS BIGINT) AS k_lo,
+         CAST(CEIL(1 + (n + 1.959964 * sqrt(n)) / 2) AS BIGINT) AS k_hi,
+         CAST((n + 1) // 2 AS BIGINT) AS k_m1,
+         CAST((n + 2) // 2 AS BIGINT) AS k_m2
+  FROM n
+),
+r AS (
+  SELECT o_totalprice AS v,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS i
+  FROM orders
+)
+SELECT k.n AS n_rows, k.k_lo, k.k_hi,
+       ROUND(((SELECT v FROM r WHERE i = k.k_m1) +
+              (SELECT v FROM r WHERE i = k.k_m2)) / 2, 4) AS median,
+       (SELECT v FROM r WHERE i = k.k_lo) AS ci_lo,
+       (SELECT v FROM r WHERE i = k.k_hi) AS ci_hi
+FROM k
+""",
+)
+def stats_median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    ranked = global_rank_cumsum(
+        orders.select(F.col("o_totalprice").alias("v"), "o_orderkey"),
+        [F.col("v"), F.col("o_orderkey")],
+        rank_out="i",
+        n_out="n",
+    )
+    k = ranked.select("n").limit(1).select(
+        "n",
+        F.floor((F.col("n") - 1.959964 * F.sqrt("n")) / 2).cast("long").alias("k_lo"),
+        F.ceil(1 + (F.col("n") + 1.959964 * F.sqrt("n")) / 2).cast("long").alias("k_hi"),
+        F.expr("(n + 1) div 2").alias("k_m1"),
+        F.expr("(n + 2) div 2").alias("k_m2"),
+    )
+    picked = ranked.drop("n").join(
+        F.broadcast(k),
+        (F.col("i") == F.col("k_lo"))
+        | (F.col("i") == F.col("k_hi"))
+        | (F.col("i") == F.col("k_m1"))
+        | (F.col("i") == F.col("k_m2")),
+    ).select("i", "v", "k_lo", "k_hi", "k_m1", "k_m2", F.col("n").alias("n_rows"))
+    agg = picked.groupBy("n_rows", "k_lo", "k_hi").agg(
+        F.round(
+            (
+                F.max(F.when(F.col("i") == F.col("k_m1"), F.col("v")))
+                + F.max(F.when(F.col("i") == F.col("k_m2"), F.col("v")))
+            )
+            / 2,
+            4,
+        ).alias("median"),
+        F.max(F.when(F.col("i") == F.col("k_lo"), F.col("v"))).alias("ci_lo"),
+        F.max(F.when(F.col("i") == F.col("k_hi"), F.col("v"))).alias("ci_hi"),
+    )
+    return agg.select("n_rows", "k_lo", "k_hi", "median", "ci_lo", "ci_hi")

@@ -176,8 +176,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    events_viterbi_engagement, mv_join_delta_maintenance,
     #    dq_primary_key_uniqueness, dq_generalization_ladder,
     #    stream_lambda_backfill_union, sql_named_parameters,
-    #    text_unicode_nfc_audit, attribution_markov_removal.
-    #    (Registry: 447;
+    #    text_unicode_nfc_audit, attribution_markov_removal,
+    #    stats_simpsons_paradox_scan, stats_median_ci_order_stats.
+    #    (Registry: 449;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

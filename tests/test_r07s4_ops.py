@@ -1011,3 +1011,49 @@ def test_markov_removal_gateway_channel_gets_full_credit(spark):
     assert abs(out["a"].removal_effect - 0.8) < 1e-3
     assert abs(out["b"].removal_effect - 0.4) < 1e-3
     assert abs(out["a"].attribution_share - 2 / 3) < 1e-3
+
+
+# ------------------------------------------- Simpson's paradox + median CI
+
+
+def test_simpsons_detector_flags_constructed_reversal(spark, tmp_path):
+    """Two groups each with NEGATIVE slope whose group means are placed
+    to force a POSITIVE pooled slope -- the textbook construction."""
+    rows = []
+    # group A: x in [0,1], y = 10 - x ; group B: x in [4,5], y = 25 - x
+    for i in range(20):
+        x = i / 19.0
+        rows.append((i, "A", x, 10.0 - x))
+        rows.append((100 + i, "B", 4.0 + x, 25.0 - (4.0 + x)))
+    df = spark.createDataFrame(rows, "id long, g string, x double, y double")
+    m = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    p = m.agg(
+        F.sum("n").alias("pn"), F.sum("sx").alias("px"),
+        F.sum("sy").alias("py"), F.sum("sxy").alias("pxy"),
+    ).collect()[0]
+    pooled_num = p.pn * p.pxy - p.px * p.py
+    group_nums = {r.g: r.n * r.sxy - r.sx * r.sy for r in m.collect()}
+    assert pooled_num > 0  # pooled: higher x looks better
+    assert all(v < 0 for v in group_nums.values())  # within-group: worse
+
+
+def test_median_ci_brackets_median_with_exact_order_stats(spark, sf_dir):
+    from testlog_etl_spark.queries.stats_queries import stats_median_ci_order_stats
+
+    row = stats_median_ci_order_stats(spark, sf_dir).collect()[0]
+    assert row.ci_lo <= row.median <= row.ci_hi
+    vals = sorted(
+        r.v for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("o_totalprice AS v").collect()
+    )
+    # the bounds ARE order statistics of the data (selection, not estimate)
+    assert row.ci_lo in vals and row.ci_hi in vals
+    assert vals[row.k_lo - 1] == row.ci_lo and vals[row.k_hi - 1] == row.ci_hi
+    import statistics
+
+    assert abs(row.median - statistics.median(vals)) < 1e-6
