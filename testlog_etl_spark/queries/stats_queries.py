@@ -3433,3 +3433,71 @@ def stats_median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("i") == F.col("k_hi"), F.col("v"))).alias("ci_hi"),
     )
     return agg.select("n_rows", "k_lo", "k_hi", "median", "ci_lo", "ci_hi")
+
+
+@register(
+    "stats_diff_in_diff",
+    doc="difference-in-differences: treated nations (region R1, via the "
+    "customer->nation dim) vs control, before/after the 1995-07-01 "
+    "policy date, on average order value -- the causal-inference "
+    "workhorse beside CUPED/SRM in the A/B family. One scan rolls the "
+    "2x2 (group, period) cells (map-side combinable); the DiD "
+    "estimate is exact arithmetic on the four ROUNDED cell means "
+    "(both engines round identically first, so the subtraction "
+    "chain cannot diverge). Output also carries the naive post-only "
+    "gap the DiD corrects, which is the point of the design.",
+    oracle="""
+WITH cells AS (
+  SELECT (n.n_regionkey = 1) AS treated,
+         (o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00') AS post,
+         count(*) AS n,
+         ROUND(AVG(o.o_totalprice), 4) AS avg_value
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN treated AND post THEN avg_value END) AS t_post,
+    MAX(CASE WHEN treated AND NOT post THEN avg_value END) AS t_pre,
+    MAX(CASE WHEN NOT treated AND post THEN avg_value END) AS c_post,
+    MAX(CASE WHEN NOT treated AND NOT post THEN avg_value END) AS c_pre,
+    CAST(SUM(n) AS BIGINT) AS n_orders
+  FROM cells
+)
+SELECT n_orders, t_pre, t_post, c_pre, c_post,
+       ROUND(t_post - c_post, 4) AS naive_post_gap,
+       ROUND((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate
+FROM w
+""",
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    j = (
+        t["orders"]
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    cells = j.groupBy(
+        (F.col("n_regionkey") == 1).alias("treated"),
+        (F.col("o_orderdate") >= F.lit("1995-07-01 00:00:00").cast("timestamp")).alias("post"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_value"))
+    w = cells.agg(
+        F.max(F.when(F.col("treated") & F.col("post"), F.col("avg_value"))).alias("t_post"),
+        F.max(F.when(F.col("treated") & ~F.col("post"), F.col("avg_value"))).alias("t_pre"),
+        F.max(F.when(~F.col("treated") & F.col("post"), F.col("avg_value"))).alias("c_post"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), F.col("avg_value"))).alias("c_pre"),
+        F.sum("n").alias("n_orders"),
+    )
+    return w.select(
+        "n_orders",
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        F.round(F.col("t_post") - F.col("c_post"), 4).alias("naive_post_gap"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 4
+        ).alias("did_estimate"),
+    )

@@ -2969,3 +2969,75 @@ aggregate(
         )
         .orderBy("state")
     )
+
+
+@register(
+    "ts_peak_detection",
+    doc="local-maximum peak detection with PROMINENCE filtering on the "
+    "hourly event-count series: a peak is a bucket strictly higher "
+    "than its w=3 neighborhood on both sides (ties broken toward the "
+    "earlier bucket via >= on the left, > on the right -- plateaus "
+    "yield ONE peak), kept only if it rises at least min_prom above "
+    "the higher of the two w-window shoulder minima -- the standard "
+    "scipy-find_peaks contract restated as window functions. One "
+    "(hour-bucket) rollup then one partitioned-by-nothing-free "
+    "window pass over the BOUNDED bucket frame (one row per hour of "
+    "the month, calendar-bounded).",
+    oracle="""
+WITH b AS (
+  -- naive interval arithmetic, NOT to_timestamp()::TIMESTAMP: the latter
+  -- localizes through the process timezone and breaks the TZ sweep when
+  -- the bucket is rendered as a string (the formatted-UTC-strings rule)
+  SELECT TIMESTAMP '1970-01-01'
+           + ((floor(epoch(ts))::BIGINT // 3600) * 3600) * INTERVAL 1 SECOND AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT bucket, n,
+         MAX(n) OVER (ORDER BY bucket ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS lmax,
+         MAX(n) OVER (ORDER BY bucket ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS rmax,
+         MIN(n) OVER (ORDER BY bucket ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS lmin,
+         MIN(n) OVER (ORDER BY bucket ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS rmin
+  FROM b
+)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+       CAST(n - GREATEST(COALESCE(lmin, 0), COALESCE(rmin, 0)) AS BIGINT) AS prominence
+FROM w
+WHERE n >= COALESCE(lmax, -1) AND n > COALESCE(rmax, -1)
+  AND n - GREATEST(COALESCE(lmin, 0), COALESCE(rmin, 0)) >= 5
+ORDER BY bucket
+""",
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    b = ev.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("timestamp").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bucket")
+    lmax = F.max("n").over(w.rowsBetween(-3, -1))
+    rmax = F.max("n").over(w.rowsBetween(1, 3))
+    lmin = F.min("n").over(w.rowsBetween(-3, -1))
+    rmin = F.min("n").over(w.rowsBetween(1, 3))
+    d = b.select(
+        "bucket",
+        "n",
+        F.coalesce(lmax, F.lit(-1)).alias("lmax"),
+        F.coalesce(rmax, F.lit(-1)).alias("rmax"),
+        F.greatest(F.coalesce(lmin, F.lit(0)), F.coalesce(rmin, F.lit(0))).alias("shoulder"),
+    )
+    return (
+        d.filter(
+            (F.col("n") >= F.col("lmax"))
+            & (F.col("n") > F.col("rmax"))
+            & (F.col("n") - F.col("shoulder") >= 5)
+        )
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n",
+            (F.col("n") - F.col("shoulder")).alias("prominence"),
+        )
+        .orderBy("bucket")
+    )

@@ -177,8 +177,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    dq_primary_key_uniqueness, dq_generalization_ladder,
     #    stream_lambda_backfill_union, sql_named_parameters,
     #    text_unicode_nfc_audit, attribution_markov_removal,
-    #    stats_simpsons_paradox_scan, stats_median_ci_order_stats.
-    #    (Registry: 449;
+    #    stats_simpsons_paradox_scan, stats_median_ci_order_stats,
+    #    stats_diff_in_diff, ts_peak_detection. (Registry: 451;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

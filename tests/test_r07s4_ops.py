@@ -1057,3 +1057,55 @@ def test_median_ci_brackets_median_with_exact_order_stats(spark, sf_dir):
     import statistics
 
     assert abs(row.median - statistics.median(vals)) < 1e-6
+
+
+# ----------------------------------------------------- DiD + peak detect
+
+
+def test_did_arithmetic_from_cells(spark, sf_dir):
+    from testlog_etl_spark.queries.stats_queries import stats_diff_in_diff
+
+    r = stats_diff_in_diff(spark, sf_dir).collect()[0]
+    assert r.n_orders == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert abs(r.did_estimate - ((r.t_post - r.t_pre) - (r.c_post - r.c_pre))) < 1e-6
+    assert abs(r.naive_post_gap - (r.t_post - r.c_post)) < 1e-6
+
+
+def test_peak_detection_finds_known_spike(spark, tmp_path):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # flat 5/hour baseline with one 30-event spike at hour 12
+    for h in range(48):
+        n = 30 if h == 12 else 5
+        for i in range(n):
+            rows.append((eid, t0 + datetime.timedelta(hours=h, seconds=i), 1, "view", 1.0, None))
+            eid += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / "events.parquet"))
+    from testlog_etl_spark.queries.windows_queries import ts_peak_detection
+
+    peaks = ts_peak_detection(spark, str(tmp_path)).collect()
+    assert len(peaks) == 1
+    assert peaks[0].bucket == "2024-01-01 12:00:00"
+    assert peaks[0].n == 30 and peaks[0].prominence == 25
+
+
+def test_peak_detection_plateau_yields_one_peak(spark, tmp_path):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # two-hour plateau at 30: tie-break (>= left, > right) keeps ONE
+    for h in range(24):
+        n = 30 if h in (10, 11) else 5
+        for i in range(n):
+            rows.append((eid, t0 + datetime.timedelta(hours=h, seconds=i), 1, "view", 1.0, None))
+            eid += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / "events.parquet"))
+    from testlog_etl_spark.queries.windows_queries import ts_peak_detection
+
+    peaks = ts_peak_detection(spark, str(tmp_path)).collect()
+    assert len(peaks) == 1 and peaks[0].bucket == "2024-01-01 11:00:00"
