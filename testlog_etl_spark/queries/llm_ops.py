@@ -6463,3 +6463,99 @@ def text_unicode_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_burrows_delta",
+    doc="Burrows' Delta stylometric distance between sources: take the "
+    "corpus's top-20 most frequent words (ties broken "
+    "alphabetically), compute each source's RELATIVE frequency per "
+    "word, z-score each word across sources (population sd; sd=0 "
+    "guard), and Delta(a,b) = mean |z_a - z_b| over the word panel -- "
+    "the standard authorship-attribution distance, here answering "
+    "'which sources write alike' (register/style drift across feeds). "
+    "Shapes: one token explode + two bounded rollups; the z-panel is "
+    "(20 words x sources) and the pairwise frame sources^2 -- both "
+    "constants. Frequencies are exact integer ratios; z and Delta "
+    "are rounded identically on both engines.",
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t != '')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+top AS (
+  SELECT w FROM tok GROUP BY w ORDER BY count(*) DESC, w LIMIT 20
+),
+src_tot AS (SELECT source, count(*) AS nt FROM tok GROUP BY source),
+f AS (
+  SELECT t.source, t.w, count(*) AS c
+  FROM tok t JOIN top ON top.w = t.w
+  GROUP BY t.source, t.w
+),
+grid AS (
+  SELECT s.source, top.w,
+         COALESCE(f.c, 0) * 1.0 / s.nt AS rf
+  FROM src_tot s CROSS JOIN top
+  LEFT JOIN f ON f.source = s.source AND f.w = top.w
+),
+stats AS (
+  SELECT w, AVG(rf) AS mu, stddev_pop(rf) AS sd FROM grid GROUP BY w
+),
+z AS (
+  SELECT g.source, g.w,
+         CASE WHEN s.sd = 0 THEN 0.0
+              ELSE ROUND((g.rf - s.mu) / s.sd, 6) END AS z
+  FROM grid g JOIN stats s ON s.w = g.w
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       ROUND(AVG(ABS(a.z - b.z)), 4) AS delta
+FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+""",
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        "source", F.explode(textstats.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(20)
+        .select("w")
+    )
+    src_tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("nt"))
+    f = tok.join(F.broadcast(top), "w").groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        src_tot.crossJoin(F.broadcast(top))
+        .join(f, ["source", "w"], "left")
+        .select(
+            "source", "w", (F.coalesce("c", F.lit(0)) * 1.0 / F.col("nt")).alias("rf")
+        )
+    )
+    stats = grid.groupBy("w").agg(
+        F.avg("rf").alias("mu"), F.stddev_pop("rf").alias("sd")
+    )
+    z = grid.join(stats, "w").select(
+        "source",
+        "w",
+        F.when(F.col("sd") == 0, F.lit(0.0))
+        .otherwise(F.round((F.col("rf") - F.col("mu")) / F.col("sd"), 6))
+        .alias("z"),
+    )
+    a = z.select(F.col("source").alias("source_a"), "w", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), F.col("w").alias("wb"), F.col("z").alias("zb"))
+    return (
+        a.join(b, (F.col("w") == F.col("wb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 4).alias("delta"))
+        .orderBy("source_a", "source_b")
+    )

@@ -1343,3 +1343,84 @@ def dq_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lvl")
     )
+
+
+@register(
+    "dq_inclusion_dependencies",
+    doc="foreign-key DISCOVERY via inclusion coefficients (the Bellman "
+    "profiling classic, completing the constraint-mining pair with "
+    "dq_functional_dependency): for candidate (child.col -> "
+    "parent.col) pairs, the fraction of distinct child values present "
+    "in the parent -- 1.0 marks an FK candidate, near-zero a decoy. "
+    "The panel mixes true FKs (orderkey, custkey, suppkey) with type-"
+    "compatible decoys (o_custkey->s_suppkey, l_partkey->c_custkey) "
+    "so both verdicts are exercised. Each pair is two DISTINCT "
+    "rollups + one left-join null count over 8-byte keys; distincts "
+    "shrink the frames BEFORE any join, so the cost is key-"
+    "cardinality, not table size.",
+    oracle="""
+WITH pairs AS (
+  SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS candidate,
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_child,
+         (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) c
+          WHERE EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.k)) AS n_hit
+  UNION ALL
+  SELECT 'orders.o_custkey -> customer.c_custkey',
+         (SELECT count(DISTINCT o_custkey) FROM orders),
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS k FROM orders) c
+          WHERE EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.k))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+         (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+         (SELECT count(*) FROM (SELECT DISTINCT l_suppkey AS k FROM lineitem) c
+          WHERE EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.k))
+  UNION ALL
+  SELECT 'orders.o_custkey -> supplier.s_suppkey',
+         (SELECT count(DISTINCT o_custkey) FROM orders),
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS k FROM orders) c
+          WHERE EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.k))
+  UNION ALL
+  SELECT 'lineitem.l_partkey -> customer.c_custkey',
+         (SELECT count(DISTINCT l_partkey) FROM lineitem),
+         (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS k FROM lineitem) c
+          WHERE EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.k))
+)
+SELECT candidate, CAST(n_child AS BIGINT) AS n_child_keys,
+       CAST(n_hit AS BIGINT) AS n_contained,
+       ROUND(n_hit * 1.0 / n_child, 4) AS inclusion,
+       (n_hit = n_child) AS fk_candidate
+FROM pairs ORDER BY candidate
+""",
+)
+def dq_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer", "supplier"))
+
+    panel = [
+        ("lineitem.l_orderkey -> orders.o_orderkey", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        ("orders.o_custkey -> customer.c_custkey", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("lineitem.l_suppkey -> supplier.s_suppkey", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        ("orders.o_custkey -> supplier.s_suppkey", t["orders"], "o_custkey", t["supplier"], "s_suppkey"),
+        ("lineitem.l_partkey -> customer.c_custkey", t["lineitem"], "l_partkey", t["customer"], "c_custkey"),
+    ]
+
+    def one(label: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
+        c = child.select(F.col(ck).alias("k")).distinct()
+        p = parent.select(F.col(pk).alias("k")).distinct()
+        hit = c.join(p.withColumn("_h", F.lit(1)), "k", "left").agg(
+            F.count(F.lit(1)).alias("n_child_keys"),
+            F.sum(F.col("_h").isNotNull().cast("long")).alias("n_contained"),
+        )
+        return hit.select(
+            F.lit(label).alias("candidate"),
+            "n_child_keys",
+            "n_contained",
+            F.round(F.col("n_contained") * 1.0 / F.col("n_child_keys"), 4).alias("inclusion"),
+            (F.col("n_contained") == F.col("n_child_keys")).alias("fk_candidate"),
+        )
+
+    import functools
+
+    out = functools.reduce(
+        lambda a, b: a.unionByName(b), (one(*args) for args in panel)
+    )
+    return out.orderBy("candidate")

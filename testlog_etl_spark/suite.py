@@ -178,7 +178,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stream_lambda_backfill_union, sql_named_parameters,
     #    text_unicode_nfc_audit, attribution_markov_removal,
     #    stats_simpsons_paradox_scan, stats_median_ci_order_stats,
-    #    stats_diff_in_diff, ts_peak_detection. (Registry: 451;
+    #    stats_diff_in_diff, ts_peak_detection, text_burrows_delta,
+    #    dq_inclusion_dependencies. (Registry: 453;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

@@ -1109,3 +1109,38 @@ def test_peak_detection_plateau_yields_one_peak(spark, tmp_path):
 
     peaks = ts_peak_detection(spark, str(tmp_path)).collect()
     assert len(peaks) == 1 and peaks[0].bucket == "2024-01-01 11:00:00"
+
+
+# ------------------------------------- stylometry + inclusion dependencies
+
+
+def test_burrows_delta_separates_styles(spark, tmp_path):
+    """Two sources sharing function-word style vs one divergent: the
+    like-styled pair must have the smallest Delta."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "s1", "the of and to a in the of and to", "en", 10))
+        rows.append((100 + i, "s2", "the of and to a in the of and a", "en", 10))
+        rows.append((200 + i, "s3", "zebra quark nebula vortex prism flux gamma delta rho pi", "en", 10))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, lang string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from testlog_etl_spark.queries.llm_ops import text_burrows_delta
+
+    out = {(r.source_a, r.source_b): r.delta for r in text_burrows_delta(spark, str(tmp_path)).collect()}
+    assert out[("s1", "s2")] < out[("s1", "s3")]
+    assert out[("s1", "s2")] < out[("s2", "s3")]
+
+
+def test_inclusion_dependencies_separate_fks_from_decoys(spark, sf_dir):
+    from testlog_etl_spark.queries.profile_queries import dq_inclusion_dependencies
+
+    rows = {r.candidate: r for r in dq_inclusion_dependencies(spark, sf_dir).collect()}
+    assert rows["lineitem.l_orderkey -> orders.o_orderkey"].fk_candidate
+    assert rows["orders.o_custkey -> customer.c_custkey"].fk_candidate
+    assert rows["lineitem.l_suppkey -> supplier.s_suppkey"].fk_candidate
+    # decoys: type-compatible but not containment-complete
+    assert not rows["lineitem.l_partkey -> customer.c_custkey"].fk_candidate
+    for r in rows.values():
+        assert 0.0 <= r.inclusion <= 1.0
+        assert r.fk_candidate == (r.inclusion == 1.0)
