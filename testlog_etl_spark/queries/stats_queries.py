@@ -3501,3 +3501,90 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 4
         ).alias("did_estimate"),
     )
+
+
+@register(
+    "stats_cochran_armitage_trend",
+    doc="Cochran-Armitage trend test: does the slow-shipment rate "
+    "(shipped more than 90 days after the order date) trend "
+    "MONOTONICALLY across the "
+    "ordered order-priority levels (scores 1..5 from the priority "
+    "prefix)? The chi-square family's ordered-alternative member -- "
+    "chi2 asks 'any difference', CA asks 'a dose-response trend', "
+    "which is the actually-actionable question for an ordered factor. "
+    "Z = sum(w*(x - n*pbar)) / sqrt(pbar*(1-pbar)*(sum(w^2 n) - "
+    "(sum(w n))^2/N)): every term is a ratio of INTEGER rollup counts, "
+    "so both engines compute identical doubles through the one "
+    "division chain; per-level rates ride along for the readout. One "
+    "join + one 5-level rollup + a broadcast 1-row stitch.",
+    oracle="""
+WITH j AS (
+  SELECT CAST(substr(o.o_orderpriority, 1, 1) AS INTEGER) AS w,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+lv AS (SELECT w, count(*) AS n, SUM(late) AS x FROM j GROUP BY w),
+tot AS (
+  SELECT SUM(n) AS nn, SUM(x) AS xx,
+         SUM(w * n) AS swn, SUM(w * w * n) AS sw2n, SUM(w * x) AS swx,
+         SUM(w * n) * 1.0 AS swn_d
+  FROM lv
+),
+z AS (
+  SELECT nn, xx,
+         (SUM_num) / sqrt(pbar * (1 - pbar) * (sw2n - swn_d * swn_d / nn)) AS z_stat
+  FROM (
+    SELECT nn, xx, sw2n, swn_d,
+           xx * 1.0 / nn AS pbar,
+           (swx - swn_d * xx / nn) AS SUM_num
+    FROM tot
+  )
+)
+SELECT lv.w AS priority_score,
+       CAST(lv.n AS BIGINT) AS n_lines,
+       CAST(lv.x AS BIGINT) AS n_late,
+       ROUND(lv.x * 1.0 / lv.n, 4) AS late_rate,
+       ROUND(z.z_stat, 4) AS trend_z
+FROM lv, z
+ORDER BY priority_score
+""",
+)
+def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    j = t["lineitem"].join(
+        t["orders"], F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("w"),
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .cast("long")
+        .alias("late"),
+    )
+    lv = j.groupBy("w").agg(F.count(F.lit(1)).alias("n"), F.sum("late").alias("x"))
+    tot = lv.agg(
+        F.sum("n").alias("nn"),
+        F.sum("x").alias("xx"),
+        (F.sum(F.col("w") * F.col("n")) * 1.0).alias("swn_d"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).alias("sw2n"),
+        F.sum(F.col("w") * F.col("x")).alias("swx"),
+    )
+    pbar = F.col("xx") * 1.0 / F.col("nn")
+    num = F.col("swx") - F.col("swn_d") * F.col("xx") / F.col("nn")
+    z = tot.select(
+        (
+            num
+            / F.sqrt(
+                pbar * (1 - pbar) * (F.col("sw2n") - F.col("swn_d") * F.col("swn_d") / F.col("nn"))
+            )
+        ).alias("z_stat")
+    )
+    return (
+        lv.crossJoin(F.broadcast(z))
+        .select(
+            F.col("w").alias("priority_score"),
+            F.col("n").alias("n_lines"),
+            F.col("x").alias("n_late"),
+            F.round(F.col("x") * 1.0 / F.col("n"), 4).alias("late_rate"),
+            F.round("z_stat", 4).alias("trend_z"),
+        )
+        .orderBy("priority_score")
+    )

@@ -1144,3 +1144,40 @@ def test_inclusion_dependencies_separate_fks_from_decoys(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r.inclusion <= 1.0
         assert r.fk_candidate == (r.inclusion == 1.0)
+
+
+# ------------------------------------------------ Cochran-Armitage trend
+
+
+def test_cochran_armitage_closed_form_on_toy():
+    """Hand-check the statistic on a textbook dose-response table:
+    groups w=1,2,3 with n=100 each and x=10,20,30 -- a perfect trend
+    must give a large positive Z."""
+    lv = [(1, 100, 10), (2, 100, 20), (3, 100, 30)]
+    nn = sum(n for _, n, _ in lv)
+    xx = sum(x for _, _, x in lv)
+    pbar = xx / nn
+    swn = sum(w * n for w, n, _ in lv)
+    sw2n = sum(w * w * n for w, n, _ in lv)
+    swx = sum(w * x for w, _, x in lv)
+    num = swx - swn * xx / nn
+    import math
+
+    z = num / math.sqrt(pbar * (1 - pbar) * (sw2n - swn * swn / nn))
+    assert z > 3.0  # monotone trend detected
+    # flat table: x equal everywhere -> numerator exactly 0
+    lv0 = [(1, 100, 20), (2, 100, 20), (3, 100, 20)]
+    num0 = sum(w * x for w, _, x in lv0) - sum(w * n for w, n, _ in lv0) * 60 / 300
+    assert num0 == 0
+
+
+def test_cochran_armitage_rates_and_z_consistent(spark, sf_dir):
+    from testlog_etl_spark.queries.stats_queries import stats_cochran_armitage_trend
+
+    rows = stats_cochran_armitage_trend(spark, sf_dir).collect()
+    assert [r.priority_score for r in rows] == [1, 2, 3, 4, 5]
+    zs = {r.trend_z for r in rows}
+    assert len(zs) == 1  # the statistic is global, same on every row
+    for r in rows:
+        assert 0.0 <= r.late_rate <= 1.0
+        assert r.n_late <= r.n_lines
