@@ -39,6 +39,12 @@ WHITELIST: dict[str, str] = {
         "cumulative sum runs over the 256-row histogram frame -- bin "
         "count is a constant of the sketch, never the data"
     ),
+    "ts_peak_detection": (
+        "neighborhood/prominence windows run over the HOURLY bucket "
+        "rollup -- one row per calendar hour, bounded by the time "
+        "span (same class as stats_runs_test's per-day frame), never "
+        "by event volume"
+    ),
     "stats_runs_test": (
         "the one lag() runs over the per-DAY revenue rollup -- frame "
         "bounded by the calendar span (one row per day), not raw rows"
