@@ -2670,3 +2670,106 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "agg_quantile_shift_function",
+    doc="Doksum shift function between two periods: Q_1996(q) - "
+    "Q_1995(q) at each decile of order value -- WHERE the "
+    "distribution moved and by how much, the magnitude readout that "
+    "PSI (one number) and KS (max gap) both flatten. Built on the "
+    "agg_binned_quantile sketch GROUPED by year with SHARED global "
+    "bounds so the two estimates are comparable bin-for-bin; the "
+    "cumulative walk partitions BY YEAR (never an unpartitioned "
+    "window), and every estimate carries the sketch's a-priori "
+    "one-bin-width error bound.",
+    oracle="""
+WITH src AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr, o_totalprice AS v
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+),
+b AS (SELECT min(v) AS lo, max(v) AS hi FROM src),
+h AS (
+  SELECT yr, LEAST(CAST(FLOOR((v - b.lo) / (b.hi - b.lo) * 256) AS BIGINT), 255) AS bin,
+         count(*) AS cnt
+  FROM src, b GROUP BY 1, 2
+),
+n AS (SELECT yr, SUM(cnt) AS n FROM h GROUP BY yr),
+c AS (SELECT yr, bin, cnt, SUM(cnt) OVER (PARTITION BY yr ORDER BY bin) AS cum FROM h),
+q AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q),
+est AS (
+  SELECT q.q, c.yr,
+         ROUND(b.lo + (c.bin + (q.q * n.n - (c.cum - c.cnt)) / c.cnt)
+                      * (b.hi - b.lo) / 256, 2) AS est
+  FROM q, b, c JOIN n ON n.yr = c.yr
+  WHERE c.cum - c.cnt < q.q * n.n AND q.q * n.n <= c.cum
+)
+SELECT q,
+       MAX(CASE WHEN yr = 1995 THEN est END) AS q_1995,
+       MAX(CASE WHEN yr = 1996 THEN est END) AS q_1996,
+       ROUND(MAX(CASE WHEN yr = 1996 THEN est END)
+             - MAX(CASE WHEN yr = 1995 THEN est END), 2) AS shift
+FROM est GROUP BY q ORDER BY q
+""",
+)
+def agg_quantile_shift_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    src = orders.filter(F.year("o_orderdate").isin(1995, 1996)).select(
+        F.year("o_orderdate").alias("yr"), F.col("o_totalprice").alias("v")
+    )
+    b = src.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    h = (
+        src.crossJoin(F.broadcast(b))
+        .select(
+            "yr",
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 256),
+                F.lit(255),
+            ).alias("bin"),
+        )
+        .groupBy("yr", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = h.groupBy("yr").agg(F.sum("cnt").alias("n"))
+    c = h.withColumn("cum", F.sum("cnt").over(Window.partitionBy("yr").orderBy("bin")))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (0.1, 0.25, 0.5, 0.75, 0.9)])).alias("q")
+    )
+    est = (
+        c.join(n, "yr")
+        .crossJoin(F.broadcast(b))
+        .join(
+            F.broadcast(qs),
+            (F.col("cum") - F.col("cnt") < F.col("q") * F.col("n"))
+            & (F.col("q") * F.col("n") <= F.col("cum")),
+        )
+        .select(
+            "q",
+            "yr",
+            F.round(
+                F.col("lo")
+                + (
+                    F.col("bin")
+                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                )
+                * (F.col("hi") - F.col("lo"))
+                / 256,
+                2,
+            ).alias("est"),
+        )
+    )
+    return (
+        est.groupBy("q")
+        .agg(
+            F.max(F.when(F.col("yr") == 1995, F.col("est"))).alias("q_1995"),
+            F.max(F.when(F.col("yr") == 1996, F.col("est"))).alias("q_1996"),
+            F.round(
+                F.max(F.when(F.col("yr") == 1996, F.col("est")))
+                - F.max(F.when(F.col("yr") == 1995, F.col("est"))),
+                2,
+            ).alias("shift"),
+        )
+        .orderBy("q")
+    )

@@ -1181,3 +1181,30 @@ def test_cochran_armitage_rates_and_z_consistent(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.late_rate <= 1.0
         assert r.n_late <= r.n_lines
+
+
+# ------------------------------------------------- quantile shift function
+
+
+def test_quantile_shift_consistency_and_error_bound(spark, sf_dir):
+    from testlog_etl_spark.queries.aggs import agg_quantile_shift_function
+
+    rows = agg_quantile_shift_function(spark, sf_dir).collect()
+    assert [r.q for r in rows] == [0.1, 0.25, 0.5, 0.75, 0.9]
+    import numpy as np
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("year(o_orderdate) AS yr", "o_totalprice AS v")
+        .filter("yr IN (1995, 1996)")
+        .collect()
+    )
+    v95 = np.array([r.v for r in df if r.yr == 1995])
+    v96 = np.array([r.v for r in df if r.yr == 1996])
+    lo = min(v95.min(), v96.min())
+    hi = max(v95.max(), v96.max())
+    bin_w = (hi - lo) / 256
+    for r in rows:
+        assert abs(r.shift - (r.q_1996 - r.q_1995)) < 0.02  # arithmetic
+        assert abs(r.q_1995 - np.quantile(v95, r.q)) <= bin_w + 1e-6
+        assert abs(r.q_1996 - np.quantile(v96, r.q)) <= bin_w + 1e-6
