@@ -3588,3 +3588,94 @@ def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority_score")
     )
+
+
+@register(
+    "stats_mann_kendall_trend",
+    doc="Mann-Kendall trend test on the daily revenue series -- the "
+    "nonparametric significance companion to ts_theilsen_slope's "
+    "magnitude (same pairwise engine, different statistic): S = "
+    "sum(sign(x_j - x_i)) over day pairs, tie-corrected variance "
+    "Var(S) = [n(n-1)(2n+5) - sum t(t-1)(2t+5)] / 18, continuity-"
+    "corrected Z. The pair frame is calendar-bounded (~31 days -> "
+    "~465 pairs -- the Theil-Sen rationale), daily sums are rounded "
+    "before ANY comparison so sign() sees identical inputs, and "
+    "S/Var are integer arithmetic until the final two divisions.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 4) AS v
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+  GROUP BY 1
+),
+p AS (
+  SELECT CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+  FROM d a JOIN d b ON b.day > a.day
+),
+s AS (SELECT SUM(sgn) AS s, count(*) AS n_pairs FROM p),
+n AS (SELECT count(*) AS n FROM d),
+ties AS (
+  SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+  FROM (SELECT v, count(*) AS t FROM d GROUP BY v HAVING count(*) > 1)
+),
+v AS (
+  SELECT (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) / 18.0 AS var_s
+  FROM n, ties
+)
+SELECT n.n AS n_days, CAST(s.s AS BIGINT) AS s_stat,
+       ROUND(v.var_s, 4) AS var_s,
+       ROUND(CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(v.var_s)
+                  WHEN s.s < 0 THEN (s.s + 1) / sqrt(v.var_s)
+                  ELSE 0.0 END, 4) AS z_stat
+FROM s, n, v
+""",
+)
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("v"))
+    )
+    a = d.select(F.col("day").alias("da"), F.col("v").alias("va"))
+    b = d.select(F.col("day").alias("db"), F.col("v").alias("vb"))
+    p = a.join(b, F.col("db") > F.col("da")).select(
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s = p.agg(F.sum("sgn").alias("s"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        d.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    w = s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties)).select(
+        "s",
+        "n",
+        ((F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")) / 18.0).alias(
+            "var_s"
+        ),
+    )
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt("var_s"))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt("var_s"))
+        .otherwise(F.lit(0.0))
+    )
+    return w.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.round("var_s", 4).alias("var_s"),
+        F.round(z, 4).alias("z_stat"),
+    )

@@ -180,7 +180,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_simpsons_paradox_scan, stats_median_ci_order_stats,
     #    stats_diff_in_diff, ts_peak_detection, text_burrows_delta,
     #    dq_inclusion_dependencies, stats_cochran_armitage_trend,
-    #    agg_quantile_shift_function. (Registry: 455;
+    #    agg_quantile_shift_function, stats_mann_kendall_trend.
+    #    (Registry: 456;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

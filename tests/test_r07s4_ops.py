@@ -1208,3 +1208,39 @@ def test_quantile_shift_consistency_and_error_bound(spark, sf_dir):
         assert abs(r.shift - (r.q_1996 - r.q_1995)) < 0.02  # arithmetic
         assert abs(r.q_1995 - np.quantile(v95, r.q)) <= bin_w + 1e-6
         assert abs(r.q_1996 - np.quantile(v96, r.q)) <= bin_w + 1e-6
+
+
+# ------------------------------------------------------- Mann-Kendall
+
+
+def test_mann_kendall_detects_monotone_and_flat():
+    """Closed-form: strictly increasing series -> S = n(n-1)/2 and large
+    Z; constant series -> S = 0, tie term kills the variance."""
+
+    def mk(vals):
+        n = len(vals)
+        s = sum(
+            (1 if vals[j] > vals[i] else -1 if vals[j] < vals[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vals).values() if t > 1)
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        return s, var
+
+    s, var = mk(list(range(10)))
+    assert s == 45 and var > 0  # n(n-1)/2 pairs all positive
+    s0, var0 = mk([5.0] * 10)
+    assert s0 == 0 and var0 == 0.0  # all ties: variance fully corrected
+
+
+def test_mann_kendall_on_orders_is_consistent(spark, sf_dir):
+    from testlog_etl_spark.queries.stats_queries import stats_mann_kendall_trend
+
+    r = stats_mann_kendall_trend(spark, sf_dir).collect()[0]
+    assert r.n_days >= 10  # sf0.001 covers ~half of January 1995's days
+    max_s = r.n_days * (r.n_days - 1) // 2
+    assert -max_s <= r.s_stat <= max_s
+    assert r.var_s > 0
