@@ -3679,3 +3679,154 @@ def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("var_s", 4).alias("var_s"),
         F.round(z, 4).alias("z_stat"),
     )
+
+
+@register(
+    "stats_jarque_bera",
+    doc="Jarque-Bera normality test on o_totalprice per order priority: "
+    "two-pass central moments (group mean first, then a broadcast "
+    "join back so the power sums are CENTERED -- no catastrophic "
+    "cancellation from raw-moment identities), skewness m3/m2^1.5, "
+    "kurtosis m4/m2^2, JB = n/6 (S^2 + (K-3)^2/4). Both engines sum "
+    "identical centered terms, so 4-decimal rounding is far above "
+    "the reassociation ulps.",
+    oracle=f"""
+WITH m AS (
+  SELECT o_orderpriority, AVG(o_totalprice) AS mu, count(*) AS n
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT o.o_orderpriority, MAX(m.n) AS n,
+         SUM(POW(o_totalprice - mu, 2)) / MAX(m.n) AS m2,
+         SUM(POW(o_totalprice - mu, 3)) / MAX(m.n) AS m3,
+         SUM(POW(o_totalprice - mu, 4)) / MAX(m.n) AS m4
+  FROM orders o JOIN m USING (o_orderpriority) GROUP BY 1
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+       ROUND(m3 / POW(m2, 1.5), {R}) AS skewness,
+       ROUND(m4 / (m2 * m2), {R}) AS kurtosis,
+       ROUND(n / 6.0 * (POW(m3 / POW(m2, 1.5), 2)
+             + POW(m4 / (m2 * m2) - 3.0, 2) / 4.0), {R}) AS jb_stat
+FROM c ORDER BY o_orderpriority
+""",
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    m = orders.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("o_totalprice") - F.col("mu")
+    c = (
+        orders.join(F.broadcast(m), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n"),
+            (F.sum(d ** 2) / F.max("n")).alias("m2"),
+            (F.sum(d ** 3) / F.max("n")).alias("m3"),
+            (F.sum(d ** 4) / F.max("n")).alias("m4"),
+        )
+    )
+    skew = F.col("m3") / F.pow("m2", F.lit(1.5))
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2"))
+    return (
+        c.select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n"),
+            F.round(skew, R).alias("skewness"),
+            F.round(kurt, R).alias("kurtosis"),
+            F.round(
+                F.col("n") / 6.0 * (F.pow(skew, F.lit(2.0)) + F.pow(kurt - 3.0, F.lit(2.0)) / 4.0),
+                R,
+            ).alias("jb_stat"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "stats_kruskal_wallis",
+    doc="Kruskal-Wallis rank test: does o_totalprice distribute "
+    "identically across the five order priorities? Midranks are "
+    "computed on the PER-VALUE rollup (group by value -> count, "
+    "cumulative count window, avg rank = cum_before + (t+1)/2) so "
+    "tie handling is exact and the global sort touches |distinct "
+    "values| rows, not |orders|; per-group rank sums come from the "
+    "(group, value) contingency joined to that rank table. "
+    "H = 12/(N(N+1)) SUM n_i Rbar_i^2 - 3(N+1), tie-corrected by "
+    "1 - SUM(t^3-t)/(N^3-N). At 100 TB the one global window is the "
+    "scale hazard; the value rollup shrinks it by the duplication "
+    "factor and a range-partitioned two-pass rank would replace it.",
+    oracle=f"""
+WITH v AS (SELECT o_totalprice AS x, count(*) AS t FROM orders GROUP BY 1),
+r AS (
+  SELECT x, t,
+         COALESCE(SUM(t) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (t + 1) / 2.0 AS avg_rank
+  FROM v
+),
+gx AS (SELECT o_orderpriority AS g, o_totalprice AS x, count(*) AS c FROM orders GROUP BY 1, 2),
+gr AS (
+  SELECT g, SUM(c) AS n_i, SUM(c * avg_rank) AS rank_sum
+  FROM gx JOIN r USING (x) GROUP BY g
+),
+tot AS (SELECT SUM(n_i) AS n, count(*) AS k FROM gr),
+h AS (
+  SELECT 12.0 / (tot.n * (tot.n + 1.0)) * SUM(rank_sum * rank_sum / n_i) - 3.0 * (tot.n + 1.0) AS h_raw
+  FROM gr, tot GROUP BY tot.n
+),
+tie AS (SELECT COALESCE(SUM(t * t * t - t), 0) AS tie_term FROM v)
+SELECT CAST(tot.n AS BIGINT) AS n, CAST(tot.k - 1 AS BIGINT) AS dof,
+       ROUND(h.h_raw, {R}) AS h_stat,
+       ROUND(h.h_raw / (1.0 - tie.tie_term / (tot.n * tot.n * tot.n - tot.n * 1.0)), {R}) AS h_corrected
+FROM tot, h, tie
+""",
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = orders.groupBy(F.col("o_totalprice").alias("x")).agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "x",
+        "t",
+        (F.coalesce(F.sum("t").over(w), F.lit(0)) + (F.col("t") + 1) / 2.0).alias("avg_rank"),
+    )
+    gx = orders.groupBy(
+        F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("x")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    gr = (
+        gx.join(r, "x")
+        .groupBy("g")
+        .agg(F.sum("c").alias("n_i"), F.sum(F.col("c") * F.col("avg_rank")).alias("rank_sum"))
+    )
+    tot = gr.agg(F.sum("n_i").alias("n"), F.count(F.lit(1)).alias("k"))
+    h = (
+        gr.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            (
+                12.0 / (F.col("n") * (F.col("n") + 1.0))
+                * F.sum(F.col("rank_sum") * F.col("rank_sum") / F.col("n_i"))
+                - 3.0 * (F.col("n") + 1.0)
+            ).alias("h_raw")
+        )
+        .drop("n")
+    )
+    tie = v.agg(
+        F.coalesce(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)).alias(
+            "tie_term"
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(h))
+        .crossJoin(F.broadcast(tie))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            (F.col("k") - 1).cast("long").alias("dof"),
+            F.round("h_raw", R).alias("h_stat"),
+            F.round(
+                F.col("h_raw")
+                / (1.0 - F.col("tie_term") / (F.col("n") * F.col("n") * F.col("n") - F.col("n") * 1.0)),
+                R,
+            ).alias("h_corrected"),
+        )
+    )

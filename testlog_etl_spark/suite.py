@@ -181,7 +181,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_diff_in_diff, ts_peak_detection, text_burrows_delta,
     #    dq_inclusion_dependencies, stats_cochran_armitage_trend,
     #    agg_quantile_shift_function, stats_mann_kendall_trend.
-    #    (Registry: 456;
+    #    Session-5 additions join the same r08 queue:
+    #    stats_jarque_bera, stats_kruskal_wallis.
+    #    (Registry: 458;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

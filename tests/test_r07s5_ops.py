@@ -1,0 +1,107 @@
+"""Unit tests for round-7 session-5 operators (Jarque-Bera,
+Kruskal-Wallis, ...): each statistic is re-derived in pure Python from
+first principles and checked closed-form, then the Spark query is run at
+sf0.001 and compared against a pandas recomputation of the same formula.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------- Jarque-Bera
+
+
+def _jb(vals):
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((x - mu) ** 2 for x in vals) / n
+    m3 = sum((x - mu) ** 3 for x in vals) / n
+    m4 = sum((x - mu) ** 4 for x in vals) / n
+    s = m3 / m2 ** 1.5
+    k = m4 / (m2 * m2)
+    return s, k, n / 6.0 * (s * s + (k - 3.0) ** 2 / 4.0)
+
+
+def test_jarque_bera_closed_form_uniform5():
+    # [1..5]: symmetric -> skew 0; m2=2, m4=6.8 -> kurt 1.7;
+    # JB = 5/6 * (1.3^2/4) = 0.3520833...
+    s, k, jb = _jb([1, 2, 3, 4, 5])
+    assert abs(s) < 1e-12
+    assert abs(k - 1.7) < 1e-12
+    assert abs(jb - 5 / 6 * (1.3 ** 2 / 4)) < 1e-12
+
+
+def test_jarque_bera_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_jarque_bera
+
+    got = {r.o_orderpriority: r for r in stats_jarque_bera(spark, SF_SMALL).collect()}
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    for g, grp in pdf.groupby("o_orderpriority"):
+        s, k, jb = _jb(list(grp.o_totalprice))
+        row = got[g]
+        assert row.n == len(grp)
+        assert abs(row.skewness - s) < 1e-3
+        assert abs(row.kurtosis - k) < 1e-3
+        assert abs(row.jb_stat - jb) < max(1e-3, abs(jb) * 1e-6)
+
+
+# ---------------------------------------------------- Kruskal-Wallis
+
+
+def _kw(groups):
+    """groups: list of lists. Returns tie-corrected H."""
+    pooled = sorted(x for g in groups for x in g)
+    n = len(pooled)
+    # midranks
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j] == pooled[i]:
+            j += 1
+        for t in range(i, j):
+            rank[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    h = 12.0 / (n * (n + 1)) * sum(
+        (sum(rank[x] for x in g)) ** 2 / len(g) for g in groups
+    ) - 3.0 * (n + 1)
+    from collections import Counter
+
+    ties = sum(t ** 3 - t for t in Counter(pooled).values())
+    return h, h / (1.0 - ties / (n ** 3 - n))
+
+
+def test_kruskal_wallis_closed_form_two_groups():
+    # [1,2] vs [3,4]: ranks 1,2 | 3,4 -> H = 12/20*(9/2+49/2)-15 = 2.4
+    h, hc = _kw([[1, 2], [3, 4]])
+    assert abs(h - 2.4) < 1e-12
+    assert abs(hc - 2.4) < 1e-12  # no ties
+
+
+def test_kruskal_wallis_identical_groups_zero():
+    # All values tied: every midrank is (n+1)/2, so the between-group
+    # spread (and H) is exactly 0. The tie CORRECTION is undefined here
+    # (divisor 1 - ties/(n^3-n) = 0), so only raw H is asserted.
+    pooled = [[5, 5, 5], [5, 5, 5]]
+    n = 6
+    rank = (n + 1) / 2.0
+    h = 12.0 / (n * (n + 1)) * sum((rank * len(g)) ** 2 / len(g) for g in pooled) - 3.0 * (n + 1)
+    assert abs(h) < 1e-12
+
+
+def test_kruskal_wallis_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_kruskal_wallis
+
+    row = stats_kruskal_wallis(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    groups = [list(g.o_totalprice) for _, g in pdf.groupby("o_orderpriority")]
+    h, hc = _kw(groups)
+    assert row.n == len(pdf)
+    assert row.dof == len(groups) - 1
+    assert abs(row.h_stat - h) < 1e-3
+    assert abs(row.h_corrected - hc) < 1e-3
