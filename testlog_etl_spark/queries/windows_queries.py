@@ -3041,3 +3041,143 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "ts_bollinger_bands",
+    doc="Bollinger bands over the daily revenue series: 7-row trailing "
+    "mean +/- 2 population sigma, plus %B position. Determinism by "
+    "EXACT ARITHMETIC instead of rounding: the series is daily "
+    "revenue in integer kilodollars, so every window SUM(v) and "
+    "SUM(v*v) is an exact BIGINT in both engines (v^2*7 << 2^53 even "
+    "at sf0.1) and mean/sd/bands are IDENTICAL IEEE doubles -- no "
+    "ROUND anywhere, hence no half-boundary repr-vs-binary rounding "
+    "divergence (a 6-decimal pre-rounded series re-rounded at 4 "
+    "mismatched ~1/100 rows; see the v-column note in git history). "
+    "Rows with an incomplete 7-day history are dropped (rn >= 7). "
+    "Scale: the window runs on the per-day rollup (~365 rows/year), "
+    "not the raw fact table; at 100 TB the rollup is the only "
+    "shuffle and the window is free.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(SUM(o_totalprice) / 1000.0, 0) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT day, v,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         SUM(v) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s1,
+         SUM(v * v) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s2
+  FROM d
+),
+b AS (
+  SELECT day, v, s1 / 7.0 AS mid,
+         sqrt(GREATEST(s2 / 7.0 - (s1 / 7.0) * (s1 / 7.0), 0.0)) AS sd
+  FROM w WHERE rn >= 7
+)
+SELECT day, v, mid,
+       mid + 2 * sd AS upper_band,
+       mid - 2 * sd AS lower_band,
+       CASE WHEN sd = 0 THEN NULL ELSE (v - (mid - 2 * sd)) / (4 * sd) END AS pct_b
+FROM b ORDER BY day
+""",
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") / 1000.0, 0).cast("long").alias("v")
+    )
+    from pyspark.sql import Window as W
+
+    frame = W.orderBy("day").rowsBetween(-6, 0)
+    w = d.select(
+        "day",
+        "v",
+        F.row_number().over(W.orderBy("day")).alias("rn"),
+        F.sum("v").over(frame).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(frame).alias("s2"),
+    ).filter(F.col("rn") >= 7)
+    mid = F.col("s1") / 7.0
+    b = w.select(
+        "day",
+        "v",
+        mid.alias("mid"),
+        F.sqrt(F.greatest(F.col("s2") / 7.0 - mid * mid, F.lit(0.0))).alias("sd"),
+    )
+    return b.select(
+        "day",
+        "v",
+        "mid",
+        (F.col("mid") + 2 * F.col("sd")).alias("upper_band"),
+        (F.col("mid") - 2 * F.col("sd")).alias("lower_band"),
+        F.when(F.col("sd") == 0, F.lit(None).cast("double"))
+        .otherwise((F.col("v") - (F.col("mid") - 2 * F.col("sd"))) / (4 * F.col("sd")))
+        .alias("pct_b"),
+    ).orderBy("day")
+
+
+@register(
+    "ts_rsi_cutler",
+    doc="Cutler's RSI(14) on the daily revenue series -- the SMA variant "
+    "of the relative-strength index (Wilder's recursive smoothing is "
+    "an infinite-memory EWMA whose pow(13/14, j) weights differ in "
+    "ulps across libm implementations; Cutler's rolling-mean form is "
+    "the published alternative that IS cross-engine exact). Same "
+    "exact-integer discipline as ts_bollinger_bands: the series is "
+    "integer kilodollars, gains/losses are integer diffs, the 14-row "
+    "trailing sums are exact BIGINTs, and avg/RS/RSI are identical "
+    "IEEE doubles on both engines with NO rounding. The all-gain "
+    "day (sum_loss = 0 -> RSI = 100) is pinned. Incomplete histories "
+    "dropped (rn >= 15: 14 diffs need 15 days).",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(SUM(o_totalprice) / 1000.0, 0) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+di AS (
+  SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         v - LAG(v) OVER (ORDER BY day) AS diff
+  FROM d
+),
+g AS (
+  SELECT day, rn,
+         SUM(GREATEST(diff, 0)) OVER (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sum_gain,
+         SUM(GREATEST(-diff, 0)) OVER (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sum_loss
+  FROM di WHERE rn >= 2
+)
+SELECT day, sum_gain / 14.0 AS avg_gain, sum_loss / 14.0 AS avg_loss,
+       CASE WHEN sum_loss = 0 THEN 100.0
+            ELSE 100.0 - 100.0 / (1.0 + sum_gain * 1.0 / sum_loss) END AS rsi
+FROM g WHERE rn >= 15 ORDER BY day
+""",
+)
+def ts_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") / 1000.0, 0).cast("long").alias("v")
+    )
+    from pyspark.sql import Window as W
+
+    seq = W.orderBy("day")
+    di = d.select(
+        "day",
+        F.row_number().over(seq).alias("rn"),
+        (F.col("v") - F.lag("v").over(seq)).alias("diff"),
+    ).filter(F.col("rn") >= 2)
+    frame = W.orderBy("day").rowsBetween(-13, 0)
+    g = di.select(
+        "day",
+        "rn",
+        F.sum(F.greatest(F.col("diff"), F.lit(0))).over(frame).alias("sum_gain"),
+        F.sum(F.greatest(-F.col("diff"), F.lit(0))).over(frame).alias("sum_loss"),
+    ).filter(F.col("rn") >= 15)
+    return g.select(
+        "day",
+        (F.col("sum_gain") / 14.0).alias("avg_gain"),
+        (F.col("sum_loss") / 14.0).alias("avg_loss"),
+        F.when(F.col("sum_loss") == 0, F.lit(100.0))
+        .otherwise(100.0 - 100.0 / (1.0 + F.col("sum_gain") * 1.0 / F.col("sum_loss")))
+        .alias("rsi"),
+    ).orderBy("day")

@@ -105,3 +105,68 @@ def test_kruskal_wallis_spark_matches_pandas(spark):
     assert row.dof == len(groups) - 1
     assert abs(row.h_stat - h) < 1e-3
     assert abs(row.h_corrected - hc) < 1e-3
+
+
+# ------------------------------------------------- Bollinger / RSI
+
+
+def _daily_kdollars(pdf):
+    d = (
+        pdf.assign(day=pdf.o_orderdate.dt.date)
+        .groupby("day")
+        .o_totalprice.sum()
+        .sort_index()
+    )
+    return [int(round(x / 1000.0)) for x in d], list(d.index)
+
+
+def test_bollinger_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.windows_queries import ts_bollinger_bands
+
+    rows = ts_bollinger_bands(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    vs, days = _daily_kdollars(pdf)
+    got = {r.day: r for r in rows}
+    assert len(rows) == len(vs) - 6
+    for i in range(6, len(vs)):
+        w = vs[i - 6 : i + 1]
+        mid = sum(w) / 7.0
+        sd = math.sqrt(max(sum(x * x for x in w) / 7.0 - mid * mid, 0.0))
+        r = got[days[i]]
+        assert r.v == vs[i]
+        assert abs(r.mid - mid) < 1e-9
+        assert abs(r.upper_band - (mid + 2 * sd)) < 1e-9
+        if sd == 0:
+            assert r.pct_b is None
+        else:
+            assert abs(r.pct_b - (vs[i] - (mid - 2 * sd)) / (4 * sd)) < 1e-9
+
+
+def test_rsi_monotone_series_is_100_closed_form():
+    # strictly increasing integer series: every diff is a gain,
+    # sum_loss = 0 -> the pinned edge returns exactly 100.
+    vs = list(range(1, 20))
+    diffs = [b - a for a, b in zip(vs, vs[1:])]
+    for i in range(13, len(diffs)):
+        sum_loss = sum(max(-d, 0) for d in diffs[i - 13 : i + 1])
+        assert sum_loss == 0
+
+
+def test_rsi_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.windows_queries import ts_rsi_cutler
+
+    rows = ts_rsi_cutler(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    vs, days = _daily_kdollars(pdf)
+    diffs = [b - a for a, b in zip(vs, vs[1:])]  # diffs[i] belongs to day i+1
+    got = {r.day: r for r in rows}
+    assert len(rows) == max(0, len(vs) - 14)
+    for i in range(13, len(diffs)):
+        w = diffs[i - 13 : i + 1]
+        sg = sum(max(d, 0) for d in w)
+        sl = sum(max(-d, 0) for d in w)
+        r = got[days[i + 1]]
+        assert abs(r.avg_gain - sg / 14.0) < 1e-12
+        assert abs(r.avg_loss - sl / 14.0) < 1e-12
+        want = 100.0 if sl == 0 else 100.0 - 100.0 / (1.0 + sg / sl)
+        assert abs(r.rsi - want) < 1e-9
