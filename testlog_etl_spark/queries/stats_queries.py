@@ -3830,3 +3830,149 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h_corrected"),
         )
     )
+
+
+@register(
+    "stats_bartlett_test",
+    doc="Bartlett's test for variance homogeneity of o_totalprice "
+    "across the five order priorities: pooled variance "
+    "s_p^2 = SUM (n_i-1) s_i^2 / (N-k), statistic "
+    "[(N-k) ln s_p^2 - SUM (n_i-1) ln s_i^2] / C with "
+    "C = 1 + (SUM 1/(n_i-1) - 1/(N-k)) / (3(k-1)). Group variances "
+    "are two-pass centered (broadcast group means) like "
+    "stats_jarque_bera, so no raw-moment cancellation; ln() agrees "
+    "across libms to <=1 ulp, far inside the 4-decimal rounding.",
+    oracle=f"""
+WITH m AS (
+  SELECT o_orderpriority, AVG(o_totalprice) AS mu, count(*) AS n
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT o.o_orderpriority, MAX(m.n) AS n,
+         SUM(POW(o_totalprice - mu, 2)) / (MAX(m.n) - 1) AS s2
+  FROM orders o JOIN m USING (o_orderpriority) GROUP BY 1
+),
+a AS (
+  SELECT count(*) AS k, SUM(n) AS n_tot,
+         SUM((n - 1) * s2) AS ss_within,
+         SUM((n - 1) * ln(s2)) AS sum_w_ln,
+         SUM(1.0 / (n - 1)) AS sum_inv
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_tot AS BIGINT) AS n,
+       ROUND(ss_within / (n_tot - k), {R}) AS pooled_var,
+       ROUND(((n_tot - k) * ln(ss_within / (n_tot - k)) - sum_w_ln)
+             / (1.0 + (sum_inv - 1.0 / (n_tot - k)) / (3.0 * (k - 1))), {R}) AS bartlett_stat,
+       CAST(k - 1 AS BIGINT) AS dof
+FROM a
+""",
+)
+def stats_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    m = orders.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("o_totalprice") - F.col("mu")
+    g = (
+        orders.join(F.broadcast(m), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n"),
+            (F.sum(d ** 2) / (F.max("n") - 1)).alias("s2"),
+        )
+    )
+    a = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum((F.col("n") - 1) * F.col("s2")).alias("ss_within"),
+        F.sum((F.col("n") - 1) * F.log("s2")).alias("sum_w_ln"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("sum_inv"),
+    )
+    pooled = F.col("ss_within") / (F.col("n_tot") - F.col("k"))
+    c = 1.0 + (F.col("sum_inv") - 1.0 / (F.col("n_tot") - F.col("k"))) / (
+        3.0 * (F.col("k") - 1)
+    )
+    return a.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_tot").cast("long").alias("n"),
+        F.round(pooled, R).alias("pooled_var"),
+        F.round(
+            ((F.col("n_tot") - F.col("k")) * F.log(pooled) - F.col("sum_w_ln")) / c, R
+        ).alias("bartlett_stat"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+    )
+
+
+@register(
+    "stats_grubbs_outlier",
+    doc="Grubbs' outlier statistic per order priority: "
+    "G = max |x - mean| / s (sample s, ddof=1) plus the suspect value "
+    "itself. The suspect row is chosen by (deviation, value) "
+    "descending -- value is the unique tiebreak, and both engines "
+    "pick the same physical row because the deviations differ across "
+    "engines only in reassociation ulps (~1e-10) while distinct data "
+    "values are ~units apart. The suspect value is emitted RAW (it is "
+    "a stored parquet double, bit-identical on both sides); only the "
+    "derived mean/s/G are rounded.",
+    oracle=f"""
+WITH m AS (
+  SELECT o_orderpriority, AVG(o_totalprice) AS mu, count(*) AS n
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT o.o_orderpriority, MAX(mu) AS mu, MAX(m.n) AS n,
+         sqrt(SUM(POW(o_totalprice - mu, 2)) / (MAX(m.n) - 1)) AS sd
+  FROM orders o JOIN m USING (o_orderpriority) GROUP BY 1
+),
+d AS (
+  SELECT o.o_orderpriority, o.o_totalprice,
+         ABS(o.o_totalprice - s.mu) / s.sd AS g,
+         ROW_NUMBER() OVER (PARTITION BY o.o_orderpriority
+                            ORDER BY ABS(o.o_totalprice - s.mu) / s.sd DESC,
+                                     o.o_totalprice DESC) AS rn
+  FROM orders o JOIN s USING (o_orderpriority)
+)
+SELECT d.o_orderpriority, CAST(s.n AS BIGINT) AS n,
+       ROUND(s.mu, {R}) AS mean_price, ROUND(s.sd, {R}) AS sd_price,
+       d.o_totalprice AS suspect_value, ROUND(d.g, {R}) AS g_stat
+FROM d JOIN s USING (o_orderpriority)
+WHERE d.rn = 1
+ORDER BY d.o_orderpriority
+""",
+)
+def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    m = orders.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    dmu = F.col("o_totalprice") - F.col("mu")
+    s = (
+        orders.join(F.broadcast(m), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("mu").alias("mu"),
+            F.max("n").alias("n"),
+            F.sqrt(F.sum(dmu ** 2) / (F.max("n") - 1)).alias("sd"),
+        )
+    )
+    d = orders.join(F.broadcast(s), "o_orderpriority").withColumn(
+        "g", F.abs(F.col("o_totalprice") - F.col("mu")) / F.col("sd")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy(
+            F.col("g").desc(), F.col("o_totalprice").desc()
+        )
+    )
+    return (
+        d.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n"),
+            F.round("mu", R).alias("mean_price"),
+            F.round("sd", R).alias("sd_price"),
+            F.col("o_totalprice").alias("suspect_value"),
+            F.round("g", R).alias("g_stat"),
+        )
+        .orderBy("o_orderpriority")
+    )

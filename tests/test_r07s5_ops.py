@@ -170,3 +170,57 @@ def test_rsi_spark_matches_pandas(spark):
         assert abs(r.avg_loss - sl / 14.0) < 1e-12
         want = 100.0 if sl == 0 else 100.0 - 100.0 / (1.0 + sg / sl)
         assert abs(r.rsi - want) < 1e-9
+
+
+# ------------------------------------------------ Bartlett / Grubbs
+
+
+def _bartlett(groups):
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    s2 = []
+    for g in groups:
+        mu = sum(g) / len(g)
+        s2.append(sum((x - mu) ** 2 for x in g) / (len(g) - 1))
+    sp2 = sum((len(g) - 1) * v for g, v in zip(groups, s2)) / (n - k)
+    num = (n - k) * math.log(sp2) - sum(
+        (len(g) - 1) * math.log(v) for g, v in zip(groups, s2)
+    )
+    c = 1.0 + (sum(1.0 / (len(g) - 1) for g in groups) - 1.0 / (n - k)) / (3.0 * (k - 1))
+    return sp2, num / c
+
+
+def test_bartlett_equal_variances_near_zero():
+    # identical groups -> every s_i^2 == s_p^2 -> statistic exactly 0
+    g = [1.0, 2.0, 3.0, 4.0]
+    sp2, b = _bartlett([g, g, g])
+    assert abs(b) < 1e-12
+
+
+def test_bartlett_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_bartlett_test
+
+    row = stats_bartlett_test(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    groups = [list(g.o_totalprice) for _, g in pdf.groupby("o_orderpriority")]
+    sp2, b = _bartlett(groups)
+    assert row.k == len(groups)
+    assert abs(row.pooled_var - sp2) < max(1e-3, sp2 * 1e-9)
+    assert abs(row.bartlett_stat - b) < 1e-3
+
+
+def test_grubbs_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_grubbs_outlier
+
+    got = {r.o_orderpriority: r for r in stats_grubbs_outlier(spark, SF_SMALL).collect()}
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    for gname, grp in pdf.groupby("o_orderpriority"):
+        xs = list(grp.o_totalprice)
+        mu = sum(xs) / len(xs)
+        sd = math.sqrt(sum((x - mu) ** 2 for x in xs) / (len(xs) - 1))
+        g = max(abs(x - mu) / sd for x in xs)
+        suspect = max(x for x in xs if abs(abs(x - mu) / sd - g) < 1e-12)
+        r = got[gname]
+        assert abs(r.g_stat - g) < 1e-3
+        assert r.suspect_value == suspect
+        assert r.n == len(xs)
