@@ -6559,3 +6559,170 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 4).alias("delta"))
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "eval_fleiss_kappa",
+    doc="Fleiss' kappa across THREE deterministic raters per document "
+    "(the multi-rater generalization of eval_cohens_kappa): rater A "
+    "is the stored lang label, rater B the shared langid heuristic "
+    "(same spelling as _LANGID_PRED_SQL, keyed by doc_id here), "
+    "rater C an en-density-only rater ('en' iff the English stopword "
+    "ratio clears the same 0.03 floor, else 'und'). "
+    "P_i = (SUM_j n_ij^2 - 3)/6 with exactly 3 ratings per doc, "
+    "P_bar and p_j are exact integer ratios, P_e = SUM p_j^2. Only "
+    "the final doubles are rounded; every count is integer so the "
+    "engines agree bit-for-bit until the last few flops.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, text IS NULL AS no_text,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '') AS lt
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, no_text,
+    len(list_filter(lt, t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))::DOUBLE
+      / greatest(len(lt), 1) AS r_en,
+    len(list_filter(lt, t -> list_contains(['le','la','et','de','un','une','est','pour','dans','avec'], t)))::DOUBLE
+      / greatest(len(lt), 1) AS r_fr,
+    len(list_filter(lt, t -> list_contains(['der','die','das','und','ist','ein','eine','mit','von','zu'], t)))::DOUBLE
+      / greatest(len(lt), 1) AS r_de,
+    len(list_filter(lt, t -> list_contains(['el','la','y','de','un','una','es','para','en','con'], t)))::DOUBLE
+      / greatest(len(lt), 1) AS r_es
+  FROM tok
+),
+ratings AS (
+  SELECT doc_id, lang AS cat FROM documents
+  UNION ALL
+  SELECT doc_id,
+    CASE WHEN no_text THEN 'und'
+         WHEN greatest(r_en, r_fr, r_de, r_es) < 0.03 THEN 'und'
+         WHEN r_en = greatest(r_en, r_fr, r_de, r_es) THEN 'en'
+         WHEN r_fr = greatest(r_en, r_fr, r_de, r_es) THEN 'fr'
+         WHEN r_de = greatest(r_en, r_fr, r_de, r_es) THEN 'de'
+         ELSE 'es' END
+  FROM s
+  UNION ALL
+  SELECT doc_id, CASE WHEN no_text OR r_en < 0.03 THEN 'und' ELSE 'en' END FROM s
+),
+nij AS (SELECT doc_id, cat, count(*)::BIGINT AS c FROM ratings GROUP BY doc_id, cat),
+per_doc AS (SELECT SUM(c * c) AS ss, count(*) AS _k FROM nij GROUP BY doc_id),
+tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+pbar AS (SELECT (SUM(ss) - 3 * (SELECT n FROM tot)) * 1.0 / (6 * (SELECT n FROM tot)) AS p_bar FROM per_doc),
+pj AS (SELECT cat, SUM(c) AS cj FROM nij GROUP BY cat),
+pe AS (SELECT SUM((cj * 1.0 / (3 * (SELECT n FROM tot))) * (cj * 1.0 / (3 * (SELECT n FROM tot)))) AS p_e FROM pj)
+SELECT tot.n AS n_docs, 3 AS n_raters,
+       ROUND(pbar.p_bar, 4) AS p_observed,
+       ROUND(pe.p_e, 4) AS p_expected,
+       ROUND((pbar.p_bar - pe.p_e) / (1.0 - pe.p_e), 4) AS fleiss_kappa
+FROM tot, pbar, pe
+""",
+)
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    a = docs.select("doc_id", F.col("lang").alias("cat"))
+    b = docs.select("doc_id", textstats.lang_id(F.col("text")).alias("cat"))
+    c = docs.select(
+        "doc_id",
+        F.when(textstats.stopword_ratio(F.col("text"), "en") >= 0.03, F.lit("en"))
+        .otherwise(F.lit("und"))
+        .alias("cat"),
+    )
+    ratings = a.unionAll(b).unionAll(c)
+    nij = ratings.groupBy("doc_id", "cat").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.count()  # tiny scalar; the driver-facing plan below stays lazy
+    ss = nij.agg(F.sum(F.col("c") * F.col("c")).alias("ss"))
+    pj = nij.groupBy("cat").agg(F.sum("c").alias("cj"))
+    pe = pj.agg(
+        F.sum((F.col("cj") * 1.0 / (3 * n)) * (F.col("cj") * 1.0 / (3 * n))).alias("p_e")
+    )
+    return (
+        ss.crossJoin(F.broadcast(pe))
+        .select(
+            F.lit(n).cast("long").alias("n_docs"),
+            F.lit(3).cast("int").alias("n_raters"),
+            F.round((F.col("ss") - 3 * n) * 1.0 / (6 * n), R).alias("p_observed"),
+            F.round("p_e", R).alias("p_expected"),
+            F.round(
+                ((F.col("ss") - 3 * n) * 1.0 / (6 * n) - F.col("p_e")) / (1.0 - F.col("p_e")),
+                R,
+            ).alias("fleiss_kappa"),
+        )
+    )
+
+
+@register(
+    "eval_lift_gains_table",
+    doc="decile gains/lift table for a ranking model (score = n_chars, "
+    "target = lang = 'en'): global rank over (score DESC, doc_id) and "
+    "the running positive count both come from the hierarchical scan "
+    "(operators/scan.py) -- the doc grain scales, so no NTILE / "
+    "unpartitioned window. decile = (i-1)*10 div N + 1 (even-spread "
+    "deciles, spelled identically in the oracle), and the per-decile "
+    "cum_n / cum_pos are just MAX(rank) / MAX(running count) within "
+    "the decile -- no second window at all. Every count is an exact "
+    "integer and every ratio is spelled with the same operation order "
+    "on both sides, so the doubles are bit-identical UNROUNDED "
+    "(integer ratios like 1234/2000 terminate in decimal, where a "
+    "ROUND would reintroduce the half-boundary repr hazard "
+    "ts_bollinger_bands documents).",
+    oracle="""
+WITH s AS (
+  SELECT (lang = 'en')::INT AS y,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS i,
+         SUM((lang = 'en')::INT) OVER (ORDER BY n_chars DESC, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+),
+t AS (SELECT count(*)::BIGINT AS n FROM documents),
+d AS (
+  SELECT ((i - 1) * 10) // (SELECT n FROM t) + 1 AS decile,
+         count(*)::BIGINT AS n, SUM(y)::BIGINT AS pos,
+         MAX(i) AS cum_n, MAX(cum) AS cum_pos
+  FROM s GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS tn, SUM(pos) AS tp FROM d)
+SELECT CAST(decile AS BIGINT) AS decile, n, pos,
+       CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+       cum_pos / tot.tp AS cum_gain,
+       (cum_pos / cum_n) / (tot.tp / tot.tn) AS cum_lift
+FROM d, tot ORDER BY decile
+""",
+)
+def eval_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    s = docs.select(
+        "doc_id", "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    ranked = global_rank_cumsum(
+        s,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        val_col="y",
+        rank_out="i",
+        cum_out="cum",
+        n_out="n_tot",
+    )
+    d = ranked.groupBy(
+        F.expr("(i - 1) * 10 div n_tot + 1").cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.max("i").cast("long").alias("cum_n"),
+        F.max("cum").cast("long").alias("cum_pos"),
+    )
+    tot = d.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tp"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "pos",
+            "cum_n",
+            "cum_pos",
+            (F.col("cum_pos") / F.col("tp")).alias("cum_gain"),
+            ((F.col("cum_pos") / F.col("cum_n")) / (F.col("tp") / F.col("tn"))).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )

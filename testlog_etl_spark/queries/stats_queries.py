@@ -3753,9 +3753,9 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     "values| rows, not |orders|; per-group rank sums come from the "
     "(group, value) contingency joined to that rank table. "
     "H = 12/(N(N+1)) SUM n_i Rbar_i^2 - 3(N+1), tie-corrected by "
-    "1 - SUM(t^3-t)/(N^3-N). At 100 TB the one global window is the "
-    "scale hazard; the value rollup shrinks it by the duplication "
-    "factor and a range-partitioned two-pass rank would replace it.",
+    "1 - SUM(t^3-t)/(N^3-N). The cumulative count runs through the "
+    "hierarchical scan (operators/scan.py) because the per-value grain "
+    "scales with the data -- no unpartitioned window anywhere.",
     oracle=f"""
 WITH v AS (SELECT o_totalprice AS x, count(*) AS t FROM orders GROUP BY 1),
 r AS (
@@ -3784,11 +3784,16 @@ FROM tot, h, tie
 def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     v = orders.groupBy(F.col("o_totalprice").alias("x")).agg(F.count(F.lit(1)).alias("t"))
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    r = v.select(
+    # midranks via the hierarchical scan: the per-value grain SCALES
+    # with the data (doubles are near-unique), so an unpartitioned
+    # window here is exactly what window_lint forbids. cum is an exact
+    # integer in double form, so avg_rank is engine-exact.
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    r = global_rank_cumsum(v, [F.col("x").asc()], val_col="t", cum_out="_cum").select(
         "x",
         "t",
-        (F.coalesce(F.sum("t").over(w), F.lit(0)) + (F.col("t") + 1) / 2.0).alias("avg_rank"),
+        (F.col("_cum") - F.col("t") + (F.col("t") + 1) / 2.0).alias("avg_rank"),
     )
     gx = orders.groupBy(
         F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("x")

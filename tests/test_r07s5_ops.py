@@ -224,3 +224,76 @@ def test_grubbs_spark_matches_pandas(spark):
         assert abs(r.g_stat - g) < 1e-3
         assert r.suspect_value == suspect
         assert r.n == len(xs)
+
+
+# -------------------------------------------- Fleiss kappa / gains
+
+
+def _fleiss(ratings_by_subject):
+    """ratings_by_subject: list of lists of category labels (equal len n)."""
+    n = len(ratings_by_subject[0])
+    N = len(ratings_by_subject)
+    from collections import Counter
+
+    cats = sorted({c for r in ratings_by_subject for c in r})
+    pbar = 0.0
+    cj = Counter()
+    for r in ratings_by_subject:
+        cnt = Counter(r)
+        cj.update(cnt)
+        pbar += (sum(v * v for v in cnt.values()) - n) / (n * (n - 1))
+    pbar /= N
+    pe = sum((cj[c] / (n * N)) ** 2 for c in cats)
+    return pbar, pe, (pbar - pe) / (1 - pe)
+
+
+def test_fleiss_perfect_agreement_is_one():
+    _, _, k = _fleiss([["a", "a", "a"], ["b", "b", "b"], ["a", "a", "a"]])
+    assert abs(k - 1.0) < 1e-12
+
+
+def test_fleiss_kappa_spark_matches_formula(spark):
+    from testlog_etl_spark.queries.llm_ops import eval_fleiss_kappa
+    from testlog_etl_spark.operators import textstats
+    from pyspark.sql import functions as F
+    from testlog_etl_spark.tables import load_tables
+
+    row = eval_fleiss_kappa(spark, SF_SMALL).collect()[0]
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    trip = docs.select(
+        F.col("lang").alias("a"),
+        textstats.lang_id(F.col("text")).alias("b"),
+        F.when(textstats.stopword_ratio(F.col("text"), "en") >= 0.03, F.lit("en"))
+        .otherwise(F.lit("und"))
+        .alias("c"),
+    ).collect()
+    pbar, pe, kappa = _fleiss([[t.a, t.b, t.c] for t in trip])
+    assert row.n_docs == len(trip) and row.n_raters == 3
+    assert abs(row.p_observed - pbar) < 1e-3
+    assert abs(row.p_expected - pe) < 1e-3
+    assert abs(row.fleiss_kappa - kappa) < 1e-3
+
+
+def test_gains_table_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.llm_ops import eval_lift_gains_table
+
+    rows = eval_lift_gains_table(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    pdf = pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    n = len(pdf)
+    pdf["y"] = (pdf.lang == "en").astype(int)
+    pdf["i"] = range(1, n + 1)
+    pdf["decile"] = (pdf.i - 1) * 10 // n + 1
+    tp, tn = int(pdf.y.sum()), n
+    assert [r.decile for r in rows] == list(range(1, 11))
+    cum_n = cum_pos = 0
+    for r in rows:
+        grp = pdf[pdf.decile == r.decile]
+        cum_n += len(grp)
+        cum_pos += int(grp.y.sum())
+        assert r.n == len(grp) and r.pos == int(grp.y.sum())
+        assert r.cum_n == cum_n and r.cum_pos == cum_pos
+        assert abs(r.cum_gain - cum_pos / tp) < 1e-12
+        assert abs(r.cum_lift - (cum_pos / cum_n) / (tp / tn)) < 1e-12
+    # gains table invariants: monotone gain, final gain == 1, final lift == 1
+    assert rows[-1].cum_gain == 1.0 and abs(rows[-1].cum_lift - 1.0) < 1e-12

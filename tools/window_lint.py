@@ -103,6 +103,16 @@ WHITELIST: dict[str, str] = {
         "day-index row_number runs over the per-DAY revenue rollup -- "
         "calendar-bounded frame (the runs-test rationale)"
     ),
+    "ts_bollinger_bands": (
+        "7-row trailing mean/variance windows run over the per-DAY "
+        "revenue rollup -- calendar-bounded day grid (the runs-test "
+        "rationale)"
+    ),
+    "ts_rsi_cutler": (
+        "lag-diff and 14-row trailing gain/loss windows run over the "
+        "per-DAY revenue rollup -- calendar-bounded day grid (the "
+        "runs-test rationale)"
+    ),
     "ts_seasonality_strength": (
         "same centered 7-day MA over the per-DAY revenue rollup as "
         "ts_stl_decompose -- calendar-bounded day grid"
