@@ -4569,3 +4569,184 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_full double, p_removed double, "
         "removal_effect double, attribution_share double",
     ).orderBy("channel")
+
+
+_DOC_GRAPH_SQL = """mx AS (SELECT max(doc_id) AS m FROM documents),
+e_raw AS (
+  SELECT doc_id AS src, doc_id * 2 AS dst FROM documents
+  WHERE doc_id >= 1 AND doc_id * 2 <= (SELECT m FROM mx)
+  UNION ALL
+  SELECT doc_id, doc_id * 2 + 1 FROM documents
+  WHERE doc_id >= 1 AND doc_id * 2 + 1 <= (SELECT m FROM mx)
+  UNION ALL
+  SELECT doc_id, doc_id + 37 FROM documents
+  WHERE doc_id + 37 <= (SELECT m FROM mx)
+),
+und AS (SELECT src, dst FROM e_raw UNION SELECT dst, src FROM e_raw),
+deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM und GROUP BY src)"""
+
+
+def _doc_graph(spark: SparkSession, sf_dir: str):
+    """The doc-tree + skip-link graph (graph_bfs_reach / kcore / sssp
+    edge set) as (und directed-both-ways, deg) DataFrames."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = docs.select("doc_id")
+    mx = ids.agg(F.max("doc_id").alias("_m"))
+    base = ids.crossJoin(F.broadcast(mx))
+    e0 = (
+        base.filter((F.col("doc_id") >= 1) & (F.col("doc_id") * 2 <= F.col("_m")))
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") * 2).alias("dst"))
+        .union(
+            base.filter((F.col("doc_id") >= 1) & (F.col("doc_id") * 2 + 1 <= F.col("_m")))
+            .select(F.col("doc_id").alias("src"), (F.col("doc_id") * 2 + 1).alias("dst"))
+        )
+        .union(
+            base.filter(F.col("doc_id") + 37 <= F.col("_m"))
+            .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 37).alias("dst"))
+        )
+    )
+    und = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    return und, deg
+
+
+@register(
+    "graph_linkpred_scores",
+    doc="link-prediction scores on the doc-tree + skip-link graph "
+    "(the bfs/kcore/sssp edge set): for every NON-adjacent pair "
+    "(u < v) sharing at least one neighbor, common-neighbor count, "
+    "Jaccard cn/(deg_u + deg_v - cn), and Adamic-Adar "
+    "SUM 1/ln(deg_w) over the shared neighbors w. Wedge enumeration "
+    "through the common endpoint is the standard distributed "
+    "formulation; fan-out is bounded by the max degree (5 here: "
+    "parent, two children, two skip links), so the pair explosion is "
+    "O(E * maxdeg), not quadratic. cn/jaccard are exact-integer "
+    "derived (unrounded, identical doubles); only the transcendental "
+    "AA sum is rounded.",
+    oracle=f"""
+WITH {_DOC_GRAPH_SQL},
+wedge AS (
+  SELECT a.dst AS u, b.dst AS v, a.src AS w
+  FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst
+),
+cand AS (
+  SELECT u, v, count(*)::BIGINT AS cn,
+         SUM(1.0 / ln(deg.deg)) AS aa
+  FROM wedge JOIN deg ON deg.node = wedge.w
+  GROUP BY u, v
+),
+nonadj AS (
+  SELECT cand.* FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.src = cand.u AND und.dst = cand.v)
+)
+SELECT n.u, n.v, n.cn,
+       n.cn * 1.0 / (du.deg + dv.deg - n.cn) AS jaccard,
+       ROUND(n.aa, 4) AS adamic_adar
+FROM nonadj n
+JOIN deg du ON du.node = n.u
+JOIN deg dv ON dv.node = n.v
+ORDER BY n.u, n.v
+""",
+)
+def graph_linkpred_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, deg = _doc_graph(spark, sf_dir)
+    a = und.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    b = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedge = a.join(b, "w").filter(F.col("u") < F.col("v"))
+    cand = (
+        wedge.join(deg.select(F.col("node").alias("w"), F.col("deg").alias("degw")), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(1.0 / F.log("degw")).alias("aa"),
+        )
+    )
+    nonadj = cand.join(
+        und.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        nonadj.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            (F.col("cn") * 1.0 / (F.col("deg_u") + F.col("deg_v") - F.col("cn"))).alias("jaccard"),
+            F.round("aa", 4).alias("adamic_adar"),
+        )
+        .orderBy("u", "v")
+    )
+
+
+@register(
+    "graph_rich_club",
+    doc="rich-club coefficient phi(k) = 2 E_k / (N_k (N_k - 1)) on the "
+    "doc-tree + skip-link graph: for each degree threshold k, the "
+    "density of the subgraph induced by nodes with degree > k. One "
+    "degree rollup, one canonical-edge (u < v) table, a tiny "
+    "threshold grid broadcast against both -- all integer counts, so "
+    "phi is an identical-double integer ratio on both engines "
+    "(unrounded). Thresholds with fewer than two qualifying nodes "
+    "are dropped (phi undefined).",
+    oracle=f"""
+WITH {_DOC_GRAPH_SQL},
+uv AS (SELECT src AS u, dst AS v FROM und WHERE src < dst),
+grid AS (SELECT k FROM (SELECT unnest(range(0, 10)) AS k)),
+nk AS (
+  SELECT g.k, count(*)::BIGINT AS n_nodes
+  FROM grid g JOIN deg d ON d.deg > g.k GROUP BY g.k
+),
+ek AS (
+  SELECT g.k, count(*)::BIGINT AS n_edges
+  FROM grid g
+  JOIN uv ON TRUE
+  JOIN deg du ON du.node = uv.u AND du.deg > g.k
+  JOIN deg dv ON dv.node = uv.v AND dv.deg > g.k
+  GROUP BY g.k
+)
+SELECT nk.k::BIGINT AS k, nk.n_nodes, COALESCE(ek.n_edges, 0) AS n_edges,
+       2.0 * COALESCE(ek.n_edges, 0) / (nk.n_nodes * (nk.n_nodes - 1)) AS phi
+FROM nk LEFT JOIN ek USING (k)
+WHERE nk.n_nodes >= 2
+ORDER BY k
+""",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, deg = _doc_graph(spark, sf_dir)
+    uv = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    grid = spark.range(0, 10).select(F.col("id").alias("k"))
+    nk = (
+        F.broadcast(grid)
+        .join(deg, deg["deg"] > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    euv = uv.join(du, "u").join(dv, "v")
+    ek = (
+        F.broadcast(grid)
+        .join(euv, (F.col("deg_u") > F.col("k")) & (F.col("deg_v") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+            (
+                2.0 * F.coalesce(F.col("n_edges"), F.lit(0))
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1))
+            ).alias("phi"),
+        )
+        .filter(F.col("n_nodes") >= 2)
+        .orderBy("k")
+    )

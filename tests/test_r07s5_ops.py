@@ -297,3 +297,56 @@ def test_gains_table_spark_matches_pandas(spark):
         assert abs(r.cum_lift - (cum_pos / cum_n) / (tp / tn)) < 1e-12
     # gains table invariants: monotone gain, final gain == 1, final lift == 1
     assert rows[-1].cum_gain == 1.0 and abs(rows[-1].cum_lift - 1.0) < 1e-12
+
+
+# ---------------------------------------------- link-pred / rich club
+
+
+def _toy_graph():
+    # path 1-2-3 plus edge 3-4: N(1)={2}, N(2)={1,3}, N(3)={2,4}, N(4)={3}
+    edges = {(1, 2), (2, 3), (3, 4)}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return edges, adj
+
+
+def test_linkpred_closed_form_path_graph():
+    edges, adj = _toy_graph()
+    # non-adjacent pairs with a common neighbor: (1,3) via 2, (2,4) via 3
+    for u, v, w in [(1, 3, 2), (2, 4, 3)]:
+        cn = adj[u] & adj[v]
+        assert cn == {w}
+        jac = len(cn) / (len(adj[u]) + len(adj[v]) - len(cn))
+        aa = sum(1.0 / math.log(len(adj[x])) for x in cn)
+        assert abs(jac - 1 / 2) < 1e-12
+        assert abs(aa - 1.0 / math.log(2)) < 1e-12
+
+
+def test_linkpred_spark_scores_consistent(spark):
+    from testlog_etl_spark.queries.etl_queries import graph_linkpred_scores
+
+    rows = graph_linkpred_scores(spark, SF_SMALL).collect()
+    assert rows, "doc graph yields candidate pairs"
+    for r in rows[:200]:
+        assert r.u < r.v
+        assert r.cn >= 1
+        assert 0 < r.jaccard <= 1
+        # AA of cn neighbors each with deg >= 2: between cn/ln(max_deg) and cn/ln(2)
+        assert r.adamic_adar > 0
+
+
+def test_rich_club_monotone_node_counts(spark):
+    from testlog_etl_spark.queries.etl_queries import graph_rich_club
+
+    rows = graph_rich_club(spark, SF_SMALL).collect()
+    assert rows and rows[0].k == 0
+    # N_k strictly ordered by threshold; phi within [0, 1]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes
+        assert b.n_edges <= a.n_edges
+    for r in rows:
+        assert 0.0 <= r.phi <= 1.0
+        # density identity re-check
+        assert abs(r.phi - 2.0 * r.n_edges / (r.n_nodes * (r.n_nodes - 1))) < 1e-15
