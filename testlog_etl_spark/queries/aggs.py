@@ -2773,3 +2773,131 @@ def agg_quantile_shift_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@register(
+    "orders_price_index_fisher",
+    doc="Laspeyres / Paasche / Fisher price indices between consecutive "
+    "ship years: per (part, year) the unit price is "
+    "SUM(l_extendedprice)/SUM(l_quantity) and the quantity weight is "
+    "SUM(l_quantity); for each consecutive year pair over parts "
+    "traded in BOTH years, L = SUM(p1 q0)/SUM(p0 q0), "
+    "P = SUM(p1 q1)/SUM(p0 q1), Fisher = sqrt(L P). One "
+    "(part, year) rollup shuffle, a self-join keyed by part with a "
+    "year+1 band -- broadcastable at the year grain, partition-"
+    "prunable on ship year at 100 TB.",
+    oracle=f"""
+WITH py AS (
+  SELECT l_partkey AS part, EXTRACT(year FROM l_shipdate)::INT AS yr,
+         SUM(l_extendedprice) / SUM(l_quantity) AS p,
+         SUM(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+pair AS (
+  SELECT b.yr AS year0, c.yr AS year1,
+         b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
+  FROM py b JOIN py c ON c.part = b.part AND c.yr = b.yr + 1
+),
+idx AS (
+  SELECT year0, year1, count(*)::BIGINT AS n_parts,
+         SUM(p1 * q0) / SUM(p0 * q0) AS laspeyres,
+         SUM(p1 * q1) / SUM(p0 * q1) AS paasche
+  FROM pair GROUP BY year0, year1
+)
+SELECT year0, year1, n_parts,
+       ROUND(laspeyres, {R}) AS laspeyres,
+       ROUND(paasche, {R}) AS paasche,
+       ROUND(sqrt(laspeyres * paasche), {R}) AS fisher
+FROM idx ORDER BY year0
+""",
+)
+def orders_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    py = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+    ).agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        F.sum("l_quantity").alias("q"),
+    )
+    b = py.select("part", F.col("yr").alias("year0"), F.col("p").alias("p0"), F.col("q").alias("q0"))
+    c = py.select("part", F.col("yr").alias("yr1"), F.col("p").alias("p1"), F.col("q").alias("q1"))
+    pair = b.join(c, (c["part"] == b["part"]) & (c["yr1"] == b["year0"] + 1)).select(
+        "year0", (F.col("yr1")).alias("year1"), "p0", "q0", "p1", "q1"
+    )
+    idx = pair.groupBy("year0", "year1").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum(F.col("p1") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))).alias("laspeyres"),
+        (F.sum(F.col("p1") * F.col("q1")) / F.sum(F.col("p0") * F.col("q1"))).alias("paasche"),
+    )
+    return idx.select(
+        "year0",
+        "year1",
+        "n_parts",
+        F.round("laspeyres", R).alias("laspeyres"),
+        F.round("paasche", R).alias("paasche"),
+        F.round(F.sqrt(F.col("laspeyres") * F.col("paasche")), R).alias("fisher"),
+    ).orderBy("year0")
+
+
+@register(
+    "stats_capture_recapture",
+    doc="Chapman capture-recapture estimate of the active customer "
+    "population from two half-year observation windows (1995H1 / "
+    "1995H2): n1, n2, overlap m, N_hat = (n1+1)(n2+1)/(m+1) - 1 and "
+    "its standard error sqrt((n1+1)(n2+1)(n1-m)(n2-m) / "
+    "((m+1)^2 (m+2))). Distinct-customer sets are exact hash "
+    "aggregates; every output is derived from four integers with the "
+    "same IEEE operation order on both engines, so the doubles are "
+    "emitted bit-identical and UNROUNDED (terminating integer ratios "
+    "+ ROUND would reintroduce the repr half-boundary hazard).",
+    oracle="""
+WITH c1 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+),
+c2 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+),
+s AS (
+  SELECT (SELECT count(*) FROM c1)::BIGINT AS n1,
+         (SELECT count(*) FROM c2)::BIGINT AS n2,
+         (SELECT count(*) FROM c1 JOIN c2 USING (o_custkey))::BIGINT AS m
+)
+SELECT n1, n2, m,
+       (n1 + 1) * (n2 + 1) * 1.0 / (m + 1) - 1.0 AS n_hat,
+       sqrt((n1 + 1) * (n2 + 1) * 1.0 * (n1 - m) * (n2 - m)
+            / ((m + 1) * 1.0 * (m + 1) * (m + 2))) AS se_hat
+FROM s
+""",
+)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+
+    def window(lo: str, hi: str):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        ).select("o_custkey").distinct()
+
+    c1 = window("1995-01-01 00:00:00", "1995-07-01 00:00:00")
+    c2 = window("1995-07-01 00:00:00", "1996-01-01 00:00:00")
+    s = (
+        c1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(c2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(c1.join(c2, "o_custkey").agg(F.count(F.lit(1)).alias("m")))
+    )
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    return s.select(
+        n1,
+        n2,
+        m,
+        ((n1 + 1) * (n2 + 1) * 1.0 / (m + 1) - 1.0).alias("n_hat"),
+        F.sqrt(
+            (n1 + 1) * (n2 + 1) * 1.0 * (n1 - m) * (n2 - m)
+            / ((m + 1) * 1.0 * (m + 1) * (m + 2))
+        ).alias("se_hat"),
+    )

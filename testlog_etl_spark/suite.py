@@ -185,8 +185,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_jarque_bera, stats_kruskal_wallis, ts_bollinger_bands,
     #    ts_rsi_cutler, stats_bartlett_test, stats_grubbs_outlier,
     #    eval_fleiss_kappa, eval_lift_gains_table,
-    #    graph_linkpred_scores, graph_rich_club.
-    #    (Registry: 466;
+    #    graph_linkpred_scores, graph_rich_club,
+    #    orders_price_index_fisher, stats_capture_recapture.
+    #    (Registry: 468;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

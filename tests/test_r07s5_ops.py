@@ -350,3 +350,68 @@ def test_rich_club_monotone_node_counts(spark):
         assert 0.0 <= r.phi <= 1.0
         # density identity re-check
         assert abs(r.phi - 2.0 * r.n_edges / (r.n_nodes * (r.n_nodes - 1))) < 1e-15
+
+
+# ----------------------------------- price index / capture-recapture
+
+
+def test_fisher_index_closed_form():
+    # one part, p0=2 q0=10, p1=3 q1=5: L = 3*10/(2*10)=1.5,
+    # P = 3*5/(2*5)=1.5, Fisher = 1.5
+    p0, q0, p1, q1 = 2.0, 10.0, 3.0, 5.0
+    L = (p1 * q0) / (p0 * q0)
+    P = (p1 * q1) / (p0 * q1)
+    assert abs(L - 1.5) < 1e-12 and abs(P - 1.5) < 1e-12
+    assert abs(math.sqrt(L * P) - 1.5) < 1e-12
+
+
+def test_price_index_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.aggs import orders_price_index_fisher
+
+    rows = orders_price_index_fisher(spark, SF_SMALL).collect()
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    li["yr"] = li.l_shipdate.dt.year
+    py = li.groupby(["l_partkey", "yr"]).agg(
+        ext=("l_extendedprice", "sum"), qty=("l_quantity", "sum")
+    )
+    py["p"] = py.ext / py.qty
+    got = {(r.year0, r.year1): r for r in rows}
+    for (y0, y1), r in got.items():
+        a = py.xs(y0, level="yr")
+        b = py.xs(y1, level="yr")
+        common = a.index.intersection(b.index)
+        assert r.n_parts == len(common)
+        L = (b.p[common] * a.qty[common]).sum() / (a.p[common] * a.qty[common]).sum()
+        P = (b.p[common] * b.qty[common]).sum() / (a.p[common] * b.qty[common]).sum()
+        assert abs(r.laspeyres - L) < 1e-3
+        assert abs(r.paasche - P) < 1e-3
+        assert abs(r.fisher - math.sqrt(L * P)) < 1e-3
+    # index continuity: every consecutive-year pair in the data appears
+    yrs = sorted(py.index.get_level_values("yr").unique())
+    expect_pairs = {
+        (y, y + 1)
+        for y in yrs
+        if (y + 1) in yrs
+        and len(py.xs(y, level="yr").index.intersection(py.xs(y + 1, level="yr").index)) > 0
+    }
+    assert set(got) == expect_pairs
+
+
+def test_capture_recapture_closed_form_and_spark(spark):
+    # textbook: n1=100 marked, n2=60 second sample, m=15 recaptured
+    # Chapman: 101*61/16 - 1 = 384.0625
+    n1, n2, m = 100, 60, 15
+    assert abs((n1 + 1) * (n2 + 1) / (m + 1) - 1 - 384.0625) < 1e-12
+
+    from testlog_etl_spark.queries.aggs import stats_capture_recapture
+
+    r = stats_capture_recapture(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    h1 = set(pdf[(pdf.o_orderdate >= "1995-01-01") & (pdf.o_orderdate < "1995-07-01")].o_custkey)
+    h2 = set(pdf[(pdf.o_orderdate >= "1995-07-01") & (pdf.o_orderdate < "1996-01-01")].o_custkey)
+    assert r.n1 == len(h1) and r.n2 == len(h2) and r.m == len(h1 & h2)
+    want = (r.n1 + 1) * (r.n2 + 1) / (r.m + 1) - 1
+    assert abs(r.n_hat - want) < 1e-9
+    # the estimator is bounded below by the union size minus 1 only when
+    # overlap is high; at minimum it must be >= max(n1, n2)
+    assert r.n_hat >= max(r.n1, r.n2) - 1
