@@ -6726,3 +6726,153 @@ def eval_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "text_collocation_llr",
+    doc="Dunning log-likelihood-ratio collocations: for every bigram "
+    "seen >= 10 times, the 2x2 contingency (bigram count k11, "
+    "first-word margin c1, second-word margin c2, bigram total N) "
+    "scored by LLR = 2 SUM k_ij ln(k_ij N / (row_i col_j)) with "
+    "zero cells contributing zero -- the PMI sibling that does not "
+    "overweight rare pairs (events_cooccurrence_pmi is the PMI "
+    "side). Counts are exact integers; the four log terms are "
+    "combined in one fixed expression order so both engines agree "
+    "to ulps, rounded at 4. Ordered by the integer count, never the "
+    "double. Same zip_with row-local bigram construction as "
+    "text_bigram_lm -- no token explode of n^2.",
+    oracle="""
+WITH toks AS (
+  SELECT list_filter(string_split(trim(text), ' '), t -> t <> '') AS w FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM toks WHERE len(w) >= 2
+),
+bc AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2,
+         count(*)::BIGINT AS k11
+  FROM big GROUP BY 1, 2
+),
+c1 AS (SELECT w1, SUM(k11)::BIGINT AS c1 FROM bc GROUP BY w1),
+c2 AS (SELECT w2, SUM(k11)::BIGINT AS c2 FROM bc GROUP BY w2),
+n AS (SELECT SUM(k11)::BIGINT AS n FROM bc),
+cell AS (
+  SELECT bc.w1, bc.w2, k11, c1.c1, c2.c2, n.n,
+         c1.c1 - k11 AS k12, c2.c2 - k11 AS k21,
+         n.n - c1.c1 - c2.c2 + k11 AS k22
+  FROM bc JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+  WHERE k11 >= 10
+)
+SELECT w1, w2, k11, c1, c2,
+       ROUND(2.0 * (
+         (CASE WHEN k11 > 0 THEN k11 * ln(k11 * 1.0 * n / (c1 * 1.0 * c2)) ELSE 0.0 END)
+       + (CASE WHEN k12 > 0 THEN k12 * ln(k12 * 1.0 * n / (c1 * 1.0 * (n - c2))) ELSE 0.0 END)
+       + (CASE WHEN k21 > 0 THEN k21 * ln(k21 * 1.0 * n / ((n - c1) * 1.0 * c2)) ELSE 0.0 END)
+       + (CASE WHEN k22 > 0 THEN k22 * ln(k22 * 1.0 * n / ((n - c1) * 1.0 * (n - c2))) ELSE 0.0 END)
+       ), 4) AS llr
+FROM cell
+ORDER BY k11 DESC, w1, w2
+""",
+)
+def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = textstats.tokens(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bc = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k11"))
+    )
+    c1 = bc.groupBy("w1").agg(F.sum("k11").alias("c1"))
+    c2 = bc.groupBy("w2").agg(F.sum("k11").alias("c2"))
+    n = bc.agg(F.sum("k11").alias("n"))
+    cell = (
+        bc.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("k11") >= 10)
+        .withColumn("k12", F.col("c1") - F.col("k11"))
+        .withColumn("k21", F.col("c2") - F.col("k11"))
+        .withColumn("k22", F.col("n") - F.col("c1") - F.col("c2") + F.col("k11"))
+    )
+
+    def term(k, row, col):
+        return F.when(
+            k > 0, k * F.log(k * 1.0 * F.col("n") / (row * 1.0 * col))
+        ).otherwise(F.lit(0.0))
+
+    n_, c1_, c2_ = F.col("n"), F.col("c1"), F.col("c2")
+    llr = 2.0 * (
+        term(F.col("k11"), c1_, c2_)
+        + term(F.col("k12"), c1_, n_ - c2_)
+        + term(F.col("k21"), n_ - c1_, c2_)
+        + term(F.col("k22"), n_ - c1_, n_ - c2_)
+    )
+    return cell.select(
+        "w1", "w2", "k11", "c1", "c2", F.round(llr, R).alias("llr")
+    ).orderBy(F.col("k11").desc(), "w1", "w2")
+
+
+@register(
+    "text_good_turing_mass",
+    doc="Good-Turing frequency-of-frequencies per source: N_r = number "
+    "of terms seen exactly r times, the unseen-mass estimate "
+    "p0 = N_1 / total_tokens, and the Turing-smoothed adjusted count "
+    "r* = (r+1) N_{r+1} / N_r for r = 1..5 (NULL when N_{r+1} is "
+    "absent -- simple GT, no fitted tail; p0 is NULL for sources "
+    "with no singleton terms, hence the LEFT join on N_1). Everything is a ratio of "
+    "exact integers spelled identically on both sides, emitted "
+    "unrounded. Two rollups: (source, term) then (source, r).",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT source, term, count(*)::BIGINT AS r FROM tok GROUP BY source, term),
+fof AS (SELECT source, r, count(*)::BIGINT AS n_r FROM tf GROUP BY source, r),
+tot AS (SELECT source, SUM(r * n_r)::BIGINT AS n_tokens FROM fof GROUP BY source)
+SELECT f.source, f.r, f.n_r, nxt.n_r AS n_r_next,
+       CASE WHEN nxt.n_r IS NULL THEN NULL
+            ELSE (f.r + 1) * nxt.n_r * 1.0 / f.n_r END AS r_star,
+       (SELECT n_r FROM fof WHERE fof.source = f.source AND fof.r = 1) * 1.0
+         / tot.n_tokens AS p0_unseen
+FROM fof f
+LEFT JOIN fof nxt ON nxt.source = f.source AND nxt.r = f.r + 1
+JOIN tot ON tot.source = f.source
+WHERE f.r <= 5
+ORDER BY f.source, f.r
+""",
+)
+def text_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select("source", F.explode(textstats.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("r"))
+    fof = tf.groupBy("source", "r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = fof.groupBy("source").agg(F.sum(F.col("r") * F.col("n_r")).alias("n_tokens"))
+    n1 = fof.filter(F.col("r") == 1).select("source", F.col("n_r").alias("n_1"))
+    nxt = fof.select("source", (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    return (
+        fof.filter(F.col("r") <= 5)
+        .join(nxt, ["source", "r"], "left")
+        .join(F.broadcast(tot), "source")
+        .join(F.broadcast(n1), "source", "left")
+        .select(
+            "source",
+            "r",
+            "n_r",
+            "n_r_next",
+            F.when(
+                F.col("n_r_next").isNotNull(),
+                (F.col("r") + 1) * F.col("n_r_next") * 1.0 / F.col("n_r"),
+            ).alias("r_star"),
+            (F.col("n_1") * 1.0 / F.col("n_tokens")).alias("p0_unseen"),
+        )
+        .orderBy("source", "r")
+    )

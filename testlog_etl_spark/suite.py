@@ -186,8 +186,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    ts_rsi_cutler, stats_bartlett_test, stats_grubbs_outlier,
     #    eval_fleiss_kappa, eval_lift_gains_table,
     #    graph_linkpred_scores, graph_rich_club,
-    #    orders_price_index_fisher, stats_capture_recapture.
-    #    (Registry: 468;
+    #    orders_price_index_fisher, stats_capture_recapture,
+    #    text_collocation_llr, text_good_turing_mass.
+    #    (Registry: 470;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",
