@@ -3981,3 +3981,214 @@ def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "stats_logrank_test",
+    doc="log-rank test for time-to-repeat-purchase between BUILDING "
+    "and non-BUILDING customers: duration = days from a customer's "
+    "first order to their second DISTINCT order day (event) or to "
+    "the global last order day (right-censored). At each day with "
+    "any event, at-risk counts come from exclusive cumulative exits "
+    "over the per-day exit rollup -- a calendar-bounded frame (the "
+    "runs-test rationale), never per-customer rows. "
+    "chi2 = (O1 - E1)^2 / V with E1 = SUM n1 d / n and hypergeometric "
+    "V = SUM n1 n2 d (n - d) / (n^2 (n - 1)). All counts are exact "
+    "integers; E and V are fixed-order expressions rounded at 4.",
+    oracle=f"""
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS last_day FROM orders),
+days AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_custkey, day,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY day) AS rn
+  FROM days
+),
+subj AS (
+  SELECT f.o_custkey,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS grp,
+         CASE WHEN s.day IS NULL THEN date_diff('day', f.day, mx.last_day)
+              ELSE date_diff('day', f.day, s.day) END AS t,
+         CASE WHEN s.day IS NULL THEN 0 ELSE 1 END AS ev
+  FROM ranked f
+  LEFT JOIN ranked s ON s.o_custkey = f.o_custkey AND s.rn = 2
+  JOIN customer c ON c.c_custkey = f.o_custkey
+  CROSS JOIN mx
+  WHERE f.rn = 1
+),
+roll AS (
+  SELECT t,
+         SUM(CASE WHEN grp = 1 AND ev = 1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS x1,
+         SUM(CASE WHEN grp = 2 AND ev = 1 THEN 1 ELSE 0 END)::BIGINT AS d2,
+         SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END)::BIGINT AS x2
+  FROM subj GROUP BY t
+),
+tot AS (
+  SELECT SUM(x1) AS m1, SUM(x2) AS m2 FROM roll
+),
+risk AS (
+  SELECT t, d1, d2,
+         tot.m1 - COALESCE(SUM(x1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+         tot.m2 - COALESCE(SUM(x2) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+  FROM roll, tot
+),
+terms AS (
+  SELECT d1, d2, n1, n2, n1 + n2 AS n, d1 + d2 AS d FROM risk
+  WHERE d1 + d2 > 0 AND n1 + n2 > 1
+),
+agg AS (
+  SELECT SUM(d1)::BIGINT AS o1,
+         SUM(n1 * 1.0 * d / n) AS e1,
+         SUM(n1 * 1.0 * n2 * d * (n - d) / (n * 1.0 * n * (n - 1))) AS v
+  FROM terms
+)
+SELECT o1, ROUND(e1, {R}) AS e1, ROUND(v, {R}) AS v,
+       ROUND((o1 - e1) * (o1 - e1) / v, {R}) AS chi2
+FROM agg
+""",
+)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    orders, customer = t["orders"], t["customer"]
+    days = orders.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("o_custkey").orderBy("day"))
+    ranked = days.withColumn("rn", rn)
+    f = ranked.filter(F.col("rn") == 1).select("o_custkey", F.col("day").alias("fday"))
+    s = ranked.filter(F.col("rn") == 2).select("o_custkey", F.col("day").alias("sday"))
+    mx = days.agg(F.max("day").alias("last_day"))
+    subj = (
+        f.join(s, "o_custkey", "left")
+        .join(customer, f["o_custkey"] == customer["c_custkey"])
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(2).alias("grp"),
+            F.when(
+                F.col("sday").isNull(), F.datediff("last_day", "fday")
+            ).otherwise(F.datediff("sday", "fday")).alias("t"),
+            F.when(F.col("sday").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    roll = subj.groupBy("t").agg(
+        F.sum(F.when((F.col("grp") == 1) & (F.col("ev") == 1), 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("x1"),
+        F.sum(F.when((F.col("grp") == 2) & (F.col("ev") == 1), 1).otherwise(0)).alias("d2"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("x2"),
+    )
+    tot = roll.agg(F.sum("x1").alias("m1"), F.sum("x2").alias("m2"))
+    # exclusive cumulative exits over the per-day rollup: the duration
+    # domain is calendar-bounded (days between first/second purchase),
+    # so this unpartitioned window's frame is bounded by construction
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = roll.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d1",
+        "d2",
+        (F.col("m1") - F.coalesce(F.sum("x1").over(w), F.lit(0))).alias("n1"),
+        (F.col("m2") - F.coalesce(F.sum("x2").over(w), F.lit(0))).alias("n2"),
+    )
+    terms = (
+        risk.withColumn("n", F.col("n1") + F.col("n2"))
+        .withColumn("d", F.col("d1") + F.col("d2"))
+        .filter((F.col("d") > 0) & (F.col("n") > 1))
+    )
+    n_, d_ = F.col("n"), F.col("d")
+    agg = terms.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(F.col("n1") * 1.0 * d_ / n_).alias("e1"),
+        F.sum(
+            F.col("n1") * 1.0 * F.col("n2") * d_ * (n_ - d_) / (n_ * 1.0 * n_ * (n_ - 1))
+        ).alias("v"),
+    )
+    return agg.select(
+        F.col("o1").cast("long").alias("o1"),
+        F.round("e1", R).alias("e1"),
+        F.round("v", R).alias("v"),
+        F.round((F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v"), R).alias(
+            "chi2"
+        ),
+    )
+
+
+@register(
+    "stats_james_stein_means",
+    doc="James-Stein shrinkage of per-nation mean account balances "
+    "toward the grand mean of group means: "
+    "B = (k-3) avg_i(s2/n_i) / SUM (m_i - mbar)^2 with the pooled "
+    "within-group variance s2, shrunk_i = mbar + max(0, 1-B) "
+    "(m_i - mbar). Two-pass: group means (broadcast), pooled "
+    "within-variance, then the 25-row shrink -- the empirical-Bayes "
+    "sibling of stats_empirical_bayes_rates for CONTINUOUS means.",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey, AVG(c_acctbal) AS m, count(*) AS n
+  FROM customer GROUP BY 1
+),
+w AS (
+  SELECT SUM(POW(c.c_acctbal - g.m, 2)) AS ss
+  FROM customer c JOIN g ON g.c_nationkey = c.c_nationkey
+),
+tot AS (SELECT count(*) AS n_tot FROM customer),
+k AS (SELECT count(*) AS k, AVG(m) AS mbar FROM g),
+s AS (
+  SELECT w.ss / (tot.n_tot - k.k) AS s2, k.k, k.mbar FROM w, tot, k
+),
+b AS (
+  SELECT s.k, s.mbar, s.s2,
+         (s.k - 3) * (SELECT AVG(s.s2 / g.n) FROM g) /
+         (SELECT SUM(POW(g.m - s.mbar, 2)) FROM g) AS shrink_b
+  FROM s
+)
+SELECT g.c_nationkey, CAST(g.n AS BIGINT) AS n,
+       ROUND(g.m, {R}) AS raw_mean,
+       ROUND(b.mbar + GREATEST(0.0, 1.0 - b.shrink_b) * (g.m - b.mbar), {R}) AS shrunk_mean,
+       ROUND(GREATEST(0.0, 1.0 - b.shrink_b), {R}) AS shrink_weight
+FROM g, b ORDER BY g.c_nationkey
+""",
+)
+def stats_james_stein_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_tables(spark, sf_dir, ("customer",))["customer"]
+    g = customer.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    ss = (
+        customer.join(F.broadcast(g), "c_nationkey")
+        .agg(F.sum((F.col("c_acctbal") - F.col("m")) ** 2).alias("ss"))
+    )
+    tot = customer.agg(F.count(F.lit(1)).alias("n_tot"))
+    k = g.agg(F.count(F.lit(1)).alias("k"), F.avg("m").alias("mbar"))
+    s = (
+        ss.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(k))
+        .select((F.col("ss") / (F.col("n_tot") - F.col("k"))).alias("s2"), "k", "mbar")
+    )
+    parts = g.crossJoin(F.broadcast(s)).agg(
+        F.avg(F.col("s2") / F.col("n")).alias("avg_se2"),
+        F.sum((F.col("m") - F.col("mbar")) ** 2).alias("spread"),
+        F.max("k").alias("k"),
+        F.max("mbar").alias("mbar"),
+    )
+    b = parts.select(
+        "k",
+        "mbar",
+        ((F.col("k") - 3) * F.col("avg_se2") / F.col("spread")).alias("shrink_b"),
+    )
+    return (
+        g.crossJoin(F.broadcast(b))
+        .select(
+            "c_nationkey",
+            F.col("n").cast("long").alias("n"),
+            F.round("m", R).alias("raw_mean"),
+            F.round(
+                F.col("mbar")
+                + F.greatest(F.lit(0.0), 1.0 - F.col("shrink_b")) * (F.col("m") - F.col("mbar")),
+                R,
+            ).alias("shrunk_mean"),
+            F.round(F.greatest(F.lit(0.0), 1.0 - F.col("shrink_b")), R).alias("shrink_weight"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -485,3 +485,75 @@ def test_good_turing_spark_matches_pandas(spark):
                 assert abs(row.p0_unseen - fof[1] / n_tokens) < 1e-12
             else:
                 assert row.p0_unseen is None
+
+
+# -------------------------------------------- log-rank / James-Stein
+
+
+def _logrank(subjects):
+    """subjects: list of (grp 1|2, t, event 0|1). Returns (o1, e1, v)."""
+    times = sorted({t for _, t, _ in subjects})
+    o1 = e1 = v = 0.0
+    for t in times:
+        n1 = sum(1 for g, tt, _ in subjects if g == 1 and tt >= t)
+        n2 = sum(1 for g, tt, _ in subjects if g == 2 and tt >= t)
+        d1 = sum(1 for g, tt, ev in subjects if g == 1 and tt == t and ev)
+        d2 = sum(1 for g, tt, ev in subjects if g == 2 and tt == t and ev)
+        n, d = n1 + n2, d1 + d2
+        if d == 0 or n <= 1:
+            continue
+        o1 += d1
+        e1 += n1 * d / n
+        v += n1 * n2 * d * (n - d) / (n * n * (n - 1))
+    return o1, e1, v
+
+
+def test_logrank_identical_groups_zero():
+    # mirror-image groups: every event time contributes E1 = d/2 and
+    # O1 accumulates exactly half the events -> chi2 numerator 0
+    subj = [(1, 5, 1), (2, 5, 1), (1, 9, 1), (2, 9, 1), (1, 12, 0), (2, 12, 0)]
+    o1, e1, v = _logrank(subj)
+    assert abs(o1 - e1) < 1e-12
+
+
+def test_logrank_spark_matches_formula(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_logrank_test
+
+    row = stats_logrank_test(spark, SF_SMALL).collect()[0]
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    seg = dict(zip(cust.c_custkey, cust.c_mktsegment))
+    orders["day"] = orders.o_orderdate.dt.date
+    last_day = orders.day.max()
+    subs = []
+    for ck, grp in orders.groupby("o_custkey"):
+        ds = sorted(set(grp.day))
+        g = 1 if seg[ck] == "BUILDING" else 2
+        if len(ds) >= 2:
+            subs.append((g, (ds[1] - ds[0]).days, 1))
+        else:
+            subs.append((g, (last_day - ds[0]).days, 0))
+    o1, e1, v = _logrank(subs)
+    assert row.o1 == o1
+    assert abs(row.e1 - e1) < 1e-3
+    assert abs(row.v - v) < 1e-3
+    assert abs(row.chi2 - (o1 - e1) ** 2 / v) < 1e-2
+
+
+def test_james_stein_shrinks_toward_grand_mean(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_james_stein_means
+
+    rows = stats_james_stein_means(spark, SF_SMALL).collect()
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    g = cust.groupby("c_nationkey").c_acctbal.agg(["mean", "count"])
+    mbar = g["mean"].mean()
+    w = rows[0].shrink_weight
+    assert 0.0 <= w <= 1.0
+    for r in rows:
+        raw = g.loc[r.c_nationkey, "mean"]
+        assert abs(r.raw_mean - raw) < 1e-3
+        # shrunk value lies between raw mean and the grand mean of means
+        lo, hi = sorted([raw, mbar])
+        assert lo - 1e-3 <= r.shrunk_mean <= hi + 1e-3
+        # identical shrink weight for every group (equal-variance JS)
+        assert abs(r.shrink_weight - w) < 1e-12

@@ -108,6 +108,11 @@ WHITELIST: dict[str, str] = {
         "revenue rollup -- calendar-bounded day grid (the runs-test "
         "rationale)"
     ),
+    "stats_logrank_test": (
+        "exclusive cumulative-exit window runs over the per-DAY "
+        "duration rollup -- calendar-bounded day grid (the runs-test "
+        "rationale); subject-grain work is all keyed aggregation"
+    ),
     "ts_rsi_cutler": (
         "lag-diff and 14-row trailing gain/loss windows run over the "
         "per-DAY revenue rollup -- calendar-bounded day grid (the "
