@@ -1424,3 +1424,128 @@ def dq_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a.unionByName(b), (one(*args) for args in panel)
     )
     return out.orderBy("candidate")
+
+
+@register(
+    "dq_xmr_control_chart",
+    doc="XmR (individuals / moving-range) control chart over the daily "
+    "revenue series: v_t in integer kilodollars (the "
+    "ts_bollinger_bands exactness discipline), MR_t = |v_t - v_t-1| "
+    "(exact integers), center = mean(v), natural process limits "
+    "center +/- 2.66 MRbar (the standard XmR constant d2=1.128 "
+    "folded in), and per-day out-of-control flags. The only window "
+    "is the one lag over the calendar-bounded per-day rollup. "
+    "mean/MRbar are exact-integer ratios; the limits multiply by the "
+    "2.66 literal identically on both engines, so everything is "
+    "emitted unrounded.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(SUM(o_totalprice) / 1000.0, 0) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+mr AS (
+  SELECT day, v, ABS(v - LAG(v) OVER (ORDER BY day)) AS mr FROM d
+),
+c AS (
+  SELECT AVG(v * 1.0) AS center, AVG(mr * 1.0) AS mrbar,
+         count(*)::BIGINT AS n_days
+  FROM mr
+)
+SELECT mr.day, mr.v, mr.mr,
+       c.center, c.center + 2.66 * c.mrbar AS ucl, c.center - 2.66 * c.mrbar AS lcl,
+       (mr.v > c.center + 2.66 * c.mrbar OR mr.v < c.center - 2.66 * c.mrbar) AS out_of_control
+FROM mr, c
+WHERE mr.v > c.center + 2.66 * c.mrbar OR mr.v < c.center - 2.66 * c.mrbar
+   OR mr.mr > 3.267 * c.mrbar
+ORDER BY mr.day
+""",
+)
+def dq_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") / 1000.0, 0).cast("long").alias("v")
+    )
+    mr = d.select(
+        "day", "v", F.abs(F.col("v") - F.lag("v").over(W.orderBy("day"))).alias("mr")
+    )
+    c = mr.agg(
+        F.avg(F.col("v") * 1.0).alias("center"),
+        F.avg(F.col("mr") * 1.0).alias("mrbar"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    j = mr.crossJoin(F.broadcast(c))
+    ucl = F.col("center") + 2.66 * F.col("mrbar")
+    lcl = F.col("center") - 2.66 * F.col("mrbar")
+    return (
+        j.filter((F.col("v") > ucl) | (F.col("v") < lcl) | (F.col("mr") > 3.267 * F.col("mrbar")))
+        .select(
+            "day",
+            "v",
+            "mr",
+            F.col("center"),
+            ucl.alias("ucl"),
+            lcl.alias("lcl"),
+            ((F.col("v") > ucl) | (F.col("v") < lcl)).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "stats_poisson_dispersion",
+    doc="Poisson overdispersion check per event type: daily event "
+    "counts c_t, dispersion index D = s^2 / cbar (sample variance "
+    "over mean -- 1 under Poisson), and the chi-square dispersion "
+    "statistic (n-1) s^2 / cbar with dof n-1. Two-pass centered "
+    "variance (broadcast per-type means over the per-day count "
+    "rollup); counts are exact integers, the centered squares agree "
+    "to reassociation ulps, rounded at 4.",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT event_type, AVG(c * 1.0) AS cbar, count(*) AS n FROM d GROUP BY 1),
+v AS (
+  SELECT d.event_type, MAX(m.cbar) AS cbar, MAX(m.n) AS n,
+         SUM(POW(d.c - m.cbar, 2)) / (MAX(m.n) - 1) AS s2
+  FROM d JOIN m USING (event_type) GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(cbar, 4) AS mean_daily,
+       ROUND(s2, 4) AS var_daily,
+       ROUND(s2 / cbar, 4) AS dispersion_index,
+       ROUND((n - 1) * s2 / cbar, 4) AS chi2,
+       CAST(n - 1 AS BIGINT) AS dof
+FROM v ORDER BY event_type
+""",
+)
+def stats_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = d.groupBy("event_type").agg(
+        F.avg(F.col("c") * 1.0).alias("cbar"), F.count(F.lit(1)).alias("n")
+    )
+    v = (
+        d.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("cbar").alias("cbar"),
+            F.max("n").alias("n"),
+            (F.sum((F.col("c") - F.col("cbar")) ** 2) / (F.max("n") - 1)).alias("s2"),
+        )
+    )
+    return v.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round("cbar", 4).alias("mean_daily"),
+        F.round("s2", 4).alias("var_daily"),
+        F.round(F.col("s2") / F.col("cbar"), 4).alias("dispersion_index"),
+        F.round((F.col("n") - 1) * F.col("s2") / F.col("cbar"), 4).alias("chi2"),
+        (F.col("n") - 1).cast("long").alias("dof"),
+    ).orderBy("event_type")

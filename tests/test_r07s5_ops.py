@@ -557,3 +557,43 @@ def test_james_stein_shrinks_toward_grand_mean(spark):
         assert lo - 1e-3 <= r.shrunk_mean <= hi + 1e-3
         # identical shrink weight for every group (equal-variance JS)
         assert abs(r.shrink_weight - w) < 1e-12
+
+
+# ---------------------------------------------- XmR / dispersion
+
+
+def test_xmr_limits_formula(spark):
+    from testlog_etl_spark.queries.profile_queries import dq_xmr_control_chart
+
+    rows = dq_xmr_control_chart(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    vs, days = _daily_kdollars(pdf)
+    mrs = [abs(b - a) for a, b in zip(vs, vs[1:])]
+    center = sum(vs) / len(vs)
+    mrbar = sum(mrs) / len(mrs)
+    ucl, lcl = center + 2.66 * mrbar, center - 2.66 * mrbar
+    want = {
+        days[i]
+        for i in range(len(vs))
+        if vs[i] > ucl or vs[i] < lcl or (i > 0 and mrs[i - 1] > 3.267 * mrbar)
+    }
+    assert {r.day for r in rows} == want
+    for r in rows:
+        assert abs(r.ucl - ucl) < 1e-9 and abs(r.lcl - lcl) < 1e-9
+        assert r.out_of_control == (r.v > ucl or r.v < lcl)
+
+
+def test_poisson_dispersion_matches_pandas(spark):
+    from testlog_etl_spark.queries.profile_queries import stats_poisson_dispersion
+
+    rows = {r.event_type: r for r in stats_poisson_dispersion(spark, SF_SMALL).collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev["day"] = ev.ts.dt.date
+    for et, grp in ev.groupby("event_type"):
+        c = grp.groupby("day").size()
+        r = rows[et]
+        assert r.n_days == len(c)
+        assert abs(r.mean_daily - c.mean()) < 1e-3
+        assert abs(r.var_daily - c.var(ddof=1)) < 1e-3
+        assert abs(r.dispersion_index - c.var(ddof=1) / c.mean()) < 1e-3
+        assert abs(r.chi2 - (len(c) - 1) * c.var(ddof=1) / c.mean()) < 2e-3

@@ -108,6 +108,10 @@ WHITELIST: dict[str, str] = {
         "revenue rollup -- calendar-bounded day grid (the runs-test "
         "rationale)"
     ),
+    "dq_xmr_control_chart": (
+        "the one lag() runs over the per-DAY revenue rollup -- "
+        "calendar-bounded day grid (the runs-test rationale)"
+    ),
     "stats_logrank_test": (
         "exclusive cumulative-exit window runs over the per-DAY "
         "duration rollup -- calendar-bounded day grid (the runs-test "
