@@ -6876,3 +6876,72 @@ def text_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "r")
     )
+
+
+@register(
+    "embed_kmeans_one_step",
+    doc="one Lloyd k-means iteration over the embedding table, k = 8, "
+    "deterministic init (centroids = vec_id 0..7): assign every "
+    "vector to its nearest seed by squared L2 -- the per-dim fold is "
+    "a sequential reduce in ARRAY ORDER on both engines (the "
+    "_duck_dot discipline), so distances are bit-identical and the "
+    "(d2, cid) argmin is stable -- then recompute centroids as "
+    "per-dim means. Output is the (cid, dim) centroid matrix with "
+    "assignment counts; only the partition-parallel mean is rounded "
+    "(6 dp, ~1e-13 reassociation wobble). Scale: one broadcast of 8 "
+    "seed rows, one narrow pairwise stage (n x 8), one (cid, dim) "
+    "rollup -- the canonical IVF training step.",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 8),
+d AS (
+  SELECT v.vec_id, c.cid,
+         reduce(list_prepend(0.0::DOUBLE,
+                list_transform(range(1, 65),
+                  __i -> (v.vec[__i] - c.cvec[__i]) * (v.vec[__i] - c.cvec[__i]))),
+                (__a, __x) -> __a + __x) AS d2
+  FROM v CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+cnt AS (SELECT cid, count(*)::BIGINT AS n_assigned FROM asg GROUP BY cid),
+ex AS (
+  SELECT asg.cid, unnest(range(0, 64)) AS dim, unnest(v.vec) AS val
+  FROM asg JOIN v USING (vec_id)
+)
+SELECT ex.cid, CAST(ex.dim AS INT) AS dim, cnt.n_assigned,
+       ROUND(AVG(ex.val), 6) AS new_val
+FROM ex JOIN cnt USING (cid)
+GROUP BY ex.cid, ex.dim, cnt.n_assigned
+ORDER BY ex.cid, dim
+""",
+)
+def embed_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    c = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    d = v.crossJoin(F.broadcast(c)).select("vec_id", "vec", "cid", d2.alias("d2"))
+    rn = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "cid"))
+    asg = d.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "cid", "vec")
+    cnt = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    ex = asg.select("cid", F.posexplode("vec").alias("dim", "val"))
+    return (
+        ex.join(F.broadcast(cnt), "cid")
+        .groupBy("cid", "dim", "n_assigned")
+        .agg(F.round(F.avg("val"), 6).alias("new_val"))
+        .select("cid", F.col("dim").cast("int").alias("dim"), "n_assigned", "new_val")
+        .orderBy("cid", "dim")
+    )

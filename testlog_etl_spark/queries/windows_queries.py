@@ -3181,3 +3181,85 @@ def ts_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(100.0 - 100.0 / (1.0 + F.col("sum_gain") * 1.0 / F.col("sum_loss")))
         .alias("rsi"),
     ).orderBy("day")
+
+
+@register(
+    "ts_spectral_entropy",
+    doc="spectral entropy of the daily revenue series over the "
+    "ts_periodogram_weekly period grid p = 2..14: normalize the "
+    "13 Goertzel powers to a distribution and report "
+    "H = -SUM p ln p plus H / ln(13) (1.0 = white noise, 0 = pure "
+    "tone) and the dominant period. Same snap-the-Fourier-sums-"
+    "before-squaring discipline as the periodogram (the +-1e6-term "
+    "cancellation would otherwise amplify past rounding); the "
+    "13-term entropy sum is rounded at 4.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY day
+),
+s AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t FROM d),
+m AS (SELECT AVG(rev) AS mu FROM s),
+grid AS (SELECT unnest(range(2, 15)) AS p),
+pow AS (
+  SELECT grid.p,
+         ROUND(SUM((s.rev - m.mu) * cos(2.0 * 3.141592653589793 * s.t / grid.p)), 3) AS c,
+         ROUND(SUM((s.rev - m.mu) * sin(2.0 * 3.141592653589793 * s.t / grid.p)), 3) AS sn
+  FROM grid CROSS JOIN s CROSS JOIN m
+  GROUP BY grid.p
+),
+pw AS (SELECT p, c * c + sn * sn AS power FROM pow),
+tot AS (SELECT SUM(power) AS tp FROM pw),
+h AS (
+  SELECT SUM(CASE WHEN power > 0 THEN -(power / tot.tp) * ln(power / tot.tp) ELSE 0.0 END) AS ent
+  FROM pw, tot
+),
+dom AS (SELECT p FROM pw ORDER BY power DESC, p LIMIT 1)
+SELECT CAST(dom.p AS INT) AS dominant_period,
+       ROUND(h.ent, 4) AS spectral_entropy,
+       ROUND(h.ent / ln(13.0), 4) AS normalized_entropy
+FROM h, dom
+""",
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    # calendar-bounded day index (one row per day -- runs-test rationale)
+    s = d.select("rev", (F.row_number().over(W.orderBy("day")) - 1).alias("t"))
+    m = s.agg(F.avg("rev").alias("mu"))
+    grid = spark.range(2, 15).select(F.col("id").cast("int").alias("p"))
+    pi2 = 2.0 * 3.141592653589793
+    pow_ = (
+        s.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(m))
+        .groupBy("p")
+        .agg(
+            F.round(
+                F.sum((F.col("rev") - F.col("mu")) * F.cos(pi2 * F.col("t") / F.col("p"))), 3
+            ).alias("c"),
+            F.round(
+                F.sum((F.col("rev") - F.col("mu")) * F.sin(pi2 * F.col("t") / F.col("p"))), 3
+            ).alias("sn"),
+        )
+    )
+    pw = pow_.select("p", (F.col("c") * F.col("c") + F.col("sn") * F.col("sn")).alias("power"))
+    tot = pw.agg(F.sum("power").alias("tp"))
+    h = pw.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.when(
+                F.col("power") > 0,
+                -(F.col("power") / F.col("tp")) * F.log(F.col("power") / F.col("tp")),
+            ).otherwise(F.lit(0.0))
+        ).alias("ent")
+    )
+    dom = pw.orderBy(F.col("power").desc(), "p").limit(1).select(F.col("p").alias("dominant_period"))
+    return h.crossJoin(F.broadcast(dom)).select(
+        F.col("dominant_period").cast("int").alias("dominant_period"),
+        F.round("ent", R).alias("spectral_entropy"),
+        F.round(F.col("ent") / F.log(F.lit(13.0)), R).alias("normalized_entropy"),
+    )

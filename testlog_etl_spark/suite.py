@@ -189,8 +189,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    orders_price_index_fisher, stats_capture_recapture,
     #    text_collocation_llr, text_good_turing_mass,
     #    stats_logrank_test, stats_james_stein_means,
-    #    dq_xmr_control_chart, stats_poisson_dispersion.
-    #    (Registry: 474;
+    #    dq_xmr_control_chart, stats_poisson_dispersion,
+    #    embed_kmeans_one_step, ts_spectral_entropy.
+    #    (Registry: 476;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

@@ -597,3 +597,55 @@ def test_poisson_dispersion_matches_pandas(spark):
         assert abs(r.var_daily - c.var(ddof=1)) < 1e-3
         assert abs(r.dispersion_index - c.var(ddof=1) / c.mean()) < 1e-3
         assert abs(r.chi2 - (len(c) - 1) * c.var(ddof=1) / c.mean()) < 2e-3
+
+
+# ------------------------------------- kmeans step / spectral entropy
+
+
+def test_kmeans_step_spark_matches_numpy(spark):
+    import numpy as np
+    from testlog_etl_spark.queries.llm_ops import embed_kmeans_one_step
+
+    rows = embed_kmeans_one_step(spark, SF_SMALL).collect()
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack(emb.embedding.values).astype(np.float64)
+    ids = emb.vec_id.values
+    C = X[ids < 8]
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # ties: argmin picks lowest cid, same as (d2, cid)
+    got = {}
+    for r in rows:
+        got.setdefault(r.cid, {})[r.dim] = r
+    for cid in sorted(set(assign)):
+        mask = assign == cid
+        mean = X[mask].mean(axis=0)
+        for dim in range(64):
+            row = got[cid][dim]
+            assert row.n_assigned == int(mask.sum())
+            assert abs(row.new_val - mean[dim]) < 1e-5
+    # every cluster non-empty covers all 8 seeds (seed is its own nearest)
+    assert set(got) == set(range(8))
+
+
+def test_spectral_entropy_bounds_and_dominant(spark):
+    from testlog_etl_spark.queries.windows_queries import ts_spectral_entropy
+    import numpy as np
+
+    r = ts_spectral_entropy(spark, SF_SMALL).collect()[0]
+    assert 2 <= r.dominant_period <= 14
+    assert 0.0 <= r.normalized_entropy <= 1.0 + 1e-9
+    assert abs(r.normalized_entropy - r.spectral_entropy / math.log(13)) < 1e-3
+    # recompute from pandas
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    rev = pdf.assign(day=pdf.o_orderdate.dt.date).groupby("day").o_totalprice.sum().sort_index()
+    x = rev.values - rev.values.mean()
+    t = np.arange(len(x))
+    pows = {}
+    for p in range(2, 15):
+        c = round((x * np.cos(2 * np.pi * t / p)).sum(), 3)
+        s = round((x * np.sin(2 * np.pi * t / p)).sum(), 3)
+        pows[p] = c * c + s * s
+    tot = sum(pows.values())
+    ent = -sum((v / tot) * math.log(v / tot) for v in pows.values() if v > 0)
+    assert abs(r.spectral_entropy - ent) < 1e-3
+    assert r.dominant_period == min(sorted(pows, key=lambda p: (-pows[p], p))[:1])

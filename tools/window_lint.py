@@ -122,6 +122,10 @@ WHITELIST: dict[str, str] = {
         "per-DAY revenue rollup -- calendar-bounded day grid (the "
         "runs-test rationale)"
     ),
+    "ts_spectral_entropy": (
+        "day-index row_number runs over the per-DAY revenue rollup -- "
+        "calendar-bounded frame (the periodogram rationale)"
+    ),
     "ts_seasonality_strength": (
         "same centered 7-day MA over the per-DAY revenue rollup as "
         "ts_stl_decompose -- calendar-bounded day grid"
