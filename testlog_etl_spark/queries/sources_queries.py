@@ -1060,3 +1060,50 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
 
+
+
+@register(
+    "sql_pivot_clause",
+    doc="native SQL PIVOT surface: orders count and rounded revenue "
+    "pivoted by order priority per year -- Spark's FROM ... PIVOT "
+    "(agg FOR col IN (...)) clause (Catalyst rewrites it to the same "
+    "hash aggregate a manual conditional-agg would give; the clause "
+    "is the API-parity point). The DuckDB twin spells the identical "
+    "contingency with conditional aggregates -- pivot semantics, not "
+    "pivot syntax, is the contract. Priorities are a fixed 5-value "
+    "enum, so the pivoted row is bounded.",
+    oracle="""
+SELECT EXTRACT(year FROM o_orderdate)::INT AS yr,
+       COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END), 0)::BIGINT AS n_urgent,
+       COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END), 0)::BIGINT AS n_high,
+       COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END), 0)::BIGINT AS n_medium,
+       ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 4) AS rev_urgent,
+       ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice ELSE 0 END), 4) AS rev_high,
+       ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice ELSE 0 END), 4) AS rev_medium
+FROM orders
+GROUP BY 1 ORDER BY yr
+""",
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    orders.createOrReplaceTempView("orders_pivot_src")
+    return spark.sql(
+        """
+        SELECT yr,
+               COALESCE(`1-URGENT_n`, 0) AS n_urgent,
+               COALESCE(`2-HIGH_n`, 0) AS n_high,
+               COALESCE(`3-MEDIUM_n`, 0) AS n_medium,
+               ROUND(COALESCE(`1-URGENT_rev`, 0.0), 4) AS rev_urgent,
+               ROUND(COALESCE(`2-HIGH_rev`, 0.0), 4) AS rev_high,
+               ROUND(COALESCE(`3-MEDIUM_rev`, 0.0), 4) AS rev_medium
+        FROM (
+          SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority, o_totalprice
+          FROM orders_pivot_src
+        )
+        PIVOT (
+          count(*) AS n, SUM(o_totalprice) AS rev
+          FOR o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        )
+        ORDER BY yr
+        """
+    )

@@ -4192,3 +4192,86 @@ def stats_james_stein_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "stats_cronbach_alpha",
+    doc="Cronbach's alpha reliability of the user x event-type count "
+    "matrix (items = event types, cases = users, X[u,i] = how often "
+    "user u fired type i, zero-filled): alpha = k/(k-1) "
+    "(1 - SUM item_var / total_var) with ddof=1 variances. Missing "
+    "(user, type) cells contribute zero, so item moments are exact "
+    "integer sums over the SPARSE rollup (S_i, SS_i, N) -- no dense "
+    "fill materialized -- and var_i = (SS_i - S_i^2/N)/(N-1) is an "
+    "identical-integer-derived double on both engines; likewise the "
+    "row-total variance. The 5-item variance SUM reassociates across "
+    "partitions, so the three derived doubles are rounded at 6.",
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS c FROM events GROUP BY 1, 2
+),
+nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n FROM events),
+item AS (
+  SELECT event_type, SUM(c)::BIGINT AS s, SUM(c * c)::BIGINT AS ss FROM x GROUP BY 1
+),
+iv AS (
+  SELECT count(*)::BIGINT AS k,
+         SUM((ss - s * 1.0 * s / nu.n) / (nu.n - 1)) AS sum_item_var
+  FROM item, nu GROUP BY nu.n
+),
+rowt AS (SELECT user_id, SUM(c)::BIGINT AS t FROM x GROUP BY 1),
+tv AS (
+  SELECT (SUM(t * t) - SUM(t) * 1.0 * SUM(t) / nu.n) / (nu.n - 1) AS total_var
+  FROM rowt, nu GROUP BY nu.n
+)
+SELECT nu.n AS n_users, iv.k AS k_items,
+       ROUND(iv.sum_item_var, 6) AS sum_item_var, ROUND(tv.total_var, 6) AS total_var,
+       ROUND((iv.k * 1.0 / (iv.k - 1)) * (1.0 - iv.sum_item_var / tv.total_var), 6) AS alpha
+FROM nu, iv, tv
+""",
+)
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    x = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    nu = ev.agg(F.countDistinct("user_id").alias("n"))
+    item = x.groupBy("event_type").agg(
+        F.sum("c").alias("s"), F.sum(F.col("c") * F.col("c")).alias("ss")
+    )
+    iv = (
+        item.crossJoin(F.broadcast(nu))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(
+                (F.col("ss") - F.col("s") * 1.0 * F.col("s") / F.col("n")) / (F.col("n") - 1)
+            ).alias("sum_item_var"),
+        )
+        .drop("n")
+    )
+    rowt = x.groupBy("user_id").agg(F.sum("c").alias("t"))
+    tv = (
+        rowt.crossJoin(F.broadcast(nu))
+        .groupBy("n")
+        .agg(
+            (
+                (F.sum(F.col("t") * F.col("t")) - F.sum("t") * 1.0 * F.sum("t") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("total_var")
+        )
+        .drop("n")
+    )
+    return (
+        nu.crossJoin(F.broadcast(iv))
+        .crossJoin(F.broadcast(tv))
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("k").alias("k_items"),
+            F.round("sum_item_var", 6).alias("sum_item_var"),
+            F.round("total_var", 6).alias("total_var"),
+            F.round(
+                (F.col("k") * 1.0 / (F.col("k") - 1))
+                * (1.0 - F.col("sum_item_var") / F.col("total_var")),
+                6,
+            ).alias("alpha"),
+        )
+    )

@@ -190,8 +190,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    text_collocation_llr, text_good_turing_mass,
     #    stats_logrank_test, stats_james_stein_means,
     #    dq_xmr_control_chart, stats_poisson_dispersion,
-    #    embed_kmeans_one_step, ts_spectral_entropy.
-    #    (Registry: 476;
+    #    embed_kmeans_one_step, ts_spectral_entropy,
+    #    sql_pivot_clause, stats_cronbach_alpha.
+    #    (Registry: 478;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

@@ -649,3 +649,55 @@ def test_spectral_entropy_bounds_and_dominant(spark):
     ent = -sum((v / tot) * math.log(v / tot) for v in pows.values() if v > 0)
     assert abs(r.spectral_entropy - ent) < 1e-3
     assert r.dominant_period == min(sorted(pows, key=lambda p: (-pows[p], p))[:1])
+
+
+# ---------------------------------------------- pivot / cronbach
+
+
+def test_sql_pivot_matches_conditional_agg(spark):
+    from testlog_etl_spark.queries.sources_queries import sql_pivot_clause
+
+    rows = sql_pivot_clause(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    pdf["yr"] = pdf.o_orderdate.dt.year
+    for r in rows:
+        g = pdf[pdf.yr == r.yr]
+        for prio, ncol, rcol in [
+            ("1-URGENT", "n_urgent", "rev_urgent"),
+            ("2-HIGH", "n_high", "rev_high"),
+            ("3-MEDIUM", "n_medium", "rev_medium"),
+        ]:
+            sel = g[g.o_orderpriority == prio]
+            assert getattr(r, ncol) == len(sel)
+            assert abs(getattr(r, rcol) - sel.o_totalprice.sum()) < 1e-2
+    assert {r.yr for r in rows} == set(pdf.yr.unique())
+
+
+def _cronbach(matrix):
+    """matrix: list of per-case lists (cases x items)."""
+    import statistics
+
+    k = len(matrix[0])
+    items = list(zip(*matrix))
+    iv = sum(statistics.variance(col) for col in items)
+    tv = statistics.variance([sum(row) for row in matrix])
+    return k / (k - 1) * (1 - iv / tv)
+
+
+def test_cronbach_parallel_items_high_alpha():
+    # perfectly correlated items -> alpha == 1 exactly for k=2 identical cols
+    m = [[1, 1], [2, 2], [3, 3], [4, 4]]
+    assert abs(_cronbach(m) - 1.0) < 1e-12
+
+
+def test_cronbach_spark_matches_formula(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_cronbach_alpha
+
+    r = stats_cronbach_alpha(spark, SF_SMALL).collect()[0]
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    mat = ev.pivot_table(
+        index="user_id", columns="event_type", values="event_id", aggfunc="count", fill_value=0
+    )
+    assert r.n_users == len(mat) and r.k_items == mat.shape[1]
+    alpha = _cronbach(mat.values.tolist())
+    assert abs(r.alpha - alpha) < 1e-4
