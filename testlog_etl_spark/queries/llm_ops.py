@@ -6945,3 +6945,137 @@ def embed_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", F.col("dim").cast("int").alias("dim"), "n_assigned", "new_val")
         .orderBy("cid", "dim")
     )
+
+
+@register(
+    "eval_brier_decomposition",
+    doc="Murphy decomposition of the Brier score for the 2^-20-snapped "
+    "logistic quality score predicting lang = 'en': over the 10 "
+    "equal-width calibration bins, reliability "
+    "SUM n_k (sbar_k - ybar_k)^2 / N, resolution "
+    "SUM n_k (ybar_k - ybar)^2 / N, uncertainty ybar (1 - ybar), "
+    "plus the raw Brier SUM (s - y)^2 / N. Per-bin score sums are "
+    "exact dyadics (the calibration-op discipline) and ybar terms "
+    "are integer ratios; the raw Brier and the 10-term REL/RES sums "
+    "reassociate, so those three are rounded at 6. uncertainty is an "
+    "identical-integer-derived double, emitted unrounded. Check: "
+    "brier ~= rel - res + unc up to within-bin score variance.",
+    oracle=f"""
+WITH s AS (
+  SELECT floor((1.0 / (1.0 + exp(-({_quality_z_sql()})))) * 1048576 + 0.5) / 1048576 AS score,
+         (lang = 'en')::INT AS y
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+v AS (SELECT score, y, least(CAST(floor(score * 10) AS INT), 9) AS bin FROM s),
+tot AS (
+  SELECT count(*)::BIGINT AS n, SUM(y)::BIGINT AS tp,
+         SUM((score - y) * (score - y)) AS sqerr
+  FROM v
+),
+b AS (
+  SELECT bin, count(*)::BIGINT AS n_k, SUM(score) AS s_sum, SUM(y)::BIGINT AS y_sum
+  FROM v GROUP BY bin
+),
+d AS (
+  SELECT SUM(n_k * (s_sum / n_k - y_sum * 1.0 / n_k) * (s_sum / n_k - y_sum * 1.0 / n_k)) AS rel_n,
+         SUM(n_k * (y_sum * 1.0 / n_k - tot.tp * 1.0 / tot.n) * (y_sum * 1.0 / n_k - tot.tp * 1.0 / tot.n)) AS res_n
+  FROM b, tot GROUP BY tot.n, tot.tp
+)
+SELECT tot.n AS n_docs,
+       ROUND(tot.sqerr / tot.n, 6) AS brier,
+       ROUND(d.rel_n / tot.n, 6) AS reliability,
+       ROUND(d.res_n / tot.n, 6) AS resolution,
+       (tot.tp * 1.0 / tot.n) * (1.0 - tot.tp * 1.0 / tot.n) AS uncertainty
+FROM tot, d
+""",
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import filtering
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    g = F.lit(float(1 << 20))
+    score = F.floor(filtering.linear_quality_score(F.col("text")) * g + F.lit(0.5)) / g
+    v = docs.select(
+        score.alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ).withColumn("bin", F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)))
+    tot = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("tp"),
+        F.sum((F.col("score") - F.col("y")) * (F.col("score") - F.col("y"))).alias("sqerr"),
+    )
+    b = v.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("score").alias("s_sum"),
+        F.sum("y").alias("y_sum"),
+    )
+    sbar = F.col("s_sum") / F.col("n_k")
+    ybar_k = F.col("y_sum") * 1.0 / F.col("n_k")
+    ybar = F.col("tp") * 1.0 / F.col("n")
+    d = (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("n", "tp")
+        .agg(
+            F.sum(F.col("n_k") * (sbar - ybar_k) * (sbar - ybar_k)).alias("rel_n"),
+            F.sum(F.col("n_k") * (ybar_k - ybar) * (ybar_k - ybar)).alias("res_n"),
+        )
+        .drop("n", "tp")
+    )
+    return tot.crossJoin(F.broadcast(d)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("sqerr") / F.col("n"), 6).alias("brier"),
+        F.round(F.col("rel_n") / F.col("n"), 6).alias("reliability"),
+        F.round(F.col("res_n") / F.col("n"), 6).alias("resolution"),
+        (ybar * (1.0 - ybar)).alias("uncertainty"),
+    )
+
+
+@register(
+    "dedup_phonetic_blocking",
+    doc="phonetic blocking + edit-distance verify over part names -- "
+    "the classic two-stage fuzzy-dedup shape (block on a cheap "
+    "recall-oriented key, confirm with an O(len^2) metric INSIDE "
+    "blocks only): key = first char + vowel/space-stripped remainder "
+    "of lower(p_name) (RE2-safe -- no backreferences, so the same "
+    "regex runs on both engines), self-join within key on "
+    "p_partkey < p_partkey, keep pairs with levenshtein <= 4. At "
+    "100 TB the block key is the shuffle key and the quadratic "
+    "verify is bounded by the largest block, which the key design "
+    "controls -- the dedup_hamming_prefix rationale.",
+    oracle="""
+WITH k AS (
+  SELECT p_partkey, p_name,
+         substring(lower(trim(p_name)), 1, 1) ||
+           regexp_replace(substring(lower(trim(p_name)), 2), '[aeiouy ]', '', 'g') AS pkey
+  FROM part
+)
+SELECT a.pkey, a.p_partkey AS part1, b.p_partkey AS part2,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+FROM k a JOIN k b ON b.pkey = a.pkey AND b.p_partkey > a.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+ORDER BY a.pkey, part1, part2
+""",
+)
+def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    norm = F.lower(F.trim(F.col("p_name")))
+    k = part.select(
+        "p_partkey",
+        "p_name",
+        F.concat(
+            F.substring(norm, 1, 1),
+            F.regexp_replace(F.expr("substring(lower(trim(p_name)), 2)"), "[aeiouy ]", ""),
+        ).alias("pkey"),
+    )
+    a = k.select(F.col("pkey"), F.col("p_partkey").alias("part1"), F.col("p_name").alias("n1"))
+    b = k.select(F.col("pkey"), F.col("p_partkey").alias("part2"), F.col("p_name").alias("n2"))
+    return (
+        a.join(b, "pkey")
+        .filter(F.col("part2") > F.col("part1"))
+        .withColumn("lev", F.levenshtein("n1", "n2"))
+        .filter(F.col("lev") <= 4)
+        .select("pkey", "part1", "part2", F.col("lev").cast("int").alias("lev"))
+        .orderBy("pkey", "part1", "part2")
+    )

@@ -191,8 +191,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_logrank_test, stats_james_stein_means,
     #    dq_xmr_control_chart, stats_poisson_dispersion,
     #    embed_kmeans_one_step, ts_spectral_entropy,
-    #    sql_pivot_clause, stats_cronbach_alpha.
-    #    (Registry: 478;
+    #    sql_pivot_clause, stats_cronbach_alpha,
+    #    eval_brier_decomposition, dedup_phonetic_blocking.
+    #    (Registry: 480;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

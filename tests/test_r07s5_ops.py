@@ -701,3 +701,62 @@ def test_cronbach_spark_matches_formula(spark):
     assert r.n_users == len(mat) and r.k_items == mat.shape[1]
     alpha = _cronbach(mat.values.tolist())
     assert abs(r.alpha - alpha) < 1e-4
+
+
+# ------------------------------------- Brier / phonetic blocking
+
+
+def test_brier_decomposition_identity(spark):
+    from testlog_etl_spark.queries.llm_ops import eval_brier_decomposition
+
+    r = eval_brier_decomposition(spark, SF_SMALL).collect()[0]
+    # Murphy: brier = rel - res + unc + within-bin score variance term;
+    # the residual is the mean within-bin variance of s, always >= 0
+    residual = r.brier - (r.reliability - r.resolution + r.uncertainty)
+    assert residual >= -1e-6
+    assert 0 <= r.brier <= 1 and 0 <= r.uncertainty <= 0.25
+    assert r.reliability >= 0 and r.resolution >= 0
+
+
+def test_phonetic_key_blocks_and_verifies(spark):
+    from testlog_etl_spark.queries.llm_ops import dedup_phonetic_blocking
+
+    rows = dedup_phonetic_blocking(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    import re
+
+    def key(name):
+        n = name.strip().lower()
+        return n[:1] + re.sub(r"[aeiouy ]", "", n[1:])
+
+    names = dict(zip(pdf.p_partkey, pdf.p_name))
+    keys = {pk: key(nm) for pk, nm in names.items()}
+    for r in rows:
+        assert r.part1 < r.part2
+        assert keys[r.part1] == keys[r.part2] == r.pkey
+        assert r.lev <= 4
+    # completeness: recompute expected pair set within blocks
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for pk, kk in keys.items():
+        blocks[kk].append(pk)
+    want = set()
+    for kk, pks in blocks.items():
+        pks.sort()
+        for i in range(len(pks)):
+            for j in range(i + 1, len(pks)):
+                if lev(names[pks[i]], names[pks[j]]) <= 4:
+                    want.add((pks[i], pks[j]))
+    assert {(r.part1, r.part2) for r in rows} == want
