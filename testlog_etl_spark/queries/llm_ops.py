@@ -6921,23 +6921,35 @@ ORDER BY ex.cid, dim
 """,
 )
 def embed_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
     c = v.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, e: acc + e,
+    # the 8 centroids ride as ONE broadcast array row, so assignment is
+    # row-local: d2 per centroid via the sequential zip_with fold, argmin
+    # via array_sort on (d2, cid) structs -- no per-vector pair shuffle
+    # (the first cut windowed over an n x 8 exchange that dragged the
+    # 64-double vectors at 174 B/rec; this plan's only exchange is the
+    # narrow (cid, dim, val) rollup)
+    carr = c.agg(F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("cs"))
+
+    def d2(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("vec"), cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+
+    assigned = v.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "vec",
+        F.array_sort(
+            F.transform(F.col("cs"), lambda s: F.struct(d2(s["cvec"]).alias("d2"), s["cid"].alias("cid")))
+        )[0]["cid"].alias("cid"),
     )
-    d = v.crossJoin(F.broadcast(c)).select("vec_id", "vec", "cid", d2.alias("d2"))
-    rn = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "cid"))
-    asg = d.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "cid", "vec")
-    cnt = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
-    ex = asg.select("cid", F.posexplode("vec").alias("dim", "val"))
+    cnt = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    ex = assigned.select("cid", F.posexplode("vec").alias("dim", "val"))
     return (
         ex.join(F.broadcast(cnt), "cid")
         .groupBy("cid", "dim", "n_assigned")
