@@ -3263,3 +3263,171 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ent", R).alias("spectral_entropy"),
         F.round(F.col("ent") / F.log(F.lit(13.0)), R).alias("normalized_entropy"),
     )
+
+
+@register(
+    "ts_croston_intermittent",
+    doc="Croston's method for intermittent demand, alpha = 0.5: demand "
+    "days for one slow-moving part brand (Brand#13 returns-flagged "
+    "lineitems) form an occurrence sequence; the size estimate z and "
+    "the inter-arrival estimate p are EWMAs over the LAST 16 "
+    "occurrences with exact 2^-j weights (the ts_ewma_hourly "
+    "discipline -- libm-pow-free), and the demand-rate forecast is "
+    "z/p. Quantities are exact integers and the dyadic weights make "
+    "both weighted sums engine-exact before the one final division; "
+    "outputs rounded at 4. The occurrence grain is calendar-bounded.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(l.l_shipdate AS DATE) AS day,
+         CAST(SUM(l.l_quantity) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#13' AND l.l_returnflag = 'R'
+  GROUP BY 1
+),
+seq AS (
+  SELECT day, q, ROW_NUMBER() OVER (ORDER BY day) AS i,
+         date_diff('day', LAG(day) OVER (ORDER BY day), day) AS gap
+  FROM d
+),
+tail16 AS (
+  SELECT * FROM seq
+  WHERE i > (SELECT MAX(i) FROM seq) - 16 AND gap IS NOT NULL
+),
+w AS (
+  SELECT q, gap, pow(2.0, -((SELECT MAX(i) FROM tail16) - i)) AS wt FROM tail16
+),
+est AS (
+  SELECT SUM(q * wt) / SUM(wt) AS z, SUM(gap * wt) / SUM(wt) AS p,
+         count(*)::BIGINT AS n_occ
+  FROM w
+)
+SELECT n_occ, ROUND(z, 4) AS size_est, ROUND(p, 4) AS interval_est,
+       ROUND(z / p, 4) AS demand_rate
+FROM est
+""",
+)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li, part = t["lineitem"], t["part"]
+    d = (
+        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#13")), li["l_partkey"] == part["p_partkey"])
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(F.sum("l_quantity").cast("long").alias("q"))
+    )
+    seq = d.select(
+        "day",
+        "q",
+        F.row_number().over(W.orderBy("day")).alias("i"),
+        F.datediff(F.col("day"), F.lag("day").over(W.orderBy("day"))).alias("gap"),
+    )
+    mx = seq.agg(F.max("i").alias("mi"))
+    tail16 = (
+        seq.crossJoin(F.broadcast(mx))
+        .filter((F.col("i") > F.col("mi") - 16) & F.col("gap").isNotNull())
+    )
+    mt = tail16.agg(F.max("i").alias("mt"))
+    w = tail16.crossJoin(F.broadcast(mt)).withColumn(
+        "wt", F.pow(F.lit(2.0), -(F.col("mt") - F.col("i")))
+    )
+    est = w.agg(
+        (F.sum(F.col("q") * F.col("wt")) / F.sum("wt")).alias("z"),
+        (F.sum(F.col("gap") * F.col("wt")) / F.sum("wt")).alias("p"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    return est.select(
+        F.col("n_occ").cast("long").alias("n_occ"),
+        F.round("z", R).alias("size_est"),
+        F.round("p", R).alias("interval_est"),
+        F.round(F.col("z") / F.col("p"), R).alias("demand_rate"),
+    )
+
+
+@register(
+    "ts_sample_entropy",
+    doc="sample entropy (m = 2, r = half the MAD-scaled spread) of the "
+    "daily revenue series in integer kilodollars: B = pairs of "
+    "2-long templates within Chebyshev distance r, A = same for "
+    "3-long, SampEn = -ln(A/B). Template matching is a band "
+    "SELF-JOIN on the calendar-bounded day-index rollup (i < j), so "
+    "the pair volume is bounded by the calendar span squared, never "
+    "by raw rows; the integer series plus an integer threshold make "
+    "match predicates exact, A/B an integer ratio, and only the final "
+    "ln is rounded.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(SUM(o_totalprice) / 1000.0, 0) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+s AS (SELECT v, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+t AS (
+  SELECT a.i, a.v AS v0, b.v AS v1, c.v AS v2
+  FROM s a JOIN s b ON b.i = a.i + 1 JOIN s c ON c.i = a.i + 2
+),
+r AS (
+  SELECT CAST(ROUND(0.2 * (MAX(v) - MIN(v)) / 4.0, 0) AS BIGINT) AS thr FROM s
+),
+pairs AS (
+  SELECT (ABS(x.v0 - y.v0) <= r.thr AND ABS(x.v1 - y.v1) <= r.thr) AS m2,
+         (ABS(x.v0 - y.v0) <= r.thr AND ABS(x.v1 - y.v1) <= r.thr
+          AND ABS(x.v2 - y.v2) <= r.thr) AS m3
+  FROM t x JOIN t y ON y.i > x.i CROSS JOIN r
+),
+agg AS (
+  SELECT SUM(CASE WHEN m2 THEN 1 ELSE 0 END)::BIGINT AS b,
+         SUM(CASE WHEN m3 THEN 1 ELSE 0 END)::BIGINT AS a
+  FROM pairs
+)
+SELECT a, b, (SELECT thr FROM r) AS threshold,
+       ROUND(-ln(a * 1.0 / b), 4) AS sampen
+FROM agg
+""",
+)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") / 1000.0, 0).cast("long").alias("v")
+    )
+    s = d.select("v", F.row_number().over(W.orderBy("day")).alias("i"))
+    b1 = s.select(F.col("i").alias("i1"), F.col("v").alias("v1"))
+    b2 = s.select(F.col("i").alias("i2"), F.col("v").alias("v2"))
+    t = (
+        s.join(b1, F.col("i1") == F.col("i") + 1)
+        .join(b2, F.col("i2") == F.col("i") + 2)
+        .select("i", F.col("v").alias("v0"), "v1", "v2")
+    )
+    r = s.agg(
+        F.round(0.2 * (F.max("v") - F.min("v")) / 4.0, 0).cast("long").alias("thr")
+    )
+    x = t.select(F.col("i").alias("xi"), F.col("v0").alias("x0"), F.col("v1").alias("x1"), F.col("v2").alias("x2"))
+    y = t.select(F.col("i").alias("yi"), F.col("v0").alias("y0"), F.col("v1").alias("y1"), F.col("v2").alias("y2"))
+    pairs = (
+        x.join(y, F.col("yi") > F.col("xi"))
+        .crossJoin(F.broadcast(r))
+        .select(
+            (
+                (F.abs(F.col("x0") - F.col("y0")) <= F.col("thr"))
+                & (F.abs(F.col("x1") - F.col("y1")) <= F.col("thr"))
+            ).alias("m2"),
+            (
+                (F.abs(F.col("x0") - F.col("y0")) <= F.col("thr"))
+                & (F.abs(F.col("x1") - F.col("y1")) <= F.col("thr"))
+                & (F.abs(F.col("x2") - F.col("y2")) <= F.col("thr"))
+            ).alias("m3"),
+        )
+    )
+    agg = pairs.agg(
+        F.sum(F.when(F.col("m2"), 1).otherwise(0)).alias("b"),
+        F.sum(F.when(F.col("m3"), 1).otherwise(0)).alias("a"),
+    )
+    return agg.crossJoin(F.broadcast(r)).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("thr").alias("threshold"),
+        F.round(-F.log(F.col("a") * 1.0 / F.col("b")), R).alias("sampen"),
+    )

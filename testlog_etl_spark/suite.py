@@ -192,8 +192,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    dq_xmr_control_chart, stats_poisson_dispersion,
     #    embed_kmeans_one_step, ts_spectral_entropy,
     #    sql_pivot_clause, stats_cronbach_alpha,
-    #    eval_brier_decomposition, dedup_phonetic_blocking.
-    #    (Registry: 480;
+    #    eval_brier_decomposition, dedup_phonetic_blocking,
+    #    ts_croston_intermittent, ts_sample_entropy.
+    #    (Registry: 482;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

@@ -760,3 +760,52 @@ def test_phonetic_key_blocks_and_verifies(spark):
                 if lev(names[pks[i]], names[pks[j]]) <= 4:
                     want.add((pks[i], pks[j]))
     assert {(r.part1, r.part2) for r in rows} == want
+
+
+# ---------------------------------------- Croston / sample entropy
+
+
+def test_croston_spark_matches_formula(spark):
+    from testlog_etl_spark.queries.windows_queries import ts_croston_intermittent
+
+    r = ts_croston_intermittent(spark, SF_SMALL).collect()[0]
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    keys = set(part[part.p_brand == "Brand#13"].p_partkey)
+    sel = li[(li.l_partkey.isin(keys)) & (li.l_returnflag == "R")]
+    d = sel.assign(day=sel.l_shipdate.dt.date).groupby("day").l_quantity.sum()
+    d = d.round().astype(int).sort_index()
+    days = list(d.index)
+    occ = [(days[k], int(d.iloc[k]), (days[k] - days[k - 1]).days) for k in range(1, len(days))]
+    tail = occ[-16:] if len(occ) > 16 else occ
+    wts = [2.0 ** -(len(tail) - 1 - j) for j in range(len(tail))]
+    z = sum(q * w for (_, q, _), w in zip(tail, wts)) / sum(wts)
+    p = sum(g * w for (_, _, g), w in zip(tail, wts)) / sum(wts)
+    assert r.n_occ == len(tail)
+    assert abs(r.size_est - z) < 1e-3
+    assert abs(r.interval_est - p) < 1e-3
+    assert abs(r.demand_rate - z / p) < 1e-3
+
+
+def test_sample_entropy_spark_matches_numpy(spark):
+    import numpy as np
+    from testlog_etl_spark.queries.windows_queries import ts_sample_entropy
+
+    r = ts_sample_entropy(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    vs, _ = _daily_kdollars(pdf)
+    v = np.array(vs)
+    thr = int(round(0.2 * (v.max() - v.min()) / 4.0))
+    T = np.stack([v[:-2], v[1:-1], v[2:]], axis=1)
+    n = len(T)
+    b = a = 0
+    for i in range(n):
+        d = np.abs(T[i + 1 :] - T[i]).max(axis=1) if False else None
+        diff = np.abs(T[i + 1 :] - T[i])
+        m2 = (diff[:, 0] <= thr) & (diff[:, 1] <= thr)
+        b += int(m2.sum())
+        a += int((m2 & (diff[:, 2] <= thr)).sum())
+    assert r.threshold == thr
+    assert (r.a, r.b) == (a, b)
+    assert abs(r.sampen - (-math.log(a / b))) < 1e-3
+    assert r.sampen >= 0

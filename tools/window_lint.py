@@ -122,6 +122,16 @@ WHITELIST: dict[str, str] = {
         "per-DAY revenue rollup -- calendar-bounded day grid (the "
         "runs-test rationale)"
     ),
+    "ts_croston_intermittent": (
+        "occurrence-index/lag windows run over the demand-DAY rollup "
+        "of one brand -- calendar-bounded day grid (the runs-test "
+        "rationale)"
+    ),
+    "ts_sample_entropy": (
+        "day-index row_number runs over the per-DAY revenue rollup -- "
+        "calendar-bounded day grid; the template self-join is bounded "
+        "by the calendar span squared"
+    ),
     "ts_spectral_entropy": (
         "day-index row_number runs over the per-DAY revenue rollup -- "
         "calendar-bounded frame (the periodogram rationale)"
