@@ -168,3 +168,65 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+SCENE_CUT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_cuts", LongType()),
+        StructField("first_cut_idx", LongType()),
+    ]
+)
+
+
+def detect_scene_cuts(
+    media: DataFrame, every_ms: int = 250, threshold: int = 32
+) -> DataFrame:
+    """Shot-boundary plumbing over mapInPandas: per sampled frame a
+    scalar signature stands in for the decoded-frame histogram (the
+    codec itself is the stubbed step, like resize_images); a cut is a
+    frame whose signature jumps more than `threshold` from the previous
+    frame. The DETERMINISTIC FAKE signature is the payload byte at
+    offset (idx * 97) mod n_bytes -- integer-exact, so the whole
+    cascade is oracle-checkable while the Arrow batch shape, schema,
+    and per-media sequential scan mirror a real detector. A real
+    implementation replaces `_sig` with decode -> per-frame histogram
+    on the same (bytes, idx) -> float contract."""
+    from testlog_etl_spark.util import spread
+
+    media = spread(media)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def _sig(payload: bytes, idx: int) -> int:
+            return payload[(idx * 97) % len(payload)]
+
+        out = {k: [] for k in ("media_id", "n_frames", "n_cuts", "first_cut_idx")}
+        for pdf in batches:
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                payload = payload or b""
+                if len(payload) == 0 or dur is None or dur <= 0:
+                    continue
+                n_frames = int(dur - 1) // every_ms + 1
+                prev = None
+                n_cuts = 0
+                first = None
+                for i in range(n_frames):
+                    s = _sig(payload, i)
+                    if prev is not None and abs(s - prev) > threshold:
+                        n_cuts += 1
+                        if first is None:
+                            first = i
+                    prev = s
+                out["media_id"].append(mid)
+                out["n_frames"].append(n_frames)
+                out["n_cuts"].append(n_cuts)
+                out["first_cut_idx"].append(first)
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    return media.mapInPandas(run, SCENE_CUT_SCHEMA)

@@ -7091,3 +7091,62 @@ def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pkey", "part1", "part2", F.col("lev").cast("int").alias("lev"))
         .orderBy("pkey", "part1", "part2")
     )
+
+
+@register(
+    "multimodal_scene_cuts",
+    doc="shot-boundary detection plumbing with a full oracle "
+    "(operators/multimodal.py::detect_scene_cuts): documents adapted "
+    "as fake videos (duration_ms = n_chars * 10, payload = ASCII "
+    "bytes), frames sampled every 250 ms, per-frame signature = the "
+    "payload byte at offset (idx * 97) mod n_bytes, cut when the "
+    "signature jumps > 32 -- integer-exact end to end, so DuckDB "
+    "replays the identical cascade with range/unnest + lag while the "
+    "Spark side exercises the REAL detector shape (Arrow-batched "
+    "mapInPandas, per-media sequential frame scan, no shuffle before "
+    "the final readout).",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id, text, n_chars, n_chars * 10 AS dur
+  FROM documents WHERE n_chars > 0 AND text IS NOT NULL
+),
+f AS (
+  SELECT media_id, n_chars, text,
+         unnest(range(0, (dur - 1) // 250 + 1)) AS idx
+  FROM m
+),
+s AS (
+  SELECT media_id, idx,
+         ord(substring(text, ((idx * 97) % n_chars)::INT + 1, 1)) AS sig
+  FROM f
+),
+c AS (
+  SELECT media_id, idx, sig,
+         LAG(sig) OVER (PARTITION BY media_id ORDER BY idx) AS prev
+  FROM s
+),
+agg AS (
+  SELECT media_id, count(*)::BIGINT AS n_frames,
+         SUM(CASE WHEN prev IS NOT NULL AND ABS(sig - prev) > 32 THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+         MIN(CASE WHEN prev IS NOT NULL AND ABS(sig - prev) > 32 THEN idx END) AS first_cut_idx
+  FROM c GROUP BY media_id
+)
+SELECT media_id, n_frames, n_cuts, CAST(first_cut_idx AS BIGINT) AS first_cut_idx
+FROM agg ORDER BY media_id LIMIT 500
+""",
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        (F.col("n_chars") > 0) & F.col("text").isNotNull()
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/fake").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+    )
+    cuts = multimodal.detect_scene_cuts(media, every_ms=250, threshold=32)
+    return cuts.orderBy("media_id").limit(500)

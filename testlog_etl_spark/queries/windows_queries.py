@@ -3431,3 +3431,70 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("thr").alias("threshold"),
         F.round(-F.log(F.col("a") * 1.0 / F.col("b")), R).alias("sampen"),
     )
+
+
+@register(
+    "stats_theil_u2_forecast",
+    doc="Theil's U2 for the seasonal-naive forecaster (f_t = y_{t-7}) "
+    "against the no-change benchmark (y_{t-1}) on the integer-"
+    "kilodollar daily revenue series: "
+    "U2 = sqrt(SUM ((f_t - y_t)/y_{t-1})^2 / SUM ((y_t - y_{t-1})/"
+    "y_{t-1})^2). U2 < 1 means weekly seasonality beats persistence. "
+    "Integer lags, double ratios; the two sums reassociate so U2 and "
+    "its components are rounded at 4. Windows run on the calendar-"
+    "bounded day rollup.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(SUM(o_totalprice) / 1000.0, 0) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT day, v,
+         LAG(v, 1) OVER (ORDER BY day) AS y1,
+         LAG(v, 7) OVER (ORDER BY day) AS y7
+  FROM d
+),
+t AS (
+  SELECT ((y7 - v) * 1.0 / y1) AS fe, ((v - y1) * 1.0 / y1) AS ne
+  FROM l WHERE y7 IS NOT NULL AND y1 IS NOT NULL AND y1 <> 0
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n, SUM(fe * fe) AS sf, SUM(ne * ne) AS sn FROM t
+)
+SELECT n, ROUND(sqrt(sf / n), 4) AS rmse_rel_forecast,
+       ROUND(sqrt(sn / n), 4) AS rmse_rel_naive,
+       ROUND(sqrt(sf / sn), 4) AS theil_u2
+FROM agg
+""",
+)
+def stats_theil_u2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") / 1000.0, 0).cast("long").alias("v")
+    )
+    seq = W.orderBy("day")
+    l = d.select(
+        "v",
+        F.lag("v", 1).over(seq).alias("y1"),
+        F.lag("v", 7).over(seq).alias("y7"),
+    )
+    t = l.filter(
+        F.col("y7").isNotNull() & F.col("y1").isNotNull() & (F.col("y1") != 0)
+    ).select(
+        ((F.col("y7") - F.col("v")) * 1.0 / F.col("y1")).alias("fe"),
+        ((F.col("v") - F.col("y1")) * 1.0 / F.col("y1")).alias("ne"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("fe") * F.col("fe")).alias("sf"),
+        F.sum(F.col("ne") * F.col("ne")).alias("sn"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.sqrt(F.col("sf") / F.col("n")), R).alias("rmse_rel_forecast"),
+        F.round(F.sqrt(F.col("sn") / F.col("n")), R).alias("rmse_rel_naive"),
+        F.round(F.sqrt(F.col("sf") / F.col("sn")), R).alias("theil_u2"),
+    )

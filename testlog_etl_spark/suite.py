@@ -193,8 +193,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    embed_kmeans_one_step, ts_spectral_entropy,
     #    sql_pivot_clause, stats_cronbach_alpha,
     #    eval_brier_decomposition, dedup_phonetic_blocking,
-    #    ts_croston_intermittent, ts_sample_entropy.
-    #    (Registry: 482;
+    #    ts_croston_intermittent, ts_sample_entropy,
+    #    multimodal_scene_cuts, stats_theil_u2_forecast.
+    #    (Registry: 484;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

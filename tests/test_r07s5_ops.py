@@ -809,3 +809,47 @@ def test_sample_entropy_spark_matches_numpy(spark):
     assert (r.a, r.b) == (a, b)
     assert abs(r.sampen - (-math.log(a / b))) < 1e-3
     assert r.sampen >= 0
+
+
+# ------------------------------------- scene cuts / Theil U2
+
+
+def test_scene_cuts_spark_matches_python(spark):
+    from testlog_etl_spark.queries.llm_ops import multimodal_scene_cuts
+
+    rows = multimodal_scene_cuts(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    pdf = pdf[(pdf.n_chars > 0) & pdf.text.notna()].sort_values("doc_id").head(500)
+    got = {r.media_id: r for r in rows}
+    for _, doc in pdf.iterrows():
+        payload = doc.text.encode("utf-8")
+        dur = doc.n_chars * 10
+        n_frames = (dur - 1) // 250 + 1
+        prev, n_cuts, first = None, 0, None
+        for i in range(n_frames):
+            s = payload[(i * 97) % len(payload)]
+            if prev is not None and abs(s - prev) > 32:
+                n_cuts += 1
+                if first is None:
+                    first = i
+            prev = s
+        r = got[doc.doc_id]
+        assert (r.n_frames, r.n_cuts, r.first_cut_idx) == (n_frames, n_cuts, first)
+
+
+def test_theil_u2_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.windows_queries import stats_theil_u2_forecast
+
+    r = stats_theil_u2_forecast(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    vs, _ = _daily_kdollars(pdf)
+    fe, ne = [], []
+    for t in range(7, len(vs)):
+        if vs[t - 1] == 0:
+            continue
+        fe.append((vs[t - 7] - vs[t]) / vs[t - 1])
+        ne.append((vs[t] - vs[t - 1]) / vs[t - 1])
+    sf, sn = sum(x * x for x in fe), sum(x * x for x in ne)
+    assert r.n == len(fe)
+    assert abs(r.theil_u2 - math.sqrt(sf / sn)) < 1e-3
+    assert abs(r.rmse_rel_forecast - math.sqrt(sf / len(fe))) < 1e-3
