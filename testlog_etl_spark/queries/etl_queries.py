@@ -4750,3 +4750,69 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_nodes") >= 2)
         .orderBy("k")
     )
+
+
+@register(
+    "graph_katz_bounded",
+    doc="Katz centrality truncated at 4 hops on the doc-tree + "
+    "skip-link graph, alpha = 1/8: c_i = SUM_k alpha^k w_k(i) where "
+    "w_k = A w_{k-1} counts length-k walks ending at i (A symmetric "
+    "here). Walk counts are exact integers and the dyadic alpha^k "
+    "weights are exact doubles, so c is engine-identical before one "
+    "presentation rounding. Fixed rounds -> the DuckDB oracle IS the "
+    "computation (chained CTEs, the kcore pattern); per round one "
+    "node-keyed join + aggregate, frontier volume bounded by "
+    "E * maxdeg^k with maxdeg 5.",
+    oracle=f"""
+WITH {_DOC_GRAPH_SQL},
+w0 AS (SELECT node, 1::BIGINT AS w FROM deg),
+w1 AS (
+  SELECT und.dst AS node, SUM(w0.w)::BIGINT AS w
+  FROM und JOIN w0 ON w0.node = und.src GROUP BY und.dst
+),
+w2 AS (
+  SELECT und.dst AS node, SUM(w1.w)::BIGINT AS w
+  FROM und JOIN w1 ON w1.node = und.src GROUP BY und.dst
+),
+w3 AS (
+  SELECT und.dst AS node, SUM(w2.w)::BIGINT AS w
+  FROM und JOIN w2 ON w2.node = und.src GROUP BY und.dst
+),
+w4 AS (
+  SELECT und.dst AS node, SUM(w3.w)::BIGINT AS w
+  FROM und JOIN w3 ON w3.node = und.src GROUP BY und.dst
+)
+SELECT deg.node,
+       COALESCE(w1.w, 0) * 0.125::DOUBLE
+     + COALESCE(w2.w, 0) * 0.015625::DOUBLE
+     + COALESCE(w3.w, 0) * 0.001953125::DOUBLE
+     + COALESCE(w4.w, 0) * 0.000244140625::DOUBLE AS katz
+FROM deg
+LEFT JOIN w1 ON w1.node = deg.node
+LEFT JOIN w2 ON w2.node = deg.node
+LEFT JOIN w3 ON w3.node = deg.node
+LEFT JOIN w4 ON w4.node = deg.node
+ORDER BY deg.node
+""",
+)
+def graph_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, deg = _doc_graph(spark, sf_dir)
+    w = deg.select("node", F.lit(1).cast("long").alias("w"))
+    rounds = []
+    for _ in range(4):
+        w = (
+            und.join(w, und["src"] == w["node"])
+            .groupBy(und["dst"].alias("node"))
+            .agg(F.sum("w").alias("w"))
+        )
+        rounds.append(w)
+    out = deg.select("node")
+    alphas = [0.125, 0.015625, 0.001953125, 0.000244140625]
+    for i, (wk, a) in enumerate(zip(rounds, alphas)):
+        out = out.join(
+            wk.select(F.col("node"), F.col("w").alias(f"w{i}")), "node", "left"
+        )
+    katz = sum(
+        F.coalesce(F.col(f"w{i}"), F.lit(0)) * F.lit(a) for i, a in enumerate(alphas)
+    )
+    return out.select("node", katz.alias("katz")).orderBy("node")

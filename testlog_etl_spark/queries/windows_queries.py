@@ -3498,3 +3498,81 @@ def stats_theil_u2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("sn") / F.col("n")), R).alias("rmse_rel_naive"),
         F.round(F.sqrt(F.col("sf") / F.col("sn")), R).alias("theil_u2"),
     )
+
+
+@register(
+    "stats_page_hinkley",
+    doc="Page-Hinkley drift detector on the integer-kilodollar daily "
+    "revenue series: U_t = cumulative (v_i - mean), excursion "
+    "PH_t = U_t - min_{s<=t} U_s, alarm when PH_t > lambda = 3 sigma "
+    "(population sigma of the day series). The cumsum and running "
+    "min run sequentially over the calendar-bounded day rollup on "
+    "both engines, so U_t is an identical double; sigma's centered "
+    "square sum reassociates, hence the rounded outputs. Summary row "
+    "(not per-day) so an alarm-free series still produces one "
+    "comparable row.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(SUM(o_totalprice) / 1000.0, 0) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+m AS (SELECT AVG(v * 1.0) AS mu, count(*)::BIGINT AS n FROM d),
+sig AS (SELECT sqrt(SUM((d.v - m.mu) * (d.v - m.mu)) / m.n) AS sigma FROM d, m GROUP BY m.n),
+u AS (
+  SELECT day,
+         SUM(v - m.mu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS ut
+  FROM d, m
+),
+ph AS (
+  SELECT day, ut - MIN(ut) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS exc
+  FROM u
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_days, MAX(exc) AS max_exc,
+         SUM(CASE WHEN exc > 3 * sig.sigma THEN 1 ELSE 0 END)::BIGINT AS n_alarms,
+         MIN(CASE WHEN exc > 3 * sig.sigma THEN day END) AS first_alarm_day
+  FROM ph, sig GROUP BY sig.sigma
+)
+SELECT agg.n_days, ROUND(agg.max_exc, 4) AS max_excursion,
+       ROUND(3 * sig.sigma, 4) AS lambda_threshold,
+       agg.n_alarms, agg.first_alarm_day
+FROM agg, sig
+""",
+)
+def stats_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") / 1000.0, 0).cast("long").alias("v")
+    )
+    m = d.agg(F.avg(F.col("v") * 1.0).alias("mu"), F.count(F.lit(1)).alias("n"))
+    sig = (
+        d.crossJoin(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            F.sqrt(F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))) / F.col("n")).alias(
+                "sigma"
+            )
+        )
+        .drop("n")
+    )
+    seq = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    u = d.crossJoin(F.broadcast(m)).select(
+        "day", F.sum(F.col("v") - F.col("mu")).over(seq).alias("ut")
+    )
+    ph = u.select("day", (F.col("ut") - F.min("ut").over(seq)).alias("exc"))
+    agg = ph.crossJoin(F.broadcast(sig)).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("exc").alias("max_exc"),
+        F.sum(F.when(F.col("exc") > 3 * F.col("sigma"), 1).otherwise(0)).alias("n_alarms"),
+        F.min(F.when(F.col("exc") > 3 * F.col("sigma"), F.col("day"))).alias("first_alarm_day"),
+    )
+    return agg.crossJoin(F.broadcast(sig)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round("max_exc", 4).alias("max_excursion"),
+        F.round(3 * F.col("sigma"), 4).alias("lambda_threshold"),
+        F.col("n_alarms").cast("long").alias("n_alarms"),
+        "first_alarm_day",
+    )

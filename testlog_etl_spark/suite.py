@@ -194,8 +194,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    sql_pivot_clause, stats_cronbach_alpha,
     #    eval_brier_decomposition, dedup_phonetic_blocking,
     #    ts_croston_intermittent, ts_sample_entropy,
-    #    multimodal_scene_cuts, stats_theil_u2_forecast.
-    #    (Registry: 484;
+    #    multimodal_scene_cuts, stats_theil_u2_forecast,
+    #    stats_page_hinkley, graph_katz_bounded.
+    #    (Registry: 486;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

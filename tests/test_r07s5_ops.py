@@ -853,3 +853,89 @@ def test_theil_u2_spark_matches_pandas(spark):
     assert r.n == len(fe)
     assert abs(r.theil_u2 - math.sqrt(sf / sn)) < 1e-3
     assert abs(r.rmse_rel_forecast - math.sqrt(sf / len(fe))) < 1e-3
+
+
+# ------------------------------------- Page-Hinkley / Katz
+
+
+def test_page_hinkley_spark_matches_python(spark):
+    from testlog_etl_spark.queries.windows_queries import stats_page_hinkley
+
+    r = stats_page_hinkley(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    vs, days = _daily_kdollars(pdf)
+    mu = sum(vs) / len(vs)
+    sigma = math.sqrt(sum((v - mu) ** 2 for v in vs) / len(vs))
+    ut = mn = 0.0
+    max_exc, n_alarms, first = 0.0, 0, None
+    run = 0.0
+    mins = float("inf")
+    for day, v in zip(days, vs):
+        run += v - mu
+        mins = min(mins, run)
+        exc = run - mins
+        max_exc = max(max_exc, exc)
+        if exc > 3 * sigma:
+            n_alarms += 1
+            if first is None:
+                first = day
+    assert r.n_days == len(vs)
+    assert abs(r.max_excursion - max_exc) < 1e-3
+    assert abs(r.lambda_threshold - 3 * sigma) < 1e-3
+    assert r.n_alarms == n_alarms and r.first_alarm_day == first
+
+
+def test_katz_closed_form_path3():
+    # path graph 1-2-3, alpha=1/8: walks from ends vs middle
+    # w1 = degrees [1,2,1]; w2 = A*w1 = [2,2,2]; w3 = A*w2 = [2,4,2];
+    # w4 = [4,4,4]
+    import numpy as np
+
+    A = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]])
+    one = np.ones(3)
+    w, acc = one, np.zeros(3)
+    for k in range(1, 5):
+        w = A @ w
+        acc = acc + (0.125 ** k) * w
+    assert abs(acc[1] - (2 * 0.125 + 2 * 0.125 ** 2 + 4 * 0.125 ** 3 + 4 * 0.125 ** 4)) < 1e-15
+
+
+def test_katz_spark_matches_numpy(spark):
+    import numpy as np
+    from testlog_etl_spark.queries.etl_queries import graph_katz_bounded
+
+    rows = graph_katz_bounded(spark, SF_SMALL).collect()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    ids = sorted(docs.doc_id)
+    mx = max(ids)
+    # build edge set exactly as the query does
+    edges = set()
+    for n in ids:
+        if n >= 1 and 2 * n <= mx:
+            edges.add((n, 2 * n))
+        if n >= 1 and 2 * n + 1 <= mx:
+            edges.add((n, 2 * n + 1))
+        if n + 37 <= mx:
+            edges.add((n, n + 37))
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+    nodes = sorted(nbrs)
+    w = {n: 1 for n in nodes}
+    acc = {n: 0.0 for n in nodes}
+    for k in range(1, 5):
+        nw = {n: 0 for n in nodes}
+        for a in nodes:
+            for b in nbrs[a]:
+                nw[b] += w[a]
+        w = nw
+        for n in nodes:
+            acc[n] += (0.125 ** k) * w[n]
+    got = {r.node: r.katz for r in rows}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - acc[n]) < 1e-9

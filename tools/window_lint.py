@@ -122,6 +122,10 @@ WHITELIST: dict[str, str] = {
         "per-DAY revenue rollup -- calendar-bounded day grid (the "
         "runs-test rationale)"
     ),
+    "stats_page_hinkley": (
+        "cumsum + running-min windows run over the per-DAY revenue "
+        "rollup -- calendar-bounded day grid (the runs-test rationale)"
+    ),
     "stats_theil_u2_forecast": (
         "the two lag() calls run over the per-DAY revenue rollup -- "
         "calendar-bounded day grid (the runs-test rationale)"
