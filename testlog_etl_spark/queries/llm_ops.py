@@ -7150,3 +7150,91 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cuts = multimodal.detect_scene_cuts(media, every_ms=250, threshold=32)
     return cuts.orderBy("media_id").limit(500)
+
+
+@register(
+    "eval_mrr_retrieval",
+    doc="mean reciprocal rank for label-match retrieval over the "
+    "embedding table: queries = vec_id < 20, candidates = every other "
+    "vector ranked by cosine (the sequential-fold dot/norm "
+    "discipline, so ordering is engine-identical with the vec_id "
+    "tie-break), relevant = same label. Reports MRR = avg(1/rank of "
+    "first relevant), hit@1 and hit@5 counts. Ranks are exact "
+    "integers; the 20-term MRR mean reassociates and is rounded "
+    "at 6.",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+p AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS c_id, c.label AS c_label,
+         {_duck_dot('q.vec', 'c.vec', 64)} / ({_duck_norm('q.vec')} * {_duck_norm('c.vec')}) AS cos
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 20
+),
+r AS (
+  SELECT q_id, q_label, c_label,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+  FROM p
+),
+fr AS (
+  SELECT q_id, MIN(rn)::BIGINT AS first_rank
+  FROM r WHERE c_label = q_label GROUP BY q_id
+)
+SELECT count(*)::BIGINT AS n_queries,
+       ROUND(AVG(1.0 / first_rank), 6) AS mrr,
+       SUM(CASE WHEN first_rank = 1 THEN 1 ELSE 0 END)::BIGINT AS hit_at_1,
+       SUM(CASE WHEN first_rank <= 5 THEN 1 ELSE 0 END)::BIGINT AS hit_at_5
+FROM fr
+""",
+)
+def eval_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from testlog_etl_spark.operators import linalg
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("vec"))
+    q = v.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"), F.col("vec").alias("qv")
+    )
+    c = v.select(
+        F.col("vec_id").alias("c_id"), F.col("label").alias("c_label"), F.col("vec").alias("cv")
+    )
+
+    def fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, e: acc + e
+        )
+
+    p = (
+        F.broadcast(q)
+        .join(c, F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            "c_label",
+            (
+                fold_dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(fold_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(fold_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cos"),
+        )
+    )
+    r = p.withColumn(
+        "rn", F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id"))
+    )
+    fr = r.filter(F.col("c_label") == F.col("q_label")).groupBy("q_id").agg(
+        F.min("rn").alias("first_rank")
+    )
+    return fr.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(1.0 / F.col("first_rank")), 6).alias("mrr"),
+        F.sum(F.when(F.col("first_rank") == 1, 1).otherwise(0)).alias("hit_at_1"),
+        F.sum(F.when(F.col("first_rank") <= 5, 1).otherwise(0)).alias("hit_at_5"),
+    ).select(
+        "n_queries",
+        "mrr",
+        F.col("hit_at_1").cast("long").alias("hit_at_1"),
+        F.col("hit_at_5").cast("long").alias("hit_at_5"),
+    )

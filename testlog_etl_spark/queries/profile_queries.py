@@ -1549,3 +1549,73 @@ def stats_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n") - 1) * F.col("s2") / F.col("cbar"), 4).alias("chi2"),
         (F.col("n") - 1).cast("long").alias("dof"),
     ).orderBy("event_type")
+
+
+@register(
+    "dq_order_detail_reconciliation",
+    doc="header/detail reconciliation audit: per order, the header "
+    "total o_totalprice vs the detail sum of l_extendedprice, "
+    "binned by relative discrepancy magnitude (exact match at 1e-9, "
+    "then decade buckets 0.1%/1%/10%/worse, plus headers with NO "
+    "detail rows). The per-order detail sum is the one fact-table "
+    "shuffle; the readout is a 6-row histogram with min/max/avg "
+    "discrepancy per bucket. Bucket edges are coarse relative to "
+    "double noise, so bucketing is stable cross-engine.",
+    oracle="""
+WITH det AS (
+  SELECT l_orderkey, SUM(l_extendedprice) AS detail_total
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderkey, o.o_totalprice, det.detail_total,
+         CASE WHEN det.detail_total IS NULL THEN NULL
+              ELSE ABS(o.o_totalprice - det.detail_total) / o.o_totalprice END AS rel
+  FROM orders o LEFT JOIN det ON det.l_orderkey = o.o_orderkey
+),
+b AS (
+  SELECT CASE WHEN rel IS NULL THEN 'no_detail'
+              WHEN rel <= 1e-9 THEN 'exact'
+              WHEN rel <= 0.001 THEN 'within_0.1pct'
+              WHEN rel <= 0.01 THEN 'within_1pct'
+              WHEN rel <= 0.1 THEN 'within_10pct'
+              ELSE 'worse' END AS bucket,
+         rel
+  FROM j
+)
+SELECT bucket, count(*)::BIGINT AS n_orders,
+       ROUND(MIN(rel), 6) AS min_rel, ROUND(MAX(rel), 6) AS max_rel,
+       ROUND(AVG(rel), 6) AS avg_rel
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def dq_order_detail_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    det = t["lineitem"].groupBy("l_orderkey").agg(
+        F.sum("l_extendedprice").alias("detail_total")
+    )
+    j = t["orders"].join(det, t["orders"]["o_orderkey"] == det["l_orderkey"], "left").select(
+        "o_totalprice",
+        F.when(
+            F.col("detail_total").isNotNull(),
+            F.abs(F.col("o_totalprice") - F.col("detail_total")) / F.col("o_totalprice"),
+        ).alias("rel"),
+    )
+    bucket = (
+        F.when(F.col("rel").isNull(), "no_detail")
+        .when(F.col("rel") <= 1e-9, "exact")
+        .when(F.col("rel") <= 0.001, "within_0.1pct")
+        .when(F.col("rel") <= 0.01, "within_1pct")
+        .when(F.col("rel") <= 0.1, "within_10pct")
+        .otherwise("worse")
+    )
+    return (
+        j.select(bucket.alias("bucket"), "rel")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("rel"), 6).alias("min_rel"),
+            F.round(F.max("rel"), 6).alias("max_rel"),
+            F.round(F.avg("rel"), 6).alias("avg_rel"),
+        )
+        .orderBy("bucket")
+    )

@@ -939,3 +939,59 @@ def test_katz_spark_matches_numpy(spark):
     assert set(got) == set(nodes)
     for n in nodes:
         assert abs(got[n] - acc[n]) < 1e-9
+
+
+# ------------------------------------- MRR / reconciliation
+
+
+def test_mrr_spark_matches_numpy(spark):
+    import numpy as np
+    from testlog_etl_spark.queries.llm_ops import eval_mrr_retrieval
+
+    r = eval_mrr_retrieval(spark, SF_SMALL).collect()[0]
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack(emb.embedding.values).astype(np.float64)
+    ids = emb.vec_id.values
+    labels = emb.label.values
+    norms = np.linalg.norm(X, axis=1)
+    rrs, h1, h5 = [], 0, 0
+    for qi in np.where(ids < 20)[0]:
+        cos = (X @ X[qi]) / (norms * norms[qi])
+        order = sorted(
+            [(float(-cos[ci]), int(ids[ci])) for ci in range(len(ids)) if ci != qi]
+        )
+        first = None
+        lab = {int(i): int(l) for i, l in zip(ids, labels)}
+        for rank, (_, cid) in enumerate(order, 1):
+            if lab[cid] == labels[qi]:
+                first = rank
+                break
+        rrs.append(1.0 / first)
+        h1 += first == 1
+        h5 += first <= 5
+    assert r.n_queries == len(rrs)
+    assert abs(r.mrr - sum(rrs) / len(rrs)) < 1e-4
+    assert (r.hit_at_1, r.hit_at_5) == (h1, h5)
+
+
+def test_reconciliation_buckets_partition_orders(spark):
+    from testlog_etl_spark.queries.profile_queries import dq_order_detail_reconciliation
+
+    rows = dq_order_detail_reconciliation(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    assert sum(r.n_orders for r in rows) == len(pdf)
+    by = {r.bucket: r for r in rows}
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    det = li.groupby("l_orderkey").l_extendedprice.sum()
+    no_detail = (~pdf.o_orderkey.isin(det.index)).sum()
+    if no_detail:
+        assert by["no_detail"].n_orders == no_detail
+        assert by["no_detail"].avg_rel is None
+    # bucket min/max ranges nest correctly
+    for name, lo, hi in [
+        ("within_0.1pct", 1e-9, 0.001),
+        ("within_1pct", 0.001, 0.01),
+        ("within_10pct", 0.01, 0.1),
+    ]:
+        if name in by:
+            assert lo <= by[name].min_rel + 1e-9 and by[name].max_rel <= hi + 1e-9
