@@ -4275,3 +4275,121 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alpha"),
         )
     )
+
+
+@register(
+    "stats_cochran_q",
+    doc="Cochran's Q over the binary user x event-type incidence "
+    "matrix (treatment j 'succeeded' for user i iff the user fired "
+    "that type at least TEN times -- at-least-once is degenerate "
+    "here: every user fires every type, so k T - SUM R_i^2 = 0 and "
+    "Q is undefined): Q = k(k-1) SUM_j (C_j - T/k)^2 / "
+    "(k T - SUM_i R_i^2) with column successes C_j, row totals R_i, "
+    "grand total T -- the repeated-measures companion to "
+    "stats_cronbach_alpha on the same sparse rollup (incidence, not "
+    "counts). Every quantity is an exact integer; Q is one fixed-"
+    "order expression of integer aggregates, rounded at 4.",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, event_type FROM events
+  GROUP BY user_id, event_type HAVING count(*) >= 10
+),
+k AS (SELECT count(DISTINCT event_type)::BIGINT AS k FROM events),
+col AS (SELECT event_type, count(*)::BIGINT AS c FROM x GROUP BY 1),
+row_t AS (SELECT user_id, count(*)::BIGINT AS r FROM x GROUP BY 1),
+s AS (
+  SELECT (SELECT SUM(c) FROM col)::BIGINT AS t,
+         (SELECT SUM(c * c) FROM col)::BIGINT AS sc2,
+         (SELECT SUM(r * r) FROM row_t)::BIGINT AS sr2,
+         (SELECT count(*) FROM row_t)::BIGINT AS n_users,
+         k.k
+  FROM k
+)
+SELECT n_users, k AS k_items, t AS grand_total,
+       ROUND(k * (k - 1.0) * (sc2 - t * 1.0 * t / k) / (k * t - sr2), {R}) AS q_stat,
+       CAST(k - 1 AS BIGINT) AS dof
+FROM s
+""",
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    x = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 10)
+        .select("user_id", "event_type")
+    )
+    k = ev.agg(F.countDistinct("event_type").alias("k"))
+    col = x.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    row_t = x.groupBy("user_id").agg(F.count(F.lit(1)).alias("r"))
+    colagg = col.agg(
+        F.sum("c").alias("t"), F.sum(F.col("c") * F.col("c")).alias("sc2")
+    )
+    rowagg = row_t.agg(
+        F.sum(F.col("r") * F.col("r")).alias("sr2"), F.count(F.lit(1)).alias("n_users")
+    )
+    s = colagg.crossJoin(F.broadcast(rowagg)).crossJoin(F.broadcast(k))
+    kk, t = F.col("k"), F.col("t")
+    return s.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        kk.cast("long").alias("k_items"),
+        t.cast("long").alias("grand_total"),
+        F.round(
+            kk * (kk - 1.0) * (F.col("sc2") - t * 1.0 * t / kk) / (kk * t - F.col("sr2")), R
+        ).alias("q_stat"),
+        (kk - 1).cast("long").alias("dof"),
+    )
+
+
+@register(
+    "stats_gini_mean_difference",
+    doc="Gini mean difference of whole-dollar order totals: "
+    "GMD = 2/(n(n-1)) SUM_i (2i - n - 1) x_(i) over the sorted "
+    "sample -- the rank formulation that needs ONE global rank, "
+    "supplied by the hierarchical scan (operators/scan.py), never an "
+    "unpartitioned window. Integer dollars keep the weighted sum "
+    "exact (< 2^53 through sf0.1); GMD and the derived relative GMD "
+    "(GMD / (2 mean) = the Gini coefficient) are exact integer "
+    "ratios, emitted unrounded. Ranks are made total by the "
+    "(value, o_orderkey) tie-break, which the symmetric weight "
+    "formula makes irrelevant to the sum -- equal values commute.",
+    oracle="""
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x, o_orderkey FROM orders
+),
+r AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS i,
+         (SELECT count(*) FROM v) AS n
+  FROM v
+),
+s AS (
+  SELECT MAX(n) AS n, SUM((2 * i - n - 1) * x)::BIGINT AS w, SUM(x)::BIGINT AS tot
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       w * 2.0 / (n * (n - 1.0)) AS gmd,
+       (w * 2.0 / (n * (n - 1.0))) / (2.0 * tot / n) AS gini_coefficient
+FROM s
+""",
+)
+def stats_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = orders.select(
+        F.round("o_totalprice", 0).cast("long").alias("x"), "o_orderkey"
+    )
+    r = global_rank_cumsum(
+        v, [F.col("x").asc(), F.col("o_orderkey").asc()], rank_out="i", n_out="n"
+    )
+    s = r.agg(
+        F.max("n").alias("n"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x")).alias("w"),
+        F.sum("x").alias("tot"),
+    )
+    gmd = F.col("w") * 2.0 / (F.col("n") * (F.col("n") - 1.0))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        gmd.alias("gmd"),
+        (gmd / (2.0 * F.col("tot") / F.col("n"))).alias("gini_coefficient"),
+    )

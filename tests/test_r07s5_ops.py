@@ -995,3 +995,51 @@ def test_reconciliation_buckets_partition_orders(spark):
     ]:
         if name in by:
             assert lo <= by[name].min_rel + 1e-9 and by[name].max_rel <= hi + 1e-9
+
+
+# ------------------------------------- Cochran Q / GMD
+
+
+def test_cochran_q_spark_matches_formula(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_cochran_q
+
+    r = stats_cochran_q(spark, SF_SMALL).collect()[0]
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    cell = ev.groupby(["user_id", "event_type"]).size()
+    inc = cell[cell >= 10]
+    k = ev.event_type.nunique()
+    C = inc.groupby("event_type").size()
+    R = inc.groupby("user_id").size()
+    T = len(inc)
+    q = k * (k - 1) * ((C * C).sum() - T * T / k) / (k * T - (R * R).sum())
+    assert r.k_items == k and r.grand_total == T
+    assert abs(r.q_stat - q) < 1e-3
+    assert r.dof == k - 1
+
+
+def test_gmd_matches_pairwise_definition(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_gini_mean_difference
+
+    r = stats_gini_mean_difference(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    # Spark ROUND is HALF_UP (python round() is half-even)
+    xs = sorted(int(math.floor(x + 0.5)) for x in pdf.o_totalprice)
+    n = len(xs)
+    # rank formula == mean pairwise |xi - xj| (checked on a prefix for cost)
+    import itertools
+
+    sub = xs[:200]
+    gmd_pair = sum(abs(a - b) for a, b in itertools.combinations(sub, 2)) / (
+        len(sub) * (len(sub) - 1) / 2
+    )
+    gmd_rank = sum((2 * (i + 1) - len(sub) - 1) * x for i, x in enumerate(sorted(sub))) * 2 / (
+        len(sub) * (len(sub) - 1)
+    )
+    assert abs(gmd_pair - gmd_rank) < 1e-9
+    # full-sample rank formula vs spark
+    w = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    gmd = 2 * w / (n * (n - 1))
+    assert r.n == n
+    assert abs(r.gmd - gmd) < 1e-6
+    assert abs(r.gini_coefficient - gmd / (2 * sum(xs) / n)) < 1e-9
+    assert 0 <= r.gini_coefficient <= 1
