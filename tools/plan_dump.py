@@ -53,6 +53,10 @@ SHOWCASE = [
     ("sql_recursive_cte_ancestors", "WITH RECURSIVE: log2(max id) UnionLoop rounds, each an equi-join against the prior frontier"),
     ("orders_rfm_segments", "three metric quintiles via hierarchical range-scan ranks -- no unpartitioned ntile over the customer grain"),
     ("agg_binned_quantile", "histogram sketch: partial counts collapse map-side; quantile walk over the 256-row bin frame"),
+    ("embed_kmeans_one_step", "row-local argmin against the broadcast centroid array; the only exchange is the (cid, dim) rollup"),
+    ("eval_lift_gains_table", "hierarchical-scan rank + running positives; deciles from rank arithmetic, no NTILE exchange"),
+    ("graph_linkpred_scores", "wedge equi-join through the common endpoint; degree-bounded fan-out, anti-join vs existing edges"),
+    ("dedup_phonetic_blocking", "block-key equi-join pairs; levenshtein verify runs post-join inside the stage"),
 ]
 
 
