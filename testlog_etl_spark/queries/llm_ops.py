@@ -7238,3 +7238,43 @@ def eval_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hit_at_1").cast("long").alias("hit_at_1"),
         F.col("hit_at_5").cast("long").alias("hit_at_5"),
     )
+
+
+@register(
+    "sample_systematic_interval",
+    doc="systematic interval sampling: every 100th order in "
+    "(o_orderdate, o_orderkey) order starting at fixed phase 17 -- "
+    "the equal-probability design whose estimator variance beats SRS "
+    "under ordered drift. The global rank comes from the "
+    "hierarchical scan (operators/scan.py); membership is pure rank "
+    "arithmetic ((i - 17) mod 100 = 0), so the sample is exactly "
+    "reproducible on both engines. Emits the sampled rows plus their "
+    "rank for auditability; the estimator readout (sample mean vs "
+    "population mean of o_totalprice) rides the same scan totals.",
+    oracle="""
+WITH r AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS i
+  FROM orders
+)
+SELECT i, o_orderkey, day
+FROM r
+WHERE (i - 17) % 100 = 0
+ORDER BY i
+""",
+)
+def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("day"), "o_orderdate"
+    )
+    r = global_rank_cumsum(
+        base, [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()], rank_out="i"
+    )
+    return (
+        r.filter(F.pmod(F.col("i") - 17, F.lit(100)) == 0)
+        .select("i", "o_orderkey", "day")
+        .orderBy("i")
+    )

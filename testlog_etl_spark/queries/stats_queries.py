@@ -4393,3 +4393,110 @@ def stats_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         gmd.alias("gmd"),
         (gmd / (2.0 * F.col("tot") / F.col("n"))).alias("gini_coefficient"),
     )
+
+
+@register(
+    "stats_seasonal_mann_kendall",
+    doc="seasonal Mann-Kendall trend test over 1995H1 daily revenue "
+    "with day-of-week strata: within each weekday's day-ordered "
+    "series, S_g = SUM sign(v_j - v_i) over pairs (j later than i) "
+    "and tie-corrected Var_g; the seasonal statistic sums the seven "
+    "strata (S = SUM S_g, Var = SUM Var_g) with the usual continuity-"
+    "corrected Z. The series is integer kilodollars so every sign "
+    "comparison is exact; the pair frame is calendar-bounded "
+    "(~26 values per weekday over a half year). Companion to "
+    "stats_mann_kendall_trend -- strata remove the weekly cycle that "
+    "inflates the unstratified test.",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+         CAST(ROUND(SUM(o_totalprice) / 1000.0, 0) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a.dow,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+  FROM d a JOIN d b ON b.dow = a.dow AND b.day > a.day
+),
+sg AS (SELECT dow, SUM(sgn) AS s FROM p GROUP BY dow),
+ng AS (SELECT dow, count(*) AS n FROM d GROUP BY dow),
+tg AS (
+  SELECT dow, COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+  FROM (SELECT dow, v, count(*) AS t FROM d GROUP BY dow, v HAVING count(*) > 1)
+  GROUP BY dow
+),
+vg AS (
+  SELECT ng.dow,
+         (ng.n * (ng.n - 1) * (2 * ng.n + 5) - COALESCE(tg.tie_term, 0)) / 18.0 AS var_g
+  FROM ng LEFT JOIN tg ON tg.dow = ng.dow
+),
+tot AS (
+  SELECT (SELECT SUM(s) FROM sg)::BIGINT AS s,
+         (SELECT SUM(var_g) FROM vg) AS var_s,
+         (SELECT count(*) FROM d)::BIGINT AS n_days
+)
+SELECT n_days, s AS s_stat, ROUND(var_s, 4) AS var_s,
+       ROUND(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 4) AS z_stat
+FROM tot
+""",
+)
+def stats_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow"),
+        )
+        .agg(F.round(F.sum("o_totalprice") / 1000.0, 0).cast("long").alias("v"))
+    )
+    a = d.select(F.col("dow"), F.col("day").alias("da"), F.col("v").alias("va"))
+    b = d.select(F.col("dow").alias("dowb"), F.col("day").alias("db"), F.col("v").alias("vb"))
+    p = a.join(b, (F.col("dowb") == F.col("dow")) & (F.col("db") > F.col("da"))).select(
+        "dow",
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    sg = p.groupBy("dow").agg(F.sum("sgn").alias("s"))
+    ng = d.groupBy("dow").agg(F.count(F.lit(1)).alias("n"))
+    tg = (
+        d.groupBy("dow", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("dow")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("tie_term"))
+    )
+    vg = ng.join(tg, "dow", "left").select(
+        "dow",
+        (
+            (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.coalesce(F.col("tie_term"), F.lit(0)))
+            / 18.0
+        ).alias("var_g"),
+    )
+    tot = (
+        sg.agg(F.sum("s").alias("s"))
+        .crossJoin(F.broadcast(vg.agg(F.sum("var_g").alias("var_s"))))
+        .crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("n_days"))))
+    )
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt("var_s"))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt("var_s"))
+        .otherwise(F.lit(0.0))
+    )
+    return tot.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.round("var_s", 4).alias("var_s"),
+        F.round(z, 4).alias("z_stat"),
+    )

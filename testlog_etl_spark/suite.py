@@ -197,8 +197,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    multimodal_scene_cuts, stats_theil_u2_forecast,
     #    stats_page_hinkley, graph_katz_bounded,
     #    eval_mrr_retrieval, dq_order_detail_reconciliation,
-    #    stats_cochran_q, stats_gini_mean_difference.
-    #    (Registry: 490;
+    #    stats_cochran_q, stats_gini_mean_difference,
+    #    stats_seasonal_mann_kendall, sample_systematic_interval.
+    #    (Registry: 492;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

@@ -1043,3 +1043,66 @@ def test_gmd_matches_pairwise_definition(spark):
     assert abs(r.gmd - gmd) < 1e-6
     assert abs(r.gini_coefficient - gmd / (2 * sum(xs) / n)) < 1e-9
     assert 0 <= r.gini_coefficient <= 1
+
+
+# ----------------------------- seasonal MK / systematic sampling
+
+
+def test_seasonal_mk_strata_cancel_weekly_cycle():
+    # a pure weekly cycle (same value every same weekday) gives S = 0
+    # in every stratum: all within-stratum pairs are ties
+    week = [5, 1, 2, 3, 4, 6, 7]
+    series = week * 8
+    for dow in range(7):
+        vals = series[dow::7]
+        s = sum(
+            (vals[j] > vals[i]) - (vals[j] < vals[i])
+            for i in range(len(vals))
+            for j in range(i + 1, len(vals))
+        )
+        assert s == 0
+
+
+def test_seasonal_mk_spark_matches_python(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_seasonal_mann_kendall
+    from collections import Counter
+
+    r = stats_seasonal_mann_kendall(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    h1 = pdf[(pdf.o_orderdate >= "1995-01-01") & (pdf.o_orderdate < "1995-07-01")]
+    vs_all = (
+        h1.assign(day=h1.o_orderdate.dt.date).groupby("day").o_totalprice.sum()
+    )
+    days = sorted(vs_all.index)
+    v = {d: int(math.floor(vs_all[d] / 1000.0 + 0.5)) for d in days}
+    s_tot, var_tot = 0, 0.0
+    for dow in range(7):
+        ds = [d for d in days if d.weekday() == dow]
+        vals = [v[d] for d in ds]
+        n = len(vals)
+        s_tot += sum(
+            (vals[j] > vals[i]) - (vals[j] < vals[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vals).values() if t > 1)
+        var_tot += (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+    assert r.n_days == len(days)
+    assert r.s_stat == s_tot
+    assert abs(r.var_s - var_tot) < 1e-3
+    want_z = 0.0 if s_tot == 0 else (s_tot - (1 if s_tot > 0 else -1) * 1) / math.sqrt(var_tot)
+    assert abs(r.z_stat - want_z) < 1e-3
+
+
+def test_systematic_sample_spacing(spark):
+    from testlog_etl_spark.queries.llm_ops import sample_systematic_interval
+
+    rows = sample_systematic_interval(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    n = len(pdf)
+    want_ranks = list(range(17, n + 1, 100))
+    assert [r.i for r in rows] == want_ranks
+    # the sampled keys are exactly the ranked rows at those positions
+    pdf = pdf.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+    for r in rows:
+        assert pdf.o_orderkey.iloc[r.i - 1] == r.o_orderkey
