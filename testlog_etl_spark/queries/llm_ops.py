@@ -7278,3 +7278,108 @@ def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "o_orderkey", "day")
         .orderBy("i")
     )
+
+
+@register(
+    "text_mattr_window",
+    doc="moving-average type-token ratio (MATTR, window 50) per "
+    "source: for every 50-token window of each doc, distinct/50, "
+    "averaged within the doc then across the source -- the "
+    "length-invariant lexical-diversity measure (plain TTR falls "
+    "with doc length; text_hapax_ratio is the spectrum view). "
+    "Windows are row-local array ops (transform over slice + "
+    "array_distinct) -- no explode, no shuffle until the source "
+    "rollup; docs shorter than the window fall back to plain TTR. "
+    "Per-window ratios are exact integer ratios; the doc and source "
+    "means reassociate and are rounded at 4.",
+    oracle="""
+WITH t AS (
+  SELECT source, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+m AS (
+  SELECT source,
+    CASE WHEN len(w) >= 50 THEN
+      list_sum(list_transform(range(1, len(w) - 48),
+               i -> len(list_distinct(w[i:i+49])) / 50.0))
+        / (len(w) - 49)
+    ELSE len(list_distinct(w)) * 1.0 / len(w) END AS mattr,
+    len(w) AS n_tok
+  FROM t WHERE len(w) > 0
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       ROUND(AVG(mattr), 4) AS avg_mattr,
+       ROUND(AVG(len_tok), 4) AS avg_tokens
+FROM (SELECT source, mattr, n_tok * 1.0 AS len_tok FROM m)
+GROUP BY source ORDER BY source
+""",
+)
+def text_mattr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    w = textstats.tokens(F.col("text"))
+    n = F.size(w)
+    win = F.transform(
+        F.sequence(F.lit(1), n - 49),
+        lambda i: F.size(F.array_distinct(F.slice(w, i, F.lit(50)))) / 50.0,
+    )
+    mattr = F.when(
+        n >= 50,
+        F.aggregate(win, F.lit(0.0), lambda acc, e: acc + e) / (n - 49),
+    ).otherwise(F.size(F.array_distinct(w)) * 1.0 / n)
+    m = docs.filter(n > 0).select("source", mattr.alias("mattr"), (n * 1.0).alias("len_tok"))
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("mattr"), R).alias("avg_mattr"),
+            F.round(F.avg("len_tok"), R).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_yules_k",
+    doc="Yule's K vocabulary-richness characteristic per source: "
+    "K = 10^4 (SUM m^2 V_m - N) / N^2 over the frequency spectrum "
+    "(V_m = number of terms occurring m times, N = token mass) -- "
+    "the repeat-rate statistic that is (asymptotically) independent "
+    "of sample size, computed directly from the same "
+    "frequency-of-frequencies rollup text_good_turing_mass reads. "
+    "Every input is an exact integer so K is an identical-integer-"
+    "derived double, emitted unrounded.",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT source, term, count(*)::BIGINT AS m FROM tok GROUP BY source, term),
+fof AS (SELECT source, m, count(*)::BIGINT AS vm FROM tf GROUP BY source, m),
+agg AS (
+  SELECT source, SUM(m * vm)::BIGINT AS n, SUM(m * m * vm)::BIGINT AS s2,
+         SUM(vm)::BIGINT AS vocab
+  FROM fof GROUP BY source
+)
+SELECT source, n AS n_tokens, vocab,
+       10000.0 * (s2 - n) / (n * 1.0 * n) AS yules_k
+FROM agg ORDER BY source
+""",
+)
+def text_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select("source", F.explode(textstats.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("m"))
+    fof = tf.groupBy("source", "m").agg(F.count(F.lit(1)).alias("vm"))
+    agg = fof.groupBy("source").agg(
+        F.sum(F.col("m") * F.col("vm")).alias("n"),
+        F.sum(F.col("m") * F.col("m") * F.col("vm")).alias("s2"),
+        F.sum("vm").alias("vocab"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        (10000.0 * (F.col("s2") - F.col("n")) / (F.col("n") * 1.0 * F.col("n"))).alias("yules_k"),
+    ).orderBy("source")

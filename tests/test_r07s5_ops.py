@@ -1106,3 +1106,55 @@ def test_systematic_sample_spacing(spark):
     pdf = pdf.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
     for r in rows:
         assert pdf.o_orderkey.iloc[r.i - 1] == r.o_orderkey
+
+
+# ------------------------------------------- MATTR / Yule's K
+
+
+def _mattr(tokens, w=50):
+    if len(tokens) >= w:
+        vals = [
+            len(set(tokens[i : i + w])) / w for i in range(len(tokens) - w + 1)
+        ]
+        return sum(vals) / len(vals)
+    return len(set(tokens)) / len(tokens)
+
+
+def test_mattr_length_invariance_property():
+    # repeating a diverse block keeps MATTR stable while TTR collapses
+    block = [f"w{i}" for i in range(50)]
+    once, many = block, block * 20
+    assert abs(_mattr(once) - _mattr(many)) < 1e-9
+    ttr_once = len(set(once)) / len(once)
+    ttr_many = len(set(many)) / len(many)
+    assert ttr_many < ttr_once / 10
+
+
+def test_mattr_spark_matches_python(spark):
+    from testlog_etl_spark.queries.llm_ops import text_mattr_window
+
+    rows = {r.source: r for r in text_mattr_window(spark, SF_SMALL).collect()}
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    pdf = pdf[pdf.text.notna() & (pdf.text.str.strip() != "")]
+    for src, grp in pdf.groupby("source"):
+        ms = [_mattr(t.strip().split()) for t in grp.text]
+        r = rows[src]
+        assert r.n_docs == len(ms)
+        assert abs(r.avg_mattr - sum(ms) / len(ms)) < 1e-3
+
+
+def test_yules_k_spark_matches_python(spark):
+    from collections import Counter
+    from testlog_etl_spark.queries.llm_ops import text_yules_k
+
+    rows = {r.source: r for r in text_yules_k(spark, SF_SMALL).collect()}
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    for src, grp in pdf.groupby("source"):
+        tf = Counter()
+        for t in grp.text.dropna():
+            tf.update(x for x in t.strip().split() if x)
+        n = sum(tf.values())
+        s2 = sum(m * m for m in tf.values())
+        r = rows[src]
+        assert r.n_tokens == n and r.vocab == len(tf)
+        assert abs(r.yules_k - 1e4 * (s2 - n) / (n * n)) < 1e-6
