@@ -2901,3 +2901,52 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((m + 1) * 1.0 * (m + 1) * (m + 2))
         ).alias("se_hat"),
     )
+
+
+@register(
+    "orders_fill_rate_service_level",
+    doc="service-level fill rate per order month: an order is 'filled "
+    "on time' when its LAST line item ships within 30 days of the "
+    "order date; reports per-month order counts, on-time counts, "
+    "fill rate, and the mean days-to-complete. One per-order "
+    "max(shipdate) rollup joined back to the header -- the classic "
+    "header/detail SLA readout; at 100 TB both sides hash-partition "
+    "on orderkey and the month rollup is tiny. Day arithmetic is "
+    "integer; the two means are integer ratios emitted unrounded.",
+    oracle="""
+WITH fill AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS order_month,
+         date_diff('day', CAST(o.o_orderdate AS DATE), f.last_ship) AS days_to_complete
+  FROM orders o JOIN fill f ON f.l_orderkey = o.o_orderkey
+)
+SELECT order_month, count(*)::BIGINT AS n_orders,
+       SUM(CASE WHEN days_to_complete <= 30 THEN 1 ELSE 0 END)::BIGINT AS on_time,
+       SUM(CASE WHEN days_to_complete <= 30 THEN 1 ELSE 0 END) * 1.0 / count(*) AS fill_rate,
+       SUM(days_to_complete) * 1.0 / count(*) AS avg_days_to_complete
+FROM j GROUP BY order_month ORDER BY order_month
+""",
+)
+def orders_fill_rate_service_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    fill = t["lineitem"].groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship")
+    )
+    j = t["orders"].join(fill, t["orders"]["o_orderkey"] == fill["l_orderkey"]).select(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("order_month"),
+        F.datediff("last_ship", F.col("o_orderdate").cast("date")).alias("days_to_complete"),
+    )
+    on_time = F.sum(F.when(F.col("days_to_complete") <= 30, 1).otherwise(0))
+    return (
+        j.groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            on_time.alias("on_time"),
+            (on_time * 1.0 / F.count(F.lit(1))).alias("fill_rate"),
+            (F.sum("days_to_complete") * 1.0 / F.count(F.lit(1))).alias("avg_days_to_complete"),
+        )
+        .orderBy("order_month")
+    )

@@ -1619,3 +1619,75 @@ def dq_order_detail_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dq_id_time_inversions",
+    doc="monotonic-id audit: orders whose key order disagrees with "
+    "their time order (an id-assignment pipeline invariant). Adjacent "
+    "pairs in global o_orderkey order come from the hierarchical "
+    "scan; an inversion is a pair whose o_orderdate strictly "
+    "decreases. Reports total pairs, inversion count/rate, the worst "
+    "backward jump in days, and the month with the most inversions. "
+    "Pure integer/date arithmetic; the rate is an exact ratio.",
+    oracle="""
+WITH r AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS i
+  FROM orders
+),
+adj AS (
+  SELECT a.day AS d0, b.day AS d1,
+         strftime(b.day, '%Y-%m') AS mon,
+         date_diff('day', b.day, a.day) AS back_days
+  FROM r a JOIN r b ON b.i = a.i + 1
+),
+inv AS (SELECT * FROM adj WHERE d1 < d0),
+wm AS (
+  SELECT mon FROM inv GROUP BY mon ORDER BY count(*) DESC, mon LIMIT 1
+)
+SELECT (SELECT count(*) FROM adj)::BIGINT AS n_pairs,
+       (SELECT count(*) FROM inv)::BIGINT AS n_inversions,
+       (SELECT count(*) FROM inv) * 1.0 / (SELECT count(*) FROM adj) AS inversion_rate,
+       (SELECT MAX(back_days) FROM inv)::BIGINT AS worst_backward_days,
+       (SELECT mon FROM wm) AS worst_month
+""",
+)
+def dq_id_time_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select("o_orderkey", F.col("o_orderdate").cast("date").alias("day"))
+    r = global_rank_cumsum(base, [F.col("o_orderkey").asc()], rank_out="i")
+    a = r.select(F.col("i").alias("ia"), F.col("day").alias("d0"))
+    b = r.select(F.col("i").alias("ib"), F.col("day").alias("d1"))
+    adj = a.join(b, F.col("ib") == F.col("ia") + 1).select(
+        "d0",
+        "d1",
+        F.date_format("d1", "yyyy-MM").alias("mon"),
+        F.datediff("d0", "d1").alias("back_days"),
+    )
+    inv = adj.filter(F.col("d1") < F.col("d0"))
+    n_pairs = adj.agg(F.count(F.lit(1)).alias("n_pairs"))
+    istats = inv.agg(
+        F.count(F.lit(1)).alias("n_inversions"),
+        F.max("back_days").alias("worst_backward_days"),
+    )
+    wm = (
+        inv.groupBy("mon")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "mon")
+        .limit(1)
+        .select(F.col("mon").alias("worst_month"))
+    )
+    return (
+        n_pairs.crossJoin(F.broadcast(istats))
+        .crossJoin(F.broadcast(wm))
+        .select(
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_inversions").cast("long").alias("n_inversions"),
+            (F.col("n_inversions") * 1.0 / F.col("n_pairs")).alias("inversion_rate"),
+            F.col("worst_backward_days").cast("long").alias("worst_backward_days"),
+            "worst_month",
+        )
+    )

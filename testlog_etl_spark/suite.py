@@ -199,8 +199,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    eval_mrr_retrieval, dq_order_detail_reconciliation,
     #    stats_cochran_q, stats_gini_mean_difference,
     #    stats_seasonal_mann_kendall, sample_systematic_interval,
-    #    text_mattr_window, text_yules_k.
-    #    (Registry: 494;
+    #    text_mattr_window, text_yules_k,
+    #    orders_fill_rate_service_level, dq_id_time_inversions.
+    #    (Registry: 496;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

@@ -1158,3 +1158,45 @@ def test_yules_k_spark_matches_python(spark):
         r = rows[src]
         assert r.n_tokens == n and r.vocab == len(tf)
         assert abs(r.yules_k - 1e4 * (s2 - n) / (n * n)) < 1e-6
+
+
+# --------------------------------------- fill rate / inversions
+
+
+def test_fill_rate_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.aggs import orders_fill_rate_service_level
+
+    rows = {r.order_month: r for r in orders_fill_rate_service_level(spark, SF_SMALL).collect()}
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    last = li.groupby("l_orderkey").l_shipdate.max().dt.date
+    j = orders[orders.o_orderkey.isin(last.index)].copy()
+    j["days"] = [
+        (last[k] - d.date()).days for k, d in zip(j.o_orderkey, j.o_orderdate)
+    ]
+    j["mon"] = j.o_orderdate.dt.strftime("%Y-%m")
+    for mon, grp in j.groupby("mon"):
+        r = rows[mon]
+        on_time = (grp.days <= 30).sum()
+        assert r.n_orders == len(grp) and r.on_time == on_time
+        assert abs(r.fill_rate - on_time / len(grp)) < 1e-12
+        assert abs(r.avg_days_to_complete - grp.days.mean()) < 1e-9
+
+
+def test_id_time_inversions_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.profile_queries import dq_id_time_inversions
+
+    r = dq_id_time_inversions(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet").sort_values("o_orderkey")
+    days = list(pdf.o_orderdate.dt.date)
+    pairs = list(zip(days, days[1:]))
+    inv = [(d0, d1) for d0, d1 in pairs if d1 < d0]
+    assert r.n_pairs == len(pairs)
+    assert r.n_inversions == len(inv)
+    if inv:
+        assert r.worst_backward_days == max((d0 - d1).days for d0, d1 in inv)
+        from collections import Counter
+
+        months = Counter(d1.strftime("%Y-%m") for _, d1 in inv)
+        top = sorted(months.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert r.worst_month == top
