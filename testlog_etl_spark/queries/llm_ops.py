@@ -7383,3 +7383,122 @@ def text_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vocab").cast("long").alias("vocab"),
         (10000.0 * (F.col("s2") - F.col("n")) / (F.col("n") * 1.0 * F.col("n"))).alias("yules_k"),
     ).orderBy("source")
+
+
+@register(
+    "eval_bleu_ngram_precision",
+    doc="BLEU-2 between consecutive same-source documents (candidate "
+    "doc_id paired with the source's next doc_id as reference) -- "
+    "the n-gram-overlap eval used to score near-dup aggressiveness: "
+    "clipped unigram/bigram precision (each candidate gram credits "
+    "min(count_cand, count_ref)), brevity penalty exp(1 - r/c) when "
+    "c < r, BLEU-2 = BP sqrt(p1 p2). Gram clipping is row-local "
+    "array arithmetic on both engines (no explode); counts are exact "
+    "integers, and the one exp/sqrt chain is identical-double in, "
+    "rounded at 6 out. Per-source summary row.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+pr AS (
+  SELECT c.source, c.w AS cw, r.w AS rw
+  FROM t c JOIN t r ON r.source = c.source AND r.rn = c.rn + 1
+  WHERE len(c.w) >= 2 AND len(r.w) >= 2
+),
+g AS (
+  SELECT source, cw, rw,
+         list_transform(range(1, len(cw)), i -> cw[i] || ' ' || cw[i+1]) AS cg,
+         list_transform(range(1, len(rw)), i -> rw[i] || ' ' || rw[i+1]) AS rg
+  FROM pr
+),
+sc AS (
+  SELECT source,
+    len(cw) AS c_len, len(rw) AS r_len,
+    list_sum(list_transform(list_distinct(cw),
+      t1 -> least(len(list_filter(cw, x -> x = t1)), len(list_filter(rw, x -> x = t1))))) AS clip1,
+    list_sum(list_transform(list_distinct(cg),
+      t2 -> least(len(list_filter(cg, x -> x = t2)), len(list_filter(rg, x -> x = t2))))) AS clip2
+  FROM g
+),
+b AS (
+  SELECT source,
+    COALESCE(clip1, 0) * 1.0 / c_len AS p1,
+    COALESCE(clip2, 0) * 1.0 / (c_len - 1) AS p2,
+    CASE WHEN c_len < r_len THEN exp(1.0 - r_len * 1.0 / c_len) ELSE 1.0 END AS bp
+  FROM sc
+)
+SELECT source, count(*)::BIGINT AS n_pairs,
+       ROUND(AVG(p1), 6) AS avg_p1, ROUND(AVG(p2), 6) AS avg_p2,
+       ROUND(AVG(bp * sqrt(p1 * p2)), 6) AS avg_bleu2
+FROM b GROUP BY source ORDER BY source
+""",
+)
+def eval_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        textstats.tokens(F.col("text")).alias("w"),
+        F.row_number().over(W.partitionBy("source").orderBy("doc_id")).alias("rn"),
+    )
+    c = t.select("source", F.col("rn").alias("crn"), F.col("w").alias("cw"))
+    r = t.select(F.col("source").alias("rsrc"), F.col("rn").alias("rrn"), F.col("w").alias("rw"))
+    pr = c.join(
+        r, (F.col("rsrc") == F.col("source")) & (F.col("rrn") == F.col("crn") + 1)
+    ).filter((F.size("cw") >= 2) & (F.size("rw") >= 2))
+
+    def bigrams(col):
+        return F.zip_with(
+            F.slice(col, 1, F.greatest(F.size(col) - 1, F.lit(0))),
+            F.slice(col, 2, F.greatest(F.size(col) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+
+    def clipped(cand, ref):
+        return F.aggregate(
+            F.transform(
+                F.array_distinct(cand),
+                lambda g: F.least(
+                    F.size(F.filter(cand, lambda x: x == g)),
+                    F.size(F.filter(ref, lambda x: x == g)),
+                ),
+            ),
+            F.lit(0),
+            lambda acc, e: acc + e,
+        )
+
+    g = pr.select(
+        "source",
+        F.size("cw").alias("c_len"),
+        F.size("rw").alias("r_len"),
+        clipped(F.col("cw"), F.col("rw")).alias("clip1"),
+        clipped(bigrams(F.col("cw")), bigrams(F.col("rw"))).alias("clip2"),
+    )
+    b = g.select(
+        "source",
+        (F.coalesce(F.col("clip1"), F.lit(0)) * 1.0 / F.col("c_len")).alias("p1"),
+        (F.coalesce(F.col("clip2"), F.lit(0)) * 1.0 / (F.col("c_len") - 1)).alias("p2"),
+        F.when(
+            F.col("c_len") < F.col("r_len"),
+            F.exp(1.0 - F.col("r_len") * 1.0 / F.col("c_len")),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("bp"),
+    )
+    return (
+        b.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("p1"), 6).alias("avg_p1"),
+            F.round(F.avg("p2"), 6).alias("avg_p2"),
+            F.round(F.avg(F.col("bp") * F.sqrt(F.col("p1") * F.col("p2"))), 6).alias("avg_bleu2"),
+        )
+        .orderBy("source")
+    )

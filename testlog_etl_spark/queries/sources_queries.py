@@ -1107,3 +1107,53 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY yr
         """
     )
+
+
+@register(
+    "sql_union_by_name",
+    doc="unionByName with allowMissingColumns -- the schema-drift "
+    "append surface (two extract versions of the orders feed, one "
+    "missing the priority column, one carrying a new channel "
+    "column): Spark aligns by NAME and null-fills the gaps (a "
+    "positional UNION would silently mis-bind columns). The DuckDB "
+    "twin is UNION ALL BY NAME. Readout aggregates the combined "
+    "feed per column-provenance flag so the null-fill semantics are "
+    "what gets hashed.",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_totalprice, 'web' AS channel
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+SELECT COALESCE(o_orderpriority, '<missing>') AS o_orderpriority,
+       COALESCE(channel, '<missing>') AS channel,
+       count(*)::BIGINT AS n,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM u
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def sql_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.lit("web").alias("channel")
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<missing>")).alias("o_orderpriority"),
+            F.coalesce(F.col("channel"), F.lit("<missing>")).alias("channel"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority", "channel")
+    )

@@ -1200,3 +1200,64 @@ def test_id_time_inversions_spark_matches_pandas(spark):
         months = Counter(d1.strftime("%Y-%m") for _, d1 in inv)
         top = sorted(months.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
         assert r.worst_month == top
+
+
+# --------------------------------------- BLEU / union-by-name
+
+
+def _bleu2(cand, ref):
+    from collections import Counter
+
+    def clipped(c, r):
+        cc, rc = Counter(c), Counter(r)
+        return sum(min(n, rc[g]) for g, n in cc.items())
+
+    c1 = clipped(cand, ref)
+    cg = [f"{a} {b}" for a, b in zip(cand, cand[1:])]
+    rg = [f"{a} {b}" for a, b in zip(ref, ref[1:])]
+    c2 = clipped(cg, rg)
+    p1, p2 = c1 / len(cand), c2 / (len(cand) - 1)
+    bp = math.exp(1 - len(ref) / len(cand)) if len(cand) < len(ref) else 1.0
+    return p1, p2, bp * math.sqrt(p1 * p2)
+
+
+def test_bleu_identity_is_one():
+    toks = "the cat sat on the mat".split()
+    p1, p2, b = _bleu2(toks, toks)
+    assert (p1, p2, b) == (1.0, 1.0, 1.0)
+
+
+def test_bleu_spark_matches_python(spark):
+    from testlog_etl_spark.queries.llm_ops import eval_bleu_ngram_precision
+
+    rows = {r.source: r for r in eval_bleu_ngram_precision(spark, SF_SMALL).collect()}
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    pdf = pdf[pdf.text.notna() & (pdf.text.str.strip() != "")].sort_values("doc_id")
+    for src, grp in pdf.groupby("source"):
+        toks = [t.strip().split() for t in grp.text]
+        scores = [
+            _bleu2(c, r)
+            for c, r in zip(toks, toks[1:])
+            if len(c) >= 2 and len(r) >= 2
+        ]
+        if not scores:
+            assert src not in rows
+            continue
+        r = rows[src]
+        assert r.n_pairs == len(scores)
+        assert abs(r.avg_p1 - sum(s[0] for s in scores) / len(scores)) < 1e-4
+        assert abs(r.avg_bleu2 - sum(s[2] for s in scores) / len(scores)) < 1e-4
+
+
+def test_union_by_name_null_fills(spark):
+    from testlog_etl_spark.queries.sources_queries import sql_union_by_name
+
+    rows = sql_union_by_name(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    even, odd = pdf[pdf.o_orderkey % 2 == 0], pdf[pdf.o_orderkey % 2 == 1]
+    # every even-key row has a priority and a <missing> channel; odd rows invert
+    got_missing_channel = sum(r.n for r in rows if r.channel == "<missing>")
+    got_missing_prio = sum(r.n for r in rows if r.o_orderpriority == "<missing>")
+    assert got_missing_channel == len(even)
+    assert got_missing_prio == len(odd)
+    assert sum(r.n for r in rows) == len(pdf)
