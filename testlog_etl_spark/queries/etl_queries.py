@@ -4816,3 +4816,47 @@ def graph_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col(f"w{i}"), F.lit(0)) * F.lit(a) for i, a in enumerate(alphas)
     )
     return out.select("node", katz.alias("katz")).orderBy("node")
+
+
+@register(
+    "graph_avg_neighbor_degree",
+    doc="degree-correlation profile k_nn(k) on the doc-tree + "
+    "skip-link graph: for each degree class k, the mean over nodes "
+    "of that degree of their mean neighbor degree -- the local view "
+    "whose slope sign graph_degree_assortativity summarizes as one "
+    "r. Two node-keyed joins over the shared edge set; per-node "
+    "mean neighbor degree is an exact integer ratio, and the final "
+    "per-class mean reassociates over class members, rounded at 4.",
+    oracle=f"""
+WITH {_DOC_GRAPH_SQL},
+nbr AS (
+  SELECT und.src AS node, SUM(d2.deg)::BIGINT AS nbr_deg_sum
+  FROM und JOIN deg d2 ON d2.node = und.dst
+  GROUP BY und.src
+),
+pern AS (
+  SELECT deg.node, deg.deg, nbr.nbr_deg_sum * 1.0 / deg.deg AS mean_nbr_deg
+  FROM deg JOIN nbr ON nbr.node = deg.node
+)
+SELECT deg AS k, count(*)::BIGINT AS n_nodes,
+       ROUND(AVG(mean_nbr_deg), 4) AS k_nn
+FROM pern GROUP BY deg ORDER BY k
+""",
+)
+def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, deg = _doc_graph(spark, sf_dir)
+    d2 = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg"))
+    nbr = und.join(d2, "dst").groupBy(F.col("src").alias("node")).agg(
+        F.sum("ddeg").alias("nbr_deg_sum")
+    )
+    pern = deg.join(nbr, "node").select(
+        "deg", (F.col("nbr_deg_sum") * 1.0 / F.col("deg")).alias("mean_nbr_deg")
+    )
+    return (
+        pern.groupBy(F.col("deg").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(F.avg("mean_nbr_deg"), 4).alias("k_nn"),
+        )
+        .orderBy("k")
+    )

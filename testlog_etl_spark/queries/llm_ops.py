@@ -7502,3 +7502,98 @@ def eval_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "eval_weighted_kappa",
+    doc="linearly-weighted Cohen's kappa between two ORDINAL raters "
+    "over documents: rater A = quality-score quintile "
+    "(floor(5 s) capped at 4 on the snapped logistic score), rater "
+    "B = length quintile ((rank-1)*5 div N over n_chars via the "
+    "hierarchical scan -- no NTILE). kappa_w = 1 - SUM v_ij O_ij / "
+    "SUM v_ij E_ij with disagreement weights v_ij = |i-j|/4; O is "
+    "the integer contingency, E the margin products over N. The "
+    "25-cell sums reassociate and are rounded at 6. Plain kappa "
+    "ignores HOW far apart ordinal raters disagree; the weighted "
+    "form is the ordinal-correct eval.",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         least(CAST(floor(floor((1.0 / (1.0 + exp(-({_quality_z_sql()})))) * 1048576 + 0.5) / 1048576 * 5) AS INT), 4) AS a
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+r AS (
+  SELECT doc_id, a,
+         CAST(((ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)) - 1) * 5
+              // (SELECT count(*) FROM s) AS INT) AS b
+  FROM s
+),
+o AS (SELECT a, b, count(*)::BIGINT AS o FROM r GROUP BY a, b),
+ma AS (SELECT a, SUM(o)::BIGINT AS na FROM o GROUP BY a),
+mb AS (SELECT b, SUM(o)::BIGINT AS nb FROM o GROUP BY b),
+n AS (SELECT SUM(o)::BIGINT AS n FROM o),
+grid AS (
+  SELECT ga.a, gb.b FROM (SELECT DISTINCT a FROM o) ga CROSS JOIN (SELECT DISTINCT b FROM o) gb
+),
+cells AS (
+  SELECT grid.a, grid.b,
+         ABS(grid.a - grid.b) / 4.0 AS v,
+         COALESCE(o.o, 0) AS obs,
+         ma.na * 1.0 * mb.nb / n.n AS exp
+  FROM grid
+  LEFT JOIN o ON o.a = grid.a AND o.b = grid.b
+  JOIN ma ON ma.a = grid.a JOIN mb ON mb.b = grid.b CROSS JOIN n
+)
+SELECT (SELECT n FROM n) AS n_docs,
+       ROUND(SUM(v * obs), 6) AS weighted_observed,
+       ROUND(SUM(v * exp), 6) AS weighted_expected,
+       ROUND(1.0 - SUM(v * obs) / SUM(v * exp), 6) AS weighted_kappa
+FROM cells
+""",
+)
+def eval_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import filtering
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    g = F.lit(float(1 << 20))
+    score = F.floor(filtering.linear_quality_score(F.col("text")) * g + F.lit(0.5)) / g
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        F.least(F.floor(score * 5).cast("int"), F.lit(4)).alias("a"),
+    )
+    r = global_rank_cumsum(
+        s, [F.col("n_chars").asc(), F.col("doc_id").asc()], rank_out="i", n_out="n_tot"
+    ).select("a", F.expr("cast((i - 1) * 5 div n_tot as int)").alias("b"))
+    o = r.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+    ma = o.groupBy("a").agg(F.sum("o").alias("na"))
+    mb = o.groupBy("b").agg(F.sum("o").alias("nb"))
+    n = o.agg(F.sum("o").alias("n"))
+    grid = o.select("a").distinct().crossJoin(o.select("b").distinct())
+    cells = (
+        grid.join(o, ["a", "b"], "left")
+        .join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (F.abs(F.col("a") - F.col("b")) / 4.0).alias("v"),
+            F.coalesce(F.col("o"), F.lit(0)).alias("obs"),
+            (F.col("na") * 1.0 * F.col("nb") / F.col("n")).alias("exp"),
+            F.col("n"),
+        )
+    )
+    return cells.groupBy("n").agg(
+        F.round(F.sum(F.col("v") * F.col("obs")), 6).alias("weighted_observed"),
+        F.round(F.sum(F.col("v") * F.col("exp")), 6).alias("weighted_expected"),
+        F.round(
+            1.0 - F.sum(F.col("v") * F.col("obs")) / F.sum(F.col("v") * F.col("exp")), 6
+        ).alias("weighted_kappa"),
+    ).select(
+        F.col("n").cast("long").alias("n_docs"),
+        "weighted_observed",
+        "weighted_expected",
+        "weighted_kappa",
+    )

@@ -201,8 +201,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_seasonal_mann_kendall, sample_systematic_interval,
     #    text_mattr_window, text_yules_k,
     #    orders_fill_rate_service_level, dq_id_time_inversions,
-    #    eval_bleu_ngram_precision, sql_union_by_name.
-    #    (Registry: 498;
+    #    eval_bleu_ngram_precision, sql_union_by_name,
+    #    graph_avg_neighbor_degree, eval_weighted_kappa.
+    #    (Registry: 500;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

@@ -1261,3 +1261,54 @@ def test_union_by_name_null_fills(spark):
     assert got_missing_channel == len(even)
     assert got_missing_prio == len(odd)
     assert sum(r.n for r in rows) == len(pdf)
+
+
+# --------------------------------- neighbor degree / weighted kappa
+
+
+def test_avg_neighbor_degree_spark_matches_python(spark):
+    from testlog_etl_spark.queries.etl_queries import graph_avg_neighbor_degree
+
+    rows = {r.k: r for r in graph_avg_neighbor_degree(spark, SF_SMALL).collect()}
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    ids, mx = sorted(docs.doc_id), max(docs.doc_id)
+    und = set()
+    for n in ids:
+        for d in ([2 * n, 2 * n + 1] if n >= 1 else []) + [n + 37]:
+            if d <= mx:
+                und.add((n, d))
+                und.add((d, n))
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+    deg = {n: len(v) for n, v in nbrs.items()}
+    from collections import defaultdict
+
+    acc = defaultdict(list)
+    for n in nbrs:
+        acc[deg[n]].append(sum(deg[b] for b in nbrs[n]) / deg[n])
+    for k, vals in acc.items():
+        r = rows[k]
+        assert r.n_nodes == len(vals)
+        assert abs(r.k_nn - sum(vals) / len(vals)) < 1e-3
+
+
+def test_weighted_kappa_perfect_agreement_is_one():
+    # identical ordinal raters: every off-diagonal O is 0 ->
+    # weighted observed disagreement 0 -> kappa_w = 1
+    o = {(i, i): 10 for i in range(5)}
+    n = 50
+    na = {i: 10 for i in range(5)}
+    wo = sum(abs(a - b) / 4 * o.get((a, b), 0) for a in range(5) for b in range(5))
+    we = sum(abs(a - b) / 4 * na[a] * na[b] / n for a in range(5) for b in range(5))
+    assert wo == 0 and we > 0
+
+
+def test_weighted_kappa_spark_bounds(spark):
+    from testlog_etl_spark.queries.llm_ops import eval_weighted_kappa
+
+    r = eval_weighted_kappa(spark, SF_SMALL).collect()[0]
+    # kappa_w in [-1, 1]; observed/expected disagreement non-negative
+    assert -1.0 - 1e-9 <= r.weighted_kappa <= 1.0 + 1e-9
+    assert r.weighted_observed >= 0 and r.weighted_expected > 0
+    assert abs(r.weighted_kappa - (1 - r.weighted_observed / r.weighted_expected)) < 1e-4
