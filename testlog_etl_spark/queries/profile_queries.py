@@ -1691,3 +1691,90 @@ def dq_id_time_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_month",
         )
     )
+
+
+@register(
+    "dq_ewma_control_chart",
+    doc="EWMA control chart over the integer-kilodollar daily revenue "
+    "series, lambda = 0.5 (dyadic): z_t = sum 2^-(t-i+1) v_i + "
+    "2^-t v_0-seed -- spelled as the bounded 32-day weighted window "
+    "(weights below 2^-32 are sub-ulp) so there is NO recursive "
+    "state; limits center +/- 3 sigma sqrt(lambda/(2-lambda) "
+    "(1 - (1-lambda)^(2t))) with the exact 0.25^t term. The "
+    "kilodollar series and dyadic weights keep both weighted sums "
+    "engine-exact; sigma's centered sum reassociates, so flagged "
+    "rows round their limits at 4. Emits only flagged days plus a "
+    "summary-friendly deterministic ORDER BY.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(SUM(o_totalprice) / 1000.0, 0) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+s AS (SELECT day, v, ROW_NUMBER() OVER (ORDER BY day) AS t FROM d),
+m AS (SELECT AVG(v * 1.0) AS mu, count(*)::BIGINT AS n FROM d),
+sig AS (SELECT sqrt(SUM((d.v - m.mu) * (d.v - m.mu)) / m.n) AS sigma FROM d, m GROUP BY m.n),
+z AS (
+  SELECT cur.day, cur.t, cur.v,
+         SUM(pow(2.0, -(cur.t - prev.t + 1)) * prev.v) AS znum,
+         SUM(pow(2.0, -(cur.t - prev.t + 1))) AS zden
+  FROM s cur JOIN s prev ON prev.t BETWEEN cur.t - 31 AND cur.t
+  GROUP BY cur.day, cur.t, cur.v
+),
+lim AS (
+  SELECT z.day, z.v, z.znum / z.zden AS ewma,
+         m.mu + 3 * sig.sigma * sqrt((0.5 / 1.5) * (1.0 - pow(0.25, z.t))) AS ucl,
+         m.mu - 3 * sig.sigma * sqrt((0.5 / 1.5) * (1.0 - pow(0.25, z.t))) AS lcl
+  FROM z, m, sig
+)
+SELECT day, v, ROUND(lim.ewma, 4) AS ewma, ROUND(lim.ucl, 4) AS ucl, ROUND(lim.lcl, 4) AS lcl
+FROM lim
+WHERE lim.ewma > lim.ucl OR lim.ewma < lim.lcl
+ORDER BY day
+""",
+)
+def dq_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    from pyspark.sql import Window as W
+
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") / 1000.0, 0).cast("long").alias("v")
+    )
+    s = d.select("day", "v", F.row_number().over(W.orderBy("day")).alias("t"))
+    m = d.agg(F.avg(F.col("v") * 1.0).alias("mu"), F.count(F.lit(1)).alias("n"))
+    sig = (
+        d.crossJoin(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))) / F.col("n")
+            ).alias("sigma")
+        )
+        .drop("n")
+    )
+    cur = s.select(F.col("day"), F.col("t").alias("ct"), F.col("v").alias("cv"))
+    prev = s.select(F.col("t").alias("pt"), F.col("v").alias("pv"))
+    w = F.pow(F.lit(2.0), -(F.col("ct") - F.col("pt") + 1))
+    z = (
+        cur.join(prev, F.col("pt").between(F.col("ct") - 31, F.col("ct")))
+        .groupBy("day", "ct", "cv")
+        .agg(F.sum(w * F.col("pv")).alias("znum"), F.sum(w).alias("zden"))
+    )
+    lim = z.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(sig)).select(
+        "day",
+        F.col("cv").alias("v"),
+        (F.col("znum") / F.col("zden")).alias("ewma"),
+        (
+            F.col("mu")
+            + 3 * F.col("sigma") * F.sqrt((0.5 / 1.5) * (1.0 - F.pow(F.lit(0.25), F.col("ct"))))
+        ).alias("ucl"),
+        (
+            F.col("mu")
+            - 3 * F.col("sigma") * F.sqrt((0.5 / 1.5) * (1.0 - F.pow(F.lit(0.25), F.col("ct"))))
+        ).alias("lcl"),
+    )
+    return (
+        lim.filter((F.col("ewma") > F.col("ucl")) | (F.col("ewma") < F.col("lcl")))
+        .select("day", "v", F.round("ewma", 4).alias("ewma"), F.round("ucl", 4).alias("ucl"), F.round("lcl", 4).alias("lcl"))
+        .orderBy("day")
+    )

@@ -4500,3 +4500,59 @@ def stats_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("var_s", 4).alias("var_s"),
         F.round(z, 4).alias("z_stat"),
     )
+
+
+@register(
+    "stats_hill_tail_index",
+    doc="Hill estimator of the revenue tail index: over the top-100 "
+    "order totals (TakeOrderedAndProject -- bounded frame), "
+    "alpha_hat = 1 / (mean of ln(x_i / x_(k+1))) using the 101st "
+    "value as the threshold, plus the implied tail survival exponent. "
+    "Raw parquet doubles feed ln() identically on both engines; the "
+    "k-term mean reassociates and is rounded at 4. The top-k cut is "
+    "made total by (value, key) ordering so both engines pick the "
+    "same 101 rows.",
+    oracle=f"""
+WITH top AS (
+  SELECT o_totalprice AS x,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 101
+),
+thr AS (SELECT x AS x_k1 FROM top WHERE rn = 101),
+h AS (
+  SELECT count(*)::BIGINT AS k, AVG(ln(top.x / thr.x_k1)) AS mean_log_ratio
+  FROM top, thr WHERE top.rn <= 100
+)
+SELECT k, ROUND((SELECT x_k1 FROM thr), 4) AS threshold,
+       ROUND(mean_log_ratio, {R}) AS mean_log_ratio,
+       ROUND(1.0 / mean_log_ratio, {R}) AS hill_alpha
+FROM h
+""",
+)
+def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    top = (
+        orders.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.col("x").desc(), "o_orderkey")
+        .limit(101)
+        .withColumn("rn", F.row_number().over(W.orderBy(F.col("x").desc(), "o_orderkey")))
+    )
+    thr = top.filter(F.col("rn") == 101).select(F.col("x").alias("x_k1"))
+    h = (
+        top.filter(F.col("rn") <= 100)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.avg(F.log(F.col("x") / F.col("x_k1"))).alias("mean_log_ratio"),
+            F.max("x_k1").alias("x_k1"),
+        )
+    )
+    return h.select(
+        F.col("k").cast("long").alias("k"),
+        F.round("x_k1", 4).alias("threshold"),
+        F.round("mean_log_ratio", R).alias("mean_log_ratio"),
+        F.round(1.0 / F.col("mean_log_ratio"), R).alias("hill_alpha"),
+    )

@@ -1312,3 +1312,49 @@ def test_weighted_kappa_spark_bounds(spark):
     assert -1.0 - 1e-9 <= r.weighted_kappa <= 1.0 + 1e-9
     assert r.weighted_observed >= 0 and r.weighted_expected > 0
     assert abs(r.weighted_kappa - (1 - r.weighted_observed / r.weighted_expected)) < 1e-4
+
+
+# ------------------------------------------- Hill / EWMA chart
+
+
+def test_hill_pareto_recovers_alpha():
+    # exact Pareto(alpha) quantiles: x_i = (i/n)^(-1/alpha) -> Hill ~ alpha
+    alpha, n, k = 2.5, 5000, 100
+    xs = sorted(((i + 1) / n) ** (-1 / alpha) for i in range(n))[::-1]
+    mean_lr = sum(math.log(xs[i] / xs[k]) for i in range(k)) / k
+    assert abs(1 / mean_lr - alpha) < 0.15
+
+
+def test_hill_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_hill_tail_index
+
+    r = stats_hill_tail_index(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    top = pdf.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(101)
+    xs = list(top.o_totalprice)
+    mean_lr = sum(math.log(x / xs[100]) for x in xs[:100]) / 100
+    assert r.k == 100
+    assert abs(r.threshold - xs[100]) < 1e-3
+    assert abs(r.hill_alpha - 1 / mean_lr) < 1e-3
+
+
+def test_ewma_chart_spark_matches_python(spark):
+    from testlog_etl_spark.queries.profile_queries import dq_ewma_control_chart
+
+    rows = {r.day: r for r in dq_ewma_control_chart(spark, SF_SMALL).collect()}
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    vs, days = _daily_kdollars(pdf)
+    mu = sum(vs) / len(vs)
+    sigma = math.sqrt(sum((v - mu) ** 2 for v in vs) / len(vs))
+    flagged = {}
+    for t in range(1, len(vs) + 1):
+        lo = max(1, t - 31)
+        num = sum(2.0 ** -(t - p + 1) * vs[p - 1] for p in range(lo, t + 1))
+        den = sum(2.0 ** -(t - p + 1) for p in range(lo, t + 1))
+        ewma = num / den
+        half = 3 * sigma * math.sqrt((0.5 / 1.5) * (1 - 0.25 ** t))
+        if ewma > mu + half or ewma < mu - half:
+            flagged[days[t - 1]] = ewma
+    assert set(rows) == set(flagged)
+    for day, r in rows.items():
+        assert abs(r.ewma - flagged[day]) < 1e-3

@@ -122,6 +122,14 @@ WHITELIST: dict[str, str] = {
         "per-DAY revenue rollup -- calendar-bounded day grid (the "
         "runs-test rationale)"
     ),
+    "stats_hill_tail_index": (
+        "rank window runs AFTER limit(101) -- 101-row frame (the "
+        "zipf_fit rationale)"
+    ),
+    "dq_ewma_control_chart": (
+        "day-index row_number runs over the per-DAY revenue rollup -- "
+        "calendar-bounded day grid (the runs-test rationale)"
+    ),
     "stats_page_hinkley": (
         "cumsum + running-min windows run over the per-DAY revenue "
         "rollup -- calendar-bounded day grid (the runs-test rationale)"
