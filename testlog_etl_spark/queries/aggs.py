@@ -2950,3 +2950,63 @@ def orders_fill_rate_service_level(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("order_month")
     )
+
+
+@register(
+    "agg_magnitude_histogram",
+    doc="HdrHistogram-flavor log-linear magnitude histogram of line "
+    "revenue in integer cents: major bucket = decimal magnitude "
+    "(digit count of the cent amount), minor bucket = leading digit "
+    "-- both derived from the integer's STRING form, so bucketing is "
+    "exact on both engines (floor(log10) on doubles can fall either "
+    "side of a power boundary by one ulp; digit count cannot). "
+    "Reports count, share, and min/max cents per (magnitude, lead) "
+    "cell. The whole thing is one rollup over per-row integer "
+    "arithmetic -- map-side combinable, the sketch shape that "
+    "replaces a full sort at 100 TB.",
+    oracle="""
+WITH c AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents FROM lineitem
+),
+b AS (
+  SELECT length(CAST(cents AS VARCHAR))::INT AS magnitude,
+         CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS lead_digit,
+         cents
+  FROM c
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM c)
+SELECT magnitude, lead_digit, count(*)::BIGINT AS n_rows,
+       count(*) * 1.0 / tot.n AS share,
+       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+FROM b, tot
+GROUP BY magnitude, lead_digit, tot.n
+ORDER BY magnitude, lead_digit
+""",
+)
+def agg_magnitude_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    c = li.select(F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"))
+    b = c.select(
+        F.length(F.col("cents").cast("string")).cast("int").alias("magnitude"),
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("lead_digit"),
+        "cents",
+    )
+    tot = c.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("magnitude", "lead_digit", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            "magnitude",
+            "lead_digit",
+            "n_rows",
+            (F.col("n_rows") * 1.0 / F.col("n")).alias("share"),
+            "min_cents",
+            "max_cents",
+        )
+        .orderBy("magnitude", "lead_digit")
+    )

@@ -7597,3 +7597,83 @@ def eval_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weighted_expected",
         "weighted_kappa",
     )
+
+
+@register(
+    "eval_average_precision",
+    doc="average precision (area under the PR curve by the step "
+    "integral) for the snapped quality score predicting lang = 'en': "
+    "AP = SUM over distinct descending scores of "
+    "(R_i - R_{i-1}) P_i. Works entirely on the per-SCORE rollup "
+    "(positives/negatives per distinct snapped value), cumulated in "
+    "score-descending order through the hierarchical scan -- the "
+    "exact metric eval_pr_curve's 19-threshold grid approximates. "
+    "All counts integral; each step's P_i and dR are exact integer "
+    "ratios; the final sum over distinct scores reassociates and is "
+    "rounded at 6.",
+    oracle=f"""
+WITH s AS (
+  SELECT floor((1.0 / (1.0 + exp(-({_quality_z_sql()})))) * 1048576 + 0.5) / 1048576 AS score,
+         (lang = 'en')::INT AS y
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+g AS (
+  SELECT score, SUM(y)::BIGINT AS np, count(*)::BIGINT AS n
+  FROM s GROUP BY score
+),
+c AS (
+  SELECT score, np, n,
+         SUM(np) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cum_p,
+         SUM(n) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM g
+),
+tot AS (SELECT SUM(np)::BIGINT AS p FROM g)
+SELECT (SELECT p FROM tot) AS n_positives,
+       count(*)::BIGINT AS n_distinct_scores,
+       ROUND(SUM((np * 1.0 / tot.p) * (cum_p * 1.0 / cum_n)), 6) AS average_precision
+FROM c, tot
+""",
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators import filtering
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    gs = F.lit(float(1 << 20))
+    score = F.floor(filtering.linear_quality_score(F.col("text")) * gs + F.lit(0.5)) / gs
+    s = docs.select(score.alias("score"), (F.col("lang") == "en").cast("int").alias("y"))
+    g = s.groupBy("score").agg(F.sum("y").alias("np"), F.count(F.lit(1)).alias("n"))
+    # cumulate positives and totals in score-DESC order via the scan:
+    # the distinct-score grain scales with the 2^20 grid occupancy
+    c = global_rank_cumsum(
+        g.withColumn("_np", F.col("np").cast("double")),
+        [F.col("score").desc()],
+        val_col="_np",
+        cum_out="cum_p",
+    )
+    c2 = global_rank_cumsum(
+        c.withColumn("_n", F.col("n").cast("double")).drop("i"),
+        [F.col("score").desc()],
+        val_col="_n",
+        rank_out="i2",
+        cum_out="cum_n",
+    )
+    tot = g.agg(F.sum("np").alias("p"))
+    return (
+        c2.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("p").alias("n_positives"),
+            F.count(F.lit(1)).alias("n_distinct_scores"),
+            F.round(
+                F.sum((F.col("np") * 1.0 / F.col("p")) * (F.col("cum_p") * 1.0 / F.col("cum_n"))),
+                6,
+            ).alias("average_precision"),
+        )
+        .select(
+            F.col("n_positives").cast("long").alias("n_positives"),
+            F.col("n_distinct_scores").cast("long").alias("n_distinct_scores"),
+            "average_precision",
+        )
+    )

@@ -203,8 +203,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    orders_fill_rate_service_level, dq_id_time_inversions,
     #    eval_bleu_ngram_precision, sql_union_by_name,
     #    graph_avg_neighbor_degree, eval_weighted_kappa,
-    #    stats_hill_tail_index, dq_ewma_control_chart.
-    #    (Registry: 502;
+    #    stats_hill_tail_index, dq_ewma_control_chart,
+    #    eval_average_precision, agg_magnitude_histogram.
+    #    (Registry: 504;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

@@ -1358,3 +1358,55 @@ def test_ewma_chart_spark_matches_python(spark):
     assert set(rows) == set(flagged)
     for day, r in rows.items():
         assert abs(r.ewma - flagged[day]) < 1e-3
+
+
+# --------------------------------- average precision / magnitude hist
+
+
+def test_average_precision_spark_matches_sklearn_style(spark):
+    from testlog_etl_spark.queries.llm_ops import eval_average_precision
+
+    r = eval_average_precision(spark, SF_SMALL).collect()[0]
+    # recompute AP from scratch: group by snapped score desc
+    from testlog_etl_spark.tables import load_tables
+    from testlog_etl_spark.operators import filtering
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    g = F.lit(float(1 << 20))
+    score = F.floor(filtering.linear_quality_score(F.col("text")) * g + F.lit(0.5)) / g
+    rows = docs.select(score.alias("s"), (F.col("lang") == "en").cast("int").alias("y")).collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for row in rows:
+        agg[row.s][0] += row.y
+        agg[row.s][1] += 1
+    p_tot = sum(v[0] for v in agg.values())
+    cum_p = cum_n = 0
+    ap = 0.0
+    for s in sorted(agg, reverse=True):
+        np_, n_ = agg[s]
+        cum_p += np_
+        cum_n += n_
+        ap += (np_ / p_tot) * (cum_p / cum_n)
+    assert r.n_positives == p_tot
+    assert r.n_distinct_scores == len(agg)
+    assert abs(r.average_precision - ap) < 1e-4
+    assert 0 < r.average_precision <= 1
+
+
+def test_magnitude_histogram_partitions_rows(spark):
+    from testlog_etl_spark.queries.aggs import agg_magnitude_histogram
+
+    rows = agg_magnitude_histogram(spark, SF_SMALL).collect()
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    assert sum(r.n_rows for r in rows) == len(li)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        # min/max stay inside the (magnitude, lead_digit) cell bounds
+        lo = r.lead_digit * 10 ** (r.magnitude - 1)
+        hi = (r.lead_digit + 1) * 10 ** (r.magnitude - 1) - 1
+        assert lo <= r.min_cents <= r.max_cents <= hi
