@@ -68,11 +68,12 @@ def register(
 # corpus_context_window_report, eval_score_calibration). This window
 # signs those three first, then the queries whose code changed this
 # round (graph_subtree_rollup's integral-division parent fix,
-# join_bloom_prefilter's `how` guard), then every operator ADDED in r07
-# -- BOTH sessions' batches, first driver rows, filling the window
+# join_bloom_prefilter's `how` guard), then operators ADDED in r07's
+# first two sessions -- first driver rows, filling the window
 # completely (no recurring-anchor slots this round; the anchors hold 2+
 # prior driver rows each and the full-registry local sweep re-verified
-# them, see the block comment below).
+# them). Sessions 3/4/5 registered after the window sealed; their
+# batches queue for r08 in the block comment below.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- late-r06 registrations (first driver rows; locally MATCH since r06)
     "dedup_source_overlap_matrix",
