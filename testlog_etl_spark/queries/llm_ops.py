@@ -7677,3 +7677,64 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "average_precision",
         )
     )
+
+
+@register(
+    "eval_matthews_correlation",
+    doc="Matthews correlation coefficient for the en-density rater's "
+    "is-English call (the eval_fleiss_kappa rater-C spelling) "
+    "against the stored label -- the chance-robust "
+    "single number that survives class imbalance where accuracy and "
+    "F1 mislead (the kappa sibling on the same confusion lineage): "
+    "MCC = (TP TN - FP FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)). "
+    "The four cells are exact integers and the expression is spelled "
+    "with the same operation order on both engines, so MCC is an "
+    "identical double, emitted unrounded.",
+    oracle="""
+WITH cell AS (
+  SELECT
+    SUM(CASE WHEN p AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+    SUM(CASE WHEN p AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp,
+    SUM(CASE WHEN NOT p AND y THEN 1 ELSE 0 END)::BIGINT AS fn,
+    SUM(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END)::BIGINT AS tn
+  FROM (
+    SELECT lang = 'en' AS y,
+      CASE WHEN text IS NULL THEN FALSE
+           WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))::DOUBLE
+                / greatest(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')), 1)
+                >= 0.03
+           THEN TRUE ELSE FALSE END AS p
+    FROM documents
+  )
+)
+SELECT tp, fp, fn, tn,
+       (tp * 1.0 * tn - fp * 1.0 * fn)
+         / sqrt((tp + fp) * 1.0 * (tp + fn) * ((tn + fp) * 1.0 * (tn + fn))) AS mcc
+FROM cell
+""",
+)
+def eval_matthews_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # predictor: the en-density rater (the eval_fleiss_kappa rater C
+    # spelling) -- en stopword ratio clears the 0.03 floor
+    p = F.coalesce(textstats.stopword_ratio(F.col("text"), "en") >= 0.03, F.lit(False))
+    cell = docs.select(
+        (F.col("lang") == "en").alias("y"), p.alias("p")
+    ).agg(
+        F.sum(F.when(F.col("p") & F.col("y"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("p") & ~F.col("y"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("p") & F.col("y"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("p") & ~F.col("y"), 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return cell.select(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        (
+            (tp * 1.0 * tn - fp * 1.0 * fn)
+            / F.sqrt((tp + fp) * 1.0 * (tp + fn) * ((tn + fp) * 1.0 * (tn + fn)))
+        ).alias("mcc"),
+    )

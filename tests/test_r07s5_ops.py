@@ -1410,3 +1410,26 @@ def test_magnitude_histogram_partitions_rows(spark):
         lo = r.lead_digit * 10 ** (r.magnitude - 1)
         hi = (r.lead_digit + 1) * 10 ** (r.magnitude - 1) - 1
         assert lo <= r.min_cents <= r.max_cents <= hi
+
+
+# ------------------------------------------------------------- MCC
+
+
+def test_mcc_spark_matches_sklearn_formula(spark):
+    from testlog_etl_spark.queries.llm_ops import eval_matthews_correlation
+
+    r = eval_matthews_correlation(spark, SF_SMALL).collect()[0]
+    n = r.tp + r.fp + r.fn + r.tn
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    assert n == len(pdf)
+    want = (r.tp * r.tn - r.fp * r.fn) / math.sqrt(
+        (r.tp + r.fp) * (r.tp + r.fn) * (r.tn + r.fp) * (r.tn + r.fn)
+    )
+    assert abs(r.mcc - want) < 1e-9
+    assert -1 <= r.mcc <= 1
+
+
+def test_mcc_perfect_classifier_is_one():
+    tp, tn, fp, fn = 40, 60, 0, 0
+    mcc = (tp * tn - fp * fn) / math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    assert abs(mcc - 1.0) < 1e-12
