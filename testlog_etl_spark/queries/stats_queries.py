@@ -4556,3 +4556,73 @@ def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_log_ratio", R).alias("mean_log_ratio"),
         F.round(1.0 / F.col("mean_log_ratio"), R).alias("hill_alpha"),
     )
+
+
+@register(
+    "stats_kendall_w",
+    doc="Kendall's coefficient of concordance W across three "
+    "deterministic 'raters' that each rank the five event types by a "
+    "different engagement metric (total events, total value, "
+    "distinct users): W = 12 S / (m^2 (n^3 - n)) with "
+    "S = SUM_i (R_i - m(n+1)/2)^2 over per-item rank sums. Ranks "
+    "come from row_number over the 5-row metric rollups (bounded "
+    "frames), ties broken by event_type so all three rankings are "
+    "total; every quantity is an exact integer until the one final "
+    "division, emitted unrounded. W = 1 means the three metrics "
+    "induce the same ordering; near 0 they disagree.",
+    oracle="""
+WITH m AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         SUM("value") AS total_value,
+         count(DISTINCT user_id)::BIGINT AS n_users
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (ORDER BY n_events DESC, event_type) AS r1,
+         ROW_NUMBER() OVER (ORDER BY total_value DESC, event_type) AS r2,
+         ROW_NUMBER() OVER (ORDER BY n_users DESC, event_type) AS r3
+  FROM m
+),
+cnt AS (SELECT count(*)::BIGINT AS n FROM r),
+s AS (
+  SELECT MAX(cnt.n) AS n,
+         SUM(POW(r1 + r2 + r3 - 3 * (cnt.n + 1) / 2.0, 2)) AS ss
+  FROM r, cnt
+)
+SELECT n AS n_items, 3 AS n_raters,
+       ss AS rank_spread,
+       12.0 * ss / (9.0 * (n * n * n - n)) AS kendall_w
+FROM s
+""",
+)
+def stats_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    r = m.select(
+        "event_type",
+        F.row_number().over(W.orderBy(F.col("n_events").desc(), "event_type")).alias("r1"),
+        F.row_number().over(W.orderBy(F.col("total_value").desc(), "event_type")).alias("r2"),
+        F.row_number().over(W.orderBy(F.col("n_users").desc(), "event_type")).alias("r3"),
+    )
+    n_w = W.partitionBy()
+    s = r.select(
+        (F.col("r1") + F.col("r2") + F.col("r3")).alias("rsum"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    ).groupBy("n").agg(
+        F.sum(F.pow(F.col("rsum") - 3 * (F.col("n") + 1) / 2.0, F.lit(2.0))).alias("ss")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.lit(3).alias("n_raters"),
+        F.col("ss").alias("rank_spread"),
+        (12.0 * F.col("ss") / (9.0 * (F.col("n") * F.col("n") * F.col("n") - F.col("n")))).alias(
+            "kendall_w"
+        ),
+    )

@@ -1433,3 +1433,44 @@ def test_mcc_perfect_classifier_is_one():
     tp, tn, fp, fn = 40, 60, 0, 0
     mcc = (tp * tn - fp * fn) / math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
     assert abs(mcc - 1.0) < 1e-12
+
+
+# -------------------------------------------------- Kendall's W
+
+
+def _kendall_w(rankings):
+    m, n = len(rankings), len(rankings[0])
+    rsums = [sum(r[i] for r in rankings) for i in range(n)]
+    mean = m * (n + 1) / 2
+    s = sum((x - mean) ** 2 for x in rsums)
+    return 12 * s / (m * m * (n ** 3 - n))
+
+
+def test_kendall_w_bounds():
+    # identical rankings -> W = 1; reversed pair for m=2 -> W = 0 is
+    # only reachable in expectation; check the exact extremes
+    assert abs(_kendall_w([[1, 2, 3], [1, 2, 3], [1, 2, 3]]) - 1.0) < 1e-12
+    assert _kendall_w([[1, 2, 3], [3, 2, 1]]) < 1e-12
+
+
+def test_kendall_w_spark_matches_python(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_kendall_w
+
+    r = stats_kendall_w(spark, SF_SMALL).collect()[0]
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    m = ev.groupby("event_type").agg(
+        n_events=("event_id", "count"),
+        total_value=("value", "sum"),
+        n_users=("user_id", "nunique"),
+    )
+    idx = sorted(m.index)
+
+    def ranking(col):
+        order = sorted(idx, key=lambda t: (-m.loc[t, col], t))
+        return {t: i + 1 for i, t in enumerate(order)}
+
+    rks = [ranking(c) for c in ("n_events", "total_value", "n_users")]
+    w = _kendall_w([[rk[t] for t in idx] for rk in rks])
+    assert r.n_items == len(idx) and r.n_raters == 3
+    assert abs(r.kendall_w - w) < 1e-9
+    assert 0 <= r.kendall_w <= 1

@@ -122,6 +122,11 @@ WHITELIST: dict[str, str] = {
         "per-DAY revenue rollup -- calendar-bounded day grid (the "
         "runs-test rationale)"
     ),
+    "stats_kendall_w": (
+        "the three ranking windows run over the per-EVENT-TYPE metric "
+        "rollup -- a fixed ~5-value enum frame (the jx_full_pipeline "
+        "rationale)"
+    ),
     "stats_hill_tail_index": (
         "rank window runs AFTER limit(101) -- 101-row frame (the "
         "zipf_fit rationale)"
