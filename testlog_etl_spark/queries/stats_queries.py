@@ -4626,3 +4626,78 @@ def stats_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kendall_w"
         ),
     )
+
+
+@register(
+    "stats_sign_test",
+    doc="paired sign test: 1996 vs 1995 daily revenue paired by "
+    "(month, day) -- did revenue rise year over year? S+ = days "
+    "where the 1996 side is strictly higher on the integer-"
+    "kilodollar series (exact comparisons; exact ties drop out, the "
+    "textbook treatment), continuity-corrected normal approximation "
+    "z = (S+ - n/2 -+ 1/2) / sqrt(n/4). Everything is integer until "
+    "the final z; the Feb-29 unpaired day drops out of the inner "
+    "join by construction.",
+    oracle="""
+WITH d AS (
+  SELECT EXTRACT(year FROM o_orderdate)::INT AS yr,
+         EXTRACT(month FROM o_orderdate)::INT AS mo,
+         EXTRACT(day FROM o_orderdate)::INT AS dy,
+         CAST(ROUND(SUM(o_totalprice) / 1000.0, 0) AS BIGINT) AS v
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT a.v AS v95, b.v AS v96
+  FROM d a JOIN d b ON b.mo = a.mo AND b.dy = a.dy AND a.yr = 1995 AND b.yr = 1996
+),
+s AS (
+  SELECT SUM(CASE WHEN v96 > v95 THEN 1 ELSE 0 END)::BIGINT AS s_plus,
+         SUM(CASE WHEN v96 < v95 THEN 1 ELSE 0 END)::BIGINT AS s_minus,
+         SUM(CASE WHEN v96 = v95 THEN 1 ELSE 0 END)::BIGINT AS n_ties
+  FROM p
+)
+SELECT s_plus, s_minus, n_ties,
+       CAST(s_plus + s_minus AS BIGINT) AS n_effective,
+       ROUND((s_plus - (s_plus + s_minus) / 2.0
+              - (CASE WHEN s_plus * 2 > s_plus + s_minus THEN 0.5
+                      WHEN s_plus * 2 < s_plus + s_minus THEN -0.5 ELSE 0.0 END))
+             / sqrt((s_plus + s_minus) / 4.0), 4) AS z_stat
+FROM s
+""",
+)
+def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = (
+        orders.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dy"),
+        )
+        .agg(F.round(F.sum("o_totalprice") / 1000.0, 0).cast("long").alias("v"))
+    )
+    a = d.filter(F.col("yr") == 1995).select("mo", "dy", F.col("v").alias("v95"))
+    b = d.filter(F.col("yr") == 1996).select(
+        F.col("mo").alias("mo2"), F.col("dy").alias("dy2"), F.col("v").alias("v96")
+    )
+    p = a.join(b, (F.col("mo2") == F.col("mo")) & (F.col("dy2") == F.col("dy")))
+    s = p.agg(
+        F.sum(F.when(F.col("v96") > F.col("v95"), 1).otherwise(0)).alias("s_plus"),
+        F.sum(F.when(F.col("v96") < F.col("v95"), 1).otherwise(0)).alias("s_minus"),
+        F.sum(F.when(F.col("v96") == F.col("v95"), 1).otherwise(0)).alias("n_ties"),
+    )
+    sp, sm = F.col("s_plus"), F.col("s_minus")
+    cc = (
+        F.when(sp * 2 > sp + sm, F.lit(0.5))
+        .when(sp * 2 < sp + sm, F.lit(-0.5))
+        .otherwise(F.lit(0.0))
+    )
+    return s.select(
+        sp.cast("long").alias("s_plus"),
+        sm.cast("long").alias("s_minus"),
+        F.col("n_ties").cast("long").alias("n_ties"),
+        (sp + sm).cast("long").alias("n_effective"),
+        F.round((sp - (sp + sm) / 2.0 - cc) / F.sqrt((sp + sm) / 4.0), R).alias("z_stat"),
+    )

@@ -1474,3 +1474,32 @@ def test_kendall_w_spark_matches_python(spark):
     assert r.n_items == len(idx) and r.n_raters == 3
     assert abs(r.kendall_w - w) < 1e-9
     assert 0 <= r.kendall_w <= 1
+
+
+# ---------------------------------------------------- sign test
+
+
+def test_sign_test_spark_matches_python(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_sign_test
+
+    r = stats_sign_test(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    pdf = pdf[pdf.o_orderdate.dt.year.isin([1995, 1996])]
+    d = pdf.assign(
+        yr=pdf.o_orderdate.dt.year,
+        mo=pdf.o_orderdate.dt.month,
+        dy=pdf.o_orderdate.dt.day,
+    ).groupby(["yr", "mo", "dy"]).o_totalprice.sum()
+    v = {k: int(math.floor(x / 1000.0 + 0.5)) for k, x in d.items()}
+    sp = sm = ties = 0
+    for (yr, mo, dy), val in v.items():
+        if yr != 1995 or (1996, mo, dy) not in v:
+            continue
+        o = v[(1996, mo, dy)]
+        sp += o > val
+        sm += o < val
+        ties += o == val
+    assert (r.s_plus, r.s_minus, r.n_ties) == (sp, sm, ties)
+    n = sp + sm
+    cc = 0.5 if sp * 2 > n else (-0.5 if sp * 2 < n else 0.0)
+    assert abs(r.z_stat - (sp - n / 2 - cc) / math.sqrt(n / 4)) < 1e-3
