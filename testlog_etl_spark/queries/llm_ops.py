@@ -7738,3 +7738,69 @@ def eval_matthews_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((tp + fp) * 1.0 * (tp + fn) * ((tn + fp) * 1.0 * (tn + fn)))
         ).alias("mcc"),
     )
+
+
+@register(
+    "text_ari_readability",
+    doc="Automated Readability Index per source -- the character-based "
+    "readability twin to text_readability's syllable-based Flesch "
+    "(ARI's inputs are exactly countable: letters, words, sentences; "
+    "no syllable heuristic): ARI = 4.71 chars/word + 0.5 "
+    "words/sentence - 21.43, averaged over docs. Characters count "
+    "non-space letters (length of the space-stripped token mass), "
+    "sentences split on [.!?]+ with an every-engine-identical regex; "
+    "all three counts are exact integers per doc, the per-doc ARI is "
+    "a fixed-order expression, and only the per-source mean "
+    "reassociates (rounded at 4).",
+    oracle="""
+WITH t AS (
+  SELECT source,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w,
+         greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                  s -> trim(s) <> '')), 1) AS sentences
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+d AS (
+  SELECT source,
+         COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS chars,
+         greatest(len(w), 1) AS words, sentences
+  FROM t WHERE len(w) > 0
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       ROUND(AVG(4.71 * chars / words + 0.5 * words / sentences - 21.43), 4) AS avg_ari,
+       ROUND(AVG(chars * 1.0 / words), 4) AS avg_chars_per_word,
+       ROUND(AVG(words * 1.0 / sentences), 4) AS avg_words_per_sentence
+FROM d GROUP BY source ORDER BY source
+""",
+)
+def text_ari_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    w = textstats.tokens(F.col("text"))
+    sentences = F.greatest(
+        F.size(F.filter(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    )
+    d = docs.filter(F.size(w) > 0).select(
+        "source",
+        F.coalesce(
+            F.aggregate(F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, e: a + e),
+            F.lit(0),
+        ).alias("chars"),
+        F.greatest(F.size(w), F.lit(1)).alias("words"),
+        sentences.alias("sentences"),
+    )
+    ari = 4.71 * F.col("chars") / F.col("words") + 0.5 * F.col("words") / F.col("sentences") - 21.43
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(ari), R).alias("avg_ari"),
+            F.round(F.avg(F.col("chars") * 1.0 / F.col("words")), R).alias("avg_chars_per_word"),
+            F.round(F.avg(F.col("words") * 1.0 / F.col("sentences")), R).alias(
+                "avg_words_per_sentence"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1157,3 +1157,50 @@ def sql_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "channel")
     )
+
+
+@register(
+    "source_csv_dropmalformed",
+    doc="CSV parse-mode surface beyond source_csv_roundtrip's "
+    "PERMISSIVE: a crafted block with three malformed rows (wrong "
+    "arity, non-numeric value, bare garbage) interleaved with good "
+    "rows, read under mode=DROPMALFORMED so bad rows vanish at the "
+    "parser (etl_quarantine_badrecords is the keep-and-route "
+    "sibling). Rows are WRITTEN as text lines so the corruption "
+    "survives the writer; the oracle reads the same scratch files "
+    "with DuckDB's ignore_errors. Readout: per-type counts + value "
+    "sums over the surviving rows; the oracle recomputes the expected "
+    "survivor set straight from the events table (the three crafted "
+    "rows are non-surviving by construction, so survivors == the "
+    "good rows).",
+    oracle="""
+SELECT event_type, count(*)::BIGINT AS n, ROUND(SUM("value"), 4) AS sum_value
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def source_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.streaming.jobs import fresh_scratch_dir
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    path = fresh_scratch_dir("csvbad")
+    good = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.concat_ws(",", "event_id", "event_type", F.col("value").cast("string")).alias("line")
+    )
+    bad = spark.createDataFrame(
+        [("1,click",), ("2,view,not_a_number",), ("garbage line with no commas",)],
+        "line string",
+    )
+    good.unionAll(bad).coalesce(4).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("event_id bigint, event_type string, value double")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    return (
+        back.filter(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), R).alias("sum_value"))
+        .orderBy("event_type")
+    )

@@ -206,8 +206,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    graph_avg_neighbor_degree, eval_weighted_kappa,
     #    stats_hill_tail_index, dq_ewma_control_chart,
     #    eval_average_precision, agg_magnitude_histogram,
-    #    eval_matthews_correlation, stats_kendall_w, stats_sign_test.
-    #    (Registry: 507;
+    #    eval_matthews_correlation, stats_kendall_w, stats_sign_test,
+    #    source_csv_dropmalformed, text_ari_readability.
+    #    (Registry: 509;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

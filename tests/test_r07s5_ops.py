@@ -1503,3 +1503,50 @@ def test_sign_test_spark_matches_python(spark):
     n = sp + sm
     cc = 0.5 if sp * 2 > n else (-0.5 if sp * 2 < n else 0.0)
     assert abs(r.z_stat - (sp - n / 2 - cc) / math.sqrt(n / 4)) < 1e-3
+
+
+# ----------------------------------------- DROPMALFORMED / ARI
+
+
+def test_dropmalformed_survivors_equal_good_rows(spark):
+    from testlog_etl_spark.queries.sources_queries import source_csv_dropmalformed
+
+    rows = {r.event_type: r for r in source_csv_dropmalformed(spark, SF_SMALL).collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    for et in ("click", "view"):
+        g = ev[ev.event_type == et]
+        assert rows[et].n == len(g)
+        assert abs(rows[et].sum_value - g.value.sum()) < 1e-2
+
+
+def _ari(text):
+    import re
+
+    w = [x for x in text.strip().split() if x]
+    chars = sum(len(x) for x in w)
+    words = max(len(w), 1)
+    sents = max(len([s for s in re.split(r"[.!?]+", text) if s.strip()]), 1)
+    return 4.71 * chars / words + 0.5 * words / sents - 21.43
+
+
+def test_ari_known_sentence():
+    # single 5-word, 21-letter sentence: ARI = 4.71*21/5 + 0.5*5 - 21.43
+    t = "the quick brown fox jumps."
+    # chars counts letters incl. trailing period token char ('jumps.')
+    got = _ari(t)
+    w = ["the", "quick", "brown", "fox", "jumps."]
+    want = 4.71 * sum(len(x) for x in w) / 5 + 0.5 * 5 / 1 - 21.43
+    assert abs(got - want) < 1e-12
+
+
+def test_ari_spark_matches_python(spark):
+    from testlog_etl_spark.queries.llm_ops import text_ari_readability
+
+    rows = {r.source: r for r in text_ari_readability(spark, SF_SMALL).collect()}
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    pdf = pdf[pdf.text.notna() & (pdf.text.str.strip() != "")]
+    for src, grp in pdf.groupby("source"):
+        vals = [_ari(t) for t in grp.text if t.strip().split()]
+        r = rows[src]
+        assert r.n_docs == len(vals)
+        assert abs(r.avg_ari - sum(vals) / len(vals)) < 1e-3
