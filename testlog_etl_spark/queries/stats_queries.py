@@ -4701,3 +4701,198 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sp + sm).cast("long").alias("n_effective"),
         F.round((sp - (sp + sm) / 2.0 - cc) / F.sqrt((sp + sm) / 4.0), R).alias("z_stat"),
     )
+
+
+@register(
+    "stats_cooks_distance",
+    doc="Cook's distance for the daily-revenue-on-day-index OLS: the "
+    "ten most influential days. For simple regression the leave-one-"
+    "out influence is closed-form from leverage h_i = 1/n + "
+    "(x_i - xbar)^2 / Sxx and residual e_i: "
+    "D_i = e_i^2 h_i / (2 s^2 (1 - h_i)^2). The series is integer "
+    "kilodollars on an integer day index, so the sufficient sums are "
+    "exact and every derived double is identical cross-engine; the "
+    "top-10 cut orders by (D desc, day) on those identical doubles. "
+    "D and friends are rounded at 6 for presentation only.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(SUM(o_totalprice) / 1000.0, 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+s AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) - 1 AS x FROM d),
+m AS (
+  SELECT count(*)::BIGINT AS n, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+         SUM(x * x)::BIGINT AS sxx_r, SUM(x * y)::BIGINT AS sxy_r
+  FROM s
+),
+fit AS (
+  SELECT n, sx * 1.0 / n AS xbar, sy * 1.0 / n AS ybar,
+         (sxy_r - sx * 1.0 * sy / n) / (sxx_r - sx * 1.0 * sx / n) AS b,
+         sxx_r - sx * 1.0 * sx / n AS sxx
+  FROM m
+),
+r AS (
+  SELECT s.day, s.x, s.y,
+         s.y - (fit.ybar - fit.b * fit.xbar) - fit.b * s.x AS e,
+         1.0 / fit.n + (s.x - fit.xbar) * (s.x - fit.xbar) / fit.sxx AS h,
+         fit.n
+  FROM s, fit
+),
+s2 AS (SELECT SUM(e * e) / (MAX(n) - 2) AS s2 FROM r),
+ck AS (
+  SELECT r.day, r.e, r.h,
+         r.e * r.e * r.h / (2.0 * s2.s2 * (1.0 - r.h) * (1.0 - r.h)) AS cook
+  FROM r, s2
+)
+SELECT day, ROUND(e, 6) AS residual, ROUND(h, 6) AS leverage,
+       ROUND(cook, 6) AS cooks_d
+FROM ck ORDER BY cook DESC, day LIMIT 10
+""",
+)
+def stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") / 1000.0, 0).cast("long").alias("y")
+    )
+    s = d.select("day", "y", (F.row_number().over(W.orderBy("day")) - 1).alias("x"))
+    m = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_r"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_r"),
+    )
+    fit = m.select(
+        "n",
+        (F.col("sx") * 1.0 / F.col("n")).alias("xbar"),
+        (F.col("sy") * 1.0 / F.col("n")).alias("ybar"),
+        (
+            (F.col("sxy_r") - F.col("sx") * 1.0 * F.col("sy") / F.col("n"))
+            / (F.col("sxx_r") - F.col("sx") * 1.0 * F.col("sx") / F.col("n"))
+        ).alias("b"),
+        (F.col("sxx_r") - F.col("sx") * 1.0 * F.col("sx") / F.col("n")).alias("sxx"),
+    )
+    r = s.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "n",
+        (F.col("y") - (F.col("ybar") - F.col("b") * F.col("xbar")) - F.col("b") * F.col("x")).alias("e"),
+        (1.0 / F.col("n") + (F.col("x") - F.col("xbar")) * (F.col("x") - F.col("xbar")) / F.col("sxx")).alias("h"),
+    )
+    s2 = r.agg((F.sum(F.col("e") * F.col("e")) / (F.max("n") - 2)).alias("s2"))
+    ck = r.crossJoin(F.broadcast(s2)).select(
+        "day",
+        "e",
+        "h",
+        (
+            F.col("e") * F.col("e") * F.col("h")
+            / (2.0 * F.col("s2") * (1.0 - F.col("h")) * (1.0 - F.col("h")))
+        ).alias("cook"),
+    )
+    return (
+        ck.orderBy(F.col("cook").desc(), "day")
+        .limit(10)
+        .select(
+            "day",
+            F.round("e", 6).alias("residual"),
+            F.round("h", 6).alias("leverage"),
+            F.round("cook", 6).alias("cooks_d"),
+        )
+    )
+
+
+@register(
+    "stats_breusch_pagan",
+    doc="Breusch-Pagan heteroskedasticity test on the same daily-"
+    "revenue OLS as stats_cooks_distance: regress squared residuals "
+    "on the day index; LM = n R^2 of that auxiliary regression "
+    "(chi-square, 1 dof). R^2 = corr^2 computed from exact-identical "
+    "sufficient sums (the e_i are identical doubles; their squares "
+    "and cross-products reassociate in the aggregate, so the "
+    "statistic is rounded at 4). Rising-variance revenue -- bigger "
+    "absolute residuals later in the series -- is exactly what this "
+    "catches and the OLS t-stats silently assume away.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(SUM(o_totalprice) / 1000.0, 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+s AS (SELECT y, ROW_NUMBER() OVER (ORDER BY day) - 1 AS x FROM d),
+m AS (
+  SELECT count(*)::BIGINT AS n, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+         SUM(x * x)::BIGINT AS sxx_r, SUM(x * y)::BIGINT AS sxy_r
+  FROM s
+),
+fit AS (
+  SELECT n, sx * 1.0 / n AS xbar, sy * 1.0 / n AS ybar,
+         (sxy_r - sx * 1.0 * sy / n) / (sxx_r - sx * 1.0 * sx / n) AS b
+  FROM m
+),
+r AS (
+  SELECT s.x, POW(s.y - (fit.ybar - fit.b * fit.xbar) - fit.b * s.x, 2) AS u
+  FROM s, fit
+),
+aux AS (
+  SELECT count(*)::BIGINT AS n, SUM(x * 1.0) AS sx, SUM(u) AS su,
+         SUM(x * 1.0 * x) AS sxx, SUM(u * u) AS suu, SUM(x * u) AS sxu
+  FROM r
+)
+SELECT n,
+       ROUND(POW((sxu - sx * su / n) / sqrt((sxx - sx * sx / n) * (suu - su * su / n)), 2), 4) AS r2_aux,
+       ROUND(n * POW((sxu - sx * su / n) / sqrt((sxx - sx * sx / n) * (suu - su * su / n)), 2), 4) AS lm_stat,
+       1 AS dof
+FROM aux
+""",
+)
+def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") / 1000.0, 0).cast("long").alias("y")
+    )
+    s = d.select("y", (F.row_number().over(W.orderBy("day")) - 1).alias("x"))
+    m = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_r"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_r"),
+    )
+    fit = m.select(
+        "n",
+        (F.col("sx") * 1.0 / F.col("n")).alias("xbar"),
+        (F.col("sy") * 1.0 / F.col("n")).alias("ybar"),
+        (
+            (F.col("sxy_r") - F.col("sx") * 1.0 * F.col("sy") / F.col("n"))
+            / (F.col("sxx_r") - F.col("sx") * 1.0 * F.col("sx") / F.col("n"))
+        ).alias("b"),
+    )
+    r = s.crossJoin(F.broadcast(fit)).select(
+        "x",
+        F.pow(
+            F.col("y") - (F.col("ybar") - F.col("b") * F.col("xbar")) - F.col("b") * F.col("x"),
+            F.lit(2.0),
+        ).alias("u"),
+    )
+    aux = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x") * 1.0).alias("sx"),
+        F.sum("u").alias("su"),
+        F.sum(F.col("x") * 1.0 * F.col("x")).alias("sxx"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("x") * F.col("u")).alias("sxu"),
+    )
+    corr = (F.col("sxu") - F.col("sx") * F.col("su") / F.col("n")) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        * (F.col("suu") - F.col("su") * F.col("su") / F.col("n"))
+    )
+    return aux.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.pow(corr, F.lit(2.0)), R).alias("r2_aux"),
+        F.round(F.col("n") * F.pow(corr, F.lit(2.0)), R).alias("lm_stat"),
+        F.lit(1).alias("dof"),
+    )

@@ -207,8 +207,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_hill_tail_index, dq_ewma_control_chart,
     #    eval_average_precision, agg_magnitude_histogram,
     #    eval_matthews_correlation, stats_kendall_w, stats_sign_test,
-    #    source_csv_dropmalformed, text_ari_readability.
-    #    (Registry: 509;
+    #    source_csv_dropmalformed, text_ari_readability,
+    #    stats_cooks_distance, stats_breusch_pagan.
+    #    (Registry: 511;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

@@ -1550,3 +1550,56 @@ def test_ari_spark_matches_python(spark):
         r = rows[src]
         assert r.n_docs == len(vals)
         assert abs(r.avg_ari - sum(vals) / len(vals)) < 1e-3
+
+
+# ------------------------------------- Cook's distance / BP test
+
+
+def _simple_ols(xs, ys):
+    n = len(xs)
+    xbar, ybar = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - xbar) ** 2 for x in xs)
+    b = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sxx
+    a = ybar - b * xbar
+    return a, b, sxx, xbar
+
+
+def test_cooks_distance_spark_matches_python(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_cooks_distance
+
+    rows = stats_cooks_distance(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    ys, days = _daily_kdollars(pdf)
+    xs = list(range(len(ys)))
+    a, b, sxx, xbar = _simple_ols(xs, ys)
+    n = len(xs)
+    es = [y - a - b * x for x, y in zip(xs, ys)]
+    s2 = sum(e * e for e in es) / (n - 2)
+    cooks = {}
+    for x, e, day in zip(xs, es, days):
+        h = 1 / n + (x - xbar) ** 2 / sxx
+        cooks[day] = e * e * h / (2 * s2 * (1 - h) ** 2)
+    top = sorted(cooks.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [r.day for r in rows] == [d for d, _ in top]
+    for r, (_, want) in zip(rows, top):
+        assert abs(r.cooks_d - want) < 1e-4
+        assert 0 < r.leverage < 1
+
+
+def test_breusch_pagan_spark_matches_python(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_breusch_pagan
+
+    r = stats_breusch_pagan(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    ys, _ = _daily_kdollars(pdf)
+    xs = list(range(len(ys)))
+    a, b, _, _ = _simple_ols(xs, ys)
+    us = [(y - a - b * x) ** 2 for x, y in zip(xs, ys)]
+    n = len(xs)
+    sxu = sum(x * u for x, u in zip(xs, us)) - sum(xs) * sum(us) / n
+    sxx = sum(x * x for x in xs) - sum(xs) ** 2 / n
+    suu = sum(u * u for u in us) - sum(us) ** 2 / n
+    r2 = (sxu / math.sqrt(sxx * suu)) ** 2
+    assert r.n == n
+    assert abs(r.r2_aux - r2) < 1e-3
+    assert abs(r.lm_stat - n * r2) < 2e-3 * n  # scaled tolerance

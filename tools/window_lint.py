@@ -122,6 +122,14 @@ WHITELIST: dict[str, str] = {
         "per-DAY revenue rollup -- calendar-bounded day grid (the "
         "runs-test rationale)"
     ),
+    "stats_cooks_distance": (
+        "day-index row_number runs over the per-DAY revenue rollup -- "
+        "calendar-bounded day grid (the runs-test rationale)"
+    ),
+    "stats_breusch_pagan": (
+        "day-index row_number runs over the per-DAY revenue rollup -- "
+        "calendar-bounded day grid (the runs-test rationale)"
+    ),
     "stats_kendall_w": (
         "the three ranking windows run over the per-EVENT-TYPE metric "
         "rollup -- a fixed ~5-value enum frame (the jx_full_pipeline "
