@@ -4896,3 +4896,106 @@ def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * F.pow(corr, F.lit(2.0)), R).alias("lm_stat"),
         F.lit(1).alias("dof"),
     )
+
+
+@register(
+    "stats_cmh_test",
+    doc="Cochran-Mantel-Haenszel test of urgent-priority -> return "
+    "association stratified by order YEAR (the confounder-adjusted "
+    "2x2 family: stats_simpsons_paradox_scan detects the reversal, "
+    "CMH tests the common odds ratio): per year the 2x2 is "
+    "(priority in urgent/high) x (order contains a returned line); "
+    "CMH = (|SUM a - SUM E| - 0.5)^2 / SUM Var with hypergeometric "
+    "E = n1 m1 / T and Var = n1 n0 m1 m0 / (T^2 (T-1)). Also "
+    "reports the Mantel-Haenszel pooled odds ratio "
+    "SUM(a d / T) / SUM(b c / T). All cells are exact integers; the "
+    "per-stratum terms are fixed-order expressions summed over ~7 "
+    "years, rounded at 4.",
+    oracle=f"""
+WITH ret AS (
+  SELECT l_orderkey, MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT EXTRACT(year FROM o.o_orderdate)::INT AS yr,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS exposed,
+         COALESCE(ret.returned, 0) AS returned
+  FROM orders o LEFT JOIN ret ON ret.l_orderkey = o.o_orderkey
+),
+k AS (
+  SELECT yr,
+         SUM(CASE WHEN exposed = 1 AND returned = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+         SUM(CASE WHEN exposed = 1 AND returned = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+         SUM(CASE WHEN exposed = 0 AND returned = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+         SUM(CASE WHEN exposed = 0 AND returned = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM o GROUP BY yr
+),
+t AS (
+  SELECT yr, a, b, c, d, a + b AS n1, c + d AS n0, a + c AS m1, b + d AS m0,
+         a + b + c + d AS tt
+  FROM k
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_strata,
+         SUM(a)::BIGINT AS sum_a,
+         SUM(n1 * 1.0 * m1 / tt) AS sum_e,
+         SUM(n1 * 1.0 * n0 * m1 * m0 / (tt * 1.0 * tt * (tt - 1))) AS sum_v,
+         SUM(a * 1.0 * d / tt) AS sum_ad,
+         SUM(b * 1.0 * c / tt) AS sum_bc
+  FROM t
+)
+SELECT n_strata, sum_a, ROUND(sum_e, {R}) AS expected_a,
+       ROUND(POW(ABS(sum_a - sum_e) - 0.5, 2) / sum_v, {R}) AS cmh_stat,
+       ROUND(sum_ad / sum_bc, {R}) AS mh_odds_ratio
+FROM agg
+""",
+)
+def stats_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    ret = t["lineitem"].groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("returned")
+    )
+    o = (
+        t["orders"]
+        .join(ret, t["orders"]["o_orderkey"] == ret["l_orderkey"], "left")
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)
+            .alias("exposed"),
+            F.coalesce(F.col("returned"), F.lit(0)).alias("returned"),
+        )
+    )
+    k = o.groupBy("yr").agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("returned") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("returned") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("returned") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("returned") == 0), 1).otherwise(0)).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    tcols = k.select(
+        "yr", a, b, c, d,
+        (a + b).alias("n1"), (c + d).alias("n0"),
+        (a + c).alias("m1"), (b + d).alias("m0"),
+        (a + b + c + d).alias("tt"),
+    )
+    agg = tcols.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("a").alias("sum_a"),
+        F.sum(F.col("n1") * 1.0 * F.col("m1") / F.col("tt")).alias("sum_e"),
+        F.sum(
+            F.col("n1") * 1.0 * F.col("n0") * F.col("m1") * F.col("m0")
+            / (F.col("tt") * 1.0 * F.col("tt") * (F.col("tt") - 1))
+        ).alias("sum_v"),
+        F.sum(F.col("a") * 1.0 * F.col("d") / F.col("tt")).alias("sum_ad"),
+        F.sum(F.col("b") * 1.0 * F.col("c") / F.col("tt")).alias("sum_bc"),
+    )
+    return agg.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("sum_a").cast("long").alias("sum_a"),
+        F.round("sum_e", R).alias("expected_a"),
+        F.round(
+            F.pow(F.abs(F.col("sum_a") - F.col("sum_e")) - 0.5, F.lit(2.0)) / F.col("sum_v"), R
+        ).alias("cmh_stat"),
+        F.round(F.col("sum_ad") / F.col("sum_bc"), R).alias("mh_odds_ratio"),
+    )

@@ -1603,3 +1603,37 @@ def test_breusch_pagan_spark_matches_python(spark):
     assert r.n == n
     assert abs(r.r2_aux - r2) < 1e-3
     assert abs(r.lm_stat - n * r2) < 2e-3 * n  # scaled tolerance
+
+
+# ------------------------------------------------------ CMH test
+
+
+def test_cmh_spark_matches_python(spark):
+    from testlog_etl_spark.queries.stats_queries import stats_cmh_test
+
+    r = stats_cmh_test(spark, SF_SMALL).collect()[0]
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    returned = li.groupby("l_orderkey").l_returnflag.apply(lambda s: int((s == "R").any()))
+    j = orders.copy()
+    j["yr"] = j.o_orderdate.dt.year
+    j["exposed"] = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"]).astype(int)
+    j["returned"] = j.o_orderkey.map(returned).fillna(0).astype(int)
+    sa = se = sv = sad = sbc = 0.0
+    strata = 0
+    for _, g in j.groupby("yr"):
+        a = int(((g.exposed == 1) & (g.returned == 1)).sum())
+        b = int(((g.exposed == 1) & (g.returned == 0)).sum())
+        c = int(((g.exposed == 0) & (g.returned == 1)).sum())
+        d = int(((g.exposed == 0) & (g.returned == 0)).sum())
+        T = a + b + c + d
+        sa += a
+        se += (a + b) * (a + c) / T
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (T * T * (T - 1))
+        sad += a * d / T
+        sbc += b * c / T
+        strata += 1
+    assert r.n_strata == strata and r.sum_a == sa
+    assert abs(r.expected_a - se) < 1e-3
+    assert abs(r.cmh_stat - (abs(sa - se) - 0.5) ** 2 / sv) < 1e-3
+    assert abs(r.mh_odds_ratio - sad / sbc) < 1e-3
