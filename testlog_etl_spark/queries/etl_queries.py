@@ -4860,3 +4860,80 @@ def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "compliance_subject_access_report",
+    doc="right-of-access (GDPR Art. 15) export manifest for a panel of "
+    "data subjects: for each subject (customers 1, 7, 42 -- the "
+    "compliance_delete_sweep panel shape), one row per table holding "
+    "their records with counts and first/last record timestamps -- "
+    "orders by custkey, line items through the order join, events by "
+    "user_id. The manifest is what an access-request pipeline "
+    "actually ships; at 100 TB each per-table probe is a semi-join "
+    "on the subject panel (broadcast), never a full scan of "
+    "unrelated subjects' data. Timestamps render as UTC strings "
+    "(TZ-proof).",
+    oracle="""
+WITH panel AS (SELECT unnest([1, 7, 42]) AS subject_id),
+o AS (
+  SELECT o_custkey AS subject_id, 'orders' AS table_name,
+         count(*)::BIGINT AS n_records,
+         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_record,
+         strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_record
+  FROM orders JOIN panel ON panel.subject_id = o_custkey
+  GROUP BY o_custkey
+),
+l AS (
+  SELECT o.o_custkey AS subject_id, 'lineitem' AS table_name,
+         count(*)::BIGINT AS n_records,
+         strftime(MIN(li.l_shipdate), '%Y-%m-%d %H:%M:%S') AS first_record,
+         strftime(MAX(li.l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_record
+  FROM lineitem li
+  JOIN orders o ON o.o_orderkey = li.l_orderkey
+  JOIN panel ON panel.subject_id = o.o_custkey
+  GROUP BY o.o_custkey
+),
+e AS (
+  SELECT user_id AS subject_id, 'events' AS table_name,
+         count(*)::BIGINT AS n_records,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_record,
+         strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_record
+  FROM events JOIN panel ON panel.subject_id = user_id
+  GROUP BY user_id
+)
+SELECT * FROM o UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e
+ORDER BY subject_id, table_name
+""",
+)
+def compliance_subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "lineitem", "events"))
+    panel = spark.createDataFrame([(1,), (7,), (42,)], "subject_id long")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def manifest(df, key, table, ts_col):
+        return (
+            df.join(F.broadcast(panel), df[key] == panel["subject_id"])
+            .groupBy("subject_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.date_format(F.min(ts_col), fmt).alias("first_record"),
+                F.date_format(F.max(ts_col), fmt).alias("last_record"),
+            )
+            .select(
+                "subject_id",
+                F.lit(table).alias("table_name"),
+                "n_records",
+                "first_record",
+                "last_record",
+            )
+        )
+
+    o = manifest(t["orders"], "o_custkey", "orders", "o_orderdate")
+    li = t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_custkey"),
+        t["lineitem"]["l_orderkey"] == F.col("o_orderkey"),
+    )
+    l = manifest(li, "o_custkey", "lineitem", "l_shipdate")
+    e = manifest(t["events"], "user_id", "events", "ts")
+    return o.unionAll(l).unionAll(e).orderBy("subject_id", "table_name")

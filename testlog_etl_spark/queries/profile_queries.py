@@ -1778,3 +1778,67 @@ def dq_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "v", F.round("ewma", 4).alias("ewma"), F.round("ucl", 4).alias("ucl"), F.round("lcl", 4).alias("lcl"))
         .orderBy("day")
     )
+
+
+@register(
+    "dq_volumetric_anomaly_wow",
+    doc="week-over-week volume anomaly alerts per event type: weekly "
+    "event counts (ISO-agnostic week key = days-since-epoch div 7, "
+    "TZ-proof and identical on both engines), percentage change vs "
+    "the prior week, alert when |change| > 40%. The per-(type, week) "
+    "rollup is the only data-scale shuffle; the lag runs over the "
+    "calendar-bounded week grid per type. Counts integral; pct "
+    "change is an exact integer ratio emitted unrounded.",
+    oracle="""
+WITH w AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS wk,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+l AS (
+  SELECT event_type, wk, n,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n,
+         LAG(wk) OVER (PARTITION BY event_type ORDER BY wk) AS prev_wk
+  FROM w
+)
+SELECT event_type, wk AS week_index, n, prev_n,
+       (n - prev_n) * 1.0 / prev_n AS pct_change
+FROM l
+WHERE prev_n IS NOT NULL AND prev_wk = wk - 1
+  AND ABS((n - prev_n) * 1.0 / prev_n) > 0.4
+ORDER BY event_type, week_index
+""",
+)
+def dq_volumetric_anomaly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = ev.groupBy(
+        "event_type",
+        F.floor(F.floor(F.unix_timestamp("ts") / 86400) / 7).cast("long").alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    seq = W.partitionBy("event_type").orderBy("wk")
+    l = w.select(
+        "event_type",
+        "wk",
+        "n",
+        F.lag("n").over(seq).alias("prev_n"),
+        F.lag("wk").over(seq).alias("prev_wk"),
+    )
+    pct = (F.col("n") - F.col("prev_n")) * 1.0 / F.col("prev_n")
+    return (
+        l.filter(
+            F.col("prev_n").isNotNull()
+            & (F.col("prev_wk") == F.col("wk") - 1)
+            & (F.abs(pct) > 0.4)
+        )
+        .select(
+            "event_type",
+            F.col("wk").alias("week_index"),
+            "n",
+            "prev_n",
+            pct.alias("pct_change"),
+        )
+        .orderBy("event_type", "week_index")
+    )

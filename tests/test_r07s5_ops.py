@@ -1637,3 +1637,53 @@ def test_cmh_spark_matches_python(spark):
     assert abs(r.expected_a - se) < 1e-3
     assert abs(r.cmh_stat - (abs(sa - se) - 0.5) ** 2 / sv) < 1e-3
     assert abs(r.mh_odds_ratio - sad / sbc) < 1e-3
+
+
+# ------------------------------------- access report / WoW anomaly
+
+
+def test_subject_access_report_counts(spark):
+    from testlog_etl_spark.queries.etl_queries import compliance_subject_access_report
+
+    rows = compliance_subject_access_report(spark, SF_SMALL).collect()
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    got = {(r.subject_id, r.table_name): r for r in rows}
+    for sid in (1, 7, 42):
+        o = orders[orders.o_custkey == sid]
+        if len(o):
+            assert got[(sid, "orders")].n_records == len(o)
+            keys = set(o.o_orderkey)
+            l = li[li.l_orderkey.isin(keys)]
+            if len(l):
+                assert got[(sid, "lineitem")].n_records == len(l)
+        e = ev[ev.user_id == sid]
+        if len(e):
+            r = got[(sid, "events")].n_records
+            assert r == len(e)
+    # no rows for subjects/tables with zero records
+    for key, r in got.items():
+        assert r.n_records > 0
+        assert r.first_record <= r.last_record
+
+
+def test_wow_anomaly_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.profile_queries import dq_volumetric_anomaly_wow
+
+    rows = {(r.event_type, r.week_index): r for r in dq_volumetric_anomaly_wow(spark, SF_SMALL).collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    epoch_days = ((ev.ts - pd.Timestamp("1970-01-01")).dt.total_seconds() // 86400).astype(int)
+    ev = ev.assign(wk=epoch_days // 7)
+    want = {}
+    for et, g in ev.groupby("event_type"):
+        weekly = g.groupby("wk").size().sort_index()
+        for prev_wk, wk in zip(weekly.index, weekly.index[1:]):
+            if wk != prev_wk + 1:
+                continue
+            pct = (weekly[wk] - weekly[prev_wk]) / weekly[prev_wk]
+            if abs(pct) > 0.4:
+                want[(et, wk)] = pct
+    assert set(rows) == set(want)
+    for k, pct in want.items():
+        assert abs(rows[k].pct_change - pct) < 1e-12
