@@ -4999,3 +4999,68 @@ def stats_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cmh_stat"),
         F.round(F.col("sum_ad") / F.col("sum_bc"), R).alias("mh_odds_ratio"),
     )
+
+
+@register(
+    "stats_distribution_fit_moments",
+    doc="method-of-moments distribution fits for order totals per "
+    "priority -- the parametric summary a pricing model starts from: "
+    "Gamma (shape = mean^2/var, scale = var/mean) and lognormal "
+    "(mu/sigma^2 from the ln-value moments), plus each fit's implied "
+    "mean-of-logs gap as a cheap which-fits-better signal (for "
+    "Gamma, E[ln X] = digamma(k) + ln theta ~ ln(k theta) - 1/(2k) "
+    "-- the second-order Stirling approximation, spelled identically "
+    "on both engines). Two-pass centered moments on both the raw and "
+    "log scales; rounded at 4.",
+    oracle=f"""
+WITH m AS (
+  SELECT o_orderpriority, AVG(o_totalprice) AS mu, AVG(ln(o_totalprice)) AS lmu,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT o.o_orderpriority, MAX(m.n) AS n, MAX(m.mu) AS mu, MAX(m.lmu) AS lmu,
+         SUM(POW(o.o_totalprice - m.mu, 2)) / MAX(m.n) AS var,
+         SUM(POW(ln(o.o_totalprice) - m.lmu, 2)) / MAX(m.n) AS lvar
+  FROM orders o JOIN m USING (o_orderpriority) GROUP BY 1
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+       ROUND(mu * mu / var, {R}) AS gamma_shape,
+       ROUND(var / mu, {R}) AS gamma_scale,
+       ROUND(lmu, {R}) AS lognorm_mu,
+       ROUND(sqrt(lvar), {R}) AS lognorm_sigma,
+       ROUND(ABS((ln(mu * mu / var * (var / mu)) - 1.0 / (2.0 * mu * mu / var)) - lmu), {R}) AS gamma_logmean_gap
+FROM c ORDER BY o_orderpriority
+""",
+)
+def stats_distribution_fit_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    m = orders.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.avg(F.log("o_totalprice")).alias("lmu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c = (
+        orders.join(F.broadcast(m), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("mu").alias("mu"),
+            F.max("lmu").alias("lmu"),
+            (F.sum((F.col("o_totalprice") - F.col("mu")) ** 2) / F.max("n")).alias("var"),
+            (F.sum((F.log("o_totalprice") - F.col("lmu")) ** 2) / F.max("n")).alias("lvar"),
+        )
+    )
+    shape = F.col("mu") * F.col("mu") / F.col("var")
+    scale = F.col("var") / F.col("mu")
+    return c.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.round(shape, R).alias("gamma_shape"),
+        F.round(scale, R).alias("gamma_scale"),
+        F.round("lmu", R).alias("lognorm_mu"),
+        F.round(F.sqrt("lvar"), R).alias("lognorm_sigma"),
+        F.round(
+            F.abs((F.log(shape * scale) - 1.0 / (2.0 * shape)) - F.col("lmu")), R
+        ).alias("gamma_logmean_gap"),
+    ).orderBy("o_orderpriority")

@@ -209,8 +209,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    eval_matthews_correlation, stats_kendall_w, stats_sign_test,
     #    source_csv_dropmalformed, text_ari_readability,
     #    stats_cooks_distance, stats_breusch_pagan, stats_cmh_test,
-    #    compliance_subject_access_report, dq_volumetric_anomaly_wow.
-    #    (Registry: 514;
+    #    compliance_subject_access_report, dq_volumetric_anomaly_wow,
+    #    stats_distribution_fit_moments.
+    #    (Registry: 515;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

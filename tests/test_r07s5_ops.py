@@ -1687,3 +1687,32 @@ def test_wow_anomaly_spark_matches_pandas(spark):
     assert set(rows) == set(want)
     for k, pct in want.items():
         assert abs(rows[k].pct_change - pct) < 1e-12
+
+
+# -------------------------------------------- distribution fits
+
+
+def test_gamma_mom_recovers_parameters():
+    # exact gamma moments: shape k, scale th -> mean k*th, var k*th^2
+    k, th = 3.0, 2.5
+    mean, var = k * th, k * th * th
+    assert abs(mean * mean / var - k) < 1e-12
+    assert abs(var / mean - th) < 1e-12
+
+
+def test_distribution_fit_spark_matches_pandas(spark):
+    import numpy as np
+    from testlog_etl_spark.queries.stats_queries import stats_distribution_fit_moments
+
+    rows = {r.o_orderpriority: r for r in stats_distribution_fit_moments(spark, SF_SMALL).collect()}
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    for g, grp in pdf.groupby("o_orderpriority"):
+        x = grp.o_totalprice.values
+        mu, var = x.mean(), x.var()
+        lx = np.log(x)
+        r = rows[g]
+        assert abs(r.gamma_shape - mu * mu / var) < 1e-2
+        assert abs(r.gamma_scale - var / mu) < 1e-2
+        assert abs(r.lognorm_mu - lx.mean()) < 1e-3
+        assert abs(r.lognorm_sigma - lx.std()) < 1e-3
+        assert r.gamma_logmean_gap >= 0
