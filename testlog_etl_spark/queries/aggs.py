@@ -3010,3 +3010,117 @@ def agg_magnitude_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("magnitude", "lead_digit")
     )
+
+
+@register(
+    "orders_lines_per_order_histogram",
+    doc="basket-size distribution: histogram of line items per order "
+    "(including the exact count of header-only orders via the left "
+    "join), with the share column as an exact integer ratio. Two "
+    "rollups: per-order line counts, then the count-of-counts -- the "
+    "same frequency-of-frequencies shape as text_good_turing_mass on "
+    "the transactional side; map-side combinable end to end.",
+    oracle="""
+WITH per AS (
+  SELECT o.o_orderkey, COALESCE(l.cnt, 0) AS n_lines
+  FROM orders o
+  LEFT JOIN (SELECT l_orderkey, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1) l
+    ON l.l_orderkey = o.o_orderkey
+),
+h AS (SELECT n_lines, count(*)::BIGINT AS n_orders FROM per GROUP BY n_lines),
+tot AS (SELECT SUM(n_orders)::BIGINT AS n FROM h)
+SELECT n_lines, n_orders, n_orders * 1.0 / tot.n AS share
+FROM h, tot ORDER BY n_lines
+""",
+)
+def orders_lines_per_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    cnt = t["lineitem"].groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    per = t["orders"].join(cnt, t["orders"]["o_orderkey"] == cnt["l_orderkey"], "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("n_lines")
+    )
+    h = per.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = h.agg(F.sum("n_orders").alias("n"))
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .select("n_lines", "n_orders", (F.col("n_orders") * 1.0 / F.col("n")).alias("share"))
+        .orderBy("n_lines")
+    )
+
+
+@register(
+    "attribution_window_sweep",
+    doc="conversion-window sensitivity for click -> purchase "
+    "attribution: per purchase event, the gap to the SAME user's "
+    "most recent prior click (forward-filled last-click timestamp "
+    "over the user's event sequence); the sweep reports, for "
+    "lookback windows of 1 / 3 / 7 / 30 days, how many purchases "
+    "attribute -- the number the last-touch model (attribution_"
+    "last_touch) silently conditions on. ONE user-keyed exchange "
+    "shared by the ordered window; gaps are integer seconds so "
+    "window membership is exact.",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_type, event_id,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+  FROM events
+),
+p AS (
+  SELECT CAST(floor(epoch(ts)) - floor(epoch(last_click)) AS BIGINT) AS gap_s
+  FROM seq WHERE event_type = 'purchase'
+),
+g AS (SELECT unnest([1, 3, 7, 30]) AS window_days)
+SELECT g.window_days::INT AS window_days,
+       (SELECT count(*) FROM p)::BIGINT AS n_purchases,
+       SUM(CASE WHEN p.gap_s IS NOT NULL AND p.gap_s <= g.window_days * 86400
+                THEN 1 ELSE 0 END)::BIGINT AS attributed,
+       SUM(CASE WHEN p.gap_s IS NOT NULL AND p.gap_s <= g.window_days * 86400
+                THEN 1 ELSE 0 END) * 1.0 / (SELECT count(*) FROM p) AS attribution_rate
+FROM g LEFT JOIN p ON TRUE
+GROUP BY g.window_days
+ORDER BY window_days
+""",
+)
+def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w).alias("last_click"),
+    )
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        (
+            F.floor(F.unix_timestamp("ts")) - F.floor(F.unix_timestamp("last_click"))
+        ).cast("long").alias("gap_s")
+    )
+    grid = spark.createDataFrame([(1,), (3,), (7,), (30,)], "window_days int")
+    tot = p.agg(F.count(F.lit(1)).alias("n_purchases"))
+    return (
+        F.broadcast(grid)
+        .join(p, F.lit(True), "left")
+        .groupBy("window_days")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap_s").isNotNull()
+                    & (F.col("gap_s") <= F.col("window_days").cast("long") * 86400),
+                    1,
+                ).otherwise(0)
+            ).alias("attributed")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "window_days",
+            F.col("n_purchases").cast("long").alias("n_purchases"),
+            F.col("attributed").cast("long").alias("attributed"),
+            (F.col("attributed") * 1.0 / F.col("n_purchases")).alias("attribution_rate"),
+        )
+        .orderBy("window_days")
+    )

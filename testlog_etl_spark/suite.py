@@ -210,8 +210,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    source_csv_dropmalformed, text_ari_readability,
     #    stats_cooks_distance, stats_breusch_pagan, stats_cmh_test,
     #    compliance_subject_access_report, dq_volumetric_anomaly_wow,
-    #    stats_distribution_fit_moments.
-    #    (Registry: 515;
+    #    stats_distribution_fit_moments,
+    #    orders_lines_per_order_histogram, attribution_window_sweep.
+    #    (Registry: 517;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

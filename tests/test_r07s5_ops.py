@@ -1716,3 +1716,48 @@ def test_distribution_fit_spark_matches_pandas(spark):
         assert abs(r.lognorm_mu - lx.mean()) < 1e-3
         assert abs(r.lognorm_sigma - lx.std()) < 1e-3
         assert r.gamma_logmean_gap >= 0
+
+
+# -------------------------------- basket histogram / window sweep
+
+
+def test_basket_histogram_partitions_orders(spark):
+    from testlog_etl_spark.queries.aggs import orders_lines_per_order_histogram
+
+    rows = orders_lines_per_order_histogram(spark, SF_SMALL).collect()
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    per = li.groupby("l_orderkey").size()
+    from collections import Counter
+
+    want = Counter(per.reindex(orders.o_orderkey, fill_value=0))
+    got = {r.n_lines: r.n_orders for r in rows}
+    assert got == dict(want)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+
+
+def test_attribution_sweep_monotone_and_exact(spark):
+    from testlog_etl_spark.queries.aggs import attribution_window_sweep
+
+    rows = attribution_window_sweep(spark, SF_SMALL).collect()
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    want = {w: 0 for w in (1, 3, 7, 30)}
+    n_purch = 0
+    for _, g in ev.groupby("user_id"):
+        last_click = None
+        for _, e in g.iterrows():
+            if e.event_type == "purchase":
+                n_purch += 1
+                if last_click is not None:
+                    gap = int(e.ts.timestamp()) - int(last_click.timestamp())
+                    for w in want:
+                        if gap <= w * 86400:
+                            want[w] += 1
+            if e.event_type == "click":
+                last_click = e.ts
+    got = {r.window_days: r for r in rows}
+    assert all(got[w].attributed == c for w, c in want.items())
+    assert all(got[w].n_purchases == n_purch for w in want)
+    # monotone in the window size
+    ws = sorted(want)
+    assert all(want[a] <= want[b] for a, b in zip(ws, ws[1:]))
