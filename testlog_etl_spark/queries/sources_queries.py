@@ -1204,3 +1204,71 @@ def source_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), R).alias("sum_value"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "sql_named_window_clause",
+    doc="named WINDOW clause surface: one window spec (per-customer "
+    "order sequence) declared once and shared by row_number, a lag "
+    "diff, and a running sum -- the ANSI spelling both engines parse "
+    "natively (Catalyst expands every reference to the same spec, so "
+    "the plan carries ONE exchange). The running sum uses the DEFAULT "
+    "ordered frame on both engines -- RANGE UNBOUNDED PRECEDING to "
+    "CURRENT ROW, equal to the ROWS frame because the ordering is "
+    "made unique by the o_orderkey tie-break. Day arithmetic is "
+    "integral.",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER w AS order_seq,
+       date_diff('day', LAG(CAST(o_orderdate AS DATE)) OVER w,
+                 CAST(o_orderdate AS DATE)) AS days_since_prev,
+       ROUND(SUM(o_totalprice) OVER w, 4) AS lifetime_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_seq
+""",
+)
+def sql_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    orders.createOrReplaceTempView("orders_named_window_src")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS order_seq,
+               datediff(CAST(o_orderdate AS DATE),
+                        LAG(CAST(o_orderdate AS DATE)) OVER w) AS days_since_prev,
+               ROUND(SUM(o_totalprice) OVER w, 4) AS lifetime_spend
+        FROM orders_named_window_src
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, order_seq
+        """
+    )
+
+
+@register(
+    "sql_group_by_all",
+    doc="GROUP BY ALL surface (Spark 3.4+ / DuckDB): every non-"
+    "aggregate select item becomes a grouping key -- the dialect "
+    "shorthand that removes the classic stale-GROUP-BY-list bug when "
+    "a dimension is added to the select. Readout: revenue by "
+    "(year, priority, returnflag-free orders grain).",
+    oracle="""
+SELECT EXTRACT(year FROM o_orderdate)::INT AS yr, o_orderpriority,
+       count(*)::BIGINT AS n, ROUND(SUM(o_totalprice), 4) AS revenue
+FROM orders
+GROUP BY ALL
+ORDER BY yr, o_orderpriority
+""",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    orders.createOrReplaceTempView("orders_gba_src")
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority,
+               count(*) AS n, ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders_gba_src
+        GROUP BY ALL
+        ORDER BY yr, o_orderpriority
+        """
+    )

@@ -211,8 +211,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_cooks_distance, stats_breusch_pagan, stats_cmh_test,
     #    compliance_subject_access_report, dq_volumetric_anomaly_wow,
     #    stats_distribution_fit_moments,
-    #    orders_lines_per_order_histogram, attribution_window_sweep.
-    #    (Registry: 517;
+    #    orders_lines_per_order_histogram, attribution_window_sweep,
+    #    sql_named_window_clause, sql_group_by_all.
+    #    (Registry: 519;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

@@ -1761,3 +1761,42 @@ def test_attribution_sweep_monotone_and_exact(spark):
     # monotone in the window size
     ws = sorted(want)
     assert all(want[a] <= want[b] for a, b in zip(ws, ws[1:]))
+
+
+# ---------------------------------- named WINDOW / GROUP BY ALL
+
+
+def test_named_window_clause_values(spark):
+    from testlog_etl_spark.queries.sources_queries import sql_named_window_clause
+
+    rows = sql_named_window_clause(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet").sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    assert len(rows) == len(pdf)
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for ck, grp in pdf.groupby("o_custkey"):
+        got = by_cust[ck]
+        assert [g.order_seq for g in got] == list(range(1, len(grp) + 1))
+        assert got[0].days_since_prev is None
+        run = 0.0
+        for g, (_, o) in zip(got, grp.iterrows()):
+            run += o.o_totalprice
+            assert abs(g.lifetime_spend - run) < 1e-2
+
+
+def test_group_by_all_matches_explicit(spark):
+    from testlog_etl_spark.queries.sources_queries import sql_group_by_all
+
+    rows = sql_group_by_all(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    pdf["yr"] = pdf.o_orderdate.dt.year
+    want = pdf.groupby(["yr", "o_orderpriority"]).agg(
+        n=("o_orderkey", "count"), revenue=("o_totalprice", "sum")
+    )
+    assert len(rows) == len(want)
+    for r in rows:
+        w = want.loc[(r.yr, r.o_orderpriority)]
+        assert r.n == w.n and abs(r.revenue - w.revenue) < 1e-2
