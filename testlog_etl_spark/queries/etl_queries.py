@@ -4937,3 +4937,91 @@ def compliance_subject_access_report(spark: SparkSession, sf_dir: str) -> DataFr
     l = manifest(li, "o_custkey", "lineitem", "l_shipdate")
     e = manifest(t["events"], "user_id", "events", "ts")
     return o.unionAll(l).unionAll(e).orderBy("subject_id", "table_name")
+
+
+@register(
+    "events_position_in_session_ctr",
+    doc="position-in-session behavior decay: sessionize each user's "
+    "events with the standard 30-minute gap rule (one user-keyed "
+    "exchange shared by the gap lag, the session-id running sum, and "
+    "the position row_number -- the sessionize_batch plan shape), "
+    "then report, per within-session position bucket (1, 2, 3, 4-5, "
+    "6-10, 11+), event counts and the purchase share at that "
+    "position -- the engagement-decay curve. Counts integral; the "
+    "share is an exact integer ratio emitted unrounded.",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(LAG(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+),
+pos AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS p
+  FROM sess
+),
+b AS (
+  SELECT CASE WHEN p = 1 THEN '1' WHEN p = 2 THEN '2' WHEN p = 3 THEN '3'
+              WHEN p <= 5 THEN '4-5' WHEN p <= 10 THEN '6-10' ELSE '11+' END AS position_bucket,
+         (event_type = 'purchase')::INT AS y
+  FROM pos
+)
+SELECT position_bucket, count(*)::BIGINT AS n_events,
+       SUM(y)::BIGINT AS n_purchases,
+       SUM(y) * 1.0 / count(*) AS purchase_share
+FROM b GROUP BY position_bucket ORDER BY position_bucket
+""",
+)
+def events_position_in_session_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(u)
+    new_session = F.when(
+        prev.isNull()
+        | ((F.floor(F.unix_timestamp("ts")) - F.floor(F.unix_timestamp(prev))) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(u.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    pos = sess.withColumn(
+        "p",
+        F.row_number().over(
+            W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        ),
+    )
+    bucket = (
+        F.when(F.col("p") == 1, "1")
+        .when(F.col("p") == 2, "2")
+        .when(F.col("p") == 3, "3")
+        .when(F.col("p") <= 5, "4-5")
+        .when(F.col("p") <= 10, "6-10")
+        .otherwise("11+")
+    )
+    b = pos.select(
+        bucket.alias("position_bucket"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return (
+        b.groupBy("position_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("y").cast("long").alias("n_purchases"))
+        .select(
+            "position_bucket",
+            "n_events",
+            "n_purchases",
+            (F.col("n_purchases") * 1.0 / F.col("n_events")).alias("purchase_share"),
+        )
+        .orderBy("position_bucket")
+    )

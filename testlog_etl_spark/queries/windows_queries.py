@@ -3576,3 +3576,85 @@ def stats_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_alarms").cast("long").alias("n_alarms"),
         "first_alarm_day",
     )
+
+
+@register(
+    "ts_derivative_profile",
+    doc="discrete derivative profile of the integer-kilodollar daily "
+    "revenue series: central-difference velocity "
+    "(v_{t+1} - v_{t-1})/2, second difference acceleration "
+    "v_{t+1} - 2 v_t + v_{t-1} (both exact: integer numerators, "
+    "dyadic 1/2), plus the summary row counts of inflection points "
+    "(acceleration sign changes) and direction reversals (velocity "
+    "sign changes). Windows run on the calendar-bounded day grid; "
+    "everything is emitted unrounded.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(SUM(o_totalprice) / 1000.0, 0) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT day, v,
+         LAG(v) OVER (ORDER BY day) AS pv,
+         LEAD(v) OVER (ORDER BY day) AS nv
+  FROM d
+),
+dv AS (
+  SELECT day, (nv - pv) / 2.0 AS vel, nv - 2 * v + pv AS acc
+  FROM s WHERE pv IS NOT NULL AND nv IS NOT NULL
+),
+sgn AS (
+  SELECT day, vel, acc,
+         CASE WHEN vel > 0 THEN 1 WHEN vel < 0 THEN -1 ELSE 0 END AS sv,
+         CASE WHEN acc > 0 THEN 1 WHEN acc < 0 THEN -1 ELSE 0 END AS sa,
+         LAG(CASE WHEN vel > 0 THEN 1 WHEN vel < 0 THEN -1 ELSE 0 END) OVER (ORDER BY day) AS psv,
+         LAG(CASE WHEN acc > 0 THEN 1 WHEN acc < 0 THEN -1 ELSE 0 END) OVER (ORDER BY day) AS psa
+  FROM dv
+)
+SELECT count(*)::BIGINT AS n_days,
+       SUM(CASE WHEN psv IS NOT NULL AND sv * psv = -1 THEN 1 ELSE 0 END)::BIGINT AS direction_reversals,
+       SUM(CASE WHEN psa IS NOT NULL AND sa * psa = -1 THEN 1 ELSE 0 END)::BIGINT AS inflections,
+       MAX(ABS(vel)) AS max_abs_velocity,
+       MAX(ABS(acc))::BIGINT AS max_abs_acceleration
+FROM sgn
+""",
+)
+def ts_derivative_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") / 1000.0, 0).cast("long").alias("v")
+    )
+    seq = W.orderBy("day")
+    s = d.select(
+        "day", "v", F.lag("v").over(seq).alias("pv"), F.lead("v").over(seq).alias("nv")
+    )
+    dv = s.filter(F.col("pv").isNotNull() & F.col("nv").isNotNull()).select(
+        "day",
+        ((F.col("nv") - F.col("pv")) / 2.0).alias("vel"),
+        (F.col("nv") - 2 * F.col("v") + F.col("pv")).alias("acc"),
+    )
+    sv = F.when(F.col("vel") > 0, 1).when(F.col("vel") < 0, -1).otherwise(0)
+    sa = F.when(F.col("acc") > 0, 1).when(F.col("acc") < 0, -1).otherwise(0)
+    sgn = dv.select(
+        "day",
+        "vel",
+        "acc",
+        sv.alias("sv"),
+        sa.alias("sa"),
+        F.lag(sv).over(seq).alias("psv"),
+        F.lag(sa).over(seq).alias("psa"),
+    )
+    return sgn.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            F.when(F.col("psv").isNotNull() & (F.col("sv") * F.col("psv") == -1), 1).otherwise(0)
+        ).cast("long").alias("direction_reversals"),
+        F.sum(
+            F.when(F.col("psa").isNotNull() & (F.col("sa") * F.col("psa") == -1), 1).otherwise(0)
+        ).cast("long").alias("inflections"),
+        F.max(F.abs(F.col("vel"))).alias("max_abs_velocity"),
+        F.max(F.abs(F.col("acc"))).cast("long").alias("max_abs_acceleration"),
+    )

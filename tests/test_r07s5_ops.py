@@ -1800,3 +1800,40 @@ def test_group_by_all_matches_explicit(spark):
     for r in rows:
         w = want.loc[(r.yr, r.o_orderpriority)]
         assert r.n == w.n and abs(r.revenue - w.revenue) < 1e-2
+
+
+# ----------------------------- position CTR / derivative profile
+
+
+def test_position_ctr_buckets_cover_all_events(spark):
+    from testlog_etl_spark.queries.etl_queries import events_position_in_session_ctr
+
+    rows = events_position_in_session_ctr(spark, SF_SMALL).collect()
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    assert sum(r.n_events for r in rows) == len(ev)
+    assert sum(r.n_purchases for r in rows) == (ev.event_type == "purchase").sum()
+    for r in rows:
+        assert abs(r.purchase_share - r.n_purchases / r.n_events) < 1e-12
+    assert {r.position_bucket for r in rows} <= {"1", "2", "3", "4-5", "6-10", "11+"}
+
+
+def test_derivative_profile_spark_matches_python(spark):
+    from testlog_etl_spark.queries.windows_queries import ts_derivative_profile
+
+    r = ts_derivative_profile(spark, SF_SMALL).collect()[0]
+    pdf = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    vs, _ = _daily_kdollars(pdf)
+    vel = [(vs[i + 1] - vs[i - 1]) / 2.0 for i in range(1, len(vs) - 1)]
+    acc = [vs[i + 1] - 2 * vs[i] + vs[i - 1] for i in range(1, len(vs) - 1)]
+
+    def sgn(x):
+        return 1 if x > 0 else (-1 if x < 0 else 0)
+
+    rev = sum(
+        1 for a, b in zip(vel, vel[1:]) if sgn(a) * sgn(b) == -1
+    )
+    inf = sum(1 for a, b in zip(acc, acc[1:]) if sgn(a) * sgn(b) == -1)
+    assert r.n_days == len(vel)
+    assert (r.direction_reversals, r.inflections) == (rev, inf)
+    assert abs(r.max_abs_velocity - max(abs(x) for x in vel)) < 1e-12
+    assert r.max_abs_acceleration == max(abs(x) for x in acc)

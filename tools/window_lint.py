@@ -122,6 +122,10 @@ WHITELIST: dict[str, str] = {
         "per-DAY revenue rollup -- calendar-bounded day grid (the "
         "runs-test rationale)"
     ),
+    "ts_derivative_profile": (
+        "lag/lead windows run over the per-DAY revenue rollup -- "
+        "calendar-bounded day grid (the runs-test rationale)"
+    ),
     "stats_cooks_distance": (
         "day-index row_number runs over the per-DAY revenue rollup -- "
         "calendar-bounded day grid (the runs-test rationale)"
