@@ -7804,3 +7804,70 @@ def text_ari_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "embed_cosine_histogram",
+    doc="pairwise-cosine histogram over the first 100 embeddings "
+    "(4,950 pairs) -- the embedding-collapse diagnostic: a healthy "
+    "space puts mass near 0, a collapsed one near 1 (the isotropy "
+    "score's distributional view). Cosines use the sequential-fold "
+    "dot/norm discipline so every pair's double is engine-identical "
+    "and the floor(10 cos) bucket cannot straddle; counts and shares "
+    "are exact integer ratios, plus per-bucket min/max cosine "
+    "rounded at 6.",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id < 100),
+p AS (
+  SELECT {_duck_dot('a.vec', 'b.vec', 64)} / ({_duck_norm('a.vec')} * {_duck_norm('b.vec')}) AS cos
+  FROM v a JOIN v b ON b.vec_id > a.vec_id
+),
+b AS (
+  SELECT greatest(least(CAST(floor(cos * 10) AS INT), 9), -10) AS bucket, cos FROM p
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM p)
+SELECT bucket, count(*)::BIGINT AS n_pairs,
+       count(*) * 1.0 / tot.n AS share,
+       ROUND(MIN(cos), 6) AS min_cos, ROUND(MAX(cos), 6) AS max_cos
+FROM b, tot GROUP BY bucket, tot.n ORDER BY bucket
+""",
+)
+def embed_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = emb.filter(F.col("vec_id") < 100).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+
+    def fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, e: acc + e
+        )
+
+    a = v.select(F.col("vec_id").alias("ia"), F.col("vec").alias("va"))
+    b = v.select(F.col("vec_id").alias("ib"), F.col("vec").alias("vb"))
+    p = a.join(b, F.col("ib") > F.col("ia")).select(
+        (
+            fold_dot(F.col("va"), F.col("vb"))
+            / (F.sqrt(fold_dot(F.col("va"), F.col("va"))) * F.sqrt(fold_dot(F.col("vb"), F.col("vb"))))
+        ).alias("cos")
+    )
+    bkt = F.greatest(F.least(F.floor(F.col("cos") * 10).cast("int"), F.lit(9)), F.lit(-10))
+    tot = p.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        p.select(bkt.alias("bucket"), "cos")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("bucket", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            (F.col("n_pairs") * 1.0 / F.col("n")).alias("share"),
+            "min_cos",
+            "max_cos",
+        )
+        .orderBy("bucket")
+    )

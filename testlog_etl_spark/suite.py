@@ -213,8 +213,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_distribution_fit_moments,
     #    orders_lines_per_order_histogram, attribution_window_sweep,
     #    sql_named_window_clause, sql_group_by_all,
-    #    events_position_in_session_ctr, ts_derivative_profile.
-    #    (Registry: 521;
+    #    events_position_in_session_ctr, ts_derivative_profile,
+    #    embed_cosine_histogram.
+    #    (Registry: 522;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

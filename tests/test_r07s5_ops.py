@@ -1837,3 +1837,28 @@ def test_derivative_profile_spark_matches_python(spark):
     assert (r.direction_reversals, r.inflections) == (rev, inf)
     assert abs(r.max_abs_velocity - max(abs(x) for x in vel)) < 1e-12
     assert r.max_abs_acceleration == max(abs(x) for x in acc)
+
+
+# -------------------------------------------- cosine histogram
+
+
+def test_cosine_histogram_spark_matches_numpy(spark):
+    import numpy as np
+    from testlog_etl_spark.queries.llm_ops import embed_cosine_histogram
+
+    rows = embed_cosine_histogram(spark, SF_SMALL).collect()
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    emb = emb[emb.vec_id < 100].sort_values("vec_id")
+    X = np.stack(emb.embedding.values).astype(np.float64)
+    n = len(X)
+    norms = np.linalg.norm(X, axis=1)
+    cos = (X @ X.T) / np.outer(norms, norms)
+    iu = np.triu_indices(n, 1)
+    vals = cos[iu]
+    assert sum(r.n_pairs for r in rows) == n * (n - 1) // 2
+    from collections import Counter
+
+    want = Counter(max(min(int(math.floor(c * 10)), 9), -10) for c in vals)
+    got = {r.bucket: r.n_pairs for r in rows}
+    assert got == dict(want)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
