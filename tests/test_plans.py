@@ -920,3 +920,33 @@ def test_viterbi_fold_is_pure_codegen(spark):
     plan = plan_of(_q("events_viterbi_engagement")(spark, SF_SMALL))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gains_table_has_no_window(spark):
+    # eval_lift_gains_table's whole point: deciles from scan-rank
+    # arithmetic, never an unpartitioned NTILE/Window over the docs
+    plan = plan_of(_q("eval_lift_gains_table")(spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "ntile" not in plan.lower()
+
+
+def test_kmeans_assignment_is_row_local(spark):
+    # embed_kmeans_one_step: assignment happens against the broadcast
+    # centroid array -- no per-vector Window, no SortMergeJoin of the
+    # n x 8 pair table; the centroid side arrives by broadcast
+    plan = plan_of(_q("embed_kmeans_one_step")(spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_phonetic_blocking_is_equi_join(spark):
+    # the block key must drive a hash/sort-merge EQUI join -- a
+    # cartesian product would defeat the blocking design entirely
+    plan = plan_of(_q("dedup_phonetic_blocking")(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "pkey" in plan
+
+
+def test_linkpred_wedge_join_not_cartesian(spark):
+    plan = plan_of(_q("graph_linkpred_scores")(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
