@@ -935,3 +935,93 @@ def stream_lambda_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"), F.round(F.sum("sum_value"), 4).alias("sum_value"))
     )
     return merged.orderBy("event_type")
+
+
+@register(
+    "stream_histogram_quantile_maintenance",
+    doc="streaming maintenance of the mergeable 64-bin histogram "
+    "sketch (agg_binned_quantile's streaming sibling): micro-batches "
+    "fold (event_type, bin) counts into complete-mode state -- "
+    "integer adds, so the maintained state after the last batch is "
+    "BIT-EQUAL to the batch histogram, which is what the oracle "
+    "recomputes, quantile walk included. Bin bounds are fixed "
+    "constants computed batch-side first (the sketch's contract: "
+    "bounds are config, not data). Emits per-type p50/p90 upper bin "
+    "edges -- one-bin-width error by construction.",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         least(CAST(floor(("value" - 0.0) / (100.0 - 0.0) * 64) AS INT), 63) AS bin,
+         count(*)::BIGINT AS c
+  FROM events WHERE "value" IS NOT NULL AND "value" >= 0.0 AND "value" <= 100.0
+  GROUP BY 1, 2
+),
+t AS (SELECT event_type, SUM(c) AS n FROM b GROUP BY 1),
+cum AS (
+  SELECT b.event_type, b.bin, b.c,
+         SUM(b.c) OVER (PARTITION BY b.event_type ORDER BY b.bin) AS cum_c, t.n
+  FROM b JOIN t USING (event_type)
+),
+q AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum_c >= 0.5 * n THEN bin END) AS p50_bin,
+         MIN(CASE WHEN cum_c >= 0.9 * n THEN bin END) AS p90_bin,
+         MAX(n)::BIGINT AS n
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((p50_bin + 1) * (100.0 - 0.0) / 64, 6) AS p50_upper_edge,
+       ROUND((p90_bin + 1) * (100.0 - 0.0) / 64, 6) AS p90_upper_edge
+FROM q ORDER BY event_type
+""",
+)
+def stream_histogram_quantile_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from testlog_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    in_dir = jobs.stage_stream_input(ev, "hist_sketch")
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    lo, hi, nbins = 0.0, 100.0, 64
+    binned = (
+        stream.filter(F.col("value").isNotNull() & F.col("value").between(lo, hi))
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor((F.col("value") - lo) / (hi - lo) * nbins).cast("int"),
+                F.lit(nbins - 1),
+            ),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qname = f"hist_sketch_{uuid.uuid4().hex[:8]}"
+    q = binned.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # snapshot the memory sink: self-joining the live sink view trips an
+    # analyzer INTERNAL_ERROR; the state is <= |types| x 64 rows, so a
+    # driver-bounded copy is the honest read-out-of-state step anyway
+    mem = spark.table(qname)
+    hist = spark.createDataFrame(mem.collect(), mem.schema)
+    from pyspark.sql import Window as W
+
+    t = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
+    cum = hist.join(t, "event_type").withColumn(
+        "cum_c", F.sum("c").over(W.partitionBy("event_type").orderBy("bin"))
+    )
+    qq = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum_c") >= 0.5 * F.col("n"), F.col("bin"))).alias("p50_bin"),
+        F.min(F.when(F.col("cum_c") >= 0.9 * F.col("n"), F.col("bin"))).alias("p90_bin"),
+        F.max("n").alias("n"),
+    )
+    return qq.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round((F.col("p50_bin") + 1) * (hi - lo) / nbins, 6).alias("p50_upper_edge"),
+        F.round((F.col("p90_bin") + 1) * (hi - lo) / nbins, 6).alias("p90_upper_edge"),
+    ).orderBy("event_type")

@@ -1862,3 +1862,37 @@ def test_cosine_histogram_spark_matches_numpy(spark):
     got = {r.bucket: r.n_pairs for r in rows}
     assert got == dict(want)
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+
+
+# ----------------------------------- streaming histogram sketch
+
+
+def test_stream_histogram_sketch_matches_batch(spark):
+    from testlog_etl_spark.queries.streaming_queries import (
+        stream_histogram_quantile_maintenance,
+    )
+
+    rows = {r.event_type: r for r in stream_histogram_quantile_maintenance(spark, SF_SMALL).collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    sel = ev[(ev.value >= 0) & (ev.value <= 100) & ev.value.notna()]
+    for et, g in sel.groupby("event_type"):
+        bins = (g.value / 100.0 * 64).apply(math.floor).clip(upper=63).astype(int)
+        from collections import Counter
+
+        h = Counter(bins)
+        n = len(g)
+        cum = 0
+        p50 = p90 = None
+        for b in sorted(h):
+            cum += h[b]
+            if p50 is None and cum >= 0.5 * n:
+                p50 = b
+            if p90 is None and cum >= 0.9 * n:
+                p90 = b
+        r = rows[et]
+        assert r.n == n
+        assert abs(r.p50_upper_edge - (p50 + 1) * 100.0 / 64) < 1e-9
+        assert abs(r.p90_upper_edge - (p90 + 1) * 100.0 / 64) < 1e-9
+        # sketch contract: the true quantile lies within the reported bin
+        q50 = g.value.quantile(0.5)
+        assert (p50) * 100.0 / 64 - 1e-9 <= q50 <= r.p50_upper_edge + 1e-9
