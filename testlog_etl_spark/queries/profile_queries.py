@@ -1842,3 +1842,49 @@ def dq_volumetric_anomaly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "week_index")
     )
+
+
+@register(
+    "dq_timestamp_precision_profile",
+    doc="timestamp-precision sniff over the event stream: how many ts "
+    "values are exactly aligned to second / minute / hour / day "
+    "boundaries (epoch-microsecond modular arithmetic -- TZ-free and "
+    "exact). A spike at coarse alignments exposes upstream "
+    "truncation or synthetic backfills; the boundary counts nest by "
+    "construction (day-aligned implies hour-aligned implies ...). "
+    "Integer counts and exact shares, one scan.",
+    oracle="""
+WITH u AS (SELECT epoch_us(ts) AS us FROM events),
+f AS (
+  SELECT count(*)::BIGINT AS n,
+         SUM(CASE WHEN us % 1000000 = 0 THEN 1 ELSE 0 END)::BIGINT AS sec_aligned,
+         SUM(CASE WHEN us % 60000000 = 0 THEN 1 ELSE 0 END)::BIGINT AS min_aligned,
+         SUM(CASE WHEN us % 3600000000 = 0 THEN 1 ELSE 0 END)::BIGINT AS hour_aligned,
+         SUM(CASE WHEN us % 86400000000 = 0 THEN 1 ELSE 0 END)::BIGINT AS day_aligned
+  FROM u
+)
+SELECT n, sec_aligned, min_aligned, hour_aligned, day_aligned,
+       sec_aligned * 1.0 / n AS sec_share,
+       min_aligned * 1.0 / n AS min_share
+FROM f
+""",
+)
+def dq_timestamp_precision_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    us = F.unix_micros("ts")
+    f = ev.select(us.alias("us")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.pmod(F.col("us"), F.lit(1000000)) == 0, 1).otherwise(0)).alias("sec_aligned"),
+        F.sum(F.when(F.pmod(F.col("us"), F.lit(60000000)) == 0, 1).otherwise(0)).alias("min_aligned"),
+        F.sum(F.when(F.pmod(F.col("us"), F.lit(3600000000)) == 0, 1).otherwise(0)).alias("hour_aligned"),
+        F.sum(F.when(F.pmod(F.col("us"), F.lit(86400000000)) == 0, 1).otherwise(0)).alias("day_aligned"),
+    )
+    return f.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sec_aligned").cast("long").alias("sec_aligned"),
+        F.col("min_aligned").cast("long").alias("min_aligned"),
+        F.col("hour_aligned").cast("long").alias("hour_aligned"),
+        F.col("day_aligned").cast("long").alias("day_aligned"),
+        (F.col("sec_aligned") * 1.0 / F.col("n")).alias("sec_share"),
+        (F.col("min_aligned") * 1.0 / F.col("n")).alias("min_share"),
+    )

@@ -1896,3 +1896,19 @@ def test_stream_histogram_sketch_matches_batch(spark):
         # sketch contract: the true quantile lies within the reported bin
         q50 = g.value.quantile(0.5)
         assert (p50) * 100.0 / 64 - 1e-9 <= q50 <= r.p50_upper_edge + 1e-9
+
+
+# --------------------------------------- ts precision profile
+
+
+def test_ts_precision_profile_nesting(spark):
+    from testlog_etl_spark.queries.profile_queries import dq_timestamp_precision_profile
+
+    r = dq_timestamp_precision_profile(spark, SF_SMALL).collect()[0]
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    us = ((ev.ts - pd.Timestamp("1970-01-01")).dt.total_seconds() * 1_000_000).round().astype("int64")
+    assert r.n == len(ev)
+    assert r.sec_aligned == int((us % 1_000_000 == 0).sum())
+    assert r.min_aligned == int((us % 60_000_000 == 0).sum())
+    # boundary alignments nest
+    assert r.day_aligned <= r.hour_aligned <= r.min_aligned <= r.sec_aligned <= r.n
