@@ -5025,3 +5025,53 @@ def events_position_in_session_ctr(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("position_bucket")
     )
+
+
+@register(
+    "events_tenure_activity_curve",
+    doc="activity-by-tenure decay curve: for each user, tenure week = "
+    "epoch-week of the event minus epoch-week of the user's FIRST "
+    "event; per tenure week, active-user count, events, and events "
+    "per active user -- the engagement-decay companion to "
+    "events_retention_cohorts (that one asks 'did they return', this "
+    "one 'how hard do they use it'). Two user-keyed rollups (first "
+    "event, then per-(user, tenure) counts); the week key is "
+    "epoch-day div 7, TZ-proof. Counts integral, ratio exact.",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS wk
+  FROM events
+),
+f AS (SELECT user_id, MIN(wk) AS first_wk FROM e GROUP BY 1),
+t AS (
+  SELECT e.user_id, e.wk - f.first_wk AS tenure_wk
+  FROM e JOIN f USING (user_id)
+),
+g AS (
+  SELECT tenure_wk, count(*)::BIGINT AS n_events,
+         count(DISTINCT user_id)::BIGINT AS n_users
+  FROM t GROUP BY tenure_wk
+)
+SELECT tenure_wk, n_users, n_events,
+       n_events * 1.0 / n_users AS events_per_user
+FROM g ORDER BY tenure_wk
+""",
+)
+def events_tenure_activity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    e = ev.select(
+        "user_id",
+        F.floor(F.floor(F.unix_timestamp("ts") / 86400) / 7).cast("long").alias("wk"),
+    )
+    f = e.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    t = e.join(f, "user_id").select("user_id", (F.col("wk") - F.col("first_wk")).alias("tenure_wk"))
+    g = t.groupBy("tenure_wk").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return g.select(
+        "tenure_wk",
+        "n_users",
+        "n_events",
+        (F.col("n_events") * 1.0 / F.col("n_users")).alias("events_per_user"),
+    ).orderBy("tenure_wk")

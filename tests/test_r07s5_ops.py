@@ -1912,3 +1912,24 @@ def test_ts_precision_profile_nesting(spark):
     assert r.min_aligned == int((us % 60_000_000 == 0).sum())
     # boundary alignments nest
     assert r.day_aligned <= r.hour_aligned <= r.min_aligned <= r.sec_aligned <= r.n
+
+
+# --------------------------------------- tenure activity curve
+
+
+def test_tenure_curve_spark_matches_pandas(spark):
+    from testlog_etl_spark.queries.etl_queries import events_tenure_activity_curve
+
+    rows = {r.tenure_wk: r for r in events_tenure_activity_curve(spark, SF_SMALL).collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    wk = ((ev.ts - pd.Timestamp("1970-01-01")).dt.total_seconds() // 86400).astype(int) // 7
+    df = pd.DataFrame({"user_id": ev.user_id, "wk": wk})
+    first = df.groupby("user_id").wk.min()
+    df["tenure"] = df.wk - df.user_id.map(first)
+    for ten, g in df.groupby("tenure"):
+        r = rows[ten]
+        assert r.n_events == len(g)
+        assert r.n_users == g.user_id.nunique()
+        assert abs(r.events_per_user - len(g) / g.user_id.nunique()) < 1e-12
+    # tenure week 0 contains every user by construction
+    assert rows[0].n_users == ev.user_id.nunique()
