@@ -7871,3 +7871,57 @@ def embed_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "sample_class_balanced_downsample",
+    doc="class-balanced downsampling for training data: every language "
+    "class is cut to the MINORITY class size by keeping each class's "
+    "lowest doc_ids (a deterministic, engine-portable stand-in for "
+    "hash-rank selection -- DuckDB lacks xxhash64, and the contract "
+    "under test is exact-k-per-class, not which k). Per-class ranks "
+    "come from a lang-partitioned row_number; at 100 TB a handful of "
+    "giant class partitions would make that the skew bottleneck and "
+    "the per-class hierarchical scan is the stated path (the "
+    "orders_rfm_segments rationale). Readout: per class, original "
+    "size, kept size (== global minimum), and the kept-id boundary.",
+    oracle="""
+WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+k AS (SELECT MIN(n)::BIGINT AS k FROM c),
+r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+kept AS (SELECT lang, doc_id FROM r, k WHERE rn <= k.k)
+SELECT c.lang, c.n AS original_n, (SELECT k FROM k) AS kept_n,
+       MAX(kept.doc_id) AS max_kept_doc_id
+FROM c JOIN kept USING (lang)
+GROUP BY c.lang, c.n
+ORDER BY c.lang
+""",
+)
+def sample_class_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    k = c.agg(F.min("n").alias("k"))
+    r = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(W.partitionBy("lang").orderBy("doc_id")).alias("rn"),
+    )
+    kept = r.crossJoin(F.broadcast(k)).filter(F.col("rn") <= F.col("k"))
+    return (
+        kept.groupBy("lang")
+        .agg(F.max("doc_id").alias("max_kept_doc_id"), F.max("k").alias("kept_n"))
+        .join(F.broadcast(c), "lang")
+        .select(
+            "lang",
+            F.col("n").alias("original_n"),
+            F.col("kept_n").cast("long").alias("kept_n"),
+            "max_kept_doc_id",
+        )
+        .orderBy("lang")
+    )

@@ -215,8 +215,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    sql_named_window_clause, sql_group_by_all,
     #    events_position_in_session_ctr, ts_derivative_profile,
     #    embed_cosine_histogram, stream_histogram_quantile_maintenance,
-    #    dq_timestamp_precision_profile, events_tenure_activity_curve.
-    #    (Registry: 525;
+    #    dq_timestamp_precision_profile, events_tenure_activity_curve,
+    #    sample_class_balanced_downsample.
+    #    (Registry: 526;
     #    source_schema_evolution_merge was drafted then removed as a
     #    duplicate of r05's source_schema_evolution.)
     "dedup_jaccard_prefixfilter",

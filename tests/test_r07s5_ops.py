@@ -1933,3 +1933,21 @@ def test_tenure_curve_spark_matches_pandas(spark):
         assert abs(r.events_per_user - len(g) / g.user_id.nunique()) < 1e-12
     # tenure week 0 contains every user by construction
     assert rows[0].n_users == ev.user_id.nunique()
+
+
+# ---------------------------------------- balanced downsample
+
+
+def test_balanced_downsample_exact_k_per_class(spark):
+    from testlog_etl_spark.queries.llm_ops import sample_class_balanced_downsample
+
+    rows = sample_class_balanced_downsample(spark, SF_SMALL).collect()
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    sizes = pdf.groupby("lang").size()
+    k = int(sizes.min())
+    assert {r.lang for r in rows} == set(sizes.index)
+    for r in rows:
+        assert r.kept_n == k
+        assert r.original_n == sizes[r.lang]
+        ids = sorted(pdf[pdf.lang == r.lang].doc_id)[:k]
+        assert r.max_kept_doc_id == ids[-1]
