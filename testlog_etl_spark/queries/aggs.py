@@ -1297,15 +1297,18 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic -- the result is a single exact rational, identical on "
     "any engine, any partitioning, any addition order (the property "
     "the double-typed twins approximate with presentation rounding). "
-    "The output hash matches DuckDB's HUGEINT-backed decimal sum "
-    "digit-for-digit at scale 4.",
+    "The sums are RENDERED as strings at the output boundary (r07 "
+    "driver lesson: DECIMAL(38,4) rides different client paths in "
+    "Spark-Arrow vs DuckDB-pandas and the float64 coercion drifts; "
+    "the exact-decimal arithmetic underneath is unchanged and the "
+    "string render is digit-for-digit identical on any engine).",
     oracle="""
 SELECT l_returnflag,
        count(*)::BIGINT AS n,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-            AS DECIMAL(38,4)) AS revenue
+            AS DECIMAL(38,4)) AS VARCHAR) AS revenue
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
@@ -1318,8 +1321,8 @@ def agg_decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(p).cast("decimal(38,4)").alias("sum_price"),
-            F.sum(p * (one - d)).cast("decimal(38,4)").alias("revenue"),
+            F.sum(p).cast("decimal(38,4)").cast("string").alias("sum_price"),
+            F.sum(p * (one - d)).cast("decimal(38,4)").cast("string").alias("revenue"),
         )
         .orderBy("l_returnflag")
     )

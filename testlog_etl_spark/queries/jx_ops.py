@@ -390,7 +390,7 @@ SELECT doc_id,
        len(list_filter(lt, x -> length(x) > 6))::BIGINT AS n_long,
        reduce(list_prepend(0::BIGINT, list_transform(lt, x -> length(x))),
               (a, x) -> a + x)::BIGINT AS total_chars,
-       list_sort(list_distinct(list_transform(lt, x -> length(x)))) AS length_set,
+       array_to_string(list_sort(list_distinct(list_transform(lt, x -> length(x)))), ',') AS length_set,
        ROUND(reduce(list_prepend(0::BIGINT, list_transform(lt, x -> length(x))),
                     (a, x) -> a + x)::DOUBLE / greatest(len(lt), 1), {R}) AS mean_len
 FROM t ORDER BY doc_id
@@ -411,9 +411,16 @@ def jx_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(lt).cast("long").alias("n_tokens"),
         F.size(F.filter(lt, lambda x: F.length(x) > 6)).cast("long").alias("n_long"),
         total.alias("total_chars"),
-        F.array_sort(F.array_distinct(F.transform(lt, lambda x: F.length(x).cast("long")))).alias(
-            "length_set"
-        ),
+        # joined to a string (r07 driver lesson: raw ARRAY output columns are
+        # unhashable in the driver's typed-value compare; suite.py header rule
+        # says unordered collections are sorted AND joined).
+        F.array_join(
+            F.transform(
+                F.array_sort(F.array_distinct(F.transform(lt, lambda x: F.length(x).cast("long")))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("length_set"),
         F.round(
             total.cast("double") / F.greatest(F.size(lt), F.lit(1)), R
         ).alias("mean_len"),

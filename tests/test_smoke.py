@@ -60,6 +60,34 @@ def test_registry_window_invariants():
     assert rows_only == set(), rows_only
 
 
+def test_output_types_hash_safe_r07_regressions(spark, sf_dir):
+    """Regression for the two CORRECTNESS_r07 failures (the only
+    driver-red rows since r01): jx_array_lambdas emitted a raw ARRAY
+    column (driver hasher: "unhashable type: 'list'") and
+    agg_decimal_exact_revenue emitted DECIMAL(38,4) (Arrow vs DuckDB
+    client decimal->float64 drift). Both must now render hash-safe
+    output types, checked with the same helper tools/output_type_lint.py
+    uses for the full-registry pre-seal sweep."""
+    import importlib.util
+    import os
+
+    lint_path = os.path.join(os.path.dirname(__file__), "..", "tools", "output_type_lint.py")
+    spec = importlib.util.spec_from_file_location("output_type_lint", lint_path)
+    lint = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lint)
+
+    from testlog_etl_spark import suite
+
+    qs = suite.queries()
+    for name in ("jx_array_lambdas", "agg_decimal_exact_revenue"):
+        bad = lint.spark_unsafe_cols(qs[name](spark, sf_dir).schema)
+        assert bad == {}, f"{name} emits driver-hash-unsafe output columns: {bad}"
+    # the exact-decimal query must still DO exact decimal arithmetic
+    # internally -- only the render changed.
+    plan = qs["agg_decimal_exact_revenue"](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    assert "decimal(38,4)" in plan.lower()
+
+
 def test_chunk_dedup_idempotent(spark):
     """Re-deduping the kept chunks keeps everything (stable winners)."""
     from pyspark.sql import functions as F

@@ -126,6 +126,17 @@ def main(argv: list[str]) -> int:
                     for c in d_cols
                     if not _kind_compatible(s_kinds.get(c), d_kinds.get(c))
                 }
+                # r07 tripwire: repr-compare is blind to output types the
+                # driver's typed-value hash cannot handle (ARRAY -> pandas
+                # "unhashable type: 'list'"; DECIMAL/HUGEINT -> float64
+                # coercion drift). Fail them here even when reprs match.
+                unsafe = {
+                    c: k
+                    for c, k in {**d_kinds, **s_kinds}.items()
+                    if k in ("list", "struct", "map", "bin", "decimal", "i128")
+                }
+                if unsafe:
+                    kind_bad.update({c: ("UNSAFE-OUTPUT", k) for c, k in unsafe.items()})
                 ok = s == d and s_cols == d_cols and not kind_bad
                 status = "MATCH" if ok else f"MISMATCH {kind_bad or ''}".rstrip()
                 if not ok:
