@@ -56,6 +56,15 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # loadavg at measurement end: r07's driver numbers were uniformly
+    # 1.26-1.91x best-prior across ALL queries INCLUDING untouched pure
+    # scan+agg plans -- the loaded-box signature. Recording host load in
+    # the artifact makes that ambiguity self-diagnosing next time
+    # (VERDICT r07 item 4).
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = -1.0
     # fixed comparison core: the original 12-query headline set, frozen
     # so round-over-round totals stay comparable as the bench set grows
     # (r04's 16-query 14.1 s vs r03's 12-query 9.1 s reads as a
@@ -76,6 +85,8 @@ def main() -> None:
                 "core12_value": core_total,
                 "queries": timings,
                 "sf": sf_dir,
+                "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+                "reps": reps,
             }
         )
     )

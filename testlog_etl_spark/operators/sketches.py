@@ -235,6 +235,13 @@ def heavy_hitters_exact(
     aggregate's shuffle to candidate rows). Output: (item, cnt) -- the
     candidate set's false positives are removed by the exact filter,
     so the result is identical to the full GROUP BY ... HAVING twin.
+
+    Pass ``n`` (total non-null row count) when the caller already has
+    it -- the ``n=None`` fallback spends one EXTRA full scan on
+    ``keyed.count()`` before the verification pass (same class as the
+    r04 ``semantic_dedup`` auto-sizing nit, fixed the same way: the
+    registered query computes n once for its ``share`` column and
+    threads it through).
     """
     cands = misra_gries_candidates(df, key_col, k).select("item").distinct()
     keyed = df.select(F.col(key_col).cast("string").alias("item")).where(

@@ -81,7 +81,9 @@ def etl_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # formatted UTC strings -- TZ-proof output (r06 TZ sweep)
+            # formatted UTC strings -- TZ-proof output (r06 TZ sweep);
+            # sub-second precision is second-truncated BY DESIGN here
+            # (span_sec below carries the exact sub-second arithmetic)
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
             F.round(F.max("ts").cast("double") - F.min("ts").cast("double"), 3).alias("span_sec"),
@@ -110,7 +112,10 @@ ORDER BY user_id, event_type
 def etl_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     kept = latest_by(ev, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()])
-    # ts as formatted UTC string -- TZ-proof output (r06 TZ sweep)
+    # ts as formatted UTC string -- TZ-proof output (r06 TZ sweep).
+    # Consumers: sub-second precision is second-truncated BY DESIGN at
+    # this output boundary (both engines format identically; the full
+    # nanos survive in the underlying column and the keep-latest order).
     return kept.select(
         "user_id", "event_type", "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
@@ -311,7 +316,9 @@ ORDER BY log_key, step
 def etl_text_log_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = fixtures.text_log_file(spark)
     out = parse_steps(lines)
-    # formatted UTC strings -- TZ-proof output (r06 TZ sweep)
+    # formatted UTC strings -- TZ-proof output (r06 TZ sweep);
+    # sub-second precision is second-truncated BY DESIGN at this output
+    # boundary (elapsed carries the exact duration)
     return out.withColumn(
         "start_time", F.date_format("start_time", "yyyy-MM-dd HH:mm:ss")
     ).withColumn("end_time", F.date_format("end_time", "yyyy-MM-dd HH:mm:ss")).orderBy("log_key", "step")

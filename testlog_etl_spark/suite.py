@@ -62,81 +62,89 @@ def register(
 # below is a curated verification window, rotated per round so the UNION of
 # rounds covers the whole registry (COVERAGE.md tracks the cumulative set).
 #
-# Round-7 window: r06 went 50/50 green; the union of r01-r06 driver rows
-# covers the entire registry EXCEPT the three queries registered late in
-# r06 after that round's window was sealed (dedup_source_overlap_matrix,
-# corpus_context_window_report, eval_score_calibration). This window
-# signs those three first, then the queries whose code changed this
-# round (graph_subtree_rollup's integral-division parent fix,
-# join_bloom_prefilter's `how` guard), then operators ADDED in r07's
-# first two sessions -- first driver rows, filling the window
-# completely (no recurring-anchor slots this round; the anchors hold 2+
-# prior driver rows each and the full-registry local sweep re-verified
-# them). Sessions 3/4/5 registered after the window sealed; their
-# batches queue for r08 in the block comment below.
+# Round-8 window (VERDICT r07 "next round" items 1+3): a pure DRAIN
+# round -- the registry is FROZEN at 526 and the window spends every
+# slot on the verification backlog. Slots 1-2 re-sign the two r07
+# presentation failures (jx_array_lambdas ARRAY output now joined to a
+# string; agg_decimal_exact_revenue DECIMAL sums now rendered as
+# strings -- both re-MATCHed locally under default-config + non-UTC
+# sessions, and tools/output_type_lint.py now rejects the whole
+# hash-unsafe output class registry-wide). Slots 3-50 take the FIRST 48
+# of the never-driver-signed backlog in queue order (r07 session-2
+# batch, then session-3) -- every one locally MATCHed at registration,
+# in the end-of-session full sweeps, and re-swept this round under the
+# new output-type lint. After this window the driver-signed union is
+# 335/526; the remaining 191 queue below for r09-r12 (~4 windows).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- late-r06 registrations (first driver rows; locally MATCH since r06)
-    "dedup_source_overlap_matrix",
-    "corpus_context_window_report",
-    "eval_score_calibration",
-    # -- changed-code anchors (re-sign after this round's edits)
-    "graph_subtree_rollup",
-    "join_bloom_prefilter",
-    # -- operators added in r07 (first driver rows)
-    "dedup_editdist_neighbors",
-    "agg_skyline_pareto",
-    "agg_heavyhitters_mg",
-    "layout_zorder_pruning",
-    "agg_sample_estimate",
-    "stream_late_arrival_audit",
-    "etl_erasure_cascade",
-    "layout_rle_runs",
-    "agg_bitmap_distinct",
-    "index_boolean_retrieval",
-    "join_size_estimate",
-    "stats_jackknife_ci",
-    "events_retention_cohorts",
-    # -- operators added in the r07 SECOND session (first driver rows;
-    #    every one local-MATCHed at registration AND in the full-registry
-    #    default-config sweep, 289/289 MATCH). They displace ALL the
-    #    recurring anchors this round (flagships, bench set, survey hard
-    #    spots -- each already holding 2+ driver-green rows from r01-r06
-    #    and re-verified in the same local sweep): first driver rows for
-    #    new code outrank a third row for stable code. THIRTY-FOUR
-    #    session-2 additions registered after this window filled queue
-    #    for r08, which should sign them FIRST (all locally MATCH in
-    #    the end-of-session full sweep): events_trigram_paths,
-    #    agg_mode_deterministic, ts_gap_report, dq_null_matrix,
-    #    features_woe_encoding, eval_pq_recall, events_bitmap_retention,
-    #    graph_kcore, asof_nearest_join, events_behavior_entropy,
-    #    eval_offline_policy_ips, dq_l_diversity,
-    #    events_trailing_distinct_bitmap, multimodal_audio_windows,
-    #    join_null_safe_semantics, dq_scd2_integrity, agg_mean_family,
-    #    text_alphabet_profile, agg_fiscal_445,
-    #    graph_degree_assortativity, text_char_entropy_rate,
-    #    join_damerau_fuzzy, agg_rollup_cascade, events_autocorrelation,
-    #    events_new_vs_returning, orders_cohort_ltv,
-    #    sample_neyman_allocation, dq_p_chart, agg_to_date_totals,
-    #    sim_sparse_tfidf_pairs, graph_sssp_weighted, stats_runs_test,
-    #    dq_sequence_gaps, stats_delta_method_ci. Session-3 additions
-    #    join the same r08 queue: stats_mann_whitney,
-    #    stats_anova_oneway, stats_spearman_corr, stats_ljung_box,
-    #    ts_stl_decompose, graph_clustering_coefficient,
-    #    agg_theil_index, eval_pr_curve, etl_quarantine_badrecords,
-    #    ts_cusum_drift, ts_theilsen_slope, graph_label_propagation,
-    #    stats_kendall_tau, stats_benjamini_hochberg, text_hapax_ratio,
-    #    dq_dp_noisy_counts, text_js_divergence, stats_cuped_adjustment,
-    #    stats_two_proportion_z, stats_sprt_sequential,
-    #    agg_kmv_distinct_sketch, embed_dim_variance_profile,
-    #    orders_revenue_bridge, ts_periodogram_weekly,
-    #    multimodal_image_tiles, index_trigram_search,
-    #    graph_transitivity_global, stats_levene_test,
-    #    stats_effect_sizes, ts_holt_winters, stream_topk_maintenance,
-    #    ts_kalman_level, join_radius_grid, orders_littles_law_check,
-    #    events_leaderboard_churn, ts_lttb_downsample,
-    #    graph_ppr_single_source, stats_wasserstein_drift,
-    #    embed_matryoshka_recall, sim_matryoshka_rerank, stats_mcnemar,
-    #    ts_downsample_m4, eval_cohens_kappa, text_keyphrase_rake,
+    # -- re-signs: the two r07 driver-hash failures, fixed this round
+    "jx_array_lambdas",
+    "agg_decimal_exact_revenue",
+    # -- backlog drain: first 48 never-driver-signed, queue order
+    #    (r07 session-2 batch first, then session-3)
+    "events_trigram_paths",
+    "agg_mode_deterministic",
+    "ts_gap_report",
+    "dq_null_matrix",
+    "features_woe_encoding",
+    "eval_pq_recall",
+    "events_bitmap_retention",
+    "graph_kcore",
+    "asof_nearest_join",
+    "events_behavior_entropy",
+    "eval_offline_policy_ips",
+    "dq_l_diversity",
+    "events_trailing_distinct_bitmap",
+    "multimodal_audio_windows",
+    "join_null_safe_semantics",
+    "dq_scd2_integrity",
+    "agg_mean_family",
+    "text_alphabet_profile",
+    "agg_fiscal_445",
+    "graph_degree_assortativity",
+    "text_char_entropy_rate",
+    "join_damerau_fuzzy",
+    "agg_rollup_cascade",
+    "events_autocorrelation",
+    "events_new_vs_returning",
+    "orders_cohort_ltv",
+    "sample_neyman_allocation",
+    "dq_p_chart",
+    "agg_to_date_totals",
+    "sim_sparse_tfidf_pairs",
+    "graph_sssp_weighted",
+    "stats_runs_test",
+    "dq_sequence_gaps",
+    "stats_delta_method_ci",
+    "stats_mann_whitney",
+    "stats_anova_oneway",
+    "stats_spearman_corr",
+    "stats_ljung_box",
+    "ts_stl_decompose",
+    "graph_clustering_coefficient",
+    "agg_theil_index",
+    "eval_pr_curve",
+    "etl_quarantine_badrecords",
+    "ts_cusum_drift",
+    "ts_theilsen_slope",
+    "graph_label_propagation",
+    "stats_kendall_tau",
+    "stats_benjamini_hochberg",
+    # -- BACKLOG QUEUE for r09+ (191 never-driver-signed remain, in
+    #    sign-next order; r09-r12 windows take 48-50 each from the
+    #    front; registry stays frozen until the union covers all 526):
+    #    text_hapax_ratio, dq_dp_noisy_counts, text_js_divergence,
+    #    stats_cuped_adjustment, stats_two_proportion_z,
+    #    stats_sprt_sequential, agg_kmv_distinct_sketch,
+    #    embed_dim_variance_profile, orders_revenue_bridge,
+    #    ts_periodogram_weekly, multimodal_image_tiles,
+    #    index_trigram_search, graph_transitivity_global,
+    #    stats_levene_test, stats_effect_sizes, ts_holt_winters,
+    #    stream_topk_maintenance, ts_kalman_level, join_radius_grid,
+    #    orders_littles_law_check, events_leaderboard_churn,
+    #    ts_lttb_downsample, graph_ppr_single_source,
+    #    stats_wasserstein_drift, embed_matryoshka_recall,
+    #    sim_matryoshka_rerank, stats_mcnemar, ts_downsample_m4,
+    #    eval_cohens_kappa, text_keyphrase_rake,
     #    graph_absorbing_hit_probability, agg_lorenz_deciles,
     #    dq_value_pattern_profile, agg_native_unpivot,
     #    stats_partial_correlation, stats_cramers_v,
@@ -145,16 +153,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_hurst_exponent, ts_variance_ratio, agg_share_of_parent,
     #    events_bot_score, dq_pipeline_reconciliation,
     #    orders_discount_elasticity, text_term_burstiness,
-    #    events_streak_histogram, orders_abc_migration,
-    #    sim_topk_filtered, embed_isotropy_score, stats_ab_srm_check,
-    #    stats_chow_break_test, agg_weighted_percentile,
-    #    events_mde_power, stats_granger_lite, ts_forecast_backtest,
-    #    dq_categorical_drift_new_values, dedup_lsh_parameter_advisor,
-    #    graph_hits_hubs_authorities, ts_wavelet_haar_energy,
-    #    stats_permutation_test, eval_rocchio_classifier,
-    #    ts_seasonality_strength, events_type_coengagement,
-    #    agg_tukey_median_polish, events_hazard_rate,
-    #    stats_fisher_combined, index_proximity_search,
+    #    events_streak_histogram, orders_abc_migration, sim_topk_filtered,
+    #    embed_isotropy_score, stats_ab_srm_check, stats_chow_break_test,
+    #    agg_weighted_percentile, events_mde_power, stats_granger_lite,
+    #    ts_forecast_backtest, dq_categorical_drift_new_values,
+    #    dedup_lsh_parameter_advisor, graph_hits_hubs_authorities,
+    #    ts_wavelet_haar_energy, stats_permutation_test,
+    #    eval_rocchio_classifier, ts_seasonality_strength,
+    #    events_type_coengagement, agg_tukey_median_polish,
+    #    events_hazard_rate, stats_fisher_combined, index_proximity_search,
     #    orders_repeat_purchase, stats_bland_altman, graph_reciprocity,
     #    dq_ingestion_order_audit, stats_equivalence_tost,
     #    corpus_uncertainty_sample, layout_partition_planner,
@@ -162,96 +169,53 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    stats_anderson_darling, agg_hodges_lehmann,
     #    graph_markov_stationary, stats_wilcoxon_signed_rank,
     #    eval_knn_classifier, stats_friedman_test,
-    #    text_self_similarity_diversity. (Session-3 total: 100 added
-    #    operators; the registry closed session 3 at 421.) Session-4 additions
-    #    join the same r08 queue: layout_hilbert_pruning,
-    #    dq_functional_dependency,
-    #    dq_referential_orphans, dedup_containment_postings,
-    #    agg_binned_quantile, corpus_dedup_cascade,
-    #    funnel_session_scoped, layout_broadcast_advisor,
-    #    orders_rfm_segments, sql_shared_text_q1,
+    #    text_self_similarity_diversity, layout_hilbert_pruning,
+    #    dq_functional_dependency, dq_referential_orphans,
+    #    dedup_containment_postings, agg_binned_quantile,
+    #    corpus_dedup_cascade, funnel_session_scoped,
+    #    layout_broadcast_advisor, orders_rfm_segments, sql_shared_text_q1,
     #    source_python_datasource, sql_recursive_cte_ancestors,
     #    sql_shared_text_lateral_topn, source_binary_files,
-    #    source_fixed_width_text, ts_sax_motifs,
-    #    ts_dtw_shape_distance, stats_empirical_bayes_rates,
-    #    events_viterbi_engagement, mv_join_delta_maintenance,
-    #    dq_primary_key_uniqueness, dq_generalization_ladder,
-    #    stream_lambda_backfill_union, sql_named_parameters,
-    #    text_unicode_nfc_audit, attribution_markov_removal,
-    #    stats_simpsons_paradox_scan, stats_median_ci_order_stats,
-    #    stats_diff_in_diff, ts_peak_detection, text_burrows_delta,
-    #    dq_inclusion_dependencies, stats_cochran_armitage_trend,
-    #    agg_quantile_shift_function, stats_mann_kendall_trend.
-    #    Session-5 additions join the same r08 queue:
-    #    stats_jarque_bera, stats_kruskal_wallis, ts_bollinger_bands,
-    #    ts_rsi_cutler, stats_bartlett_test, stats_grubbs_outlier,
-    #    eval_fleiss_kappa, eval_lift_gains_table,
-    #    graph_linkpred_scores, graph_rich_club,
-    #    orders_price_index_fisher, stats_capture_recapture,
-    #    text_collocation_llr, text_good_turing_mass,
-    #    stats_logrank_test, stats_james_stein_means,
-    #    dq_xmr_control_chart, stats_poisson_dispersion,
-    #    embed_kmeans_one_step, ts_spectral_entropy,
-    #    sql_pivot_clause, stats_cronbach_alpha,
+    #    source_fixed_width_text, ts_sax_motifs, ts_dtw_shape_distance,
+    #    stats_empirical_bayes_rates, events_viterbi_engagement,
+    #    mv_join_delta_maintenance, dq_primary_key_uniqueness,
+    #    dq_generalization_ladder, stream_lambda_backfill_union,
+    #    sql_named_parameters, text_unicode_nfc_audit,
+    #    attribution_markov_removal, stats_simpsons_paradox_scan,
+    #    stats_median_ci_order_stats, stats_diff_in_diff,
+    #    ts_peak_detection, text_burrows_delta, dq_inclusion_dependencies,
+    #    stats_cochran_armitage_trend, agg_quantile_shift_function,
+    #    stats_mann_kendall_trend, stats_jarque_bera, stats_kruskal_wallis,
+    #    ts_bollinger_bands, ts_rsi_cutler, stats_bartlett_test,
+    #    stats_grubbs_outlier, eval_fleiss_kappa, eval_lift_gains_table,
+    #    graph_linkpred_scores, graph_rich_club, orders_price_index_fisher,
+    #    stats_capture_recapture, text_collocation_llr,
+    #    text_good_turing_mass, stats_logrank_test,
+    #    stats_james_stein_means, dq_xmr_control_chart,
+    #    stats_poisson_dispersion, embed_kmeans_one_step,
+    #    ts_spectral_entropy, sql_pivot_clause, stats_cronbach_alpha,
     #    eval_brier_decomposition, dedup_phonetic_blocking,
-    #    ts_croston_intermittent, ts_sample_entropy,
-    #    multimodal_scene_cuts, stats_theil_u2_forecast,
-    #    stats_page_hinkley, graph_katz_bounded,
+    #    ts_croston_intermittent, ts_sample_entropy, multimodal_scene_cuts,
+    #    stats_theil_u2_forecast, stats_page_hinkley, graph_katz_bounded,
     #    eval_mrr_retrieval, dq_order_detail_reconciliation,
     #    stats_cochran_q, stats_gini_mean_difference,
     #    stats_seasonal_mann_kendall, sample_systematic_interval,
-    #    text_mattr_window, text_yules_k,
-    #    orders_fill_rate_service_level, dq_id_time_inversions,
-    #    eval_bleu_ngram_precision, sql_union_by_name,
-    #    graph_avg_neighbor_degree, eval_weighted_kappa,
+    #    text_mattr_window, text_yules_k, orders_fill_rate_service_level,
+    #    dq_id_time_inversions, eval_bleu_ngram_precision,
+    #    sql_union_by_name, graph_avg_neighbor_degree, eval_weighted_kappa,
     #    stats_hill_tail_index, dq_ewma_control_chart,
     #    eval_average_precision, agg_magnitude_histogram,
     #    eval_matthews_correlation, stats_kendall_w, stats_sign_test,
     #    source_csv_dropmalformed, text_ari_readability,
     #    stats_cooks_distance, stats_breusch_pagan, stats_cmh_test,
     #    compliance_subject_access_report, dq_volumetric_anomaly_wow,
-    #    stats_distribution_fit_moments,
-    #    orders_lines_per_order_histogram, attribution_window_sweep,
-    #    sql_named_window_clause, sql_group_by_all,
-    #    events_position_in_session_ctr, ts_derivative_profile,
-    #    embed_cosine_histogram, stream_histogram_quantile_maintenance,
+    #    stats_distribution_fit_moments, orders_lines_per_order_histogram,
+    #    attribution_window_sweep, sql_named_window_clause,
+    #    sql_group_by_all, events_position_in_session_ctr,
+    #    ts_derivative_profile, embed_cosine_histogram,
+    #    stream_histogram_quantile_maintenance,
     #    dq_timestamp_precision_profile, events_tenure_activity_curve,
-    #    sample_class_balanced_downsample.
-    #    (Registry: 526;
-    #    source_schema_evolution_merge was drafted then removed as a
-    #    duplicate of r05's source_schema_evolution.)
-    "dedup_jaccard_prefixfilter",
-    "graph_bfs_reach",
-    "search_rrf_fusion",
-    "ts_interval_coalesce",
-    "events_longest_streak",
-    "ts_time_weighted_avg",
-    "stats_ols_trend",
-    "stats_mutual_info",
-    "stats_winsorized_mean",
-    "agg_largest_remainder",
-    "dq_benford_digits",
-    "stats_bootstrap_poisson",
-    "dq_outlier_iqr_fences",
-    "corpus_balanced_shards",
-    "text_feature_hashing",
-    "eval_dcg_ndcg",
-    "join_jaro_winkler",
-    "sim_product_quantization",
-    "ts_holt_linear",
-    "corpus_threshold_sweep",
-    "asof_tolerance_join",
-    "jx_array_lambdas",
-    "dq_block_checksum_diff",
-    "embed_top_principal",
-    "agg_grouping_sets",
-    "agg_decimal_exact_revenue",
-    "sim_pq_adc_topk",
-    "events_cooccurrence_pmi",
-    "text_sentence_stats",
-    "udtf_token_chunks",
-    "win_custom_udaf_drawdown",
-    "layout_dictionary_estimate",
+    #    sample_class_balanced_downsample
 )
 
 

@@ -83,7 +83,19 @@ def main(argv: list[str]) -> int:
         if ratio > factor:
             bad.append(name)
     total = current.get("value")
-    print(f"\ntotal {total}s; gate x{factor}; {len(bad)} regression(s)")
+    # host load annotation (VERDICT r07 item 4): a uniform elevation
+    # across untouched plans under nontrivial load is environmental, not
+    # a code regression -- print it next to the verdict so the artifact
+    # self-diagnoses.
+    load = current.get("loadavg")
+    try:
+        now_load = ", ".join(f"{v:.2f}" for v in os.getloadavg())
+    except OSError:
+        now_load = "n/a"
+    print(
+        f"\ntotal {total}s; gate x{factor}; {len(bad)} regression(s); "
+        f"loadavg(bench)={load}; loadavg(now)=[{now_load}]"
+    )
     if bad:
         print("FAILED:", ", ".join(bad))
     return 1 if bad else 0
