@@ -29,8 +29,25 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _cpu_ref() -> float:
+    """Fixed single-thread CPU workload (~0.5 s on a typical core),
+    timed before Spark starts. Emitted as cpu_ref_sec so cross-round
+    query times are normalizable: r07/r08 measured the SAME code, SAME
+    data, SAME plans uniformly ~1.5x slower than r06 on an IDLE box
+    (steal 0.7%) -- the sandbox VM's per-core throughput varies between
+    sessions, and without a calibration constant in the artifact that
+    reads as a plan regression (VERDICT r07 "uniform elevation").
+    Compare query_sec / cpu_ref_sec across rounds, not raw seconds."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i * i & 0xFFFF
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpu_ref = _cpu_ref()
 
     from testlog_etl_spark.session import get_spark
     from testlog_etl_spark.suite import bench_cases
@@ -86,6 +103,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_dir,
                 "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+                "cpu_ref_sec": cpu_ref,
                 "reps": reps,
             }
         )
