@@ -88,6 +88,36 @@ def test_output_types_hash_safe_r07_regressions(spark, sf_dir):
     assert "decimal(38,4)" in plan.lower()
 
 
+def test_rotate_window_invariants():
+    """The mechanical rotation tool (tools/rotate_window.py) must always
+    propose a valid window: exactly 50 unique registered names, with any
+    latest-round driver failures in the leading fix-first slots and no
+    already-signed name occupying a slot while backlog remains."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "rotate_window.py")
+    spec = importlib.util.spec_from_file_location("rotate_window", path)
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+
+    from testlog_etl_spark import suite
+
+    suite._load_all()
+    window, remaining, stats = rw.build_window()
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    assert set(window) <= set(suite.REGISTRY)
+    assert window[: len(stats["fix_first"])] == stats["fix_first"]
+    if remaining:  # while a backlog exists, every non-fix slot drains it
+        rounds = rw.correctness_rounds()
+        signed = set()
+        for _, d in rounds:
+            signed.update(k for k, v in d.items() if rw.green(v))
+        assert all(n not in signed for n in window[len(stats["fix_first"]):])
+        assert set(remaining).isdisjoint(set(window))
+
+
 def test_chunk_dedup_idempotent(spark):
     """Re-deduping the kept chunks keeps everything (stable winners)."""
     from pyspark.sql import functions as F
