@@ -88,6 +88,41 @@ def test_output_types_hash_safe_r07_regressions(spark, sf_dir):
     assert "decimal(38,4)" in plan.lower()
 
 
+def test_bench_json_contract():
+    """The driver parses bench.py's single JSON line; pin the contract
+    (field names + types) without paying a full sf0.1 run: run the
+    bench at sf0.001 with 1 rep in a subprocess and parse its stdout."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_REPS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, check=True, timeout=600, env=env,
+    ).stdout
+    lines = [ln for ln in out.splitlines() if ln.strip().startswith("{")]
+    assert len(lines) == 1, f"bench.py must print exactly ONE JSON line, got {len(lines)}"
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "headline_queries_total_wall"
+    assert rec["unit"] == "sec"
+    assert isinstance(rec["value"], (int, float)) and rec["value"] > 0
+    assert isinstance(rec["queries"], dict) and len(rec["queries"]) >= 12
+    assert all(isinstance(v, (int, float)) for v in rec["queries"].values())
+    assert rec["sf"] == "/root/testdata/sf0.001"
+    # r08 self-diagnosis fields (BASELINE.md r08 addendum)
+    assert len(rec["loadavg"]) == 3
+    assert rec["cpu_ref_sec"] > 0
+    assert rec["reps"] == 1
+    assert isinstance(rec["core12_value"], (int, float))
+
+
 def test_rotate_window_invariants():
     """The mechanical rotation tool (tools/rotate_window.py) must always
     propose a valid window: exactly 50 unique registered names, with any
