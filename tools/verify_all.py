@@ -6,7 +6,15 @@ exactly that gap) and compare against its DuckDB oracle.
 Usage:
     python tools/verify_all.py               # all queries, sf0.01
     python tools/verify_all.py --window      # driver window (first 50) only
+    python tools/verify_all.py --since REV   # queries whose defining module
+                                             # changed since git REV
     python tools/verify_all.py name [name..] # specific queries
+
+--since caveat: selection is by the query's DEFINING module
+(fn.__module__); a changed .py that is NOT a query module (shared
+operator/infra code) can affect any query importing it, so --since
+falls back to the FULL sweep in that case. Use it for quick
+query-file iteration; the full sweep remains the pre-seal gate.
 
 Exit code 0 iff every checked query MATCHes (rows-only queries must
 merely run and return rows).
@@ -74,6 +82,35 @@ def _kind_compatible(s: str | None, d: str | None) -> bool:
     return s in ints and d in ints
 
 
+def _changed_since(rev: str, qs: dict) -> list[str] | None:
+    """Names of queries whose DEFINING module changed since ``rev``.
+    Returns None when a changed file under the package is not a query
+    module (shared operator/infra code) -- callers should full-sweep."""
+    import subprocess
+
+    from testlog_etl_spark.suite import REGISTRY
+
+    out = subprocess.run(
+        ["git", "diff", "--name-only", rev, "--", "testlog_etl_spark/", "__spark_entry__.py"],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.split()
+    if not out:
+        return []
+    mod_file: dict[str, list[str]] = {}
+    for name, case in REGISTRY.items():
+        mod = sys.modules.get(case.fn.__module__)
+        if mod is None or not getattr(mod, "__file__", None):
+            return None
+        mod_file.setdefault(os.path.relpath(mod.__file__, REPO), []).append(name)
+    selected: list[str] = []
+    for f in out:
+        if f in mod_file:
+            selected.extend(mod_file[f])
+        elif f.endswith(".py"):
+            return None  # shared module: can't scope safely
+    return [n for n in qs if n in set(selected)]
+
+
 def main(argv: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -87,6 +124,15 @@ def main(argv: list[str]) -> int:
 
     if "--window" in argv:
         names = list(DRIVER_WINDOW)
+    elif "--since" in argv:
+        rev = argv[argv.index("--since") + 1]
+        names = _changed_since(rev, qs)
+        if names is None:  # shared-module change: conservative full sweep
+            print("--since: a shared (non-query) module changed; sweeping ALL")
+            names = list(qs)
+        elif not names:
+            print(f"--since {rev}: no query-defining modules changed; nothing to do")
+            return 0
     elif args := [a for a in argv if not a.startswith("-")]:
         names = args
     else:
