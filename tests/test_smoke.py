@@ -82,6 +82,13 @@ def test_output_types_hash_safe_r07_regressions(spark, sf_dir):
     for name in ("jx_array_lambdas", "agg_decimal_exact_revenue"):
         bad = lint.spark_unsafe_cols(qs[name](spark, sf_dir).schema)
         assert bad == {}, f"{name} emits driver-hash-unsafe output columns: {bad}"
+    # duplicate output names (legal in Spark, scrambles the driver's
+    # sort-by-name compare) are rejected too
+    from pyspark.sql import functions as F
+
+    dup = spark.range(1).select(F.lit(1).alias("a"), F.lit(2).alias("a"))
+    assert "duplicate" in lint.spark_unsafe_cols(dup.schema).get("a", "")
+
     # the exact-decimal query must still DO exact decimal arithmetic
     # internally -- only the render changed.
     plan = qs["agg_decimal_exact_revenue"](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()

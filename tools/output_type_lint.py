@@ -52,10 +52,17 @@ DUCK_UNSAFE = ("[]", "list", "struct", "map", "blob", "decimal", "hugeint", "uni
 
 def spark_unsafe_cols(schema) -> dict[str, str]:
     bad = {}
+    seen: set[str] = set()
     for f in schema.fields:
         t = f.dataType.simpleString().lower()
         if t.startswith(SPARK_UNSAFE):
             bad[f.name] = t
+        # Spark permits duplicate column names; the driver's compare
+        # sorts columns BY NAME before hashing, so duplicates scramble
+        # the pairing nondeterministically. Reject at lint time.
+        if f.name in seen:
+            bad[f.name] = f"duplicate column name ({t})"
+        seen.add(f.name)
     return bad
 
 
