@@ -95,6 +95,50 @@ def test_output_types_hash_safe_r07_regressions(spark, sf_dir):
     assert "decimal(38,4)" in plan.lower()
 
 
+def test_driver_hash_rehearsal_catches_r07_classes(spark, sf_dir):
+    """tools/driver_hash_rehearsal.py replays the driver's pandas
+    canonicalization (sort_values lexsort + dtype-strict compare). Pin
+    that it (a) passes the two FIXED queries end-to-end and (b) would
+    have FAILED both r07 classes: an ARRAY output raises in the sort
+    step; a DECIMAL output drifts dtype (object Decimal vs float64)."""
+    import importlib.util
+    import os
+    from decimal import Decimal
+
+    import pandas as pd
+    import pytest as _pytest
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "driver_hash_rehearsal.py")
+    spec = importlib.util.spec_from_file_location("dhr", path)
+    dhr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dhr)
+
+    # (b) ARRAY output: the driver's sort step raises on list cells
+    with _pytest.raises(TypeError):
+        dhr.canonicalize(pd.DataFrame({"k": [1, 2], "v": [[1, 2], [3]]}))
+
+    # (b) DECIMAL output: Spark's Arrow path yields object(Decimal),
+    # DuckDB's client path float64 -- dtype-strict compare must fail
+    s = dhr.canonicalize(pd.DataFrame({"v": [Decimal("1.5000"), Decimal("2.0000")]}))
+    d = dhr.canonicalize(pd.DataFrame({"v": [1.5, 2.0]}))
+    with _pytest.raises(AssertionError):
+        pd.testing.assert_frame_equal(s, d, check_dtype=True, check_exact=True)
+
+    # (a) the fixed queries pass the full rehearsal pipeline
+    import duckdb
+
+    from tests.conftest import register_duck_views
+    from testlog_etl_spark import suite
+
+    con = duckdb.connect()
+    register_duck_views(con, sf_dir)
+    qs, oracles = suite.queries(), suite.oracle_sql()
+    for name in ("jx_array_lambdas", "agg_decimal_exact_revenue"):
+        a = dhr.canonicalize(qs[name](spark, sf_dir).toPandas())
+        b = dhr.canonicalize(con.sql(oracles[name]).df())
+        pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
+
+
 def test_bench_json_contract():
     """The driver parses bench.py's single JSON line; pin the contract
     (field names + types) without paying a full sf0.1 run: run the
