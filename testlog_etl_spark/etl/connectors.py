@@ -243,6 +243,16 @@ def file_notification_stream(
         .option("maxFileAge", max_file_age)
         .option("cleanSource", clean_source)
     )
-    if path.endswith((".jsonl", ".json")) or path.rstrip("/").endswith("jsonl"):
+    # compressed JSONL (*.jsonl.gz etc.) is the canonical production
+    # shape -- strip compression suffixes before deciding the format
+    base = path.rstrip("/")
+    stripped = True
+    while stripped:
+        stripped = False
+        for ext in (".gz", ".bz2", ".zst", ".snappy", "*"):
+            if base.endswith(ext):
+                base = base.removesuffix(ext)
+                stripped = True
+    if base.endswith((".jsonl", ".json")) or base.endswith("jsonl"):
         return reader.json(path)
     return reader.parquet(path)

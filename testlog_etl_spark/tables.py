@@ -91,3 +91,15 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def register_duck_views(con, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
+    """Register every driver table as a DuckDB view over its parquet --
+    the one shared definition of the oracle-side table surface (used by
+    tests/conftest.py and every tools/ differential gate; a new table
+    added to TABLE_NAMES reaches all of them at once)."""
+    for name in names:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )

@@ -37,9 +37,6 @@ def duck():
 
 
 def register_duck_views(con, sf_dir: str) -> None:
-    from testlog_etl_spark.tables import TABLE_NAMES, table_path
+    from testlog_etl_spark.tables import register_duck_views as _rdv
 
-    for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
-        )
+    _rdv(con, sf_dir)

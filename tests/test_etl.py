@@ -303,3 +303,10 @@ def test_connector_bridge_gates_and_options(spark, sf_dir):
     )
     assert sdf.isStreaming
     assert sdf.schema == schema
+
+    # format routing: compressed JSONL (the canonical production shape
+    # named in the S1 docstring) must reach the JSON reader, not parquet
+    jdf = cx.file_notification_stream(spark, "/tmp/absent/*.jsonl.gz", schema)
+    assert "json" in jdf._jdf.queryExecution().logical().toString().lower()
+    pdf_rel = cx.file_notification_stream(spark, "/tmp/absent/*.parquet", schema)
+    assert "parquet" in pdf_rel._jdf.queryExecution().logical().toString().lower()

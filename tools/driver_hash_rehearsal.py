@@ -41,12 +41,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF = os.environ.get("SPARK_JX_VERIFY_SF", "/root/testdata/sf0.01")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
 def canonicalize(pdf):
     """Sort columns by name, normalize hash-equivalent dtypes, sort rows
     by all columns (the driver's lexsort step)."""
@@ -68,14 +62,29 @@ def canonicalize(pdf):
         elif pd.api.types.is_float_dtype(dt):
             pdf[c] = pdf[c].astype("float64")
         elif isinstance(dt, pd.DatetimeTZDtype):
-            # Spark LTZ comes back tz-aware (session TZ=UTC); DuckDB
-            # naive. The driver hash-matched this pairing in every
-            # events query r02-r07, so normalize both to naive UTC.
-            pdf[c] = pdf[c].dt.tz_convert("UTC").dt.tz_localize(None)
+            # Spark LTZ can come back tz-aware; DuckDB naive. The driver
+            # hash-matched this pairing in every events query r02-r07,
+            # so normalize both to naive UTC -- AND to us resolution
+            # (tz-aware frames arrive ns; the naive branch below casts
+            # to us, so without this cast identical values would
+            # dtype-mismatch ns-vs-us).
+            pdf[c] = (
+                pdf[c].dt.tz_convert("UTC").dt.tz_localize(None).astype("datetime64[us]")
+            )
         elif pd.api.types.is_datetime64_any_dtype(dt):
             pdf[c] = pdf[c].astype("datetime64[us]")
         elif pd.api.types.is_bool_dtype(dt) and str(dt) == "boolean":
             pdf[c] = pdf[c].astype("bool" if not pdf[c].isna().any() else "object")
+    # Unhashable container cells: the driver's multi-column lexsort
+    # raises on them, but a SINGLE-column frame takes pandas' argsort
+    # path and can sort lists without raising -- reject explicitly so
+    # the one-column case cannot silently pass a gate the driver's own
+    # compare would fail.
+    for c in pdf.columns:
+        if pdf[c].dtype == object and pdf[c].map(
+            lambda v: isinstance(v, (list, dict, set, bytearray))
+        ).any():
+            raise TypeError(f"unhashable container values in output column {c!r}")
     # THE driver step that exploded on r07's ARRAY output: let it raise
     pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
     # date columns: DuckDB .df() yields datetime64, Spark yields object
@@ -114,11 +123,10 @@ def main(argv: list[str]) -> int:
     else:
         names = list(qs)
 
+    from testlog_etl_spark.tables import register_duck_views
+
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
-        )
+    register_duck_views(con, SF)
 
     bad: dict[str, str] = {}
     for name in names:

@@ -37,17 +37,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF = os.environ.get("SPARK_JX_VERIFY_SF", "/root/testdata/sf0.01")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 # Spark simpleString prefixes that are unsafe as OUTPUT columns. (They
 # are fine mid-plan -- the exact-decimal revenue query still sums in
 # DECIMAL(38,4); only the final select must render to a safe type.)
 SPARK_UNSAFE = ("array", "struct", "map", "binary", "decimal")
-# DuckDB relation type names that are unsafe as OUTPUT columns.
-DUCK_UNSAFE = ("[]", "list", "struct", "map", "blob", "decimal", "hugeint", "union")
+# DuckDB relation type names (base, before any "(...)") that are unsafe
+# as OUTPUT columns; "TYPE[]" array suffixes are checked separately.
+DUCK_UNSAFE = ("list", "struct", "map", "blob", "decimal", "hugeint", "union")
 
 
 def spark_unsafe_cols(schema) -> dict[str, str]:
@@ -68,12 +65,16 @@ def spark_unsafe_cols(schema) -> dict[str, str]:
 
 def duck_unsafe_cols(rel) -> dict[str, str]:
     bad = {}
+    seen: set[str] = set()
     for c, t in zip(rel.columns, rel.types):
         ts = str(t).lower()
-        if ts.endswith("[]") or ts.split("(")[0] in (
-            "list", "struct", "map", "blob", "decimal", "hugeint", "union",
-        ):
+        if ts.endswith("[]") or ts.split("(")[0] in DUCK_UNSAFE:
             bad[c] = ts
+        # duplicate names scramble a sort-by-name compare (and collapse
+        # silently in dict-keyed row access) -- reject on this side too
+        if c in seen:
+            bad[c] = f"duplicate column name ({ts})"
+        seen.add(c)
     return bad
 
 
@@ -96,11 +97,10 @@ def main(argv: list[str]) -> int:
     else:
         names = list(qs)
 
+    from testlog_etl_spark.tables import register_duck_views
+
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
-        )
+    register_duck_views(con, SF)
 
     bad: dict[str, str] = {}
     for name in names:

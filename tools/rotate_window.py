@@ -56,8 +56,14 @@ def green(rec: dict) -> bool:
 
 
 def queue_order(registry_names: list[str]) -> list[str]:
-    """Stable backlog order: names as listed in the suite.py backlog
-    comment (the frozen queue), then any stragglers in registry order."""
+    """Stable backlog order: the ACTIVE window's tuple entries first
+    (they are this round's in-flight signing candidates — if the round's
+    CORRECTNESS artifact hasn't landed yet they are still unsigned and
+    must stay at the FRONT, not demote to the tail), then the names in
+    the suite.py backlog comment (the frozen queue), then any stragglers
+    in registry order. Both appear inside the DRIVER_WINDOW region in
+    file order (entries above, backlog comment below), so one ordered
+    scan of the region yields exactly that precedence."""
     with open(SUITE) as f:
         src = f.read()
     m = re.search(r"DRIVER_WINDOW: tuple\[str, \.\.\.\] = \((.*?)\n\)", src, re.S)
@@ -65,9 +71,11 @@ def queue_order(registry_names: list[str]) -> list[str]:
     seen: list[str] = []
     for line in m.group(1).splitlines():
         ls = line.strip()
-        if not ls.startswith("#"):
-            continue
-        for tok in re.findall(r"[a-z][a-z0-9_]{3,}", ls):
+        if ls.startswith("#"):
+            toks = re.findall(r"[a-z][a-z0-9_]{3,}", ls)
+        else:
+            toks = re.findall(r'"([a-z][a-z0-9_]{3,})"', ls)
+        for tok in toks:
             if tok in reg and tok not in seen:
                 seen.append(tok)
     return seen + [n for n in registry_names if n not in set(seen)]

@@ -29,12 +29,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF = os.environ.get("SPARK_JX_VERIFY_SF", "/root/testdata/sf0.01")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
 def _kind(t: str) -> str:
     """Normalize a Spark simpleString / DuckDB type name to a width-aware
     kind tag, so HUGEINT-vs-BIGINT (and any other typed-value drift the
@@ -125,6 +119,9 @@ def main(argv: list[str]) -> int:
     if "--window" in argv:
         names = list(DRIVER_WINDOW)
     elif "--since" in argv:
+        if argv.index("--since") + 1 >= len(argv):
+            print("usage: verify_all.py --since GITREV")
+            return 2
         rev = argv[argv.index("--since") + 1]
         names = _changed_since(rev, qs)
         if names is None:  # shared-module change: conservative full sweep
@@ -138,11 +135,10 @@ def main(argv: list[str]) -> int:
     else:
         names = list(qs)
 
+    from testlog_etl_spark.tables import register_duck_views
+
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
-        )
+    register_duck_views(con, SF)
 
     bad: dict[str, str] = {}
     for name in names:
@@ -183,6 +179,11 @@ def main(argv: list[str]) -> int:
                 }
                 if unsafe:
                     kind_bad.update({c: ("UNSAFE-OUTPUT", k) for c, k in unsafe.items()})
+                # duplicate names: r[c] / raw_cols.index(c) both resolve
+                # to the FIRST occurrence, silently skipping the second
+                # column's values -- reject rather than false-MATCH
+                if len(set(sdf.columns)) != len(sdf.columns) or len(set(raw_cols)) != len(raw_cols):
+                    kind_bad["__dup_column_names__"] = (tuple(sdf.columns), tuple(raw_cols))
                 ok = s == d and s_cols == d_cols and not kind_bad
                 status = "MATCH" if ok else f"MISMATCH {kind_bad or ''}".rstrip()
                 if not ok:
