@@ -4,9 +4,19 @@ Jaro-Winkler runs as an Arrow-batched pandas UDF (short strings, pure
 Python per pair inside a vectorized batch) implementing the STANDARD
 definition -- Winkler prefix bonus p=0.1 capped at 4 chars, applied
 only when jaro > 0.7 -- which is bit-compatible with DuckDB's
-jaro_winkler_similarity (verified pairwise over the part-name corpus in
-tests/test_r07_ops.py, including the ('','') -> 0.0 edge DuckDB
-chooses over the identity shortcut).
+jaro_winkler_similarity ON ASCII INPUT (verified pairwise over the
+part-name corpus in tests/test_r07_ops.py, including the ('','') ->
+0.0 edge DuckDB chooses over the identity shortcut, and fuzzed over
+the printable-ASCII long tail in tests/test_properties.py).
+
+Unicode caveat (found by the r08 fuzz, pinned in test_properties):
+DuckDB computes JW and Damerau-Levenshtein over UTF-8 BYTES, so
+multi-byte codepoints sharing lead bytes inflate its similarity
+(jaro_winkler_similarity('\\x80', '\\x800') = 0.911... because '\\x80'
+is the two bytes C2 80). These kernels are CODEPOINT-level -- the
+linguistically meaningful unit -- and byte-equal to DuckDB exactly
+when input is ASCII, which every registered fuzzy-join query's data
+is (TPC-H part/customer names).
 
 Scale shape for joins: NEVER score the crossjoin. Block first (equal
 first-2-chars here -- any corruption model that preserves the block key

@@ -277,3 +277,58 @@ def test_temperature_allocation_apportionment_invariants(token_counts, budget):
         assert target - 1 < r["alloc_tokens"] < target + 1, (r, target)
         if r["tokens"] == 0:
             assert r["alloc_tokens"] == 0
+
+
+# ------------------------- string-similarity kernels vs DuckDB builtins
+
+# printable ASCII: DuckDB computes these over UTF-8 BYTES, our kernels
+# over CODEPOINTS -- identical exactly on ASCII (the divergence is pinned
+# in test_strsim_unicode_is_codepoint_level below)
+_strsim_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=24,
+)
+
+
+@given(_strsim_text, _strsim_text)
+@settings(max_examples=300, deadline=None)
+def test_jaro_winkler_kernel_matches_duckdb(a, b):
+    """The pure-Python JW kernel behind the Arrow UDF must stay
+    bit-compatible with DuckDB's jaro_winkler_similarity on arbitrary
+    text (the blocked fuzzy-join oracles depend on exact agreement);
+    the r07 tests pin real p_name pairs, this fuzzes the long tail
+    (repeats, prefixes, empties). ASCII only: see alphabet comment."""
+    import duckdb
+
+    from testlog_etl_spark.operators.strsim import _jw
+
+    want = duckdb.execute("SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+    assert _jw(a, b) == want, (a, b)
+
+
+@given(_strsim_text, _strsim_text)
+@settings(max_examples=300, deadline=None)
+def test_damerau_kernel_matches_duckdb(a, b):
+    """True Damerau-Levenshtein (unrestricted transpositions) must agree
+    with DuckDB's damerau_levenshtein everywhere, not just on blocked
+    name pairs."""
+    import duckdb
+
+    from testlog_etl_spark.operators.strsim import _dl
+
+    want = duckdb.execute("SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+    assert _dl(a, b) == want, (a, b)
+
+
+def test_strsim_unicode_is_codepoint_level():
+    """Deliberate divergence, found by the r08 fuzz: DuckDB's string
+    distances operate on UTF-8 bytes ('\x80' is C2 80, so it shares a
+    lead byte with any 2-byte codepoint); our kernels operate on
+    codepoints, the linguistically meaningful unit. Pin OUR behavior so
+    an accidental switch to byte semantics fails loudly."""
+    from testlog_etl_spark.operators.strsim import _dl, _jw
+
+    # codepoint view: 1-char vs 2-char strings, one match
+    assert abs(_jw("\x80", "\x800") - 0.85) < 1e-12  # DuckDB (bytes): 0.9111...
+    assert _dl("\x80", "\x800") == 1  # one insertion, codepoint-wise
+    # ASCII pairs remain byte-identical to DuckDB (property above)
