@@ -38,10 +38,22 @@ class ConnectorUnavailable(RuntimeError):
 
 
 def _require_class(spark: SparkSession, cls: str, coordinate: str, analog: str) -> None:
+    # JVM-side class lookup: cheap, no instantiation. Probe through
+    # Spark's OWN classloader first (org.apache.spark.util.Utils
+    # .classForName uses the context/mutable loader), because jars added
+    # at session level (spark.jars / ADD JAR / some spark.jars.packages
+    # deploy shapes) live in Spark's MutableURLClassLoader and are
+    # INVISIBLE to java.lang.Class.forName through the py4j gateway's
+    # root loader — the r08 advisor flagged that as a false-negative
+    # availability gate on correctly provisioned clusters.
     try:
-        # JVM-side class lookup: cheap, no instantiation
+        spark._jvm.org.apache.spark.util.Utils.classForName(cls, False, False)
+        return
+    except Exception:
+        pass
+    try:
         getattr(spark._jvm.java.lang.Class, "forName")(cls)  # noqa: B009
-    except Exception as ex:  # class not found -> honest gate
+    except Exception as ex:  # not found via either loader -> honest gate
         raise ConnectorUnavailable(
             f"{cls} is not on the classpath. Add it with "
             f'spark.jars.packages="{coordinate}" (public Maven artifact). '
@@ -223,6 +235,7 @@ def file_notification_stream(
     max_files_per_trigger: int = 1000,
     max_file_age: str = "7d",
     clean_source: str = "off",
+    format: str = "auto",
 ) -> DataFrame:
     """S3-notification-shaped file stream: the OSS analog of "SQS tells
     us which S3 blocks are new" WITHOUT a broker — Spark's file source
@@ -243,8 +256,18 @@ def file_notification_stream(
         .option("maxFileAge", max_file_age)
         .option("cleanSource", clean_source)
     )
-    # compressed JSONL (*.jsonl.gz etc.) is the canonical production
-    # shape -- strip compression suffixes before deciding the format
+    if format not in ("auto", "json", "parquet"):
+        raise ValueError(f"format must be 'auto', 'json' or 'parquet', got {format!r}")
+    if format == "json":
+        return reader.json(path)
+    if format == "parquet":
+        return reader.parquet(path)
+    # auto: compressed JSONL (*.jsonl.gz etc.) is the canonical
+    # production shape -- strip glob star + compression suffixes before
+    # deciding. A path that still has no recognizable extension is
+    # AMBIGUOUS and raises instead of silently defaulting to parquet
+    # (r08 advisor: '/data/logs/*' over extension-less jsonl.gz files
+    # used to get the wrong reader with a confusing downstream error).
     base = path.rstrip("/")
     stripped = True
     while stripped:
@@ -255,4 +278,10 @@ def file_notification_stream(
                 stripped = True
     if base.endswith((".jsonl", ".json")) or base.endswith("jsonl"):
         return reader.json(path)
-    return reader.parquet(path)
+    if base.endswith((".parquet", ".parq")) or base.endswith("parquet"):
+        return reader.parquet(path)
+    raise ValueError(
+        f"file_notification_stream: cannot infer the format of {path!r} "
+        "(no .json/.jsonl/.parquet suffix after stripping compression/glob "
+        "suffixes); pass format='json' or format='parquet' explicitly."
+    )

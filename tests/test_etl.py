@@ -4,6 +4,7 @@ mirroring the reference's tests/resources golden-doc strategy."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from testlog_etl_spark.etl import fixtures
@@ -310,3 +311,12 @@ def test_connector_bridge_gates_and_options(spark, sf_dir):
     assert "json" in jdf._jdf.queryExecution().logical().toString().lower()
     pdf_rel = cx.file_notification_stream(spark, "/tmp/absent/*.parquet", schema)
     assert "parquet" in pdf_rel._jdf.queryExecution().logical().toString().lower()
+    # extension-less glob is AMBIGUOUS: must raise, never silently default
+    # to parquet (r09: explicit format parameter)
+    with pytest.raises(ValueError, match="cannot infer the format"):
+        cx.file_notification_stream(spark, "/tmp/absent/*", schema)
+    # ...unless the caller states the format explicitly
+    fdf = cx.file_notification_stream(spark, "/tmp/absent/*", schema, format="json")
+    assert "json" in fdf._jdf.queryExecution().logical().toString().lower()
+    with pytest.raises(ValueError, match="format must be"):
+        cx.file_notification_stream(spark, "/tmp/absent/*", schema, format="orc")

@@ -30,17 +30,31 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def best_prior() -> dict[str, float]:
-    """Per-query minimum across every driver-recorded round."""
-    best: dict[str, float] = {}
+def best_prior() -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query minima across every driver-recorded round.
+
+    Returns ``(best_raw, best_norm)``: raw wall seconds, and — for rounds
+    whose artifact carries ``cpu_ref_sec`` (r08+) — the VM-speed-normalized
+    minimum ``sec / cpu_ref_sec``. The r08 addendum in BASELINE.md proved
+    raw best-priors from the fast-VM era (r01–r06) measure the host as much
+    as the code, so the normalized channel is the authoritative one when
+    both sides carry the reference-workload field."""
+    best_raw: dict[str, float] = {}
+    best_norm: dict[str, float] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
         with open(path) as f:
             rec = json.load(f)
-        queries = (rec.get("parsed") or {}).get("queries") or {}
+        parsed = rec.get("parsed") or {}
+        queries = parsed.get("queries") or {}
+        cpu_ref = parsed.get("cpu_ref_sec")
         for name, sec in queries.items():
             if isinstance(sec, (int, float)):
-                best[name] = min(best.get(name, float("inf")), float(sec))
-    return best
+                best_raw[name] = min(best_raw.get(name, float("inf")), float(sec))
+                if isinstance(cpu_ref, (int, float)) and cpu_ref > 0:
+                    best_norm[name] = min(
+                        best_norm.get(name, float("inf")), float(sec) / float(cpu_ref)
+                    )
+    return best_raw, best_norm
 
 
 def load_current(arg: str | None) -> dict:
@@ -70,18 +84,37 @@ def main(argv: list[str]) -> int:
             args.append(a)
 
     current = load_current(args[0] if args else None)
-    prior = best_prior()
+    prior_raw, prior_norm = best_prior()
+    cur_ref = current.get("cpu_ref_sec")
+    cur_ref = float(cur_ref) if isinstance(cur_ref, (int, float)) and cur_ref > 0 else None
     bad: list[str] = []
     for name, sec in sorted((current.get("queries") or {}).items()):
-        ref = prior.get(name)
-        if ref is None:
+        raw_ref = prior_raw.get(name)
+        if raw_ref is None:
             print(f"{name:32s} {sec:7.3f}s  (new, no prior round)")
             continue
-        ratio = sec / ref if ref else float("inf")
+        # Normalized channel (VERDICT r08 item 4): compare
+        # (sec / cpu_ref_sec) against the best prior normalized value,
+        # when BOTH sides measured the single-thread reference workload.
+        if cur_ref is not None and name in prior_norm:
+            ratio = (sec / cur_ref) / prior_norm[name] if prior_norm[name] else float("inf")
+            tag = "norm"
+        else:
+            ratio = sec / raw_ref if raw_ref else float("inf")
+            tag = "raw*" if cur_ref is None or name not in prior_norm else "raw"
         flag = "REGRESSION" if ratio > factor else "ok"
-        print(f"{name:32s} {sec:7.3f}s  vs best {ref:7.3f}s  x{ratio:.2f}  {flag}")
+        print(
+            f"{name:32s} {sec:7.3f}s  vs best {raw_ref:7.3f}s  "
+            f"x{ratio:.2f} ({tag})  {flag}"
+        )
         if ratio > factor:
             bad.append(name)
+    if any(name not in prior_norm for name in (current.get("queries") or {})):
+        print(
+            "(raw*: prior rounds for this query predate cpu_ref_sec — the\n"
+            " fast-VM-era caveat applies: a >1x raw ratio can be host speed,\n"
+            " not code; see BASELINE.md r08 addendum)"
+        )
     total = current.get("value")
     # host load annotation (VERDICT r07 item 4): a uniform elevation
     # across untouched plans under nontrivial load is environmental, not
