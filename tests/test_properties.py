@@ -332,3 +332,119 @@ def test_strsim_unicode_is_codepoint_level():
     assert abs(_jw("\x80", "\x800") - 0.85) < 1e-12  # DuckDB (bytes): 0.9111...
     assert _dl("\x80", "\x800") == 1  # one insertion, codepoint-wise
     # ASCII pairs remain byte-identical to DuckDB (property above)
+
+
+# ------------------- space-filling-curve SQL twins vs the Python kernels
+
+_curve_pts = st.lists(
+    st.tuples(st.integers(0, 255), st.integers(0, 255)), min_size=1, max_size=40
+)
+
+
+@given(_curve_pts, st.integers(1, 8))
+@settings(max_examples=40, deadline=None)
+def test_hilbert_cte_twin_matches_python_fuzz(pts, bits):
+    """Fuzz the Hilbert CTE chain (the DuckDB oracle twin of
+    with_hilbert) against the pure-Python hilbert_d kernel at EVERY
+    order 1..8, not just the fixed seeds in test_r07s4_ops: the fold
+    expressions are generated text, so an off-by-one in the s-constant
+    arithmetic would only show at specific (bits, quadrant) combos."""
+    import duckdb
+
+    from testlog_etl_spark.operators.layout import hilbert_d, hilbert_sql_ctes
+
+    n = 1 << bits
+    pts = [(x % n, y % n) for x, y in pts]
+    values = ", ".join(f"({x}, {y})" for x, y in pts)
+    src = f"SELECT * FROM (VALUES {values}) AS t(xq, yq)"
+    ctes = hilbert_sql_ctes(src, "xq", "yq", bits=bits, keep="xq, yq", out="h")
+    rows = duckdb.execute(f"{ctes} SELECT xq, yq, h FROM h{bits}").fetchall()
+    assert len(rows) == len(pts)
+    for x, y, h in rows:
+        assert h == hilbert_d(x, y, bits), (x, y, bits)
+
+
+@given(_curve_pts, st.integers(1, 8))
+@settings(max_examples=40, deadline=None)
+def test_zorder_sql_twin_matches_interleave_model_fuzz(pts, bits):
+    """The zorder_sql text (DuckDB twin of the codegen zorder_value)
+    must equal the textbook bit-interleave at every width."""
+    import duckdb
+
+    from testlog_etl_spark.operators.layout import zorder_sql
+
+    def morton(x: int, y: int) -> int:
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    n = 1 << bits
+    pts = [(x % n, y % n) for x, y in pts]
+    values = ", ".join(f"({x}, {y})" for x, y in pts)
+    expr = zorder_sql("xq", "yq", bits=bits)
+    rows = duckdb.execute(
+        f"SELECT xq, yq, {expr} FROM (VALUES {values}) AS t(xq, yq)"
+    ).fetchall()
+    for x, y, z in rows:
+        assert z == morton(x, y), (x, y, bits)
+
+
+# --------------- phonetic blocking key: Spark vs DuckDB regex parity
+
+_phonetic_text = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_phonetic_text)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_phonetic_key_cross_engine_parity_fuzz(texts):
+    """dedup_phonetic_blocking's key is the SAME expression text run on
+    both engines (substring/lower/trim/regexp_replace) -- fuzz that the
+    Java-regex and RE2 renderings agree on arbitrary printable ASCII
+    (the registered data, p_name, is ASCII; the non-ASCII boundary is
+    pinned in the casefold test below)."""
+    import duckdb
+
+    spark = _spark()
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    expr = (
+        "substring(lower(trim(s)), 1, 1) || "
+        "regexp_replace(substring(lower(trim(s)), 2), '[aeiouy ]', '')"
+    )
+    got = [r.k for r in df.selectExpr(f"{expr} as k").collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT substring(lower(trim(?)),1,1) || "
+            "regexp_replace(substring(lower(trim(?)),2), '[aeiouy ]', '', 'g')",
+            [t, t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want, list(zip(texts, got, want))
+
+
+def test_phonetic_key_casefold_divergence_is_pinned():
+    """Deliberate divergence, found by the r09 fuzz probe: Spark's
+    lower() applies FULL, context-sensitive Unicode case mapping
+    (U+0130 'İ' -> 'i' + U+0307 combining dot, two codepoints; final
+    sigma 'Σ' at word end -> 'ς'), while DuckDB's lower() applies the
+    simple one-codepoint mapping ('İ' -> 'i', 'Σ' -> 'σ' everywhere).
+    Identical on ASCII (fuzzed above), which is all the registered
+    phonetic-blocking data (p_name). Pin BOTH engines' behavior so a
+    library upgrade that silently changes either casing convention
+    fails here instead of in a driver hash."""
+    import duckdb
+
+    spark = _spark()
+    df = spark.createDataFrame([("İ",), ("ΏΣ",)], "s string")
+    got = {r.s: r.k for r in df.selectExpr("s", "lower(s) as k").collect()}
+    assert got["İ"] == "i̇"  # full mapping: 2 codepoints
+    assert got["ΏΣ"] == "ώς"  # context-sensitive final sigma
+    con = duckdb.connect()
+    assert con.execute("SELECT lower('İ')").fetchone()[0] == "i"  # simple mapping
+    assert con.execute("SELECT lower('ΏΣ')").fetchone()[0] == "ώσ"

@@ -100,8 +100,14 @@ def _changed_since(rev: str, qs: dict) -> list[str] | None:
     for f in out:
         if f in mod_file:
             selected.extend(mod_file[f])
-        elif f.endswith(".py"):
-            return None  # shared module: can't scope safely
+        else:
+            # Any OTHER changed file under the scanned paths is
+            # unscopeable: a shared .py can affect any importer, and a
+            # non-Python resource (fixture data, .sql/.txt assets) can
+            # change behavior without being a query-defining module
+            # (r08 advisor: --since used to silently ignore non-.py
+            # changes and report "nothing to do").
+            return None
     return [n for n in qs if n in set(selected)]
 
 
