@@ -58,13 +58,19 @@ def quantile_threshold_filter(
     keep: str = "upper",
 ) -> DataFrame:
     """Keep rows whose score clears their group's ``quantile`` threshold
-    ("top 20% quality per source" style gates). Exact ``percentile``
-    (sort-based aggregate) over the grouped scores yields one threshold
-    row per group -- a frame bounded by group cardinality, hence always
-    broadcastable; the corpus side is filtered with zero shuffles."""
+    ("top 20% quality per source" style gates). Thresholds come from
+    the rank-selection quantile (``operators/scan_quantile.py`` --
+    rollup-sized exchanges, no per-group buffer concentration; the
+    exact ``percentile`` aggregate used before r09 buffered every
+    group score in its partial state, which is the group itself at
+    100 TB even though the RESULT frame is bounded). One threshold row
+    per group -- bounded by group cardinality, hence broadcastable; the
+    corpus side is filtered with zero extra shuffles."""
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
     scored = df.withColumn("_score", score)
-    thresholds = scored.groupBy(group_col).agg(
-        F.percentile("_score", F.lit(quantile)).alias("_thr")
+    thresholds = group_quantiles_exact(
+        scored.select(group_col, "_score"), group_col, "_score", [quantile], ["_thr"]
     )
     cond = F.col("_score") >= F.col("_thr") if keep == "upper" else F.col("_score") <= F.col("_thr")
     return (

@@ -214,3 +214,48 @@ def global_running_max(
             yield o[names]
 
     return ranged.mapInPandas(scan, out_schema)
+
+
+def group_quantile_exact(
+    df: DataFrame,
+    key: str,
+    val: str,
+    q: float = 0.5,
+    out: str = "q",
+    num_parts: int = 32,
+) -> DataFrame:
+    """Exact per-group linear-interpolated quantile — BIT-IDENTICAL to
+    Spark's exact ``percentile(val, q)`` and DuckDB's ``quantile_cont``
+    (both compute position ``p = q*(n-1)`` and interpolate with the
+    SYMMETRIC form ``v[⌈p⌉]·(p-⌊p⌋) + v[⌊p⌋]·(⌈p⌉-p)``, which rounds
+    differently from the naive ``lo + frac·(hi-lo)`` — e.g. q=0.9 over
+    {1.0, 3.0} is 2.8000000000000003 under both engines, 2.8 naive) —
+    WITHOUT the exact-percentile aggregate's scale hazard:
+    ``percentile()`` buffers every group value in its aggregation
+    state, so its partial buffers ride the shuffle at the full column
+    width and each group's final merge lands on ONE reducer (measured
+    80 KB/shuffle-record on stats_levene_test at sf0.1; at 100 TB a
+    group's buffer is the group). Here only ``(key, value, count)``
+    rollup rows cross one range exchange:
+
+    1. per-(key, value) count rollup (map-side combinable);
+    2. ``global_rank_cumsum`` over (key, value) -> global cumulative
+       count, range-partitioned — no per-group concentration;
+    3. the k-row per-group totals (k = |key domain|, which must be
+       BOUNDED — it is collected) yield each group's rank offset and
+       target order-statistic positions on the driver;
+    4. a broadcast join + filter selects the ≤2 covering value rows per
+       group; interpolation is closed-form arithmetic.
+
+    NULL values are ignored (``percentile`` semantics); a group with
+    only NULLs yields NO row (vs percentile's NULL row) — callers that
+    need the NULL row should left-join this result back to the key
+    rollup. Returns a DataFrame (key, out) with ``out`` double.
+
+    Thin wrapper over ``operators/scan_quantile.py::
+    group_quantiles_exact`` (the multi-quantile form; full mechanism
+    and FP-exactness notes live there).
+    """
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
+    return group_quantiles_exact(df, key, val, [q], [out], num_parts=num_parts)

@@ -983,13 +983,22 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_viewers = st.filter(F.col("t1").isNotNull()).agg(F.count(F.lit(1)).alias("n_viewers"))
     lat = st.filter(F.col("t2").isNotNull()).select(
-        ((F.unix_micros("t2") - F.unix_micros("t1")).cast("double") / 1e6).alias("lat_sec")
+        F.lit(1).alias("_g"),
+        ((F.unix_micros("t2") - F.unix_micros("t1")).cast("double") / 1e6).alias("lat_sec"),
     )
+    # rank-selection quantiles over the converted-users grain (scales
+    # with users, so the exact median()/percentile() buffers would hold
+    # it all on one reducer -- operators/scan_quantile.py)
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
+    qs = group_quantiles_exact(lat, "_g", "lat_sec", [0.5, 0.9], ["_med", "_p90"])
     return (
-        lat.agg(
-            F.count(F.lit(1)).alias("n_converted"),
-            F.round(F.median("lat_sec") / 3600, 4).alias("median_hours"),
-            F.round(F.percentile("lat_sec", F.lit(0.9)) / 3600, 4).alias("p90_hours"),
+        lat.agg(F.count(F.lit(1)).alias("n_converted"))
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "n_converted",
+            F.round(F.col("_med") / 3600, 4).alias("median_hours"),
+            F.round(F.col("_p90") / 3600, 4).alias("p90_hours"),
         )
         .crossJoin(F.broadcast(n_viewers))
         .select(
@@ -1397,12 +1406,26 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.withColumn(
         "gap_sec", (micros - F.lag(micros).over(w)).cast("double") / 1e6
     ).filter(F.col("gap_sec").isNotNull())
+    # rank-selection quantiles, not the exact median()/percentile()
+    # aggregates whose buffers hold every gap of a type on one reducer
+    # (operators/scan_quantile.py); one extra rollup-sized exchange
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
+    qs = group_quantiles_exact(
+        g.select("event_type", "gap_sec"),
+        "event_type",
+        "gap_sec",
+        [0.5, 0.9],
+        ["_med", "_p90"],
+    )
+    counts = g.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_gaps"))
     return (
-        g.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_gaps"),
-            F.round(F.median("gap_sec"), 4).alias("median_gap_sec"),
-            F.round(F.percentile("gap_sec", F.lit(0.9)), 4).alias("p90_gap_sec"),
+        counts.join(qs, "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round(F.col("_med"), 4).alias("median_gap_sec"),
+            F.round(F.col("_p90"), 4).alias("p90_gap_sec"),
         )
         .orderBy("event_type")
     )

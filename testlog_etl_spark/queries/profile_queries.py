@@ -376,10 +376,18 @@ ORDER BY e.event_type
 """,
 )
 def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    p = ev.groupBy(F.col("event_type").alias("_et")).agg(
-        F.expr("percentile(value, 0.25)").alias("q1"),
-        F.expr("percentile(value, 0.75)").alias("q3"),
+    # rank-selection quartiles, not the exact percentile() aggregate
+    # (per-type value buffers would concentrate on one reducer per type
+    # at scale -- operators/scan_quantile.py)
+    p = group_quantiles_exact(
+        ev.select(F.col("event_type").alias("_et"), "value"),
+        "_et",
+        "value",
+        [0.25, 0.75],
+        ["q1", "q3"],
     )
     j = ev.join(F.broadcast(p), ev["event_type"] == p["_et"])
     iqr = F.col("q3") - F.col("q1")

@@ -281,14 +281,47 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = F.lit(float(1 << 20))
     snapped = F.floor(filtering.linear_quality_score(F.col("text")) * g + F.lit(0.5)) / g
     sc = docs.select("doc_id", "source", snapped.alias("s"))
-    w = Window.partitionBy("source").orderBy("s", "doc_id")
-    p = sc.withColumn("pr", F.percent_rank().over(w))
+    # percent_rank over Window.partitionBy(source) concentrates each
+    # source (a scaling grain: |source| is bounded but every source's
+    # docs grow with the corpus) on one task, and median()/percentile()
+    # over pr buffer every doc's rank per source on one reducer. Both
+    # replaced: the rank comes from ONE range-partitioned hierarchical
+    # scan (per-source rank = global rank - source offset; the order
+    # has a doc_id tie-break so RANK == ROW_NUMBER and percent_rank =
+    # (rank-1)/(n-1) exactly), the quantiles from rank selection
+    # (operators/scan_quantile.py).
+    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
+    ranked = global_rank_cumsum(
+        sc,
+        [F.col("source").asc(), F.col("s").asc(), F.col("doc_id").asc()],
+        rank_out="_gr",
+    )
+    totals = sc.groupBy("source").agg(F.count(F.lit(1)).alias("_n")).collect()
+    off_rows, off = [], 0
+    for r in sorted(totals, key=lambda r: r["source"]):
+        off_rows.append((r["source"], off, int(r["_n"])))
+        off += int(r["_n"])
+    offs = spark.createDataFrame(off_rows, "source string, _off long, _n long")
+    p = ranked.join(F.broadcast(offs), "source").select(
+        "source",
+        F.when(F.col("_n") == 1, F.lit(0.0))
+        .otherwise(
+            (F.col("_gr") - F.col("_off") - 1).cast("double")
+            / (F.col("_n") - 1).cast("double")
+        )
+        .alias("pr"),
+    )
+    qs = group_quantiles_exact(p, "source", "pr", [0.5, 0.9], ["_med", "_p90"])
+    counts = p.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        p.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.median("pr"), 4).alias("median_pr"),
-            F.round(F.percentile("pr", F.lit(0.9)), 4).alias("p90_pr"),
+        counts.join(qs, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_med"), 4).alias("median_pr"),
+            F.round(F.col("_p90"), 4).alias("p90_pr"),
         )
         .orderBy("source")
     )
@@ -518,10 +551,19 @@ GROUP BY l.l_returnflag ORDER BY l.l_returnflag
 """,
 )
 def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    p = li.groupBy(F.col("l_returnflag").alias("_rf")).agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    # rank-selection quantiles, not the exact percentile() aggregate:
+    # per-flag value buffers would ride the shuffle and concentrate on
+    # one reducer per flag at scale (operators/scan_quantile.py; the
+    # r09 levene shuffle-audit finding, same class)
+    p = group_quantiles_exact(
+        li.select(F.col("l_returnflag").alias("_rf"), "l_extendedprice"),
+        "_rf",
+        "l_extendedprice",
+        [0.05, 0.95],
+        ["p05", "p95"],
     )
     j = li.join(F.broadcast(p), li["l_returnflag"] == p["_rf"])
     clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
@@ -1477,9 +1519,22 @@ FROM s
 """,
 )
 def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.operators.scan import group_quantile_exact
+
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
-    med = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("md")
+    # Per-group medians via the rank-selection operator, NOT the exact
+    # percentile() aggregate: percentile buffers every group value in
+    # its aggregation state (measured 80 KB/shuffle-record here at
+    # sf0.1 -- the r09 window shuffle audit), and each group's buffer
+    # merge lands on one reducer; group_quantile_exact shuffles only
+    # (grp, value, count) rollup rows and is bit-identical to
+    # percentile()/quantile_cont (operators/scan.py).
+    med = group_quantile_exact(
+        orders.select(F.col("o_orderpriority").alias("grp"), "o_totalprice"),
+        "grp",
+        "o_totalprice",
+        0.5,
+        out="md",
     )
     z = (
         orders.join(
@@ -1734,9 +1789,24 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.dayofmonth("ts") < 16).cast("int")).cast("double").alias("n1"),
         F.sum((F.dayofmonth("ts") >= 16).cast("int")).cast("double").alias("n2"),
     )
-    med = uh.agg(
-        F.expr("percentile(n1, 0.5)").alias("m1"),
-        F.expr("percentile(n2, 0.5)").alias("m2"),
+    # rank-selection medians over the per-USER rollup (a scaling grain:
+    # the exact percentile() buffers would hold every user's count on
+    # one reducer -- operators/scan_quantile.py). The two metric columns
+    # melt into (metric, value) rows so both medians share one scan.
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
+    melted = uh.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("n1").alias("m"), F.col("n1").alias("v")),
+                F.struct(F.lit("n2").alias("m"), F.col("n2").alias("v")),
+            )
+        ).alias("s")
+    ).select(F.col("s.m").alias("m"), F.col("s.v").alias("v"))
+    qd = group_quantiles_exact(melted, "m", "v", [0.5], ["md"])
+    med = qd.agg(
+        F.max(F.when(F.col("m") == "n1", F.col("md"))).alias("m1"),
+        F.max(F.when(F.col("m") == "n2", F.col("md"))).alias("m2"),
     )
     cls = uh.crossJoin(F.broadcast(med)).select(
         (F.col("n1") > F.col("m1")).cast("int").alias("h1"),

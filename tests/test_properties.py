@@ -448,3 +448,48 @@ def test_phonetic_key_casefold_divergence_is_pinned():
     con = duckdb.connect()
     assert con.execute("SELECT lower('İ')").fetchone()[0] == "i"  # simple mapping
     assert con.execute("SELECT lower('ΏΣ')").fetchone()[0] == "ώσ"
+
+
+# ---------------- exact group quantile (rank selection) vs both engines
+
+_gq_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2", "g3"]),
+        st.one_of(st.none(), st.integers(-50, 50).map(lambda v: v / 4.0)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_gq_rows, st.sampled_from([0.5, 0.25, 0.9, 0.1, 0.999]))
+def test_group_quantile_exact_matches_both_engines(rows, q):
+    """group_quantile_exact (the scale-safe replacement for the exact
+    percentile() aggregate, whose partial buffers carry every group
+    value through the shuffle) must stay BIT-identical to Spark's
+    percentile() and DuckDB's quantile_cont — including the symmetric
+    interpolation form hi·(p-⌊p⌋) + lo·(⌈p⌉-p) both engines share,
+    which rounds differently from the naive lo + frac·(hi-lo)."""
+    import duckdb
+
+    from testlog_etl_spark.operators.scan import group_quantile_exact
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r.k: r.q for r in group_quantile_exact(df, "k", "v", q).collect()}
+    want = {
+        r.k: r.q
+        for r in df.groupBy("k").agg(F.expr(f"percentile(v, {q})").alias("q")).collect()
+        if r.q is not None  # all-NULL group: documented no-row difference
+    }
+    assert got == want, (q, got, want)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = {
+        k: v
+        for k, v in con.execute(f"SELECT k, quantile_cont(v, {q}) FROM t GROUP BY k").fetchall()
+        if v is not None
+    }
+    assert got == duck, (q, got, duck)
