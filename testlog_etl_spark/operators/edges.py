@@ -275,9 +275,18 @@ def cube_aggregate(
     edges: list[Edge],
     agg_exprs: list[Column],
     count_like: list[str],
+    quantile_specs: list[tuple[str, Column, float]] | None = None,
 ) -> DataFrame:
     """Dense aggregate over edges; `count_like` aggregate output names are
-    default-filled with 0 in empty cells (D8), everything else stays null."""
+    default-filled with 0 in empty cells (D8), everything else stays null.
+
+    ``quantile_specs`` are ``(out_name, value column, q)`` median/
+    percentile cells, computed by rank selection over the hierarchical
+    scan and joined into the sparse cells BEFORE densification (empty
+    cells stay NULL -- ``percentile()`` of an empty cell). They are kept
+    out of ``agg_exprs`` because the exact percentile aggregate buffers
+    every cell value in its shuffle-borne state; the edge-cell count is
+    bounded but a cell's size is not (operators/scan_quantile.py)."""
     edges = [_resolve_others(df, e) for e in edges]
     work = df
     key_cols = []
@@ -291,6 +300,12 @@ def cube_aggregate(
         key_cols.append(e.name)
 
     grouped = work.groupBy(*key_cols).agg(*agg_exprs)
+    if quantile_specs:
+        from testlog_etl_spark.operators.scan_quantile import attach_group_quantiles
+
+        grouped = attach_group_quantiles(
+            work, grouped, [F.col(n) for n in key_cols], key_cols, quantile_specs
+        )
 
     # build the dense frame: cross-join of per-edge domains
     dense: DataFrame | None = None

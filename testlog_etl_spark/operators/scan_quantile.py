@@ -39,16 +39,51 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from testlog_etl_spark.operators.scan import global_rank_cumsum
 
 
+def attach_group_quantiles(
+    src: DataFrame,
+    base: DataFrame,
+    key_cols: Sequence[Column],
+    key_names: Sequence[str],
+    specs: Sequence[tuple[str, Column, float]],
+) -> DataFrame:
+    """Left-join rank-selection quantiles onto ``base`` (one row per
+    group, its key columns already named ``key_names``). ``src`` is the
+    pre-aggregation frame; ``key_cols`` re-derive the group keys on it.
+    ``specs`` are ``(out_name, value column, q)``; specs sharing one
+    value expression share one scan (all their quantiles ride the same
+    range exchange). The join is null-safe so NULL-key groups keep
+    their values, and a group whose values are all NULL gets NULL --
+    exactly ``percentile()``'s answer for it."""
+    by_expr: dict[str, tuple[Column, list[tuple[str, float]]]] = {}
+    for name, vcol, q in specs:
+        k = repr(vcol._jc) if hasattr(vcol, "_jc") else str(vcol)
+        by_expr.setdefault(k, (vcol, []))[1].append((name, q))
+    key_names = list(key_names)
+    for vcol, named_qs in by_expr.values():
+        proj = src.select(*key_cols, vcol.cast("double").alias("__qval"))
+        qdf = group_quantiles_exact(
+            proj, key_names, "__qval", [q for _, q in named_qs], [n for n, _ in named_qs]
+        )
+        for k in key_names:
+            qdf = qdf.withColumnRenamed(k, f"__qk_{k}")
+        cond = None
+        for k in key_names:
+            c = F.col(k).eqNullSafe(F.col(f"__qk_{k}"))
+            cond = c if cond is None else (cond & c)
+        base = base.join(qdf, cond, "left").drop(*[f"__qk_{k}" for k in key_names])
+    return base
+
+
 def group_quantiles_exact(
     df: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     val: str,
     qs: Sequence[float],
     outs: Sequence[str],
@@ -60,28 +95,43 @@ def group_quantiles_exact(
     must be BOUNDED (a one-row-per-group rollup is collected to compute
     rank offsets); the VALUE grain may scale freely — only
     ``(key, value, count)`` rollup rows cross the single range
-    exchange, and every quantile shares that one scan."""
+    exchange, and every quantile shares that one scan.
+
+    ``key`` may be one column name or a sequence (composite group key).
+    NULL group keys are first-class: the driver-side offset walk orders
+    them FIRST (matching Spark's asc nulls-first range partitioning)
+    and the selection join is null-safe, so a NULL-key group gets its
+    quantile exactly like ``percentile()`` gives it. Float keys must
+    not contain NaN (Spark orders NaN last; Python can't sort it)."""
+    keys = [key] if isinstance(key, str) else list(key)
     if len(qs) != len(outs):
         raise ValueError("qs and outs must have the same length")
     pv = (
         df.filter(F.col(val).isNotNull())
-        .select(F.col(key), F.col(val).cast("double").alias(val))
-        .groupBy(key, val)
+        .select(*[F.col(k) for k in keys], F.col(val).cast("double").alias(val))
+        .groupBy(*keys, val)
         .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
     )
     ranked = global_rank_cumsum(
         pv,
-        [F.col(key).asc(), F.col(val).asc()],
+        [F.col(k).asc() for k in keys] + [F.col(val).asc()],
         val_col="_cnt",
         rank_out="_i",
         cum_out="_gcum",
         num_parts=num_parts,
     )
-    # bounded-by-contract key domain: one row per group
-    totals = pv.groupBy(key).agg(F.sum("_cnt").alias("_n")).collect()
+    # bounded-by-contract key domain: one row per group. The walk order
+    # MUST replicate the range partitioning's asc nulls-first order (the
+    # offsets index into that global order): (not-null, value) tuples
+    # sort None first and only compare same-typed values otherwise.
+    totals = pv.groupBy(*keys).agg(F.sum("_cnt").alias("_n")).collect()
+
+    def _ord(r):
+        return tuple((r[k] is not None, r[k] if r[k] is not None else 0) for k in keys)
+
     sel_rows = []
     off = 0.0
-    for r in sorted(totals, key=lambda r: r[key]):
+    for r in sorted(totals, key=_ord):
         n = r["_n"]
         for qi, q in enumerate(qs):
             p = q * (n - 1.0)
@@ -90,8 +140,8 @@ def group_quantiles_exact(
             # c_lo = (floor(p)+1) - p (NOT 1 - c_hi, which can round
             # differently)
             sel_rows.append(
-                (
-                    r[key],
+                tuple(r[k] for k in keys)
+                + (
                     qi,
                     off,
                     math.floor(p) + 1.0,
@@ -102,8 +152,8 @@ def group_quantiles_exact(
         off += n
     spark = df.sparkSession
     sel_schema = StructType(
-        [
-            next(f for f in df.schema.fields if f.name == key),
+        [next(f for f in df.schema.fields if f.name == k) for k in keys]
+        + [
             StructField("_qi", IntegerType()),
             StructField("_off", DoubleType()),
             StructField("_lo", DoubleType()),
@@ -113,7 +163,15 @@ def group_quantiles_exact(
     )
     seldf = spark.createDataFrame(sel_rows, sel_schema)
 
-    j = ranked.join(F.broadcast(seldf), key)
+    # null-safe equi-join so NULL-key groups keep their selection rows
+    sel_renamed = seldf
+    for k in keys:
+        sel_renamed = sel_renamed.withColumnRenamed(k, f"_sk_{k}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_sk_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = ranked.join(F.broadcast(sel_renamed), cond).drop(*[f"_sk_{k}" for k in keys])
     cum_g = F.col("_gcum") - F.col("_off")
     start_g = cum_g - F.col("_cnt")
     lo, hi = F.col("_lo"), F.col("_lo") + F.lit(1.0)
@@ -129,8 +187,8 @@ def group_quantiles_exact(
             F.max(F.when(is_q, F.col("_chi"))).alias(f"_chi{qi}"),
             F.max(F.when(is_q, F.col("_clo"))).alias(f"_clo{qi}"),
         ]
-    per_key = cand.groupBy(key).agg(*aggs)
-    cols = [F.col(key)]
+    per_key = cand.groupBy(*keys).agg(*aggs)
+    cols = [F.col(k) for k in keys]
     for qi, out in enumerate(outs):
         vlo, vhi = F.col(f"_vlo{qi}"), F.col(f"_vhi{qi}")
         chi, clo = F.col(f"_chi{qi}"), F.col(f"_clo{qi}")

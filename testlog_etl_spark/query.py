@@ -29,9 +29,11 @@ from pyspark.sql import functions as F
 
 from testlog_etl_spark.expressions import JXCompiler, is_missing, null_if_missing
 from testlog_etl_spark.operators.edges import Edge, cube_aggregate, normalize_edge
+from testlog_etl_spark.operators.scan_quantile import attach_group_quantiles
 from testlog_etl_spark.operators.windows import apply_window, _sort_cols
 
 _COUNT_LIKE = {"count", "cardinality", "cardinality_approx"}
+_QUANTILE_AGGS = {"median", "percentile"}
 
 
 # --------------------------------------------------------------------------
@@ -94,9 +96,16 @@ def agg_column(sel: dict, compiler: JXCompiler) -> Column:
         return F.count_distinct(v).alias(name)
     if agg == "cardinality_approx":
         return F.approx_count_distinct(v).alias(name)
-    if agg == "median":
-        return F.median(v).alias(name)
-    if agg == "percentile":
+    if agg in _QUANTILE_AGGS:
+        # only reachable from the bounded-frame window path (see
+        # _split_quantile_selects): the groupby/edges/global-agg paths
+        # route these onto the rank-selection scan instead, because
+        # percentile()/median() buffer EVERY group value in their
+        # aggregation state -- at 100 TB a group's buffer is the group
+        # (measured 360 B/shuffle-record on agg_cardinality_median at
+        # sf0.1 before the r09 rewire; operators/scan_quantile.py).
+        if agg == "median":
+            return F.median(v).alias(name)
         return F.percentile(v, F.lit(float(sel.get("percentile", 0.5)))).alias(name)
     if agg == "stats":
         # the reference's Z-moment stats blob (vendor/mo_math/stats.py)
@@ -126,6 +135,30 @@ def agg_column(sel: dict, compiler: JXCompiler) -> Column:
     if agg == "or":
         return F.bool_or(v.cast("boolean")).alias(name)
     raise ValueError(f"unknown aggregate {sel['aggregate']!r}")
+
+
+def _split_quantile_selects(selects: list[dict]) -> tuple[list[dict], list[dict]]:
+    """Separate median/percentile selects from the rest. The quantile
+    aggregates are computed by rank selection over the hierarchical scan
+    (``operators/scan_quantile.py``) and joined back, NOT by Spark's
+    exact ``percentile()``/``median()`` aggregates, whose partial
+    buffers hold every group value (the group IS the buffer at scale).
+    Values are bit-identical (same symmetric interpolation both ways);
+    window-clause quantiles stay on the sorted-frame engine intrinsics
+    because their frames are bounded by construction."""
+    quants = [s for s in selects if (s["aggregate"] or "").lower() in _QUANTILE_AGGS]
+    others = [s for s in selects if (s["aggregate"] or "").lower() not in _QUANTILE_AGGS]
+    return others, quants
+
+
+def quantile_specs(quants: list[dict], compiler: JXCompiler) -> list[tuple[str, Column, float]]:
+    """-> [(out_name, value column (missing->null), q)] for the scan."""
+    out = []
+    for s in quants:
+        agg = (s["aggregate"] or "").lower()
+        q = 0.5 if agg == "median" else float(s.get("percentile", 0.5))
+        out.append((s["name"], null_if_missing(compiler.compile(s["value"])), q))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -185,20 +218,47 @@ def run_jx(
 
     if edges_spec is not None:
         edges = [normalize_edge(spark, e, compiler) for e in (edges_spec if isinstance(edges_spec, list) else [edges_spec])]
-        aggs = [agg_column(s, compiler) for s in selects] or [F.count(F.lit(1)).alias("count")]
+        others, quants = _split_quantile_selects(selects)
+        aggs = [agg_column(s, compiler) for s in others] or [
+            F.count(F.lit(1)).alias("count" if not selects else "__qn")
+        ]
         count_like = [s["name"] for s in selects if (s["aggregate"] or "") in _COUNT_LIKE] or (
             ["count"] if not selects else []
         )
-        df = cube_aggregate(spark, df, edges, aggs, count_like)
+        df = cube_aggregate(
+            spark, df, edges, aggs, count_like,
+            quantile_specs=quantile_specs(quants, compiler) if quants else None,
+        )
+        if quants:
+            df = df.select(*[e.name for e in edges], *[s["name"] for s in selects])
     elif groupby is not None:
         keys = groupby if isinstance(groupby, list) else [groupby]
         key_sel = normalize_selects(keys)
         key_cols = [compiler.compile(k["value"]).alias(k["name"]) for k in key_sel]
-        aggs = [agg_column(s, compiler) for s in selects] or [F.count(F.lit(1)).alias("count")]
-        df = df.groupBy(*key_cols).agg(*aggs)
+        others, quants = _split_quantile_selects(selects)
+        aggs = [agg_column(s, compiler) for s in others] or [
+            F.count(F.lit(1)).alias("count" if not selects else "__qn")
+        ]
+        grouped = df.groupBy(*key_cols).agg(*aggs)
+        if quants:
+            key_names = [k["name"] for k in key_sel]
+            grouped = attach_group_quantiles(
+                df, grouped, key_cols, key_names, quantile_specs(quants, compiler)
+            )
+            grouped = grouped.select(*key_names, *[s["name"] for s in selects])
+        df = grouped
     elif has_agg:
-        aggs = [agg_column(s, compiler) for s in selects]
-        df = df.agg(*aggs)
+        others, quants = _split_quantile_selects(selects)
+        base = df.agg(*([agg_column(s, compiler) for s in others] or [F.count(F.lit(1)).alias("__qn")]))
+        if quants:
+            # global quantile = one group under a constant key; the scan
+            # shape is identical, the key rollup is one row
+            base = base.withColumn("__gk", F.lit(1))
+            base = attach_group_quantiles(
+                df, base, [F.lit(1).alias("__gk")], ["__gk"], quantile_specs(quants, compiler)
+            )
+            base = base.select(*[s["name"] for s in selects])
+        df = base
     elif selects:
         cols = []
         for s in selects:

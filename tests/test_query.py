@@ -4,6 +4,7 @@ oracle parity lives in test_differential.py)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from testlog_etl_spark.query import format_cube, format_list, format_table, run_jx
 
@@ -369,3 +370,134 @@ def test_queries_are_timezone_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert utc_rows == ny_rows
+
+
+# --------------------------------------------------------------------------
+# scan-routed quantile aggregates (r09: percentile()/median() buffer every
+# group value in their aggregation state, so the groupby/edges/global-agg
+# paths compute them by rank selection instead -- operators/scan_quantile.py)
+# --------------------------------------------------------------------------
+
+
+def test_groupby_median_percentile_scan_routed(spark, people):
+    out = run_jx(
+        spark,
+        {
+            "from": "people",
+            "groupby": "dept",
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "med", "value": "score", "aggregate": "median"},
+                {"name": "p90", "value": "score", "aggregate": "percentile", "percentile": 0.9},
+            ],
+        },
+        people,
+    )
+    assert out.columns == ["dept", "n", "med", "p90"]
+    got = {r["dept"]: (r["n"], r["med"], r["p90"]) for r in out.collect()}
+    # ground truth from the buffering aggregate the scan replaces
+    exp = {
+        r["dept"]: (r["n"], r["med"], r["p90"])
+        for r in people["people"]
+        .groupBy("dept")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(score, 0.5d)").alias("med"),
+            F.expr("percentile(score, 0.9d)").alias("p90"),
+        )
+        .collect()
+    }
+    assert got == exp
+    assert got["ops"] == (1, None, None)  # all-NULL group keeps its NULL quantile
+    assert None in got and got[None][1] == 50.0  # NULL group key is first-class
+    assert got["eng"] == (2, 15.0, 19.0)
+
+
+def test_groupby_quantile_only_select(spark, people):
+    # no non-quantile aggregates: the placeholder agg must not leak out
+    out = run_jx(
+        spark,
+        {
+            "from": "people",
+            "groupby": "dept",
+            "select": {"name": "med", "value": "score", "aggregate": "median"},
+            "sort": "dept",
+        },
+        people,
+    )
+    assert out.columns == ["dept", "med"]
+    assert {r["dept"]: r["med"] for r in out.collect()}["eng"] == 15.0
+
+
+def test_global_agg_median_scan_routed(spark, people):
+    out = run_jx(
+        spark,
+        {
+            "from": "people",
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "med", "value": "score", "aggregate": "median"},
+            ],
+        },
+        people,
+    )
+    assert out.columns == ["n", "med"]
+    row = out.collect()[0]
+    assert (row["n"], row["med"]) == (5, 30.0)  # median(10,20,40,50)
+
+
+def test_edges_median_dense_cells(spark, people):
+    out = run_jx(
+        spark,
+        {
+            "from": "people",
+            "edges": [
+                {
+                    "name": "dept",
+                    "value": "dept",
+                    "domain": {"type": "set", "partitions": ["eng", "ops", "sales"]},
+                    "allowNulls": False,
+                }
+            ],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "med", "value": "score", "aggregate": "median"},
+            ],
+            "sort": "dept",
+        },
+        people,
+    )
+    assert out.columns == ["dept", "n", "med"]
+    got = {r["dept"]: (r["n"], r["med"]) for r in out.collect()}
+    assert got["eng"] == (2, 15.0)
+    assert got["ops"] == (1, None)  # present cell, all-NULL values
+    assert got["sales"] == (0, None)  # empty dense cell: count filled, median NULL
+
+
+def test_group_quantiles_exact_multikey_null_keys(spark):
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
+    rows = [
+        ("a", None, 1.0), ("a", None, 2.0), ("a", None, 4.0),
+        ("a", "x", 10.0), ("b", "x", None),
+        (None, "y", 7.0), (None, "y", 9.0), ("b", "y", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, v double")
+    got = {
+        (r["k1"], r["k2"]): (r["med"], r["p25"])
+        for r in group_quantiles_exact(df, ["k1", "k2"], "v", [0.5, 0.25], ["med", "p25"], num_parts=3).collect()
+    }
+    exp = {
+        (r["k1"], r["k2"]): (r["med"], r["p25"])
+        for r in df.groupBy("k1", "k2")
+        .agg(
+            F.expr("percentile(v, 0.5d)").alias("med"),
+            F.expr("percentile(v, 0.25d)").alias("p25"),
+        )
+        .collect()
+        if r["med"] is not None  # all-NULL groups yield no row from the scan
+    }
+    assert got == exp
+    assert got[("a", None)] == (2.0, 1.5)
+    assert got[(None, "y")] == (8.0, 7.5)
+    assert ("b", "x") not in got
