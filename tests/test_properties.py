@@ -493,3 +493,52 @@ def test_group_quantile_exact_matches_both_engines(rows, q):
         if v is not None
     }
     assert got == duck, (q, got, duck)
+
+
+# ---------------- composite-key / NULL-key quantile scan vs both engines
+
+_gq2_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["g1", "g2"])),
+        st.one_of(st.none(), st.sampled_from(["x", "y"])),
+        st.one_of(st.none(), st.integers(-50, 50).map(lambda v: v / 4.0)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_gq2_rows, st.sampled_from([0.5, 0.25, 0.9]))
+def test_group_quantiles_exact_composite_null_keys_fuzz(rows, q):
+    """The multi-key form (r09: the JX groupby path compiles onto it)
+    with NULL group keys in play: the driver-side offset walk must
+    replicate Spark's asc nulls-first range order and the selection
+    joins must be null-safe, or a NULL-key group's quantile lands on
+    the wrong group. Ground truth is the buffering percentile()
+    aggregate AND DuckDB's quantile_cont over the same rows."""
+    import duckdb
+
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, "k1 string, k2 string, v double")
+    out = group_quantiles_exact(df, ["k1", "k2"], "v", [q], ["q"], num_parts=3)
+    got = {(r.k1, r.k2): r.q for r in out.collect()}
+    want = {
+        (r.k1, r.k2): r.q
+        for r in df.groupBy("k1", "k2").agg(F.expr(f"percentile(v, {q})").alias("q")).collect()
+        if r.q is not None  # all-NULL group: documented no-row difference
+    }
+    assert got == want, (q, got, want)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k1 VARCHAR, k2 VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    duck = {
+        (k1, k2): v
+        for k1, k2, v in con.execute(
+            f"SELECT k1, k2, quantile_cont(v, {q}) FROM t GROUP BY k1, k2"
+        ).fetchall()
+        if v is not None
+    }
+    assert got == duck, (q, got, duck)
