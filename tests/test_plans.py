@@ -950,3 +950,23 @@ def test_phonetic_blocking_is_equi_join(spark):
 def test_linkpred_wedge_join_not_cartesian(spark):
     plan = plan_of(_q("graph_linkpred_scores")(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
+
+
+def test_collect_lint_is_clean():
+    # r09 gate: every driver-side materialization site in the package
+    # carries a written boundedness argument (tools/collect_lint.py); a
+    # new .collect()/.toPandas() call without one fails here before it
+    # can degenerate an operator into a driver loop at scale.
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "collect_lint",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "collect_lint.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    flagged, seen = mod.scan()
+    stale = sorted(set(mod.WHITELIST) - seen)
+    assert not flagged, flagged
+    assert not stale, stale
