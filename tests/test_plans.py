@@ -992,3 +992,15 @@ def test_no_row_at_a_time_python_udfs():
                 if pat.search(line) and "pandas_udf" not in line and "arrow_udf" not in line:
                     bad.append(f"{p}:{i}: {line.strip()}")
     assert not bad, bad
+
+
+def test_jx_quantiles_never_use_buffering_percentile(spark):
+    # r09: JX groupby/edges/global-agg median/percentile selects compile
+    # onto the rank-selection scan (operators/scan_quantile.py), never
+    # onto Spark's exact percentile()/median() aggregates, whose partial
+    # buffers carry every group value through the shuffle. The optimized
+    # plan must contain NO percentile/median aggregate expression.
+    for name in ("agg_cardinality_median", "edges_percentile_cells"):
+        plan = _q(name)(spark, SF_SMALL)._jdf.queryExecution().optimizedPlan().toString()
+        assert "percentile(" not in plan, name
+        assert "median(" not in plan, name
