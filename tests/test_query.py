@@ -501,3 +501,51 @@ def test_group_quantiles_exact_multikey_null_keys(spark):
     assert got[("a", None)] == (2.0, 1.5)
     assert got[(None, "y")] == (8.0, 7.5)
     assert ("b", "x") not in got
+
+
+def test_edges_median_null_part_absorbs_out_of_domain(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), (None, 7.0), (None, 9.0), ("zz", 100.0)],
+        "k string, v double",
+    )
+    out = run_jx(
+        spark,
+        {
+            "from": "t",
+            "edges": [
+                {"name": "k", "value": "k", "domain": {"type": "set", "partitions": ["a", "b"]}, "allowNulls": True}
+            ],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "med", "value": "v", "aggregate": "median"},
+            ],
+        },
+        {"t": df},
+    )
+    got = {r["k"]: (r["n"], r["med"]) for r in out.collect()}
+    # the null part absorbs out-of-domain rows (D2), and its quantile is
+    # computed over the SAME absorbed set the count sees
+    assert got[None] == (3, 9.0)  # median(7, 9, 100)
+    assert got["a"] == (2, 2.0)
+
+
+def test_edges_median_other_part(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), ("c", 7.0), ("d", 9.0), ("e", 11.0)],
+        "k string, v double",
+    )
+    out = run_jx(
+        spark,
+        {
+            "from": "t",
+            "edges": [{"name": "k", "value": "k", "domain": {"type": "default", "limit": 2}, "others": True, "allowNulls": False}],
+            "select": [
+                {"name": "n", "value": ".", "aggregate": "count"},
+                {"name": "med", "value": "v", "aggregate": "median"},
+            ],
+        },
+        {"t": df},
+    )
+    got = {r["k"]: (r["n"], r["med"]) for r in out.collect()}
+    assert got["OTHER"] == (3, 9.0)  # collapsed parts share one quantile cell
+    assert got["a"] == (2, 2.0) and got["b"] == (1, 5.0)
