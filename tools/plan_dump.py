@@ -57,6 +57,8 @@ SHOWCASE = [
     ("eval_lift_gains_table", "hierarchical-scan rank + running positives; deciles from rank arithmetic, no NTILE exchange"),
     ("graph_linkpred_scores", "wedge equi-join through the common endpoint; degree-bounded fan-out, anti-join vs existing edges"),
     ("dedup_phonetic_blocking", "block-key equi-join pairs; levenshtein verify runs post-join inside the stage"),
+    ("agg_cardinality_median", "JX median/percentile via rank-selection scan: (key,value,count) rollup through one range exchange, NO buffering percentile() aggregate anywhere in the plan"),
+    ("edges_percentile_cells", "dense-cube quantile cells ride the same rank-selection scan, joined before densify; empty cells stay NULL"),
 ]
 
 
