@@ -112,6 +112,7 @@ def group_quantiles_exact(
         .groupBy(*keys, val)
         .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
     )
+    handles: list[DataFrame] = []
     ranked = global_rank_cumsum(
         pv,
         [F.col(k).asc() for k in keys] + [F.col(val).asc()],
@@ -119,12 +120,18 @@ def group_quantiles_exact(
         rank_out="_i",
         cum_out="_gcum",
         num_parts=num_parts,
+        persist_handles=handles,
     )
-    # bounded-by-contract key domain: one row per group. The walk order
-    # MUST replicate the range partitioning's asc nulls-first order (the
-    # offsets index into that global order): (not-null, value) tuples
-    # sort None first and only compare same-typed values otherwise.
-    totals = pv.groupBy(*keys).agg(F.sum("_cnt").alias("_n")).collect()
+    # bounded-by-contract key domain: one row per group. The totals job
+    # reads the PERSISTED range-partitioned rollup the scan just built
+    # (handles[0]) instead of recomputing pv from the source -- at scale
+    # the source scan dominates and must run exactly once. Counts are
+    # integer-valued doubles, so the different fold order is exact.
+    # The walk order MUST replicate the range partitioning's asc
+    # nulls-first order (the offsets index into that global order):
+    # (not-null, value) tuples sort None first and only compare
+    # same-typed values otherwise.
+    totals = handles[0].groupBy(*keys).agg(F.sum("_cnt").alias("_n")).collect()
 
     def _ord(r):
         return tuple((r[k] is not None, r[k] if r[k] is not None else 0) for k in keys)
