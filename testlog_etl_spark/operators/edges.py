@@ -300,23 +300,53 @@ def cube_aggregate(
         key_cols.append(e.name)
 
     grouped = work.groupBy(*key_cols).agg(*agg_exprs)
-    if quantile_specs:
-        from testlog_etl_spark.operators.scan_quantile import attach_group_quantiles
 
-        grouped = attach_group_quantiles(
-            work, grouped, [F.col(n) for n in key_cols], key_cols, quantile_specs
-        )
-
-    # build the dense frame: cross-join of per-edge domains
-    dense: DataFrame | None = None
+    # resolve every edge's bounded domain BEFORE the quantile attach:
+    # default domains are data-derived and capped here, and the quantile
+    # scan must run over the CUT key domain, not the raw one (r09
+    # advisor: attaching first ran the scan over every raw edge value --
+    # wasted scan work for cells the densify join drops, and under the
+    # old driver-walk scan an unbounded driver materialization)
+    doms: list[DataFrame] = []
+    default_dom = []
     for e in edges:
         dom = e.domain
-        if dom is None:
+        is_default = dom is None
+        if is_default:
             # default domain discovered from the aggregated result (cheap:
             # already reduced), ordered, always capped (normalize_edge fills
             # DEFAULT_EDGE_LIMIT) so the frame is bounded at any data scale
             dom = grouped.select(F.col(e.name)).where(F.col(e.name).isNotNull()).distinct()
             dom = dom.orderBy(e.name).limit(e.limit or DEFAULT_EDGE_LIMIT)
+        doms.append(dom)
+        default_dom.append(is_default)
+
+    if quantile_specs:
+        from testlog_etl_spark.operators.scan_quantile import attach_group_quantiles
+
+        qwork = work
+        for e, dom, is_default in zip(edges, doms, default_dom):
+            if not is_default:
+                continue  # explicit domains are bounded by construction
+            # restrict the scan's rows to the kept (capped) parts; the
+            # null part survives iff allowNulls keeps its cell. Each dom
+            # is <= limit rows -> broadcast semi-join, a map-side filter.
+            cut = dom.withColumnRenamed(e.name, f"__d_{e.name}")
+            if e.allow_nulls:
+                cut = cut.unionByName(
+                    spark.range(1).select(
+                        F.lit(None).cast(cut.schema[f"__d_{e.name}"].dataType).alias(f"__d_{e.name}")
+                    )
+                )
+            keep = F.col(e.name).eqNullSafe(F.col(f"__d_{e.name}"))
+            qwork = qwork.join(F.broadcast(cut), keep, "left_semi")
+        grouped = attach_group_quantiles(
+            qwork, grouped, [F.col(n) for n in key_cols], key_cols, quantile_specs
+        )
+
+    # build the dense frame: cross-join of per-edge domains
+    dense: DataFrame | None = None
+    for e, dom in zip(edges, doms):
         if e.allow_nulls:
             dom = dom.unionByName(
                 spark.range(1).select(F.lit(None).cast(dom.schema[e.name].dataType).alias(e.name))

@@ -293,18 +293,28 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.operators.scan import global_rank_cumsum
     from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
 
+    handles: list = []
     ranked = global_rank_cumsum(
         sc,
         [F.col("source").asc(), F.col("s").asc(), F.col("doc_id").asc()],
+        val_col=None,
         rank_out="_gr",
+        persist_handles=handles,
     )
-    totals = sc.groupBy("source").agg(F.count(F.lit(1)).alias("_n")).collect()
-    off_rows, off = [], 0
-    for r in sorted(totals, key=lambda r: r["source"]):
-        off_rows.append((r["source"], off, int(r["_n"])))
-        off += int(r["_n"])
-    offs = spark.createDataFrame(off_rows, "source string, _off long, _n long")
-    p = ranked.join(F.broadcast(offs), "source").select(
+    # per-source rank offsets via a second, source-rollup-sized scan in
+    # the SAME key order (the distributed form of the r09 driver walk —
+    # same rewrite as operators/scan_quantile.py; both scans use Spark's
+    # asc ordering, so the offsets index the global rank order exactly,
+    # with no collect and no Python-vs-UTF8 sort divergence)
+    totals = handles[0].groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("_nd"))
+    offs = global_rank_cumsum(
+        totals, [F.col("source").asc()], val_col="_nd", rank_out="_oi", cum_out="_cum"
+    ).select(
+        "source",
+        (F.col("_cum") - F.col("_nd")).cast("long").alias("_off"),
+        F.col("_nd").cast("long").alias("_n"),
+    )
+    p = ranked.join(offs, "source").select(
         "source",
         F.when(F.col("_n") == 1, F.lit(0.0))
         .otherwise(

@@ -40,7 +40,6 @@ WHITELIST: dict[str, str] = {
     "__main__.py::_show": "CLI presentation of an already-limited frame",
     "operators/scan.py::global_rank_cumsum": "per-partition (count,sum) totals: one row per range partition",
     "operators/scan.py::global_running_max": "per-partition max totals: one row per range partition",
-    "operators/scan_quantile.py::group_quantiles_exact": "one row per group; key domain bounded by the operator's contract (docstring)",
     "operators/packing.py::with_stream_offsets": "per-partition token totals: one row per range partition",
     "operators/edges.py::_resolve_others": "distinct edge parts capped by limit(e.limit or DEFAULT_EDGE_LIMIT)",
     "operators/bloom.py::build_bloom_bits": "fixed-size bitmap: one row per 64-bit word, m_words total",
@@ -52,7 +51,6 @@ WHITELIST: dict[str, str] = {
     "queries/streaming_queries.py::stream_hourly_distinct": "1-row global max(ts) horizon",
     "queries/streaming_queries.py::stream_histogram_quantile_maintenance": "memory-sink snapshot of a fixed-bucket histogram stream (bucket count is the frame)",
     "queries/etl_queries.py::attribution_markov_removal": "channel-transition edges: bounded by the channel domain squared",
-    "queries/stats_queries.py::stats_quantile_normalize": "per-source totals: one row per source (bounded domain)",
 }
 
 
