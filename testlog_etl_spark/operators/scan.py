@@ -18,13 +18,15 @@ range shuffle + bounded driver merge):
    the PARTITION COUNT, never the data size;
 3. exclusive-prefix the per-partition totals on the driver, capture the
    (pid -> rank_offset, sum_offset) map in the scan closure;
-4. intra-partition row_number / running sum via an Arrow-batched
-   ``mapInPandas`` pass over the already-sorted partitions -- NO second
-   exchange. (The previous implementation used
+4. intra-partition row_number / running sum via a raw-Arrow
+   ``mapInArrow`` pass over the already-sorted partitions -- NO second
+   exchange. (The first implementation used
    ``Window.partitionBy("_pid")``, which Catalyst satisfies with a full
    hashpartitioning(_pid) Exchange on top of the range shuffle -- two
-   full-data shuffles, and 32 pids hashed into 32 reducers collide.
-   The mapInPandas form scans each range partition in place.)
+   full-data shuffles, and 32 pids hashed into 32 reducers collide. The
+   r09 form used ``mapInPandas``, whose pandas float64 round trip
+   conflates NaN with NULL in pass-through columns -- raw Arrow batches
+   keep them distinct and reuse pass-through arrays zero-copy.)
 
 Total cost: ONE full-data range shuffle (plus the 32-row totals agg);
 grand totals (row count, value sum) fall out of step 3 for free, so
@@ -49,9 +51,7 @@ ends). Callers running many scans in one long session can pass
 
 from __future__ import annotations
 
-from collections.abc import Iterator, Sequence
-
-import pandas as pd
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -79,7 +79,7 @@ def global_rank_cumsum(
     descending orders (``F.col("rev").desc()``) work.
 
     Pass-through columns must be Arrow-convertible (the scan streams
-    each partition through ``mapInPandas``); every current caller's are.
+    each partition through ``mapInArrow``); every current caller's are.
     If ``persist_handles`` is given, the persisted range-partitioned
     intermediate is appended so the caller can ``unpersist()`` it after
     its action (see module docstring for why eager unpersist inside
@@ -112,29 +112,42 @@ def global_rank_cumsum(
         out_fields.append(StructField(cum_out, DoubleType()))
     out_schema = StructType(out_fields)
     names = [f.name for f in out_fields]
+    keep_names = [f.name for f in passthrough]
     want_cum = bool(val_col)
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow, NOT mapInPandas (r10): pandas float64 has ONE missing
+    # marker, so an Arrow->pandas->Arrow round trip silently turns NaN
+    # into NULL in every pass-through float column -- a NaN group key
+    # (or NaN metric) came out of the r09 scan as a null and merged
+    # with the real null group. Raw Arrow batches keep null and NaN
+    # distinct (and decimals/timestamps exact); the scan only APPENDS
+    # columns, so pass-through arrays are reused zero-copy.
+    def scan(batches):
         import numpy as np
+        import pyarrow as pa
 
         roff: int | None = None
         carry = 0.0
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
             if roff is None:
-                roff, carry = off_map.get(int(pdf["_pid"].iloc[0]), (0, 0.0))
-            n = len(pdf)
-            out = pdf.drop(columns=["_pid", "_val0"])
-            out[rank_out] = np.arange(roff + 1, roff + n + 1, dtype="int64")
+                pid = b.column(b.schema.get_field_index("_pid"))[0].as_py()
+                roff, carry = off_map.get(int(pid), (0, 0.0))
+            n = b.num_rows
+            arrays = [b.column(b.schema.get_field_index(c)) for c in keep_names]
+            arrays.append(pa.array(np.arange(roff + 1, roff + n + 1, dtype="int64")))
             roff += n
             if want_cum:
-                cs = pdf["_val0"].to_numpy(dtype="float64").cumsum() + carry
-                out[cum_out] = cs
+                vals = b.column(b.schema.get_field_index("_val0")).to_numpy(
+                    zero_copy_only=False
+                )
+                cs = vals.cumsum() + carry
                 carry = float(cs[-1])
-            yield out[names]
+                arrays.append(pa.array(cs, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
-    out = ranged.mapInPandas(scan, out_schema)
+    out = ranged.mapInArrow(scan, out_schema)
     if n_out:
         out = out.withColumn(n_out, F.lit(n_acc).cast("long"))
     if total_out:
@@ -184,19 +197,30 @@ def global_running_max(
     passthrough = [f for f in ranged.schema.fields if f.name not in ("_pid", "_val0")]
     out_schema = StructType(list(passthrough) + [StructField(out, DoubleType())])
     names = [f.name for f in out_schema.fields]
+    keep_names = [f.name for f in passthrough]
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow for the same null-vs-NaN fidelity as global_rank_cumsum
+    # (see its comment). _val0 nulls surface as NaN via to_numpy and are
+    # treated as "no value" exactly as the pandas path did; the OUTPUT
+    # NaN marker means "no preceding value" and converts back to NULL
+    # (from_pandas=True), preserving the documented exclusive-first-row
+    # NULL.
+    def scan(batches):
         import numpy as np
+        import pyarrow as pa
 
         init = False
         carry: float | None = None
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
             if not init:
-                carry = carry_map.get(int(pdf["_pid"].iloc[0]))
+                pid = b.column(b.schema.get_field_index("_pid"))[0].as_py()
+                carry = carry_map.get(int(pid))
                 init = True
-            vals = pdf["_val0"].to_numpy(dtype="float64")
+            vals = b.column(b.schema.get_field_index("_val0")).to_numpy(
+                zero_copy_only=False
+            )
             filled = np.where(np.isnan(vals), -np.inf, vals)
             cm = np.maximum.accumulate(filled)
             if carry is not None:
@@ -208,12 +232,12 @@ def global_running_max(
             else:
                 res = cm
             res = np.where(np.isinf(res), np.nan, res)
-            o = pdf.drop(columns=["_pid", "_val0"])
-            o[out] = res
+            arrays = [b.column(b.schema.get_field_index(c)) for c in keep_names]
+            arrays.append(pa.array(res, type=pa.float64(), from_pandas=True))
             carry = float(cm[-1]) if not np.isinf(cm[-1]) else carry
-            yield o[names]
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
-    return ranged.mapInPandas(scan, out_schema)
+    return ranged.mapInArrow(scan, out_schema)
 
 
 def group_quantile_exact(
@@ -241,11 +265,13 @@ def group_quantile_exact(
     1. per-(key, value) count rollup (map-side combinable);
     2. ``global_rank_cumsum`` over (key, value) -> global cumulative
        count, range-partitioned — no per-group concentration;
-    3. the k-row per-group totals (k = |key domain|, which must be
-       BOUNDED — it is collected) yield each group's rank offset and
-       target order-statistic positions on the driver;
-    4. a broadcast join + filter selects the ≤2 covering value rows per
-       group; interpolation is closed-form arithmetic.
+    3. a second, group-rollup-sized scan in the same key order turns
+       the per-group totals into rank offsets and target
+       order-statistic positions — fully distributed, any key-domain
+       cardinality (r10; the r09 version collected the totals and
+       walked offsets on the driver);
+    4. a null-safe equi-join + filter selects the ≤2 covering value
+       rows per group; interpolation is closed-form arithmetic.
 
     NULL values are ignored (``percentile`` semantics); a group with
     only NULLs yields NO row (vs percentile's NULL row) — callers that

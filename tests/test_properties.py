@@ -542,3 +542,47 @@ def test_group_quantiles_exact_composite_null_keys_fuzz(rows, q):
         if v is not None
     }
     assert got == duck, (q, got, duck)
+
+
+# ---------------- NaN / negative / null FLOAT group keys (r10: the
+# distributed offset scan replaced the r09 driver walk, which could not
+# order NaN; both scans now use Spark's own asc-nulls-first NaN-last
+# range order, and the mapInArrow pass keeps NaN distinct from NULL in
+# pass-through columns -- the mapInPandas form it replaced conflated
+# them, silently merging the NaN-key group into the null-key group)
+
+_gqnan_rows = st.lists(
+    st.tuples(
+        st.one_of(
+            st.none(),
+            st.sampled_from([float("nan"), -1.5, -0.0, 0.0, 2.25]),
+        ),
+        st.one_of(st.none(), st.integers(-50, 50).map(lambda v: v / 4.0)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_gqnan_rows, st.sampled_from([0.5, 0.25, 0.9]))
+def test_group_quantiles_exact_nan_float_keys_fuzz(rows, q):
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
+    def norm(k):
+        if k is None:
+            return None
+        if k != k:
+            return "nan"
+        return k + 0.0  # -0.0 -> 0.0, matching both engines' grouping
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, "k double, v double")
+    out = group_quantiles_exact(df, "k", "v", [q], ["q"], num_parts=3)
+    got = {norm(r.k): r.q for r in out.collect()}
+    want = {
+        norm(r.k): r.q
+        for r in df.groupBy("k").agg(F.expr(f"percentile(v, {q})").alias("q")).collect()
+        if r.q is not None  # all-NULL group: documented no-row difference
+    }
+    assert got == want, (q, got, want)

@@ -503,6 +503,75 @@ def test_group_quantiles_exact_multikey_null_keys(spark):
     assert ("b", "x") not in got
 
 
+def test_group_quantiles_exact_nan_group_keys(spark):
+    # r10: the distributed offset scan removed the r09 driver walk, and
+    # with it the "float keys must not contain NaN" restriction -- both
+    # scans use Spark's own ordering (NaN last), so NaN-keyed groups get
+    # their exact quantiles. Spark groupBy normalizes NaN into one group.
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
+    nan = float("nan")
+    rows = [(nan, 1.0), (nan, 3.0), (1.0, 10.0), (1.0, 30.0), (None, 5.0), (-0.0, 7.0)]
+    df = spark.createDataFrame(rows, "k double, v double")
+    out = group_quantiles_exact(df, "k", "v", [0.5], ["med"], num_parts=3)
+    got = {
+        ("nan" if r["k"] != r["k"] else r["k"]): r["med"] for r in out.collect()
+    }
+    exp = {
+        ("nan" if r["k"] != r["k"] else r["k"]): r["med"]
+        for r in df.groupBy("k").agg(F.expr("percentile(v, 0.5d)").alias("med")).collect()
+    }
+    assert got == exp
+    assert got["nan"] == 2.0 and got[None] == 5.0
+
+
+def test_attach_group_quantiles_single_scan_for_multiple_exprs(spark, monkeypatch):
+    # r10 melt: a JX query with quantile selects over DIFFERENT value
+    # expressions (and duplicate builds of the SAME expression) runs
+    # exactly ONE group_quantiles_exact scan -- the r09 version paid one
+    # full range exchange per Column OBJECT because its dedup key was
+    # the py4j object id (r09 advisor finding).
+    import testlog_etl_spark.operators.scan_quantile as sq
+
+    calls = []
+    real = sq.group_quantiles_exact
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sq, "group_quantiles_exact", counting)
+    df = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("a", 3.0, 30.0), ("b", 5.0, 50.0)], "k string, x double, y double"
+    )
+    base = df.groupBy(F.col("k")).agg(F.count(F.lit(1)).alias("n"))
+    out = sq.attach_group_quantiles(
+        df,
+        base,
+        [F.col("k")],
+        ["k"],
+        [
+            ("med_x", F.col("x"), 0.5),
+            ("p75_x", F.col("x"), 0.75),  # same expr, different Column object
+            ("med_y", F.col("y"), 0.5),
+        ],
+    )
+    assert len(calls) == 1, f"expected one melted scan, got {len(calls)}"
+    got = {r["k"]: (r["med_x"], r["p75_x"], r["med_y"]) for r in out.collect()}
+    assert got == {"a": (2.0, 2.5, 20.0), "b": (5.0, 5.0, 50.0)}
+
+
+def test_attach_group_quantiles_expr_dedup_key_is_expression_text(spark):
+    # two Column OBJECTS for the same expression share one melt slot;
+    # different expressions never collide (the dedup key is the rendered
+    # expression tree, not object identity)
+    from testlog_etl_spark.operators.scan_quantile import _expr_key
+
+    assert _expr_key(F.col("x") + 1) == _expr_key(F.col("x") + 1)
+    assert _expr_key(F.col("x")) != _expr_key(F.col("y"))
+    assert _expr_key(F.col("x").alias("z")) != _expr_key(F.col("y").alias("z"))
+
+
 def test_edges_median_null_part_absorbs_out_of_domain(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("b", 5.0), (None, 7.0), (None, 9.0), ("zz", 100.0)],
