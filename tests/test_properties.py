@@ -564,6 +564,48 @@ _gqnan_rows = st.lists(
 )
 
 
+_melt_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["g1", "g2", "g3"])),
+        st.one_of(st.none(), st.integers(-40, 40).map(lambda v: v / 4.0)),
+        st.one_of(st.none(), st.integers(-40, 40).map(lambda v: v / 8.0)),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_melt_rows, st.sampled_from([0.25, 0.5, 0.9]), st.sampled_from([0.5, 0.75]))
+def test_attach_group_quantiles_melt_matches_per_expr_percentiles_fuzz(rows, qx, qy):
+    """r10 melt path: k value expressions share ONE scan via a
+    (key, expr_id, value) melt; per-expression results must still be
+    bit-identical to the buffering percentile() aggregate per column,
+    including all-NULL-per-expression groups (NULL out) and NULL group
+    keys (null-safe join)."""
+    from testlog_etl_spark.operators.scan_quantile import attach_group_quantiles
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    base = df.groupBy(F.col("k")).agg(F.count(F.lit(1)).alias("n"))
+    out = attach_group_quantiles(
+        df, base, [F.col("k")], ["k"],
+        [("qx", F.col("x"), qx), ("qy", F.col("y"), qy)],
+        num_parts=3,
+    )
+    got = {r["k"]: (r["qx"], r["qy"]) for r in out.collect()}
+    want = {
+        r["k"]: (r["qx"], r["qy"])
+        for r in df.groupBy("k")
+        .agg(
+            F.expr(f"percentile(x, {qx}d)").alias("qx"),
+            F.expr(f"percentile(y, {qy}d)").alias("qy"),
+        )
+        .collect()
+    }
+    assert got == want, (qx, qy, got, want)
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_gqnan_rows, st.sampled_from([0.5, 0.25, 0.9]))
 def test_group_quantiles_exact_nan_float_keys_fuzz(rows, q):
