@@ -561,6 +561,24 @@ def test_attach_group_quantiles_single_scan_for_multiple_exprs(spark, monkeypatc
     assert got == {"a": (2.0, 2.5, 20.0), "b": (5.0, 5.0, 50.0)}
 
 
+def test_group_quantiles_exact_all_null_values_empty_scan(spark):
+    # the fully-empty branch of the r10 distributed path: an all-NULL
+    # value column yields an empty rollup, empty offsets scan, and an
+    # empty result; attach leaves every group's quantile NULL --
+    # percentile()'s answer -- without erroring anywhere in the
+    # two-scan pipeline
+    from testlog_etl_spark.operators.scan_quantile import (
+        attach_group_quantiles,
+        group_quantiles_exact,
+    )
+
+    df = spark.createDataFrame([("a", None), ("b", None)], "k string, v double")
+    assert group_quantiles_exact(df, "k", "v", [0.5], ["med"]).collect() == []
+    base = df.groupBy(F.col("k")).agg(F.count(F.lit(1)).alias("n"))
+    att = attach_group_quantiles(df, base, [F.col("k")], ["k"], [("med", F.col("v"), 0.5)])
+    assert sorted(tuple(r) for r in att.collect()) == [("a", 1, None), ("b", 1, None)]
+
+
 def test_attach_group_quantiles_expr_dedup_key_is_expression_text(spark):
     # two Column OBJECTS for the same expression share one melt slot;
     # different expressions never collide (the dedup key is the rendered
