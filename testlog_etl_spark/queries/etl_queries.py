@@ -4551,7 +4551,21 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heap -- measured, hence this shape.
     import math
 
-    frac_rows = [(r.src, r.dst, float(r.frac)) for r in ef.collect()]
+    # the bound is CHECKED, not assumed (r10, same policy as the
+    # distributed quantile rewrite): the channel domain is the data's
+    # event_type domain, and nothing upstream enforces its size -- a
+    # scaling domain raises instead of silently walking an unbounded
+    # frame on the driver. 4096 = (channels+3)^2 at ~61 channels, far
+    # above any real channel taxonomy, still trivially driver-sized.
+    _EDGE_CAP = 4096
+    collected = ef.limit(_EDGE_CAP + 1).collect()
+    if len(collected) > _EDGE_CAP:
+        raise ValueError(
+            "attribution_markov_removal: transition-edge frame exceeds "
+            f"{_EDGE_CAP} rows -- the channel (event_type) domain scales "
+            "with the data; bucket channels upstream before the chain solve"
+        )
+    frac_rows = [(r.src, r.dst, float(r.frac)) for r in collected]
     chans = sorted({s for s, _, _ in frac_rows if s != "START"})
     def solve(removed):
         edges_s = {}

@@ -50,7 +50,7 @@ WHITELIST: dict[str, str] = {
     "operators/timeseries.py::coalesce_intervals": "per-partition boundary totals: one row per range partition",
     "queries/streaming_queries.py::stream_hourly_distinct": "1-row global max(ts) horizon",
     "queries/streaming_queries.py::stream_histogram_quantile_maintenance": "memory-sink snapshot of a fixed-bucket histogram stream (bucket count is the frame)",
-    "queries/etl_queries.py::attribution_markov_removal": "channel-transition edges: bounded by the channel domain squared",
+    "queries/etl_queries.py::attribution_markov_removal": "channel-transition edges: limit(4096+1) capped collect that RAISES past the cap (r10) -- the channel-domain-squared bound is checked, not assumed",
 }
 
 
