@@ -564,6 +564,39 @@ _gqnan_rows = st.lists(
 )
 
 
+_runmax_rows = st.lists(
+    st.one_of(st.none(), st.integers(-40, 40).map(lambda v: v / 4.0)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_runmax_rows, st.booleans())
+def test_global_running_max_matches_window_reference_fuzz(vals, exclusive):
+    """r10: global_running_max moved to mapInArrow; its NaN sentinel for
+    'no preceding value' must convert back to NULL (from_pandas=True)
+    and NULL inputs must be skipped, exactly like the single-partition
+    window form it replaces at scale."""
+    from pyspark.sql import Window
+
+    from testlog_etl_spark.operators.scan import global_running_max
+
+    spark = _spark()
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v double").repartition(3)
+    got = {
+        r["i"]: r["m"]
+        for r in global_running_max(
+            df, [F.col("i")], "v", out="m", exclusive=exclusive, num_parts=3
+        ).collect()
+    }
+    end = -1 if exclusive else Window.currentRow
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, end)
+    want = {r["i"]: r["m"] for r in df.select("i", F.max("v").over(w).alias("m")).collect()}
+    assert got == want, (exclusive, vals, got, want)
+
+
 _melt_rows = st.lists(
     st.tuples(
         st.one_of(st.none(), st.sampled_from(["g1", "g2", "g3"])),
