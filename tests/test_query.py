@@ -561,6 +561,37 @@ def test_attach_group_quantiles_single_scan_for_multiple_exprs(spark, monkeypatc
     assert got == {"a": (2.0, 2.5, 20.0), "b": (5.0, 5.0, 50.0)}
 
 
+def test_group_quantiles_exact_timestamp_decimal_keys(spark):
+    # r10: non-primitive group keys (timestamp, decimal) ride the Arrow
+    # scans exactly -- the r09 driver walk ordered keys with PYTHON
+    # comparisons, which only coincidentally matched Spark's ordering
+    # for these types; both orderings are now Spark's own by
+    # construction, so any orderable key type is safe
+    import datetime as dt
+    from decimal import Decimal
+
+    from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 10), Decimal("1.50"), 1.0),
+        (dt.datetime(2024, 1, 1, 10), Decimal("1.50"), 3.0),
+        (dt.datetime(2024, 1, 2, 10), Decimal("2.25"), 10.0),
+        (None, None, 7.0),
+        (dt.datetime(2024, 1, 2, 10), Decimal("2.25"), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "t timestamp, d decimal(10,2), v double")
+    got = {
+        (r["t"], r["d"]): r["med"]
+        for r in group_quantiles_exact(df, ["t", "d"], "v", [0.5], ["med"], num_parts=3).collect()
+    }
+    exp = {
+        (r["t"], r["d"]): r["med"]
+        for r in df.groupBy("t", "d").agg(F.expr("percentile(v, 0.5d)").alias("med")).collect()
+    }
+    assert got == exp
+    assert got[(None, None)] == 7.0
+
+
 def test_group_quantiles_exact_all_null_values_empty_scan(spark):
     # the fully-empty branch of the r10 distributed path: an all-NULL
     # value column yields an empty rollup, empty offsets scan, and an
