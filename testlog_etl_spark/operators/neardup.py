@@ -139,6 +139,8 @@ def minhash_lsh_pairs(
     k_shingle: int = 3,
     n_hashes: int = N_HASHES,
     band_r: int = BAND_R,
+    max_block: int | None = None,
+    chain_oversized: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for all pairs with exact shingle Jaccard >=
     threshold, found via LSH candidates + exact verify.
@@ -148,7 +150,24 @@ def minhash_lsh_pairs(
     projection collapse would inline the 128-element signature array
     into each of the 64 band keys (a 128x expression blow-up, measured
     ~100x slower). The banding self-join carries only (id, band) pairs;
-    shingle sets rejoin only for surviving candidates."""
+    shingle sets rejoin only for surviving candidates.
+
+    Hot-band valve: a band key shared by k docs yields k^2/2 candidates
+    from the self-join, so a boilerplate-heavy corpus (k near-identical
+    docs) can explode candidate volume even though every other shuffle
+    is linear. ``max_block`` caps it -- a band bucket larger than the
+    cap is either DROPPED (default: a documented recall valve, the same
+    contract as ``hamming_join``'s cap and the postings ``max_df``) or,
+    with ``chain_oversized=True``, replaced by k-1 consecutive-id
+    candidate edges (ids sorted within the bucket). Chain mode is meant
+    for the duplicate-GROUP path: only a spanning pair set is needed
+    there, and near-identical docs -- the only way a band gets hot --
+    verify pairwise along the chain, so connected components are
+    preserved while candidate volume stays linear in k. Every emitted
+    pair still passes the exact-Jaccard verify; the valve can only
+    LOSE pairs (never invent them), and only from oversized bands.
+    Exactness w.r.t. the LSH candidate set holds only when
+    ``max_block`` is None."""
     from testlog_etl_spark.util import spread
 
     # spread BEFORE shingling: the expensive per-row work must happen
@@ -165,13 +184,33 @@ def minhash_lsh_pairs(
     )
     bands = sigs.select("_id", F.posexplode("_bands").alias("_band_idx", "_band_key"))
 
+    chain_cand = None
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        # one shuffle on the band key (the same partitioning the
+        # self-join needs anyway); the count and the lag share it
+        w_cnt = Window.partitionBy("_band_idx", "_band_key")
+        bands = bands.withColumn("_bn", F.count(F.lit(1)).over(w_cnt))
+        if chain_oversized:
+            w_ord = w_cnt.orderBy("_id")
+            chain_cand = (
+                bands.filter(F.col("_bn") > int(max_block))
+                .withColumn("_prev", F.lag("_id").over(w_ord))
+                .filter(F.col("_prev").isNotNull())
+                .select(F.col("_prev").alias("id_a"), F.col("_id").alias("id_b"))
+            )
+        bands = bands.filter(F.col("_bn") <= int(max_block)).drop("_bn")
+
     cand = (
         bands.select(F.col("_id").alias("id_a"), "_band_idx", "_band_key")
         .join(bands.select(F.col("_id").alias("id_b"), "_band_idx", "_band_key"), ["_band_idx", "_band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if chain_cand is not None:
+        cand = cand.unionByName(chain_cand)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     sh = sigs.select("_id", "_sh")
     verified = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")

@@ -26,9 +26,10 @@ is now a theorem instead):
    (NaN-last) range order, so the offsets index the value order
    exactly, for any key type and any key-domain cardinality;
 4. per-(group, quantile) selection rows derived column-wise from the
-   offset frame (``posexplode`` of the quantile literal array — the
-   floor/coefficient arithmetic runs in Spark's IEEE doubles, the same
-   ops the r09 driver walk did in Python floats);
+   offset frame (``explode`` of a literal array of ``(q_i, q_v)``
+   structs carrying explicit quantile indices — the floor/coefficient
+   arithmetic runs in Spark's IEEE doubles, the same ops the r09
+   driver walk did in Python floats);
 5. an equi-join (null-safe) of the ≤2 covering value rows per
    (group, quantile) — AQE broadcasts the selection side when the
    group domain is small and falls back to a shuffled join when it is
@@ -99,11 +100,21 @@ def attach_group_quantiles(
     key_names: Sequence[str],
     specs: Sequence[tuple[str, Column, float]],
     num_parts: int = 32,
+    persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Left-join rank-selection quantiles onto ``base`` (one row per
     group, its key columns already named ``key_names``). ``src`` is the
     pre-aggregation frame; ``key_cols`` re-derive the group keys on it.
-    ``specs`` are ``(out_name, value column, q)``.
+    ``specs`` are ``(out_name, value column, q)``. Empty ``specs``
+    returns ``base`` unchanged.
+
+    EAGER under the default ``materialize=True`` of the underlying
+    ``group_quantiles_exact``: constructing the returned DataFrame runs
+    the two scan jobs immediately and leaves one small (group-rollup-
+    sized) frame persisted. Pass ``persist_handles`` to receive that
+    cached frame and ``unpersist()`` it after your action; without it
+    the cache lives until session end (bounded: one rollup-sized frame
+    per call).
 
     ALL specs share ONE scan (r10): the distinct value expressions are
     melted into ``(group key, expr id, value)`` rows and a single
@@ -118,6 +129,8 @@ def attach_group_quantiles(
     and a group whose values are all NULL for some expression gets NULL
     for that expression's outputs — exactly ``percentile()``'s answer.
     """
+    if not specs:
+        return base
     exprs: list[Column] = []
     expr_ids: dict[str, int] = {}
     spec_map: list[tuple[str, int, float]] = []
@@ -151,7 +164,13 @@ def attach_group_quantiles(
     ).select(*key_names, F.col("__m.__cid").alias("__cid"), F.col("__m.__qval").alias("__qval"))
 
     qdf = group_quantiles_exact(
-        melted, key_names + ["__cid"], "__qval", qs_union, qouts, num_parts=num_parts
+        melted,
+        key_names + ["__cid"],
+        "__qval",
+        qs_union,
+        qouts,
+        num_parts=num_parts,
+        persist_handles=persist_handles,
     )
 
     # fold (group, expr id) rows back to one row per group, one output

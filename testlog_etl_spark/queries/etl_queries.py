@@ -4482,7 +4482,13 @@ ORDER BY channel
     "channel) solve in ONE joint iteration over the (scenario, node) "
     "frame -- the scenario dimension rides the same tiny-join loop, "
     "not five separate passes. Data-scale work is only the journey "
-    "edge rollup; the chain frame is (channels+3) x scenarios rows.",
+    "edge rollup; the chain frame is (channels+3) x scenarios rows. "
+    "CONTRACT: the channel taxonomy must be bounded -- a transition "
+    "frame past 4096 edges (~61 channels) RAISES rather than silently "
+    "degrading; attribution credit is not meaningful under an ad-hoc "
+    "tail collapse, so bucketing wide taxonomies (e.g. to OTHER via "
+    "the edges _resolve_others idiom) is an explicit upstream modeling "
+    "decision, not something this operator does behind your back.",
 )
 def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -293,6 +293,13 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.operators.scan import global_rank_cumsum
     from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
 
+    # `handles` exists to READ the first scan's persisted rollup
+    # (handles[0], below) without re-scanning the source. The caches
+    # intentionally live until session end: the returned frame is lazy,
+    # and unpersisting before the caller's action would let a lineage
+    # recompute re-sample range boundaries out from under the captured
+    # offset maps (operators/scan.py module docstring). Bounded leak:
+    # two rollup-sized frames per call.
     handles: list = []
     ranked = global_rank_cumsum(
         sc,
@@ -308,7 +315,12 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with no collect and no Python-vs-UTF8 sort divergence)
     totals = handles[0].groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("_nd"))
     offs = global_rank_cumsum(
-        totals, [F.col("source").asc()], val_col="_nd", rank_out="_oi", cum_out="_cum"
+        totals,
+        [F.col("source").asc()],
+        val_col="_nd",
+        rank_out="_oi",
+        cum_out="_cum",
+        persist_handles=handles,
     ).select(
         "source",
         (F.col("_cum") - F.col("_nd")).cast("long").alias("_off"),

@@ -50,6 +50,69 @@ def test_minhash_signature_estimates_jaccard(spark):
     assert abs(est - true_j) < 0.15
 
 
+def _valve_corpus(spark, n_boiler=30):
+    """n_boiler identical docs (every band hot) + one genuine near-pair
+    (100, 101) + one unrelated doc, all outside the hot bands."""
+    boiler = [(i, "the same boilerplate header text repeated in every single document body") for i in range(n_boiler)]
+    uniq = [
+        (100, " ".join(f"alpha{i}" for i in range(30))),
+        (101, " ".join(f"alpha{i}" for i in range(28)) + " beta0 beta1"),
+        (102, " ".join(f"gamma{i}" for i in range(30))),
+    ]
+    return spark.createDataFrame(boiler + uniq, ["doc_id", "text"])
+
+
+def test_minhash_hot_band_valve_bounds_boilerplate_pairs(spark):
+    """VERDICT r10 finding 1: a band shared by k near-identical docs
+    emits k^2/2 candidates with no cap. The max_block valve bounds it;
+    chain mode keeps the duplicate group connected with k-1 edges."""
+    n = 30
+    df = _valve_corpus(spark, n)
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert len({p for p in full if p[1] < 100}) == n * (n - 1) // 2  # k^2/2 boilerplate pairs
+    assert (100, 101) in full
+
+    # drop mode: hot bands dropped entirely; cold-band pair survives
+    dropped = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5, max_block=8).collect()
+    }
+    assert (100, 101) in dropped
+    assert not {p for p in dropped if p[1] < 100}
+    assert dropped <= full  # the valve only LOSES pairs
+
+    # chain mode: k-1 consecutive-id spanning edges keep the group connected
+    chained = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.5, max_block=8, chain_oversized=True
+        ).collect()
+    }
+    assert (100, 101) in chained
+    assert {p for p in chained if p[1] < 100} == {(i, i + 1) for i in range(n - 1)}
+    assert chained <= full
+
+
+def test_minhash_valve_large_cap_is_identity(spark):
+    """Candidates are lost ONLY from capped bands: a cap >= the largest
+    band bucket changes nothing."""
+    df = _valve_corpus(spark, 12)
+    full = {
+        tuple(r) for r in neardup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in neardup.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.5, max_block=15
+        ).collect()
+    }
+    assert capped == full
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
