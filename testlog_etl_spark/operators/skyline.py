@@ -24,43 +24,64 @@ algorithm carries; the local pass still runs distributed.
 Tie semantics (pinned by tests + the NOT-EXISTS oracle): dominance
 requires (x <= , y >=) with at least ONE strict inequality, so exact
 duplicates do not dominate each other -- duplicate frontier points all
-survive.
+survive. Rows with a null or NaN metric are dropped (they can neither
+dominate nor be ranked), the same contract the pre-r11 pandas pass
+applied implicitly.
+
+r11: the passes run on ``mapInArrow`` (numpy on the two metric columns,
+Arrow ``take`` for the survivors), not ``mapInPandas`` -- pass-through
+columns keep decimal/timestamp/NaN fidelity instead of riding a pandas
+float64 round trip (the r10 ``operators/scan.py`` rationale).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
-
-
-def _local_frontier(pdf: pd.DataFrame, x: str, y: str) -> pd.DataFrame:
-    """Frontier of one in-memory chunk: minimize x, maximize y.
-    Sort by x; within an x-group only the max-y rows can survive
-    (an equal-x higher-y row dominates); across ascending x a group
-    survives iff its ymax STRICTLY exceeds every cheaper group's ymax
-    (an equal-y cheaper row dominates)."""
-    gmax = pdf.groupby(x)[y].transform("max")
-    best = pdf[pdf[y] == gmax]
-    ymax_per_x = best.groupby(x)[y].first().sort_index()
-    prev_best = ymax_per_x.cummax().shift(1)
-    keep_x = ymax_per_x.index[prev_best.isna() | (ymax_per_x > prev_best)]
-    return best[best[x].isin(keep_x)]
 
 
 def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     """Rows of ``df`` on the (min ``x``, max ``y``) Pareto frontier,
-    all columns preserved. Two Arrow passes: per-partition local
-    frontier, then the exact frontier of the gathered candidates on a
-    single (small) partition."""
+    all columns preserved (``x``/``y`` must be numeric). Two Arrow
+    passes: per-partition local frontier, then the exact frontier of
+    the gathered candidates on a single (small) partition."""
     schema = df.schema
 
-    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunks = [p for p in batches if not p.empty]
-        if chunks:
-            yield _local_frontier(pd.concat(chunks, ignore_index=True), x, y)
+    def local(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
 
-    candidates = df.mapInPandas(local, schema)
-    return candidates.coalesce(1).mapInPandas(local, schema)
+        chunks = [b for b in batches if b.num_rows]
+        if not chunks:
+            return
+        t = pa.Table.from_batches(chunks).combine_chunks()
+        xv = t.column(x).to_numpy(zero_copy_only=False).astype("float64")
+        yv = t.column(y).to_numpy(zero_copy_only=False).astype("float64")
+        ok = np.flatnonzero(~(np.isnan(xv) | np.isnan(yv)))
+        if len(ok) == 0:
+            return
+        # sort by (x asc, y desc): within an x-group the first row holds
+        # the group's ymax; groups survive iff their ymax STRICTLY
+        # exceeds the best ymax of every cheaper group (an equal-y
+        # cheaper row dominates); within a surviving group every row
+        # tying the ymax survives (duplicates don't dominate each other)
+        order = ok[np.lexsort((-yv[ok], xv[ok]))]
+        xs, ys = xv[order], yv[order]
+        n = len(order)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = xs[1:] != xs[:-1]
+        gid = np.cumsum(new) - 1
+        gmax = ys[new]  # per-group ymax, in ascending-x order
+        prev = np.empty(len(gmax))
+        prev[0] = -np.inf
+        np.maximum.accumulate(gmax[:-1], out=prev[1:])
+        keep_group = gmax > prev
+        keep_group[0] = True  # first group: nothing cheaper exists
+        keep = keep_group[gid] & (ys == gmax[gid])
+        out = t.take(np.sort(order[keep]))
+        yield from out.to_batches()
+
+    candidates = df.mapInArrow(local, schema)
+    return candidates.coalesce(1).mapInArrow(local, schema)

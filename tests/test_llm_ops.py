@@ -1057,6 +1057,29 @@ def test_grouped_topk_null_group_and_null_values(spark):
     assert got[("a", 1)] == 6 and got[("a", 2)] == 5
 
 
+def test_grouped_topk_nan_ranks_with_nulls_and_keys_keep_fidelity(spark):
+    """r11 mapInArrow prune: NaN order values rank WITH nulls (the
+    documented contract, previously an accident of the pandas round
+    trip), and non-float group keys (timestamps here) pass through the
+    Arrow batch byte-exact."""
+    import datetime as dt
+
+    from testlog_etl_spark.operators.topk import grouped_topk
+
+    t0 = dt.datetime(2021, 3, 14, 9, 26, 53, 589793)
+    rows = [
+        (t0, 1, float("nan")), (t0, 2, 3.0), (t0, 3, 1.0), (t0, 4, None),
+        (t0 + dt.timedelta(days=1), 5, float("nan")), (t0 + dt.timedelta(days=1), 6, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g timestamp, i bigint, v double").repartition(3)
+    got = {(r["g"], r["rank"]): (r["i"], r["v"]) for r in grouped_topk(df, ["g"], "v", "i", k=3).collect()}
+    # real values first; NaN ties with null, id ascending breaks the tie
+    assert got[(t0, 1)] == (2, 3.0) and got[(t0, 2)] == (3, 1.0)
+    assert got[(t0, 3)] == (1, None)  # NaN nullified, before id-4 null
+    assert got[(t0 + dt.timedelta(days=1), 1)] == (6, 2.0)
+    assert got[(t0 + dt.timedelta(days=1), 2)] == (5, None)
+
+
 def test_hamming_join_rejects_degenerate_length(spark):
     import pytest
 

@@ -32,6 +32,28 @@ def test_skyline_dominance_and_ties(spark):
     assert got == [1, 2, 5, 6, 7]
 
 
+def test_skyline_drops_nan_metrics_and_passes_floats_through(spark):
+    """r11 mapInArrow passes: null/NaN METRIC rows are dropped (the
+    documented contract), while NaN in a PASS-THROUGH float column
+    survives as NaN instead of becoming NULL via a pandas round trip."""
+    import math
+
+    from testlog_etl_spark.operators.skyline import pareto_frontier_2d
+
+    rows = [
+        (1, 10.0, 5, float("nan")),
+        (2, float("nan"), 9, 1.0),  # NaN metric: dropped
+        (3, None, 9, 1.0),          # null metric: dropped
+        (4, 9.0, None, 1.0),        # null metric: dropped
+        (5, 12.0, 7, None),         # frontier; null extra stays null
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y int, extra double").repartition(3)
+    got = {r["id"]: r["extra"] for r in pareto_frontier_2d(df, "x", "y").collect()}
+    assert sorted(got) == [1, 5]
+    assert math.isnan(got[1])  # NaN pass-through preserved, not nullified
+    assert got[5] is None
+
+
 def test_skyline_matches_bruteforce_random(spark):
     import random
 
