@@ -1308,3 +1308,77 @@ def test_bloom_no_false_negatives_and_join_equivalence(spark):
     for bad in ("left", "right", "full", "left_anti"):
         with pytest.raises(ValueError, match="unsupported"):
             bloom_prefiltered_join(probe, build, ["k"], how=bad)
+
+
+def test_ivf_pq_topk_matches_numpy_replay(spark, sf_dir):
+    """r11 (NOTES.md parked tier, unregistered until r13): IVF-PQ
+    composition against a full numpy replay of the same deterministic
+    codebooks -- coarse probes, fine codes, ADC tables, rounded ranking.
+    With nprobe == k_coarse the coarse filter is a no-op and the result
+    must equal the pure-ADC ranking; with nprobe=2 it must equal the
+    probe-filtered ranking -- both derived independently in numpy from
+    kmeans_fit's centroids (assignment/tie rules re-implemented, not
+    reused)."""
+    import math
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    rows = sorted((r["c_id"], np.array(r["c_vec"], dtype=np.float64)) for r in corpus.collect())
+    ids = np.array([i for i, _ in rows])
+    V = np.stack([v for _, v in rows])
+    dim, m, k_cells, k_coarse, n_iter = 64, 4, 8, 8, 2
+    sd = dim // m
+
+    from testlog_etl_spark.operators.similarity import ivf_pq_topk, kmeans_fit
+
+    def assign(X, cents):
+        # _argmin_cell tie rule: smallest distance, then smallest cell id
+        C = np.stack([np.array(c, dtype=np.float64) for _, c in cents])
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d, d.argmin(axis=1)  # argmin takes the FIRST (smallest cell) on ties
+
+    coarse = kmeans_fit(corpus, "c_vec", k=k_coarse, n_iter=n_iter, id_col="c_id", centroid_quant_bits=20)
+    dcoarse, coarse_cell = assign(V, coarse)
+    books = []
+    for s in range(m):
+        sub = corpus.select(
+            "c_id", F.slice(F.col("c_vec").cast("array<double>"), 1 + sd * s, sd).alias("_sv")
+        )
+        books.append(kmeans_fit(sub, "_sv", k=k_cells, n_iter=n_iter, id_col="c_id", centroid_quant_bits=20))
+
+    def reference(nprobe, k):
+        out = {}
+        qmask = ids < 8
+        for qi in np.flatnonzero(qmask):
+            probe_cells = np.argsort(dcoarse[qi], kind="stable")[:nprobe]
+            cand = np.flatnonzero(np.isin(coarse_cell, probe_cells))
+            scores = []
+            for ci in cand:
+                if ids[ci] == ids[qi]:
+                    continue
+                adc = 0.0
+                for s in range(m):
+                    _, codes = assign(V[:, sd * s : sd * (s + 1)], books[s])
+                    C = np.array(books[s][codes[ci]][1])
+                    adc += float(((V[qi, sd * s : sd * (s + 1)] - C) ** 2).sum())
+                scores.append((round(adc, 6), int(ids[ci])))
+            scores.sort()
+            out[int(ids[qi])] = [(r + 1, c, a) for r, (a, c) in enumerate(scores[:k])]
+        return out
+
+    for nprobe in (k_coarse, 2):
+        got_df = ivf_pq_topk(queries, corpus, dim=dim, k=5, nprobe=nprobe,
+                             k_coarse=k_coarse, m=m, k_cells=k_cells, n_iter=n_iter)
+        got = {}
+        for r in got_df.collect():
+            got.setdefault(r["q_id"], []).append((r["rank"], r["c_id"], r["adc"]))
+        for q in got:
+            got[q].sort()
+        want = reference(nprobe, 5)
+        assert got == want, (nprobe, got, want)
