@@ -792,3 +792,55 @@ def test_scan_passthrough_preserves_decimal_and_timestamp_fuzz(rows):
     rm = global_running_max(df, [F.col("i")], "v", out="m", num_parts=3)
     got2 = {r["i"]: (r["dec"], r["ts"], r["v"]) for r in rm.collect()}
     assert got2 == want, (data, got2, want)
+
+
+# --- r11: chain-valve connectivity — the property the chain mode exists
+# for: however the cap interacts with the banding, every exact-duplicate
+# cluster must come out CONNECTED in the verified pair graph (the
+# dup-group path only needs a spanning set), and no cross-cluster pair
+# may appear (disjoint vocabularies -> Jaccard 0).
+
+_chain_clusters = st.lists(st.integers(1, 9), min_size=1, max_size=5)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_chain_clusters, st.integers(2, 5))
+def test_minhash_chain_valve_keeps_duplicate_clusters_connected_fuzz(sizes, cap):
+    from testlog_etl_spark.operators import neardup
+
+    rows, cluster_of = [], {}
+    nid = 0
+    for ci, size in enumerate(sizes):
+        text = " ".join(f"tok{ci}_{j}" for j in range(8))
+        for _ in range(size):
+            rows.append((nid, text))
+            cluster_of[nid] = ci
+            nid += 1
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in neardup.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.5, n_hashes=16,
+            max_block=cap, chain_oversized=True,
+        ).collect()
+    ]
+    # no cross-cluster pair survives the exact verify
+    assert all(cluster_of[a] == cluster_of[b] for a, b in pairs), (sizes, cap, pairs)
+
+    # every cluster connected: union-find over the verified pairs
+    parent = {i: i for i in cluster_of}
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    for ci, size in enumerate(sizes):
+        members = [i for i, c in cluster_of.items() if c == ci]
+        roots = {find(i) for i in members}
+        assert len(roots) == 1, (sizes, cap, ci, pairs)
