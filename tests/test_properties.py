@@ -844,3 +844,78 @@ def test_minhash_chain_valve_keeps_duplicate_clusters_connected_fuzz(sizes, cap)
         members = [i for i, c in cluster_of.items() if c == ci]
         roots = {find(i) for i in members}
         assert len(roots) == 1, (sizes, cap, ci, pairs)
+
+
+# --- r11: cross-engine Unicode fold prototype (NOTES.md parked
+# "Unicode-normalization dedup tier"). Spark has no NFC intrinsic, so
+# the fold is an EXPLICIT translate map applied identically on both
+# engines: precomposed Latin letters -> ASCII base, combining marks
+# (U+0300-U+036F) -> deleted, A-Z -> a-z. translate is codepoint-wise
+# on both engines, so fold(NFC form) == fold(NFD form) by construction
+# -- the both-engine-identical fold the r13 dedup oracle needs.
+#
+# Repertoire contract (found by this fuzz's first run): the NFC/NFD
+# invariant holds ONLY over the map's covered repertoire -- an
+# UNCOVERED precomposed char (hypothesis composed Z+U+0301 -> 'Ź')
+# stays unfolded in NFC form while its NFD form folds to the base
+# letter. Cross-engine equality is unconditional; the r13 dedup tier
+# must state its covered repertoire (or extend the map), so the fuzz
+# alphabet below is the covered set plus combining marks whose
+# compositions stay inside it.
+
+_FOLD_SRC = (
+    "ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÕÖòóôõöÙÚÛÜùúûüÇçÑñÝýÿ"
+    + "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    + "".join(chr(c) for c in range(0x300, 0x370))
+)
+_FOLD_DST = (
+    "aaaaaaaaaaaaeeeeeeeeiiiiiiiioooooooooouuuuuuuuccnnyyy"
+    + "abcdefghijklmnopqrstuvwxyz"
+)
+
+_fold_texts = st.lists(
+    st.text(
+        # covered letters + marks whose compositions stay covered:
+        # {a,e,A,E} x {U+0300 grave, U+0301 acute} all precompose
+        # into the map; accents on ñ/é/À etc. compose no further
+        alphabet=["\u00e9", "\u00c9", "\u00e8", "\u00c8", "\u00e0", "\u00c0",
+                  "\u00f1", "\u00d1", " ", "e", "a", "A", "E", "-",
+                  "\u0300", "\u0301"],
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_fold_texts)
+def test_unicode_fold_cross_engine_and_nfc_nfd_invariant_fuzz(texts):
+    import unicodedata
+
+    import duckdb
+
+    spark = _spark()
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((3 * i, unicodedata.normalize("NFC", t)))
+        rows.append((3 * i + 1, unicodedata.normalize("NFD", t)))
+        rows.append((3 * i + 2, t))
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["f"]
+        for r in df.select("i", F.translate("t", _FOLD_SRC, _FOLD_DST).alias("f")).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        i: f
+        for i, f in con.execute(
+            "SELECT i, translate(t, ?, ?) FROM (SELECT unnest(?) AS i, unnest(?) AS t)",
+            [_FOLD_SRC, _FOLD_DST, [r[0] for r in rows], [r[1] for r in rows]],
+        ).fetchall()
+    }
+    assert got == want, (texts, got, want)
+    # NFC and NFD forms of the same text fold identically
+    for i in range(len(texts)):
+        assert got[3 * i] == got[3 * i + 1], (texts[i], got[3 * i], got[3 * i + 1])
