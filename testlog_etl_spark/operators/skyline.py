@@ -43,7 +43,9 @@ from pyspark.sql import DataFrame
 
 def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     """Rows of ``df`` on the (min ``x``, max ``y``) Pareto frontier,
-    all columns preserved (``x``/``y`` must be numeric). Two Arrow
+    all columns preserved (``x``/``y`` must be numeric; the metric
+    comparison runs in float64, so int64 metrics beyond 2^53 lose
+    distinctness — use doubles or rescale such keys). Two Arrow
     passes: per-partition local frontier, then the exact frontier of
     the gathered candidates on a single (small) partition."""
     schema = df.schema

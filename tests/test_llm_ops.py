@@ -1546,3 +1546,88 @@ def test_ivf_pq_topk_matches_duckdb_replay(spark, sf_dir):
         (q, rk, c, round(a, 6)) for q, rk, c, a in con.execute(_ivf_pq_oracle_sql()).fetchall()
     )
     assert got == want
+
+
+def test_stratified_reservoir_matches_python_model_and_duckdb(spark):
+    """r11 (NOTES.md parked item): per-stratum-seeded reservoir — the
+    draw must equal an independent Python replay of the hash ranking,
+    and the DuckDB md5 idiom must produce the identical keys (the r13
+    oracle's engine-portability)."""
+    import hashlib
+
+    import duckdb
+
+    from testlog_etl_spark.operators.sampling import stratified_reservoir
+
+    rows = [(f"d{i}", ["news", "web", "code", None][i % 4]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    seeds = {"news": "s1", "web": "s2"}
+
+    def key(doc, src, seed):
+        base = ":".join(x for x in (doc, src, seed) if x is not None)
+        return int(hashlib.md5(base.encode()).hexdigest()[:15], 16)
+
+    def model(data, k):
+        by = {}
+        for doc, src in data:
+            sd = seeds.get(src, "0")
+            by.setdefault(src, []).append((key(doc, src, sd), doc))
+        out = {}
+        for src, lst in by.items():
+            lst.sort()
+            out[src] = [(doc, r + 1) for r, (_, doc) in enumerate(lst[:k])]
+        return out
+
+    got = {}
+    for r in stratified_reservoir(df, "source", "doc_id", k=3, seeds=seeds).collect():
+        got.setdefault(r["source"], []).append((r["doc_id"], r["draw_rank"]))
+    for src in got:
+        got[src].sort(key=lambda t: t[1])
+    assert got == model(rows, 3)
+
+    # merge-safety: bumping ONE stratum's seed leaves the others intact
+    got2 = {}
+    for r in stratified_reservoir(
+        df, "source", "doc_id", k=3, seeds={**seeds, "web": "s2-next"}
+    ).collect():
+        got2.setdefault(r["source"], []).append((r["doc_id"], r["draw_rank"]))
+    for src in got2:
+        got2[src].sort(key=lambda t: t[1])
+    assert got2["news"] == got["news"]
+    assert got2["code"] == got["code"]
+    assert got2[None] == got[None]
+
+    # adding a NEW stratum cannot perturb existing draws
+    got3 = {}
+    extra = [(f"x{i}", "books") for i in range(10)]
+    df3 = spark.createDataFrame(rows + extra, "doc_id string, source string")
+    for r in stratified_reservoir(df3, "source", "doc_id", k=3, seeds=seeds).collect():
+        got3.setdefault(r["source"], []).append((r["doc_id"], r["draw_rank"]))
+    for src in got3:
+        got3[src].sort(key=lambda t: t[1])
+    assert {s: v for s, v in got3.items() if s != "books"} == got
+    assert len(got3["books"]) == 3
+
+    # DuckDB twin: same keys from the registered samplers' md5 idiom
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {}
+    for src, doc, rk in con.execute(
+        """
+        SELECT source, doc_id, rk FROM (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY try_cast(('0x' || substr(md5(
+                     concat_ws(':', doc_id, source,
+                       CASE source WHEN 'news' THEN 's1' WHEN 'web' THEN 's2' ELSE '0' END)
+                   ), 1, 15)) AS BIGINT), doc_id) AS rk
+          FROM t
+        ) WHERE rk <= 3
+        """
+    ).fetchall():
+        want.setdefault(src, []).append((doc, rk))
+    for src in want:
+        want[src].sort(key=lambda t: t[1])
+    assert got == want
