@@ -237,3 +237,40 @@ def test_compact_small_files(spark, tmp_path):
     a = sorted(map(repr, (tuple(r) for r in spark.read.parquet(src).collect())))
     b = sorted(map(repr, (tuple(r) for r in spark.read.parquet(dst).collect())))
     assert a == b
+
+def test_rotate_window_anchor_composition_post_drain():
+    """r11: once the backlog fits in the window, NAMED_ANCHORS fill the
+    anchor slots ahead of oldest-signed-first re-signs — simulate the
+    r12 state (this round's window all signed) and pin the composition
+    the steady-state policy promises: remaining backlog + 6 named
+    anchors + re-sign fill, exactly 50."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "rotate_window.py")
+    spec = importlib.util.spec_from_file_location("rotate_window", path)
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+
+    from testlog_etl_spark import suite
+
+    suite._load_all()
+    real = rw.correctness_rounds
+
+    def with_current_window_signed():
+        rounds = real()
+        fake = {
+            n: {"rows_match": True, "schema_match": True, "hash_match": True}
+            for n in suite.DRIVER_WINDOW[:50]
+        }
+        return rounds + [(max(r for r, _ in rounds) + 1, fake)]
+
+    rw.correctness_rounds = with_current_window_signed
+    window, remaining, stats = rw.build_window()
+    assert len(window) == 50 and len(set(window)) == 50
+    backlog_in_window = stats["registry"] - stats["signed_union"] - len(stats["fix_first"])
+    if backlog_in_window < 50 - rw.ANCHOR_SLOTS:
+        for a in rw.NAMED_ANCHORS:
+            assert a in suite.REGISTRY, a
+            assert a in window, (a, window)
+    assert not remaining  # the drain completes in that window
