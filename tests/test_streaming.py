@@ -161,3 +161,67 @@ def test_record_breakers_tws_sandbox_gate(spark):
     )
     with pytest.raises(NotImplementedError, match="protobuf"):
         record_breakers_tws(df)
+
+
+def test_watermark_lag_audit_replay(spark):
+    """r11 prototype for the parked watermark-lag DQ op (NOTES.md): per
+    trigger, Spark's reported watermark must equal the deterministic
+    replay max(event ts over PRIOR batches) - delay (epoch-initial), so
+    the audit frame (batch, max_event_ts, watermark, lag) is exactly
+    oracle-able from (ingest_batch, ts) rows -- the r13 registration
+    shape. Pins the progress semantics the operator will rely on."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.streaming.jobs import stage_stream_batches
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, base + dt.timedelta(minutes=m)) for i, m in rows], "id long, ts timestamp"
+        )
+
+    specs = [[(1, 0), (2, 30)], [(3, 25), (4, 60)], [(5, 55), (6, 120)]]
+    in_dir = stage_stream_batches([mk(s) for s in specs], "wmlag_audit_test")
+    schema = mk(specs[0]).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    agg = stream.withWatermark("ts", "10 minutes").groupBy(F.window("ts", "1 hour")).count()
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wmlag_audit_test_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [dict(p) for p in (p if isinstance(p, dict) else p.asDict() for p in q.recentProgress)]
+    finally:
+        q.stop()
+
+    delay = dt.timedelta(minutes=10)
+    epoch = dt.datetime(1970, 1, 1)
+    batch_max = [max(base + dt.timedelta(minutes=m) for _, m in s) for s in specs]
+
+    def model_wm(b):
+        if b == 0:
+            return epoch
+        return max(batch_max[:b]) - delay
+
+    def parse(s):
+        return dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%fZ")
+
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) == len(specs)
+    for b, p in enumerate(sorted(data_batches, key=lambda p: p["batchId"])):
+        et = p["eventTime"]
+        assert parse(et["max"]) == batch_max[b], (b, et)
+        assert parse(et["watermark"]) == model_wm(b), (b, et)
+        # the audit metric: how far ahead of the held watermark this
+        # trigger's data runs (always positive while data flows)
+        lag = parse(et["max"]) - parse(et["watermark"])
+        assert lag > dt.timedelta(0)
+    # after the drain the committed watermark is the full replay's value
+    final_wm = parse(progress[-1]["eventTime"]["watermark"])
+    assert final_wm == max(batch_max) - delay
