@@ -919,3 +919,55 @@ def test_unicode_fold_cross_engine_and_nfc_nfd_invariant_fuzz(texts):
     # NFC and NFD forms of the same text fold identically
     for i in range(len(texts)):
         assert got[3 * i] == got[3 * i + 1], (texts[i], got[3 * i], got[3 * i + 1])
+
+
+# --- r11: scoped grapheme-length parity (NOTES.md parked "grapheme-
+# aware text length profile"). Over text WITHOUT ZWJ sequences,
+# regional indicators, or Hangul jamo, an extended grapheme cluster is
+# exactly a base codepoint plus its combining marks -- so the count is
+# JVM-side expressible with NO kernel: length after stripping
+# \p{Mn}\p{Me}. DuckDB's native length_grapheme must agree on that
+# repertoire; that pair is the r13 oracle. Second contract found by
+# this fuzz's first run: a LEADING mark run has no base to attach to
+# and forms one degenerate cluster of its own (UAX#29 GB9 only glues
+# marks to a PRECEDING char), hence the +1 start-of-string term.
+
+_grapheme_texts = st.lists(
+    st.text(
+        alphabet=["e", "a", "Z", " ", "-", "é", "ñ", "̀", "́", "̧", "⃝"],
+        min_size=0,
+        max_size=15,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_grapheme_texts)
+def test_scoped_grapheme_length_cross_engine_fuzz(texts):
+    import duckdb
+
+    spark = _spark()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: (r["cp"], r["g"])
+        for r in df.select(
+            "i",
+            F.length("t").alias("cp"),
+            (
+                F.length(F.regexp_replace("t", r"[\p{Mn}\p{Me}]", ""))
+                + F.when(F.col("t").rlike(r"^[\p{Mn}\p{Me}]"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("g"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        i: (cp, g)
+        for i, cp, g in con.execute(
+            "SELECT i, length(t), length_grapheme(t) FROM (SELECT unnest(?) AS i, unnest(?) AS t)",
+            [[r[0] for r in rows], [r[1] for r in rows]],
+        ).fetchall()
+    }
+    assert got == want, (texts, got, want)
