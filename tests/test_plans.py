@@ -1004,3 +1004,30 @@ def test_jx_quantiles_never_use_buffering_percentile(spark):
         plan = _q(name)(spark, SF_SMALL)._jdf.queryExecution().optimizedPlan().toString()
         assert "percentile(" not in plan, name
         assert "median(" not in plan, name
+
+
+def test_ivf_pq_candidate_exchange_carries_no_vectors(spark):
+    """r11: ivf_pq_topk's whole point is that query time reads CODES --
+    the candidate equi-join must carry ids/cells only, with no
+    cartesian degeneration, and the only full-vector expressions in the
+    plan are the train-time/assignment projections (never under an
+    Exchange feeding the pair join)."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    df = ivf_pq_topk(queries, corpus, dim=64, k=3, nprobe=2)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # the ADC pair join hashes on (q_id, _sub, _fcell) -- the code keys
+    assert "_fcell" in plan and "_sub" in plan
+    # no exchange partitions on (or carries) the embedding column: scan
+    # projections may read it, but every Exchange row is id/cell/dist
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "c_vec" not in line and "embedding" not in line, line
