@@ -63,83 +63,59 @@ def register(
 # rounds covers the whole registry (COVERAGE.md tracks the cumulative set;
 # tools/rotate_window.py regenerates this region mechanically).
 #
-# Signed union before this window: 435/526; fix-first re-signs: none;
-# backlog remaining after this window: 41.
+# Signed union before this window: 485/526; fix-first re-signs: none;
+# backlog remaining after this window: 0.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "source_fixed_width_text",
-    "ts_sax_motifs",
-    "ts_dtw_shape_distance",
-    "stats_empirical_bayes_rates",
-    "events_viterbi_engagement",
-    "mv_join_delta_maintenance",
-    "dq_primary_key_uniqueness",
-    "dq_generalization_ladder",
-    "stream_lambda_backfill_union",
-    "sql_named_parameters",
-    "text_unicode_nfc_audit",
-    "attribution_markov_removal",
-    "stats_simpsons_paradox_scan",
-    "stats_median_ci_order_stats",
-    "stats_diff_in_diff",
-    "ts_peak_detection",
-    "text_burrows_delta",
-    "dq_inclusion_dependencies",
-    "stats_cochran_armitage_trend",
-    "agg_quantile_shift_function",
-    "stats_mann_kendall_trend",
-    "stats_jarque_bera",
-    "stats_kruskal_wallis",
-    "ts_bollinger_bands",
-    "ts_rsi_cutler",
-    "stats_bartlett_test",
-    "stats_grubbs_outlier",
-    "eval_fleiss_kappa",
-    "eval_lift_gains_table",
-    "graph_linkpred_scores",
-    "graph_rich_club",
-    "orders_price_index_fisher",
-    "stats_capture_recapture",
-    "text_collocation_llr",
-    "text_good_turing_mass",
-    "stats_logrank_test",
-    "stats_james_stein_means",
-    "dq_xmr_control_chart",
-    "stats_poisson_dispersion",
-    "embed_kmeans_one_step",
-    "ts_spectral_entropy",
-    "sql_pivot_clause",
-    "stats_cronbach_alpha",
-    "eval_brier_decomposition",
-    "dedup_phonetic_blocking",
-    "ts_croston_intermittent",
-    "ts_sample_entropy",
-    "multimodal_scene_cuts",
-    "stats_theil_u2_forecast",
-    "stats_page_hinkley",
-    # -- BACKLOG QUEUE: informational copy only. The authoritative
-    #    sign-next order lives in tools/backlog_queue.json (owned and
-    #    regenerated by tools/rotate_window.py); edits here have no
-    #    effect. Never-driver-signed remain, windows take the front:
-    #    graph_katz_bounded, eval_mrr_retrieval,
-    #    dq_order_detail_reconciliation, stats_cochran_q,
-    #    stats_gini_mean_difference, stats_seasonal_mann_kendall,
-    #    sample_systematic_interval, text_mattr_window, text_yules_k,
-    #    orders_fill_rate_service_level, dq_id_time_inversions,
-    #    eval_bleu_ngram_precision, sql_union_by_name,
-    #    graph_avg_neighbor_degree, eval_weighted_kappa,
-    #    stats_hill_tail_index, dq_ewma_control_chart,
-    #    eval_average_precision, agg_magnitude_histogram,
-    #    eval_matthews_correlation, stats_kendall_w, stats_sign_test,
-    #    source_csv_dropmalformed, text_ari_readability,
-    #    stats_cooks_distance, stats_breusch_pagan, stats_cmh_test,
-    #    compliance_subject_access_report, dq_volumetric_anomaly_wow,
-    #    stats_distribution_fit_moments, orders_lines_per_order_histogram,
-    #    attribution_window_sweep, sql_named_window_clause,
-    #    sql_group_by_all, events_position_in_session_ctr,
-    #    ts_derivative_profile, embed_cosine_histogram,
-    #    stream_histogram_quantile_maintenance,
-    #    dq_timestamp_precision_profile, events_tenure_activity_curve,
-    #    sample_class_balanced_downsample
+    "graph_katz_bounded",
+    "eval_mrr_retrieval",
+    "dq_order_detail_reconciliation",
+    "stats_cochran_q",
+    "stats_gini_mean_difference",
+    "stats_seasonal_mann_kendall",
+    "sample_systematic_interval",
+    "text_mattr_window",
+    "text_yules_k",
+    "orders_fill_rate_service_level",
+    "dq_id_time_inversions",
+    "eval_bleu_ngram_precision",
+    "sql_union_by_name",
+    "graph_avg_neighbor_degree",
+    "eval_weighted_kappa",
+    "stats_hill_tail_index",
+    "dq_ewma_control_chart",
+    "eval_average_precision",
+    "agg_magnitude_histogram",
+    "eval_matthews_correlation",
+    "stats_kendall_w",
+    "stats_sign_test",
+    "source_csv_dropmalformed",
+    "text_ari_readability",
+    "stats_cooks_distance",
+    "stats_breusch_pagan",
+    "stats_cmh_test",
+    "compliance_subject_access_report",
+    "dq_volumetric_anomaly_wow",
+    "stats_distribution_fit_moments",
+    "orders_lines_per_order_histogram",
+    "attribution_window_sweep",
+    "sql_named_window_clause",
+    "sql_group_by_all",
+    "events_position_in_session_ctr",
+    "ts_derivative_profile",
+    "embed_cosine_histogram",
+    "stream_histogram_quantile_maintenance",
+    "dq_timestamp_precision_profile",
+    "events_tenure_activity_curve",
+    "sample_class_balanced_downsample",
+    "etl_mozlog_results",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "win_frame_median",
+    "edges_percentile_cells",
+    "jx_null_semantics",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "topk_orders",
 )
 
 
