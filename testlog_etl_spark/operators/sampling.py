@@ -272,9 +272,26 @@ def stratified_reservoir(
     k-bounded merge) rather than a per-stratum window, so one hot
     stratum never sorts in a single task. Ties (hash collisions) break
     by id; the whole draw is engine-portable — the DuckDB twin is the
-    same md5/substr/try_cast idiom the registered samplers use.
+    same md5/substr/try_cast idiom the registered samplers use, over
+    the same preimage.
+
+    Key preimage (r12, ADVICE fix): each of (id, stratum, seed) is
+    encoded LENGTH-PREFIXED with a NULL tag — ``len(x) ':' x`` for a
+    present value, ``'-'`` for NULL — and the three encodings are
+    concatenated. The encoding is self-delimiting (a parser reads
+    digits to ':' then that many characters; '-' starts no digit), so
+    no (id, stratum) pair can alias another regardless of what ':' or
+    digits the values contain, and a NULL component hashes distinctly
+    from every string including ''. Lengths are codepoint counts,
+    identical in Spark ``length`` and DuckDB ``length``.
     """
     from testlog_etl_spark.operators.topk import grouped_topk
+
+    def _lp(c: Column) -> Column:
+        s = c.cast("string")
+        return F.coalesce(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s), F.lit("-")
+        )
 
     seed_expr = F.lit(default_seed)
     if seeds:
@@ -288,12 +305,7 @@ def stratified_reservoir(
     h = F.conv(
         F.substring(
             F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col(id_col).cast("string"),
-                    F.col(strata_col).cast("string"),
-                    seed_expr,
-                )
+                F.concat(_lp(F.col(id_col)), _lp(F.col(strata_col)), _lp(seed_expr))
             ),
             1,
             15,

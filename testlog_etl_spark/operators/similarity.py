@@ -405,6 +405,13 @@ def ivf_pq_topk(
     """
     from testlog_etl_spark.operators.topk import grouped_topk
 
+    if dim % m != 0:
+        # checked, not assumed (the hamming_join contract style): a
+        # non-divisible dim would silently drop the trailing dim % m
+        # components from both codebook training and ADC distances.
+        raise ValueError(
+            f"ivf_pq_topk: dim={dim} is not divisible by m={m} subspaces"
+        )
     cast = lambda c: F.col(c).cast("array<double>")  # noqa: E731
     sd = dim // m
 

@@ -1310,6 +1310,22 @@ def test_bloom_no_false_negatives_and_join_equivalence(spark):
             bloom_prefiltered_join(probe, build, ["k"], how=bad)
 
 
+def test_ivf_pq_topk_rejects_indivisible_dim(spark):
+    """r12 ADVICE fix: dim % m != 0 must raise (checked, not assumed --
+    the hamming_join contract style) instead of silently dropping the
+    trailing dim % m components from training and ADC distances."""
+    import pytest as _pytest
+
+    from testlog_etl_spark.operators.similarity import ivf_pq_topk
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 63)], "c_id bigint, c_vec array<double>"
+    )
+    q = spark.createDataFrame([(1, [0.0] * 63)], "q_id bigint, q_vec array<double>")
+    with _pytest.raises(ValueError, match="not divisible"):
+        ivf_pq_topk(q, df, dim=63, k=1, m=4)
+
+
 def test_ivf_pq_topk_matches_numpy_replay(spark, sf_dir):
     """r11 (NOTES.md parked tier, unregistered until r13): IVF-PQ
     composition against a full numpy replay of the same deterministic
@@ -1563,8 +1579,14 @@ def test_stratified_reservoir_matches_python_model_and_duckdb(spark):
     df = spark.createDataFrame(rows, "doc_id string, source string")
     seeds = {"news": "s1", "web": "s2"}
 
+    def lp(x):
+        # length-prefixed null-tagged component (r12 ADVICE fix): keys
+        # cannot alias across (id, stratum) boundaries and NULL is
+        # distinct from '' and from the string 'NULL'
+        return "-" if x is None else f"{len(x)}:{x}"
+
     def key(doc, src, seed):
-        base = ":".join(x for x in (doc, src, seed) if x is not None)
+        base = lp(doc) + lp(src) + lp(seed)
         return int(hashlib.md5(base.encode()).hexdigest()[:15], 16)
 
     def model(data, k):
@@ -1620,10 +1642,13 @@ def test_stratified_reservoir_matches_python_model_and_duckdb(spark):
                  ROW_NUMBER() OVER (
                    PARTITION BY source
                    ORDER BY try_cast(('0x' || substr(md5(
-                     concat_ws(':', doc_id, source,
-                       CASE source WHEN 'news' THEN 's1' WHEN 'web' THEN 's2' ELSE '0' END)
+                     coalesce(length(doc_id)::VARCHAR || ':' || doc_id, '-')
+                     || coalesce(length(source)::VARCHAR || ':' || source, '-')
+                     || coalesce(length(sd)::VARCHAR || ':' || sd, '-')
                    ), 1, 15)) AS BIGINT), doc_id) AS rk
-          FROM t
+          FROM (SELECT *,
+                  CASE source WHEN 'news' THEN 's1' WHEN 'web' THEN 's2' ELSE '0' END AS sd
+                FROM t)
         ) WHERE rk <= 3
         """
     ).fetchall():
