@@ -1400,140 +1400,11 @@ def test_ivf_pq_topk_matches_numpy_replay(spark, sf_dir):
         assert got == want, (nprobe, got, want)
 
 
-def _ivf_pq_oracle_sql(
-    dim: int = 64,
-    m: int = 4,
-    k_cells: int = 8,
-    k_coarse: int = 8,
-    n_iter: int = 2,
-    nprobe: int = 2,
-    k: int = 5,
-    qbits: int = 20,
-    q_pred: str = "vec_id < 8",
-) -> str:
-    """DuckDB twin of ivf_pq_topk, composed from the two existing
-    replay bodies (llm_ops._ivf_topk_oracle coarse kmeans + probes;
-    llm_ops._pq_adc_body per-subspace codebooks + ADC), with the
-    candidate filter joining them. Lives in tests until the r13
-    registration moves it beside the other oracles."""
-    g = float(1 << qbits)
-    sd = dim // m
-
-    def snap(x: str) -> str:
-        return f"floor(({x}) * {g} + 0.5) / {g}"
-
-    def sqd(a: str, b: str, d: int) -> str:
-        return (
-            f"reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {d + 1}), "
-            f"__i -> ({a}[__i] - {b}[__i]) * ({a}[__i] - {b}[__i]))), (__a, __x) -> __a + __x)"
-        )
-
-    def kmeans_blocks(prefix: str, src: str, d: int, kk: int) -> list[str]:
-        out = [
-            f"""{prefix}0 AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
-         list_transform(sv, __x -> {snap('__x')}) AS centroid
-  FROM (SELECT vec_id, sv FROM {src} ORDER BY vec_id LIMIT {kk})
-)"""
-        ]
-        for i in range(1, n_iter + 1):
-            prev = f"{prefix}{i - 1}"
-            out.append(
-                f"""{prefix}a{i} AS (
-  SELECT vec_id, sv, cell FROM (
-    SELECT {src}.vec_id, {src}.sv, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
-                              ORDER BY {sqd(f'{src}.sv', 'c.centroid', d)}, c.cell) AS rn
-    FROM {src} CROSS JOIN {prev} c
-  ) WHERE rn = 1
-),
-{prefix}u{i} AS (
-  SELECT cell, array_agg(mv ORDER BY idx) AS centroid FROM (
-    SELECT cell, idx, {snap('AVG(val)')} AS mv FROM (
-      SELECT cell, unnest(sv) AS val, unnest(range(1, {d + 1})) AS idx FROM {prefix}a{i}
-    ) GROUP BY cell, idx
-  ) GROUP BY cell
-),
-{prefix}{i} AS (
-  SELECT p.cell, COALESCE({prefix}u{i}.centroid, p.centroid) AS centroid
-  FROM {prev} p LEFT JOIN {prefix}u{i} ON p.cell = {prefix}u{i}.cell
-)"""
-            )
-        return out
-
-    blocks = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)"]
-    # coarse tier over the full vector
-    blocks.append("gv AS (SELECT vec_id, vec AS sv FROM v)")
-    blocks += kmeans_blocks("g", "gv", dim, k_coarse)
-    gfin = f"g{n_iter}"
-    blocks.append(
-        f"""coarse_cells AS (
-  SELECT vec_id AS c_id, cell FROM (
-    SELECT gv.vec_id, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY gv.vec_id
-                              ORDER BY {sqd('gv.sv', 'c.centroid', dim)}, c.cell) AS rn
-    FROM gv CROSS JOIN {gfin} c
-  ) WHERE rn = 1
-),
-probes AS (
-  SELECT vec_id AS q_id, cell FROM (
-    SELECT gv.vec_id, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY gv.vec_id
-                              ORDER BY {sqd('gv.sv', 'c.centroid', dim)}, c.cell) AS rn
-    FROM gv CROSS JOIN {gfin} c WHERE {q_pred}
-  ) WHERE rn <= {nprobe}
-),
-cand AS (
-  SELECT p.q_id, s.c_id FROM probes p JOIN coarse_cells s ON s.cell = p.cell
-)"""
-    )
-    # fine tier per subspace
-    for s in range(m):
-        a, b = sd * s + 1, sd * (s + 1)
-        blocks.append(f"v{s} AS (SELECT vec_id, vec[{a}:{b}] AS sv FROM v)")
-        blocks += kmeans_blocks(f"f{s}_", f"v{s}", sd, k_cells)
-        fin = f"f{s}_{n_iter}"
-        blocks.append(
-            f"""code{s} AS (
-  SELECT vec_id AS c_id, {s} AS sub, cell FROM (
-    SELECT v{s}.vec_id, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY v{s}.vec_id
-                              ORDER BY {sqd(f'v{s}.sv', 'c.centroid', sd)}, c.cell) AS rn
-    FROM v{s} CROSS JOIN {fin} c
-  ) WHERE rn = 1
-),
-qd{s} AS (
-  SELECT v{s}.vec_id AS q_id, {s} AS sub, c.cell,
-         {sqd(f'v{s}.sv', 'c.centroid', sd)} AS qdist
-  FROM v{s} CROSS JOIN {fin} c WHERE {q_pred}
-)"""
-        )
-    codes = " UNION ALL ".join(f"SELECT * FROM code{s}" for s in range(m))
-    qds = " UNION ALL ".join(f"SELECT * FROM qd{s}" for s in range(m))
-    blocks.append(f"codes AS ({codes})")
-    blocks.append(f"qd AS ({qds})")
-    blocks.append(
-        f"""pairs AS (
-  SELECT qd.q_id, codes.c_id, ROUND(SUM(qd.qdist), 6) AS adc
-  FROM codes
-  JOIN qd ON qd.sub = codes.sub AND qd.cell = codes.cell
-  JOIN cand ON cand.q_id = qd.q_id AND cand.c_id = codes.c_id
-  WHERE qd.q_id <> codes.c_id
-  GROUP BY qd.q_id, codes.c_id
-),
-ranked AS (
-  SELECT q_id, c_id, adc,
-         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
-  FROM pairs
-)"""
-    )
-    body = ",\n".join(blocks)
-    return f"""
-WITH {body}
-SELECT q_id, CAST(rank AS INT) AS rank, c_id, adc
-FROM ranked WHERE rank <= {k}
-ORDER BY q_id, rank
-"""
+# _ivf_pq_oracle_sql moved to queries/r13_pack.py::ivf_pq_oracle_sql for
+# the r13 registration (r12); imported back here so this differential
+# keeps guarding the operator against the SAME oracle text the
+# registration will carry.
+from testlog_etl_spark.queries.r13_pack import ivf_pq_oracle_sql as _ivf_pq_oracle_sql
 
 
 def test_ivf_pq_topk_matches_duckdb_replay(spark, sf_dir):
