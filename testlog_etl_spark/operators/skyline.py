@@ -47,7 +47,22 @@ def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     comparison runs in float64, so int64 metrics beyond 2^53 lose
     distinctness — use doubles or rescale such keys). Two Arrow
     passes: per-partition local frontier, then the exact frontier of
-    the gathered candidates on a single (small) partition."""
+    the gathered candidates on a single (small) partition.
+
+    MERGE-TASK BOUND (contract, stated like
+    ``attribution_markov_removal``'s cap): the second pass is
+    ``coalesce(1)`` over the UNION OF LOCAL FRONTIERS, so the one
+    merge task is sized by that union — for real distributions
+    O(parts * log rows-per-part) rows, but for ANTI-CORRELATED data
+    (x and y trade off along a diagonal) the true frontier, and hence
+    the union, is Θ(n): the output itself is that large, so no exact
+    skyline can do better, and the merge task must hold it. If the
+    2-metric trade-off in your data is strongly anti-correlated at
+    corpus scale, budget the merge task's memory for the expected
+    frontier size or pre-bucket x and take per-bucket frontiers
+    (an approximation, no longer the exact skyline). Exactness under
+    a frontier that is a large fraction of n is pinned by
+    tests/test_properties.py::test_skyline_anticorrelated_frontier."""
     schema = df.schema
 
     def local(batches: Iterator) -> Iterator:

@@ -6327,7 +6327,10 @@ def dedup_containment_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "combinable, survivor set identical to grouping by the raw key "
     "(hash injective at corpus size, same contract as dedup_exact). "
     "Counts assemble via single-row crossJoins; no driver loop, no "
-    "tier materialization.",
+    "tier materialization. Composing the NEAR-dup tiers behind this "
+    "cascade at deployment scale: every candidate valve turns on from "
+    "one name -- operators/neardup.py::CORPUS_SCALE_PROFILE (max_block "
+    "/ chain_oversized / max_df per tier, SCALE.md-measured).",
     oracle="""
 WITH d0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
 t1 AS (

@@ -1527,3 +1527,23 @@ def test_stratified_reservoir_matches_python_model_and_duckdb(spark):
     for src in want:
         want[src].sort(key=lambda t: t[1])
     assert got == want
+
+
+def test_corpus_scale_profile_matches_signatures():
+    """r12 (VERDICT r11 #2): CORPUS_SCALE_PROFILE must stay valid
+    against the real operator signatures -- every profiled name is a
+    callable in its module and every valve kwarg exists there, so the
+    one-name deployment recipe can't rot as signatures evolve."""
+    import inspect
+
+    from testlog_etl_spark.operators import neardup, postings
+
+    modules = {"build_postings": postings}
+    for name, kwargs in neardup.CORPUS_SCALE_PROFILE.items():
+        fn = getattr(modules.get(name, neardup), name)
+        params = inspect.signature(fn).parameters
+        missing = [k for k in kwargs if k not in params]
+        assert not missing, f"{name}: profile kwargs not in signature: {missing}"
+        # every valve must default OFF -- the profile is opt-in
+        for k in kwargs:
+            assert params[k].default in (None, False), (name, k)
