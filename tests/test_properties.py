@@ -971,3 +971,145 @@ def test_scoped_grapheme_length_cross_engine_fuzz(texts):
         ).fetchall()
     }
     assert got == want, (texts, got, want)
+
+
+# ---------------------------------------------------------------------------
+# r12 fuzz beachhead (VERDICT r11 item 7)
+# ---------------------------------------------------------------------------
+
+_sky_anti = st.integers(min_value=2, max_value=40)
+_sky_extra = st.lists(
+    st.tuples(
+        st.floats(min_value=0, max_value=50, allow_nan=False),
+        st.floats(min_value=-50, max_value=0, allow_nan=False),
+    ),
+    max_size=20,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_sky_anti, _sky_extra)
+def test_skyline_anticorrelated_frontier(m, extra):
+    """The skyline merge pass stays EXACT when the frontier is a large
+    fraction of n (the docstring's anti-correlated worst case): m
+    points on a perfect (min x, max y) diagonal are ALL undominated, so
+    every local frontier forwards them and the merge task holds ~n
+    rows -- the result must still equal the O(n^2) dominance model.
+    Dominated filler (x >= 0, y <= 0 is beaten by the diagonal's
+    (0, m) corner... not necessarily -- the model decides) fuzzes the
+    pruning around the diagonal."""
+    from testlog_etl_spark.operators.skyline import pareto_frontier_2d
+
+    spark = _spark()
+    # perfect anti-correlation: (i, m - i) for i in 0..m-1 -- every
+    # point is on the frontier (duplicated once to pin the
+    # duplicates-survive tie rule)
+    pts = [(float(i), float(m - i)) for i in range(m)]
+    pts += pts[:2]
+    pts += [(float(x), float(y)) for x, y in extra]
+
+    def dominated(p, q):
+        return q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+
+    want = sorted(
+        (i for i, p in enumerate(pts) if not any(dominated(p, q) for q in pts)),
+    )
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x double, y double"
+    ).repartition(5)
+    got = sorted(r["id"] for r in pareto_frontier_2d(df, "x", "y").collect())
+    assert got == want, (m, extra, got, want)
+
+
+def test_ivf_pq_degenerate_codebooks_and_small_corpus():
+    """ivf_pq_topk edge cases ahead of the r13 registration: (a) an
+    all-identical corpus (every kmeans update collapses onto one point;
+    ADC distance ties everywhere -> id-order ranking), (b) a corpus
+    SMALLER than k_coarse/k_cells (codebooks seed from fewer rows than
+    k -- cells beyond the data are empty), (c) nprobe larger than the
+    number of non-empty cells. All must run and rank by (adc, id) with
+    no self-pairs and <= k rows per query."""
+    from testlog_etl_spark.operators.similarity import ivf_pq_topk
+
+    spark = _spark()
+
+    # (a) identical vectors: every pair's ADC estimate ties at 0
+    same = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(6)], "c_id bigint, c_vec array<double>"
+    )
+    q = same.selectExpr("c_id as q_id", "c_vec as q_vec").filter("q_id < 2")
+    got = [
+        (r["q_id"], r["rank"], r["c_id"], r["adc"])
+        for r in ivf_pq_topk(q, same, dim=8, k=3, nprobe=2, k_coarse=4, m=2, k_cells=4)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    for qid in (0, 1):
+        mine = [t for t in got if t[0] == qid]
+        assert len(mine) == 3
+        # ties broken by id ascending, self excluded
+        expect_ids = [c for c in range(6) if c != qid][:3]
+        assert [t[2] for t in mine] == expect_ids, mine
+        assert all(t[3] == 0.0 for t in mine), mine
+
+    # (b)+(c): corpus smaller than k_coarse, nprobe > populated cells
+    tiny = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [8.0, 8.0])],
+        "c_id bigint, c_vec array<double>",
+    )
+    qt = tiny.selectExpr("c_id as q_id", "c_vec as q_vec")
+    rows = [
+        (r["q_id"], r["rank"], r["c_id"])
+        for r in ivf_pq_topk(qt, tiny, dim=2, k=5, nprobe=8, k_coarse=8, m=1, k_cells=8)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    # nprobe == k_coarse-cap -> pure ADC over everything: each query
+    # sees BOTH other points, nearest (by codebook cell distance) first
+    by_q = {}
+    for qid, rk, cid in rows:
+        by_q.setdefault(qid, []).append(cid)
+        assert cid != qid
+    assert by_q[0] == [1, 2]  # 0 is nearer cell 1 than cell 8
+    assert by_q[2] == [1, 0]
+    assert set(by_q) == {0, 1, 2}
+
+
+_fold_alphabet = st.sampled_from(
+    list("aAzZ mM:|") + ["́", "̈", "İ", "ı", "ß", "ẞ", "İ", "𝔸", "한"]
+)
+_fold_texts = st.lists(
+    st.text(alphabet=_fold_alphabet, max_size=12), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_fold_texts)
+def test_unicode_fold_cross_engine_fuzz(texts):
+    """The dedup fold contract (queries/r13_pack.py::dedup_unicode_fold)
+    under ADVERSARIAL input: the fold is an explicit ASCII codepoint
+    map (translate A..Z -> a..z) + space-run collapse + trim, so its
+    md5 must be ENGINE-IDENTICAL on any Unicode string -- including the
+    exact codepoints where engine lower() diverges (U+0130 Turkish I,
+    ß/ẞ full-vs-simple case mapping, pinned r09), combining marks, and
+    astral-plane letters the fold must pass through untouched."""
+    import duckdb
+
+    spark = _spark()
+    UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    LO = "abcdefghijklmnopqrstuvwxyz"
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    folded = F.trim(F.regexp_replace(F.translate("t", UP, LO), " +", " "))
+    got = {r["i"]: r["fp"] for r in df.select("i", F.md5(folded).alias("fp")).collect()}
+    con = duckdb.connect()
+    want = {
+        i: fp
+        for i, fp in con.execute(
+            f"""SELECT i, md5(trim(regexp_replace(translate(t, '{UP}', '{LO}'),
+                                                 ' +', ' ', 'g'))) AS fp
+               FROM (SELECT unnest(?) AS i, unnest(?) AS t)""",
+            [[r[0] for r in rows], [r[1] for r in rows]],
+        ).fetchall()
+    }
+    assert got == want, (texts, got, want)
