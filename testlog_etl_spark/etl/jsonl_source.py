@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from testlog_etl_spark.util import persist_once
+
 CORRUPT_COL = "_corrupt_record"
 
 
@@ -27,12 +29,11 @@ def read_jsonl_tolerant(
     """-> (good_rows, dead_letters). `good_rows` has exactly `schema`'s
     columns; `dead_letters` is one string column of the raw bad lines."""
     full = StructType(schema.fields + [StructField(CORRUPT_COL, StringType())])
-    df = (
+    df = persist_once(
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
-        .cache()
     )
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(

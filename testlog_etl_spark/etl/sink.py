@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from testlog_etl_spark.util import persist_once
+
 from testlog_etl_spark.etl.lineage import deterministic_id
 
 
@@ -44,7 +46,7 @@ def write_idempotent(
 def split_sink(df: DataFrame, writers: list) -> None:
     """S8 Split: fan one transform's output to several sinks. The input
     is cached once so each writer re-reads memory, not the source."""
-    df.persist()
+    persist_once(df)
     try:
         for w in writers:
             w(df)

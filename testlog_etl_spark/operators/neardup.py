@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from testlog_etl_spark.operators.textstats import tokens
-from testlog_etl_spark.util import const_array
+from testlog_etl_spark.util import const_array, persist_once
 
 N_HASHES = 128
 BAND_R = 2  # rows per band -> N_HASHES // BAND_R bands
@@ -207,11 +207,10 @@ def minhash_lsh_pairs(
     base = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))).select(
         "_id", word_shingles(F.col("_t"), k_shingle).alias("_sh")
     )
-    sigs = (
+    sigs = persist_once(
         base.withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
         .withColumn("_bands", band_keys(F.col("_sig"), band_r, n_hashes))
         .select("_id", "_sh", "_bands")
-        .persist()
     )
     bands = sigs.select("_id", F.posexplode("_bands").alias("_band_idx", "_band_key"))
 

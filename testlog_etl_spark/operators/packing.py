@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from testlog_etl_spark.util import persist_once
+
 
 def with_stream_offsets(
     df: DataFrame, id_col: str, tok_col: str, num_parts: int = 32
@@ -41,11 +43,10 @@ def with_stream_offsets(
     """
     # a null token count contributes 0 to the stream and must not
     # poison the row's own offset (sum-over-window would yield null)
-    ranged = (
+    ranged = persist_once(
         df.withColumn("_tok0", F.coalesce(F.col(tok_col).cast("long"), F.lit(0)))
         .repartitionByRange(num_parts, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     totals = ranged.groupBy("_pid").agg(F.sum("_tok0").alias("_t")).collect()
     acc = 0

@@ -57,6 +57,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+from testlog_etl_spark.util import persist_once
+
 
 def global_rank_cumsum(
     df: DataFrame,
@@ -87,12 +89,11 @@ def global_rank_cumsum(
     """
     order_by = list(order_by)
     val = F.coalesce(F.col(val_col).cast("double"), F.lit(0.0)) if val_col else F.lit(0.0)
-    ranged = (
+    ranged = persist_once(
         df.withColumn("_val0", val)
         .repartitionByRange(num_parts, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     if persist_handles is not None:
         persist_handles.append(ranged)
@@ -176,12 +177,11 @@ def global_running_max(
     caveat: any grouping of the fold yields the identical result.
     """
     order_by = list(order_by)
-    ranged = (
+    ranged = persist_once(
         df.withColumn("_val0", F.col(val_col).cast("double"))
         .repartitionByRange(num_parts, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     if persist_handles is not None:
         persist_handles.append(ranged)

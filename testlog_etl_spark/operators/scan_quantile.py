@@ -73,6 +73,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from testlog_etl_spark.util import persist_once
+
 from testlog_etl_spark.operators.scan import global_rank_cumsum
 
 
@@ -325,7 +327,7 @@ def group_quantiles_exact(
         # action, then free the two scan intermediates immediately —
         # the caller reads the cached result, and a lineage recompute
         # can no longer observe re-sampled range boundaries
-        result = result.persist()
+        result = persist_once(result)
         result.count()
         for h in handles:
             h.unpersist()

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from testlog_etl_spark.util import const_array
+from testlog_etl_spark.util import const_array, persist_once
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -174,7 +174,7 @@ def kmeans_fit(
     # corpus sizes past executor memory it degrades to a disk-local
     # re-read instead of re-running the scan+projection per iteration
     # (the standard Lloyd's caching call)
-    df_v = df.select(v.alias("_v")).persist()
+    df_v = persist_once(df.select(v.alias("_v")))
     try:
         init = df_v.orderBy(order).limit(k).collect()
     except Exception:
@@ -288,12 +288,16 @@ def lsh_topk(
     # vectors + norms are materialized ONCE per side; the band self-join and
     # the multi-table dedup below move only (id, table, sig) triples — wide
     # embedding arrays must never ride through those shuffles
-    c_side = spread(corpus.select(F.col(c_id), cast(c_vec).alias("_cv"))).withColumn(
-        "_cn", l2_norm(F.col("_cv"))
-    ).persist()
-    q_side = queries.select(F.col(q_id), cast(q_vec).alias("_qv")).withColumn(
-        "_qn", l2_norm(F.col("_qv"))
-    ).persist()
+    c_side = persist_once(
+        spread(corpus.select(F.col(c_id), cast(c_vec).alias("_cv"))).withColumn(
+            "_cn", l2_norm(F.col("_cv"))
+        )
+    )
+    q_side = persist_once(
+        queries.select(F.col(q_id), cast(q_vec).alias("_qv")).withColumn(
+            "_qn", l2_norm(F.col("_qv"))
+        )
+    )
 
     def bucketed(df: DataFrame, id_col: str, vec_expr: Column) -> DataFrame:
         sigs = (

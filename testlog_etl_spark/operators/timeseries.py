@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from testlog_etl_spark.util import persist_once
+
 
 def downsample_locf(
     df: DataFrame,
@@ -303,11 +305,10 @@ def sweep_concurrency(
         )
     if method != "scan":
         raise ValueError(f"method must be 'scan' or 'window', got {method!r}")
-    ranged = (
+    ranged = persist_once(
         plus.unionByName(minus)
         .repartitionByRange(num_parts, F.col("_k"), F.col("_bt"), F.col("_d"))
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     totals = ranged.groupBy("_pid", "_k").agg(F.sum("_d").alias("_t")).collect()
     acc: dict[object, int] = {}
@@ -352,7 +353,7 @@ def sweep_concurrency(
     )
     # materialize the (tiny: one row per key) result so the boundary
     # cache can be released now instead of leaking for the session
-    out = out.persist()
+    out = persist_once(out)
     out.count()
     ranged.unpersist()
     return out
@@ -395,10 +396,9 @@ def coalesce_intervals(
         .agg(F.sum("_d").alias("_net"))
         .filter(F.col("_net") != 0)
     )
-    ranged = (
+    ranged = persist_once(
         net.repartitionByRange(num_parts, F.col("_k"), F.col("_bt"))
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     totals = ranged.groupBy("_pid", "_k").agg(F.sum("_net").alias("_t")).collect()
     acc: dict[object, int] = {}
@@ -448,7 +448,7 @@ def coalesce_intervals(
         ends,
         (F.col("_rn") == F.col("_rn2")) & F.col("_k").eqNullSafe(F.col("_k2")),
     ).select(F.col("_k").alias(key_col), "island_start", "island_end")
-    out = out.persist()
+    out = persist_once(out)
     out.count()
     ranged.unpersist()
     return out

@@ -3778,6 +3778,7 @@ ORDER BY shard
 )
 def corpus_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.util import persist_once
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     d = docs.select(
@@ -3805,7 +3806,7 @@ def corpus_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
-    out = out.persist()
+    out = persist_once(out)
     out.count()
     for h in handles:
         h.unpersist()
