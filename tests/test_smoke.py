@@ -274,3 +274,24 @@ def test_rotate_window_anchor_composition_post_drain():
             assert a in suite.REGISTRY, a
             assert a in window, (a, window)
     assert not remaining  # the drain completes in that window
+
+
+def test_persist_once_skips_cached_twin(spark):
+    """r12: persist_once persists a cold plan, and returns (without
+    re-persisting) a freshly built twin of an already-cached plan --
+    the CacheManager 'already cached' WARN source. Cleanup unpersists."""
+    from testlog_etl_spark.util import persist_once
+
+    cold = spark.range(1000).selectExpr("id", "id * 3 as v").filter("v % 2 = 0")
+    a = persist_once(cold)
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    a.count()
+    twin = spark.range(1000).selectExpr("id", "id * 3 as v").filter("v % 2 = 0")
+    before = twin.storageLevel
+    assert before.useMemory or before.useDisk  # CacheManager sees the twin
+    b = persist_once(twin)
+    assert b is twin  # no second persist call
+    a.unpersist()
+    assert not spark.range(1000).selectExpr(
+        "id", "id * 3 as v"
+    ).filter("v % 2 = 0").storageLevel.useMemory
