@@ -375,6 +375,49 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_pq_train(
+    corpus: DataFrame,
+    dim: int,
+    k_coarse: int = 8,
+    m: int = 4,
+    k_cells: int = 8,
+    n_iter: int = 2,
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
+    """Train the IVF-PQ codebooks once: (coarse centroids, one fine
+    codebook per PQ subspace), both via the grid-snapped deterministic
+    ``kmeans_fit`` replay. At deployment scale this runs ONCE on a
+    corpus sample and the result is passed to every ``ivf_pq_topk``
+    call via ``books=`` — the SCALE.md r12 probe showed training is
+    the whole per-call constant (~10 s at every tier), while the
+    query-time work (codes scan + broadcast distance tables) is cheap
+    and data-proportional."""
+    if dim % m != 0:
+        # checked, not assumed (the hamming_join contract style): a
+        # non-divisible dim would silently drop the trailing dim % m
+        # components from both codebook training and ADC distances.
+        raise ValueError(
+            f"ivf_pq_train: dim={dim} is not divisible by m={m} subspaces"
+        )
+    cast = lambda c: F.col(c).cast("array<double>")  # noqa: E731
+    sd = dim // m
+    coarse = kmeans_fit(
+        corpus, c_vec, k=k_coarse, n_iter=n_iter, id_col=c_id, centroid_quant_bits=20
+    )
+    fine = []
+    for s in range(m):
+        c_sub = corpus.select(
+            F.col(c_id), F.slice(cast(c_vec), 1 + sd * s, sd).alias("_sv")
+        )
+        fine.append(
+            kmeans_fit(
+                c_sub, "_sv", k=k_cells, n_iter=n_iter, id_col=c_id, centroid_quant_bits=20
+            )
+        )
+    return coarse, fine
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -389,6 +432,7 @@ def ivf_pq_topk(
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
+    books: tuple[list, list] | None = None,
 ) -> DataFrame:
     """IVF-PQ combined ANN tier (Jegou et al. '11, the composition the
     two existing tiers were built for): coarse IVF cells prune the
@@ -406,25 +450,36 @@ def ivf_pq_topk(
     an oracle can replay them bit-identically (the existing
     ``sim_pq_adc_topk``/IVF oracle bodies compose for r13
     registration). Ranked on the ROUNDED estimate with id ties.
+
+    ``books``: precomputed ``ivf_pq_train`` output (coarse, fine
+    codebooks). Default None self-trains on ``corpus`` — the
+    registered-query form; a deployment trains once on a sample and
+    reuses (train-once equivalence is test-pinned).
     """
     from testlog_etl_spark.operators.topk import grouped_topk
 
-    if dim % m != 0:
-        # checked, not assumed (the hamming_join contract style): a
-        # non-divisible dim would silently drop the trailing dim % m
-        # components from both codebook training and ADC distances.
+    if books is None:
+        books = ivf_pq_train(
+            corpus,
+            dim,
+            k_coarse=k_coarse,
+            m=m,
+            k_cells=k_cells,
+            n_iter=n_iter,
+            c_id=c_id,
+            c_vec=c_vec,
+        )
+    elif dim % m != 0:
         raise ValueError(
             f"ivf_pq_topk: dim={dim} is not divisible by m={m} subspaces"
         )
+    coarse, fine_books = books
     cast = lambda c: F.col(c).cast("array<double>")  # noqa: E731
     sd = dim // m
 
     # --- coarse tier: corpus cells + per-query probe list (the
     # ivf_topk shape, minus the query vector ride-along: ADC never
     # touches full-dimension floats after training)
-    coarse = kmeans_fit(
-        corpus, c_vec, k=k_coarse, n_iter=n_iter, id_col=c_id, centroid_quant_bits=20
-    )
     corpus_cells = corpus.select(
         F.col(c_id), cast(c_vec).alias("_cv")
     ).withColumn("_cell", _argmin_cell(F.col("_cv"), coarse))
@@ -455,9 +510,7 @@ def ivf_pq_topk(
         c_sub = corpus.select(
             F.col(c_id), F.slice(cast(c_vec), 1 + sd * s, sd).alias("_sv")
         )
-        book = kmeans_fit(
-            c_sub, "_sv", k=k_cells, n_iter=n_iter, id_col=c_id, centroid_quant_bits=20
-        )
+        book = fine_books[s]
         part_codes = c_sub.withColumn("_fcell", _argmin_cell(F.col("_sv"), book)).select(
             c_id, F.lit(s).alias("_sub"), "_fcell"
         )

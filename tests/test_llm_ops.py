@@ -1547,3 +1547,26 @@ def test_corpus_scale_profile_matches_signatures():
         # every valve must default OFF -- the profile is opt-in
         for k in kwargs:
             assert params[k].default in (None, False), (name, k)
+
+
+def test_ivf_pq_train_once_books_equivalence(spark, sf_dir):
+    """r12: passing precomputed ivf_pq_train books must reproduce the
+    self-training path exactly -- the deployment form (train once on a
+    sample, reuse per query batch; SCALE.md r12 shows training is the
+    whole per-call constant)."""
+    from testlog_etl_spark.operators.similarity import ivf_pq_topk, ivf_pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    books = ivf_pq_train(corpus, dim=64)
+    a = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(queries, corpus, dim=64, k=3, nprobe=2, books=books).collect()
+    )
+    b = sorted(
+        tuple(r) for r in ivf_pq_topk(queries, corpus, dim=64, k=3, nprobe=2).collect()
+    )
+    assert a == b and len(a) == 12
