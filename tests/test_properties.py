@@ -998,7 +998,10 @@ def test_skyline_anticorrelated_frontier(m, extra):
     Dominated filler (x >= 0, y <= 0 is beaten by the diagonal's
     (0, m) corner... not necessarily -- the model decides) fuzzes the
     pruning around the diagonal."""
-    from testlog_etl_spark.operators.skyline import pareto_frontier_2d
+    from testlog_etl_spark.operators.skyline import (
+        pareto_frontier_2d,
+        pareto_frontier_2d_bucketed,
+    )
 
     spark = _spark()
     # perfect anti-correlation: (i, m - i) for i in 0..m-1 -- every
@@ -1019,6 +1022,14 @@ def test_skyline_anticorrelated_frontier(m, extra):
     ).repartition(5)
     got = sorted(r["id"] for r in pareto_frontier_2d(df, "x", "y").collect())
     assert got == want, (m, extra, got, want)
+    # the distributed-merge form must produce the IDENTICAL exact
+    # frontier, at several bucketings incl. degenerate (1 bucket) and
+    # more buckets than points
+    for nb in (1, 4, 1000):
+        got_b = sorted(
+            r["id"] for r in pareto_frontier_2d_bucketed(df, "x", "y", n_buckets=nb).collect()
+        )
+        assert got_b == want, (m, nb, extra, got_b, want)
 
 
 def test_ivf_pq_degenerate_codebooks_and_small_corpus():
