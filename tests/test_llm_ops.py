@@ -1570,3 +1570,30 @@ def test_ivf_pq_train_once_books_equivalence(spark, sf_dir):
         tuple(r) for r in ivf_pq_topk(queries, corpus, dim=64, k=3, nprobe=2).collect()
     )
     assert a == b and len(a) == 12
+
+
+def test_corpus_scale_profile_applies_end_to_end(spark):
+    """r12 (r14 NOTES item, pulled forward): turning on the dedup
+    valves FROM THE PROFILE -- **CORPUS_SCALE_PROFILE[tier] -- must
+    reproduce the hand-set valve behavior: boilerplate emits exactly
+    the k-1 chain edges (profile ships chain_oversized=True for the
+    group-resolution path), genuine cold-band pairs survive, and
+    nothing outside the uncapped pair set appears."""
+    n = 80  # > the profile's max_block=64, so the hot bands trip the cap
+    df = _valve_corpus(spark, n)
+
+    prof = neardup.CORPUS_SCALE_PROFILE["minhash_lsh_pairs"]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.5, **prof
+        ).collect()
+    }
+    assert (100, 101) in got  # cold-band genuine pair untouched
+    assert {p for p in got if p[1] < 100} == {(i, i + 1) for i in range(n - 1)}
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got <= full  # the profile only LOSES pairs, never invents
