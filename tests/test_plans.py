@@ -1031,3 +1031,34 @@ def test_ivf_pq_candidate_exchange_carries_no_vectors(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "c_vec" not in line and "embedding" not in line, line
+
+
+def test_skyline_bucketed_merge_is_distributed(spark):
+    """r12: pareto_frontier_2d_bucketed must plan ONE hash exchange on
+    the bucket key for the data path (no coalesce(1) merge task), with
+    the cross-bucket running-ymax joining back as a BROADCAST -- the
+    shape that removes the frontier-sized single task. The span and
+    rollup sides are 1-row/n_buckets-row; the data never sorts
+    globally and never cartesian-joins."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.skyline import pareto_frontier_2d_bucketed
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        F.col("l_extendedprice").alias("x"), F.col("l_quantity").cast("double").alias("y")
+    )
+    df = pareto_frontier_2d_bucketed(li, "x", "y", n_buckets=16)
+    plan = plan_of(df)
+    low = plan.lower()
+    assert "coalesce" not in low
+    assert "cartesianproduct" not in low
+    # the 1-row span attaches via BroadcastNestedLoopJoin (the standard
+    # no-condition broadcast of a 1-row aggregate; timeseries does the
+    # same) -- what must NOT appear is a nested-loop over two data-scale
+    # sides, which CartesianProduct above would betray.
+    # the only non-broadcast exchange over the DATA is the bucket hash
+    hash_ex = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l and "_bkt" in l
+    ]
+    assert hash_ex, plan
+    assert "BroadcastExchange" in plan  # prev-ymax and span ride broadcasts
