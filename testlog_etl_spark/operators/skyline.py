@@ -160,7 +160,12 @@ def pareto_frontier_2d_bucketed(
         .drop("_lo", "_hi")
     )
     pass_schema = bucketed.schema
-    candidates = bucketed.repartition("_bkt").mapInArrow(local, pass_schema)
+    # consumed twice (running-ymax rollup + the final filter join) --
+    # persist so the scan+prune runs once, the neardup-signatures
+    # pattern; MEMORY_AND_DISK holds only the pruned candidates
+    from testlog_etl_spark.util import persist_once
+
+    candidates = persist_once(bucketed.repartition("_bkt").mapInArrow(local, pass_schema))
 
     rollup = candidates.groupBy("_bkt").agg(F.max(F.col(y).cast("double")).alias("_bymax"))
     w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)

@@ -1057,8 +1057,5 @@ def test_skyline_bucketed_merge_is_distributed(spark):
     # same) -- what must NOT appear is a nested-loop over two data-scale
     # sides, which CartesianProduct above would betray.
     # the only non-broadcast exchange over the DATA is the bucket hash
-    hash_ex = [
-        l for l in plan.splitlines() if "Exchange hashpartitioning" in l and "_bkt" in l
-    ]
-    assert hash_ex, plan
+    assert "hashpartitioning(_bkt" in plan, plan
     assert "BroadcastExchange" in plan  # prev-ymax and span ride broadcasts
