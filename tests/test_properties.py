@@ -1124,3 +1124,52 @@ def test_unicode_fold_cross_engine_fuzz(texts):
         ).fetchall()
     }
     assert got == want, (texts, got, want)
+
+
+_rsv_tok = st.sampled_from(["a", "b", "1", ":", "::", "x:1", "", "2:x"])
+_rsv_rows = st.lists(
+    st.tuples(_rsv_tok, st.one_of(st.none(), _rsv_tok)), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_rsv_rows)
+def test_stratified_reservoir_key_encoding_fuzz(pairs):
+    """r12 ADVICE-fix fuzz: with ids/strata full of ':' and digits (the
+    exact aliasing ingredients), empty strings, and NULL strata, the
+    draw must equal a Python replay of the LENGTH-PREFIXED null-tagged
+    key -- any aliasing between (id, stratum) encodings or NULL-vs-''
+    conflation diverges immediately."""
+    import hashlib
+
+    from testlog_etl_spark.operators.sampling import stratified_reservoir
+
+    # ids must be unique for a deterministic model (ties break by id)
+    rows = [(f"{i}|{idv}", src) for i, (idv, src) in enumerate(pairs)]
+    spark = _spark()
+    df = spark.createDataFrame(rows, "doc_id string, src string")
+    seeds = {"a": "s1", ":": "s2"}
+
+    def lp(x):
+        return "-" if x is None else f"{len(x)}:{x}"
+
+    def key(doc, src):
+        sd = seeds.get(src, "0") if src is not None else "0"
+        return int(
+            hashlib.md5((lp(doc) + lp(src) + lp(sd)).encode()).hexdigest()[:15], 16
+        )
+
+    by = {}
+    for doc, src in rows:
+        by.setdefault(src, []).append((key(doc, src), doc))
+    want = {}
+    for src, lst in by.items():
+        lst.sort()
+        want[src] = [(doc, r + 1) for r, (_, doc) in enumerate(lst[:2])]
+
+    got = {}
+    for r in stratified_reservoir(df, "src", "doc_id", k=2, seeds=seeds).collect():
+        got.setdefault(r["src"], []).append((r["doc_id"], r["draw_rank"]))
+    for src in got:
+        got[src].sort(key=lambda t: t[1])
+    assert got == want, (rows, got, want)
