@@ -1,0 +1,404 @@
+"""r14 registration pack: new operators landed during the r12 freeze,
+each wrapped in its driver-shape query callable ``(spark, sf_dir) ->
+DataFrame`` with a DuckDB oracle twin — **deliberately UNREGISTERED**
+(this module is NOT in ``suite._load_all``'s import list; the registry
+stays frozen at 526 through the r12 drain window per COVERAGE.md's
+rotation policy, and the r13 slots are already taken by
+``queries/r13_pack.py``'s five).
+
+Registration (r14, or r13 if window capacity allows) is mechanical:
+add ``"r14_pack"`` to ``_load_all``, replace the plain ``def``s with
+``@register`` carrying the same (name, oracle, doc). Every pair here
+has a passing local differential test (tests/test_r14_pack.py) running
+the Spark callable and the oracle SQL side by side at sf=0.01 — the
+same compare tools/verify_all.py performs.
+
+Suite determinism rules apply throughout (suite.py module docstring):
+identical aliases both sides, rounded float aggregates, total ORDER BY,
+no ARRAY/STRUCT/DECIMAL output columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from testlog_etl_spark.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# 1. eval_rank_biased_overlap — RBO between two document rankings
+# ---------------------------------------------------------------------------
+
+_RBO_D = 50
+_RBO_P = 0.9
+
+
+def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS'10) between two
+    corpus rankings — by byte length vs by whitespace-token count —
+    reported as the full prefix curve to depth D=50: per depth d, the
+    intersection size of the two d-prefixes, the agreement |A_d ∩ B_d|/d,
+    and the truncated RBO partial sum (1-p) * sum_{e<=d} p^(e-1)*agree(e)
+    at persistence p=0.9 (the paper's "RBO_min at depth d": what the
+    full RBO is bounded below by given only d ranks).
+
+    Shape (operators/rankeval.py::rbo_curve): a doc enters the
+    intersection at depth max(rank_A, rank_B), so the whole curve is
+    one inner join of the two top-D lists, a groupBy on that entry
+    depth, and two running sums over the D-row depth spine. The only
+    corpus-sized work is the two top-D cuts (TakeOrderedAndProject on
+    total orders — value DESC, doc_id); every window here runs on <= D
+    rows, bounded by construction."""
+    from pyspark.sql import Window
+
+    from testlog_etl_spark.operators import textstats
+    from testlog_etl_spark.operators.rankeval import rbo_curve
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = docs.select(
+        "doc_id",
+        F.octet_length("text").alias("bl"),
+        F.size(textstats.tokens(F.col("text"))).alias("tc"),
+    )
+
+    def topd(col: str) -> DataFrame:
+        cut = base.orderBy(F.col(col).desc(), "doc_id").limit(_RBO_D)
+        w = Window.orderBy(F.col(col).desc(), "doc_id")
+        return cut.withColumn("rank", F.row_number().over(w)).select("doc_id", "rank")
+
+    curve = rbo_curve(topd("bl"), topd("tc"), "doc_id", depth=_RBO_D, p=_RBO_P)
+    return curve.select(
+        "depth",
+        "overlap",
+        F.round("agreement", 6).alias("agreement"),
+        F.round("rbo_prefix", 6).alias("rbo_prefix"),
+    ).orderBy("depth")
+
+
+def rbo_oracle_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, strlen(text) AS bl,
+         length(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS tc
+  FROM documents
+),
+a AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bl DESC, doc_id) AS ra FROM base),
+b AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tc DESC, doc_id) AS rb FROM base),
+entry AS (
+  SELECT GREATEST(ra, rb) AS m, count(*) AS c
+  FROM a JOIN b USING (doc_id)
+  WHERE ra <= {_RBO_D} AND rb <= {_RBO_D}
+  GROUP BY 1
+),
+spine AS (SELECT unnest(range(1, {_RBO_D} + 1)) AS depth),
+curve AS (
+  SELECT spine.depth, COALESCE(entry.c, 0) AS c
+  FROM spine LEFT JOIN entry ON entry.m = spine.depth
+),
+acc AS (
+  SELECT depth,
+         SUM(c) OVER (ORDER BY depth) AS overlap,
+         SUM(c) OVER (ORDER BY depth) * 1.0 / depth AS agreement
+  FROM curve
+)
+SELECT CAST(depth AS INT) AS depth,
+       CAST(overlap AS BIGINT) AS overlap,
+       ROUND(agreement, 6) AS agreement,
+       ROUND((1.0 - {_RBO_P}) * SUM(power({_RBO_P}, depth - 1) * agreement)
+             OVER (ORDER BY depth), 6) AS rbo_prefix
+FROM acc
+ORDER BY depth
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. corpus_dsir_importance — hashed-unigram importance weights
+#    (operators/filtering.py::dsir_importance)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 512
+_DSIR_K = 25
+
+
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS'23): the top-25
+    documents by hashed-unigram importance weight toward the lang='en'
+    target domain, out of the whole corpus. Weight = per-token-instance
+    sum of ln(p_target/p_raw) over Laplace-smoothed 512-bucket
+    xxhash64 unigram distributions; the ranking cut uses the ROUNDED
+    weight with doc-id ties so it is deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    from testlog_etl_spark.operators import textstats
+    from testlog_etl_spark.operators.filtering import dsir_importance
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = dsir_importance(
+        docs.where(F.col("text").isNotNull()),
+        "doc_id",
+        textstats.tokens(F.col("text")),
+        F.col("lang") == "en",
+        n_buckets=_DSIR_B,
+    )
+    cut = w.orderBy(F.col("imp_weight").desc(), "doc_id").limit(_DSIR_K)
+    win = Window.orderBy(F.col("imp_weight").desc(), "doc_id")
+    return cut.withColumn("rank", F.row_number().over(win)).select(
+        "doc_id", "is_target", "n_tokens", "imp_weight", "imp_per_token", "rank"
+    ).orderBy("rank")
+
+
+def dsir_oracle_sql() -> str:
+    from testlog_etl_spark.oracles import xxh64_sql
+
+    h = xxh64_sql("term")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_tgt,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+tb AS (
+  SELECT doc_id, is_tgt, (({h}) % {_DSIR_B} + {_DSIR_B}) % {_DSIR_B} AS bkt
+  FROM toks
+),
+bc AS (
+  SELECT bkt, count(*)::DOUBLE AS raw,
+         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END)::DOUBLE AS tgt
+  FROM tb GROUP BY bkt
+),
+tot AS (SELECT SUM(raw) AS t_raw, SUM(tgt) AS t_tgt FROM bc),
+lr AS (
+  SELECT bkt, ln((tgt + 1.0) / (t_tgt + {_DSIR_B})) - ln((raw + 1.0) / (t_raw + {_DSIR_B})) AS lr
+  FROM bc CROSS JOIN tot
+),
+w AS (
+  SELECT doc_id, is_tgt, count(*) AS n_tokens,
+         ROUND(SUM(lr), 4) AS imp_weight,
+         ROUND(SUM(lr) / count(*), 6) AS imp_per_token
+  FROM tb JOIN lr USING (bkt)
+  GROUP BY doc_id, is_tgt
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY imp_weight DESC, doc_id) AS rn FROM w
+)
+SELECT doc_id, is_tgt AS is_target, n_tokens, imp_weight, imp_per_token,
+       CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= {_DSIR_K}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. search_query_likelihood — Dirichlet-smoothed LM retrieval
+#    (operators/postings.py::query_likelihood_topk)
+# ---------------------------------------------------------------------------
+
+_QL_TERMS = ["spark", "window", "dup", "zzz_absent"]
+_QL_MU = 300.0
+_QL_K = 10
+
+
+def search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood top-10 (Zhai & Lafferty, SIGIR'01) for
+    a mixed-selectivity query — two stopword-grade terms (df~390/500),
+    one rare term ('dup', df=25), and one corpus-absent term exercising
+    the effective-query contract (zero-cf terms drop, OR-retrieval).
+    The LM twin of the registered text_bm25_topk."""
+    from testlog_etl_spark.operators import textstats
+    from testlog_etl_spark.operators.postings import query_likelihood_topk
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = query_likelihood_topk(
+        docs, "doc_id", textstats.tokens(F.col("text")), _QL_TERMS, k=_QL_K, mu=_QL_MU
+    )
+    return out.orderBy("rank")
+
+
+def query_likelihood_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _QL_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS terms
+  FROM documents
+),
+b2 AS (SELECT doc_id, terms, length(terms) AS len FROM base),
+stats AS (SELECT SUM(len)::DOUBLE AS coll FROM b2),
+qh AS (
+  SELECT doc_id, len, unnest(list_filter(terms, t -> t IN ({terms}))) AS term
+  FROM b2
+),
+cf AS (SELECT term, count(*)::DOUBLE AS cf FROM qh GROUP BY term),
+qagg AS (
+  SELECT SUM(ln({_QL_MU} * cf / coll)) AS qconst, count(*) AS nq
+  FROM cf CROSS JOIN stats
+),
+hits AS (SELECT doc_id, len, term, count(*) AS tf FROM qh GROUP BY doc_id, len, term),
+sc AS (
+  SELECT doc_id, len,
+         SUM(ln(1.0 + tf * coll / ({_QL_MU} * cf))) AS hitsum,
+         count(*) AS n_terms
+  FROM hits JOIN cf USING (term) CROSS JOIN stats
+  GROUP BY doc_id, len
+),
+scored AS (
+  SELECT doc_id,
+         ROUND(qconst - nq * ln(len + {_QL_MU}) + hitsum, 4) AS score,
+         n_terms
+  FROM sc CROSS JOIN qagg
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM scored
+)
+SELECT doc_id, score, CAST(n_terms AS BIGINT) AS n_terms, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= {_QL_K}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. agg_skyline_bucketed — the distributed-merge skyline deployment form
+#    (operators/skyline.py::pareto_frontier_2d_bucketed, landed r12)
+# ---------------------------------------------------------------------------
+
+
+def agg_skyline_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rows as the registered agg_skyline_pareto (exact Pareto
+    frontier, minimize price / maximize size), computed by the BUCKETED
+    form whose merge is a bucket-keyed shuffle plus an n_buckets-row
+    running ymax instead of a coalesce(1) task — the shape that holds
+    when anti-correlated data makes the frontier itself O(n). The
+    oracle states the O(n^2) NOT EXISTS dominance contract directly;
+    matching it pins the bucketed merge exact, not approximate."""
+    from testlog_etl_spark.operators.skyline import pareto_frontier_2d_bucketed
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    pts = part.select("p_partkey", "p_retailprice", "p_size")
+    front = pareto_frontier_2d_bucketed(pts, "p_retailprice", "p_size", n_buckets=64)
+    return front.select(
+        "p_partkey", F.round("p_retailprice", 2).alias("price"), "p_size"
+    ).orderBy("p_partkey")
+
+
+_SKYLINE_ORACLE = """
+SELECT a.p_partkey, ROUND(a.p_retailprice, 2) AS price, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY a.p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. dq_benford_first_digit — Benford's-law first-digit conformance check
+# ---------------------------------------------------------------------------
+
+
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law (Newcomb 1881 / Benford 1938): per digit 1-9, the observed count
+    and share, the expected share log10(1 + 1/d), the chi-square term
+    n*(obs-exp)^2/exp toward the 8-df goodness-of-fit statistic, and the
+    statistic itself as a constant column — the classic fraud/DQ screen
+    over monetary columns. The digit is extracted through an exact
+    integer path (floor -> bigint -> leading character), never log10 of
+    the value, so boundary values like 1000.0 can't flip digits on libm
+    ulps; values < 1 are excluded by contract (none exist in orders).
+    Scale shape: one scan, a 9-group aggregate, and 9-row spine joins —
+    everything after the scan is constant-sized."""
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    obs = v.groupBy("digit").agg(F.count(F.lit(1)).alias("n_d"))
+    n = v.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    j = (
+        spine.join(obs, "digit", "left")
+        .select("digit", F.coalesce("n_d", F.lit(0)).alias("n_d"))
+        .crossJoin(F.broadcast(n))
+        .withColumn("exp_share", F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")))
+        .withColumn(
+            "chi2_term",
+            F.pow(F.col("n_d") - F.col("n") * F.col("exp_share"), 2)
+            / (F.col("n") * F.col("exp_share")),
+        )
+    )
+    wall = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return j.select(
+        "digit",
+        F.col("n_d").cast("long").alias("n_d"),
+        F.round(F.col("n_d") / F.col("n"), 6).alias("obs_share"),
+        F.round("exp_share", 6).alias("exp_share"),
+        F.round("chi2_term", 6).alias("chi2_term"),
+        F.round(F.sum("chi2_term").over(wall), 6).alias("chi2_total"),
+    ).orderBy("digit")
+
+
+def benford_oracle_sql() -> str:
+    return """
+WITH v AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM v),
+obs AS (SELECT digit, count(*) AS n_d FROM v GROUP BY digit),
+spine AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+j AS (
+  SELECT spine.digit, COALESCE(obs.n_d, 0) AS n_d, n,
+         log10(1.0 + 1.0 / spine.digit) AS exp_share
+  FROM spine LEFT JOIN obs ON obs.digit = spine.digit CROSS JOIN n
+),
+t AS (
+  SELECT digit, n_d, n, exp_share,
+         (n_d - n * exp_share) * (n_d - n * exp_share) / (n * exp_share) AS chi2_term
+  FROM j
+)
+SELECT digit, CAST(n_d AS BIGINT) AS n_d,
+       ROUND(n_d / n, 6) AS obs_share,
+       ROUND(exp_share, 6) AS exp_share,
+       ROUND(chi2_term, 6) AS chi2_term,
+       ROUND(SUM(chi2_term) OVER (), 6) AS chi2_total
+FROM t
+ORDER BY digit
+"""
+
+
+# name -> (query fn, oracle SQL, doc one-liner) — the r14 registration
+# reads this mapping verbatim.
+R14_PACK: dict[str, tuple] = {
+    "eval_rank_biased_overlap": (
+        eval_rank_biased_overlap,
+        rbo_oracle_sql(),
+        "RBO prefix curve between two rankings (Webber et al. TOIS'10)",
+    ),
+    "corpus_dsir_importance": (
+        corpus_dsir_importance,
+        dsir_oracle_sql(),
+        "DSIR hashed-unigram importance weights toward a target domain",
+    ),
+    "search_query_likelihood": (
+        search_query_likelihood,
+        query_likelihood_oracle_sql(),
+        "Dirichlet-smoothed query-likelihood retrieval (LM twin of BM25)",
+    ),
+    "agg_skyline_bucketed": (
+        agg_skyline_bucketed,
+        _SKYLINE_ORACLE,
+        "exact Pareto frontier via the distributed bucketed merge",
+    ),
+    "dq_benford_first_digit": (
+        dq_benford_first_digit,
+        benford_oracle_sql(),
+        "Benford first-digit conformance with chi-square terms",
+    ),
+}

@@ -1,0 +1,260 @@
+"""Differential gate for the UNREGISTERED r14 registration pack
+(queries/r14_pack.py): each new operator's query wrapper must match its
+DuckDB oracle at the driver's sf=0.01 exactly — the same compare
+tests/test_differential.py applies to the frozen registry — so the
+eventual registration commit is mechanical and lands pre-verified.
+
+Also pins the freeze itself (registry stays 526 with neither pack
+registered) and unit-pins the two new operators against pure-Python
+replays: Dirichlet query-likelihood scores and DSIR importance weights
+recomputed from first principles on collected token bags.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_ORACLE, register_duck_views
+from tests.test_differential import _rowset
+
+
+def _pack():
+    from testlog_etl_spark.queries.r14_pack import R14_PACK
+
+    return sorted(R14_PACK.items())
+
+
+def test_pack_is_not_registered():
+    from testlog_etl_spark import suite
+    from testlog_etl_spark.queries.r13_pack import R13_PACK
+    from testlog_etl_spark.queries.r14_pack import R14_PACK
+
+    suite.queries()  # force full load
+    leaked = sorted((set(R14_PACK) | set(R13_PACK)) & set(suite.REGISTRY))
+    assert not leaked, f"registry frozen at 526 through r12; leaked: {leaked}"
+    assert len(suite.REGISTRY) == 526
+    assert not set(R14_PACK) & set(R13_PACK)
+
+
+@pytest.mark.parametrize("name,entry", _pack(), ids=lambda x: x if isinstance(x, str) else "")
+def test_pack_matches_oracle(name, entry, spark, duck):
+    fn, oracle, _doc = entry
+    register_duck_views(duck, SF_ORACLE)
+
+    sdf = fn(spark, SF_ORACLE)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.execute(oracle)
+    d_cols = [d[0] for d in rel.description]
+    d_rows = rel.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{name}: rows {len(s_rows)} != {len(d_rows)}"
+    s_set = _rowset(s_cols, s_rows)
+    d_set = _rowset(d_cols, d_rows)
+    if s_set != d_set:
+        diffs = [(a, b) for a, b in zip(s_set, d_set) if a != b][:5]
+        pytest.fail(f"{name}: value mismatch; first diffs (spark, duck): {diffs}")
+
+
+# ---------------------------------------------------------------------------
+# operator unit pins vs pure-Python replays
+# ---------------------------------------------------------------------------
+
+_CORPUS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat"),
+    (3, "cat dog cat"),
+    (4, "a lone document about nothing relevant"),
+    (5, "the the the the"),
+    (6, "dog mat dog mat cat"),
+]
+
+
+def test_query_likelihood_matches_python_replay(spark):
+    """query_likelihood_topk == the textbook Dirichlet QL score computed
+    directly (no hit-only decomposition) in Python, including the
+    effective-query drop of a zero-cf term."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators import textstats
+    from testlog_etl_spark.operators.postings import query_likelihood_topk
+
+    mu = 10.0
+    q = ["cat", "dog", "nosuchterm"]
+    docs = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.score, r.n_terms, r.rank)
+        for r in query_likelihood_topk(
+            docs, "doc_id", textstats.tokens(F.col("text")), q, k=10, mu=mu
+        ).collect()
+    }
+
+    bags = {i: t.split() for i, t in _CORPUS}
+    coll = sum(len(b) for b in bags.values())
+    cf = {t: sum(b.count(t) for b in bags.values()) for t in q}
+    eff = [t for t in q if cf[t] > 0]
+    assert set(eff) == {"cat", "dog"}
+    exp = {}
+    for i, b in bags.items():
+        hits = [t for t in eff if t in b]
+        if not hits:
+            continue
+        score = sum(
+            math.log((b.count(t) + mu * cf[t] / coll) / (len(b) + mu)) for t in eff
+        )
+        exp[i] = (round(score, 4), len(hits))
+    assert set(got) == set(exp)
+    for i, (score, n_terms) in exp.items():
+        assert got[i][0] == pytest.approx(score, abs=1e-9), i
+        assert got[i][1] == n_terms, i
+    # ranks follow (score desc, doc_id) over the expected scores
+    order = sorted(exp, key=lambda i: (-exp[i][0], i))
+    for rank, i in enumerate(order, 1):
+        assert got[i][2] == rank
+
+
+def test_dsir_importance_matches_python_replay(spark):
+    """dsir_importance == the Laplace-smoothed hashed-unigram log-ratio
+    computed in Python from the SAME xxhash64 buckets (collected once
+    from Spark so the replay shares the hash)."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators import textstats
+    from testlog_etl_spark.operators.filtering import dsir_importance
+
+    B = 16
+    docs = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    tgt = F.col("doc_id") <= 2  # docs 1-2 are the "target domain"
+    got = {
+        r.doc_id: (r.is_target, r.n_tokens, r.imp_weight, r.imp_per_token)
+        for r in dsir_importance(
+            docs, "doc_id", textstats.tokens(F.col("text")), tgt, n_buckets=B
+        ).collect()
+    }
+
+    vocab = sorted({t for _, txt in _CORPUS for t in txt.split()})
+    hrows = spark.createDataFrame([(t,) for t in vocab], "term string").select(
+        "term", F.pmod(F.xxhash64("term"), F.lit(B)).alias("bkt")
+    )
+    bkt = {r.term: r.bkt for r in hrows.collect()}
+
+    raw: dict[int, int] = {}
+    tgt_cnt: dict[int, int] = {}
+    for i, txt in _CORPUS:
+        for t in txt.split():
+            raw[bkt[t]] = raw.get(bkt[t], 0) + 1
+            if i <= 2:
+                tgt_cnt[bkt[t]] = tgt_cnt.get(bkt[t], 0) + 1
+    t_raw, t_tgt = sum(raw.values()), sum(tgt_cnt.values())
+    lr = {
+        b: math.log((tgt_cnt.get(b, 0) + 1) / (t_tgt + B))
+        - math.log((raw[b] + 1) / (t_raw + B))
+        for b in raw
+    }
+    for i, txt in _CORPUS:
+        toks = txt.split()
+        w = sum(lr[bkt[t]] for t in toks)
+        is_t, n, iw, ipt = got[i]
+        assert is_t == (i <= 2), i
+        assert n == len(toks), i
+        assert iw == pytest.approx(round(w, 4), abs=1e-9), i
+        assert ipt == pytest.approx(round(w / len(toks), 6), abs=1e-9), i
+
+
+def test_rbo_curve_matches_python_replay(spark, duck):
+    """The registered-shape RBO curve equals a direct Python RBO
+    computation over the same two rankings (prefix-set intersection per
+    depth, explicit geometric weights)."""
+    register_duck_views(duck, SF_ORACLE)
+    from testlog_etl_spark.queries.r14_pack import _RBO_D, _RBO_P, eval_rank_biased_overlap
+
+    rows = eval_rank_biased_overlap(spark, SF_ORACLE).collect()
+    assert len(rows) == _RBO_D
+
+    # independent rankings from DuckDB (same keys, same tie-breaks)
+    a = [
+        r[0]
+        for r in duck.execute(
+            "SELECT doc_id FROM documents ORDER BY strlen(text) DESC, doc_id LIMIT ?",
+            [_RBO_D],
+        ).fetchall()
+    ]
+    b = [
+        r[0]
+        for r in duck.execute(
+            "SELECT doc_id FROM documents ORDER BY "
+            "length(list_filter(string_split(trim(text), ' '), x -> x <> '')) DESC, doc_id "
+            "LIMIT ?",
+            [_RBO_D],
+        ).fetchall()
+    ]
+    rbo = 0.0
+    for r in rows:
+        d = r.depth
+        ov = len(set(a[:d]) & set(b[:d]))
+        agree = ov / d
+        rbo += (1 - _RBO_P) * _RBO_P ** (d - 1) * agree
+        assert r.overlap == ov, d
+        assert r.agreement == pytest.approx(round(agree, 6), abs=1e-9), d
+        assert r.rbo_prefix == pytest.approx(rbo, abs=2e-6), d
+    # RBO prefix is monotone nondecreasing and bounded by 1
+    vals = [r.rbo_prefix for r in rows]
+    assert all(x <= y + 1e-12 for x, y in zip(vals, vals[1:]))
+    assert vals[-1] <= 1.0 + 1e-12
+
+
+def test_rbo_curve_fuzz_random_rankings(spark):
+    """rbo_curve == the direct prefix-set-intersection RBO on random
+    ranking pairs, across depths, persistence values, and overlap
+    regimes (identical, disjoint, partial)."""
+    import random
+
+    from testlog_etl_spark.operators.rankeval import rbo_curve
+
+    rng = random.Random(5150)
+    for trial in range(6):
+        n_ids = rng.randint(1, 40)
+        depth = rng.randint(1, n_ids)
+        p = rng.choice([0.5, 0.9, 0.98])
+        ids = list(range(100, 100 + n_ids))
+        pa, pb = ids[:], ids[:]
+        rng.shuffle(pa)
+        rng.shuffle(pb)
+        if trial == 3:
+            pb = pa[:]  # identical rankings: curve must sit at agreement 1
+        if trial == 4:
+            pb = [i + 1000 for i in pa]  # disjoint ids: all-zero curve
+        a = spark.createDataFrame(
+            [(x, r + 1) for r, x in enumerate(pa[:depth])], "doc_id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(x, r + 1) for r, x in enumerate(pb[:depth])], "doc_id long, rank int"
+        )
+        rows = rbo_curve(a, b, "doc_id", depth=depth, p=p).orderBy("depth").collect()
+        assert len(rows) == depth
+        rbo = 0.0
+        for r in rows:
+            d = r.depth
+            ov = len(set(pa[:d]) & set(pb[:d]))
+            rbo += (1 - p) * p ** (d - 1) * (ov / d)
+            assert r.overlap == ov, (trial, d)
+            assert r.agreement == pytest.approx(ov / d, abs=1e-12), (trial, d)
+            assert r.rbo_prefix == pytest.approx(rbo, abs=1e-12), (trial, d)
+        if trial == 3:
+            assert all(r.agreement == 1.0 for r in rows)
+        if trial == 4:
+            assert all(r.overlap == 0 for r in rows)
+
+
+def test_rbo_curve_rejects_bad_params(spark):
+    from testlog_etl_spark.operators.rankeval import rbo_curve
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    with pytest.raises(ValueError):
+        rbo_curve(df, df, "doc_id", depth=0)
+    with pytest.raises(ValueError):
+        rbo_curve(df, df, "doc_id", depth=5, p=1.0)
