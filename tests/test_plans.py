@@ -1059,3 +1059,49 @@ def test_skyline_bucketed_merge_is_distributed(spark):
     # the only non-broadcast exchange over the DATA is the bucket hash
     assert "hashpartitioning(_bkt" in plan, plan
     assert "BroadcastExchange" in plan  # prev-ymax and span ride broadcasts
+
+
+def test_dsir_bucket_table_broadcasts(spark):
+    """dsir_importance's B-row log-ratio table must BROADCAST onto the
+    exploded tokens (never a corpus-to-corpus shuffle join), and no
+    cartesian may appear; the only data-scale exchange is the doc-id
+    rollup's hash partitioning."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators import textstats
+    from testlog_etl_spark.operators.filtering import dsir_importance
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = dsir_importance(
+        docs, "doc_id", textstats.tokens(F.col("text")),
+        F.col("lang") == "en", n_buckets=64,
+    )
+    plan = plan_of(df)
+    low = plan.lower()
+    assert "cartesianproduct" not in low
+    assert "BroadcastExchange" in plan  # ratios + totals ride broadcasts
+    # the token->ratio join is broadcast hash on the bucket key
+    assert "broadcasthashjoin" in low
+    # doc rollup is partial-aggregated (map-side combine before shuffle)
+    assert low.count("hashaggregate") >= 2
+
+
+def test_query_likelihood_stats_broadcast_topk_take_ordered(spark):
+    """query_likelihood_topk: collection stats / cf / qconst ride
+    broadcasts (never a driver action), the top-k cut plans as
+    TakeOrderedAndProject (no global sort), no cartesian over two
+    data-scale sides."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators import textstats
+    from testlog_etl_spark.operators.postings import query_likelihood_topk
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = query_likelihood_topk(
+        docs, "doc_id", textstats.tokens(F.col("text")), ["spark", "dup"], k=10
+    )
+    plan = plan_of(df)
+    low = plan.lower()
+    assert "cartesianproduct" not in low
+    assert "BroadcastExchange" in plan
+    assert "takeorderedandproject" in low
