@@ -452,3 +452,181 @@ def coalesce_intervals(
     out.count()
     ranged.unpersist()
     return out
+
+
+def matrix_profile(
+    series: DataFrame,
+    m: int,
+    excl: int | None = None,
+    max_diag: int | None = None,
+    series_col: str = "series",
+    t_col: str = "t",
+    value_col: str = "v",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Exact z-normalized matrix profile (Yeh et al., ICDM'16) over
+    dense long-form series: for every length-``m`` subsequence
+    ``T[i..i+m)`` of each series, the minimal z-normalized Euclidean
+    distance to any OTHER subsequence of the same series at least
+    ``excl`` apart (default m//2, the standard trivial-match exclusion
+    zone), plus the argmin index. Input rows are
+    ``(series_col, t_col, value_col)`` with ``t`` a dense 0..n-1
+    integer grid per series (gaps would silently misalign windows --
+    callers fill them first, cf. ``downsample_locf``'s dense grid).
+    Output: ``(series_col, t, mp_dist, mp_index)``; a window appears
+    iff it has at least one admissible neighbor.
+
+    Construction (relational SCRIMP; no arrays, no UDF): the dot
+    product QT(i, i+d) = sum_t T[t]*T[t+d] over t in [i, i+m) is, per
+    diagonal d, a length-m sliding sum of the product series
+    P_d(t) = T[t]*T[t+d] -- so ONE self-join on the series key with
+    ``b.t - a.t > excl`` materializes every diagonal's product series,
+    and a single (series, d)-partitioned window turns them all into
+    QT values. Window means/stds come from the same sliding-sum shape
+    on T itself; both engines then evaluate the identical closed form
+    dist^2 = 2m(1 - (QT - m*mu_i*mu_j)/(m*sig_i*sig_j)), correlation
+    clamped to [-1, 1]. All sliding sums are over the raw values --
+    keep ``value_col`` INTEGRAL for the cross-engine exactness
+    contract (integer sums are association-free; float window sums
+    are not, cf. ts_dtw_shape_distance's micro-unit note).
+
+    Zero-variance windows (conventional, matches stumpy): both windows
+    constant -> 0; exactly one constant -> sqrt(m) (the constant
+    window z-normalizes to the zero vector).
+
+    Scale contract: the pair fan-out is Theta(n^2/2) rows PER SERIES
+    -- inherent to the exact profile -- but it is series-length-bound,
+    NOT corpus-bound (the corpus-sized pass is whatever rollup built
+    the series), and its parallel axis is the diagonal: every
+    (series, d) partition is an independent O(n) sliding sum, so a
+    1000-executor run shards one long series across n-m-excl tasks.
+    ``max_diag`` is the documented scale valve (the bounded/local
+    matrix profile): restricting |i-j| <= max_diag caps the fan-out at
+    O(n * max_diag) and keeps every LOCAL motif; the registered-query
+    form keeps it None (exact global profile, the oracle's contract).
+
+    ``round_dp``: when set, distances are rounded to that many
+    decimals BEFORE the argmin (tie broken by smaller index) and in
+    the output -- the cross-engine determinism knob: two engines'
+    IEEE doubles can drift in the last ulp, so ranking on the rounded
+    value pins identical (mp_dist, mp_index) on both.
+    """
+    if m < 2:
+        raise ValueError(f"matrix_profile: window m must be >= 2, got {m}")
+    if excl is None:
+        excl = m // 2
+    if excl < 0:
+        raise ValueError(f"matrix_profile: excl must be >= 0, got {excl}")
+    if max_diag is not None and max_diag <= excl:
+        raise ValueError(
+            f"matrix_profile: max_diag ({max_diag}) must exceed excl ({excl})"
+        )
+
+    s = series.select(
+        F.col(series_col).alias("_s"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(value_col).alias("_v"),
+    )
+    s = persist_once(s)
+
+    fm = float(m)
+    ws = Window.partitionBy("_s").orderBy("_t").rowsBetween(0, m - 1)
+    stats0 = s.select(
+        "_s",
+        "_t",
+        F.sum("_v").over(ws).alias("_sm"),
+        F.sum(F.col("_v") * F.col("_v")).over(ws).alias("_sq"),
+        F.count(F.lit(1)).over(ws).alias("_c"),
+    ).filter(F.col("_c") == m)
+    mu = F.col("_sm").cast("double") / F.lit(fm)
+    sig = F.sqrt(
+        F.greatest(
+            F.col("_sq").cast("double") / F.lit(fm) - mu * mu, F.lit(0.0)
+        )
+    )
+    stats = stats0.select("_s", "_t", mu.alias("_mu"), sig.alias("_sig"))
+
+    a, b = s.alias("_a"), s.alias("_b")
+    diag = F.col("_b._t") - F.col("_a._t")
+    cond = (F.col("_a._s") == F.col("_b._s")) & (diag > excl)
+    if max_diag is not None:
+        cond = cond & (diag <= max_diag)
+    prods = a.join(b, cond).select(
+        F.col("_a._s").alias("_s"),
+        diag.alias("_d"),
+        F.col("_a._t").alias("_t"),
+        (F.col("_a._v") * F.col("_b._v")).alias("_p"),
+    )
+    wq = Window.partitionBy("_s", "_d").orderBy("_t").rowsBetween(0, m - 1)
+    qt = (
+        prods.select(
+            "_s",
+            "_d",
+            "_t",
+            F.sum("_p").over(wq).alias("_qt"),
+            F.count(F.lit(1)).over(wq).alias("_c"),
+        )
+        .filter(F.col("_c") == m)
+        .drop("_c")
+    )
+
+    si = stats.select(
+        F.col("_s").alias("_si_s"), F.col("_t").alias("_si_t"),
+        F.col("_mu").alias("_mu_i"), F.col("_sig").alias("_sig_i"),
+    )
+    sj = stats.select(
+        F.col("_s").alias("_sj_s"), F.col("_t").alias("_sj_t"),
+        F.col("_mu").alias("_mu_j"), F.col("_sig").alias("_sig_j"),
+    )
+    # stats is one row per window: n-m+1 rows per series -- broadcast
+    # both probes so the only data-scale exchange stays the diagonal
+    # window's (series, d) hash partitioning
+    joined = qt.join(
+        F.broadcast(si),
+        (F.col("_s") == F.col("_si_s")) & (F.col("_t") == F.col("_si_t")),
+    ).join(
+        F.broadcast(sj),
+        (F.col("_s") == F.col("_sj_s"))
+        & ((F.col("_t") + F.col("_d")) == F.col("_sj_t")),
+    )
+    corr = (
+        F.col("_qt").cast("double") - F.lit(fm) * F.col("_mu_i") * F.col("_mu_j")
+    ) / (F.lit(fm) * F.col("_sig_i") * F.col("_sig_j"))
+    corr_c = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), corr))
+    dist = (
+        F.when((F.col("_sig_i") == 0) & (F.col("_sig_j") == 0), F.lit(0.0))
+        .when((F.col("_sig_i") == 0) | (F.col("_sig_j") == 0), F.sqrt(F.lit(fm)))
+        .otherwise(F.sqrt(F.lit(2.0) * F.lit(fm) * (F.lit(1.0) - corr_c)))
+    )
+    if round_dp is not None:
+        dist = F.round(dist, round_dp)
+    # persist the one-directional edge set: the symmetric union below
+    # would otherwise re-run the whole Theta(n^2) diagonal pipeline for
+    # its second branch
+    edges = persist_once(
+        joined.select(
+            "_s",
+            F.col("_t").alias("_w"),
+            (F.col("_t") + F.col("_d")).alias("_o"),
+            dist.alias("_dist"),
+        )
+    )
+    sym = edges.unionByName(
+        edges.select(
+            "_s",
+            F.col("_o").alias("_w"),
+            F.col("_w").alias("_o"),
+            "_dist",
+        )
+    )
+    # struct-min = partial-aggregable argmin (map-side combine; no
+    # row_number sort shuffle); ties break on the smaller index
+    prof = sym.groupBy("_s", "_w").agg(
+        F.min(F.struct(F.col("_dist"), F.col("_o"))).alias("_m")
+    )
+    return prof.select(
+        F.col("_s").alias(series_col),
+        F.col("_w").alias("t"),
+        F.col("_m._dist").alias("mp_dist"),
+        F.col("_m._o").alias("mp_index"),
+    )

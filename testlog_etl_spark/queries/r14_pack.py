@@ -373,6 +373,158 @@ ORDER BY digit
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. ts_matrix_profile — exact z-normalized matrix profile (ICDM'16)
+# ---------------------------------------------------------------------------
+
+_MP_M = 24
+_MP_EXCL = 12
+
+
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact z-normalized matrix profile (Yeh et al., ICDM'16) of each
+    event type's hourly-count series: for every 24-hour window, the
+    distance to the MOST SIMILAR other day-shaped window at least 12
+    hours away, plus where it is — the exact-distance sibling of
+    ts_sax_motifs (low mp_dist = a motif that recurs somewhere; high
+    mp_dist = a discord, THE standard anomaly readout).
+
+    The series is the dense hourly grid: t = days-since-min-date * 24
+    + hour (field extracts only — TZ-shift-free on both engines, unlike
+    an epoch/3600 bucket), missing hours filled with count 0. Counts
+    are BIGINTs, so every sliding sum in the construction
+    (operators/timeseries.py::matrix_profile — relational SCRIMP: one
+    self-join materializes the per-diagonal product series, one
+    (type, diagonal)-partitioned window turns them into dot products)
+    is exact on both engines; the closed-form distance is evaluated
+    with the identical expression tree and ranked on its 6dp rounding
+    (ties to the smaller index). Scale shape: the corpus-sized work is
+    the hourly rollup; the Theta(n^2/2) pair fan-out is bounded by the
+    SERIES length (720 here), rides id-free (type, d, t, product)
+    rows, and parallelizes by diagonal — `max_diag` is the documented
+    valve for long series (kept None here: the exact-profile
+    contract)."""
+    from testlog_etl_spark.operators.timeseries import matrix_profile
+
+    from testlog_etl_spark.util import persist_once
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # ONE corpus-sized pass: rollup to (type, date, hour) grain first
+    # and persist it (bounded: types x days x 24), so d0 / max-t /
+    # distinct-types all read the tiny rollup, not the events scan
+    daily = persist_once(
+        ev.groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            F.hour("ts").alias("hr"),
+        ).agg(F.count(F.lit(1)).alias("v"))
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    hourly = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        (F.datediff(F.col("d"), F.col("d0")) * 24 + F.col("hr"))
+        .cast("long")
+        .alias("t"),
+        "v",
+    )
+    mx = hourly.agg(F.max("t").alias("mt"))
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("mt"))).alias("t"),
+    )
+    serie = spine.join(hourly, ["event_type", "t"], "left").select(
+        "event_type", "t", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+    )
+    mp = matrix_profile(
+        serie,
+        m=_MP_M,
+        excl=_MP_EXCL,
+        series_col="event_type",
+        t_col="t",
+        value_col="v",
+        round_dp=6,
+    )
+    return mp.select(
+        "event_type",
+        F.col("t").cast("long").alias("t"),
+        "mp_dist",
+        F.col("mp_index").cast("long").alias("mp_index"),
+    ).orderBy("event_type", "t")
+
+
+def matrix_profile_oracle_sql() -> str:
+    return f"""
+WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+hourly AS (
+  SELECT event_type,
+         CAST(date_diff('day', d0.d0, CAST(ts AS DATE)) * 24
+              + extract(hour FROM ts) AS BIGINT) AS t,
+         count(*) AS v
+  FROM events, d0 GROUP BY 1, 2
+),
+mx AS (SELECT MAX(t) AS mt FROM hourly),
+spine AS (
+  SELECT e.event_type, g.t
+  FROM (SELECT DISTINCT event_type FROM hourly) e
+  CROSS JOIN (SELECT unnest(range(0, mt + 1)) AS t FROM mx) g
+),
+serie AS (
+  SELECT spine.event_type, spine.t, CAST(COALESCE(hourly.v, 0) AS BIGINT) AS v
+  FROM spine LEFT JOIN hourly
+    ON hourly.event_type = spine.event_type AND hourly.t = spine.t
+),
+stats0 AS (
+  SELECT event_type, t,
+         SUM(v) OVER w AS sm, SUM(v * v) OVER w AS sq, COUNT(*) OVER w AS c
+  FROM serie
+  WINDOW w AS (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND {_MP_M - 1} FOLLOWING)
+),
+stats AS (
+  SELECT event_type, t,
+         CAST(sm AS DOUBLE) / {_MP_M}.0 AS mu,
+         sqrt(GREATEST(CAST(sq AS DOUBLE) / {_MP_M}.0
+              - (CAST(sm AS DOUBLE) / {_MP_M}.0) * (CAST(sm AS DOUBLE) / {_MP_M}.0),
+              0.0)) AS sig
+  FROM stats0 WHERE c = {_MP_M}
+),
+prods AS (
+  SELECT a.event_type, b.t - a.t AS d, a.t AS t, a.v * b.v AS p
+  FROM serie a JOIN serie b
+    ON a.event_type = b.event_type AND b.t - a.t > {_MP_EXCL}
+),
+qt0 AS (
+  SELECT event_type, d, t, SUM(p) OVER w AS qt, COUNT(*) OVER w AS c
+  FROM prods
+  WINDOW w AS (PARTITION BY event_type, d ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND {_MP_M - 1} FOLLOWING)
+),
+edges AS (
+  SELECT q.event_type, q.t AS w, q.t + q.d AS o,
+         CASE WHEN si.sig = 0 AND sj.sig = 0 THEN 0.0
+              WHEN si.sig = 0 OR sj.sig = 0 THEN sqrt({_MP_M}.0)
+              ELSE sqrt(2.0 * {_MP_M}.0 * (1.0 - LEAST(1.0, GREATEST(-1.0,
+                   (CAST(q.qt AS DOUBLE) - {_MP_M}.0 * si.mu * sj.mu)
+                   / ({_MP_M}.0 * si.sig * sj.sig)))))
+         END AS dist
+  FROM (SELECT event_type, d, t, qt FROM qt0 WHERE c = {_MP_M}) q
+  JOIN stats si ON si.event_type = q.event_type AND si.t = q.t
+  JOIN stats sj ON sj.event_type = q.event_type AND sj.t = q.t + q.d
+),
+sym AS (
+  SELECT event_type, w, o, ROUND(dist, 6) AS dist FROM edges
+  UNION ALL
+  SELECT event_type, o AS w, w AS o, ROUND(dist, 6) AS dist FROM edges
+)
+SELECT event_type, CAST(w AS BIGINT) AS t, dist AS mp_dist,
+       CAST(o AS BIGINT) AS mp_index
+FROM sym
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, w ORDER BY dist, o) = 1
+ORDER BY event_type, t
+"""
+
+
 # name -> (query fn, oracle SQL, doc one-liner) — the r14 registration
 # reads this mapping verbatim.
 R14_PACK: dict[str, tuple] = {
@@ -400,5 +552,10 @@ R14_PACK: dict[str, tuple] = {
         dq_benford_first_digit,
         benford_oracle_sql(),
         "Benford first-digit conformance with chi-square terms",
+    ),
+    "ts_matrix_profile": (
+        ts_matrix_profile,
+        matrix_profile_oracle_sql(),
+        "exact z-normalized matrix profile of hourly event series",
     ),
 }

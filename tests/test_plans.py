@@ -1105,3 +1105,27 @@ def test_query_likelihood_stats_broadcast_topk_take_ordered(spark):
     assert "cartesianproduct" not in low
     assert "BroadcastExchange" in plan
     assert "takeorderedandproject" in low
+
+
+def test_matrix_profile_diagonal_axis_and_bounded_broadcasts(spark):
+    """ts_matrix_profile: the Theta(n^2) work must ride the (series,
+    diagonal) hash partitioning (the parallel axis), window stats must
+    broadcast onto it (series-length-bounded, never a data-scale
+    shuffle join), the one-directional edge set must be persisted so
+    the symmetric union doesn't re-run the diagonal pipeline, and no
+    cartesian over two unbounded sides may appear."""
+    from testlog_etl_spark.queries.r14_pack import ts_matrix_profile
+
+    df = ts_matrix_profile(spark, SF_SMALL)
+    plan = plan_of(df)
+    low = plan.lower()
+    assert "cartesianproduct" not in low
+    # diagonal-partitioned sliding-sum window: hash exchange on (_s, _d)
+    assert "hashpartitioning(_s" in low and "_d" in low, plan
+    # stats probes ride broadcast hash joins
+    assert "broadcasthashjoin" in low
+    # serie + edges persists surface as cache scans
+    assert "inmemorytablescan" in low
+    # argmin is an aggregate (partial-aggregable struct-min), not a
+    # row_number sort: at least one hashaggregate pair past the union
+    assert low.count("hashaggregate") >= 2

@@ -258,3 +258,78 @@ def test_rbo_curve_rejects_bad_params(spark):
         rbo_curve(df, df, "doc_id", depth=0)
     with pytest.raises(ValueError):
         rbo_curve(df, df, "doc_id", depth=5, p=1.0)
+
+
+def test_matrix_profile_matches_bruteforce(spark):
+    """matrix_profile == the O(n^2 m) textbook z-norm profile computed
+    directly in Python, including both zero-variance conventions (a
+    constant stretch is planted) and the rounded-distance/smaller-index
+    tie rule; the max_diag valve never beats the global minimum."""
+    import random
+
+    from testlog_etl_spark.operators.timeseries import matrix_profile
+
+    rng = random.Random(42)
+    n, m, excl = 40, 6, 3
+    v = [rng.randint(0, 5) for _ in range(n)]
+    for i in range(12, 20):
+        v[i] = 3  # constant stretch -> sig=0 windows
+
+    def znorm_dist(i, j):
+        wi, wj = v[i : i + m], v[j : j + m]
+
+        def st(w):
+            mu = sum(w) / m
+            return mu, math.sqrt(max(sum(x * x for x in w) / m - mu * mu, 0.0))
+
+        mi, si = st(wi)
+        mj, sj = st(wj)
+        if si == 0 and sj == 0:
+            return 0.0
+        if si == 0 or sj == 0:
+            return math.sqrt(m)
+        qt = sum(a * b for a, b in zip(wi, wj))
+        corr = max(-1.0, min(1.0, (qt - m * mi * mj) / (m * si * sj)))
+        return math.sqrt(2 * m * (1 - corr))
+
+    exp = {}
+    for i in range(n - m + 1):
+        cands = [
+            (round(znorm_dist(i, j), 6), j)
+            for j in range(n - m + 1)
+            if abs(j - i) > excl
+        ]
+        exp[i] = min(cands)
+
+    df = spark.createDataFrame(
+        [("s", t, x) for t, x in enumerate(v)], "series string, t long, v long"
+    )
+    got = {
+        r.t: (r.mp_dist, r.mp_index)
+        for r in matrix_profile(df, m=m, excl=excl, round_dp=6).collect()
+    }
+    assert set(got) == set(exp)
+    for i, (d, j) in exp.items():
+        assert got[i][0] == pytest.approx(d, abs=1e-9), i
+        assert got[i][1] == j, i
+
+    local = {
+        r.t: r.mp_dist
+        for r in matrix_profile(
+            df, m=m, excl=excl, max_diag=10, round_dp=6
+        ).collect()
+    }
+    assert set(local) == set(exp)
+    for i, d in local.items():
+        assert d >= exp[i][0] - 1e-9, i
+
+
+def test_matrix_profile_arg_guards():
+    from testlog_etl_spark.operators.timeseries import matrix_profile
+
+    with pytest.raises(ValueError):
+        matrix_profile(None, m=1)
+    with pytest.raises(ValueError):
+        matrix_profile(None, m=8, excl=-1)
+    with pytest.raises(ValueError):
+        matrix_profile(None, m=8, excl=4, max_diag=4)
