@@ -1173,3 +1173,80 @@ def test_stratified_reservoir_key_encoding_fuzz(pairs):
     for src in got:
         got[src].sort(key=lambda t: t[1])
     assert got == want, (rows, got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # 1-2 series of small ints (small universe -> zero-variance
+        st.lists(st.integers(0, 4), min_size=10, max_size=26),  # windows and
+        min_size=1,                                             # rounded ties
+        max_size=2,
+    ),
+    st.integers(3, 5),          # m
+    st.integers(0, 2),          # excl
+    st.one_of(st.none(), st.integers(4, 9)),  # max_diag valve
+)
+def test_matrix_profile_matches_model_fuzz(serieses, m, excl, max_diag):
+    """matrix_profile == the O(n^2 m) textbook z-norm profile under any
+    (m, excl, max_diag) geometry and multiple series at once: per-window
+    min distance AND argmin with the rounded-dist/smaller-index tie rule;
+    series never cross-contaminate; a window appears iff it has an
+    admissible neighbor."""
+    import math as _math
+
+    from testlog_etl_spark.operators.timeseries import matrix_profile
+
+    if max_diag is not None and max_diag <= excl:
+        max_diag = excl + 1
+
+    def profile(v):
+        nw = len(v) - m + 1
+
+        def st_(w):
+            mu = sum(w) / m
+            return mu, _math.sqrt(max(sum(x * x for x in w) / m - mu * mu, 0.0))
+
+        def dist(i, j):
+            (mi, si), (mj, sj) = st_(v[i : i + m]), st_(v[j : j + m])
+            if si == 0 and sj == 0:
+                return 0.0
+            if si == 0 or sj == 0:
+                return _math.sqrt(m)
+            qt = sum(a * b for a, b in zip(v[i : i + m], v[j : j + m]))
+            corr = max(-1.0, min(1.0, (qt - m * mi * mj) / (m * si * sj)))
+            return _math.sqrt(2 * m * (1 - corr))
+
+        out = {}
+        for i in range(nw):
+            cands = [
+                (round(dist(i, j), 6), j)
+                for j in range(nw)
+                if abs(j - i) > excl
+                and (max_diag is None or abs(j - i) <= max_diag)
+            ]
+            if cands:
+                out[i] = min(cands)
+        return out
+
+    exp = {
+        (f"s{k}", i): best
+        for k, v in enumerate(serieses)
+        for i, best in profile(v).items()
+    }
+    rows = [
+        (f"s{k}", t, x)
+        for k, v in enumerate(serieses)
+        for t, x in enumerate(v)
+    ]
+    spark = _spark()
+    df = spark.createDataFrame(rows, "series string, t long, v long")
+    got = {
+        (r.series, r.t): (r.mp_dist, r.mp_index)
+        for r in matrix_profile(
+            df, m=m, excl=excl, max_diag=max_diag, round_dp=6
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for key, (d, j) in exp.items():
+        assert abs(got[key][0] - d) < 1e-9, (key, got[key], (d, j))
+        assert got[key][1] == j, (key, got[key], (d, j))
