@@ -630,3 +630,136 @@ def matrix_profile(
         F.col("_m._dist").alias("mp_dist"),
         F.col("_m._o").alias("mp_index"),
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    p: int,
+    horizon: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    series_col: str = "series",
+    t_col: str = "t",
+    value_col: str = "v",
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, Winters
+    1960) per series, forecast ``horizon`` steps ahead: the classic
+    level/trend/seasonal recurrence
+
+        L_t = a*(v_t - S_{t-p}) + (1-a)*(L_{t-1} + B_{t-1})
+        B_t = b*(L_t - L_{t-1}) + (1-b)*B_{t-1}
+        S_t = g*(v_t - L_t) + (1-g)*S_{t-p}
+
+    seeded by the simple two-season init (L0 = mean of season one,
+    B0 = (mean of season two - mean of season one)/p, S_i = v_i - L0)
+    and read out as yhat(h) = L_n + h*B_n + S at phase (n-1+h) mod p.
+    Input is dense long-form ``(series, t 0..n-1, v)``; series shorter
+    than 2p are dropped (not enough data to seed). Output:
+    ``(series, h, yhat, level, trend)``, one row per horizon step.
+
+    Like ts_dtw_shape_distance, the strictly-sequential recurrence runs
+    as ONE SQL aggregate() fold inside whole-stage codegen — the
+    accumulator is (level, trend, seasonal ring of p doubles); no UDF,
+    no Python, no shuffle beyond the per-series collect. Cross-engine
+    exactness: keep ``value_col`` INTEGRAL (the init means are then
+    exact), smoothing constants are injected as repr literals parsed
+    identically by both engines, and the oracle's recursive CTE
+    executes the same operation order, so outputs match bit-exactly
+    before the final rounding.
+
+    Scale contract: one keyed shuffle to assemble each series (the
+    per-series array is series-length-bounded — this is a per-entity
+    forecaster, not a corpus-length one), then O(n) fold work per
+    series with no further exchange; a million entities = a million
+    independent constant-size rows.
+    """
+    if p < 2:
+        raise ValueError(f"holt_winters_additive: period p must be >= 2, got {p}")
+    if horizon < 1:
+        raise ValueError(
+            f"holt_winters_additive: horizon must be >= 1, got {horizon}"
+        )
+    for nm, x in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < x < 1.0:
+            raise ValueError(f"holt_winters_additive: {nm} must be in (0,1), got {x}")
+
+    al, be, ga = repr(float(alpha)), repr(float(beta)), repr(float(gamma))
+    oma, omb, omg = (
+        repr(1.0 - float(alpha)),
+        repr(1.0 - float(beta)),
+        repr(1.0 - float(gamma)),
+    )
+    arrs = (
+        df.select(
+            F.col(series_col).alias("_s"),
+            F.col(t_col).cast("long").alias("_t"),
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        .groupBy("_s")
+        .agg(F.array_sort(F.collect_list(F.struct("_t", "_x")))._x.alias("_v"))
+        .filter(F.size("_v") >= 2 * p)
+    )
+    pd_ = f"cast({p} as double)"
+    init = arrs.select(
+        "_s",
+        "_v",
+        F.expr(
+            f"aggregate(slice(_v, 1, {p}), cast(0.0 as double), (a, x) -> a + x)"
+            f" / {pd_}"
+        ).alias("_l0"),
+    ).select(
+        "_s",
+        "_v",
+        "_l0",
+        F.expr(
+            f"(aggregate(slice(_v, {p + 1}, {p}), cast(0.0 as double),"
+            f" (a, x) -> a + x) / {pd_} - _l0) / {pd_}"
+        ).alias("_b0"),
+        F.expr(f"transform(slice(_v, 1, {p}), x -> x - _l0)").alias("_ss0"),
+    )
+    # L_t appears (textually) three times in the step -- SQL lambdas
+    # can't bind intermediates -- but an identical expression tree
+    # yields the identical double, so this matches the oracle's
+    # bound-once form exactly
+    lnew = (
+        f"({al} * (element_at(_v, t + 1) - element_at(acc.ss, (t % {p}) + 1))"
+        f" + {oma} * (acc.lv + acc.tr))"
+    )
+    fold = f"""
+aggregate(
+  sequence({p}, size(_v) - 1),
+  named_struct('lv', _l0, 'tr', _b0, 'ss', _ss0),
+  (acc, t) -> named_struct(
+    'lv', {lnew},
+    'tr', {be} * ({lnew} - acc.lv) + {omb} * acc.tr,
+    'ss', concat(
+      slice(acc.ss, 1, t % {p}),
+      array({ga} * (element_at(_v, t + 1) - {lnew})
+            + {omg} * element_at(acc.ss, (t % {p}) + 1)),
+      slice(acc.ss, (t % {p}) + 2, {p}))
+  )
+)
+"""
+    fin = init.withColumn("_hw", F.expr(fold))
+    return (
+        fin.select(
+            "_s",
+            F.col("_hw.lv").alias("_lv"),
+            F.col("_hw.tr").alias("_tr"),
+            F.col("_hw.ss").alias("_ss"),
+            F.size("_v").alias("_n"),
+            F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("h"),
+        )
+        .select(
+            F.col("_s").alias(series_col),
+            F.col("h").cast("int").alias("h"),
+            (
+                F.col("_lv")
+                + F.col("h").cast("double") * F.col("_tr")
+                + F.expr(f"element_at(_ss, ((_n - 1 + h) % {p}) + 1)")
+            ).alias("yhat"),
+            F.col("_lv").alias("level"),
+            F.col("_tr").alias("trend"),
+        )
+    )

@@ -525,6 +525,146 @@ ORDER BY event_type, t
 """
 
 
+# ---------------------------------------------------------------------------
+# 7. ts_holt_winters_forecast — additive triple exponential smoothing
+# ---------------------------------------------------------------------------
+
+_HW_P = 7
+_HW_H = 7
+_HW_A, _HW_B, _HW_G = 0.3, 0.1, 0.2
+
+
+def ts_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters forecast (Winters 1960) of each event
+    type's daily event-count series: level/trend/weekly-seasonal state
+    smoothed over the dense 30-day history (missing days count 0),
+    read out as a 7-day-ahead forecast plus the final level and trend
+    — the seasonal-aware step past q6's linear trend and the EWMA
+    control chart's single smoothing.
+
+    Shape (operators/timeseries.py::holt_winters_additive): one keyed
+    rollup to (type, day), a dense day spine, one per-series collect
+    (series-length-bounded), then the whole strictly-sequential
+    recurrence as ONE SQL aggregate() fold in whole-stage codegen with
+    a (level, trend, seasonal-ring) accumulator. Counts are integers
+    so the two-season init means are exact; smoothing constants enter
+    as shared repr literals; the oracle replays the identical
+    operation order as a recursive CTE — bit-equal before the 6dp
+    output rounding."""
+    from testlog_etl_spark.operators.timeseries import holt_winters_additive
+    from testlog_etl_spark.util import persist_once
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = persist_once(
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("d")
+        ).agg(F.count(F.lit(1)).alias("v"))
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("t"),
+        "v",
+    )
+    mx = idx.agg(F.max("t").alias("mt"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("mt"))).alias("t"),
+        )
+    )
+    serie = spine.join(idx, ["event_type", "t"], "left").select(
+        "event_type", "t", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+    )
+    hw = holt_winters_additive(
+        serie,
+        p=_HW_P,
+        horizon=_HW_H,
+        alpha=_HW_A,
+        beta=_HW_B,
+        gamma=_HW_G,
+        series_col="event_type",
+        t_col="t",
+        value_col="v",
+    )
+    return hw.select(
+        "event_type",
+        "h",
+        F.round("yhat", 6).alias("yhat"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+    ).orderBy("event_type", "h")
+
+
+def holt_winters_oracle_sql() -> str:
+    p = _HW_P
+    al, be, ga = repr(float(_HW_A)), repr(float(_HW_B)), repr(float(_HW_G))
+    oma, omb, omg = (
+        repr(1.0 - float(_HW_A)),
+        repr(1.0 - float(_HW_B)),
+        repr(1.0 - float(_HW_G)),
+    )
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS v
+  FROM events GROUP BY 1, 2
+),
+d0 AS (SELECT MIN(d) AS d0 FROM daily),
+idx AS (
+  SELECT event_type, CAST(date_diff('day', d0.d0, d) AS BIGINT) AS t, v
+  FROM daily, d0
+),
+mx AS (SELECT MAX(t) AS mt FROM idx),
+spine AS (
+  SELECT e.event_type, g.t
+  FROM (SELECT DISTINCT event_type FROM daily) e
+  CROSS JOIN (SELECT unnest(range(0, mt + 1)) AS t FROM mx) g
+),
+serie AS (
+  SELECT spine.event_type, spine.t, CAST(COALESCE(idx.v, 0) AS BIGINT) AS v
+  FROM spine LEFT JOIN idx
+    ON idx.event_type = spine.event_type AND idx.t = spine.t
+),
+arrs AS (
+  SELECT event_type, array_agg(CAST(v AS DOUBLE) ORDER BY t) AS vv
+  FROM serie GROUP BY 1
+),
+init AS (
+  SELECT event_type, vv,
+         list_sum(vv[:{p}]) / {p}.0 AS l0,
+         (list_sum(vv[{p + 1}:{2 * p}]) / {p}.0 - list_sum(vv[:{p}]) / {p}.0)
+           / {p}.0 AS b0
+  FROM arrs WHERE len(vv) >= {2 * p}
+),
+hw AS (
+  SELECT event_type, vv, {p} AS t, l0 AS lv, b0 AS tr,
+         list_transform(vv[:{p}], x -> x - l0) AS ss
+  FROM init
+  UNION ALL
+  SELECT event_type, vv, t + 1,
+         lnew,
+         {be} * (lnew - lv) + {omb} * tr,
+         ss[:(t % {p})]
+           || [{ga} * (vv[t + 1] - lnew) + {omg} * ss[(t % {p}) + 1]]
+           || ss[(t % {p}) + 2:]
+  FROM (
+    SELECT *, {al} * (vv[t + 1] - ss[(t % {p}) + 1]) + {oma} * (lv + tr) AS lnew
+    FROM hw WHERE t < len(vv)
+  )
+),
+fin AS (SELECT * FROM hw WHERE t = len(vv))
+SELECT event_type, CAST(hs.h AS INT) AS h,
+       ROUND(lv + hs.h * tr + ss[((len(vv) - 1 + hs.h) % {p}) + 1], 6) AS yhat,
+       ROUND(lv, 6) AS level,
+       ROUND(tr, 6) AS trend
+FROM fin, (SELECT unnest(range(1, {_HW_H + 1})) AS h) hs
+ORDER BY event_type, h
+"""
+
+
 # name -> (query fn, oracle SQL, doc one-liner) — the r14 registration
 # reads this mapping verbatim.
 R14_PACK: dict[str, tuple] = {
@@ -557,5 +697,10 @@ R14_PACK: dict[str, tuple] = {
         ts_matrix_profile,
         matrix_profile_oracle_sql(),
         "exact z-normalized matrix profile of hourly event series",
+    ),
+    "ts_holt_winters_forecast": (
+        ts_holt_winters_forecast,
+        holt_winters_oracle_sql(),
+        "additive Holt-Winters weekly-seasonal 7-day forecast",
     ),
 }

@@ -1129,3 +1129,20 @@ def test_matrix_profile_diagonal_axis_and_bounded_broadcasts(spark):
     # argmin is an aggregate (partial-aggregable struct-min), not a
     # row_number sort: at least one hashaggregate pair past the union
     assert low.count("hashaggregate") >= 2
+
+
+def test_holt_winters_fold_is_jvm_side_no_cartesian(spark):
+    """ts_holt_winters_forecast: the recurrence must run as a SQL
+    aggregate() fold (no Python UDF in the plan), the per-series
+    assembly is an aggregate (ObjectHashAggregate for collect_list),
+    1-row span/min bounds ride broadcasts, and no cartesian over two
+    unbounded sides appears."""
+    from testlog_etl_spark.queries.r14_pack import ts_holt_winters_forecast
+
+    df = ts_holt_winters_forecast(spark, SF_SMALL)
+    plan = plan_of(df)
+    low = plan.lower()
+    assert "cartesianproduct" not in low
+    assert "batchevalpython" not in low and "arrowevalpython" not in low
+    assert "objecthashaggregate" in low  # collect_list assembly
+    assert "broadcastexchange" in low  # d0 / max-t 1-row bounds

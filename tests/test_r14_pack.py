@@ -333,3 +333,57 @@ def test_matrix_profile_arg_guards():
         matrix_profile(None, m=8, excl=-1)
     with pytest.raises(ValueError):
         matrix_profile(None, m=8, excl=4, max_diag=4)
+
+
+def test_holt_winters_matches_python_replay(spark):
+    """holt_winters_additive == the textbook additive HW recurrence run
+    directly in Python (same two-season init, same readout), on a
+    series with trend + weekly season + a short-series sibling that
+    must be DROPPED (n < 2p)."""
+    from testlog_etl_spark.operators.timeseries import holt_winters_additive
+
+    p, h, a, b, g = 7, 5, 0.3, 0.1, 0.2
+    season = [5, 1, 0, 2, 9, 4, 3]
+    v = [10 + 2 * t + season[t % p] + (t * 3) % 5 for t in range(23)]
+
+    lv = sum(v[:p]) / p
+    tr = (sum(v[p : 2 * p]) / p - sum(v[:p]) / p) / p
+    ss = [x - lv for x in v[:p]]
+    for t in range(p, len(v)):
+        ph = t % p
+        lnew = a * (v[t] - ss[ph]) + (1 - a) * (lv + tr)
+        tr = b * (lnew - lv) + (1 - b) * tr
+        ss[ph] = g * (v[t] - lnew) + (1 - g) * ss[ph]
+        lv = lnew
+    exp = {
+        k: lv + k * tr + ss[(len(v) - 1 + k) % p] for k in range(1, h + 1)
+    }
+
+    rows = [("long", t, x) for t, x in enumerate(v)] + [
+        ("short", t, 1) for t in range(2 * p - 1)
+    ]
+    df = spark.createDataFrame(rows, "series string, t long, v long")
+    out = holt_winters_additive(
+        df, p=p, horizon=h, alpha=a, beta=b, gamma=g
+    ).collect()
+    assert {r.series for r in out} == {"long"}  # short series dropped
+    got = {r.h: (r.yhat, r.level, r.trend) for r in out}
+    assert set(got) == set(exp)
+    for k, yhat in exp.items():
+        assert got[k][0] == pytest.approx(yhat, abs=1e-9), k
+        assert got[k][1] == pytest.approx(lv, abs=1e-9)
+        assert got[k][2] == pytest.approx(tr, abs=1e-9)
+
+
+def test_holt_winters_arg_guards():
+    from testlog_etl_spark.operators.timeseries import holt_winters_additive
+
+    for kwargs in (
+        dict(p=1, horizon=3),
+        dict(p=7, horizon=0),
+        dict(p=7, horizon=3, alpha=0.0),
+        dict(p=7, horizon=3, beta=1.0),
+        dict(p=7, horizon=3, gamma=-0.1),
+    ):
+        with pytest.raises(ValueError):
+            holt_winters_additive(None, **kwargs)
