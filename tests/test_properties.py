@@ -1250,3 +1250,45 @@ def test_matrix_profile_matches_model_fuzz(serieses, m, excl, max_diag):
     for key, (d, j) in exp.items():
         assert abs(got[key][0] - d) < 1e-9, (key, got[key], (d, j))
         assert got[key][1] == j, (key, got[key], (d, j))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 50), min_size=14, max_size=30),
+    st.integers(2, 5),  # p
+    st.integers(1, 4),  # horizon
+    st.tuples(  # smoothing constants away from the (0,1) boundary
+        st.floats(0.05, 0.95), st.floats(0.05, 0.95), st.floats(0.05, 0.95)
+    ),
+)
+def test_holt_winters_matches_model_fuzz(v, p, h, consts):
+    """holt_winters_additive == the textbook recurrence for any period,
+    horizon, and smoothing constants; series shorter than 2p vanish."""
+    from testlog_etl_spark.operators.timeseries import holt_winters_additive
+
+    a, b, g = consts
+    spark = _spark()
+    df = spark.createDataFrame(
+        [("s", t, x) for t, x in enumerate(v)], "series string, t long, v long"
+    )
+    out = holt_winters_additive(
+        df, p=p, horizon=h, alpha=a, beta=b, gamma=g
+    ).collect()
+    if len(v) < 2 * p:
+        assert out == []
+        return
+
+    lv = sum(v[:p]) / p
+    tr = (sum(v[p : 2 * p]) / p - sum(v[:p]) / p) / p
+    ss = [x - lv for x in v[:p]]
+    for t in range(p, len(v)):
+        ph = t % p
+        lnew = a * (v[t] - ss[ph]) + (1.0 - a) * (lv + tr)
+        tr = b * (lnew - lv) + (1.0 - b) * tr
+        ss[ph] = g * (v[t] - lnew) + (1.0 - g) * ss[ph]
+        lv = lnew
+    got = {r.h: r.yhat for r in out}
+    assert set(got) == set(range(1, h + 1))
+    for k in range(1, h + 1):
+        exp = lv + k * tr + ss[(len(v) - 1 + k) % p]
+        assert abs(got[k] - exp) <= 1e-7 * max(1.0, abs(exp)), (k, got[k], exp)
