@@ -763,3 +763,118 @@ aggregate(
             F.col("_tr").alias("trend"),
         )
     )
+
+
+def pattern_search(
+    series: DataFrame,
+    query: DataFrame,
+    m: int,
+    series_col: str = "series",
+    t_col: str = "t",
+    value_col: str = "v",
+    q_t_col: str = "qt",
+    q_value_col: str = "qv",
+    top_k: int | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Z-normalized subsequence search (the MASS readout, Mueen et al.
+    2015): the distance of EVERY length-``m`` window of every series to
+    ONE shared query pattern — "where does this shape occur?", the
+    query-driven sibling of ``matrix_profile`` (same z-norm distance,
+    same zero-variance conventions: both flat -> 0, exactly one flat ->
+    sqrt(m)). ``query`` is dense long-form ``(q_t_col 0..m-1,
+    q_value_col)``; windows are ranked per series by (distance, t) when
+    ``top_k`` is set, else all windows return. Output:
+    ``(series, t, dist[, rank])``.
+
+    Construction: QT(i) = sum_k T[i+k]*Q[k] comes from ONE
+    broadcast-join of the series against the m-row query (product rows
+    keyed by window start i = t - k), one (series, i) rollup — O(n*m)
+    work, map-side combined, no window function on the product stream.
+    Window stats are the same sliding integer sums as matrix_profile;
+    query stats are a broadcast 1-row aggregate. Keep values INTEGRAL
+    for the cross-engine exactness contract.
+
+    Scale contract: everything is one pass over the series table plus
+    an m-row broadcast — no self-join, no quadratic term; the top-k cut
+    is a per-series window over n-m+1 rows (series-length-bounded).
+    """
+    if m < 2:
+        raise ValueError(f"pattern_search: window m must be >= 2, got {m}")
+    if top_k is not None and top_k < 1:
+        raise ValueError(f"pattern_search: top_k must be >= 1, got {top_k}")
+
+    fm = float(m)
+    s = series.select(
+        F.col(series_col).alias("_s"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(value_col).alias("_x"),
+    )
+    q = query.select(
+        F.col(q_t_col).cast("long").alias("_k"),
+        F.col(q_value_col).alias("_q"),
+    )
+    qstats = q.agg(
+        F.sum("_q").alias("_qs"),
+        F.sum(F.col("_q") * F.col("_q")).alias("_qq"),
+        F.count(F.lit(1)).alias("_qc"),
+    )
+    qmu = F.col("_qs").cast("double") / F.lit(fm)
+    qsig = F.sqrt(
+        F.greatest(F.col("_qq").cast("double") / F.lit(fm) - qmu * qmu, F.lit(0.0))
+    )
+
+    ws = Window.partitionBy("_s").orderBy("_t").rowsBetween(0, m - 1)
+    stats = (
+        s.select(
+            "_s",
+            "_t",
+            F.sum("_x").over(ws).alias("_sm"),
+            F.sum(F.col("_x") * F.col("_x")).over(ws).alias("_sq"),
+            F.count(F.lit(1)).over(ws).alias("_c"),
+        )
+        .filter(F.col("_c") == m)
+        .drop("_c")
+    )
+    mu = F.col("_sm").cast("double") / F.lit(fm)
+    sig = F.sqrt(
+        F.greatest(F.col("_sq").cast("double") / F.lit(fm) - mu * mu, F.lit(0.0))
+    )
+
+    prods = (
+        s.join(F.broadcast(q))
+        .select("_s", (F.col("_t") - F.col("_k")).alias("_i"), (F.col("_x") * F.col("_q")).alias("_p"))
+        .filter(F.col("_i") >= 0)
+        .groupBy("_s", "_i")
+        .agg(F.sum("_p").alias("_qt"), F.count(F.lit(1)).alias("_pc"))
+        .filter(F.col("_pc") == m)
+    )
+    joined = (
+        prods.join(
+            stats.select("_s", F.col("_t").alias("_i"), mu.alias("_mu"), sig.alias("_sig")),
+            ["_s", "_i"],
+        )
+        .crossJoin(F.broadcast(qstats.select(qmu.alias("_qmu"), qsig.alias("_qsig"))))
+    )
+    corr = (
+        F.col("_qt").cast("double") - F.lit(fm) * F.col("_mu") * F.col("_qmu")
+    ) / (F.lit(fm) * F.col("_sig") * F.col("_qsig"))
+    corr_c = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), corr))
+    dist = (
+        F.when((F.col("_sig") == 0) & (F.col("_qsig") == 0), F.lit(0.0))
+        .when((F.col("_sig") == 0) | (F.col("_qsig") == 0), F.sqrt(F.lit(fm)))
+        .otherwise(F.sqrt(F.lit(2.0) * F.lit(fm) * (F.lit(1.0) - corr_c)))
+    )
+    if round_dp is not None:
+        dist = F.round(dist, round_dp)
+    out = joined.select(
+        F.col("_s").alias(series_col), F.col("_i").alias("t"), dist.alias("dist")
+    )
+    if top_k is None:
+        return out
+    wr = Window.partitionBy(series_col).orderBy("dist", "t")
+    return (
+        out.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select(series_col, "t", "dist", F.col("rank").cast("int").alias("rank"))
+    )

@@ -381,6 +381,44 @@ _MP_M = 24
 _MP_EXCL = 12
 
 
+def _dense_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly event-count series per type: t = days-since-min-date
+    * 24 + hour (field extracts only — TZ-shift-free on both engines),
+    missing hours filled with count 0, BIGINT values. ONE corpus-sized
+    pass: the (type, date, hour) rollup is persisted (bounded: types x
+    days x 24), so d0 / max-t / distinct-types all read the tiny rollup,
+    not the events scan. Shared by the ts_matrix_profile and
+    ts_pattern_search wrappers; the oracle twin is the serie CTE both
+    their SQL strings open with."""
+    from testlog_etl_spark.util import persist_once
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = persist_once(
+        ev.groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            F.hour("ts").alias("hr"),
+        ).agg(F.count(F.lit(1)).alias("v"))
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    hourly = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        (F.datediff(F.col("d"), F.col("d0")) * 24 + F.col("hr"))
+        .cast("long")
+        .alias("t"),
+        "v",
+    )
+    mx = hourly.agg(F.max("t").alias("mt"))
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("mt"))).alias("t"),
+    )
+    return spine.join(hourly, ["event_type", "t"], "left").select(
+        "event_type", "t", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+    )
+
+
 def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact z-normalized matrix profile (Yeh et al., ICDM'16) of each
     event type's hourly-count series: for every 24-hour window, the
@@ -406,36 +444,7 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract)."""
     from testlog_etl_spark.operators.timeseries import matrix_profile
 
-    from testlog_etl_spark.util import persist_once
-
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    # ONE corpus-sized pass: rollup to (type, date, hour) grain first
-    # and persist it (bounded: types x days x 24), so d0 / max-t /
-    # distinct-types all read the tiny rollup, not the events scan
-    daily = persist_once(
-        ev.groupBy(
-            "event_type",
-            F.col("ts").cast("date").alias("d"),
-            F.hour("ts").alias("hr"),
-        ).agg(F.count(F.lit(1)).alias("v"))
-    )
-    d0 = daily.agg(F.min("d").alias("d0"))
-    hourly = daily.crossJoin(F.broadcast(d0)).select(
-        "event_type",
-        (F.datediff(F.col("d"), F.col("d0")) * 24 + F.col("hr"))
-        .cast("long")
-        .alias("t"),
-        "v",
-    )
-    mx = hourly.agg(F.max("t").alias("mt"))
-    types = daily.select("event_type").distinct()
-    spine = types.crossJoin(F.broadcast(mx)).select(
-        "event_type",
-        F.explode(F.sequence(F.lit(0).cast("long"), F.col("mt"))).alias("t"),
-    )
-    serie = spine.join(hourly, ["event_type", "t"], "left").select(
-        "event_type", "t", F.coalesce("v", F.lit(0)).cast("long").alias("v")
-    )
+    serie = _dense_hourly_counts(spark, sf_dir)
     mp = matrix_profile(
         serie,
         m=_MP_M,
@@ -453,9 +462,8 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "t")
 
 
-def matrix_profile_oracle_sql() -> str:
-    return f"""
-WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+# DuckDB twin of _dense_hourly_counts, shared by the two oracles below
+_SERIE_SQL = """d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
 hourly AS (
   SELECT event_type,
          CAST(date_diff('day', d0.d0, CAST(ts AS DATE)) * 24
@@ -473,7 +481,12 @@ serie AS (
   SELECT spine.event_type, spine.t, CAST(COALESCE(hourly.v, 0) AS BIGINT) AS v
   FROM spine LEFT JOIN hourly
     ON hourly.event_type = spine.event_type AND hourly.t = spine.t
-),
+)"""
+
+
+def matrix_profile_oracle_sql() -> str:
+    return f"""
+WITH {_SERIE_SQL},
 stats0 AS (
   SELECT event_type, t,
          SUM(v) OVER w AS sm, SUM(v * v) OVER w AS sq, COUNT(*) OVER w AS c
@@ -665,6 +678,113 @@ ORDER BY event_type, h
 """
 
 
+# ---------------------------------------------------------------------------
+# 8. ts_pattern_search — MASS z-normalized subsequence search
+# ---------------------------------------------------------------------------
+
+_PS_M = 24
+_PS_K = 5
+_PS_QUERY_TYPE = "click"
+
+
+def ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-normalized subsequence search (the MASS readout, Mueen et al.
+    2015): take the 'click' series' FIRST DAY (hours 0-23) as the query
+    shape and report, per event type, the 5 windows of its hourly
+    series whose shape matches it best — "where does this pattern
+    occur?", the query-driven sibling of ts_matrix_profile (same
+    distance, same zero-variance conventions; the query type itself
+    matches trivially at t=0 with distance 0, a deliberate fixed point
+    that pins the identity case).
+
+    Shape (operators/timeseries.py::pattern_search): QT(i) rides one
+    broadcast join of the series against the m-row query and one
+    (series, i) rollup — O(n*m), map-side combined, no self-join and
+    no quadratic term; window stats are the matrix profile's sliding
+    integer sums; the top-k cut is a per-series window over n-m+1
+    rows. Ranked on the 6dp-rounded distance (ties to the smaller t)
+    on both engines."""
+    from testlog_etl_spark.operators.timeseries import pattern_search
+
+    serie = _dense_hourly_counts(spark, sf_dir)
+    q = serie.filter(
+        (F.col("event_type") == _PS_QUERY_TYPE) & (F.col("t") < _PS_M)
+    ).select(F.col("t").alias("qt"), F.col("v").alias("qv"))
+    out = pattern_search(
+        serie,
+        q,
+        m=_PS_M,
+        series_col="event_type",
+        t_col="t",
+        value_col="v",
+        top_k=_PS_K,
+        round_dp=6,
+    )
+    return out.select(
+        "event_type",
+        F.col("t").cast("long").alias("t"),
+        "dist",
+        "rank",
+    ).orderBy("event_type", "rank")
+
+
+def pattern_search_oracle_sql() -> str:
+    m = _PS_M
+    return f"""
+WITH {_SERIE_SQL},
+q AS (
+  SELECT t AS k, v AS qv FROM serie
+  WHERE event_type = '{_PS_QUERY_TYPE}' AND t < {m}
+),
+qs AS (
+  SELECT CAST(SUM(qv) AS DOUBLE) / {m}.0 AS qmu,
+         sqrt(GREATEST(CAST(SUM(qv * qv) AS DOUBLE) / {m}.0
+              - (CAST(SUM(qv) AS DOUBLE) / {m}.0)
+                * (CAST(SUM(qv) AS DOUBLE) / {m}.0), 0.0)) AS qsig
+  FROM q
+),
+stats0 AS (
+  SELECT event_type, t,
+         SUM(v) OVER w AS sm, SUM(v * v) OVER w AS sq, COUNT(*) OVER w AS c
+  FROM serie
+  WINDOW w AS (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+),
+stats AS (
+  SELECT event_type, t,
+         CAST(sm AS DOUBLE) / {m}.0 AS mu,
+         sqrt(GREATEST(CAST(sq AS DOUBLE) / {m}.0
+              - (CAST(sm AS DOUBLE) / {m}.0) * (CAST(sm AS DOUBLE) / {m}.0),
+              0.0)) AS sig
+  FROM stats0 WHERE c = {m}
+),
+prods AS (
+  SELECT s.event_type, s.t - q.k AS i, SUM(s.v * q.qv) AS qt, COUNT(*) AS pc
+  FROM serie s, q WHERE s.t - q.k >= 0
+  GROUP BY 1, 2
+),
+d AS (
+  SELECT p.event_type, p.i,
+         ROUND(CASE WHEN st.sig = 0 AND qs.qsig = 0 THEN 0.0
+                    WHEN st.sig = 0 OR qs.qsig = 0 THEN sqrt({m}.0)
+                    ELSE sqrt(2.0 * {m}.0 * (1.0 - LEAST(1.0, GREATEST(-1.0,
+                         (CAST(p.qt AS DOUBLE) - {m}.0 * st.mu * qs.qmu)
+                         / ({m}.0 * st.sig * qs.qsig)))))
+               END, 6) AS dist
+  FROM prods p
+  JOIN stats st ON st.event_type = p.event_type AND st.t = p.i
+  CROSS JOIN qs
+  WHERE p.pc = {m}
+)
+SELECT event_type, CAST(i AS BIGINT) AS t, dist,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dist, i)
+            AS INT) AS rank
+FROM d
+QUALIFY rank <= {_PS_K}
+ORDER BY event_type, rank
+"""
+
+
 # name -> (query fn, oracle SQL, doc one-liner) — the r14 registration
 # reads this mapping verbatim.
 R14_PACK: dict[str, tuple] = {
@@ -702,5 +822,10 @@ R14_PACK: dict[str, tuple] = {
         ts_holt_winters_forecast,
         holt_winters_oracle_sql(),
         "additive Holt-Winters weekly-seasonal 7-day forecast",
+    ),
+    "ts_pattern_search": (
+        ts_pattern_search,
+        pattern_search_oracle_sql(),
+        "MASS z-normalized query-by-shape search over hourly series",
     ),
 }

@@ -1146,3 +1146,19 @@ def test_holt_winters_fold_is_jvm_side_no_cartesian(spark):
     assert "batchevalpython" not in low and "arrowevalpython" not in low
     assert "objecthashaggregate" in low  # collect_list assembly
     assert "broadcastexchange" in low  # d0 / max-t 1-row bounds
+
+
+def test_pattern_search_broadcast_query_no_selfjoin(spark):
+    """ts_pattern_search: the query pattern rides a BROADCAST onto the
+    series (m-row side — never a data-scale shuffle join and no
+    quadratic self-join), the QT rollup partial-aggregates, and the
+    top-k cut is the only per-series window sort."""
+    from testlog_etl_spark.queries.r14_pack import ts_pattern_search
+
+    df = ts_pattern_search(spark, SF_SMALL)
+    plan = plan_of(df)
+    low = plan.lower()
+    assert "cartesianproduct" not in low
+    assert "broadcastexchange" in low
+    assert "batchevalpython" not in low and "arrowevalpython" not in low
+    assert low.count("hashaggregate") >= 2  # map-side combined QT rollup

@@ -387,3 +387,69 @@ def test_holt_winters_arg_guards():
     ):
         with pytest.raises(ValueError):
             holt_winters_additive(None, **kwargs)
+
+
+def test_pattern_search_matches_bruteforce(spark):
+    """pattern_search == the direct z-norm sliding distance to the
+    query in Python, including zero-variance conventions and the
+    rounded-dist/smaller-t top-k tie rule."""
+    import random
+
+    from testlog_etl_spark.operators.timeseries import pattern_search
+
+    rng = random.Random(7)
+    n, m, k = 30, 5, 4
+    v = [rng.randint(0, 5) for _ in range(n)]
+    v[10:15] = [2, 2, 2, 2, 2]  # constant window -> sig=0 branch
+    qv = [1, 4, 0, 3, 2]
+
+    def st_(w):
+        mu = sum(w) / m
+        return mu, math.sqrt(max(sum(x * x for x in w) / m - mu * mu, 0.0))
+
+    qmu, qsig = st_(qv)
+    cands = []
+    for i in range(n - m + 1):
+        w = v[i : i + m]
+        mu, sig = st_(w)
+        if sig == 0 and qsig == 0:
+            d = 0.0
+        elif sig == 0 or qsig == 0:
+            d = math.sqrt(m)
+        else:
+            qt = sum(a * b for a, b in zip(w, qv))
+            corr = max(-1.0, min(1.0, (qt - m * mu * qmu) / (m * sig * qsig)))
+            d = math.sqrt(2 * m * (1 - corr))
+        cands.append((round(d, 6), i))
+    exp = sorted(cands)[:k]
+
+    sdf = spark.createDataFrame(
+        [("s", t, x) for t, x in enumerate(v)], "series string, t long, v long"
+    )
+    qdf = spark.createDataFrame(
+        list(enumerate(qv)), "qt long, qv long"
+    )
+    got = [
+        (r.dist, r.t, r.rank)
+        for r in pattern_search(
+            sdf, qdf, m=m, top_k=k, round_dp=6
+        ).orderBy("rank").collect()
+    ]
+    assert len(got) == k
+    for rank, ((ed, ei), (gd, gt, gr)) in enumerate(zip(exp, got), 1):
+        assert gr == rank
+        assert gt == ei, (rank, got, exp)
+        assert gd == pytest.approx(ed, abs=1e-9)
+
+    # no top_k -> every full window scored
+    full = pattern_search(sdf, qdf, m=m, round_dp=6).collect()
+    assert len(full) == n - m + 1
+
+
+def test_pattern_search_arg_guards():
+    from testlog_etl_spark.operators.timeseries import pattern_search
+
+    with pytest.raises(ValueError):
+        pattern_search(None, None, m=1)
+    with pytest.raises(ValueError):
+        pattern_search(None, None, m=5, top_k=0)
