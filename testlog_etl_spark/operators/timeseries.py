@@ -814,10 +814,26 @@ def pattern_search(
         F.col(q_t_col).cast("long").alias("_k"),
         F.col(q_value_col).alias("_q"),
     )
+    # checked, not assumed (1-row bounded guard; collect_lint whitelist):
+    # a query with MORE than m rows would otherwise score tail-boundary
+    # windows against a products-count coincidence (pc == m met by the
+    # wrong m products), and duplicate/missing q_t indexes would
+    # double-count or drop products silently
+    chk = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("_k").alias("nd"),
+        F.min("_k").alias("lo"),
+        F.max("_k").alias("hi"),
+    ).collect()[0]
+    if not (chk.n == m and chk.nd == m and chk.lo == 0 and chk.hi == m - 1):
+        raise ValueError(
+            "pattern_search: query must be dense 0..m-1 with exactly "
+            f"m={m} rows (got n={chk.n}, distinct={chk.nd}, "
+            f"range=[{chk.lo}, {chk.hi}])"
+        )
     qstats = q.agg(
         F.sum("_q").alias("_qs"),
         F.sum(F.col("_q") * F.col("_q")).alias("_qq"),
-        F.count(F.lit(1)).alias("_qc"),
     )
     qmu = F.col("_qs").cast("double") / F.lit(fm)
     qsig = F.sqrt(

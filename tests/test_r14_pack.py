@@ -453,3 +453,29 @@ def test_pattern_search_arg_guards():
         pattern_search(None, None, m=1)
     with pytest.raises(ValueError):
         pattern_search(None, None, m=5, top_k=0)
+
+
+def test_pattern_search_rejects_malformed_query(spark):
+    """The m-row dense-query contract is CHECKED: too-few rows,
+    too-many rows (which would otherwise mis-score tail windows via a
+    products-count coincidence), duplicate indexes, and offset ranges
+    all raise."""
+    from testlog_etl_spark.operators.timeseries import pattern_search
+
+    sdf = spark.createDataFrame(
+        [("s", t, t % 3) for t in range(12)], "series string, t long, v long"
+    )
+
+    def q(rows):
+        return spark.createDataFrame(rows, "qt long, qv long")
+
+    good = pattern_search(sdf, q([(0, 1), (1, 2), (2, 0)]), m=3).collect()
+    assert len(good) == 10
+    for rows in (
+        [(0, 1), (1, 2)],  # too few
+        [(0, 1), (1, 2), (2, 0), (3, 1)],  # too many
+        [(0, 1), (0, 2), (2, 0)],  # duplicate index
+        [(1, 1), (2, 2), (3, 0)],  # offset range
+    ):
+        with pytest.raises(ValueError, match="dense 0..m-1"):
+            pattern_search(sdf, q(rows), m=3)
