@@ -479,3 +479,90 @@ def test_pattern_search_rejects_malformed_query(spark):
     ):
         with pytest.raises(ValueError, match="dense 0..m-1"):
             pattern_search(sdf, q(rows), m=3)
+
+
+def test_matrix_profile_cross_engine_synthetic_differential(spark, duck):
+    """The cross-engine exactness claim on RANDOM data, not just the
+    fixed testdata: the operator and a generic DuckDB twin of its
+    construction must agree EXACTLY — rounded distance AND argmin
+    index (the tie rule) — over random multi-series integer inputs.
+    Fixed seed: any 6dp rounding-boundary divergence between the two
+    engines' double chains would surface here deterministically."""
+    import random
+
+    from testlog_etl_spark.operators.timeseries import matrix_profile
+
+    m, excl = 6, 3
+    rng = random.Random(123)
+    rows = []
+    for s in range(3):
+        n = rng.randint(25, 45)
+        vals = [rng.randint(0, 6) for _ in range(n)]
+        if s == 0:
+            vals[5:13] = [4] * 8  # planted flat stretch -> sig=0 paths
+        rows += [(f"s{s}", t, x) for t, x in enumerate(vals)]
+
+    sdf = spark.createDataFrame(rows, "series string, t long, v long")
+    got = sorted(
+        (r.series, r.t, r.mp_dist, r.mp_index)
+        for r in matrix_profile(sdf, m=m, excl=excl, round_dp=6).collect()
+    )
+
+    duck.execute("CREATE OR REPLACE TABLE mp_serie(series VARCHAR, t BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO mp_serie VALUES (?, ?, ?)", rows)
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(f"""
+WITH stats0 AS (
+  SELECT series, t,
+         SUM(v) OVER w AS sm, SUM(v * v) OVER w AS sq, COUNT(*) OVER w AS c
+  FROM mp_serie
+  WINDOW w AS (PARTITION BY series ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+),
+stats AS (
+  SELECT series, t,
+         CAST(sm AS DOUBLE) / {m}.0 AS mu,
+         sqrt(GREATEST(CAST(sq AS DOUBLE) / {m}.0
+              - (CAST(sm AS DOUBLE) / {m}.0) * (CAST(sm AS DOUBLE) / {m}.0),
+              0.0)) AS sig
+  FROM stats0 WHERE c = {m}
+),
+prods AS (
+  SELECT a.series, b.t - a.t AS d, a.t AS t, a.v * b.v AS p
+  FROM mp_serie a JOIN mp_serie b
+    ON a.series = b.series AND b.t - a.t > {excl}
+),
+qt0 AS (
+  SELECT series, d, t, SUM(p) OVER w AS qt, COUNT(*) OVER w AS c
+  FROM prods
+  WINDOW w AS (PARTITION BY series, d ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+),
+edges AS (
+  SELECT q.series, q.t AS w, q.t + q.d AS o,
+         CASE WHEN si.sig = 0 AND sj.sig = 0 THEN 0.0
+              WHEN si.sig = 0 OR sj.sig = 0 THEN sqrt({m}.0)
+              ELSE sqrt(2.0 * {m}.0 * (1.0 - LEAST(1.0, GREATEST(-1.0,
+                   (CAST(q.qt AS DOUBLE) - {m}.0 * si.mu * sj.mu)
+                   / ({m}.0 * si.sig * sj.sig)))))
+         END AS dist
+  FROM (SELECT series, d, t, qt FROM qt0 WHERE c = {m}) q
+  JOIN stats si ON si.series = q.series AND si.t = q.t
+  JOIN stats sj ON sj.series = q.series AND sj.t = q.t + q.d
+),
+sym AS (
+  SELECT series, w, o, ROUND(dist, 6) AS dist FROM edges
+  UNION ALL
+  SELECT series, o AS w, w AS o, ROUND(dist, 6) AS dist FROM edges
+)
+SELECT series, CAST(w AS BIGINT) AS t, dist AS mp_dist,
+       CAST(o AS BIGINT) AS mp_index
+FROM sym
+QUALIFY ROW_NUMBER() OVER (PARTITION BY series, w ORDER BY dist, o) = 1
+""").fetchall(),
+        )
+    )
+    duck.execute("DROP TABLE mp_serie")
+    assert got == want
