@@ -566,3 +566,74 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY series, w ORDER BY dist, o) = 1
     )
     duck.execute("DROP TABLE mp_serie")
     assert got == want
+
+
+def test_holt_winters_cross_engine_synthetic_bit_equality(spark, duck):
+    """The boldest claim pinned on RANDOM data: the Spark aggregate()
+    fold and the DuckDB recursive CTE execute the same operation order,
+    so forecast/level/trend match at FULL precision (exact tuple
+    equality, no rounding) over random integer series — any future
+    reordering of either side's expression tree fails this
+    deterministically."""
+    import random
+
+    from testlog_etl_spark.operators.timeseries import holt_winters_additive
+
+    p, hz, a, b, g = 5, 4, 0.3, 0.1, 0.2
+    al, be, ga = repr(a), repr(b), repr(g)
+    oma, omb, omg = repr(1.0 - a), repr(1.0 - b), repr(1.0 - g)
+    rng = random.Random(99)
+    rows = []
+    for s in range(3):
+        n = rng.randint(2 * p, 40)
+        rows += [(f"s{s}", t, rng.randint(0, 30)) for t in range(n)]
+    df = spark.createDataFrame(rows, "series string, t long, v long")
+    got = sorted(
+        (r.series, r.h, r.yhat, r.level, r.trend)
+        for r in holt_winters_additive(
+            df, p=p, horizon=hz, alpha=a, beta=b, gamma=g
+        ).collect()
+    )
+
+    duck.execute("CREATE OR REPLACE TABLE hw_serie(series VARCHAR, t BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO hw_serie VALUES (?, ?, ?)", rows)
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(f"""
+WITH RECURSIVE arrs AS (
+  SELECT series, array_agg(CAST(v AS DOUBLE) ORDER BY t) AS vv
+  FROM hw_serie GROUP BY 1
+),
+init AS (
+  SELECT series, vv,
+         list_sum(vv[:{p}]) / {p}.0 AS l0,
+         (list_sum(vv[{p + 1}:{2 * p}]) / {p}.0 - list_sum(vv[:{p}]) / {p}.0)
+           / {p}.0 AS b0
+  FROM arrs WHERE len(vv) >= {2 * p}
+),
+hw AS (
+  SELECT series, vv, {p} AS t, l0 AS lv, b0 AS tr,
+         list_transform(vv[:{p}], x -> x - l0) AS ss
+  FROM init
+  UNION ALL
+  SELECT series, vv, t + 1, lnew,
+         {be} * (lnew - lv) + {omb} * tr,
+         ss[:(t % {p})]
+           || [{ga} * (vv[t + 1] - lnew) + {omg} * ss[(t % {p}) + 1]]
+           || ss[(t % {p}) + 2:]
+  FROM (
+    SELECT *, {al} * (vv[t + 1] - ss[(t % {p}) + 1]) + {oma} * (lv + tr) AS lnew
+    FROM hw WHERE t < len(vv)
+  )
+),
+fin AS (SELECT * FROM hw WHERE t = len(vv))
+SELECT series, CAST(hs.h AS INT) AS h,
+       lv + hs.h * tr + ss[((len(vv) - 1 + hs.h) % {p}) + 1] AS yhat,
+       lv AS level, tr AS trend
+FROM fin, (SELECT unnest(range(1, {hz + 1})) AS h) hs
+""").fetchall(),
+        )
+    )
+    duck.execute("DROP TABLE hw_serie")
+    assert got == want  # EXACT doubles, not approx
