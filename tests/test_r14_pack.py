@@ -637,3 +637,90 @@ FROM fin, (SELECT unnest(range(1, {hz + 1})) AS h) hs
     )
     duck.execute("DROP TABLE hw_serie")
     assert got == want  # EXACT doubles, not approx
+
+
+def test_pattern_search_cross_engine_synthetic_differential(spark, duck):
+    """pattern_search vs a generic DuckDB twin on random integer data:
+    rounded distance, argmin rank order, and tie rule must agree
+    exactly (fixed seed; query drawn from one of the series so the
+    zero-distance identity window is present)."""
+    import random
+
+    from testlog_etl_spark.operators.timeseries import pattern_search
+
+    m, k = 5, 4
+    rng = random.Random(321)
+    rows = []
+    for s in range(3):
+        n = rng.randint(20, 40)
+        rows += [(f"s{s}", t, rng.randint(0, 6)) for t in range(n)]
+    qrows = [(i, v) for (_, t, v), i in zip(
+        [r for r in rows if r[0] == "s1"][3 : 3 + m], range(m)
+    )]
+    sdf = spark.createDataFrame(rows, "series string, t long, v long")
+    qdf = spark.createDataFrame(qrows, "qt long, qv long")
+    got = sorted(
+        (r.series, r.t, r.dist, r.rank)
+        for r in pattern_search(sdf, qdf, m=m, top_k=k, round_dp=6).collect()
+    )
+    assert ("s1", 3, 0.0, 1) in got  # identity window
+
+    duck.execute("CREATE OR REPLACE TABLE ps_serie(series VARCHAR, t BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO ps_serie VALUES (?, ?, ?)", rows)
+    duck.execute("CREATE OR REPLACE TABLE ps_q(k BIGINT, qv BIGINT)")
+    duck.executemany("INSERT INTO ps_q VALUES (?, ?)", qrows)
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(f"""
+WITH qs AS (
+  SELECT CAST(SUM(qv) AS DOUBLE) / {m}.0 AS qmu,
+         sqrt(GREATEST(CAST(SUM(qv * qv) AS DOUBLE) / {m}.0
+              - (CAST(SUM(qv) AS DOUBLE) / {m}.0)
+                * (CAST(SUM(qv) AS DOUBLE) / {m}.0), 0.0)) AS qsig
+  FROM ps_q
+),
+stats0 AS (
+  SELECT series, t,
+         SUM(v) OVER w AS sm, SUM(v * v) OVER w AS sq, COUNT(*) OVER w AS c
+  FROM ps_serie
+  WINDOW w AS (PARTITION BY series ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+),
+stats AS (
+  SELECT series, t,
+         CAST(sm AS DOUBLE) / {m}.0 AS mu,
+         sqrt(GREATEST(CAST(sq AS DOUBLE) / {m}.0
+              - (CAST(sm AS DOUBLE) / {m}.0) * (CAST(sm AS DOUBLE) / {m}.0),
+              0.0)) AS sig
+  FROM stats0 WHERE c = {m}
+),
+prods AS (
+  SELECT s.series, s.t - q.k AS i, SUM(s.v * q.qv) AS qt, COUNT(*) AS pc
+  FROM ps_serie s, ps_q q WHERE s.t - q.k >= 0
+  GROUP BY 1, 2
+),
+d AS (
+  SELECT p.series, p.i,
+         ROUND(CASE WHEN st.sig = 0 AND qs.qsig = 0 THEN 0.0
+                    WHEN st.sig = 0 OR qs.qsig = 0 THEN sqrt({m}.0)
+                    ELSE sqrt(2.0 * {m}.0 * (1.0 - LEAST(1.0, GREATEST(-1.0,
+                         (CAST(p.qt AS DOUBLE) - {m}.0 * st.mu * qs.qmu)
+                         / ({m}.0 * st.sig * qs.qsig)))))
+               END, 6) AS dist
+  FROM prods p
+  JOIN stats st ON st.series = p.series AND st.t = p.i
+  CROSS JOIN qs
+  WHERE p.pc = {m}
+)
+SELECT series, CAST(i AS BIGINT) AS t, dist,
+       CAST(ROW_NUMBER() OVER (PARTITION BY series ORDER BY dist, i)
+            AS INT) AS rank
+FROM d
+QUALIFY rank <= {k}
+""").fetchall(),
+        )
+    )
+    duck.execute("DROP TABLE ps_serie")
+    duck.execute("DROP TABLE ps_q")
+    assert got == want
