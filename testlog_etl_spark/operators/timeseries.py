@@ -546,17 +546,57 @@ def matrix_profile(
     )
     stats = stats0.select("_s", "_t", mu.alias("_mu"), sig.alias("_sig"))
 
-    a, b = s.alias("_a"), s.alias("_b")
-    diag = F.col("_b._t") - F.col("_a._t")
-    cond = (F.col("_a._s") == F.col("_b._s")) & (diag > excl)
-    if max_diag is not None:
-        cond = cond & (diag <= max_diag)
-    prods = a.join(b, cond).select(
-        F.col("_a._s").alias("_s"),
-        diag.alias("_d"),
-        F.col("_a._t").alias("_t"),
-        (F.col("_a._v") * F.col("_b._v")).alias("_p"),
-    )
+    if max_diag is None:
+        a, b = s.alias("_a"), s.alias("_b")
+        diag = F.col("_b._t") - F.col("_a._t")
+        cond = (F.col("_a._s") == F.col("_b._s")) & (diag > excl)
+        prods = a.join(b, cond).select(
+            F.col("_a._s").alias("_s"),
+            diag.alias("_d"),
+            F.col("_a._t").alias("_t"),
+            (F.col("_a._v") * F.col("_b._v")).alias("_p"),
+        )
+    else:
+        # valve mode is a true BAND join (the point_in_interval_join
+        # bucketing idiom): a plain range predicate on the series-key
+        # join would still ENUMERATE all n^2/2 pairs per series and
+        # filter -- flat at n=16k but Theta(n^2) predicate work at
+        # corpus-span lengths. Bucket t by width max_diag; a row's
+        # admissible partners (t+excl+1 .. t+max_diag) live in its own
+        # or the next bucket, so an EQUI-join on (series, bucket) with
+        # a 2x left-side fan-out generates <= 2*n*max_diag candidates
+        # -- O(n * max_diag) generated, not just retained.
+        w_ = int(max_diag)
+        a2 = s.select(
+            "_s",
+            "_t",
+            "_v",
+            F.explode(
+                F.array(
+                    F.expr(f"_t div {w_}"), F.expr(f"_t div {w_} + 1")
+                )
+            ).alias("_jbk"),
+        )
+        b2 = s.select(
+            F.col("_s").alias("_bs"),
+            F.col("_t").alias("_bt"),
+            F.col("_v").alias("_bv"),
+            F.expr(f"_t div {w_}").alias("_bbk"),
+        )
+        diag = F.col("_bt") - F.col("_t")
+        prods = (
+            a2.join(
+                b2,
+                (F.col("_s") == F.col("_bs")) & (F.col("_jbk") == F.col("_bbk")),
+            )
+            .filter((diag > excl) & (diag <= max_diag))
+            .select(
+                "_s",
+                diag.alias("_d"),
+                "_t",
+                (F.col("_v") * F.col("_bv")).alias("_p"),
+            )
+        )
     wq = Window.partitionBy("_s", "_d").orderBy("_t").rowsBetween(0, m - 1)
     qt = (
         prods.select(

@@ -1162,3 +1162,19 @@ def test_pattern_search_broadcast_query_no_selfjoin(spark):
     assert "broadcastexchange" in low
     assert "batchevalpython" not in low and "arrowevalpython" not in low
     assert low.count("hashaggregate") >= 2  # map-side combined QT rollup
+
+
+def test_matrix_profile_valve_is_equi_band_join(spark):
+    """With max_diag set, pair generation must be the bucketed BAND
+    join (equi-join on (series, bucket) with a 2x fan-out) — never a
+    nested-loop/cartesian whose predicate still enumerates all n^2
+    pairs per series."""
+    from testlog_etl_spark.operators.timeseries import matrix_profile
+
+    df = spark.createDataFrame(
+        [("s", t, t % 5) for t in range(60)], "series string, t long, v long"
+    )
+    plan = plan_of(matrix_profile(df, m=6, excl=3, max_diag=12, round_dp=6))
+    low = plan.lower()
+    assert "nestedloop" not in low and "cartesianproduct" not in low
+    assert "_jbk" in plan  # the bucket fan-out key reaches the join
