@@ -934,3 +934,165 @@ def pattern_search(
         .filter(F.col("rank") <= top_k)
         .select(series_col, "t", "dist", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def matrix_profile_ab(
+    series: DataFrame,
+    m: int,
+    max_diag: int | None = None,
+    series_col: str = "series",
+    t_col: str = "t",
+    value_col: str = "v",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Matrix-profile AB-join across series (Yeh et al., ICDM'16 §AB):
+    for every UNORDERED pair of distinct series in the frame, the
+    minimal z-normalized distance between any length-``m`` window of
+    one and any window of the other, plus the aligned window starts —
+    "which streams share a shape, and exactly where". Same distance and
+    zero-variance conventions as ``matrix_profile`` (no exclusion zone:
+    cross-series matches are never trivial). Output:
+    ``(series_a, series_b, t_a, t_b, dist)`` with series_a < series_b
+    and ties broken on (dist, t_a, t_b) after ``round_dp`` rounding.
+
+    Construction: for ORDERED pairs (A, B) and non-negative lags
+    d = j - i, QT(i, i+d) is the length-m sliding sum of the product
+    series A[t]*B[t+d] — one equi-join of the frame against itself on
+    the series-pair inequality plus lag bounds, one
+    (A, B, d)-partitioned window; the two orientations of each
+    unordered pair cover negative lags by symmetry. Per-window stats
+    are computed ONCE per series and broadcast to both probe sides.
+
+    Scale contract: candidates are Theta(n^2/2) per ORDERED series
+    pair — series-length-bounded, diagonal-parallel, exactly the
+    ``matrix_profile`` story with the pair count as the second explicit
+    axis (callers bound which series land in the frame); ``max_diag``
+    caps the |lag| between aligned windows and bounds candidates at
+    O(n * max_diag) per pair via the same bucketed band join as the
+    self-join valve.
+    """
+    if m < 2:
+        raise ValueError(f"matrix_profile_ab: window m must be >= 2, got {m}")
+    if max_diag is not None and max_diag < 0:
+        raise ValueError(
+            f"matrix_profile_ab: max_diag must be >= 0, got {max_diag}"
+        )
+
+    fm = float(m)
+    s = series.select(
+        F.col(series_col).alias("_s"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(value_col).alias("_v"),
+    )
+    s = persist_once(s)
+
+    ws = Window.partitionBy("_s").orderBy("_t").rowsBetween(0, m - 1)
+    stats0 = s.select(
+        "_s",
+        "_t",
+        F.sum("_v").over(ws).alias("_sm"),
+        F.sum(F.col("_v") * F.col("_v")).over(ws).alias("_sq"),
+        F.count(F.lit(1)).over(ws).alias("_c"),
+    ).filter(F.col("_c") == m)
+    mu = F.col("_sm").cast("double") / F.lit(fm)
+    sig = F.sqrt(
+        F.greatest(F.col("_sq").cast("double") / F.lit(fm) - mu * mu, F.lit(0.0))
+    )
+    stats = stats0.select("_s", "_t", mu.alias("_mu"), sig.alias("_sig"))
+
+    if max_diag is None:
+        b2 = s.select(
+            F.col("_s").alias("_bs"), F.col("_t").alias("_bt"), F.col("_v").alias("_bv")
+        )
+        lag = F.col("_bt") - F.col("_t")
+        paired = s.join(b2, (F.col("_s") != F.col("_bs")) & (lag >= 0))
+    else:
+        w_ = max(int(max_diag), 1)
+        a2 = s.select(
+            "_s",
+            "_t",
+            "_v",
+            F.explode(
+                F.array(F.expr(f"_t div {w_}"), F.expr(f"_t div {w_} + 1"))
+            ).alias("_jbk"),
+        )
+        b2 = s.select(
+            F.col("_s").alias("_bs"),
+            F.col("_t").alias("_bt"),
+            F.col("_v").alias("_bv"),
+            F.expr(f"_t div {w_}").alias("_bbk"),
+        )
+        lag = F.col("_bt") - F.col("_t")
+        paired = a2.join(
+            b2,
+            (F.col("_s") != F.col("_bs")) & (F.col("_jbk") == F.col("_bbk")),
+        ).filter((lag >= 0) & (lag <= max_diag))
+    prods = paired.select(
+        "_s",
+        "_bs",
+        lag.alias("_d"),
+        "_t",
+        (F.col("_v") * F.col("_bv")).alias("_p"),
+    )
+
+    wq = Window.partitionBy("_s", "_bs", "_d").orderBy("_t").rowsBetween(0, m - 1)
+    qt = (
+        prods.select(
+            "_s",
+            "_bs",
+            "_d",
+            "_t",
+            F.sum("_p").over(wq).alias("_qt"),
+            F.count(F.lit(1)).over(wq).alias("_c"),
+        )
+        .filter(F.col("_c") == m)
+        .drop("_c")
+    )
+    si = stats.select(
+        F.col("_s").alias("_si_s"), F.col("_t").alias("_si_t"),
+        F.col("_mu").alias("_mu_i"), F.col("_sig").alias("_sig_i"),
+    )
+    sj = stats.select(
+        F.col("_s").alias("_sj_s"), F.col("_t").alias("_sj_t"),
+        F.col("_mu").alias("_mu_j"), F.col("_sig").alias("_sig_j"),
+    )
+    joined = qt.join(
+        F.broadcast(si),
+        (F.col("_s") == F.col("_si_s")) & (F.col("_t") == F.col("_si_t")),
+    ).join(
+        F.broadcast(sj),
+        (F.col("_bs") == F.col("_sj_s"))
+        & ((F.col("_t") + F.col("_d")) == F.col("_sj_t")),
+    )
+    corr = (
+        F.col("_qt").cast("double") - F.lit(fm) * F.col("_mu_i") * F.col("_mu_j")
+    ) / (F.lit(fm) * F.col("_sig_i") * F.col("_sig_j"))
+    corr_c = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), corr))
+    dist = (
+        F.when((F.col("_sig_i") == 0) & (F.col("_sig_j") == 0), F.lit(0.0))
+        .when((F.col("_sig_i") == 0) | (F.col("_sig_j") == 0), F.sqrt(F.lit(fm)))
+        .otherwise(F.sqrt(F.lit(2.0) * F.lit(fm) * (F.lit(1.0) - corr_c)))
+    )
+    if round_dp is not None:
+        dist = F.round(dist, round_dp)
+    # normalize each orientation to (lo, hi) with the window starts
+    # following their series; the groupBy min then folds the two
+    # orientations of every unordered pair (negative lags by symmetry)
+    lo_first = F.col("_s") < F.col("_bs")
+    edges = joined.select(
+        F.when(lo_first, F.col("_s")).otherwise(F.col("_bs")).alias("_pa"),
+        F.when(lo_first, F.col("_bs")).otherwise(F.col("_s")).alias("_pb"),
+        F.when(lo_first, F.col("_t")).otherwise(F.col("_t") + F.col("_d")).alias("_ta"),
+        F.when(lo_first, F.col("_t") + F.col("_d")).otherwise(F.col("_t")).alias("_tb"),
+        dist.alias("_dist"),
+    )
+    best = edges.groupBy("_pa", "_pb").agg(
+        F.min(F.struct(F.col("_dist"), F.col("_ta"), F.col("_tb"))).alias("_m")
+    )
+    return best.select(
+        F.col("_pa").alias("series_a"),
+        F.col("_pb").alias("series_b"),
+        F.col("_m._ta").alias("t_a"),
+        F.col("_m._tb").alias("t_b"),
+        F.col("_m._dist").alias("dist"),
+    )

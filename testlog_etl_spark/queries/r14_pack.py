@@ -785,6 +785,101 @@ ORDER BY event_type, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# 9. ts_matrix_profile_ab — cross-series matrix-profile AB-join
+# ---------------------------------------------------------------------------
+
+
+def ts_matrix_profile_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile AB-join (Yeh et al., ICDM'16 §AB) across the five
+    event types' hourly-count series: for every unordered type pair,
+    the closest shared 24-hour shape and exactly where it occurs in
+    each stream — the cross-stream motif alignment the self-join
+    profile can't give (ts_matrix_profile says "this shape recurs HERE";
+    this says "these two streams share a shape, at these offsets").
+
+    Shape (operators/timeseries.py::matrix_profile_ab): ordered-pair
+    diagonal product series for non-negative lags + the same
+    (pair, lag)-partitioned sliding integer sums, two broadcast stats
+    probes, orientation-normalized struct-min argmin (negative lags by
+    symmetry). Candidates are Theta(n^2/2) per ordered pair —
+    series-length-bounded with the pair count as the second explicit
+    axis; `max_diag` (the bucketed band join) is the lag valve, kept
+    None here: the exact contract."""
+    from testlog_etl_spark.operators.timeseries import matrix_profile_ab
+
+    serie = _dense_hourly_counts(spark, sf_dir)
+    ab = matrix_profile_ab(
+        serie,
+        m=_MP_M,
+        series_col="event_type",
+        t_col="t",
+        value_col="v",
+        round_dp=6,
+    )
+    return ab.select(
+        F.col("series_a").alias("type_a"),
+        F.col("series_b").alias("type_b"),
+        F.col("t_a").cast("long").alias("t_a"),
+        F.col("t_b").cast("long").alias("t_b"),
+        "dist",
+    ).orderBy("type_a", "type_b")
+
+
+def matrix_profile_ab_oracle_sql() -> str:
+    m = _MP_M
+    return f"""
+WITH {_SERIE_SQL},
+stats0 AS (
+  SELECT event_type, t,
+         SUM(v) OVER w AS sm, SUM(v * v) OVER w AS sq, COUNT(*) OVER w AS c
+  FROM serie
+  WINDOW w AS (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+),
+stats AS (
+  SELECT event_type, t,
+         CAST(sm AS DOUBLE) / {m}.0 AS mu,
+         sqrt(GREATEST(CAST(sq AS DOUBLE) / {m}.0
+              - (CAST(sm AS DOUBLE) / {m}.0) * (CAST(sm AS DOUBLE) / {m}.0),
+              0.0)) AS sig
+  FROM stats0 WHERE c = {m}
+),
+prods AS (
+  SELECT a.event_type AS sa, b.event_type AS sb, b.t - a.t AS d,
+         a.t AS t, a.v * b.v AS p
+  FROM serie a JOIN serie b
+    ON a.event_type <> b.event_type AND b.t - a.t >= 0
+),
+qt0 AS (
+  SELECT sa, sb, d, t, SUM(p) OVER w AS qt, COUNT(*) OVER w AS c
+  FROM prods
+  WINDOW w AS (PARTITION BY sa, sb, d ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+),
+edges AS (
+  SELECT CASE WHEN q.sa < q.sb THEN q.sa ELSE q.sb END AS pa,
+         CASE WHEN q.sa < q.sb THEN q.sb ELSE q.sa END AS pb,
+         CASE WHEN q.sa < q.sb THEN q.t ELSE q.t + q.d END AS ta,
+         CASE WHEN q.sa < q.sb THEN q.t + q.d ELSE q.t END AS tb,
+         ROUND(CASE WHEN si.sig = 0 AND sj.sig = 0 THEN 0.0
+                    WHEN si.sig = 0 OR sj.sig = 0 THEN sqrt({m}.0)
+                    ELSE sqrt(2.0 * {m}.0 * (1.0 - LEAST(1.0, GREATEST(-1.0,
+                         (CAST(q.qt AS DOUBLE) - {m}.0 * si.mu * sj.mu)
+                         / ({m}.0 * si.sig * sj.sig)))))
+               END, 6) AS dist
+  FROM (SELECT sa, sb, d, t, qt FROM qt0 WHERE c = {m}) q
+  JOIN stats si ON si.event_type = q.sa AND si.t = q.t
+  JOIN stats sj ON sj.event_type = q.sb AND sj.t = q.t + q.d
+)
+SELECT pa AS type_a, pb AS type_b, CAST(ta AS BIGINT) AS t_a,
+       CAST(tb AS BIGINT) AS t_b, dist
+FROM edges
+QUALIFY ROW_NUMBER() OVER (PARTITION BY pa, pb ORDER BY dist, ta, tb) = 1
+ORDER BY type_a, type_b
+"""
+
+
 # name -> (query fn, oracle SQL, doc one-liner) — the r14 registration
 # reads this mapping verbatim.
 R14_PACK: dict[str, tuple] = {
@@ -827,5 +922,10 @@ R14_PACK: dict[str, tuple] = {
         ts_pattern_search,
         pattern_search_oracle_sql(),
         "MASS z-normalized query-by-shape search over hourly series",
+    ),
+    "ts_matrix_profile_ab": (
+        ts_matrix_profile_ab,
+        matrix_profile_ab_oracle_sql(),
+        "cross-series matrix-profile AB-join: closest shared shape",
     ),
 }

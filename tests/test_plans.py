@@ -1178,3 +1178,29 @@ def test_matrix_profile_valve_is_equi_band_join(spark):
     low = plan.lower()
     assert "nestedloop" not in low and "cartesianproduct" not in low
     assert "_jbk" in plan  # the bucket fan-out key reaches the join
+
+
+def test_matrix_profile_ab_pair_lag_axis(spark):
+    """ts_matrix_profile_ab full mode: the pair generator is the honest
+    all-lags cross product — BOTH sides are the series-length-bounded
+    serie cache (the Theta(n^2)-per-pair contract), never a corpus
+    table — and the sliding sums ride the (pair, lag) hash axis with
+    broadcast stats probes. The lag VALVE must plan as the equi band
+    join with no nested-loop/cartesian at all."""
+    from testlog_etl_spark.operators.timeseries import matrix_profile_ab
+    from testlog_etl_spark.queries.r14_pack import ts_matrix_profile_ab
+
+    plan = plan_of(ts_matrix_profile_ab(spark, SF_SMALL))
+    low = plan.lower()
+    assert "broadcasthashjoin" in low
+    assert "hashpartitioning(_s" in low and "_bs" in low  # (pair, lag) axis
+    assert "inmemorytablescan" in low  # serie cache feeds both cross sides
+
+    df = spark.createDataFrame(
+        [(f"s{k}", t, (t * (k + 2)) % 5) for k in range(2) for t in range(40)],
+        "series string, t long, v long",
+    )
+    vplan = plan_of(matrix_profile_ab(df, m=6, max_diag=10, round_dp=6))
+    vlow = vplan.lower()
+    assert "cartesianproduct" not in vlow and "nestedloop" not in vlow
+    assert "_jbk" in vplan  # bucket fan-out key reaches the equi join

@@ -724,3 +724,65 @@ QUALIFY rank <= {k}
     duck.execute("DROP TABLE ps_serie")
     duck.execute("DROP TABLE ps_q")
     assert got == want
+
+
+def test_matrix_profile_ab_matches_bruteforce(spark):
+    """matrix_profile_ab == the O(na*nb*m) direct cross-series minimum
+    in Python for every unordered pair — distance, BOTH aligned window
+    starts, and the (dist, t_a, t_b) tie rule — in full mode and under
+    the max_diag lag valve (model restricted to |j - i| <= max_diag)."""
+    import random
+
+    from testlog_etl_spark.operators.timeseries import matrix_profile_ab
+
+    rng = random.Random(11)
+    m = 5
+    series = {}
+    for s in range(3):
+        n = rng.randint(18, 30)
+        v = [rng.randint(0, 6) for _ in range(n)]
+        if s == 1:
+            v[4:10] = [3] * 6  # flat stretch -> sig=0 cross branches
+        series[f"s{s}"] = v
+
+    def st_(w):
+        mu = sum(w) / m
+        return mu, math.sqrt(max(sum(x * x for x in w) / m - mu * mu, 0.0))
+
+    def dist(wa, wb):
+        (mi, si), (mj, sj) = st_(wa), st_(wb)
+        if si == 0 and sj == 0:
+            return 0.0
+        if si == 0 or sj == 0:
+            return math.sqrt(m)
+        qt = sum(a * b for a, b in zip(wa, wb))
+        corr = max(-1.0, min(1.0, (qt - m * mi * mj) / (m * si * sj)))
+        return math.sqrt(2 * m * (1 - corr))
+
+    def model(md):
+        names = sorted(series)
+        out = {}
+        for x in range(len(names)):
+            for y in range(x + 1, len(names)):
+                a, b = names[x], names[y]
+                va, vb = series[a], series[b]
+                out[(a, b)] = min(
+                    (round(dist(va[i : i + m], vb[j : j + m]), 6), i, j)
+                    for i in range(len(va) - m + 1)
+                    for j in range(len(vb) - m + 1)
+                    if md is None or abs(j - i) <= md
+                )
+        return out
+
+    rows = [(s, t, x) for s, v in series.items() for t, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "series string, t long, v long")
+    for md in (None, 7):
+        exp = model(md)
+        got = {
+            (r.series_a, r.series_b): (r.dist, r.t_a, r.t_b)
+            for r in matrix_profile_ab(df, m=m, max_diag=md, round_dp=6).collect()
+        }
+        assert set(got) == set(exp), md
+        for k, (d, i, j) in exp.items():
+            assert got[k][0] == pytest.approx(d, abs=1e-9), (md, k)
+            assert (got[k][1], got[k][2]) == (i, j), (md, k, got[k], (d, i, j))
