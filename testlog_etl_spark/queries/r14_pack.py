@@ -880,6 +880,68 @@ ORDER BY type_a, type_b
 """
 
 
+# ---------------------------------------------------------------------------
+# 10. multimodal_ahash_dedup — perceptual-hash near-dup over media payloads
+# ---------------------------------------------------------------------------
+
+_AH_DIST = 14
+
+
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate tier for the multimodal column: the
+    classic average hash (aHash — 64 equal-share pixel blocks, bit =
+    block mean > global mean) over each media payload, then the
+    EXISTING PassJoin pigeonhole Hamming join finds payload pairs
+    within distance 14 — image near-dup detection composed from the
+    multimodal Arrow plumbing plus the dedup family's blocking join,
+    with the decode step the same honest stand-in as
+    multimodal_features (bytes AS pixels; a real deployment decodes to
+    grayscale first and changes nothing downstream).
+
+    Shape (operators/multimodal.py::average_hash +
+    operators/neardup.py::hamming_join): one mapInPandas Arrow pass
+    emits a 64-char bit-string per payload (integer block sums, one
+    exact double division per mean — engine-portable bits), the bit
+    string is an ordinary 64-char key for the chunk-blocked join, so
+    nothing goes all-pairs; the oracle states the O(n^2) contract with
+    DuckDB's native hamming() over SQL-replayed hashes. Payloads
+    shorter than 64 bytes are excluded by contract (no meaningful
+    blocks)."""
+    from testlog_etl_spark.operators import multimodal, neardup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.documents_as_media(docs)
+    hashes = multimodal.average_hash(media, bits=64).select(
+        F.col("media_id").alias("doc_id"), "ahash"
+    )
+    out = neardup.hamming_join(hashes, "doc_id", "ahash", length=64, max_dist=_AH_DIST)
+    return out.orderBy("a_id", "b_id")
+
+
+def ahash_oracle_sql() -> str:
+    return f"""
+WITH bytes AS (
+  SELECT doc_id, length(text) AS n,
+         [ord(substr(text, i, 1)) for i in range(1, length(text) + 1)] AS bs
+  FROM documents WHERE length(text) >= 64
+),
+hashes AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+            CASE WHEN list_avg(bs[(g.i * n) // 64 + 1 : ((g.i + 1) * n) // 64])
+                      > list_avg(bs)
+                 THEN '1' ELSE '0' END, '' ORDER BY g.i)
+          FROM (SELECT unnest(range(64)) AS i) g) AS h
+  FROM bytes
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(hamming(a.h, b.h) AS INT) AS dist
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE hamming(a.h, b.h) <= {_AH_DIST}
+ORDER BY a_id, b_id
+"""
+
+
 # name -> (query fn, oracle SQL, doc one-liner) — the r14 registration
 # reads this mapping verbatim.
 R14_PACK: dict[str, tuple] = {
@@ -927,5 +989,10 @@ R14_PACK: dict[str, tuple] = {
         ts_matrix_profile_ab,
         matrix_profile_ab_oracle_sql(),
         "cross-series matrix-profile AB-join: closest shared shape",
+    ),
+    "multimodal_ahash_dedup": (
+        multimodal_ahash_dedup,
+        ahash_oracle_sql(),
+        "average-hash perceptual near-dup over media payloads",
     ),
 }

@@ -786,3 +786,27 @@ def test_matrix_profile_ab_matches_bruteforce(spark):
         for k, (d, i, j) in exp.items():
             assert got[k][0] == pytest.approx(d, abs=1e-9), (md, k)
             assert (got[k][1], got[k][2]) == (i, j), (md, k, got[k], (d, i, j))
+
+
+def test_average_hash_unit_pins():
+    """_average_hash: block boundaries, the strict-> tie rule, and the
+    under-64-byte None contract, against a direct Python replay."""
+    from testlog_etl_spark.operators.multimodal import _average_hash
+
+    assert _average_hash(b"x" * 63) is None  # too short
+    assert _average_hash(b"\x05" * 64) == "0" * 64  # all ties -> all 0 (strict >)
+    h = _average_hash(bytes(range(200)))
+    assert h == "0" * 32 + "1" * 32  # monotone ramp splits at the mean
+
+    payload = bytes((i * 37 + 11) % 256 for i in range(150))
+    n, bits = len(payload), 64
+    gm = sum(payload) / n
+    want = "".join(
+        "1"
+        if sum(payload[i * n // bits : (i + 1) * n // bits])
+        / len(payload[i * n // bits : (i + 1) * n // bits])
+        > gm
+        else "0"
+        for i in range(bits)
+    )
+    assert _average_hash(payload) == want
