@@ -59,6 +59,7 @@ def main() -> None:
     # warm-up: run the flagship once (JVM JIT, codegen, parquet footer cache)
     first = next(iter(cases.values()))
     first.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
@@ -71,6 +72,17 @@ def main() -> None:
             case.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # r12 measurement fix (guide 5 "unpersist when done"): drop the
+        # query's persisted intermediates before the next query starts.
+        # Without this, operator-internal persists accumulate across the
+        # 20x2 query executions and later queries measure the suite's
+        # cache pressure (GC + block eviction), not their own plan --
+        # measured 67.8-81.6 s total vs 29.8 s with eviction on an
+        # otherwise idle box, with the inflation landing on DISJOINT
+        # query sets between runs. Clearing BETWEEN queries (never
+        # between a query's reps) keeps the per-query min-of-N
+        # methodology identical; every rep still computes from parquet.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     # loadavg at measurement end: r07's driver numbers were uniformly

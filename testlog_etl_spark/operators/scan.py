@@ -53,7 +53,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -154,6 +154,267 @@ def global_rank_cumsum(
     if total_out:
         out = out.withColumn(total_out, F.lit(s_acc).cast("double"))
     return out
+
+
+def global_rank_inplan(
+    df: DataFrame,
+    key: str,
+    *,
+    tiebreak: Sequence[str] = (),
+    descending: bool = False,
+    val_col: str | None = None,
+    rank_out: str = "i",
+    cum_out: str = "cum",
+    n_out: str | None = None,
+    total_out: str | None = None,
+    num_buckets: int | None = None,
+    persist_handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Exact global rank / running sum over (``key`` asc|desc,
+    ``*tiebreak`` asc) computed ENTIRELY IN-PLAN — the r12 successor to
+    ``global_rank_cumsum`` for NUMERIC leading keys (the common case:
+    every bench caller ranks a rollup by a revenue/count/score column).
+
+    Same output contract as ``global_rank_cumsum(df, [key, *tiebreak],
+    ...)``: ``rank_out`` is the global row_number (long), ``cum_out``
+    the inclusive running sum of ``val_col`` (double), ``n_out`` /
+    ``total_out`` the global count/sum attached as columns. Ranks are
+    EXACT regardless of bucketing; the running sum associates as
+    (bucket offset) + intra-bucket sequential fold — the same family as
+    the range-partition + carry fold it replaces, so integer-valued
+    ``val_col``s (every current caller) are bit-exact and float callers
+    need the suite's dyadic snap exactly as before.
+
+    Why replace the range-shuffle scan (guide §1.2 "the distributed
+    algorithm" + §4 "eliminate the Python boundary"): the old
+    mechanism cost, PER CALL, a repartitionByRange SAMPLING job that
+    re-executes the whole upstream, a second full pass to collect
+    per-partition totals to the driver, a persist of the full shuffled
+    frame, and a ``mapInArrow`` pass that ships EVERY ranked row across
+    the JVM<->Python Arrow boundary. Measured on topk_global_paging at
+    sf0.1: 7 build-time jobs + 26 stages. This form plans ONE job with
+    no driver round-trip and no Python worker anywhere:
+
+    1. ``percentile_approx`` boundaries (nb-1 fractions) over a signed
+       numeric proxy of ``key`` — one tiny mergeable-sketch aggregate
+       over the cached input;
+    2. bucket id = #boundaries strictly below the proxy — an
+       order-preserving map, so bucket ranges are order-contiguous
+       (boundary-approximation error only moves SPLIT POINTS, never
+       relative order; ties share one bucket by construction);
+    3. per-bucket (count, sum) rollup — map-side combinable, <= nb+2
+       rows reach the driver — folded into exclusive-offset LITERAL
+       arrays (the bounded driver merge);
+    4. rank = offset lookup + ``row_number`` over (bucket | key,
+       tiebreak); cum = sum-offset lookup + windowed running sum.
+       Pure JVM codegen, one exchange, no joins.
+
+    NULL / NaN keys get dedicated end buckets matching Spark's sort
+    placement (asc: nulls first, NaN last; desc: NaN first, nulls
+    last), so mixed-key inputs rank identically to a full sort.
+
+    The boundary sketch and the <= nb+2-row bucket rollup are folded
+    into the plan as LITERALS via two bounded build-time jobs over the
+    persisted input (the same "bounded driver merge" contract as the
+    range-scan predecessor, but over the CACHED input — no sampling
+    pass ever re-executes the upstream). Folding them as literals
+    instead of broadcast-joining 1-row/32-row frames matters on the
+    measured bench: every tiny aggregate subtree and broadcast is its
+    own AQE query stage, and per-stage fixed cost dominates rollup
+    -sized inputs; the literal form leaves the final plan with exactly
+    ONE exchange and zero joins.
+
+    ``num_buckets`` defaults to the cluster's defaultParallelism
+    (scale-adaptive: grows with the cluster, never a local constant);
+    deployments ranking >~1e9-row frames should raise it toward
+    rows/bucket ~ a few million. ``persist_handles`` receives the one
+    persisted frame (the INPUT, cached so the two bounded build jobs
+    and the main pass trigger exactly one upstream computation).
+    """
+    return global_ranks_inplan(
+        df,
+        [
+            {
+                "key": key,
+                "tiebreak": tuple(tiebreak),
+                "descending": descending,
+                "val_col": val_col,
+                "rank_out": rank_out,
+                "cum_out": cum_out,
+                "n_out": n_out,
+                "total_out": total_out,
+            }
+        ],
+        num_buckets=num_buckets,
+        persist_handles=persist_handles,
+    )
+
+
+def global_ranks_inplan(
+    df: DataFrame,
+    specs: Sequence[dict],
+    *,
+    num_buckets: int | None = None,
+    persist_handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Multi-key form of ``global_rank_inplan``: compute SEVERAL global
+    ranks/cumsums over the SAME frame in one batch. Each spec is a dict
+    with ``key`` (numeric column name) and optionally ``tiebreak``
+    (tuple of columns), ``descending``, ``val_col``, ``rank_out``,
+    ``cum_out``, ``n_out``, ``total_out``.
+
+    The batch form exists because build-time actions dominate
+    rollup-sized inputs on the measured bench: orders_rfm_segments
+    ranks the one customer rollup by THREE metrics, and three separate
+    calls cost six bounded driver jobs. Here ALL boundary sketches ride
+    ONE aggregate job and ALL bucket rollups ride ONE explode+aggregate
+    job (<= n_specs*(nb+4) rows to the driver), then each spec appends
+    its literal-offset + per-bucket-window rank column — one exchange
+    per spec, zero joins, zero Python.
+    """
+    import math
+
+    from testlog_etl_spark.util import const_array
+
+    spark = df.sparkSession
+    nb = max(2, num_buckets or spark.sparkContext.defaultParallelism)
+    src = persist_once(df)
+    if persist_handles is not None:
+        persist_handles.append(src)
+
+    prepped = []
+    for i, s in enumerate(specs):
+        kcol = F.col(s["key"])
+        desc = bool(s.get("descending"))
+        proxy = (-kcol.cast("double")) if desc else kcol.cast("double")
+        # end buckets: asc -> nulls first (-2), NaN last (nb+1); desc ->
+        # NaN first (-2), nulls last (nb+1). Finite rows: 0..nb-1.
+        prepped.append(
+            {
+                **s,
+                "i": i,
+                "kcol": kcol,
+                "desc": desc,
+                "proxy": proxy,
+                "null_b": nb + 1 if desc else -2,
+                "nan_b": -2 if desc else nb + 1,
+            }
+        )
+
+    # Bounded build job 1: ALL boundary sketches in one aggregate
+    # (nb-1 approximate quantiles per key; accuracy only moves bucket
+    # SPLIT POINTS, never relative order, so ranks stay exact). NaN
+    # keys are masked out of the sketch input (a NaN poisons the
+    # sketch's comparisons) and non-finite boundaries are dropped from
+    # the literal — both only merge buckets, never reorder rows;
+    # NaN/null rows rank via their dedicated end buckets.
+    fracs = F.array(*[F.lit(i / nb) for i in range(1, nb)])
+    brow = src.agg(
+        *[
+            F.percentile_approx(
+                F.when(~F.isnan(p["kcol"].cast("double")), p["proxy"]),
+                fracs,
+                F.lit(10000),
+            ).alias(f"_bnds{p['i']}")
+            for p in prepped
+        ]
+    ).first()
+    for p in prepped:
+        bnds = sorted(
+            float(b)
+            for b in (brow[f"_bnds{p['i']}"] or [])
+            if b is not None and math.isfinite(float(b))
+        )
+        if bnds:
+            barr = const_array(bnds)
+            proxy = p["proxy"]
+            fin = F.coalesce(
+                F.size(F.filter(barr, lambda b: b < proxy)), F.lit(0)
+            )
+        else:
+            fin = F.lit(0)
+        p["bkt"] = (
+            F.when(p["kcol"].isNull(), F.lit(p["null_b"]))
+            .when(F.isnan(p["kcol"].cast("double")), F.lit(p["nan_b"]))
+            .otherwise(fin)
+        )
+        p["val"] = (
+            F.coalesce(F.col(p["val_col"]).cast("double"), F.lit(0.0))
+            if p.get("val_col")
+            else F.lit(0.0)
+        )
+
+    # Bounded build job 2: every spec's per-bucket (count, sum) rollup
+    # in one explode+aggregate pass -> exclusive offsets accumulated in
+    # bucket order on the driver (<= n_specs*(nb+4) rows — bounded by
+    # the operator's bucket constant, never the data).
+    packed = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p["i"]).alias("_m"),
+                    p["bkt"].alias("_b"),
+                    p["val"].alias("_v"),
+                )
+                for p in prepped
+            ]
+        )
+    ).alias("_e")
+    totals = (
+        src.select(packed)
+        .select("_e._m", "_e._b", "_e._v")
+        .groupBy("_m", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"), F.sum("_v").alias("_s"))
+        .collect()
+    )
+    acc: dict[int, tuple[int, float]] = {p["i"]: (0, 0.0) for p in prepped}
+    offs: dict[int, tuple[list, list]] = {
+        p["i"]: ([0] * (nb + 4), [0.0] * (nb + 4)) for p in prepped
+    }
+    for row in sorted(totals, key=lambda r: (r["_m"], r["_b"])):
+        n_acc, s_acc = acc[row["_m"]]
+        roff, soff = offs[row["_m"]]
+        roff[row["_b"] + 2] = n_acc
+        soff[row["_b"] + 2] = s_acc
+        acc[row["_m"]] = (n_acc + row["_c"], s_acc + (row["_s"] or 0.0))
+
+    # rank/cum per spec = literal-array offset lookup + per-bucket
+    # window: InMemoryScan -> (per spec) ONE Exchange(_bkt_i) -> Sort ->
+    # Window -> Project, all JVM codegen, no joins.
+    out = src
+    out_names: list[str] = []
+    for p in prepped:
+        i = p["i"]
+        bcol = f"_bkt{i}"
+        out = out.withColumn(bcol, p["bkt"])
+        order = [p["kcol"].desc() if p["desc"] else p["kcol"].asc()] + [
+            F.col(t).asc() for t in p.get("tiebreak", ())
+        ]
+        w = Window.partitionBy(bcol).orderBy(*order)
+        idx = F.col(bcol) + F.lit(3)  # element_at is 1-based; buckets start at -2
+        roff, soff = offs[i]
+        n_acc, s_acc = acc[i]
+        out = out.withColumn(
+            p.get("rank_out", "i"),
+            (F.element_at(const_array(roff), idx) + F.row_number().over(w)).cast(
+                "long"
+            ),
+        )
+        out_names.append(p.get("rank_out", "i"))
+        if p.get("val_col"):
+            out = out.withColumn(
+                p.get("cum_out", "cum"),
+                F.element_at(const_array(soff), idx)
+                + F.sum(p["val"]).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            out_names.append(p.get("cum_out", "cum"))
+        if p.get("n_out"):
+            out = out.withColumn(p["n_out"], F.lit(n_acc).cast("long"))
+            out_names.append(p["n_out"])
+        if p.get("total_out"):
+            out = out.withColumn(p["total_out"], F.lit(s_acc).cast("double"))
+            out_names.append(p["total_out"])
+    return out.select(*df.columns, *out_names)
 
 
 def global_running_max(

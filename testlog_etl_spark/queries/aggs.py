@@ -959,10 +959,13 @@ def agg_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_global_paging",
     doc="deterministic keyset pagination at scale: page 3 (ranks "
     "101-150) of parts by revenue. LIMIT/OFFSET pulls offset+limit "
-    "rows into one task and re-sorts per page; the hierarchical scan "
-    "(operators/scan.py) assigns a GLOBAL rank in one range shuffle, "
-    "so any page is a filter on the rank column and deep pages cost "
-    "the same as page one. Ordering folds integral cents "
+    "rows into one task and re-sorts per page; the in-plan bucketed "
+    "scan (operators/scan.py::global_rank_inplan) assigns a GLOBAL "
+    "rank in one bucket-keyed shuffle (approx-percentile boundaries "
+    "-> order-contiguous buckets -> broadcast offsets + per-bucket "
+    "row_number; no sampling job, no driver collect, no Python "
+    "boundary), so any page is a filter on the rank column and deep "
+    "pages cost the same as page one. Ordering folds integral cents "
     "(ROUND(rev,4)*1e4) so rank order cannot drift between engines at "
     "ulp-close revenues; ties broken by l_partkey.",
     oracle="""
@@ -980,16 +983,14 @@ SELECT i, l_partkey, rev FROM k WHERE i BETWEEN 101 AND 150 ORDER BY i
     bench=True,
 )
 def topk_global_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     r = li.groupBy("l_partkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev")
     )
     ri = r.withColumn("rev_i", F.round(F.col("rev") * 10000, 0))
-    k = global_rank_cumsum(
-        ri, [F.col("rev_i").desc(), F.col("l_partkey").asc()], rank_out="i"
-    )
+    k = global_rank_inplan(ri, "rev_i", tiebreak=("l_partkey",), descending=True, rank_out="i")
     return (
         k.filter(F.col("i").between(101, 150))
         .select("i", "l_partkey", "rev")
@@ -2611,8 +2612,10 @@ def agg_binned_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quintile-scored 1..5 and customers grouped into (r,f,m) cells. "
     "The quintile needs a GLOBAL rank over a grain that scales with "
     "the data, so each metric rides operators/scan.py::"
-    "global_rank_cumsum (range shuffle + bounded driver offset merge) "
-    "-- never an unpartitioned ntile window (the window_lint rule). "
+    "global_rank_inplan (one bucket-keyed shuffle per metric; offsets "
+    "from a bounded bucket rollup, fully in-plan) -- never an "
+    "unpartitioned ntile window over the customer grain (the "
+    "window_lint rule). "
     "The score is computed EXPLICITLY from (rank, n) with integer "
     "division -- ((rank-1)*5) div n + 1 -- so both engines share the "
     "formula instead of trusting ntile remainder conventions to "
@@ -2646,7 +2649,7 @@ ORDER BY r_score, f_score, m_score
 """,
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_ranks_inplan
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     c = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
@@ -2656,9 +2659,14 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.round(F.sum("o_totalprice"), 4).alias("mon"),
     )
-    ranked = global_rank_cumsum(c, [F.col("rec").desc(), F.col("cust")], rank_out="rr", n_out="n")
-    ranked = global_rank_cumsum(ranked, [F.col("freq").desc(), F.col("cust")], rank_out="rf")
-    ranked = global_rank_cumsum(ranked, [F.col("mon").desc(), F.col("cust")], rank_out="rm")
+    ranked = global_ranks_inplan(
+        c,
+        [
+            {"key": "rec", "tiebreak": ("cust",), "descending": True, "rank_out": "rr", "n_out": "n"},
+            {"key": "freq", "tiebreak": ("cust",), "descending": True, "rank_out": "rf"},
+            {"key": "mon", "tiebreak": ("cust",), "descending": True, "rank_out": "rm"},
+        ],
+    )
     scored = ranked.select(
         "mon",
         F.expr("((rr - 1) * 5) div n + 1").alias("r_score"),

@@ -301,6 +301,94 @@ def test_global_rank_cumsum_empty_and_null_vals(spark):
     assert got == {1: (1, 0.0), 2: (2, 5.0), 3: (3, 5.0)}
 
 
+def test_global_rank_inplan_matches_range_scan(spark):
+    """r12: the in-plan bucketed rank (literal boundary/offset fold, one
+    exchange, no Python) must agree with the range-shuffle scan it
+    replaces on adversarial keys: ties, NULLs, NaNs, both directions,
+    degenerate bucket counts (fewer and far more buckets than distinct
+    keys)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.scan import (
+        global_rank_cumsum,
+        global_rank_inplan,
+    )
+
+    random.seed(7)
+    rows = []
+    for i in range(800):
+        v = random.choice([None, float("nan")] + [float(random.randint(0, 25))] * 18)
+        rows.append((i, v, float(random.randint(0, 5))))
+    df = spark.createDataFrame(rows, "id long, x double, t double")
+    for desc in (False, True):
+        for nbk in (2, 5, 64):
+            order = [F.col("x").desc() if desc else F.col("x").asc(), F.col("id").asc()]
+            old = global_rank_cumsum(
+                df, order, val_col="t", rank_out="i", cum_out="c",
+                n_out="n", total_out="tt",
+            )
+            new = global_rank_inplan(
+                df, "x", tiebreak=("id",), descending=desc, val_col="t",
+                rank_out="i", cum_out="c", n_out="n", total_out="tt",
+                num_buckets=nbk,
+            )
+            assert old.dtypes == new.dtypes
+            o = {r["id"]: (r["i"], r["c"], r["n"], r["tt"]) for r in old.collect()}
+            nw = {r["id"]: (r["i"], r["c"], r["n"], r["tt"]) for r in new.collect()}
+            assert o == nw, (desc, nbk)
+
+
+def test_global_ranks_inplan_batch_matches_chained(spark):
+    """The batched multi-spec form must equal chaining single calls."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.scan import (
+        global_rank_inplan,
+        global_ranks_inplan,
+    )
+
+    rows = [(i, float((i * 37) % 101), float((i * 13) % 17)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    chained = global_rank_inplan(
+        df, "a", tiebreak=("id",), descending=True, rank_out="ra", n_out="n",
+        num_buckets=6,
+    )
+    chained = global_rank_inplan(
+        chained, "b", tiebreak=("id",), rank_out="rb", num_buckets=6
+    )
+    batch = global_ranks_inplan(
+        df,
+        [
+            {"key": "a", "tiebreak": ("id",), "descending": True,
+             "rank_out": "ra", "n_out": "n"},
+            {"key": "b", "tiebreak": ("id",), "rank_out": "rb"},
+        ],
+        num_buckets=6,
+    )
+    c = {r["id"]: (r["ra"], r["n"], r["rb"]) for r in chained.collect()}
+    g = {r["id"]: (r["ra"], r["n"], r["rb"]) for r in batch.collect()}
+    assert c == g
+
+
+def test_global_rank_inplan_no_python_single_exchange(spark):
+    """Plan pins for the r12 rank: no Python eval node anywhere, and the
+    ranked output adds exactly ONE exchange over the (cached) input."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.scan import global_rank_inplan
+
+    df = spark.createDataFrame(
+        [(i, float(i % 9)) for i in range(500)], "id long, v double"
+    )
+    out = global_rank_inplan(df, "v", tiebreak=("id",), rank_out="i", num_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan and "FlatMapGroupsInPandas" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_global_rank_cumsum_persist_handles(spark):
     from pyspark.sql import functions as F
 

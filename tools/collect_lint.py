@@ -39,6 +39,11 @@ WHITELIST: dict[str, str] = {
     "query.py::format_cube": "cube cells bounded by edge-domain cardinality product",
     "__main__.py::_show": "CLI presentation of an already-limited frame",
     "operators/scan.py::global_rank_cumsum": "per-partition (count,sum) totals: one row per range partition",
+    "operators/scan.py::global_ranks_inplan": (
+        "boundary sketch (nb-1 quantiles/spec) + per-bucket (count,sum) "
+        "rollup: <= n_specs*(nb+4) rows, bounded by the operator's bucket "
+        "constant, never the data"
+    ),
     "operators/scan.py::global_running_max": "per-partition max totals: one row per range partition",
     "operators/packing.py::with_stream_offsets": "per-partition token totals: one row per range partition",
     "operators/edges.py::_resolve_others": "distinct edge parts capped by limit(e.limit or DEFAULT_EDGE_LIMIT)",
