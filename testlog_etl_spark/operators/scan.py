@@ -282,11 +282,24 @@ def global_ranks_inplan(
     if persist_handles is not None:
         persist_handles.append(src)
 
+    from pyspark.sql.types import DateType, DoubleType, FloatType, TimestampNTZType
+
     prepped = []
     for i, s in enumerate(specs):
         kcol = F.col(s["key"])
         desc = bool(s.get("descending"))
-        proxy = (-kcol.cast("double")) if desc else kcol.cast("double")
+        # order-preserving numeric proxy per key type: dates rank by day
+        # number, NTZ timestamps via the (UTC-pinned) instant; only
+        # float-typed keys can be NaN, so the NaN end-bucket guard is
+        # emitted for those alone.
+        ktype = df.schema[s["key"]].dataType
+        if isinstance(ktype, DateType):
+            base = F.unix_date(kcol).cast("double")
+        elif isinstance(ktype, TimestampNTZType):
+            base = kcol.cast("timestamp").cast("double")
+        else:
+            base = kcol.cast("double")
+        proxy = (-base) if desc else base
         # end buckets: asc -> nulls first (-2), NaN last (nb+1); desc ->
         # NaN first (-2), nulls last (nb+1). Finite rows: 0..nb-1.
         prepped.append(
@@ -296,6 +309,7 @@ def global_ranks_inplan(
                 "kcol": kcol,
                 "desc": desc,
                 "proxy": proxy,
+                "is_float": isinstance(ktype, (DoubleType, FloatType)),
                 "null_b": nb + 1 if desc else -2,
                 "nan_b": -2 if desc else nb + 1,
             }
@@ -312,7 +326,9 @@ def global_ranks_inplan(
     brow = src.agg(
         *[
             F.percentile_approx(
-                F.when(~F.isnan(p["kcol"].cast("double")), p["proxy"]),
+                F.when(~F.isnan(p["proxy"]), p["proxy"])
+                if p["is_float"]
+                else p["proxy"],
                 fracs,
                 F.lit(10000),
             ).alias(f"_bnds{p['i']}")
@@ -333,11 +349,10 @@ def global_ranks_inplan(
             )
         else:
             fin = F.lit(0)
-        p["bkt"] = (
-            F.when(p["kcol"].isNull(), F.lit(p["null_b"]))
-            .when(F.isnan(p["kcol"].cast("double")), F.lit(p["nan_b"]))
-            .otherwise(fin)
-        )
+        bkt = F.when(p["kcol"].isNull(), F.lit(p["null_b"]))
+        if p["is_float"]:
+            bkt = bkt.when(F.isnan(p["proxy"]), F.lit(p["nan_b"]))
+        p["bkt"] = bkt.otherwise(fin)
         p["val"] = (
             F.coalesce(F.col(p["val_col"]).cast("double"), F.lit(0.0))
             if p.get("val_col")

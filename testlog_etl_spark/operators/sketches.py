@@ -173,7 +173,9 @@ def histogram_quantile(
     return hit.select(F.col(group_col), est.alias("q_est"))
 
 
-def misra_gries_candidates(df: DataFrame, key_col: str, k: int = 200) -> DataFrame:
+def misra_gries_candidates(
+    df: DataFrame, key_col: str, k: int = 200, emit_totals: bool = False
+) -> DataFrame:
     """Per-partition Misra-Gries summaries of ``key_col`` frequency:
     at most ``k`` candidate rows (item, est) per partition, emitted by
     an Arrow-batched bounded-memory fold.
@@ -194,6 +196,14 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int = 200) -> DataFra
     many distinct keys the full column has -- the property that makes
     this viable where an exact groupBy's shuffle would carry the whole
     vocabulary. Shuffle cost of the summary: <= k rows per partition.
+
+    ``emit_totals=True`` additionally yields one NULL-item row per
+    partition carrying the partition's non-null row count in ``est``
+    (r12, guide 1.2 "don't compute things twice": callers that need
+    the global ``n`` alongside the candidates — the heavy-hitter
+    threshold — previously paid a SEPARATE full ``count()`` pass over
+    the same input; summing the sentinel rows gets it from this pass
+    for free).
     """
     from collections.abc import Iterator
 
@@ -207,10 +217,12 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int = 200) -> DataFra
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: pd.Series | None = None
+        total = 0
         for pdf in batches:
             vc = pdf[key_col].dropna().astype(str).value_counts()
             if vc.empty:
                 continue
+            total += int(vc.sum())
             counters = vc if counters is None else counters.add(vc, fill_value=0)
             if len(counters) > k:
                 cut = counters.nlargest(k + 1).iloc[-1]
@@ -219,6 +231,8 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int = 200) -> DataFra
             yield pd.DataFrame(
                 {"item": counters.index, "est": counters.to_numpy("int64")}
             )
+        if emit_totals:
+            yield pd.DataFrame({"item": [None], "est": [total]})
 
     return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
         fold, out_schema
@@ -226,7 +240,11 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int = 200) -> DataFra
 
 
 def heavy_hitters_exact(
-    df: DataFrame, key_col: str, k: int = 200, n: int | None = None
+    df: DataFrame,
+    key_col: str,
+    k: int = 200,
+    n: int | None = None,
+    return_n: bool = False,
 ) -> DataFrame:
     """EXACT frequencies of every item with count > n/k, found without
     ever shuffling the full key distribution: MG candidate generation
@@ -236,26 +254,36 @@ def heavy_hitters_exact(
     candidate set's false positives are removed by the exact filter,
     so the result is identical to the full GROUP BY ... HAVING twin.
 
-    Pass ``n`` (total non-null row count) when the caller already has
-    it -- the ``n=None`` fallback spends one EXTRA full scan on
-    ``keyed.count()`` before the verification pass (same class as the
-    r04 ``semantic_dedup`` auto-sizing nit, fixed the same way: the
-    registered query computes n once for its ``share`` column and
-    threads it through).
+    ``n`` (total non-null row count): pass it when the caller already
+    has it. With ``n=None`` (r12) the count rides the MG pass itself as
+    per-partition sentinel rows (``emit_totals``) and is summed from
+    the PERSISTED <= (k+1)*parts-row summary — before r12 the fallback
+    (and the registered query) spent one EXTRA full pass on
+    ``keyed.count()``; the input is now scanned exactly twice (MG +
+    verification), the floor for exact MG. ``return_n`` additionally
+    returns the resolved n for callers that fold it into derived
+    columns (the heavy-hitter ``share``).
     """
-    cands = misra_gries_candidates(df, key_col, k).select("item").distinct()
+    if n is None:
+        from testlog_etl_spark.util import persist_once
+
+        summ = persist_once(misra_gries_candidates(df, key_col, k, emit_totals=True))
+        n = int(
+            summ.where(F.col("item").isNull()).agg(F.sum("est")).first()[0] or 0
+        )
+        cands = summ.where(F.col("item").isNotNull()).select("item").distinct()
+    else:
+        cands = misra_gries_candidates(df, key_col, k).select("item").distinct()
     keyed = df.select(F.col(key_col).cast("string").alias("item")).where(
         F.col("item").isNotNull()
     )
-    if n is None:  # callers with the count in hand skip this scan
-        n = keyed.count()
     exact = (
         keyed.join(F.broadcast(cands), "item", "left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") * k > F.lit(n))
     )
-    return exact
+    return (exact, n) if return_n else exact
 
 
 def bitmap_words(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:

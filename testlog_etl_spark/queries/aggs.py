@@ -777,18 +777,16 @@ FROM k
 """,
 )
 def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     r = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    # global rank via the hierarchical scan (range shuffle + bounded
-    # driver merge), NOT Window.orderBy with no partitioning: the rank
-    # runs over the CUSTOMER grain, which scales with the data (~1.5e10
-    # rows at 100 TB TPC-H) -- an unpartitioned window would put the
-    # whole rollup in one task. n rides along for free.
-    k = global_rank_cumsum(
-        r, [F.col("rev").asc(), F.col("o_custkey").asc()], rank_out="i", n_out="n"
-    )
+    # global rank via the in-plan bucketed scan (r12: literal boundary/
+    # offset fold, one exchange, no Python), NOT Window.orderBy with no
+    # partitioning: the rank runs over the CUSTOMER grain, which scales
+    # with the data (~1.5e10 rows at 100 TB TPC-H) -- an unpartitioned
+    # window would put the whole rollup in one task. n rides along free.
+    k = global_rank_inplan(r, "rev", tiebreak=("o_custkey",), rank_out="i", n_out="n")
     nd = F.col("n").cast("double")
     return k.agg(
         F.any_value(F.col("n")).alias("n_customers"),
@@ -830,7 +828,7 @@ FROM c GROUP BY abc_class ORDER BY abc_class
 """,
 )
 def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     r = li.groupBy("l_partkey").agg(
@@ -844,13 +842,15 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shares of exact integrals are single IEEE ops on identical
     # operands, hence bit-identical across engines.
     ri = r.withColumn("rev_i", F.round(F.col("rev") * 10000, 0))
-    # cumulative revenue via the hierarchical scan (range shuffle +
-    # bounded driver merge), NOT an unpartitioned window: the scan runs
-    # over the PART grain, which scales with the data (~2e10 rows at
-    # 100 TB TPC-H). The grand total falls out of the same pass.
-    c = global_rank_cumsum(
+    # cumulative revenue via the in-plan bucketed scan (r12), NOT an
+    # unpartitioned window: the scan runs over the PART grain, which
+    # scales with the data (~2e10 rows at 100 TB TPC-H). The grand
+    # total falls out of the same bounded rollup.
+    c = global_rank_inplan(
         ri,
-        [F.col("rev_i").desc(), F.col("l_partkey").asc()],
+        "rev_i",
+        tiebreak=("l_partkey",),
+        descending=True,
         val_col="rev_i",
         cum_out="cum",
         total_out="tot",
@@ -1063,8 +1063,9 @@ def agg_heavyhitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.where(F.col("text").isNotNull()).select(
         F.explode(textstats.tokens(F.col("text"))).alias("term")
     )
-    n = terms.count()
-    hh = heavy_hitters_exact(terms, "term", k=500, n=n)
+    # n rides the MG summary pass (r12): the corpus is tokenized exactly
+    # twice (MG + verification) instead of three times
+    hh, n = heavy_hitters_exact(terms, "term", k=500, return_n=True)
     return hh.select(
         "item",
         "cnt",
@@ -1914,8 +1915,8 @@ def orders_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_lorenz_deciles",
     doc="Lorenz curve deciles of customer revenue (the gini query's "
-    "presentable companion): global revenue rank via the hierarchical "
-    "range-partition scan (operators/scan.py::global_rank_cumsum -- "
+    "presentable companion): global revenue rank via the in-plan "
+    "bucketed scan (operators/scan.py::global_rank_inplan -- "
     "no single-partition window; deciles from integer rank "
     "arithmetic), then the decile rollup and a 10-row cumulative "
     "share. Bottom-decile share vs top-decile share is the "
@@ -1949,15 +1950,15 @@ ORDER BY decile
 def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     cx = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
         F.sum("o_totalprice").alias("x")
     )
     handles: list = []
-    r = global_rank_cumsum(
-        cx, [F.col("x").asc(), F.col("cust").asc()], rank_out="i",
+    r = global_rank_inplan(
+        cx, "x", tiebreak=("cust",), rank_out="i",
         n_out="n", persist_handles=handles,
     )
     d = r.groupBy(F.expr("((i - 1) * 10) div n").cast("int").alias("decile")).agg(
@@ -2152,7 +2153,7 @@ ORDER BY class_1995, class_1996
 """,
 )
 def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
 
@@ -2162,9 +2163,11 @@ def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("o_custkey").alias("cust"))
             .agg(F.round(F.sum("o_totalprice") * 100, 0).alias("rev_i"))
         )
-        c = global_rank_cumsum(
+        c = global_rank_inplan(
             r,
-            [F.col("rev_i").desc(), F.col("cust").asc()],
+            "rev_i",
+            tiebreak=("cust",),
+            descending=True,
             val_col="rev_i",
             cum_out="cum",
             total_out="tot",

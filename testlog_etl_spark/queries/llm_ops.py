@@ -2747,7 +2747,7 @@ FROM c WHERE cum <= 50000 GROUP BY source ORDER BY source
 )
 def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.operators import filtering
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
@@ -2757,8 +2757,8 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "source", "doc_id", snapped.alias("s"), textstats.token_count(F.col("text")).alias("n_tok")
     )
-    c = global_rank_cumsum(
-        base, [F.col("s").desc(), F.col("doc_id").asc()], val_col="n_tok", cum_out="cum"
+    c = global_rank_inplan(
+        base, "s", tiebreak=("doc_id",), descending=True, val_col="n_tok", cum_out="cum"
     )
     return (
         c.filter(F.col("cum") <= 50000)
@@ -3018,11 +3018,11 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first_doc/100, which SCALES with the corpus (tens of millions of
     # buckets at 100 TB) -- an unpartitioned window would put them all
     # in one task (window_lint r05 catch)
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
     return (
-        global_rank_cumsum(
-            b, [F.col("bucket").asc()], val_col="new_terms", cum_out="_cum"
+        global_rank_inplan(
+            b, "bucket", val_col="new_terms", cum_out="_cum"
         )
         .select("bucket", "new_terms", F.col("_cum").cast("long").alias("vocab_size"))
         .orderBy("bucket")
@@ -3746,8 +3746,8 @@ def dedup_jaccard_prefixfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_balanced_shards",
     doc="balanced training-shard assignment: docs ranked by token count "
-    "(desc, doc_id ties) via the hierarchical global scan "
-    "(operators/scan.py::global_rank_cumsum -- no single-partition "
+    "(desc, doc_id ties) via the in-plan bucketed global scan "
+    "(operators/scan.py::global_rank_inplan -- no single-partition "
     "window), then dealt round-robin into 16 shards: sorted round-"
     "robin is the classic near-LPT heuristic, largest items spread "
     "first so shard token totals stay within one max-doc of each "
@@ -3777,7 +3777,7 @@ ORDER BY shard
 """,
 )
 def corpus_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
     from testlog_etl_spark.util import persist_once
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -3785,9 +3785,11 @@ def corpus_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(textstats.tokens(F.col("text"))).alias("n_tok")
     )
     handles: list = []
-    r = global_rank_cumsum(
+    r = global_rank_inplan(
         d,
-        [F.col("n_tok").desc(), F.col("doc_id")],
+        "n_tok",
+        tiebreak=("doc_id",),
+        descending=True,
         rank_out="i",
         persist_handles=handles,
     )
@@ -6694,15 +6696,17 @@ FROM d, tot ORDER BY decile
 """,
 )
 def eval_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     s = docs.select(
         "doc_id", "n_chars", (F.col("lang") == "en").cast("int").alias("y")
     )
-    ranked = global_rank_cumsum(
+    ranked = global_rank_inplan(
         s,
-        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        "n_chars",
+        tiebreak=("doc_id",),
+        descending=True,
         val_col="y",
         rank_out="i",
         cum_out="cum",
@@ -7268,14 +7272,14 @@ ORDER BY i
 """,
 )
 def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     base = orders.select(
         "o_orderkey", F.col("o_orderdate").cast("date").alias("day"), "o_orderdate"
     )
-    r = global_rank_cumsum(
-        base, [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()], rank_out="i"
+    r = global_rank_inplan(
+        base, "o_orderdate", tiebreak=("o_orderkey",), rank_out="i"
     )
     return (
         r.filter(F.pmod(F.col("i") - 17, F.lit(100)) == 0)
@@ -7557,7 +7561,7 @@ FROM cells
 )
 def eval_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.operators import filtering
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
@@ -7569,8 +7573,8 @@ def eval_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.least(F.floor(score * 5).cast("int"), F.lit(4)).alias("a"),
     )
-    r = global_rank_cumsum(
-        s, [F.col("n_chars").asc(), F.col("doc_id").asc()], rank_out="i", n_out="n_tot"
+    r = global_rank_inplan(
+        s, "n_chars", tiebreak=("doc_id",), rank_out="i", n_out="n_tot"
     ).select("a", F.expr("cast((i - 1) * 5 div n_tot as int)").alias("b"))
     o = r.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
     ma = o.groupBy("a").agg(F.sum("o").alias("na"))
@@ -7640,7 +7644,7 @@ FROM c, tot
 )
 def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.operators import filtering
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_ranks_inplan
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
@@ -7651,18 +7655,16 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.groupBy("score").agg(F.sum("y").alias("np"), F.count(F.lit(1)).alias("n"))
     # cumulate positives and totals in score-DESC order via the scan:
     # the distinct-score grain scales with the 2^20 grid occupancy
-    c = global_rank_cumsum(
-        g.withColumn("_np", F.col("np").cast("double")),
-        [F.col("score").desc()],
-        val_col="_np",
-        cum_out="cum_p",
-    )
-    c2 = global_rank_cumsum(
-        c.withColumn("_n", F.col("n").cast("double")).drop("i"),
-        [F.col("score").desc()],
-        val_col="_n",
-        rank_out="i2",
-        cum_out="cum_n",
+    c2 = global_ranks_inplan(
+        g.withColumn("_np", F.col("np").cast("double")).withColumn(
+            "_n", F.col("n").cast("double")
+        ),
+        [
+            {"key": "score", "descending": True, "val_col": "_np",
+             "cum_out": "cum_p"},
+            {"key": "score", "descending": True, "val_col": "_n",
+             "rank_out": "i2", "cum_out": "cum_n"},
+        ],
     )
     tot = g.agg(F.sum("np").alias("p"))
     return (

@@ -3489,12 +3489,13 @@ FROM k
 """,
 )
 def stats_median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
-    ranked = global_rank_cumsum(
+    ranked = global_rank_inplan(
         orders.select(F.col("o_totalprice").alias("v"), "o_orderkey"),
-        [F.col("v"), F.col("o_orderkey")],
+        "v",
+        tiebreak=("o_orderkey",),
         rank_out="i",
         n_out="n",
     )
@@ -3880,9 +3881,9 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the data (doubles are near-unique), so an unpartitioned
     # window here is exactly what window_lint forbids. cum is an exact
     # integer in double form, so avg_rank is engine-exact.
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
-    r = global_rank_cumsum(v, [F.col("x").asc()], val_col="t", cum_out="_cum").select(
+    r = global_rank_inplan(v, "x", val_col="t", cum_out="_cum").select(
         "x",
         "t",
         (F.col("_cum") - F.col("t") + (F.col("t") + 1) / 2.0).alias("avg_rank"),
@@ -4465,14 +4466,14 @@ FROM s
 """,
 )
 def stats_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_inplan
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     v = orders.select(
         F.round("o_totalprice", 0).cast("long").alias("x"), "o_orderkey"
     )
-    r = global_rank_cumsum(
-        v, [F.col("x").asc(), F.col("o_orderkey").asc()], rank_out="i", n_out="n"
+    r = global_rank_inplan(
+        v, "x", tiebreak=("o_orderkey",), rank_out="i", n_out="n"
     )
     s = r.agg(
         F.max("n").alias("n"),
