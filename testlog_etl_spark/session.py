@@ -47,6 +47,16 @@ def get_spark(app_name: str = "spark-jx", shuffle_partitions: int | None = None)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r12: let AQE (incl. partition coalescing) apply to CACHED plan
+        # materialization too -- off by default, which froze every
+        # persisted rollup at the static shuffle partition count (32
+        # cache blocks for a 20k-row frame; every cached traverse then
+        # costs 32 tasks). Scale-correct on a cluster for the same
+        # reason: cached intermediates coalesce to advisory-sized
+        # blocks instead of inheriting the raw shuffle fan-out.
+        # Explicit repartition(n)/repartitionByRange(n) calls keep
+        # their user-specified partitioning (AQE never coalesces those).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         # runtime Bloom-filter pruning for selective fact-fact joins: the
         # filtered build side seeds a bloom filter that prunes the probe
         # scan pre-shuffle. Off by default in OSS Spark; the size

@@ -577,15 +577,21 @@ def test_orc_roundtrip_read_is_partition_pruned(spark, tmp_path):
 def test_gini_and_pareto_have_no_unpartitioned_window(spark):
     # VERDICT r04 "what's wrong" #1: these two ranked/cumulative scans
     # run over grains that SCALE with the data (customer, part), so the
-    # plan must show the hierarchical scan (range partitioning) and no
-    # unpartitioned window. (The keyless FINAL aggregate still plans a
-    # one-row SinglePartition merge -- that is partial+final and fine.)
+    # plan must show a KEYED rank exchange and no unpartitioned window.
+    # (The keyless FINAL aggregate still plans a one-row SinglePartition
+    # merge -- that is partial+final and fine.) r12: the rank moved from
+    # the range-shuffle scan to the in-plan bucketed rank
+    # (operators/scan.py::global_rank_inplan) -- the exchange is now
+    # hashpartitioning on the bucket column and the mapInArrow rank
+    # transport is gone (no Python node anywhere in the plan).
     from testlog_etl_spark.planlint import unpartitioned_windows
 
     for name in ("agg_gini_concentration", "agg_abc_pareto"):
         df = _q(name)(spark, SF_SMALL)
         assert unpartitioned_windows(df) == [], name
-        assert "rangepartitioning" in plan_of(df).lower(), name
+        plan = plan_of(df)
+        assert "hashpartitioning(_bkt" in plan, name
+        assert "MapInArrow" not in plan and "BatchEvalPython" not in plan, name
 
 
 def test_vocab_growth_has_no_unpartitioned_window(spark):
@@ -595,7 +601,10 @@ def test_vocab_growth_has_no_unpartitioned_window(spark):
 
     df = _q("text_vocab_growth")(spark, SF_SMALL)
     assert unpartitioned_windows(df) == []
-    assert "rangepartitioning" in plan_of(df).lower()
+    # r12: in-plan bucketed rank (bucket-hash exchange, zero Python)
+    plan = plan_of(df)
+    assert "hashpartitioning(_bkt" in plan
+    assert "MapInArrow" not in plan and "BatchEvalPython" not in plan
 
 
 def test_sweep_concurrency_window_path_has_no_join(spark):
@@ -924,9 +933,16 @@ def test_viterbi_fold_is_pure_codegen(spark):
 
 def test_gains_table_has_no_window(spark):
     # eval_lift_gains_table's whole point: deciles from scan-rank
-    # arithmetic, never an unpartitioned NTILE/Window over the docs
-    plan = plan_of(_q("eval_lift_gains_table")(spark, SF_SMALL))
-    assert "Window" not in plan
+    # arithmetic, never an unpartitioned NTILE/Window over the docs.
+    # r12: the in-plan bucketed rank DOES plan a window, but a
+    # bucket-PARTITIONED one (the scale-safe shape); the pin is
+    # "no unpartitioned window, no ntile", not "no window node".
+    from testlog_etl_spark.planlint import unpartitioned_windows
+
+    df = _q("eval_lift_gains_table")(spark, SF_SMALL)
+    assert unpartitioned_windows(df) == []
+    plan = plan_of(df)
+    assert "hashpartitioning(_bkt" in plan
     assert "ntile" not in plan.lower()
 
 
