@@ -180,17 +180,21 @@ def minhash_lsh_pairs(
     band expression must reference a materialized signature column, or
     projection collapse would inline the 128-element signature array
     into each of the 64 band keys (a 128x expression blow-up, measured
-    ~100x slower). The banding self-join carries only (id, band) pairs;
-    shingle sets rejoin only for surviving candidates.
+    ~100x slower). Candidates come from ONE (band_idx, band_key) groupBy
+    carrying only (band, id) -- each bucket's pairs are expanded in
+    place (r12; the previous band self-join traversed the banded frame
+    twice and moved it twice); shingle sets rejoin only for surviving
+    candidates.
 
     Hot-band valve: a band key shared by k docs yields k^2/2 candidates
-    from the self-join, so a boilerplate-heavy corpus (k near-identical
-    docs) can explode candidate volume even though every other shuffle
-    is linear. ``max_block`` caps it -- a band bucket larger than the
-    cap is either DROPPED (default: a documented recall valve, the same
-    contract as ``hamming_join``'s cap and the postings ``max_df``) or,
-    with ``chain_oversized=True``, replaced by k-1 consecutive-id
-    candidate edges (ids sorted within the bucket). Chain mode is meant
+    from the bucket expansion, so a boilerplate-heavy corpus (k
+    near-identical docs) can explode candidate volume even though every
+    other shuffle is linear. ``max_block`` caps it -- a band bucket
+    larger than the cap is either DROPPED (default: a documented recall
+    valve, the same contract as ``hamming_join``'s cap and the postings
+    ``max_df``) or, with ``chain_oversized=True``, replaced by k-1
+    consecutive-id candidate edges (ids sorted within the bucket).
+    Chain mode is meant
     for the duplicate-GROUP path: only a spanning pair set is needed
     there, and near-identical docs -- the only way a band gets hot --
     verify pairwise along the chain, so connected components are
@@ -214,29 +218,52 @@ def minhash_lsh_pairs(
     )
     bands = sigs.select("_id", F.posexplode("_bands").alias("_band_idx", "_band_key"))
 
+    # Candidate generation (r12, guide 2.4 "remove shuffles outright"):
+    # ONE groupBy(band) + in-bucket pair expansion replaces the band
+    # SELF-JOIN. The join form scanned the banded frame twice and moved
+    # it twice (locally: probe pass + a full broadcast build of every
+    # (id, band) row; at cluster scale: a sort-merge join shuffling BOTH
+    # sides); the aggregate form shuffles the same (band, id) rows
+    # exactly once -- map-side partial collect_list -- and emits each
+    # bucket's C(k,2) pairs in place. The candidate SET is identical by
+    # construction (all unordered pairs sharing a bucket, ids sorted so
+    # id_a < id_b), so the verify stage and the operator contract are
+    # unchanged. Pair expansion is two PIPELINED Generates (anchor
+    # posexplode, then explode of the per-anchor tail slice): no k^2
+    # array is ever materialized per row -- peak per-row state is O(k),
+    # the same concentration bound the old per-bucket Window count had,
+    # and the hot-bucket k^2 OUTPUT volume valve (max_block) applies
+    # before expansion exactly as before (count = size of the bucket,
+    # no Window needed).
+    buckets = bands.groupBy("_band_idx", "_band_key").agg(
+        F.array_sort(F.collect_list("_id")).alias("_ids")
+    )
+
     chain_cand = None
     if max_block is not None:
-        from pyspark.sql import Window
-
-        # one shuffle on the band key (the same partitioning the
-        # self-join needs anyway); the count and the lag share it
-        w_cnt = Window.partitionBy("_band_idx", "_band_key")
-        bands = bands.withColumn("_bn", F.count(F.lit(1)).over(w_cnt))
         if chain_oversized:
-            w_ord = w_cnt.orderBy("_id")
+            # k-1 consecutive-id edges over the sorted bucket ids
             chain_cand = (
-                bands.filter(F.col("_bn") > int(max_block))
-                .withColumn("_prev", F.lag("_id").over(w_ord))
-                .filter(F.col("_prev").isNotNull())
-                .select(F.col("_prev").alias("id_a"), F.col("_id").alias("id_b"))
+                buckets.filter(F.size("_ids") > int(max_block))
+                .select(
+                    F.explode(
+                        F.zip_with(
+                            F.slice(F.col("_ids"), 1, F.size("_ids") - 1),
+                            F.slice(F.col("_ids"), 2, F.size("_ids") - 1),
+                            lambda a, b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        )
+                    ).alias("_p")
+                )
+                .select("_p.id_a", "_p.id_b")
             )
-        bands = bands.filter(F.col("_bn") <= int(max_block)).drop("_bn")
+        buckets = buckets.filter(F.size("_ids") <= int(max_block))
 
-    cand = (
-        bands.select(F.col("_id").alias("id_a"), "_band_idx", "_band_key")
-        .join(bands.select(F.col("_id").alias("id_b"), "_band_idx", "_band_key"), ["_band_idx", "_band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    anchored = buckets.filter(F.size("_ids") >= 2).select(
+        F.posexplode("_ids").alias("_i", "id_a"), "_ids"
+    )
+    cand = anchored.select(
+        "id_a",
+        F.explode(F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))).alias("id_b"),
     )
     if chain_cand is not None:
         cand = cand.unionByName(chain_cand)
@@ -318,11 +345,29 @@ def simhash_pairs(
             )
         ).alias("_chunk_idx", "_chunk"),
     )
-    left = chunks.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "_chunk_idx", "_chunk")
-    right = chunks.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "_chunk_idx", "_chunk")
+    # candidates from ONE (chunk_idx, chunk) groupBy + in-bucket pair
+    # expansion (r12, guide 2.4): the previous left/right self-join
+    # scanned and moved the chunk table twice; this shuffles it once.
+    # structs sort by leading _id (unique), so pairs come out id_a <
+    # id_b exactly as the old join filter produced. Two pipelined
+    # Generates keep per-row state O(bucket), never bucket^2.
+    buckets = chunks.groupBy("_chunk_idx", "_chunk").agg(
+        F.array_sort(F.collect_list(F.struct("_id", "_sig"))).alias("_ms")
+    )
+    anchored = buckets.filter(F.size("_ms") >= 2).select(
+        F.posexplode("_ms").alias("_i", "_a"), "_ms"
+    )
     return (
-        left.join(right, ["_chunk_idx", "_chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        anchored.select(
+            "_a",
+            F.explode(F.slice(F.col("_ms"), F.col("_i") + 2, F.size("_ms"))).alias("_b"),
+        )
+        .select(
+            F.col("_a._id").alias("id_a"),
+            F.col("_b._id").alias("id_b"),
+            F.col("_a._sig").alias("sig_a"),
+            F.col("_b._sig").alias("sig_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= max_hamming)
@@ -409,21 +454,32 @@ def hamming_join(
             )
         ).alias("_c"),
     ).select("_id", "_key", F.col("_c.idx").alias("_idx"), F.col("_c.txt").alias("_txt"))
-    if max_block is not None:
-        from pyspark.sql import Window
-
-        w_cnt = F.count(F.lit(1)).over(Window.partitionBy("_idx", "_txt"))
-        chunks = chunks.withColumn("_bn", w_cnt).filter(F.col("_bn") <= int(max_block)).drop("_bn")
-    a = chunks.select(
-        F.col("_id").alias("a_id"), F.col("_key").alias("_ka"), "_idx", "_txt"
+    # candidates from ONE (idx, txt) groupBy + in-bucket pair expansion
+    # (r12, guide 2.4): replaces the a/b self-join (two traverses, two
+    # movements of the chunk table) with a single shuffle; the hot-block
+    # valve becomes a size filter on the bucket (same semantics as the
+    # old per-block Window count: an oversized block contributes no
+    # candidates, its rows still pair via their other chunks). Structs
+    # sort by leading _id (unique) so pairs come out a_id < b_id.
+    buckets = chunks.groupBy("_idx", "_txt").agg(
+        F.array_sort(F.collect_list(F.struct("_id", "_key"))).alias("_ms")
     )
-    b = chunks.select(
-        F.col("_id").alias("b_id"), F.col("_key").alias("_kb"), "_idx", "_txt"
+    if max_block is not None:
+        buckets = buckets.filter(F.size("_ms") <= int(max_block))
+    anchored = buckets.filter(F.size("_ms") >= 2).select(
+        F.posexplode("_ms").alias("_i", "_a"), "_ms"
     )
     cand = (
-        a.join(b, ["_idx", "_txt"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "_ka", "_kb")
+        anchored.select(
+            "_a",
+            F.explode(F.slice(F.col("_ms"), F.col("_i") + 2, F.size("_ms"))).alias("_b"),
+        )
+        .select(
+            F.col("_a._id").alias("a_id"),
+            F.col("_b._id").alias("b_id"),
+            F.col("_a._key").alias("_ka"),
+            F.col("_b._key").alias("_kb"),
+        )
         .distinct()
     )
     # positionwise compare as one SQL higher-order expression (stays in
@@ -493,24 +549,37 @@ def editdist1_pairs(
     exploded = keys.select(
         "_id", "_key", F.explode(variants).alias("_v")
     ).select("_id", "_key", F.xxhash64("_v").alias("_vh"))
+    # candidates from ONE variant-hash groupBy + in-bucket pair
+    # expansion (r12, guide 2.4): replaces the self-join (two traverses
+    # and two movements of the neighborhood table) with a single
+    # shuffle; the hot-variant valve becomes a bucket size filter (same
+    # semantics as the old per-variant Window count). Structs sort by
+    # leading _id (unique), so pairs come out id_a < id_b exactly as
+    # the old join condition produced.
+    buckets = exploded.groupBy("_vh").agg(
+        F.array_sort(F.collect_list(F.struct("_id", "_key"))).alias("_ms")
+    )
     if max_block is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("_vh")
-        exploded = (
-            exploded.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= int(max_block))
-            .drop("_bn")
-        )
-    a, b = exploded.alias("a"), exploded.alias("b")
+        buckets = buckets.filter(F.size("_ms") <= int(max_block))
+    anchored = buckets.filter(F.size("_ms") >= 2).select(
+        F.posexplode("_ms").alias("_i", "_a"), "_ms"
+    )
     cand = (
-        a.join(b, (F.col("a._vh") == F.col("b._vh")) & (F.col("a._id") < F.col("b._id")))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._key").alias("key_a"),
-            F.col("b._key").alias("key_b"),
+        anchored.select(
+            "_a",
+            F.explode(F.slice(F.col("_ms"), F.col("_i") + 2, F.size("_ms"))).alias("_b"),
         )
+        .select(
+            F.col("_a._id").alias("id_a"),
+            F.col("_b._id").alias("id_b"),
+            F.col("_a._key").alias("key_a"),
+            F.col("_b._key").alias("key_b"),
+        )
+        # id_a < id_b guards the (astronomically unlikely) case of two
+        # DISTINCT variants of one key colliding into the same 64-bit
+        # bucket, which would otherwise emit a self-pair the old join's
+        # a._id < b._id condition excluded
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     return cand.filter(F.levenshtein("key_a", "key_b") <= 1)
