@@ -285,9 +285,9 @@ def lsh_topk(
     cast = lambda c: F.col(c).cast("array<double>")  # noqa: E731
     table_idx = F.lit(list(range(n_tables)))
 
-    # vectors + norms are materialized ONCE per side; the band self-join and
-    # the multi-table dedup below move only (id, table, sig) triples — wide
-    # embedding arrays must never ride through those shuffles
+    # vectors + norms are materialized ONCE per side; every shuffle below
+    # moves only (q_id, c_id, cosine) scalars — wide embedding arrays
+    # must never ride through an exchange
     c_side = persist_once(
         spread(corpus.select(F.col(c_id), cast(c_vec).alias("_cv"))).withColumn(
             "_cn", l2_norm(F.col("_cv"))
@@ -299,29 +299,38 @@ def lsh_topk(
         )
     )
 
-    def bucketed(df: DataFrame, id_col: str, vec_expr: Column) -> DataFrame:
+    def bucketed(df: DataFrame, id_col: str, vec_expr: Column, *carry: str) -> DataFrame:
         sigs = (
-            df.select(F.col(id_col), vec_expr.alias("_v"))
+            df.select(F.col(id_col), *[F.col(c) for c in carry], vec_expr.alias("_v"))
             .withColumn("_planes", planes_lit)
             .withColumn("_sigs", F.expr(sig_sql))
         )
         z = F.explode(F.arrays_zip(table_idx.alias("t"), F.col("_sigs").alias("sig")))
-        return sigs.select(id_col, z.alias("_b")).select(
-            id_col, F.col("_b.t").alias("_table"), F.col("_b.sig").alias("_sig")
+        return sigs.select(id_col, *carry, z.alias("_b")).select(
+            id_col, *carry, F.col("_b.t").alias("_table"), F.col("_b.sig").alias("_sig")
         )
 
-    # a pair colliding in multiple tables must be scored once
+    # Candidates are scored IN PLACE at the band join (r12, guide 2.3
+    # "shuffle keys and metadata instead of payloads"/8.4): the corpus
+    # bands carry the corpus vector through the PIPELINE only — the band
+    # join broadcasts the (id, table, sig) query bands and the query
+    # vectors, so the corpus side never shuffles at all — and the
+    # multi-table collision dedup aggregates (q_id, c_id, cosine)
+    # scalars instead of re-joining candidate ids against the corpus
+    # vectors (the old rejoin hashed the corpus by id at cluster scale:
+    # a full vector shuffle). A pair colliding in several tables scores
+    # identically in each (same two vectors, same codegen'd expression),
+    # so max() == the old score-once value.
     cands = (
-        bucketed(c_side, c_id, F.col("_cv"))
+        bucketed(c_side, c_id, F.col("_cv"), "_cv", "_cn")
         .join(F.broadcast(bucketed(q_side, q_id, F.col("_qv"))), on=["_table", "_sig"])
         .filter(F.col(q_id) != F.col(c_id))
-        .select(q_id, c_id)
-        .dropDuplicates([q_id, c_id])
     )
     scored = (
-        cands.join(c_side, c_id)
-        .join(F.broadcast(q_side), q_id)
+        cands.join(F.broadcast(q_side), q_id)
         .select(q_id, c_id, (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"))
+        .groupBy(q_id, c_id)
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -697,24 +706,51 @@ def semantic_dedup(
         .withColumn("_n", l2_norm(F.col("_v")))
         .select(id_col, "_sig", "_v", "_n")
     )
-    a = side.select(
-        F.col(id_col).alias("_id_a"), F.col("_sig"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    # ONE cell shuffle, zero joins (r12, guide 2.4): a vector lives in
+    # exactly one cell (single-table signature), so every pair involving
+    # a given id forms inside that id's cell — the old plan's cell
+    # SELF-JOIN (vectors shuffled once per side), pair filter, and
+    # second (exemplar groupBy) exchange all collapse into one
+    # groupBy(_sig) collecting each cell id-sorted, plus a per-member
+    # fold over its EARLIER members: ids ascend, so the first earlier
+    # member at/above threshold IS the min-id exemplar the old
+    # min(struct(id, cos)) aggregation selected. Operand order in the
+    # cosine is unchanged (lower-id vector first), so scores are
+    # bit-identical. Per-cell state is O(|cell| * dim) — the same
+    # concentration bound the self-join's per-key hash buckets had —
+    # and the fold does the identical sum(|cell|^2)/2 comparisons.
+    id_type = df.schema[id_col].dataType
+    buckets = side.groupBy("_sig").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("_id"), F.col("_n"), F.col("_v")))
+        ).alias("_ms")
     )
-    b = side.select(
-        F.col(id_col).alias("_id_b"), F.col("_sig"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    member = buckets.filter(F.size("_ms") >= 2).select(
+        F.posexplode("_ms").alias("_i", "_mb"), "_ms"
     )
-    pairs = (
-        a.join(b, on="_sig")
-        .filter(F.col("_id_a") < F.col("_id_b"))
-        .withColumn("_cos", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
-        .filter(F.col("_cos") >= F.lit(threshold))
+
+    def _cos(m: Column) -> Column:
+        return dot(m["_v"], F.col("_mb._v")) / (m["_n"] * F.col("_mb._n"))
+
+    fold = F.aggregate(
+        F.slice(F.col("_ms"), 1, F.col("_i")),
+        F.struct(
+            F.lit(None).cast(id_type).alias("_a"), F.lit(None).cast("double").alias("_c")
+        ),
+        lambda acc, m: F.when(acc["_a"].isNotNull(), acc).otherwise(
+            F.when(
+                _cos(m) >= F.lit(threshold),
+                F.struct(m["_id"].alias("_a"), _cos(m).alias("_c")),
+            ).otherwise(acc)
+        ),
     )
-    # per dropped id: exemplar = the SMALLEST lower id over threshold
-    # (min of (id_a, cos) structs -- deterministic, ties impossible on id)
     return (
-        pairs.groupBy(F.col("_id_b").alias(id_col))
-        .agg(F.min(F.struct(F.col("_id_a"), F.col("_cos"))).alias("_m"))
-        .select(id_col, F.col("_m._id_a").alias("exemplar"), F.col("_m._cos").alias("cosine"))
+        member.select(
+            F.col("_mb._id").alias(id_col),
+            fold["_a"].alias("exemplar"),
+            fold["_c"].alias("cosine"),
+        )
+        .filter(F.col("exemplar").isNotNull())
     )
 
 
