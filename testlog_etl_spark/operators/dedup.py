@@ -113,14 +113,17 @@ def duplicated_gram_positions(
         F.col(id_col), F.posexplode(grams).alias("_pos", "_h")
     )
     # cross-doc: the hash occurs in >= 2 distinct docs (intra-doc repeats
-    # alone do not make a gram "duplicated" for corpus dedup purposes)
-    dup = (
-        g.groupBy("_h")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("_h")
+    # alone do not make a gram "duplicated" for corpus dedup purposes).
+    # min(id) != max(id) over the hash partition is that predicate with
+    # constant per-key state, and it shares ONE exchange with the rows
+    # it filters (r12, guide 2.4) -- the previous count_distinct rollup
+    # + join-back moved the gram table through two full shuffles.
+    w = Window.partitionBy("_h")
+    return (
+        g.withColumn("_cross", F.min(F.col(id_col)).over(w) != F.max(F.col(id_col)).over(w))
+        .filter(F.col("_cross"))
+        .select(F.col(id_col), F.col("_pos").alias("pos"))
     )
-    return g.join(dup, "_h").select(F.col(id_col), F.col("_pos").alias("pos"))
 
 
 def substring_spans(

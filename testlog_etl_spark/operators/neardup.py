@@ -612,9 +612,14 @@ def jaccard_pairs_prefix_filtered(
     join's build side per key stays proportional to RARE-token df.
     """
     tok = d.select(F.col(id_col).alias("_id"), F.explode(sh_col).alias("_s"))
-    df_ = tok.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    # doc frequency as a window count sharing the token exchange (r12,
+    # guide 2.4): the previous groupBy rollup + join-back shuffled the
+    # token table twice to attach a per-token count it can carry out of
+    # one partitionBy("_s") exchange
+    from pyspark.sql import Window as _W
+
     arr = (
-        tok.join(df_, "_s")
+        tok.withColumn("_df", F.count(F.lit(1)).over(_W.partitionBy("_s")))
         .groupBy("_id")
         .agg(F.array_sort(F.collect_list(F.struct("_df", "_s"))).alias("_arr"))
     )

@@ -254,14 +254,34 @@ def phrase_search(
     pos = docs.select(
         F.col(id_col).alias("_doc"), F.posexplode(terms).alias("_p", "_term")
     )
-    joined: DataFrame | None = None
+    # ONE (doc, anchor) shuffle instead of a |phrase|-way join chain
+    # (r12, guide 2.4): each occurrence of a phrase term emits (anchor =
+    # position - slot, slot) for every slot that term fills in the
+    # phrase, and an anchor is a match iff all |phrase| distinct slots
+    # arrive -- the same anchor-alignment argument as the join form
+    # (positions are unique per doc, so each (doc, anchor, slot) arrives
+    # at most once), with the per-term occurrence volume shuffled once
+    # rather than once per join input.
+    slot_map: dict[str, list[int]] = {}
     for i, term in enumerate(phrase):
-        side = pos.filter(F.col("_term") == term).select(
-            "_doc", (F.col("_p") - F.lit(i)).alias("_anchor")
+        slot_map.setdefault(term, []).append(i)
+    slots = None
+    for term, offs in slot_map.items():
+        arr = F.array(*[F.lit(int(i)) for i in offs])
+        slots = F.when(F.col("_term") == term, arr) if slots is None else slots.when(
+            F.col("_term") == term, arr
         )
-        joined = side if joined is None else joined.join(side, ["_doc", "_anchor"])
-    return joined.groupBy(F.col("_doc").alias(id_col)).agg(
-        F.count(F.lit(1)).alias("n_matches")
+    anch = (
+        pos.filter(F.col("_term").isin(list(slot_map)))
+        .select("_doc", "_p", F.explode(slots).alias("_i"))
+        .select("_doc", (F.col("_p") - F.col("_i")).alias("_anchor"), "_i")
+    )
+    return (
+        anch.groupBy("_doc", "_anchor")
+        .agg(F.count_distinct("_i").alias("_k"))
+        .filter(F.col("_k") == len(phrase))
+        .groupBy(F.col("_doc").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
     )
 
 

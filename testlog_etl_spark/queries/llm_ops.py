@@ -12,7 +12,7 @@ there is no SQL twin; tests/test_llm_ops.py pins behavior instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from testlog_etl_spark import oracles as osql
@@ -1367,13 +1367,18 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     terms = docs.select("doc_id", F.explode(textstats.tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window count sharing one term exchange (r12, guide 2.4):
+    # the groupBy rollup + join-back either broadcast the FULL
+    # vocabulary (unbounded at corpus scale) or reshuffled tf a second
+    # time; the window moves tf by term exactly once with constant
+    # per-key state
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     score = F.round(
         F.col("tf") * F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), R
     )
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", dfw)
         .join(F.broadcast(n))
         .select("term", "doc_id", score.alias("score"))
         .orderBy(F.desc("score"), "term", "doc_id")
@@ -4789,10 +4794,17 @@ def sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(textstats.tokens(F.col("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # r12 (guide 2.4): df and the doc norm attach as WINDOW aggregates
+    # (one term exchange, one doc exchange) instead of two rollup +
+    # join-back pairs, and the term self-join becomes one groupBy(term)
+    # + in-bucket pair expansion (the df <= 100 rare-term cap bounds
+    # every bucket, so per-term state is <= 100 structs). Norms ride
+    # the bucket rows as one extra double, so the two post-aggregation
+    # norm joins disappear: after tf, the whole query is three
+    # exchanges (term window, doc window, pair rollup) and zero joins.
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     w = (
-        tf.join(dfq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .filter(F.col("df") <= 100)
         .crossJoin(F.broadcast(n))
         .select(
@@ -4806,21 +4818,31 @@ def sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    a = w.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
-    b = w.select(F.col("doc_id").alias("id_b"), F.col("term").alias("t2"), F.col("w").alias("wb"))
-    p = (
-        a.join(b, (F.col("term") == F.col("t2")) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    wn = w.withColumn(
+        "nrm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc_id")))
     )
-    na = nrm.select(F.col("doc_id").alias("_a"), F.col("nrm").alias("na"))
-    nb = nrm.select(F.col("doc_id").alias("_b"), F.col("nrm").alias("nb"))
+    buckets = wn.groupBy("term").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "w", "nrm"))).alias("_ms")
+    )
+    anchored = buckets.filter(F.size("_ms") >= 2).select(
+        F.posexplode("_ms").alias("_i", "_a"), "_ms"
+    )
+    pairs = anchored.select(
+        "_a",
+        F.explode(F.slice(F.col("_ms"), F.col("_i") + 2, F.size("_ms"))).alias("_b"),
+    ).select(
+        F.col("_a.doc_id").alias("id_a"),
+        F.col("_b.doc_id").alias("id_b"),
+        (F.col("_a.w") * F.col("_b.w")).alias("_ww"),
+        F.col("_a.nrm").alias("na"),
+        F.col("_b.nrm").alias("nb"),
+    )
+    p = pairs.groupBy("id_a", "id_b").agg(
+        F.sum("_ww").alias("dot"), F.first("na").alias("na"), F.first("nb").alias("nb")
+    )
     cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
     return (
-        p.join(na, F.col("id_a") == F.col("_a"))
-        .join(nb, F.col("id_b") == F.col("_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
+        p.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.3)
         .orderBy("id_a", "id_b")
     )
