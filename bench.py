@@ -65,12 +65,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, case in cases.items():
         best = float("inf")
-        for _ in range(reps):
+        for rep in range(reps):
+            # label the jobs (guide 1.5) so UI/eventlog profiles attribute
+            # every stage to its query without statusTracker bookkeeping
+            spark.sparkContext.setJobDescription(f"bench:{name} rep{rep}")
             t0 = time.perf_counter()
             # noop sink executes the complete plan (incl. ordering) without
             # driver-side collection
             case.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
         timings[name] = round(best, 3)
         # r12 measurement fix (guide 5 "unpersist when done"): drop the
         # query's persisted intermediates before the next query starts.

@@ -23,7 +23,7 @@ SHOWCASE = [
     ("q5_local_supplier_volume", "star join: BroadcastHashJoin only on fixed dims; facts AQE-selected"),
     ("q21_suppliers_kept_waiting", "EXISTS/NOT-EXISTS as window aggregates over ONE orderkey exchange"),
     ("q19_disjunctive_revenue", "OR-of-ANDs keeps the extracted equi-conjunct: hash join, not BNLJ"),
-    ("dedup_minhash_lsh", "band self-join moves (id, band) only; shingles never ride an exchange"),
+    ("dedup_minhash_lsh", "band groupBy + in-bucket pair expansion moves (id, band) once; shingles never ride an exchange"),
     ("sim_lsh_topk", "(table, sig) equi-join candidates; vectors rejoin after pair dedup"),
     ("dedup_semantic", "cell equi-join; vector crosses its one exchange once per side"),
     ("sessionize_batch", "per-user window chain over one exchange; session ids via running sum"),
