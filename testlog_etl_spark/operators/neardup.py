@@ -159,6 +159,13 @@ CORPUS_SCALE_PROFILE: dict[str, dict] = {
     "hamming_join": {"max_block": 64},
     "editdist1_pairs": {"max_block": 64},
     "build_postings": {"max_df": 64},  # operators/postings.py
+    # one cell exchange, zero joins: half the vector shuffle bytes of
+    # the default join mode -- wins once shuffle, not per-pair CPU,
+    # dominates (operators/similarity.py::semantic_dedup; r12
+    # measurement note there). Unlike the caps above this is NOT a
+    # recall trade: both modes produce identical output
+    # (differential-tested).
+    "semantic_dedup": {"pair_mode": "fold"},  # operators/similarity.py
 }
 
 

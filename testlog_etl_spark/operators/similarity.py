@@ -648,6 +648,7 @@ def semantic_dedup(
     seed: int = 7,
     target_cell_rows: int = 256,
     n_rows: int | None = None,
+    pair_mode: str = "join",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) restated Spark-first:
     bucket embeddings into cells, score pairwise cosine ONLY within a
@@ -706,19 +707,48 @@ def semantic_dedup(
         .withColumn("_n", l2_norm(F.col("_v")))
         .select(id_col, "_sig", "_v", "_n")
     )
-    # ONE cell shuffle, zero joins (r12, guide 2.4): a vector lives in
-    # exactly one cell (single-table signature), so every pair involving
-    # a given id forms inside that id's cell — the old plan's cell
-    # SELF-JOIN (vectors shuffled once per side), pair filter, and
-    # second (exemplar groupBy) exchange all collapse into one
-    # groupBy(_sig) collecting each cell id-sorted, plus a per-member
-    # fold over its EARLIER members: ids ascend, so the first earlier
-    # member at/above threshold IS the min-id exemplar the old
-    # min(struct(id, cos)) aggregation selected. Operand order in the
-    # cosine is unchanged (lower-id vector first), so scores are
-    # bit-identical. Per-cell state is O(|cell| * dim) — the same
-    # concentration bound the self-join's per-key hash buckets had —
-    # and the fold does the identical sum(|cell|^2)/2 comparisons.
+    # Two measured pair strategies with IDENTICAL output (r12,
+    # differential-tested):
+    #
+    # - "join" (default): cell self-join + pair filter + min-exemplar
+    #   groupBy. Vectors cross the cell exchange once PER SIDE, but all
+    #   pair scoring runs codegen'd — measured fastest on sf0.1
+    #   (0.91 s vs 1.02–1.17 s, warm-JVM min-of-4; every one-shuffle
+    #   variant lost locally to interpreted higher-order-lambda
+    #   overhead: indexed fold 1.1x, slice fold 1.9x, pair-expansion
+    #   hybrid 1.4x, filter-over-indices 1.9x).
+    # - "fold": ONE groupBy(_sig) + per-member indexed fold over its
+    #   EARLIER cell members. A vector lives in exactly one cell
+    #   (single-table signature), so the whole operator is one
+    #   exchange and zero joins — HALF the vector shuffle bytes and
+    #   two fewer exchanges, which wins once shuffle (not per-pair
+    #   CPU) dominates: the 100 TB deployment setting
+    #   (CORPUS_SCALE_PROFILE in operators/neardup.py).
+    #
+    # Equivalence: ids ascend in the sorted cell, so the FIRST earlier
+    # member at/above threshold IS the min-id exemplar the join form's
+    # min(struct(id, cos)) selects; cosine operand order (lower-id
+    # vector first) is identical in both, so scores are bit-identical.
+    if pair_mode not in ("join", "fold"):
+        raise ValueError(f"semantic_dedup: pair_mode must be 'join' or 'fold', got {pair_mode!r}")
+    if pair_mode == "join":
+        a = side.select(
+            F.col(id_col).alias("_id_a"), "_sig", F.col("_v").alias("_va"), F.col("_n").alias("_na")
+        )
+        b = side.select(
+            F.col(id_col).alias("_id_b"), "_sig", F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+        )
+        pairs = (
+            a.join(b, on="_sig")
+            .filter(F.col("_id_a") < F.col("_id_b"))
+            .withColumn("_cos", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+            .filter(F.col("_cos") >= F.lit(threshold))
+        )
+        return (
+            pairs.groupBy(F.col("_id_b").alias(id_col))
+            .agg(F.min(F.struct(F.col("_id_a"), F.col("_cos"))).alias("_m"))
+            .select(id_col, F.col("_m._id_a").alias("exemplar"), F.col("_m._cos").alias("cosine"))
+        )
     id_type = df.schema[id_col].dataType
     buckets = side.groupBy("_sig").agg(
         F.array_sort(

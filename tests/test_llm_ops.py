@@ -999,6 +999,25 @@ def test_semantic_dedup_n_rows_skips_count(spark):
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, hinted.collect()))
 
 
+def test_semantic_dedup_pair_modes_identical(spark):
+    """The 'fold' scale mode (one cell exchange, zero joins -- the
+    CORPUS_SCALE_PROFILE setting) must produce BIT-identical output to
+    the default 'join' mode on real embeddings, including the cosine
+    values (same operand order in both paths)."""
+    from tests.conftest import SF_SMALL
+    from testlog_etl_spark.operators.similarity import semantic_dedup
+    from testlog_etl_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    # threshold -1 makes every same-cell pair qualify, so the test
+    # compares a full exemplar assignment (0.45 is vacuous at sf0.001)
+    kw = dict(id_col="vec_id", vec_col="embedding", dim=64, threshold=-1.0, n_bits=6, seed=7)
+    join_rows = sorted(map(tuple, semantic_dedup(emb, **kw).collect()))
+    fold_rows = sorted(map(tuple, semantic_dedup(emb, pair_mode="fold", **kw).collect()))
+    assert join_rows == fold_rows
+    assert len(join_rows) > 0  # non-vacuous: some cell has >= 2 members
+
+
 def test_countmin_merge_equals_union_and_overestimates(spark):
     from testlog_etl_spark.operators.sketches import (
         countmin_estimate,
@@ -1536,17 +1555,21 @@ def test_corpus_scale_profile_matches_signatures():
     one-name deployment recipe can't rot as signatures evolve."""
     import inspect
 
-    from testlog_etl_spark.operators import neardup, postings
+    from testlog_etl_spark.operators import neardup, postings, similarity
 
-    modules = {"build_postings": postings}
+    modules = {"build_postings": postings, "semantic_dedup": similarity}
     for name, kwargs in neardup.CORPUS_SCALE_PROFILE.items():
         fn = getattr(modules.get(name, neardup), name)
         params = inspect.signature(fn).parameters
         missing = [k for k in kwargs if k not in params]
         assert not missing, f"{name}: profile kwargs not in signature: {missing}"
-        # every valve must default OFF -- the profile is opt-in
-        for k in kwargs:
-            assert params[k].default in (None, False), (name, k)
+        # every entry must be opt-in: caps default OFF (None/False);
+        # mode switches default to the non-profile value ("join" is
+        # semantic_dedup's locally-measured default, "fold" the scale
+        # setting)
+        for k, v in kwargs.items():
+            assert params[k].default in (None, False, "join"), (name, k)
+            assert params[k].default != v, (name, k, "profile value must differ from default")
 
 
 def test_ivf_pq_train_once_books_equivalence(spark, sf_dir):
