@@ -17,7 +17,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF = os.environ.get("SPARK_JX_VERIFY_SF", "/root/testdata/sf0.01")
-OUT = os.path.join(REPO, "plans", "r12")
+OUT = os.path.join(REPO, "plans", os.environ.get("SPARK_JX_PLANS_ROUND", "r13"))
 
 
 def main() -> None:
