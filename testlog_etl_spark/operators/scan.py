@@ -256,6 +256,7 @@ def global_ranks_inplan(
     *,
     num_buckets: int | None = None,
     persist_handles: list[DataFrame] | None = None,
+    fold_key: str | None = None,
 ) -> DataFrame:
     """Multi-key form of ``global_rank_inplan``: compute SEVERAL global
     ranks/cumsums over the SAME frame in one batch. Each spec is a dict
@@ -271,6 +272,26 @@ def global_ranks_inplan(
     job (<= n_specs*(nb+4) rows to the driver), then each spec appends
     its literal-offset + per-bucket-window rank column — one exchange
     per spec, zero joins, zero Python.
+
+    Specs sharing the SAME (key, tiebreak, descending) triple reuse one
+    bucket column, and their Window nodes share one spec, so Catalyst's
+    CollapseWindow folds them into a single exchange automatically (r13;
+    eval_average_precision ranks/cumulates two val_cols over one
+    score-desc order — previously two identical exchanges).
+
+    ``fold_key`` (r13, opt-in): the name of a column that UNIQUELY keys
+    the rows of ``df``. When given, ALL specs' rank windows fold into
+    ONE exchange: each row explodes into n_specs skinny (metric, bucket,
+    sort-proxy) rows (pass-through column values ride only the first
+    spec's row; nulls elsewhere), one Window.partitionBy(metric, bucket)
+    ranks every metric at once, and one groupBy(fold_key) re-assembles
+    the row — n_specs bucket exchanges + sorts become one exchange +
+    sort over n_specs x skinnier rows plus one hash-agg exchange of the
+    ranked frame. Preconditions (asserted): every spec shares one
+    tiebreak tuple, and every key must order EXACTLY like its double
+    proxy (true for dates, timestamps, ints/longs up to 2^53 and any
+    double — the proxy is the sort key inside the shared window, where
+    the per-spec path sorts by the native column).
     """
     import math
 
@@ -393,15 +414,26 @@ def global_ranks_inplan(
         soff[row["_b"] + 2] = s_acc
         acc[row["_m"]] = (n_acc + row["_c"], s_acc + (row["_s"] or 0.0))
 
+    if fold_key is not None:
+        return _fold_ranks(df, src, prepped, offs, acc, fold_key)
+
     # rank/cum per spec = literal-array offset lookup + per-bucket
     # window: InMemoryScan -> (per spec) ONE Exchange(_bkt_i) -> Sort ->
-    # Window -> Project, all JVM codegen, no joins.
+    # Window -> Project, all JVM codegen, no joins. Specs with one
+    # (key, tiebreak, descending) signature share one bucket column, so
+    # their Window nodes carry the same spec and CollapseWindow plans
+    # them over ONE exchange.
     out = src
     out_names: list[str] = []
+    bcol_by_sig: dict[tuple, str] = {}
     for p in prepped:
         i = p["i"]
-        bcol = f"_bkt{i}"
-        out = out.withColumn(bcol, p["bkt"])
+        sig = (p["key"], tuple(p.get("tiebreak", ())), p["desc"])
+        bcol = bcol_by_sig.get(sig)
+        if bcol is None:
+            bcol = f"_bkt{i}"
+            bcol_by_sig[sig] = bcol
+            out = out.withColumn(bcol, p["bkt"])
         order = [p["kcol"].desc() if p["desc"] else p["kcol"].asc()] + [
             F.col(t).asc() for t in p.get("tiebreak", ())
         ]
@@ -429,6 +461,92 @@ def global_ranks_inplan(
         if p.get("total_out"):
             out = out.withColumn(p["total_out"], F.lit(s_acc).cast("double"))
             out_names.append(p["total_out"])
+    return out.select(*df.columns, *out_names)
+
+
+def _fold_ranks(
+    df: DataFrame,
+    src: DataFrame,
+    prepped: list[dict],
+    offs: dict[int, tuple[list, list]],
+    acc: dict[int, tuple[int, float]],
+    fold_key: str,
+) -> DataFrame:
+    """``global_ranks_inplan``'s single-exchange body (``fold_key``
+    mode): explode each row into one skinny (metric, bucket, proxy) row
+    per spec, rank ALL specs under one Window.partitionBy(_m, _b), and
+    re-assemble rows by the unique ``fold_key``. The 2-D offset lookup
+    is a nested literal indexed by (metric, bucket) — still zero joins,
+    zero Python, bounded driver state."""
+    from testlog_etl_spark.util import const_array
+
+    tb = tuple(prepped[0].get("tiebreak", ()))
+    assert all(
+        tuple(p.get("tiebreak", ())) == tb for p in prepped
+    ), "fold_key mode requires every spec to share one tiebreak tuple"
+    want_cum = any(p.get("val_col") for p in prepped)
+    # fold_key and tiebreak columns ride EVERY exploded row (the shared
+    # sort needs them); other pass-through values ride only spec 0's
+    # row and are re-attached by first(ignorenulls) at re-assembly.
+    always = [fold_key] + [t for t in tb if t != fold_key]
+    rest = [c for c in df.columns if c not in always]
+    elems = []
+    for p in prepped:
+        fields = [
+            F.lit(p["i"]).alias("_m"),
+            p["bkt"].cast("int").alias("_b"),
+            p["proxy"].alias("_srt"),
+        ]
+        if want_cum:
+            fields.append(p["val"].alias("_v"))
+        for c in rest:
+            fields.append(
+                (F.col(c) if p["i"] == 0 else F.lit(None).cast(df.schema[c].dataType)).alias(c)
+            )
+        elems.append(F.struct(*fields))
+    ex = src.select(*always, F.explode(F.array(*elems)).alias("_e")).select(
+        *always, "_e.*"
+    )
+    w = Window.partitionBy("_m", "_b").orderBy(
+        F.col("_srt").asc(), *[F.col(t).asc() for t in tb]
+    )
+    roff2d = F.array(*[const_array(offs[p["i"]][0]) for p in prepped])
+    idx_m = F.col("_m") + F.lit(1)
+    idx_b = F.col("_b") + F.lit(3)
+    ranked = ex.withColumn(
+        "_rk",
+        (F.element_at(F.element_at(roff2d, idx_m), idx_b) + F.row_number().over(w)).cast(
+            "long"
+        ),
+    )
+    if want_cum:
+        soff2d = F.array(*[const_array(offs[p["i"]][1]) for p in prepped])
+        ranked = ranked.withColumn(
+            "_cm",
+            F.element_at(F.element_at(soff2d, idx_m), idx_b)
+            + F.sum("_v").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    aggs = [F.first(F.col(c), ignorenulls=True).alias(c) for c in rest]
+    lit_cols: list[tuple[str, Column]] = []
+    out_names: list[str] = []
+    for p in prepped:
+        i = p["i"]
+        is_m = F.col("_m") == i
+        aggs.append(F.max(F.when(is_m, F.col("_rk"))).alias(p.get("rank_out", "i")))
+        out_names.append(p.get("rank_out", "i"))
+        if p.get("val_col"):
+            aggs.append(F.max(F.when(is_m, F.col("_cm"))).alias(p.get("cum_out", "cum")))
+            out_names.append(p.get("cum_out", "cum"))
+        n_acc, s_acc = acc[i]
+        if p.get("n_out"):
+            lit_cols.append((p["n_out"], F.lit(n_acc).cast("long")))
+            out_names.append(p["n_out"])
+        if p.get("total_out"):
+            lit_cols.append((p["total_out"], F.lit(s_acc).cast("double")))
+            out_names.append(p["total_out"])
+    out = ranked.groupBy(*always).agg(*aggs)
+    for name, col in lit_cols:
+        out = out.withColumn(name, col)
     return out.select(*df.columns, *out_names)
 
 

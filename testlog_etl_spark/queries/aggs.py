@@ -2669,6 +2669,16 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"key": "freq", "tiebreak": ("cust",), "descending": True, "rank_out": "rf"},
             {"key": "mon", "tiebreak": ("cust",), "descending": True, "rank_out": "rm"},
         ],
+        # r13 note: fold_key="cust" would collapse the three bucket
+        # exchanges into one (+ one re-assembly hash-agg) and the RANKS
+        # are differential-pinned bit-identical -- but the fold changes
+        # the row order feeding the final AVG(mon), and at sf0.01 two
+        # (r,f,m) cells sit within half an ulp of a ROUND(..., 4)
+        # boundary, flipping avg_monetary's last digit vs the DuckDB
+        # oracle. The oracle states ROUND(AVG(mon), 4) over engine fold
+        # order, so the query keeps the default per-spec windows whose
+        # fold order the correctness history pins; the single-exchange
+        # form stays available on the operator for rank-only consumers.
     )
     scored = ranked.select(
         "mon",

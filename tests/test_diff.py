@@ -372,6 +372,40 @@ def test_global_ranks_inplan_batch_matches_chained(spark):
     assert c == g
 
 
+def test_global_ranks_inplan_fold_matches_default(spark):
+    """r13: the single-exchange fold_key mode (explode to (metric,
+    bucket) rows, one shared window, groupBy re-assembly) must be
+    row-identical to the per-spec default on adversarial keys: ties,
+    NULLs, NaNs, mixed directions, cumsums, degenerate bucket counts."""
+    import random
+
+    from testlog_etl_spark.operators.scan import global_ranks_inplan
+
+    random.seed(13)
+    rows = []
+    for i in range(600):
+        a = random.choice([None, float("nan")] + [float(random.randint(0, 20))] * 8)
+        b = float(random.randint(0, 9))
+        t = float(random.randint(0, 5))
+        rows.append((i, a, b, t))
+    df = spark.createDataFrame(rows, "id long, a double, b double, t double")
+    specs = [
+        {"key": "a", "tiebreak": ("id",), "descending": True, "rank_out": "ra",
+         "n_out": "n"},
+        {"key": "b", "tiebreak": ("id",), "rank_out": "rb", "val_col": "t",
+         "cum_out": "cb", "total_out": "tt"},
+        {"key": "b", "tiebreak": ("id",), "descending": True, "rank_out": "rbd"},
+    ]
+    cols = ("ra", "n", "rb", "cb", "tt", "rbd")
+    for nbk in (3, 64):
+        dflt = global_ranks_inplan(df, specs, num_buckets=nbk)
+        fold = global_ranks_inplan(df, specs, num_buckets=nbk, fold_key="id")
+        assert dflt.dtypes == fold.dtypes
+        d = {r["id"]: tuple(r[c] for c in cols) for r in dflt.collect()}
+        f = {r["id"]: tuple(r[c] for c in cols) for r in fold.collect()}
+        assert d == f, nbk
+
+
 def test_global_rank_inplan_no_python_single_exchange(spark):
     """Plan pins for the r12 rank: no Python eval node anywhere, and the
     ranked output adds exactly ONE exchange over the (cached) input."""
