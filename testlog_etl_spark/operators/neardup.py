@@ -155,7 +155,15 @@ def band_keys(sig_col: Column, band_r: int = BAND_R, n_hashes: int = N_HASHES) -
 # profile is the deployment default, pinned against the real
 # signatures by tests/test_llm_ops.py::test_corpus_scale_profile_matches_signatures.
 CORPUS_SCALE_PROFILE: dict[str, dict] = {
-    "minhash_lsh_pairs": {"max_block": 64, "chain_oversized": True},
+    # verify_mode="colocate" (r13): shuffle the shingle table once by id
+    # against exploded (member, pair) rows instead of joining it twice
+    # -- heavy verify moves 2x|table|+|pairs| -> 1x|table|+2x|pairs|
+    # sets. NOT a recall trade: both modes verify the identical
+    # candidate set (differential-pinned); the local default stays
+    # "join" (the light candidate side broadcasts under AQE, measured
+    # 1.7 vs 2.2 s at sf0.1).
+    "minhash_lsh_pairs": {"max_block": 64, "chain_oversized": True,
+                          "verify_mode": "colocate"},
     "hamming_join": {"max_block": 64},
     "editdist1_pairs": {"max_block": 64},
     "build_postings": {"max_df": 64},  # operators/postings.py
@@ -179,9 +187,21 @@ def minhash_lsh_pairs(
     band_r: int = BAND_R,
     max_block: int | None = None,
     chain_oversized: bool = False,
+    verify_mode: str = "join",
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for all pairs with exact shingle Jaccard >=
     threshold, found via LSH candidates + exact verify.
+
+    ``verify_mode``: how surviving candidates re-attach their shingle
+    sets for the exact-Jaccard check. ``"join"`` (default, what the
+    bench measures fastest locally -- the light candidate side
+    broadcasts under AQE so shingles never move at this scale) joins
+    the pair list against the shingle table twice; ``"colocate"`` is
+    the §8.4 scale form -- shuffle the shingle table ONCE by id against
+    exploded (member, pair) rows and group by pair -- selected by
+    ``CORPUS_SCALE_PROFILE`` for the shuffle-bound regime. Both modes
+    verify the identical candidate set and emit identical pairs
+    (differential-pinned).
 
     Plan shape: signatures+bands are computed ONCE and persisted -- the
     band expression must reference a materialized signature column, or
@@ -276,10 +296,34 @@ def minhash_lsh_pairs(
         cand = cand.unionByName(chain_cand)
     cand = cand.dropDuplicates(["id_a", "id_b"])
     sh = sigs.select("_id", "_sh")
+    if verify_mode == "colocate":
+        # §8.4 pair-id co-location: the 2-join form hashes the shingle
+        # table by id TWICE (and the first join's matched sh_a rides the
+        # second join's pair shuffle). Here each candidate pair emits
+        # two skinny (member id, pair) rows, the shingle table shuffles
+        # by id exactly ONCE against them, and one groupBy(pair) brings
+        # the two matched sets together: heavy moves go from
+        # 2x|table| + |pairs| sets to 1x|table| + 2x|pairs| sets -- a
+        # win whenever candidates are sparser than the corpus. Each
+        # (id_a, id_b) group holds exactly two rows (ids differ and
+        # positions are unique), so max(when(...)) IS the matched set.
+        sides = cand.select(F.col("id_a").alias("_vid"), "id_a", "id_b").unionByName(
+            cand.select(F.col("id_b").alias("_vid"), "id_a", "id_b")
+        )
+        pairs = (
+            sides.join(sh, sides["_vid"] == sh["_id"])
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.max(F.when(F.col("_vid") == F.col("id_a"), F.col("_sh"))).alias("sh_a"),
+                F.max(F.when(F.col("_vid") == F.col("id_b"), F.col("_sh"))).alias("sh_b"),
+            )
+        )
+    else:
+        pairs = cand.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+        ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     verified = (
-        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

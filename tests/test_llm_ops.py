@@ -1018,6 +1018,25 @@ def test_semantic_dedup_pair_modes_identical(spark):
     assert len(join_rows) > 0  # non-vacuous: some cell has >= 2 members
 
 
+def test_minhash_verify_modes_identical(spark):
+    """r13: the 'colocate' verify mode (shingle table shuffled ONCE by
+    id against exploded pair sides -- the CORPUS_SCALE_PROFILE setting)
+    must produce bit-identical pairs to the default 2-join verify,
+    including the exact jaccard values."""
+    from tests.conftest import SF_SMALL
+    from testlog_etl_spark.operators.neardup import minhash_lsh_pairs
+    from testlog_etl_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("text").isNotNull())
+    kw = dict(id_col="doc_id", text_col="text", threshold=0.2)
+    join_rows = sorted(map(tuple, minhash_lsh_pairs(docs, **kw).collect()))
+    colo_rows = sorted(
+        map(tuple, minhash_lsh_pairs(docs, verify_mode="colocate", **kw).collect())
+    )
+    assert join_rows == colo_rows
+    assert len(join_rows) > 0
+
+
 def test_countmin_merge_equals_union_and_overestimates(spark):
     from testlog_etl_spark.operators.sketches import (
         countmin_estimate,
