@@ -276,10 +276,20 @@ def phrase_search(
         .select("_doc", "_p", F.explode(slots).alias("_i"))
         .select("_doc", (F.col("_p") - F.col("_i")).alias("_anchor"), "_i")
     )
+    # slot-presence BITMASK instead of count_distinct (r13): an anchor
+    # matches iff all |phrase| slots arrived, i.e. bit_or of 1<<slot
+    # equals the full mask. bit_or is a plain partial-aggregable
+    # function, so the two-phase distinct aggregate (and its extra
+    # exchange over the expanded (doc, anchor, slot) grain) disappears;
+    # idempotent under re-delivery for free. |phrase| <= 62 guards the
+    # long mask -- far above any realistic phrase.
+    if len(phrase) > 62:
+        raise ValueError("phrase_search supports phrases up to 62 terms")
+    full_mask = (1 << len(phrase)) - 1
     return (
         anch.groupBy("_doc", "_anchor")
-        .agg(F.count_distinct("_i").alias("_k"))
-        .filter(F.col("_k") == len(phrase))
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _i)")).alias("_mask"))
+        .filter(F.col("_mask") == F.lit(full_mask))
         .groupBy(F.col("_doc").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
