@@ -342,14 +342,21 @@ def sweep_concurrency(
         .select("_lc.*", F.col("_rc._off").alias("_off"))
         .withColumn("_conc", (F.col("_local") + F.col("_off")).cast("long"))
     )
-    peaks = conc.groupBy("_k").agg(F.max("_conc").alias("peak")).select(
-        F.col("_k").alias("_pk"), "peak"
-    )
+    # ONE aggregation instead of peak-rollup + broadcast-join-back +
+    # filter (r13, VERDICT r12 #10): min over (-conc, ts) structs picks
+    # the max concurrency and, among its ties, the earliest instant --
+    # struct comparison is lexicographic with native type ordering, so
+    # no timestamp re-encoding is needed and _conc (long) negates
+    # exactly. Differential-pinned against the window form.
+    m = F.min(F.struct((-F.col("_conc")).alias("nc"), F.col("_bt").alias("bt")))
     out = (
-        conc.join(F.broadcast(peaks), F.col("_k").eqNullSafe(F.col("_pk")))
-        .filter(F.col("_conc") == F.col("peak"))
-        .groupBy(F.col("_k").alias(key_col), "peak")
-        .agg(F.min("_bt").alias("first_peak_ts"))
+        conc.groupBy(F.col("_k").alias(key_col))
+        .agg(m.alias("_m"))
+        .select(
+            key_col,
+            (-F.col("_m.nc")).cast("long").alias("peak"),
+            F.col("_m.bt").alias("first_peak_ts"),
+        )
     )
     # materialize the (tiny: one row per key) result so the boundary
     # cache can be released now instead of leaking for the session
