@@ -20,7 +20,7 @@ Scale design (the whole point of these over exact O(n^2) comparison):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from testlog_etl_spark.operators.textstats import tokens
@@ -177,6 +177,24 @@ CORPUS_SCALE_PROFILE: dict[str, dict] = {
 }
 
 
+def _cap_blocks(rows: DataFrame, keys: list[str], max_block: int) -> DataFrame:
+    """Drop the rows of blocks larger than ``max_block`` BEFORE any
+    per-block array materializes (r13, ADVICE r12): a count window on
+    the block exchange sizes every block, oversized blocks leave as
+    ROWS, and the downstream groupBy on the same keys reuses the same
+    hash partitioning -- so the collect_list aggregation buffer is
+    bounded by the cap even on a degenerate duplicate-heavy corpus.
+    (The previous post-collect ``size(...) <= cap`` filter enforced the
+    same OUTPUT, but only after the full oversized array had been built
+    in one in-memory aggregation buffer.)"""
+    wb = Window.partitionBy(*keys)
+    return (
+        rows.withColumn("_bc", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bc") <= int(max_block))
+        .drop("_bc")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -257,33 +275,30 @@ def minhash_lsh_pairs(
     # id_a < id_b), so the verify stage and the operator contract are
     # unchanged. Pair expansion is two PIPELINED Generates (anchor
     # posexplode, then explode of the per-anchor tail slice): no k^2
-    # array is ever materialized per row -- peak per-row state is O(k),
-    # the same concentration bound the old per-bucket Window count had,
-    # and the hot-bucket k^2 OUTPUT volume valve (max_block) applies
-    # before expansion exactly as before (count = size of the bucket,
-    # no Window needed).
+    # array is ever materialized per row. Buffer concentration: the
+    # UNCAPPED path holds one O(bucket) id array per bucket while the
+    # aggregate builds -- the exact contract requires the full bucket,
+    # so the exposure is bounded by the largest band bucket (8 bytes x
+    # members); the capped deployment profile bounds it by max_block,
+    # enforced BEFORE the array materializes (_cap_blocks).
+    chain_cand = None
+    if max_block is not None:
+        wb = Window.partitionBy("_band_idx", "_band_key")
+        sized = bands.withColumn("_bc", F.count(F.lit(1)).over(wb))
+        if chain_oversized:
+            # k-1 consecutive-id edges over each oversized bucket,
+            # via lag over the id-sorted window -- constant state, no
+            # bucket array (same edges as the old sorted-array zip)
+            chain_cand = (
+                sized.filter(F.col("_bc") > int(max_block))
+                .withColumn("_prev", F.lag("_id").over(wb.orderBy("_id")))
+                .filter(F.col("_prev").isNotNull())
+                .select(F.col("_prev").alias("id_a"), F.col("_id").alias("id_b"))
+            )
+        bands = sized.filter(F.col("_bc") <= int(max_block)).drop("_bc")
     buckets = bands.groupBy("_band_idx", "_band_key").agg(
         F.array_sort(F.collect_list("_id")).alias("_ids")
     )
-
-    chain_cand = None
-    if max_block is not None:
-        if chain_oversized:
-            # k-1 consecutive-id edges over the sorted bucket ids
-            chain_cand = (
-                buckets.filter(F.size("_ids") > int(max_block))
-                .select(
-                    F.explode(
-                        F.zip_with(
-                            F.slice(F.col("_ids"), 1, F.size("_ids") - 1),
-                            F.slice(F.col("_ids"), 2, F.size("_ids") - 1),
-                            lambda a, b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                        )
-                    ).alias("_p")
-                )
-                .select("_p.id_a", "_p.id_b")
-            )
-        buckets = buckets.filter(F.size("_ids") <= int(max_block))
 
     anchored = buckets.filter(F.size("_ids") >= 2).select(
         F.posexplode("_ids").alias("_i", "id_a"), "_ids"
@@ -508,15 +523,15 @@ def hamming_join(
     # candidates from ONE (idx, txt) groupBy + in-bucket pair expansion
     # (r12, guide 2.4): replaces the a/b self-join (two traverses, two
     # movements of the chunk table) with a single shuffle; the hot-block
-    # valve becomes a size filter on the bucket (same semantics as the
-    # old per-block Window count: an oversized block contributes no
+    # valve drops oversized blocks as ROWS before their array can
+    # materialize (_cap_blocks; an oversized block contributes no
     # candidates, its rows still pair via their other chunks). Structs
     # sort by leading _id (unique) so pairs come out a_id < b_id.
+    if max_block is not None:
+        chunks = _cap_blocks(chunks, ["_idx", "_txt"], max_block)
     buckets = chunks.groupBy("_idx", "_txt").agg(
         F.array_sort(F.collect_list(F.struct("_id", "_key"))).alias("_ms")
     )
-    if max_block is not None:
-        buckets = buckets.filter(F.size("_ms") <= int(max_block))
     anchored = buckets.filter(F.size("_ms") >= 2).select(
         F.posexplode("_ms").alias("_i", "_a"), "_ms"
     )
@@ -603,15 +618,15 @@ def editdist1_pairs(
     # candidates from ONE variant-hash groupBy + in-bucket pair
     # expansion (r12, guide 2.4): replaces the self-join (two traverses
     # and two movements of the neighborhood table) with a single
-    # shuffle; the hot-variant valve becomes a bucket size filter (same
-    # semantics as the old per-variant Window count). Structs sort by
+    # shuffle; the hot-variant valve drops oversized buckets as ROWS
+    # before their array can materialize (_cap_blocks). Structs sort by
     # leading _id (unique), so pairs come out id_a < id_b exactly as
     # the old join condition produced.
+    if max_block is not None:
+        exploded = _cap_blocks(exploded, ["_vh"], max_block)
     buckets = exploded.groupBy("_vh").agg(
         F.array_sort(F.collect_list(F.struct("_id", "_key"))).alias("_ms")
     )
-    if max_block is not None:
-        buckets = buckets.filter(F.size("_ms") <= int(max_block))
     anchored = buckets.filter(F.size("_ms") >= 2).select(
         F.posexplode("_ms").alias("_i", "_a"), "_ms"
     )
