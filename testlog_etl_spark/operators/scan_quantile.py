@@ -75,7 +75,11 @@ from pyspark.sql import functions as F
 
 from testlog_etl_spark.util import persist_once
 
-from testlog_etl_spark.operators.scan import global_rank_cumsum
+from testlog_etl_spark.operators.scan import (
+    global_rank_cumsum,
+    global_rank_cumsum_inplan,
+    inplan_rank_supported,
+)
 
 
 def _expr_key(vcol: Column) -> str:
@@ -227,32 +231,59 @@ def group_quantiles_exact(
         .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
     )
     handles: list[DataFrame] = []
-    ranked = global_rank_cumsum(
-        pv,
-        [F.col(k).asc() for k in keys] + [F.col(val).asc()],
-        val_col="_cnt",
-        rank_out="_i",
-        cum_out="_gcum",
-        num_parts=num_parts,
-        persist_handles=handles,
-    )
-    # Per-group totals read the PERSISTED range-partitioned rollup the
-    # scan just built (handles[0]) instead of recomputing pv from the
-    # source — at scale the source scan dominates and must run exactly
-    # once. A second, group-rollup-sized scan in the SAME key order
-    # turns the totals into exclusive rank offsets (_off = inclusive
-    # cum − own count): the distributed form of the r09 driver walk.
-    # Counts are integer-valued doubles, so every fold order is exact.
+    # r13: the any-type in-plan rank (sampled struct boundaries, one
+    # hash exchange, no sampling pass, no mapInArrow Python boundary)
+    # serves every atomic orderable key; exotic key types keep the
+    # proven range scan (differential-pinned equal either way).
+    use_inplan = inplan_rank_supported(pv, [*keys, val])
+    if use_inplan:
+        ranked = global_rank_cumsum_inplan(
+            pv,
+            [*keys, val],
+            val_col="_cnt",
+            rank_out="_i",
+            cum_out="_gcum",
+            num_buckets=num_parts,
+            persist_handles=handles,
+        )
+    else:
+        ranked = global_rank_cumsum(
+            pv,
+            [F.col(k).asc() for k in keys] + [F.col(val).asc()],
+            val_col="_cnt",
+            rank_out="_i",
+            cum_out="_gcum",
+            num_parts=num_parts,
+            persist_handles=handles,
+        )
+    # Per-group totals read the PERSISTED rollup the scan just built
+    # (handles[0]) instead of recomputing pv from the source — at scale
+    # the source scan dominates and must run exactly once. A second,
+    # group-rollup-sized scan in the SAME key order turns the totals
+    # into exclusive rank offsets (_off = inclusive cum − own count):
+    # the distributed form of the r09 driver walk. Counts are
+    # integer-valued doubles, so every fold order is exact.
     gt = handles[0].groupBy(*keys).agg(F.sum("_cnt").alias("_n"))
-    offs = global_rank_cumsum(
-        gt,
-        [F.col(k).asc() for k in keys],
-        val_col="_n",
-        rank_out="_gi",
-        cum_out="_gn",
-        num_parts=num_parts,
-        persist_handles=handles,
-    )
+    if use_inplan:
+        offs = global_rank_cumsum_inplan(
+            gt,
+            list(keys),
+            val_col="_n",
+            rank_out="_gi",
+            cum_out="_gn",
+            num_buckets=num_parts,
+            persist_handles=handles,
+        )
+    else:
+        offs = global_rank_cumsum(
+            gt,
+            [F.col(k).asc() for k in keys],
+            val_col="_n",
+            rank_out="_gi",
+            cum_out="_gn",
+            num_parts=num_parts,
+            persist_handles=handles,
+        )
     # per-(group, quantile) selection rows, column-wise: position
     # p = q·(n−1); covering ranks _lo = ⌊p⌋+1 and _lo+1; engine-exact
     # coefficients c_hi = p − ⌊p⌋ and c_lo = (⌊p⌋+1) − p (NOT 1 − c_hi,

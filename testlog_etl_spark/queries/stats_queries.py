@@ -290,20 +290,23 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # has a doc_id tie-break so RANK == ROW_NUMBER and percent_rank =
     # (rank-1)/(n-1) exactly), the quantiles from rank selection
     # (operators/scan_quantile.py).
-    from testlog_etl_spark.operators.scan import global_rank_cumsum
+    from testlog_etl_spark.operators.scan import global_rank_cumsum_inplan
     from testlog_etl_spark.operators.scan_quantile import group_quantiles_exact
 
     # `handles` exists to READ the first scan's persisted rollup
     # (handles[0], below) without re-scanning the source. The caches
     # intentionally live until session end: the returned frame is lazy,
     # and unpersisting before the caller's action would let a lineage
-    # recompute re-sample range boundaries out from under the captured
+    # recompute re-sample boundaries out from under the captured
     # offset maps (operators/scan.py module docstring). Bounded leak:
-    # two rollup-sized frames per call.
+    # two rollup-sized frames per call. r13: both scans ride the
+    # any-type in-plan rank (sampled struct boundaries — string keys
+    # compare in-engine), dropping the range-sampling jobs and the
+    # mapInArrow Python boundary from this path.
     handles: list = []
-    ranked = global_rank_cumsum(
+    ranked = global_rank_cumsum_inplan(
         sc,
-        [F.col("source").asc(), F.col("s").asc(), F.col("doc_id").asc()],
+        ["source", "s", "doc_id"],
         val_col=None,
         rank_out="_gr",
         persist_handles=handles,
@@ -314,9 +317,9 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asc ordering, so the offsets index the global rank order exactly,
     # with no collect and no Python-vs-UTF8 sort divergence)
     totals = handles[0].groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("_nd"))
-    offs = global_rank_cumsum(
+    offs = global_rank_cumsum_inplan(
         totals,
-        [F.col("source").asc()],
+        ["source"],
         val_col="_nd",
         rank_out="_oi",
         cum_out="_cum",

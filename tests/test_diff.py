@@ -406,6 +406,43 @@ def test_global_ranks_inplan_fold_matches_default(spark):
         assert d == f, nbk
 
 
+def test_global_rank_cumsum_inplan_matches_range_scan(spark):
+    """r13: the any-type in-plan rank (sampled struct boundaries, one
+    hash exchange, zero Python) must agree with the range-shuffle scan
+    on adversarial keys: non-ASCII strings, NULLs, ties, composite
+    (string, double) orders, cumsums, degenerate bucket counts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.scan import (
+        global_rank_cumsum,
+        global_rank_cumsum_inplan,
+    )
+
+    random.seed(29)
+    words = ["alpha", "ALPHA", "Ωmega", "déjà", "zzz", "", " ", "naïve", "中文", "a'b"]
+    rows = []
+    for i in range(700):
+        s = random.choice([None] + words * 2)
+        x = random.choice([None, float("nan")] + [float(random.randint(0, 9))] * 8)
+        rows.append((i, s, x, float(random.randint(0, 5))))
+    df = spark.createDataFrame(rows, "id long, s string, x double, t double")
+    order = [F.col("s").asc(), F.col("x").asc(), F.col("id").asc()]
+    old = global_rank_cumsum(
+        df, order, val_col="t", rank_out="i", cum_out="c", n_out="n", total_out="tt"
+    )
+    for nbk in (2, 5, 64):
+        new = global_rank_cumsum_inplan(
+            df, ["s", "x", "id"], val_col="t", rank_out="i", cum_out="c",
+            n_out="n", total_out="tt", num_buckets=nbk,
+        )
+        assert old.dtypes == new.dtypes
+        o = {r["id"]: (r["i"], r["c"], r["n"], r["tt"]) for r in old.collect()}
+        nw = {r["id"]: (r["i"], r["c"], r["n"], r["tt"]) for r in new.collect()}
+        assert o == nw, nbk
+
+
 def test_global_rank_inplan_no_python_single_exchange(spark):
     """Plan pins for the r12 rank: no Python eval node anywhere, and the
     ranked output adds exactly ONE exchange over the (cached) input."""
