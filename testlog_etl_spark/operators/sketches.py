@@ -245,6 +245,7 @@ def heavy_hitters_exact(
     k: int = 200,
     n: int | None = None,
     return_n: bool = False,
+    persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """EXACT frequencies of every item with count > n/k, found without
     ever shuffling the full key distribution: MG candidate generation
@@ -268,6 +269,15 @@ def heavy_hitters_exact(
         from testlog_etl_spark.util import persist_once
 
         summ = persist_once(misra_gries_candidates(df, key_col, k, emit_totals=True))
+        # the persisted <= (k+1)*parts-row summary backs BOTH the n
+        # total and the lazy candidate frame, so it cannot be
+        # unpersisted here (the caller's action still reads it).
+        # Callers running many calls in one long session should pass
+        # ``persist_handles`` and unpersist after their action (r13,
+        # ADVICE r12; same contract as operators/scan.py); bench.py's
+        # between-query clearCache covers the bench path.
+        if persist_handles is not None:
+            persist_handles.append(summ)
         n = int(
             summ.where(F.col("item").isNull()).agg(F.sum("est")).first()[0] or 0
         )

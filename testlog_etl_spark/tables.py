@@ -49,7 +49,21 @@ def table_path(sf_dir: str, name: str) -> str:
 # handle — memoizing it per (application, sf_dir, table) removes the
 # repeated inference while every action still scans the parquet files;
 # no data or results are cached.
+#
+# Invalidation (r13, ADVICE r12): the memo has no mtime key, so
+# REWRITING a parquet file with a different schema inside one
+# application would serve a stale plan handle — call
+# ``clear_handle_cache()`` after regenerating data mid-application
+# (tests that rewrite fixtures do; normal runs never rewrite inputs).
+# Growth is bounded in practice by |tables| x |sf dirs| plan handles
+# (~tens of objects), but the hook also frees them.
 _HANDLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_handle_cache() -> None:
+    """Drop every memoized table plan handle (see note above): required
+    after rewriting a parquet input mid-application, harmless anytime."""
+    _HANDLE_CACHE.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -50,8 +50,6 @@ def main() -> None:
             sc.setJobDescription(None)
             if r == 0:
                 # count jobs/stages/tasks of the first (cold-cache) rep
-                store = spark._jvm.org.apache.spark.status.AppStatusStore
-                status = sc._jvm.SparkSession.getActiveSession().get().sparkContext().statusStore()
                 jids = sorted(tracker.getJobIdsForGroup(None))[jobs0:]
                 njobs = len(jids)
                 nstages = 0
