@@ -169,6 +169,7 @@ def global_rank_inplan(
     total_out: str | None = None,
     num_buckets: int | None = None,
     persist_handles: list[DataFrame] | None = None,
+    rank_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact global rank / running sum over (``key`` asc|desc,
     ``*tiebreak`` asc) computed ENTIRELY IN-PLAN — the r12 successor to
@@ -230,7 +231,20 @@ def global_rank_inplan(
     rows/bucket ~ a few million. ``persist_handles`` receives the one
     persisted frame (the INPUT, cached so the two bounded build jobs
     and the main pass trigger exactly one upstream computation).
+
+    ``rank_range=(lo, hi)`` (r13, pagination pruning): when the caller
+    only consumes ranks in [lo, hi] (a page), the returned frame keeps
+    ONLY the rows of buckets whose rank interval intersects the page —
+    the bucket offsets are known literals before the main pass, so the
+    exchange and window run on ~|page buckets|/nb of the data instead
+    of all of it, and a deep page costs the same as page one. Ranks of
+    the surviving rows are unchanged (offsets are global); rows outside
+    the covering buckets are DROPPED, so only page consumers may use
+    it. Requires ``val_col=None`` (a running sum needs every earlier
+    row).
     """
+    if rank_range is not None and val_col is not None:
+        raise ValueError("rank_range requires val_col=None (cumsum needs all rows)")
     return global_ranks_inplan(
         df,
         [
@@ -243,6 +257,7 @@ def global_rank_inplan(
                 "cum_out": cum_out,
                 "n_out": n_out,
                 "total_out": total_out,
+                "rank_range": rank_range,
             }
         ],
         num_buckets=num_buckets,
@@ -407,11 +422,15 @@ def global_ranks_inplan(
     offs: dict[int, tuple[list, list]] = {
         p["i"]: ([0] * (nb + 4), [0.0] * (nb + 4)) for p in prepped
     }
+    # per-spec (bucket, first rank, last rank) spans, for rank_range
+    # bucket pruning
+    spans: dict[int, list[tuple[int, int, int]]] = {p["i"]: [] for p in prepped}
     for row in sorted(totals, key=lambda r: (r["_m"], r["_b"])):
         n_acc, s_acc = acc[row["_m"]]
         roff, soff = offs[row["_m"]]
         roff[row["_b"] + 2] = n_acc
         soff[row["_b"] + 2] = s_acc
+        spans[row["_m"]].append((row["_b"], n_acc + 1, n_acc + row["_c"]))
         acc[row["_m"]] = (n_acc + row["_c"], s_acc + (row["_s"] or 0.0))
 
     if fold_key is not None:
@@ -434,6 +453,15 @@ def global_ranks_inplan(
             bcol = f"_bkt{i}"
             bcol_by_sig[sig] = bcol
             out = out.withColumn(bcol, p["bkt"])
+        rr = p.get("rank_range")
+        if rr is not None:
+            if len(prepped) > 1:
+                raise ValueError("rank_range is single-spec only (it drops rows)")
+            lo, hi = int(rr[0]), int(rr[1])
+            keep = [b for b, first, last in spans[i] if first <= hi and last >= lo]
+            # only the covering buckets' rows enter the exchange (their
+            # offsets are global literals, so surviving ranks are exact)
+            out = out.filter(F.col(bcol).isin(keep) if keep else F.lit(False))
         order = [p["kcol"].desc() if p["desc"] else p["kcol"].asc()] + [
             F.col(t).asc() for t in p.get("tiebreak", ())
         ]

@@ -990,7 +990,15 @@ def topk_global_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev")
     )
     ri = r.withColumn("rev_i", F.round(F.col("rev") * 10000, 0))
-    k = global_rank_inplan(ri, "rev_i", tiebreak=("l_partkey",), descending=True, rank_out="i")
+    # rank_range (r13): the page only consumes ranks 101-150, so only
+    # the covering buckets' rows enter the rank exchange -- a deep page
+    # shuffles ~|page buckets|/nb of the rollup instead of all of it.
+    # Surviving ranks are exact (offsets are global literals), so the
+    # BETWEEN filter below is unchanged.
+    k = global_rank_inplan(
+        ri, "rev_i", tiebreak=("l_partkey",), descending=True, rank_out="i",
+        rank_range=(101, 150),
+    )
     return (
         k.filter(F.col("i").between(101, 150))
         .select("i", "l_partkey", "rev")

@@ -406,6 +406,38 @@ def test_global_ranks_inplan_fold_matches_default(spark):
         assert d == f, nbk
 
 
+def test_global_rank_inplan_rank_range_prunes_exactly(spark):
+    """r13: rank_range bucket pruning must keep EVERY row whose rank
+    falls in the page, with the identical rank values the unpruned
+    operator assigns -- across ties, desc, and page positions that
+    straddle bucket boundaries."""
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.scan import global_rank_inplan
+
+    rows = [(i, float((i * 37) % 50)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    for desc in (False, True):
+        full = global_rank_inplan(
+            df, "v", tiebreak=("id",), descending=desc, rank_out="i", num_buckets=8
+        )
+        want = {r["id"]: r["i"] for r in full.collect() if 101 <= r["i"] <= 150}
+        paged = global_rank_inplan(
+            df, "v", tiebreak=("id",), descending=desc, rank_out="i",
+            num_buckets=8, rank_range=(101, 150),
+        )
+        got = {r["id"]: r["i"] for r in paged.filter(F.col("i").between(101, 150)).collect()}
+        assert got == want, desc
+        # pruning must actually drop non-covering buckets' rows
+        assert paged.count() < 1000
+    # page beyond the data -> empty, not an error
+    empty = global_rank_inplan(
+        df, "v", tiebreak=("id",), rank_out="i", num_buckets=8,
+        rank_range=(5000, 5100),
+    )
+    assert empty.count() == 0
+
+
 def test_global_rank_cumsum_inplan_matches_range_scan(spark):
     """r13: the any-type in-plan rank (sampled struct boundaries, one
     hash exchange, zero Python) must agree with the range-shuffle scan
