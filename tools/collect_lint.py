@@ -44,6 +44,11 @@ WHITELIST: dict[str, str] = {
         "rollup: <= n_specs*(nb+4) rows, bounded by the operator's bucket "
         "constant, never the data"
     ),
+    "operators/scan.py::global_rank_cumsum_inplan": (
+        "boundary sample LIMIT-capped at 64*nb rows + per-bucket "
+        "(count,sum) rollup <= nb+1 rows: both bounded by the "
+        "operator's bucket constant, never the data"
+    ),
     "operators/scan.py::global_running_max": "per-partition max totals: one row per range partition",
     "operators/packing.py::with_stream_offsets": "per-partition token totals: one row per range partition",
     "operators/edges.py::_resolve_others": "distinct edge parts capped by limit(e.limit or DEFAULT_EDGE_LIMIT)",
