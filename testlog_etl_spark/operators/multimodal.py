@@ -62,15 +62,23 @@ def decode_image(payload: bytes) -> object:
 
 def _byte_features(payload: bytes) -> tuple[int, float, list[float]]:
     """Deterministic stand-in features computed from raw bytes (entropy +
-    8-bin histogram) -- the shape a real decoder's featurizer returns."""
+    8-bin histogram) -- the shape a real decoder's featurizer returns.
+
+    Counting is vectorized (r13, guide §4.2: hand whole buffers to
+    native code, never loop bytes in the interpreter) -- bincount over
+    the byte buffer yields the IDENTICAL integers the per-byte Python
+    loop produced, and the 8-term entropy fold keeps its exact
+    arithmetic order, so outputs are bit-identical."""
     import math
+
+    import numpy as np
 
     n = len(payload)
     if n == 0:
         return 0, 0.0, [0.0] * 8
-    counts = [0] * 8
-    for b in payload:
-        counts[b >> 5] += 1
+    counts = np.bincount(
+        np.frombuffer(payload, dtype=np.uint8) >> 5, minlength=8
+    ).tolist()
     hist = [c / n for c in counts]
     ent = -sum(p * math.log2(p) for p in hist if p > 0)
     return n, ent, hist
@@ -198,10 +206,8 @@ def detect_scene_cuts(
     media = spread(media)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
         import pandas as pd
-
-        def _sig(payload: bytes, idx: int) -> int:
-            return payload[(idx * 97) % len(payload)]
 
         out = {k: [] for k in ("media_id", "n_frames", "n_cuts", "first_cut_idx")}
         for pdf in batches:
@@ -212,16 +218,14 @@ def detect_scene_cuts(
                 if len(payload) == 0 or dur is None or dur <= 0:
                     continue
                 n_frames = int(dur - 1) // every_ms + 1
-                prev = None
-                n_cuts = 0
-                first = None
-                for i in range(n_frames):
-                    s = _sig(payload, i)
-                    if prev is not None and abs(s - prev) > threshold:
-                        n_cuts += 1
-                        if first is None:
-                            first = i
-                    prev = s
+                # vectorized per-frame signature + diff scan (r13,
+                # §4.2): integer-exact, identical cuts to the old
+                # per-frame Python loop
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                sig = arr[(np.arange(n_frames, dtype=np.int64) * 97) % len(payload)]
+                jump = np.abs(np.diff(sig.astype(np.int64))) > threshold
+                n_cuts = int(jump.sum())
+                first = int(np.argmax(jump)) + 1 if n_cuts > 0 else None
                 out["media_id"].append(mid)
                 out["n_frames"].append(n_frames)
                 out["n_cuts"].append(n_cuts)
@@ -247,16 +251,24 @@ def _average_hash(payload: bytes, bits: int = 64) -> str | None:
     ``bits`` bytes return None (no meaningful blocks). Pure integer
     sums -> one exact double division per mean, so the bit pattern is
     engine-portable (the oracle replays byte-for-byte in SQL)."""
+    import numpy as np
+
     n = len(payload)
     if n < bits:
         return None
-    total = sum(payload)
+    # vectorized block sums (r13, §4.2): bincount/reduceat give the
+    # IDENTICAL integers the per-byte Python loops produced; the mean
+    # comparisons keep the same int/int Python divisions, so the bit
+    # pattern is unchanged.
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    total = int(arr.sum())
     gm = total / n
-    out = []
-    for i in range(bits):
-        lo, hi = i * n // bits, (i + 1) * n // bits
-        block = payload[lo:hi]
-        out.append("1" if sum(block) / len(block) > gm else "0")
+    bounds = [i * n // bits for i in range(bits + 1)]
+    sums = np.add.reduceat(arr, bounds[:-1])
+    out = [
+        "1" if int(s) / (hi - lo) > gm else "0"
+        for s, lo, hi in zip(sums, bounds[:-1], bounds[1:])
+    ]
     return "".join(out)
 
 
