@@ -3,6 +3,8 @@ nulls, tolerance window, equal-timestamp visibility."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from pyspark.sql import Row
@@ -33,6 +35,7 @@ def _fixture(spark):
     return left, right
 
 
+@pytest.mark.slow
 def test_asof_backward_inclusive_and_outer(spark):
     from testlog_etl_spark.operators.asof import asof_join
 

@@ -159,6 +159,7 @@ def test_sweep_window_method_matches_scan(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_snapshot_diff_roundtrip_reconstructs_new(spark):
     # applying the diff to OLD must reproduce NEW exactly: delete the
     # 'delete' keys, upsert the 'insert'/'update' keys from NEW
@@ -301,6 +302,7 @@ def test_global_rank_cumsum_empty_and_null_vals(spark):
     assert got == {1: (1, 0.0), 2: (2, 5.0), 3: (3, 5.0)}
 
 
+@pytest.mark.slow
 def test_global_rank_inplan_matches_range_scan(spark):
     """r12: the in-plan bucketed rank (literal boundary/offset fold, one
     exchange, no Python) must agree with the range-shuffle scan it

@@ -40,11 +40,41 @@ def _rowset(cols, rows):
     return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
 
 
+# Queries whose plans were touched by the r13 optimization commits:
+# their oracle compare stays in the DEFAULT (driver-budget) profile
+# alongside every bench query; the other ~470 cases carry the `slow`
+# mark and run in the full battery (SPARK_JX_FULL_TESTS=1, the
+# builder's pre-seal gate). The driver's own oracle sweep still
+# verifies the full registry independently of this gate.
+R13_TOUCHED = {
+    "eval_average_precision",      # shared-signature rank windows
+    "index_phrase_search",         # slot-bitmask phrase match
+    "ts_peak_concurrency",         # struct-min peak aggregation
+    "stats_quantile_normalize",    # any-type in-plan rank
+    "stats_levene_test",
+    "stats_winsorized_mean",
+    "dq_outlier_iqr_fences",
+    "funnel_latency_quantiles",
+    "events_inter_arrival",
+    "agg_cardinality_median",
+    "edges_percentile_cells",
+    "win_frame_median",
+    "multimodal_features",         # vectorized byte featurizer
+    "multimodal_scene_cuts",       # vectorized frame scan
+}
+
+
 def _cases():
     from testlog_etl_spark import suite
 
     suite.queries()  # force load
-    return [c for c in suite.REGISTRY.values() if c.oracle is not None]
+    cases = [c for c in suite.REGISTRY.values() if c.oracle is not None]
+    return [
+        c
+        if (c.bench or c.name in R13_TOUCHED)
+        else pytest.param(c, marks=pytest.mark.slow)
+        for c in cases
+    ]
 
 
 @pytest.mark.parametrize("case", _cases(), ids=lambda c: c.name)

@@ -4,6 +4,8 @@ invariants of the oracled ones."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -62,6 +64,7 @@ def _valve_corpus(spark, n_boiler=30):
     return spark.createDataFrame(boiler + uniq, ["doc_id", "text"])
 
 
+@pytest.mark.slow
 def test_minhash_hot_band_valve_bounds_boilerplate_pairs(spark):
     """VERDICT r10 finding 1: a band shared by k near-identical docs
     emits k^2/2 candidates with no cap. The max_block valve bounds it;
@@ -97,6 +100,7 @@ def test_minhash_hot_band_valve_bounds_boilerplate_pairs(spark):
     assert chained <= full
 
 
+@pytest.mark.slow
 def test_minhash_valve_large_cap_is_identity(spark):
     """Candidates are lost ONLY from capped bands: a cap >= the largest
     band bucket changes nothing."""
@@ -113,6 +117,7 @@ def test_minhash_valve_large_cap_is_identity(spark):
     assert capped == full
 
 
+@pytest.mark.slow
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -175,6 +180,7 @@ def test_rolling_fingerprints_overlap_for_near_dups(spark):
     assert len(rows[1] & rows[3]) == 0
 
 
+@pytest.mark.slow
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     """Sign-LSH bucket join: recall floor on the driver corpus. This corpus
     is a hard regime for hyperplane LSH -- neighbors are weak (top-5 cosine
@@ -332,6 +338,7 @@ def test_chunk_dedup_keeps_earliest_instance(spark):
     assert len(out) == 5
 
 
+@pytest.mark.slow
 def test_connected_components_chains_and_paths(spark):
     """A~B~C collapses to one group without an A-C edge; a 16-node path
     converges (pointer jumping) well under the iteration cap."""
@@ -347,6 +354,7 @@ def test_connected_components_chains_and_paths(spark):
     assert {comp[100 + i] for i in range(16)} == {100}
 
 
+@pytest.mark.slow
 def test_dup_groups_canonical_and_singletons(spark):
     from testlog_etl_spark.operators.dupgroups import dup_groups
 
@@ -543,6 +551,7 @@ def test_int8_topk_matches_float_topk_neighbors(spark):
     assert top1_f == top1_q
 
 
+@pytest.mark.slow
 def test_kmeans_high_dim_plan_and_join_assign_agree(spark):
     """VERDICT r03 nit #2: the kmeans update step must not build `dim`
     separate aggregate expressions (dim=512 here would be a 512-wide agg
@@ -1128,6 +1137,7 @@ def test_hamming_join_rejects_degenerate_length(spark):
         hamming_join(df, "id", "key", length=4, max_dist=4)
 
 
+@pytest.mark.slow
 def test_weighted_exact_k_prefers_heavy_and_is_sticky(spark):
     from testlog_etl_spark.operators.sampling import weighted_exact_k
 
@@ -1291,6 +1301,7 @@ def test_phrase_search_anchors(spark):
     assert rep == {3: 2}
 
 
+@pytest.mark.slow
 def test_subtree_rollup_chain_and_tree(spark):
     from pyspark.sql import functions as F
 
@@ -1314,6 +1325,7 @@ def test_subtree_rollup_chain_and_tree(spark):
     assert (c5, c6) == (0, 1)
 
 
+@pytest.mark.slow
 def test_bloom_no_false_negatives_and_join_equivalence(spark):
     from testlog_etl_spark.operators.bloom import (
         bloom_prefiltered_join,
@@ -1364,6 +1376,7 @@ def test_ivf_pq_topk_rejects_indivisible_dim(spark):
         ivf_pq_topk(q, df, dim=63, k=1, m=4)
 
 
+@pytest.mark.slow
 def test_ivf_pq_topk_matches_numpy_replay(spark, sf_dir):
     """r11 (NOTES.md parked tier, unregistered until r13): IVF-PQ
     composition against a full numpy replay of the same deterministic
@@ -1445,6 +1458,7 @@ def test_ivf_pq_topk_matches_numpy_replay(spark, sf_dir):
 from testlog_etl_spark.queries.r13_pack import ivf_pq_oracle_sql as _ivf_pq_oracle_sql
 
 
+@pytest.mark.slow
 def test_ivf_pq_topk_matches_duckdb_replay(spark, sf_dir):
     """Cross-engine differential for the unregistered IVF-PQ tier: the
     composed DuckDB replay (coarse kmeans + probes, per-subspace
@@ -1591,6 +1605,7 @@ def test_corpus_scale_profile_matches_signatures():
             assert params[k].default != v, (name, k, "profile value must differ from default")
 
 
+@pytest.mark.slow
 def test_ivf_pq_train_once_books_equivalence(spark, sf_dir):
     """r12: passing precomputed ivf_pq_train books must reproduce the
     self-training path exactly -- the deployment form (train once on a

@@ -6,6 +6,8 @@ correctness alone doesn't prove them."""
 
 from __future__ import annotations
 
+import pytest
+
 import contextlib
 import io
 
@@ -1027,6 +1029,7 @@ def test_jx_quantiles_never_use_buffering_percentile(spark):
         assert "median(" not in plan, name
 
 
+@pytest.mark.slow
 def test_ivf_pq_candidate_exchange_carries_no_vectors(spark):
     """r11: ivf_pq_topk's whole point is that query time reads CODES --
     the candidate equi-join must carry ids/cells only, with no

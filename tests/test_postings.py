@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from testlog_etl_spark.operators.postings import build_postings, quantile_threshold_filter
@@ -75,6 +77,7 @@ def test_bm25_prefers_term_dense_docs(spark):
     assert rows[0][1] == 1  # tf-dense + two-term doc wins
 
 
+@pytest.mark.slow
 def test_pagerank_toy_graph(spark):
     from testlog_etl_spark.operators.dupgroups import pagerank
 

@@ -15,6 +15,8 @@ examples are small and few; each example evaluates all rows at once.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -64,6 +66,7 @@ def _model(row) -> dict:
     }
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows_strategy)
 def test_null_semantics_match_model(rows):
@@ -106,6 +109,7 @@ key_strategy = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(dom_strategy, key_strategy)
 def test_cube_invariants(domain, keys):
@@ -171,6 +175,7 @@ def _union_find_components(edges):
     return {x: find(x) for x in parent}
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges_strategy)
 def test_connected_components_match_union_find(edges):
@@ -197,6 +202,7 @@ def test_connected_components_match_union_find(edges):
 tok_rows = st.lists(st.integers(0, 40), min_size=1, max_size=60)
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(tok_rows, st.integers(2, 5))
 def test_packing_matches_sequential_model(toks, parts):
@@ -225,6 +231,7 @@ scan_rows = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(scan_rows, st.integers(2, 6), st.booleans())
 def test_global_scan_matches_sequential_model(rows, parts, desc):
@@ -399,6 +406,7 @@ _phonetic_text = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(_phonetic_text)
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 def test_phonetic_key_cross_engine_parity_fuzz(texts):
@@ -462,6 +470,7 @@ _gq_rows = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_gq_rows, st.sampled_from([0.5, 0.25, 0.9, 0.1, 0.999]))
 def test_group_quantile_exact_matches_both_engines(rows, q):
@@ -571,6 +580,7 @@ _runmax_rows = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_runmax_rows, st.booleans())
 def test_global_running_max_matches_window_reference_fuzz(vals, exclusive):
@@ -608,6 +618,7 @@ _melt_rows = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_melt_rows, st.sampled_from([0.25, 0.5, 0.9]), st.sampled_from([0.5, 0.75]))
 def test_attach_group_quantiles_melt_matches_per_expr_percentiles_fuzz(rows, qx, qy):
@@ -639,6 +650,7 @@ def test_attach_group_quantiles_melt_matches_per_expr_percentiles_fuzz(rows, qx,
     assert got == want, (qx, qy, got, want)
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_gqnan_rows, st.sampled_from([0.5, 0.25, 0.9]))
 def test_group_quantiles_exact_nan_float_keys_fuzz(rows, q):
@@ -759,6 +771,7 @@ _scanfid_rows = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_scanfid_rows)
 def test_scan_passthrough_preserves_decimal_and_timestamp_fuzz(rows):
@@ -987,6 +1000,7 @@ _sky_extra = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_sky_anti, _sky_extra)
 def test_skyline_anticorrelated_frontier(m, extra):
@@ -1032,6 +1046,7 @@ def test_skyline_anticorrelated_frontier(m, extra):
         assert got_b == want, (m, nb, extra, got_b, want)
 
 
+@pytest.mark.slow
 def test_ivf_pq_degenerate_codebooks_and_small_corpus():
     """ivf_pq_topk edge cases ahead of the r13 registration: (a) an
     all-identical corpus (every kmeans update collapses onto one point;
@@ -1094,6 +1109,7 @@ _fold_texts = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_fold_texts)
 def test_unicode_fold_cross_engine_fuzz(texts):
@@ -1132,6 +1148,7 @@ _rsv_rows = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_rsv_rows)
 def test_stratified_reservoir_key_encoding_fuzz(pairs):
@@ -1175,6 +1192,7 @@ def test_stratified_reservoir_key_encoding_fuzz(pairs):
     assert got == want, (rows, got, want)
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(  # 1-2 series of small ints (small universe -> zero-variance

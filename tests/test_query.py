@@ -310,6 +310,7 @@ def test_window_ntile_requires_sort(spark, people):
         )
 
 
+@pytest.mark.slow
 def test_edges_default_other_collapses_overflow(spark):
     """D9: over-limit parts collapse into one OTHER row whose aggregates
     are computed over the COLLAPSED rows (avg must be exact, proving
@@ -647,6 +648,7 @@ def test_edges_median_null_part_absorbs_out_of_domain(spark):
     assert got["a"] == (2, 2.0)
 
 
+@pytest.mark.slow
 def test_edges_median_other_part(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("b", 5.0), ("c", 7.0), ("d", 9.0), ("e", 11.0)],

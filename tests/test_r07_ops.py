@@ -451,6 +451,7 @@ def test_rrf_fusion_scores_and_missing_items(spark):
 # ----------------------------------------------------------- Jaro-Winkler
 
 
+@pytest.mark.slow
 def test_jaro_winkler_matches_duckdb_on_real_names(spark):
     import duckdb
 
@@ -571,6 +572,7 @@ def test_asof_tolerance_nulls_stale_matches(spark):
 # --------------------------------------------------------- power iteration
 
 
+@pytest.mark.slow
 def test_power_iteration_recovers_planted_direction(spark):
     from testlog_etl_spark.operators.linalg import power_iteration_top_pc
 
@@ -587,6 +589,7 @@ def test_power_iteration_recovers_planted_direction(spark):
     assert lam > 0
 
 
+@pytest.mark.slow
 def test_power_iteration_unit_vector_invariant_on_embeddings(spark):
     from testlog_etl_spark.suite import REGISTRY
 
@@ -621,6 +624,7 @@ def test_ndcg_bounds_and_ideal_dominance(spark):
     assert 0 <= r["ndcg"] <= 1
 
 
+@pytest.mark.slow
 def test_pq_recall_bounds(spark):
     from testlog_etl_spark.suite import REGISTRY
 
@@ -669,6 +673,7 @@ def test_bitmap_retention_bounds(spark):
 # ------------------------------------------------- Damerau-Levenshtein
 
 
+@pytest.mark.slow
 def test_damerau_matches_duckdb_on_real_names(spark):
     import duckdb
 

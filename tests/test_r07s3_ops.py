@@ -2234,6 +2234,7 @@ def test_lsh_advisor_matches_bruteforce(spark, duck):
     assert got[64]["expected_candidates"] >= got[8]["expected_candidates"]
 
 
+@pytest.mark.slow
 def test_hits_matches_bruteforce(spark, duck):
     from testlog_etl_spark.suite import REGISTRY, queries
 
@@ -2677,6 +2678,7 @@ def test_partition_planner_matches_bruteforce(spark, duck):
         assert r["skew_flag"] == (files[m] > 2 * mf)
 
 
+@pytest.mark.slow
 def test_mmr_matches_bruteforce(spark, duck):
     from testlog_etl_spark.suite import REGISTRY, queries
 
@@ -2860,6 +2862,7 @@ def test_hodges_lehmann_matches_bruteforce(spark, duck):
         assert r["median"] == pytest.approx(_median(xs), abs=1e-3)
 
 
+@pytest.mark.slow
 def test_markov_stationary_matches_bruteforce(spark, duck):
     from testlog_etl_spark.suite import REGISTRY, queries
 
@@ -2929,6 +2932,7 @@ def test_wilcoxon_matches_bruteforce(spark, duck):
     assert r["z"] == pytest.approx(z, abs=1e-3)
 
 
+@pytest.mark.slow
 def test_knn_matches_bruteforce(spark, duck):
     from collections import Counter
 

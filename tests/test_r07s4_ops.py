@@ -3,6 +3,8 @@ evolution, FD audit, binned quantile, containment dedup, ...)."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -903,6 +905,7 @@ def test_lambda_seam_actually_replays_rows(spark, sf_dir):
     assert replay.count() > 0  # fixture guard: the seam day is non-empty
 
 
+@pytest.mark.slow
 def test_lambda_union_equals_batch_answer(spark, sf_dir):
     from testlog_etl_spark.queries.streaming_queries import stream_lambda_backfill_union
 

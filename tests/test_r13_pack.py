@@ -16,10 +16,18 @@ from tests.conftest import SF_ORACLE, register_duck_views
 from tests.test_differential import _rowset
 
 
+# oracle cases over the driver's pytest budget (measured r13 durations);
+# the full battery (SPARK_JX_FULL_TESTS=1) still runs them
+_SLOW_PACK = {"stream_watermark_lag_audit", "sim_ivf_pq_topk"}
+
+
 def _pack():
     from testlog_etl_spark.queries.r13_pack import R13_PACK
 
-    return sorted(R13_PACK.items())
+    return [
+        pytest.param(n, e, marks=pytest.mark.slow) if n in _SLOW_PACK else (n, e)
+        for n, e in sorted(R13_PACK.items())
+    ]
 
 
 def test_pack_is_not_registered():

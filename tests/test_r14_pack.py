@@ -20,10 +20,23 @@ from tests.conftest import SF_ORACLE, register_duck_views
 from tests.test_differential import _rowset
 
 
+# oracle cases over the driver's pytest budget (measured r13 durations);
+# the full battery (SPARK_JX_FULL_TESTS=1) still runs them
+_SLOW_PACK = {
+    "ts_matrix_profile",
+    "ts_matrix_profile_ab",
+    "multimodal_ahash_dedup",
+    "corpus_dsir_importance",
+}
+
+
 def _pack():
     from testlog_etl_spark.queries.r14_pack import R14_PACK
 
-    return sorted(R14_PACK.items())
+    return [
+        pytest.param(n, e, marks=pytest.mark.slow) if n in _SLOW_PACK else (n, e)
+        for n, e in sorted(R14_PACK.items())
+    ]
 
 
 def test_pack_is_not_registered():

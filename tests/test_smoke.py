@@ -3,6 +3,8 @@ stable schema; every queries() key with an oracle has matching names."""
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_entry_returns_rows(spark):
     import __spark_entry__ as e
@@ -139,6 +141,7 @@ def test_driver_hash_rehearsal_catches_r07_classes(spark, sf_dir):
         pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
 
 
+@pytest.mark.slow
 def test_bench_json_contract():
     """The driver parses bench.py's single JSON line; pin the contract
     (field names + types) without paying a full sf0.1 run: run the

@@ -5,6 +5,8 @@ grows with stream length)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 from datetime import datetime
@@ -12,6 +14,7 @@ from datetime import datetime
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_events(spark, tmp_path):
     src = str(tmp_path / "stream_src")
     os.makedirs(src)
@@ -67,6 +70,7 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert dropped >= 1
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows(spark, tmp_path):
     """SS2.9 late-data semantics: rows older than watermark are DROPPED
     from stateful aggregation, and the engine accounts for them
@@ -113,6 +117,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert all(w >= t0 - datetime.timedelta(minutes=15) for w in wins)
 
 
+@pytest.mark.slow
 def test_record_breakers_cross_batch_state(spark):
     """The running max must survive micro-batch boundaries: a value that
     is a record in batch 1 suppresses smaller values in batch 2."""
@@ -163,6 +168,7 @@ def test_record_breakers_tws_sandbox_gate(spark):
         record_breakers_tws(df)
 
 
+@pytest.mark.slow
 def test_watermark_lag_audit_replay(spark):
     """r11 prototype for the parked watermark-lag DQ op (NOTES.md): per
     trigger, Spark's reported watermark must equal the deterministic
