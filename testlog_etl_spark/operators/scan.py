@@ -813,6 +813,122 @@ def global_running_max(
     return ranged.mapInArrow(scan, out_schema)
 
 
+def global_running_max_inplan(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    val_col: str,
+    out: str = "run_max",
+    exclusive: bool = False,
+    num_buckets: int | None = None,
+    persist_handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Running maximum of ``val_col`` over ascending ``order_cols``
+    computed ENTIRELY IN-PLAN — the r13 successor to
+    ``global_running_max`` for atomic orderable keys, completing the §4
+    boundary elimination across the registry (this was the last
+    registered-query consumer of the range-shuffle + ``mapInArrow``
+    scan).
+
+    Same contract as ``global_running_max`` including its documented
+    missing-value quirk: a NULL, NaN or ±inf *resulting* maximum
+    surfaces as NULL (the Arrow path fills NaN/NULL with -inf for the
+    cummax and converts any infinite result back to NULL), and
+    ``exclusive=True`` gives the max over STRICTLY preceding rows
+    (NULL for the global first row).
+
+    Mechanism (max is a lattice join, so this is the rank sketch minus
+    the exactness bookkeeping — ANY order-contiguous bucketing gives
+    the identical answer):
+
+    1. bucket id over ``order_cols`` from sampled struct boundaries
+       (same bounded deterministic hash-sample as
+       ``global_rank_cumsum_inplan``; boundaries only move skew);
+    2. ONE bounded build job: per-bucket max of the cleaned value →
+       exclusive prefix-max carries folded into a literal array
+       (NaN sentinel = "no earlier value"; NaN can never be a real
+       carry because NaN values are cleaned out);
+    3. per row: ``greatest(carry[bucket], max(val) OVER (PARTITION BY
+       bucket ORDER BY cols ROWS UNBOUNDED PRECEDING [TO -1]))`` —
+       ``greatest`` skips NULL operands, matching the carry fold.
+
+    One hash exchange, zero joins, zero Python."""
+    import math
+
+    from pyspark.sql.types import DoubleType, FloatType
+
+    from testlog_etl_spark.util import const_array
+
+    spark = df.sparkSession
+    ocols = list(order_cols)
+    nb = max(2, num_buckets or spark.sparkContext.defaultParallelism)
+    src = persist_once(df)
+    if persist_handles is not None:
+        persist_handles.append(src)
+
+    # cleaned value: NULL and NaN mean "no value" (±inf stays in the
+    # fold and is nulled at the END, exactly like the Arrow path's
+    # isinf(result) -> NULL conversion)
+    vraw = F.col(val_col).cast("double")
+    val = F.when(vraw.isNotNull() & ~F.isnan(vraw), vraw)
+
+    is_float = {c: isinstance(df.schema[c].dataType, (DoubleType, FloatType)) for c in ocols}
+    clean = F.lit(True)
+    for c in ocols:
+        clean = clean & F.col(c).isNotNull()
+        if is_float[c]:
+            clean = clean & ~F.isnan(F.col(c))
+    # bounded build job 1: deterministic hash-sample of boundary
+    # candidates (identical scheme + argument as global_rank_cumsum_inplan)
+    cap = 64 * nb
+    samp = (
+        src.filter(clean)
+        .select(*ocols)
+        .filter(F.pmod(F.xxhash64(*[F.col(c) for c in ocols]), F.lit(97)) == 0)
+        .limit(cap)
+        .collect()
+    )
+    tuples = sorted({tuple(r) for r in samp})
+    bnds = []
+    if len(tuples) >= nb:
+        step = len(tuples) / nb
+        bnds = sorted({tuples[int(i * step)] for i in range(1, nb)})
+    elif tuples:
+        bnds = tuples
+    types = {c: df.schema[c].dataType for c in ocols}
+    proxy = F.struct(*[F.col(c).alias(c) for c in ocols])
+    fin = F.lit(0)
+    for t in bnds:
+        b = F.struct(*[F.lit(v).cast(types[c]).alias(c) for c, v in zip(ocols, t)])
+        fin = fin + F.when(b < proxy, F.lit(1)).otherwise(F.lit(0))
+    bkt = fin
+
+    # bounded build job 2: per-bucket max -> exclusive prefix-max
+    # carries (<= len(bnds)+1 rows to the driver)
+    totals = (
+        src.select(bkt.alias("_b"), val.alias("_v"))
+        .groupBy("_b")
+        .agg(F.max("_v").alias("_m"))
+        .collect()
+    )
+    carries: list[float] = [math.nan] * (len(bnds) + 1)
+    acc: float | None = None
+    for row in sorted(totals, key=lambda r: r["_b"]):
+        carries[row["_b"]] = math.nan if acc is None else acc
+        m = row["_m"]
+        if m is not None and (acc is None or m > acc):
+            acc = m
+
+    w = Window.partitionBy("_bkt").orderBy(*[F.col(c).asc() for c in ocols])
+    frame = w.rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    stepped = src.withColumn("_bkt", bkt)
+    idx = F.col("_bkt") + F.lit(1)  # element_at is 1-based; buckets start at 0
+    carry_raw = F.element_at(const_array(carries), idx)
+    carry = F.when(~F.isnan(carry_raw), carry_raw)  # NaN sentinel -> NULL
+    folded = F.greatest(carry, F.max(val).over(frame))
+    result = F.when(F.abs(folded) == F.lit(float("inf")), F.lit(None)).otherwise(folded)
+    return stepped.withColumn(out, result.cast("double")).select(*df.columns, out)
+
+
 def group_quantile_exact(
     df: DataFrame,
     key: str,

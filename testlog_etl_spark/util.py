@@ -30,6 +30,14 @@ def _render_sql(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
+        # non-finite doubles have no bare-literal SQL spelling (r13:
+        # the running-max carries use NaN as their no-value sentinel)
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
         # repr round-trips doubles exactly; force a decimal point so the
         # SQL parser types it DOUBLE, not INT
         r = repr(v)

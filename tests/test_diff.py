@@ -507,3 +507,45 @@ def test_global_rank_cumsum_persist_handles(spark):
     assert h.storageLevel.useMemory  # persisted while the plan is live
     h.unpersist(blocking=True)
     assert not h.storageLevel.useMemory
+
+
+def test_global_running_max_inplan_matches_range_scan(spark):
+    """r13: the in-plan bucketed cummax (sampled struct boundaries,
+    literal prefix-max carries, one hash exchange, zero Python) must
+    agree with the range-shuffle + Arrow scan on adversarial values:
+    NULL/NaN/±inf values (the operator's documented missing-value
+    quirk), NULL keys, ties, both inclusive and exclusive frames,
+    degenerate bucket counts. Also pins the plan: no Python node, and
+    exactly one added exchange."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from testlog_etl_spark.operators.scan import (
+        global_running_max,
+        global_running_max_inplan,
+    )
+
+    random.seed(31)
+    rows = []
+    for i in range(700):
+        k = random.choice([None, float("nan")] + [float(random.randint(0, 9))] * 8)
+        v = random.choice(
+            [None, float("nan"), float("inf"), float("-inf")]
+            + [float(random.randint(-5, 5))] * 12
+        )
+        rows.append((i, k, v))
+    df = spark.createDataFrame(rows, "id long, k double, v double")
+    for exclusive in (False, True):
+        old = global_running_max(
+            df, [F.col("k").asc(), F.col("id").asc()], "v", out="m", exclusive=exclusive
+        )
+        o = {r["id"]: r["m"] for r in old.collect()}
+        for nbk in (2, 5, 64):
+            new = global_running_max_inplan(
+                df, ["k", "id"], "v", out="m", exclusive=exclusive, num_buckets=nbk
+            )
+            nw = {r["id"]: r["m"] for r in new.collect()}
+            assert o == nw, (exclusive, nbk)
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan and "EvalPython" not in plan

@@ -50,6 +50,11 @@ WHITELIST: dict[str, str] = {
         "operator's bucket constant, never the data"
     ),
     "operators/scan.py::global_running_max": "per-partition max totals: one row per range partition",
+    "operators/scan.py::global_running_max_inplan": (
+        "boundary sample LIMIT-capped at 64*nb rows + per-bucket max "
+        "rollup <= nb+1 rows: both bounded by the operator's bucket "
+        "constant, never the data"
+    ),
     "operators/packing.py::with_stream_offsets": "per-partition token totals: one row per range partition",
     "operators/edges.py::_resolve_others": "distinct edge parts capped by limit(e.limit or DEFAULT_EDGE_LIMIT)",
     "operators/bloom.py::build_bloom_bits": "fixed-size bitmap: one row per 64-bit word, m_words total",
