@@ -61,6 +61,7 @@ R13_TOUCHED = {
     "win_frame_median",
     "multimodal_features",         # vectorized byte featurizer
     "multimodal_scene_cuts",       # vectorized frame scan
+    "stream_late_arrival_audit",   # in-plan bucketed running max
 }
 
 
