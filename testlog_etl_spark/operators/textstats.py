@@ -139,36 +139,90 @@ def rolling_fingerprints(col: Column, k: int = 8, keep: int = 4) -> Column:
 
 def word_ngrams(col: Column, n: int = 2) -> Column:
     """ALL n-gram occurrences in order (not deduped -- repetition signals
-    need multiplicity; `neardup.word_shingles` is the distinct variant)."""
+    need multiplicity; `neardup.word_shingles` is the distinct variant).
+
+    n=2 (the only registered arity) builds the grams as ONE zip_with of
+    two shifted slices instead of a per-index slice+concat_ws -- the
+    per-gram 2-element array allocation made gram construction the
+    single largest cost of text_repetition (r13, measured 4.5 s of a
+    21 s query at sf0.1). Identical strings: concat(a, ' ', b) ==
+    concat_ws(' ', [a, b]) for the non-null tokens split() yields."""
     toks = tokens(col)
     cnt = F.size(toks)
-    return F.when(
-        cnt >= n,
-        F.transform(F.sequence(F.lit(1), cnt - n + 1), lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    if n == 2:
+        tail = cnt - 1
+        grams = F.zip_with(
+            F.slice(toks, 1, tail),
+            F.slice(toks, 2, tail),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(1), cnt - n + 1), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        )
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
-    """Gopher-style repetition signal: fraction of n-gram occurrences
-    that repeat an earlier one (1 - distinct/total; 0 for <n tokens)."""
-    grams = word_ngrams(col, n)
+def dup_ngram_fraction_of(grams: Column) -> Column:
+    """`dup_ngram_fraction` over an already-built gram array column --
+    callers that need several repetition signals from the same grams
+    should materialize the array once (a projection) and derive each
+    signal from the column: the gram-construction subtree is NOT
+    common-subexpression-eliminated in interpreted (higher-order
+    function) projections, so inlining it k times evaluates it k times
+    (r13; text_repetition measured 21 s inlined vs 9 s from a column)."""
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     return F.when(total > 0, F.lit(1.0) - distinct / total.cast("double")).otherwise(F.lit(0.0))
 
 
+def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of n-gram occurrences
+    that repeat an earlier one (1 - distinct/total; 0 for <n tokens)."""
+    return dup_ngram_fraction_of(word_ngrams(col, n))
+
+
 def top_ngram_fraction(col: Column, n: int = 2) -> Column:
     """Fraction of n-gram occurrences taken by the single most frequent
-    n-gram (boilerplate/loop detector). O(distinct x total) per row --
-    all JVM array intrinsics, bounded by document length."""
-    grams = word_ngrams(col, n)
+    n-gram (boilerplate/loop detector).
+
+    Max multiplicity = longest run of equal elements in the SORTED gram
+    array: one array_sort + one linear fold (r13). The previous form
+    counted every distinct gram with its own filter() pass --
+    O(distinct x total) interpreted higher-order-function evaluations
+    per row (HOFs are not whole-stage-codegen'd), measured 245 s for
+    the 5k-doc sf0.1 corpus vs ~2 s for this fold. The max count is the
+    same exact integer either way, so the double division is
+    bit-identical (pinned by test_top_ngram_fraction_sorted_fold_matches_counting)."""
+    return top_ngram_fraction_of(word_ngrams(col, n))
+
+
+def top_ngram_fraction_of(grams: Column) -> Column:
+    """`top_ngram_fraction` over an already-built gram array column
+    (see dup_ngram_fraction_of for why callers should share the array)."""
     total = F.size(grams)
-    counts = F.transform(
-        F.array_distinct(grams), lambda d: F.size(F.filter(grams, lambda g: g == d))
+    # fold state: (prev gram, current run length, best run length);
+    # grams are non-null (concat of non-null tokens), so `g == prev` is
+    # null -> false only for the first element, which correctly
+    # restarts the run at 1
+    best = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return F.when(
-        total > 0, F.array_max(counts).cast("double") / total.cast("double")
-    ).otherwise(F.lit(0.0))
+    return F.when(total > 0, best.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
 
 
 # PII patterns -- restricted to syntax Java regex and RE2 (DuckDB) parse

@@ -173,17 +173,27 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     d = spread(docs.select("doc_id", neardup.word_shingles(F.col("text")).alias("sh")))
     a = d.filter(F.size("sh") >= 3).select(
-        F.col("doc_id").alias("contained_id"), F.col("sh").alias("sh_a")
+        F.col("doc_id").alias("contained_id"), F.col("sh").alias("sh_a"), F.size("sh").alias("_sa")
     )
-    b = d.select(F.col("doc_id").alias("container_id"), F.col("sh").alias("sh_b"))
+    b = d.select(F.col("doc_id").alias("container_id"), F.col("sh").alias("sh_b"), F.size("sh").alias("_sb"))
     c = (
         F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
         / F.size("sh_a")
     )
+    # r13 size gate (provably lossless, exact integer arithmetic):
+    # C = |A∩B|/|A| <= |B|/|A|, so C >= 0.8 requires 5|B| >= 4|A| --
+    # prunes the intersect for the ~38% of ordered pairs the bound
+    # excludes (|B|=0 pairs had C=0 and were filtered either way).
+    # when(gate, ...) and not a bare AND for the same canonicalization
+    # reason as dedup_ngram_jaccard: the cheap tests must structurally
+    # guard the intersect. Still the full O(n^2) ordered pair scan the
+    # oracle states.
+    gate = (F.col("contained_id") != F.col("container_id")) & (
+        F.col("_sb") * 5 >= F.col("_sa") * 4
+    )
     return (
-        a.join(b, F.col("contained_id") != F.col("container_id"))
+        a.join(b, F.when(gate, c >= 0.8).otherwise(F.lit(False)))
         .withColumn("containment", c)
-        .filter(F.col("containment") >= 0.8)
         .select("contained_id", "container_id", F.round("containment", R).alias("containment"))
         .orderBy("contained_id", "container_id")
     )
@@ -210,13 +220,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     d = spread(docs.select("doc_id", neardup.word_shingles(F.col("text")).alias("sh")))
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("_sa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("_sb"))
     j = neardup.jaccard(F.col("sh_a"), F.col("sh_b"))
+    # r13 size gate (guide 3.2 spirit, provably lossless): J = |I|/|U|
+    # <= min(|A|,|B|)/max(|A|,|B|), so a pair can reach 0.5 only when
+    # 2*min >= max -- two integer compares replace the set-intersection
+    # for the ~41% of pairs the bound excludes (exact integer
+    # arithmetic; empty-set pairs keep their J=0 path: 2*0 >= 0 keeps
+    # them, J=0 drops them, as before). Stated as when(gate, J >= t,
+    # else false) because a bare AND chain gets canonicalized with the
+    # expensive intersect FIRST in the BNL condition (observed in the
+    # plan -- the gate then saves nothing); the when() makes the
+    # short-circuit structural. Still the full O(n^2) pair scan the
+    # oracle states; only provably-sub-threshold pairs skip the
+    # intersect.
+    gate = (F.col("id_a") < F.col("id_b")) & (
+        F.least("_sa", "_sb") * 2 >= F.greatest("_sa", "_sb")
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, F.when(gate, j >= 0.5).otherwise(F.lit(False)))
         .withColumn("jaccard", j)
-        .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
@@ -250,13 +274,32 @@ ORDER BY id_a, id_b
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from testlog_etl_spark.util import spread
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    # r13: norms precomputed per SIDE, not per PAIR -- cosine(a, b) is
+    # dot/(|a|*|b|), and evaluating the two norm folds inside the O(n^2)
+    # pair loop redid each one n times (the same rule topk_cosine has
+    # always followed). cos stays bit-identical: dot/(_na*_nb) is the
+    # exact operation tree similarity.cosine produced, with the norm
+    # subtrees evaluated once per row instead of once per pair. spread()
+    # parallelizes the pair scan's stream side (single-file local scan =
+    # one partition = serial BNL loop). Measured 116.7 -> 2.1 s at sf0.1.
+    a = spread(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    ).withColumn("_na", similarity.l2_norm(F.col("va")))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb")
+    ).withColumn("_nb", similarity.l2_norm(F.col("vb")))
+    cos = similarity.dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
+    # the threshold filter is stated as when(id_a < id_b, cos >= tau,
+    # else false) so the id test structurally short-circuits the dot
+    # fold: pushed as a bare AND, Catalyst orders the expensive
+    # predicate FIRST in the BNL condition and the fold runs for all
+    # n^2 ordered pairs (observed in the plan), not the n^2/2 kept ones
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", similarity.cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= 0.45)
+        a.join(F.broadcast(b), F.when(F.col("id_a") < F.col("id_b"), cos >= 0.45).otherwise(F.lit(False)))
+        .withColumn("cos", cos)
         .select("id_a", "id_b", F.round("cos", R).alias("cos"))
         .orderBy("id_a", "id_b")
     )
@@ -811,10 +854,19 @@ FROM f GROUP BY source ORDER BY source
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # grams materialized ONCE as a column (r13): both signals derive
+    # from the same array; inlining the gram construction into each
+    # signal evaluated it once per signal (no CSE across interpreted
+    # HOF projections). Projection-only change: per-row values are the
+    # same exact integers/doubles and the row order feeding the
+    # per-source AVG fold is untouched (no repartition -- AVG's float
+    # fold order is part of the pinned oracle contract).
     feats = docs.select(
+        "source", textstats.word_ngrams(F.col("text"), 2).alias("_g2")
+    ).select(
         "source",
-        textstats.dup_ngram_fraction(F.col("text"), 2).alias("dup2"),
-        textstats.top_ngram_fraction(F.col("text"), 2).alias("top2"),
+        textstats.dup_ngram_fraction_of(F.col("_g2")).alias("dup2"),
+        textstats.top_ngram_fraction_of(F.col("_g2")).alias("top2"),
     )
     return (
         feats.groupBy("source")

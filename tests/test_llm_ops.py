@@ -1654,3 +1654,111 @@ def test_corpus_scale_profile_applies_end_to_end(spark):
         for r in neardup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
     }
     assert got <= full  # the profile only LOSES pairs, never invents
+
+
+def test_top_ngram_fraction_sorted_fold_matches_counting(spark):
+    """r13: top_ngram_fraction's sorted-run-length fold must produce the
+    exact value of the replaced O(distinct x total) per-distinct
+    counting form on every shape: empty, <n tokens, all-identical,
+    tied max counts, interleaved repeats, single gram."""
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "a a a a a a"),                      # one gram repeated
+            (4, "a b a b a b"),                       # two grams tied ('a b' x3 vs 'b a' x2 -- not tied, good)
+            (5, "x y z x y z x y"),                   # interleaved repeats
+            (6, "u v"),                               # exactly one gram
+            (7, "p q r s t u v w"),                   # all distinct
+            (8, "m m n n m m n n m m"),               # ties between 'm m' and 'n n'? counts differ
+        ],
+        ["doc_id", "text"],
+    )
+    grams = textstats.word_ngrams(F.col("text"), 2)
+    old = F.when(
+        F.size(grams) > 0,
+        F.array_max(
+            F.transform(F.array_distinct(grams), lambda d: F.size(F.filter(grams, lambda g: g == d)))
+        ).cast("double")
+        / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+    rows = df.select(
+        "doc_id",
+        textstats.top_ngram_fraction(F.col("text"), 2).alias("new"),
+        old.alias("old"),
+    ).collect()
+    for r in rows:
+        assert r["new"] == r["old"], (r["doc_id"], r["new"], r["old"])
+
+
+def test_word_ngrams_bigram_zipwith_matches_slice_form(spark):
+    """r13: the n=2 zip_with fast path must emit the identical gram
+    arrays (content AND order) as the generic slice+concat_ws form."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "two tokens"), (4, "a b c d e f g"), (5, "r r r r")],
+        ["doc_id", "text"],
+    )
+    toks = textstats.tokens(F.col("text"))
+    cnt = F.size(toks)
+    generic = F.when(
+        cnt >= 2,
+        F.transform(F.sequence(F.lit(1), cnt - 1), lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = df.select(
+        "doc_id", textstats.word_ngrams(F.col("text"), 2).alias("fast"), generic.alias("slow")
+    ).collect()
+    for r in rows:
+        assert r["fast"] == r["slow"], (r["doc_id"], r["fast"], r["slow"])
+
+
+def test_pair_scan_size_gates_are_lossless(spark):
+    """r13: the size gates in dedup_ngram_jaccard / dedup_containment
+    (J <= min/max, C <= |B|/|A|) must not change the emitted pair set
+    on a corpus with every size relation: equal, half, over-half,
+    under-half, empty, containment-heavy."""
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),          # identical to 1
+        (3, "a b c d e f"),                   # prefix of 1 (containment)
+        (4, "a b c"),                          # tiny (dropped by |A|>=3 shingle floor? has 1 shingle)
+        (5, "z z"),                            # <3 tokens -> empty shingles
+        (6, "a b c d e f g h i j k l m n o p q r s t"),  # double of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from testlog_etl_spark.operators import neardup as nd
+    from pyspark.sql import functions as FF
+
+    d = df.select("doc_id", nd.word_shingles(FF.col("text")).alias("sh"))
+    a = d.select(FF.col("doc_id").alias("id_a"), FF.col("sh").alias("sh_a"), FF.size("sh").alias("sa"))
+    b = d.select(FF.col("doc_id").alias("id_b"), FF.col("sh").alias("sh_b"), FF.size("sh").alias("sb"))
+    j = nd.jaccard(FF.col("sh_a"), FF.col("sh_b"))
+    ungated = {
+        (r["id_a"], r["id_b"], r["j"])
+        for r in a.join(b, FF.col("id_a") < FF.col("id_b"))
+        .withColumn("j", j).filter(FF.col("j") >= 0.5).select("id_a", "id_b", "j").collect()
+    }
+    gate = (FF.col("id_a") < FF.col("id_b")) & (FF.least("sa", "sb") * 2 >= FF.greatest("sa", "sb"))
+    gated = {
+        (r["id_a"], r["id_b"], r["j"])
+        for r in a.join(b, FF.when(gate, j >= 0.5).otherwise(FF.lit(False)))
+        .withColumn("j", j).select("id_a", "id_b", "j").collect()
+    }
+    assert gated == ungated and len(ungated) >= 1
+
+    ca = d.filter(FF.size("sh") >= 3).select(
+        FF.col("doc_id").alias("ia"), FF.col("sh").alias("sha"), FF.size("sh").alias("sa")
+    )
+    cb = d.select(FF.col("doc_id").alias("ib"), FF.col("sh").alias("shb"), FF.size("sh").alias("sb"))
+    c = FF.size(FF.array_intersect(FF.col("sha"), FF.col("shb"))).cast("double") / FF.size("sha")
+    c_ungated = {
+        (r["ia"], r["ib"], r["c"])
+        for r in ca.join(cb, FF.col("ia") != FF.col("ib"))
+        .withColumn("c", c).filter(FF.col("c") >= 0.8).select("ia", "ib", "c").collect()
+    }
+    cgate = (FF.col("ia") != FF.col("ib")) & (FF.col("sb") * 5 >= FF.col("sa") * 4)
+    c_gated = {
+        (r["ia"], r["ib"], r["c"])
+        for r in ca.join(cb, FF.when(cgate, c >= 0.8).otherwise(FF.lit(False)))
+        .withColumn("c", c).select("ia", "ib", "c").collect()
+    }
+    assert c_gated == c_ungated and len(c_ungated) >= 1
