@@ -3705,13 +3705,27 @@ def eval_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
+    from testlog_etl_spark.util import spread
+
     g = F.lit(float(1 << 20))
     score = F.floor(filtering.linear_quality_score(F.col("text")) * g + F.lit(0.5)) / g
     kept = filtering.filter_verdict(F.col("text")) == "keep"
-    t = docs.select(
-        score.alias("score"),
-        F.least(F.floor(score * 10).cast("int"), F.lit(9)).alias("bin"),
-        kept.alias("kept"),
+    # r13: (a) spread -- the score/verdict string lambdas are CPU-heavy
+    # and the single-file scan ran them serially (docs_filter_pipeline's
+    # own rationale); safe here because every output is order-exact:
+    # bin/kept/counts are integral and SUM(score) sums 2^-20-snapped
+    # dyadics (numerator < 2^33 << 2^53), so the float fold commutes
+    # exactly. (b) score materialized as a column BEFORE bin derives
+    # from it -- inlined, the whole logistic-score tree was evaluated
+    # twice per row (no CSE across interpreted HOF projections).
+    t = (
+        spread(docs.select("text"))
+        .select(score.alias("score"), kept.alias("kept"))
+        .select(
+            "score",
+            F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias("bin"),
+            "kept",
+        )
     )
     return (
         t.groupBy("bin")
@@ -7165,6 +7179,12 @@ def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = k.select(F.col("pkey"), F.col("p_partkey").alias("part1"), F.col("p_name").alias("n1"))
     b = k.select(F.col("pkey"), F.col("p_partkey").alias("part2"), F.col("p_name").alias("n2"))
+    # r13 examined, left alone: the 3.1M in-block pairs are the block
+    # key's declared recall contract and the levenshtein verify is a
+    # codegen'd JVM intrinsic. Both measured alternatives lost: the
+    # banded 3-arg levenshtein(.., 4) was no faster (7.8 vs 7.5 s on
+    # the isolated verify), and a |len(a)-len(b)| <= 4 pre-gate excludes
+    # 0.0% of pairs (part names are same-length color-word tuples).
     return (
         a.join(b, "pkey")
         .filter(F.col("part2") > F.col("part1"))
@@ -7544,16 +7564,48 @@ def eval_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def clipped(cand, ref):
+        # sum over distinct grams g of min(count_cand(g), count_ref(g))
+        # = |multiset intersection|. r13: ONE sorted merge-fold instead
+        # of a filter() pass over BOTH arrays per distinct gram (that
+        # form is O(distinct x (|cand|+|ref|)) interpreted HOF evals per
+        # row -- the query measured 20.4 s at sf0.1, 2.9 s with this).
+        # Tag each occurrence with its side, sort (struct order = gram,
+        # then side), and fold: runs of one gram arrive contiguously, so
+        # on every gram change add min(c, r) of the finished group.
+        # Counts are the same exact integers, so clip1/clip2 and every
+        # downstream double are bit-identical (pinned by
+        # test_bleu_clipped_merge_fold_matches_counting).
+        tagged = F.array_sort(
+            F.concat(
+                F.transform(cand, lambda g: F.struct(g.alias("g"), F.lit(0).alias("t"))),
+                F.transform(ref, lambda g: F.struct(g.alias("g"), F.lit(1).alias("t"))),
+            )
+        )
+
+        def step(acc, e):
+            # null-safe "new group": first element's prev is NULL
+            same = F.when(e["g"] == acc["cur"], F.lit(True)).otherwise(F.lit(False))
+            c_inc = F.when(e["t"] == 0, F.lit(1)).otherwise(F.lit(0))
+            r_inc = F.when(e["t"] == 1, F.lit(1)).otherwise(F.lit(0))
+            return F.struct(
+                e["g"].alias("cur"),
+                F.when(same, acc["c"] + c_inc).otherwise(c_inc).alias("c"),
+                F.when(same, acc["r"] + r_inc).otherwise(r_inc).alias("r"),
+                F.when(same, acc["acc"])
+                .otherwise(acc["acc"] + F.least(acc["c"], acc["r"]))
+                .alias("acc"),
+            )
+
         return F.aggregate(
-            F.transform(
-                F.array_distinct(cand),
-                lambda g: F.least(
-                    F.size(F.filter(cand, lambda x: x == g)),
-                    F.size(F.filter(ref, lambda x: x == g)),
-                ),
+            tagged,
+            F.struct(
+                F.lit(None).cast("string").alias("cur"),
+                F.lit(0).alias("c"),
+                F.lit(0).alias("r"),
+                F.lit(0).alias("acc"),
             ),
-            F.lit(0),
-            lambda acc, e: acc + e,
+            step,
+            lambda acc: acc["acc"] + F.least(acc["c"], acc["r"]),
         )
 
     g = pr.select(

@@ -1762,3 +1762,63 @@ def test_pair_scan_size_gates_are_lossless(spark):
         .withColumn("c", c).select("ia", "ib", "c").collect()
     }
     assert c_gated == c_ungated and len(c_ungated) >= 1
+
+
+def test_bleu_clipped_merge_fold_matches_counting(spark):
+    """r13: eval_bleu's sorted merge-fold clipped count must equal the
+    replaced per-distinct counting form (sum over distinct cand grams of
+    min(count_cand, count_ref)) on every overlap shape."""
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "a", "c"], ["a", "a", "a", "b"]),   # clips: a->2, b->1, c->0 = 3
+            (2, ["x"], ["y"]),                                   # disjoint = 0
+            (3, [], ["a"]),                                      # empty cand = 0
+            (4, ["m", "m"], []),                                 # empty ref = 0
+            (5, ["q", "q", "q"], ["q"]),                         # clip 1
+            (6, ["a", "b"], ["b", "a"]),                         # order-insensitive = 2
+        ],
+        "doc_id int, cand array<string>, ref array<string>",
+    )
+    old = F.aggregate(
+        F.transform(
+            F.array_distinct(F.col("cand")),
+            lambda g: F.least(
+                F.size(F.filter(F.col("cand"), lambda x: x == g)),
+                F.size(F.filter(F.col("ref"), lambda x: x == g)),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, e: acc + e,
+    )
+    tagged = F.array_sort(
+        F.concat(
+            F.transform(F.col("cand"), lambda g: F.struct(g.alias("g"), F.lit(0).alias("t"))),
+            F.transform(F.col("ref"), lambda g: F.struct(g.alias("g"), F.lit(1).alias("t"))),
+        )
+    )
+
+    def step(acc, e):
+        same = F.when(e["g"] == acc["cur"], F.lit(True)).otherwise(F.lit(False))
+        c_inc = F.when(e["t"] == 0, F.lit(1)).otherwise(F.lit(0))
+        r_inc = F.when(e["t"] == 1, F.lit(1)).otherwise(F.lit(0))
+        return F.struct(
+            e["g"].alias("cur"),
+            F.when(same, acc["c"] + c_inc).otherwise(c_inc).alias("c"),
+            F.when(same, acc["r"] + r_inc).otherwise(r_inc).alias("r"),
+            F.when(same, acc["acc"]).otherwise(acc["acc"] + F.least(acc["c"], acc["r"])).alias("acc"),
+        )
+
+    new = F.aggregate(
+        tagged,
+        F.struct(
+            F.lit(None).cast("string").alias("cur"),
+            F.lit(0).alias("c"),
+            F.lit(0).alias("r"),
+            F.lit(0).alias("acc"),
+        ),
+        step,
+        lambda acc: acc["acc"] + F.least(acc["c"], acc["r"]),
+    )
+    expected = {1: 3, 2: 0, 3: 0, 4: 0, 5: 1, 6: 2}
+    for r in df.select("doc_id", new.alias("new"), old.alias("old")).collect():
+        assert r["new"] == r["old"] == expected[r["doc_id"]], (r["doc_id"], r["new"], r["old"])
