@@ -51,9 +51,15 @@ def power_iteration_top_pc(
             F.lit(0.0),
             lambda acc, e: acc + e,
         )
-        contrib = F.transform(x, lambda e: e * dot)
+        # dot materialized as a COLUMN before the contribution transform
+        # (r13): embedded in the lambda body, the whole dim-length fold
+        # re-evaluated once PER ELEMENT (dim x per row -- interpreted
+        # HOFs have no CSE). Same fold, same value, evaluated once per
+        # row; embed_top_principal measured 14.7 -> 2.9 s at sf0.1.
+        proj = df.select(x.alias("_x"), dot.alias("_dot"))
+        contrib = F.transform(F.col("_x"), lambda e: e * F.col("_dot"))
         sums = (
-            df.select(F.posexplode(contrib).alias("_d", "_c"))
+            proj.select(F.posexplode(contrib).alias("_d", "_c"))
             .groupBy("_d")
             .agg(F.sum("_c").alias("_s"))
             .collect()

@@ -973,9 +973,15 @@ ORDER BY c.doc_id, bench_id
 )
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from testlog_etl_spark.operators.decontam import ngram_contamination
+    from testlog_etl_spark.util import spread
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    corpus = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text")
+    # r13: spread the corpus side -- the 5-gram hashing is CPU-heavy
+    # per-row work that ran serially on the single-file scan partition.
+    # Outputs are exact under any row order (integer shared-gram
+    # counts). The benchmark side stays serial: it is tiny by contract
+    # and is broadcast anyway.
+    corpus = spread(docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text"))
     bench = docs.filter(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
@@ -6377,10 +6383,18 @@ def dedup_containment_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(neardup.word_shingles(F.col("text"))).alias("shingle")
         )
     )
-    kept = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).filter(
-        F.col("_df") <= 64
+    # r13: the df cap as a WINDOW COUNT on the shingle exchange (the
+    # r12 _cap_blocks/jaccard-df pattern) -- the groupBy rollup +
+    # join-back shuffled the posting table twice to attach a per-key
+    # count one partitionBy exchange can carry; identical kept set
+    # (count per shingle == the rollup's count).
+    from pyspark.sql import Window as _W
+
+    p = (
+        posting.withColumn("_df", F.count(F.lit(1)).over(_W.partitionBy("shingle")))
+        .filter(F.col("_df") <= 64)
+        .drop("_df")
     )
-    p = posting.join(kept.select("shingle"), "shingle")
     sz = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = p.select(F.col("doc_id").alias("id_a"), "shingle")
     b = p.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))
